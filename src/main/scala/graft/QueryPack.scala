@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** The driver-verified query pack: each query runs the real engine on two
+  * frames derived deterministically from `lineitem`, and `OracleGen` emits
+  * the equivalent DuckDB SQL over the same parquet table.
+  *
+  * The derivation (filters + value perturbations) is chosen so that every
+  * arithmetic step is bit-identical across Spark and DuckDB (pure IEEE double
+  * ops, integer modulo, timestamp interval adds) — so hash-level comparison
+  * of results is meaningful.
+  */
+object ComparePack {
+  val liCols: Seq[String] = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate")
+  val keys2: Seq[String] = Seq("l_orderkey", "l_linenumber")
+  val numericCols: Set[String] =
+    Set("l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  val integralCols: Set[String] = Set("l_partkey", "l_suppkey", "l_linenumber")
+  val timestampCols: Set[String] = Set("l_shipdate")
+
+  private def li(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+
+  /** lineitem restricted to rows whose (l_orderkey, l_linenumber) occurs
+    * exactly once — the synthetic data has duplicate keys, and rank-based
+    * duplicate pairing is physical-order-dependent (not oracle-mirrorable),
+    * so the value-comparison queries run on the unique-key subset. */
+  private def uniqueKeyed(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys2.map(col): _*)
+    li(s, dir)
+      .withColumn("__graft_n", count(lit(1)).over(w))
+      .filter(col("__graft_n") === 1)
+      .drop("__graft_n")
+  }
+
+  /** "df1": unique-keyed lineitem minus orderkeys ≡ 7 (mod 10). */
+  def frameA(s: SparkSession, dir: String): DataFrame =
+    uniqueKeyed(s, dir).filter(col("l_orderkey") % 10 =!= 7)
+
+  /** Raw (duplicate-keyed) variants for the dedup-pairing query. */
+  def frameARaw(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).filter(col("l_orderkey") % 10 =!= 7)
+
+  def frameBRaw(s: SparkSession, dir: String): DataFrame =
+    perturb(li(s, dir).filter(col("l_orderkey") % 10 =!= 3))
+
+  /** "df2": unique-keyed lineitem minus orderkeys ≡ 3 (mod 10), with
+    * deterministic perturbations: +0.005 qty (mod 7 — inside 0.01 abs_tol),
+    * +100.0 price (mod 11 — outside), NULLed returnflag (mod 13), +1 day
+    * shipdate (mod 17). */
+  def frameB(s: SparkSession, dir: String): DataFrame =
+    perturb(uniqueKeyed(s, dir).filter(col("l_orderkey") % 10 =!= 3))
+
+  private def perturb(df: DataFrame): DataFrame =
+    df
+      .withColumn("l_quantity",
+        when(col("l_orderkey") % 7 === 0, col("l_quantity") + lit(0.005)).otherwise(col("l_quantity")))
+      .withColumn("l_extendedprice",
+        when(col("l_orderkey") % 11 === 0, col("l_extendedprice") + lit(100.0)).otherwise(col("l_extendedprice")))
+      .withColumn("l_returnflag",
+        when(col("l_orderkey") % 13 === 0, lit(null).cast("string")).otherwise(col("l_returnflag")))
+      .withColumn("l_shipdate",
+        when(col("l_orderkey") % 17 === 0, col("l_shipdate") + expr("INTERVAL 1 DAY")).otherwise(col("l_shipdate")))
+
+  def compare(s: SparkSession, dir: String, absTol: Double = 0.0,
+      keys: Seq[String] = keys2, raw: Boolean = false): SparkCompare = {
+    val (a, b) =
+      if (raw) (frameARaw(s, dir), frameBRaw(s, dir))
+      else (frameA(s, dir), frameB(s, dir))
+    new SparkCompare(s, a, b,
+      CompareConfig(joinColumns = keys, absTol = ToleranceSpec.of(absTol)))
+  }
+
+  /** columnStats as a DataFrame (driver-side; stats already computed). */
+  def statsDf(s: SparkSession, c: SparkCompare): DataFrame = {
+    import s.implicits._
+    c.columnStats
+      .map(st => (st.column, st.matchCnt, st.unequalCnt, st.nullDiff, st.maxDiff))
+      .toDF("column", "match_cnt", "unequal_cnt", "null_diff", "max_diff")
+      .orderBy("column")
+  }
+}
+
+/** Generates the DuckDB oracle SQL mirroring ComparePack semantics. */
+object OracleGen {
+  import ComparePack._
+
+  /** Unique-key base mirroring ComparePack.uniqueKeyed. */
+  val baseSql: String =
+    "SELECT * FROM lineitem QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey, l_linenumber) = 1"
+  val df1Sql: String = s"SELECT * FROM ($baseSql) WHERE l_orderkey % 10 <> 7"
+  val df1RawSql: String = "SELECT * FROM lineitem WHERE l_orderkey % 10 <> 7"
+  private def df2Select(from: String): String = {
+    val sel = liCols.map {
+      case "l_quantity" =>
+        "CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 0.005 ELSE l_quantity END AS l_quantity"
+      case "l_extendedprice" =>
+        "CASE WHEN l_orderkey % 11 = 0 THEN l_extendedprice + 100.0 ELSE l_extendedprice END AS l_extendedprice"
+      case "l_returnflag" =>
+        "CASE WHEN l_orderkey % 13 = 0 THEN CAST(NULL AS VARCHAR) ELSE l_returnflag END AS l_returnflag"
+      case "l_shipdate" =>
+        "CASE WHEN l_orderkey % 17 = 0 THEN l_shipdate + INTERVAL 1 DAY ELSE l_shipdate END AS l_shipdate"
+      case c => c
+    }.mkString(", ")
+    s"SELECT $sel FROM $from WHERE l_orderkey % 10 <> 3"
+  }
+  val df2Sql: String = df2Select(s"($baseSql)")
+  val df2RawSql: String = df2Select("lineitem")
+
+  /** CTE prefix: df1/df2 with presence flags, full outer join `j`, intersect `i`. */
+  def prefix(keys: Seq[String]): String = {
+    val aSel = liCols.map(c => s"df1c.$c AS a_$c").mkString(", ")
+    val bSel = liCols.map(c => s"df2c.$c AS b_$c").mkString(", ")
+    val cond = keys.map(k => s"df1c.$k IS NOT DISTINCT FROM df2c.$k").mkString(" AND ")
+    s"""WITH df1 AS ($df1Sql),
+       |df2 AS ($df2Sql),
+       |df1c AS (SELECT *, TRUE AS in1 FROM df1),
+       |df2c AS (SELECT *, TRUE AS in2 FROM df2),
+       |j AS (SELECT $aSel, in1, $bSel, in2 FROM df1c FULL OUTER JOIN df2c ON $cond),
+       |i AS (SELECT * FROM j WHERE in1 AND in2)""".stripMargin
+  }
+
+  /** Boolean match expression per non-key column, mirroring the comparator
+    * pipeline at the given abs_tol (rel_tol 0, no NaN present in this data). */
+  def matchExpr(c: String, absTol: Double): String =
+    if (absTol > 0 && numericCols(c)) {
+      val (a, b) =
+        if (integralCols(c)) (s"CAST(a_$c AS DOUBLE)", s"CAST(b_$c AS DOUBLE)")
+        else (s"a_$c", s"b_$c")
+      s"((a_$c IS NOT DISTINCT FROM b_$c) OR COALESCE(ABS($a - $b) <= $absTol, FALSE))"
+    } else s"(a_$c IS NOT DISTINCT FROM b_$c)"
+
+  /** Max |a-b| over doubles, NULL-skipped, matching engine max_diff. */
+  def maxDiffExpr(c: String): String =
+    if (timestampCols(c))
+      s"COALESCE(MAX(ABS(CAST(epoch_us(a_$c) AS DOUBLE) / 1000000.0 - " +
+        s"CAST(epoch_us(b_$c) AS DOUBLE) / 1000000.0)), 0.0)"
+    else
+      s"COALESCE(MAX(ABS(TRY_CAST(a_$c AS DOUBLE) - TRY_CAST(b_$c AS DOUBLE))), 0.0)"
+
+  def nullDiffExpr(c: String): String =
+    s"CAST(SUM(CASE WHEN (a_$c IS NULL) <> (b_$c IS NULL) THEN 1 ELSE 0 END) AS BIGINT)"
+
+  def matchCntExpr(c: String, absTol: Double): String =
+    s"CAST(SUM(CASE WHEN ${matchExpr(c, absTol)} THEN 1 ELSE 0 END) AS BIGINT)"
+
+  /** Oracle for the per-column stats table (q_compare_column_stats). */
+  def columnStatsSql(keys: Seq[String], absTol: Double): String = {
+    val nonKeys = liCols.filterNot(keys.contains)
+    val aggSel = (Seq("CAST(COUNT(*) AS BIGINT) AS cnt") ++ nonKeys.flatMap(c => Seq(
+      s"${matchCntExpr(c, absTol)} AS match_$c",
+      s"${nullDiffExpr(c)} AS nd_$c",
+      s"${maxDiffExpr(c)} AS md_$c"))).mkString(", ")
+    val rows = nonKeys.map(c =>
+      s"SELECT '$c' AS \"column\", match_$c AS match_cnt, cnt - match_$c AS unequal_cnt, " +
+        s"nd_$c AS null_diff, md_$c AS max_diff FROM agg") ++
+      keys.map(k =>
+        s"SELECT '$k' AS \"column\", cnt AS match_cnt, CAST(0 AS BIGINT) AS unequal_cnt, " +
+          s"CAST(0 AS BIGINT) AS null_diff, 0.0 AS max_diff FROM agg")
+    s"""${prefix(keys)},
+       |agg AS (SELECT $aggSel FROM i)
+       |${rows.mkString("\n UNION ALL ")}
+       |ORDER BY "column"""".stripMargin
+  }
+
+  /** Oracle for merge slice counts (left_only / right_only / both). */
+  def mergeCountsSql(keys: Seq[String]): String =
+    s"""${prefix(keys)}
+       |SELECT CAST(SUM(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END) AS BIGINT) AS both_cnt,
+       | CAST(SUM(CASE WHEN in1 AND in2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS left_only_cnt,
+       | CAST(SUM(CASE WHEN in1 IS NULL AND in2 THEN 1 ELSE 0 END) AS BIGINT) AS right_only_cnt
+       |FROM j""".stripMargin
+
+  /** Oracle for duplicate-key merge counts: join on l_orderkey only.
+    * Pairing is rank-based, so counts = Σ min/max arithmetic per key group —
+    * order-independent and hence oracle-safe. */
+  val dupeCountsSql: String =
+    s"""WITH df1 AS ($df1RawSql),
+       |df2 AS ($df2RawSql),
+       |g1 AS (SELECT l_orderkey, COUNT(*) AS n1 FROM df1 GROUP BY 1),
+       |g2 AS (SELECT l_orderkey, COUNT(*) AS n2 FROM df2 GROUP BY 1),
+       |g AS (SELECT COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+       |      FROM g1 FULL OUTER JOIN g2 ON g1.l_orderkey IS NOT DISTINCT FROM g2.l_orderkey)
+       |SELECT CAST(SUM(LEAST(n1, n2)) AS BIGINT) AS both_cnt,
+       | CAST(SUM(n1 - LEAST(n1, n2)) AS BIGINT) AS left_only_cnt,
+       | CAST(SUM(n2 - LEAST(n1, n2)) AS BIGINT) AS right_only_cnt
+       |FROM g""".stripMargin
+
+  /** Oracle for df1-unique / df2-unique row slices. */
+  def unqRowsSql(keys: Seq[String], side: Int): String = {
+    val (self, other, selfC, otherC) =
+      if (side == 1) ("df1", "df2", "df1c", "df2c") else ("df2", "df1", "df2c", "df1c")
+    val cond = keys.map(k => s"$other.$k IS NOT DISTINCT FROM $self.$k").mkString(" AND ")
+    s"""WITH df1 AS ($df1Sql),
+       |df2 AS ($df2Sql)
+       |SELECT * FROM $self WHERE NOT EXISTS (SELECT 1 FROM $other WHERE $cond)
+       |ORDER BY ${keys.mkString(", ")}""".stripMargin
+  }
+
+  /** Oracle for all_mismatch: keys + df1/df2 versions of compared columns for
+    * rows where any compared column mismatches. */
+  def allMismatchSql(keys: Seq[String], absTol: Double): String = {
+    val nonKeys = liCols.filterNot(keys.contains)
+    val anyMis = nonKeys.map(c => s"NOT ${matchExpr(c, absTol)}").mkString(" OR ")
+    val sel = (keys.map(k => s"a_$k AS $k") ++
+      nonKeys.flatMap(c => Seq(s"a_$c AS ${c}_df1", s"b_$c AS ${c}_df2"))).mkString(", ")
+    s"""${prefix(keys)}
+       |SELECT $sel FROM i WHERE $anyMis
+       |ORDER BY ${keys.map(k => s"a_$k").mkString(", ")}""".stripMargin
+  }
+
+  /** Oracle for the boolean predicate suite. */
+  def predicatesSql(keys: Seq[String], absTol: Double): String = {
+    val nonKeys = liCols.filterNot(keys.contains)
+    val allMatch = nonKeys.map(c => matchExpr(c, absTol)).mkString(" AND ")
+    s"""${prefix(keys)},
+       |agg AS (SELECT
+       |  CAST(SUM(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END) AS BIGINT) AS both_cnt,
+       |  CAST(SUM(CASE WHEN in1 AND in2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_cnt,
+       |  CAST(SUM(CASE WHEN in1 IS NULL AND in2 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt,
+       |  CAST(SUM(CASE WHEN in1 AND in2 AND ($allMatch) THEN 1 ELSE 0 END) AS BIGINT) AS matching
+       |FROM j)
+       |SELECT (l_cnt = 0 AND r_cnt = 0) AS all_rows_overlap,
+       |  matching AS count_matching_rows,
+       |  (both_cnt > 0 AND matching = both_cnt) AS intersect_rows_match,
+       |  (l_cnt = 0 AND r_cnt = 0 AND both_cnt > 0 AND matching = both_cnt) AS matches,
+       |  (r_cnt = 0 AND both_cnt > 0 AND matching = both_cnt) AS subset
+       |FROM agg""".stripMargin
+  }
+}

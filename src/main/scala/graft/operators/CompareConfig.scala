@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.functions.Comparator
+
+/** Absolute/relative tolerance: one global default plus optional per-column
+  * overrides (keys lowercase). Mirrors the reference's float-or-dict
+  * tolerance with a `"default"` key (datacompy/base.py:737-829). */
+final case class ToleranceSpec(default: Double, perColumn: Map[String, Double] = Map.empty) {
+  require(default >= 0, s"tolerance must be non-negative, got $default")
+  perColumn.foreach { case (k, v) =>
+    require(v >= 0, s"tolerance for column '$k' must be non-negative, got $v")
+  }
+  def forColumn(column: String): Double =
+    perColumn.getOrElse(column.toLowerCase, default)
+}
+
+object ToleranceSpec {
+  val Zero: ToleranceSpec = ToleranceSpec(0.0)
+  def of(d: Double): ToleranceSpec = ToleranceSpec(d)
+}
+
+/** Constructor parameters of a comparison
+  * (reference: datacompy/spark.py:132-147, datacompy/base.py:56-212). */
+final case class CompareConfig(
+    joinColumns: Seq[String],
+    absTol: ToleranceSpec = ToleranceSpec.Zero,
+    relTol: ToleranceSpec = ToleranceSpec.Zero,
+    df1Name: String = "df1",
+    df2Name: String = "df2",
+    ignoreSpaces: Boolean = false,
+    ignoreCase: Boolean = false,
+    castColumnNamesLower: Boolean = true,
+    customComparators: Seq[Comparator] = Nil,
+    cacheIntermediates: Boolean = true) {
+  require(joinColumns.nonEmpty, "join_columns must be non-empty")
+  require(joinColumns.forall(_.nonEmpty), "join_columns entries must be non-empty")
+  require(df1Name != df2Name, "df1_name and df2_name must differ")
+
+  /** Join columns normalised the same way the frames' column names are. */
+  def normalizedJoinColumns: Seq[String] =
+    if (castColumnNamesLower) joinColumns.map(_.toLowerCase) else joinColumns
+}
+
+/** Per-column comparison statistics (reference: datacompy/base.py:40-53). */
+final case class ColumnStat(
+    column: String,
+    matchColumn: String,
+    matchCnt: Long,
+    unequalCnt: Long,
+    dtype1: String,
+    dtype2: String,
+    allMatch: Boolean,
+    maxDiff: Double,
+    nullDiff: Long,
+    relTol: Double,
+    absTol: Double)

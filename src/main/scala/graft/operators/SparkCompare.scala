@@ -1,0 +1,346 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{CompareOpts, ComparatorPipeline, TypeClasses}
+
+/** Compare two DataFrames joined on null-safe keys, producing unique-row
+  * slices, per-column match statistics, mismatch samples, and reports.
+  *
+  * Semantics follow the reference (datacompy/spark.py:86-990) exactly;
+  * the *plans* are redesigned Spark-first for scale:
+  *
+  *   - ONE native full outer join on `<=>` key conjunction
+  *     (reference builds it via temp views + SQL strings, spark.py:450-466).
+  *   - Duplicate-key pairing rank computed with a single window over each
+  *     input (reference does monotonic-id + self-join, spark.py:388-412, and
+  *     two extra null/sentinel probe jobs per input, spark.py:1136-1147 —
+  *     Spark's window partitioning already groups NULL keys together, so the
+  *     string-cast/sentinel dance is unnecessary).
+  *   - ALL per-column statistics — match counts, null diffs, max diffs, and
+  *     the all-columns-match row count — are fused into one single-pass
+  *     aggregation over the cached intersection (reference runs one agg for
+  *     match counts, spark.py:573-578, plus TWO separate jobs per column for
+  *     max_diff/null_diff, spark.py:1026-1111, plus another full-scan filter
+  *     for count_matching_rows, spark.py:659-679 — O(columns) scans).
+  *   - Because the join sides are unique on (keys ++ rank), the outer join is
+  *     1:1 and `left_only = count(df1) - count(intersect)` — unique-row counts
+  *     cost no extra scan at all (reference counts each slice,
+  *     spark.py:524-531).
+  *   - Every count is memoized; nothing is ever recounted.
+  *
+  * At 100 TB the dominant costs are the two input scans (key-group shape
+  * check), the join shuffle, and the one stats pass over the cached
+  * intersection — all O(data), none O(columns × data).
+  */
+class SparkCompare(
+    val spark: SparkSession,
+    df1Input: DataFrame,
+    df2Input: DataFrame,
+    val config: CompareConfig) {
+
+  val joinColumns: Seq[String] = config.normalizedJoinColumns
+  private val joinSet = joinColumns.toSet
+  private val n1 = config.df1Name
+  private val n2 = config.df2Name
+
+  /** Normalised inputs (lowercased names, validated). Reference:
+    * datacompy/spark.py:273-332. */
+  val df1: DataFrame = normalize(df1Input, n1)
+  val df2: DataFrame = normalize(df2Input, n2)
+
+  private def normalize(df: DataFrame, which: String): DataFrame = {
+    val named =
+      if (config.castColumnNamesLower) df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
+      else df
+    val cols = named.columns
+    val dups = cols.groupBy(identity).collect { case (c, a) if a.length > 1 => c }
+    require(dups.isEmpty,
+      s"$which has duplicate column names after normalization: ${dups.mkString(", ")}")
+    val missing = joinColumns.filterNot(cols.contains)
+    require(missing.isEmpty, s"$which is missing join columns: ${missing.mkString(", ")}")
+    named
+  }
+
+  // ---- column sets (ordered, driver-side; reference spark.py:365-375) ----
+  def df1UnqColumns: Seq[String] = df1.columns.toSeq.diff(df2.columns.toSeq)
+  def df2UnqColumns: Seq[String] = df2.columns.toSeq.diff(df1.columns.toSeq)
+  def intersectColumns: Seq[String] = df1.columns.toSeq.intersect(df2.columns.toSeq)
+  def allColumnsMatch: Boolean = df1UnqColumns.isEmpty && df2UnqColumns.isEmpty
+  /** Reference: datacompy/base.py:463-465. */
+  def onlyJoinColumns: Boolean =
+    df1UnqColumns.isEmpty && df2UnqColumns.isEmpty && intersectColumns.toSet == joinSet
+  private val compareColumns: Seq[String] = intersectColumns.filterNot(joinSet)
+
+  // ---- shape probe: row count + key-group count in one job per input ----
+  private case class Shape(rowCount: Long, keyGroups: Long) {
+    def hasDupes: Boolean = rowCount > keyGroups
+  }
+  private def shape(df: DataFrame): Shape = {
+    val r = df
+      .groupBy(joinColumns.map(col): _*).agg(count(lit(1)).as("__graft_n"))
+      .agg(count(lit(1)), coalesce(sum("__graft_n"), lit(0L)))
+      .first()
+    Shape(r.getLong(1), r.getLong(0))
+  }
+  private lazy val df1Shape = shape(df1)
+  private lazy val df2Shape = shape(df2)
+  lazy val df1Count: Long = df1Shape.rowCount
+  lazy val df2Count: Long = df2Shape.rowCount
+  lazy val anyDupes: Boolean = df1Shape.hasDupes || df2Shape.hasDupes
+
+  private val ordCol: String = Utils.tempColumnName(df1, df2)
+
+  /** Rank within duplicate key groups so the k-th duplicate on one side pairs
+    * with the k-th on the other (reference: spark.py:388-413, 1114-1170).
+    * NULL keys form their own window partition, matching the reference's
+    * fillna-sentinel behaviour. Ordering by `monotonically_increasing_id`
+    * preserves the physical row order per partition, like the reference;
+    * pairing across frames is deterministic only for deterministic layouts
+    * (documented reference behaviour). */
+  private def withPairingRank(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(joinColumns.map(col): _*).orderBy(monotonically_increasing_id())
+    df.withColumn(ordCol, row_number().over(w) - 1)
+  }
+
+  private val leftFlag = "_merge_left"
+  private val rightFlag = "_merge_right"
+
+  private final case class Merged(outerJoin: DataFrame, tempJoinColumns: Seq[String])
+
+  private lazy val merged: Merged = {
+    var d1 = df1
+    var d2 = df2
+    var tempJoin = joinColumns
+    if (anyDupes) {
+      d1 = withPairingRank(d1)
+      d2 = withPairingRank(d2)
+      tempJoin = joinColumns :+ ordCol
+    }
+    if (config.ignoreSpaces) {
+      for (c <- joinColumns) {
+        if (TypeClasses.isStringLike(d1.schema(c).dataType)) d1 = d1.withColumn(c, trim(col(c)))
+        if (TypeClasses.isStringLike(d2.schema(c).dataType)) d2 = d2.withColumn(c, trim(col(c)))
+      }
+    }
+    // Suffix every column, add the merge-indicator flags (spark.py:429-448).
+    val s1 = d1.select(d1.columns.map(c => col(c).as(s"${c}_$n1")).toIndexedSeq :+
+      lit(true).as(leftFlag): _*)
+    val s2 = d2.select(d2.columns.map(c => col(c).as(s"${c}_$n2")).toIndexedSeq :+
+      lit(true).as(rightFlag): _*)
+    val cond = tempJoin.map(k => col(s"${k}_$n1") <=> col(s"${k}_$n2")).reduce(_ && _)
+    val joined = s1.join(s2, cond, "full_outer")
+    // Merge indicator from the lit(true) flags (spark.py:468-484).
+    val withMerge = joined.withColumn(
+      "_merge",
+      when(col(leftFlag) === true && col(rightFlag).isNull, "left_only")
+        .when(col(leftFlag).isNull && col(rightFlag) === true, "right_only")
+        .otherwise("both"))
+    val dropOrd =
+      if (anyDupes) Seq(s"${ordCol}_$n1", s"${ordCol}_$n2") else Nil
+    Merged(withMerge.drop(dropOrd: _*), tempJoin)
+  }
+
+  /** Rows only in df1, with df1's original columns and names (spark.py:510-516). */
+  lazy val df1UnqRows: DataFrame =
+    merged.outerJoin
+      .filter(col("_merge") === "left_only")
+      .select(df1.columns.map(c => col(s"${c}_$n1").as(c)).toIndexedSeq: _*)
+
+  /** Rows only in df2 (spark.py:518-524). */
+  lazy val df2UnqRows: DataFrame =
+    merged.outerJoin
+      .filter(col("_merge") === "right_only")
+      .select(df2.columns.map(c => col(s"${c}_$n2").as(c)).toIndexedSeq: _*)
+
+  /** Intersection with one boolean `{col}_match` per compared column,
+    * appended in a single projection (spark.py:528-570). Cached because ~all
+    * downstream work reads it (spark.py:532-535). */
+  lazy val intersectRows: DataFrame = {
+    val base = merged.outerJoin.filter(col("_merge") === "both")
+    val matchCols = compareColumns.map { c =>
+      val opts = CompareOpts(
+        absTol = config.absTol.forColumn(c),
+        relTol = config.relTol.forColumn(c),
+        ignoreSpaces = config.ignoreSpaces,
+        ignoreCase = config.ignoreCase)
+      ComparatorPipeline
+        .columnsEqual(base, s"${c}_$n1", s"${c}_$n2", opts, config.customComparators)
+        .as(s"${c}_match")
+    }
+    val out = base.select(base.columns.map(col).toIndexedSeq ++ matchCols: _*)
+    if (config.cacheIntermediates) out.persist(StorageLevel.MEMORY_AND_DISK) else out
+  }
+
+  /** Double-valued view of a column for max-diff purposes, or None when the
+    * type has no sensible numeric view (arrays short-circuit to 0 in the
+    * reference too, spark.py:1046-1050). Temporal types go through epoch
+    * seconds explicitly — the reference's `TRY_CAST(ts AS DOUBLE)` silently
+    * NULLs under ANSI mode (Spark 4 default), losing the diff. */
+  private def maxDiffView(c: Column, dt: DataType): Option[Column] = dt match {
+    case _: NumericType | _: StringType | BooleanType => Some(c.try_cast(DoubleType))
+    case TimestampType | TimestampNTZType =>
+      // NTZ → TZ interprets in the session time zone (UTC here), matching
+      // DuckDB's epoch_us over naive timestamps.
+      Some(unix_micros(c.cast(TimestampType)).cast(DoubleType) / lit(1e6))
+    case DateType => Some(unix_date(c).cast(DoubleType) * lit(86400.0))
+    case _ => None
+  }
+
+  // Field names inside the fused stats row.
+  private def fMatch(c: String) = s"__match_$c"
+  private def fNullDiff(c: String) = s"__nulldiff_$c"
+  private def fMaxDiff(c: String) = s"__maxdiff_$c"
+
+  /** THE single-pass statistics aggregation (see class doc). */
+  private lazy val statsRow: Row = {
+    val perCol = compareColumns.flatMap { c =>
+      val c1 = col(s"${c}_$n1")
+      val c2 = col(s"${c}_$n2")
+      val matchExpr =
+        sum(when(col(s"${c}_match") === true, 1L).otherwise(0L)).as(fMatch(c))
+      // XOR-null count (reference: spark.py:1070-1111, one job per column).
+      val nullDiffExpr =
+        sum(when(c1.isNull =!= c2.isNull, 1L).otherwise(0L)).as(fNullDiff(c))
+      // Max |a-b| over try_cast doubles, NaN excluded
+      // (reference: spark.py:1026-1067, one job per column).
+      val t1 = df1.schema(c).dataType
+      val t2 = df2.schema(c).dataType
+      (maxDiffView(c1, t1), maxDiffView(c2, t2)) match {
+        case (Some(v1), Some(v2)) =>
+          val d = abs(v1 - v2)
+          Seq(matchExpr, nullDiffExpr, max(when(!isnan(d), d)).as(fMaxDiff(c)))
+        case _ =>
+          Seq(matchExpr, nullDiffExpr)
+      }
+    }
+    val allMatchCond =
+      if (compareColumns.isEmpty) lit(true)
+      else compareColumns.map(c => col(s"${c}_match") === true).reduce(_ && _)
+    val exprs = Seq(
+      count(lit(1)).as("__graft_cnt"),
+      sum(when(allMatchCond, 1L).otherwise(0L)).as("__graft_all_match")) ++ perCol
+    intersectRows.agg(exprs.head, exprs.tail: _*).first()
+  }
+
+  private def statLong(name: String): Long = {
+    val i = statsRow.fieldIndex(name)
+    if (statsRow.isNullAt(i)) 0L else statsRow.getLong(i)
+  }
+  private def statMaxDiff(c: String): Double = {
+    val idx = try Some(statsRow.fieldIndex(fMaxDiff(c))) catch { case _: IllegalArgumentException => None }
+    idx match {
+      case Some(i) if !statsRow.isNullAt(i) =>
+        val v = statsRow.getDouble(i)
+        if (v.isNaN) 0.0 else v
+      case _ => 0.0
+    }
+  }
+
+  lazy val intersectCount: Long = statLong("__graft_cnt")
+  /** 1:1 join ⇒ unique counts are pure arithmetic (see class doc). */
+  lazy val df1UnqCount: Long = df1Count - intersectCount
+  lazy val df2UnqCount: Long = df2Count - intersectCount
+
+  /** Per-column stats in intersect-column order (spark.py:582-636). */
+  lazy val columnStats: Seq[ColumnStat] = {
+    intersectColumns.map { c =>
+      val dtype1 = df1.schema(c).dataType.simpleString
+      val dtype2 = df2.schema(c).dataType.simpleString
+      if (joinSet.contains(c)) {
+        val rowCnt =
+          if (!onlyJoinColumns) intersectCount
+          else intersectCount + df1UnqCount + df2UnqCount
+        ColumnStat(
+          column = c, matchColumn = "", matchCnt = intersectCount,
+          unequalCnt = rowCnt - intersectCount,
+          dtype1 = dtype1, dtype2 = dtype2,
+          allMatch = dtype1 == dtype2 && rowCnt == intersectCount,
+          maxDiff = 0.0, nullDiff = 0L,
+          relTol = config.relTol.forColumn(c), absTol = config.absTol.forColumn(c))
+      } else {
+        val matchCnt = statLong(fMatch(c))
+        ColumnStat(
+          column = c, matchColumn = s"${c}_match", matchCnt = matchCnt,
+          unequalCnt = intersectCount - matchCnt,
+          dtype1 = dtype1, dtype2 = dtype2,
+          allMatch = dtype1 == dtype2 && intersectCount == matchCnt,
+          maxDiff = statMaxDiff(c), nullDiff = statLong(fNullDiff(c)),
+          relTol = config.relTol.forColumn(c), absTol = config.absTol.forColumn(c))
+      }
+    }
+  }
+
+  // ---- predicates (spark.py:638-718) ----
+  def allRowsOverlap: Boolean = df1UnqCount == 0 && df2UnqCount == 0
+  /** Fused into the stats pass (reference re-scans, spark.py:659-679). */
+  def countMatchingRows: Long =
+    if (compareColumns.isEmpty) intersectCount else statLong("__graft_all_match")
+  def intersectRowsMatch: Boolean =
+    intersectCount > 0 && countMatchingRows == intersectCount
+  def matches(ignoreExtraColumns: Boolean = false): Boolean =
+    (ignoreExtraColumns || allColumnsMatch) && allRowsOverlap && intersectRowsMatch
+  def subset: Boolean =
+    df2UnqColumns.isEmpty && df2UnqCount == 0 && intersectRowsMatch
+  def columnsWithMismatches: Seq[String] =
+    columnStats.filter(_.unequalCnt > 0).map(_.column)
+
+  // ---- samples (spark.py:720-867) ----
+
+  /** Sample rows where `column` mismatches: join keys + both versions.
+    * Reference: spark.py:720-777. */
+  def sampleMismatch(column: String, sampleCount: Int = 10, forDisplay: Boolean = false): DataFrame = {
+    if (!onlyJoinColumns && !joinSet.contains(column)) {
+      val stat = columnStats.find(_.column == column)
+        .getOrElse(throw new IllegalArgumentException(s"unknown column: $column"))
+      val n = math.min(sampleCount.toLong, stat.unequalCnt).toInt
+      val sample = intersectRows
+        .where(col(s"${column}_match") === false)
+        .limit(n)
+        .select((joinColumns.map(k => col(s"${k}_$n1").as(k)) ++
+          Seq(col(s"${column}_$n1"), col(s"${column}_$n2"))).toIndexedSeq: _*)
+      if (forDisplay)
+        sample.toDF((joinColumns ++ Seq(s"$column ($n1)", s"$column ($n2)")).toIndexedSeq: _*)
+      else sample
+    } else {
+      val n = math.min(sampleCount.toLong, df1UnqCount + df2UnqCount).toInt
+      df1UnqRows.select(column).union(df2UnqRows.select(column)).limit(n).toDF(column)
+    }
+  }
+
+  /** All rows with ≥1 mismatching column: join keys + df1/df2 versions of
+    * (optionally only the mismatching) compared columns. Reference:
+    * spark.py:793-867 — the mismatch-count agg there is replaced by the
+    * already-computed columnStats. */
+  def allMismatch(ignoreMatchingCols: Boolean = false): DataFrame = {
+    if (onlyJoinColumns)
+      return df1UnqRows.select(joinColumns.map(col): _*)
+        .union(df2UnqRows.select(joinColumns.map(col): _*))
+    val kept = compareColumns.filter { c =>
+      !ignoreMatchingCols || columnStats.exists(s => s.column == c && s.unequalCnt > 0)
+    }
+    if (kept.isEmpty)
+      return df1UnqRows.select(joinColumns.map(col): _*)
+        .union(df2UnqRows.select(joinColumns.map(col): _*))
+    val anyMismatch = kept.map(c => col(s"${c}_match") === false).reduce(_ || _)
+    intersectRows
+      .where(anyMismatch)
+      .select((joinColumns.map(k => col(s"${k}_$n1").as(k)) ++
+        kept.flatMap(c => Seq(col(s"${c}_$n1"), col(s"${c}_$n2")))).toIndexedSeq: _*)
+  }
+
+  /** Release the cached intersection. */
+  def unpersist(): Unit = if (config.cacheIntermediates) intersectRows.unpersist()
+}
+
+object Utils {
+  /** Smallest `_temp_N` absent from both frames (reference: base.py:649-671). */
+  def tempColumnName(dfs: DataFrame*): String = {
+    val taken = dfs.flatMap(_.columns).map(_.toLowerCase).toSet
+    Iterator.from(0).map(i => s"_temp_$i").find(n => !taken.contains(n)).get
+  }
+}
