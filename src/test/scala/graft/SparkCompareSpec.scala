@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Engine semantics on micro-frames, mirroring reference scenarios in
+  * tests/test_spark.py (dedup :898-989, samples :1125-1368, tolerance dicts
+  * :2010-2151, caching :2304-2355). */
+class SparkCompareSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def cmp(a: DataFrame, b: DataFrame, keys: Seq[String],
+      cfg: CompareConfig => CompareConfig = identity): SparkCompare =
+    new SparkCompare(spark, a, b, cfg(CompareConfig(joinColumns = keys)))
+
+  test("basic compare: stats, slices, predicates") {
+    val a = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("id", "s", "v")
+    val b = Seq((1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)).toDF("id", "s", "v")
+    val c = cmp(a, b, Seq("id"))
+    assert(c.df1Count == 3 && c.df2Count == 3)
+    assert(c.intersectCount == 2)
+    assert(c.df1UnqCount == 1 && c.df2UnqCount == 1)
+    assert(c.df1UnqRows.collect().map(_.getInt(0)).toSeq == Seq(3))
+    assert(c.df2UnqRows.collect().map(_.getInt(0)).toSeq == Seq(4))
+    val sStat = c.columnStats.find(_.column == "s").get
+    assert(sStat.matchCnt == 1 && sStat.unequalCnt == 1)
+    val vStat = c.columnStats.find(_.column == "v").get
+    assert(vStat.matchCnt == 2 && vStat.allMatch)
+    assert(!c.matches())
+    assert(!c.allRowsOverlap)
+    assert(c.countMatchingRows == 1)
+    assert(!c.intersectRowsMatch)
+  }
+
+  test("identical frames match") {
+    val a = Seq((1, "x"), (2, "y")).toDF("id", "s")
+    val c = cmp(a, a, Seq("id"))
+    assert(c.matches())
+    assert(c.subset)
+    assert(c.intersectRowsMatch)
+    assert(c.columnStats.forall(_.allMatch))
+  }
+
+  test("empty intersection: intersect_rows_match is false (not vacuous true)") {
+    val a = Seq((1, "x")).toDF("id", "s")
+    val b = Seq((2, "y")).toDF("id", "s")
+    val c = cmp(a, b, Seq("id"))
+    assert(!c.intersectRowsMatch)
+    assert(!c.matches())
+  }
+
+  test("null join keys pair null-safely") {
+    val a = Seq[(Option[Int], String)]((Some(1), "a"), (None, "n")).toDF("id", "s")
+    val b = Seq[(Option[Int], String)]((Some(1), "a"), (None, "n")).toDF("id", "s")
+    val c = cmp(a, b, Seq("id"))
+    assert(c.intersectCount == 2)
+    assert(c.matches())
+  }
+
+  test("duplicate keys pair k-th with k-th via rank") {
+    // single partition ⇒ deterministic physical order, like reference tests
+    val a = Seq((1, "x1"), (1, "x2"), (2, "y")).toDF("id", "s").coalesce(1)
+    val b = Seq((1, "x1"), (1, "x2"), (2, "y")).toDF("id", "s").coalesce(1)
+    val c = cmp(a, b, Seq("id"))
+    assert(c.anyDupes)
+    assert(c.intersectCount == 3)
+    assert(c.matches())
+    // unbalanced dupes: 2 vs 1 ⇒ one left_only
+    val b2 = Seq((1, "x1"), (2, "y")).toDF("id", "s").coalesce(1)
+    val c2 = cmp(a, b2, Seq("id"))
+    assert(c2.intersectCount == 2 && c2.df1UnqCount == 1 && c2.df2UnqCount == 0)
+  }
+
+  test("column name lowercasing and extra columns") {
+    val a = Seq((1, "x", 5)).toDF("ID", "Name", "only1")
+    val b = Seq((1, "x", 6)).toDF("id", "name", "only2")
+    val c = cmp(a, b, Seq("id"))
+    assert(c.df1UnqColumns == Seq("only1"))
+    assert(c.df2UnqColumns == Seq("only2"))
+    assert(c.intersectColumns == Seq("id", "name"))
+    assert(!c.matches())
+    assert(c.matches(ignoreExtraColumns = true))
+  }
+
+  test("per-column tolerance dict with default key") {
+    val a = Seq((1, 10.0, 100.0)).toDF("id", "x", "y")
+    val b = Seq((1, 10.004, 100.4)).toDF("id", "x", "y")
+    val cfg = CompareConfig(joinColumns = Seq("id"),
+      absTol = ToleranceSpec(0.01, Map("y" -> 0.5)))
+    val c = new SparkCompare(spark, a, b, cfg)
+    assert(c.columnStats.find(_.column == "x").get.matchCnt == 1)
+    assert(c.columnStats.find(_.column == "y").get.matchCnt == 1)
+    val cfg2 = CompareConfig(joinColumns = Seq("id"), absTol = ToleranceSpec(0.01))
+    val c2 = new SparkCompare(spark, a, b, cfg2)
+    assert(c2.columnStats.find(_.column == "y").get.matchCnt == 0)
+  }
+
+  test("ignore_spaces trims string join keys") {
+    val a = Seq((" k1 ", 1.0)).toDF("id", "v")
+    val b = Seq(("k1", 1.0)).toDF("id", "v")
+    val c = new SparkCompare(spark, a, b,
+      CompareConfig(joinColumns = Seq("id"), ignoreSpaces = true))
+    assert(c.intersectCount == 1 && c.matches())
+  }
+
+  test("max_diff and null_diff") {
+    val a = Seq[(Int, Option[Double])]((1, Some(1.0)), (2, Some(5.0)), (3, None))
+      .toDF("id", "v")
+    val b = Seq[(Int, Option[Double])]((1, Some(2.5)), (2, None), (3, None))
+      .toDF("id", "v")
+    val st = cmp(a, b, Seq("id")).columnStats.find(_.column == "v").get
+    assert(st.maxDiff == 1.5)
+    assert(st.nullDiff == 1)
+  }
+
+  test("sample_mismatch returns keys + both versions, capped") {
+    val a = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s")
+    val b = Seq((1, "X"), (2, "Y"), (3, "c")).toDF("id", "s")
+    val c = cmp(a, b, Seq("id"))
+    val sm = c.sampleMismatch("s", sampleCount = 10)
+    assert(sm.columns.toSeq == Seq("id", "s_df1", "s_df2"))
+    assert(sm.count() == 2)
+    val smd = c.sampleMismatch("s", sampleCount = 1, forDisplay = true)
+    assert(smd.columns.toSeq == Seq("id", "s (df1)", "s (df2)"))
+    assert(smd.count() == 1)
+  }
+
+  test("all_mismatch full and ignore_matching_cols") {
+    val a = Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("id", "s", "v")
+    val b = Seq((1, "X", 1.0), (2, "b", 2.0)).toDF("id", "s", "v")
+    val c = cmp(a, b, Seq("id"))
+    val all = c.allMismatch()
+    assert(all.columns.toSeq == Seq("id", "s_df1", "s_df2", "v_df1", "v_df2"))
+    assert(all.count() == 1)
+    val slim = c.allMismatch(ignoreMatchingCols = true)
+    assert(slim.columns.toSeq == Seq("id", "s_df1", "s_df2"))
+  }
+
+  test("only_join_columns path: mismatches come from unique rows") {
+    val a = Seq(Tuple1(1), Tuple1(2)).toDF("id")
+    val b = Seq(Tuple1(2), Tuple1(3)).toDF("id")
+    val c = cmp(a, b, Seq("id"))
+    assert(c.onlyJoinColumns)
+    assert(c.allMismatch().collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    assert(c.sampleMismatch("id", 10).count() == 2)
+  }
+
+  test("subset semantics") {
+    val a = Seq((1, "a", 9), (2, "b", 9)).toDF("id", "s", "extra")
+    val b = Seq((1, "a")).toDF("id", "s")
+    val c = cmp(a, b, Seq("id"))
+    assert(c.subset)
+    val c2 = cmp(b.toDF(), a, Seq("id"))
+    assert(!c2.subset)
+  }
+
+  test("duplicate column names after lowercasing are rejected") {
+    val a = Seq((1, 2, 3)).toDF("id", "X", "x")
+    val b = Seq((1, 2)).toDF("id", "x")
+    assertThrows[IllegalArgumentException] { cmp(a, b, Seq("id")) }
+  }
+
+  test("missing join column is rejected") {
+    val a = Seq(Tuple1(1)).toDF("id")
+    val b = Seq(Tuple1(1)).toDF("other")
+    assertThrows[IllegalArgumentException] { cmp(a, b, Seq("id")) }
+  }
+
+  test("cache opt-out still computes correctly") {
+    val a = Seq((1, "a")).toDF("id", "s")
+    val b = Seq((1, "a")).toDF("id", "s")
+    val c = new SparkCompare(spark, a, b,
+      CompareConfig(joinColumns = Seq("id"), cacheIntermediates = false))
+    assert(c.matches())
+  }
+}
