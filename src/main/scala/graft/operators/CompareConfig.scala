@@ -12,6 +12,13 @@ final case class ToleranceSpec(default: Double, perColumn: Map[String, Double] =
   }
   def forColumn(column: String): Double =
     perColumn.getOrElse(column.toLowerCase, default)
+
+  /** Display form for reports: bare default, or Python-dict-like with
+    * overrides (mirrors how the reference echoes its constructor arg). */
+  def display: String =
+    if (perColumn.isEmpty) default.toString
+    else (perColumn.toSeq.sortBy(_._1).map { case (k, v) => s"'$k': $v" } :+
+      s"'default': $default").mkString("{", ", ", "}")
 }
 
 object ToleranceSpec {

@@ -333,6 +333,72 @@ class SparkCompare(
         kept.flatMap(c => Seq(col(s"${c}_$n1"), col(s"${c}_$n2")))).toIndexedSeq: _*)
   }
 
+  // ---- reporting (reference: base.py:259-443) ----
+
+  /** Assemble the immutable report data. All counts come from memoized
+    * state — building the report triggers no recounting jobs (the reference
+    * re-counts via a per-call cache, base.py:291-293). */
+  def buildReportData(sampleCount: Int = 10, columnCount: Int = 10): graft.report.ReportData = {
+    import graft.report._
+    val columnSummary = ColumnSummary(
+      commonColumns = intersectColumns.length,
+      df1Unique = df1UnqColumns.length, df1UniqueColumns = df1UnqColumns,
+      df2Unique = df2UnqColumns.length, df2UniqueColumns = df2UnqColumns,
+      df1Name = n1, df2Name = n2)
+    val matching = countMatchingRows
+    val rowSummary = RowSummary(
+      matchColumns = joinColumns,
+      hasDuplicates = anyDupes,
+      absTol = config.absTol.display, relTol = config.relTol.display,
+      commonRows = intersectCount,
+      df1Unique = df1UnqCount, df2Unique = df2UnqCount,
+      unequalRows = intersectCount - matching, equalRows = matching,
+      df1Name = n1, df2Name = n2)
+    val columnComparison = ColumnComparison(
+      unequalColumns = columnStats.count(_.unequalCnt > 0),
+      equalColumns = columnStats.count(_.unequalCnt == 0),
+      unequalValues = columnStats.map(_.unequalCnt).sum)
+    val statList = columnStats.filterNot(_.allMatch).map(s =>
+      MismatchStat(s.column, s.dtype1, s.dtype2, s.unequalCnt, s.maxDiff,
+        s.nullDiff, s.relTol, s.absTol))
+    val sampleList = columnStats
+      .filter(s => !s.allMatch && s.unequalCnt > 0)
+      .map(s => TextTable.dfToStr(sampleMismatch(s.column, sampleCount, forDisplay = true)))
+    val mismatchStats =
+      if (statList.nonEmpty)
+        MismatchStats(hasMismatches = true,
+          hasSamples = sampleList.nonEmpty && sampleCount > 0,
+          stats = statList.sortBy(_.column), samples = sampleList,
+          df1Name = n1, df2Name = n2)
+      else MismatchStats(hasMismatches = false, hasSamples = false)
+    def uniqueRowsData(df: DataFrame, unqCount: Long): UniqueRowsData = {
+      val minSample = math.min(sampleCount.toLong, unqCount).toInt
+      val minCols = math.min(columnCount, df.columns.length)
+      if (minSample > 0)
+        UniqueRowsData(hasRows = true,
+          rows = TextTable.dfToStr(df.select(df.columns.take(minCols).map(col).toIndexedSeq: _*), minSample))
+      else UniqueRowsData(hasRows = false)
+    }
+    ReportData(
+      df1Name = n1, df2Name = n2,
+      df1Shape = (df1Count, df1.columns.length),
+      df2Shape = (df2Count, df2.columns.length),
+      columnCount = columnCount,
+      columnSummary = columnSummary, rowSummary = rowSummary,
+      columnComparison = columnComparison, mismatchStats = mismatchStats,
+      df1UniqueRows = uniqueRowsData(df1UnqRows, df1UnqCount),
+      df2UniqueRows = uniqueRowsData(df2UnqRows, df2UnqCount))
+  }
+
+  /** Render the text report; optionally save the HTML form
+    * (reference: base.py:405-443). */
+  def report(sampleCount: Int = 10, columnCount: Int = 10,
+      htmlFile: Option[String] = None): String = {
+    val data = buildReportData(sampleCount, columnCount)
+    htmlFile.foreach(data.save)
+    data.render
+  }
+
   /** Release the cached intersection. */
   def unpersist(): Unit = if (config.cacheIntermediates) intersectRows.unpersist()
 }

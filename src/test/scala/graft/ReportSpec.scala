@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators._
+import graft.report.TextTable
+
+/** Report rendering checks (reference: tests/test_report.py, test_base.py). */
+class ReportSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sampleCompare: SparkCompare = {
+    val a = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (5, "e", 50.0))
+      .toDF("id", "s", "v")
+    val b = Seq((1, "a", 10.0), (2, "B", 20.5), (4, "d", 40.0)).toDF("id", "s", "v")
+    new SparkCompare(spark, a, b, CompareConfig(joinColumns = Seq("id")))
+  }
+
+  test("fixed_width_table matches reference layout") {
+    val t = TextTable.fixedWidthTable(Seq("Name", "N"), Seq(Seq("ab", 1), Seq("cdefg", 22)), "lr")
+    assert(t ==
+      """Name    N
+        |-----  --
+        |ab      1
+        |cdefg  22""".stripMargin)
+  }
+
+  test("fixed_width_table rejects ragged rows") {
+    assertThrows[IllegalArgumentException] {
+      TextTable.fixedWidthTable(Seq("a", "b"), Seq(Seq(1)))
+    }
+  }
+
+  test("commas groups thousands like Python {:,}") {
+    assert(TextTable.commas(0) == "0")
+    assert(TextTable.commas(999) == "999")
+    assert(TextTable.commas(1234567) == "1,234,567")
+    assert(TextTable.commas(-1234) == "-1,234")
+  }
+
+  test("report text contains all template sections and counts") {
+    val r = sampleCompare.report()
+    assert(r.startsWith("DataComPy Comparison"))
+    for (sec <- Seq("DataFrame Summary", "Column Summary", "Row Summary",
+        "Column Comparison", "Columns with Unequal Values or Types",
+        "Sample Rows with Unequal Values", "Sample Rows Only in df1",
+        "Sample Rows Only in df2"))
+      assert(r.contains(sec), s"missing section: $sec")
+    assert(r.contains("Number of rows in common: 2"))
+    assert(r.contains("Number of rows in df1 but not in df2: 2"))
+    assert(r.contains("Number of rows in df2 but not in df1: 1"))
+    assert(r.contains("Number of rows with some compared columns unequal: 1"))
+    assert(r.contains("Number of rows with all compared columns equal: 1"))
+    assert(r.contains("Number of columns compared with some values unequal: 2"))
+    assert(r.contains("Matched on: id"))
+    assert(r.contains("Any duplicates on match values: No"))
+  }
+
+  test("matching frames produce a report without mismatch sections") {
+    val a = Seq((1, "x")).toDF("id", "s")
+    val c = new SparkCompare(spark, a, a, CompareConfig(joinColumns = Seq("id")))
+    val r = c.report()
+    assert(!r.contains("Columns with Unequal Values or Types"))
+    assert(!r.contains("Sample Rows Only in"))
+    assert(r.contains("Number of rows with all compared columns equal: 1"))
+  }
+
+  test("html report wraps text in pre") {
+    val h = sampleCompare.buildReportData().toHtml
+    assert(h.startsWith("<html>") && h.contains("<pre>DataComPy Comparison"))
+  }
+
+  test("json report is valid and carries the counts") {
+    val j = sampleCompare.buildReportData().toJson
+    assert(j.contains("\"common_rows\": 2"))
+    assert(j.contains("\"unequal_values\": 2"))
+    assert(j.contains("\"has_mismatches\": true"))
+    // quick structural sanity: balanced braces
+    assert(j.count(_ == '{') == j.count(_ == '}'))
+  }
+
+  test("max_diff appears with 4-decimal formatting") {
+    val r = sampleCompare.report()
+    assert(r.contains("0.5000")) // v: 20.0 vs 20.5
+  }
+}
