@@ -145,22 +145,62 @@ class SparkCompare(
     Merged(withMerge.drop(dropOrd: _*), tempJoin)
   }
 
+  // ---- sensitive-column masking (reference: spark.py:224-271) ----
+  // The reference destructively overwrites the derived frames and must re-run
+  // the whole comparison on reveal; here the mask is an overlay projection on
+  // the accessors, so reveal is free and statistics stay computed on real
+  // values either way.
+  private var maskedColumns: Set[String] = Set.empty
+
+  def sensitiveColumns: Seq[String] = maskedColumns.toSeq.sorted
+
+  def hideSensitiveColumns(columns: Seq[String]): Unit = {
+    if (maskedColumns.nonEmpty)
+      throw new IllegalStateException(
+        "sensitive columns are already hidden, call revealSensitiveColumns() first")
+    val normalized =
+      if (config.castColumnNamesLower) columns.map(_.toLowerCase) else columns
+    val dups = normalized.groupBy(identity).collect { case (c, a) if a.length > 1 => c }
+    require(dups.isEmpty, s"duplicate columns: ${dups.mkString(", ")}")
+    maskedColumns = normalized.toSet
+  }
+
+  def revealSensitiveColumns(): Unit = maskedColumns = Set.empty
+
+  private val MaskValue = "*******"
+
+  /** Overlay projection replacing masked columns with the mask literal while
+    * preserving column order; identity when nothing is masked. */
+  private def applyMask(df: DataFrame, maskNames: Set[String]): DataFrame =
+    if (maskedColumns.isEmpty || !df.columns.exists(maskNames)) df
+    else df.select(df.columns.map { c =>
+      if (maskNames(c)) lit(MaskValue).as(c) else col(c)
+    }.toIndexedSeq: _*)
+
+  private def suffixedMaskNames: Set[String] =
+    maskedColumns | maskedColumns.map(c => s"${c}_$n1") | maskedColumns.map(c => s"${c}_$n2")
+
   /** Rows only in df1, with df1's original columns and names (spark.py:510-516). */
-  lazy val df1UnqRows: DataFrame =
+  def df1UnqRows: DataFrame = applyMask(df1UnqRowsBase, maskedColumns)
+  private lazy val df1UnqRowsBase: DataFrame =
     merged.outerJoin
       .filter(col("_merge") === "left_only")
       .select(df1.columns.map(c => col(s"${c}_$n1").as(c)).toIndexedSeq: _*)
 
   /** Rows only in df2 (spark.py:518-524). */
-  lazy val df2UnqRows: DataFrame =
+  def df2UnqRows: DataFrame = applyMask(df2UnqRowsBase, maskedColumns)
+  private lazy val df2UnqRowsBase: DataFrame =
     merged.outerJoin
       .filter(col("_merge") === "right_only")
       .select(df2.columns.map(c => col(s"${c}_$n2").as(c)).toIndexedSeq: _*)
 
+  /** Intersection with match columns, mask-aware (suffixed names). */
+  def intersectRows: DataFrame = applyMask(intersectRowsBase, suffixedMaskNames)
+
   /** Intersection with one boolean `{col}_match` per compared column,
     * appended in a single projection (spark.py:528-570). Cached because ~all
     * downstream work reads it (spark.py:532-535). */
-  lazy val intersectRows: DataFrame = {
+  private lazy val intersectRowsBase: DataFrame = {
     val base = merged.outerJoin.filter(col("_merge") === "both")
     val matchCols = compareColumns.map { c =>
       val opts = CompareOpts(
@@ -224,7 +264,7 @@ class SparkCompare(
     val exprs = Seq(
       count(lit(1)).as("__graft_cnt"),
       sum(when(allMatchCond, 1L).otherwise(0L)).as("__graft_all_match")) ++ perCol
-    intersectRows.agg(exprs.head, exprs.tail: _*).first()
+    intersectRowsBase.agg(exprs.head, exprs.tail: _*).first()
   }
 
   private def statLong(name: String): Long = {
@@ -400,7 +440,7 @@ class SparkCompare(
   }
 
   /** Release the cached intersection. */
-  def unpersist(): Unit = if (config.cacheIntermediates) intersectRows.unpersist()
+  def unpersist(): Unit = if (config.cacheIntermediates) intersectRowsBase.unpersist()
 }
 
 object Utils {

@@ -168,6 +168,24 @@ class SparkCompareSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException] { cmp(a, b, Seq("id")) }
   }
 
+  test("sensitive columns mask samples but not statistics") {
+    val a = Seq((1, "secret1", 10.0), (2, "secret2", 20.0)).toDF("id", "ssn", "v")
+    val b = Seq((1, "secret1", 10.0), (2, "other", 20.5)).toDF("id", "ssn", "v")
+    val c = cmp(a, b, Seq("id"))
+    c.hideSensitiveColumns(Seq("SSN"))
+    assert(c.sensitiveColumns == Seq("ssn"))
+    // samples masked
+    val sample = c.sampleMismatch("ssn").collect()
+    assert(sample.forall(r => r.getString(1) == "*******" && r.getString(2) == "*******"))
+    // stats computed on real values
+    assert(c.columnStats.find(_.column == "ssn").get.unequalCnt == 1)
+    assert(c.columnStats.find(_.column == "v").get.maxDiff == 0.5)
+    // double-hide rejected; reveal restores
+    assertThrows[IllegalStateException] { c.hideSensitiveColumns(Seq("v")) }
+    c.revealSensitiveColumns()
+    assert(c.sampleMismatch("ssn").collect().exists(_.getString(1) == "secret2"))
+  }
+
   test("cache opt-out still computes correctly") {
     val a = Seq((1, "a")).toDF("id", "s")
     val b = Seq((1, "a")).toDF("id", "s")
