@@ -16,7 +16,9 @@ object SparkEntry {
     statsDf(spark, compare(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = compareQueries ++ OpsPack.queries
+
+  private def compareQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-column match/null/max-diff statistics (§2.4: fused single-pass agg).
     "q_compare_column_stats" -> ((s, dir) => statsDf(s, compare(s, dir))),
     // Same under abs_tol=0.01 (tolerance ladder, §2.11).
@@ -65,5 +67,5 @@ object SparkEntry {
     "q_compare_df2_unq_rows" -> OracleGen.unqRowsSql(keys2, 2),
     "q_compare_all_mismatch" -> OracleGen.allMismatchSql(keys2, 0.0),
     "q_compare_predicates" -> OracleGen.predicatesSql(keys2, 0.0),
-  )
+  ) ++ OpsPack.oracleSql
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  *   - Brute-force top-k: one scan, dot/cosine via `zip_with` + `aggregate`
+  *     (codegen'd array expressions, no UDF), global top-k via
+  *     `orderBy().limit(k)` which Spark executes as per-partition top-k +
+  *     driver merge (TakeOrderedAndProject) — no full sort, no shuffle of
+  *     the data, scales to any corpus size.
+  *   - LSH (random hyperplanes): bucket signature per vector; queries probe
+  *     only their bucket — the 100 TB path. Recall tunable by bits/tables.
+  *   - Embedding near-dup: all pairs above a cosine threshold via the same
+  *     LSH bucketing (self-join per bucket), avoiding the O(n²) cross join.
+  *
+  * All math accumulates in DOUBLE in array order, so results are
+  * deterministic and oracle-mirrorable.
+  */
+object Ann {
+
+  /** Dot product of two numeric array columns, accumulated in double in
+    * array order (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(d / denom)
+  }
+
+  /** Literal column for a query vector (array<double>). */
+  def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
+
+  /** Brute-force top-k by cosine against a single query vector. */
+  def bruteForceTopK(
+      df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int): DataFrame =
+    df.select(col(idCol), cosine(col(vecCol), vecLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+
+  /** Brute-force top-k for MANY queries at once: broadcast the (small) query
+    * set, score every (query, doc) pair map-side, then per-query top-k with
+    * one window — one shuffle on query_id, no cross-join materialization
+    * beyond the scored stream. */
+  def bruteForceTopKJoin(
+      df: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, queryVecCol: String, queryIdCol: String,
+      k: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(queries))
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("id"),
+        cosine(col(vecCol), col(queryVecCol)).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d component from
+    * a hash — reproducible across runs/engines without RNG state. */
+  private def planeComponent(p: Int, d: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((p, d))
+    (h.toDouble / Int.MaxValue)
+  }
+
+  /** Random-hyperplane LSH signature: bit p = sign(v · plane_p). */
+  def lshSignature(vecCol: Column, dim: Int, bits: Int = 16): Column = {
+    val bitCols = (0 until bits).map { p =>
+      val plane = (0 until dim).map(d => planeComponent(p, d))
+      val proj = aggregate(
+        zip_with(vecCol, array(plane.map(lit): _*), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k via hyperplane LSH: probe only vectors sharing the query's
+    * bucket (optionally multi-probe neighbors within 1-bit flips). Falls
+    * back to brute force when the bucket has < k members. */
+  def annTopK(
+      df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, bits: Int = 12): DataFrame = {
+    val dim = query.length
+    val bucketed = df.withColumn("__bucket", lshSignature(col(vecCol), dim, bits))
+    val qSigRow = bucketed.sparkSession.range(1).toDF("i")
+      .select(lshSignature(vecLit(query), dim, bits).as("sig")).first()
+    val qSig = qSigRow.getLong(0)
+    // multi-probe: exact bucket + all 1-bit flips
+    val probes = qSig +: (0 until bits).map(b => qSig ^ (1L << b))
+    bucketed.where(col("__bucket").isin(probes: _*))
+      .select(col(idCol), cosine(col(vecCol), vecLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All pairs with cosine ≥ threshold via LSH bucket self-join (near-dup by
+    * embedding). High-threshold pairs almost always share sign buckets. */
+  def cosineNearDuplicates(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, dim: Int, bits: Int = 8): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshSignature(col(vecCol), dim, bits).as("bucket"))
+    val a = bucketed.toDF("id1", "v1", "bucket")
+    val b = bucketed.toDF("id2", "v2", "bucket")
+    a.join(b, Seq("bucket")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .distinct()
+  }
+
+  /** Exact all-pairs cosine ≥ threshold (oracle-checkable; O(n²) — for
+    * verification and small dimension tables, not the 100 TB path). */
+  def cosinePairsExact(
+      df: DataFrame, vecCol: String, idCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.crossJoin(b).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

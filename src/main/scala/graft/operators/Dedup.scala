@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the distributed plan it produces at 100 TB:
+  *
+  *   - exact: hash-groupBy — one shuffle on the content hash.
+  *   - n-gram Jaccard: inverted-index join (explode distinct shingles →
+  *     self-join on shingle → pair-count agg) — exact pairwise similarity
+  *     without an O(n²) cross join; shuffles are bounded by posting-list
+  *     sizes, and hot shingles can be capped via `maxDocFrequency`.
+  *   - MinHash + LSH: signature per doc (no explode — array expressions),
+  *     banding, bucket self-join on (band, slice-hash) — approximate with
+  *     tunable recall; candidate verification with exact Jaccard.
+  *   - SimHash: 64-bit near-dup fingerprint via per-bit majority of token
+  *     hashes; hamming-close pairs via multi-block indexing.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash of `textCol` (normalized md5).
+    * Returns one row per group: (fingerprint, keep_id, n_dupes). */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Exact dedup: keep the minimum-id row per content hash. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val groups = exactGroups(df, textCol, idCol).select(col("keep_id"))
+    df.join(groups, df(idCol) === groups("keep_id"), "left_semi")
+  }
+
+  /** Exact pairwise Jaccard over distinct word n-grams via inverted index.
+    *
+    * Plan: docs → (id, shingle) postings (distinct) → self-join postings on
+    * shingle with id1 < id2 → count co-occurrences → jaccard from
+    * |A∩B| / (|A|+|B|-|A∩B|). Only pairs sharing ≥1 shingle are ever
+    * materialized. `maxDocFrequency` drops ubiquitous shingles (stopword
+    * shingles produce quadratic postings at scale). */
+  def jaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxDocFrequency: Long = Long.MaxValue): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("id"), TextOps.wordShingles(col(textCol), n).as("g"))
+      .select(col("id"), explode(col("g")).as("g"))
+    val filtered =
+      if (maxDocFrequency == Long.MaxValue) grams
+      else {
+        val hot = grams.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFrequency).select("g")
+        grams.join(hot, Seq("g"), "left_anti")
+      }
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = filtered.toDF("id1", "g")
+    val b = filtered.toDF("id2", "g")
+    val inter = a.join(b, Seq("g")).where(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    val s1 = sizes.toDF("id1", "sz1")
+    val s2 = sizes.toDF("id2", "sz2")
+    inter.join(s1, "id1").join(s2, "id2")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** MinHash signature: `numHashes` min-hashes over word shingles, computed
+    * as array expressions (single projection, zero shuffle). Hash family:
+    * xxhash64(shingle, seed=i). */
+  def withMinhashSignature(
+      df: DataFrame,
+      textCol: String,
+      numHashes: Int = 64,
+      shingleSize: Int = 3,
+      sigCol: String = "minhash"): DataFrame = {
+    val shingles = TextOps.wordShingles(col(textCol), shingleSize)
+    val sig = array((0 until numHashes).map { i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+    }: _*)
+    df.withColumn(sigCol, sig)
+  }
+
+  /** LSH banding: `bands` buckets per doc keyed by a hash of each signature
+    * slice; docs sharing any (band, slice-hash) become candidates.
+    * r = numHashes / bands rows per band: P(candidate) = 1-(1-j^r)^b. */
+  def lshCandidatePairs(
+      withSig: DataFrame,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      sigCol: String = "minhash"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val r = numHashes / bands
+    val banded = withSig.select(
+      col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("band"), b, slice(col(sigCol), b * r + lit(1), lit(r)))))
+        .as(Seq("band", "bucket")))
+    val a = banded.toDF("id1", "band", "bucket")
+    val b = banded.toDF("id2", "band", "bucket")
+    a.join(b, Seq("band", "bucket")).where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** End-to-end MinHash-LSH near-duplicate detection: signature → banding →
+    * candidates → verify with exact Jaccard on distinct shingles. */
+  def minhashNearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val withSig = withMinhashSignature(df, textCol, numHashes, shingleSize)
+    val candidates = lshCandidatePairs(withSig, idCol, numHashes, bands)
+    val shingled = df.select(col(idCol).as("id"),
+      TextOps.wordShingles(col(textCol), shingleSize).as("g"))
+    val g1 = shingled.toDF("id1", "g1")
+    val g2 = shingled.toDF("id2", "g2")
+    candidates.join(g1, "id1").join(g2, "id2")
+      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("g1")) + size(col("g2")) - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** 64-bit SimHash from token xxhash64 values: bit j of the result is the
+    * majority vote of bit j across token hashes. Pure array expressions —
+    * one pass over 64 bit positions via transform + filter sizes. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t))
+    val n = size(hashes)
+    // bit j set ⇔ count of set bits at j > n/2
+    val bits = transform(sequence(lit(0), lit(63)), j =>
+      when(size(filter(hashes, h => h.bitwiseAND(call_function("shiftleft", lit(1L), j)) =!= 0)) * 2 > n,
+        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within `maxHamming` bits, using the block
+    * technique: split the 64-bit hash into `maxHamming+1` blocks — any pair
+    * within the distance shares at least one exact block (pigeonhole), so
+    * candidates come from an equi-join on (block-index, block-value), never
+    * a cross join. */
+  def simhashNearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val banded = withSim.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(blocks - 1)), b =>
+        call_function("shiftright", col("sh"), b * lit(width))
+          .bitwiseAND(lit((1L << width) - 1)))).as(Seq("block", "value")))
+    val a = banded.toDF("id1", "sh1", "block", "value")
+    val b = banded.toDF("id2", "sh2", "block", "value")
+    a.join(b, Seq("block", "value")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        hammingDistance(col("sh1"), col("sh2")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

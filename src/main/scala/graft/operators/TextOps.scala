@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All pure
+  * `org.apache.spark.sql.functions` column expressions — codegen'd, no UDFs,
+  * embarrassingly parallel (no shuffle), so they scale linearly with input
+  * splits at 100 TB. */
+object TextOps {
+
+  /** Whitespace-delimited token count (regex `\S+`). */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Ratio helpers: occurrences of a character-class regex over length.
+    * NULL-safe: empty/NULL text → 0.0. */
+  private def classRatio(text: Column, clazz: String): Column =
+    when(length(text).isNull || length(text) === 0, lit(0.0))
+      .otherwise(regexp_count(text, lit(clazz)).cast("double") / length(text).cast("double"))
+
+  def alphaRatio(text: Column): Column = classRatio(text, "[a-zA-Z]")
+  def digitRatio(text: Column): Column = classRatio(text, "[0-9]")
+  def spaceRatio(text: Column): Column = classRatio(text, "[ ]")
+  def punctRatio(text: Column): Column = classRatio(text, "[.,;:!?'\"()\\[\\]{}-]")
+  def upperRatio(text: Column): Column = classRatio(text, "[A-Z]")
+
+  /** English-ish stopword hits (word-boundary regex). */
+  val StopwordPattern = "\\b(the|a|an|and|of|to|in|is|it|for)\\b"
+  def stopwordCount(text: Column): Column =
+    regexp_count(lower(text), lit(StopwordPattern))
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokenCount(text)
+    when(toks === 0, lit(0.0)).otherwise(stopwordCount(text).cast("double") / toks.cast("double"))
+  }
+
+  /** Mean token length (non-space chars / tokens). */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokenCount(text)
+    when(toks === 0, lit(0.0))
+      .otherwise(regexp_count(text, lit("\\S")).cast("double") / toks.cast("double"))
+  }
+
+  /** Heuristic quality score in [0,1]: length signal + stopword signal +
+    * alphabetic signal. Deterministic arithmetic (mirrorable in SQL). */
+  def qualityScore(text: Column): Column = {
+    val lengthSignal = least(tokenCount(text).cast("double"), lit(100.0)) / lit(100.0)
+    lit(0.5) * lengthSignal + lit(0.3) * stopwordRatio(text) + lit(0.2) * alphaRatio(text)
+  }
+
+  /** Low-quality flag: too short, too little alpha, or degenerate tokens. */
+  def lowQualityFlag(text: Column): Column =
+    tokenCount(text) < 5 || alphaRatio(text) < 0.5 || meanTokenLength(text) > 20.0
+
+  /** Marker-word sets for the n-gram language-ID heuristic. One regex count
+    * per language; winner = highest score, ties broken by language order. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|for|with|as)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une|des|dans|pour|que)\\b",
+    "es" -> "\\b(el|los|las|es|una|para|con|por|como|del)\\b")
+
+  def langScore(text: Column, pattern: String): Column =
+    regexp_count(lower(text), lit(pattern))
+
+  /** Language ID: argmax of marker scores; "und" (undetermined) when all
+    * scores are zero. */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, pat) => (lang, langScore(text, pat)) }
+    val best = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (greatest(bestScore, score),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }
+    when(best._1 === 0, lit("und")).otherwise(best._2)
+  }
+
+  /** Stable document fingerprint of normalized text (md5 hex). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** 64-bit content hash (xxhash64 — fast path for joins/dedup keys). */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word n-gram (shingle) array, distinct. Built from a single split +
+    * sequence/transform — no explode, no shuffle. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val numGrams = size(toks) - (n - 1)
+    when(numGrams <= 0, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), numGrams - 1),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+  }
+
+  /** Full per-document stats projection used by pipelines and the driver
+    * queries. */
+  def statsColumns(text: Column): Seq[(String, Column)] = Seq(
+    "n_chars" -> charCount(text).cast("long"),
+    "n_tokens" -> tokenCount(text).cast("long"),
+    "n_stopwords" -> stopwordCount(text).cast("long"),
+    "alpha_ratio" -> alphaRatio(text),
+    "space_ratio" -> spaceRatio(text),
+    "stopword_ratio" -> stopwordRatio(text),
+    "mean_token_len" -> meanTokenLength(text),
+    "quality_score" -> qualityScore(text),
+    "low_quality" -> lowQualityFlag(text),
+    "lang_id" -> langId(text),
+    "fingerprint" -> fingerprint(text))
+
+  def withStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("*") +: statsColumns(col(textCol)).map { case (n, c) => c.as(n) }: _*)
+}

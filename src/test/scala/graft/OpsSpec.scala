@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup, TextOps}
+
+/** Training-data pipeline operators: dedup, similarity, text analysis. */
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark query engines and columnar formats"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id winner per content hash") {
+    val groups = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    assert(groups.length == 4)
+    val dupGroup = groups.find(_.getLong(2) == 2).get
+    assert(dupGroup.getLong(1) == 0L) // keep_id = min(0, 3)
+    val kept = Dedup.exactDedup(docs, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 4L))
+  }
+
+  test("word shingles are distinct n-grams; short text degrades to whole string") {
+    val g = docs.select(TextOps.wordShingles(col("text"), 3).as("g"))
+      .where(col("g").isNotNull).collect()
+    val first = g(0).getSeq[String](0)
+    assert(first.contains("the quick brown") && first.contains("quick brown fox"))
+    val short = docs.where(col("doc_id") === 4)
+      .select(TextOps.wordShingles(col("text"), 3)).first().getSeq[String](0)
+    assert(short == Seq("short text"))
+  }
+
+  test("jaccard inverted-index pairs find near and exact dups") {
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs.contains((0L, 3L))) // exact dup → jaccard 1.0
+    assert(pairs.contains((0L, 1L))) // near dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash LSH near-duplicates find the same dups") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+      threshold = 0.5, numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 1L)))
+    val exact = pairs.find(_ == (0L, 3L))
+    assert(exact.isDefined)
+  }
+
+  test("simhash: identical text → distance 0, near text → small, different → large") {
+    val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(0L) == sims(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(0L), sims(1L)) < ham(sims(0L), sims(2L)))
+    val nd = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 3L)))
+  }
+
+  test("text stats: token counts, ratios, quality, langid") {
+    val row = Seq((1L, "The quick brown fox and the lazy dog in a field"))
+      .toDF("id", "text")
+      .select(TextOps.statsColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .first()
+    assert(row.getAs[Long]("n_tokens") == 11)
+    assert(row.getAs[Long]("n_chars") == 47)
+    assert(row.getAs[Long]("n_stopwords") == 5) // the, and, the, in, a
+    assert(row.getAs[String]("lang_id") == "en")
+    assert(!row.getAs[Boolean]("low_quality"))
+    val empty = Seq((1L, "x y")).toDF("id", "text")
+      .select(TextOps.statsColumns(col("text")).map { case (n, c) => c.as(n) }: _*).first()
+    assert(empty.getAs[Boolean]("low_quality")) // < 5 tokens
+  }
+
+  test("langid picks marker-heavy language deterministically") {
+    val df = Seq(
+      ("der hund und die katze ist nicht ein freund", "de"),
+      ("le chat et la maison est dans les rues", "fr"),
+      ("el perro es una casa para los gatos", "es"),
+      ("xyzzy qwerty plugh", "und")
+    ).toDF("text", "expected")
+    val got = df.select(TextOps.langId(col("text")).as("got"), col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("cosine and brute-force top-k") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(vecs, "embedding", "vec_id", Seq(1.0, 0.0, 0.0), 2)
+      .collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(top(0).getDouble(1) == 1.0)
+  }
+
+  test("LSH ANN finds the true nearest neighbour") {
+    val vecs = (0 until 50).map { i =>
+      val angle = i * 2 * math.Pi / 50
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val brute = Ann.bruteForceTopK(vecs, "embedding", "vec_id", Seq(1.0, 0.05), 3)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Ann.annTopK(vecs, "embedding", "vec_id", Seq(1.0, 0.05), 3, bits = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert((brute & ann).nonEmpty) // multi-probe should capture the head
+  }
+
+  test("cosine near-dup pairs: exact vs LSH agree on high threshold") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.04f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.02f, 0.999f))
+    ).toDF("vec_id", "embedding")
+    val exact = Ann.cosinePairsExact(vecs, "embedding", "vec_id", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((0L, 1L), (2L, 3L)))
+    val lsh = Ann.cosineNearDuplicates(vecs, "embedding", "vec_id", 0.99, dim = 2, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+}
