@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over event streams (net-new scope beyond
+  * the reference, which has no streaming story — SURVEY §2.9).
+  *
+  * Each transform takes a streaming-or-batch DataFrame and returns a lazy
+  * plan: the same code path runs in both modes, which is how the batch
+  * tests pin the streaming semantics. Designed for scale: watermarks bound
+  * state, aggregations are keyed (partitioned) by (window, type) or user.
+  */
+object EventStreams {
+
+  /** Normalize an event frame whose `ts` arrived as nanosecond longs (the
+    * testdata's parquet TIMESTAMP(NANOS) reads as long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) into a real timestamp. */
+  def normalizeEventTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(tsCol, timestamp_micros((col(tsCol) / 1000).cast("long")))
+      case _ => df
+    }
+
+  /** Tumbling/sliding window counts + value sums per event type, bounded by
+    * a watermark for late data. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      windowLength: String = "5 minutes",
+      slide: Option[String] = None,
+      watermark: String = "10 minutes"): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col(tsCol), windowLength, s)
+      case None => window(col(tsCol), windowLength)
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(w.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * Spark keeps one state entry per id and drops it once the watermark
+    * passes, so state is bounded. */
+  def dedupedEvents(
+      events: DataFrame,
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates("event_id", tsCol)
+
+  /** Per-user session state for flatMapGroupsWithState. */
+  final case class SessionState(count: Long, totalValue: Double, lastTs: Long)
+  final case class SessionUpdate(userId: Long, events: Long, totalValue: Double)
+
+  /** Custom stateful aggregation: running per-user totals emitted on every
+    * update (KeyValueGroupedDataset.flatMapGroupsWithState). */
+  def userSessions(events: DataFrame)(implicit spark: SparkSession): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val typed = events.select(
+      col("user_id").cast("long").as("_1"),
+      col("value").cast("double").as("_2"),
+      col("ts").cast("timestamp").cast("long").as("_3")).as[(Long, Double, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Double, Long)], state: GroupState[SessionState]) => {
+          var s = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+          rows.foreach { case (_, v, ts) =>
+            s = SessionState(s.count + 1, s.totalValue + v, math.max(s.lastTs, ts))
+          }
+          state.update(s)
+          Iterator(SessionUpdate(userId, s.count, s.totalValue))
+        })
+  }
+
+  /** Launch a file-source stream over a parquet directory mirroring a batch
+    * frame's schema, apply `transform`, collect into a named memory sink.
+    * Returns the query; callers `processAllAvailable()` then read
+    * `spark.table(sinkName)`. */
+  def runToMemory(
+      spark: SparkSession,
+      sourceDir: String,
+      schemaOf: DataFrame,
+      sinkName: String,
+      outputMode: String = "append")(
+      transform: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream.schema(schemaOf.schema).parquet(sourceDir)
+    transform(stream).writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(outputMode)
+      .start()
+  }
+}
