@@ -109,6 +109,19 @@ class ComparatorSpec extends SparkTestBase {
     assert(evalMatch(df, "a", "b") == Seq(false))
   }
 
+  test("free functions: columnsEqual, calculateMaxDiff, calculateNullDiff") {
+    import graft.functions.CompareFunctions._
+    val df = Seq[(Option[Double], Option[Double])](
+      (Some(1.0), Some(2.5)), (Some(5.0), None), (None, None)
+    ).toDF("a", "b")
+    assert(df.select(columnsEqual(df, "a", "b").as("m"))
+      .collect().map(_.getBoolean(0)).toSeq == Seq(false, false, true))
+    assert(calculateMaxDiff(df, "a", "b") == 1.5)
+    assert(calculateNullDiff(df, "a", "b") == 1)
+    val strs = Seq(("x", "y")).toDF("a", "b")
+    assert(calculateMaxDiff(strs, "a", "b") == 0.0)
+  }
+
   test("custom comparator is consulted first and may decline") {
     object LengthComparator extends Comparator {
       def compare(df: DataFrame, c1: String, c2: String, opts: CompareOpts): Option[Column] =
