@@ -91,8 +91,8 @@ object Main {
           a = a.copy(on = a.on ++ value("--on").split(",").map(_.trim).filter(_.nonEmpty))
         case "--input-format" =>
           val v = value("--input-format")
-          if (!Set("csv", "parquet", "json").contains(v))
-            throw new BadArgsException(s"--input-format must be csv|parquet|json, got $v")
+          if (!Set("csv", "parquet", "json", "table").contains(v))
+            throw new BadArgsException(s"--input-format must be csv|parquet|json|table, got $v")
           a = a.copy(inputFormat = Some(v))
         case "--csv-delimiter" =>
           val v = value("--csv-delimiter") match {

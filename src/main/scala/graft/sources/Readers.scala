@@ -44,9 +44,16 @@ object Readers {
     case "parquet" => spark.read.parquet(ref)
     case "json" =>
       spark.read.option("multiLine", (!isNdjson(ref)).toString).json(ref)
+    // catalog tables (reference's table source is Snowflake-only,
+    // snowflake.py:199-233; here any 1-3 part catalog identifier works)
+    case "table" =>
+      require(tableRef.matches(ref), s"not a valid table reference: $ref")
+      spark.table(ref)
     case other =>
       throw new IllegalArgumentException(s"unsupported input format: $other")
   }
+
+  private val tableRef = "^[A-Za-z_$][\\w$]*(\\.[A-Za-z_$][\\w$]*){0,2}$".r
 
   /** Report label from a path stem (reference: cli/parser.py:233-245). */
   def defaultDatasetName(ref: String): String = {
