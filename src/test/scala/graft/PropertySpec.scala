@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions._
+import graft.operators._
+
+/** Property-style coverage the reference lacks: the comparator pipeline is
+  * total — ANY dtype pair yields a usable boolean column (or the lit(false)
+  * fallthrough), never an analysis error; plus both ANSI modes. */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val mixed = {
+    val df = Seq((1L, 1.0, "x", true, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      .toDF("l", "d", "s", "b", "t")
+      .withColumn("arr", array(lit(1), lit(2)))
+      .withColumn("m", map(lit("k"), lit(1)))
+      .withColumn("dec", lit(BigDecimal("1.23")).cast("decimal(10,2)"))
+      .withColumn("dt", to_date(lit("2020-01-01")))
+    df.cache()
+  }
+
+  test("pipeline is total over every dtype pair (never throws, returns boolean)") {
+    val cols = mixed.columns.toSeq
+    for (c1 <- cols; c2 <- cols) {
+      val expr = ComparatorPipeline.columnsEqual(mixed, c1, c2, CompareOpts())
+      val out = mixed.select(expr.as("m"))
+      assert(out.schema.head.dataType == org.apache.spark.sql.types.BooleanType,
+        s"($c1, $c2) did not produce boolean")
+      val v = out.first()
+      assert(!v.isNullAt(0), s"($c1, $c2) produced NULL match value")
+    }
+  }
+
+  test("tolerance math is symmetric in sign and monotone in tolerance") {
+    val gen = for {
+      base <- Gen.chooseNum(-1e6, 1e6)
+      delta <- Gen.chooseNum(0.0, 10.0)
+    } yield (base, delta)
+    val cases = Gen.listOfN(15, gen).apply(Gen.Parameters.default, Seed(42L)).get
+    cases.foreach { case (base, delta) =>
+      val df = Seq((base, base + delta)).toDF("a", "b")
+      val smallTol = df.select(ComparatorPipeline.columnsEqual(df, "a", "b",
+        CompareOpts(absTol = delta / 2)).as("m")).first().getBoolean(0)
+      val bigTol = df.select(ComparatorPipeline.columnsEqual(df, "a", "b",
+        CompareOpts(absTol = delta * 2 + 1e-9)).as("m")).first().getBoolean(0)
+      // bigger tolerance can only turn false→true
+      assert(bigTol || !smallTol || delta == 0.0)
+      assert(bigTol)
+    }
+  }
+
+  test("compare is reflexive: any frame matches itself") {
+    val frames = Seq(
+      Seq((1L, "x", 1.5), (2L, "y", Double.NaN)).toDF("id", "s", "v"),
+      Seq((1L, "x", 1.5)).toDF("id", "s", "v"))
+    frames.foreach { f =>
+      val c = new SparkCompare(spark, f, f, CompareConfig(joinColumns = Seq("id")))
+      assert(c.matches(), "frame failed to match itself")
+    }
+  }
+
+  test("numeric semantics hold with ANSI mode disabled too") {
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val df = Seq((Long.MaxValue, 1.0), (1L, 1.0)).toDF("a", "b")
+      val got = df.select(ComparatorPipeline.columnsEqual(df, "a", "b",
+        CompareOpts(absTol = 0.5)).as("m")).collect().map(_.getBoolean(0)).toSeq
+      assert(got == Seq(false, true))
+      // string→date try_cast stays NULL-quiet in both modes
+      val sd = Seq(("garbage", "2020-01-01")).toDF("s", "d0")
+        .select(col("s"), col("d0").cast("date").as("d"))
+      assert(sd.select(ComparatorPipeline.columnsEqual(sd, "s", "d", CompareOpts()).as("m"))
+        .first().getBoolean(0) == false)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+}
