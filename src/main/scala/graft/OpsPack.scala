@@ -79,7 +79,20 @@ object OpsPack {
       .orderBy("media_id")
   }
 
+  /** Hourly event rollup: nanosecond timestamps bucketed with integral
+    * division (exact at any magnitude — doubles can't hold ns epochs), and
+    * value sums carried in decimal so the result is order-independent and
+    * engine-exact, then surfaced as double. */
+  def eventsWindowed(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .selectExpr("ts DIV 3600000000000 AS bucket", "event_type",
+        "CAST(value AS DECIMAL(18,6)) AS v")
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("total_value"))
+      .orderBy("bucket", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_windowed" -> (eventsWindowed _),
     "q_text_stats" -> (textStats _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard_pairs" -> (jaccardPairs _),
@@ -177,7 +190,14 @@ object OpsPack {
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
       |ORDER BY id1, id2""".stripMargin
 
+  private val eventsWindowedSql: String =
+    """SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,
+      | CAST(count(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_events_windowed" -> eventsWindowedSql,
     "q_text_stats" -> statsSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_jaccard_pairs" -> jaccardSql,

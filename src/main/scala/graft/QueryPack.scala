@@ -69,14 +69,22 @@ object ComparePack {
       .withColumn("l_shipdate",
         when(col("l_orderkey") % 17 === 0, col("l_shipdate") + expr("INTERVAL 1 DAY")).otherwise(col("l_shipdate")))
 
+  // One SparkCompare per distinct configuration per session: the driver
+  // queries share counts, the fused stats row, and the cached intersection
+  // instead of re-running the join per query.
+  private val compareCache =
+    scala.collection.concurrent.TrieMap[(Int, String, Double, Seq[String], Boolean), SparkCompare]()
+
   def compare(s: SparkSession, dir: String, absTol: Double = 0.0,
-      keys: Seq[String] = keys2, raw: Boolean = false): SparkCompare = {
-    val (a, b) =
-      if (raw) (frameARaw(s, dir), frameBRaw(s, dir))
-      else (frameA(s, dir), frameB(s, dir))
-    new SparkCompare(s, a, b,
-      CompareConfig(joinColumns = keys, absTol = ToleranceSpec.of(absTol)))
-  }
+      keys: Seq[String] = keys2, raw: Boolean = false): SparkCompare =
+    compareCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir, absTol, keys, raw), {
+        val (a, b) =
+          if (raw) (frameARaw(s, dir), frameBRaw(s, dir))
+          else (frameA(s, dir), frameB(s, dir))
+        new SparkCompare(s, a, b,
+          CompareConfig(joinColumns = keys, absTol = ToleranceSpec.of(absTol)))
+      })
 
   /** columnStats as a DataFrame (driver-side; stats already computed). */
   def statsDf(s: SparkSession, c: SparkCompare): DataFrame = {
