@@ -90,6 +90,37 @@ class ComparatorSpec extends SparkTestBase {
     assert(evalMatch(bn, "a", "b") == Seq(true, true, false, false, true, false))
   }
 
+  test("infinity compares match the reference's pinned Spark semantics") {
+    // Reference (tests/test_spark.py:611-632) expects Inf vs -Inf to MATCH:
+    // the tolerance branch computes rtol*|b| = 0*Inf = NaN, and Spark orders
+    // every value <= NaN, so the ladder answers true. Deliberate parity.
+    val df = Seq(
+      (Double.PositiveInfinity, Double.PositiveInfinity),
+      (Double.PositiveInfinity, Double.NegativeInfinity),
+      (Double.PositiveInfinity, 1.0),
+      (Double.NegativeInfinity, Double.NegativeInfinity)
+    ).toDF("a", "b")
+    assert(evalMatch(df, "a", "b") == Seq(true, true, false, true))
+  }
+
+  test("boolean vs high-precision decimal: 1.000000000000000001 is not True") {
+    val df = Seq(("1.000000000000000001", "1"))
+      .toDF("d0", "b0")
+      .select(col("d0").cast("decimal(38,18)").as("d"), col("b0").cast("boolean").as("b"))
+    assert(evalMatch(df, "b", "d") == Seq(false))
+    val exact = Seq(("1.000000000000000000", "1")).toDF("d0", "b0")
+      .select(col("d0").cast("decimal(38,18)").as("d"), col("b0").cast("boolean").as("b"))
+    assert(evalMatch(exact, "b", "d") == Seq(true))
+  }
+
+  test("arrays with NULL elements compare null-safely as whole values") {
+    val df = Seq(
+      (Seq[Integer](1, null, 3), Seq[Integer](1, null, 3)),
+      (Seq[Integer](1, null, 3), Seq[Integer](1, 2, 3))
+    ).toDF("a", "b")
+    assert(evalMatch(df, "a", "b") == Seq(true, false))
+  }
+
   test("boolean vs string declines to fallthrough false (no implicit cast)") {
     val df = Seq((true, "true")).toDF("a", "b")
     assert(evalMatch(df, "a", "b") == Seq(false))
