@@ -116,6 +116,21 @@ class OpsSpec extends SparkTestBase {
     assert((brute & ann).nonEmpty) // multi-probe should capture the head
   }
 
+  test("salted join and salted aggregate preserve plain-join semantics") {
+    import graft.operators.Skew
+    val left = (1 to 100).map(i => (if (i <= 90) 1L else i.toLong, i)).toDF("k", "v")
+    val right = Seq((1L, "hot"), (95L, "cold")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).agg(count(lit(1)), sum("v")).first()
+    val salted = Skew.saltedJoin(left, right, Seq("k"), factor = 4)
+      .agg(count(lit(1)), sum("v")).first()
+    assert(plain == salted)
+    val agg = Skew.saltedAggregate(left, Seq("k"), 4,
+      partialAggs = Seq((sum(col("v")), "s"), (count(lit(1)), "n")),
+      finalAggs = Seq(((n: String) => sum(col(n)), "s"), ((n: String) => sum(col(n)), "n")))
+    val plainAgg = left.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    assert(agg.orderBy("k").collect().toSeq == plainAgg.orderBy("k").collect().toSeq)
+  }
+
   test("cosine near-dup pairs: exact vs LSH agree on high threshold") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.04f)),
