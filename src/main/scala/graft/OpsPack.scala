@@ -91,8 +91,35 @@ object OpsPack {
       .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("total_value"))
       .orderBy("bucket", "event_type")
 
+  /** Per-language document rollup (exact counts, decimal-exact avg). */
+  def langRollup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_chars"))
+      .orderBy("lang")
+
+  /** The BASELINE workload: full compare + rendered report (text/html/json);
+    * emits size metrics so the bench measures the same thing the reference
+    * benchmarks (compare construction AND report rendering). */
+  def compareReport(s: SparkSession, dir: String): DataFrame = {
+    val c = ComparePack.compare(s, dir)
+    val data = c.buildReportData()
+    val text = data.render
+    import s.implicits._
+    Seq((text.length.toLong, data.toHtml.length.toLong, data.toJson.length.toLong,
+      text.linesIterator.size.toLong))
+      .toDF("report_chars", "html_chars", "json_chars", "report_lines")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_windowed" -> (eventsWindowed _),
+    "q_docs_lang_rollup" -> (langRollup _),
+    "q_compare_report" -> (compareReport _),
     "q_text_stats" -> (textStats _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard_pairs" -> (jaccardPairs _),
@@ -196,8 +223,16 @@ object OpsPack {
       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  private val langRollupSql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      | CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_events_windowed" -> eventsWindowedSql,
+    "q_docs_lang_rollup" -> langRollupSql,
     "q_text_stats" -> statsSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_jaccard_pairs" -> jaccardSql,
