@@ -93,6 +93,20 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Session-extension installer: `SparkSession.builder()
+  * .withExtensions(new GraftExtensions).getOrCreate()` (or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) makes
+  * `graft_dot_product` available to pure-SQL users cluster-wide. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(VectorFunctions.FunctionName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getCanonicalName, VectorFunctions.FunctionName),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.{functions => F, SparkSession}
 

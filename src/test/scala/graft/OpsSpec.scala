@@ -116,6 +116,17 @@ class OpsSpec extends SparkTestBase {
     assert((brute & ann).nonEmpty) // multi-probe should capture the head
   }
 
+  test("graft_dot_product is callable from SQL after registration") {
+    graft.functions.VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").first()
+    assert(r.getDouble(0) == 11.0)
+    // float arrays widen per-element like the HOF form
+    val f = spark.sql(
+      "SELECT graft_dot_product(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT)))").first()
+    assert(f.getDouble(0) == 3.0)
+  }
+
   test("salted join and salted aggregate preserve plain-join semantics") {
     import graft.operators.Skew
     val left = (1 to 100).map(i => (if (i <= 90) 1L else i.toLong, i)).toDF("k", "v")
