@@ -76,16 +76,21 @@ class SparkCompare(
     df1UnqColumns.isEmpty && df2UnqColumns.isEmpty && intersectColumns.toSet == joinSet
   private val compareColumns: Seq[String] = intersectColumns.filterNot(joinSet)
 
-  // ---- shape probe: row count + key-group count in one job per input ----
-  private case class Shape(rowCount: Long, keyGroups: Long) {
+  // ---- shape probe: row count, key-group count, and null-key presence in
+  // one job per input ----
+  private case class Shape(rowCount: Long, keyGroups: Long, nullKeyRows: Long) {
     def hasDupes: Boolean = rowCount > keyGroups
   }
   private def shape(df: DataFrame): Shape = {
+    val anyKeyNull = joinColumns.map(col(_).isNull).reduce(_ || _)
     val r = df
       .groupBy(joinColumns.map(col): _*).agg(count(lit(1)).as("__graft_n"))
-      .agg(count(lit(1)), coalesce(sum("__graft_n"), lit(0L)))
+      .agg(
+        count(lit(1)),
+        coalesce(sum("__graft_n"), lit(0L)),
+        coalesce(sum(when(anyKeyNull, col("__graft_n")).otherwise(0L)), lit(0L)))
       .first()
-    Shape(r.getLong(1), r.getLong(0))
+    Shape(r.getLong(1), r.getLong(0), r.getLong(2))
   }
   private lazy val df1Shape = shape(df1)
   private lazy val df2Shape = shape(df2)
@@ -132,14 +137,19 @@ class SparkCompare(
       lit(true).as(leftFlag): _*)
     val s2 = d2.select(d2.columns.map(c => col(c).as(s"${c}_$n2")).toIndexedSeq :+
       lit(true).as(rightFlag): _*)
-    // Null-safe equality on each key — but when a key is non-nullable on
-    // BOTH sides, plain `===` is semantically identical and plans better:
-    // `<=>` makes the join partition on (coalesce(k), isnull(k)) tuples,
-    // which defeats exchange reuse with the pairing-rank window (partitioned
-    // on the raw keys) and costs a second full shuffle of both inputs.
+    // Null-safe equality on each key — but when the key data contains no
+    // NULLs (known from the shape probe, no extra job) or the schema proves
+    // non-nullability, plain `===` is semantically identical and plans
+    // better: `<=>` makes the join partition on (coalesce(k), isnull(k))
+    // tuples, which defeats exchange reuse with the pairing-rank window
+    // (partitioned on the raw keys) and costs a second full shuffle of both
+    // inputs. Parquet schemas mark everything nullable, so the data-driven
+    // signal is the one that usually fires.
+    val noNullKeys = df1Shape.nullKeyRows == 0 && df2Shape.nullKeyRows == 0
     val cond = tempJoin.map { k =>
-      val nonNullable = !d1.schema(k).nullable && !d2.schema(k).nullable
-      if (nonNullable) col(s"${k}_$n1") === col(s"${k}_$n2")
+      val nonNullable = k == ordCol ||
+        (!d1.schema(k).nullable && !d2.schema(k).nullable)
+      if (nonNullable || noNullKeys) col(s"${k}_$n1") === col(s"${k}_$n2")
       else col(s"${k}_$n1") <=> col(s"${k}_$n2")
     }.reduce(_ && _)
     val joined = s1.join(s2, cond, "full_outer")
