@@ -7,9 +7,11 @@ import graft.operators.{Ann, Dedup, Multimodal, TextOps}
 
 /** Driver queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal), with DuckDB oracles where
-  * the computation is engine-mirrorable. Hash-family ops (xxhash64 MinHash,
-  * SimHash, MurmurHash hyperplanes) are not expressible in DuckDB and get
-  * rows-only checks; their correctness is pinned by unit tests instead. */
+  * the computation is engine-mirrorable. The MinHash/SimHash queries use the
+  * portable md5 hash family ([[graft.operators.Dedup.md5HashPair]]) and the
+  * cosine-LSH query embeds its hyperplane constants as SQL literals, so all
+  * three hash-family pipelines are fully oracle-checked; the xxhash64
+  * variants remain the fast default engine path, pinned by unit tests. */
 object OpsPack {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -27,19 +29,28 @@ object OpsPack {
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(docs(s, dir), "text", "doc_id").orderBy("keep_id")
 
-  /** Exact pairwise word-3-gram Jaccard ≥ 0.5 via inverted index. */
+  /** Shingles appearing in more than this many documents are dropped from
+    * the Jaccard inverted index — a hot shingle's posting self-join is
+    * quadratic in its document frequency, which is the scale-killer at
+    * 100 TB. Mirrored as a filter CTE in the oracle SQL. */
+  val JaccardMaxDocFrequency = 200L
+
+  /** Exact pairwise word-3-gram Jaccard ≥ 0.5 via inverted index, with the
+    * hot-shingle cap applied (bounded posting lists at scale). */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(docs(s, dir), "text", "doc_id", n = 3, threshold = 0.5)
+    Dedup.jaccardPairs(docs(s, dir), "text", "doc_id", n = 3, threshold = 0.5,
+      maxDocFrequency = JaccardMaxDocFrequency)
       .orderBy("id1", "id2")
 
-  /** MinHash-LSH near-dups (xxhash64 — rows-only check). */
+  /** MinHash-LSH near-dups over the portable md5 family (oracle-checked). */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDuplicates(docs(s, dir), "text", "doc_id",
+    Dedup.minhashNearDuplicatesMd5(docs(s, dir), "text", "doc_id",
       threshold = 0.5, numHashes = 64, bands = 16).orderBy("id1", "id2")
 
-  /** SimHash near-dups within hamming 8 (rows-only check). */
+  /** SimHash near-dups within hamming 3 — four 16-bit pigeonhole blocks, so
+    * bucket sizes stay bounded at corpus scale (md5 family, oracle-checked). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDuplicates(docs(s, dir), "text", "doc_id", maxHamming = 8)
+    Dedup.simhashNearDuplicatesMd5(docs(s, dir), "text", "doc_id", maxHamming = 3)
       .orderBy("id1", "id2")
 
   /** Brute-force cosine top-20 for the query vector of vec_id=0; outputs
@@ -61,10 +72,22 @@ object OpsPack {
     Ann.cosinePairsExact(embeddings(s, dir), "embedding", "vec_id", 0.4)
       .select("id1", "id2").orderBy("id1", "id2")
 
-  /** LSH-bucketed variant (MurmurHash planes — rows-only check). */
+  /** Multi-table LSH parameters for the cosine query: 16 tables × 8 bits =
+    * 256 buckets per table (bounded bucket self-joins), recall ≈ 23% at the
+    * 0.3 threshold's plane-agreement probability — the low-threshold demo
+    * regime; near-dup workloads use the bits=16/tables=8 default. The
+    * hyperplanes are driver-side constants, embedded as literals in the
+    * oracle SQL, so the whole pipeline is oracle-checked. */
+  val CosLshBits = 8
+  val CosLshTables = 16
+  val CosLshThreshold = 0.3
+  val EmbeddingDim = 64
+
+  /** Multi-table LSH-bucketed cosine pairs (oracle-checked). */
   def cosinePairsLsh(s: SparkSession, dir: String): DataFrame =
-    Ann.cosineNearDuplicates(embeddings(s, dir), "embedding", "vec_id",
-      threshold = 0.3, dim = 64, bits = 4)
+    Ann.cosineNearDuplicatesMultiTable(embeddings(s, dir), "embedding", "vec_id",
+      threshold = CosLshThreshold, dim = EmbeddingDim,
+      bits = CosLshBits, tables = CosLshTables)
       .select("id1", "id2").orderBy("id1", "id2")
 
   /** Multimodal pipeline: synthetic media → batched feature extraction →
@@ -186,22 +209,118 @@ object OpsPack {
        | CAST(count(*) AS BIGINT) AS n
        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
+  /** Distinct word-3-gram CTEs mirroring TextOps.wordShingles (shared by the
+    * Jaccard and MinHash oracles). */
+  private val gramsCtes: String =
+    """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') t FROM documents),
+      |grams0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) g
+      |  FROM toks WHERE len(t) >= 3
+      |  UNION ALL
+      |  SELECT doc_id, array_to_string(t, ' ') g FROM toks WHERE len(t) < 3),
+      |grams AS (SELECT DISTINCT doc_id, g FROM grams0)""".stripMargin
+
   private val jaccardSql: String =
-    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM documents),
-       |grams0 AS (
-       |  SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
-       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) g
-       |  FROM toks WHERE len(t) >= 3
-       |  UNION ALL
-       |  SELECT doc_id, array_to_string(t, ' ') g FROM toks WHERE len(t) < 3),
-       |grams AS (SELECT DISTINCT doc_id, g FROM grams0),
-       |sizes AS (SELECT doc_id, count(*) sz FROM grams GROUP BY 1),
+    s"""WITH $gramsCtes,
+       |gramsf AS (SELECT g.doc_id, g.g FROM grams g
+       |           JOIN (SELECT g, count(*) df FROM grams GROUP BY 1) d ON d.g = g.g
+       |           WHERE d.df <= ${jaccardMaxDfSqlLit}),
+       |sizes AS (SELECT doc_id, count(*) sz FROM gramsf GROUP BY 1),
        |inter AS (SELECT a.doc_id id1, b.doc_id id2, count(*) i
-       |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |          FROM gramsf a JOIN gramsf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
        |SELECT id1, id2, CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE) AS jaccard
        |FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
        |WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE) >= 0.5
        |ORDER BY id1, id2""".stripMargin
+
+  private def jaccardMaxDfSqlLit: String = JaccardMaxDocFrequency.toString
+
+  /** MinHash-LSH oracle: same pipeline as Dedup.minhashNearDuplicatesMd5 —
+    * per-gram md5 → (a, b) 48-bit pair → 64 min-agg signature values →
+    * banded candidate join (4 consecutive signature slots per band) →
+    * exact-Jaccard verification. */
+  private val minhashSql: String = {
+    val numHashes = 64
+    val bands = 16
+    val r = numHashes / bands
+    val mins = (0 until numHashes)
+      .map(i => s"min(a + ${i + 1} * b) AS m$i").mkString(", ")
+    val bandConds = (0 until bands).map { bnd =>
+      (0 until r).map(k => s"s.m${bnd * r + k} = t.m${bnd * r + k}").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""WITH $gramsCtes,
+       |hp AS (SELECT doc_id,
+       |  ('0x' || substr(md5(g), 1, 12))::BIGINT a,
+       |  ('0x' || substr(md5(g), 17, 12))::BIGINT b FROM grams),
+       |sig AS (SELECT doc_id, $mins FROM hp GROUP BY doc_id),
+       |cand AS (SELECT s.doc_id id1, t.doc_id id2 FROM sig s JOIN sig t
+       |         ON s.doc_id < t.doc_id AND ($bandConds)),
+       |sizes AS (SELECT doc_id, count(*) sz FROM grams GROUP BY 1),
+       |inter AS (SELECT c.id1, c.id2, count(*) i
+       |          FROM cand c JOIN grams ga ON ga.doc_id = c.id1
+       |          JOIN grams gb ON gb.doc_id = c.id2 AND ga.g = gb.g
+       |          GROUP BY 1, 2),
+       |j AS (SELECT id1, id2, CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE) AS jaccard
+       |      FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2)
+       |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** SimHash oracle: token md5 → 16 nibbles → 64 bit-majority sums →
+    * boolean signature bits → all-pairs hamming ≤ 3 (candidate banding is an
+    * exact pigeonhole cover, so the engine's block join returns exactly
+    * this set). */
+  private val simhashSql: String = {
+    val maxHamming = 3
+    val nibs = (0 until 16)
+      .map(k => s"('0x' || substr(h, ${k + 1}, 1))::INT v$k").mkString(", ")
+    val bitSums = (0 until 64)
+      .map(j => s"SUM((v${j / 4} >> ${j % 4}) & 1) b$j").mkString(", ")
+    val sigBits = (0 until 64).map(j => s"(2 * b$j > n) s$j").mkString(", ")
+    val hamming = (0 until 64)
+      .map(j => s"(CASE WHEN a.s$j <> b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) t FROM documents),
+       |h AS (SELECT doc_id, md5(t) h FROM toks),
+       |nib AS (SELECT doc_id, $nibs FROM h),
+       |bits AS (SELECT doc_id, count(*) n, $bitSums FROM nib GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigBits FROM bits),
+       |pairs AS (SELECT a.doc_id id1, b.doc_id id2, CAST($hamming AS INTEGER) hamming
+       |          FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+       |SELECT id1, id2, hamming FROM pairs WHERE hamming <= $maxHamming
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Cosine multi-table-LSH oracle: the hyperplane constants are embedded as
+    * double literals (Double.toString round-trips exactly through DuckDB's
+    * parser), projections and norms are written as explicit left-assoc sums
+    * matching the engine's in-order double accumulation, so every signature
+    * bit and cosine value is bit-identical. */
+  private val cosineLshSql: String = {
+    val dim = EmbeddingDim
+    def dotSum(va: String, vb: String): String =
+      (1 to dim).map(i => s"$va[$i] * $vb[$i]").mkString("(", " + ", ")")
+    def proj(v: String, globalPlane: Int): String =
+      Ann.planeVector(globalPlane, dim).zipWithIndex
+        .map { case (w, d) => s"$v[${d + 1}] * $w" }.mkString("(", " + ", ")")
+    val sigCols = (0 until CosLshTables).map { t =>
+      (0 until CosLshBits).map { p =>
+        s"(CASE WHEN ${proj("v", t * CosLshBits + p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", s") t$t")
+    }.mkString(", ")
+    val anyTable = (0 until CosLshTables).map(t => s"a.t$t = b.t$t").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |sig AS (SELECT vec_id, $sigCols FROM e),
+       |cand AS (SELECT a.vec_id id1, b.vec_id id2 FROM sig a JOIN sig b
+       |         ON a.vec_id < b.vec_id AND ($anyTable)),
+       |n AS (SELECT vec_id, sqrt(${dotSum("v", "v")}) nrm FROM e)
+       |SELECT id1, id2 FROM cand
+       |JOIN e e1 ON e1.vec_id = id1 JOIN e e2 ON e2.vec_id = id2
+       |JOIN n n1 ON n1.vec_id = id1 JOIN n n2 ON n2.vec_id = id2
+       |WHERE (CASE WHEN n1.nrm * n2.nrm = 0 THEN 0.0
+       |       ELSE ${dotSum("e1.v", "e2.v")} / (n1.nrm * n2.nrm) END) >= $CosLshThreshold
+       |ORDER BY id1, id2""".stripMargin
+  }
 
   private val annTopKSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
@@ -236,6 +355,9 @@ object OpsPack {
     "q_text_stats" -> statsSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_jaccard_pairs" -> jaccardSql,
+    "q_dedup_minhash_lsh" -> minhashSql,
+    "q_dedup_simhash" -> simhashSql,
     "q_ann_topk" -> annTopKSql,
-    "q_embedding_cosine_pairs" -> cosinePairsSql)
+    "q_embedding_cosine_pairs" -> cosinePairsSql,
+    "q_embedding_cosine_lsh" -> cosineLshSql)
 }

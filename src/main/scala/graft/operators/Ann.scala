@@ -70,17 +70,27 @@ object Ann {
     (h.toDouble / Int.MaxValue)
   }
 
-  /** Random-hyperplane LSH signature: bit p = sign(v · plane_p). */
-  def lshSignature(vecCol: Column, dim: Int, bits: Int = 16): Column = {
+  /** Hyperplane components for table `t`, plane `p` (0-based global plane
+    * index = t*bits + p). Exposed so oracle SQL can embed the same literals. */
+  def planeVector(globalPlane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => planeComponent(globalPlane, d))
+
+  /** Random-hyperplane LSH signature: bit p = sign(v · plane_p). Projections
+    * use the codegen'd [[dot]] expression (the zip_with/aggregate HOF form
+    * runs interpreted — with 100+ planes that dominated the signature
+    * stage). `planeOffset` selects a disjoint plane set per LSH table. */
+  def lshSignature(vecCol: Column, dim: Int, bits: Int = 16, planeOffset: Int = 0): Column = {
     val bitCols = (0 until bits).map { p =>
-      val plane = (0 until dim).map(d => planeComponent(p, d))
-      val proj = aggregate(
-        zip_with(vecCol, array(plane.map(lit): _*), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(vecCol, vecLit(planeVector(planeOffset + p, dim)))
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Per-table signatures for multi-table LSH: element t is the `bits`-bit
+    * signature under table t's plane set. */
+  def lshTableSignatures(vecCol: Column, dim: Int, bits: Int, tables: Int): Column =
+    array((0 until tables).map(t => lshSignature(vecCol, dim, bits, t * bits)): _*)
 
   /** ANN top-k via hyperplane LSH: probe only vectors sharing the query's
     * bucket (optionally multi-probe neighbors within 1-bit flips). Falls
@@ -118,6 +128,39 @@ object Ann {
           .otherwise(dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))).as("cosine"))
       .where(col("cosine") >= threshold)
       .distinct()
+  }
+
+  /** Multi-table LSH near-dup: `tables` independent `bits`-bit signatures
+    * per vector; candidates are pairs sharing ANY table's full signature,
+    * then exact-cosine verified. This is the 100 TB path:
+    *
+    *   - candidate generation is an equi-join on (table, signature) —
+    *     bucket sizes ~n/2^bits per table, never a cross join;
+    *   - the signature frame carries only (id, table, sig) — vectors join
+    *     back in for verification AFTER candidate dedup, so the wide
+    *     embedding column is never replicated `tables`×;
+    *   - recall = 1-(1-p^bits)^tables with p = 1-θ/π — tunable per regime
+    *     (bits=16/tables=8 for high-similarity near-dup; fewer bits + more
+    *     tables for lower thresholds).
+    */
+  def cosineNearDuplicatesMultiTable(
+      df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, dim: Int, bits: Int = 16, tables: Int = 8): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      posexplode(lshTableSignatures(col(vecCol), dim, bits, tables)).as(Seq("tbl", "sig")))
+    val a = sigs.toDF("id1", "tbl", "sig")
+    val b = sigs.toDF("id2", "tbl", "sig")
+    val candidates = a.join(b, Seq("tbl", "sig")).where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    val e1 = withNorm.toDF("id1", "v1", "nrm1")
+    val e2 = withNorm.toDF("id2", "v2", "nrm2")
+    candidates.join(e1, "id1").join(e2, "id2")
+      .select(col("id1"), col("id2"),
+        when(col("nrm1") * col("nrm2") === 0.0, lit(0.0))
+          .otherwise(dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))).as("cosine"))
+      .where(col("cosine") >= threshold)
   }
 
   /** Exact all-pairs cosine ≥ threshold (oracle-checkable; O(n²) — for

@@ -54,9 +54,12 @@ object Dedup {
     val filtered =
       if (maxDocFrequency == Long.MaxValue) grams
       else {
+        // toDF breaks the self-join lineage: without fresh attribute IDs the
+        // anti-join condition resolves both sides to the SAME attribute and
+        // drops every row.
         val hot = grams.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFrequency).select("g")
-        grams.join(hot, Seq("g"), "left_anti")
+          .filter(col("df") > maxDocFrequency).select("g").toDF("hot_g")
+        grams.join(hot, col("g") === col("hot_g"), "left_anti")
       }
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = filtered.toDF("id1", "g")
@@ -71,6 +74,36 @@ object Dedup {
           (col("sz1") + col("sz2") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+  }
+
+  /** Portable 2-universal hash pair from ONE md5 per value: two 48-bit longs
+    * parsed from the digest's hex halves. The i-th member of the family is
+    * `a + (i+1)*b` — the classic multiply-shift construction; with i ≤ 127
+    * the result stays under 2^56, so the arithmetic is ANSI-overflow-safe
+    * AND bit-identical in any engine with md5 + hex parsing (DuckDB:
+    * `('0x' || substr(md5(x), …))::BIGINT`) — which is what makes the
+    * MinHash/SimHash queries oracle-checkable, unlike xxhash64. */
+  def md5HashPair(c: Column): (Column, Column) = {
+    val h = md5(c.cast("binary"))
+    (conv(substring(h, 1, 12), 16, 10).cast("long"),
+      conv(substring(h, 17, 12), 16, 10).cast("long"))
+  }
+
+  /** MinHash signatures from the portable md5 family: one md5 per shingle,
+    * `numHashes` linear combinations, single-pass min-agg per id. Same plan
+    * shape (and cost: one digest per gram, the rest is codegen'd integer
+    * math) as [[minhashSignatures]], but engine-mirrorable. */
+  def minhashSignaturesMd5(
+      shingled: DataFrame, // (id, g: array<string>)
+      numHashes: Int): DataFrame = {
+    val (a, b) = md5HashPair(col("s"))
+    val hashed = shingled
+      .select(col("id"), explode(col("g")).as("s"))
+      .select(col("id"), a.as("ha"), b.as("hb"))
+    val mins = (0 until numHashes).map(i =>
+      min(col("ha") + lit((i + 1).toLong) * col("hb")).as(s"m$i"))
+    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("minhash"))
   }
 
   /** MinHash signatures via explode + hash-aggregate: (id, shingle) postings
@@ -126,6 +159,33 @@ object Dedup {
     val b = banded.toDF("id2", "band", "bucket")
     a.join(b, Seq("band", "bucket")).where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+  }
+
+  /** [[minhashNearDuplicates]] over the portable md5 hash family — identical
+    * pipeline (signature → banding → candidates → exact-Jaccard verify), but
+    * every hash is engine-mirrorable, so the whole result is DuckDB
+    * oracle-checkable. Grams stay as strings for the verify intersect. */
+  def minhashNearDuplicatesMd5(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val shingled = df.select(col(idCol).as("id"),
+      TextOps.wordShingles(col(textCol), shingleSize).as("g"))
+    val withSig = minhashSignaturesMd5(shingled, numHashes)
+    val candidates = lshCandidatePairs(withSig, "id", numHashes, bands)
+    val g1 = shingled.toDF("id1", "g1")
+    val g2 = shingled.toDF("id2", "g2")
+    candidates.join(g1, "id1").join(g2, "id2")
+      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("g1")) + size(col("g2")) - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
   }
 
   /** End-to-end MinHash-LSH near-duplicate detection: signature → banding →
@@ -192,22 +252,41 @@ object Dedup {
     agged.select(col("id"), sh.as("sh"))
   }
 
+  /** SimHash per document from the portable md5 family: token → md5 → the
+    * first 16 hex nibbles give 64 bits; per-bit majority vote via the same
+    * codegen'd conditional-sum aggregation as [[simhashSignatures]].
+    * Engine-mirrorable (DuckDB: `('0x' || substr(md5(t), k, 1))::INT` nibble
+    * parse + the same bit shifts), so the near-dup result gets a real
+    * oracle. Returns (id, sh). */
+  def simhashSignaturesMd5(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"), explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
+      .select(col("id"), md5(col("t").cast("binary")).as("h"))
+    val withNibs = toks.select(col("id") +: (0 until 16).map(k =>
+      conv(substring(col("h"), k + 1, 1), 16, 10).cast("int").as(s"v$k")): _*)
+    val bitSums = (0 until 64).map(j =>
+      sum(shiftright(col(s"v${j / 4}"), j % 4).bitwiseAND(lit(1)).cast("long")).as(s"b$j"))
+    val agged = withNibs.groupBy("id")
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sh = (0 until 64).map(j =>
+      when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agged.select(col("id"), sh.as("sh"))
+  }
+
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within `maxHamming` bits, using the block
+  /** Near-dup pairs from a (id, sh) signature frame, via the block
     * technique: split the 64-bit hash into `maxHamming+1` blocks — any pair
     * within the distance shares at least one exact block (pigeonhole), so
     * candidates come from an equi-join on (block-index, block-value), never
-    * a cross join. */
-  def simhashNearDuplicates(
-      df: DataFrame,
-      textCol: String,
-      idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+    * a cross join. Block width 64/(maxHamming+1) caps bucket collision
+    * rates: maxHamming=3 → four 16-bit blocks (65k values each), so bucket
+    * sizes stay ~n/65536 per block on non-degenerate corpora. */
+  def simhashPairsFromSignatures(withSim: DataFrame, maxHamming: Int): DataFrame = {
     val blocks = maxHamming + 1
     val width = 64 / blocks
-    val withSim = simhashSignatures(df, textCol, idCol)
     val banded = withSim.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(blocks - 1)), b =>
         call_function("shiftright", col("sh"), b * lit(width))
@@ -220,4 +299,20 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup pairs within `maxHamming` bits (xxhash64 family). */
+  def simhashNearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSignatures(simhashSignatures(df, textCol, idCol), maxHamming)
+
+  /** SimHash near-dup pairs over the portable md5 family (oracle-checkable). */
+  def simhashNearDuplicatesMd5(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSignatures(simhashSignaturesMd5(df, textCol, idCol), maxHamming)
 }
