@@ -79,11 +79,24 @@ object ComparePack {
       keys: Seq[String] = keys2, raw: Boolean = false): SparkCompare =
     compareCache.getOrElseUpdate(
       (System.identityHashCode(s), dir, absTol, keys, raw), {
-        val (a, b) =
-          if (raw) (frameARaw(s, dir), frameBRaw(s, dir))
-          else (frameA(s, dir), frameB(s, dir))
-        new SparkCompare(s, a, b,
-          CompareConfig(joinColumns = keys, absTol = ToleranceSpec.of(absTol)))
+        if (absTol != 0.0)
+          // tolerance only changes match expressions — derive from the base
+          // compare so the join, shape probes, and cached intersection are
+          // shared instead of recomputed per tolerance configuration
+          compare(s, dir, 0.0, keys, raw).withTolerances(ToleranceSpec.of(absTol))
+        else {
+          val (a, b) =
+            if (raw) (frameARaw(s, dir), frameBRaw(s, dir))
+            else (frameA(s, dir), frameB(s, dir))
+          // the non-raw frames are unique-keyed by construction (uniqueKeyed
+          // filter) over null-free TPC-H keys, so the engine can skip the
+          // shape-probe scans; the raw frames carry duplicates and must probe
+          val hints =
+            if (raw) (None, None) else (Some(true), Some(true))
+          new SparkCompare(s, a, b,
+            CompareConfig(joinColumns = keys, absTol = ToleranceSpec.of(absTol),
+              assumeKeysUnique = hints._1, assumeKeysNullFree = hints._2))
+        }
       })
 
   /** columnStats as a DataFrame (driver-side; stats already computed). */

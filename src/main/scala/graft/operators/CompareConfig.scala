@@ -38,7 +38,17 @@ final case class CompareConfig(
     ignoreCase: Boolean = false,
     castColumnNamesLower: Boolean = true,
     customComparators: Seq[Comparator] = Nil,
-    cacheIntermediates: Boolean = true) {
+    cacheIntermediates: Boolean = true,
+    /** UNCHECKED caller contract: Some(true) promises the join keys are
+      * unique per frame, letting the engine skip the duplicate-shape probe
+      * scan and the pairing-rank window entirely. Wrong promises produce
+      * many-to-many joins (wrong results) — use only when uniqueness is
+      * guaranteed upstream (primary keys, post-dedup data). None = probe. */
+    assumeKeysUnique: Option[Boolean] = None,
+    /** UNCHECKED caller contract: Some(true) promises no NULLs in any join
+      * key column, letting the engine plan plain `===` joins (better
+      * exchange reuse) without the null probe. None = probe. */
+    assumeKeysNullFree: Option[Boolean] = None) {
   require(joinColumns.nonEmpty, "join_columns must be non-empty")
   require(joinColumns.forall(_.nonEmpty), "join_columns entries must be non-empty")
   require(df1Name != df2Name, "df1_name and df2_name must differ")

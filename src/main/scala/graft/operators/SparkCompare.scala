@@ -41,7 +41,8 @@ class SparkCompare(
     val spark: SparkSession,
     df1Input: DataFrame,
     df2Input: DataFrame,
-    val config: CompareConfig) {
+    val config: CompareConfig,
+    parent: Option[SparkCompare] = None) {
 
   val joinColumns: Seq[String] = config.normalizedJoinColumns
   private val joinSet = joinColumns.toSet
@@ -76,27 +77,43 @@ class SparkCompare(
     df1UnqColumns.isEmpty && df2UnqColumns.isEmpty && intersectColumns.toSet == joinSet
   private val compareColumns: Seq[String] = intersectColumns.filterNot(joinSet)
 
-  // ---- shape probe: row count, key-group count, and null-key presence in
-  // one job per input ----
-  private case class Shape(rowCount: Long, keyGroups: Long, nullKeyRows: Long) {
-    def hasDupes: Boolean = rowCount > keyGroups
-  }
-  private def shape(df: DataFrame): Shape = {
+  import SparkCompare.{Merged, Shape}
+
+  // ---- shape probe: row count, key-group count, and null-key presence for
+  // BOTH inputs in ONE job (each input projects to just its join columns +
+  // a side tag before the union, so the probe shuffle carries keys only) ----
+  private lazy val shapes: (Shape, Shape) = parent.map(_.shapes).getOrElse {
     val anyKeyNull = joinColumns.map(col(_).isNull).reduce(_ || _)
-    val r = df
-      .groupBy(joinColumns.map(col): _*).agg(count(lit(1)).as("__graft_n"))
+    def side(df: DataFrame, tag: Int) =
+      df.select(lit(tag).as("__graft_side") +: joinColumns.map(col): _*)
+    val rows = side(df1, 0).unionByName(side(df2, 1))
+      .groupBy(col("__graft_side") +: joinColumns.map(col): _*)
+      .agg(count(lit(1)).as("__graft_n"),
+        // the keys ARE the group, so the null flag is constant per group
+        max(when(anyKeyNull, 1).otherwise(0)).as("__graft_null"))
+      .groupBy("__graft_side")
       .agg(
         count(lit(1)),
         coalesce(sum("__graft_n"), lit(0L)),
-        coalesce(sum(when(anyKeyNull, col("__graft_n")).otherwise(0L)), lit(0L)))
-      .first()
-    Shape(r.getLong(1), r.getLong(0), r.getLong(2))
+        coalesce(sum(when(col("__graft_null") === 1, col("__graft_n")).otherwise(0L)), lit(0L)))
+      .collect()
+      .map(r => r.getInt(0) -> Shape(r.getLong(2), r.getLong(1), r.getLong(3)))
+      .toMap
+    (rows.getOrElse(0, Shape(0, 0, 0)), rows.getOrElse(1, Shape(0, 0, 0)))
   }
-  private lazy val df1Shape = shape(df1)
-  private lazy val df2Shape = shape(df2)
-  lazy val df1Count: Long = df1Shape.rowCount
-  lazy val df2Count: Long = df2Shape.rowCount
-  lazy val anyDupes: Boolean = df1Shape.hasDupes || df2Shape.hasDupes
+  private lazy val df1Shape: Shape = shapes._1
+  private lazy val df2Shape: Shape = shapes._2
+  /** True when the caller's assume-hints make the shape probe unnecessary
+    * for planning; counts then fall back to plain `count()` (no shuffle). */
+  private def probeFree: Boolean =
+    config.assumeKeysUnique.contains(true) && config.assumeKeysNullFree.contains(true)
+  lazy val df1Count: Long =
+    if (probeFree) parent.map(_.df1Count).getOrElse(df1.count()) else df1Shape.rowCount
+  lazy val df2Count: Long =
+    if (probeFree) parent.map(_.df2Count).getOrElse(df2.count()) else df2Shape.rowCount
+  lazy val anyDupes: Boolean =
+    if (config.assumeKeysUnique.contains(true)) false
+    else df1Shape.hasDupes || df2Shape.hasDupes
 
   private val ordCol: String = Utils.tempColumnName(df1, df2)
 
@@ -115,9 +132,7 @@ class SparkCompare(
   private val leftFlag = "_merge_left"
   private val rightFlag = "_merge_right"
 
-  private final case class Merged(outerJoin: DataFrame, tempJoinColumns: Seq[String])
-
-  private lazy val merged: Merged = {
+  private lazy val merged: Merged = parent.map(_.merged).getOrElse {
     var d1 = df1
     var d2 = df2
     var tempJoin = joinColumns
@@ -145,7 +160,8 @@ class SparkCompare(
     // (partitioned on the raw keys) and costs a second full shuffle of both
     // inputs. Parquet schemas mark everything nullable, so the data-driven
     // signal is the one that usually fires.
-    val noNullKeys = df1Shape.nullKeyRows == 0 && df2Shape.nullKeyRows == 0
+    val noNullKeys = config.assumeKeysNullFree
+      .getOrElse(df1Shape.nullKeyRows == 0 && df2Shape.nullKeyRows == 0)
     val cond = tempJoin.map { k =>
       val nonNullable = k == ordCol ||
         (!d1.schema(k).nullable && !d2.schema(k).nullable)
@@ -216,11 +232,22 @@ class SparkCompare(
   /** Intersection with match columns, mask-aware (suffixed names). */
   def intersectRows: DataFrame = applyMask(intersectRowsBase, suffixedMaskNames)
 
-  /** Intersection with one boolean `{col}_match` per compared column,
-    * appended in a single projection (spark.py:528-570). Cached because ~all
-    * downstream work reads it (spark.py:532-535). */
-  private lazy val intersectRowsBase: DataFrame = {
+  /** The tolerance-independent filtered intersection. THIS is what gets
+    * cached (spark.py:532-535 caches the same slice): match expressions are
+    * cheap codegen'd comparisons recomputed per action, while the join that
+    * produces these rows is the expensive part — so tolerance variants
+    * derived via [[withTolerances]] share one materialization instead of
+    * re-running the join per tolerance configuration. Shared by reference
+    * with the parent, so Spark's cache is hit directly, not via plan
+    * matching. */
+  private lazy val intersectBase: DataFrame = parent.map(_.intersectBase).getOrElse {
     val base = merged.outerJoin.filter(col("_merge") === "both")
+    if (config.cacheIntermediates) base.persist(StorageLevel.MEMORY_AND_DISK) else base
+  }
+
+  /** Intersection with one boolean `{col}_match` per compared column,
+    * appended in a single projection (spark.py:528-570). */
+  private lazy val intersectRowsBase: DataFrame = {
     val matchCols = compareColumns.map { c =>
       val opts = CompareOpts(
         absTol = config.absTol.forColumn(c),
@@ -228,12 +255,22 @@ class SparkCompare(
         ignoreSpaces = config.ignoreSpaces,
         ignoreCase = config.ignoreCase)
       ComparatorPipeline
-        .columnsEqual(base, s"${c}_$n1", s"${c}_$n2", opts, config.customComparators)
+        .columnsEqual(intersectBase, s"${c}_$n1", s"${c}_$n2", opts, config.customComparators)
         .as(s"${c}_match")
     }
-    val out = base.select(base.columns.map(col).toIndexedSeq ++ matchCols: _*)
-    if (config.cacheIntermediates) out.persist(StorageLevel.MEMORY_AND_DISK) else out
+    intersectBase.select(intersectBase.columns.map(col).toIndexedSeq ++ matchCols: _*)
   }
+
+  /** A comparison over the same frames and join with different tolerances.
+    * The derived instance shares the shape probes, the merged outer join,
+    * and the cached intersection — only the match expressions (and the
+    * statistics computed from them) are rebuilt, so the marginal cost of an
+    * extra tolerance configuration is one aggregation pass over cached
+    * data, not a re-join. `unpersist()` on either instance releases the
+    * shared cache. */
+  def withTolerances(absTol: ToleranceSpec, relTol: ToleranceSpec = ToleranceSpec.Zero): SparkCompare =
+    new SparkCompare(spark, df1Input, df2Input,
+      config.copy(absTol = absTol, relTol = relTol), Some(this))
 
   /** Double-valued view of a column for max-diff purposes, or None when the
     * type has no sensible numeric view (arrays short-circuit to 0 in the
@@ -458,8 +495,15 @@ class SparkCompare(
     data.render
   }
 
-  /** Release the cached intersection. */
-  def unpersist(): Unit = if (config.cacheIntermediates) intersectRowsBase.unpersist()
+  /** Release the cached intersection (shared with tolerance variants). */
+  def unpersist(): Unit = if (config.cacheIntermediates) intersectBase.unpersist()
+}
+
+object SparkCompare {
+  private final case class Shape(rowCount: Long, keyGroups: Long, nullKeyRows: Long) {
+    def hasDupes: Boolean = rowCount > keyGroups
+  }
+  private final case class Merged(outerJoin: DataFrame, tempJoinColumns: Seq[String])
 }
 
 object Utils {

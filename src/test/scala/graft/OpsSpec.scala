@@ -54,6 +54,58 @@ class OpsSpec extends SparkTestBase {
     assert(exact.isDefined)
   }
 
+  test("jaccard hot-shingle cap: no-op when nothing is hot, drops hot grams") {
+    val uncapped = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // regression: the cap's anti-join once resolved both sides to the same
+    // attribute and dropped every posting
+    val capped = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5,
+      maxDocFrequency = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped)
+    // cap of 1 removes every gram shared by 2+ docs → no pairs survive
+    val tight = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.01,
+      maxDocFrequency = 1L).count()
+    assert(tight == 0L)
+  }
+
+  test("md5 hash pair: 48-bit non-negative longs, deterministic") {
+    val r = docs.select(col("doc_id"),
+      Dedup.md5HashPair(col("text"))._1.as("a"),
+      Dedup.md5HashPair(col("text"))._2.as("b")).collect()
+    r.foreach { row =>
+      val (a, b) = (row.getLong(1), row.getLong(2))
+      assert(a >= 0 && a < (1L << 48) && b >= 0 && b < (1L << 48))
+    }
+    // exact-dup texts hash identically
+    val byId = r.map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(byId(0L) == byId(3L))
+  }
+
+  test("minhash md5 family finds the same dups as the xxhash64 family") {
+    val pairs = Dedup.minhashNearDuplicatesMd5(docs, "text", "doc_id",
+      threshold = 0.5, numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: identical signatures
+    assert(pairs.contains((0L, 1L))) // near dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    // exact dup pair carries jaccard 1.0
+    val j = Dedup.minhashNearDuplicatesMd5(docs, "text", "doc_id", 0.5, 32, 16)
+      .where(col("id1") === 0 && col("id2") === 3).select("jaccard").first().getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("simhash md5 family: exact dups at distance 0, block join finds them") {
+    val sigs = Dedup.simhashSignaturesMd5(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(2L)))
+    val nd = Dedup.simhashNearDuplicatesMd5(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 3L)))
+  }
+
   test("simhash: identical text → distance 0, near text → small, different → large") {
     val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -153,5 +205,13 @@ class OpsSpec extends SparkTestBase {
     val lsh = Ann.cosineNearDuplicates(vecs, "embedding", "vec_id", 0.99, dim = 2, bits = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact))
+    // multi-table variant: candidates are a superset per-table, result still
+    // exact-verified, so it must also be a subset of the exact pairs — and
+    // with several tables it should recover both near-dup pairs here
+    val multi = Ann.cosineNearDuplicatesMultiTable(vecs, "embedding", "vec_id",
+      0.99, dim = 2, bits = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi.subsetOf(exact))
+    assert(multi.nonEmpty)
   }
 }

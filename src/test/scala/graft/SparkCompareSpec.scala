@@ -97,6 +97,22 @@ class SparkCompareSpec extends SparkTestBase {
     assert(c2.columnStats.find(_.column == "y").get.matchCnt == 0)
   }
 
+  test("withTolerances shares the join but recomputes match statistics") {
+    val a = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("id", "v")
+    val b = Seq((1, 10.004), (2, 20.4), (4, 40.0)).toDF("id", "v")
+    val base = cmp(a, b, Seq("id"))
+    assert(base.columnStats.find(_.column == "v").get.matchCnt == 0)
+    val tol = base.withTolerances(ToleranceSpec.of(0.01))
+    // shared shape/join state
+    assert(tol.df1Count == base.df1Count && tol.intersectCount == base.intersectCount)
+    assert(tol.df1UnqCount == 1 && tol.df2UnqCount == 1)
+    // tolerance-specific stats diverge
+    assert(tol.columnStats.find(_.column == "v").get.matchCnt == 1)
+    assert(tol.columnStats.find(_.column == "v").get.absTol == 0.01)
+    val wide = base.withTolerances(ToleranceSpec.of(0.5))
+    assert(wide.columnStats.find(_.column == "v").get.matchCnt == 2)
+  }
+
   test("ignore_spaces trims string join keys") {
     val a = Seq((" k1 ", 1.0)).toDF("id", "v")
     val b = Seq(("k1", 1.0)).toDF("id", "v")
@@ -184,6 +200,30 @@ class SparkCompareSpec extends SparkTestBase {
     assertThrows[IllegalStateException] { c.hideSensitiveColumns(Seq("v")) }
     c.revealSensitiveColumns()
     assert(c.sampleMismatch("ssn").collect().exists(_.getString(1) == "secret2"))
+  }
+
+  test("assume-hints skip probes but preserve results on conforming data") {
+    val a = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("id", "s", "v")
+    val b = Seq((1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)).toDF("id", "s", "v")
+    val hinted = cmp(a, b, Seq("id"),
+      _.copy(assumeKeysUnique = Some(true), assumeKeysNullFree = Some(true)))
+    val probed = cmp(a, b, Seq("id"))
+    assert(hinted.intersectCount == probed.intersectCount)
+    assert(hinted.df1Count == probed.df1Count && hinted.df2Count == probed.df2Count)
+    assert(hinted.df1UnqCount == probed.df1UnqCount)
+    assert(!hinted.anyDupes)
+    assert(hinted.columnStats.map(s => (s.column, s.matchCnt, s.unequalCnt)) ==
+      probed.columnStats.map(s => (s.column, s.matchCnt, s.unequalCnt)))
+    assert(hinted.countMatchingRows == probed.countMatchingRows)
+  }
+
+  test("probe computes both sides' shapes in one pass (empty side handled)") {
+    val a = Seq((1, "x"), (1, "y")).toDF("id", "s").coalesce(1)
+    val empty = Seq.empty[(Int, String)].toDF("id", "s")
+    val c = cmp(a, empty, Seq("id"))
+    assert(c.df1Count == 2 && c.df2Count == 0)
+    assert(c.anyDupes) // dupes on side 1 detected
+    assert(c.intersectCount == 0 && c.df1UnqCount == 2 && c.df2UnqCount == 0)
   }
 
   test("cache opt-out still computes correctly") {
