@@ -14,11 +14,15 @@ final case class ToleranceSpec(default: Double, perColumn: Map[String, Double] =
     perColumn.getOrElse(column.toLowerCase, default)
 
   /** Display form for reports: bare default, or Python-dict-like with
-    * overrides (mirrors how the reference echoes its constructor arg). */
-  def display: String =
-    if (perColumn.isEmpty) default.toString
-    else (perColumn.toSeq.sortBy(_._1).map { case (k, v) => s"'$k': $v" } :+
-      s"'default': $default").mkString("{", ", ", "}")
+    * overrides (mirrors how the reference echoes its constructor arg; the
+    * reference's default is the int 0, which Python renders "0" — match
+    * that for the no-tolerance report line). */
+  def display: String = {
+    def num(v: Double): String = if (v == 0.0) "0" else v.toString
+    if (perColumn.isEmpty) num(default)
+    else (perColumn.toSeq.sortBy(_._1).map { case (k, v) => s"'$k': ${num(v)}" } :+
+      s"'default': ${num(default)}").mkString("{", ", ", "}")
+  }
 }
 
 object ToleranceSpec {

@@ -108,9 +108,9 @@ class SparkCompare(
   private def probeFree: Boolean =
     config.assumeKeysUnique.contains(true) && config.assumeKeysNullFree.contains(true)
   lazy val df1Count: Long =
-    if (probeFree) parent.map(_.df1Count).getOrElse(df1.count()) else df1Shape.rowCount
+    if (probeFree) sliceCounts._1 + sliceCounts._2 else df1Shape.rowCount
   lazy val df2Count: Long =
-    if (probeFree) parent.map(_.df2Count).getOrElse(df2.count()) else df2Shape.rowCount
+    if (probeFree) sliceCounts._1 + sliceCounts._3 else df2Shape.rowCount
   lazy val anyDupes: Boolean =
     if (config.assumeKeysUnique.contains(true)) false
     else df1Shape.hasDupes || df2Shape.hasDupes
@@ -180,6 +180,31 @@ class SparkCompare(
     Merged(withMerge.drop(dropOrd: _*), tempJoin)
   }
 
+  /** The merged outer join, persisted when cacheIntermediates: every derived
+    * table (intersection, both unique-row slices) and every count reads this
+    * one relation, so one materialization serves the whole comparison.
+    * (The reference caches only intersect_rows, spark.py:532-535 — its
+    * unique-row slices re-run the join per action.) Shared by reference
+    * with tolerance variants. */
+  private lazy val mergedCached: DataFrame = parent.map(_.mergedCached).getOrElse {
+    if (config.cacheIntermediates)
+      merged.outerJoin.persist(StorageLevel.MEMORY_AND_DISK)
+    else merged.outerJoin
+  }
+
+  /** left_only / right_only / both counts from one pass over the cached
+    * join. Because the join sides are unique on (keys ++ rank), the outer
+    * join is 1:1 and these slice counts reconstruct the input row counts
+    * with no input re-scan. */
+  private lazy val sliceCounts: (Long, Long, Long) = parent.map(_.sliceCounts).getOrElse {
+    val r = mergedCached.agg(
+      sum(when(col("_merge") === "both", 1L).otherwise(0L)),
+      sum(when(col("_merge") === "left_only", 1L).otherwise(0L)),
+      sum(when(col("_merge") === "right_only", 1L).otherwise(0L))).first()
+    def g(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+    (g(0), g(1), g(2))
+  }
+
   // ---- sensitive-column masking (reference: spark.py:224-271) ----
   // The reference destructively overwrites the derived frames and must re-run
   // the whole comparison on reveal; here the mask is an overlay projection on
@@ -218,32 +243,28 @@ class SparkCompare(
   /** Rows only in df1, with df1's original columns and names (spark.py:510-516). */
   def df1UnqRows: DataFrame = applyMask(df1UnqRowsBase, maskedColumns)
   private lazy val df1UnqRowsBase: DataFrame =
-    merged.outerJoin
+    mergedCached
       .filter(col("_merge") === "left_only")
       .select(df1.columns.map(c => col(s"${c}_$n1").as(c)).toIndexedSeq: _*)
 
   /** Rows only in df2 (spark.py:518-524). */
   def df2UnqRows: DataFrame = applyMask(df2UnqRowsBase, maskedColumns)
   private lazy val df2UnqRowsBase: DataFrame =
-    merged.outerJoin
+    mergedCached
       .filter(col("_merge") === "right_only")
       .select(df2.columns.map(c => col(s"${c}_$n2").as(c)).toIndexedSeq: _*)
 
   /** Intersection with match columns, mask-aware (suffixed names). */
   def intersectRows: DataFrame = applyMask(intersectRowsBase, suffixedMaskNames)
 
-  /** The tolerance-independent filtered intersection. THIS is what gets
-    * cached (spark.py:532-535 caches the same slice): match expressions are
-    * cheap codegen'd comparisons recomputed per action, while the join that
-    * produces these rows is the expensive part — so tolerance variants
-    * derived via [[withTolerances]] share one materialization instead of
-    * re-running the join per tolerance configuration. Shared by reference
-    * with the parent, so Spark's cache is hit directly, not via plan
-    * matching. */
-  private lazy val intersectBase: DataFrame = parent.map(_.intersectBase).getOrElse {
-    val base = merged.outerJoin.filter(col("_merge") === "both")
-    if (config.cacheIntermediates) base.persist(StorageLevel.MEMORY_AND_DISK) else base
-  }
+  /** The tolerance-independent filtered intersection, read from the cached
+    * join. Match expressions are cheap codegen'd comparisons recomputed per
+    * action, while the join that produces these rows is the expensive part —
+    * so tolerance variants derived via [[withTolerances]] share one
+    * materialization instead of re-running the join per tolerance
+    * configuration. */
+  private lazy val intersectBase: DataFrame =
+    mergedCached.filter(col("_merge") === "both")
 
   /** Intersection with one boolean `{col}_match` per compared column,
     * appended in a single projection (spark.py:528-570). */
@@ -339,8 +360,10 @@ class SparkCompare(
 
   lazy val intersectCount: Long = statLong("__graft_cnt")
   /** 1:1 join ⇒ unique counts are pure arithmetic (see class doc). */
-  lazy val df1UnqCount: Long = df1Count - intersectCount
-  lazy val df2UnqCount: Long = df2Count - intersectCount
+  lazy val df1UnqCount: Long =
+    if (probeFree) sliceCounts._2 else df1Count - intersectCount
+  lazy val df2UnqCount: Long =
+    if (probeFree) sliceCounts._3 else df2Count - intersectCount
 
   /** Per-column stats in intersect-column order (spark.py:582-636). */
   lazy val columnStats: Seq[ColumnStat] = {
@@ -495,8 +518,8 @@ class SparkCompare(
     data.render
   }
 
-  /** Release the cached intersection (shared with tolerance variants). */
-  def unpersist(): Unit = if (config.cacheIntermediates) intersectBase.unpersist()
+  /** Release the cached join (shared with tolerance variants). */
+  def unpersist(): Unit = if (config.cacheIntermediates) mergedCached.unpersist()
 }
 
 object SparkCompare {

@@ -90,7 +90,9 @@ object TextReport {
     val sb = new StringBuilder
 
     sb ++= "DataComPy Comparison\n"
-    sb ++= "--------------------\n\n"
+    // 19 dashes under a 20-char title — reproduces the reference template's
+    // own off-by-one (report_template.j2:2) for byte-level parity
+    sb ++= "-------------------\n\n"
 
     sb ++= "DataFrame Summary\n"
     sb ++= "-----------------\n\n"
