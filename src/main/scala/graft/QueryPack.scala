@@ -24,6 +24,7 @@ object ComparePack {
     Set("l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
   val integralCols: Set[String] = Set("l_partkey", "l_suppkey", "l_linenumber")
   val timestampCols: Set[String] = Set("l_shipdate")
+  val stringCols: Set[String] = Set("l_returnflag", "l_linestatus")
 
   private def li(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
@@ -69,21 +70,36 @@ object ComparePack {
       .withColumn("l_shipdate",
         when(col("l_orderkey") % 17 === 0, col("l_shipdate") + expr("INTERVAL 1 DAY")).otherwise(col("l_shipdate")))
 
+  /** frameA with string-only perturbations for the ignore_spaces/ignore_case
+    * query: lowercased returnflag (mod 3), real mismatch 'X' (mod 13) and
+    * space-padded linestatus (mod 4). */
+  def frameC(s: SparkSession, dir: String): DataFrame =
+    frameA(s, dir)
+      .withColumn("l_returnflag",
+        when(col("l_orderkey") % 3 === 0, lower(col("l_returnflag"))).otherwise(col("l_returnflag")))
+      .withColumn("l_linestatus",
+        when(col("l_orderkey") % 13 === 0, lit("X"))
+          .when(col("l_orderkey") % 4 === 0, concat(lit(" "), col("l_linestatus"), lit(" ")))
+          .otherwise(col("l_linestatus")))
+
   // One SparkCompare per distinct configuration per session: the driver
   // queries share counts, the fused stats row, and the cached intersection
   // instead of re-running the join per query.
   private val compareCache =
-    scala.collection.concurrent.TrieMap[(Int, String, Double, Seq[String], Boolean), SparkCompare]()
+    scala.collection.concurrent.TrieMap[(Int, String, Double, Double, Seq[String], Boolean), SparkCompare]()
+  private val miscCache =
+    scala.collection.concurrent.TrieMap[(Int, String, String), SparkCompare]()
 
   def compare(s: SparkSession, dir: String, absTol: Double = 0.0,
-      keys: Seq[String] = keys2, raw: Boolean = false): SparkCompare =
+      keys: Seq[String] = keys2, raw: Boolean = false, relTol: Double = 0.0): SparkCompare =
     compareCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir, absTol, keys, raw), {
-        if (absTol != 0.0)
+      (System.identityHashCode(s), dir, absTol, relTol, keys, raw), {
+        if (absTol != 0.0 || relTol != 0.0)
           // tolerance only changes match expressions — derive from the base
           // compare so the join, shape probes, and cached intersection are
           // shared instead of recomputed per tolerance configuration
-          compare(s, dir, 0.0, keys, raw).withTolerances(ToleranceSpec.of(absTol))
+          compare(s, dir, 0.0, keys, raw)
+            .withTolerances(ToleranceSpec.of(absTol), ToleranceSpec.of(relTol))
         else {
           val (a, b) =
             if (raw) (frameARaw(s, dir), frameBRaw(s, dir))
@@ -98,6 +114,31 @@ object ComparePack {
               assumeKeysUnique = hints._1, assumeKeysNullFree = hints._2))
         }
       })
+
+  /** Compare frameA against its string-perturbed twin with
+    * ignore_spaces + ignore_case active (string normalization path). */
+  def compareIgnore(s: SparkSession, dir: String): SparkCompare =
+    miscCache.getOrElseUpdate((System.identityHashCode(s), dir, "ignore"),
+      new SparkCompare(s, frameA(s, dir), frameC(s, dir),
+        CompareConfig(joinColumns = keys2, ignoreSpaces = true, ignoreCase = true,
+          assumeKeysUnique = Some(true), assumeKeysNullFree = Some(true))))
+
+  /** CSV-source compare: a fixed CSV pair written under target/, loaded via
+    * the extension-inferring reader (header + inferSchema), compared on id.
+    * Exercises the CSV scan → compare → stats path end to end; the oracle
+    * pins the hand-computed stats table. */
+  def csvCompareStats(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get("target/graft_csv_demo")
+    Files.createDirectories(base)
+    val a = base.resolve("a.csv")
+    val b = base.resolve("b.csv")
+    Files.writeString(a, "id,name,qty\n1,alpha,1.5\n2,beta,2.5\n3,gamma,3.5\n4,delta,4.5\n5,eps,5.5\n")
+    Files.writeString(b, "id,name,qty\n1,alpha,1.5\n2,BETA,2.5\n3,gamma,9.5\n6,zeta,6.5\n")
+    val dfa = graft.sources.Readers.load(s, a.toString, "csv")
+    val dfb = graft.sources.Readers.load(s, b.toString, "csv")
+    statsDf(s, new SparkCompare(s, dfa, dfb, CompareConfig(joinColumns = Seq("id"))))
+  }
 
   /** columnStats as a DataFrame (driver-side; stats already computed). */
   def statsDf(s: SparkSession, c: SparkCompare): DataFrame = {
@@ -135,13 +176,29 @@ object OracleGen {
   val df2Sql: String = df2Select(s"($baseSql)")
   val df2RawSql: String = df2Select("lineitem")
 
-  /** CTE prefix: df1/df2 with presence flags, full outer join `j`, intersect `i`. */
-  def prefix(keys: Seq[String]): String = {
+  /** frameC mirror: string-only perturbations of df1 (case order matters —
+    * mod 13 wins over mod 4, like the engine's `when` chain). */
+  val dfcSql: String = {
+    val sel = liCols.map {
+      case "l_returnflag" =>
+        "CASE WHEN l_orderkey % 3 = 0 THEN lower(l_returnflag) ELSE l_returnflag END AS l_returnflag"
+      case "l_linestatus" =>
+        "CASE WHEN l_orderkey % 13 = 0 THEN 'X' " +
+          "WHEN l_orderkey % 4 = 0 THEN ' ' || l_linestatus || ' ' " +
+          "ELSE l_linestatus END AS l_linestatus"
+      case c => c
+    }.mkString(", ")
+    s"SELECT $sel FROM ($df1Sql)"
+  }
+
+  /** CTE prefix: df1/df2 with presence flags, full outer join `j`, intersect
+    * `i`. `df2Cte` defaults to the standard perturbed frame. */
+  def prefix(keys: Seq[String], df2Cte: String = df2Sql): String = {
     val aSel = liCols.map(c => s"df1c.$c AS a_$c").mkString(", ")
     val bSel = liCols.map(c => s"df2c.$c AS b_$c").mkString(", ")
     val cond = keys.map(k => s"df1c.$k IS NOT DISTINCT FROM df2c.$k").mkString(" AND ")
     s"""WITH df1 AS ($df1Sql),
-       |df2 AS ($df2Sql),
+       |df2 AS ($df2Cte),
        |df1c AS (SELECT *, TRUE AS in1 FROM df1),
        |df2c AS (SELECT *, TRUE AS in2 FROM df2),
        |j AS (SELECT $aSel, in1, $bSel, in2 FROM df1c FULL OUTER JOIN df2c ON $cond),
@@ -149,14 +206,20 @@ object OracleGen {
   }
 
   /** Boolean match expression per non-key column, mirroring the comparator
-    * pipeline at the given abs_tol (rel_tol 0, no NaN present in this data). */
-  def matchExpr(c: String, absTol: Double): String =
-    if (absTol > 0 && numericCols(c)) {
+    * pipeline at the given abs/rel tolerance (no NaN present in this data).
+    * `ignoreNorm` applies the trim+upper normalization to string columns
+    * (engine: SparkStringComparator.normalize). */
+  def matchExpr(c: String, absTol: Double, relTol: Double = 0.0,
+      ignoreNorm: Boolean = false): String =
+    if ((absTol > 0 || relTol > 0) && numericCols(c)) {
       val (a, b) =
         if (integralCols(c)) (s"CAST(a_$c AS DOUBLE)", s"CAST(b_$c AS DOUBLE)")
         else (s"a_$c", s"b_$c")
-      s"((a_$c IS NOT DISTINCT FROM b_$c) OR COALESCE(ABS($a - $b) <= $absTol, FALSE))"
-    } else s"(a_$c IS NOT DISTINCT FROM b_$c)"
+      s"((a_$c IS NOT DISTINCT FROM b_$c) OR " +
+        s"COALESCE(ABS($a - $b) <= $absTol + $relTol * ABS($b), FALSE))"
+    } else if (ignoreNorm && stringCols(c))
+      s"(upper(trim(a_$c)) IS NOT DISTINCT FROM upper(trim(b_$c)))"
+    else s"(a_$c IS NOT DISTINCT FROM b_$c)"
 
   /** Max |a-b| over doubles, NULL-skipped, matching engine max_diff. */
   def maxDiffExpr(c: String): String =
@@ -169,14 +232,16 @@ object OracleGen {
   def nullDiffExpr(c: String): String =
     s"CAST(SUM(CASE WHEN (a_$c IS NULL) <> (b_$c IS NULL) THEN 1 ELSE 0 END) AS BIGINT)"
 
-  def matchCntExpr(c: String, absTol: Double): String =
-    s"CAST(SUM(CASE WHEN ${matchExpr(c, absTol)} THEN 1 ELSE 0 END) AS BIGINT)"
+  def matchCntExpr(c: String, absTol: Double, relTol: Double = 0.0,
+      ignoreNorm: Boolean = false): String =
+    s"CAST(SUM(CASE WHEN ${matchExpr(c, absTol, relTol, ignoreNorm)} THEN 1 ELSE 0 END) AS BIGINT)"
 
   /** Oracle for the per-column stats table (q_compare_column_stats). */
-  def columnStatsSql(keys: Seq[String], absTol: Double): String = {
+  def columnStatsSql(keys: Seq[String], absTol: Double, relTol: Double = 0.0,
+      ignoreNorm: Boolean = false, df2Cte: String = df2Sql): String = {
     val nonKeys = liCols.filterNot(keys.contains)
     val aggSel = (Seq("CAST(COUNT(*) AS BIGINT) AS cnt") ++ nonKeys.flatMap(c => Seq(
-      s"${matchCntExpr(c, absTol)} AS match_$c",
+      s"${matchCntExpr(c, absTol, relTol, ignoreNorm)} AS match_$c",
       s"${nullDiffExpr(c)} AS nd_$c",
       s"${maxDiffExpr(c)} AS md_$c"))).mkString(", ")
     val rows = nonKeys.map(c =>
@@ -185,11 +250,24 @@ object OracleGen {
       keys.map(k =>
         s"SELECT '$k' AS \"column\", cnt AS match_cnt, CAST(0 AS BIGINT) AS unequal_cnt, " +
           s"CAST(0 AS BIGINT) AS null_diff, 0.0 AS max_diff FROM agg")
-    s"""${prefix(keys)},
+    s"""${prefix(keys, df2Cte)},
        |agg AS (SELECT $aggSel FROM i)
        |${rows.mkString("\n UNION ALL ")}
        |ORDER BY "column"""".stripMargin
   }
+
+  /** Oracle for the ignore_spaces/ignore_case stats query (df1 vs frameC). */
+  def ignoreStatsSql(keys: Seq[String]): String =
+    columnStatsSql(keys, 0.0, 0.0, ignoreNorm = true, df2Cte = dfcSql)
+
+  /** Oracle for the CSV-source compare: the fixed CSV pair has hand-derivable
+    * stats (ids 1-3 intersect; name differs on id 2, qty on id 3 by 6.0). */
+  val csvStatsSql: String =
+    """SELECT 'id' AS "column", CAST(3 AS BIGINT) AS match_cnt, CAST(0 AS BIGINT) AS unequal_cnt,
+      | CAST(0 AS BIGINT) AS null_diff, CAST(0.0 AS DOUBLE) AS max_diff
+      |UNION ALL SELECT 'name', 2, 1, 0, 0.0
+      |UNION ALL SELECT 'qty', 2, 1, 0, 6.0
+      |ORDER BY "column"""".stripMargin
 
   /** Oracle for merge slice counts (left_only / right_only / both). */
   def mergeCountsSql(keys: Seq[String]): String =

@@ -23,6 +23,12 @@ object SparkEntry {
     "q_compare_column_stats" -> ((s, dir) => statsDf(s, compare(s, dir))),
     // Same under abs_tol=0.01 (tolerance ladder, §2.11).
     "q_compare_column_stats_tol" -> ((s, dir) => statsDf(s, compare(s, dir, absTol = 0.01))),
+    // rel_tol path: |a-b| <= rtol*|b| (numeric comparator's second rung).
+    "q_compare_column_stats_rel" -> ((s, dir) => statsDf(s, compare(s, dir, relTol = 0.001))),
+    // ignore_spaces + ignore_case string normalization (§2.2).
+    "q_compare_stats_ignore" -> ((s, dir) => statsDf(s, compareIgnore(s, dir))),
+    // CSV source → compare → stats (§2.1 scan path).
+    "q_source_csv" -> (csvCompareStats _),
     // Merge slice counts from the null-safe full outer join (§2.3).
     "q_compare_merge_counts" -> { (s, dir) =>
       import s.implicits._
@@ -61,6 +67,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_compare_column_stats" -> OracleGen.columnStatsSql(keys2, 0.0),
     "q_compare_column_stats_tol" -> OracleGen.columnStatsSql(keys2, 0.01),
+    "q_compare_column_stats_rel" -> OracleGen.columnStatsSql(keys2, 0.0, 0.001),
+    "q_compare_stats_ignore" -> OracleGen.ignoreStatsSql(keys2),
+    "q_source_csv" -> OracleGen.csvStatsSql,
     "q_compare_merge_counts" -> OracleGen.mergeCountsSql(keys2),
     "q_compare_dupe_counts" -> OracleGen.dupeCountsSql,
     "q_compare_df1_unq_rows" -> OracleGen.unqRowsSql(keys2, 1),
