@@ -11,6 +11,46 @@ import graft.sources.Readers
 object Main {
 
   final class BadArgsException(msg: String) extends IllegalArgumentException(msg)
+  /** Raised by --help/--version: print `text`, exit 0 (argparse behaviour,
+    * reference: cli/parser.py:565-601). */
+  final class ExitWithText(val text: String) extends RuntimeException
+
+  val Version = "graft 0.2.0"
+
+  val Usage: String =
+    """usage: compare --left PATH --right PATH --on COL[,COL...] [options]
+      |
+      |Compare two datasets and render a mismatch report.
+      |
+      |required:
+      |  --left PATH                first dataset (csv/parquet/json by extension)
+      |  --right PATH               second dataset
+      |  --on COL[,COL...]          join column(s); repeatable
+      |
+      |options:
+      |  --input-format FMT         csv|parquet|json|table (overrides extension)
+      |  --csv-delimiter CHAR       single-char CSV delimiter (default ,)
+      |  --abs-tol N | COL=N        absolute tolerance; repeatable COL=VALUE form
+      |  --rel-tol N | COL=N        relative tolerance; repeatable COL=VALUE form
+      |  --ignore-spaces            trim strings (and string join keys) before compare
+      |  --ignore-case              uppercase strings before compare
+      |  --no-cast-column-names-lower   keep original column-name case
+      |  --ignore-extra-columns     non-shared columns don't fail the match
+      |  --df1-name NAME            report label for --left (default: path stem)
+      |  --df2-name NAME            report label for --right
+      |  --sample-count N           mismatch sample rows per column (default 10)
+      |  --column-count N           columns shown in unique-row samples (default 10)
+      |  --max-unequal-rows N       pass threshold on differing rows
+      |  --ignore-unique-rows       threshold counts only intersect mismatches
+      |  --report-format FMT        text|json|html (default text)
+      |  --output PATH              write the report to a file
+      |  --quiet                    suppress stdout report
+      |  --spark-app-name NAME      Spark application name
+      |  --no-cache-intermediates   skip caching the merged join
+      |  --help                     show this help and exit
+      |  --version                  show version and exit
+      |
+      |exit codes: 0 match, 1 mismatch, 2 usage/error, 130 interrupt""".stripMargin
 
   /** Parsed options with reference defaults. */
   final case class Args(
@@ -85,6 +125,8 @@ object Main {
     }
     while (i < argv.length) {
       argv(i) match {
+        case "--help" | "-h" => throw new ExitWithText(Usage)
+        case "--version" => throw new ExitWithText(Version)
         case "--left" => a = a.copy(left = value("--left"))
         case "--right" => a = a.copy(right = value("--right"))
         case "--on" =>
@@ -227,6 +269,9 @@ object Main {
     val code =
       try run(args.toSeq)
       catch {
+        case e: ExitWithText =>
+          println(e.text)
+          0
         case e: IllegalArgumentException =>
           System.err.println(s"error: ${e.getMessage}")
           2

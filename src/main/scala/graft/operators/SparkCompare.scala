@@ -67,6 +67,17 @@ class SparkCompare(
     named
   }
 
+  // Per-column tolerance keys must name a real column — a typo'd key would
+  // otherwise silently compare at the default tolerance
+  // (reference: datacompy/base.py:758-829 rejects malformed tolerance dicts).
+  locally {
+    val known = (df1.columns ++ df2.columns).map(_.toLowerCase).toSet
+    for ((spec, name) <- Seq((config.absTol, "abs_tol"), (config.relTol, "rel_tol"));
+        k <- spec.perColumn.keys if !known.contains(k))
+      throw new IllegalArgumentException(
+        s"$name has a tolerance for column '$k', which exists in neither DataFrame")
+  }
+
   // ---- column sets (ordered, driver-side; reference spark.py:365-375) ----
   def df1UnqColumns: Seq[String] = df1.columns.toSeq.diff(df2.columns.toSeq)
   def df2UnqColumns: Seq[String] = df2.columns.toSeq.diff(df1.columns.toSeq)

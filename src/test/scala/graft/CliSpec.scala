@@ -48,6 +48,16 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("--help and --version short-circuit with exit text") {
+    val help = intercept[Main.ExitWithText] { parse("--help") }
+    assert(help.text.contains("usage: compare") && help.text.contains("--abs-tol"))
+    // --help wins even mid-arglist, like argparse
+    val mid = intercept[Main.ExitWithText] { parse("--left", "l", "--help") }
+    assert(mid.text == Main.Usage)
+    val ver = intercept[Main.ExitWithText] { parse("--version") }
+    assert(ver.text == Main.Version)
+  }
+
   test("--ignore-unique-rows requires --max-unequal-rows") {
     assertThrows[BadArgsException] {
       parse("--left", "l", "--right", "r", "--on", "id", "--ignore-unique-rows")

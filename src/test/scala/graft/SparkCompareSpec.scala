@@ -178,6 +178,19 @@ class SparkCompareSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException] { cmp(a, b, Seq("id")) }
   }
 
+  test("per-column tolerance keys must name a real column") {
+    val a = Seq((1, 10.0)).toDF("id", "v")
+    val b = Seq((1, 10.0)).toDF("id", "v")
+    assertThrows[IllegalArgumentException] {
+      cmp(a, b, Seq("id"), _.copy(absTol = ToleranceSpec(0.0, Map("typo" -> 0.1))))
+    }
+    assertThrows[IllegalArgumentException] {
+      cmp(a, b, Seq("id"), _.copy(relTol = ToleranceSpec(0.0, Map("vv" -> 0.1))))
+    }
+    // valid key passes
+    assert(cmp(a, b, Seq("id"), _.copy(absTol = ToleranceSpec(0.0, Map("v" -> 0.1)))).matches())
+  }
+
   test("missing join column is rejected") {
     val a = Seq(Tuple1(1)).toDF("id")
     val b = Seq(Tuple1(1)).toDF("other")
