@@ -1,8 +1,15 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** Typed rows for the codec stages (case-class Encoders keep
+  * `Dataset.mapPartitions` inside Catalyst — a `.rdd` round-trip would cut
+  * the plan in two and drop codegen/AQE across the boundary). */
+private[operators] case class MediaPayload(media_id: Long, content: Array[Byte])
+private[operators] case class MediaFeatures(media_id: Long, features: Array[Float])
+private[operators] case class MediaFrame(media_id: Long, frame_index: Int, frame: Array[Byte])
 
 /** Multimodal-column plumbing for training-data pipelines.
   *
@@ -81,59 +88,42 @@ object Multimodal {
   private val FeatureBatchSize = 64 // rows decoded per executor-side batch
 
   /** Decode payloads to feature vectors: per-partition, fixed-size batches,
-    * stable output schema (media_id, features array<float>). At scale this
-    * is one narrow stage — no shuffle; repartition upstream to balance
-    * codec cost if payload sizes are skewed. */
+    * stable output schema (media_id, features array<float>). Typed
+    * `Dataset.mapPartitions` keeps this a single Catalyst plan node (no
+    * `.rdd` boundary); at scale it is one narrow stage — no shuffle;
+    * repartition upstream to balance codec cost if payload sizes are
+    * skewed. */
   def extractFeatures(media: DataFrame, dims: Int = 64): DataFrame = {
-    val session = media.sparkSession
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("features", ArrayType(FloatType), nullable = true)))
-    val rows = media.select(col("media_id"), col("content")).rdd
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[MediaPayload]
       .mapPartitions { it =>
         it.grouped(FeatureBatchSize).flatMap { batch =>
           // batch boundary = where a real codec would amortize setup cost
-          batch.iterator.map { r =>
-            val id = r.getLong(0)
-            val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-            Row(id, FakeCodec.decodeToFeatures(bytes, dims))
-          }
+          batch.iterator.map(m =>
+            MediaFeatures(m.media_id, FakeCodec.decodeToFeatures(m.content, dims)))
         }
       }
-    session.createDataFrame(rows, schema)
+      .toDF()
   }
 
   /** Resize stage (STUB codec, real plumbing). */
   def resizeMedia(media: DataFrame, width: Int, height: Int): DataFrame = {
-    val session = media.sparkSession
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("content", BinaryType)))
-    val rows = media.select(col("media_id"), col("content")).rdd.mapPartitions { it =>
-      it.map { r =>
-        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        Row(r.getLong(0), FakeCodec.resize(bytes, width, height))
-      }
-    }
-    session.createDataFrame(rows, schema)
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[MediaPayload]
+      .mapPartitions(_.map(m => MediaPayload(m.media_id, FakeCodec.resize(m.content, width, height))))
+      .toDF()
   }
 
   /** Frame-sampling stage for video payloads (STUB codec, real plumbing):
     * emits (media_id, frame_index, frame_bytes). */
   def sampleFrames(media: DataFrame, framesPerVideo: Int): DataFrame = {
-    val session = media.sparkSession
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("frame_index", IntegerType, nullable = false),
-      StructField("frame", BinaryType)))
-    val rows = media.select(col("media_id"), col("content")).rdd.mapPartitions { it =>
-      it.flatMap { r =>
-        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        FakeCodec.sampleFrames(bytes, framesPerVideo).zipWithIndex.map {
-          case (frame, idx) => Row(r.getLong(0), idx, frame)
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[MediaPayload]
+      .mapPartitions(_.flatMap { m =>
+        FakeCodec.sampleFrames(m.content, framesPerVideo).zipWithIndex.map {
+          case (frame, idx) => MediaFrame(m.media_id, idx, frame)
         }
-      }
-    }
-    session.createDataFrame(rows, schema)
+      })
+      .toDF()
   }
 }

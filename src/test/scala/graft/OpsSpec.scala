@@ -179,6 +179,25 @@ class OpsSpec extends SparkTestBase {
     assert(f.getDouble(0) == 3.0)
   }
 
+  test("multimodal: typed codec stages stay in one Catalyst plan") {
+    import graft.operators.Multimodal
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val features = Multimodal.extractFeatures(media, dims = 8)
+    assert(features.columns.toSeq == Seq("media_id", "features"))
+    val rows = features.collect()
+    assert(rows.length == 5 && rows.forall(_.getSeq[Float](1).length == 8))
+    // deterministic fake codec: same payload → same features
+    val byId = rows.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byId(0L) == byId(3L)) // exact-dup texts
+    // typed mapPartitions keeps the stage inside Catalyst — no RDD scan node
+    val plan = features.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("MapPartitions"), plan)
+    val frames = Multimodal.sampleFrames(media, framesPerVideo = 2)
+    assert(frames.count() == 10)
+    assert(Multimodal.resizeMedia(media, 64, 64).count() == 5)
+  }
+
   test("salted join and salted aggregate preserve plain-join semantics") {
     import graft.operators.Skew
     val left = (1 to 100).map(i => (if (i <= 90) 1L else i.toLong, i)).toDF("k", "v")

@@ -13,6 +13,7 @@ object SparkTestBase {
     .config("spark.ui.enabled", "false")
     // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir", "target/spark-warehouse")
     .getOrCreate()
 }
 
