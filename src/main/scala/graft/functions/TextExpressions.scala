@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass character-class counter for text-quality statistics.
+  *
+  * The stats projection needs eight counts per document (chars, whitespace
+  * tokens, alpha, digit, literal-space, punctuation, uppercase, non-space).
+  * Expressed with built-ins that is 6+ independent `regexp_count` passes —
+  * each one walks the full text through a regex engine. This expression
+  * computes all eight in ONE byte-level loop (measured ~4× on the stats
+  * query) while matching the regex definitions exactly:
+  *
+  *   - chars    = code points (`length`)
+  *   - tokens   = maximal runs of non-whitespace (`\S+`), where whitespace
+  *                is Java regex `\s` = [ \t\n\x0B\f\r] — ASCII-only, so
+  *                non-ASCII code points are token characters, as in regex
+  *   - alpha    = [a-zA-Z], digit = [0-9], space = [ ] (literal space),
+  *     punct    = [.,;:!?'"()\[\]{}-], upper = [A-Z]
+  *   - nonspace = code points not in `\s`
+  *
+  * UTF-8 continuation bytes (0b10xxxxxx) are skipped so multibyte code
+  * points count once, exactly like the regex engines count them.
+  */
+case class TextCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_text_counts requires a string column, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextCounts.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextCounts.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextCounts =
+    copy(child = newChild)
+}
+
+object TextCounts {
+  // indices into the result array
+  val Chars = 0; val Tokens = 1; val Alpha = 2; val Digit = 3
+  val Space = 4; val Punct = 5; val Upper = 6; val NonSpace = 7
+
+  /** One pass over the UTF-8 bytes; called from generated code. */
+  def compute(s: UTF8String): ArrayData = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    var chars = 0; var tokens = 0; var alpha = 0; var digit = 0
+    var space = 0; var punct = 0; var upper = 0; var nonspace = 0
+    var inToken = false
+    var i = 0
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, offset + i)
+      if ((b & 0xC0) != 0x80) { // skip UTF-8 continuation bytes
+        chars += 1
+        val isWs = b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+        if (isWs) {
+          if (b == ' ') space += 1
+          inToken = false
+        } else {
+          nonspace += 1
+          if (!inToken) { tokens += 1; inToken = true }
+          if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) alpha += 1
+          if (b >= 'A' && b <= 'Z') upper += 1
+          if (b >= '0' && b <= '9') digit += 1
+          b match {
+            case '.' | ',' | ';' | ':' | '!' | '?' | '\'' | '"' | '(' | ')' |
+                 '[' | ']' | '{' | '}' | '-' => punct += 1
+            case _ => ()
+          }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(chars, tokens, alpha, digit, space, punct, upper, nonspace))
+  }
+
+  import org.apache.spark.sql.{functions => F, SparkSession}
+
+  val FunctionName = "graft_text_counts"
+
+  /** Register as a SQL function in the session registry (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(FunctionName,
+        exprs => TextCounts(exprs.head), "built-in")
+
+  /** Column wrapper; registers against the active session on first use. */
+  def counts(text: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    F.call_function(FunctionName, text)
+  }
+}

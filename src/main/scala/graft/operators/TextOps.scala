@@ -103,19 +103,44 @@ object TextOps {
   }
 
   /** Full per-document stats projection used by pipelines and the driver
-    * queries. */
-  def statsColumns(text: Column): Seq[(String, Column)] = Seq(
-    "n_chars" -> charCount(text).cast("long"),
-    "n_tokens" -> tokenCount(text).cast("long"),
-    "n_stopwords" -> stopwordCount(text).cast("long"),
-    "alpha_ratio" -> alphaRatio(text),
-    "space_ratio" -> spaceRatio(text),
-    "stopword_ratio" -> stopwordRatio(text),
-    "mean_token_len" -> meanTokenLength(text),
-    "quality_score" -> qualityScore(text),
-    "low_quality" -> lowQualityFlag(text),
-    "lang_id" -> langId(text),
-    "fingerprint" -> fingerprint(text))
+    * queries.
+    *
+    * The eight character-class counts come from ONE pass of the codegen'd
+    * [[graft.functions.TextCounts]] expression instead of 6+ independent
+    * regex scans (the regex-based single-column functions above stay for
+    * à-la-carte use; their definitions are what TextCounts mirrors, so the
+    * DuckDB oracle is unchanged). Only the word-alternation regexes
+    * (stopwords, language markers) and the fingerprint normalization still
+    * run a regex engine. */
+  def statsColumns(text: Column): Seq[(String, Column)] = {
+    import graft.functions.TextCounts
+    val tc = TextCounts.counts(text)
+    def cnt(i: Int): Column = element_at(tc, i + 1)
+    val chars = cnt(TextCounts.Chars)
+    val toks = cnt(TextCounts.Tokens)
+    val stop = stopwordCount(text)
+    def charRatio(num: Column): Column =
+      when(chars.isNull || chars === 0, lit(0.0))
+        .otherwise(num.cast("double") / chars.cast("double"))
+    val alphaR = charRatio(cnt(TextCounts.Alpha))
+    val stopR = when(toks === 0, lit(0.0))
+      .otherwise(stop.cast("double") / toks.cast("double"))
+    val meanTok = when(toks === 0, lit(0.0))
+      .otherwise(cnt(TextCounts.NonSpace).cast("double") / toks.cast("double"))
+    val lengthSignal = least(toks.cast("double"), lit(100.0)) / lit(100.0)
+    Seq(
+      "n_chars" -> chars.cast("long"),
+      "n_tokens" -> toks.cast("long"),
+      "n_stopwords" -> stop.cast("long"),
+      "alpha_ratio" -> alphaR,
+      "space_ratio" -> charRatio(cnt(TextCounts.Space)),
+      "stopword_ratio" -> stopR,
+      "mean_token_len" -> meanTok,
+      "quality_score" -> (lit(0.5) * lengthSignal + lit(0.3) * stopR + lit(0.2) * alphaR),
+      "low_quality" -> (toks < 5 || alphaR < 0.5 || meanTok > 20.0),
+      "lang_id" -> langId(text),
+      "fingerprint" -> fingerprint(text))
+  }
 
   def withStats(df: DataFrame, textCol: String): DataFrame =
     df.select(col("*") +: statsColumns(col(textCol)).map { case (n, c) => c.as(n) }: _*)

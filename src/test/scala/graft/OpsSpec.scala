@@ -132,6 +132,37 @@ class OpsSpec extends SparkTestBase {
     assert(empty.getAs[Boolean]("low_quality")) // < 5 tokens
   }
 
+  test("TextCounts matches the regex definitions it replaces") {
+    import graft.functions.TextCounts
+    val samples = Seq(
+      "the quick  brown\tfox\njumps.",
+      "  leading and trailing  ",
+      "", "x", "ALL CAPS 123 !?",
+      "tabs\t\tand\nnewlines\r\nmixed",
+      "unicode: café naïve 日本語 emoji éè",
+      "punct: .,;:!?'\"()[]{}-",
+      "1234567890")
+    val df = samples.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+    val got = df.select(col("i"), TextCounts.counts(col("t")).as("c"),
+      length(col("t")).as("chars"),
+      regexp_count(col("t"), lit("\\S+")).as("toks"),
+      regexp_count(col("t"), lit("[a-zA-Z]")).as("alpha"),
+      regexp_count(col("t"), lit("[0-9]")).as("digit"),
+      regexp_count(col("t"), lit("[ ]")).as("space"),
+      regexp_count(col("t"), lit("[.,;:!?'\"()\\[\\]{}-]")).as("punct"),
+      regexp_count(col("t"), lit("[A-Z]")).as("upper"),
+      regexp_count(col("t"), lit("\\S")).as("nonspace")).collect()
+    got.foreach { r =>
+      val c = r.getSeq[Int](1)
+      for ((name, idx, col) <- Seq(
+          ("chars", TextCounts.Chars, 2), ("toks", TextCounts.Tokens, 3),
+          ("alpha", TextCounts.Alpha, 4), ("digit", TextCounts.Digit, 5),
+          ("space", TextCounts.Space, 6), ("punct", TextCounts.Punct, 7),
+          ("upper", TextCounts.Upper, 8), ("nonspace", TextCounts.NonSpace, 9)))
+        assert(c(idx) == r.getInt(col), s"row ${r.getInt(0)} $name: got ${c(idx)} want ${r.getInt(col)}")
+    }
+  }
+
   test("langid picks marker-heavy language deterministically") {
     val df = Seq(
       ("der hund und die katze ist nicht ein freund", "de"),
