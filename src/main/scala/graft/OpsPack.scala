@@ -174,6 +174,7 @@ object OpsPack {
        |  SELECT doc_id, text,
        |    CAST(length(text) AS BIGINT) AS n_chars,
        |    CAST(${cnt("text", "\\S+")} AS BIGINT) AS n_tokens,
+       |    CAST(${cnt("text", TextOps.BpeTokenPattern)} AS BIGINT) AS n_bpe_tokens,
        |    CAST(${cnt("lower(text)", stop)} AS BIGINT) AS n_stopwords,
        |    ${cnt("text", "[a-zA-Z]")} AS n_alpha,
        |    ${cnt("text", "[ ]")} AS n_space,
@@ -191,7 +192,7 @@ object OpsPack {
        |    CASE WHEN n_tokens = 0 THEN 0.0
        |         ELSE CAST(n_nonspace AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS mean_token_len
        |  FROM base)
-       |SELECT doc_id, n_chars, n_tokens, n_stopwords, alpha_ratio, space_ratio,
+       |SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, n_stopwords, alpha_ratio, space_ratio,
        |  stopword_ratio, mean_token_len,
        |  0.5 * (least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0)
        |    + 0.3 * stopword_ratio + 0.2 * alpha_ratio AS quality_score,

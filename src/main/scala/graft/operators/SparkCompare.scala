@@ -520,13 +520,14 @@ class SparkCompare(
       df2UniqueRows = uniqueRowsData(df2UnqRows, df2UnqCount))
   }
 
-  /** Render the text report; optionally save the HTML form
-    * (reference: base.py:405-443). */
+  /** Render the text report; optionally save the HTML form and/or render
+    * through a custom template file (reference: base.py:405-443). */
   def report(sampleCount: Int = 10, columnCount: Int = 10,
-      htmlFile: Option[String] = None): String = {
+      htmlFile: Option[String] = None,
+      templatePath: Option[String] = None): String = {
     val data = buildReportData(sampleCount, columnCount)
     htmlFile.foreach(data.save)
-    data.render
+    data.render(templatePath)
   }
 
   /** Release the cached join (shared with tolerance variants). */

@@ -27,6 +27,15 @@ object TextOps {
   def punctRatio(text: Column): Column = classRatio(text, "[.,;:!?'\"()\\[\\]{}-]")
   def upperRatio(text: Column): Column = classRatio(text, "[A-Z]")
 
+  /** BPE-style pretokenization count: the GPT-2 pretokenizer family's core
+    * classes (letter runs / digit runs / other-symbol runs, each with an
+    * optional leading space), without lookaheads so the same pattern runs
+    * under both Java regex and RE2 (DuckDB) — a cheap LLM-token-budget
+    * estimator that tracks real tokenizers far better than whitespace
+    * splitting. */
+  val BpeTokenPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpeTokenPattern))
+
   /** English-ish stopword hits (word-boundary regex). */
   val StopwordPattern = "\\b(the|a|an|and|of|to|in|is|it|for)\\b"
   def stopwordCount(text: Column): Column =
@@ -131,6 +140,7 @@ object TextOps {
     Seq(
       "n_chars" -> chars.cast("long"),
       "n_tokens" -> toks.cast("long"),
+      "n_bpe_tokens" -> bpeTokenCount(text).cast("long"),
       "n_stopwords" -> stop.cast("long"),
       "alpha_ratio" -> alphaR,
       "space_ratio" -> charRatio(cnt(TextCounts.Space)),

@@ -63,6 +63,12 @@ final case class ReportData(
 
   def render: String = TextReport.render(this)
 
+  /** Render with a custom template file (reference: base.py:405-443,
+    * `template_path` — Jinja2 there, the [[TemplateReport]] mini-language
+    * here, over the same context variables as `toJson`). */
+  def render(templatePath: Option[String]): String =
+    templatePath.fold(render)(TemplateReport.renderFile(this, _))
+
   /** Reference: report.py:279-297 / base.py:674-690. */
   def toHtml: String =
     s"<html><head><title>DataComPy Report</title></head><body><pre>$render</pre></body></html>"

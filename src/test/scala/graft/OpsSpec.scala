@@ -124,6 +124,7 @@ class OpsSpec extends SparkTestBase {
       .first()
     assert(row.getAs[Long]("n_tokens") == 11)
     assert(row.getAs[Long]("n_chars") == 47)
+    assert(row.getAs[Long]("n_bpe_tokens") == 11) // all plain letter runs
     assert(row.getAs[Long]("n_stopwords") == 5) // the, and, the, in, a
     assert(row.getAs[String]("lang_id") == "en")
     assert(!row.getAs[Boolean]("low_quality"))

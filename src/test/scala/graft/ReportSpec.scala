@@ -1,5 +1,7 @@
 package graft
 
+import graft.report.TemplateReport
+
 import graft.operators._
 import graft.report.TextTable
 
@@ -80,5 +82,34 @@ class ReportSpec extends SparkTestBase {
   test("max_diff appears with 4-decimal formatting") {
     val r = sampleCompare.report()
     assert(r.contains("0.5000")) // v: 20.0 vs 20.5
+  }
+
+  test("custom template: substitution, if, for over the report context") {
+    val data = sampleCompare.buildReportData()
+    val tpl =
+      """Compared {{ df1_name }} vs {{ df2_name }}
+        |Common rows: {{ row_summary.common_rows }}
+        |{% if mismatch_stats.has_mismatches %}MISMATCHES:
+        |{% for s in mismatch_stats.stats %}- {{ s.column }} ({{ s.unequal_cnt }} unequal)
+        |{% endfor %}{% endif %}
+        |{% if row_summary.has_duplicates %}never shown{% endif %}
+        |Unknown: [{{ no.such.path }}]""".stripMargin
+    val out = TemplateReport.render(tpl, TemplateReport.context(data))
+    assert(out.contains("Compared df1 vs df2"))
+    assert(out.contains("Common rows: 2"))
+    assert(out.contains("MISMATCHES:"))
+    assert(out.contains("- s (1 unequal)") || out.contains("- v (1 unequal)"))
+    assert(!out.contains("never shown"))
+    assert(out.contains("Unknown: []")) // undefined paths render empty
+    // file-based path through report()
+    val f = java.nio.file.Files.createTempFile("graft_tpl", ".tpl")
+    java.nio.file.Files.writeString(f, "rows={{ row_summary.common_rows }}")
+    assert(sampleCompare.report(templatePath = Some(f.toString)) == "rows=2")
+  }
+
+  test("custom template: unclosed block is rejected") {
+    assertThrows[IllegalArgumentException] {
+      TemplateReport.render("{% if x %}no end", Map("x" -> true))
+    }
   }
 }
