@@ -51,7 +51,7 @@ object Dedup {
       .select(col(idCol).as("id"), TextOps.wordShingles(col(textCol), n).as("g"))
       .select(col("id"), explode(col("g")).as("gs"))
       .select(col("id"), xxhash64(col("gs")).as("g"))
-    val filtered =
+    val filteredPlan =
       if (maxDocFrequency == Long.MaxValue) grams
       else {
         // toDF breaks the self-join lineage: without fresh attribute IDs the
@@ -61,6 +61,11 @@ object Dedup {
           .filter(col("df") > maxDocFrequency).select("g").toDF("hot_g")
         grams.join(hot, col("g") === col("hot_g"), "left_anti")
       }
+    // The postings feed three consumers (sizes + both sides of the pair
+    // join); without persistence the regex shingling stage re-executes for
+    // each. Postings are two longs per (doc, gram) — far smaller than the
+    // input text — so caching them is the right trade at any scale.
+    val filtered = filteredPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = filtered.toDF("id1", "g")
     val b = filtered.toDF("id2", "g")
@@ -173,8 +178,11 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
+    // shared by the signature pass and both verification sides — persist so
+    // the regex shingling runs once (same rationale as jaccardPairs)
     val shingled = df.select(col(idCol).as("id"),
       TextOps.wordShingles(col(textCol), shingleSize).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = minhashSignaturesMd5(shingled, numHashes)
     val candidates = lshCandidatePairs(withSig, "id", numHashes, bands)
     val g1 = shingled.toDF("id1", "g1")
@@ -199,10 +207,12 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
     // one shingle computation shared by signature and verification; grams
-    // carried as 64-bit hashes (primitive arrays intersect/join faster)
+    // carried as 64-bit hashes (primitive arrays intersect/join faster);
+    // persisted so the shingling stage executes once, not per consumer
     val shingled = df.select(col(idCol).as("id"),
       transform(TextOps.wordShingles(col(textCol), shingleSize),
         s => xxhash64(s)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = minhashSignatures(shingled, numHashes)
     val candidates = lshCandidatePairs(withSig, "id", numHashes, bands)
     val g1 = shingled.toDF("id1", "g1")
