@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, Multimodal, TextOps}
+import graft.operators.{Ann, Dedup, Ivf, Multimodal, TextOps}
 
 /** Driver queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal), with DuckDB oracles where
@@ -61,6 +61,22 @@ object OpsPack {
     val q = e.where(col("vec_id") === 0).select(col("embedding")).first()
       .getSeq[Float](0).map(_.toDouble)
     val top = Ann.bruteForceTopK(e, "embedding", "vec_id", q, 20)
+    import s.implicits._
+    top.collect().zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
+      .toSeq.toDF("rank", "vec_id")
+  }
+
+  /** IVF top-20 with full probe (nprobe = k ⇒ exact, so the brute-force
+    * oracle applies verbatim) — exercises deterministic k-means training,
+    * codegen'd cluster assignment, and the per-cluster scan/merge; the
+    * partial-probe and partition-pruned paths are pinned by IvfSpec. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val cents = Ivf.kmeansCentroids(e, "embedding", "vec_id", k = 8, iters = 3)
+    val q = e.where(col("vec_id") === 0).select(col("embedding")).first()
+      .getSeq[Float](0).map(_.toDouble)
+    val top = Ivf.ivfTopK(e, "embedding", "vec_id", cents, q, 20, nprobe = 8)
     import s.implicits._
     top.collect().zipWithIndex
       .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
@@ -149,6 +165,7 @@ object OpsPack {
     "q_dedup_minhash_lsh" -> (minhashPairs _),
     "q_dedup_simhash" -> (simhashPairs _),
     "q_ann_topk" -> (annTopK _),
+    "q_ann_ivf" -> (annIvf _),
     "q_embedding_cosine_pairs" -> (cosinePairs _),
     "q_embedding_cosine_lsh" -> (cosinePairsLsh _),
     "q_multimodal_features" -> (multimodalFeatures _))
@@ -359,6 +376,7 @@ object OpsPack {
     "q_dedup_minhash_lsh" -> minhashSql,
     "q_dedup_simhash" -> simhashSql,
     "q_ann_topk" -> annTopKSql,
+    "q_ann_ivf" -> annTopKSql,
     "q_embedding_cosine_pairs" -> cosinePairsSql,
     "q_embedding_cosine_lsh" -> cosineLshSql)
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour: a k-means coarse
+  * quantizer assigns every vector to its nearest centroid; queries probe
+  * only the `nprobe` nearest clusters. This is the second scale path for
+  * similarity search besides hyperplane LSH ([[Ann]]):
+  *
+  *   - training (Lloyd iterations) is a handful of narrow passes — the
+  *     per-iteration shuffle carries (cluster, dim, partial-sum) rows, not
+  *     vectors;
+  *   - centroids are tiny (k × dim doubles) and live on the driver, so
+  *     cluster assignment is a pure codegen'd expression (argmin over k
+  *     dot products) — no join;
+  *   - at scale the corpus is written `partitionBy(cluster)`
+  *     ([[writeClustered]]); probing then prunes whole files at scan time
+  *     (`PartitionFilters` in the plan — see `IvfSpec`), so a query reads
+  *     nprobe/k of the data;
+  *   - `nprobe = k` degrades to exact brute force, which is what makes the
+  *     driver query oracle-checkable against the exact top-k SQL.
+  *
+  * Determinism: init centroids are the k lowest-id vectors and iteration
+  * count is fixed, so training is reproducible run-to-run and engine-to-
+  * engine (no RNG).
+  */
+object Ivf {
+
+  /** Squared-distance ranking expression: argmin_c |v-c|² = argmin_c
+    * (|c|² - 2·v·c); |v|² is constant per row and drops out. */
+  private def clusterExpr(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val ranked = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * Ann.dot(vec, Ann.vecLit(c.toSeq))).as("d"),
+        lit(i).as("i"))
+    }
+    least(ranked.toIndexedSeq: _*).getField("i")
+  }
+
+  /** Deterministic Lloyd k-means over `vecCol`. Returns k × dim centroids.
+    * Empty clusters keep their previous centroid. */
+  def kmeansCentroids(
+      df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = df
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    require(centroids.length == k, s"need at least $k vectors to train $k centroids")
+    val dim = centroids.head.length
+    for (_ <- 0 until iters) {
+      val stats = df
+        .select(clusterExpr(col(vecCol), centroids).as("cluster"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Attach the cluster id (codegen'd argmin — no join, no shuffle). */
+  def withCluster(df: DataFrame, vecCol: String, centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn("cluster", clusterExpr(col(vecCol), centroids))
+
+  /** Write the corpus partitioned by cluster so probes prune at scan time. */
+  def writeClustered(
+      df: DataFrame, vecCol: String, centroids: Array[Array[Double]], path: String): Unit =
+    withCluster(df, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** The `nprobe` clusters nearest to the query (driver-side — centroids
+    * are tiny). */
+  def probeClusters(centroids: Array[Array[Double]], query: Seq[Double], nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      (d, i)
+    }.sortBy(identity).take(nprobe).map(_._2).toSeq
+
+  /** IVF top-k by cosine: probe the nearest clusters, brute-force within.
+    * `nprobe = centroids.length` is exact. */
+  def ivfTopK(
+      df: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Double]], query: Seq[Double],
+      k: Int, nprobe: Int): DataFrame = {
+    val probed = probeClusters(centroids, query, nprobe)
+    withCluster(df, vecCol, centroids)
+      .where(col("cluster").isin(probed: _*))
+      .select(col(idCol), Ann.cosine(col(vecCol), Ann.vecLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Same, over a [[writeClustered]] layout: the cluster filter becomes a
+    * partition filter, so unprobed clusters are never read. */
+  def ivfTopKFromClustered(
+      spark: SparkSession, path: String, vecCol: String, idCol: String,
+      centroids: Array[Array[Double]], query: Seq[Double],
+      k: Int, nprobe: Int): DataFrame = {
+    val probed = probeClusters(centroids, query, nprobe)
+    spark.read.parquet(path)
+      .where(col("cluster").isin(probed: _*))
+      .select(col(idCol), Ann.cosine(col(vecCol), Ann.vecLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -79,6 +79,58 @@ object EventStreams {
         })
   }
 
+  // ---- incremental two-stream comparison (streaming analogue of
+  // SparkCompare's core loop: pair rows by key across two sources, emit
+  // match status as data arrives) ----
+
+  final case class CompareSideRow(key: Long, side: Int, value: Option[Double])
+  final case class ComparePairState(l: Option[Option[Double]], r: Option[Option[Double]])
+  final case class CompareUpdate(
+      key: Long, leftValue: Option[Double], rightValue: Option[Double], status: String)
+
+  /** Incremental keyed comparison of two (streaming or batch) frames on one
+    * numeric column: every arriving row updates per-key state and emits the
+    * key's current status — `left_only` / `right_only` upgrades to `match` /
+    * `mismatch` when the other side lands (downstream keeps the latest
+    * update per key). Null-safe like the batch comparator: null==null is a
+    * match, NaN==NaN is a match. State is one (two-option) entry per key —
+    * at scale, bound it with a watermark upstream or a timeout policy; the
+    * same code path runs in batch mode, which is how the spec pins the
+    * semantics against SparkCompare. */
+  def streamingValueCompare(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, valueCol: String)(implicit spark: SparkSession): Dataset[CompareUpdate] = {
+    import spark.implicits._
+    def sided(df: DataFrame, side: Int) = df.select(
+      col(keyCol).cast("long").as("key"),
+      lit(side).as("side"),
+      col(valueCol).cast("double").as("value")).as[CompareSideRow]
+    sided(left, 0).union(sided(right, 1))
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[CompareSideRow], state: GroupState[ComparePairState]) => {
+          var s = state.getOption.getOrElse(ComparePairState(None, None))
+          rows.foreach { row =>
+            if (row.side == 0) s = s.copy(l = Some(row.value))
+            else s = s.copy(r = Some(row.value))
+          }
+          state.update(s)
+          val status = (s.l, s.r) match {
+            case (Some(a), Some(b)) =>
+              val eq = (a, b) match {
+                case (None, None) => true
+                case (Some(x), Some(y)) => x == y || (x.isNaN && y.isNaN)
+                case _ => false
+              }
+              if (eq) "match" else "mismatch"
+            case (Some(_), None) => "left_only"
+            case (None, Some(_)) => "right_only"
+            case _ => "empty"
+          }
+          Iterator(CompareUpdate(key, s.l.flatten, s.r.flatten, status))
+        })
+  }
+
   /** Launch a file-source stream over a parquet directory mirroring a batch
     * frame's schema, apply `transform`, collect into a named memory sink.
     * Returns the query; callers `processAllAvailable()` then read

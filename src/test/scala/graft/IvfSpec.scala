@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Ivf}
+
+/** IVF coarse-quantizer ANN: training determinism, probe pruning, and the
+  * exact-at-full-probe contract. */
+class IvfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // four well-separated 2D clusters, 10 points each
+  private lazy val vecs = (0 until 40).map { i =>
+    val (cx, cy) = Seq((10f, 0f), (-10f, 0f), (0f, 10f), (0f, -10f))(i % 4)
+    (i.toLong, Array(cx + (i / 4) * 0.1f, cy + (i / 4) * 0.05f))
+  }.toDF("vec_id", "embedding")
+
+  test("kmeans is deterministic and separates the clusters") {
+    val c1 = Ivf.kmeansCentroids(vecs, "embedding", "vec_id", k = 4, iters = 5)
+    val c2 = Ivf.kmeansCentroids(vecs, "embedding", "vec_id", k = 4, iters = 5)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // each centroid should sit near one of the four cluster centers
+    val centers = Seq((10.0, 0.0), (-10.0, 0.0), (0.0, 10.0), (0.0, -10.0))
+    c1.foreach { c =>
+      assert(centers.exists { case (x, y) =>
+        math.abs(c(0) - x) < 1.5 && math.abs(c(1) - y) < 1.5 }, c.toSeq)
+    }
+    // every point lands in the cluster of its own center
+    val sizes = Ivf.withCluster(vecs, "embedding", c1)
+      .groupBy("cluster").count().collect().map(_.getLong(1))
+    assert(sizes.sorted.toSeq == Seq(10L, 10L, 10L, 10L))
+  }
+
+  test("full probe equals brute force; partial probe stays in-cluster") {
+    val cents = Ivf.kmeansCentroids(vecs, "embedding", "vec_id", k = 4, iters = 5)
+    val q = Seq(10.0, 0.5)
+    val brute = Ann.bruteForceTopK(vecs, "embedding", "vec_id", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val full = Ivf.ivfTopK(vecs, "embedding", "vec_id", cents, q, 5, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute)
+    val one = Ivf.ivfTopK(vecs, "embedding", "vec_id", cents, q, 5, nprobe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(one == brute) // the true neighbours all live in the probed cluster
+  }
+
+  test("clustered layout prunes unprobed partitions at scan time") {
+    val cents = Ivf.kmeansCentroids(vecs, "embedding", "vec_id", k = 4, iters = 5)
+    val path = "target/ivf_clustered"
+    Ivf.writeClustered(vecs, "embedding", cents, path)
+    val topk = Ivf.ivfTopKFromClustered(spark, path, "embedding", "vec_id",
+      cents, Seq(10.0, 0.5), 5, nprobe = 1)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"), plan)
+    val brute = Ann.bruteForceTopK(vecs, "embedding", "vec_id", Seq(10.0, 0.5), 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(topk.collect().map(_.getLong(0)).toSeq == brute)
+  }
+}

@@ -52,6 +52,55 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == expected)
   }
 
+  test("streaming value compare matches SparkCompare on the same frames") {
+    import spark.implicits._
+    implicit val s = spark
+    val left = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (5L, 50.0)).toDF("id", "v")
+    val right = Seq((1L, 10.0), (2L, 21.0), (4L, 40.0)).toDF("id", "v")
+    // batch mode: one update per key with final status
+    val updates = EventStreams.streamingValueCompare(left, right, "id", "v")
+      .collect().map(u => u.key -> u.status).toMap
+    assert(updates == Map(1L -> "match", 2L -> "mismatch", 3L -> "left_only",
+      4L -> "right_only", 5L -> "left_only"))
+    // agrees with the batch engine
+    val c = new graft.operators.SparkCompare(spark, left, right,
+      graft.operators.CompareConfig(joinColumns = Seq("id")))
+    assert(updates.values.count(_ == "match") + updates.values.count(_ == "mismatch")
+      == c.intersectCount)
+    assert(updates.values.count(_ == "left_only") == c.df1UnqCount)
+    assert(updates.values.count(_ == "right_only") == c.df2UnqCount)
+    assert(updates.values.count(_ == "match").toLong == c.countMatchingRows)
+    // null==null matches, like the comparator pipeline
+    val ln = Seq((7L, Option.empty[Double])).toDF("id", "v")
+    val rn = Seq((7L, Option.empty[Double])).toDF("id", "v")
+    val nu = EventStreams.streamingValueCompare(ln, rn, "id", "v").collect()
+    assert(nu.head.status == "match")
+  }
+
+  test("streaming value compare runs incrementally over file streams") {
+    implicit val s = spark
+    import spark.implicits._
+    val base = java.nio.file.Paths.get("target/stream_cmp")
+    val (ld, rd) = (base.resolve("left"), base.resolve("right"))
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(ld)
+    java.nio.file.Files.createDirectories(rd)
+    val left = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val right = Seq((1L, 10.0), (2L, 99.0)).toDF("id", "v")
+    left.coalesce(1).write.mode("overwrite").parquet(ld.toString)
+    right.coalesce(1).write.mode("overwrite").parquet(rd.toString)
+    val ls = spark.readStream.schema(left.schema).parquet(ld.toString)
+    val rs = spark.readStream.schema(right.schema).parquet(rd.toString)
+    val q = EventStreams.streamingValueCompare(ls, rs, "id", "v")
+      .writeStream.format("memory").queryName("cmp_sink").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // latest update per key is the final status
+    val rows = spark.table("cmp_sink").collect().map(r => r.getLong(0) -> r.getString(3))
+    val last = rows.groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    assert(last == Map(1L -> "match", 2L -> "mismatch"))
+  }
+
   test("stateful user sessions accumulate counts and sums") {
     implicit val s = spark
     val batch = EventStreams.normalizeEventTs(spark.read.parquet(dir)).limit(200)
