@@ -226,6 +226,34 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Near-dup pairs by shared winnowing fingerprints
+    * ([[graft.functions.WinnowFingerprints]]): rolling-hash k-grams →
+    * min-in-window chunk signatures → inverted-index join, pairs ranked by
+    * shared-fingerprint count. Winnowing's guarantee makes this the right
+    * operator for *substring-level* duplication (boilerplate, quoted
+    * passages): any shared run of ≥ w+k-1 bytes produces at least one
+    * shared fingerprint, while whole-document similarity is MinHash/
+    * SimHash territory. Same inverted-index scale shape as
+    * [[jaccardPairs]] — never an all-pairs join. */
+  def winnowPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      w: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    val fps = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(
+          graft.functions.WinnowFingerprints.fingerprints(col(textCol), k, w))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = fps.toDF("id1", "fp")
+    val b = fps.toDF("id2", "fp")
+    a.join(b, Seq("fp")).where(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared_fingerprints"))
+      .where(col("shared_fingerprints") >= minShared)
+  }
+
   /** Token xxhash64 array for SimHash (materialize before fanning out). */
   def tokenHashes(text: Column): Column =
     transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t))

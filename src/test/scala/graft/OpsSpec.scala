@@ -106,6 +106,32 @@ class OpsSpec extends SparkTestBase {
     assert(nd.contains((0L, 3L)))
   }
 
+  test("winnowing fingerprints: shared substrings guarantee shared chunks") {
+    import graft.functions.WinnowFingerprints
+    val fp = (t: String) => {
+      val df = Seq(Tuple1(t)).toDF("t")
+      df.select(WinnowFingerprints.fingerprints(col("t"), 5, 4)).first().getSeq[Long](0)
+    }
+    // deterministic and order-preserving
+    assert(fp("the quick brown fox") == fp("the quick brown fox"))
+    // density ~2/(w+1): far fewer fingerprints than grams
+    val long = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    assert(fp(long).size < long.length / 2 && fp(long).nonEmpty)
+    // short text degrades to one whole-text hash
+    assert(fp("abc").size == 1)
+    // winnowing guarantee: docs sharing a long substring share a fingerprint
+    val shared = "a very distinctive shared passage of text"
+    val d1 = s"prefix one $shared suffix alpha"
+    val d2 = s"totally different opening $shared and ending"
+    assert(fp(d1).toSet.intersect(fp(d2).toSet).nonEmpty)
+    // inverted-index pair detection finds the overlap, not unrelated docs
+    val pairs = Dedup.winnowPairs(docs, "text", "doc_id", k = 5, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dups share everything
+    assert(pairs.contains((0L, 1L))) // near dups share the long common prefix
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("simhash: identical text → distance 0, near text → small, different → large") {
     val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
