@@ -73,10 +73,10 @@ object OpsPack {
     * partial-probe and partition-pruned paths are pinned by IvfSpec. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    val cents = Ivf.kmeansCentroids(e, "embedding", "vec_id", k = 8, iters = 3)
+    val cents = Ivf.kmeansCentroids(e, "embedding", "vec_id", k = 4, iters = 2)
     val q = e.where(col("vec_id") === 0).select(col("embedding")).first()
       .getSeq[Float](0).map(_.toDouble)
-    val top = Ivf.ivfTopK(e, "embedding", "vec_id", cents, q, 20, nprobe = 8)
+    val top = Ivf.ivfTopK(e, "embedding", "vec_id", cents, q, 20, nprobe = 4)
     import s.implicits._
     top.collect().zipWithIndex
       .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
