@@ -63,6 +63,30 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("full compare + report are ANSI-mode-invariant") {
+    def frames = {
+      val a = Seq((1L, "x", 1.5, "2020-01-01"), (2L, "y", Double.NaN, "bad-date"),
+        (3L, null.asInstanceOf[String], 3.0, "2020-03-01"))
+        .toDF("id", "s", "v", "ds").withColumn("d", col("ds").try_cast("date")).drop("ds")
+      val b = Seq((1L, "x", 1.6, "2020-01-01"), (2L, "z", Double.NaN, "2020-02-02"),
+        (4L, "w", 4.0, "2020-04-01"))
+        .toDF("id", "s", "v", "ds").withColumn("d", col("ds").try_cast("date")).drop("ds")
+      (a.coalesce(1), b.coalesce(1))
+    }
+    def run(): String = {
+      val (a, b) = frames
+      new SparkCompare(spark, a, b, CompareConfig(
+        joinColumns = Seq("id"), absTol = ToleranceSpec.of(0.05))).report()
+    }
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    val on = try { spark.conf.set("spark.sql.ansi.enabled", "true"); run() }
+      finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    val off = try { spark.conf.set("spark.sql.ansi.enabled", "false"); run() }
+      finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert(on == off, "report text diverged between ANSI modes")
+    assert(on.contains("DataComPy Comparison"))
+  }
+
   test("numeric semantics hold with ANSI mode disabled too") {
     val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
     try {
