@@ -14,20 +14,41 @@ final case class ToleranceSpec(default: Double, perColumn: Map[String, Double] =
     perColumn.getOrElse(column.toLowerCase, default)
 
   /** Display form for reports: bare default, or Python-dict-like with
-    * overrides (mirrors how the reference echoes its constructor arg; the
-    * reference's default is the int 0, which Python renders "0" — match
-    * that for the no-tolerance report line). */
+    * overrides — numbers rendered the way Python `str` renders them
+    * (int-zero default → "0", 0.0001 → "0.0001" not "1.0E-4", sub-1e-4 →
+    * "1e-05" style), since the reference echoes its constructor arg
+    * verbatim into the Row Summary. A zero default is omitted from the
+    * dict form, like a user dict that never set the "default" key. */
   def display: String = {
-    def num(v: Double): String = if (v == 0.0) "0" else v.toString
-    if (perColumn.isEmpty) num(default)
-    else (perColumn.toSeq.sortBy(_._1).map { case (k, v) => s"'$k': ${num(v)}" } :+
-      s"'default': ${num(default)}").mkString("{", ", ", "}")
+    if (perColumn.isEmpty) ToleranceSpec.pythonNum(default)
+    else {
+      val entries = perColumn.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'$k': ${ToleranceSpec.pythonNum(v)}" } ++
+        (if (default == 0.0) Nil else Seq(s"'default': ${ToleranceSpec.pythonNum(default)}"))
+      entries.mkString("{", ", ", "}")
+    }
   }
 }
 
 object ToleranceSpec {
   val Zero: ToleranceSpec = ToleranceSpec(0.0)
   def of(d: Double): ToleranceSpec = ToleranceSpec(d)
+
+  /** Python-`str`-style rendering of a tolerance value: "0" for the int-0
+    * default, plain decimal down to 1e-4 (Python's exponent cutoff), then
+    * "1e-05"-style beneath it. */
+  private[operators] def pythonNum(v: Double): String =
+    if (v == 0.0) "0"
+    else if (v == math.rint(v) && math.abs(v) < 1e15) s"${v.toLong}.0"
+    else if (math.abs(v) >= 1e-4)
+      new java.math.BigDecimal(v.toString).stripTrailingZeros.toPlainString
+    else {
+      // Java "1.5E-7" → Python "1.5e-07"; mantissa "1.0" collapses to "1"
+      val Array(m, e) = v.toString.split("E")
+      val mantissa = if (m.endsWith(".0")) m.dropRight(2) else m
+      val exp = e.toInt
+      f"${mantissa}e${if (exp < 0) "-" else "+"}${math.abs(exp)}%02d"
+    }
 }
 
 /** Constructor parameters of a comparison

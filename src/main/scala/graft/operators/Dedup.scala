@@ -19,6 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // Postings/shingle frames persisted by the pair operators, so sessions
+  // running many dedup passes can release them (persist without a handle
+  // would otherwise pin disk-backed blocks until session shutdown).
+  private val cachedFrames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def cacheShared(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cachedFrames.add(p)
+    p
+  }
+
+  /** Unpersist every postings cache created by the dedup pair operators.
+    * Call between corpora in long-running sessions; results already
+    * materialized are unaffected (lazy consumers recompute). */
+  def releaseCaches(): Unit = {
+    var d = cachedFrames.poll()
+    while (d != null) { d.unpersist(); d = cachedFrames.poll() }
+  }
+
   /** Exact duplicate groups by content hash of `textCol` (normalized md5).
     * Returns one row per group: (fingerprint, keep_id, n_dupes). */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -65,7 +84,7 @@ object Dedup {
     // join); without persistence the regex shingling stage re-executes for
     // each. Postings are two longs per (doc, gram) — far smaller than the
     // input text — so caching them is the right trade at any scale.
-    val filtered = filteredPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filtered = cacheShared(filteredPlan)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = filtered.toDF("id1", "g")
     val b = filtered.toDF("id2", "g")
@@ -182,7 +201,7 @@ object Dedup {
     // the regex shingling runs once (same rationale as jaccardPairs)
     val shingled = df.select(col(idCol).as("id"),
       TextOps.wordShingles(col(textCol), shingleSize).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cacheShared)
     val withSig = minhashSignaturesMd5(shingled, numHashes)
     val candidates = lshCandidatePairs(withSig, "id", numHashes, bands)
     val g1 = shingled.toDF("id1", "g1")
@@ -212,7 +231,7 @@ object Dedup {
     val shingled = df.select(col(idCol).as("id"),
       transform(TextOps.wordShingles(col(textCol), shingleSize),
         s => xxhash64(s)).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cacheShared)
     val withSig = minhashSignatures(shingled, numHashes)
     val candidates = lshCandidatePairs(withSig, "id", numHashes, bands)
     val g1 = shingled.toDF("id1", "g1")
@@ -246,7 +265,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(array_distinct(
           graft.functions.WinnowFingerprints.fingerprints(col(textCol), k, w))).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(cacheShared)
     val a = fps.toDF("id1", "fp")
     val b = fps.toDF("id2", "fp")
     a.join(b, Seq("fp")).where(col("id1") < col("id2"))

@@ -521,13 +521,16 @@ class SparkCompare(
   }
 
   /** Render the text report; optionally save the HTML form and/or render
-    * through a custom template file (reference: base.py:405-443). */
+    * through a custom template file. Like the reference (base.py:435-442),
+    * the HTML file wraps the SAME text returned — custom-template renders
+    * are saved as rendered, not the default layout. */
   def report(sampleCount: Int = 10, columnCount: Int = 10,
       htmlFile: Option[String] = None,
       templatePath: Option[String] = None): String = {
     val data = buildReportData(sampleCount, columnCount)
-    htmlFile.foreach(data.save)
-    data.render(templatePath)
+    val text = data.render(templatePath)
+    htmlFile.foreach(graft.report.ReportData.saveHtml(text, _))
+    text
   }
 
   /** Release the cached join (shared with tolerance variants). */

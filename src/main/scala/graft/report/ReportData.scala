@@ -70,14 +70,9 @@ final case class ReportData(
     templatePath.fold(render)(TemplateReport.renderFile(this, _))
 
   /** Reference: report.py:279-297 / base.py:674-690. */
-  def toHtml: String =
-    s"<html><head><title>DataComPy Report</title></head><body><pre>$render</pre></body></html>"
+  def toHtml: String = ReportData.wrapHtml(render)
 
-  def save(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.writeString(p, toHtml)
-  }
+  def save(path: String): Unit = ReportData.saveHtml(render, path)
 
   /** JSON mirror of the reference's `to_dict` (report.py:313-322);
     * hand-rolled encoder, no dependencies. */
@@ -134,6 +129,20 @@ final case class ReportData(
       "rows" -> Json.str(df2UniqueRows.rows)))
 
   override def toString: String = render
+}
+
+object ReportData {
+  private[report] def wrapHtml(text: String): String =
+    s"<html><head><title>DataComPy Report</title></head><body><pre>$text</pre></body></html>"
+
+  /** Save arbitrary rendered report text as the `<pre>`-wrapped HTML form
+    * (reference: base.py:674-690 saves whatever text `report()` produced,
+    * including custom-template renders). */
+  def saveHtml(text: String, path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, wrapHtml(text))
+  }
 }
 
 /** Minimal dependency-free JSON emitter. */

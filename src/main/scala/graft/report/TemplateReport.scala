@@ -70,7 +70,15 @@ object TemplateReport {
     render(tpl, context(d))
   }
 
-  def render(template: String, ctx: Ctx): String = renderBlock(template, ctx).trim
+  def render(template: String, ctx: Ctx): String = {
+    // the reference's Jinja env enables trim_blocks (newline right after a
+    // block tag is dropped) and lstrip_blocks (whitespace from a line start
+    // to a block tag is dropped) — base.py:638-640; emulate both so
+    // Jinja-style templates with tags on their own lines render identically
+    val lstripped = template.replaceAll("(?m)^[ \\t]+(?=\\{%)", "")
+    val trimmed = lstripped.replaceAll("%\\}\\n", "%}")
+    renderBlock(trimmed, ctx).trim
+  }
 
   private def lookup(path: String, ctx: Ctx): Option[Any] =
     path.split('.').foldLeft(Option[Any](ctx)) {
