@@ -105,10 +105,12 @@ object ComparePack {
             if (raw) (frameARaw(s, dir), frameBRaw(s, dir))
             else (frameA(s, dir), frameB(s, dir))
           // the non-raw frames are unique-keyed by construction (uniqueKeyed
-          // filter) over null-free TPC-H keys, so the engine can skip the
-          // shape-probe scans; the raw frames carry duplicates and must probe
+          // filter); the raw frames carry known duplicates. Keys are
+          // null-free either way (the orderkey mod-filter itself drops
+          // NULLs), so both paths skip the probe scans — the raw hint keeps
+          // the pairing-rank windows.
           val hints =
-            if (raw) (None, None) else (Some(true), Some(true))
+            if (raw) (Some(false), Some(true)) else (Some(true), Some(true))
           new SparkCompare(s, a, b,
             CompareConfig(joinColumns = keys, absTol = ToleranceSpec.of(absTol),
               assumeKeysUnique = hints._1, assumeKeysNullFree = hints._2))

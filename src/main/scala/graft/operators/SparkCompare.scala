@@ -114,17 +114,21 @@ class SparkCompare(
   }
   private lazy val df1Shape: Shape = shapes._1
   private lazy val df2Shape: Shape = shapes._2
-  /** True when the caller's assume-hints make the shape probe unnecessary
-    * for planning; counts then fall back to plain `count()` (no shuffle). */
+  /** True when the caller's assume-hints answer every planning question
+    * (duplicate presence AND key nullability), making the probe scan
+    * unnecessary; row counts then come from slice arithmetic over the
+    * cached join — `assumeKeysUnique = Some(false)` is as probe-free as
+    * `Some(true)`, it just keeps the pairing-rank windows (harmless when
+    * data turns out unique: every rank is 0). */
   private def probeFree: Boolean =
-    config.assumeKeysUnique.contains(true) && config.assumeKeysNullFree.contains(true)
+    config.assumeKeysUnique.isDefined && config.assumeKeysNullFree.isDefined
   lazy val df1Count: Long =
     if (probeFree) sliceCounts._1 + sliceCounts._2 else df1Shape.rowCount
   lazy val df2Count: Long =
     if (probeFree) sliceCounts._1 + sliceCounts._3 else df2Shape.rowCount
   lazy val anyDupes: Boolean =
-    if (config.assumeKeysUnique.contains(true)) false
-    else df1Shape.hasDupes || df2Shape.hasDupes
+    config.assumeKeysUnique.map(!_)
+      .getOrElse(df1Shape.hasDupes || df2Shape.hasDupes)
 
   private val ordCol: String = Utils.tempColumnName(df1, df2)
 
