@@ -67,6 +67,18 @@ object OpsPack {
       .toSeq.toDF("rank", "vec_id")
   }
 
+  /** Batched ANN: top-5 per query for three query vectors at once —
+    * broadcast the query set, score map-side, one window shuffle on
+    * query_id (the many-queries scale shape; no per-query jobs). */
+  def annTopKMulti(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val queries = e.where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    Ann.bruteForceTopKJoin(e, "embedding", "vec_id", queries, "qv", "query_id", k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("id").as("vec_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF top-20 with full probe (nprobe = k ⇒ exact, so the brute-force
     * oracle applies verbatim) — exercises deterministic k-means training,
     * codegen'd cluster assignment, and the per-cluster scan/merge; the
@@ -165,6 +177,7 @@ object OpsPack {
     "q_dedup_minhash_lsh" -> (minhashPairs _),
     "q_dedup_simhash" -> (simhashPairs _),
     "q_ann_topk" -> (annTopK _),
+    "q_ann_topk_multi" -> (annTopKMulti _),
     "q_ann_ivf" -> (annIvf _),
     "q_embedding_cosine_pairs" -> (cosinePairs _),
     "q_embedding_cosine_lsh" -> (cosinePairsLsh _),
@@ -340,6 +353,17 @@ object OpsPack {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  private val annTopKMultiSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+      |scored AS (SELECT q.qid, e.vec_id, list_cosine_similarity(e.v, q.qv) c
+      |           FROM e CROSS JOIN q),
+      |ranked AS (SELECT qid AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS BIGINT) AS rank,
+      |  vec_id FROM scored)
+      |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   private val annTopKSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       |q AS (SELECT v FROM e WHERE vec_id = 0),
@@ -376,6 +400,7 @@ object OpsPack {
     "q_dedup_minhash_lsh" -> minhashSql,
     "q_dedup_simhash" -> simhashSql,
     "q_ann_topk" -> annTopKSql,
+    "q_ann_topk_multi" -> annTopKMultiSql,
     "q_ann_ivf" -> annTopKSql,
     "q_embedding_cosine_pairs" -> cosinePairsSql,
     "q_embedding_cosine_lsh" -> cosineLshSql)
