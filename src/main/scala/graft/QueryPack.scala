@@ -123,7 +123,10 @@ object ComparePack {
     miscCache.getOrElseUpdate((System.identityHashCode(s), dir, "ignore"),
       new SparkCompare(s, frameA(s, dir), frameC(s, dir),
         CompareConfig(joinColumns = keys2, ignoreSpaces = true, ignoreCase = true,
-          assumeKeysUnique = Some(true), assumeKeysNullFree = Some(true))))
+          assumeKeysUnique = Some(true), assumeKeysNullFree = Some(true),
+          // single consumer (the fused stats pass) — a cache write of the
+          // merged join would never be read back
+          cacheIntermediates = false)))
 
   /** CSV-source compare: a fixed CSV pair written under target/, loaded via
     * the extension-inferring reader (header + inferSchema), compared on id.

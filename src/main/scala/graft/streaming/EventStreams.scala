@@ -131,6 +131,31 @@ object EventStreams {
         })
   }
 
+  /** Watermark-bounded stream-stream comparison join: inner-join two
+    * event-keyed streams whose rows carry event time, requiring the two
+    * sides' timestamps within `joinWindow` of each other, and compare one
+    * value column null-safely. Unlike [[streamingValueCompare]] (exact but
+    * unbounded state), watermarks let Spark DROP join state older than the
+    * horizon — state scales with the in-flight window, not stream length,
+    * which is the 100 TB/continuous-ingest configuration. Emits
+    * (key, left_value, right_value, is_match). */
+  def streamingCompareJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String,
+      watermark: String = "10 minutes",
+      joinWindow: String = "5 minutes"): DataFrame = {
+    val l = left.select(col(keyCol).as("l_key"), col(tsCol).as("l_ts"),
+      col(valueCol).as("l_value")).withWatermark("l_ts", watermark)
+    val r = right.select(col(keyCol).as("r_key"), col(tsCol).as("r_ts"),
+      col(valueCol).as("r_value")).withWatermark("r_ts", watermark)
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $joinWindow") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $joinWindow"))
+      .select(col("l_key").as("key"), col("l_value"), col("r_value"),
+        (col("l_value") <=> col("r_value")).as("is_match"))
+  }
+
   /** Launch a file-source stream over a parquet directory mirroring a batch
     * frame's schema, apply `transform`, collect into a named memory sink.
     * Returns the query; callers `processAllAvailable()` then read

@@ -101,6 +101,32 @@ class StreamingSpec extends SparkTestBase {
     assert(last == Map(1L -> "match", 2L -> "mismatch"))
   }
 
+  test("watermarked stream-stream compare join: streaming equals batch") {
+    import spark.implicits._
+    val base = java.nio.file.Paths.get("target/stream_join")
+    val (ld, rd) = (base.resolve("left"), base.resolve("right"))
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = Seq((1L, ts(0), 10.0), (2L, ts(1), 20.0), (3L, ts(2), 30.0))
+      .toDF("id", "ts", "v")
+    val right = Seq((1L, ts(1), 10.0), (2L, ts(3), 21.0), (3L, ts(30), 30.0))
+      .toDF("id", "ts", "v") // id 3 arrives outside the 5-minute join window
+    left.coalesce(1).write.parquet(ld.toString)
+    right.coalesce(1).write.parquet(rd.toString)
+    val batch = EventStreams.streamingCompareJoin(left, right, "id", "ts", "v")
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toSet
+    assert(batch == Set((1L, true), (2L, false))) // id 3 excluded by the window
+    val ls = spark.readStream.schema(left.schema).parquet(ld.toString)
+    val rs = spark.readStream.schema(right.schema).parquet(rd.toString)
+    val q = EventStreams.streamingCompareJoin(ls, rs, "id", "ts", "v")
+      .writeStream.format("memory").queryName("join_sink").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("join_sink").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).toSet
+    assert(streamed == batch)
+  }
+
   test("stateful user sessions accumulate counts and sums") {
     implicit val s = spark
     val batch = EventStreams.normalizeEventTs(spark.read.parquet(dir)).limit(200)
