@@ -21,12 +21,13 @@ import graft.functions.{CompareOpts, ComparatorPipeline, TypeClasses}
   *     two extra null/sentinel probe jobs per input, spark.py:1136-1147 —
   *     Spark's window partitioning already groups NULL keys together, so the
   *     string-cast/sentinel dance is unnecessary).
-  *   - ALL per-column statistics — match counts, null diffs, max diffs, and
-  *     the all-columns-match row count — are fused into one single-pass
-  *     aggregation over the cached intersection (reference runs one agg for
-  *     match counts, spark.py:573-578, plus TWO separate jobs per column for
-  *     max_diff/null_diff, spark.py:1026-1111, plus another full-scan filter
-  *     for count_matching_rows, spark.py:659-679 — O(columns) scans).
+  *   - ALL statistics — per-column match counts, null diffs, max diffs, the
+  *     all-columns-match row count, AND the merge-slice counts — are fused
+  *     into one single-pass aggregation over the cached join (reference runs
+  *     one agg for match counts, spark.py:573-578, plus TWO separate jobs
+  *     per column for max_diff/null_diff, spark.py:1026-1111, another
+  *     full-scan filter for count_matching_rows, spark.py:659-679, and
+  *     per-slice counts, spark.py:524-531 — O(columns) scans).
   *   - Because the join sides are unique on (keys ++ rank), the outer join is
   *     1:1 and `left_only = count(df1) - count(intersect)` — unique-row counts
   *     cost no extra scan at all (reference counts each slice,
@@ -207,18 +208,13 @@ class SparkCompare(
     else merged.outerJoin
   }
 
-  /** left_only / right_only / both counts from one pass over the cached
-    * join. Because the join sides are unique on (keys ++ rank), the outer
-    * join is 1:1 and these slice counts reconstruct the input row counts
-    * with no input re-scan. */
-  private lazy val sliceCounts: (Long, Long, Long) = parent.map(_.sliceCounts).getOrElse {
-    val r = mergedCached.agg(
-      sum(when(col("_merge") === "both", 1L).otherwise(0L)),
-      sum(when(col("_merge") === "left_only", 1L).otherwise(0L)),
-      sum(when(col("_merge") === "right_only", 1L).otherwise(0L))).first()
-    def g(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
-    (g(0), g(1), g(2))
-  }
+  /** left_only / right_only / both counts, folded into the single stats
+    * pass ([[statsRow]] aggregates the whole cached join with `_merge`
+    * guards). Because the join sides are unique on (keys ++ rank), the
+    * outer join is 1:1 and these slice counts reconstruct the input row
+    * counts with no input re-scan. */
+  private lazy val sliceCounts: (Long, Long, Long) = parent.map(_.sliceCounts).getOrElse(
+    (statLong("__graft_cnt"), statLong("__graft_left"), statLong("__graft_right")))
 
   // ---- sensitive-column masking (reference: spark.py:224-271) ----
   // The reference destructively overwrites the derived frames and must re-run
@@ -328,16 +324,21 @@ class SparkCompare(
   private def fNullDiff(c: String) = s"__nulldiff_$c"
   private def fMaxDiff(c: String) = s"__maxdiff_$c"
 
-  /** THE single-pass statistics aggregation (see class doc). */
+  /** THE single-pass statistics aggregation (see class doc): one scan of
+    * the cached join computes the per-column match counts, null diffs, max
+    * diffs, the all-columns-match row count, AND the three merge-slice
+    * counts — every `_merge != 'both'` row only feeds the slice tallies via
+    * the `isBoth` guards. */
   private lazy val statsRow: Row = {
+    val isBoth = col("_merge") === "both"
     val perCol = compareColumns.flatMap { c =>
       val c1 = col(s"${c}_$n1")
       val c2 = col(s"${c}_$n2")
       val matchExpr =
-        sum(when(col(s"${c}_match") === true, 1L).otherwise(0L)).as(fMatch(c))
+        sum(when(isBoth && col(s"${c}_match") === true, 1L).otherwise(0L)).as(fMatch(c))
       // XOR-null count (reference: spark.py:1070-1111, one job per column).
       val nullDiffExpr =
-        sum(when(c1.isNull =!= c2.isNull, 1L).otherwise(0L)).as(fNullDiff(c))
+        sum(when(isBoth && (c1.isNull =!= c2.isNull), 1L).otherwise(0L)).as(fNullDiff(c))
       // Max |a-b| over try_cast doubles, NaN excluded
       // (reference: spark.py:1026-1067, one job per column).
       val t1 = df1.schema(c).dataType
@@ -345,7 +346,7 @@ class SparkCompare(
       (maxDiffView(c1, t1), maxDiffView(c2, t2)) match {
         case (Some(v1), Some(v2)) =>
           val d = abs(v1 - v2)
-          Seq(matchExpr, nullDiffExpr, max(when(!isnan(d), d)).as(fMaxDiff(c)))
+          Seq(matchExpr, nullDiffExpr, max(when(isBoth && !isnan(d), d)).as(fMaxDiff(c)))
         case _ =>
           Seq(matchExpr, nullDiffExpr)
       }
@@ -354,9 +355,24 @@ class SparkCompare(
       if (compareColumns.isEmpty) lit(true)
       else compareColumns.map(c => col(s"${c}_match") === true).reduce(_ && _)
     val exprs = Seq(
-      count(lit(1)).as("__graft_cnt"),
-      sum(when(allMatchCond, 1L).otherwise(0L)).as("__graft_all_match")) ++ perCol
-    intersectRowsBase.agg(exprs.head, exprs.tail: _*).first()
+      sum(when(isBoth, 1L).otherwise(0L)).as("__graft_cnt"),
+      sum(when(col("_merge") === "left_only", 1L).otherwise(0L)).as("__graft_left"),
+      sum(when(col("_merge") === "right_only", 1L).otherwise(0L)).as("__graft_right"),
+      sum(when(isBoth && allMatchCond, 1L).otherwise(0L)).as("__graft_all_match")) ++ perCol
+    val withMatch = {
+      val matchCols = compareColumns.map { c =>
+        val opts = CompareOpts(
+          absTol = config.absTol.forColumn(c),
+          relTol = config.relTol.forColumn(c),
+          ignoreSpaces = config.ignoreSpaces,
+          ignoreCase = config.ignoreCase)
+        ComparatorPipeline
+          .columnsEqual(mergedCached, s"${c}_$n1", s"${c}_$n2", opts, config.customComparators)
+          .as(s"${c}_match")
+      }
+      mergedCached.select(mergedCached.columns.map(col).toIndexedSeq ++ matchCols: _*)
+    }
+    withMatch.agg(exprs.head, exprs.tail: _*).first()
   }
 
   private def statLong(name: String): Long = {
