@@ -230,6 +230,28 @@ class SparkCompareSpec extends SparkTestBase {
     assert(hinted.countMatchingRows == probed.countMatchingRows)
   }
 
+  test("probe-free counts from slice arithmetic handle empty and dupe inputs") {
+    // empty right side with hints: counts come from the stats pass
+    val a = Seq((1, "x"), (2, "y")).toDF("id", "s")
+    val empty = Seq.empty[(Int, String)].toDF("id", "s")
+    val c = cmp(a, empty, Seq("id"),
+      _.copy(assumeKeysUnique = Some(true), assumeKeysNullFree = Some(true)))
+    assert(c.df1Count == 2 && c.df2Count == 0)
+    assert(c.df1UnqCount == 2 && c.df2UnqCount == 0 && c.intersectCount == 0)
+    // known-duplicate hint: probe skipped, rank pairing still correct
+    val d1 = Seq((1, "x1"), (1, "x2"), (2, "y")).toDF("id", "s").coalesce(1)
+    val d2 = Seq((1, "x1"), (2, "y")).toDF("id", "s").coalesce(1)
+    val cd = cmp(d1, d2, Seq("id"),
+      _.copy(assumeKeysUnique = Some(false), assumeKeysNullFree = Some(true)))
+    assert(cd.anyDupes)
+    assert(cd.df1Count == 3 && cd.df2Count == 2)
+    assert(cd.intersectCount == 2 && cd.df1UnqCount == 1 && cd.df2UnqCount == 0)
+    // Some(false) on genuinely unique data: ranks are all 0, results unchanged
+    val u = cmp(a, a, Seq("id"),
+      _.copy(assumeKeysUnique = Some(false), assumeKeysNullFree = Some(true)))
+    assert(u.matches() && u.intersectCount == 2)
+  }
+
   test("probe computes both sides' shapes in one pass (empty side handled)") {
     val a = Seq((1, "x"), (1, "y")).toDF("id", "s").coalesce(1)
     val empty = Seq.empty[(Int, String)].toDF("id", "s")
