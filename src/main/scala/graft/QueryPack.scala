@@ -117,6 +117,32 @@ object ComparePack {
         }
       })
 
+  /** User-side custom comparator mirroring the reference documentation's
+    * canonical example (docs/source/comparator_usage.rst): claim string
+    * pairs and call them equal when their LENGTHS match; decline everything
+    * else so the default pipeline handles it. */
+  object LengthComparator extends graft.functions.Comparator {
+    import graft.functions.{CompareOpts, TypeClasses}
+    override def compare(df: DataFrame, col1: String, col2: String,
+        opts: CompareOpts): Option[org.apache.spark.sql.Column] = {
+      if (TypeClasses.isStringLike(TypeClasses.dtypeOf(df, col1)) &&
+          TypeClasses.isStringLike(TypeClasses.dtypeOf(df, col2)))
+        Some(when(length(col(col1)) <=> length(col(col2)), lit(true)).otherwise(lit(false)))
+      else None
+    }
+  }
+
+  /** frameA vs frameC with the custom length comparator prepended: string
+    * columns match by length (case flips match, padding mismatches),
+    * everything else falls through to the default pipeline (§2.10). */
+  def compareCustom(s: SparkSession, dir: String): SparkCompare =
+    miscCache.getOrElseUpdate((System.identityHashCode(s), dir, "custom"),
+      new SparkCompare(s, frameA(s, dir), frameC(s, dir),
+        CompareConfig(joinColumns = keys2,
+          customComparators = Seq(LengthComparator),
+          assumeKeysUnique = Some(true), assumeKeysNullFree = Some(true),
+          cacheIntermediates = false)))
+
   /** Compare frameA against its string-perturbed twin with
     * ignore_spaces + ignore_case active (string normalization path). */
   def compareIgnore(s: SparkSession, dir: String): SparkCompare =
@@ -212,18 +238,20 @@ object OracleGen {
 
   /** Boolean match expression per non-key column, mirroring the comparator
     * pipeline at the given abs/rel tolerance (no NaN present in this data).
-    * `ignoreNorm` applies the trim+upper normalization to string columns
-    * (engine: SparkStringComparator.normalize). */
+    * `stringMode`: "exact" (default), "norm" (trim+upper, engine's
+    * ignore-flags normalization), or "len" (the custom length comparator). */
   def matchExpr(c: String, absTol: Double, relTol: Double = 0.0,
-      ignoreNorm: Boolean = false): String =
+      stringMode: String = "exact"): String =
     if ((absTol > 0 || relTol > 0) && numericCols(c)) {
       val (a, b) =
         if (integralCols(c)) (s"CAST(a_$c AS DOUBLE)", s"CAST(b_$c AS DOUBLE)")
         else (s"a_$c", s"b_$c")
       s"((a_$c IS NOT DISTINCT FROM b_$c) OR " +
         s"COALESCE(ABS($a - $b) <= $absTol + $relTol * ABS($b), FALSE))"
-    } else if (ignoreNorm && stringCols(c))
+    } else if (stringMode == "norm" && stringCols(c))
       s"(upper(trim(a_$c)) IS NOT DISTINCT FROM upper(trim(b_$c)))"
+    else if (stringMode == "len" && stringCols(c))
+      s"(length(a_$c) IS NOT DISTINCT FROM length(b_$c))"
     else s"(a_$c IS NOT DISTINCT FROM b_$c)"
 
   /** Max |a-b| over doubles, NULL-skipped, matching engine max_diff. */
@@ -238,15 +266,15 @@ object OracleGen {
     s"CAST(SUM(CASE WHEN (a_$c IS NULL) <> (b_$c IS NULL) THEN 1 ELSE 0 END) AS BIGINT)"
 
   def matchCntExpr(c: String, absTol: Double, relTol: Double = 0.0,
-      ignoreNorm: Boolean = false): String =
-    s"CAST(SUM(CASE WHEN ${matchExpr(c, absTol, relTol, ignoreNorm)} THEN 1 ELSE 0 END) AS BIGINT)"
+      stringMode: String = "exact"): String =
+    s"CAST(SUM(CASE WHEN ${matchExpr(c, absTol, relTol, stringMode)} THEN 1 ELSE 0 END) AS BIGINT)"
 
   /** Oracle for the per-column stats table (q_compare_column_stats). */
   def columnStatsSql(keys: Seq[String], absTol: Double, relTol: Double = 0.0,
-      ignoreNorm: Boolean = false, df2Cte: String = df2Sql): String = {
+      stringMode: String = "exact", df2Cte: String = df2Sql): String = {
     val nonKeys = liCols.filterNot(keys.contains)
     val aggSel = (Seq("CAST(COUNT(*) AS BIGINT) AS cnt") ++ nonKeys.flatMap(c => Seq(
-      s"${matchCntExpr(c, absTol, relTol, ignoreNorm)} AS match_$c",
+      s"${matchCntExpr(c, absTol, relTol, stringMode)} AS match_$c",
       s"${nullDiffExpr(c)} AS nd_$c",
       s"${maxDiffExpr(c)} AS md_$c"))).mkString(", ")
     val rows = nonKeys.map(c =>
@@ -263,7 +291,11 @@ object OracleGen {
 
   /** Oracle for the ignore_spaces/ignore_case stats query (df1 vs frameC). */
   def ignoreStatsSql(keys: Seq[String]): String =
-    columnStatsSql(keys, 0.0, 0.0, ignoreNorm = true, df2Cte = dfcSql)
+    columnStatsSql(keys, 0.0, 0.0, stringMode = "norm", df2Cte = dfcSql)
+
+  /** Oracle for the custom length-comparator query (df1 vs frameC). */
+  def customStatsSql(keys: Seq[String]): String =
+    columnStatsSql(keys, 0.0, 0.0, stringMode = "len", df2Cte = dfcSql)
 
   /** Oracle for the CSV-source compare: the fixed CSV pair has hand-derivable
     * stats (ids 1-3 intersect; name differs on id 2, qty on id 3 by 6.0). */

@@ -27,6 +27,8 @@ object SparkEntry {
     "q_compare_column_stats_rel" -> ((s, dir) => statsDf(s, compare(s, dir, relTol = 0.001))),
     // ignore_spaces + ignore_case string normalization (§2.2).
     "q_compare_stats_ignore" -> ((s, dir) => statsDf(s, compareIgnore(s, dir))),
+    // custom comparator prepended to the pipeline (§2.10).
+    "q_compare_custom_comparator" -> ((s, dir) => statsDf(s, compareCustom(s, dir))),
     // CSV source → compare → stats (§2.1 scan path).
     "q_source_csv" -> (csvCompareStats _),
     // Merge slice counts from the null-safe full outer join (§2.3).
@@ -69,6 +71,7 @@ object SparkEntry {
     "q_compare_column_stats_tol" -> OracleGen.columnStatsSql(keys2, 0.01),
     "q_compare_column_stats_rel" -> OracleGen.columnStatsSql(keys2, 0.0, 0.001),
     "q_compare_stats_ignore" -> OracleGen.ignoreStatsSql(keys2),
+    "q_compare_custom_comparator" -> OracleGen.customStatsSql(keys2),
     "q_source_csv" -> OracleGen.csvStatsSql,
     "q_compare_merge_counts" -> OracleGen.mergeCountsSql(keys2),
     "q_compare_dupe_counts" -> OracleGen.dupeCountsSql,
