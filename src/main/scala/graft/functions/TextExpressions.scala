@@ -106,6 +106,96 @@ object TextCounts {
   }
 }
 
+/** Single-pass marker-word counting for language ID and stopword ratios.
+  *
+  * The stats projection needs `\b(word1|word2|…)\b` hit counts for five
+  * word sets (stopwords + four language marker sets) — five full regex
+  * scans of every document. This expression makes ONE pass: segment the
+  * text into maximal ASCII `\w` runs ([a-zA-Z0-9_] — exactly Java/RE2
+  * word-boundary semantics with Unicode classes off), lowercase each run,
+  * and count membership per set via a precomputed word→sets map. A `\w`
+  * run equals a marker word iff the regex matches that occurrence (the run
+  * edges ARE the `\b` boundaries), so counts are identical to the regex
+  * definitions and the DuckDB oracle is unchanged.
+  */
+case class WordSetCounts(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word-set counting requires a string column, got $other")
+    }
+
+  // word (lowercase) → indices of the sets containing it
+  @transient private lazy val wordToSets: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    for ((set, i) <- sets.zipWithIndex; w <- set) {
+      val prev = Option(m.get(w)).getOrElse(Array.empty[Int])
+      m.put(w, prev :+ i)
+    }
+    m
+  }
+
+  /** Instance method (captures the word map) invoked from generated code
+    * via an object reference. */
+  def computeCounts(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val counts = new Array[Int](sets.length)
+    val run = new java.lang.StringBuilder(16)
+    def flush(): Unit = {
+      if (run.length > 0) {
+        val hit = wordToSets.get(run.toString)
+        if (hit != null) { var i = 0; while (i < hit.length) { counts(hit(i)) += 1; i += 1 } }
+        run.setLength(0)
+      }
+    }
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val isWord = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+        (b >= '0' && b <= '9') || b == '_'
+      if (isWord) run.append((if (b >= 'A' && b <= 'Z') (b + 32) else b).toChar)
+      else flush() // multibyte lead/continuation bytes are non-\w: boundary
+      i += 1
+    }
+    flush()
+    new GenericArrayData(counts)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordSetCounts", this, classOf[WordSetCounts].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.computeCounts($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordSetCounts =
+    copy(child = newChild)
+}
+
+object WordSetCounts {
+  import org.apache.spark.sql.{functions => F, SparkSession}
+
+  /** Register a named instance bound to fixed word sets; needed because the
+    * function registry resolves by name only. */
+  def register(spark: SparkSession, name: String, sets: Seq[Seq[String]]): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name,
+        exprs => WordSetCounts(exprs.head, sets), "built-in")
+
+  /** Column wrapper; the name must be stable per distinct set family. */
+  def counts(text: Column, name: String, sets: Seq[Seq[String]]): Column = {
+    SparkSession.getActiveSession.foreach(register(_, name, sets))
+    F.call_function(name, text)
+  }
+}
+
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
   * algorithm): byte-level k-gram Rabin–Karp rolling hashes, then the
   * minimum hash of each sliding window of `w` consecutive k-grams, deduped

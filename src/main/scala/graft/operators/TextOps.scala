@@ -75,10 +75,9 @@ object TextOps {
   def langScore(text: Column, pattern: String): Column =
     regexp_count(lower(text), lit(pattern))
 
-  /** Language ID: argmax of marker scores; "und" (undetermined) when all
-    * scores are zero. */
-  def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (lang, pat) => (lang, langScore(text, pat)) }
+  /** Argmax of precomputed marker scores; "und" when all are zero (ties
+    * break in marker order, first wins). */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val best = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
       case ((bestScore, bestLang), (lang, score)) =>
         (greatest(bestScore, score),
@@ -86,6 +85,11 @@ object TextOps {
     }
     when(best._1 === 0, lit("und")).otherwise(best._2)
   }
+
+  /** Language ID: argmax of marker scores; "und" (undetermined) when all
+    * scores are zero. */
+  def langId(text: Column): Column =
+    langIdFromScores(LangMarkers.map { case (lang, pat) => (lang, langScore(text, pat)) })
 
   /** Stable document fingerprint of normalized text (md5 hex). */
   def fingerprint(text: Column): Column =
@@ -121,13 +125,25 @@ object TextOps {
     * DuckDB oracle is unchanged). Only the word-alternation regexes
     * (stopwords, language markers) and the fingerprint normalization still
     * run a regex engine. */
+  /** Marker words parsed from the regex alternations themselves, so the
+    * single-pass counter can never drift from the regex ground truth. */
+  private def wordsOf(pattern: String): Seq[String] =
+    pattern.stripPrefix("\\b(").stripSuffix(")\\b").split('|').toSeq
+
   def statsColumns(text: Column): Seq[(String, Column)] = {
-    import graft.functions.TextCounts
+    import graft.functions.{TextCounts, WordSetCounts}
     val tc = TextCounts.counts(text)
     def cnt(i: Int): Column = element_at(tc, i + 1)
     val chars = cnt(TextCounts.Chars)
     val toks = cnt(TextCounts.Tokens)
-    val stop = stopwordCount(text)
+    // stopword + 4 language-marker counts in ONE pass (replaces 5 regex
+    // scans; `\w`-run segmentation ≡ the `\b` boundaries, so counts equal
+    // the regex definitions and the oracle is unchanged)
+    val markerSets = wordsOf(StopwordPattern) +: LangMarkers.map { case (_, p) => wordsOf(p) }
+    val mc = WordSetCounts.counts(text, "graft_marker_counts", markerSets)
+    val stop = element_at(mc, 1)
+    val langScores = LangMarkers.map(_._1).zipWithIndex
+      .map { case (l, i) => (l, element_at(mc, i + 2)) }
     def charRatio(num: Column): Column =
       when(chars.isNull || chars === 0, lit(0.0))
         .otherwise(num.cast("double") / chars.cast("double"))
@@ -148,7 +164,7 @@ object TextOps {
       "mean_token_len" -> meanTok,
       "quality_score" -> (lit(0.5) * lengthSignal + lit(0.3) * stopR + lit(0.2) * alphaR),
       "low_quality" -> (toks < 5 || alphaR < 0.5 || meanTok > 20.0),
-      "lang_id" -> langId(text),
+      "lang_id" -> langIdFromScores(langScores),
       "fingerprint" -> fingerprint(text))
   }
 

@@ -190,6 +190,33 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("WordSetCounts matches the word-boundary regex definitions") {
+    import graft.functions.WordSetCounts
+    val samples = Seq(
+      "the cat and the dog", "THE CAT", "the, and; of.", "weather the storm",
+      "the_var notthe a1 the1 the", "für die der und", "él en el both in a",
+      "", "a-a-a an:an", "x the\né is")
+    val df = samples.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+    def words(p: String) = p.stripPrefix("\\b(").stripSuffix(")\\b").split('|').toSeq
+    val markerSets = words(TextOps.StopwordPattern) +:
+      TextOps.LangMarkers.map { case (_, p) => words(p) }
+    val got = df.select(col("i"),
+      WordSetCounts.counts(col("t"), "graft_test_markers", markerSets).as("c"),
+      regexp_count(lower(col("t")), lit(TextOps.StopwordPattern)).as("stop"),
+      regexp_count(lower(col("t")), lit(TextOps.LangMarkers.head._2)).as("en"),
+      regexp_count(lower(col("t")), lit(TextOps.LangMarkers(1)._2)).as("de"),
+      regexp_count(lower(col("t")), lit(TextOps.LangMarkers(2)._2)).as("es3"),
+      regexp_count(lower(col("t")), lit(TextOps.LangMarkers(3)._2)).as("es4")).collect()
+    got.foreach { r =>
+      val c = r.getSeq[Int](1)
+      assert(c(0) == r.getInt(2), s"stopwords row ${r.getInt(0)}: ${c(0)} vs ${r.getInt(2)}")
+      assert(c(1) == r.getInt(3), s"en row ${r.getInt(0)}")
+      assert(c(2) == r.getInt(4), s"de row ${r.getInt(0)}")
+      assert(c(3) == r.getInt(5), s"fr row ${r.getInt(0)}")
+      assert(c(4) == r.getInt(6), s"es row ${r.getInt(0)}")
+    }
+  }
+
   test("langid picks marker-heavy language deterministically") {
     val df = Seq(
       ("der hund und die katze ist nicht ein freund", "de"),
