@@ -86,13 +86,17 @@ object Dedup {
     // input text — so caching them is the right trade at any scale.
     val filtered = cacheShared(filteredPlan)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
-    val a = filtered.toDF("id1", "g")
-    val b = filtered.toDF("id2", "g")
-    val inter = a.join(b, Seq("g")).where(col("id1") < col("id2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    val s1 = sizes.toDF("id1", "sz1")
-    val s2 = sizes.toDF("id2", "sz2")
-    inter.join(s1, "id1").join(s2, "id2")
+    // postings carry their document's gram-set size so (a) the classic
+    // length filter prunes size-incompatible pairs BEFORE the pair
+    // aggregation — J(A,B) ≤ min/max ⇒ J ≥ t requires t·|A| ≤ |B| and
+    // t·|B| ≤ |A| — and (b) the final jaccard needs no size re-joins
+    val withSz = filtered.join(sizes, "id")
+    val a = withSz.toDF("id1", "g", "sz1")
+    val b = withSz.toDF("id2", "g", "sz2")
+    a.join(b, Seq("g"))
+      .where(col("id1") < col("id2") &&
+        col("sz1") * threshold <= col("sz2") && col("sz2") * threshold <= col("sz1"))
+      .groupBy("id1", "id2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sz1") + col("sz2") - col("inter")).cast("double"))
