@@ -88,6 +88,22 @@ class ReportGoldenSpec extends SparkTestBase {
     check("sample_count_zero", c.report(sampleCount = 0))
   }
 
+  test("timestamps_and_nulls (display formatting of temporal and missing values)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val a = one(Seq(
+      (1, Some("x"), Option(1.5), Some(ts("2024-01-01 10:00:00"))),
+      (2, None, Option(2.5), Some(ts("2024-02-02 12:30:45"))),
+      (3, Some("z"), Option.empty[Double], Option.empty[java.sql.Timestamp])
+    ).toDF("id", "s", "v", "t"))
+    val b = one(Seq(
+      (1, Some("x"), Option(1.5), Some(ts("2024-01-01 10:00:00"))),
+      (2, Some("y"), Option(9.5), Some(ts("2024-02-03 12:30:45"))),
+      (3, Some("z"), Option(3.5), Some(ts("2024-03-03 00:00:00")))
+    ).toDF("id", "s", "v", "t"))
+    val c = new SparkCompare(spark, a, b, CompareConfig(joinColumns = Seq("id")))
+    check("timestamps_and_nulls", c.report())
+  }
+
   test("mixed (tolerance + mismatches + unique rows)") {
     val a = one(Seq(
       (1, "alpha", 10.0), (2, "beta", 20.0), (3, "gamma", 30.0), (5, "eps", 50.0)
