@@ -256,7 +256,7 @@ object OpsPack {
     s"""WITH $gramsCtes,
        |gramsf AS (SELECT g.doc_id, g.g FROM grams g
        |           JOIN (SELECT g, count(*) df FROM grams GROUP BY 1) d ON d.g = g.g
-       |           WHERE d.df <= ${jaccardMaxDfSqlLit}),
+       |           WHERE d.df <= $JaccardMaxDocFrequency),
        |sizes AS (SELECT doc_id, count(*) sz FROM gramsf GROUP BY 1),
        |inter AS (SELECT a.doc_id id1, b.doc_id id2, count(*) i
        |          FROM gramsf a JOIN gramsf b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -265,7 +265,6 @@ object OpsPack {
        |WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE) >= 0.5
        |ORDER BY id1, id2""".stripMargin
 
-  private def jaccardMaxDfSqlLit: String = JaccardMaxDocFrequency.toString
 
   /** MinHash-LSH oracle: same pipeline as Dedup.minhashNearDuplicatesMd5 —
     * per-gram md5 → (a, b) 48-bit pair → 64 min-agg signature values →

@@ -113,7 +113,10 @@ object ComparePack {
             if (raw) (Some(false), Some(true)) else (Some(true), Some(true))
           new SparkCompare(s, a, b,
             CompareConfig(joinColumns = keys, absTol = ToleranceSpec.of(absTol),
-              assumeKeysUnique = hints._1, assumeKeysNullFree = hints._2))
+              assumeKeysUnique = hints._1, assumeKeysNullFree = hints._2,
+              // the raw (duplicate-pairing) compare serves one counts query:
+              // its single stats pass would never read a cache back
+              cacheIntermediates = !raw))
         }
       })
 
