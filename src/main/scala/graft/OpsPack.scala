@@ -118,6 +118,19 @@ object OpsPack {
       bits = CosLshBits, tables = CosLshTables)
       .select("id1", "id2").orderBy("id1", "id2")
 
+  /** Contamination scan: every corpus document against a small probe set
+    * (doc_id ≡ 0 mod 50 plays the benchmark suite) — ≥ 2 shared word
+    * 3-grams flags a pair. The probe side broadcasts, so the corpus never
+    * shuffles its postings. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.contaminationPairs(
+      d.where(col("doc_id") % 50 =!= 0),
+      d.where(col("doc_id") % 50 === 0),
+      "text", "doc_id", n = 3, minOverlap = 2L)
+      .orderBy("corpus_id", "probe_id")
+  }
+
   /** Multimodal pipeline: synthetic media → batched feature extraction →
     * aggregate feature stats (rows-only check; decode is stubbed). */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -173,6 +186,7 @@ object OpsPack {
     "q_compare_report" -> (compareReport _),
     "q_text_stats" -> (textStats _),
     "q_dedup_exact" -> (dedupExact _),
+    "q_contamination" -> (contamination _),
     "q_dedup_jaccard_pairs" -> (jaccardPairs _),
     "q_dedup_minhash_lsh" -> (minhashPairs _),
     "q_dedup_simhash" -> (simhashPairs _),
@@ -251,6 +265,16 @@ object OpsPack {
       |  UNION ALL
       |  SELECT doc_id, array_to_string(t, ' ') g FROM toks WHERE len(t) < 3),
       |grams AS (SELECT DISTINCT doc_id, g FROM grams0)""".stripMargin
+
+  private val contaminationSql: String =
+    s"""WITH $gramsCtes,
+       |c AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
+       |p AS (SELECT * FROM grams WHERE doc_id % 50 = 0)
+       |SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id,
+       |  CAST(count(*) AS BIGINT) AS overlap
+       |FROM c JOIN p ON c.g = p.g
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY corpus_id, probe_id""".stripMargin
 
   private val jaccardSql: String =
     s"""WITH $gramsCtes,
@@ -396,6 +420,7 @@ object OpsPack {
     "q_text_stats" -> statsSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_jaccard_pairs" -> jaccardSql,
+    "q_contamination" -> contaminationSql,
     "q_dedup_minhash_lsh" -> minhashSql,
     "q_dedup_simhash" -> simhashSql,
     "q_ann_topk" -> annTopKSql,

@@ -300,6 +300,16 @@ object OracleGen {
   def customStatsSql(keys: Seq[String]): String =
     columnStatsSql(keys, 0.0, 0.0, stringMode = "len", df2Cte = dfcSql)
 
+  /** Oracle for the one-pass column profile over frameB. */
+  val profileSql: String = {
+    val rows = liCols.map(c =>
+      s"SELECT '$c' AS \"column\", CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls, " +
+        s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM df2")
+    s"""WITH df2 AS ($df2Sql)
+       |${rows.mkString("\n UNION ALL ")}
+       |ORDER BY "column"""".stripMargin
+  }
+
   /** Oracle for the CSV-source compare: the fixed CSV pair has hand-derivable
     * stats (ids 1-3 intersect; name differs on id 2, qty on id 3 by 6.0). */
   val csvStatsSql: String =

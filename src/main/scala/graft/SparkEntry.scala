@@ -31,6 +31,10 @@ object SparkEntry {
     "q_compare_custom_comparator" -> ((s, dir) => statsDf(s, compareCustom(s, dir))),
     // CSV source → compare → stats (§2.1 scan path).
     "q_source_csv" -> (csvCompareStats _),
+    // one-pass per-column profiling (nulls + exact distincts).
+    "q_profile_lineitem" -> ((s, dir) =>
+      graft.operators.Profile.columnProfile(
+        frameB(s, dir).select(liCols.map(col): _*)).orderBy("column")),
     // Merge slice counts from the null-safe full outer join (§2.3).
     "q_compare_merge_counts" -> { (s, dir) =>
       import s.implicits._
@@ -73,6 +77,7 @@ object SparkEntry {
     "q_compare_stats_ignore" -> OracleGen.ignoreStatsSql(keys2),
     "q_compare_custom_comparator" -> OracleGen.customStatsSql(keys2),
     "q_source_csv" -> OracleGen.csvStatsSql,
+    "q_profile_lineitem" -> OracleGen.profileSql,
     "q_compare_merge_counts" -> OracleGen.mergeCountsSql(keys2),
     "q_compare_dupe_counts" -> OracleGen.dupeCountsSql,
     "q_compare_df1_unq_rows" -> OracleGen.unqRowsSql(keys2, 1),

@@ -277,6 +277,32 @@ object Dedup {
       .where(col("shared_fingerprints") >= minShared)
   }
 
+  /** Benchmark-contamination detection: count shared word n-grams between
+    * every corpus document and every document of a (small) probe set —
+    * the standard decontamination pass before training on scraped data.
+    *
+    * Scale shape: the probe side (benchmark suites — thousands of docs, not
+    * billions) is BROADCAST, so the corpus is scanned once map-side with no
+    * shuffle of corpus postings; only the (corpus_id, probe_id) overlap
+    * counts aggregate. Returns (corpus_id, probe_id, overlap) with
+    * overlap ≥ minOverlap. */
+  def contaminationPairs(
+      corpus: DataFrame,
+      probe: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minOverlap: Long = 1L): DataFrame = {
+    def grams(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out), TextOps.wordShingles(col(textCol), n).as("g"))
+      .select(col(out), explode(col("g")).as("gs"))
+      .select(col(out), xxhash64(col("gs")).as("g"))
+    grams(corpus, "corpus_id")
+      .join(broadcast(grams(probe, "probe_id")), Seq("g"))
+      .groupBy("corpus_id", "probe_id").agg(count(lit(1)).as("overlap"))
+      .where(col("overlap") >= minOverlap)
+  }
+
   /** Token xxhash64 array for SimHash (materialize before fanning out). */
   def tokenHashes(text: Column): Column =
     transform(split(trim(lower(text)), "\\s+"), t => xxhash64(t))

@@ -106,6 +106,41 @@ class OpsSpec extends SparkTestBase {
     assert(nd.contains((0L, 3L)))
   }
 
+  test("contamination pairs: probe overlap counts, broadcast side") {
+    val corpus = docs.where(col("doc_id") =!= 2L)
+    val probe = docs.where(col("doc_id") === 2L)
+      .union(Seq((9L, "the quick brown fox jumps high")).toDF("doc_id", "text"))
+    val pairs = Dedup.contaminationPairs(corpus, probe, "text", "doc_id", n = 3, minOverlap = 2)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // probe doc 9 shares "the quick brown" + "quick brown fox" with docs 0/1/3
+    assert(got.count(_._2 == 9L) == 3)
+    got.filter(_._2 == 9L).foreach { case (cid, _, ov) =>
+      assert(Set(0L, 1L, 3L)(cid) && ov >= 2)
+    }
+    // nothing shares >= 2 grams with the 'different content' probe doc 2
+    assert(!got.exists(_._2 == 2L))
+    // the probe side is broadcast — no shuffle of corpus postings
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("column profile: nulls and exact distincts in one job") {
+    import graft.operators.Profile
+    val df = Seq(
+      (1, Some("a"), Option(1.0)), (2, Some("b"), Option(1.0)),
+      (3, None, Option(2.0)), (4, Some("a"), Option.empty[Double])
+    ).toDF("id", "s", "v")
+    val p = Profile.columnProfile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(p("id") == (0L, 4L))
+    assert(p("s") == (1L, 2L))  // one null; distinct non-null {a, b}
+    assert(p("v") == (1L, 2L))  // one null; distinct {1.0, 2.0}
+    // approx variant returns plausible cardinalities without exact shuffle
+    val ap = Profile.columnProfile(df, exact = false).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ap("id") >= 3L && ap("id") <= 5L)
+  }
+
   test("winnowing fingerprints: shared substrings guarantee shared chunks") {
     import graft.functions.WinnowFingerprints
     val fp = (t: String) => {
