@@ -93,9 +93,13 @@ object Dedup {
     val withSz = filtered.join(sizes, "id")
     val a = withSz.toDF("id1", "g", "sz1")
     val b = withSz.toDF("id2", "g", "sz2")
+    // relax the bound by a relative epsilon so double rounding of
+    // size*threshold can never prune a pair whose exact Jaccard sits
+    // exactly on the threshold (e.g. 100*0.55 = 55.000000000000007 > 55)
+    val tSafe = threshold * (1.0 - 1e-9)
     a.join(b, Seq("g"))
       .where(col("id1") < col("id2") &&
-        col("sz1") * threshold <= col("sz2") && col("sz2") * threshold <= col("sz1"))
+        col("sz1") * tSafe <= col("sz2") && col("sz2") * tSafe <= col("sz1"))
       .groupBy("id1", "id2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") /
@@ -264,12 +268,23 @@ object Dedup {
       idCol: String,
       k: Int = 5,
       w: Int = 4,
-      minShared: Int = 2): DataFrame = {
-    val fps = df
+      minShared: Int = 2,
+      maxDocFrequency: Long = Long.MaxValue): DataFrame = {
+    val raw = df
       .select(col(idCol).as("id"),
         explode(array_distinct(
           graft.functions.WinnowFingerprints.fingerprints(col(textCol), k, w))).as("fp"))
-      .transform(cacheShared)
+    // boilerplate-heavy corpora concentrate document frequency on a few
+    // chunk fingerprints — the same quadratic posting self-join the
+    // Jaccard df-cut guards against, so expose the same knob
+    val capped =
+      if (maxDocFrequency == Long.MaxValue) raw
+      else {
+        val hot = raw.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFrequency).select("fp").toDF("hot_fp")
+        raw.join(hot, col("fp") === col("hot_fp"), "left_anti")
+      }
+    val fps = cacheShared(capped)
     val a = fps.toDF("id1", "fp")
     val b = fps.toDF("id2", "fp")
     a.join(b, Seq("fp")).where(col("id1") < col("id2"))

@@ -29,14 +29,16 @@ object Ivf {
 
   /** Squared-distance ranking expression: argmin_c |v-c|² = argmin_c
     * (|c|² - 2·v·c); |v|² is constant per row and drops out. */
-  private def clusterExpr(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val ranked = centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * Ann.dot(vec, Ann.vecLit(c.toSeq))).as("d"),
-        lit(i).as("i"))
+  private def clusterExpr(vec: Column, centroids: Array[Array[Double]]): Column =
+    if (centroids.length == 1) lit(0) // least() needs >= 2 args
+    else {
+      val ranked = centroids.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * Ann.dot(vec, Ann.vecLit(c.toSeq))).as("d"),
+          lit(i).as("i"))
+      }
+      least(ranked.toIndexedSeq: _*).getField("i")
     }
-    least(ranked.toIndexedSeq: _*).getField("i")
-  }
 
   /** Deterministic Lloyd k-means over `vecCol`. Returns k × dim centroids.
     * Empty clusters keep their previous centroid. */

@@ -277,21 +277,26 @@ class SparkCompare(
   private lazy val intersectBase: DataFrame =
     mergedCached.filter(col("_merge") === "both")
 
-  /** Intersection with one boolean `{col}_match` per compared column,
-    * appended in a single projection (spark.py:528-570). */
-  private lazy val intersectRowsBase: DataFrame = {
-    val matchCols = compareColumns.map { c =>
+  /** One boolean `{col}_match` expression per compared column, bound
+    * against `df` — used by both the sampled-rows projection and the fused
+    * stats pass, so the two can never disagree on comparator options. */
+  private def matchColumns(df: DataFrame): Seq[Column] =
+    compareColumns.map { c =>
       val opts = CompareOpts(
         absTol = config.absTol.forColumn(c),
         relTol = config.relTol.forColumn(c),
         ignoreSpaces = config.ignoreSpaces,
         ignoreCase = config.ignoreCase)
       ComparatorPipeline
-        .columnsEqual(intersectBase, s"${c}_$n1", s"${c}_$n2", opts, config.customComparators)
+        .columnsEqual(df, s"${c}_$n1", s"${c}_$n2", opts, config.customComparators)
         .as(s"${c}_match")
     }
-    intersectBase.select(intersectBase.columns.map(col).toIndexedSeq ++ matchCols: _*)
-  }
+
+  /** Intersection with one boolean `{col}_match` per compared column,
+    * appended in a single projection (spark.py:528-570). */
+  private lazy val intersectRowsBase: DataFrame =
+    intersectBase.select(
+      intersectBase.columns.map(col).toIndexedSeq ++ matchColumns(intersectBase): _*)
 
   /** A comparison over the same frames and join with different tolerances.
     * The derived instance shares the shape probes, the merged outer join,
@@ -359,19 +364,8 @@ class SparkCompare(
       sum(when(col("_merge") === "left_only", 1L).otherwise(0L)).as("__graft_left"),
       sum(when(col("_merge") === "right_only", 1L).otherwise(0L)).as("__graft_right"),
       sum(when(isBoth && allMatchCond, 1L).otherwise(0L)).as("__graft_all_match")) ++ perCol
-    val withMatch = {
-      val matchCols = compareColumns.map { c =>
-        val opts = CompareOpts(
-          absTol = config.absTol.forColumn(c),
-          relTol = config.relTol.forColumn(c),
-          ignoreSpaces = config.ignoreSpaces,
-          ignoreCase = config.ignoreCase)
-        ComparatorPipeline
-          .columnsEqual(mergedCached, s"${c}_$n1", s"${c}_$n2", opts, config.customComparators)
-          .as(s"${c}_match")
-      }
-      mergedCached.select(mergedCached.columns.map(col).toIndexedSeq ++ matchCols: _*)
-    }
+    val withMatch = mergedCached.select(
+      mergedCached.columns.map(col).toIndexedSeq ++ matchColumns(mergedCached): _*)
     withMatch.agg(exprs.head, exprs.tail: _*).first()
   }
 

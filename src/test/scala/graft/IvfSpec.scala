@@ -31,6 +31,16 @@ class IvfSpec extends SparkTestBase {
     assert(sizes.sorted.toSeq == Seq(10L, 10L, 10L, 10L))
   }
 
+  test("k = 1 assigns everything to cluster 0 (least() arity guard)") {
+    val cents = Ivf.kmeansCentroids(vecs, "embedding", "vec_id", k = 1, iters = 2)
+    assert(cents.length == 1)
+    val clusters = Ivf.withCluster(vecs, "embedding", cents)
+      .select("cluster").distinct().collect().map(_.getInt(0)).toSeq
+    assert(clusters == Seq(0))
+    val top = Ivf.ivfTopK(vecs, "embedding", "vec_id", cents, Seq(10.0, 0.5), 3, nprobe = 1)
+    assert(top.count() == 3)
+  }
+
   test("full probe equals brute force; partial probe stays in-cluster") {
     val cents = Ivf.kmeansCentroids(vecs, "embedding", "vec_id", k = 4, iters = 5)
     val q = Seq(10.0, 0.5)

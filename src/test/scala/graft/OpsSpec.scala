@@ -69,6 +69,18 @@ class OpsSpec extends SparkTestBase {
     assert(tight == 0L)
   }
 
+  test("jaccard length filter keeps pairs exactly at the threshold") {
+    // doc B's 55 distinct 3-grams all appear in doc A's 100 → J = 0.55
+    // exactly; 100 * 0.55 rounds to 55.000000000000007 in doubles, so an
+    // unguarded size prefilter would prune this pair (regression)
+    val wordsA = (0 until 102).map(i => s"w$i").mkString(" ") // 100 3-grams
+    val wordsB = (0 until 57).map(i => s"w$i").mkString(" ")  // 55 3-grams
+    val df = Seq((1L, wordsA), (2L, wordsB)).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "text", "doc_id", n = 3, threshold = 0.55)
+      .collect()
+    assert(pairs.length == 1 && pairs.head.getDouble(2) == 0.55)
+  }
+
   test("md5 hash pair: 48-bit non-negative longs, deterministic") {
     val r = docs.select(col("doc_id"),
       Dedup.md5HashPair(col("text"))._1.as("a"),
