@@ -155,6 +155,16 @@ object OpsPack {
       .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("total_value"))
       .orderBy("bucket", "event_type")
 
+  /** Deterministic 80/10/10 split assignment per document (md5-bucketed —
+    * reproducible across engines, runs, and partitionings), rolled up to
+    * per-split counts. */
+  def splitCounts(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.withSplit(docs(s, dir), "doc_id", trainPct = 80, valPct = 10)
+      .groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+  }
+
   /** Per-language document rollup (exact counts, decimal-exact avg). */
   def langRollup(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -183,6 +193,7 @@ object OpsPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_windowed" -> (eventsWindowed _),
     "q_docs_lang_rollup" -> (langRollup _),
+    "q_split_counts" -> (splitCounts _),
     "q_compare_report" -> (compareReport _),
     "q_text_stats" -> (textStats _),
     "q_dedup_exact" -> (dedupExact _),
@@ -407,6 +418,13 @@ object OpsPack {
       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  private val splitCountsSql: String =
+    """WITH b AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bkt
+      |           FROM documents)
+      |SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+      |  CAST(count(*) AS BIGINT) AS n_docs
+      |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+
   private val langRollupSql: String =
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
       | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
@@ -417,6 +435,7 @@ object OpsPack {
   val oracleSql: Map[String, String] = Map(
     "q_events_windowed" -> eventsWindowedSql,
     "q_docs_lang_rollup" -> langRollupSql,
+    "q_split_counts" -> splitCountsSql,
     "q_text_stats" -> statsSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_jaccard_pairs" -> jaccardSql,

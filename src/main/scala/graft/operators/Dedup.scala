@@ -38,6 +38,30 @@ object Dedup {
     while (d != null) { d.unpersist(); d = cachedFrames.poll() }
   }
 
+  /** End-to-end corpus cleaning — the composition a training pipeline runs
+    * before tokenization, in the standard order:
+    *
+    *   1. quality filter (drop `low_quality` docs — cheap, narrow, first so
+    *      later shuffles see less data);
+    *   2. exact dedup (min-id winner per normalized content hash);
+    *   3. near-dup removal (MinHash-LSH pairs above `threshold`; the
+    *      higher-id member of each pair is dropped, transitively keeping
+    *      the lowest id of each near-dup cluster's discovered pairs).
+    *
+    * Each stage is the already-tested operator; this just fixes the order
+    * and the keep-lowest-id policy. */
+  def cleanCorpus(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      nearDupThreshold: Double = 0.8): DataFrame = {
+    val quality = df.where(!TextOps.lowQualityFlag(col(textCol)))
+    val exact = exactDedup(quality, textCol, idCol)
+    val losers = minhashNearDuplicates(exact, textCol, idCol, nearDupThreshold)
+      .select(col("id2").as("drop_id")).distinct()
+    exact.join(losers, exact(idCol) === losers("drop_id"), "left_anti")
+  }
+
   /** Exact duplicate groups by content hash of `textCol` (normalized md5).
     * Returns one row per group: (fingerprint, keep_id, n_dupes). */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =

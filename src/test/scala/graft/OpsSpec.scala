@@ -54,6 +54,38 @@ class OpsSpec extends SparkTestBase {
     assert(exact.isDefined)
   }
 
+  test("deterministic hash split: stable, complete, roughly proportioned") {
+    import graft.operators.Sampling
+    val ids = (0 until 1000).map(i => Tuple1(i.toLong)).toDF("id")
+    val s1 = Sampling.withSplit(ids, "id", 80, 10).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Sampling.withSplit(ids, "id", 80, 10).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2) // reproducible run-to-run
+    val byLabel = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > 700 && byLabel("train") < 900)
+    assert(byLabel.values.sum == 1000) // every row labeled exactly once
+    // keyed sample is a subset consistent with the bucket rule
+    val sampled = Sampling.hashSample(ids, "id", 0.1).count()
+    assert(sampled > 50 && sampled < 200)
+  }
+
+  test("cleanCorpus: quality filter, exact dedup, near-dup removal compose") {
+    val corpus = docs.union(Seq(
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank today extra"),
+      (6L, "zz")).toDF("doc_id", "text"))
+    val cleaned = graft.operators.Dedup.cleanCorpus(corpus, "text", "doc_id",
+      nearDupThreshold = 0.5)
+    val kept = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(6L)) // low quality (2 tokens)
+    assert(!kept.contains(4L)) // "short text" is low quality too
+    assert(!kept.contains(3L)) // exact dup of 0
+    assert(kept.contains(0L)) // lowest id of the near-dup cluster survives
+    assert(!kept.contains(1L) && !kept.contains(5L)) // near-dups of 0 dropped
+    assert(kept.contains(2L)) // unique content survives
+  }
+
   test("jaccard hot-shingle cap: no-op when nothing is hot, drops hot grams") {
     val uncapped = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
