@@ -135,27 +135,28 @@ object ComparePack {
     }
   }
 
+  /** The exact frameA↔frameC compare whose cached join the ignore-flags
+    * and custom-comparator variants share (their match expressions differ;
+    * the join does not — keys are numeric, so ignoreSpaces never touches
+    * it). */
+  private def compareAC(s: SparkSession, dir: String): SparkCompare =
+    miscCache.getOrElseUpdate((System.identityHashCode(s), dir, "ac_base"),
+      new SparkCompare(s, frameA(s, dir), frameC(s, dir),
+        CompareConfig(joinColumns = keys2,
+          assumeKeysUnique = Some(true), assumeKeysNullFree = Some(true))))
+
   /** frameA vs frameC with the custom length comparator prepended: string
     * columns match by length (case flips match, padding mismatches),
     * everything else falls through to the default pipeline (§2.10). */
   def compareCustom(s: SparkSession, dir: String): SparkCompare =
     miscCache.getOrElseUpdate((System.identityHashCode(s), dir, "custom"),
-      new SparkCompare(s, frameA(s, dir), frameC(s, dir),
-        CompareConfig(joinColumns = keys2,
-          customComparators = Seq(LengthComparator),
-          assumeKeysUnique = Some(true), assumeKeysNullFree = Some(true),
-          cacheIntermediates = false)))
+      compareAC(s, dir).withMatchSettings(customComparators = Seq(LengthComparator)))
 
   /** Compare frameA against its string-perturbed twin with
     * ignore_spaces + ignore_case active (string normalization path). */
   def compareIgnore(s: SparkSession, dir: String): SparkCompare =
     miscCache.getOrElseUpdate((System.identityHashCode(s), dir, "ignore"),
-      new SparkCompare(s, frameA(s, dir), frameC(s, dir),
-        CompareConfig(joinColumns = keys2, ignoreSpaces = true, ignoreCase = true,
-          assumeKeysUnique = Some(true), assumeKeysNullFree = Some(true),
-          // single consumer (the fused stats pass) — a cache write of the
-          // merged join would never be read back
-          cacheIntermediates = false)))
+      compareAC(s, dir).withMatchSettings(ignoreSpaces = true, ignoreCase = true))
 
   /** CSV-source compare: a fixed CSV pair written under target/, loaded via
     * the extension-inferring reader (header + inferSchema), compared on id.

@@ -309,6 +309,27 @@ class SparkCompare(
     new SparkCompare(spark, df1Input, df2Input,
       config.copy(absTol = absTol, relTol = relTol), Some(this))
 
+  /** Like [[withTolerances]] for the other match-only settings: ignore
+    * flags and custom comparators. Safe to share the join because
+    * comparators never touch it — EXCEPT `ignoreSpaces`, which also trims
+    * STRING join keys pre-join; changing it is rejected when any join
+    * column is string-typed (the derived join would differ). */
+  def withMatchSettings(
+      ignoreSpaces: Boolean = config.ignoreSpaces,
+      ignoreCase: Boolean = config.ignoreCase,
+      customComparators: Seq[graft.functions.Comparator] = config.customComparators): SparkCompare = {
+    if (ignoreSpaces != config.ignoreSpaces) {
+      val stringKeys = joinColumns.filter(k =>
+        TypeClasses.isStringLike(df1.schema(k).dataType) ||
+          TypeClasses.isStringLike(df2.schema(k).dataType))
+      require(stringKeys.isEmpty,
+        s"cannot change ignoreSpaces on a shared join: string join columns ${stringKeys.mkString(", ")} are trimmed pre-join")
+    }
+    new SparkCompare(spark, df1Input, df2Input,
+      config.copy(ignoreSpaces = ignoreSpaces, ignoreCase = ignoreCase,
+        customComparators = customComparators), Some(this))
+  }
+
   /** Double-valued view of a column for max-diff purposes, or None when the
     * type has no sensible numeric view (arrays short-circuit to 0 in the
     * reference too, spark.py:1046-1050). Temporal types go through epoch

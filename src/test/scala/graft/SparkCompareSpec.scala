@@ -113,6 +113,22 @@ class SparkCompareSpec extends SparkTestBase {
     assert(wide.columnStats.find(_.column == "v").get.matchCnt == 2)
   }
 
+  test("withMatchSettings shares the join; string-key ignoreSpaces rejected") {
+    val a = Seq((1, " x ", 1.0), (2, "y", 2.0)).toDF("id", "s", "v")
+    val b = Seq((1, "x", 1.0), (2, "Y", 2.0)).toDF("id", "s", "v")
+    val base = cmp(a, b, Seq("id"))
+    assert(base.columnStats.find(_.column == "s").get.matchCnt == 0)
+    val norm = base.withMatchSettings(ignoreSpaces = true, ignoreCase = true)
+    assert(norm.intersectCount == base.intersectCount)
+    assert(norm.columnStats.find(_.column == "s").get.matchCnt == 2)
+    val custom = base.withMatchSettings(customComparators = Seq(ComparePack.LengthComparator))
+    // length comparator: " x " (3) vs "x" (1) mismatch, "y" vs "Y" match
+    assert(custom.columnStats.find(_.column == "s").get.matchCnt == 1)
+    // string JOIN key + changed ignoreSpaces would alter the join: rejected
+    val sk = cmp(a, b, Seq("s"))
+    assertThrows[IllegalArgumentException] { sk.withMatchSettings(ignoreSpaces = true) }
+  }
+
   test("ignore_spaces trims string join keys") {
     val a = Seq((" k1 ", 1.0)).toDF("id", "v")
     val b = Seq(("k1", 1.0)).toDF("id", "v")
