@@ -35,6 +35,19 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("pipeline totality holds under ANSI-off too") {
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val cols = mixed.columns.toSeq
+      for (c1 <- cols; c2 <- cols) {
+        val expr = ComparatorPipeline.columnsEqual(mixed, c1, c2, CompareOpts())
+        val v = mixed.select(expr.as("m")).first()
+        assert(!v.isNullAt(0), s"($c1, $c2) produced NULL match value under ANSI-off")
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("tolerance math is symmetric in sign and monotone in tolerance") {
     val gen = for {
       base <- Gen.chooseNum(-1e6, 1e6)
