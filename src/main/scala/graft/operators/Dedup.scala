@@ -56,7 +56,9 @@ object Dedup {
       idCol: String,
       nearDupThreshold: Double = 0.8): DataFrame = {
     val quality = df.where(!TextOps.lowQualityFlag(col(textCol)))
-    val exact = exactDedup(quality, textCol, idCol)
+    // two consumers (near-dup discovery + the final anti-join): persist so
+    // the fingerprint groupBy + semi-join lineage runs once
+    val exact = cacheShared(exactDedup(quality, textCol, idCol))
     val losers = minhashNearDuplicates(exact, textCol, idCol, nearDupThreshold)
       .select(col("id2").as("drop_id")).distinct()
     exact.join(losers, exact(idCol) === losers("drop_id"), "left_anti")
@@ -139,10 +141,15 @@ object Dedup {
     * AND bit-identical in any engine with md5 + hex parsing (DuckDB:
     * `('0x' || substr(md5(x), …))::BIGINT`) — which is what makes the
     * MinHash/SimHash queries oracle-checkable, unlike xxhash64. */
+  /** 48-bit long from the first 12 hex chars of an md5 column — THE
+    * engine-portable parse (DuckDB: `('0x' || substr(h, 1, 12))::BIGINT`);
+    * kept in one place so the oracle-mirroring contract can't drift. */
+  def md5Prefix48(h: Column): Column =
+    conv(substring(h, 1, 12), 16, 10).cast("long")
+
   def md5HashPair(c: Column): (Column, Column) = {
     val h = md5(c.cast("binary"))
-    (conv(substring(h, 1, 12), 16, 10).cast("long"),
-      conv(substring(h, 17, 12), 16, 10).cast("long"))
+    (md5Prefix48(h), conv(substring(h, 17, 12), 16, 10).cast("long"))
   }
 
   /** MinHash signatures from the portable md5 family: one md5 per shingle,

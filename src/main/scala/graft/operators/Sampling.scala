@@ -13,24 +13,34 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Stable bucket in [0, buckets) from the md5 of a key column —
-    * `('0x' || substr(md5(x), 1, 12))::BIGINT % buckets` in DuckDB. */
+    * `('0x' || substr(md5(x), 1, 12))::BIGINT % buckets` in DuckDB.
+    *
+    * Cross-engine stability holds for STRING and INTEGRAL keys, whose
+    * string forms are canonical; fractional/temporal keys stringify
+    * differently per engine (Spark "1.0E10" vs DuckDB "10000000000.0"),
+    * so hash them through an explicit canonical format first. NULL keys
+    * hash to NULL — see the call sites for their policy. */
   def hashBucket(key: Column, buckets: Int): Column =
-    conv(substring(md5(key.cast("string").cast("binary")), 1, 12), 16, 10)
-      .cast("long") % buckets
+    Dedup.md5Prefix48(md5(key.cast("string").cast("binary"))) % buckets
 
   /** Deterministic keyed sample: keep rows whose hash bucket falls below
-    * `fraction` of the bucket space. */
+    * `fraction` of the bucket space (math.round guards double rounding:
+    * 0.29*10000 is 2899.9999999999995 in IEEE, flooring would keep one
+    * bucket too few). NULL-keyed rows are EXCLUDED (hash is NULL). */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double,
       buckets: Int = 10000): DataFrame =
-    df.where(hashBucket(col(keyCol), buckets) < (fraction * buckets).toLong)
+    df.where(hashBucket(col(keyCol), buckets) < math.round(fraction * buckets))
 
   /** Deterministic train/validation/test split label from the key hash:
-    * bucket < trainPct → "train", < trainPct+valPct → "val", else "test". */
+    * bucket < trainPct → "train", < trainPct+valPct → "val", else "test".
+    * NULL keys get an explicit "test" label (never train on rows whose
+    * identity is unknown) rather than falling through silently. */
   def splitLabel(key: Column, trainPct: Int, valPct: Int): Column = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       "percentages must be within [0, 100]")
     val b = hashBucket(key, 100)
-    when(b < trainPct, "train")
+    when(key.isNull, "test")
+      .when(b < trainPct, "train")
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
   }

@@ -69,6 +69,17 @@ class OpsSpec extends SparkTestBase {
     // keyed sample is a subset consistent with the bucket rule
     val sampled = Sampling.hashSample(ids, "id", 0.1).count()
     assert(sampled > 50 && sampled < 200)
+    // double rounding: 0.29 * 10000 floors to 2899 — round keeps bucket 2899
+    val f29 = Sampling.hashSample(ids, "id", 0.29).count()
+    val f29exact = ids.where(Sampling.hashBucket(col("id"), 10000) < 2900).count()
+    assert(f29 == f29exact)
+    // NULL keys: excluded from samples, labeled "test" in splits
+    val withNull = ids.union(Seq(Tuple1(null.asInstanceOf[java.lang.Long]))
+      .toDF("id").select(col("id").cast("long")))
+    assert(Sampling.hashSample(withNull, "id", 1.0).count() == 1000)
+    val nullSplit = Sampling.withSplit(withNull, "id")
+      .where(col("id").isNull).select("split").first().getString(0)
+    assert(nullSplit == "test")
   }
 
   test("cleanCorpus: quality filter, exact dedup, near-dup removal compose") {
