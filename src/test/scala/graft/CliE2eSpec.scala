@@ -48,6 +48,23 @@ class CliE2eSpec extends SparkTestBase {
       "--on", "id", "--quiet", "--max-unequal-rows", "2") == 1)
   }
 
+  test("per-column tolerance via COL=VALUE reaches the engine") {
+    // amount-only tolerance passes the amount diff but not the name diff
+    assert(run("--left", s"$dir/left.csv", "--right", s"$dir/right.csv",
+      "--on", "id", "--quiet", "--abs-tol", "amount=0.01", "--ignore-case",
+      "--max-unequal-rows", "0", "--ignore-unique-rows") == 0)
+    // tolerance keyed to a column that exists elsewhere (name) leaves the
+    // amount mismatch in place
+    assert(run("--left", s"$dir/left.csv", "--right", s"$dir/right.csv",
+      "--on", "id", "--quiet", "--abs-tol", "name=0.01", "--ignore-case",
+      "--max-unequal-rows", "0", "--ignore-unique-rows") == 1)
+    // typo'd tolerance key → usage error exit 2 path (IllegalArgumentException)
+    assertThrows[IllegalArgumentException] {
+      run("--left", s"$dir/left.csv", "--right", s"$dir/right.csv",
+        "--on", "id", "--quiet", "--abs-tol", "amont=0.01")
+    }
+  }
+
   test("json report is written to --output") {
     val out = s"$dir/report.json"
     assert(run("--left", s"$dir/left.csv", "--right", s"$dir/right.csv",

@@ -112,4 +112,18 @@ class ReportSpec extends SparkTestBase {
       TemplateReport.render("{% if x %}no end", Map("x" -> true))
     }
   }
+
+  test("custom template: nested blocks and same-tag nesting resolve") {
+    val ctx = Map[String, Any](
+      "flag" -> true, "xs" -> Seq("a", "b"),
+      "inner" -> Map[String, Any]("ys" -> Seq("1", "2")))
+    val nested = TemplateReport.render(
+      "{% if flag %}[{% for x in xs %}{{ x }}{% for y in inner.ys %}{{ y }}{% endfor %}{% endfor %}]{% endif %}",
+      ctx)
+    assert(nested == "[a12b12]")
+    // if nested inside if, with a false inner
+    val ifs = TemplateReport.render(
+      "{% if flag %}A{% if missing %}B{% endif %}C{% endif %}", ctx)
+    assert(ifs == "AC")
+  }
 }
