@@ -68,8 +68,10 @@ object OpsPack {
   }
 
   /** Batched ANN: top-5 per query for three query vectors at once —
-    * broadcast the query set, score map-side, one window shuffle on
-    * query_id (the many-queries scale shape; no per-query jobs). */
+    * broadcast the query set, score map-side, reduce with the bounded-heap
+    * top-k aggregate (map-side partial top-k, shuffle ≤ k×partitions rows
+    * per query — the many-queries scale shape; no per-query jobs, no
+    * full-stream window sort). */
   def annTopKMulti(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
     val queries = e.where(col("vec_id").isin(0L, 1L, 2L))

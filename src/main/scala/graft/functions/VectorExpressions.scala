@@ -93,6 +93,119 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Bounded top-k aggregate over (score, id) pairs: keeps the k best rows
+  * under (score DESC, id ASC) in a size-k heap. The point is the SHUFFLE
+  * SHAPE: as a [[TypedImperativeAggregate]] it partial-aggregates map-side,
+  * so each input partition contributes at most k heap entries per group —
+  * a `groupBy(query).agg(top_k(...))` moves ≤ k×partitions tiny rows per
+  * query instead of shuffling (and single-task sorting) the entire scored
+  * stream the way `row_number().over(Window.partitionBy(query))` does.
+  * That window plan collapses parallelism to #queries; this one keeps it.
+  *
+  * Output: `array<struct<score double, id bigint>>` in rank order (best
+  * first). Deterministic: exact top-k under the total order (score desc,
+  * id asc), independent of input order/partitioning. NULL scores and ids
+  * are skipped.
+  */
+case class TopKByScore(
+    score: Expression,
+    id: Expression,
+    kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private lazy val k: Int = {
+    require(kExpr.foldable, "top_k k must be a literal")
+    val v = kExpr.eval().asInstanceOf[Number].intValue()
+    require(v > 0, s"top_k k must be positive, got $v")
+    v
+  }
+
+  // head = WORST kept element (lowest score; ties: highest id), so a full
+  // heap replaces its head when a better candidate arrives
+  private val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(x: (Double, Long), y: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(y._1, x._1)
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
+  }
+
+  override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[(Double, Long)] =
+    scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+
+  private def offer(
+      buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
+      cand: (Double, Long)): Unit =
+    if (buf.size < k) buf.enqueue(cand)
+    else if (worstFirst.compare(cand, buf.head) < 0) { buf.dequeue(); buf.enqueue(cand) }
+
+  override def update(
+      buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
+      input: InternalRow): scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      offer(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(
+      buf: scala.collection.mutable.PriorityQueue[(Double, Long)],
+      other: scala.collection.mutable.PriorityQueue[(Double, Long)])
+      : scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+    other.foreach(offer(buf, _))
+    buf
+  }
+
+  override def eval(buf: scala.collection.mutable.PriorityQueue[(Double, Long)]): Any = {
+    val ranked = buf.dequeueAll.reverse // dequeueAll = worst→best; reverse to rank order
+    new GenericArrayData(ranked.map(e => InternalRow(e._1, e._2)).toArray[Any])
+  }
+
+  override def serialize(buf: scala.collection.mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, i) => out.writeDouble(s); out.writeLong(i) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.PriorityQueue[(Double, Long)] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var j = 0
+    while (j < n) { buf.enqueue((in.readDouble(), in.readLong())); j += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType, IntegerType)
+
+  override def children: Seq[Expression] = Seq(score, id, kExpr)
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(score = newChildren(0), id = newChildren(1), kExpr = newChildren(2))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+}
+
 /** Session-extension installer: `SparkSession.builder()
   * .withExtensions(new GraftExtensions).getOrCreate()` (or
   * `spark.sql.extensions=graft.functions.GraftExtensions`) makes
@@ -111,14 +224,21 @@ object VectorFunctions {
   import org.apache.spark.sql.{functions => F, SparkSession}
 
   val FunctionName = "graft_dot_product"
+  val TopKFunctionName = "graft_top_k"
 
-  /** Register [[DotProduct]] as a SQL function in the session's registry
-    * (idempotent). Needed once per session before using [[dotProduct]]. */
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  /** Register [[DotProduct]] and [[TopKByScore]] as SQL functions in the
+    * session's registry (idempotent). Needed once per session before using
+    * [[dotProduct]] / [[topKByScore]]. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction(FunctionName,
-        exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(FunctionName,
+      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    // the analyzer wraps a bare AggregateFunction in a Complete
+    // AggregateExpression, so the registry builder can return it directly
+    registry.createOrReplaceTempFunction(TopKFunctionName,
+      exprs => TopKByScore(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
 
   /** Column wrapper for [[DotProduct]]. Registers against the active
     * session on first use (resolution happens at analysis time, so the
@@ -126,5 +246,12 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     F.call_function(FunctionName, a, b)
+  }
+
+  /** Aggregate column for [[TopKByScore]]: the k best (score, id) pairs of
+    * the group as `array<struct<score, id>>` in rank order. */
+  def topKByScore(score: Column, id: Column, k: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    F.call_function(TopKFunctionName, score, id, F.lit(k))
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -48,9 +47,15 @@ object Ann {
       .limit(k)
 
   /** Brute-force top-k for MANY queries at once: broadcast the (small) query
-    * set, score every (query, doc) pair map-side, then per-query top-k with
-    * one window — one shuffle on query_id, no cross-join materialization
-    * beyond the scored stream. */
+    * set, score every (query, doc) pair map-side, then reduce with the
+    * bounded-heap aggregate [[graft.functions.TopKByScore]].
+    *
+    * Scale shape: the aggregate partial-aggregates map-side, so each input
+    * partition ships at most k heap entries per query — the shuffle carries
+    * ≤ k × partitions tiny rows per query, never the scored stream itself.
+    * (A `row_number().over(Window.partitionBy(query_id))` instead shuffles
+    * ALL n×q scored rows into q partitions and sorts each in one task —
+    * parallelism collapses to #queries, a 3-task bottleneck at 100 TB.) */
   def bruteForceTopKJoin(
       df: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, queryVecCol: String, queryIdCol: String,
@@ -58,9 +63,11 @@ object Ann {
     val scored = df.crossJoin(broadcast(queries))
       .select(col(queryIdCol).as("query_id"), col(idCol).as("id"),
         cosine(col(vecCol), col(queryVecCol)).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    scored.groupBy("query_id")
+      .agg(graft.functions.VectorFunctions.topKByScore(col("cosine"), col("id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e").getField("id").as("id"),
+        col("e").getField("score").as("cosine"), (col("pos") + 1).as("rank"))
   }
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim d component from
@@ -92,6 +99,21 @@ object Ann {
   def lshTableSignatures(vecCol: Column, dim: Int, bits: Int, tables: Int): Column =
     array((0 until tables).map(t => lshSignature(vecCol, dim, bits, t * bits)): _*)
 
+  /** Driver-side [[lshSignature]] of a known query vector — the same
+    * left-to-right double accumulation as the codegen'd [[dot]] expression,
+    * so it is bit-identical to what the engine computes for the same
+    * vector. Pure Scala: signing a query literal must not cost a Spark job. */
+  def lshSignatureLocal(v: Seq[Double], bits: Int, planeOffset: Int = 0): Long = {
+    val dim = v.length
+    (0 until bits).foldLeft(0L) { (acc, p) =>
+      val plane = planeVector(planeOffset + p, dim)
+      var proj = 0.0
+      var i = 0
+      while (i < dim) { proj += v(i) * plane(i); i += 1 }
+      if (proj >= 0) acc | (1L << p) else acc
+    }
+  }
+
   /** ANN top-k via hyperplane LSH: probe only vectors sharing the query's
     * bucket (optionally multi-probe neighbors within 1-bit flips). Falls
     * back to brute force when the bucket has < k members. */
@@ -100,9 +122,8 @@ object Ann {
       query: Seq[Double], k: Int, bits: Int = 12): DataFrame = {
     val dim = query.length
     val bucketed = df.withColumn("__bucket", lshSignature(col(vecCol), dim, bits))
-    val qSigRow = bucketed.sparkSession.range(1).toDF("i")
-      .select(lshSignature(vecLit(query), dim, bits).as("sig")).first()
-    val qSig = qSigRow.getLong(0)
+    // the query's own signature is pure driver-side arithmetic — no Spark job
+    val qSig = lshSignatureLocal(query, bits)
     // multi-probe: exact bucket + all 1-bit flips
     val probes = qSig +: (0 until bits).map(b => qSig ^ (1L << b))
     bucketed.where(col("__bucket").isin(probes: _*))

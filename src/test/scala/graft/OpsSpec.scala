@@ -343,6 +343,63 @@ class OpsSpec extends SparkTestBase {
     assert((brute & ann).nonEmpty) // multi-probe should capture the head
   }
 
+  test("driver-side LSH signature is bit-identical to the engine expression") {
+    val q = (0 until 16).map(i => math.sin(i * 1.7) * (if (i % 3 == 0) -1 else 1))
+    for (offset <- Seq(0, 12)) {
+      val engine = spark.range(1)
+        .select(Ann.lshSignature(Ann.vecLit(q), q.length, bits = 12, planeOffset = offset))
+        .first().getLong(0)
+      assert(Ann.lshSignatureLocal(q, bits = 12, planeOffset = offset) == engine)
+    }
+  }
+
+  test("multi-query top-k: heap aggregate matches per-query brute force; no window plan") {
+    val vecs = (0 until 60).map { i =>
+      val angle = i * 2 * math.Pi / 60
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding").repartition(4)
+    val queries = Seq(
+      (100L, Array(1.0f, 0.0f)),
+      (200L, Array(0.0f, 1.0f)),
+      (300L, Array(-0.7f, -0.7f))
+    ).toDF("query_id", "qv")
+    val multi = Ann.bruteForceTopKJoin(vecs, "embedding", "vec_id",
+      queries, "qv", "query_id", k = 4)
+    val got = multi.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    // oracle: single-query brute force per query vector (same float32
+    // values widened, so the arithmetic is bit-identical)
+    for ((qid, qv) <- Seq(
+        (100L, Seq(1.0f, 0.0f)), (200L, Seq(0.0f, 1.0f)), (300L, Seq(-0.7f, -0.7f)))) {
+      val expect = Ann.bruteForceTopK(vecs, "embedding", "vec_id", qv.map(_.toDouble), 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val mine = got.filter(_._1 == qid).map(t => (t._3, t._4)).toSeq
+      assert(mine == expect, s"query $qid")
+    }
+    // ranks are 1..k per query
+    assert(got.filter(_._1 == 100L).map(_._2).toSeq == Seq(1, 2, 3, 4))
+    // scale-shape pin: the per-query reduction is the bounded-heap object
+    // aggregate (map-side partial top-k), NOT a full-stream window sort
+    val plan = multi.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("top-k heap aggregate is exact and order-independent on ties") {
+    graft.functions.VectorFunctions.register(spark)
+    // two rows tie on score — the smaller id must win the last slot,
+    // regardless of partitioning/arrival order
+    val rows = Seq((1L, 0.9), (2L, 0.5), (3L, 0.5), (4L, 0.1), (5L, 0.9))
+      .toDF("id", "score").repartition(3)
+    val top = rows.agg(
+      graft.functions.VectorFunctions.topKByScore(col("score"), col("id"), 3).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.score"), col("e.id"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(top == Seq((0.9, 1L), (0.9, 5L), (0.5, 2L)))
+  }
+
   test("graft_dot_product is callable from SQL after registration") {
     graft.functions.VectorFunctions.register(spark)
     val r = spark.sql(
