@@ -32,3 +32,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Dual-ANSI sweep: the reference CI runs every suite under
+// spark.sql.ansi.enabled false AND true (test-package.yml + pytest-ansi.ini);
+// mirror that by running the full ScalaTest suite in two forked JVMs, one
+// per mode. spark.* system properties flow into SparkConf automatically, so
+// no test-code changes are needed. Forked groups run sequentially (sbt's
+// default ForkedTestGroup limit), avoiding warehouse/catalog collisions.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val jvmOpts = (Test / javaOptions).value.toVector
+  def group(name: String, ansi: Boolean) =
+    Tests.Group(s"ansi-$name", tests, Tests.SubProcess(
+      ForkOptions().withRunJVMOptions(jvmOpts :+ s"-Dspark.sql.ansi.enabled=$ansi")))
+  Seq(group("on", ansi = true), group("off", ansi = false))
+}

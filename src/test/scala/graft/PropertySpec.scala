@@ -35,6 +35,14 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("session ANSI mode follows the forked test group's system property") {
+    // build.sbt runs the whole suite twice (ansi-on / ansi-off groups); this
+    // pins that the -Dspark.sql.ansi.enabled property actually reaches the
+    // session — if the grouping mechanism breaks, the off-group fails here.
+    val want = sys.props.getOrElse("spark.sql.ansi.enabled", "true")
+    assert(spark.conf.get("spark.sql.ansi.enabled") == want)
+  }
+
   test("pipeline totality holds under ANSI-off too") {
     val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
     try {
