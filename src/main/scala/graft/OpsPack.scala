@@ -82,12 +82,16 @@ object OpsPack {
   }
 
   /** IVF top-20 with full probe (nprobe = k ⇒ exact, so the brute-force
-    * oracle applies verbatim) — exercises deterministic k-means training,
-    * codegen'd cluster assignment, and the per-cluster scan/merge; the
-    * partial-probe and partition-pruned paths are pinned by IvfSpec. */
+    * oracle applies verbatim) — exercises SAMPLE-trained k-means (the
+    * 100 TB training path: deterministic md5 sample + fused vector-sum
+    * aggregate, no posexplode), codegen'd cluster assignment, and the
+    * per-cluster scan/merge; full probe keeps the result exact whatever
+    * the centroids. Partial-probe and partition-pruned paths are pinned
+    * by IvfSpec. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    val cents = Ivf.kmeansCentroids(e, "embedding", "vec_id", k = 4, iters = 2)
+    val cents = Ivf.kmeansCentroids(e, "embedding", "vec_id", k = 4, iters = 2,
+      trainFraction = 0.25)
     val q = e.where(col("vec_id") === 0).select(col("embedding")).first()
       .getSeq[Float](0).map(_.toDouble)
     val top = Ivf.ivfTopK(e, "embedding", "vec_id", cents, q, 20, nprobe = 4)

@@ -206,6 +206,126 @@ case class TopKByScore(
     copy(inputAggBufferOffset = newOffset)
 }
 
+/** Element-wise sum + count over an array column in ONE pass:
+  * `groupBy(cluster).agg(vector_sum(vec))` returns
+  * `struct<sums array<double>, n bigint>` per group.
+  *
+  * Built for k-means training ([[graft.operators.Ivf]]): the alternative —
+  * `posexplode(vec)` then `groupBy(cluster, pos).agg(sum, count)` — fans
+  * every row out dim× before aggregating (100 TB × 64 becomes 6.4 PB of
+  * exploded rows through the partial aggregate). This buffer updates dim
+  * doubles in place per input row, and the shuffle carries one
+  * (k × dim)-double buffer per map partition. */
+case class VectorSum(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[VectorSum.Buffer] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: NumericType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_sum requires a numeric array, got $other")
+    }
+
+  override def createAggregationBuffer(): VectorSum.Buffer = new VectorSum.Buffer(null, 0L)
+
+  override def update(buf: VectorSum.Buffer, input: InternalRow): VectorSum.Buffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (buf.sums == null) buf.sums = new Array[Double](n)
+      require(buf.sums.length == n,
+        s"vector_sum: ragged input — saw lengths ${buf.sums.length} and $n")
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) buf.sums(i) += VectorSum.toDouble(arr, i, elemType)
+        i += 1
+      }
+      buf.n += 1
+    }
+    buf
+  }
+
+  override def merge(buf: VectorSum.Buffer, other: VectorSum.Buffer): VectorSum.Buffer = {
+    if (other.sums != null) {
+      if (buf.sums == null) { buf.sums = other.sums.clone(); buf.n = other.n }
+      else {
+        require(buf.sums.length == other.sums.length,
+          s"vector_sum: ragged input — saw lengths ${buf.sums.length} and ${other.sums.length}")
+        var i = 0
+        while (i < buf.sums.length) { buf.sums(i) += other.sums(i); i += 1 }
+        buf.n += other.n
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: VectorSum.Buffer): Any = {
+    val sums = if (buf.sums == null) Array.empty[Double] else buf.sums
+    InternalRow(new GenericArrayData(sums.map(x => x: Any)), buf.n)
+  }
+
+  override def serialize(buf: VectorSum.Buffer): Array[Byte] = {
+    val dim = if (buf.sums == null) -1 else buf.sums.length
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 + math.max(dim, 0) * 8)
+    bb.putInt(dim).putLong(buf.n)
+    if (dim > 0) buf.sums.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VectorSum.Buffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val dim = bb.getInt
+    val n = bb.getLong
+    if (dim < 0) new VectorSum.Buffer(null, n)
+    else new VectorSum.Buffer(Array.fill(dim)(bb.getDouble), n)
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sums", ArrayType(DoubleType, containsNull = false)),
+    StructField("n", LongType)))
+
+  override def nullable: Boolean = false
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): VectorSum =
+    copy(child = newChildren(0))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSum =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSum =
+    copy(inputAggBufferOffset = newOffset)
+}
+
+object VectorSum {
+  final class Buffer(var sums: Array[Double], var n: Long)
+
+  private[functions] def toDouble(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case ShortType => arr.getShort(i).toDouble
+    case ByteType => arr.getByte(i).toDouble
+    case d: DecimalType => arr.get(i, d).asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+}
+
 /** Session-extension installer: `SparkSession.builder()
   * .withExtensions(new GraftExtensions).getOrCreate()` (or
   * `spark.sql.extensions=graft.functions.GraftExtensions`) makes
@@ -225,6 +345,7 @@ object VectorFunctions {
 
   val FunctionName = "graft_dot_product"
   val TopKFunctionName = "graft_top_k"
+  val VectorSumFunctionName = "graft_vector_sum"
 
   /** Register [[DotProduct]] and [[TopKByScore]] as SQL functions in the
     * session's registry (idempotent). Needed once per session before using
@@ -238,6 +359,8 @@ object VectorFunctions {
     // AggregateExpression, so the registry builder can return it directly
     registry.createOrReplaceTempFunction(TopKFunctionName,
       exprs => TopKByScore(exprs(0), exprs(1), exprs(2)), "built-in")
+    registry.createOrReplaceTempFunction(VectorSumFunctionName,
+      exprs => VectorSum(exprs(0)), "built-in")
   }
 
   /** Column wrapper for [[DotProduct]]. Registers against the active
@@ -253,5 +376,12 @@ object VectorFunctions {
   def topKByScore(score: Column, id: Column, k: Int): Column = {
     SparkSession.getActiveSession.foreach(register)
     F.call_function(TopKFunctionName, score, id, F.lit(k))
+  }
+
+  /** Aggregate column for [[VectorSum]]: element-wise sums + row count of a
+    * numeric array column, as `struct<sums array<double>, n bigint>`. */
+  def vectorSum(vec: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    F.call_function(VectorSumFunctionName, vec)
   }
 }

@@ -41,30 +41,54 @@ object Ivf {
     }
 
   /** Deterministic Lloyd k-means over `vecCol`. Returns k × dim centroids.
-    * Empty clusters keep their previous centroid. */
+    * Empty clusters keep their previous centroid.
+    *
+    * `trainFraction < 1` trains on a deterministic md5-keyed sample
+    * ([[Sampling.hashSample]] on `idCol`) — the 100 TB path: a coarse
+    * quantizer's centroids converge on a sample; only ASSIGNMENT must see
+    * every row. Each Lloyd iteration is ONE job over the training rows:
+    * codegen'd argmin assignment feeding the fused [[graft.functions.VectorSum]]
+    * aggregate (element-wise in-place sums — no dim× posexplode fan-out),
+    * collecting k tiny (sums, n) buffers to the driver. */
   def kmeansCentroids(
       df: DataFrame, vecCol: String, idCol: String,
-      k: Int, iters: Int): Array[Array[Double]] = {
-    var centroids: Array[Array[Double]] = df
-      .orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
-    require(centroids.length == k, s"need at least $k vectors to train $k centroids")
-    val dim = centroids.head.length
-    for (_ <- 0 until iters) {
-      val stats = df
-        .select(clusterExpr(col(vecCol), centroids).as("cluster"),
-          posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos")
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = centroids.map(_.clone())
-      stats.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      k: Int, iters: Int, trainFraction: Double = 1.0): Array[Array[Double]] = {
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
+    // every iteration (and the init scan) re-reads the training rows; a
+    // sample is far smaller than the corpus, so persist it (the full-corpus
+    // path deliberately does NOT persist — at scale it wouldn't fit, and
+    // the scan cost is then inherent to full-corpus training)
+    val sampled = trainFraction < 1.0
+    val train =
+      if (sampled)
+        Sampling.hashSample(df, idCol, trainFraction)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    try {
+      var centroids: Array[Array[Double]] = train
+        .orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+      require(centroids.length == k, s"need at least $k vectors to train $k centroids")
+      for (_ <- 0 until iters) {
+        val stats = train
+          .select(clusterExpr(col(vecCol), centroids).as("cluster"), col(vecCol).as("v"))
+          .groupBy("cluster")
+          .agg(graft.functions.VectorFunctions.vectorSum(col("v")).as("vs"))
+          .collect()
+        val next = centroids.map(_.clone())
+        stats.foreach { r =>
+          val c = r.getInt(0)
+          val vs = r.getStruct(1)
+          val sums = vs.getSeq[Double](0)
+          val n = vs.getLong(1)
+          if (n > 0) next(c) = sums.map(_ / n).toArray
+        }
+        centroids = next
       }
-      centroids = next
-    }
-    centroids
+      centroids
+    } finally if (sampled) train.unpersist()
   }
 
   /** Attach the cluster id (codegen'd argmin — no join, no shuffle). */

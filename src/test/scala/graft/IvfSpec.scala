@@ -54,6 +54,42 @@ class IvfSpec extends SparkTestBase {
     assert(one == brute) // the true neighbours all live in the probed cluster
   }
 
+  test("vector_sum aggregate matches the posexplode formulation it replaced") {
+    val byHand = vecs
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(sum(col("x").cast("double")).as("s"))
+      .orderBy("pos").collect().map(_.getDouble(1)).toSeq
+    val fused = vecs.repartition(3)
+      .agg(graft.functions.VectorFunctions.vectorSum(col("embedding")).as("vs"))
+      .select(col("vs.sums"), col("vs.n")).first()
+    assert(fused.getLong(1) == 40L)
+    val sums = fused.getSeq[Double](0)
+    // same values up to reassociation of the double sum across partitions
+    sums.zip(byHand).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, (a, b)) }
+    // training plan carries NO Generate (posexplode) node
+    val plan = vecs
+      .groupBy(col("vec_id") % 2).agg(graft.functions.VectorFunctions.vectorSum(col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("sample-trained kmeans: full probe stays exact, training reads the sample only") {
+    val cents = Ivf.kmeansCentroids(vecs, "embedding", "vec_id", k = 4, iters = 3,
+      trainFraction = 0.5)
+    assert(cents.length == 4)
+    val q = Seq(10.0, 0.5)
+    val brute = Ann.bruteForceTopK(vecs, "embedding", "vec_id", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val full = Ivf.ivfTopK(vecs, "embedding", "vec_id", cents, q, 5, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute) // full probe is exact whatever the centroids
+    // determinism: the md5 sample is content-keyed, so retraining agrees
+    val again = Ivf.kmeansCentroids(vecs, "embedding", "vec_id", k = 4, iters = 3,
+      trainFraction = 0.5)
+    assert(cents.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("clustered layout prunes unprobed partitions at scan time") {
     val cents = Ivf.kmeansCentroids(vecs, "embedding", "vec_id", k = 4, iters = 5)
     val path = "target/ivf_clustered"
