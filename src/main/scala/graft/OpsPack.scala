@@ -124,6 +124,45 @@ object OpsPack {
       bits = CosLshBits, tables = CosLshTables)
       .select("id1", "id2").orderBy("id1", "id2")
 
+  /** Winnowing-fingerprint near-dup pairs (MOSS-style substring-level
+    * duplication). Rows-only under the driver harness: the rolling-hash
+    * wraparound arithmetic has no DuckDB mirror, so value-level pinning
+    * lives in the OpsSpec property tests; this entry puts the operator
+    * under the same end-to-end harness as every other dedup family. */
+  def winnowPairsQuery(s: SparkSession, dir: String): DataFrame =
+    // k=25/w=8 ⇒ only runs of ≥ 32 shared bytes (~5+ consecutive shared
+    // words) fingerprint-collide — the synthetic corpus's small vocabulary
+    // makes shorter grams collide on nearly every pair
+    Dedup.winnowPairs(docs(s, dir), "text", "doc_id",
+      k = 25, w = 8, minShared = 2, maxDocFrequency = 200L)
+      .orderBy("id1", "id2")
+
+  /** Streaming driver query: replay events.parquet as a FILE STREAM through
+    * the watermarked windowed aggregation and materialize the append-mode
+    * (watermark-closed) windows from the memory sink. Rows-only under the
+    * harness — batch≡stream value equivalence is pinned by StreamingSpec;
+    * this entry puts the streaming path itself under the driver contract. */
+  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  def eventsStreamed(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$dir/events.parquet")
+    val staged = Paths.get(s"target/graft_stream_driver_${math.abs(dir.hashCode)}")
+    Files.createDirectories(staged)
+    val dst = staged.resolve("events.parquet")
+    if (!Files.exists(dst)) Files.copy(src, dst)
+    val batchSchema = s.read.parquet(staged.toString)
+    val sink = s"graft_events_stream_sink_${streamSinkSeq.incrementAndGet()}"
+    val q = graft.streaming.EventStreams.runToMemory(
+      s, staged.toString, batchSchema, sink, outputMode = "append") { stream =>
+      graft.streaming.EventStreams.windowedCounts(
+        graft.streaming.EventStreams.normalizeEventTs(stream),
+        windowLength = "1 hour", watermark = "0 seconds")
+    }
+    q.processAllAvailable()
+    q.stop()
+    s.table(sink).orderBy("window_start", "event_type")
+  }
+
   /** Contamination scan: every corpus document against a small probe set
     * (doc_id ≡ 0 mod 50 plays the benchmark suite) — ≥ 2 shared word
     * 3-grams flags a pair. The probe side broadcasts, so the corpus never
@@ -207,6 +246,8 @@ object OpsPack {
     "q_dedup_jaccard_pairs" -> (jaccardPairs _),
     "q_dedup_minhash_lsh" -> (minhashPairs _),
     "q_dedup_simhash" -> (simhashPairs _),
+    "q_dedup_winnow" -> (winnowPairsQuery _),
+    "q_events_streamed" -> (eventsStreamed _),
     "q_ann_topk" -> (annTopK _),
     "q_ann_topk_multi" -> (annTopKMulti _),
     "q_ann_ivf" -> (annIvf _),

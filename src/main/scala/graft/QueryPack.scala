@@ -32,14 +32,25 @@ object ComparePack {
   /** lineitem restricted to rows whose (l_orderkey, l_linenumber) occurs
     * exactly once — the synthetic data has duplicate keys, and rank-based
     * duplicate pairing is physical-order-dependent (not oracle-mirrorable),
-    * so the value-comparison queries run on the unique-key subset. */
-  private def uniqueKeyed(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys2.map(col): _*)
-    li(s, dir)
-      .withColumn("__graft_n", count(lit(1)).over(w))
-      .filter(col("__graft_n") === 1)
-      .drop("__graft_n")
-  }
+    * so the value-comparison queries run on the unique-key subset.
+    *
+    * Persisted per (session, dir): every frame the harness compares (A, B,
+    * C and their perturbations) derives from this one window, and without
+    * persistence the count-window re-executed once per JOIN SIDE of every
+    * cold compare — the dominant cost of q_compare_all_mismatch in round 2
+    * (VERDICT r2 plan audit). One cached copy serves them all. */
+  private val uniqueKeyedCache =
+    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+
+  private def uniqueKeyed(s: SparkSession, dir: String): DataFrame =
+    uniqueKeyedCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keys2.map(col): _*)
+      li(s, dir)
+        .withColumn("__graft_n", count(lit(1)).over(w))
+        .filter(col("__graft_n") === 1)
+        .drop("__graft_n")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** "df1": unique-keyed lineitem minus orderkeys ≡ 7 (mod 10). */
   def frameA(s: SparkSession, dir: String): DataFrame =
