@@ -38,18 +38,67 @@ object Dedup {
     while (d != null) { d.unpersist(); d = cachedFrames.poll() }
   }
 
+  /** Connected components over an undirected pair graph via iterative
+    * min-label propagation: each round, every node adopts the smallest
+    * label among itself and its neighbours; converged when no label moves.
+    * Returns (id, component) for every id appearing in `pairs`, where
+    * `component` is the smallest id in that node's component.
+    *
+    * Scale shape: the edge set (near-dup PAIRS — sparse by construction,
+    * bounded by the LSH candidate caps) is what shuffles, never the corpus;
+    * iteration count is the graph diameter, which for dedup clusters is
+    * small (chains of near-dups). Labels and edges are persisted per
+    * round; `maxIters` bounds pathological chains, erring on the side of
+    * dropping fewer docs (unconverged labels are still valid component
+    * members, just possibly not the global min). */
+  def connectedComponents(
+      pairs: DataFrame, id1: String = "id1", id2: String = "id2",
+      maxIters: Int = 30): DataFrame = {
+    val edges = pairs.select(col(id1).cast("long").as("a"), col(id2).cast("long").as("b"))
+      .union(pairs.select(col(id2).cast("long").as("a"), col(id1).cast("long").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIters) {
+        val viaNeighbor = edges
+          .join(labels.withColumnsRenamed(Map("id" -> "b_id", "comp" -> "b_comp")),
+            col("b") === col("b_id"))
+          .select(col("a").as("id"), col("b_comp").as("comp"))
+        val next = labels.union(viaNeighbor)
+          .groupBy("id").agg(min(col("comp")).as("comp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next
+          .join(labels.withColumnsRenamed(Map("id" -> "o_id", "comp" -> "o_comp")),
+            col("id") === col("o_id"))
+          .filter(col("comp") =!= col("o_comp")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
   /** End-to-end corpus cleaning — the composition a training pipeline runs
     * before tokenization, in the standard order:
     *
     *   1. quality filter (drop `low_quality` docs — cheap, narrow, first so
     *      later shuffles see less data);
     *   2. exact dedup (min-id winner per normalized content hash);
-    *   3. near-dup removal (MinHash-LSH pairs above `threshold`; the
-    *      higher-id member of each pair is dropped, transitively keeping
-    *      the lowest id of each near-dup cluster's discovered pairs).
+    *   3. near-dup removal, CLUSTER-TRANSITIVE: the discovered pairs form a
+    *      graph; [[connectedComponents]] keeps exactly the lowest id of
+    *      each connected component. A pair-local policy (drop every id2)
+    *      can keep two docs that are both near-dups of a third whose pair
+    *      was never a MinHash candidate — the component pass closes that
+    *      gap, matching what large training pipelines ship.
     *
     * Each stage is the already-tested operator; this just fixes the order
-    * and the keep-lowest-id policy. */
+    * and the keep-component-min policy. */
   def cleanCorpus(
       df: DataFrame,
       textCol: String,
@@ -59,8 +108,10 @@ object Dedup {
     // two consumers (near-dup discovery + the final anti-join): persist so
     // the fingerprint groupBy + semi-join lineage runs once
     val exact = cacheShared(exactDedup(quality, textCol, idCol))
-    val losers = minhashNearDuplicates(exact, textCol, idCol, nearDupThreshold)
-      .select(col("id2").as("drop_id")).distinct()
+    val pairs = minhashNearDuplicates(exact, textCol, idCol, nearDupThreshold)
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp")) // keep the component minimum
+      .select(col("id").as("drop_id"))
     exact.join(losers, exact(idCol) === losers("drop_id"), "left_anti")
   }
 

@@ -97,6 +97,21 @@ class OpsSpec extends SparkTestBase {
     assert(kept.contains(2L)) // unique content survives
   }
 
+  test("connected components: chains resolve to the component minimum") {
+    // chain 1-2-3 plus isolated pair 7-9: min-label propagation must walk
+    // the chain even though (1,3) is not an edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // the case pair-local dropping gets wrong: edges (2,3),(1,3) — dropping
+    // every id2 keeps BOTH 1 and 2 though they share a component via 3
+    val viaThird = Seq((2L, 3L), (1L, 3L)).toDF("id1", "id2")
+    val keep = Dedup.connectedComponents(viaThird)
+      .filter(col("id") === col("comp")).collect().map(_.getLong(0)).toSeq
+    assert(keep == Seq(1L))
+  }
+
   test("jaccard hot-shingle cap: no-op when nothing is hot, drops hot grams") {
     val uncapped = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
