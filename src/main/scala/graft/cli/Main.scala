@@ -47,6 +47,13 @@ object Main {
       |  --quiet                    suppress stdout report
       |  --spark-app-name NAME      Spark application name
       |  --no-cache-intermediates   skip caching the merged join
+      |  --assume-keys-unique       promise join keys are unique per side:
+      |                             skips the duplicate-shape probe scan and
+      |                             the pairing-rank windows. UNCHECKED — a
+      |                             wrong promise produces wrong results.
+      |  --assume-keys-null-free    promise join keys contain no NULLs:
+      |                             skips the null probe and plans plain
+      |                             equality joins. UNCHECKED.
       |  --help                     show this help and exit
       |  --version                  show version and exit
       |
@@ -75,7 +82,9 @@ object Main {
       output: Option[String] = None,
       quiet: Boolean = false,
       sparkAppName: String = "datacompy",
-      cacheIntermediates: Boolean = true)
+      cacheIntermediates: Boolean = true,
+      assumeKeysUnique: Boolean = false,
+      assumeKeysNullFree: Boolean = false)
 
   /** Tolerance argument: bare number applies to all columns, or repeated
     * COL=VALUE entries with an optional `default` key
@@ -168,6 +177,8 @@ object Main {
         case "--spark-app-name" => a = a.copy(sparkAppName = value("--spark-app-name"))
         case "--cache-intermediates" => a = a.copy(cacheIntermediates = true)
         case "--no-cache-intermediates" => a = a.copy(cacheIntermediates = false)
+        case "--assume-keys-unique" => a = a.copy(assumeKeysUnique = true)
+        case "--assume-keys-null-free" => a = a.copy(assumeKeysNullFree = true)
         case other => throw new BadArgsException(s"unknown option: $other")
       }
       i += 1
@@ -245,7 +256,9 @@ object Main {
         df1Name = name1, df2Name = name2,
         ignoreSpaces = a.ignoreSpaces, ignoreCase = a.ignoreCase,
         castColumnNamesLower = a.castColumnNamesLower,
-        cacheIntermediates = a.cacheIntermediates)
+        cacheIntermediates = a.cacheIntermediates,
+        assumeKeysUnique = if (a.assumeKeysUnique) Some(true) else None,
+        assumeKeysNullFree = if (a.assumeKeysNullFree) Some(true) else None)
       val compare = new SparkCompare(spark, df1, df2, cfg)
       val data = compare.buildReportData(a.sampleCount, a.columnCount)
       val rendered = a.reportFormat match {

@@ -92,12 +92,10 @@ object TextCounts {
 
   val FunctionName = "graft_text_counts"
 
-  /** Register as a SQL function in the session registry (idempotent). */
+  /** Register as a SQL function in the session registry (idempotent;
+    * no-op under Spark Connect — see [[GraftRegistry]]). */
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction(FunctionName,
-        exprs => TextCounts(exprs.head), "built-in")
+    GraftRegistry.tempFunction(spark, FunctionName, exprs => TextCounts(exprs.head))
 
   /** Column wrapper; registers against the active session on first use. */
   def counts(text: Column): Column = {
@@ -182,12 +180,10 @@ object WordSetCounts {
   import org.apache.spark.sql.{functions => F, SparkSession}
 
   /** Register a named instance bound to fixed word sets; needed because the
-    * function registry resolves by name only. */
+    * function registry resolves by name only (no-op under Spark Connect —
+    * see [[GraftRegistry]]). */
   def register(spark: SparkSession, name: String, sets: Seq[Seq[String]]): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction(name,
-        exprs => WordSetCounts(exprs.head, sets), "built-in")
+    GraftRegistry.tempFunction(spark, name, exprs => WordSetCounts(exprs.head, sets))
 
   /** Column wrapper; the name must be stable per distinct set family. */
   def counts(text: Column, name: String, sets: Seq[Seq[String]]): Column = {
@@ -294,11 +290,10 @@ object WinnowFingerprints {
 
   def functionName(k: Int, w: Int) = s"graft_winnow_${k}_$w"
 
+  /** No-op under Spark Connect — see [[GraftRegistry]]. */
   def register(spark: SparkSession, k: Int, w: Int): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction(functionName(k, w),
-        exprs => WinnowFingerprints(exprs.head, k, w), "built-in")
+    GraftRegistry.tempFunction(spark, functionName(k, w),
+      exprs => WinnowFingerprints(exprs.head, k, w))
 
   /** Column wrapper; registers against the active session on first use. */
   def fingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {

@@ -326,18 +326,60 @@ object VectorSum {
   }
 }
 
+/** Shared registry access for graft's custom Catalyst expressions.
+  *
+  * Classic (JVM) sessions register client-side into the session's function
+  * registry. Spark Connect sessions CANNOT — by design, resolution happens
+  * on the server, so client-side registration of JVM expressions is
+  * impossible from any library. The supported Connect route is installing
+  * [[GraftExtensions]] on the SERVER
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`); the
+  * `call_function(name, …)` plans this library builds then resolve there.
+  * A loud client-side error would wrongly block that working path, so
+  * non-classic sessions are a deliberate no-op here (an uninstalled server
+  * surfaces `UNRESOLVED_ROUTINE: graft_…`, which names the function to
+  * install). */
+object GraftRegistry {
+  def tempFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = spark match {
+    case classic: org.apache.spark.sql.classic.SparkSession =>
+      classic.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    case _ => () // Connect: see scaladoc — server-side GraftExtensions
+  }
+}
+
 /** Session-extension installer: `SparkSession.builder()
   * .withExtensions(new GraftExtensions).getOrCreate()` (or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`) makes
-  * `graft_dot_product` available to pure-SQL users cluster-wide. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — the required
+  * form for Spark Connect SERVERS) makes every stable-name graft function
+  * available to pure-SQL and Connect users cluster-wide. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier(VectorFunctions.FunctionName),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[DotProduct].getCanonicalName, VectorFunctions.FunctionName),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
-  }
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, clazz, builder) =>
+      e.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(clazz, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  /** Every graft function with a STABLE name (parameterized families —
+    * WordSetCounts instances, winnow k/w variants other than the default —
+    * bind constants into the expression and are registered per-session by
+    * their wrappers instead). */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    (VectorFunctions.FunctionName, classOf[DotProduct].getCanonicalName,
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+    (VectorFunctions.TopKFunctionName, classOf[TopKByScore].getCanonicalName,
+      (exprs: Seq[Expression]) => TopKByScore(exprs(0), exprs(1), exprs(2))),
+    (VectorFunctions.VectorSumFunctionName, classOf[VectorSum].getCanonicalName,
+      (exprs: Seq[Expression]) => VectorSum(exprs(0))),
+    (TextCounts.FunctionName, classOf[TextCounts].getCanonicalName,
+      (exprs: Seq[Expression]) => TextCounts(exprs.head)),
+    (WinnowFingerprints.functionName(5, 4), classOf[WinnowFingerprints].getCanonicalName,
+      (exprs: Seq[Expression]) => WinnowFingerprints(exprs.head, 5, 4)))
 }
 
 object VectorFunctions {
@@ -347,20 +389,18 @@ object VectorFunctions {
   val TopKFunctionName = "graft_top_k"
   val VectorSumFunctionName = "graft_vector_sum"
 
-  /** Register [[DotProduct]] and [[TopKByScore]] as SQL functions in the
-    * session's registry (idempotent). Needed once per session before using
-    * [[dotProduct]] / [[topKByScore]]. */
+  /** Register [[DotProduct]], [[TopKByScore]] and [[VectorSum]] as SQL
+    * functions in the session's registry (idempotent; no-op under Spark
+    * Connect — see [[GraftRegistry]]). The analyzer wraps a bare
+    * AggregateFunction in a Complete AggregateExpression, so the registry
+    * builders can return the aggregates directly. */
   def register(spark: SparkSession): Unit = {
-    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-    registry.createOrReplaceTempFunction(FunctionName,
-      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    // the analyzer wraps a bare AggregateFunction in a Complete
-    // AggregateExpression, so the registry builder can return it directly
-    registry.createOrReplaceTempFunction(TopKFunctionName,
-      exprs => TopKByScore(exprs(0), exprs(1), exprs(2)), "built-in")
-    registry.createOrReplaceTempFunction(VectorSumFunctionName,
-      exprs => VectorSum(exprs(0)), "built-in")
+    GraftRegistry.tempFunction(spark, FunctionName,
+      exprs => DotProduct(exprs(0), exprs(1)))
+    GraftRegistry.tempFunction(spark, TopKFunctionName,
+      exprs => TopKByScore(exprs(0), exprs(1), exprs(2)))
+    GraftRegistry.tempFunction(spark, VectorSumFunctionName,
+      exprs => VectorSum(exprs(0)))
   }
 
   /** Column wrapper for [[DotProduct]]. Registers against the active

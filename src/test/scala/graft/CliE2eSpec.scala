@@ -65,6 +65,17 @@ class CliE2eSpec extends SparkTestBase {
     }
   }
 
+  test("probe-skip hints keep results identical on clean-keyed data") {
+    // left/right have unique, null-free ids — the hints must not change
+    // any outcome, only skip the probe scans
+    assert(run("--left", s"$dir/left.csv", "--right", s"$dir/same.csv",
+      "--on", "id", "--quiet", "--df2-name", "same2",
+      "--assume-keys-unique", "--assume-keys-null-free") == 0)
+    assert(run("--left", s"$dir/left.csv", "--right", s"$dir/right.csv",
+      "--on", "id", "--quiet",
+      "--assume-keys-unique", "--assume-keys-null-free") == 1)
+  }
+
   test("json report is written to --output") {
     val out = s"$dir/report.json"
     assert(run("--left", s"$dir/left.csv", "--right", s"$dir/right.csv",

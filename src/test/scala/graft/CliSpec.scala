@@ -40,6 +40,14 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("probe-skip hints default to probing and map to Some(true) when set") {
+    val a = parse("--left", "l", "--right", "r", "--on", "id")
+    assert(!a.assumeKeysUnique && !a.assumeKeysNullFree)
+    val b = parse("--left", "l", "--right", "r", "--on", "id",
+      "--assume-keys-unique", "--assume-keys-null-free")
+    assert(b.assumeKeysUnique && b.assumeKeysNullFree)
+  }
+
   test("missing required args and unknown flags are rejected") {
     assertThrows[BadArgsException] { parse("--left", "l", "--on", "id") }
     assertThrows[BadArgsException] { parse("--left", "l", "--right", "r") }

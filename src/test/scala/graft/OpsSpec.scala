@@ -426,6 +426,33 @@ class OpsSpec extends SparkTestBase {
     assert(f.getDouble(0) == 3.0)
   }
 
+  test("GraftExtensions covers every stable-name function; all SQL-callable") {
+    import graft.functions.{GraftExtensions, VectorFunctions, TextCounts, WinnowFingerprints}
+    // the server-side (Spark Connect) route: the extension's inventory must
+    // track every stable-name function the client-side wrappers register
+    assert(GraftExtensions.functions.map(_._1).toSet == Set(
+      VectorFunctions.FunctionName, VectorFunctions.TopKFunctionName,
+      VectorFunctions.VectorSumFunctionName, TextCounts.FunctionName,
+      WinnowFingerprints.functionName(5, 4)))
+    // installer applies cleanly to a fresh extensions instance
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // and each function resolves + evaluates through the SQL registry
+    VectorFunctions.register(spark)
+    TextCounts.register(spark)
+    WinnowFingerprints.register(spark, 5, 4)
+    val topk = spark.sql(
+      """SELECT graft_top_k(s, i, 2) AS t FROM VALUES (1.0D, 10L), (3.0D, 30L),
+        |(2.0D, 20L) AS v(s, i)""".stripMargin).first()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getDouble(0), r.getLong(1)))
+    assert(topk == Seq((3.0, 30L), (2.0, 20L)))
+    val vs = spark.sql(
+      "SELECT graft_vector_sum(v) AS s FROM VALUES (array(1.0D, 2.0D)), (array(3.0D, 4.0D)) AS t(v)")
+      .first().getStruct(0)
+    assert(vs.getSeq[Double](0) == Seq(4.0, 6.0) && vs.getLong(1) == 2L)
+    assert(spark.sql("SELECT graft_text_counts('ab cd')[0]").first().getInt(0) == 5)
+    assert(spark.sql("SELECT size(graft_winnow_5_4('abcdefghijklmnop')) > 0").first().getBoolean(0))
+  }
+
   test("multimodal: typed codec stages stay in one Catalyst plan") {
     import graft.operators.Multimodal
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
