@@ -1,14 +1,39 @@
 package graft
 import org.apache.spark.sql.functions._
 import graft.operators._
+
+/** Ad-hoc plan/timing inspection main (not part of the driver contract). */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false").getOrCreate()
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = args.drop(1).headOption.getOrElse("all_mismatch")
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val c = ComparePack.compare(spark, "/root/testdata/sf0.01")
-    println("=== INTERSECT PLAN ===")
-    c.intersectRows.explain("formatted")
+    which match {
+      case "all_mismatch" =>
+        def timed[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        val df = SparkEntry.queries("q_compare_all_mismatch")(spark, sf)
+        println("=== ALL_MISMATCH PLAN ===")
+        df.explain("formatted")
+        timed("all_mismatch write")(
+          df.write.format("noop").mode("overwrite").save())
+        val df2 = SparkEntry.queries("q_compare_all_mismatch")(spark, sf)
+        timed("all_mismatch warm")(
+          df2.write.format("noop").mode("overwrite").save())
+      case q =>
+        val df = SparkEntry.queries(q)(spark, sf)
+        df.explain("formatted")
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"$q: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -124,6 +124,39 @@ object OpsPack {
       bits = CosLshBits, tables = CosLshTables)
       .select("id1", "id2").orderBy("id1", "id2")
 
+  /** PII scan + redaction: deterministic synthetic PII (email/IP/SSN/phone
+    * derived from doc_id) is appended to each document, then counted and
+    * redacted — pure codegen'd regex expressions, zero shuffle. The md5 of
+    * the redacted text proves the REDACTION ITSELF (not just the counts)
+    * matches the oracle byte-for-byte; the clean-text docs double as a
+    * false-positive check. */
+  def piiScan(s: SparkSession, dir: String): DataFrame = {
+    val injected = docs(s, dir).select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit(" ssn 123-45-6789")).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0, lit(" call 555-123-4567")).otherwise(lit("")))
+      .as("text"))
+    injected.select(
+      col("doc_id") +:
+        TextOps.PiiPatterns.map { case (name, pat) =>
+          TextOps.piiCount(col("text"), pat).cast("long").as(s"n_$name")
+        } :+
+        md5(TextOps.redactPii(col("text")).cast("binary")).as("redacted_md5"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition quality statistics over the corpus. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(docs(s, dir), "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Winnowing-fingerprint near-dup pairs (MOSS-style substring-level
     * duplication). Rows-only under the driver harness: the rolling-hash
     * wraparound arithmetic has no DuckDB mirror, so value-level pinning
@@ -248,6 +281,8 @@ object OpsPack {
     "q_dedup_simhash" -> (simhashPairs _),
     "q_dedup_winnow" -> (winnowPairsQuery _),
     "q_events_streamed" -> (eventsStreamed _),
+    "q_text_pii" -> (piiScan _),
+    "q_text_repetition" -> (textRepetition _),
     "q_ann_topk" -> (annTopK _),
     "q_ann_topk_multi" -> (annTopKMulti _),
     "q_ann_ivf" -> (annIvf _),
@@ -434,6 +469,52 @@ object OpsPack {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** PII oracle: the same injection arithmetic, the IDENTICAL regex pattern
+    * strings (RE2-compatible by design), and the same redaction order. */
+  private val piiSql: String = {
+    val inject =
+      """text ||
+        |CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.' || (doc_id % 256) || '.1' ELSE '' END ||
+        |CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END ||
+        |CASE WHEN doc_id % 17 = 0 THEN ' call 555-123-4567' ELSE '' END""".stripMargin
+    val countCols = TextOps.PiiPatterns.map { case (name, pat) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(",\n  ")
+    val redacted = TextOps.PiiPatterns.foldLeft("text") { case (t, (name, pat)) =>
+      s"regexp_replace($t, '$pat', '[${name.toUpperCase}]', 'g')"
+    }
+    s"""WITH p AS (SELECT doc_id, $inject AS text FROM documents)
+       |SELECT doc_id,
+       |  $countCols,
+       |  md5($redacted) AS redacted_md5
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  /** Repetition oracle: token/bigram frequency rollups mirroring
+    * TextOps.repetitionStats (bigrams via list_transform — DuckDB's RE2 has
+    * no lookahead, but the values are identical to the engine's
+    * normalized-text regex extraction). */
+  private val repetitionSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) t FROM documents),
+      |tc AS (SELECT doc_id, t, count(*) c FROM toks GROUP BY 1, 2),
+      |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_tokens,
+      |       CAST(count(*) AS BIGINT) n_distinct_tokens, max(c) top_c FROM tc GROUP BY 1),
+      |ta AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') t FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) g
+      |       FROM ta WHERE len(t) >= 2),
+      |bc AS (SELECT doc_id, g, count(*) c FROM bg GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, sum(c) n_bigrams, max(c) top_bi FROM bc GROUP BY 1)
+      |SELECT ts.doc_id, n_tokens, n_distinct_tokens,
+      |  CASE WHEN n_tokens = 0 THEN 0.0
+      |       ELSE 1.0 - CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS dup_token_ratio,
+      |  CASE WHEN n_tokens = 0 THEN 0.0
+      |       ELSE CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS top_token_ratio,
+      |  CASE WHEN n_bigrams IS NULL OR n_bigrams = 0 THEN 0.0
+      |       ELSE CAST(top_bi AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS top_bigram_ratio
+      |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id
+      |ORDER BY ts.doc_id""".stripMargin
+
   private val annTopKMultiSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
@@ -484,6 +565,8 @@ object OpsPack {
     "q_docs_lang_rollup" -> langRollupSql,
     "q_split_counts" -> splitCountsSql,
     "q_text_stats" -> statsSql,
+    "q_text_pii" -> piiSql,
+    "q_text_repetition" -> repetitionSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_jaccard_pairs" -> jaccardSql,
     "q_contamination" -> contaminationSql,

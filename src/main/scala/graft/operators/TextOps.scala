@@ -115,6 +115,76 @@ object TextOps {
     when(size(grams) === 0, array(norm)).otherwise(grams)
   }
 
+  /** Non-distinct overlapping word n-grams (for frequency statistics —
+    * [[wordShingles]] dedupes for set similarity). Empty array when fewer
+    * than `n` tokens. Same codegen'd lookahead-regex trick. */
+  def wordShinglesAll(text: Column, n: Int): Column = {
+    val norm = regexp_replace(trim(text), "\\s+", " ")
+    val pat = "(?:^|(?<= ))(?=(" + ("\\S+ " * (n - 1)) + "\\S+))"
+    regexp_extract_all(norm, lit(pat), lit(1))
+  }
+
+  /** PII patterns, ordered by application priority. Deliberately
+    * RE2-compatible (no lookaround, no backreferences) so the DuckDB
+    * oracle runs the IDENTICAL pattern strings. Word-boundary anchors keep
+    * the numeric patterns from matching inside longer digit runs. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b")
+
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
+  /** Redact PII in priority order, replacing each match with `[NAME]`.
+    * Order matters (an SSN is also phone-shaped): earlier patterns consume
+    * their text before later ones run — the oracle chains the same
+    * replacements in the same order. Pure codegen'd string expressions:
+    * zero shuffle, scales with input splits. */
+  def redactPii(text: Column, patterns: Seq[(String, String)] = PiiPatterns): Column =
+    patterns.foldLeft(text) { case (t, (name, pat)) =>
+      regexp_replace(t, pat, s"[${name.toUpperCase}]")
+    }
+
+  /** Gopher-style repetition statistics per document (Rae et al. 2021's
+    * repetition filters): duplicate-token fraction, most-common-token
+    * fraction, most-common-bigram fraction. High values flag boilerplate /
+    * degenerate text that length and alpha-ratio miss.
+    *
+    * Scale shape: explode → two-level hash aggregation, both levels
+    * combiner-friendly (partial aggregation map-side), shuffle keyed by
+    * (id, gram) then id — the same postings shape as the dedup operators,
+    * never a per-row interpreted HOF over token arrays. Returns
+    * (id, n_tokens, n_distinct_tokens, dup_token_ratio, top_token_ratio,
+    * top_bigram_ratio). */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("t"))
+    val tokStats = toks.groupBy("id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("c")).as("top_c"))
+    val bigrams = df.select(col(idCol).as("id"),
+      explode(wordShinglesAll(col(textCol), 2)).as("g"))
+    val biStats = bigrams.groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bi"))
+    tokStats.join(biStats, Seq("id"), "left")
+      .select(col("id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct_tokens").cast("long").as("n_distinct_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_token_ratio"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("top_c").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_ratio"),
+        when(col("n_bigrams").isNull || col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("top_bi").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_ratio"))
+  }
+
   /** Full per-document stats projection used by pipelines and the driver
     * queries.
     *

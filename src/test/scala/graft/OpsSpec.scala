@@ -333,6 +333,40 @@ class OpsSpec extends SparkTestBase {
     got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("PII redaction: each category, priority order, clean text untouched") {
+    val df = Seq(
+      (0L, "reach me at jane.doe+spam@mail.example.org today"),
+      (1L, "server 192.168.1.254 timed out"),
+      (2L, "ssn is 123-45-6789 ok"),
+      (3L, "call 555-123-4567 now"),
+      (4L, "no pii here, just 42 numbers and a 1.5 ratio")
+    ).toDF("id", "text")
+    val red = df.select(col("id"), TextOps.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(0L) == "reach me at [EMAIL] today")
+    assert(red(1L) == "server [IPV4] timed out")
+    assert(red(2L) == "ssn is [SSN] ok") // ssn wins over phone (priority order)
+    assert(red(3L) == "call [PHONE] now")
+    assert(red(4L) == "no pii here, just 42 numbers and a 1.5 ratio")
+    val counts = df.select(TextOps.PiiPatterns.map { case (n, p) =>
+      sum(TextOps.piiCount(col("text"), p)).as(n) }: _*).first()
+    assert((0 until 4).map(counts.getLong) == Seq(1L, 1L, 1L, 1L))
+  }
+
+  test("repetition stats: duplicate and top-gram fractions") {
+    val df = Seq(
+      (0L, "spam spam spam spam"),            // 1 distinct of 4; bigram "spam spam" x3
+      (1L, "all words here are distinct"),    // no repetition
+      (2L, "solo")                            // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got(0L) == ((4L, 1L, 0.75, 1.0, 1.0)))
+    assert(got(1L) == ((5L, 5L, 0.0, 0.2, 0.25)))
+    assert(got(2L) == ((1L, 1L, 0.0, 1.0, 0.0)))
+  }
+
   test("cosine and brute-force top-k") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
