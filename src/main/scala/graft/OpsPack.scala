@@ -209,6 +209,18 @@ object OpsPack {
       .orderBy("corpus_id", "probe_id")
   }
 
+  /** Sequence packing: documents → 256-token packs across 64 deterministic
+    * streams, rolled up per stream. Rows-only under the harness (greedy
+    * packing has no SQL mirror); budget/uniqueness/determinism invariants
+    * are pinned in OpsSpec. */
+  def packStats(s: SparkSession, dir: String): DataFrame = {
+    val withTokens = docs(s, dir).select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("tokens"))
+    graft.operators.Packing.packStats(
+      graft.operators.Packing.packGreedy(withTokens, "doc_id", "tokens",
+        budget = 256L, groups = 64))
+  }
+
   /** Multimodal pipeline: synthetic media → batched feature extraction →
     * aggregate feature stats (rows-only check; decode is stubbed). */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -283,6 +295,7 @@ object OpsPack {
     "q_events_streamed" -> (eventsStreamed _),
     "q_text_pii" -> (piiScan _),
     "q_text_repetition" -> (textRepetition _),
+    "q_pack_stats" -> (packStats _),
     "q_ann_topk" -> (annTopK _),
     "q_ann_topk_multi" -> (annTopKMulti _),
     "q_ann_ivf" -> (annIvf _),

@@ -132,6 +132,32 @@ object Ann {
       .limit(k)
   }
 
+  /** Write the corpus `partitionBy(__bucket)` under its LSH signature so
+    * probes prune whole files at scan time — the persisted-index form of
+    * [[annTopK]] (same layout trick as [[Ivf.writeClustered]]). At 100 TB
+    * a 12-bit signature yields 4096 partitions; a multi-probe query reads
+    * bits+1 of them (~0.3% of the data). */
+  def writeLshBucketed(
+      df: DataFrame, vecCol: String, dim: Int, path: String, bits: Int = 12): Unit =
+    df.withColumn("__bucket", lshSignature(col(vecCol), dim, bits))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+
+  /** ANN top-k over a [[writeLshBucketed]] layout: the bucket probe set is
+    * computed driver-side and becomes a PARTITION filter, so unprobed
+    * buckets are never read (plan pinned in OpsSpec). */
+  def annTopKFromBucketed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, bits: Int = 12): DataFrame = {
+    val qSig = lshSignatureLocal(query, bits)
+    val probes = qSig +: (0 until bits).map(b => qSig ^ (1L << b))
+    spark.read.parquet(path)
+      .where(col("__bucket").isin(probes: _*))
+      .select(col(idCol), cosine(col(vecCol), vecLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All pairs with cosine ≥ threshold via LSH bucket self-join (near-dup by
     * embedding). High-threshold pairs almost always share sign buckets.
     * Norms are precomputed per vector (O(n)), not per pair (O(n²)). */

@@ -333,6 +333,30 @@ class OpsSpec extends SparkTestBase {
     got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("greedy packing: budget respected, every doc once, repartition-stable") {
+    import graft.operators.Packing
+    val docsT = (0 until 300).map(i => (i.toLong, (i % 97 + 3).toLong)).toDF("doc_id", "tokens")
+    val packed = Packing.packGreedy(docsT, "doc_id", "tokens", budget = 128L, groups = 8)
+    val rows = packed.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // every doc assigned exactly once
+    assert(rows.map(_._3).sorted.toSeq == (0L until 300L))
+    // no pack exceeds the budget (no doc here exceeds it either)
+    val perPack = rows.groupBy(t => (t._1, t._2)).map(_._2.map(_._4).sum)
+    assert(perPack.forall(_ <= 128L), perPack.filter(_ > 128L).toSeq)
+    // deterministic under different physical partitioning
+    val again = Packing.packGreedy(docsT.repartition(13), "doc_id", "tokens",
+      budget = 128L, groups = 8)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(_._3).toSeq == rows.sortBy(_._3).toSeq)
+    // oversize doc → singleton pack, nothing else joins it
+    val over = Packing.packGreedy(
+      Seq((1L, 500L), (2L, 50L), (3L, 60L)).toDF("doc_id", "tokens"),
+      "doc_id", "tokens", budget = 128L, groups = 1)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    val overPack = over.find(_._2 == 1L).get._1
+    assert(over.count(_._1 == overPack) == 1)
+  }
+
   test("PII redaction: each category, priority order, clean text untouched") {
     val df = Seq(
       (0L, "reach me at jane.doe+spam@mail.example.org today"),
@@ -458,6 +482,23 @@ class OpsSpec extends SparkTestBase {
     val f = spark.sql(
       "SELECT graft_dot_product(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT)))").first()
     assert(f.getDouble(0) == 3.0)
+  }
+
+  test("LSH bucketed layout: partition-pruned probes match the in-memory path") {
+    val vecs = (0 until 80).map { i =>
+      val angle = i * 2 * math.Pi / 80
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val path = "target/ann_lsh_bucketed"
+    Ann.writeLshBucketed(vecs, "embedding", dim = 2, path, bits = 6)
+    val q = Seq(1.0, 0.05)
+    val fromDisk = Ann.annTopKFromBucketed(spark, path, "embedding", "vec_id", q, 3, bits = 6)
+    // probe set becomes a partition filter — unprobed buckets never read
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bucket"), plan)
+    val inMem = Ann.annTopK(vecs, "embedding", "vec_id", q, 3, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromDisk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == inMem)
   }
 
   test("GraftExtensions covers every stable-name function; all SQL-callable") {
