@@ -101,6 +101,20 @@ object OpsPack {
       .toSeq.toDF("rank", "vec_id")
   }
 
+  /** Quantized ANN: int8-quantize the corpus, rank by quantized cosine for
+    * the query vector of vec_id=0. Integer dot products are exact in
+    * double, so the full ranking (not just the id set) is engine-stable. */
+  def annTopKQuantized(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0).select(col("embedding")).first()
+      .getSeq[Float](0).map(_.toDouble)
+    val top = Ann.quantizedTopK(e, "embedding", "vec_id", q, 20)
+    import s.implicits._
+    top.collect().zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
+      .toSeq.toDF("rank", "vec_id")
+  }
+
   /** Exact all-pairs cosine ≥ 0.4 (IDs only, threshold margin >>ulp). */
   def cosinePairs(s: SparkSession, dir: String): DataFrame =
     Ann.cosinePairsExact(embeddings(s, dir), "embedding", "vec_id", 0.4)
@@ -298,6 +312,7 @@ object OpsPack {
     "q_pack_stats" -> (packStats _),
     "q_ann_topk" -> (annTopK _),
     "q_ann_topk_multi" -> (annTopKMulti _),
+    "q_ann_topk_quantized" -> (annTopKQuantized _),
     "q_ann_ivf" -> (annIvf _),
     "q_embedding_cosine_pairs" -> (cosinePairs _),
     "q_embedding_cosine_lsh" -> (cosinePairsLsh _),
@@ -546,6 +561,30 @@ object OpsPack {
       |SELECT CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT) AS rank, vec_id
       |FROM scored ORDER BY c DESC, vec_id LIMIT 20""".stripMargin
 
+  /** Quantized-ANN oracle: the same max-abs/127 scale, the same
+    * floor(x/s + 0.5) rounding (round() diverges half-even/half-away across
+    * engines; floor(+0.5) doesn't), and integer dot products — exact in
+    * double at dim=64, so the ranking is bit-stable by construction. */
+  private val annTopKQuantizedSql: String = {
+    val dim = EmbeddingDim
+    def dotSum(va: String, vb: String): String =
+      (1 to dim).map(i => s"$va[$i] * $vb[$i]").mkString("(", " + ", ")")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |s AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 sc FROM e),
+       |q AS (SELECT e.vec_id,
+       |  CASE WHEN sc = 0 THEN list_transform(v, x -> 0)
+       |       ELSE list_transform(v, x -> CAST(greatest(-127.0, least(127.0, floor(x / sc + 0.5))) AS INT)) END qv
+       |  FROM e JOIN s ON s.vec_id = e.vec_id),
+       |n AS (SELECT vec_id, qv, sqrt(${dotSum("qv", "qv")}) nrm FROM q),
+       |t AS (SELECT qv tq, nrm tn FROM n WHERE vec_id = 0),
+       |scored AS (SELECT n.vec_id,
+       |  CASE WHEN n.nrm * t.tn = 0 THEN 0.0
+       |       ELSE ${dotSum("n.qv", "t.tq")} / (n.nrm * t.tn) END c
+       |  FROM n CROSS JOIN t)
+       |SELECT CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT) AS rank, vec_id
+       |FROM scored ORDER BY c DESC, vec_id LIMIT 20""".stripMargin
+  }
+
   private val cosinePairsSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
       |SELECT a.vec_id AS id1, b.vec_id AS id2
@@ -587,6 +626,7 @@ object OpsPack {
     "q_dedup_simhash" -> simhashSql,
     "q_ann_topk" -> annTopKSql,
     "q_ann_topk_multi" -> annTopKMultiSql,
+    "q_ann_topk_quantized" -> annTopKQuantizedSql,
     "q_ann_ivf" -> annTopKSql,
     "q_embedding_cosine_pairs" -> cosinePairsSql,
     "q_embedding_cosine_lsh" -> cosineLshSql)

@@ -210,6 +210,53 @@ object Ann {
       .where(col("cosine") >= threshold)
   }
 
+  /** Symmetric int8 quantization: scale = max|x|/127, q_i = clamp(floor(
+    * x_i/scale + 0.5), ±127). Returns `struct<scale double, q array<int>>`.
+    * Engine-mirrorable arithmetic (floor(x/s + 0.5) rounds identically
+    * everywhere, unlike round()'s half-even/half-away divergence).
+    *
+    * The HOFs here run interpreted, but quantization is ONE O(n·dim) pass
+    * per corpus (typically at write time); scoring — the O(n·q) hot path —
+    * runs the codegen'd [[dot]] on the int arrays, where products are
+    * exact integers ≤ 127², so quantized similarity sums are EXACT in
+    * double regardless of accumulation order: quantized rankings are
+    * bit-stable across engines and partitionings by construction. */
+  def int8Quantize(vec: Column): Column = {
+    val scale = aggregate(vec, lit(0.0),
+      (a, x) => greatest(a, abs(x.cast("double")))) / lit(127.0)
+    struct(scale.as("scale"), quantizeWith(vec, scale).as("q"))
+  }
+
+  private def quantizeWith(vec: Column, scale: Column): Column =
+    transform(vec, x =>
+      when(scale === lit(0.0), lit(0))
+        .otherwise(greatest(lit(-127.0), least(lit(127.0),
+          floor(x.cast("double") / scale + lit(0.5)))).cast("int")))
+
+  def dequantize(qs: Column): Column =
+    transform(qs.getField("q"), q => q.cast("double") * qs.getField("scale"))
+
+  /** Driver-side mirror of [[int8Quantize]] for query vectors (same IEEE
+    * ops in the same order). */
+  def int8QuantizeLocal(v: Seq[Double]): Array[Int] = {
+    val scale = v.map(math.abs).foldLeft(0.0)(math.max) / 127.0
+    if (scale == 0.0) Array.fill(v.length)(0)
+    else v.map(x => math.max(-127.0, math.min(127.0, math.floor(x / scale + 0.5))).toInt).toArray
+  }
+
+  /** Brute-force top-k by QUANTIZED cosine: scale cancels in cosine, so
+    * ranking needs only the int arrays — 4× smaller scans than float32 and
+    * exact integer dot products. */
+  def quantizedTopK(
+      df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val qLit = array(int8QuantizeLocal(query).map(lit(_)): _*)
+    df.select(col(idCol), int8Quantize(col(vecCol)).getField("q").as("qv"))
+      .select(col(idCol), cosine(col("qv"), qLit).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact all-pairs cosine ≥ threshold (oracle-checkable; O(n²) — for
     * verification and small dimension tables, not the 100 TB path). Norms
     * are computed once per vector before the join. */

@@ -484,6 +484,42 @@ class OpsSpec extends SparkTestBase {
     assert(f.getDouble(0) == 3.0)
   }
 
+  test("int8 quantization: bounded error, engine/driver mirror, top-k recall") {
+    val vecs = (0 until 50).map { i =>
+      val angle = i * 2 * math.Pi / 50
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat, (i / 50.0f)))
+    }.toDF("vec_id", "embedding")
+    // dequantize(quantize(v)) within half a quantization step per element
+    val err = vecs.select(Ann.int8Quantize(col("embedding")).as("qs"), col("embedding"))
+      .select(Ann.dequantize(col("qs")).as("dq"), col("embedding"),
+        col("qs").getField("scale").as("sc"))
+      .collect()
+    err.foreach { r =>
+      val dq = r.getSeq[Double](0); val v = r.getSeq[Float](1); val sc = r.getDouble(2)
+      dq.zip(v).foreach { case (a, b) =>
+        assert(math.abs(a - b.toDouble) <= sc / 2 + 1e-12, (a, b, sc)) }
+      // quantized values stay in int8 range
+      assert(dq.forall(x => math.abs(x / sc) <= 127.0 + 1e-9))
+    }
+    // driver-side mirror agrees with the engine expression
+    val v0 = vecs.where(col("vec_id") === 7).select("embedding").first()
+      .getSeq[Float](0).map(_.toDouble)
+    val engineQ = vecs.where(col("vec_id") === 7)
+      .select(Ann.int8Quantize(col("embedding")).getField("q")).first().getSeq[Int](0)
+    assert(Ann.int8QuantizeLocal(v0).toSeq == engineQ)
+    // quantized top-k finds the float top-k on well-separated data
+    val q = Seq(1.0, 0.05, 0.1)
+    val floatTop = Ann.bruteForceTopK(vecs, "embedding", "vec_id", q, 3)
+      .collect().map(_.getLong(0)).toSet
+    val quantTop = Ann.quantizedTopK(vecs, "embedding", "vec_id", q, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert((floatTop & quantTop).size >= 2, (floatTop, quantTop))
+    // zero vector quantizes to zeros without dividing by zero
+    val z = Seq((0L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(Ann.int8Quantize(col("embedding")).as("qs")).first().getStruct(0)
+    assert(z.getDouble(0) == 0.0 && z.getSeq[Int](1) == Seq(0, 0))
+  }
+
   test("LSH bucketed layout: partition-pruned probes match the in-memory path") {
     val vecs = (0 until 80).map { i =>
       val angle = i * 2 * math.Pi / 80
