@@ -235,6 +235,21 @@ object OpsPack {
         budget = 256L, groups = 64))
   }
 
+  /** Multimodal metadata plumbing, oracle-checked: the synthetic media
+    * construction (kind dispatch, dimension arithmetic, duration, payload
+    * byte length) is pure column algebra with an exact DuckDB mirror —
+    * only the codec INSIDE the feature stage is stubbed, and that part
+    * stays rows-only in q_multimodal_features. */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.syntheticMedia(docs(s, dir), "doc_id", "text")
+      .select(col("media_id"),
+        col("meta.kind").as("kind"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.duration_ms").as("duration_ms"),
+        length(col("content")).as("content_bytes"))
+      .orderBy("media_id")
+
   /** Multimodal pipeline: synthetic media → batched feature extraction →
     * aggregate feature stats (rows-only check; decode is stubbed). */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -316,6 +331,7 @@ object OpsPack {
     "q_ann_ivf" -> (annIvf _),
     "q_embedding_cosine_pairs" -> (cosinePairs _),
     "q_embedding_cosine_lsh" -> (cosinePairsLsh _),
+    "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
   // ---------- DuckDB oracles ----------
@@ -605,6 +621,19 @@ object OpsPack {
       |  CAST(count(*) AS BIGINT) AS n_docs
       |FROM b GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Multimodal-metadata oracle. DuckDB `length` counts characters and
+    * `strlen` counts BYTES — Spark's `length` on BINARY is bytes, so
+    * content_bytes mirrors via strlen. */
+  private val multimodalMetaSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(doc_id % 1920 + 1 AS INT) AS width,
+      |  CAST(doc_id % 1080 + 1 AS INT) AS height,
+      |  CAST(length(text) * 10 AS BIGINT) AS duration_ms,
+      |  CAST(strlen(text) AS INT) AS content_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+
   private val langRollupSql: String =
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
       | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
@@ -629,5 +658,6 @@ object OpsPack {
     "q_ann_topk_quantized" -> annTopKQuantizedSql,
     "q_ann_ivf" -> annTopKSql,
     "q_embedding_cosine_pairs" -> cosinePairsSql,
-    "q_embedding_cosine_lsh" -> cosineLshSql)
+    "q_embedding_cosine_lsh" -> cosineLshSql,
+    "q_multimodal_meta" -> multimodalMetaSql)
 }

@@ -484,6 +484,46 @@ class OpsSpec extends SparkTestBase {
     assert(f.getDouble(0) == 3.0)
   }
 
+  test("winnowing matches an independent from-scratch implementation") {
+    // self-oracle for the un-SQL-mirrorable operator: every k-gram hash is
+    // recomputed FROM SCRATCH (verifying the rolling-subtraction algebra)
+    // and the winnow loop is written independently (minBy with a rightmost
+    // tie rule) — any drift in either half fails this test
+    def naive(text: String, k: Int, w: Int): Seq[Long] = {
+      def mix(x0: Long): Long = {
+        var z = x0
+        z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+        z *= 0xC4CEB9FE1A85EC53L; z ^= z >>> 33
+        z
+      }
+      def gramHash(g: Array[Byte]): Long =
+        mix(g.foldLeft(0L)((h, b) => h * 1000000007L + (b & 0xFF) + 1))
+      val bytes = text.getBytes("UTF-8")
+      if (bytes.length < k) return Seq(gramHash(bytes))
+      val hashes = bytes.sliding(k).map(gramHash).toVector
+      val win = math.min(w, hashes.length)
+      var lastPos = -1
+      (0 to hashes.length - win).flatMap { s =>
+        val window = s until math.min(s + w, hashes.length)
+        val minPos = window.minBy(p => (hashes(p), -p))
+        if (minPos != lastPos) { lastPos = minPos; Some(hashes(minPos)) } else None
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    val texts = Seq("", "a", "abc", "abcdefghij", "aaaaaaaaaaaaaaaa") ++
+      (0 until 30).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(200)).mkString) ++
+      (0 until 5).map(_ => ("spam " * (1 + rnd.nextInt(20))).trim)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for ((k, w) <- Seq((5, 4), (3, 7), (8, 2))) {
+      val engine = df.select(col("id"),
+        graft.functions.WinnowFingerprints.fingerprints(col("text"), k, w).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(engine(i.toLong) == naive(t, k, w), s"k=$k w=$w text#$i '${t.take(30)}'")
+      }
+    }
+  }
+
   test("int8 quantization: bounded error, engine/driver mirror, top-k recall") {
     val vecs = (0 until 50).map { i =>
       val angle = i * 2 * math.Pi / 50
