@@ -27,6 +27,24 @@ object Explain {
         val df2 = SparkEntry.queries("q_compare_all_mismatch")(spark, sf)
         timed("all_mismatch warm")(
           df2.write.format("noop").mode("overwrite").save())
+      case "clean_phases" =>
+        import graft.operators.{Dedup, TextOps}
+        def timed[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        val docs = spark.read.parquet(s"$sf/documents.parquet")
+        val quality = docs.where(!TextOps.lowQualityFlag(col("text")))
+        timed("quality count")(println("  rows=" + quality.count()))
+        val exact = Dedup.exactDedup(quality, "text", "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        timed("exact dedup")(println("  rows=" + exact.count()))
+        val pairs = Dedup.minhashNearDuplicates(exact, "text", "doc_id", 0.5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        timed("minhash pairs")(println("  pairs=" + pairs.count()))
+        val comp = timed("connected components")(
+          Dedup.connectedComponents(pairs))
+        timed("components count")(println("  nodes=" + comp.count()))
       case q =>
         val df = SparkEntry.queries(q)(spark, sf)
         df.explain("formatted")

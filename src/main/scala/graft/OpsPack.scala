@@ -199,12 +199,19 @@ object OpsPack {
     if (!Files.exists(dst)) Files.copy(src, dst)
     val batchSchema = s.read.parquet(staged.toString)
     val sink = s"graft_events_stream_sink_${streamSinkSeq.incrementAndGet()}"
-    val q = graft.streaming.EventStreams.runToMemory(
-      s, staged.toString, batchSchema, sink, outputMode = "append") { stream =>
-      graft.streaming.EventStreams.windowedCounts(
-        graft.streaming.EventStreams.normalizeEventTs(stream),
-        windowLength = "1 hour", watermark = "0 seconds")
-    }
+    // a one-shot replay doesn't need 32 state-store partitions — each one
+    // costs checkpoint/provider setup per micro-batch; results are
+    // partition-count-independent. The conf is restored after the
+    // (synchronous) run; state partitioning is fixed at query start.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try graft.streaming.EventStreams.runToMemory(
+        s, staged.toString, batchSchema, sink, outputMode = "append") { stream =>
+        graft.streaming.EventStreams.windowedCounts(
+          graft.streaming.EventStreams.normalizeEventTs(stream),
+          windowLength = "1 hour", watermark = "0 seconds")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     q.processAllAvailable()
     q.stop()
     s.table(sink).orderBy("window_start", "event_type")
@@ -234,6 +241,16 @@ object OpsPack {
       graft.operators.Packing.packGreedy(withTokens, "doc_id", "tokens",
         budget = 256L, groups = 64))
   }
+
+  /** The flagship corpus-cleaning composite under the driver harness:
+    * quality filter → exact dedup → cluster-transitive near-dup removal.
+    * Rows-only (the connected-components iteration has no single-statement
+    * SQL mirror); each constituent operator is oracle-checked on its own
+    * driver query, and the composite's policy cases are pinned in OpsSpec. */
+  def cleanCorpusQuery(s: SparkSession, dir: String): DataFrame =
+    Dedup.cleanCorpus(docs(s, dir), "text", "doc_id", nearDupThreshold = 0.5)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
 
   /** Multimodal metadata plumbing, oracle-checked: the synthetic media
     * construction (kind dispatch, dimension arithmetic, duration, payload
@@ -316,6 +333,7 @@ object OpsPack {
     "q_compare_report" -> (compareReport _),
     "q_text_stats" -> (textStats _),
     "q_dedup_exact" -> (dedupExact _),
+    "q_clean_corpus" -> (cleanCorpusQuery _),
     "q_contamination" -> (contamination _),
     "q_dedup_jaccard_pairs" -> (jaccardPairs _),
     "q_dedup_minhash_lsh" -> (minhashPairs _),

@@ -53,14 +53,61 @@ object Dedup {
     * members, just possibly not the global min). */
   def connectedComponents(
       pairs: DataFrame, id1: String = "id1", id2: String = "id2",
-      maxIters: Int = 30): DataFrame = {
-    val edges = pairs.select(col(id1).cast("long").as("a"), col(id2).cast("long").as("b"))
-      .union(pairs.select(col(id2).cast("long").as("a"), col(id1).cast("long").as("b")))
+      maxIters: Int = 30, localThreshold: Long = 1L << 20): DataFrame = {
+    val p = pairs.select(col(id1).cast("long").as("a"), col(id2).cast("long").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = p.count()
+    try {
+      if (m <= localThreshold) localComponents(p) else distributedComponents(p, maxIters)
+    } finally p.unpersist()
+  }
+
+  /** Driver-side union-find for pair graphs below the threshold — the
+    * normal case: a near-dup pass over any corpus yields orders of
+    * magnitude fewer pairs than documents, and 2^20 edges is ~16 MB on
+    * the driver vs ~10 Spark jobs of pure overhead for the iterative
+    * path (measured 8.4s for a 241-edge graph at 32 shuffle partitions). */
+  private def localComponents(p: DataFrame): DataFrame = {
+    val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = parent.keys.map(id => (id, find(id))).toSeq
+    // roots are component minima already (unions always point max → min)
+    val sp = p.sparkSession
+    import sp.implicits._
+    comp.toDF("id", "comp")
+  }
+
+  /** Iterative min-label propagation with pointer jumping for graphs too
+    * large to collect: each round every node adopts the min label among
+    * itself, its neighbours, AND its label's label (path halving), so
+    * convergence is O(log diameter) rounds, not O(diameter). Only the
+    * sparse pair graph ever shuffles. */
+  private def distributedComponents(p: DataFrame, maxIters: Int): DataFrame = {
+    val edges = p
+      .union(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) TRUNCATES LINEAGE each round: the label frame
+    // appears four times in every round's plan (self-join + unions), so
+    // without truncation the logical plan grows 4^rounds and Catalyst
+    // planning OOMs long before the data does. Tradeoff: checkpointed
+    // blocks are not recomputable after executor loss — re-run the pass
+    // if that happens (it is a bounded dedup step, not a long pipeline).
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     try {
       var changed = 1L
       var iter = 0
@@ -69,9 +116,13 @@ object Dedup {
           .join(labels.withColumnsRenamed(Map("id" -> "b_id", "comp" -> "b_comp")),
             col("b") === col("b_id"))
           .select(col("a").as("id"), col("b_comp").as("comp"))
-        val next = labels.union(viaNeighbor)
+        val viaLabel = labels // pointer jumping: comp ← comp(comp)
+          .join(labels.withColumnsRenamed(Map("id" -> "c_id", "comp" -> "c_comp")),
+            col("comp") === col("c_id"))
+          .select(col("id"), col("c_comp").as("comp"))
+        val next = labels.union(viaNeighbor).union(viaLabel)
           .groupBy("id").agg(min(col("comp")).as("comp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint()
         changed = next
           .join(labels.withColumnsRenamed(Map("id" -> "o_id", "comp" -> "o_comp")),
             col("id") === col("o_id"))

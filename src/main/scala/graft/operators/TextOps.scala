@@ -60,9 +60,23 @@ object TextOps {
     lit(0.5) * lengthSignal + lit(0.3) * stopwordRatio(text) + lit(0.2) * alphaRatio(text)
   }
 
-  /** Low-quality flag: too short, too little alpha, or degenerate tokens. */
-  def lowQualityFlag(text: Column): Column =
-    tokenCount(text) < 5 || alphaRatio(text) < 0.5 || meanTokenLength(text) > 20.0
+  /** Low-quality flag: too short, too little alpha, or degenerate tokens.
+    * Same definition as `statsColumns`' low_quality (oracle-pinned), but
+    * fed by ONE pass of the codegen'd TextCounts expression instead of
+    * four independent regex scans — this flag sits first in corpus
+    * pipelines, often evaluated on both sides of a dedup join. */
+  def lowQualityFlag(text: Column): Column = {
+    import graft.functions.TextCounts
+    val tc = TextCounts.counts(text)
+    def cnt(i: Int): Column = element_at(tc, i + 1)
+    val chars = cnt(TextCounts.Chars)
+    val toks = cnt(TextCounts.Tokens)
+    val alphaR = when(chars.isNull || chars === 0, lit(0.0))
+      .otherwise(cnt(TextCounts.Alpha).cast("double") / chars.cast("double"))
+    val meanTok = when(toks === 0, lit(0.0))
+      .otherwise(cnt(TextCounts.NonSpace).cast("double") / toks.cast("double"))
+    toks < 5 || alphaR < 0.5 || meanTok > 20.0
+  }
 
   /** Marker-word sets for the n-gram language-ID heuristic. One regex count
     * per language; winner = highest score, ties broken by language order. */

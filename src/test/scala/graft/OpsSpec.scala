@@ -98,12 +98,23 @@ class OpsSpec extends SparkTestBase {
   }
 
   test("connected components: chains resolve to the component minimum") {
-    // chain 1-2-3 plus isolated pair 7-9: min-label propagation must walk
-    // the chain even though (1,3) is not an edge
+    // chain 1-2-3 plus isolated pair 7-9: propagation must walk the chain
+    // even though (1,3) is not an edge. localThreshold=0 forces the
+    // distributed path; the default exercises the driver union-find —
+    // both must agree.
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
-    val comp = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    for (threshold <- Seq(0L, Long.MaxValue)) {
+      val comp = Dedup.connectedComponents(pairs, localThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp == expect, s"localThreshold=$threshold")
+    }
+    // a 20-hop chain: pointer jumping must converge within maxIters on the
+    // distributed path (plain propagation would need 20 rounds)
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val chainComp = Dedup.connectedComponents(chain, maxIters = 8, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainComp == (0L to 20L).map(_ -> 0L).toMap)
     // the case pair-local dropping gets wrong: edges (2,3),(1,3) — dropping
     // every id2 keeps BOTH 1 and 2 though they share a component via 3
     val viaThird = Seq((2L, 3L), (1L, 3L)).toDF("id1", "id2")
