@@ -191,12 +191,17 @@ object OpsPack {
     * this entry puts the streaming path itself under the driver contract. */
   private val streamSinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   def eventsStreamed(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(s"$dir/events.parquet")
-    val staged = Paths.get(s"target/graft_stream_driver_${math.abs(dir.hashCode)}")
+    // staging key = hex md5 of the source dir (collision-safe, unlike
+    // hashCode); REPLACE_EXISTING so regenerated testdata is never
+    // silently shadowed by a stale copy
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val staged = Paths.get(s"target/graft_stream_driver_$dirKey")
     Files.createDirectories(staged)
     val dst = staged.resolve("events.parquet")
-    if (!Files.exists(dst)) Files.copy(src, dst)
+    Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
     val batchSchema = s.read.parquet(staged.toString)
     val sink = s"graft_events_stream_sink_${streamSinkSeq.incrementAndGet()}"
     // a one-shot replay doesn't need 32 state-store partitions — each one

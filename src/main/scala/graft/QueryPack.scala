@@ -39,11 +39,15 @@ object ComparePack {
     * persistence the count-window re-executed once per JOIN SIDE of every
     * cold compare — the dominant cost of q_compare_all_mismatch in round 2
     * (VERDICT r2 plan audit). One cached copy serves them all. */
+  // Caches key on the SparkSession REFERENCE itself (SparkSession uses
+  // default reference equality): unlike an identity hash, a held reference
+  // can never be reused after GC and hand a later session a frame (and
+  // persisted blocks) bound to a stopped one.
   private val uniqueKeyedCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
   private def uniqueKeyed(s: SparkSession, dir: String): DataFrame =
-    uniqueKeyedCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    uniqueKeyedCache.getOrElseUpdate((s, dir), {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(keys2.map(col): _*)
       li(s, dir)
         .withColumn("__graft_n", count(lit(1)).over(w))
@@ -97,14 +101,14 @@ object ComparePack {
   // queries share counts, the fused stats row, and the cached intersection
   // instead of re-running the join per query.
   private val compareCache =
-    scala.collection.concurrent.TrieMap[(Int, String, Double, Double, Seq[String], Boolean), SparkCompare]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String, Double, Double, Seq[String], Boolean), SparkCompare]()
   private val miscCache =
-    scala.collection.concurrent.TrieMap[(Int, String, String), SparkCompare]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), SparkCompare]()
 
   def compare(s: SparkSession, dir: String, absTol: Double = 0.0,
       keys: Seq[String] = keys2, raw: Boolean = false, relTol: Double = 0.0): SparkCompare =
     compareCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir, absTol, relTol, keys, raw), {
+      (s, dir, absTol, relTol, keys, raw), {
         if (absTol != 0.0 || relTol != 0.0)
           // tolerance only changes match expressions — derive from the base
           // compare so the join, shape probes, and cached intersection are
@@ -151,7 +155,7 @@ object ComparePack {
     * the join does not — keys are numeric, so ignoreSpaces never touches
     * it). */
   private def compareAC(s: SparkSession, dir: String): SparkCompare =
-    miscCache.getOrElseUpdate((System.identityHashCode(s), dir, "ac_base"),
+    miscCache.getOrElseUpdate((s, dir, "ac_base"),
       new SparkCompare(s, frameA(s, dir), frameC(s, dir),
         CompareConfig(joinColumns = keys2,
           assumeKeysUnique = Some(true), assumeKeysNullFree = Some(true))))
@@ -160,13 +164,13 @@ object ComparePack {
     * columns match by length (case flips match, padding mismatches),
     * everything else falls through to the default pipeline (§2.10). */
   def compareCustom(s: SparkSession, dir: String): SparkCompare =
-    miscCache.getOrElseUpdate((System.identityHashCode(s), dir, "custom"),
+    miscCache.getOrElseUpdate((s, dir, "custom"),
       compareAC(s, dir).withMatchSettings(customComparators = Seq(LengthComparator)))
 
   /** Compare frameA against its string-perturbed twin with
     * ignore_spaces + ignore_case active (string normalization path). */
   def compareIgnore(s: SparkSession, dir: String): SparkCompare =
-    miscCache.getOrElseUpdate((System.identityHashCode(s), dir, "ignore"),
+    miscCache.getOrElseUpdate((s, dir, "ignore"),
       compareAC(s, dir).withMatchSettings(ignoreSpaces = true, ignoreCase = true))
 
   /** CSV-source compare: a fixed CSV pair written under target/, loaded via

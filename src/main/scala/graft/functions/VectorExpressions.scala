@@ -164,7 +164,11 @@ case class TopKByScore(
   }
 
   override def eval(buf: scala.collection.mutable.PriorityQueue[(Double, Long)]): Any = {
-    val ranked = buf.dequeueAll.reverse // dequeueAll = worst→best; reverse to rank order
+    // NON-destructive: eval can run more than once per buffer (e.g. when
+    // the aggregate is used as a running window function), so sort a copy
+    // instead of draining the heap. sorted(worstFirst) ascending = best
+    // first = rank order.
+    val ranked = buf.toArray.sorted(worstFirst)
     new GenericArrayData(ranked.map(e => InternalRow(e._1, e._2)).toArray[Any])
   }
 

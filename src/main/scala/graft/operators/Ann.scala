@@ -221,11 +221,18 @@ object Ann {
     * exact integers ≤ 127², so quantized similarity sums are EXACT in
     * double regardless of accumulation order: quantized rankings are
     * bit-stable across engines and partitionings by construction. */
-  def int8Quantize(vec: Column): Column = {
-    val scale = aggregate(vec, lit(0.0),
-      (a, x) => greatest(a, abs(x.cast("double")))) / lit(127.0)
-    struct(scale.as("scale"), quantizeWith(vec, scale).as("q"))
-  }
+  def int8Quantize(vec: Column): Column =
+    // the max-abs reduction runs inside aggregate(); binding the result as
+    // the FINISH lambda's variable means the per-element transform
+    // references an already-evaluated O(1) variable — inlining the
+    // aggregate expression into the transform lambda instead would
+    // re-reduce the whole array per element (O(dim²) per row)
+    aggregate(vec, lit(0.0),
+      (a, x) => greatest(a, abs(x.cast("double"))),
+      m => {
+        val scale = m / lit(127.0)
+        struct(scale.as("scale"), quantizeWith(vec, scale).as("q"))
+      })
 
   private def quantizeWith(vec: Column, scale: Column): Column =
     transform(vec, x =>

@@ -38,8 +38,10 @@ object Packing {
     val spark = df.sparkSession
     import spark.implicits._
     // NULL ids are excluded (their hash bucket is NULL), matching
-    // Sampling.hashSample's policy for identity-less rows
-    val keyed = df.where(col(idCol).isNotNull).select(
+    // Sampling.hashSample's policy for identity-less rows; NULL token
+    // counts (e.g. from NULL text) are likewise excluded rather than
+    // crashing the non-nullable encoder
+    val keyed = df.where(col(idCol).isNotNull && col(tokensCol).isNotNull).select(
       Sampling.hashBucket(col(idCol), groups).cast("int").as("g"),
       col(idCol).cast("long").as("id"),
       col(tokensCol).cast("long").as("tokens"))

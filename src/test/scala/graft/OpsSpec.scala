@@ -366,6 +366,14 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
     val overPack = over.find(_._2 == 1L).get._1
     assert(over.count(_._1 == overPack) == 1)
+    // NULL token counts are excluded, not a crash
+    val withNull = Seq((1L, java.lang.Long.valueOf(10L)), (2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "tokens")
+    assert(Packing.packGreedy(withNull, "doc_id", "tokens", 128L, 1).count() == 1L)
+    // power-of-two length buckets
+    val buckets = Seq(1L, 2L, 3L, 8L, 9L, 1000L).toDF("n")
+      .select(Packing.lengthBucket(col("n"))).collect().map(_.getInt(0)).toSeq
+    assert(buckets == Seq(0, 1, 2, 3, 4, 10))
   }
 
   test("PII redaction: each category, priority order, clean text untouched") {
