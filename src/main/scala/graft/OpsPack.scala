@@ -165,6 +165,47 @@ object OpsPack {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate-line removal, oracle-checked end to end: deterministic
+    * boilerplate lines (newsletter/copyright chrome keyed off doc_id — the
+    * corpus itself is single-line) are appended to each document, then
+    * every line appearing in ≥ 20 documents is stripped and the text
+    * re-assembled in order. The md5 of the CLEANED TEXT proves the
+    * reconstruction (order, delimiter, empty-doc policy) byte-for-byte,
+    * not just the counts; lines below the threshold double as a
+    * false-positive check. */
+  val BoilerplateMinDf = 20L
+
+  def boilerplateClean(s: SparkSession, dir: String): DataFrame = {
+    val injected = docs(s, dir).select(col("doc_id"), concat_ws("\n",
+      col("text"),
+      when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter")),
+      when(col("doc_id") % 3 === 0, lit("all rights reserved")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("copyright "), (col("doc_id") % 3).cast("string"))))
+      .as("text"))
+    Dedup.removeBoilerplateLines(injected, "text", "doc_id",
+      minDocFrequency = BoilerplateMinDf)
+      .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+        md5(col("text").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document OOV ratio against the corpus's own top-20 vocabulary. */
+  def vocabStats(s: SparkSession, dir: String): DataFrame =
+    TextOps.inVocabStats(docs(s, dir), "text", "doc_id", topK = 20)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** Stratified training-mix sampling: downsample English hard and German
+    * lightly, keep everything else — rolled up per language. */
+  def stratifiedCounts(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+      Map("en" -> 40, "de" -> 70), defaultPct = 100)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
   /** Gopher-style repetition quality statistics over the corpus. */
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionStats(docs(s, dir), "text", "doc_id")
@@ -242,18 +283,19 @@ object OpsPack {
   def packStats(s: SparkSession, dir: String): DataFrame = {
     val withTokens = docs(s, dir).select(col("doc_id"),
       TextOps.tokenCount(col("text")).cast("long").as("tokens"))
-    graft.operators.Packing.packStats(
+    graft.operators.Packing.packQuality(
       graft.operators.Packing.packGreedy(withTokens, "doc_id", "tokens",
-        budget = 256L, groups = 64))
+        budget = 256L, groups = 64), budget = 256L)
   }
 
   /** The flagship corpus-cleaning composite under the driver harness:
-    * quality filter → exact dedup → cluster-transitive near-dup removal.
-    * Rows-only (the connected-components iteration has no single-statement
-    * SQL mirror); each constituent operator is oracle-checked on its own
-    * driver query, and the composite's policy cases are pinned in OpsSpec. */
+    * quality filter → exact dedup → cluster-transitive near-dup removal,
+    * run over the portable md5 hash family so the ENTIRE composite —
+    * including the connected-components pass — is oracle-checked (the
+    * DuckDB mirror closes components with a recursive CTE). */
   def cleanCorpusQuery(s: SparkSession, dir: String): DataFrame =
-    Dedup.cleanCorpus(docs(s, dir), "text", "doc_id", nearDupThreshold = 0.5)
+    Dedup.cleanCorpus(docs(s, dir), "text", "doc_id", nearDupThreshold = 0.5,
+      portableHashes = true)
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
@@ -347,6 +389,9 @@ object OpsPack {
     "q_events_streamed" -> (eventsStreamed _),
     "q_text_pii" -> (piiScan _),
     "q_text_repetition" -> (textRepetition _),
+    "q_text_boilerplate" -> (boilerplateClean _),
+    "q_text_vocab" -> (vocabStats _),
+    "q_sample_stratified" -> (stratifiedCounts _),
     "q_pack_stats" -> (packStats _),
     "q_ann_topk" -> (annTopK _),
     "q_ann_topk_multi" -> (annTopKMulti _),
@@ -415,16 +460,19 @@ object OpsPack {
        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
   /** Distinct word-3-gram CTEs mirroring TextOps.wordShingles (shared by the
-    * Jaccard and MinHash oracles). */
-  private val gramsCtes: String =
-    """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') t FROM documents),
-      |grams0 AS (
-      |  SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
-      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) g
-      |  FROM toks WHERE len(t) >= 3
-      |  UNION ALL
-      |  SELECT doc_id, array_to_string(t, ' ') g FROM toks WHERE len(t) < 3),
-      |grams AS (SELECT DISTINCT doc_id, g FROM grams0)""".stripMargin
+    * Jaccard, MinHash, contamination, and clean-corpus oracles), over an
+    * arbitrary (doc_id, text) source CTE/table. */
+  private def gramsCtesFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM $src),
+       |grams0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) g
+       |  FROM toks WHERE len(t) >= 3
+       |  UNION ALL
+       |  SELECT doc_id, array_to_string(t, ' ') g FROM toks WHERE len(t) < 3),
+       |grams AS (SELECT DISTINCT doc_id, g FROM grams0)""".stripMargin
+
+  private val gramsCtes: String = gramsCtesFrom("documents")
 
   private val contaminationSql: String =
     s"""WITH $gramsCtes,
@@ -450,21 +498,20 @@ object OpsPack {
        |ORDER BY id1, id2""".stripMargin
 
 
-  /** MinHash-LSH oracle: same pipeline as Dedup.minhashNearDuplicatesMd5 —
-    * per-gram md5 → (a, b) 48-bit pair → 64 min-agg signature values →
-    * banded candidate join (4 consecutive signature slots per band) →
-    * exact-Jaccard verification. */
-  private val minhashSql: String = {
-    val numHashes = 64
-    val bands = 16
+  /** MinHash md5 pipeline CTEs, from a `grams` CTE (doc_id, g) to an
+    * `mh_pairs` CTE (id1, id2, jaccard ≥ threshold): per-gram md5 → (a, b)
+    * 48-bit pair → min-agg signature values → banded candidate join →
+    * exact-Jaccard verification. Shared by the MinHash and clean-corpus
+    * oracles (same pipeline as Dedup.minhashNearDuplicatesMd5). */
+  private def minhashPairCtes(threshold: Double, numHashes: Int = 64,
+      bands: Int = 16): String = {
     val r = numHashes / bands
     val mins = (0 until numHashes)
       .map(i => s"min(a + ${i + 1} * b) AS m$i").mkString(", ")
     val bandConds = (0 until bands).map { bnd =>
       (0 until r).map(k => s"s.m${bnd * r + k} = t.m${bnd * r + k}").mkString("(", " AND ", ")")
     }.mkString(" OR ")
-    s"""WITH $gramsCtes,
-       |hp AS (SELECT doc_id,
+    s"""hp AS (SELECT doc_id,
        |  ('0x' || substr(md5(g), 1, 12))::BIGINT a,
        |  ('0x' || substr(md5(g), 17, 12))::BIGINT b FROM grams),
        |sig AS (SELECT doc_id, $mins FROM hp GROUP BY doc_id),
@@ -476,10 +523,56 @@ object OpsPack {
        |          JOIN grams gb ON gb.doc_id = c.id2 AND ga.g = gb.g
        |          GROUP BY 1, 2),
        |j AS (SELECT id1, id2, CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE) AS jaccard
-       |      FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2)
-       |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5
-       |ORDER BY id1, id2""".stripMargin
+       |      FROM inter JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2),
+       |mh_pairs AS (SELECT id1, id2, jaccard FROM j WHERE jaccard >= $threshold)""".stripMargin
   }
+
+  private val minhashSql: String =
+    s"""WITH $gramsCtes,
+       |${minhashPairCtes(0.5)}
+       |SELECT id1, id2, jaccard FROM mh_pairs
+       |ORDER BY id1, id2""".stripMargin
+
+  /** Clean-corpus oracle — the FULL composite, mirrored end to end:
+    * quality filter (same arithmetic as the text-stats oracle) → exact
+    * dedup (min-id per normalized-content md5) → md5-family MinHash-LSH
+    * near-dup pairs over the surviving docs → connected components via a
+    * recursive CTE (comp labels propagate along edges until fixpoint;
+    * min label per node = component id) → drop every non-minimum member. */
+  private val cleanCorpusSql: String =
+    s"""WITH RECURSIVE
+       |q0 AS (
+       |  SELECT doc_id, text, lang, source,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |    len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+       |    len(regexp_extract_all(text, '\\S')) AS n_nonspace,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents),
+       |quality AS (
+       |  SELECT doc_id, text, lang, source FROM q0
+       |  WHERE NOT (n_tokens < 5
+       |    OR (CASE WHEN n_chars IS NULL OR n_chars = 0 THEN 0.0
+       |        ELSE CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END) < 0.5
+       |    OR (CASE WHEN n_tokens = 0 THEN 0.0
+       |        ELSE CAST(n_nonspace AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) > 20.0)),
+       |keepids AS (
+       |  SELECT min(doc_id) AS doc_id FROM (
+       |    SELECT doc_id, $fingerprintSql AS fp FROM quality)
+       |  GROUP BY fp),
+       |base AS (SELECT q.* FROM quality q JOIN keepids k ON k.doc_id = q.doc_id),
+       |${gramsCtesFrom("base")},
+       |${minhashPairCtes(0.5)},
+       |edges AS (SELECT id1 a, id2 b FROM mh_pairs
+       |          UNION SELECT id2, id1 FROM mh_pairs),
+       |walk(id, comp) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
+       |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+       |losers AS (SELECT id FROM comps WHERE comp < id)
+       |SELECT doc_id, lang, source FROM base
+       |WHERE doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY doc_id""".stripMargin
 
   /** SimHash oracle: token md5 → 16 nibbles → 64 bit-majority sums →
     * boolean signature bits → all-pairs hamming ≤ 3 (candidate banding is an
@@ -582,6 +675,58 @@ object OpsPack {
       |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id
       |ORDER BY ts.doc_id""".stripMargin
 
+  /** Boilerplate oracle: the same injection arithmetic, line split on
+    * chr(10), doc-frequency ≥ threshold over DISTINCT (doc, line) pairs,
+    * and ordered re-assembly via string_agg ORDER BY pos — so the cleaned
+    * text md5 matches the engine byte-for-byte (including the empty-string
+    * policy for fully-boilerplate documents). */
+  private val boilerplateSql: String =
+    s"""WITH injected AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe to our newsletter' ELSE '' END ||
+       |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'copyright ' || (doc_id % 3) ELSE '' END AS text
+       |  FROM documents),
+       |la AS (SELECT doc_id, string_split(text, chr(10)) l FROM injected),
+       |lines AS (SELECT doc_id, unnest(range(1, len(l)+1)) pos, unnest(l) line FROM la),
+       |hot AS (SELECT line FROM (
+       |  SELECT line, count(DISTINCT doc_id) df FROM lines GROUP BY 1)
+       |  WHERE df >= $BoilerplateMinDf),
+       |kept AS (SELECT doc_id, pos, line FROM lines
+       |         WHERE line NOT IN (SELECT line FROM hot)),
+       |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) txt,
+       |        CAST(count(*) AS BIGINT) n_kept FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(len(l) AS BIGINT) n_lines FROM la)
+       |SELECT t.doc_id, n_lines, coalesce(n_kept, 0) AS n_lines_kept,
+       |  md5(coalesce(txt, '')) AS clean_md5
+       |FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** Vocabulary oracle: top-20 tokens by (freq DESC, token) — the
+    * deterministic tie-break makes the boundary of the vocabulary, and so
+    * every derived count, engine-independent. */
+  private val vocabSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) t FROM documents),
+      |cf AS (SELECT t, count(*) c FROM toks GROUP BY 1),
+      |vocab AS (SELECT t FROM cf ORDER BY c DESC, t LIMIT 20),
+      |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens,
+      |      CAST(sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 1 ELSE 0 END) AS BIGINT) n_in_vocab
+      |      FROM toks GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_in_vocab,
+      |  CASE WHEN n_tokens = 0 THEN 0.0
+      |       ELSE 1.0 - CAST(n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS oov_ratio
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Stratified-sample oracle: the same md5 bucket arithmetic as the split
+    * oracle, against the same per-stratum percentage table. */
+  private val stratifiedSql: String =
+    """WITH b AS (SELECT lang,
+      |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bkt
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM b
+      |WHERE bkt < CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 70 ELSE 100 END
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   private val annTopKMultiSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
@@ -671,7 +816,11 @@ object OpsPack {
     "q_text_stats" -> statsSql,
     "q_text_pii" -> piiSql,
     "q_text_repetition" -> repetitionSql,
+    "q_text_boilerplate" -> boilerplateSql,
+    "q_text_vocab" -> vocabSql,
+    "q_sample_stratified" -> stratifiedSql,
     "q_dedup_exact" -> dedupExactSql,
+    "q_clean_corpus" -> cleanCorpusSql,
     "q_dedup_jaccard_pairs" -> jaccardSql,
     "q_contamination" -> contaminationSql,
     "q_dedup_minhash_lsh" -> minhashSql,

@@ -149,17 +149,28 @@ object Dedup {
     *      gap, matching what large training pipelines ship.
     *
     * Each stage is the already-tested operator; this just fixes the order
-    * and the keep-component-min policy. */
+    * and the keep-component-min policy.
+    *
+    * `portableHashes` switches the near-dup pass to the md5 hash family
+    * ([[minhashNearDuplicatesMd5]]) — same pipeline and cost shape, but
+    * every hash is engine-mirrorable, which is what lets the WHOLE
+    * composite (filter → dedup → LSH → connected components → anti-join)
+    * be checked against a DuckDB oracle end to end. The xxhash64 default
+    * remains the fast path; the two families can keep different LSH
+    * candidate sets (each family misses different below-threshold pairs). */
   def cleanCorpus(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      nearDupThreshold: Double = 0.8): DataFrame = {
+      nearDupThreshold: Double = 0.8,
+      portableHashes: Boolean = false): DataFrame = {
     val quality = df.where(!TextOps.lowQualityFlag(col(textCol)))
     // two consumers (near-dup discovery + the final anti-join): persist so
     // the fingerprint groupBy + semi-join lineage runs once
     val exact = cacheShared(exactDedup(quality, textCol, idCol))
-    val pairs = minhashNearDuplicates(exact, textCol, idCol, nearDupThreshold)
+    val pairs =
+      if (portableHashes) minhashNearDuplicatesMd5(exact, textCol, idCol, nearDupThreshold)
+      else minhashNearDuplicates(exact, textCol, idCol, nearDupThreshold)
     val losers = connectedComponents(pairs)
       .filter(col("id") =!= col("comp")) // keep the component minimum
       .select(col("id").as("drop_id"))
@@ -449,6 +460,63 @@ object Dedup {
       .join(broadcast(grams(probe, "probe_id")), Seq("g"))
       .groupBy("corpus_id", "probe_id").agg(count(lit(1)).as("overlap"))
       .where(col("overlap") >= minOverlap)
+  }
+
+  /** Line-level document frequency: how many DISTINCT documents contain
+    * each line (after splitting `textCol` on `delimiterPattern`). The input
+    * to boilerplate detection — navigation chrome, cookie banners, footer
+    * text repeat across pages far more often than real content lines.
+    *
+    * Scale shape: (id, line) postings dedup within document (map-side
+    * combine on the distinct), then one hash aggregation keyed by line —
+    * the same postings shape as the shingle operators; never quadratic. */
+  def lineDocFrequency(
+      df: DataFrame, textCol: String, idCol: String,
+      delimiterPattern: String = "\n"): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(col(textCol), delimiterPattern)).as("line"))
+      .distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+
+  /** CCNet-style boilerplate removal: drop every line whose document
+    * frequency is ≥ `minDocFrequency`, preserving the order of the kept
+    * lines, and return `df` with `textCol` rewritten (empty string when
+    * every line was boilerplate) plus kept/dropped line counts.
+    *
+    * Plan: posexplode lines → anti-join against the hot-line set (small —
+    * by definition each hot line repeats across many documents, so the
+    * distinct hot set is orders of magnitude smaller than the corpus and
+    * broadcast-eligible; Spark's planner picks broadcast when it fits) →
+    * re-assemble per document via a sorted struct collect keyed by the
+    * line position. One shuffle keyed by id for the re-assembly; the
+    * doc-frequency pass is the postings aggregation above. */
+  def removeBoilerplateLines(
+      df: DataFrame, textCol: String, idCol: String,
+      minDocFrequency: Long,
+      delimiterPattern: String = "\n",
+      delimiter: String = "\n"): DataFrame = {
+    val hot = lineDocFrequency(df, textCol, idCol, delimiterPattern)
+      .filter(col("df") >= minDocFrequency)
+      .select(col("line").as("hot_line"))
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), delimiterPattern)).as(Seq("pos", "line")))
+    val kept = lines.join(hot, col("line") === col("hot_line"), "left_anti")
+      .groupBy("id")
+      .agg(
+        // sort_array on (pos, line) structs restores document order — the
+        // collect itself is partition-order-dependent, the sort is not
+        sort_array(collect_list(struct(col("pos"), col("line")))).as("kl"))
+      .select(col("id"),
+        array_join(transform(col("kl"), s => s.getField("line")), delimiter)
+          .as("clean_text"),
+        size(col("kl")).cast("long").as("n_lines_kept"))
+    val total = df.select(col(idCol).as("id"),
+      size(split(col(textCol), delimiterPattern)).cast("long").as("n_lines"))
+    total.join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as(textCol),
+        col("n_lines"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
   }
 
   /** Token xxhash64 array for SimHash (materialize before fanning out). */

@@ -101,6 +101,22 @@ object Ivf {
     withCluster(df, vecCol, centroids)
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
+  /** Append-only ingestion into a [[writeClustered]] layout: assign ONLY
+    * the new rows under the FROZEN centroids and append their files —
+    * existing partitions are untouched, so ingest cost is proportional to
+    * the delivery, not the corpus (re-quantizing 100 TB per append would
+    * dwarf the ingest). Probes keep pruning at scan time: appended files
+    * land inside the same `cluster=N` partition directories.
+    *
+    * The trade: centroids drift as the distribution shifts, degrading
+    * recall at a given nprobe (never correctness — `nprobe = k` stays
+    * exact). Retrain + rewrite when drift matters; [[kmeansCentroids]]
+    * with `trainFraction` keeps retraining cheap. */
+  def appendClustered(
+      df: DataFrame, vecCol: String, centroids: Array[Array[Double]], path: String): Unit =
+    withCluster(df, vecCol, centroids)
+      .write.mode("append").partitionBy("cluster").parquet(path)
+
   /** The `nprobe` clusters nearest to the query (driver-side — centroids
     * are tiny). */
   def probeClusters(centroids: Array[Array[Double]], query: Seq[Double], nprobe: Int): Seq[Int] =

@@ -74,4 +74,44 @@ object Packing {
         sum(col("pack_tokens")).as("total_tokens"),
         max(col("pack_tokens")).as("max_pack_tokens"))
       .orderBy("pack_group")
+
+  /** Budget-aware packing QUALITY rollup — the numbers a batch-construction
+    * pipeline actually watches: per group,
+    *
+    *   - `utilization`: total tokens over total pack capacity
+    *     (n_packs × budget) — the padding-waste complement; exact-long
+    *     inputs and one division keep it bit-stable;
+    *   - `n_full_packs`: packs at ≥ 90% of budget;
+    *   - `n_overflow_packs`: singleton packs carrying a document larger
+    *     than the budget (callers truncate these downstream);
+    *   - `min/max_pack_tokens`: the fill spread.
+    *
+    * Same two-level aggregation shape as [[packStats]] (map-side combine
+    * at both levels, shuffle keyed by (group, pack) then group). */
+  def packQuality(packed: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    packed.groupBy("pack_group", "pack_idx")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("pack_tokens"))
+      .groupBy("pack_group")
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_packs"),
+        sum(col("pack_tokens")).as("total_tokens"),
+        min(col("pack_tokens")).as("min_pack_tokens"),
+        max(col("pack_tokens")).as("max_pack_tokens"),
+        sum(when(col("pack_tokens") * 10 >= lit(budget) * 9, 1L).otherwise(0L))
+          .as("n_full_packs"),
+        sum(when(col("pack_tokens") > budget, 1L).otherwise(0L))
+          .as("n_overflow_packs"))
+      .select(col("pack_group"), col("n_docs").cast("long").as("n_docs"),
+        col("n_packs").cast("long").as("n_packs"),
+        col("total_tokens").cast("long").as("total_tokens"),
+        col("min_pack_tokens").cast("long").as("min_pack_tokens"),
+        col("max_pack_tokens").cast("long").as("max_pack_tokens"),
+        col("n_full_packs").cast("long").as("n_full_packs"),
+        col("n_overflow_packs").cast("long").as("n_overflow_packs"),
+        (col("total_tokens").cast("double") /
+          (col("n_packs") * lit(budget)).cast("double")).as("utilization"))
+      .orderBy("pack_group")
+  }
 }

@@ -49,4 +49,29 @@ object Sampling {
   def withSplit(df: DataFrame, keyCol: String, trainPct: Int = 80,
       valPct: Int = 10): DataFrame =
     df.withColumn("split", splitLabel(col(keyCol), trainPct, valPct))
+
+  /** Deterministic stratified (per-stratum-rate) sampling — how training
+    * mixes are actually built: downsample over-represented domains or
+    * languages, keep the rest. A row survives iff its key's hash bucket
+    * (out of 100) falls below its stratum's percentage; strata absent from
+    * `pctByStratum` use `defaultPct`. Keyed on the row hash, so the kept
+    * set is reproducible across runs, engines, and partitionings, and
+    * UPSAMPLING a stratum later (raising its pct) strictly grows the kept
+    * set — no resample churn. NULL keys are excluded (hash is NULL),
+    * NULL strata take `defaultPct`. Pure column expressions: no shuffle. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    require(defaultPct >= 0 && defaultPct <= 100,
+      s"defaultPct must be within [0, 100], got $defaultPct")
+    pctByStratum.foreach { case (k, v) =>
+      require(v >= 0 && v <= 100, s"pct for stratum '$k' must be within [0, 100], got $v")
+    }
+    // fold in sorted order so the generated plan is deterministic (Map
+    // iteration order is not a contract)
+    val rate = pctByStratum.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+        when(col(strataCol) === k, lit(v)).otherwise(acc)
+      }
+    df.where(hashBucket(col(keyCol), 100) < rate)
+  }
 }

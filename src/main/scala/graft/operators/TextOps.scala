@@ -199,6 +199,49 @@ object TextOps {
           .as("top_bigram_ratio"))
   }
 
+  /** Top-`topK` corpus vocabulary by token frequency, ties broken by token
+    * string — fully deterministic, so the vocabulary (and everything
+    * derived from it) is reproducible run to run and engine to engine.
+    * Returns (token, freq).
+    *
+    * Scale shape: explode → two-level hash aggregation with map-side
+    * combine, then TakeOrderedAndProject for the top-K (never a full
+    * sort); K is bounded (a vocabulary), so the result is driver-safe. */
+  def vocabulary(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    df.select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(topK)
+  }
+
+  /** Per-document in-vocabulary statistics against the corpus's own top-K
+    * vocabulary — the classic cheap LM-quality proxy (documents full of
+    * out-of-vocabulary tokens are markup, code, or noise). Returns
+    * (id, n_tokens, n_in_vocab, oov_ratio); exact integer counts and one
+    * final division keep the ratio bit-stable across engines.
+    *
+    * Scale shape: the vocabulary is topK rows — broadcast to the token
+    * postings join, so the corpus-side postings never shuffle for the
+    * membership test; the per-doc rollup is one aggregation keyed by id. */
+  def inVocabStats(df: DataFrame, textCol: String, idCol: String, topK: Int): DataFrame = {
+    val vocab = vocabulary(df, textCol, topK)
+      .select(col("token"), lit(1L).as("in_v"))
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("token"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_v"), lit(0L))).as("n_in_vocab"))
+      .select(col("id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_in_vocab").cast("long").as("n_in_vocab"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            col("n_in_vocab").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_ratio"))
+  }
+
   /** Full per-document stats projection used by pipelines and the driver
     * queries.
     *

@@ -102,4 +102,32 @@ class IvfSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(topk.collect().map(_.getLong(0)).toSeq == brute)
   }
+
+  test("append-only ingest: frozen-centroid assignment, pruning still holds") {
+    val cents = Ivf.kmeansCentroids(vecs, "embedding", "vec_id", k = 4, iters = 5)
+    val path = "target/ivf_append"
+    Ivf.writeClustered(vecs, "embedding", cents, path)
+    // a later delivery: ids 100+, same distribution
+    val delivery = (0 until 8).map { i =>
+      val (cx, cy) = Seq((10f, 0f), (-10f, 0f), (0f, 10f), (0f, -10f))(i % 4)
+      (100L + i, Array(cx + 0.3f, cy - 0.2f))
+    }.toDF("vec_id", "embedding")
+    Ivf.appendClustered(delivery, "embedding", cents, path)
+    // combined layout answers exactly like brute force over the union
+    val all = vecs.union(delivery)
+    val topk = Ivf.ivfTopKFromClustered(spark, path, "embedding", "vec_id",
+      cents, Seq(10.0, 0.5), 5, nprobe = 4)
+    val brute = Ann.bruteForceTopK(all, "embedding", "vec_id", Seq(10.0, 0.5), 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(topk.collect().map(_.getLong(0)).toSeq == brute)
+    // appended rows landed inside existing cluster partitions (no new
+    // top-level dirs) and partial probes still prune at scan time
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cluster=")).sorted
+    assert(dirs.length == 4, dirs.toSeq)
+    val partial = Ivf.ivfTopKFromClustered(spark, path, "embedding", "vec_id",
+      cents, Seq(10.0, 0.5), 5, nprobe = 1)
+    val plan = partial.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"), plan)
+  }
 }

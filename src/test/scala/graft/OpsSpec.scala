@@ -376,6 +376,109 @@ class OpsSpec extends SparkTestBase {
     assert(buckets == Seq(0, 1, 2, 3, 4, 10))
   }
 
+  test("packQuality: utilization, full and overflow pack counts") {
+    import graft.operators.Packing
+    val docsT = Seq((1L, 120L), (2L, 100L), (3L, 60L), (4L, 60L), (5L, 500L))
+      .toDF("doc_id", "tokens")
+    val q = Packing.packQuality(
+      Packing.packGreedy(docsT, "doc_id", "tokens", budget = 128L, groups = 1),
+      budget = 128L).collect()
+    assert(q.length == 1)
+    val r = q(0)
+    // FFD order (tokens desc): 500 → overflow singleton; 120 + one 60?
+    // no — 120 leaves 8; 100 leaves 28; 60+60 fit together: packs =
+    // [500], [120], [100], [60, 60] → 4 packs, 840 tokens
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Long]("n_packs") == 4L)
+    assert(r.getAs[Long]("total_tokens") == 840L)
+    assert(r.getAs[Long]("n_overflow_packs") == 1L)
+    // full = ≥ 90% of 128 = 115.2 → the 500 and 120 packs and the 60+60 pack
+    assert(r.getAs[Long]("n_full_packs") == 3L)
+    assert(r.getAs[Long]("min_pack_tokens") == 100L)
+    assert(r.getAs[Long]("max_pack_tokens") == 500L)
+    assert(math.abs(r.getAs[Double]("utilization") - 840.0 / (4 * 128)) < 1e-12)
+  }
+
+  test("boilerplate lines: hot lines stripped, order kept, empty-doc policy") {
+    val lined = Seq(
+      (0L, "unique content zero\nSUBSCRIBE NOW\nmore zero content"),
+      (1L, "unique content one\nSUBSCRIBE NOW"),
+      (2L, "SUBSCRIBE NOW\nunique content two"),
+      (3L, "SUBSCRIBE NOW"), // all-boilerplate doc
+      (4L, "no chrome here at all")
+    ).toDF("doc_id", "text")
+    val df = Dedup.lineDocFrequency(lined, "text", "doc_id")
+    assert(df.where(col("line") === "SUBSCRIBE NOW").first().getLong(1) == 4L)
+    val cleaned = Dedup.removeBoilerplateLines(lined, "text", "doc_id",
+      minDocFrequency = 3L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Long]("n_lines"), r.getAs[Long]("n_lines_kept"))).sortBy(_._1)
+    assert(cleaned(0) == ((0L, "unique content zero\nmore zero content", 3L, 2L)))
+    assert(cleaned(1) == ((1L, "unique content one", 2L, 1L)))
+    assert(cleaned(2) == ((2L, "unique content two", 2L, 1L)))
+    assert(cleaned(3) == ((3L, "", 1L, 0L))) // fully boilerplate → empty text
+    assert(cleaned(4) == ((4L, "no chrome here at all", 1L, 1L)))
+    // below-threshold repeats survive (false-positive check)
+    val mild = Dedup.removeBoilerplateLines(lined, "text", "doc_id",
+      minDocFrequency = 5L).collect()
+    assert(mild.forall(r => r.getAs[Long]("n_lines_kept") == r.getAs[Long]("n_lines")))
+  }
+
+  test("vocabulary: deterministic tie-break; OOV stats are exact") {
+    val df = Seq(
+      (0L, "aa bb aa cc"),
+      (1L, "bb zz bb qq"),
+      (2L, "aa bb yy")
+    ).toDF("doc_id", "text")
+    // freqs: aa=3 bb=4 cc=1 zz=1 qq=1 yy=1 → top3 = bb, aa, then the
+    // 1-freq ties break lexicographically: cc
+    val vocab = TextOps.vocabulary(df, "text", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(vocab == Seq(("bb", 4L), ("aa", 3L), ("cc", 1L)))
+    val stats = TextOps.inVocabStats(df, "text", "doc_id", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(stats(0) == ((0L, 4L, 4L, 0.0)))           // all in {bb, aa, cc}
+    assert(stats(1) == ((1L, 4L, 2L, 0.5)))           // zz, qq are OOV
+    assert(stats(2) == ((2L, 3L, 2L, 1.0 - 2.0 / 3))) // yy is OOV
+  }
+
+  test("stratified sample: per-stratum rates, monotone upsampling, stable") {
+    import graft.operators.Sampling
+    val df = (0 until 600).map(i =>
+      (i.toLong, Seq("en", "de", "fr")(i % 3))).toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(df, "doc_id", "lang", Map("en" -> 30))
+    val counts = kept.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // non-mapped strata keep everything; sampled stratum is cut hard
+    assert(counts("de") == 200L && counts("fr") == 200L)
+    assert(counts("en") < 120L && counts("en") > 20L)
+    // raising a rate strictly grows the kept set (no resample churn)
+    val low = Sampling.stratifiedSample(df, "doc_id", "lang", Map("en" -> 30))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val high = Sampling.stratifiedSample(df, "doc_id", "lang", Map("en" -> 60))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high))
+    // deterministic under repartitioning
+    val again = Sampling.stratifiedSample(df.repartition(7), "doc_id", "lang",
+      Map("en" -> 30)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == low)
+    // rate 0 empties the stratum; NULL keys are excluded
+    assert(Sampling.stratifiedSample(df, "doc_id", "lang", Map("en" -> 0))
+      .where(col("lang") === "en").count() == 0L)
+  }
+
+  test("cleanCorpus portable-hash path agrees with the xxhash64 path here") {
+    val c1 = Dedup.cleanCorpus(docs, "text", "doc_id", nearDupThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val c2 = Dedup.cleanCorpus(docs, "text", "doc_id", nearDupThreshold = 0.5,
+      portableHashes = true)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // different hash families can disagree on LSH candidates in general;
+    // on this fixture both find the full pair set, so results must match
+    assert(c1 == c2)
+  }
+
   test("PII redaction: each category, priority order, clean text untouched") {
     val df = Seq(
       (0L, "reach me at jane.doe+spam@mail.example.org today"),
