@@ -45,6 +45,34 @@ object Explain {
         val comp = timed("connected components")(
           Dedup.connectedComponents(pairs))
         timed("components count")(println("  nodes=" + comp.count()))
+      case "clean_portable" =>
+        import graft.operators.{Dedup, TextOps}
+        def timed[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        val docs = spark.read.parquet(s"$sf/documents.parquet")
+        val quality = docs.where(!TextOps.lowQualityFlag(col("text")))
+        timed("quality count")(println("  rows=" + quality.count()))
+        val exact = Dedup.exactDedup(quality, "text", "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        timed("exact dedup")(println("  rows=" + exact.count()))
+        val pairs = Dedup.minhashNearDuplicatesMd5(exact, "text", "doc_id", 0.5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        timed("minhash md5 pairs")(println("  pairs=" + pairs.count()))
+        val p2 = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        timed("cc: edge count")(println("  m=" + p2.count()))
+        val edges = timed("cc: collect")(p2.collect())
+        println("  edges=" + edges.length)
+        val comp = timed("connected components")(
+          Dedup.connectedComponents(pairs))
+        timed("components count")(println("  nodes=" + comp.count()))
+        val full = timed("full cleanCorpus portable construct")(
+          Dedup.cleanCorpus(docs, "text", "doc_id", nearDupThreshold = 0.5,
+            portableHashes = true))
+        timed("full cleanCorpus portable write")(
+          full.write.format("noop").mode("overwrite").save())
       case q =>
         val df = SparkEntry.queries(q)(spark, sf)
         df.explain("formatted")

@@ -213,15 +213,16 @@ object OpsPack {
       .orderBy("doc_id")
 
   /** Winnowing-fingerprint near-dup pairs (MOSS-style substring-level
-    * duplication). Rows-only under the driver harness: the rolling-hash
-    * wraparound arithmetic has no DuckDB mirror, so value-level pinning
-    * lives in the OpsSpec property tests; this entry puts the operator
-    * under the same end-to-end harness as every other dedup family. */
+    * duplication), over the PORTABLE md5 k-gram family — fully
+    * oracle-checked (selection rule mirrored in SQL: min per window,
+    * rightmost tie via a struct-min on (hash, -pos)). The rolling-hash
+    * expression stays the production fast path, pinned by OpsSpec's
+    * independent-reimplementation self-oracle. */
   def winnowPairsQuery(s: SparkSession, dir: String): DataFrame =
     // k=25/w=8 ⇒ only runs of ≥ 32 shared bytes (~5+ consecutive shared
     // words) fingerprint-collide — the synthetic corpus's small vocabulary
     // makes shorter grams collide on nearly every pair
-    Dedup.winnowPairs(docs(s, dir), "text", "doc_id",
+    Dedup.winnowPairsPortable(docs(s, dir), "text", "doc_id",
       k = 25, w = 8, minShared = 2, maxDocFrequency = 200L)
       .orderBy("id1", "id2")
 
@@ -675,6 +676,35 @@ object OpsPack {
       |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id
       |ORDER BY ts.doc_id""".stripMargin
 
+  /** Winnowing oracle: md5 48-bit k-gram hashes at every position, each
+    * position fanned out to its containing windows, per-window struct-min
+    * on (hash, -pos) for the rightmost-tie selection, distinct selected
+    * fingerprints per doc, then the same df-capped inverted-index pair
+    * count as the engine. */
+  private val winnowSql: String = {
+    val k = 25; val w = 8; val minShared = 2; val maxDf = 200L
+    s"""WITH src AS (SELECT doc_id, text,
+       |  greatest(length(text) - ${k - 1}, 1) gn FROM documents),
+       |p AS (SELECT doc_id, text, gn, unnest(range(1, gn + 1)) pos FROM src),
+       |h AS (SELECT doc_id, gn, pos,
+       |  ('0x' || substr(md5(substr(text, pos, $k)), 1, 12))::BIGINT h FROM p),
+       |wj AS (SELECT doc_id, h, pos,
+       |  unnest(range(greatest(pos - ${w - 1}, 1),
+       |                least(pos, greatest(gn - ${w - 1}, 1)) + 1)) j FROM h),
+       |sel AS (SELECT doc_id, j, min({'h': h, 'np': -pos}) m FROM wj GROUP BY 1, 2),
+       |fps0 AS (SELECT DISTINCT doc_id, m.h AS fp FROM sel),
+       |hot AS (SELECT fp FROM (SELECT fp, count(*) df FROM fps0 GROUP BY 1)
+       |        WHERE df > $maxDf),
+       |fps AS (SELECT * FROM fps0 WHERE fp NOT IN (SELECT fp FROM hot)),
+       |pairs AS (SELECT a.doc_id id1, b.doc_id id2,
+       |          CAST(count(*) AS BIGINT) shared_fingerprints
+       |          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id1, id2, shared_fingerprints FROM pairs
+       |WHERE shared_fingerprints >= $minShared
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   /** Boilerplate oracle: the same injection arithmetic, line split on
     * chr(10), doc-frequency ≥ threshold over DISTINCT (doc, line) pairs,
     * and ordered re-assembly via string_agg ORDER BY pos — so the cleaned
@@ -825,6 +855,7 @@ object OpsPack {
     "q_contamination" -> contaminationSql,
     "q_dedup_minhash_lsh" -> minhashSql,
     "q_dedup_simhash" -> simhashSql,
+    "q_dedup_winnow" -> winnowSql,
     "q_ann_topk" -> annTopKSql,
     "q_ann_topk_multi" -> annTopKMultiSql,
     "q_ann_topk_quantized" -> annTopKQuantizedSql,

@@ -418,9 +418,66 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(array_distinct(
           graft.functions.WinnowFingerprints.fingerprints(col(textCol), k, w))).as("fp"))
-    // boilerplate-heavy corpora concentrate document frequency on a few
-    // chunk fingerprints — the same quadratic posting self-join the
-    // Jaccard df-cut guards against, so expose the same knob
+    fingerprintPairs(raw, minShared, maxDocFrequency)
+  }
+
+  /** Winnowing fingerprints over the PORTABLE md5 k-gram hash family: each
+    * k-char gram hashed independently (md5 48-bit prefix — no rolling
+    * reuse), then the same winnowing selection as the codegen'd expression
+    * (min per w-window, RIGHTMOST position on hash ties), expressed
+    * relationally: positions explode from a sequence, each position fans
+    * out to the ≤ w windows containing it, and a struct-min over
+    * (hash, -pos) picks each window's fingerprint. Every step is
+    * engine-mirrorable, which is what buys the driver-harness oracle for
+    * the winnowing family. Returns distinct (id, fp).
+    *
+    * Cost vs the rolling expression: one md5 per gram position (the
+    * expression reuses the previous gram's hash) and a w× position
+    * fan-out before the window aggregation — the deliberate price of
+    * portability, same trade as [[minhashSignaturesMd5]]. The expression
+    * path stays the production default. */
+  def winnowFingerprintsPortable(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int): DataFrame = {
+    // gram count; texts shorter than k degrade to one whole-text gram
+    // (substr past the end returns the prefix), mirroring the expression
+    val positions = df
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        greatest(length(col(textCol)) - (k - 1), lit(1)).as("gn"))
+      .select(col("id"), col("gn"), col("t"),
+        explode(sequence(lit(1), col("gn"))).as("p"))
+      .select(col("id"), col("gn"), col("p"),
+        md5Prefix48(md5(substr(col("t"), col("p"), lit(k)).cast("binary"))).as("h"))
+    // windows containing position p: j ∈ [max(1, p-w+1), min(p, lastWin)]
+    val lastWin = greatest(col("gn") - (w - 1), lit(1))
+    val withWin = positions.select(col("id"), col("h"), col("p"),
+      explode(sequence(greatest(col("p") - (w - 1), lit(1)),
+        least(col("p"), lastWin))).as("j"))
+    withWin.groupBy("id", "j")
+      .agg(min(struct(col("h"), (-col("p")).as("np"))).as("m"))
+      .select(col("id"), col("m.h").as("fp"))
+      .distinct()
+  }
+
+  /** [[winnowPairs]] over the portable hash family (oracle-checkable). */
+  def winnowPairsPortable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDocFrequency: Long = Long.MaxValue): DataFrame =
+    fingerprintPairs(winnowFingerprintsPortable(df, textCol, idCol, k, w),
+      minShared, maxDocFrequency)
+
+  /** Inverted-index pair counting over an (id, fp) fingerprint frame:
+    * df-cap hot fingerprints (boilerplate-heavy corpora concentrate
+    * document frequency on a few chunk fingerprints — the same quadratic
+    * posting self-join the Jaccard df-cut guards against), self-join on
+    * fp, count shared fingerprints per pair. */
+  private def fingerprintPairs(
+      raw: DataFrame, minShared: Int, maxDocFrequency: Long): DataFrame = {
     val capped =
       if (maxDocFrequency == Long.MaxValue) raw
       else {

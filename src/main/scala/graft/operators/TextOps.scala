@@ -132,8 +132,12 @@ object TextOps {
   /** Non-distinct overlapping word n-grams (for frequency statistics —
     * [[wordShingles]] dedupes for set similarity). Empty array when fewer
     * than `n` tokens. Same codegen'd lookahead-regex trick. */
-  def wordShinglesAll(text: Column, n: Int): Column = {
-    val norm = regexp_replace(trim(text), "\\s+", " ")
+  def wordShinglesAll(text: Column, n: Int): Column =
+    wordShinglesAllFromNormalized(regexp_replace(trim(text), "\\s+", " "), n)
+
+  /** [[wordShinglesAll]] over ALREADY single-space-normalized text — lets
+    * callers that also need the token array share one normalization pass. */
+  private[operators] def wordShinglesAllFromNormalized(norm: Column, n: Int): Column = {
     val pat = "(?:^|(?<= ))(?=(" + ("\\S+ " * (n - 1)) + "\\S+))"
     regexp_extract_all(norm, lit(pat), lit(1))
   }
@@ -166,25 +170,29 @@ object TextOps {
     * fraction, most-common-bigram fraction. High values flag boilerplate /
     * degenerate text that length and alpha-ratio miss.
     *
-    * Scale shape: explode → two-level hash aggregation, both levels
-    * combiner-friendly (partial aggregation map-side), shuffle keyed by
-    * (id, gram) then id — the same postings shape as the dedup operators,
-    * never a per-row interpreted HOF over token arrays. Returns
-    * (id, n_tokens, n_distinct_tokens, dup_token_ratio, top_token_ratio,
-    * top_bigram_ratio). */
+    * Scale shape: ONE scan, one explode, two hash-aggregation levels, no
+    * join — tokens and bigrams ride a single postings stream (a token
+    * never contains a space, a bigram always does, so the per-doc rollup
+    * separates them with conditional sums; both levels keep map-side
+    * partial aggregation). The earlier two-branch formulation scanned and
+    * regex-split the text column once per branch and paid an id-keyed join
+    * to reunite the halves. Never a per-row interpreted HOF over token
+    * arrays. Returns (id, n_tokens, n_distinct_tokens, dup_token_ratio,
+    * top_token_ratio, top_bigram_ratio). */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(split(trim(col(textCol)), "\\s+")).as("t"))
-    val tokStats = toks.groupBy("id", "t").agg(count(lit(1)).as("c"))
+    val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
+    val grams = df.select(col(idCol).as("id"),
+      explode(concat(split(norm, " "),
+        wordShinglesAllFromNormalized(norm, 2))).as("g"))
+    val isTok = !col("g").contains(" ")
+    val agged = grams.groupBy("id", "g").agg(count(lit(1)).as("c"))
       .groupBy("id").agg(
-        sum(col("c")).as("n_tokens"),
-        count(lit(1)).as("n_distinct_tokens"),
-        max(col("c")).as("top_c"))
-    val bigrams = df.select(col(idCol).as("id"),
-      explode(wordShinglesAll(col(textCol), 2)).as("g"))
-    val biStats = bigrams.groupBy("id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("id").agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bi"))
-    tokStats.join(biStats, Seq("id"), "left")
+        sum(when(isTok, col("c")).otherwise(0L)).as("n_tokens"),
+        sum(when(isTok, 1L).otherwise(0L)).as("n_distinct_tokens"),
+        max(when(isTok, col("c"))).as("top_c"),
+        sum(when(!isTok, col("c")).otherwise(0L)).as("n_bigrams"),
+        max(when(!isTok, col("c"))).as("top_bi"))
+    agged
       .select(col("id"),
         col("n_tokens").cast("long").as("n_tokens"),
         col("n_distinct_tokens").cast("long").as("n_distinct_tokens"),

@@ -646,6 +646,50 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("portable winnow: selection matches an independent md5 winnower") {
+    // same independent winnow loop as the rolling-hash self-oracle, but
+    // with the portable hash (md5 48-bit prefix of each k-gram, computed
+    // here with java.security directly) — pins the relational
+    // window-fanout/struct-min formulation to the selection rule
+    def md548(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    def naive(text: String, k: Int, w: Int): Set[Long] = {
+      val n = text.length
+      val grams = (1 to math.max(n - k + 1, 1))
+        .map(p => md548(text.substring(p - 1, math.min(p - 1 + k, n))))
+      val win = math.min(w, grams.length)
+      (0 to grams.length - win).map { s =>
+        val window = s until math.min(s + w, grams.length)
+        grams(window.minBy(p => (grams(p), -p)))
+      }.toSet
+    }
+    val rnd = new scala.util.Random(7)
+    val texts = Seq("", "a", "short", "abcdefghijklmnop") ++
+      (0 until 20).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(120)).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for ((k, w) <- Seq((5, 4), (3, 7))) {
+      val got = Dedup.winnowFingerprintsPortable(df, "text", "id", k, w)
+        .collect().groupBy(_.getLong(0))
+        .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == naive(t, k, w), s"k=$k w=$w text#$i '${t.take(30)}'")
+      }
+    }
+    // and the pair operator finds substring-level duplication through it
+    val shared = "the exact same long boilerplate passage appears here verbatim"
+    val pdf = Seq(
+      (0L, "prefix one " + shared + " suffix alpha"),
+      (1L, "other start " + shared + " different end"),
+      (2L, "nothing in common with anything else at all whatsoever")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairsPortable(pdf, "text", "doc_id", k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
   test("int8 quantization: bounded error, engine/driver mirror, top-k recall") {
     val vecs = (0 until 50).map { i =>
       val angle = i * 2 * math.Pi / 50
