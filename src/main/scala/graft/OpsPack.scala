@@ -206,6 +206,27 @@ object OpsPack {
       .orderBy("lang")
   }
 
+  /** Per-language top-3 documents by quality score through the bounded-heap
+    * group-top-k operator — the scale shape that replaces the
+    * parallelism-collapsing `row_number` window (map-side partial top-k,
+    * ≤ k×partitions rows shuffle per group). Oracle-checked against the
+    * window formulation it replaces. */
+  def topQualityPerLang(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GroupTopK
+    val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+      TextOps.qualityScore(col("text")).as("quality_score"))
+    GroupTopK.topKPerGroup(scored, Seq("lang"), "quality_score", "doc_id", 3)
+      .orderBy("lang", "rank")
+  }
+
+  /** Deterministic 5-document inspection sample per source domain (smallest
+    * md5 key hashes win — reproducible, engine-mirrorable, no window sort). */
+  def samplePerSource(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GroupTopK
+    GroupTopK.hashSampleKPerGroup(docs(s, dir), Seq("source"), "doc_id", 5)
+      .orderBy("source", "rank")
+  }
+
   /** Gopher-style repetition quality statistics over the corpus. */
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionStats(docs(s, dir), "text", "doc_id")
@@ -327,6 +348,17 @@ object OpsPack {
       .orderBy("media_id")
   }
 
+  /** Numeric distribution profile over lineitem's measure columns: exact
+    * order-statistic percentiles (`percentile_disc`) in one aggregation
+    * job; the approx_percentile switch is the 100 TB path, pinned by
+    * ProfileSpec. */
+  val NumProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def numericProfileLineitem(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.numericProfile(
+      s.read.parquet(s"$dir/lineitem.parquet"), NumProfileCols)
+      .orderBy("column")
+
   /** Hourly event rollup: nanosecond timestamps bucketed with integral
     * division (exact at any magnitude — doubles can't hold ns epochs), and
     * value sums carried in decimal so the result is order-independent and
@@ -393,6 +425,9 @@ object OpsPack {
     "q_text_boilerplate" -> (boilerplateClean _),
     "q_text_vocab" -> (vocabStats _),
     "q_sample_stratified" -> (stratifiedCounts _),
+    "q_docs_topk_quality" -> (topQualityPerLang _),
+    "q_sample_per_source" -> (samplePerSource _),
+    "q_profile_numeric" -> (numericProfileLineitem _),
     "q_pack_stats" -> (packStats _),
     "q_ann_topk" -> (annTopK _),
     "q_ann_topk_multi" -> (annTopKMulti _),
@@ -747,6 +782,46 @@ object OpsPack {
       |       ELSE 1.0 - CAST(n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS oov_ratio
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Group-top-k oracle: the row_number window formulation the heap
+    * aggregate replaces, over the same quality arithmetic as the
+    * text-stats oracle (same operand order, so doubles are bit-equal). */
+  private val topkQualitySql: String = {
+    val stop = "\\b(the|a|an|and|of|to|in|is|it|for)\\b"
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(lower(text), '$stop')) AS BIGINT) AS n_stop,
+       |    len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents),
+       |q AS (SELECT doc_id, lang,
+       |  0.5 * (least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0)
+       |  + 0.3 * (CASE WHEN n_tokens = 0 THEN 0.0
+       |           ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
+       |  + 0.2 * (CASE WHEN n_chars IS NULL OR n_chars = 0 THEN 0.0
+       |           ELSE CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
+       |    AS quality_score
+       |  FROM base),
+       |r AS (SELECT lang,
+       |  CAST(row_number() OVER (PARTITION BY lang
+       |    ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, quality_score FROM q)
+       |SELECT lang, rank, doc_id, quality_score FROM r WHERE rank <= 3
+       |ORDER BY lang, rank""".stripMargin
+  }
+
+  /** Per-group hash-sample oracle: smallest md5 key hash wins, same 48-bit
+    * prefix parse as every other sampling oracle. */
+  private val samplePerSourceSql: String =
+    """WITH h AS (SELECT source, doc_id,
+      |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS hk
+      |  FROM documents),
+      |r AS (SELECT source,
+      |  CAST(row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS BIGINT) AS rank,
+      |  doc_id FROM h)
+      |SELECT source, rank, doc_id FROM r WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin
+
   /** Stratified-sample oracle: the same md5 bucket arithmetic as the split
     * oracle, against the same per-stratum percentage table. */
   private val stratifiedSql: String =
@@ -756,6 +831,30 @@ object OpsPack {
       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM b
       |WHERE bkt < CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 70 ELSE 100 END
       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Numeric-profile oracle: percentile_disc is ANSI "smallest value whose
+    * cumulative distribution reaches p", mirrored literally via cume_dist
+    * (DuckDB's own quantile_disc uses a different index rule, so the
+    * definition is spelled out instead). Order statistics are exact —
+    * no float interpolation to diverge. */
+  private val numericProfileSql: String = {
+    val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
+    val perCol = NumProfileCols.map { c =>
+      val pexprs = ps.map { case (p, nm) =>
+        s"""(SELECT min(v) FROM (
+           |  SELECT CAST($c AS DOUBLE) v,
+           |    cume_dist() OVER (ORDER BY CAST($c AS DOUBLE)) cd
+           |  FROM lineitem WHERE $c IS NOT NULL) WHERE cd >= $p) AS $nm""".stripMargin
+      }.mkString(",\n  ")
+      s"""SELECT '$c' AS "column",
+         |  (SELECT CAST(count(*) - count($c) AS BIGINT) FROM lineitem) AS n_nulls,
+         |  (SELECT min(CAST($c AS DOUBLE)) FROM lineitem) AS min,
+         |  (SELECT max(CAST($c AS DOUBLE)) FROM lineitem) AS max,
+         |  $pexprs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$perCol
+       |ORDER BY "column"""".stripMargin
+  }
 
   private val annTopKMultiSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
@@ -849,6 +948,9 @@ object OpsPack {
     "q_text_boilerplate" -> boilerplateSql,
     "q_text_vocab" -> vocabSql,
     "q_sample_stratified" -> stratifiedSql,
+    "q_docs_topk_quality" -> topkQualitySql,
+    "q_sample_per_source" -> samplePerSourceSql,
+    "q_profile_numeric" -> numericProfileSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_clean_corpus" -> cleanCorpusSql,
     "q_dedup_jaccard_pairs" -> jaccardSql,

@@ -26,4 +26,56 @@ object Profile {
       (c, r.getAs[Long]("__total") - r.getAs[Long](s"__nn_$c"), r.getAs[Long](s"__nd_$c"))
     }.toDF("column", "n_nulls", "n_distinct")
   }
+
+  /** Numeric distribution profile: per column, null count, min/max, and
+    * DISCONTINUOUS percentiles — `percentile_disc` returns an order
+    * statistic (an actual element of the column), so the result is exact
+    * and engine-mirrorable; interpolated percentiles blend two doubles
+    * with engine-specific operand order and are not. `exact = false`
+    * swaps in `approx_percentile` (t-digest) — the 100 TB setting, where
+    * a full sort per column is not on the table.
+    *
+    * All columns and all percentiles aggregate in ONE job; the result is
+    * cols × stats small, built driver-side. Percentiles must map to
+    * distinct integer percent labels (p25, p50, ...). */
+  def numericProfile(df: DataFrame, cols: Seq[String],
+      percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "numericProfile needs at least one column")
+    val labels = percentiles.map(p => s"p${math.round(p * 100)}")
+    require(labels.distinct.size == labels.size,
+      s"percentiles must have distinct percent labels, got $labels")
+    val exprs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        min(col(c).cast("double")).as(s"__min_$c"),
+        max(col(c).cast("double")).as(s"__max_$c")) ++
+        percentiles.zipWithIndex.map { case (p, i) =>
+          (if (exact)
+            expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY CAST(`$c` AS DOUBLE))")
+          else
+            expr(s"approx_percentile(CAST(`$c` AS DOUBLE), $p)"))
+            .as(s"__p${i}_$c")
+        }
+    } :+ count(lit(1)).as("__total")
+    val r = df.agg(exprs.head, exprs.tail: _*).first()
+    val rows = cols.map { c =>
+      org.apache.spark.sql.Row.fromSeq(
+        Seq(c, r.getAs[Long]("__total") - r.getAs[Long](s"__n_$c"),
+          r.getAs[Double](s"__min_$c"), r.getAs[Double](s"__max_$c")) ++
+          percentiles.indices.map(i => r.getAs[Double](s"__p${i}_$c")))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("column",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_nulls",
+          org.apache.spark.sql.types.LongType, nullable = false)) ++
+        ("min" +: "max" +: labels).map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.DoubleType)))
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
 }

@@ -479,6 +479,65 @@ class OpsSpec extends SparkTestBase {
     assert(c1 == c2)
   }
 
+  test("group top-k: equals the window formulation, without a Window plan") {
+    import graft.operators.GroupTopK
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map(i =>
+      (i.toLong, s"g${i % 7}", rnd.nextInt(50).toDouble)).toDF("id", "grp", "score")
+    val got = GroupTopK.topKPerGroup(rows, Seq("grp"), "score", "id", 4)
+    val win = rows.withColumn("rank",
+      row_number().over(Window.partitionBy("grp")
+        .orderBy(col("score").desc, col("id"))).cast("long"))
+      .where(col("rank") <= 4).select("grp", "rank", "id", "score")
+    assert(got.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq ==
+      win.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sorted.toSeq)
+    // the scale shape: heap aggregate, no Window operator in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    // deterministic under repartitioning
+    val again = GroupTopK.topKPerGroup(rows.repartition(13), Seq("grp"), "score", "id", 4)
+    assert(again.collect().map(_.toSeq).toSet == got.collect().map(_.toSeq).toSet)
+  }
+
+  test("hash sample per group: k rows, stable, smallest hashes win") {
+    import graft.operators.GroupTopK
+    val rows = (0 until 300).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+    val got = GroupTopK.hashSampleKPerGroup(rows, Seq("grp"), "id", 5)
+    val collected = got.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(collected.groupBy(_._1).forall(_._2.length == 5))
+    assert(got.columns.toSeq == Seq("grp", "rank", "id"))
+    val again = GroupTopK.hashSampleKPerGroup(rows.repartition(17), Seq("grp"), "id", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq == collected.sorted.toSeq)
+  }
+
+  test("numeric profile: ANSI percentile_disc rule, one job, approx switch") {
+    import graft.operators.Profile
+    // percentile_disc = smallest value with cume_dist >= p (ANSI): for
+    // 1..10 at p=0.75 that is 8 (cume_dist(8) = 0.8), NOT an interpolation
+    val ten = (1 to 10).map(i => Tuple1(i.toDouble)).toDF("v")
+    val prof = Profile.numericProfile(ten, Seq("v")).collect()(0)
+    assert(prof.getAs[String]("column") == "v")
+    assert(prof.getAs[Long]("n_nulls") == 0L)
+    assert(prof.getAs[Double]("min") == 1.0 && prof.getAs[Double]("max") == 10.0)
+    assert(prof.getAs[Double]("p25") == 3.0)
+    assert(prof.getAs[Double]("p50") == 5.0)
+    assert(prof.getAs[Double]("p75") == 8.0)
+    // NULLs are counted but never ranked
+    val withNull = (Seq[java.lang.Double](1.0, 2.0, 3.0, null))
+      .map(Tuple1(_)).toDF("v")
+    val p2 = Profile.numericProfile(withNull, Seq("v")).collect()(0)
+    assert(p2.getAs[Long]("n_nulls") == 1L)
+    assert(p2.getAs[Double]("p50") == 2.0)
+    // approx path: same schema, sane values on this tiny input
+    val approx = Profile.numericProfile(ten, Seq("v"), exact = false).collect()(0)
+    assert(approx.getAs[Double]("p50") >= 4.0 && approx.getAs[Double]("p50") <= 6.0)
+  }
+
   test("PII redaction: each category, priority order, clean text untouched") {
     val df = Seq(
       (0L, "reach me at jane.doe+spam@mail.example.org today"),
