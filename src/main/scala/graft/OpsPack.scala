@@ -298,6 +298,17 @@ object OpsPack {
       .orderBy("corpus_id", "probe_id")
   }
 
+  /** Containment-ratio contamination scan over the same probe split: shared
+    * grams as a fraction of the probe's gram set. */
+  def contaminationRatio(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.contaminationContainment(
+      d.where(col("doc_id") % 50 =!= 0),
+      d.where(col("doc_id") % 50 === 0),
+      "text", "doc_id", n = 3, minContainment = 0.05)
+      .orderBy("corpus_id", "probe_id")
+  }
+
   /** Sequence packing: documents → 256-token packs across 64 deterministic
     * streams, rolled up per stream. Rows-only under the harness (greedy
     * packing has no SQL mirror); budget/uniqueness/determinism invariants
@@ -415,6 +426,7 @@ object OpsPack {
     "q_dedup_exact" -> (dedupExact _),
     "q_clean_corpus" -> (cleanCorpusQuery _),
     "q_contamination" -> (contamination _),
+    "q_contamination_ratio" -> (contaminationRatio _),
     "q_dedup_jaccard_pairs" -> (jaccardPairs _),
     "q_dedup_minhash_lsh" -> (minhashPairs _),
     "q_dedup_simhash" -> (simhashPairs _),
@@ -518,6 +530,20 @@ object OpsPack {
        |  CAST(count(*) AS BIGINT) AS overlap
        |FROM c JOIN p ON c.g = p.g
        |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY corpus_id, probe_id""".stripMargin
+
+  private val contaminationRatioSql: String =
+    s"""WITH $gramsCtes,
+       |c AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
+       |p AS (SELECT * FROM grams WHERE doc_id % 50 = 0),
+       |ps AS (SELECT doc_id, count(*) sz FROM p GROUP BY 1),
+       |o AS (SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id,
+       |      CAST(count(*) AS BIGINT) AS overlap
+       |      FROM c JOIN p ON c.g = p.g GROUP BY 1, 2)
+       |SELECT corpus_id, probe_id, overlap,
+       |  CAST(overlap AS DOUBLE) / CAST(sz AS DOUBLE) AS containment
+       |FROM o JOIN ps ON ps.doc_id = probe_id
+       |WHERE CAST(overlap AS DOUBLE) / CAST(sz AS DOUBLE) >= 0.05
        |ORDER BY corpus_id, probe_id""".stripMargin
 
   private val jaccardSql: String =
@@ -955,6 +981,7 @@ object OpsPack {
     "q_clean_corpus" -> cleanCorpusSql,
     "q_dedup_jaccard_pairs" -> jaccardSql,
     "q_contamination" -> contaminationSql,
+    "q_contamination_ratio" -> contaminationRatioSql,
     "q_dedup_minhash_lsh" -> minhashSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_winnow" -> winnowSql,

@@ -205,6 +205,24 @@ class OpsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("contamination containment: full quote flags 1.0 regardless of host size") {
+    val probe = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // probe quoted in full inside a much larger doc
+      (0L, "lots of unrelated words here alpha beta gamma delta epsilon and then even more filler text follows"),
+      // partial overlap: 1 of the probe's 3 grams
+      (1L, "alpha beta gamma something else entirely different"),
+      (2L, "no shared content at all in this one")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationContainment(corpus, probe, "text", "doc_id",
+      n = 3, minContainment = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((0L, 100L), (1L, 100L)))
+    assert(got(0)._4 == 1.0) // all 3 probe grams present
+    assert(math.abs(got(1)._4 - 1.0 / 3) < 1e-15)
+  }
+
   test("column profile: nulls and exact distincts in one job") {
     import graft.operators.Profile
     val df = Seq(
