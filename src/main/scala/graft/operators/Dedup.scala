@@ -30,9 +30,31 @@ object Dedup {
     p
   }
 
+  // Caches are scoped PER PASS: each public pair-operator entry releases the
+  // previous pass's postings before registering its own, so a long-running
+  // session interleaving many corpora never accumulates dead cache blocks
+  // (round-3 verdict: the global queue leaked until someone remembered to
+  // call releaseCaches()). The depth guard keeps composite operators
+  // (cleanCorpus → minhashNearDuplicates*) from releasing their OWN caches
+  // when they call other wrapped operators internally. Release is
+  // cooperative: unpersisting a frame another lazy plan still references
+  // only costs recomputation, never correctness — so materialize (or copy)
+  // a pass's result before starting the next pass if you need it cheap.
+  private val scopeDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
+  private def newCacheScope[T](f: => T): T = {
+    val d = scopeDepth.get()
+    if (d == 0) releaseCaches()
+    scopeDepth.set(d + 1)
+    try f finally scopeDepth.set(d)
+  }
+
   /** Unpersist every postings cache created by the dedup pair operators.
-    * Call between corpora in long-running sessions; results already
-    * materialized are unaffected (lazy consumers recompute). */
+    * Called automatically at the start of each new top-level pass; also
+    * public for explicit cleanup (e.g. before session handoff). Results
+    * already materialized are unaffected (lazy consumers recompute). */
   def releaseCaches(): Unit = {
     var d = cachedFrames.poll()
     while (d != null) { d.unpersist(); d = cachedFrames.poll() }
@@ -163,7 +185,7 @@ object Dedup {
       textCol: String,
       idCol: String,
       nearDupThreshold: Double = 0.8,
-      portableHashes: Boolean = false): DataFrame = {
+      portableHashes: Boolean = false): DataFrame = newCacheScope {
     val quality = df.where(!TextOps.lowQualityFlag(col(textCol)))
     // two consumers (near-dup discovery + the final anti-join): persist so
     // the fingerprint groupBy + semi-join lineage runs once
@@ -185,18 +207,27 @@ object Dedup {
 
   /** Exact dedup: keep the minimum-id row per content hash.
     *
-    * ONE scan + ONE shuffle: `min_by(struct(row), id)` keyed by the
-    * content fingerprint, with map-side partial aggregation — each map
+    * ONE scan + ONE shuffle: `min_by(struct(row), orderingKey)` keyed by
+    * the content fingerprint, with map-side partial aggregation — each map
     * partition forwards at most one candidate row per distinct
     * fingerprint, so a million identical copies of a hot document
     * collapse before the shuffle. The earlier groups + semi-join
     * formulation scanned the input twice (both join sides) and shuffled
     * every row; this is strictly less I/O at any scale, and skew-proof
-    * by construction. */
+    * by construction.
+    *
+    * Determinism: the ordering key is `struct(id, row)` — on duplicate ids
+    * the full row breaks the tie under struct lexicographic order, so the
+    * kept row is input-order-independent even when ids repeat. NULL ids
+    * sort FIRST (struct fields compare nulls-smallest), so a group whose
+    * ids are all NULL keeps a real (deterministic) row rather than being
+    * dropped; pre-filter NULL ids if they should not win. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val cols = df.columns.toSeq
+    val rowStruct = struct(cols.map(col): _*)
     df.groupBy(TextOps.fingerprint(col(textCol)).as("__graft_fp"))
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__graft_row"))
+      .agg(min_by(rowStruct, struct(col(idCol).as("__k") +: cols.map(col): _*))
+        .as("__graft_row"))
       .select(cols.map(c => col(s"__graft_row.`$c`").as(c)): _*)
   }
 
@@ -213,7 +244,7 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       threshold: Double = 0.5,
-      maxDocFrequency: Long = Long.MaxValue): DataFrame = {
+      maxDocFrequency: Long = Long.MaxValue): DataFrame = newCacheScope {
     // postings carry 64-bit gram hashes, not strings: ~4× smaller shuffle
     // and primitive join keys (collision odds at 64 bits are negligible)
     val grams = df
@@ -359,7 +390,7 @@ object Dedup {
       threshold: Double = 0.5,
       numHashes: Int = 64,
       bands: Int = 16,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3): DataFrame = newCacheScope {
     // shared by the signature pass and both verification sides — persist so
     // the regex shingling runs once (same rationale as jaccardPairs)
     val shingled = df.select(col(idCol).as("id"),
@@ -387,7 +418,7 @@ object Dedup {
       threshold: Double = 0.5,
       numHashes: Int = 64,
       bands: Int = 16,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3): DataFrame = newCacheScope {
     // one shingle computation shared by signature and verification; grams
     // carried as 64-bit hashes (primitive arrays intersect/join faster);
     // persisted so the shingling stage executes once, not per consumer
@@ -424,7 +455,7 @@ object Dedup {
       k: Int = 5,
       w: Int = 4,
       minShared: Int = 2,
-      maxDocFrequency: Long = Long.MaxValue): DataFrame = {
+      maxDocFrequency: Long = Long.MaxValue): DataFrame = newCacheScope {
     val raw = df
       .select(col(idCol).as("id"),
         explode(array_distinct(
@@ -436,11 +467,12 @@ object Dedup {
     * k-char gram hashed independently (md5 48-bit prefix — no rolling
     * reuse), then the same winnowing selection as the codegen'd expression
     * (min per w-window, RIGHTMOST position on hash ties), expressed
-    * relationally: positions explode from a sequence, each position fans
-    * out to the ≤ w windows containing it, and a struct-min over
-    * (hash, -pos) picks each window's fingerprint. Every step is
-    * engine-mirrorable, which is what buys the driver-harness oracle for
-    * the winnowing family. Returns distinct (id, fp).
+    * relationally: one row per gram position, and a struct-min over
+    * (hash, -pos) computed by a `rowsBetween(0, w-1)` window frame picks
+    * each window's fingerprint — zero row fan-out (only the DuckDB oracle
+    * SQL still expands positions into their containing windows). Every
+    * step is engine-mirrorable, which is what buys the driver-harness
+    * oracle for the winnowing family. Returns distinct (id, fp).
     *
     * Cost vs the rolling expression: one md5 per gram position (the
     * expression reuses the previous gram's hash) plus one per-doc window
@@ -486,9 +518,10 @@ object Dedup {
       k: Int = 5,
       w: Int = 4,
       minShared: Int = 2,
-      maxDocFrequency: Long = Long.MaxValue): DataFrame =
+      maxDocFrequency: Long = Long.MaxValue): DataFrame = newCacheScope {
     fingerprintPairs(winnowFingerprintsPortable(df, textCol, idCol, k, w),
       minShared, maxDocFrequency)
+  }
 
   /** Inverted-index pair counting over an (id, fp) fingerprint frame:
     * df-cap hot fingerprints (boilerplate-heavy corpora concentrate

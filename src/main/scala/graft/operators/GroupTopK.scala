@@ -24,7 +24,12 @@ object GroupTopK {
 
   /** The k best ids per group by (`scoreCol` desc, `idCol` asc). Returns
     * one row per kept id: (groupCols*, rank, id, score), rank 1-based.
-    * Rows with NULL score or id are skipped (never ranked). */
+    * Rows with NULL score or id are skipped (never ranked).
+    *
+    * Precision contract: the score is compared (and returned) AS DOUBLE —
+    * long/decimal scores keep exact ordering only up to 2^53; beyond that,
+    * values closer than one double ulp tie and rank by id instead. Pre-scale
+    * such scores (or rank on a transformed key) if that matters. */
   def topKPerGroup(
       df: DataFrame, groupCols: Seq[String],
       scoreCol: String, idCol: String, k: Int): DataFrame = {
@@ -50,9 +55,10 @@ object GroupTopK {
       df: DataFrame, groupCols: Seq[String], idCol: String, k: Int): DataFrame = {
     val negHash: Column =
       -Dedup.md5Prefix48(md5(col(idCol).cast("string").cast("binary"))).cast("double")
-    topKPerGroup(
-      df.withColumn("__graft_neg_hash", negHash),
-      groupCols, "__graft_neg_hash", idCol, k)
-      .drop("__graft_neg_hash")
+    // collision-free temp name: a user column literally named __graft_neg_hash
+    // must not be silently overwritten by the sampling key
+    val hashCol = Utils.tempColumnName(df)
+    topKPerGroup(df.withColumn(hashCol, negHash), groupCols, hashCol, idCol, k)
+      .drop(hashCol)
   }
 }

@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -10,17 +15,28 @@ import org.apache.spark.sql.types._
 private[operators] case class MediaPayload(media_id: Long, content: Array[Byte])
 private[operators] case class MediaFeatures(media_id: Long, features: Array[Float])
 private[operators] case class MediaFrame(media_id: Long, frame_index: Int, frame: Array[Byte])
+private[operators] case class MediaStats(
+    media_id: Long, kind: String, width: Int, height: Int,
+    n_frames: Int, n_samples: Long,
+    value_sum: Long, value_min: Long, value_max: Long)
 
 /** Multimodal-column plumbing for training-data pipelines.
   *
-  * Media (image/audio/video) travel as opaque `binary` columns with a typed
-  * metadata struct. Decode / feature-extraction runs per-partition in
-  * fixed-size batches via `mapPartitions` (the Scala analogue of
-  * `mapInPandas`): the executor-side loop, batch shape, output schema, and
-  * partitioning are real; only the innermost decode call is STUBBED with a
-  * deterministic fake, because no image/audio codec libraries exist in this
-  * environment. Swapping `FakeCodec` for a real JNI/Java codec changes no
-  * plan shape.
+  * Media (image/audio/video) travel as opaque `binary` columns; decode /
+  * feature-extraction runs per-partition in fixed-size batches via
+  * `mapPartitions` (the Scala analogue of `mapInPandas`). The codecs are
+  * REAL and JDK-native — no external dependencies:
+  *
+  *   - image: PNG via `javax.imageio.ImageIO` (lossless, so decoded pixels
+  *     are bit-exact whatever bytes the encoder emitted);
+  *   - audio: WAV/PCM16 via `javax.sound.sampled.AudioSystem`;
+  *   - video: a minimal length-prefixed container of PNG frames (magic
+  *     "GVC1") — the JDK has no video codec, so frames are first-class and
+  *     the container itself is the decode surface.
+  *
+  * Payload kinds are sniffed from magic bytes (PNG signature / RIFF‑WAVE /
+  * GVC1), the way a real codec stage dispatches — no metadata column is
+  * needed to decode.
   */
 object Multimodal {
 
@@ -37,8 +53,10 @@ object Multimodal {
     StructField("content", BinaryType),
     StructField("meta", MetaType)))
 
-  /** Synthesize a media table from any (id, text) frame — deterministic
-    * payload bytes so pipelines are testable without real media. */
+  /** Synthesize a media-METADATA table from any (id, text) frame — pure
+    * column algebra (payload = text bytes), used by the metadata-plumbing
+    * driver query whose oracle mirrors the arithmetic exactly. For real
+    * encoded payloads use [[syntheticEncodedMedia]]. */
   def syntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol).cast("long").as("media_id"),
@@ -51,79 +69,330 @@ object Multimodal {
         lit(16000).as("sample_rate"),
         (length(col(textCol)) * 10).cast("long").as("duration_ms")).as("meta"))
 
-  /** ======== STUB ========
-    * Deterministic fake decoder: derives `dims` pseudo-features from the
-    * payload bytes. A real implementation would decode the image/audio here
-    * (e.g. via a JNI codec) and emit true features; everything around this
-    * function — batching, schema, null handling — is production-shaped. */
-  private[operators] object FakeCodec {
-    def decodeToFeatures(bytes: Array[Byte], dims: Int): Array[Float] = {
-      if (bytes == null) return null
-      val out = new Array[Float](dims)
-      var h = 1125899906842597L // deterministic rolling hash of the payload
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-      var d = 0
-      while (d < dims) {
-        val x = h ^ (0x9E3779B97F4A7C15L * (d + 1))
-        // xorshift mix → [-1, 1)
-        var z = x
-        z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
-        out(d) = (z.toDouble / Long.MaxValue).toFloat
-        d += 1
-      }
-      out
+  // ---------------------------------------------------------------------
+  // JDK-native codec
+  // ---------------------------------------------------------------------
+
+  /** Real encode/decode built entirely on the JDK: `ImageIO` for PNG,
+    * `AudioSystem` for WAV, plus the GVC1 frame container. Everything here
+    * runs executor-side inside the mapPartitions stages. */
+  private[operators] object JdkCodec {
+    private val VideoMagic: Array[Byte] = Array('G', 'V', 'C', '1').map(_.toByte)
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
 
-    /** STUB resize: a real codec would re-encode; the fake just truncates. */
-    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
-      if (bytes == null) null else bytes.take(math.max(16, (w * h) % 4096))
+    def decodePng(bytes: Array[Byte]): BufferedImage =
+      ImageIO.read(new ByteArrayInputStream(bytes))
 
-    /** STUB frame sampling: returns byte-slices standing in for frames. */
-    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
-      if (bytes == null || bytes.isEmpty) Nil
-      else (0 until n).map(i => bytes.drop((bytes.length * i) / n).take(64))
+    /** PCM16 mono little-endian samples → a complete WAV (RIFF) stream. */
+    def encodeWav(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        data(2 * i) = (samples(i) & 0xFF).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** WAV stream → PCM16 samples (via AudioSystem, not manual RIFF
+      * parsing — the decode path exercises the real audio stack). */
+    def decodeWav(bytes: Array[Byte]): Array[Short] = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected PCM16 mono, got $fmt")
+        val data = ais.readAllBytes()
+        val out = new Array[Short](data.length / 2)
+        var i = 0
+        if (fmt.isBigEndian)
+          while (i < out.length) {
+            out(i) = (((data(2 * i) & 0xFF) << 8) | (data(2 * i + 1) & 0xFF)).toShort
+            i += 1
+          }
+        else
+          while (i < out.length) {
+            out(i) = (((data(2 * i + 1) & 0xFF) << 8) | (data(2 * i) & 0xFF)).toShort
+            i += 1
+          }
+        out
+      } finally ais.close()
+    }
+
+    /** PNG frames → GVC1 container: magic, 4-byte big-endian frame count,
+      * then per frame a 4-byte length + the PNG bytes. */
+    def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      bos.write(VideoMagic)
+      writeInt(bos, frames.length)
+      frames.foreach { f => writeInt(bos, f.length); bos.write(f) }
+      bos.toByteArray
+    }
+
+    def unpackFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      require(isVideo(bytes), "not a GVC1 container")
+      val n = readInt(bytes, 4)
+      var off = 8
+      (0 until n).map { _ =>
+        val len = readInt(bytes, off)
+        val frame = java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len)
+        off += 4 + len
+        frame
+      }
+    }
+
+    private def writeInt(bos: ByteArrayOutputStream, v: Int): Unit = {
+      bos.write((v >>> 24) & 0xFF); bos.write((v >>> 16) & 0xFF)
+      bos.write((v >>> 8) & 0xFF); bos.write(v & 0xFF)
+    }
+
+    private def readInt(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+        ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+    def isPng(b: Array[Byte]): Boolean =
+      b != null && b.length > 8 &&
+        b(0) == 0x89.toByte && b(1) == 'P'.toByte && b(2) == 'N'.toByte && b(3) == 'G'.toByte
+
+    def isWav(b: Array[Byte]): Boolean =
+      b != null && b.length > 12 &&
+        b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte && b(3) == 'F'.toByte &&
+        b(8) == 'W'.toByte && b(9) == 'A'.toByte && b(10) == 'V'.toByte && b(11) == 'E'.toByte
+
+    def isVideo(b: Array[Byte]): Boolean =
+      b != null && b.length > 8 &&
+        b(0) == VideoMagic(0) && b(1) == VideoMagic(1) &&
+        b(2) == VideoMagic(2) && b(3) == VideoMagic(3)
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic synthetic encoded payloads
+  // ---------------------------------------------------------------------
+
+  /** Channel formulas for the synthetic pixels/samples — shared between the
+    * executor-side generator and the DuckDB oracle (which mirrors them with
+    * generate_series over the same ranges). All arithmetic is small-integer
+    * exact. Frame index enters the image formulas as `fr` (0 for stills). */
+  private[operators] object Synthetic {
+    def imageW(id: Long): Int = (id % 13 + 4).toInt   // 4..16
+    def imageH(id: Long): Int = (id % 11 + 4).toInt   // 4..14
+    def red(id: Long, x: Int, y: Int, fr: Int): Int =
+      ((id * 7 + x * 13 + y * 31 + fr * 97) % 256).toInt
+    def green(id: Long, x: Int, y: Int, fr: Int): Int =
+      ((id * 11 + x * 3 + y * 17 + fr * 89) % 256).toInt
+    def blue(id: Long, x: Int, y: Int, fr: Int): Int =
+      ((id * 5 + x * 29 + y * 7 + fr * 83) % 256).toInt
+    def audioN(id: Long): Int = (id % 96 + 32).toInt  // 32..127 samples
+    def sample(id: Long, i: Int): Int = ((id * 31 + i * 173) % 65536).toInt - 32768
+    def videoFrames(id: Long): Int = (id % 3 + 2).toInt // 2..4 frames
+
+    def image(id: Long, fr: Int): BufferedImage = {
+      val (w, h) = (imageW(id), imageH(id))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (red(id, x, y, fr) << 16) | (green(id, x, y, fr) << 8) | blue(id, x, y, fr))
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+  }
+
+  /** Synthesize REAL encoded payloads per id — PNG stills (id ≡ 0 mod 3),
+    * WAV clips (≡ 1), GVC1 PNG-frame containers (≡ 2); content is a pure
+    * function of the id, so decode-side statistics have closed-form
+    * oracles. Encoding runs executor-side (one narrow stage). */
+  def syntheticEncodedMedia(df: DataFrame, idCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = (id % 3) match {
+          case 0 => JdkCodec.encodePng(Synthetic.image(id, 0))
+          case 1 =>
+            val n = Synthetic.audioN(id)
+            JdkCodec.encodeWav(
+              Array.tabulate(n)(i => Synthetic.sample(id, i).toShort), 16000f)
+          case _ =>
+            JdkCodec.packFrames(
+              (0 until Synthetic.videoFrames(id)).map(fr =>
+                JdkCodec.encodePng(Synthetic.image(id, fr))))
+        }
+        MediaPayload(id, bytes)
+      })
+      .toDF()
   }
 
   private val FeatureBatchSize = 64 // rows decoded per executor-side batch
 
-  /** Decode payloads to feature vectors: per-partition, fixed-size batches,
-    * stable output schema (media_id, features array<float>). Typed
-    * `Dataset.mapPartitions` keeps this a single Catalyst plan node (no
-    * `.rdd` boundary); at scale it is one narrow stage — no shuffle;
-    * repartition upstream to balance codec cost if payload sizes are
-    * skewed. */
+  /** Decode every payload (dispatch on magic bytes) and emit integer-exact
+    * per-media statistics — the hash-checkable face of the decode path:
+    *
+    *   - image: width/height from the decoded PNG; value = r+g+b per pixel;
+    *   - audio: n_samples from the decoded WAV; value = PCM16 sample;
+    *   - video: every frame decoded; value = r+g+b per pixel across frames.
+    *
+    * All outputs are integers (sum/min/max of exact channel values), so a
+    * lossless round trip makes them engine-mirrorable — the DuckDB oracle
+    * recomputes them from the generator formulas without touching a codec.
+    * One narrow mapPartitions stage; no shuffle. */
+  def decodeStats(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[MediaPayload]
+      .mapPartitions { it =>
+        it.grouped(FeatureBatchSize).flatMap { batch =>
+          // batch boundary = where a real codec amortizes per-batch setup
+          batch.iterator.flatMap(m => Option(m.content).map(c => statsOf(m.media_id, c)))
+        }
+      }
+      .toDF()
+  }
+
+  private def statsOf(id: Long, content: Array[Byte]): MediaStats = {
+    var sum = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    def add(v: Long): Unit = { sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
+    def addImage(img: BufferedImage): Unit = {
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          add(((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF))
+          x += 1
+        }
+        y += 1
+      }
+    }
+    if (JdkCodec.isPng(content)) {
+      val img = JdkCodec.decodePng(content)
+      addImage(img)
+      MediaStats(id, "image", img.getWidth, img.getHeight, 1, 0L, sum, mn, mx)
+    } else if (JdkCodec.isWav(content)) {
+      val samples = JdkCodec.decodeWav(content)
+      samples.foreach(s => add(s.toLong))
+      MediaStats(id, "audio", 0, 0, 0, samples.length.toLong, sum, mn, mx)
+    } else if (JdkCodec.isVideo(content)) {
+      val frames = JdkCodec.unpackFrames(content).map(JdkCodec.decodePng)
+      frames.foreach(addImage)
+      val (w, h) =
+        if (frames.isEmpty) (0, 0) else (frames.head.getWidth, frames.head.getHeight)
+      MediaStats(id, "video", w, h, frames.length, 0L, sum, mn, mx)
+    } else
+      MediaStats(id, "unknown", 0, 0, 0, 0L, 0L, 0L, 0L)
+  }
+
+  /** Decode payloads to fixed-width feature vectors — the embedding-shaped
+    * stage (real decode, then a deterministic reduction to `dims` floats):
+    * images/videos bucket luma means over a dims-cell grid scan order;
+    * audio buckets mean amplitude over dims sample bins. */
   def extractFeatures(media: DataFrame, dims: Int = 64): DataFrame = {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("content")).as[MediaPayload]
       .mapPartitions { it =>
         it.grouped(FeatureBatchSize).flatMap { batch =>
-          // batch boundary = where a real codec would amortize setup cost
-          batch.iterator.map(m =>
-            MediaFeatures(m.media_id, FakeCodec.decodeToFeatures(m.content, dims)))
+          batch.iterator.map(m => MediaFeatures(m.media_id, featuresOf(m.content, dims)))
         }
       }
       .toDF()
   }
 
-  /** Resize stage (STUB codec, real plumbing). */
+  private def featuresOf(content: Array[Byte], dims: Int): Array[Float] = {
+    if (content == null) return null
+    val sums = new Array[Double](dims)
+    val counts = new Array[Long](dims)
+    def addValues(vs: Iterator[Double]): Unit = {
+      var i = 0
+      vs.foreach { v =>
+        val b = i % dims
+        sums(b) += v; counts(b) += 1; i += 1
+      }
+    }
+    def imageValues(img: BufferedImage): Iterator[Double] =
+      for {
+        y <- Iterator.range(0, img.getHeight)
+        x <- Iterator.range(0, img.getWidth)
+      } yield {
+        val rgb = img.getRGB(x, y)
+        (((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L) / 1000.0
+      }
+    if (JdkCodec.isPng(content)) addValues(imageValues(JdkCodec.decodePng(content)))
+    else if (JdkCodec.isWav(content))
+      addValues(JdkCodec.decodeWav(content).iterator.map(_.toDouble))
+    else if (JdkCodec.isVideo(content))
+      JdkCodec.unpackFrames(content).foreach(f => addValues(imageValues(JdkCodec.decodePng(f))))
+    Array.tabulate(dims)(b => if (counts(b) == 0) 0f else (sums(b) / counts(b)).toFloat)
+  }
+
+  /** Resize stage: images (and every frame of a video) are REALLY rescaled
+    * — decode, nearest-neighbor resample (deterministic across JDKs, unlike
+    * interpolating Graphics2D scaling), re-encode. Audio passes through. */
   def resizeMedia(media: DataFrame, width: Int, height: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("content")).as[MediaPayload]
-      .mapPartitions(_.map(m => MediaPayload(m.media_id, FakeCodec.resize(m.content, width, height))))
+      .mapPartitions(_.map(m => MediaPayload(m.media_id, resizeOf(m.content, width, height))))
       .toDF()
   }
 
-  /** Frame-sampling stage for video payloads (STUB codec, real plumbing):
-    * emits (media_id, frame_index, frame_bytes). */
+  private def resizeImage(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x * img.getWidth / w, y * img.getHeight / h))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def resizeOf(content: Array[Byte], w: Int, h: Int): Array[Byte] =
+    if (content == null) null
+    else if (JdkCodec.isPng(content))
+      JdkCodec.encodePng(resizeImage(JdkCodec.decodePng(content), w, h))
+    else if (JdkCodec.isVideo(content))
+      JdkCodec.packFrames(JdkCodec.unpackFrames(content)
+        .map(f => JdkCodec.encodePng(resizeImage(JdkCodec.decodePng(f), w, h))))
+    else content
+
+  /** Frame-sampling stage: GVC1 containers emit up to `framesPerVideo`
+    * evenly-spaced REAL PNG frames; still images emit themselves as frame
+    * 0; audio emits nothing. */
   def sampleFrames(media: DataFrame, framesPerVideo: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("content")).as[MediaPayload]
       .mapPartitions(_.flatMap { m =>
-        FakeCodec.sampleFrames(m.content, framesPerVideo).zipWithIndex.map {
+        framesOf(m.content, framesPerVideo).zipWithIndex.map {
           case (frame, idx) => MediaFrame(m.media_id, idx, frame)
         }
       })
       .toDF()
   }
+
+  private def framesOf(content: Array[Byte], n: Int): Seq[Array[Byte]] =
+    if (content == null) Nil
+    else if (JdkCodec.isPng(content)) Seq(content)
+    else if (JdkCodec.isVideo(content)) {
+      val all = JdkCodec.unpackFrames(content)
+      if (all.length <= n) all
+      else (0 until n).map(i => all(i * all.length / n))
+    } else Nil
 }

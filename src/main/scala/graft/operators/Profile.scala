@@ -59,11 +59,19 @@ object Profile {
         }
     } :+ count(lit(1)).as("__total")
     val r = df.agg(exprs.head, exprs.tail: _*).first()
+    // min/max/percentile aggregates return SQL NULL for an all-NULL (or
+    // empty) column; getAs[Double] would silently unbox that to 0.0, so
+    // read via isNullAt and emit a real null cell (the schema already
+    // marks these fields nullable).
+    def numOrNull(name: String): Any = {
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) null else r.getDouble(i)
+    }
     val rows = cols.map { c =>
       org.apache.spark.sql.Row.fromSeq(
         Seq(c, r.getAs[Long]("__total") - r.getAs[Long](s"__n_$c"),
-          r.getAs[Double](s"__min_$c"), r.getAs[Double](s"__max_$c")) ++
-          percentiles.indices.map(i => r.getAs[Double](s"__p${i}_$c")))
+          numOrNull(s"__min_$c"), numOrNull(s"__max_$c")) ++
+          percentiles.indices.map(i => numOrNull(s"__p${i}_$c")))
     }
     val schema = org.apache.spark.sql.types.StructType(
       Seq(

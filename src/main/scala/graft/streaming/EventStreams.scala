@@ -159,19 +159,26 @@ object EventStreams {
   /** Launch a file-source stream over a parquet directory mirroring a batch
     * frame's schema, apply `transform`, collect into a named memory sink.
     * Returns the query; callers `processAllAvailable()` then read
-    * `spark.table(sinkName)`. */
+    * `spark.table(sinkName)`. `sourceOptions` flow to the file source
+    * (e.g. `maxFilesPerTrigger` to force multi-micro-batch replays);
+    * `checkpointDir` pins the checkpoint location (e.g. tmpfs) instead of
+    * the default temp-dir fallback. */
   def runToMemory(
       spark: SparkSession,
       sourceDir: String,
       schemaOf: DataFrame,
       sinkName: String,
-      outputMode: String = "append")(
+      outputMode: String = "append",
+      sourceOptions: Map[String, String] = Map.empty,
+      checkpointDir: Option[String] = None)(
       transform: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
-    val stream = spark.readStream.schema(schemaOf.schema).parquet(sourceDir)
-    transform(stream).writeStream
+    val stream = spark.readStream.schema(schemaOf.schema)
+      .options(sourceOptions).parquet(sourceDir)
+    val writer = transform(stream).writeStream
       .format("memory")
       .queryName(sinkName)
       .outputMode(outputMode)
-      .start()
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 }

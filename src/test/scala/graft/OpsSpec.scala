@@ -554,6 +554,12 @@ class OpsSpec extends SparkTestBase {
     // approx path: same schema, sane values on this tiny input
     val approx = Profile.numericProfile(ten, Seq("v"), exact = false).collect()(0)
     assert(approx.getAs[Double]("p50") >= 4.0 && approx.getAs[Double]("p50") <= 6.0)
+    // all-NULL column: min/max/percentiles are NULL, not unboxed 0.0
+    val allNull = Seq[java.lang.Double](null, null).map(Tuple1(_)).toDF("v")
+    val pn = Profile.numericProfile(allNull, Seq("v")).collect()(0)
+    assert(pn.getAs[Long]("n_nulls") == 2L)
+    assert(pn.isNullAt(pn.fieldIndex("min")) && pn.isNullAt(pn.fieldIndex("max")))
+    assert(pn.isNullAt(pn.fieldIndex("p50")))
   }
 
   test("PII redaction: each category, priority order, clean text untouched") {
@@ -847,23 +853,93 @@ class OpsSpec extends SparkTestBase {
     assert(spark.sql("SELECT size(graft_winnow_5_4('abcdefghijklmnop')) > 0").first().getBoolean(0))
   }
 
-  test("multimodal: typed codec stages stay in one Catalyst plan") {
+  test("multimodal: JDK codecs round-trip exactly; stages stay in one Catalyst plan") {
     import graft.operators.Multimodal
-    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val media = Multimodal.syntheticEncodedMedia(docs, "doc_id")
+    val stats = Multimodal.decodeStats(media)
+    // typed mapPartitions keeps the stage inside Catalyst — no RDD scan node
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("MapPartitions"), plan)
+    val byId = stats.collect().map(r => r.getLong(0) -> r).toMap
+    // independent mirror of the synthetic pixel/sample formulas: decoded
+    // PNG/WAV values must equal the generator's closed forms (lossless)
+    def imgVals(id: Long, fr: Int): Seq[Long] = {
+      val (w, h) = ((id % 13 + 4).toInt, (id % 11 + 4).toInt)
+      for { y <- 0 until h; x <- 0 until w } yield
+        (id * 7 + x * 13 + y * 31 + fr * 97) % 256 +
+          (id * 11 + x * 3 + y * 17 + fr * 89) % 256 +
+          (id * 5 + x * 29 + y * 7 + fr * 83) % 256
+    }
+    val s0 = byId(0L)
+    assert(s0.getAs[String]("kind") == "image")
+    assert(s0.getAs[Int]("width") == 4 && s0.getAs[Int]("height") == 4)
+    val v0 = imgVals(0L, 0)
+    assert(s0.getAs[Long]("value_sum") == v0.sum)
+    assert(s0.getAs[Long]("value_min") == v0.min && s0.getAs[Long]("value_max") == v0.max)
+    val s1 = byId(1L)
+    assert(s1.getAs[String]("kind") == "audio")
+    val samples1 = (0 until (1 % 96 + 32)).map(i => (1L * 31 + i * 173) % 65536 - 32768)
+    assert(s1.getAs[Long]("n_samples") == samples1.length.toLong)
+    assert(s1.getAs[Long]("value_sum") == samples1.sum)
+    assert(s1.getAs[Long]("value_min") == samples1.min && s1.getAs[Long]("value_max") == samples1.max)
+    val s2 = byId(2L)
+    assert(s2.getAs[String]("kind") == "video")
+    assert(s2.getAs[Int]("n_frames") == (2 % 3 + 2))
+    val v2 = (0 until (2 % 3 + 2)).flatMap(fr => imgVals(2L, fr))
+    assert(s2.getAs[Long]("value_sum") == v2.sum)
+    // feature stage: fixed dims, real decode feeding the reduction
     val features = Multimodal.extractFeatures(media, dims = 8)
     assert(features.columns.toSeq == Seq("media_id", "features"))
     val rows = features.collect()
     assert(rows.length == 5 && rows.forall(_.getSeq[Float](1).length == 8))
-    // deterministic fake codec: same payload → same features
-    val byId = rows.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    assert(byId(0L) == byId(3L)) // exact-dup texts
-    // typed mapPartitions keeps the stage inside Catalyst — no RDD scan node
-    val plan = features.queryExecution.executedPlan.toString
-    assert(!plan.contains("ExistingRDD"), plan)
-    assert(plan.contains("MapPartitions"), plan)
+    val byIdF = rows.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byIdF(0L) != byIdF(3L)) // different payload content → different features
+    // frame sampling: stills emit themselves, audio nothing, video ≤ n frames
     val frames = Multimodal.sampleFrames(media, framesPerVideo = 2)
-    assert(frames.count() == 10)
-    assert(Multimodal.resizeMedia(media, 64, 64).count() == 5)
+    assert(frames.count() == 4) // ids 0,3 stills (1 each) + id 2 video (2) + audio (0)
+    // resize: stills and every video frame re-encoded at the target size
+    val resized = Multimodal.decodeStats(Multimodal.resizeMedia(media, 6, 5))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(resized(0L).getAs[Int]("width") == 6 && resized(0L).getAs[Int]("height") == 5)
+    assert(resized(2L).getAs[Int]("width") == 6 && resized(2L).getAs[Int]("n_frames") == (2 % 3 + 2))
+    assert(resized(1L).getAs[String]("kind") == "audio") // audio passes through
+  }
+
+  test("driver queries: no cartesian product in any executed plan") {
+    val dir = "/root/testdata/sf0.001"
+    // q_events_streamed's frame is a memory-sink table scan (no joins) that
+    // costs a full streaming replay to build — skip the run, not the rule.
+    val skip = Set("q_events_streamed")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!skip(name)) {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plan contains a cartesian product")
+        // broadcast nested-loop is acceptable ONLY as the bounded broadcast
+        // query fan-out of the multi-query ANN scorer (queries ≪ corpus);
+        // queries that collect driver-side return LocalRelations here and
+        // their internal scorer plans are pinned by their own specs
+        if (name != "q_ann_topk_multi")
+          assert(!plan.contains("BroadcastNestedLoopJoin"),
+            s"$name plan contains a non-broadcastable nested-loop join")
+      }
+    }
+  }
+
+  test("dedup cache scope: a new pass releases the previous pass's postings") {
+    Dedup.releaseCaches()
+    val sc = spark.sparkContext
+    def persisted = sc.getPersistentRDDs.size
+    val base = persisted
+    Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5).count()
+    val afterFirst = persisted
+    assert(afterFirst > base) // the pass did register postings caches
+    Dedup.jaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.5).count()
+    // second pass auto-released the first's caches before adding its own
+    assert(persisted <= afterFirst)
+    Dedup.releaseCaches()
+    assert(persisted == base)
   }
 
   test("salted join and salted aggregate preserve plain-join semantics") {
