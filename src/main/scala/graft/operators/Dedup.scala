@@ -56,8 +56,10 @@ object Dedup {
     * public for explicit cleanup (e.g. before session handoff). Results
     * already materialized are unaffected (lazy consumers recompute). */
   def releaseCaches(): Unit = {
+    // blocking = true: the next pass (or benchmark query) should start with
+    // the storage pool actually drained, not with eviction queued behind it.
     var d = cachedFrames.poll()
-    while (d != null) { d.unpersist(); d = cachedFrames.poll() }
+    while (d != null) { d.unpersist(blocking = true); d = cachedFrames.poll() }
   }
 
   /** Connected components over an undirected pair graph via iterative
@@ -185,14 +187,20 @@ object Dedup {
       textCol: String,
       idCol: String,
       nearDupThreshold: Double = 0.8,
-      portableHashes: Boolean = false): DataFrame = newCacheScope {
+      portableHashes: Boolean = false,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = newCacheScope {
     val quality = df.where(!TextOps.lowQualityFlag(col(textCol)))
     // two consumers (near-dup discovery + the final anti-join): persist so
     // the fingerprint groupBy + semi-join lineage runs once
     val exact = cacheShared(exactDedup(quality, textCol, idCol))
     val pairs =
-      if (portableHashes) minhashNearDuplicatesMd5(exact, textCol, idCol, nearDupThreshold)
-      else minhashNearDuplicates(exact, textCol, idCol, nearDupThreshold)
+      if (portableHashes)
+        minhashNearDuplicatesMd5(exact, textCol, idCol, nearDupThreshold,
+          numHashes = numHashes, bands = bands)
+      else
+        minhashNearDuplicates(exact, textCol, idCol, nearDupThreshold,
+          numHashes = numHashes, bands = bands)
     val losers = connectedComponents(pairs)
       .filter(col("id") =!= col("comp")) // keep the component minimum
       .select(col("id").as("drop_id"))
