@@ -301,3 +301,136 @@ object WinnowFingerprints {
     F.call_function(functionName(k, w), text)
   }
 }
+
+/** Winnowing fingerprints over the PORTABLE md5 k-gram family, fused into
+  * one expression: per document, hash every k-char gram (md5 48-bit prefix
+  * of the gram's UTF-8 bytes — the engine-mirrorable family of
+  * `Dedup.md5HashPair`), slide a `w`-gram window with a monotone deque
+  * (smallest hash wins, RIGHTMOST position on ties), and emit the distinct
+  * selected hashes. Byte-for-byte the same selection as the relational
+  * explode → `rowsBetween` struct-min formulation it replaces, without
+  * materializing one row per character position: the per-gram digests and
+  * the O(grams) window scan happen in a tight per-document loop, and the
+  * only rows downstream sees are the ~2/(w+1)-density fingerprints
+  * themselves (measured ~4× on the sf0.1 winnow driver query).
+  *
+  * Positions are CODE POINTS (matching SQL `substr`/`length` semantics),
+  * so the oracle's `substr(t, p, k)` mirror holds for any input, not just
+  * ASCII. Texts shorter than k degrade to one whole-text gram; empty text
+  * fingerprints the empty gram — both mirroring `substr`'s
+  * truncate-past-end behavior. */
+case class PortableWinnowMd5(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, "k and w must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow_md5 requires a string column, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    PortableWinnowMd5.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableWinnowMd5.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableWinnowMd5 =
+    copy(child = newChild)
+}
+
+object PortableWinnowMd5 {
+  // One digest instance per thread, reset between grams — MessageDigest
+  // construction (provider lookup) is far more expensive than a digest.
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Called from generated code. Returns the distinct selected 48-bit
+    * fingerprints in first-selection order. */
+  def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // code-point start offsets (a UTF-8 byte starts a code point unless it
+    // is a continuation byte 0b10xxxxxx); offsets(i) = byte offset of the
+    // i-th code point, offsets(chars) = n
+    var chars = 0
+    var i = 0
+    while (i < n) { if ((bytes(i) & 0xC0) != 0x80) chars += 1; i += 1 }
+    val offsets = new Array[Int](chars + 1)
+    var c = 0
+    i = 0
+    while (i < n) {
+      if ((bytes(i) & 0xC0) != 0x80) { offsets(c) = i; c += 1 }
+      i += 1
+    }
+    offsets(chars) = n
+    val md = digests.get()
+    // gram at 0-based char position p: bytes [offsets(p), offsets(min(p+k, chars)))
+    def gramHash(p: Int): Long = {
+      val from = offsets(p)
+      val until = offsets(math.min(p + k, chars))
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      // first 6 digest bytes, big-endian unsigned — the md5Prefix48 parse
+      ((d(0) & 0xFFL) << 40) | ((d(1) & 0xFFL) << 32) | ((d(2) & 0xFFL) << 24) |
+        ((d(3) & 0xFFL) << 16) | ((d(4) & 0xFFL) << 8) | (d(5) & 0xFFL)
+    }
+    val grams = math.max(chars - k + 1, 1)
+    if (grams <= w) {
+      // single (possibly short) window: min hash, rightmost on ties
+      var best = gramHash(0)
+      var p = 1
+      while (p < grams) {
+        val h = gramHash(p)
+        if (h <= best) best = h
+        p += 1
+      }
+      return new GenericArrayData(Array(best))
+    }
+    val hashes = new Array[Long](grams)
+    i = 0
+    while (i < grams) { hashes(i) = gramHash(i); i += 1 }
+    // monotone deque of positions: increasing hash front-to-back; pushing
+    // position p pops every back position with hash ≥ h(p) (≥, not >: equal
+    // hashes yield to the LATER position — the rightmost-tie rule)
+    val deque = new Array[Int](grams)
+    var head = 0
+    var tail = 0 // exclusive
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var p = 0
+    while (p < grams) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(p)) tail -= 1
+      deque(tail) = p; tail += 1
+      val start = p - w + 1
+      if (start >= 0) {
+        while (deque(head) < start) head += 1
+        val fp = hashes(deque(head))
+        if (seen.add(fp)) out += fp
+      }
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  import org.apache.spark.sql.{functions => F, SparkSession}
+
+  def functionName(k: Int, w: Int) = s"graft_winnow_md5_${k}_$w"
+
+  /** No-op under Spark Connect — see [[GraftRegistry]]. */
+  def register(spark: SparkSession, k: Int, w: Int): Unit =
+    GraftRegistry.tempFunction(spark, functionName(k, w),
+      exprs => PortableWinnowMd5(exprs.head, k, w))
+
+  /** Column wrapper; registers against the active session on first use. */
+  def fingerprints(text: Column, k: Int, w: Int): Column = {
+    SparkSession.getActiveSession.foreach(register(_, k, w))
+    F.call_function(functionName(k, w), text)
+  }
+}

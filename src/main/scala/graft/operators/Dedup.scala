@@ -473,50 +473,28 @@ object Dedup {
 
   /** Winnowing fingerprints over the PORTABLE md5 k-gram hash family: each
     * k-char gram hashed independently (md5 48-bit prefix — no rolling
-    * reuse), then the same winnowing selection as the codegen'd expression
-    * (min per w-window, RIGHTMOST position on hash ties), expressed
-    * relationally: one row per gram position, and a struct-min over
-    * (hash, -pos) computed by a `rowsBetween(0, w-1)` window frame picks
-    * each window's fingerprint — zero row fan-out (only the DuckDB oracle
-    * SQL still expands positions into their containing windows). Every
-    * step is engine-mirrorable, which is what buys the driver-harness
-    * oracle for the winnowing family. Returns distinct (id, fp).
+    * reuse), then the same winnowing selection as the codegen'd rolling
+    * expression (min per w-window, RIGHTMOST position on hash ties). The
+    * whole selection runs inside one fused expression
+    * ([[graft.functions.PortableWinnowMd5]]): per-gram digests and the
+    * monotone-deque window scan happen in a per-document loop, so the plan
+    * is a zero-shuffle projection + explode of the ~2/(w+1)-density
+    * fingerprints — no row per character position ever materializes (the
+    * earlier relational explode → `rowsBetween` struct-min formulation
+    * pushed one row per position through a per-doc window sort; the DuckDB
+    * oracle SQL still mirrors the selection that way, which is fine — the
+    * SELECTION is identical, pinned against an independent winnower in
+    * OpsSpec). Returns distinct (id, fp).
     *
     * Cost vs the rolling expression: one md5 per gram position (the
-    * expression reuses the previous gram's hash) plus one per-doc window
-    * sort — the deliberate price of portability, same trade as
-    * [[minhashSignaturesMd5]]. The expression path stays the production
-    * default.
-    *
-    * The per-window minimum is a WINDOW FUNCTION over a
-    * `rowsBetween(0, w-1)` frame — one row per window start, zero
-    * fan-out (an earlier formulation exploded every position into its ≤ w
-    * containing windows: w× the rows through an extra shuffle, measured
-    * 11.4s vs 4.3s for the sf0.1 driver query). Window partitions are
-    * DOCUMENTS — millions of small independent partitions, not the
-    * few-partition collapse the heap aggregate exists to avoid. */
+    * expression reuses the previous gram's hash state) — the deliberate
+    * price of portability, same trade as [[minhashSignaturesMd5]]. The
+    * rolling-hash expression path stays the production default. */
   def winnowFingerprintsPortable(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // gram count; texts shorter than k degrade to one whole-text gram
-    // (substr past the end returns the prefix), mirroring the expression
-    val positions = df
-      .select(col(idCol).as("id"), col(textCol).as("t"),
-        greatest(length(col(textCol)) - (k - 1), lit(1)).as("gn"))
-      .select(col("id"), col("gn"), col("t"),
-        explode(sequence(lit(1), col("gn"))).as("p"))
-      .select(col("id"), col("gn"), col("p"),
-        md5Prefix48(md5(substr(col("t"), col("p"), lit(k)).cast("binary"))).as("h"))
-    val frame = Window.partitionBy("id").orderBy("p")
-      .rowsBetween(Window.currentRow, w - 1)
-    positions
-      .withColumn("m", min(struct(col("h"), (-col("p")).as("np"))).over(frame))
-      // valid window starts only: p ≤ gn-w+1, or the single short window
-      .where(col("p") <= greatest(col("gn") - (w - 1), lit(1)))
-      .select(col("id"), col("m.h").as("fp"))
-      .distinct()
-  }
+      k: Int, w: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.PortableWinnowMd5.fingerprints(col(textCol), k, w)).as("fp"))
 
   /** [[winnowPairs]] over the portable hash family (oracle-checkable). */
   def winnowPairsPortable(
