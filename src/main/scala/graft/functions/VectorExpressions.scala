@@ -386,6 +386,122 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => WinnowFingerprints(exprs.head, 5, 4)))
 }
 
+/** All multi-table hyperplane-LSH signatures of a vector in ONE expression:
+  * element t of the result is table t's `bits`-bit signature (bit p =
+  * sign(v · plane_{t·bits+p}), planes from [[LshPlanes]]'s deterministic
+  * formula — the same values [[LshPlanes.vector]] exposes for oracle SQL
+  * literals and driver-side query signing).
+  *
+  * Composing this from per-plane `DotProduct(vec, vecLit(plane))` columns
+  * is semantically identical but materializes tables × bits × dim literal
+  * nodes in the Catalyst tree (128 planes × 64 dims ≈ 8k nodes, doubled
+  * per self-join side): ANALYSIS and optimization of that tree dominated
+  * the sf0.1 multi-table cosine query (~9s of its 11.7s was driver-side
+  * planning). One opaque node with the planes held as a reference object
+  * keeps the tree O(1) and the inner loop primitive; per-element semantics
+  * (left-to-right double accumulation, numeric-element cast) are
+  * bit-identical to the DotProduct composition, pinned in OpsSpec. */
+case class LshTableSignatures(child: Expression, dim: Int, bits: Int, tables: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(dim >= 1 && bits >= 1 && bits <= 63 && tables >= 1,
+    "dim/bits/tables must be positive (bits ≤ 63)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: NumericType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_lsh_sigs requires a numeric array column, got $other")
+    }
+
+  // planes(t*bits + p)(d) — computed once per expression instance and
+  // shipped to executors as a codegen reference object
+  private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(tables * bits)(g => LshPlanes.vector(g, dim).toArray)
+
+  private lazy val getElem: (ArrayData, Int) => Double =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => (a, i) => a.getFloat(i).toDouble
+      case DoubleType => (a, i) => a.getDouble(i)
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case LongType => (a, i) => a.getLong(i).toDouble
+      case ShortType => (a, i) => a.getShort(i).toDouble
+      case ByteType => (a, i) => a.getByte(i).toDouble
+      case dt: DecimalType => (a, i) =>
+        a.get(i, dt).asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+      case other => throw new IllegalStateException(s"unsupported element type $other")
+    }
+
+  /** Called from generated code. */
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // read each vector element once, not tables × bits times
+    val n = math.min(arr.numElements(), dim)
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = getElem(arr, i); i += 1 }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < bits) {
+        val plane = planes(t * bits + p)
+        var acc = 0.0
+        var d = 0
+        while (d < n) { acc += v(d) * plane(d); d += 1 }
+        if (acc >= 0) sig |= 1L << p
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshTableSigs", this, classOf[LshTableSignatures].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshTableSignatures =
+    copy(child = newChild)
+}
+
+/** The deterministic hyperplane family shared by the engine expression,
+  * Ann's per-plane column formulation, driver-side query signing, and the
+  * oracle SQL literal embedding: component (p, d) is a signed unit-range
+  * double derived from a murmur3 hash of the index pair. */
+object LshPlanes {
+  import org.apache.spark.sql.{functions => F, SparkSession}
+
+  def component(p: Int, d: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((p, d))
+    h.toDouble / Int.MaxValue
+  }
+
+  def vector(globalPlane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => component(globalPlane, d))
+
+  def functionName(dim: Int, bits: Int, tables: Int) =
+    s"graft_lsh_sigs_${dim}_${bits}_$tables"
+
+  /** No-op under Spark Connect — see [[GraftRegistry]]. */
+  def register(spark: SparkSession, dim: Int, bits: Int, tables: Int): Unit =
+    GraftRegistry.tempFunction(spark, functionName(dim, bits, tables),
+      exprs => LshTableSignatures(exprs.head, dim, bits, tables))
+
+  /** Column wrapper; registers against the active session on first use. */
+  def tableSignatures(vec: Column, dim: Int, bits: Int, tables: Int): Column = {
+    SparkSession.getActiveSession.foreach(register(_, dim, bits, tables))
+    F.call_function(functionName(dim, bits, tables), vec)
+  }
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.{functions => F, SparkSession}
 

@@ -72,15 +72,12 @@ object Ann {
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim d component from
     * a hash — reproducible across runs/engines without RNG state. */
-  private def planeComponent(p: Int, d: Int): Double = {
-    val h = scala.util.hashing.MurmurHash3.productHash((p, d))
-    (h.toDouble / Int.MaxValue)
-  }
-
   /** Hyperplane components for table `t`, plane `p` (0-based global plane
-    * index = t*bits + p). Exposed so oracle SQL can embed the same literals. */
+    * index = t*bits + p). Exposed so oracle SQL can embed the same
+    * literals; the family itself lives in [[graft.functions.LshPlanes]],
+    * shared with the fused signature expression. */
   def planeVector(globalPlane: Int, dim: Int): Seq[Double] =
-    (0 until dim).map(d => planeComponent(globalPlane, d))
+    graft.functions.LshPlanes.vector(globalPlane, dim)
 
   /** Random-hyperplane LSH signature: bit p = sign(v · plane_p). Projections
     * use the codegen'd [[dot]] expression (the zip_with/aggregate HOF form
@@ -95,9 +92,14 @@ object Ann {
   }
 
   /** Per-table signatures for multi-table LSH: element t is the `bits`-bit
-    * signature under table t's plane set. */
+    * signature under table t's plane set. One fused codegen expression
+    * ([[graft.functions.LshTableSignatures]]) — the per-plane DotProduct
+    * composition is bit-identical but costs tables × bits × dim literal
+    * nodes of Catalyst tree per use site, and driver-side planning of that
+    * tree dominated the multi-table queries (equivalence pinned in
+    * OpsSpec). */
   def lshTableSignatures(vecCol: Column, dim: Int, bits: Int, tables: Int): Column =
-    array((0 until tables).map(t => lshSignature(vecCol, dim, bits, t * bits)): _*)
+    graft.functions.LshPlanes.tableSignatures(vecCol, dim, bits, tables)
 
   /** Driver-side [[lshSignature]] of a known query vector — the same
     * left-to-right double accumulation as the codegen'd [[dot]] expression,

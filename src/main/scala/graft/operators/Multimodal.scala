@@ -77,6 +77,12 @@ object Multimodal {
     * `AudioSystem` for WAV, plus the GVC1 frame container. Everything here
     * runs executor-side inside the mapPartitions stages. */
   private[operators] object JdkCodec {
+    // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+    // creates (and deletes) a temp file. All our streams are in-memory
+    // byte arrays, so the file round trip is pure overhead — per-image,
+    // on every executor thread.
+    ImageIO.setUseCache(false)
+
     private val VideoMagic: Array[Byte] = Array('G', 'V', 'C', '1').map(_.toByte)
 
     def encodePng(img: BufferedImage): Array[Byte] = {
@@ -220,7 +226,12 @@ object Multimodal {
     * oracles. Encoding runs executor-side (one narrow stage). */
   def syntheticEncodedMedia(df: DataFrame, idCol: String): DataFrame = {
     import df.sparkSession.implicits._
+    // The id projection prunes to a few bytes per row, so the scan often
+    // collapses to ONE input partition — which would serialize every codec
+    // call behind a single thread. Shuffling bare longs across all cores
+    // costs nothing next to the encode work it parallelizes.
     df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val bytes = (id % 3) match {
           case 0 => JdkCodec.encodePng(Synthetic.image(id, 0))

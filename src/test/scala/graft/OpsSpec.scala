@@ -631,6 +631,36 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("fused multi-table LSH signatures match the per-plane composition") {
+    // the fused LshTableSignatures expression must be BIT-identical to the
+    // per-plane DotProduct formulation it replaced (same plane family, same
+    // left-to-right double accumulation) — the cosine-LSH oracle mirrors
+    // the per-plane arithmetic, so any divergence here breaks the hash check
+    import org.apache.spark.sql.functions.{array, col}
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val vecs = ((0 until 30).map(i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))) :+
+      (30L, Array.fill(dim)(0f))).toDF("id", "v")
+    val (bits, tables) = (6, 5)
+    val perPlane = (0 until tables).map(t =>
+      Ann.lshSignature(col("v"), dim, bits, t * bits))
+    val rows = vecs.select(col("id"),
+      Ann.lshTableSignatures(col("v"), dim, bits, tables).as("fused"),
+      array(perPlane: _*).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.getLong(0)}")
+    }
+    // and the driver-side signer agrees with the fused expression per table
+    val q = (0 until dim).map(i => math.cos(i * 0.9) * (if (i % 2 == 0) 1 else -1))
+    val fusedQ = spark.range(1)
+      .select(Ann.lshTableSignatures(Ann.vecLit(q), dim, bits, tables))
+      .first().getSeq[Long](0)
+    val localQ = (0 until tables).map(t => Ann.lshSignatureLocal(q, bits, t * bits))
+    assert(fusedQ == localQ)
+  }
+
   test("multi-query top-k: heap aggregate matches per-query brute force; no window plan") {
     val vecs = (0 until 60).map { i =>
       val angle = i * 2 * math.Pi / 60
