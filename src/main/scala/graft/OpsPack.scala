@@ -215,6 +215,35 @@ object OpsPack {
       bits = CosLshBits, tables = CosLshTables)
       .select("id1", "id2").orderBy("id1", "id2")
 
+  /** Semantic dedup parameters. The centroid family is the deterministic
+    * [[Ann.planeVector]] family (disjoint plane offset from every LSH use),
+    * normalized to unit length so no centroid's norm penalty dominates the
+    * argmin — the oracle-stable parameterization, embedded verbatim as SQL
+    * literals. Production trains centroids with [[Ivf.kmeansCentroids]]
+    * instead; the dedup algebra (assign → within-cluster pairs →
+    * components → keep-min) is identical for any centroid array. */
+  val SemDedupK = 8
+  val SemDedupThreshold = 0.3
+  val SemDedupPlaneOffset = 4096
+
+  lazy val semDedupCentroids: Array[Array[Double]] =
+    (0 until SemDedupK).map { j =>
+      val raw = Ann.planeVector(SemDedupPlaneOffset + j, EmbeddingDim).toArray
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }.toArray
+
+  /** SemDeDup-shaped semantic dedup over the embeddings table: nearest-
+    * centroid assignment (zero-shuffle argmin projection), within-cluster
+    * cosine pairs ≥ 0.3, transitive collapse, keep-min. Output is the
+    * kept (vec_id, cluster) — fully hash-checked against a DuckDB mirror
+    * with the same centroid literals and a recursive-CTE component pass. */
+  def semanticDedupQuery(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(embeddings(s, dir), "embedding", "vec_id",
+      semDedupCentroids, SemDedupThreshold)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .orderBy("vec_id")
+
   /** PII scan + redaction: deterministic synthetic PII (email/IP/SSN/phone
     * derived from doc_id) is appended to each document, then counted and
     * redacted — pure codegen'd regex expressions, zero shuffle. The md5 of
@@ -522,6 +551,19 @@ object OpsPack {
       .orderBy("split")
   }
 
+  /** Deterministic training-export shuffle: every document gets a
+    * reproducible (shard, position) from its id's md5 — the data-ordering
+    * pass before tokenization. Fully hash-checked: shard assignment AND
+    * the within-shard order are engine-portable by construction. */
+  val ShuffleExportBuckets = 8
+
+  def shuffleExport(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.deterministicShuffle(docs(s, dir), "doc_id", ShuffleExportBuckets)
+      .select(col("doc_id"), col("bucket").cast("long").as("bucket"), col("pos"))
+      .orderBy("doc_id")
+  }
+
   /** Skew-mitigated aggregation under the driver contract: a manufactured
     * hot key (every even orderkey collapses onto key 0 — roughly half the
     * table on one key) rolled up through [[graft.operators.Skew.saltedAggregate]]'s
@@ -576,6 +618,7 @@ object OpsPack {
     "q_events_windowed" -> (eventsWindowed _),
     "q_docs_lang_rollup" -> (langRollup _),
     "q_split_counts" -> (splitCounts _),
+    "q_shuffle_export" -> (shuffleExport _),
     "q_compare_report" -> (compareReport _),
     "q_text_stats" -> (textStats _),
     "q_dedup_exact" -> (dedupExact _),
@@ -605,6 +648,7 @@ object OpsPack {
     "q_skew_agg" -> (skewAgg _),
     "q_embedding_cosine_pairs" -> (cosinePairs _),
     "q_embedding_cosine_lsh" -> (cosinePairsLsh _),
+    "q_semantic_dedup" -> (semanticDedupQuery _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
@@ -1013,6 +1057,18 @@ object OpsPack {
       |SELECT source, rank, doc_id FROM r WHERE rank <= 5
       |ORDER BY source, rank""".stripMargin
 
+  /** Shuffle-export oracle: identical 48-bit md5 shard arithmetic, and the
+    * within-shard order is (hash, id) — both integral, so row_number
+    * positions are engine-exact. */
+  private val shuffleExportSql: String =
+    s"""WITH h AS (SELECT doc_id,
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS hh
+       |  FROM documents)
+       |SELECT doc_id, CAST(hh % $ShuffleExportBuckets AS BIGINT) AS bucket,
+       |  CAST(row_number() OVER (PARTITION BY hh % $ShuffleExportBuckets
+       |    ORDER BY hh, doc_id) AS BIGINT) AS pos
+       |FROM h ORDER BY doc_id""".stripMargin
+
   /** Stratified-sample oracle: the same md5 bucket arithmetic as the split
     * oracle, against the same per-stratum percentage table. */
   private val stratifiedSql: String =
@@ -1116,6 +1172,42 @@ object OpsPack {
        |FROM scored ORDER BY c DESC, vec_id LIMIT 20""".stripMargin
   }
 
+  /** Semantic-dedup oracle: the same unit-normalized centroid literals, the
+    * same argmin ranking (|c|² − 2·v·c with the |v|² term dropped — printed
+    * with the identical operation order, so doubles agree bit-for-bit),
+    * lowest-index tie-break via `list_position(dl, list_min(dl))`,
+    * within-cluster cosine pairs, and the recursive-CTE component collapse
+    * from the clean-corpus oracle. Only ids and cluster indices surface, so
+    * ulp-level cosine differences between engines never reach the hash. */
+  private val semanticDedupSql: String = {
+    val cents = semDedupCentroids
+    def dotLit(v: String, c: Array[Double]): String =
+      c.zipWithIndex.map { case (w, d) => s"$v[${d + 1}] * $w" }
+        .mkString("(", " + ", ")")
+    val dList = cents.map { c =>
+      val c2 = c.map(x => x * x).sum
+      s"($c2 - 2.0 * ${dotLit("v", c)})"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |asg AS (SELECT vec_id, v,
+       |  CAST(list_position(dl, list_min(dl)) - 1 AS BIGINT) AS cluster
+       |  FROM (SELECT vec_id, v, $dList AS dl FROM e)),
+       |p AS (SELECT a.vec_id id1, b.vec_id id2
+       |      FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |      WHERE list_cosine_similarity(a.v, b.v) >= $SemDedupThreshold),
+       |edges AS (SELECT id1 a, id2 b FROM p UNION SELECT id2, id1 FROM p),
+       |walk(id, comp) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT g.b, w.comp FROM walk w JOIN edges g ON g.a = w.id),
+       |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+       |losers AS (SELECT id FROM comps WHERE comp < id)
+       |SELECT vec_id, cluster FROM asg
+       |WHERE vec_id NOT IN (SELECT id FROM losers)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Salted-aggregation oracle: the two-phase salted plan must equal the
     * plain GROUP BY (decimal sums are exact, so salting can't perturb). */
   private val skewAggSql: String =
@@ -1214,6 +1306,7 @@ object OpsPack {
     "q_events_windowed" -> eventsWindowedSql,
     "q_docs_lang_rollup" -> langRollupSql,
     "q_split_counts" -> splitCountsSql,
+    "q_shuffle_export" -> shuffleExportSql,
     "q_text_stats" -> statsSql,
     "q_text_pii" -> piiSql,
     "q_text_repetition" -> repetitionSql,
@@ -1240,6 +1333,7 @@ object OpsPack {
     "q_skew_agg" -> skewAggSql,
     "q_embedding_cosine_pairs" -> cosinePairsLsh2Sql,
     "q_embedding_cosine_lsh" -> cosineLshSql,
+    "q_semantic_dedup" -> semanticDedupSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_features" -> multimodalFeaturesSql)
 }

@@ -744,4 +744,47 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3): DataFrame =
     simhashPairsFromSignatures(simhashSignaturesMd5(df, textCol, idCol), maxHamming)
+
+  /** Embedding-space semantic dedup (SemDeDup-shaped, Abbas et al. 2023):
+    * assign every vector to its nearest centroid ([[Ivf.withCluster]] — a
+    * codegen'd argmin projection, no join, no shuffle), find cosine pairs
+    * ≥ `threshold` WITHIN each cluster via an equi-join on the cluster id,
+    * collapse transitive groups with [[connectedComponents]], and keep the
+    * minimum id per group. Returns the surviving rows with their `cluster`
+    * column attached.
+    *
+    * Scale shape: the pair join is an equi-join keyed by cluster — work is
+    * Σ|cluster|², so `centroids.length` must grow with the corpus to keep
+    * cluster sizes bounded (the SemDeDup regime is k ≈ n/1000 with
+    * [[Ivf.kmeansCentroids]]-trained centroids on a hash sample; norms are
+    * computed once per ROW before the join, never per pair). Pairs whose
+    * endpoints land in different clusters are missed by design — that is
+    * the recall trade that removes the O(n²) cross join.
+    *
+    * Determinism: nearest-centroid ties pick the lowest cluster index
+    * (argmin over `struct(distance, index)`), so assignment — and hence
+    * the kept set — is engine-portable for any fixed centroid family. */
+  def semanticDedup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double): DataFrame = newCacheScope {
+    val clustered = cacheShared(Ivf.withCluster(df, vecCol, centroids))
+    val sides = clustered.select(col("cluster"), col(idCol).as("id"),
+      col(vecCol).as("v"), Ann.norm(col(vecCol)).as("nrm"))
+    val a = sides.toDF("cluster", "id1", "v1", "nrm1")
+    val b = sides.toDF("cluster", "id2", "v2", "nrm2")
+    val denom = col("nrm1") * col("nrm2")
+    val pairs = a.join(b, Seq("cluster"))
+      .where(col("id1") < col("id2"))
+      .where(when(denom === 0.0, lit(0.0))
+        .otherwise(Ann.dot(col("v1"), col("v2")) / denom) >= threshold)
+      .select("id1", "id2")
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp")) // keep the component minimum
+      .select(col("id").as("__graft_drop_id"))
+    clustered.join(losers,
+      clustered(idCol) === losers("__graft_drop_id"), "left_anti")
+  }
 }

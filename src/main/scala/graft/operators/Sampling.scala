@@ -74,4 +74,33 @@ object Sampling {
       }
     df.where(hashBucket(col(keyCol), 100) < rate)
   }
+
+  /** Deterministic global shuffle for training export — the data-ordering
+    * pass every pre-training pipeline runs before tokenization: rows get a
+    * reproducible pseudo-random order keyed on their id hash, independent
+    * of input partitioning, engine, and run (so a resumed or re-sharded
+    * job trains on the SAME sequence).
+    *
+    * Output: original columns + `bucket` (the output shard, md5-keyed) +
+    * `pos` (the row's 1-based position within its shard, ordered by the
+    * 48-bit md5 hash with the key as tie-break). At scale, shards are the
+    * parallel unit: one shuffle on `bucket`, one SORT within each shard —
+    * exactly the minimum work any engine must do to produce an explicit
+    * reproducible order (the window is partitioned on the shuffle key, so
+    * no global sort ever happens; writing with
+    * `partitionBy(bucket)` + `sortWithinPartitions` streams the same
+    * order without materializing `pos`).
+    *
+    * NULL keys hash to NULL and land in bucket NULL at position order by
+    * tie-break — exclude them upstream if that matters. */
+  def deterministicShuffle(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val h = Dedup.md5Prefix48(md5(col(keyCol).cast("string").cast("binary")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("__graft_shuffle_h"), col(keyCol))
+    df.withColumn("__graft_shuffle_h", h)
+      .withColumn("bucket", (col("__graft_shuffle_h") % buckets).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__graft_shuffle_h")
+  }
 }

@@ -54,6 +54,42 @@ class OpsSpec extends SparkTestBase {
     assert(exact.isDefined)
   }
 
+  test("semantic dedup: within-cluster near-dups collapse to the min id") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.999f, 0.0447f)), // cos ≈ 0.999 with 0 → dropped
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.0447f, 0.999f)), // cos ≈ 0.999 with 2 → dropped
+      (4L, Array(-1.0f, 0.0f)),     // nearest c1, similar to nothing
+      (5L, Array(0.6f, 0.6f))       // exact centroid-distance tie → cluster 0
+    ).toDF("vec_id", "embedding")
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val kept = Dedup.semanticDedup(vecs, "embedding", "vec_id", centroids, 0.95)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    // 1 collapses into 0, 3 into 2; the tie at 5 resolves to the LOWEST
+    // cluster index (the oracle's list_position mirror of least(struct)),
+    // and cross-cluster similarity is never inspected by design
+    assert(kept.toSeq == Seq((0L, 0), (2L, 1), (4L, 1), (5L, 0)))
+  }
+
+  test("deterministic shuffle: partition-invariant order, contiguous positions") {
+    import graft.operators.Sampling
+    val ids = (0 until 200).map(i => Tuple1(i.toLong)).toDF("id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.deterministicShuffle(df, "id", 4)
+        .select("id", "bucket", "pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val a = run(ids)
+    val b = run(ids.repartition(7)) // input partitioning must not matter
+    assert(a.toSeq == b.toSeq)
+    // every bucket's positions are exactly 1..|bucket| (a total order)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    assert(a.map(_._2).distinct.sorted.toSeq == Seq(0, 1, 2, 3))
+  }
+
   test("deterministic hash split: stable, complete, roughly proportioned") {
     import graft.operators.Sampling
     val ids = (0 until 1000).map(i => Tuple1(i.toLong)).toDF("id")
