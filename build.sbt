@@ -30,6 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Whole-stage codegen emits one JIT-compiled class per generated stage;
+  // a 46-query bench overflows the JVM's default 240m reserved code cache,
+  // after which the JIT disables itself and every later query runs
+  // interpreted (the round-3/4 bench showed exactly that shape: queries
+  // late in the alphabetical order 5-20x slower with byte-identical plans,
+  // high run-to-run variance). 1g keeps the JIT on for the whole run.
+  "-XX:ReservedCodeCacheSize=1g",
   // 32g default: the sandbox has 128 GiB and local[32] puts all executor
   // storage+execution in this one heap — at 8g the bench's persisted compare
   // caches and dedup postings evicted each other (round-3 regression).

@@ -43,6 +43,10 @@ object Bench {
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      // live progress on stderr (the JSON contract line stays stdout-only):
+      // per-query wall time as it lands, so a run that goes sideways is
+      // diagnosable mid-flight instead of only from the final rollup
+      System.err.println(f"[bench] $name%-34s $elapsed%8.2fs")
       // Dedup pair operators never share postings caches ACROSS queries, so
       // release them as soon as each query materializes — in round 3 the
       // clean-corpus caches stayed resident through the rest of the run and
