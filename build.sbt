@@ -37,6 +37,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // late in the alphabetical order 5-20x slower with byte-identical plans,
   // high run-to-run variance). 1g keeps the JIT on for the whole run.
   "-XX:ReservedCodeCacheSize=1g",
+  // The driver main thread runs analysis, optimization, and Janino codegen
+  // for every (AQE-replanned) stage; with the default handful of JIT
+  // compiler threads the C2 queue backs up behind the stream of generated
+  // classes and the driver's OWN hot paths (Catalyst rules) run at C1 or
+  // interpreted speed for long stretches — thread-level sampling showed the
+  // main thread pegged as the only busy thread for over half a 46-query
+  // bench run, with per-query times varying 5-20x between runs. More
+  // compiler threads drain the queue while 32 cores sit mostly idle.
+  "-XX:CICompilerCount=12",
   // 32g default: the sandbox has 128 GiB and local[32] puts all executor
   // storage+execution in this one heap — at 8g the bench's persisted compare
   // caches and dedup postings evicted each other (round-3 regression).

@@ -10,6 +10,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Two DRIVER-side observability costs serialized whole queries on the
+      // main thread (round-4 jstack evidence, SCALE.md "driver overheads"):
+      // every AQE replan re-renders the full plan description for listener
+      // events (TreeNode.formatArg dominating main), and every Column
+      // construction captures a JVM stack trace for DataFrame error context
+      // (CurrentOrigin.withOrigin -> Thread.getStackTrace — the compare
+      // engine builds thousands of Columns per query). With the UI off the
+      // full plan text serves nothing: cap it, and skip the stack capture.
+      .config("spark.sql.maxPlanStringLength", "65536")
+      .config("spark.sql.dataFrameQueryContext.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: spin up executors, codegen, and parquet footers once

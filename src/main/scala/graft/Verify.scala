@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same driver-overhead caps as Bench (see there): plan-description
+      // rendering per AQE replan + per-Column stack capture are pure
+      // observability costs with the UI off
+      .config("spark.sql.maxPlanStringLength", "65536")
+      .config("spark.sql.dataFrameQueryContext.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -434,3 +434,74 @@ object PortableWinnowMd5 {
     F.call_function(functionName(k, w), text)
   }
 }
+
+/** One md5 digest → the three integer projections the portable hash family
+  * uses, skipping the hex-string round trip of `md5()` + `conv(substring)`
+  * (per value, the built-in path pays a `MessageDigest.getInstance` provider
+  * lookup, a 32-char hex encode, and one string parse per projection — this
+  * expression reuses a thread-local digest and reads the raw bytes):
+  *
+  *   - `[0]` first 6 digest bytes big-endian   (= `conv(substr(h,1,12),16,10)`)
+  *   - `[1]` digest bytes 8-13 big-endian      (= `conv(substr(h,17,12),16,10)`)
+  *   - `[2]` first 8 digest bytes big-endian, signed (= the first 16 hex
+  *     nibbles; nibble k of the hex string is `(x >>> (60-4k)) & 15`)
+  *
+  * Bit-identical to the hex parses for every input, so the DuckDB oracle
+  * mirrors (`('0x' || substr(md5(v), …))::BIGINT`) are unchanged. */
+case class Md5Longs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"${Md5Longs.FunctionName} requires a binary column, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Longs.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Longs.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Longs =
+    copy(child = newChild)
+}
+
+object Md5Longs {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def be(d: Array[Byte], from: Int, n: Int): Long = {
+    var v = 0L
+    var i = from
+    while (i < from + n) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v
+  }
+
+  /** Called from generated code. */
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val md = digests.get()
+    md.reset()
+    md.update(bytes)
+    val d = md.digest()
+    new GenericArrayData(Array(be(d, 0, 6), be(d, 8, 6), be(d, 0, 8)))
+  }
+
+  import org.apache.spark.sql.{functions => F, SparkSession}
+
+  val FunctionName = "graft_md5_longs"
+
+  /** No-op under Spark Connect — see [[GraftRegistry]]. */
+  def register(spark: SparkSession): Unit =
+    GraftRegistry.tempFunction(spark, FunctionName, exprs => Md5Longs(exprs.head))
+
+  /** Column wrapper; registers against the active session on first use. */
+  def longs(bin: Column): Column = {
+    SparkSession.getActiveSession.foreach(register(_))
+    F.call_function(FunctionName, bin)
+  }
+}

@@ -382,6 +382,8 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => VectorSum(exprs(0))),
     (TextCounts.FunctionName, classOf[TextCounts].getCanonicalName,
       (exprs: Seq[Expression]) => TextCounts(exprs.head)),
+    (Md5Longs.FunctionName, classOf[Md5Longs].getCanonicalName,
+      (exprs: Seq[Expression]) => Md5Longs(exprs.head)),
     (WinnowFingerprints.functionName(5, 4), classOf[WinnowFingerprints].getCanonicalName,
       (exprs: Seq[Expression]) => WinnowFingerprints(exprs.head, 5, 4)))
 }

@@ -195,7 +195,7 @@ object Ann {
   def cosineNearDuplicatesMultiTable(
       df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, dim: Int, bits: Int = 16, tables: Int = 8): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs = Parallelize.spread(df).select(col(idCol).as("id"),
       posexplode(lshTableSignatures(col(vecCol), dim, bits, tables)).as(Seq("tbl", "sig")))
     val a = sigs.toDF("id1", "tbl", "sig")
     val b = sigs.toDF("id2", "tbl", "sig")

@@ -190,7 +190,7 @@ object Dedup {
       portableHashes: Boolean = false,
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = newCacheScope {
-    val quality = df.where(!TextOps.lowQualityFlag(col(textCol)))
+    val quality = Parallelize.spread(df).where(!TextOps.lowQualityFlag(col(textCol)))
     // two consumers (near-dup discovery + the final anti-join): persist so
     // the fingerprint groupBy + semi-join lineage runs once
     val exact = cacheShared(exactDedup(quality, textCol, idCol))
@@ -210,7 +210,8 @@ object Dedup {
   /** Exact duplicate groups by content hash of `textCol` (normalized md5).
     * Returns one row per group: (fingerprint, keep_id, n_dupes). */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+    Parallelize.spread(df)
+      .groupBy(TextOps.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
   /** Exact dedup: keep the minimum-id row per content hash.
@@ -233,7 +234,7 @@ object Dedup {
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val cols = df.columns.toSeq
     val rowStruct = struct(cols.map(col): _*)
-    df.groupBy(TextOps.fingerprint(col(textCol)).as("__graft_fp"))
+    Parallelize.spread(df).groupBy(TextOps.fingerprint(col(textCol)).as("__graft_fp"))
       .agg(min_by(rowStruct, struct(col(idCol).as("__k") +: cols.map(col): _*))
         .as("__graft_row"))
       .select(cols.map(c => col(s"__graft_row.`$c`").as(c)): _*)
@@ -255,7 +256,7 @@ object Dedup {
       maxDocFrequency: Long = Long.MaxValue): DataFrame = newCacheScope {
     // postings carry 64-bit gram hashes, not strings: ~4× smaller shuffle
     // and primitive join keys (collision odds at 64 bits are negligible)
-    val grams = df
+    val grams = Parallelize.spread(df)
       .select(col(idCol).as("id"), TextOps.wordShingles(col(textCol), n).as("g"))
       .select(col("id"), explode(col("g")).as("gs"))
       .select(col("id"), xxhash64(col("gs")).as("g"))
@@ -310,9 +311,15 @@ object Dedup {
   def md5Prefix48(h: Column): Column =
     conv(substring(h, 1, 12), 16, 10).cast("long")
 
+  /** The same 48-bit prefix computed from the value's BYTES in one fused
+    * digest ([[graft.functions.Md5Longs]]) — no hex round trip. Equal to
+    * `md5Prefix48(md5(c))` for every input. */
+  def md5Long48(c: Column): Column =
+    graft.functions.Md5Longs.longs(c).getItem(0)
+
   def md5HashPair(c: Column): (Column, Column) = {
-    val h = md5(c.cast("binary"))
-    (md5Prefix48(h), conv(substring(h, 17, 12), 16, 10).cast("long"))
+    val l = graft.functions.Md5Longs.longs(c.cast("binary"))
+    (l.getItem(0), l.getItem(1))
   }
 
   /** MinHash signatures from the portable md5 family: one md5 per shingle,
@@ -401,7 +408,7 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = newCacheScope {
     // shared by the signature pass and both verification sides — persist so
     // the regex shingling runs once (same rationale as jaccardPairs)
-    val shingled = df.select(col(idCol).as("id"),
+    val shingled = Parallelize.spread(df).select(col(idCol).as("id"),
       TextOps.wordShingles(col(textCol), shingleSize).as("g"))
       .transform(cacheShared)
     val withSig = minhashSignaturesMd5(shingled, numHashes)
@@ -430,7 +437,7 @@ object Dedup {
     // one shingle computation shared by signature and verification; grams
     // carried as 64-bit hashes (primitive arrays intersect/join faster);
     // persisted so the shingling stage executes once, not per consumer
-    val shingled = df.select(col(idCol).as("id"),
+    val shingled = Parallelize.spread(df).select(col(idCol).as("id"),
       transform(TextOps.wordShingles(col(textCol), shingleSize),
         s => xxhash64(s)).as("g"))
       .transform(cacheShared)
@@ -464,7 +471,7 @@ object Dedup {
       w: Int = 4,
       minShared: Int = 2,
       maxDocFrequency: Long = Long.MaxValue): DataFrame = newCacheScope {
-    val raw = df
+    val raw = Parallelize.spread(df)
       .select(col(idCol).as("id"),
         explode(array_distinct(
           graft.functions.WinnowFingerprints.fingerprints(col(textCol), k, w))).as("fp"))
@@ -493,7 +500,7 @@ object Dedup {
   def winnowFingerprintsPortable(
       df: DataFrame, textCol: String, idCol: String,
       k: Int, w: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    Parallelize.spread(df).select(col(idCol).as("id"),
       explode(graft.functions.PortableWinnowMd5.fingerprints(col(textCol), k, w)).as("fp"))
 
   /** [[winnowPairs]] over the portable hash family (oracle-checkable). */
@@ -551,7 +558,7 @@ object Dedup {
       .select(col(idCol).as(out), TextOps.wordShingles(col(textCol), n).as("g"))
       .select(col(out), explode(col("g")).as("gs"))
       .select(col(out), xxhash64(col("gs")).as("g"))
-    grams(corpus, "corpus_id")
+    grams(Parallelize.spread(corpus), "corpus_id")
       .join(broadcast(grams(probe, "probe_id")), Seq("g"))
       .groupBy("corpus_id", "probe_id").agg(count(lit(1)).as("overlap"))
       .where(col("overlap") >= minOverlap)
@@ -578,7 +585,7 @@ object Dedup {
       .select(col(out), xxhash64(col("gs")).as("g"))
     val probeGrams = grams(probe, "probe_id")
     val probeSizes = probeGrams.groupBy("probe_id").agg(count(lit(1)).as("probe_sz"))
-    grams(corpus, "corpus_id")
+    grams(Parallelize.spread(corpus), "corpus_id")
       .join(broadcast(probeGrams), Seq("g"))
       .groupBy("corpus_id", "probe_id").agg(count(lit(1)).as("overlap"))
       .join(broadcast(probeSizes), "probe_id")
@@ -668,7 +675,7 @@ object Dedup {
     * (same rationale as minhashSignatures): token postings → 64 conditional
     * sums per id → assemble the 64-bit hash. Returns (id, sh). */
   def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df
+    val toks = Parallelize.spread(df)
       .select(col(idCol).as("id"), explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
     val bitSums = (0 until 64).map(j =>
@@ -688,14 +695,17 @@ object Dedup {
     * parse + the same bit shifts), so the near-dup result gets a real
     * oracle. Returns (id, sh). */
   def simhashSignaturesMd5(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df
+    val toks = Parallelize.spread(df)
       .select(col(idCol).as("id"), explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
-      .select(col("id"), md5(col("t").cast("binary")).as("h"))
-    val withNibs = toks.select(col("id") +: (0 until 16).map(k =>
-      conv(substring(col("h"), k + 1, 1), 16, 10).cast("int").as(s"v$k")): _*)
+      // top 64 digest bits as one long (fused digest, no hex round trip);
+      // hex nibble k of the old formulation is (h64 >>> (60-4k)) & 15, so
+      // bit j = (h64 >>> (60 - 4*(j/4) + j%4)) & 1 — identical bit values
+      .select(col("id"), graft.functions.Md5Longs.longs(col("t").cast("binary"))
+        .getItem(2).as("h64"))
     val bitSums = (0 until 64).map(j =>
-      sum(shiftright(col(s"v${j / 4}"), j % 4).bitwiseAND(lit(1)).cast("long")).as(s"b$j"))
-    val agged = withNibs.groupBy("id")
+      sum(shiftrightunsigned(col("h64"), 60 - 4 * (j / 4) + j % 4)
+        .bitwiseAND(lit(1L)).cast("long")).as(s"b$j"))
+    val agged = toks.groupBy("id")
       .agg(count(lit(1)).as("n"), bitSums: _*)
     val sh = (0 until 64).map(j =>
       when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
@@ -770,7 +780,7 @@ object Dedup {
       idCol: String,
       centroids: Array[Array[Double]],
       threshold: Double): DataFrame = newCacheScope {
-    val clustered = cacheShared(Ivf.withCluster(df, vecCol, centroids))
+    val clustered = cacheShared(Ivf.withCluster(Parallelize.spread(df), vecCol, centroids))
     val sides = clustered.select(col("cluster"), col(idCol).as("id"),
       col(vecCol).as("v"), Ann.norm(col(vecCol)).as("nrm"))
     val a = sides.toDF("cluster", "id1", "v1", "nrm1")

@@ -54,7 +54,7 @@ object GroupTopK {
   def hashSampleKPerGroup(
       df: DataFrame, groupCols: Seq[String], idCol: String, k: Int): DataFrame = {
     val negHash: Column =
-      -Dedup.md5Prefix48(md5(col(idCol).cast("string").cast("binary"))).cast("double")
+      -Dedup.md5Long48(col(idCol).cast("string").cast("binary")).cast("double")
     // collision-free temp name: a user column literally named __graft_neg_hash
     // must not be silently overwritten by the sampling key
     val hashCol = Utils.tempColumnName(df)

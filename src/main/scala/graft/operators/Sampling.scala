@@ -21,7 +21,7 @@ object Sampling {
     * so hash them through an explicit canonical format first. NULL keys
     * hash to NULL — see the call sites for their policy. */
   def hashBucket(key: Column, buckets: Int): Column =
-    Dedup.md5Prefix48(md5(key.cast("string").cast("binary"))) % buckets
+    Dedup.md5Long48(key.cast("string").cast("binary")) % buckets
 
   /** Deterministic keyed sample: keep rows whose hash bucket falls below
     * `fraction` of the bucket space (math.round guards double rounding:
@@ -95,7 +95,7 @@ object Sampling {
     * tie-break — exclude them upstream if that matters. */
   def deterministicShuffle(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val h = Dedup.md5Prefix48(md5(col(keyCol).cast("string").cast("binary")))
+    val h = Dedup.md5Long48(col(keyCol).cast("string").cast("binary"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("__graft_shuffle_h"), col(keyCol))
     df.withColumn("__graft_shuffle_h", h)
