@@ -893,19 +893,20 @@ class OpsSpec extends SparkTestBase {
   }
 
   test("GraftExtensions covers every stable-name function; all SQL-callable") {
-    import graft.functions.{GraftExtensions, VectorFunctions, TextCounts, WinnowFingerprints}
+    import graft.functions.{GraftExtensions, VectorFunctions, TextCounts, WinnowFingerprints, Md5Longs}
     // the server-side (Spark Connect) route: the extension's inventory must
     // track every stable-name function the client-side wrappers register
     assert(GraftExtensions.functions.map(_._1).toSet == Set(
       VectorFunctions.FunctionName, VectorFunctions.TopKFunctionName,
       VectorFunctions.VectorSumFunctionName, TextCounts.FunctionName,
-      WinnowFingerprints.functionName(5, 4)))
+      WinnowFingerprints.functionName(5, 4), Md5Longs.FunctionName))
     // installer applies cleanly to a fresh extensions instance
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     // and each function resolves + evaluates through the SQL registry
     VectorFunctions.register(spark)
     TextCounts.register(spark)
     WinnowFingerprints.register(spark, 5, 4)
+    Md5Longs.register(spark)
     val topk = spark.sql(
       """SELECT graft_top_k(s, i, 2) AS t FROM VALUES (1.0D, 10L), (3.0D, 30L),
         |(2.0D, 20L) AS v(s, i)""".stripMargin).first()
@@ -917,6 +918,13 @@ class OpsSpec extends SparkTestBase {
     assert(vs.getSeq[Double](0) == Seq(4.0, 6.0) && vs.getLong(1) == 2L)
     assert(spark.sql("SELECT graft_text_counts('ab cd')[0]").first().getInt(0) == 5)
     assert(spark.sql("SELECT size(graft_winnow_5_4('abcdefghijklmnop')) > 0").first().getBoolean(0))
+    // md5 projections must equal the hex parses they replace, via SQL
+    val m = spark.sql(
+      """SELECT graft_md5_longs(CAST('abc' AS BINARY)) AS l,
+        |  CONV(SUBSTRING(md5(CAST('abc' AS BINARY)), 1, 12), 16, 10) AS a,
+        |  CONV(SUBSTRING(md5(CAST('abc' AS BINARY)), 17, 12), 16, 10) AS b""".stripMargin).first()
+    assert(m.getSeq[Long](0)(0) == m.getString(1).toLong)
+    assert(m.getSeq[Long](0)(1) == m.getString(2).toLong)
   }
 
   test("multimodal: JDK codecs round-trip exactly; stages stay in one Catalyst plan") {
