@@ -606,7 +606,8 @@ object Dedup {
   def lineDocFrequency(
       df: DataFrame, textCol: String, idCol: String,
       delimiterPattern: String = "\n"): DataFrame =
-    df.select(col(idCol).as("id"),
+    Parallelize.spread(df)
+      .select(col(idCol).as("id"),
         explode(split(col(textCol), delimiterPattern)).as("line"))
       .distinct()
       .groupBy("line").agg(count(lit(1)).as("df"))
@@ -631,7 +632,7 @@ object Dedup {
     val hot = lineDocFrequency(df, textCol, idCol, delimiterPattern)
       .filter(col("df") >= minDocFrequency)
       .select(col("line").as("hot_line"))
-    val lines = df.select(col(idCol).as("id"),
+    val lines = Parallelize.spread(df).select(col(idCol).as("id"),
       posexplode(split(col(textCol), delimiterPattern)).as(Seq("pos", "line")))
     val kept = lines.join(hot, col("line") === col("hot_line"), "left_anti")
       .groupBy("id")

@@ -181,7 +181,7 @@ object TextOps {
     * top_token_ratio, top_bigram_ratio). */
   def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
-    val grams = df.select(col(idCol).as("id"),
+    val grams = Parallelize.spread(df).select(col(idCol).as("id"),
       explode(concat(split(norm, " "),
         wordShinglesAllFromNormalized(norm, 2))).as("g"))
     val isTok = !col("g").contains(" ")
@@ -217,7 +217,8 @@ object TextOps {
     * sort); K is bounded (a vocabulary), so the result is driver-safe. */
   def vocabulary(df: DataFrame, textCol: String, topK: Int): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
-    df.select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
+    Parallelize.spread(df)
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(topK)
@@ -235,7 +236,7 @@ object TextOps {
   def inVocabStats(df: DataFrame, textCol: String, idCol: String, topK: Int): DataFrame = {
     val vocab = vocabulary(df, textCol, topK)
       .select(col("token"), lit(1L).as("in_v"))
-    val toks = df.select(col(idCol).as("id"),
+    val toks = Parallelize.spread(df).select(col(idCol).as("id"),
       explode(split(trim(col(textCol)), "\\s+")).as("token"))
     toks.join(broadcast(vocab), Seq("token"), "left")
       .groupBy("id")
