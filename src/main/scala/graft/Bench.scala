@@ -59,7 +59,8 @@ object Bench {
     // costs at sf0.1 (descending); unlisted queries sort alphabetically
     // after the ranked ones.
     val costRank = Seq(
-      "q_compare_all_mismatch", "q_clean_corpus", "q_events_streamed",
+      "q_compare_all_mismatch", "q_clean_corpus", "q_clean_corpus_fast",
+      "q_events_streamed",
       "q_dedup_jaccard_pairs", "q_multimodal_features", "q_profile_numeric",
       "q_compare_dupe_counts", "q_dedup_simhash", "q_dedup_winnow",
       "q_profile_lineitem", "q_dedup_minhash_lsh", "q_text_repetition",

@@ -525,6 +525,21 @@ object OpsPack {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** The PRODUCTION clean-corpus composite: same pipeline as
+    * q_clean_corpus but over the xxhash64 hash family — the fast default
+    * path a deployment would run (the md5 family exists to make the
+    * composite oracle-checkable; it costs ~2× in signature compute).
+    * xxhash64 has no DuckDB mirror, so this entry is rows-only in the
+    * driver gate; agreement of the two families' results is unit-pinned
+    * on a known corpus (OpsSpec "cleanCorpus portable-hash path agrees"),
+    * and this entry makes the fast path's COST visible in the judged
+    * bench next to the portable family's. */
+  def cleanCorpusFastQuery(s: SparkSession, dir: String): DataFrame =
+    Dedup.cleanCorpus(docs(s, dir), "text", "doc_id", nearDupThreshold = 0.5,
+      portableHashes = false, numHashes = CleanCorpusHashes, bands = CleanCorpusBands)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
   /** Multimodal metadata plumbing, oracle-checked: the synthetic media
     * construction (kind dispatch, dimension arithmetic, duration, payload
     * byte length) is pure column algebra with an exact DuckDB mirror. The
@@ -657,6 +672,7 @@ object OpsPack {
     "q_text_stats" -> (textStats _),
     "q_dedup_exact" -> (dedupExact _),
     "q_clean_corpus" -> (cleanCorpusQuery _),
+    "q_clean_corpus_fast" -> (cleanCorpusFastQuery _),
     "q_contamination" -> (contamination _),
     "q_contamination_ratio" -> (contaminationRatio _),
     "q_dedup_jaccard_pairs" -> (jaccardPairs _),
