@@ -330,6 +330,31 @@ object OpsPack {
       .orderBy("doc_id")
   }
 
+  /** Paragraph-granularity boilerplate removal: the same CCNet pass with
+    * the unit of repetition a PARAGRAPH (blank-line delimited), so a
+    * multi-line footer block is stripped or kept atomically — at line
+    * granularity its first line could cross the document-frequency
+    * threshold while its second stayed. The injected chrome blocks are
+    * multi-line on purpose to pin exactly that difference; the promo
+    * blocks (~n_docs/28 occurrences per variant) sit under the threshold
+    * at sf0.01 as the false-positive check. */
+  def boilerplateCleanPara(s: SparkSession, dir: String): DataFrame = {
+    val injected = docs(s, dir).select(col("doc_id"), concat_ws("\n\n",
+      col("text"),
+      when(col("doc_id") % 2 === 0, lit("follow us\non twitter and facebook")),
+      when(col("doc_id") % 3 === 0, lit("terms of service\nall rights reserved")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("promo code "), (col("doc_id") % 4).cast("string"))))
+      .as("text"))
+    Dedup.removeBoilerplateLines(injected, "text", "doc_id",
+      minDocFrequency = BoilerplateMinDf,
+      delimiterPattern = "\n\n", delimiter = "\n\n")
+      .select(col("doc_id"), col("n_lines").as("n_paras"),
+        col("n_lines_kept").as("n_paras_kept"),
+        md5(col("text").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document OOV ratio against the corpus's own top-20 vocabulary. */
   def vocabStats(s: SparkSession, dir: String): DataFrame =
     TextOps.inVocabStats(docs(s, dir), "text", "doc_id", topK = 20)
@@ -474,6 +499,21 @@ object OpsPack {
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.contaminationPairs(
+      d.where(col("doc_id") % 50 =!= 0),
+      d.where(col("doc_id") % 50 === 0),
+      "text", "doc_id", n = 3, minOverlap = 2L)
+      .orderBy("corpus_id", "probe_id")
+  }
+
+  /** The same contamination scan through the Bloom-prefilter path: probe
+    * grams folded into a 2²⁰-bit literal Bloom filter that prunes corpus
+    * postings map-side before the join. Results are bit-identical to
+    * q_contamination (the exact join eliminates Bloom false positives), so
+    * the same oracle applies — what the query pins is that the prefilter
+    * drops nothing it shouldn't. */
+  def contaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.contaminationPairsBloom(
       d.where(col("doc_id") % 50 =!= 0),
       d.where(col("doc_id") % 50 === 0),
       "text", "doc_id", n = 3, minOverlap = 2L)
@@ -674,6 +714,7 @@ object OpsPack {
     "q_clean_corpus" -> (cleanCorpusQuery _),
     "q_clean_corpus_fast" -> (cleanCorpusFastQuery _),
     "q_contamination" -> (contamination _),
+    "q_contamination_bloom" -> (contaminationBloom _),
     "q_contamination_ratio" -> (contaminationRatio _),
     "q_dedup_jaccard_pairs" -> (jaccardPairs _),
     "q_dedup_minhash_lsh" -> (minhashPairs _),
@@ -683,6 +724,7 @@ object OpsPack {
     "q_text_pii" -> (piiScan _),
     "q_text_repetition" -> (textRepetition _),
     "q_text_boilerplate" -> (boilerplateClean _),
+    "q_text_boilerplate_para" -> (boilerplateCleanPara _),
     "q_text_vocab" -> (vocabStats _),
     "q_sample_stratified" -> (stratifiedCounts _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
@@ -1052,6 +1094,33 @@ object OpsPack {
        |FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Paragraph-boilerplate oracle: same shape as [[boilerplateSql]] with a
+    * two-newline delimiter; the CASE-chain injection mirrors concat_ws's
+    * skip-NULL semantics (separator only before blocks that are present). */
+  private val boilerplateParaSql: String = {
+    val sep = "chr(10)||chr(10)"
+    s"""WITH injected AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 2 = 0 THEN $sep || 'follow us' || chr(10) || 'on twitter and facebook' ELSE '' END ||
+       |    CASE WHEN doc_id % 3 = 0 THEN $sep || 'terms of service' || chr(10) || 'all rights reserved' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN $sep || 'promo code ' || (doc_id % 4) ELSE '' END AS text
+       |  FROM documents),
+       |pa AS (SELECT doc_id, string_split(text, $sep) l FROM injected),
+       |paras AS (SELECT doc_id, unnest(range(1, len(l)+1)) pos, unnest(l) para FROM pa),
+       |hot AS (SELECT para FROM (
+       |  SELECT para, count(DISTINCT doc_id) df FROM paras GROUP BY 1)
+       |  WHERE df >= $BoilerplateMinDf),
+       |kept AS (SELECT doc_id, pos, para FROM paras
+       |         WHERE para NOT IN (SELECT para FROM hot)),
+       |agg AS (SELECT doc_id, string_agg(para, $sep ORDER BY pos) txt,
+       |        CAST(count(*) AS BIGINT) n_kept FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(len(l) AS BIGINT) n_paras FROM pa)
+       |SELECT t.doc_id, n_paras, coalesce(n_kept, 0) AS n_paras_kept,
+       |  md5(coalesce(txt, '')) AS clean_md5
+       |FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   /** Vocabulary oracle: top-20 tokens by (freq DESC, token) — the
     * deterministic tie-break makes the boundary of the vocabulary, and so
     * every derived count, engine-independent. */
@@ -1361,6 +1430,7 @@ object OpsPack {
     "q_text_pii" -> piiSql,
     "q_text_repetition" -> repetitionSql,
     "q_text_boilerplate" -> boilerplateSql,
+    "q_text_boilerplate_para" -> boilerplateParaSql,
     "q_text_vocab" -> vocabSql,
     "q_sample_stratified" -> stratifiedSql,
     "q_docs_topk_quality" -> topkQualitySql,
@@ -1370,6 +1440,7 @@ object OpsPack {
     "q_clean_corpus" -> cleanCorpusSql,
     "q_dedup_jaccard_pairs" -> jaccardSql,
     "q_contamination" -> contaminationSql,
+    "q_contamination_bloom" -> contaminationSql,
     "q_contamination_ratio" -> contaminationRatioSql,
     "q_dedup_minhash_lsh" -> minhashSql,
     "q_dedup_simhash" -> simhashSql,

@@ -564,6 +564,60 @@ object Dedup {
       .where(col("overlap") >= minOverlap)
   }
 
+  /** Contamination with a BLOOM-FILTER prefilter on the corpus side — the
+    * scale path when the probe set is too large to broadcast as raw grams
+    * (every benchmark suite at once: tens of millions of grams). The probe's
+    * gram set is folded into a `bloomBits`-bit Bloom filter (2²⁰ bits =
+    * 128 KiB vs hundreds of MB of grams), shipped to every task as a plain
+    * array literal, and the corpus postings are pruned map-side BEFORE the
+    * join — so the join (shuffle or broadcast, planner's choice) only ever
+    * sees corpus grams that plausibly hit the probe, a ~|C∩P|/|C| + fpp
+    * fraction of the corpus. False positives cost nothing but wasted join
+    * probes: the exact gram equi-join behind the filter eliminates them, so
+    * the RESULT is bit-identical to [[contaminationPairs]] (same oracle).
+    *
+    * The membership test is pure codegen'd column arithmetic (xxhash64 ×
+    * `numHashes` seeds, shift/mask into the literal word array) — no UDF, no
+    * broadcast variable plumbing, and DuckDB-mirrorable because it changes
+    * nothing downstream. Bloom construction is one bounded collect of
+    * DISTINCT bit positions (≤ min(numHashes·|probe grams|, bloomBits)). */
+  def contaminationPairsBloom(
+      corpus: DataFrame,
+      probe: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minOverlap: Long = 1L,
+      bloomBits: Int = 1 << 20,
+      numHashes: Int = 3): DataFrame = {
+    require(bloomBits % 64 == 0, "bloomBits must be a multiple of 64")
+    def grams(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out), TextOps.wordShingles(col(textCol), n).as("g"))
+      .select(col(out), explode(col("g")).as("gs"))
+      .select(col(out), xxhash64(col("gs")).as("g"))
+    def bitPos(g: Column, seed: Int): Column =
+      pmod(xxhash64(g, lit(seed)), lit(bloomBits.toLong))
+    val probeGrams = grams(probe, "probe_id")
+    val positions = probeGrams
+      .select(explode(array((0 until numHashes).map(i =>
+        bitPos(col("g"), i)): _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](bloomBits / 64)
+    positions.foreach(p => words((p >> 6).toInt) |= (1L << (p & 63).toInt))
+    val bits = typedlit(words)
+    def mightContain(g: Column): Column =
+      (0 until numHashes).map { i =>
+        val pos = bitPos(g, i)
+        element_at(bits, shiftright(pos, 6).cast("int") + 1)
+          .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0
+      }.reduce(_ && _)
+    grams(Parallelize.spread(corpus), "corpus_id")
+      .where(mightContain(col("g")))
+      .join(broadcast(probeGrams), Seq("g"))
+      .groupBy("corpus_id", "probe_id").agg(count(lit(1)).as("overlap"))
+      .where(col("overlap") >= minOverlap)
+  }
+
   /** Contamination by CONTAINMENT — the decontamination metric most large
     * pipelines actually threshold: shared n-grams as a fraction of the
     * PROBE document's gram set (|C∩P| / |P|), so a benchmark item quoted

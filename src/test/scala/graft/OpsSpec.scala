@@ -241,6 +241,34 @@ class OpsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("bloom-prefiltered contamination: exact result survives the prefilter") {
+    val corpus = docs.where(col("doc_id") =!= 2L)
+    val probe = docs.where(col("doc_id") === 2L)
+      .union(Seq((9L, "the quick brown fox jumps high")).toDF("doc_id", "text"))
+    val exact = Dedup.contaminationPairs(corpus, probe, "text", "doc_id",
+      n = 3, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a deliberately tiny filter (1024 bits) forces false positives on this
+    // vocabulary — the exact join behind it must still erase them all
+    for (bits <- Seq(1024, 1 << 20)) {
+      val got = Dedup.contaminationPairsBloom(corpus, probe, "text", "doc_id",
+        n = 3, minOverlap = 2, bloomBits = bits)
+      assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet == exact, s"bloomBits=$bits")
+    }
+    // the membership test is plain column arithmetic in a Filter — no UDF
+    val plan = Dedup.contaminationPairsBloom(corpus, probe, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("shiftright"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("UDF"), plan)
+    // a probe-free corpus gram can never pass a 2^20-bit filter here: prune
+    // must actually prune (all-distinct grams in the corpus-only doc)
+    val lonely = Seq((50L, "zzqx wwvv uuyy ttss rrqq ppoo")).toDF("doc_id", "text")
+    val pruned = Dedup.contaminationPairsBloom(lonely, probe, "text", "doc_id",
+      n = 3, minOverlap = 1)
+    assert(pruned.count() == 0)
+  }
+
   test("contamination containment: full quote flags 1.0 regardless of host size") {
     val probe = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val corpus = Seq(
