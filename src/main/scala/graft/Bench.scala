@@ -20,6 +20,10 @@ object Bench {
       // full plan text serves nothing: cap it, and skip the stack capture.
       .config("spark.sql.maxPlanStringLength", "65536")
       .config("spark.sql.dataFrameQueryContext.enabled", "false")
+      // A/B toggle for the wide-plan optimizer cost experiment (SCALE.md):
+      //   SPARK_GRAFT_CONSTRAINT_PROP=false
+      .config("spark.sql.constraintPropagation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "true"))
       // Shuffle/spill files on tmpfs: the bench host throttles disk burst
       // IO as well as CPU (SCALE.md), and with 128 GiB of RAM the shuffle
       // traffic of these queries never needs to touch a real disk.
