@@ -121,6 +121,7 @@ object OpsPack {
   def prepareIndexes(s: SparkSession, dir: String): Unit = {
     annLshBucketed(s, dir)
     annIvfPersisted(s, dir)
+    dedupIncremental(s, dir)
   }
 
   /** Fingerprint of a source table's files (path, size, mtime) plus the
@@ -531,6 +532,41 @@ object OpsPack {
       .orderBy("corpus_id", "probe_id")
   }
 
+  /** Incremental dedup against a PERSISTED MinHash-LSH corpus index — the
+    * rolling-ingest shape: the corpus (doc_id ≢ 0 mod 50) is shingled and
+    * signed ONCE at index-build time (untimed setup, like the ANN
+    * layouts); the timed query probes the arriving batch (doc_id ≡ 0
+    * mod 50) against the layout — batch-only signatures, prefix-pruned
+    * postings read, broadcast candidate join, candidate-bounded exact
+    * verification. The oracle mirrors the full md5 pipeline cross-set. */
+  private val mhIndexCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.where(col("doc_id") % 50 =!= 0)
+    val batch = d.where(col("doc_id") % 50 === 0)
+    val path = mhIndexCache.getOrElseUpdate(dir, {
+      val p = "target/graft_mh_index_" +
+        layoutStamp(dir, "documents", "nh=64|b=16|sh=3|pfx=12|v1")
+      if (!layoutComplete(p) ||
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_graft_prefix_bits")))
+        Dedup.writeMinhashIndexMd5(corpus, "text", "doc_id", p)
+      p
+    })
+    Dedup.minhashProbeIndexMd5(path, corpus, batch, "text", "doc_id", threshold = 0.5)
+      .orderBy("batch_id", "corpus_id")
+  }
+
+  /** Context-window chunking: 32-token chunks advancing 24 tokens
+    * (8-token overlap) — sized so the synthetic documents (10-99 tokens)
+    * split into 1-4 chunks each. Pure projection + explode — the whole
+    * plan is scan-parallel. */
+  def textChunks(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocuments(docs(s, dir), "text", "doc_id",
+      chunkTokens = 32, overlap = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_id")
+
   /** Sequence packing: documents → 256-token packs across 64 deterministic
     * streams, rolled up per stream. Rows-only under the harness (greedy
     * packing has no SQL mirror); budget/uniqueness/determinism invariants
@@ -720,6 +756,8 @@ object OpsPack {
     "q_dedup_minhash_lsh" -> (minhashPairs _),
     "q_dedup_simhash" -> (simhashPairs _),
     "q_dedup_winnow" -> (winnowPairsQuery _),
+    "q_dedup_incremental" -> (dedupIncremental _),
+    "q_text_chunks" -> (textChunks _),
     "q_events_streamed" -> (eventsStreamed _),
     "q_text_pii" -> (piiScan _),
     "q_text_repetition" -> (textRepetition _),
@@ -888,6 +926,56 @@ object OpsPack {
        |${minhashPairCtes(0.5)}
        |SELECT id1, id2, jaccard FROM mh_pairs
        |ORDER BY id1, id2""".stripMargin
+
+  /** Incremental-dedup oracle: the same md5 MinHash pipeline run CROSS-SET
+    * (batch signatures vs corpus signatures; banded candidates where any
+    * band's signature slice matches; exact-Jaccard verification) — the
+    * declarative mirror of index-build + probe, which by construction
+    * computes the same signatures the persisted layout stores. */
+  private val dedupIncrementalSql: String = {
+    val numHashes = 64; val bands = 16; val r = numHashes / bands
+    val mins = (0 until numHashes).map(i => s"min(a + ${i + 1} * b) AS m$i").mkString(", ")
+    val bandConds = (0 until bands).map { bnd =>
+      (0 until r).map(k => s"sp.m${bnd * r + k} = sc.m${bnd * r + k}").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""WITH $gramsCtes,
+       |c AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
+       |p AS (SELECT * FROM grams WHERE doc_id % 50 = 0),
+       |hc AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 12))::BIGINT a,
+       |       ('0x' || substr(md5(g), 17, 12))::BIGINT b FROM c),
+       |hb AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 12))::BIGINT a,
+       |       ('0x' || substr(md5(g), 17, 12))::BIGINT b FROM p),
+       |sc AS (SELECT doc_id, $mins FROM hc GROUP BY doc_id),
+       |sp AS (SELECT doc_id, $mins FROM hb GROUP BY doc_id),
+       |cand AS (SELECT sp.doc_id batch_id, sc.doc_id corpus_id
+       |         FROM sp JOIN sc ON ($bandConds)),
+       |szc AS (SELECT doc_id, count(*) sz FROM c GROUP BY 1),
+       |szp AS (SELECT doc_id, count(*) sz FROM p GROUP BY 1),
+       |inter AS (SELECT cd.batch_id, cd.corpus_id, count(*) i
+       |          FROM cand cd JOIN p gp ON gp.doc_id = cd.batch_id
+       |          JOIN c gc ON gc.doc_id = cd.corpus_id AND gp.g = gc.g
+       |          GROUP BY 1, 2)
+       |SELECT batch_id, corpus_id,
+       |  CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE) AS jaccard
+       |FROM inter JOIN szp s1 ON s1.doc_id = batch_id
+       |JOIN szc s2 ON s2.doc_id = corpus_id
+       |WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE) >= 0.5
+       |ORDER BY batch_id, corpus_id""".stripMargin
+  }
+
+  /** Chunking oracle: identical token split, start-position rule
+    * (0, stride, … while start ≤ n − overlap − 1), list slice, and join —
+    * chunkTokens = 32, overlap = 8, stride = 24. */
+  private val textChunksSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') t FROM documents),
+       |st AS (
+       |  SELECT doc_id, t, unnest(range(0, greatest(len(t) - 9, 0) + 1, 24)) s
+       |  FROM toks)
+       |SELECT doc_id, CAST(s / 24 AS BIGINT) AS chunk_id, CAST(s AS BIGINT) AS chunk_start,
+       |  CAST(len(t[s+1 : s+32]) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(t[s+1 : s+32], ' ') AS chunk_text
+       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
 
   /** Clean-corpus oracle — the FULL composite, mirrored end to end:
     * quality filter (same arithmetic as the text-stats oracle) → exact
@@ -1445,6 +1533,8 @@ object OpsPack {
     "q_dedup_minhash_lsh" -> minhashSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_winnow" -> winnowSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_text_chunks" -> textChunksSql,
     "q_ann_topk" -> annTopKSql,
     "q_ann_topk_multi" -> annTopKMultiSql,
     "q_ann_topk_quantized" -> annTopKQuantizedSql,

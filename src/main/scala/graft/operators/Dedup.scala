@@ -372,6 +372,23 @@ object Dedup {
     df.join(minhashSignatures(shingled, numHashes).withColumnRenamed("id", idCol), idCol)
   }
 
+  /** Banded (id, band, bucket) postings from a signature frame: one bucket
+    * per band, keyed by a hash of that band's signature slice. Bucket
+    * equality ⟺ slice equality (modulo 64-bit hash collisions, which only
+    * ADD candidates — exact verification erases them). Shared by the
+    * self-join candidate pass and the persisted-index probe path. */
+  def bandedSignaturePostings(
+      withSig: DataFrame, idCol: String,
+      numHashes: Int, bands: Int, sigCol: String = "minhash"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val r = numHashes / bands
+    withSig.select(
+      col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("band"), b, slice(col(sigCol), b * r + lit(1), lit(r)))))
+        .as(Seq("band", "bucket")))
+  }
+
   /** LSH banding: `bands` buckets per doc keyed by a hash of each signature
     * slice; docs sharing any (band, slice-hash) become candidates.
     * r = numHashes / bands rows per band: P(candidate) = 1-(1-j^r)^b. */
@@ -381,13 +398,7 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       sigCol: String = "minhash"): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
-    val r = numHashes / bands
-    val banded = withSig.select(
-      col(idCol).as("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("band"), b, slice(col(sigCol), b * r + lit(1), lit(r)))))
-        .as(Seq("band", "bucket")))
+    val banded = bandedSignaturePostings(withSig, idCol, numHashes, bands, sigCol)
     val a = banded.toDF("id1", "band", "bucket")
     val b = banded.toDF("id2", "band", "bucket")
     a.join(b, Seq("band", "bucket")).where(col("id1") < col("id2"))
@@ -422,6 +433,124 @@ object Dedup {
           (size(col("g1")) + size(col("g2")) - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+  }
+
+  /** Build (or extend) a persisted MinHash-LSH index of a corpus — the
+    * INGEST-TIME half of incremental dedup. At 100 TB you never re-shingle
+    * the corpus per arriving batch: the banded signature postings
+    * (id, band, bucket) are computed once here and persisted, partitioned
+    * by a `prefixBits`-bit prefix of the bucket hash so a probe reads only
+    * the partition directories its own buckets land in (a PARTITION filter
+    * — the same pruned-layout device as the persisted ANN layouts).
+    *
+    * `mode = "append"` is the rolling-ingest path: after a batch is probed
+    * and its survivors accepted, their postings append into the same
+    * partition scheme — no rewrite of existing postings, and the next
+    * batch's probe sees them.
+    *
+    * The md5 hash family keeps every bucket engine-mirrorable
+    * (oracle-checkable); postings are three longs per (doc, band) —
+    * `bands` rows per document regardless of document size. */
+  def writeMinhashIndexMd5(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      prefixBits: Int = 12,
+      mode: String = "overwrite"): Unit = {
+    val metaFile = java.nio.file.Paths.get(path, PrefixBitsFile)
+    if (mode == "append" && java.nio.file.Files.exists(metaFile)) {
+      val existing = new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8").trim.toInt
+      require(existing == prefixBits,
+        s"index at $path was written with prefixBits=$existing, append requested $prefixBits")
+    }
+    val shingled = Parallelize.spread(corpus).select(col(idCol).as("id"),
+      TextOps.wordShingles(col(textCol), shingleSize).as("g"))
+    bandedSignaturePostings(minhashSignaturesMd5(shingled, numHashes), "id",
+      numHashes, bands)
+      .withColumn("pfx", col("bucket").bitwiseAND(lit((1L << prefixBits) - 1)))
+      .write.mode(mode).partitionBy("pfx").parquet(path)
+    java.nio.file.Files.write(metaFile, prefixBits.toString.getBytes("UTF-8"))
+  }
+
+  /** Layout metadata: the prefix width the index was partitioned with.
+    * Probes read it from the layout itself so they can never drift from
+    * the writer's scheme (a narrower probe mask would silently prune away
+    * partitions that hold real candidates). */
+  private val PrefixBitsFile = "_graft_prefix_bits"
+
+  /** Probe a new batch of documents against a persisted MinHash-LSH index
+    * ([[writeMinhashIndexMd5]]) — the PER-BATCH half of incremental dedup.
+    * Returns (batch_id, corpus_id, jaccard ≥ threshold): which corpus
+    * documents each batch document near-duplicates.
+    *
+    * Per-batch cost is independent of corpus size in every stage:
+    *   1. shingle + sign the BATCH only (the corpus was signed at ingest);
+    *   2. read the index under a partition filter — the batch's buckets
+    *      cover at most min(|batch|·bands, 2^prefixBits) of the
+    *      2^prefixBits prefix partitions, so a small batch scans a small
+    *      fraction of the postings files (plan-pinned in OpsSpec);
+    *   3. candidates from an equi-join on (band, bucket) with the batch
+    *      postings BROADCAST — the index side never shuffles;
+    *   4. exact-Jaccard verification re-shingles only the candidate corpus
+    *      rows (a broadcast semi-join against the candidate id set), so
+    *      verification cost follows the candidate count, not the corpus.
+    *
+    * The exact verification makes the result independent of `prefixBits`
+    * and of bucket-hash collisions (both only widen the candidate set). */
+  def minhashProbeIndexMd5(
+      indexPath: String,
+      corpus: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = newCacheScope {
+    val spark = batch.sparkSession
+    // two consumers (signatures + verification side 1): shingle once
+    val batchSh = cacheShared(Parallelize.spread(batch).select(col(idCol).as("id"),
+      TextOps.wordShingles(col(textCol), shingleSize).as("g")))
+    val batchPost = bandedSignaturePostings(
+      minhashSignaturesMd5(batchSh, numHashes), "id", numHashes, bands)
+      .select(col("id").as("batch_id"), col("band"), col("bucket"))
+      .transform(cacheShared)
+    // ≤ 2^prefixBits values by construction — always driver-safe to collect
+    val pfxs = batchPost.select(col("bucket").bitwiseAND(
+      readPrefixMask(spark, indexPath)).as("pfx")).distinct()
+      .collect().map(_.getLong(0))
+    val index = spark.read.parquet(indexPath).where(col("pfx").isin(pfxs: _*))
+    val cands = index
+      .join(broadcast(batchPost), Seq("band", "bucket"))
+      .select(col("batch_id"), col("id").as("corpus_id")).distinct()
+    // verification re-shingles ONLY candidate corpus rows
+    val candIds = cands.select(col("corpus_id")).distinct()
+      .withColumnRenamed("corpus_id", "__graft_cand_id")
+    val corpusCand = Parallelize.spread(corpus)
+      .join(broadcast(candIds), col(idCol) === col("__graft_cand_id"), "left_semi")
+    val g1 = batchSh.toDF("batch_id", "g1")
+    val g2 = corpusCand.select(col(idCol).as("corpus_id"),
+      TextOps.wordShingles(col(textCol), shingleSize).as("g2"))
+    cands.join(g1, "batch_id").join(g2, "corpus_id")
+      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("g1")) + size(col("g2")) - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
+  }
+
+  private def readPrefixMask(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): Column = {
+    val metaFile = java.nio.file.Paths.get(indexPath, PrefixBitsFile)
+    require(java.nio.file.Files.exists(metaFile),
+      s"no $PrefixBitsFile under $indexPath — not a writeMinhashIndexMd5 layout")
+    val bits = new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8").trim.toInt
+    lit((1L << bits) - 1)
   }
 
   /** End-to-end MinHash-LSH near-duplicate detection: signature → banding →

@@ -306,4 +306,50 @@ object TextOps {
 
   def withStats(df: DataFrame, textCol: String): DataFrame =
     df.select(col("*") +: statsColumns(col(textCol)).map { case (n, c) => c.as(n) }: _*)
+
+  /** Context-window chunking: split each document into overlapping
+    * fixed-token-budget chunks — the preparation step between cleaning and
+    * tokenization in a training pipeline (and the retrieval-index unit in a
+    * RAG one). Chunk starts advance by `chunkTokens - overlap` tokens;
+    * the final chunk may be shorter.
+    *
+    * Start-position rule: starts are 0, stride, 2·stride, … while
+    * start ≤ n_tokens − overlap − 1. That bound gives BOTH invariants a
+    * pipeline needs, provably: full coverage (the last start is within
+    * stride−1 of n−chunkTokens, so the last chunk reaches the end) and no
+    * redundant tail (a chunk at start s adds tokens beyond its
+    * predecessor's range exactly when s ≤ n − overlap − 1 — emitting one
+    * start later would duplicate a suffix of the previous chunk verbatim,
+    * which dedup then has to re-catch downstream). Documents shorter than
+    * overlap+1 tokens produce exactly one chunk.
+    *
+    * Scale shape: pure projection + explode — zero shuffle, zero joins;
+    * chunk rows inherit the scan's partitioning, so this runs at input
+    * parallelism on any corpus size. All codegen'd array expressions
+    * (sequence/slice/array_join), no higher-order functions, no UDFs.
+    *
+    * Returns (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text), with
+    * chunk_start in token positions (0-based) and chunk_id dense per doc. */
+  def chunkDocuments(
+      df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    Parallelize.spread(df)
+      .select(col(idCol).as("id"), toks.as("__graft_t"))
+      .select(col("id"), col("__graft_t"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("__graft_t")) - lit(overlap + 1), lit(0)),
+          lit(stride))).as(Seq("chunk_id", "chunk_start")))
+      .select(col("id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        size(slice(col("__graft_t"), col("chunk_start") + lit(1), lit(chunkTokens)))
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("__graft_t"), col("chunk_start") + lit(1), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
 }

@@ -1079,4 +1079,88 @@ class OpsSpec extends SparkTestBase {
     assert(multi.subsetOf(exact))
     assert(multi.nonEmpty)
   }
+
+  test("chunkDocuments: coverage, overlap, and tail invariants") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // ≤ overlap+1 → one chunk
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocuments(d, "text", "doc_id", chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(c => (c._1, c._2))
+    // doc 1: stride 3, last start ≤ n-overlap-1 = 8 → starts 0, 3, 6
+    val doc1 = chunks.filter(_._1 == 1L)
+    assert(doc1.map(_._5).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(doc1.map(_._3).toSeq == Seq(0L, 3L, 6L)) // starts
+    assert(doc1.map(_._4).toSeq == Seq(4L, 4L, 4L)) // token budgets
+    // reconstruction: dropping the overlap prefix of each later chunk
+    // restores the original token stream exactly (full coverage, no gap)
+    val rebuilt = doc1.zipWithIndex.flatMap { case (c, i) =>
+      val toks = c._5.split(" ").toSeq
+      if (i == 0) toks else toks.drop(1)
+    }
+    assert(rebuilt.toSeq == (1 to 10).map(i => s"w$i"))
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 2L, "a b")))
+    assert(chunks.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 0L, 1L, "solo")))
+    intercept[IllegalArgumentException] {
+      TextOps.chunkDocuments(d, "text", "doc_id", chunkTokens = 4, overlap = 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.chunkDocuments(d, "text", "doc_id", chunkTokens = 0)
+    }
+  }
+
+  test("minhash index probe agrees with the pair operator cross-set and prunes partitions") {
+    // corpus 0,2,4 indexed; batch 1 (near-dup of 0) and 3 (exact dup of 0)
+    val corpus = docs.where(col("doc_id").isin(0L, 2L, 4L))
+    val batch = docs.where(col("doc_id").isin(1L, 3L))
+    val path = "target/mh_index_spec"
+    Dedup.writeMinhashIndexMd5(corpus, "text", "doc_id", path,
+      numHashes = 32, bands = 16, prefixBits = 6)
+    val probe = Dedup.minhashProbeIndexMd5(path, corpus, batch, "text", "doc_id",
+      threshold = 0.5, numHashes = 32, bands = 16)
+    // the batch's bucket prefixes become a partition filter on the layout
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pfx"), plan)
+    val got = probe.collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)),
+        r.getDouble(2))).toSet
+    // reference: the self-join pair operator over the union, restricted to
+    // pairs that cross the corpus/batch split — same family, same params
+    val crossIds = Set(1L, 3L)
+    val ref = Dedup.minhashNearDuplicatesMd5(docs, "text", "doc_id",
+      threshold = 0.5, numHashes = 32, bands = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => crossIds.contains(p._1) ^ crossIds.contains(p._2))
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2), p._3)).toSet
+    assert(got == ref)
+    assert(got.contains((0L, 3L, 1.0))) // the exact dup must surface
+  }
+
+  test("minhash index append: new postings visible, prefix drift rejected") {
+    val path = "target/mh_index_append_spec"
+    // stage 1: index only dissimilar docs — probe of the dup batch is empty
+    val far = docs.where(col("doc_id").isin(2L, 4L))
+    val batch = docs.where(col("doc_id") === 3L) // exact dup of 0
+    Dedup.writeMinhashIndexMd5(far, "text", "doc_id", path,
+      numHashes = 32, bands = 16, prefixBits = 6)
+    assert(Dedup.minhashProbeIndexMd5(path, far, batch, "text", "doc_id",
+      threshold = 0.5, numHashes = 32, bands = 16).count() == 0)
+    // stage 2: append doc 0's postings — the same probe now finds the dup
+    Dedup.writeMinhashIndexMd5(docs.where(col("doc_id") === 0L), "text", "doc_id",
+      path, numHashes = 32, bands = 16, prefixBits = 6, mode = "append")
+    val corpusNow = docs.where(col("doc_id").isin(0L, 2L, 4L))
+    val found = Dedup.minhashProbeIndexMd5(path, corpusNow, batch, "text", "doc_id",
+      threshold = 0.5, numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(found == Seq((3L, 0L, 1.0)))
+    // appending with a different prefix scheme must be refused, not mixed in
+    intercept[IllegalArgumentException] {
+      Dedup.writeMinhashIndexMd5(far, "text", "doc_id", path,
+        numHashes = 32, bands = 16, prefixBits = 8, mode = "append")
+    }
+  }
 }
