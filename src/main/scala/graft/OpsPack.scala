@@ -547,10 +547,14 @@ object OpsPack {
     val batch = d.where(col("doc_id") % 50 === 0)
     val path = mhIndexCache.getOrElseUpdate(dir, {
       val p = "target/graft_mh_index_" +
-        layoutStamp(dir, "documents", "nh=64|b=16|sh=3|pfx=12|v1")
+        layoutStamp(dir, "documents", "nh=64|b=16|sh=3|pfx=8|v2")
       if (!layoutComplete(p) ||
           !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_graft_prefix_bits")))
-        Dedup.writeMinhashIndexMd5(corpus, "text", "doc_id", p)
+        // prefix width sized to the corpus: partitions should hold real
+        // posting volume (at 100 TB, 12+ bits; here 8 bits keeps the layout
+        // at 256 single-file directories so probe file-open costs stay
+        // proportional to the data, not the directory fan-out)
+        Dedup.writeMinhashIndexMd5(corpus, "text", "doc_id", p, prefixBits = 8)
       p
     })
     Dedup.minhashProbeIndexMd5(path, corpus, batch, "text", "doc_id", threshold = 0.5)

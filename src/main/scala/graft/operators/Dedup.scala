@@ -448,6 +448,14 @@ object Dedup {
     * partition scheme — no rewrite of existing postings, and the next
     * batch's probe sees them.
     *
+    * Size `prefixBits` to the corpus: each of the 2^prefixBits partition
+    * directories should hold enough postings to amortize a file open
+    * (hundreds of MB at 100 TB corpus scale → 12-16 bits; small corpora →
+    * 6-8 bits). Pruning effectiveness is the other side of the same dial:
+    * a probe reads ≈ min(|batch|·bands, 2^prefixBits) partitions, so the
+    * prefix space must exceed the typical batch's bucket count for the
+    * partition filter to bite.
+    *
     * The md5 hash family keeps every bucket engine-mirrorable
     * (oracle-checkable); postings are three longs per (doc, band) —
     * `bands` rows per document regardless of document size. */
@@ -472,6 +480,13 @@ object Dedup {
     bandedSignaturePostings(minhashSignaturesMd5(shingled, numHashes), "id",
       numHashes, bands)
       .withColumn("pfx", col("bucket").bitwiseAND(lit((1L << prefixBits) - 1)))
+      // co-locate each prefix before the partitioned write: without this,
+      // every write task holding rows of a prefix opens its own file there —
+      // tasks × 2^prefixBits tiny files whose open/footer costs dominate
+      // every later probe. After the repartition each prefix directory gets
+      // exactly as many files as tasks that own it (one, for hash
+      // partitioning) per ingest batch.
+      .repartition(col("pfx"))
       .write.mode(mode).partitionBy("pfx").parquet(path)
     java.nio.file.Files.write(metaFile, prefixBits.toString.getBytes("UTF-8"))
   }
