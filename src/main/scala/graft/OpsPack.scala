@@ -571,6 +571,21 @@ object OpsPack {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "chunk_id")
 
+  /** Model-based quality classification: a hashed-feature linear model
+    * scores every document (fastText-style shape). The weight table here is
+    * a deterministic synthetic stand-in for trained weights — Knuth
+    * multiplicative spread over [-1000, 1000] fixed-point — exported the
+    * way a real trainer would export: a plain fixed-point array embedded
+    * into the plan (and mirrored as a literal list in the oracle). */
+  val ClassifierFeatures = 256
+  lazy val classifierWeights: Array[Long] =
+    Array.tabulate(ClassifierFeatures)(i => ((i * 2654435761L) % 2001L) - 1000L)
+
+  def textClassifier(s: SparkSession, dir: String): DataFrame =
+    TextOps.linearModelScores(docs(s, dir), "text", "doc_id", classifierWeights)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Sequence packing: documents → 256-token packs across 64 deterministic
     * streams, rolled up per stream. Rows-only under the harness (greedy
     * packing has no SQL mirror); budget/uniqueness/determinism invariants
@@ -762,6 +777,7 @@ object OpsPack {
     "q_dedup_winnow" -> (winnowPairsQuery _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_text_chunks" -> (textChunks _),
+    "q_text_classifier" -> (textClassifier _),
     "q_events_streamed" -> (eventsStreamed _),
     "q_text_pii" -> (piiScan _),
     "q_text_repetition" -> (textRepetition _),
@@ -965,6 +981,23 @@ object OpsPack {
        |JOIN szc s2 ON s2.doc_id = corpus_id
        |WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE) >= 0.5
        |ORDER BY batch_id, corpus_id""".stripMargin
+  }
+
+  /** Classifier oracle: the same weight table as a literal list, the same
+    * 48-bit md5 bucket hash, the same integer sum — exact at every row. */
+  private val textClassifierSql: String = {
+    val wList = classifierWeights.mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) t
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id,
+       |    ($wList)[CAST(('0x' || substr(md5(t), 1, 12))::BIGINT % $ClassifierFeatures AS INT) + 1] w
+       |  FROM toks)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(w) AS BIGINT) AS score_fp,
+       |  sum(w) > 0 AS accept
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Chunking oracle: identical token split, start-position rule
@@ -1539,6 +1572,7 @@ object OpsPack {
     "q_dedup_winnow" -> winnowSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_text_chunks" -> textChunksSql,
+    "q_text_classifier" -> textClassifierSql,
     "q_ann_topk" -> annTopKSql,
     "q_ann_topk_multi" -> annTopKMultiSql,
     "q_ann_topk_quantized" -> annTopKQuantizedSql,

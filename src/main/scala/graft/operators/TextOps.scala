@@ -307,6 +307,47 @@ object TextOps {
   def withStats(df: DataFrame, textCol: String): DataFrame =
     df.select(col("*") +: statsColumns(col(textCol)).map { case (n, c) => c.as(n) }: _*)
 
+  /** Hashed-feature linear text classifier — the fastText-style shape of
+    * model-based quality filtering (score every document with a trained
+    * linear model over a hashed bag of words, keep what clears a
+    * threshold). The model is `weights`: token → feature bucket via the
+    * portable 48-bit md5 prefix mod `weights.length`, document score =
+    * Σ weights(bucket(token)) over all token OCCURRENCES (not distinct).
+    *
+    * Weights are FIXED-POINT longs (scale chosen by the trainer): integer
+    * sums are exact and associative, so the score is bit-identical under
+    * any partitioning and engine-mirrorable — which float logits are not.
+    * `accept` = score > 0 (fold the decision threshold into the bias at
+    * training-export time).
+    *
+    * Scale shape: the model ships as a plan literal (same device as the
+    * IVF/semantic-dedup centroids) — at typical quality-model sizes
+    * (2^16-2^20 buckets × 8 bytes) that is megabytes, free to every task;
+    * scoring is explode → codegen'd hash + array index → one sum
+    * aggregation keyed by id with map-side partial aggregation. One
+    * shuffle of (id, partial-sum) pairs, nothing else.
+    *
+    * Returns (id, n_tokens, score_fp, accept). */
+  def linearModelScores(
+      df: DataFrame, textCol: String, idCol: String,
+      weights: Array[Long]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val f = weights.length
+    val w = typedlit(weights)
+    Parallelize.spread(df)
+      .select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .select(col("id"),
+        element_at(w, (pmod(Dedup.md5Long48(col("t").cast("binary")), lit(f.toLong)) + 1)
+          .cast("int")).as("wt"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("score_fp"))
+      .select(col("id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("score_fp").cast("long").as("score_fp"),
+        (col("score_fp") > 0).as("accept"))
+  }
+
   /** Context-window chunking: split each document into overlapping
     * fixed-token-budget chunks — the preparation step between cleaning and
     * tokenization in a training pipeline (and the retrieval-index unit in a

@@ -1080,6 +1080,28 @@ class OpsSpec extends SparkTestBase {
     assert(multi.nonEmpty)
   }
 
+  test("linear model scores: exact fixed-point sums over hashed features") {
+    val w = Array.tabulate(16)(i => (i * 7L) % 11L - 5L)
+    // independent reference: java MessageDigest md5 → first 12 hex chars →
+    // 48-bit long → bucket → weight (same parse the md5Long48 column does)
+    def bucket(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      (java.lang.Long.parseLong(hex, 16) % 16).toInt
+    }
+    def score(toks: Seq[String]): Long = toks.map(t => w(bucket(t))).sum
+    val d = Seq((1L, "alpha beta alpha"), (2L, "gamma")).toDF("doc_id", "text")
+    val got = TextOps.linearModelScores(d, "text", "doc_id", w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    val s1 = score(Seq("alpha", "beta", "alpha")) // occurrences, not distinct
+    val s2 = score(Seq("gamma"))
+    assert(got.toSeq == Seq((1L, 3L, s1, s1 > 0), (2L, 1L, s2, s2 > 0)))
+    intercept[IllegalArgumentException] {
+      TextOps.linearModelScores(d, "text", "doc_id", Array.empty[Long])
+    }
+  }
+
   test("chunkDocuments: coverage, overlap, and tail invariants") {
     val d = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
