@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+
+/** Continuous corpus ingest with incremental deduplication — the streaming
+  * face of the persisted MinHash index ([[Dedup.writeMinhashIndexMd5]] /
+  * [[Dedup.minhashProbeIndexMd5]]).
+  *
+  * Each micro-batch of arriving documents runs the full dedup ladder
+  * WITHOUT ever touching more than (batch + candidates) worth of text:
+  *
+  *   1. in-batch exact dedup (min-id per content fingerprint);
+  *   2. in-batch near-dup collapse — MinHash pairs → connected components →
+  *      keep each component's minimum id (the same cluster-transitive
+  *      policy as [[Dedup.cleanCorpus]]);
+  *   3. cross-corpus probe against the persisted index: batch-only
+  *      signatures, prefix-pruned postings read, candidate-bounded exact
+  *      verification — per-batch cost independent of accumulated corpus
+  *      size, which is what makes this sustainable as the corpus grows
+  *      unboundedly under a long-running stream;
+  *   4. survivors append to the corpus sink AND their postings append to
+  *      the index, so the NEXT micro-batch dedups against them.
+  *
+  * Delivery semantics: `foreachBatch` is at-least-once across restarts — a
+  * batch replayed after a crash between the two appends (or after the
+  * checkpoint write) can append twice. The in-batch exact-dedup pass makes
+  * replayed CONTENT collapse at the next probe (a replayed doc is an exact
+  * dup of its first copy and gets dropped), so duplicates from replay are
+  * self-healing for dedup purposes; exactly-once bookkeeping of the corpus
+  * sink itself needs a transactional table format underneath, which is
+  * deployment-specific and out of scope here.
+  */
+object IngestDedup {
+
+  /** Start the ingest stream. `docs` is a STREAMING DataFrame carrying at
+    * least (`idCol`, `textCol`); `corpusPath` accumulates accepted rows as
+    * parquet; `indexPath` accumulates their banded signature postings.
+    * Both are created on the first non-empty batch. */
+  def ingestWithDedup(
+      docs: DataFrame,
+      indexPath: String,
+      corpusPath: String,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      prefixBits: Int = 8,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        processBatch(batch.toDF(), indexPath, corpusPath, textCol, idCol,
+          threshold, numHashes, bands, shingleSize, prefixBits)
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
+  private def indexReady(indexPath: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(indexPath, "_graft_prefix_bits"))
+
+  /** One micro-batch of the ingest ladder — also the unit the spec drives
+    * directly in batch mode (same code path, the streaming harness adds
+    * only delivery). */
+  def processBatch(
+      batch: DataFrame,
+      indexPath: String,
+      corpusPath: String,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      prefixBits: Int = 8): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    // 1-2: in-batch exact + cluster-transitive near-dup collapse
+    val exact = Dedup.exactDedup(batch, textCol, idCol)
+    val pairs = Dedup.minhashNearDuplicatesMd5(exact, textCol, idCol,
+      threshold, numHashes, bands, shingleSize)
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("__graft_drop_id"))
+    val inBatch = exact.join(losers,
+      exact(idCol) === col("__graft_drop_id"), "left_anti")
+    // 3: cross-corpus probe (first batch has nothing to probe against)
+    val hasIndex = indexReady(indexPath)
+    val survivorsPlan =
+      if (!hasIndex) inBatch
+      else {
+        val corpus = spark.read.parquet(corpusPath)
+        val dupIds = Dedup.minhashProbeIndexMd5(indexPath, corpus, inBatch,
+          textCol, idCol, threshold, numHashes, bands, shingleSize)
+          .select(col("batch_id").as("__graft_dup_id")).distinct()
+        inBatch.join(dupIds,
+          inBatch(idCol) === col("__graft_dup_id"), "left_anti")
+      }
+    // two consumers (corpus append + index append): persist so the dedup
+    // ladder runs once, and pin the row set before the sinks diverge
+    val survivors = survivorsPlan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (survivors.count() > 0) {
+        survivors.write.mode("append").parquet(corpusPath)
+        Dedup.writeMinhashIndexMd5(survivors, textCol, idCol, indexPath,
+          numHashes, bands, shingleSize, prefixBits,
+          mode = if (hasIndex) "append" else "overwrite")
+      }
+    } finally {
+      survivors.unpersist()
+      Dedup.releaseCaches()
+    }
+  }
+}

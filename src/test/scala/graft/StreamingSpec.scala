@@ -137,4 +137,51 @@ class StreamingSpec extends SparkTestBase {
     // batch mode emits one update per group holding the full totals
     updates.foreach(u => assert(u.events == byUser(u.userId)))
   }
+
+  test("streaming ingest dedup: later micro-batches dedup against earlier ones") {
+    import graft.streaming.IngestDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def rm(p: String): Unit = {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val indexPath = "target/ingest_mh_index"
+    val corpusPath = "target/ingest_corpus"
+    rm(indexPath); rm(corpusPath)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = IngestDedup.ingestWithDedup(
+      input.toDF().toDF("doc_id", "text"), indexPath, corpusPath,
+      "text", "doc_id", threshold = 0.5, numHashes = 32, bands = 16,
+      prefixBits = 6)
+    try {
+      val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+      // batch 1: one exact in-batch dup (2 of 0) collapses before anything
+      // is indexed; 0 and 1 survive and seed the corpus + index
+      input.addData((0L, a),
+        (1L, "completely different content about spark query engines and columnar formats"),
+        (2L, a))
+      q.processAllAvailable()
+      def corpusIds = spark.read.parquet(corpusPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(corpusIds == Set(0L, 1L))
+      // batch 2: 3 near-duplicates the ALREADY-INDEXED doc 0 (probe path);
+      // 4 is genuinely new and survives
+      input.addData(
+        (3L, a.replace("today", "tonight")),
+        (4L, "brand new unique text entirely unrelated to anything indexed before now"))
+      q.processAllAvailable()
+      assert(corpusIds == Set(0L, 1L, 4L))
+      // the index grew too: a third batch replaying doc 4's content drops it
+      input.addData((5L,
+        "brand new unique text entirely unrelated to anything indexed before now"))
+      q.processAllAvailable()
+      assert(corpusIds == Set(0L, 1L, 4L))
+    } finally q.stop()
+  }
 }
