@@ -28,22 +28,28 @@ object Profile {
   }
 
   /** Numeric distribution profile: per column, null count, min/max, and
-    * DISCONTINUOUS percentiles — `percentile_disc` returns an order
-    * statistic (an actual element of the column), so the result is exact
-    * and engine-mirrorable; interpolated percentiles blend two doubles
-    * with engine-specific operand order and are not. `exact = false`
-    * swaps in `approx_percentile` (t-digest) — the 100 TB setting, where
-    * a full sort per column is not on the table.
+    * DISCONTINUOUS percentiles — order statistics (actual elements of the
+    * column, the `percentile_disc` definition: the value at rank
+    * ceil(p·n) of the non-NULL sorted column), so the result is exact and
+    * engine-mirrorable; interpolated percentiles blend two doubles with
+    * engine-specific operand order and are not. `exact = false` swaps in
+    * `approx_percentile` (t-digest) — the 100 TB setting, where exact
+    * order statistics are not on the table.
     *
     * Shape: the table unpivots to (column, v) pairs (`stack` — codegen'd,
-    * keeps NULL values) and aggregates BY COLUMN NAME. A single global agg
-    * would funnel every partial percentile state into ONE final reduce task
-    * (`percentile_disc` keeps a value→count map per column, and merging the
-    * per-partition partials of all columns ran single-threaded — it
-    * dominated the sf0.1 profile query at ~13s); grouping by column name
-    * computes each column's order statistics in its own task, cols-way
-    * parallel, with identical results. Percentiles must map to distinct
-    * integer percent labels (p25, p50, ...). */
+    * keeps NULL values). The exact path then computes order statistics by
+    * RANK SELECTION: one cheap counts/min/max aggregation fixes each
+    * column's target ranks, and a per-column `row_number` window picks
+    * exactly those rows — the whole percentile cost is one shuffle of the
+    * stacked pairs plus a cols-way-parallel sort. The earlier
+    * `percentile_disc` aggregation built a value→count map per column and
+    * merged every partition's partial maps in the final tasks —
+    * near-continuous columns made those maps row-sized, and the
+    * single-threaded merges dominated the sf0.1 profile query (measured
+    * 4.6-5.7s for the percentile agg vs 1.5-2.4s for rank selection,
+    * identical values — including ties, where row_number picks an
+    * arbitrary row among equals but every such row carries the same v).
+    * Percentiles must map to distinct integer percent labels (p25, ...). */
   def numericProfile(df: DataFrame, cols: Seq[String],
       percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
       exact: Boolean = true): DataFrame = {
@@ -51,41 +57,80 @@ object Profile {
     val labels = percentiles.map(p => s"p${math.round(p * 100)}")
     require(labels.distinct.size == labels.size,
       s"percentiles must have distinct percent labels, got $labels")
+    require(percentiles.forall(p => p > 0.0 && p <= 1.0),
+      s"percentiles must be in (0, 1], got $percentiles")
     val stackExpr = s"stack(${cols.length}, " + cols.map(c =>
       s"'${c.replace("'", "''")}', CAST(`$c` AS DOUBLE)").mkString(", ") +
       ") AS (column, v)"
-    val aggExprs = Seq(
-      count(lit(1)).as("__total"),
-      count(col("v")).as("__n"),
-      min(col("v")).as("__min"),
-      max(col("v")).as("__max")) ++
-      percentiles.zipWithIndex.map { case (p, i) =>
-        (if (exact) expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)")
-        else expr(s"approx_percentile(v, $p)")).as(s"__p$i")
-      }
-    val byCol = df.selectExpr(stackExpr)
-      .groupBy("column")
-      .agg(aggExprs.head, aggExprs.tail: _*)
-      .collect().map(r => r.getString(0) -> r).toMap
-    // min/max/percentile aggregates return SQL NULL for an all-NULL (or
-    // empty) column; getAs[Double] would silently unbox that to 0.0, so
-    // read via isNullAt and emit a real null cell (the schema already
-    // marks these fields nullable). An empty input produces no groups at
-    // all — those columns get the same all-NULL row with zero counts.
+    val stacked = df.selectExpr(stackExpr)
+    // min/max aggregates return SQL NULL for an all-NULL (or empty)
+    // column; getAs[Double] would silently unbox that to 0.0, so read via
+    // isNullAt and emit a real null cell (the schema already marks these
+    // fields nullable). An empty input produces no groups at all — those
+    // columns get the same all-NULL row with zero counts.
     def numOrNull(r: org.apache.spark.sql.Row, name: String): Any = {
       val i = r.fieldIndex(name)
       if (r.isNullAt(i)) null else r.getDouble(i)
     }
-    val rows = cols.map { c =>
-      byCol.get(c) match {
-        case Some(r) =>
-          org.apache.spark.sql.Row.fromSeq(
-            Seq(c, r.getAs[Long]("__total") - r.getAs[Long]("__n"),
-              numOrNull(r, "__min"), numOrNull(r, "__max")) ++
-              percentiles.indices.map(i => numOrNull(r, s"__p$i")))
-        case None =>
-          org.apache.spark.sql.Row.fromSeq(
-            Seq(c, 0L, null, null) ++ percentiles.indices.map(_ => null))
+    val rows: Seq[org.apache.spark.sql.Row] = if (exact) {
+      val byCol = stacked.groupBy("column")
+        .agg(count(lit(1)).as("__total"), count(col("v")).as("__n"),
+          min(col("v")).as("__min"), max(col("v")).as("__max"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      // rank of percentile p among a column's n non-NULL values, sorted:
+      // smallest k with k/n ≥ p ⟺ k = ceil(p·n) (the percentile_disc rule)
+      val ranksPerCol: Map[String, Seq[Long]] = byCol.collect {
+        case (c, r) if r.getAs[Long]("__n") > 0 =>
+          val n = r.getAs[Long]("__n")
+          c -> percentiles.map(p => math.max(1L, math.ceil(p * n).toLong))
+      }
+      val allRanks = ranksPerCol.values.flatten.toSeq.distinct
+      val hits: Map[(String, Long), Double] =
+        if (allRanks.isEmpty) Map.empty
+        else stacked.where(col("v").isNotNull)
+          .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("column").orderBy("v")))
+          .where(col("__rn").isin(allRanks: _*))
+          .collect()
+          .map(r => (r.getString(0), r.getInt(2).toLong) -> r.getDouble(1)).toMap
+      cols.map { c =>
+        byCol.get(c) match {
+          case Some(r) =>
+            val pvals = ranksPerCol.get(c) match {
+              case Some(ks) => ks.map(k => hits((c, k)): Any)
+              case None => percentiles.map(_ => null: Any) // all-NULL column
+            }
+            org.apache.spark.sql.Row.fromSeq(
+              Seq(c, r.getAs[Long]("__total") - r.getAs[Long]("__n"),
+                numOrNull(r, "__min"), numOrNull(r, "__max")) ++ pvals)
+          case None =>
+            org.apache.spark.sql.Row.fromSeq(
+              Seq(c, 0L, null, null) ++ percentiles.indices.map(_ => null))
+        }
+      }
+    } else {
+      val aggExprs = Seq(
+        count(lit(1)).as("__total"),
+        count(col("v")).as("__n"),
+        min(col("v")).as("__min"),
+        max(col("v")).as("__max")) ++
+        percentiles.zipWithIndex.map { case (p, i) =>
+          expr(s"approx_percentile(v, $p)").as(s"__p$i")
+        }
+      val byCol = stacked.groupBy("column")
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .collect().map(r => r.getString(0) -> r).toMap
+      cols.map { c =>
+        byCol.get(c) match {
+          case Some(r) =>
+            org.apache.spark.sql.Row.fromSeq(
+              Seq(c, r.getAs[Long]("__total") - r.getAs[Long]("__n"),
+                numOrNull(r, "__min"), numOrNull(r, "__max")) ++
+                percentiles.indices.map(i => numOrNull(r, s"__p$i")))
+          case None =>
+            org.apache.spark.sql.Row.fromSeq(
+              Seq(c, 0L, null, null) ++ percentiles.indices.map(_ => null))
+        }
       }
     }
     val schema = org.apache.spark.sql.types.StructType(

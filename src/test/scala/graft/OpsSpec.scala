@@ -624,6 +624,27 @@ class OpsSpec extends SparkTestBase {
     assert(pn.getAs[Long]("n_nulls") == 2L)
     assert(pn.isNullAt(pn.fieldIndex("min")) && pn.isNullAt(pn.fieldIndex("max")))
     assert(pn.isNullAt(pn.fieldIndex("p50")))
+    // rank selection ≡ percentile_disc on heavy-tie data (deterministic
+    // pseudo-random, two columns, sizes that don't divide the percentiles
+    // evenly) — the aggregate formulation the rank path replaced
+    val messy = (0 until 997).map { i =>
+      (((i * 31) % 7).toDouble,
+        if (i % 5 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(((i * 17) % 13).toDouble))
+    }.toDF("a", "b")
+    val got = Profile.numericProfile(messy, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ref = messy.selectExpr("stack(2, 'a', a, 'b', CAST(b AS DOUBLE)) AS (c, v)")
+      .groupBy("c")
+      .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").as("p75"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("a", "b").foreach { c =>
+      Seq("p25", "p50", "p75").foreach { p =>
+        assert(got(c).getAs[Double](p) == ref(c).getAs[Double](p), s"$c.$p")
+      }
+    }
   }
 
   test("PII redaction: each category, priority order, clean text untouched") {
