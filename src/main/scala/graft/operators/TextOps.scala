@@ -327,6 +327,9 @@ object TextOps {
     * aggregation keyed by id with map-side partial aggregation. One
     * shuffle of (id, partial-sum) pairs, nothing else.
     *
+    * NULL `textCol` rows produce NO output row (the explode drops them) —
+    * coalesce upstream if every id must score.
+    *
     * Returns (id, n_tokens, score_fp, accept). */
   def linearModelScores(
       df: DataFrame, textCol: String, idCol: String,
@@ -368,6 +371,9 @@ object TextOps {
     * chunk rows inherit the scan's partitioning, so this runs at input
     * parallelism on any corpus size. All codegen'd array expressions
     * (sequence/slice/array_join), no higher-order functions, no UDFs.
+    *
+    * NULL `textCol` rows produce NO chunks (the explode drops the NULL
+    * start array) — filter or coalesce upstream if they must surface.
     *
     * Returns (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text), with
     * chunk_start in token positions (0-based) and chunk_id dense per doc. */

@@ -1155,6 +1155,33 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("chunkDocuments: invariants across a parameter grid") {
+    val docsN = (0 to 40).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val combos = (for (ct <- Seq(1, 3, 8, 12); ov <- Seq(0, 1, ct - 1))
+      yield (ct, ov)).filter { case (ct, ov) => ov >= 0 && ov < ct }.distinct
+    combos.foreach { case (ct, ov) =>
+      val stride = ct - ov
+      val byDoc = TextOps.chunkDocuments(docsN, "text", "doc_id", ct, ov)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+        .groupBy(_._1)
+      (0 to 40).foreach { n =>
+        val doc = byDoc.getOrElse(n.toLong, Array.empty).sortBy(_._2)
+        // token list as split sees it: empty text splits to one empty token
+        val toks = if (n == 0) Seq("") else (1 to n).map(i => s"t$i")
+        // the start rule: 0, stride, … while start ≤ len − overlap − 1
+        val expStarts = 0L to math.max(0L, toks.length - ov - 1L) by stride.toLong
+        assert(doc.map(_._3).toSeq == expStarts.toSeq, s"starts n=$n ct=$ct ov=$ov")
+        // reconstruction: drop each later chunk's overlap prefix → original
+        val rebuilt = doc.zipWithIndex.flatMap { case (c, i) =>
+          val ts = c._4.split(" ", -1).toSeq
+          if (i == 0) ts else ts.drop(ov)
+        }
+        assert(rebuilt.toSeq == toks, s"rebuild n=$n ct=$ct ov=$ov")
+      }
+    }
+  }
+
   test("minhash index probe agrees with the pair operator cross-set and prunes partitions") {
     // corpus 0,2,4 indexed; batch 1 (near-dup of 0) and 3 (exact dup of 0)
     val corpus = docs.where(col("doc_id").isin(0L, 2L, 4L))
