@@ -42,6 +42,23 @@ object OpsPack {
       maxDocFrequency = JaccardMaxDocFrequency)
       .orderBy("id1", "id2")
 
+  /** Exact duplicated-substring rollup (Lee et al. suffix-array dedup,
+    * reformulated as distributed gram postings + gaps-and-islands interval
+    * merge): per document, the merged ≥40-char spans that occur more than
+    * once anywhere in the corpus. Portable family (raw-gram keys) so the
+    * oracle mirrors byte-for-byte; xxhash64-keyed production family
+    * agreement is unit-pinned in OpsSpec. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSubstringStats(docs(s, dir), "text", "doc_id",
+      minLength = SubstringMinLength, portable = true)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** Gram length for the duplicated-substring driver query — long enough
+    * that only genuine copied spans collide (the synthetic corpus's small
+    * vocabulary makes short grams collide on nearly every pair). */
+  val SubstringMinLength = 40
+
   /** MinHash-LSH near-dups over the portable md5 family (oracle-checked). */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDuplicatesMd5(docs(s, dir), "text", "doc_id",
@@ -776,6 +793,7 @@ object OpsPack {
     "q_dedup_simhash" -> (simhashPairs _),
     "q_dedup_winnow" -> (winnowPairsQuery _),
     "q_dedup_incremental" -> (dedupIncremental _),
+    "q_dedup_substring" -> (dedupSubstring _),
     "q_text_chunks" -> (textChunks _),
     "q_text_classifier" -> (textClassifier _),
     "q_events_streamed" -> (eventsStreamed _),
@@ -897,6 +915,41 @@ object OpsPack {
        |FROM o JOIN ps ON ps.doc_id = probe_id
        |WHERE CAST(overlap AS DOUBLE) / CAST(sz AS DOUBLE) >= 0.05
        |ORDER BY corpus_id, probe_id""".stripMargin
+
+  /** Duplicated-substring oracle: every position's L-gram (unnest over a
+    * per-row range), grams occurring > 1× corpus-wide, then the same
+    * gaps-and-islands interval merge as the engine (running max(pos+L)
+    * frame → break flags → cumulative island ids → per-island min/max),
+    * rolled up per document over ALL documents with zero-fill. */
+  private val dedupSubstringSql: String = {
+    val L = SubstringMinLength
+    s"""WITH pos AS (SELECT doc_id, text,
+       |  unnest(range(1, greatest(len(text) - ${L - 1}, 0) + 1)) AS pos
+       |  FROM documents),
+       |g AS (SELECT doc_id, pos, substr(text, pos, $L) AS g FROM pos),
+       |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+       |m AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+       |w AS (SELECT doc_id, pos, max(pos + $L) OVER (PARTITION BY doc_id
+       |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+       |      FROM m),
+       |b AS (SELECT doc_id, pos,
+       |        CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END AS brk FROM w),
+       |i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+       |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |      FROM b),
+       |iv AS (SELECT doc_id, island, min(pos) AS s, max(pos) + $L AS e
+       |       FROM i GROUP BY 1, 2),
+       |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_intervals,
+       |        CAST(sum(e - s) AS BIGINT) AS dup_chars FROM iv GROUP BY 1)
+       |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+       |  CAST(coalesce(n_dup_intervals, 0) AS BIGINT) AS n_dup_intervals,
+       |  CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars,
+       |  CASE WHEN len(d.text) = 0 THEN 0.0
+       |       ELSE CAST(coalesce(dup_chars, 0) AS DOUBLE) / CAST(len(d.text) AS DOUBLE)
+       |  END AS dup_ratio
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   private val jaccardSql: String =
     s"""WITH $gramsCtes,
@@ -1571,6 +1624,7 @@ object OpsPack {
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_winnow" -> winnowSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_dedup_substring" -> dedupSubstringSql,
     "q_text_chunks" -> textChunksSql,
     "q_text_classifier" -> textClassifierSql,
     "q_ann_topk" -> annTopKSql,

@@ -996,4 +996,100 @@ object Dedup {
     clustered.join(losers,
       clustered(idCol) === losers("__graft_drop_id"), "left_anti")
   }
+
+  /** Exact duplicated-substring detection — the distributed reformulation
+    * of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every character
+    * position opens a length-`minLength` gram; a position is DUPLICATED
+    * when its gram occurs more than once across the whole corpus
+    * (within-document repeats count — both occurrences are marked, exactly
+    * like a corpus-wide suffix array); per document, overlapping or
+    * adjacent duplicated positions merge into maximal intervals
+    * `[start, end)` (1-based, end exclusive) — the spans the paper's
+    * suffix-array pass would cut out. NULL/short texts (< minLength chars)
+    * produce no positions and so no intervals.
+    *
+    * Plan shape at 100 TB: the gram stream is O(total chars) rows — that
+    * is the method's honest cost, and it is what replaces the
+    * non-distributable global suffix array — but each row is only
+    * (id, pos, gram-key). Duplicate marking is a map-side-combinable
+    * `groupBy(gram).count` (hot boilerplate grams partial-aggregate
+    * before the shuffle — skew-proof where a count-window would funnel a
+    * hot gram into one partition) followed by a semi-join back to
+    * positions (AQE skew-split applies). The interval merge is the
+    * classic gaps-and-islands pattern: one per-document sort, a running
+    * `max(pos + L)` frame, and an island id from the cumulative break
+    * count — touching only the marked positions, a small fraction of the
+    * corpus.
+    *
+    * `portable = true` keys grams by the raw L-char substring — mirrorable
+    * in any SQL engine (the DuckDB oracle), at an L× shuffle-payload cost;
+    * the production default keys by `xxhash64(gram)` — 8 bytes per
+    * position, collision odds negligible (~n²/2⁶⁵).
+    *
+    * @return one row per maximal interval: (id, start, end), both longs.
+    */
+  def duplicateSubstringIntervals(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minLength: Int = 40,
+      portable: Boolean = false): DataFrame = {
+    val L = minLength
+    require(L >= 1, s"minLength must be >= 1, got $L")
+    import org.apache.spark.sql.expressions.Window
+    // The >= L guard is load-bearing twice over: it drops NULL/short texts,
+    // and it keeps sequence()'s stop >= start (Spark's sequence DESCENDS
+    // when stop < start rather than returning empty).
+    val positions = Parallelize.spread(df)
+      .select(col(idCol).as("id"), col(textCol).as("__graft_text"))
+      .where(length(col("__graft_text")) >= L)
+      .select(col("id"), col("__graft_text"),
+        explode(sequence(lit(1), length(col("__graft_text")) - (L - 1))).as("pos"))
+    val gramKey = {
+      val g = col("__graft_text").substr(col("pos"), lit(L))
+      if (portable) g else xxhash64(g)
+    }
+    val grams = positions.select(col("id"), col("pos"), gramKey.as("g"))
+    // toDF breaks the aggregate→semi-join lineage (fresh attribute IDs;
+    // same pattern as jaccardPairs' hot-shingle anti-join)
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("g").toDF("dup_g")
+    val marked = grams.join(dup, col("g") === col("dup_g"), "left_semi")
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val prevEnd = max(col("pos") + L)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("brk",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("id", "island")
+      .agg(min(col("pos")).cast("long").as("start"),
+        (max(col("pos")) + L).cast("long").as("end"))
+      .select("id", "start", "end")
+  }
+
+  /** Per-document rollup of [[duplicateSubstringIntervals]] over EVERY
+    * input row (docs with no duplicated span report zeros): interval
+    * count, duplicated character total, and the duplicated fraction of
+    * the text — the decision column for a "drop or trim documents that
+    * are mostly copies" pipeline stage. */
+  def duplicateSubstringStats(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minLength: Int = 40,
+      portable: Boolean = false): DataFrame = {
+    val iv = duplicateSubstringIntervals(df, textCol, idCol, minLength, portable)
+    val per = iv.groupBy("id").agg(
+      count(lit(1)).as("n_dup_intervals"),
+      sum(col("end") - col("start")).as("dup_chars"))
+    df.select(col(idCol).as("id"), length(col(textCol)).cast("long").as("n_chars"))
+      .join(per, Seq("id"), "left")
+      .na.fill(0L, Seq("n_dup_intervals", "dup_chars"))
+      .withColumn("dup_ratio",
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(col("dup_chars").cast("double") / col("n_chars").cast("double")))
+  }
 }

@@ -54,6 +54,45 @@ class OpsSpec extends SparkTestBase {
     assert(exact.isDefined)
   }
 
+  test("duplicated substrings: corpus marking, interval merge, family agreement") {
+    val shared1 = "ABCDEFGHIJKLMNO" // 15 chars shared by docs 0 and 1
+    val shared2 = "uvwxyz123456"    // 12 chars shared by docs 0 and 2
+    val rep = "PQRSTUVWXY"          // 10 chars repeated WITHIN doc 3
+    val d = Seq(
+      (0L, s"aa1${shared1}bb2ccc3${shared2}dd4"),
+      (1L, s"ee5${shared1}ff6"),
+      (2L, s"gg7${shared2}hh8"),
+      (3L, s"iii${rep}jjj${rep}kkk"),
+      (4L, "tiny") // shorter than L → no gram positions at all
+    ).toDF("doc_id", "text")
+    val iv = Dedup.duplicateSubstringIntervals(d, "text", "doc_id",
+      minLength = 10, portable = true)
+      .orderBy("id", "start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // overlapping dup positions merge into ONE maximal interval per span
+    assert(iv.toSeq == Seq(
+      (0L, 4L, 19L),  // shared1: 1-based [4, 19) — all 15 chars, one interval
+      (0L, 26L, 38L), // shared2: disjoint second interval in the same doc
+      (1L, 4L, 19L),
+      (2L, 4L, 16L),
+      (3L, 4L, 14L),  // within-doc repeat: BOTH occurrences are marked,
+      (3L, 17L, 27L)) //   like a corpus-wide suffix array would
+    )
+    // per-doc rollup covers every doc, zero-filled, with the exact ratio
+    val st = Dedup.duplicateSubstringStats(d, "text", "doc_id",
+      minLength = 10, portable = true)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(st(0) == ((0L, 40L, 2L, 27L, 27.0 / 40.0)))
+    assert(st(4) == ((4L, 4L, 0L, 0L, 0.0)))
+    // production family (xxhash64 gram keys) produces identical intervals
+    val fast = Dedup.duplicateSubstringIntervals(d, "text", "doc_id",
+      minLength = 10, portable = false)
+      .orderBy("id", "start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fast.toSeq == iv.toSeq)
+  }
+
   test("semantic dedup: within-cluster near-dups collapse to the min id") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),
