@@ -410,6 +410,37 @@ object OpsPack {
       .orderBy("source", "rank")
   }
 
+  /** Mixture-plan budget (chars) and weight rule for the driver queries:
+    * weight 1..5 cycling with the source's numeric suffix, so the plan
+    * exercises unequal targets; the budget is sized so sf0.01 upsamples
+    * the heavy sources (epochs > 1) while sf0.1 undersamples them —
+    * both planner regimes sit under the oracle. */
+  val MixtureBudgetChars = 300000L
+  private def mixtureWeight(group: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lit(1) + substring(group, 4, 10).cast("int") % 5
+
+  /** Data-mixing plan per source: availability, target weight, desired
+    * size, epochs, per-epoch acceptance rate (all exact-rational doubles —
+    * oracle-checked bit-for-bit). */
+  def mixturePlanQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.mixturePlan(docs(s, dir), "source", "n_chars",
+      mixtureWeight, MixtureBudgetChars)
+      .withColumnRenamed("group", "source")
+      .orderBy("source")
+  }
+
+  /** The applied mixture: every surviving (doc, epoch) pair under the plan
+    * above — upsampled sources emit multiple epochs per doc, downsampled
+    * sources thin deterministically by md5 bucket. */
+  def mixtureSampleQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.mixtureSample(docs(s, dir), "source", "n_chars", "doc_id",
+      mixtureWeight, MixtureBudgetChars)
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** Gopher-style repetition quality statistics over the corpus. */
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionStats(docs(s, dir), "text", "doc_id")
@@ -803,6 +834,8 @@ object OpsPack {
     "q_text_boilerplate_para" -> (boilerplateCleanPara _),
     "q_text_vocab" -> (vocabStats _),
     "q_sample_stratified" -> (stratifiedCounts _),
+    "q_mixture_plan" -> (mixturePlanQuery _),
+    "q_mixture_sample" -> (mixtureSampleQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_sample_per_source" -> (samplePerSource _),
     "q_profile_numeric" -> (numericProfileLineitem _),
@@ -1376,6 +1409,42 @@ object OpsPack {
       |WHERE bkt < CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 70 ELSE 100 END
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Mixture-plan oracle: identical grouping, weight rule, and IEEE op
+    * order (weight·budget first, then the two divisions) — every fraction
+    * is one double op on exact integers, so values match bit-for-bit. */
+  private val mixturePlanCtes: String =
+    s"""g AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS available FROM documents GROUP BY 1),
+       |w AS (SELECT *, CAST(1 + (CAST(substr(grp, 4) AS INTEGER) % 5) AS BIGINT) AS weight FROM g),
+       |t AS (SELECT *, sum(weight) OVER () AS tw FROM w),
+       |p AS (SELECT grp, n_docs, available, weight,
+       |  CAST(weight AS DOUBLE) * $MixtureBudgetChars / CAST(tw AS DOUBLE) AS desired_size,
+       |  CAST(ceil(CAST(weight AS DOUBLE) * $MixtureBudgetChars / CAST(tw AS DOUBLE)
+       |            / CAST(available AS DOUBLE)) AS BIGINT) AS epochs,
+       |  CAST(weight AS DOUBLE) * $MixtureBudgetChars / CAST(tw AS DOUBLE)
+       |    / CAST(available AS DOUBLE) AS rate
+       |  FROM t)""".stripMargin
+
+  private val mixturePlanSql: String =
+    s"""WITH $mixturePlanCtes
+       |SELECT grp AS source, n_docs, available, weight, desired_size, epochs,
+       |  CASE WHEN epochs = 0 THEN 0.0 ELSE rate / CAST(epochs AS DOUBLE) END AS per_epoch_rate
+       |FROM p ORDER BY source""".stripMargin
+
+  private val mixtureSampleSql: String =
+    s"""WITH $mixturePlanCtes,
+       |r AS (SELECT grp, epochs,
+       |  CAST(floor(CASE WHEN epochs = 0 THEN 0.0
+       |       ELSE rate / CAST(epochs AS DOUBLE) END * 10000 + 0.5) AS BIGINT) AS thr
+       |  FROM p WHERE epochs >= 1),
+       |eps AS (SELECT grp, thr, unnest(range(1, epochs + 1)) AS epoch FROM r),
+       |e AS (SELECT d.doc_id, d.source, eps.epoch, eps.thr
+       |      FROM documents d JOIN eps ON eps.grp = d.source)
+       |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM e
+       |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)), 1, 12))::BIGINT
+       |      % 10000 < thr
+       |ORDER BY doc_id, epoch""".stripMargin
+
   /** Numeric-profile oracle: percentile_disc is ANSI "smallest value whose
     * cumulative distribution reaches p", mirrored literally via cume_dist
     * (DuckDB's own quantile_disc uses a different index rule, so the
@@ -1611,6 +1680,8 @@ object OpsPack {
     "q_text_boilerplate_para" -> boilerplateParaSql,
     "q_text_vocab" -> vocabSql,
     "q_sample_stratified" -> stratifiedSql,
+    "q_mixture_plan" -> mixturePlanSql,
+    "q_mixture_sample" -> mixtureSampleSql,
     "q_docs_topk_quality" -> topkQualitySql,
     "q_sample_per_source" -> samplePerSourceSql,
     "q_profile_numeric" -> numericProfileSql,

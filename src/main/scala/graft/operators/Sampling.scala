@@ -103,4 +103,64 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__graft_shuffle_h")
   }
+
+  /** Data-mixing planner — the "hit these domain proportions inside this
+    * token budget" computation every pre-training mix starts from. Groups
+    * by `groupCol` (domain/source/language), sums `sizeCol` (tokens or
+    * chars) into per-group availability, and derives for each group from
+    * its integer `weightOf(group)` target weight:
+    *
+    *   - `desired_size` = budget · weight / Σweights,
+    *   - `rate`         = desired_size / available  (>1 ⇒ upsampling),
+    *   - `epochs`       = ⌈rate⌉ — how many passes over the group,
+    *   - `per_epoch_rate` = rate / epochs — the per-pass acceptance
+    *     probability (≤ 1 by construction) that yields `rate` in
+    *     expectation over `epochs` passes.
+    *
+    * Every fraction is a single IEEE double op on exact integers, so the
+    * plan is bit-reproducible in any engine (oracle-checkable). The
+    * cross-group weight total uses a constant-partition window: the frame
+    * at that point is one row per GROUP — mixture domains number in the
+    * tens at any corpus scale — so the single-partition window is free,
+    * and it keeps the plan join-free (a 1-row broadcast cross join would
+    * work too but would put a nested-loop join node in the plan). */
+  def mixturePlan(df: DataFrame, groupCol: String, sizeCol: String,
+      weightOf: Column => Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val one = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val rate = col("desired_size") / col("available").cast("double")
+    df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(sizeCol)).cast("long").as("available"))
+      .withColumn("weight", weightOf(col("group")).cast("long"))
+      .withColumn("desired_size",
+        col("weight").cast("double") * budget / sum(col("weight")).over(one).cast("double"))
+      .withColumn("epochs", ceil(rate).cast("long"))
+      .withColumn("per_epoch_rate",
+        when(col("epochs") === 0, lit(0.0))
+          .otherwise(rate / col("epochs").cast("double")))
+      .select("group", "n_docs", "available", "weight",
+        "desired_size", "epochs", "per_epoch_rate")
+  }
+
+  /** Apply a [[mixturePlan]]: emit each surviving (row, epoch) pair. Rows
+    * repeat up to `epochs` times (upsampled domains train multiple passes);
+    * each (id, epoch) pair survives iff its md5 bucket falls below the
+    * group's per-epoch acceptance threshold — deterministic across runs,
+    * engines, and partitionings, like every sampler here. The plan is tiny
+    * (one row per domain) and joins broadcast; the epoch explode multiplies
+    * only upsampled groups. NULL ids are excluded (hash is NULL). */
+  def mixtureSample(df: DataFrame, groupCol: String, sizeCol: String,
+      idCol: String, weightOf: Column => Column, budget: Long,
+      buckets: Int = 10000): DataFrame = {
+    val plan = mixturePlan(df, groupCol, sizeCol, weightOf, budget)
+      .select(col("group"), col("epochs"), col("per_epoch_rate"))
+    val threshold = floor(col("per_epoch_rate") * buckets + 0.5).cast("long")
+    df.join(broadcast(plan), df(groupCol) === plan("group"))
+      .where(col("epochs") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1L), col("epochs"))))
+      .where(hashBucket(
+        concat(col(idCol).cast("string"), lit("#"), col("epoch").cast("string")),
+        buckets) < threshold)
+      .select(df.columns.map(col) :+ col("epoch"): _*)
+  }
 }

@@ -589,6 +589,41 @@ class OpsSpec extends SparkTestBase {
       .where(col("lang") === "en").count() == 0L)
   }
 
+  test("mixture plan and sample: exact planner math, determinism, epoch bounds") {
+    import graft.operators.Sampling
+    // two domains: "big" has 4× the target weight of "small" but the same
+    // availability, so it must upsample (epochs > 1) while "small" thins
+    val df = (0 until 200).map { i =>
+      (i.toLong, if (i < 100) "big" else "small", 100L)
+    }.toDF("doc_id", "domain", "n_toks")
+    val weightOf = (g: org.apache.spark.sql.Column) =>
+      when(g === "big", 4).otherwise(1)
+    val plan = Sampling.mixturePlan(df, "domain", "n_toks", weightOf, budget = 25000L)
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    // big: desired = 25000·4/5 = 20000 over 10000 available → rate 2 → 2 epochs at 1.0
+    assert(plan(0) == (("big", 100L, 10000L, 4L, 20000.0, 2L, 1.0)))
+    // small: desired 5000 over 10000 → rate 0.5 → 1 epoch at 0.5
+    assert(plan(1) == (("small", 100L, 10000L, 1L, 5000.0, 1L, 0.5)))
+    val sample = Sampling.mixtureSample(df, "domain", "n_toks", "doc_id",
+      weightOf, budget = 25000L)
+    val rows = sample.collect().map(r => (r.getLong(0), r.getLong(3)))
+    // per-epoch rate 1.0 ⇒ EVERY big doc appears exactly twice (epochs 1 and 2)
+    assert(rows.count(_._1 < 100) == 200)
+    assert(rows.filter(_._1 < 100).map(_._2).toSet == Set(1L, 2L))
+    // (id, epoch) pairs are unique; small thins to roughly half, epoch always 1
+    assert(rows.distinct.length == rows.length)
+    val small = rows.filter(_._1 >= 100)
+    assert(small.forall(_._2 == 1L))
+    assert(small.length > 20 && small.length < 80)
+    // deterministic under repartitioning
+    val again = Sampling.mixtureSample(df.repartition(7), "domain", "n_toks",
+      "doc_id", weightOf, budget = 25000L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    assert(again == rows.sorted.toSeq)
+  }
+
   test("cleanCorpus portable-hash path agrees with the xxhash64 path here") {
     val c1 = Dedup.cleanCorpus(docs, "text", "doc_id", nearDupThreshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
