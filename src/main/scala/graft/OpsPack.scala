@@ -441,6 +441,13 @@ object OpsPack {
       .orderBy("doc_id", "epoch")
   }
 
+  /** Leave-one-out bigram familiarity scores — the LM-shaped quality
+    * filter with integer-exact stats (oracle-checked bit-for-bit). */
+  def lmNgramScore(s: SparkSession, dir: String): DataFrame =
+    TextOps.ngramFamiliarity(docs(s, dir), "text", "doc_id", n = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Gopher-style repetition quality statistics over the corpus. */
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionStats(docs(s, dir), "text", "doc_id")
@@ -830,6 +837,7 @@ object OpsPack {
     "q_events_streamed" -> (eventsStreamed _),
     "q_text_pii" -> (piiScan _),
     "q_text_repetition" -> (textRepetition _),
+    "q_lm_ngram_score" -> (lmNgramScore _),
     "q_text_boilerplate" -> (boilerplateClean _),
     "q_text_boilerplate_para" -> (boilerplateCleanPara _),
     "q_text_vocab" -> (vocabStats _),
@@ -1248,6 +1256,30 @@ object OpsPack {
       |       ELSE CAST(top_bi AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS top_bigram_ratio
       |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id
       |ORDER BY ts.doc_id""".stripMargin
+
+  /** Familiarity oracle: same normalized-whitespace tokens and
+    * list_transform bigrams as the repetition oracle, leave-one-out
+    * external counts via a corpus-count join, integer rollup, zero-filled
+    * over all documents. */
+  private val lmNgramScoreSql: String =
+    """WITH ta AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') t FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) g
+      |       FROM ta WHERE len(t) >= 2),
+      |dc AS (SELECT doc_id, g, count(*) c FROM bg GROUP BY 1, 2),
+      |cc AS (SELECT g, sum(c) tc FROM dc GROUP BY 1),
+      |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+      |        CAST(sum(CASE WHEN tc - c >= 1 THEN c ELSE 0 END) AS BIGINT) AS known_ngrams,
+      |        CAST(sum(c * (tc - c)) AS BIGINT) AS ext_sum
+      |        FROM dc JOIN cc USING (g) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+      |  CAST(coalesce(known_ngrams, 0) AS BIGINT) AS known_ngrams,
+      |  CASE WHEN coalesce(n_ngrams, 0) = 0 THEN 0.0
+      |       ELSE CAST(known_ngrams AS DOUBLE) / CAST(n_ngrams AS DOUBLE) END AS familiarity,
+      |  CASE WHEN coalesce(n_ngrams, 0) = 0 THEN 0.0
+      |       ELSE CAST(ext_sum AS DOUBLE) / CAST(n_ngrams AS DOUBLE) END AS avg_external_freq
+      |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Winnowing oracle: md5 48-bit k-gram hashes at every position, each
     * position fanned out to its containing windows, per-window struct-min
@@ -1676,6 +1708,7 @@ object OpsPack {
     "q_text_stats" -> statsSql,
     "q_text_pii" -> piiSql,
     "q_text_repetition" -> repetitionSql,
+    "q_lm_ngram_score" -> lmNgramScoreSql,
     "q_text_boilerplate" -> boilerplateSql,
     "q_text_boilerplate_para" -> boilerplateParaSql,
     "q_text_vocab" -> vocabSql,

@@ -399,4 +399,55 @@ object TextOps {
         array_join(slice(col("__graft_t"), col("chunk_start") + lit(1), lit(chunkTokens)), " ")
           .as("chunk_text"))
   }
+
+  /** LM-style n-gram familiarity scoring — the integer-exact core of a
+    * CCNet/KenLM-shaped quality filter: how common each document's word
+    * n-grams are in the REST of the corpus (leave-one-out, so a document
+    * can't vouch for itself by repeating its own phrases). Per document,
+    * over its n-gram OCCURRENCES (with multiplicity):
+    *
+    *   - `n_ngrams`          occurrence count,
+    *   - `known_ngrams`      occurrences whose gram also appears outside
+    *                         this document,
+    *   - `familiarity`       known / total — the share of the text made of
+    *                         corpus-attested phrasing,
+    *   - `avg_external_freq` mean external occurrence count — how HEAVILY
+    *                         attested the known phrasing is.
+    *
+    * All counts are integers and both ratios are single divisions, so the
+    * scores are bit-reproducible in any engine (no log-prob float sums —
+    * a true perplexity's per-token log accumulation is summation-order-
+    * dependent and can't be oracle-checked exactly; rank behavior is the
+    * same). Documents with fewer than `n` tokens report zeros.
+    *
+    * Plan at 100 TB: one gram explode (O(total tokens) rows), a
+    * map-side-combinable per-(doc, gram) count, a corpus-count aggregate
+    * joined back on the gram (linear in postings — no pair join, so no
+    * df-cap needed; AQE skew-split covers hot grams), one per-doc rollup. */
+  def ngramFamiliarity(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
+    val grams = Parallelize.spread(df).select(col(idCol).as("id"),
+      explode(if (n == 1) split(norm, " ") else wordShinglesAllFromNormalized(norm, n)).as("g"))
+    val docCounts = grams.groupBy("id", "g").agg(count(lit(1)).as("c"))
+    val corpusCounts = docCounts.groupBy("g").agg(sum(col("c")).as("tc"))
+      .toDF("cc_g", "tc") // fresh attributes: agg → join lineage break
+    val ext = col("tc") - col("c")
+    val per = docCounts.join(corpusCounts, col("g") === col("cc_g"))
+      .groupBy("id").agg(
+        sum(col("c")).cast("long").as("n_ngrams"),
+        sum(when(ext >= 1, col("c")).otherwise(0L)).cast("long").as("known_ngrams"),
+        sum(col("c") * ext).cast("long").as("__graft_ext_sum"))
+    df.select(col(idCol).as("id"))
+      .join(per, Seq("id"), "left")
+      .na.fill(0L, Seq("n_ngrams", "known_ngrams", "__graft_ext_sum"))
+      .select(col("id"), col("n_ngrams"), col("known_ngrams"),
+        when(col("n_ngrams") === 0, lit(0.0))
+          .otherwise(col("known_ngrams").cast("double") / col("n_ngrams").cast("double"))
+          .as("familiarity"),
+        when(col("n_ngrams") === 0, lit(0.0))
+          .otherwise(col("__graft_ext_sum").cast("double") / col("n_ngrams").cast("double"))
+          .as("avg_external_freq"))
+  }
 }

@@ -564,6 +564,25 @@ class OpsSpec extends SparkTestBase {
     assert(stats(2) == ((2L, 3L, 2L, 1.0 - 2.0 / 3))) // yy is OOV
   }
 
+  test("ngram familiarity: leave-one-out counts, multiplicity, zero-fill") {
+    val d = Seq(
+      (0L, "a b c"),      // bigrams: "a b", "b c"
+      (1L, "a b a b"),    // "a b"×2, "b a"×1
+      (2L, "x y"),        // "x y" — nowhere else
+      (3L, "q")           // < 2 tokens → zeros
+    ).toDF("doc_id", "text")
+    val r = TextOps.ngramFamiliarity(d, "text", "doc_id", n = 2)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))
+    // doc 0: "a b" has 2 external occurrences (doc 1), "b c" none
+    assert(r(0) == ((0L, 2L, 1L, 0.5, 2.0 / 2.0)))
+    // doc 1: its two "a b" occurrences each have 1 external; "b a" none —
+    //   self-repetition does NOT count as familiarity (leave-one-out)
+    assert(r(1) == ((1L, 3L, 2L, 2.0 / 3.0, 2.0 / 3.0)))
+    assert(r(2) == ((2L, 1L, 0L, 0.0, 0.0)))
+    assert(r(3) == ((3L, 0L, 0L, 0.0, 0.0)))
+  }
+
   test("stratified sample: per-stratum rates, monotone upsampling, stable") {
     import graft.operators.Sampling
     val df = (0 until 600).map(i =>
