@@ -113,7 +113,8 @@ object Bench {
     val costRank = Seq(
       "q_compare_all_mismatch", "q_clean_corpus", "q_clean_corpus_fast",
       "q_events_streamed",
-      "q_dedup_jaccard_pairs", "q_multimodal_features", "q_profile_numeric",
+      "q_dedup_jaccard_pairs", "q_dedup_substring", "q_multimodal_features",
+      "q_lm_ngram_score", "q_profile_numeric",
       "q_compare_dupe_counts", "q_dedup_simhash", "q_dedup_winnow",
       "q_profile_lineitem", "q_dedup_minhash_lsh", "q_text_repetition",
       "q_compare_custom_comparator", "q_source_csv", "q_compare_column_stats",

@@ -1034,7 +1034,7 @@ object Dedup {
       textCol: String,
       idCol: String,
       minLength: Int = 40,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false): DataFrame = newCacheScope {
     val L = minLength
     require(L >= 1, s"minLength must be >= 1, got $L")
     import org.apache.spark.sql.expressions.Window
@@ -1050,7 +1050,11 @@ object Dedup {
       val g = col("__graft_text").substr(col("pos"), lit(L))
       if (portable) g else xxhash64(g)
     }
-    val grams = positions.select(col("id"), col("pos"), gramKey.as("g"))
+    // Two consumers (the duplicate count and the position marking) — cache
+    // the postings rather than re-running the scan + explode for each. The
+    // production (hashed) postings are three longs per position; the
+    // portable family pays the same L× payload here as everywhere else.
+    val grams = cacheShared(positions.select(col("id"), col("pos"), gramKey.as("g")))
     // toDF breaks the aggregate→semi-join lineage (fresh attribute IDs;
     // same pattern as jaccardPairs' hot-shingle anti-join)
     val dup = grams.groupBy("g").agg(count(lit(1)).as("c"))
