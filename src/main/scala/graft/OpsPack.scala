@@ -505,9 +505,20 @@ object OpsPack {
       val root = Paths.get(s"target/graft_stream_driver_${md5Hex(dir)}")
       deleteRecursively(root) // stale single-file layout from earlier rounds
       Files.createDirectories(root)
-      val ev = s.read.parquet(s"$dir/events.parquet") // ts: nanosecond longs
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      // ts arrives either as nanosecond longs (legacy nanosAsLong rounds) or
+      // as a real timestamp (timestamp[us] → TIMESTAMP_NTZ); compute the
+      // split midpoint in whichever domain the column actually has.
       val r = ev.selectExpr("min(ts)", "max(ts)").first()
-      val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+      val mid: Any = (r.get(0), r.get(1)) match {
+        case (mn: java.lang.Long, mx: java.lang.Long) =>
+          Long.box(mn + (mx - mn) / 2)
+        case (mn: java.time.LocalDateTime, mx: java.time.LocalDateTime) =>
+          mn.plus(java.time.Duration.between(mn, mx).dividedBy(2L))
+        case (mn: java.sql.Timestamp, mx: java.sql.Timestamp) =>
+          new java.sql.Timestamp(mn.getTime + (mx.getTime - mn.getTime) / 2)
+        case other => sys.error(s"unsupported ts domain: $other")
+      }
       def writeHalf(cond: org.apache.spark.sql.Column, name: String, mtimeMs: Long): Unit = {
         val tmp = root.resolve(s"tmp_$name")
         ev.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -520,8 +531,8 @@ object OpsPack {
         Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeMs))
         deleteRecursively(tmp)
       }
-      writeHalf(col("ts") <= mid, "half0", 1000000L)
-      writeHalf(col("ts") > mid, "half1", 2000000L)
+      writeHalf(col("ts") <= lit(mid), "half0", 1000000L)
+      writeHalf(col("ts") > lit(mid), "half1", 2000000L)
       root.toString
     })
     val sink = s"graft_events_stream_sink_${streamSinkSeq.incrementAndGet()}"
@@ -728,17 +739,28 @@ object OpsPack {
       s.read.parquet(s"$dir/lineitem.parquet"), NumProfileCols)
       .orderBy("column")
 
-  /** Hourly event rollup: nanosecond timestamps bucketed with integral
-    * division (exact at any magnitude — doubles can't hold ns epochs), and
-    * value sums carried in decimal so the result is order-independent and
-    * engine-exact, then surfaced as double. */
-  def eventsWindowed(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
-      .selectExpr("ts DIV 3600000000000 AS bucket", "event_type",
-        "CAST(value AS DECIMAL(18,6)) AS v")
+  /** Hourly event rollup, robust to how the driver typed `ts` this round:
+    * nanosecond longs (TIMESTAMP(NANOS) under `nanosAsLong`) bucket with
+    * integral division (exact at any magnitude — doubles can't hold ns
+    * epochs); real timestamps (timestamp[us] reads as TIMESTAMP_NTZ) bucket
+    * as wall-clock hours since epoch via date arithmetic, which is
+    * timezone-independent on NTZ regardless of the harness session's zone.
+    * Value sums are carried in decimal so the result is order-independent
+    * and engine-exact, then surfaced as double. */
+  def eventsWindowed(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val bucket = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 3600000000000")
+      case _ => // wall-clock hours since epoch (positive post-1970 data)
+        datediff(col("ts").cast("date"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long") * 24L + hour(col("ts")).cast("long")
+    }
+    ev.select(bucket.as("bucket"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("v"))
       .groupBy("bucket", "event_type")
       .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("total_value"))
       .orderBy("bucket", "event_type")
+  }
 
   /** Deterministic 80/10/10 split assignment per document (md5-bucketed —
     * reproducible across engines, runs, and partitionings), rolled up to

@@ -14,13 +14,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** Normalize an event frame whose `ts` arrived as nanosecond longs (the
-    * testdata's parquet TIMESTAMP(NANOS) reads as long under
-    * `spark.sql.legacy.parquet.nanosAsLong=true`) into a real timestamp. */
+  /** Normalize an event frame's `ts` into an event-time-capable TIMESTAMP:
+    * nanosecond longs (parquet TIMESTAMP(NANOS) read under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) convert via
+    * timestamp_micros; TIMESTAMP_NTZ (timestamp[us] parquet) casts to
+    * TIMESTAMP because `withWatermark` rejects NTZ event time — the cast
+    * interprets the wall clock in the session zone (harness sessions pin
+    * UTC), and batch/stream consistency is preserved because both sides
+    * normalize through this same function. */
   def normalizeEventTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
     df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn(tsCol, timestamp_micros((col(tsCol) / 1000).cast("long")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
       case _ => df
     }
 

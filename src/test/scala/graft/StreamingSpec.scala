@@ -13,7 +13,10 @@ class StreamingSpec extends SparkTestBase {
     val d = java.nio.file.Paths.get("target/stream_events")
     java.nio.file.Files.createDirectories(d)
     val dst = d.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(dst)) java.nio.file.Files.copy(src, dst)
+    // always refresh: a staged copy from an earlier round may carry a stale
+    // ts encoding (ns longs vs timestamp[us])
+    java.nio.file.Files.copy(src, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     d.toString
   }
 
@@ -29,12 +32,15 @@ class StreamingSpec extends SparkTestBase {
     // a finite file source, all but the max-event-time window close.
     val streamed = spark.table("win_sink")
     val expected = EventStreams.windowedCounts(batch, windowLength = "1 hour", watermark = "0 seconds")
-    val maxTs = batch.agg(max(col("ts"))).first().getTimestamp(0)
+    // ts may be TIMESTAMP (java.sql.Timestamp) or TIMESTAMP_NTZ
+    // (java.time.LocalDateTime) depending on the round's parquet encoding —
+    // compare window starts generically
+    val maxTs = batch.agg(max(col("ts"))).first().get(0)
     val closedExpected = expected.where(col("window_end") <= lit(maxTs))
     val s = streamed.select("window_start", "event_type", "n").collect()
-      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      .map(r => (r.get(0), r.getString(1), r.getLong(2))).toSet
     val e = closedExpected.select("window_start", "event_type", "n").collect()
-      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      .map(r => (r.get(0), r.getString(1), r.getLong(2))).toSet
     assert(e.subsetOf(s), s"missing windows: ${(e -- s).take(3)}")
     assert(s.nonEmpty)
   }
