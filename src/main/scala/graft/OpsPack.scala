@@ -762,6 +762,57 @@ object OpsPack {
       .orderBy("bucket", "event_type")
   }
 
+  /** As-of join driver query: every purchase event attributed to the same
+    * user's most recent click at-or-before it, within a 2-hour tolerance —
+    * the pandas `merge_asof` shape as a single-shuffle union+forward-fill
+    * plan (no range join, no row duplication; [[graft.operators.AsOf]]).
+    * Timestamps surface as epoch micros so the result is integer-exact
+    * across engines (UTC sessions). */
+  def eventsAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.normalizeEventTs(
+      s.read.parquet(s"$dir/events.parquet"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select("user_id", "ts", "event_id", "value")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    graft.operators.AsOf.asofBackward(
+      purchases, clicks, Seq("user_id"), "ts",
+      payload = Seq("event_id", "value"), tieCol = "event_id",
+      tolerance = Some(expr("INTERVAL '2' HOUR")))
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("asof_event_id").as("click_id"),
+        unix_micros(col("asof_ts")).as("click_ts_us"),
+        col("asof_value").as("click_value"))
+      .orderBy("purchase_id")
+  }
+
+  /** Gap-based sessionization driver query: per-user sessions split on
+    * 30-minute silences, rolled up to exact counts/spans/decimal sums
+    * ([[graft.operators.Sessionize]] — one shuffle, two same-order window
+    * passes, pre-partitioned rollup). */
+  def eventsSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.normalizeEventTs(
+      s.read.parquet(s"$dir/events.parquet"))
+    graft.operators.Sessionize.sessionStats(
+      ev, keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      gapSeconds = 1800L, valueCol = "value")
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** BM25 keyword-search driver query: top-25 documents for a three-term
+    * query under the engine-portable fixed-point scorer
+    * ([[graft.operators.Search.bm25TopKPortable]]) — one stats pass, one
+    * map-side scoring pass into TakeOrderedAndProject. 'dup' is the rare
+    * discriminating term (df≈5% of docs); the other two are common. */
+  val Bm25Terms: Seq[String] = Seq("dup", "vector", "merge")
+
+  def textBm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Search.bm25TopKPortable(
+      docs(s, dir), "text", "doc_id", Bm25Terms, k = 25)
+
   /** Deterministic 80/10/10 split assignment per document (md5-bucketed —
     * reproducible across engines, runs, and partitionings), rolled up to
     * per-split counts. */
@@ -837,6 +888,9 @@ object OpsPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_windowed" -> (eventsWindowed _),
+    "q_events_asof" -> (eventsAsof _),
+    "q_events_sessions" -> (eventsSessions _),
+    "q_text_bm25" -> (textBm25 _),
     "q_docs_lang_rollup" -> (langRollup _),
     "q_split_counts" -> (splitCounts _),
     "q_shuffle_export" -> (shuffleExport _),
@@ -1722,8 +1776,103 @@ object OpsPack {
       | CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** As-of oracle: the same union + tagged sort + IGNORE NULLS running fill
+    * the engine uses, expressed as a window query — rights sort before
+    * lefts at equal ts (inclusive match), tie column ascending so the max
+    * tie wins the fill, 2-hour tolerance nulls the attachment. */
+  private val eventsAsofSql: String =
+    """WITH clicks AS (SELECT user_id, ts, event_id, value FROM events
+      |               WHERE event_type = 'click'),
+      |purch AS (SELECT user_id, ts, event_id FROM events
+      |          WHERE event_type = 'purchase'),
+      |un AS (
+      |  SELECT user_id, ts, 0 AS side, event_id AS tie, event_id AS c_id,
+      |         ts AS c_ts, value AS c_val, NULL::BIGINT AS p_id FROM clicks
+      |  UNION ALL
+      |  SELECT user_id, ts, 1, NULL, NULL, NULL, NULL, event_id FROM purch),
+      |filled AS (
+      |  SELECT *,
+      |    last_value(c_id IGNORE NULLS) OVER w AS f_id,
+      |    last_value(c_ts IGNORE NULLS) OVER w AS f_ts,
+      |    last_value(c_val IGNORE NULLS) OVER w AS f_val
+      |  FROM un
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY ts ASC, side ASC, tie ASC NULLS FIRST
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tol AS (SELECT *, f_id IS NOT NULL
+      |          AND epoch_us(ts) - epoch_us(f_ts) <= 7200000000 AS ok
+      |        FROM filled WHERE side = 1)
+      |SELECT p_id AS purchase_id, user_id, epoch_us(ts) AS ts_us,
+      |  CASE WHEN ok THEN f_id END AS click_id,
+      |  CASE WHEN ok THEN epoch_us(f_ts) END AS click_ts_us,
+      |  CASE WHEN ok THEN f_val END AS click_value
+      |FROM tol ORDER BY purchase_id""".stripMargin
+
+  /** Sessionization oracle: identical lag → gap flag → running sum →
+    * rollup, with micros epochs and decimal-exact value sums. */
+  private val eventsSessionsSql: String =
+    """WITH l AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |f AS (SELECT *, CASE WHEN prev IS NULL
+      |                       OR epoch_us(ts) - prev > 1800000000
+      |                     THEN 1 ELSE 0 END AS is_new FROM l),
+      |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |      FROM f)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+      |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** BM25 (portable fixed-point) oracle: identical tokenization, rational
+    * RSJ-odds idf, k1=6/5 b=3/4 saturation cleared to integer fractions,
+    * and the same two-step BIGINT floor division — bit-identical scores by
+    * construction (Search.bm25TopKPortable's scoring contract). */
+  private val textBm25Sql: String = {
+    val terms = Bm25Terms
+    val tokCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n      |    ")
+    val dfCols = terms.indices.map { i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+    }.mkString(", ")
+    val scoreTerms = terms.indices.map { i =>
+      val num = s"((2 * (g.n - g.df_$i) + 1) * 22 * g.tl * t.tf_$i)"
+      val den = s"((2 * g.df_$i + 1) * (10 * g.tl * t.tf_$i + 3 * g.tl + 9 * t.dl * g.n))"
+      s"(($num // $den) * 10000 + (($num % $den) * 10000) // $den)"
+    }.mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |                x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |    $tokCols
+       |  FROM d),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(dl) AS tl, $dfCols
+       |      FROM t),
+       |scored AS (
+       |  SELECT t.doc_id AS id, $scoreTerms AS score,
+       |    ${terms.indices.map(i => s"t.tf_$i AS tf_$i").mkString(", ")}
+       |  FROM t CROSS JOIN g)
+       |SELECT id, score, ${terms.indices.map(i => s"tf_$i").mkString(", ")}
+       |FROM scored WHERE score > 0
+       |ORDER BY score DESC, id LIMIT 25""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_events_windowed" -> eventsWindowedSql,
+    "q_events_asof" -> eventsAsofSql,
+    "q_events_sessions" -> eventsSessionsSql,
+    "q_text_bm25" -> textBm25Sql,
     "q_docs_lang_rollup" -> langRollupSql,
     "q_split_counts" -> splitCountsSql,
     "q_shuffle_export" -> shuffleExportSql,

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyword search over a document corpus: BM25 top-k scoring against a
+  * fixed query-term set — the lexical-retrieval complement to the
+  * embedding-based ANN family in [[Ann]].
+  *
+  * Scale design: for a bounded query-term list the whole score is a per-row
+  * expression — tokens, per-term tf, and doc length all come from one
+  * codegen'd `split`/`filter`/`size` chain, so there is NO per-token
+  * explode/shuffle. The pipeline is two corpus scans: (1) a single
+  * all-columns-pruned aggregate collecting N, total token count, and each
+  * term's document frequency (one row to the driver, broadcast back as plan
+  * literals); (2) a map-side scoring pass feeding `TakeOrderedAndProject`
+  * for the global top-k — per-partition heaps, k×partitions rows moved, no
+  * global sort. At 100 TB the stats pass amortizes across queries (store it
+  * with the corpus like [[Ivf]] stores centroids).
+  *
+  * Two scoring families, same pattern as the md5/xxhash64 dedup split:
+  *  - [[bm25TopK]] — classic double-precision BM25 (Robertson idf with the
+  *    Lucene `ln(1 + …)` smoothing): the production path.
+  *  - [[bm25TopKPortable]] — fixed-point integer scoring, bit-identical
+  *    across engines, used by the correctness oracle: the idf keeps the
+  *    Robertson–Sparck-Jones odds WITHOUT the log (a rational number), k1
+  *    and b are fixed at 6/5 and 3/4, and every per-term score is an exact
+  *    BIGINT floor((SCALE·num)/den) computed with two-step integer
+  *    division so nothing overflows. Identical tie-breaks (doc id).
+  */
+object Search {
+
+  final case class CorpusStats(n: Long, totalLen: Long, df: Map[String, Long])
+
+  private def tokensExpr(textCol: String): String =
+    s"filter(split(lower($textCol), '[^a-z0-9]+'), x -> length(x) > 0)"
+
+  /** One aggregate pass over the corpus: doc count, total token count, and
+    * per-term document frequencies (single driver row — O(terms) bytes). */
+  def corpusStats(
+      docs: DataFrame, textCol: String, terms: Seq[String]): CorpusStats = {
+    val toks = tokensExpr(textCol)
+    val agg = docs
+      .selectExpr(s"size($toks) AS dl", s"$toks AS toks")
+      .selectExpr(
+        Seq("count(1) AS n", "sum(dl) AS tl") ++
+          terms.zipWithIndex.map { case (t, i) =>
+            s"sum(CASE WHEN array_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$i"
+          }: _*)
+      .first()
+    CorpusStats(
+      agg.getLong(0), agg.getLong(1),
+      terms.zipWithIndex.map { case (t, i) => t -> agg.getLong(2 + i) }.toMap)
+  }
+
+  /** Classic BM25 top-k (double scoring, Lucene-style idf). Emits
+    * (id, score, per-term tf columns) for the k best docs with score > 0. */
+  def bm25TopK(
+      docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      stats: Option[CorpusStats] = None): DataFrame = {
+    val st = stats.getOrElse(corpusStats(docs, textCol, terms))
+    val avgdl = st.totalLen.toDouble / st.n
+    val toks = tokensExpr(textCol)
+    val tfExprs = terms.zipWithIndex.map { case (t, i) =>
+      s"size(filter(_graft_toks, x -> x = '$t')) AS tf_$i"
+    }
+    val scoreTerms = terms.zipWithIndex.map { case (t, i) =>
+      val df = st.df(t)
+      val idf = math.log(1.0 + (st.n - df + 0.5) / (df + 0.5))
+      s"($idf * tf_$i * ${k1 + 1.0} / (tf_$i + $k1 * ${1.0 - b} + $k1 * $b * _graft_dl / $avgdl))"
+    }
+    docs
+      .selectExpr(s"`$idCol` AS id", s"$toks AS _graft_toks")
+      .selectExpr(Seq("id", "size(_graft_toks) AS _graft_dl") ++ tfExprs: _*)
+      .selectExpr(
+        Seq("id", s"${scoreTerms.mkString(" + ")} AS score") ++
+          terms.indices.map(i => s"tf_$i"): _*)
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Fixed-point scale for the portable scorer: four decimal digits of
+    * per-term score resolution. */
+  val PortableScale = 10000L
+
+  /** Engine-portable BM25 variant: integer-exact scoring.
+    *
+    * Per term with document frequency df over N docs of total length TL:
+    *   idf  = (2(N−df)+1) / (2df+1)                 (RSJ odds, no log)
+    *   sat  = tf(k1+1) / (tf + k1(1−b+b·dl/avgdl))  with k1=6/5, b=3/4
+    * which clears to the integer fraction
+    *   num  = (2N−2df+1) · 22 · TL · tf
+    *   den  = (2df+1) · (10·TL·tf + 3·TL + 9·dl·N)
+    * and the emitted per-term score is floor(SCALE·num/den), computed as
+    * (num DIV den)·SCALE + ((num MOD den)·SCALE) DIV den so the largest
+    * intermediate is den·SCALE (< 2⁶³ for corpora up to ~10⁸ total tokens).
+    * Total score = Σ term scores in BIGINT — exact, order-independent, and
+    * reproducible on any engine with 64-bit integer division. */
+  def bm25TopKPortable(
+      docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int,
+      stats: Option[CorpusStats] = None): DataFrame = {
+    val st = stats.getOrElse(corpusStats(docs, textCol, terms))
+    val n = st.n
+    val tl = st.totalLen
+    val toks = tokensExpr(textCol)
+    val tfExprs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(size(filter(_graft_toks, x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }
+    val scoreTerms = terms.zipWithIndex.map { case (t, i) =>
+      val df = st.df(t)
+      val idfNum = 2L * (n - df) + 1L
+      val idfDen = 2L * df + 1L
+      // every literal L-suffixed: bare ints would multiply in INT and
+      // overflow under ANSI before BIGINT promotion kicks in
+      val num = s"(${idfNum}L * 22L * ${tl}L * tf_$i)"
+      val den = s"(${idfDen}L * (10L * ${tl}L * tf_$i + 3L * ${tl}L + 9L * _graft_dl * ${n}L))"
+      s"(($num DIV $den) * ${PortableScale}L + (($num % $den) * ${PortableScale}L) DIV $den)"
+    }
+    docs
+      .selectExpr(s"`$idCol` AS id", s"$toks AS _graft_toks")
+      .selectExpr(
+        Seq("id", "CAST(size(_graft_toks) AS BIGINT) AS _graft_dl") ++ tfExprs: _*)
+      .selectExpr(
+        Seq("id", s"${scoreTerms.mkString(" + ")} AS score") ++
+          terms.indices.map(i => s"tf_$i AS tf_$i"): _*)
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+}

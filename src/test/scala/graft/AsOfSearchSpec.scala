@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, Search, Sessionize}
+
+/** As-of join, batch sessionization, and BM25 search semantics. */
+class AsOfSearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- as-of join ----
+
+  private def rights = Seq(
+    // (user, ts, id, value) — two rows tie at (1, 20)
+    (1L, 10L, 100L, 1.0), (1L, 20L, 105L, 2.0), (1L, 20L, 106L, 3.0),
+    (1L, 40L, 110L, 4.0), (2L, 15L, 200L, 9.0))
+    .toDF("user_id", "ts", "event_id", "value")
+
+  private def lefts = Seq(
+    (1L, 5L, 1L), (1L, 20L, 2L), (1L, 35L, 3L), (1L, 100L, 4L),
+    (2L, 15L, 5L), (3L, 50L, 6L))
+    .toDF("user_id", "ts", "event_id")
+
+  test("asof backward: latest at-or-before, inclusive, max-tie wins") {
+    val got = AsOf.asofBackward(lefts, rights, Seq("user_id"), "ts",
+      payload = Seq("event_id", "value"), tieCol = "event_id")
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> None,        // ts 5: nothing before
+      2L -> Some(106L),  // ts 20: inclusive match, tie → max event_id
+      3L -> Some(106L),  // ts 35: most recent is the 20-pair's winner
+      4L -> Some(110L),  // ts 100: latest overall
+      5L -> Some(200L),  // other key, inclusive
+      6L -> None))       // key with no rights at all
+  }
+
+  test("asof backward: tolerance nulls matches that are too old") {
+    val got = AsOf.asofBackward(lefts, rights, Seq("user_id"), "ts",
+      payload = Seq("event_id"), tieCol = "event_id",
+      tolerance = Some(lit(10L)))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    // ts 100 is 60 past the latest right (40) → nulled; ts 35 is 15 past 20 → nulled
+    assert(got(4L).isEmpty && got(3L).isEmpty)
+    assert(got(2L).contains(106L) && got(5L).contains(200L))
+  }
+
+  test("asof forward: earliest at-or-after, mirror semantics") {
+    val got = AsOf.asofForward(lefts, rights, Seq("user_id"), "ts",
+      payload = Seq("event_id"), tieCol = "event_id")
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> Some(100L),  // ts 5 → next right at 10
+      2L -> Some(106L),  // inclusive at 20, max tie
+      3L -> Some(110L),  // ts 35 → next at 40
+      4L -> None,        // nothing after 100
+      5L -> Some(200L),
+      6L -> None))
+  }
+
+  test("asof is joinless and partitioning-invariant") {
+    val df = AsOf.asofBackward(
+      lefts.repartition(7), rights.repartition(5), Seq("user_id"), "ts",
+      payload = Seq("event_id"), tieCol = "event_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of should not plan a join:\n$plan")
+    val base = AsOf.asofBackward(lefts, rights, Seq("user_id"), "ts",
+      payload = Seq("event_id"), tieCol = "event_id")
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == base)
+  }
+
+  test("asof agrees with a brute-force argmax join on random data") {
+    val rnd = new scala.util.Random(7)
+    val rs = Seq.fill(300)((rnd.nextInt(10).toLong, rnd.nextInt(50).toLong,
+      rnd.nextInt(1000).toLong)).distinct
+      .zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong, v.toDouble) }
+    val ls = Seq.fill(200)((rnd.nextInt(12).toLong, rnd.nextInt(60).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, (1000 + i).toLong) }
+    val r = rs.toDF("user_id", "ts", "event_id", "value")
+    val l = ls.toDF("user_id", "ts", "event_id")
+    val got = AsOf.asofBackward(l, r, Seq("user_id"), "ts",
+      payload = Seq("event_id"), tieCol = "event_id")
+      .collect().map(x => x.getLong(2) ->
+        (if (x.isNullAt(4)) None else Some(x.getLong(4)))).toMap
+    // reference: per left row, max (ts, id) among rights with ts <= left.ts
+    val byKey = rs.groupBy(_._1)
+    val expected = ls.map { case (k, t, id) =>
+      id -> byKey.getOrElse(k, Nil).filter(_._2 <= t)
+        .sortBy(x => (x._2, x._3)).lastOption.map(_._3)
+    }.toMap
+    assert(got == expected)
+  }
+
+  // ---- sessionization ----
+
+  test("sessionize: gap splits, tie handling, exact rollup") {
+    val ev = Seq(
+      // user 1: ts minutes 0,10,50,60 with 30-min gap → two sessions
+      (1L, 0L, 1L, 1.5), (1L, 600L, 2L, 2.5),
+      (1L, 3000L, 3L, 4.0), (1L, 3600L, 4L, 8.0),
+      // user 2: single event
+      (2L, 100L, 5L, 1.0))
+      .toDF("user_id", "us", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("us") * 1000000L))
+    val got = Sessionize.sessionStats(ev, "user_id", "ts", "event_id",
+      gapSeconds = 1800L, valueCol = "value")
+      .orderBy("user_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(6) / 1000000L, r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 600L, 4.0),
+      (1L, 2L, 2L, 600L, 12.0),
+      (2L, 1L, 1L, 0L, 1.0)))
+  }
+
+  test("sessionize: session numbering is deterministic under repartitioning") {
+    val rnd = new scala.util.Random(3)
+    val ev = Seq.fill(500)((rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong))
+      .zipWithIndex.map { case ((u, s), i) => (u, s, i.toLong, 1.0) }
+      .toDF("user_id", "s", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("s") * 1000000L))
+    val a = Sessionize.withSessionSeq(ev, "user_id", "ts", "event_id", 60L)
+      .select("event_id", "session_seq").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sessionize.withSessionSeq(ev.repartition(13), "user_id", "ts", "event_id", 60L)
+      .select("event_id", "session_seq").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  // ---- BM25 search ----
+
+  private def corpus = Seq(
+    (1L, "Apple banana apple!"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry cherry apple"),
+    (4L, "durian melon"))
+    .toDF("doc_id", "text")
+
+  test("corpus stats: tokenization, doc frequencies, total length") {
+    val st = Search.corpusStats(corpus, "text", Seq("apple", "cherry"))
+    assert(st.n == 4 && st.totalLen == 3 + 2 + 4 + 2)
+    assert(st.df == Map("apple" -> 2L, "cherry" -> 2L))
+  }
+
+  test("portable BM25 matches a BigInt reference computation") {
+    val terms = Seq("apple", "cherry")
+    val st = Search.corpusStats(corpus, "text", terms)
+    val got = Search.bm25TopKPortable(corpus, "text", "doc_id", terms, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference scorer in exact BigInt arithmetic
+    val docs = Map(1L -> Seq("apple", "banana", "apple"),
+      2L -> Seq("banana", "cherry"),
+      3L -> Seq("cherry", "cherry", "cherry", "apple"),
+      4L -> Seq("durian", "melon"))
+    def score(toks: Seq[String]): BigInt = terms.map { t =>
+      val tf = BigInt(toks.count(_ == t))
+      if (tf == 0) BigInt(0) else {
+        val n = BigInt(st.n); val tl = BigInt(st.totalLen)
+        val df = BigInt(st.df(t)); val dl = BigInt(toks.size)
+        val num = (2 * (n - df) + 1) * 22 * tl * tf
+        val den = (2 * df + 1) * (10 * tl * tf + 3 * tl + 9 * dl * n)
+        (num / den) * 10000 + (num % den) * 10000 / den
+      }
+    }.sum
+    val expected = docs.view.mapValues(score).filter(_._2 > 0)
+      .mapValues(_.toLong).toMap
+    assert(got == expected)
+    assert(!got.contains(4L)) // no query term → filtered
+  }
+
+  test("double and portable BM25 agree on the matched set and top doc") {
+    val terms = Seq("apple", "cherry")
+    val dbl = Search.bm25TopK(corpus, "text", "doc_id", terms, k = 10)
+      .collect().map(_.getLong(0))
+    val fix = Search.bm25TopKPortable(corpus, "text", "doc_id", terms, k = 10)
+      .collect().map(_.getLong(0))
+    assert(dbl.toSet == fix.toSet)
+    // doc 3 carries three 'cherry' hits + an 'apple' — top under both
+    assert(dbl.head == 3L && fix.head == 3L)
+  }
+
+  test("bm25 scoring pass plans no shuffle before the top-k") {
+    // a parquet-backed corpus, so the scan isn't constant-folded away
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Search.bm25TopKPortable(docs, "text", "doc_id",
+      Seq("merge", "dup"), k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"),
+      s"scoring should be a pure map-side pass:\n$plan")
+  }
+}
