@@ -122,8 +122,8 @@ object Bench {
       "q_contamination_ratio", "q_dedup_incremental", "q_text_bm25",
       "q_text_boilerplate", "q_text_boilerplate_para", "q_events_sessions",
       "q_semantic_dedup", "q_embedding_cosine_pairs",
-      "q_compare_column_stats_rel", "q_events_asof",
-      "q_embedding_cosine_lsh", "q_ann_ivf",
+      "q_compare_column_stats_rel", "q_events_trailing", "q_events_asof",
+      "q_events_rangejoin", "q_embedding_cosine_lsh", "q_ann_ivf",
       "q_ann_topk_multi", "q_events_windowed", "q_ann_lsh_bucketed",
       "q_compare_column_stats_tol", "q_skew_agg", "q_docs_topk_quality",
       "q_compare_stats_ignore", "q_text_pii").zipWithIndex.toMap

@@ -802,6 +802,45 @@ object OpsPack {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Bucketed band-join driver query: click↔purchase pairs for the same
+    * user within ±1 hour ([[graft.operators.RangeJoin.bandJoin]] — the
+    * time bucket joins as part of the key, so the per-user cross product
+    * never materializes; the exact |Δt| predicate is a residual filter). */
+  def eventsRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.normalizeEventTs(
+      s.read.parquet(s"$dir/events.parquet"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.where(col("event_type") === "click")
+      .select("user_id", "ts_us", "event_id")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "ts_us", "event_id")
+    graft.operators.RangeJoin.bandJoin(
+      clicks, purchases, Seq("user_id"), "ts_us",
+      bandWidthMicros = 3600000000L, lPrefix = "c_", rPrefix = "p_")
+      .select(
+        col("c_event_id").as("click_id"),
+        col("p_event_id").as("purchase_id"),
+        col("c_user_id").as("user_id"),
+        (col("p_ts_us") - col("c_ts_us")).as("gap_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** Trailing event-time features driver query: per-user 1-hour trailing
+    * count/decimal-exact sum + previous-event gap at every event
+    * ([[graft.operators.TimeSeries.trailingFeatures]] — one shuffle,
+    * RANGE-framed windows, no self-join). */
+  def eventsTrailing(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.normalizeEventTs(
+      s.read.parquet(s"$dir/events.parquet"))
+    graft.operators.TimeSeries.trailingFeatures(
+      ev, keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      valueCol = "value", horizonSeconds = 3600L)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("trailing_n"), col("trailing_sum"), col("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** BM25 keyword-search driver query: top-25 documents for a three-term
     * query under the engine-portable fixed-point scorer
     * ([[graft.operators.Search.bm25TopKPortable]]) — one stats pass, one
@@ -890,6 +929,8 @@ object OpsPack {
     "q_events_windowed" -> (eventsWindowed _),
     "q_events_asof" -> (eventsAsof _),
     "q_events_sessions" -> (eventsSessions _),
+    "q_events_rangejoin" -> (eventsRangeJoin _),
+    "q_events_trailing" -> (eventsTrailing _),
     "q_text_bm25" -> (textBm25 _),
     "q_docs_lang_rollup" -> (langRollup _),
     "q_split_counts" -> (splitCounts _),
@@ -1831,6 +1872,32 @@ object OpsPack {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Band-join oracle: the plain inequality join the bucketed plan
+    * reformulates — every (click, purchase) same-user pair within ±1h. */
+  private val eventsRangeJoinSql: String =
+    """WITH c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |  c.user_id AS user_id, p.ts_us - c.ts_us AS gap_us
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND abs(c.ts_us - p.ts_us) <= 3600000000
+      |ORDER BY click_id, purchase_id""".stripMargin
+
+  /** Trailing-features oracle: SQL-standard RANGE frame on epoch micros
+    * (peer ties inside the frame on both engines) + (ts, id)-ordered lag. */
+  private val eventsTrailingSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |  CAST(count(*) OVER rw AS BIGINT) AS trailing_n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER rw AS DOUBLE) AS trailing_sum,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER ow AS gap_us
+      |FROM events
+      |WINDOW rw AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+      |       ow AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |ORDER BY event_id""".stripMargin
+
   /** BM25 (portable fixed-point) oracle: identical tokenization, rational
     * RSJ-odds idf, k1=6/5 b=3/4 saturation cleared to integer fractions,
     * and the same two-step BIGINT floor division — bit-identical scores by
@@ -1872,6 +1939,8 @@ object OpsPack {
     "q_events_windowed" -> eventsWindowedSql,
     "q_events_asof" -> eventsAsofSql,
     "q_events_sessions" -> eventsSessionsSql,
+    "q_events_rangejoin" -> eventsRangeJoinSql,
+    "q_events_trailing" -> eventsTrailingSql,
     "q_text_bm25" -> textBm25Sql,
     "q_docs_lang_rollup" -> langRollupSql,
     "q_split_counts" -> splitCountsSql,
