@@ -126,7 +126,8 @@ object Bench {
       "q_events_rangejoin", "q_embedding_cosine_lsh", "q_ann_ivf",
       "q_ann_topk_multi", "q_events_windowed", "q_ann_lsh_bucketed",
       "q_compare_column_stats_tol", "q_skew_agg", "q_docs_topk_quality",
-      "q_compare_stats_ignore", "q_text_pii").zipWithIndex.toMap
+      "q_compare_stats_ignore", "q_text_pii", "q_text_bm25_indexed")
+      .zipWithIndex.toMap
     val selected = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (costRank.getOrElse(n, Int.MaxValue), n) }
       .filter { case (n, _) => only.forall(_.contains(n)) }

@@ -139,6 +139,7 @@ object OpsPack {
     annLshBucketed(s, dir)
     annIvfPersisted(s, dir)
     dedupIncremental(s, dir)
+    textBm25Indexed(s, dir)
   }
 
   /** Fingerprint of a source table's files (path, size, mtime) plus the
@@ -852,6 +853,28 @@ object OpsPack {
     graft.operators.Search.bm25TopKPortable(
       docs(s, dir), "text", "doc_id", Bm25Terms, k = 25)
 
+  /** Persisted-inverted-index BM25: postings partitioned by term-hash
+    * bucket (built once per JVM × dir, stamp-keyed like the ANN layouts),
+    * probe reads ONLY the query terms' bucket partitions and shuffles
+    * candidate docs only. Identical scoring contract to [[textBm25]], so
+    * the same oracle hash-checks the partitioned write → pruned read →
+    * score → rank path end to end. */
+  val InvIndexBuckets = 64
+  private val invIndexCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  def textBm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val path = invIndexCache.getOrElseUpdate(dir, {
+      val p = "target/graft_inverted_index_" +
+        layoutStamp(dir, "documents", s"buckets=$InvIndexBuckets|v1")
+      if (!layoutComplete(p))
+        graft.operators.Search.writeInvertedIndex(
+          docs(s, dir), "text", "doc_id", p, InvIndexBuckets)
+      p
+    })
+    graft.operators.Search.bm25TopKFromIndex(s, path, Bm25Terms, k = 25,
+      numBuckets = InvIndexBuckets)
+  }
+
   /** Deterministic 80/10/10 split assignment per document (md5-bucketed —
     * reproducible across engines, runs, and partitionings), rolled up to
     * per-split counts. */
@@ -932,6 +955,7 @@ object OpsPack {
     "q_events_rangejoin" -> (eventsRangeJoin _),
     "q_events_trailing" -> (eventsTrailing _),
     "q_text_bm25" -> (textBm25 _),
+    "q_text_bm25_indexed" -> (textBm25Indexed _),
     "q_docs_lang_rollup" -> (langRollup _),
     "q_split_counts" -> (splitCounts _),
     "q_shuffle_export" -> (shuffleExport _),
@@ -1942,6 +1966,7 @@ object OpsPack {
     "q_events_rangejoin" -> eventsRangeJoinSql,
     "q_events_trailing" -> eventsTrailingSql,
     "q_text_bm25" -> textBm25Sql,
+    "q_text_bm25_indexed" -> textBm25Sql,
     "q_docs_lang_rollup" -> langRollupSql,
     "q_split_counts" -> splitCountsSql,
     "q_shuffle_export" -> shuffleExportSql,

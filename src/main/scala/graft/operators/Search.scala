@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Keyword search over a document corpus: BM25 top-k scoring against a
@@ -127,6 +127,104 @@ object Search {
       .selectExpr(
         Seq("id", s"${scoreTerms.mkString(" + ")} AS score") ++
           terms.indices.map(i => s"tf_$i AS tf_$i"): _*)
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  // ---- persisted inverted index (the 100 TB lexical-search layout) ----
+
+  /** The portable per-term score as a Column over (tf, dl) columns — the
+    * same exact BIGINT fraction [[bm25TopKPortable]] scores with, shared by
+    * the scan and index paths so their results are bit-identical. */
+  private def portableTermScore(
+      tf: Column, dl: Column, n: Long, tl: Long, df: Long): Column = {
+    val idfNum = 2L * (n - df) + 1L
+    val idfDen = 2L * df + 1L
+    val num = lit(idfNum) * lit(22L) * lit(tl) * tf
+    val den = lit(idfDen) * (lit(10L) * lit(tl) * tf + lit(3L) * lit(tl) +
+      lit(9L) * dl * lit(n))
+    // BIGINT integral division (the SQL DIV operator) — a double-division
+    // floor would lose exactness once the numerator passes 2^53
+    def fdiv(a: Column, b: Column): Column = call_function("div", a, b)
+    fdiv(num, den) * lit(PortableScale) + fdiv(pmod(num, den) * lit(PortableScale), den)
+  }
+
+  /** Spark's xxhash64 of a string term, evaluated driver-side (same seed
+    * the `xxhash64` function uses), for computing partition buckets of
+    * probe terms without a Spark job. */
+  private def termBucket(term: String, numBuckets: Int): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    ((h % numBuckets) + numBuckets) % numBuckets
+  }
+
+  /** Build the persisted inverted index: postings (term, doc_id, tf, dl)
+    * written `partitionBy(bucket)` with bucket = pmod(xxhash64(term), B),
+    * plus a corpus-stats sidecar (N, total tokens). ONE shuffle on
+    * (doc, term) builds tf (dl rides along as a pre-explode per-row
+    * expression); the repartition on the partition column keeps the file
+    * count at B, not tasks × B (the round-4 partitionBy lesson). Index
+    * construction is a one-off ingest job — probes then read only the
+    * probed terms' partition directories. */
+  def writeInvertedIndex(
+      docs: DataFrame, textCol: String, idCol: String,
+      path: String, numBuckets: Int = 256): Unit = {
+    require(numBuckets > 0)
+    val toks = tokensExpr(textCol)
+    val postings = docs
+      .selectExpr(s"`$idCol` AS doc_id", s"$toks AS _graft_toks")
+      .selectExpr("doc_id", "CAST(size(_graft_toks) AS BIGINT) AS dl",
+        "explode(_graft_toks) AS term")
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(numBuckets.toLong)))
+    postings
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val g = docs.selectExpr(s"$toks AS t")
+      .selectExpr("count(1) AS n", "sum(size(t)) AS tl").first()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_graft_corpus_stats.tsv"),
+      s"${g.getLong(0)}\t${g.getLong(1)}".getBytes("UTF-8"))
+  }
+
+  /** BM25 top-k from the persisted index: reads ONLY the probe terms'
+    * bucket partitions (a partition filter — ≤ |terms| of B directories),
+    * collects the probed terms' document frequencies from those postings
+    * (a tiny aggregate over candidate rows), then scores each posting
+    * map-side with [[portableTermScore]] and sums per doc — the shuffle
+    * carries candidate docs only, never the corpus. Bit-identical to
+    * [[bm25TopKPortable]] over the same corpus by construction. */
+  def bm25TopKFromIndex(
+      spark: SparkSession, path: String, terms: Seq[String], k: Int,
+      numBuckets: Int = 256): DataFrame = {
+    val Array(nStr, tlStr) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_graft_corpus_stats.tsv")), "UTF-8")
+      .trim.split('\t')
+    val (n, tl) = (nStr.toLong, tlStr.toLong)
+    val buckets = terms.map(termBucket(_, numBuckets)).distinct
+    val postings = spark.read.parquet(path)
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val dfByTerm = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val contrib = terms.foldLeft(lit(0L)) { (acc, t) =>
+      when(col("term") === lit(t),
+        portableTermScore(col("tf"), col("dl"), n, tl,
+          dfByTerm.getOrElse(t, 0L))).otherwise(acc)
+    }
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === lit(t), col("tf")).otherwise(lit(0L)))
+        .as(s"tf_$i")
+    }
+    postings
+      .select(col("doc_id").as("id"), contrib.as("_graft_contrib"),
+        col("term"), col("tf"))
+      .groupBy(col("id"))
+      .agg(sum(col("_graft_contrib")).as("score"), tfCols: _*)
       .where(col("score") > 0)
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)

@@ -181,6 +181,21 @@ class AsOfSearchSpec extends SparkTestBase {
     assert(dbl.head == 3L && fix.head == 3L)
   }
 
+  test("persisted inverted index: probe equals the scan-based scorer, pruned") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("dup", "vector", "merge")
+    val path = "target/test_inverted_index"
+    Search.writeInvertedIndex(docs, "text", "doc_id", path, numBuckets = 64)
+    val probe = Search.bm25TopKFromIndex(spark, path, terms, k = 25,
+      numBuckets = 64)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    val fromIndex = probe.collect().map(_.toSeq).toSeq
+    val fromScan = Search.bm25TopKPortable(docs, "text", "doc_id", terms, k = 25)
+      .collect().map(_.toSeq).toSeq
+    assert(fromIndex == fromScan) // bit-identical scores, ranks, tf columns
+  }
+
   test("bm25 scoring pass plans no shuffle before the top-k") {
     // a parquet-backed corpus, so the scan isn't constant-folded away
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
