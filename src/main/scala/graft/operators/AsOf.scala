@@ -65,19 +65,67 @@ object AsOf {
     asofImpl(left, right, keyCols, tsCol, payload, tieCol, tolerance,
       forward = true)
 
-  private def asofImpl(
+  /** Nearest as-of join: whichever of the backward / forward candidates is
+    * closer in time wins; exact ties in distance go backward (pandas
+    * `merge_asof(direction='nearest')`). Still ONE shuffle: both fills run
+    * over the same (key, ts)-sorted partitions — the backward fill as a
+    * running `last` behind the row, the forward fill as a `first` ahead of
+    * it — two frames in the same Window sort, no second exchange.
+    * Tie rule within equal right timestamps: backward keeps the max
+    * `tieCol`, forward the min (each side's nearest in its scan
+    * direction); `tolerance` bounds each side before the pick. */
+  def asofNearest(
       left: DataFrame,
       right: DataFrame,
       keyCols: Seq[String],
       tsCol: String,
       payload: Seq[String],
       tieCol: String,
-      tolerance: Option[Column],
-      forward: Boolean): DataFrame = {
-    val sideCol = "_graft_asof_side"
-    val payloadCol = "_graft_asof_payload"
-    val tieOut = "_graft_asof_tie"
-    // right rows: key + ts + the payload packed into one struct
+      tolerance: Option[Column] = None): DataFrame = {
+    val (unioned, leftCols) = buildUnion(left, right, keyCols, tsCol, payload, tieCol)
+    val base = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(sideCol).asc, col(tieOut).asc_nulls_first)
+    val bwdW = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwdW = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = unioned
+      .withColumn("_graft_bwd", last(col(payloadCol), ignoreNulls = true).over(bwdW))
+      .withColumn("_graft_fwd", first(col(payloadCol), ignoreNulls = true).over(fwdW))
+      .where(col(sideCol) === 1)
+    def bounded(c: Column, gap: Column): Column = tolerance match {
+      case Some(tol) => when(c.isNotNull && gap <= tol, c)
+      case None => c
+    }
+    val bwd = bounded(col("_graft_bwd"),
+      col(tsCol) - col(s"_graft_bwd.$tsCol"))
+    val fwd = bounded(col("_graft_fwd"),
+      col(s"_graft_fwd.$tsCol") - col(tsCol))
+    val picked = filled
+      .withColumn("_graft_b", bwd)
+      .withColumn("_graft_f", fwd)
+      .withColumn(payloadCol,
+        when(col("_graft_b").isNull, col("_graft_f"))
+          .when(col("_graft_f").isNull, col("_graft_b"))
+          // distances are non-negative by construction; tie → backward
+          .when(col(tsCol) - col(s"_graft_b.$tsCol")
+            <= col(s"_graft_f.$tsCol") - col(tsCol), col("_graft_b"))
+          .otherwise(col("_graft_f")))
+    attach(picked, leftCols, tsCol, payload)
+  }
+
+  private val sideCol = "_graft_asof_side"
+  private val payloadCol = "_graft_asof_payload"
+  private val tieOut = "_graft_asof_tie"
+
+  /** Tag and union the two sides: right rows carry (ts, payload) packed in
+    * one struct; left rows carry nulls there and their own columns. */
+  private def buildUnion(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payload: Seq[String],
+      tieCol: String): (DataFrame, Seq[String]) = {
     val r = right.select(
       keyCols.map(col) ++ Seq(
         col(tsCol),
@@ -96,7 +144,29 @@ object AsOf {
       if (r.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
     }.select(l.columns.map(col): _*)
-    val unioned = l.unionByName(rAligned)
+    (l.unionByName(rAligned), leftCols)
+  }
+
+  private def attach(
+      df: DataFrame, leftCols: Seq[String], tsCol: String,
+      payload: Seq[String]): DataFrame = {
+    val attached = (tsCol +: payload).foldLeft(df) { (d, c) =>
+      d.withColumn(s"asof_$c", col(s"$payloadCol.$c"))
+    }
+    attached.select(
+      (leftCols ++ (tsCol +: payload).map(c => s"asof_$c")).map(col): _*)
+  }
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      payload: Seq[String],
+      tieCol: String,
+      tolerance: Option[Column],
+      forward: Boolean): DataFrame = {
+    val (unioned, leftCols) = buildUnion(left, right, keyCols, tsCol, payload, tieCol)
     // right rows (side=0) sort before left rows at equal ts, so the match is
     // inclusive; among tied right rows the max tieCol is last in order and
     // wins the running fill
@@ -117,10 +187,6 @@ object AsOf {
           when(col(payloadCol).isNotNull && gap <= tol, col(payloadCol)))
       case None => filled
     }
-    val attached = (tsCol +: payload).foldLeft(withinTol) { (df, c) =>
-      df.withColumn(s"asof_$c", col(s"$payloadCol.$c"))
-    }
-    attached.select(
-      (leftCols ++ (tsCol +: payload).map(c => s"asof_$c")).map(col): _*)
+    attach(withinTol, leftCols, tsCol, payload)
   }
 }

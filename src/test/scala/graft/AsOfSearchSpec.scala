@@ -72,6 +72,63 @@ class AsOfSearchSpec extends SparkTestBase {
     assert(df.collect().map(_.toSeq).toSet == base)
   }
 
+  test("asof nearest: closer side wins, distance ties go backward") {
+    val got = AsOf.asofNearest(lefts, rights, Seq("user_id"), "ts",
+      payload = Seq("event_id"), tieCol = "event_id")
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> Some(100L), // ts 5: only forward (10) exists
+      2L -> Some(106L), // exact hit at 20 (distance 0, backward)
+      3L -> Some(110L), // ts 35: fwd 40 (d=5) beats bwd 20 (d=15)
+      4L -> Some(110L), // ts 100: only backward
+      5L -> Some(200L),
+      6L -> None))
+    // distance tie: left at 30 sits 10 from both 20 and 40 → backward wins
+    val tie = AsOf.asofNearest(
+      Seq((1L, 30L, 9L)).toDF("user_id", "ts", "event_id"),
+      rights, Seq("user_id"), "ts", Seq("event_id"), "event_id")
+      .collect().head
+    assert(tie.getLong(4) == 106L)
+    // tolerance bounds both directions before the pick
+    val tol = AsOf.asofNearest(lefts, rights, Seq("user_id"), "ts",
+      Seq("event_id"), "event_id", tolerance = Some(lit(5L)))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(tol(1L).contains(100L) && tol(3L).contains(110L)
+      && tol(4L).isEmpty && tol(2L).contains(106L))
+  }
+
+  test("asof nearest agrees with brute force on random data") {
+    val rnd = new scala.util.Random(13)
+    val rs = Seq.fill(250)((rnd.nextInt(8).toLong, rnd.nextInt(60).toLong))
+      .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val ls = Seq.fill(180)((rnd.nextInt(10).toLong, rnd.nextInt(70).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, (1000 + i).toLong) }
+    val got = AsOf.asofNearest(
+      ls.toDF("user_id", "ts", "event_id"), rs.toDF("user_id", "ts", "event_id"),
+      Seq("user_id"), "ts", Seq("event_id"), "event_id")
+      .collect().map(x => x.getLong(2) ->
+        (if (x.isNullAt(4)) None else Some(x.getLong(4)))).toMap
+    val byKey = rs.groupBy(_._1)
+    val expected = ls.map { case (k, t, id) =>
+      val cands = byKey.getOrElse(k, Nil)
+      val bwd = cands.filter(_._2 <= t).sortBy(x => (x._2, x._3)).lastOption
+      val fwdTs = cands.filter(_._2 > t).map(_._2).sorted.headOption
+      val fwd = fwdTs.flatMap(ft =>
+        cands.filter(_._2 == ft).sortBy(_._3).headOption)
+      val pick = (bwd, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (t - b._2 <= f._2 - t) Some(b._3) else Some(f._3)
+        case (Some(b), None) => Some(b._3)
+        case (None, Some(f)) => Some(f._3)
+        case _ => None
+      }
+      id -> pick
+    }.toMap
+    assert(got == expected)
+  }
+
   test("asof agrees with a brute-force argmax join on random data") {
     val rnd = new scala.util.Random(7)
     val rs = Seq.fill(300)((rnd.nextInt(10).toLong, rnd.nextInt(50).toLong,

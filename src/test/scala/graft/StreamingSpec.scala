@@ -45,6 +45,30 @@ class StreamingSpec extends SparkTestBase {
     assert(s.nonEmpty)
   }
 
+  test("normalizeEventTs handles every ts encoding the driver has shipped") {
+    import spark.implicits._
+    // nanosecond longs (rounds ≤ 4 under nanosAsLong)
+    val longTs = Seq((1L, 1704067200123456789L), (2L, 1704067201123456789L))
+      .toDF("event_id", "ts")
+    val n1 = EventStreams.normalizeEventTs(longTs)
+    assert(n1.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(n1.selectExpr("unix_micros(ts)").collect().map(_.getLong(0)).toSeq
+      == Seq(1704067200123456L, 1704067201123456L))
+    // TIMESTAMP_NTZ (timestamp[us] parquet, round 5+) → cast for watermarks
+    val ntz = Seq((1L, java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)))
+      .toDF("event_id", "ts")
+    assert(ntz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val n2 = EventStreams.normalizeEventTs(ntz)
+    assert(n2.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    // UTC session: wall clock preserved
+    assert(n2.selectExpr("unix_micros(ts)").first().getLong(0)
+      == 1704067200000000L)
+    // already-TIMESTAMP frames pass through
+    val tsDf = n1
+    assert(EventStreams.normalizeEventTs(tsDf).schema == tsDf.schema)
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val raw = spark.read.parquet(dir)
     val batch = EventStreams.normalizeEventTs(raw)
