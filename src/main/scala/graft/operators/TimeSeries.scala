@@ -30,16 +30,25 @@ object TimeSeries {
       valueCol: String,
       horizonSeconds: Long): DataFrame = {
     val horizonMicros = horizonSeconds * 1000000L
-    val micros = unix_micros(col(tsCol))
+    // materialize micros ONCE: separate unix_micros expression instances
+    // would give the two range aggregates distinct order keys, splitting
+    // them into two Window nodes (two sort passes) instead of one
+    val usCol = "_graft_ts_us"
+    val micros = col(usCol)
     val ranged = Window.partitionBy(col(keyCol)).orderBy(micros)
       .rangeBetween(-horizonMicros, 0L)
     val ordered = Window.partitionBy(col(keyCol))
       .orderBy(micros.asc, col(tieCol).asc)
     events
-      .withColumn("trailing_n", count(lit(1)).over(ranged))
-      .withColumn("trailing_sum",
+      .withColumn(usCol, unix_micros(col(tsCol)))
+      // both range aggregates in ONE projection → one Window node (two
+      // withColumn steps would interleave Projects that defeat
+      // CollapseWindow), the tie-ordered lag in its own row-frame pass
+      .select(col("*"),
+        count(lit(1)).over(ranged).as("trailing_n"),
         sum(col(valueCol).cast("decimal(18,6)")).over(ranged)
-          .cast("double"))
-      .withColumn("gap_us", micros - lag(micros, 1).over(ordered))
+          .cast("double").as("trailing_sum"),
+        (micros - lag(micros, 1).over(ordered)).as("gap_us"))
+      .drop(usCol)
   }
 }
