@@ -174,22 +174,74 @@ object Search {
       docs: DataFrame, textCol: String, idCol: String,
       path: String, numBuckets: Int = 256): Unit = {
     require(numBuckets > 0)
+    postingsOf(docs, textCol, idCol, numBuckets)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeStats(path, statsOf(docs, textCol))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_graft_index_buckets"),
+      numBuckets.toString.getBytes("UTF-8"))
+  }
+
+  /** Append one batch of documents to an existing index (or create it):
+    * postings append into their bucket partitions, the corpus-stats
+    * sidecar accumulates (N, total tokens). Single-writer discipline is
+    * the caller's (foreachBatch provides it — see
+    * [[graft.streaming.IngestSearch]]); a replayed batch appends its
+    * postings and stats twice, the same at-least-once caveat as the
+    * MinHash ingest loop — dedup upstream (IngestDedup) or compact
+    * downstream if replay matters. */
+  def appendToInvertedIndex(
+      batch: DataFrame, textCol: String, idCol: String,
+      path: String, numBuckets: Int = 256): Unit = {
+    // an empty batch must not create a schemaless (unreadable) index dir
+    if (batch.isEmpty) return
+    val marker = java.nio.file.Paths.get(path, "_graft_index_buckets")
+    if (java.nio.file.Files.exists(marker)) {
+      val existing = new String(
+        java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toInt
+      require(existing == numBuckets,
+        s"index at $path was built with $existing buckets, not $numBuckets")
+      postingsOf(batch, textCol, idCol, numBuckets)
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(path)
+      val prev = readStats(path)
+      val b = statsOf(batch, textCol)
+      writeStats(path, (prev._1 + b._1, prev._2 + b._2))
+    } else {
+      writeInvertedIndex(batch, textCol, idCol, path, numBuckets)
+    }
+  }
+
+  private def postingsOf(
+      docs: DataFrame, textCol: String, idCol: String,
+      numBuckets: Int): DataFrame = {
     val toks = tokensExpr(textCol)
-    val postings = docs
+    docs
       .selectExpr(s"`$idCol` AS doc_id", s"$toks AS _graft_toks")
       .selectExpr("doc_id", "CAST(size(_graft_toks) AS BIGINT) AS dl",
         "explode(_graft_toks) AS term")
       .groupBy(col("doc_id"), col("term"), col("dl"))
       .agg(count(lit(1)).cast("long").as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(numBuckets.toLong)))
-    postings
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    val g = docs.selectExpr(s"$toks AS t")
+  }
+
+  private def statsOf(docs: DataFrame, textCol: String): (Long, Long) = {
+    val g = docs.selectExpr(s"${tokensExpr(textCol)} AS t")
       .selectExpr("count(1) AS n", "sum(size(t)) AS tl").first()
+    (g.getLong(0), if (g.isNullAt(1)) 0L else g.getLong(1))
+  }
+
+  private def writeStats(path: String, s: (Long, Long)): Unit =
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path, "_graft_corpus_stats.tsv"),
-      s"${g.getLong(0)}\t${g.getLong(1)}".getBytes("UTF-8"))
+      s"${s._1}\t${s._2}".getBytes("UTF-8"))
+
+  private def readStats(path: String): (Long, Long) = {
+    val Array(nStr, tlStr) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_graft_corpus_stats.tsv")), "UTF-8")
+      .trim.split('\t')
+    (nStr.toLong, tlStr.toLong)
   }
 
   /** BM25 top-k from the persisted index: reads ONLY the probe terms'
@@ -202,10 +254,7 @@ object Search {
   def bm25TopKFromIndex(
       spark: SparkSession, path: String, terms: Seq[String], k: Int,
       numBuckets: Int = 256): DataFrame = {
-    val Array(nStr, tlStr) = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "_graft_corpus_stats.tsv")), "UTF-8")
-      .trim.split('\t')
-    val (n, tl) = (nStr.toLong, tlStr.toLong)
+    val (n, tl) = readStats(path)
     val buckets = terms.map(termBucket(_, numBuckets)).distinct
     val postings = spark.read.parquet(path)
       .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))

@@ -253,6 +253,45 @@ class AsOfSearchSpec extends SparkTestBase {
     assert(fromIndex == fromScan) // bit-identical scores, ranks, tf columns
   }
 
+  test("streaming index ingest: probe equals accumulated-corpus scan per batch") {
+    import graft.streaming.IngestSearch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def rm(p: String): Unit = {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val indexPath = "target/ingest_inv_index"
+    rm(indexPath)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = IngestSearch.ingestToIndex(
+      input.toDF().toDF("doc_id", "text"), indexPath, "text", "doc_id",
+      numBuckets = 16)
+    val terms = Seq("apple", "cherry")
+    val batches = Seq(
+      Seq((1L, "apple banana apple"), (2L, "banana cherry")),
+      Seq((3L, "cherry cherry cherry apple"), (4L, "durian melon")),
+      Seq((5L, "apple apple cherry durian plum")))
+    try {
+      var acc = Seq.empty[(Long, String)]
+      for (b <- batches) {
+        input.addData(b: _*)
+        q.processAllAvailable()
+        acc = acc ++ b
+        val fromIndex = Search.bm25TopKFromIndex(spark, indexPath, terms,
+          k = 10, numBuckets = 16).collect().map(_.toSeq).toSeq
+        val fromScan = Search.bm25TopKPortable(
+          acc.toDF("doc_id", "text"), "text", "doc_id", terms, k = 10)
+          .collect().map(_.toSeq).toSeq
+        assert(fromIndex == fromScan, s"after batch with ${b.map(_._1)}")
+      }
+    } finally q.stop()
+  }
+
   test("bm25 scoring pass plans no shuffle before the top-k") {
     // a parquet-backed corpus, so the scan isn't constant-folded away
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
