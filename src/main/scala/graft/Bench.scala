@@ -119,7 +119,8 @@ object Bench {
       "q_profile_lineitem", "q_dedup_minhash_lsh", "q_text_repetition",
       "q_compare_custom_comparator", "q_source_csv", "q_compare_column_stats",
       "q_pack_stats", "q_contamination", "q_contamination_bloom",
-      "q_contamination_ratio", "q_dedup_incremental", "q_text_bm25",
+      "q_contamination_ratio", "q_dedup_incremental", "q_select_budget",
+      "q_text_bm25",
       "q_text_boilerplate", "q_text_boilerplate_para", "q_events_sessions",
       "q_semantic_dedup", "q_embedding_cosine_pairs",
       "q_compare_column_stats_rel", "q_events_trailing", "q_events_asof",

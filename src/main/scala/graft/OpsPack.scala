@@ -875,6 +875,23 @@ object OpsPack {
       numBuckets = InvIndexBuckets)
   }
 
+  /** Budget-constrained quality selection: the maximal (quality desc,
+    * doc_id) prefix whose token sum fits a 12k-token budget
+    * ([[graft.operators.Selection]] — bucket-summary prefix scan + an
+    * ordered pass over only the boundary bucket; no global sort). */
+  val SelectBudgetTokens = 12000L
+
+  def selectBudget(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Selection, TextOps}
+    val scored = docs(s, dir).select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality_score"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Selection.selectByBudget(scored, "quality_score", "n_tokens", "doc_id",
+      budget = SelectBudgetTokens, numBuckets = 256,
+      scoreRange = Some((0.0, 1.0))) // qualityScore's contract range
+      .orderBy("doc_id")
+  }
+
   /** Deterministic 80/10/10 split assignment per document (md5-bucketed —
     * reproducible across engines, runs, and partitionings), rolled up to
     * per-split counts. */
@@ -956,6 +973,7 @@ object OpsPack {
     "q_events_trailing" -> (eventsTrailing _),
     "q_text_bm25" -> (textBm25 _),
     "q_text_bm25_indexed" -> (textBm25Indexed _),
+    "q_select_budget" -> (selectBudget _),
     "q_docs_lang_rollup" -> (langRollup _),
     "q_split_counts" -> (splitCounts _),
     "q_shuffle_export" -> (shuffleExport _),
@@ -1922,6 +1940,32 @@ object OpsPack {
       |       ow AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** Budget-selection oracle: the global window-cumsum formulation the
+    * two-phase engine reproduces exactly — same quality formula as the
+    * top-k-quality oracle, BIGINT token cumsum, prefix cut at the budget. */
+  private val selectBudgetSql: String = {
+    val stop = "\\b(the|a|an|and|of|to|in|is|it|for)\\b"
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(lower(text), '$stop')) AS BIGINT) AS n_stop,
+       |    len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents),
+       |q AS (SELECT doc_id,
+       |  0.5 * (least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0)
+       |  + 0.3 * (CASE WHEN n_tokens = 0 THEN 0.0
+       |           ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
+       |  + 0.2 * (CASE WHEN n_chars IS NULL OR n_chars = 0 THEN 0.0
+       |           ELSE CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
+       |    AS quality_score,
+       |  n_tokens FROM base),
+       |c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q)
+       |SELECT doc_id, quality_score, n_tokens
+       |FROM c WHERE cum <= $SelectBudgetTokens ORDER BY doc_id""".stripMargin
+  }
+
   /** BM25 (portable fixed-point) oracle: identical tokenization, rational
     * RSJ-odds idf, k1=6/5 b=3/4 saturation cleared to integer fractions,
     * and the same two-step BIGINT floor division — bit-identical scores by
@@ -1967,6 +2011,7 @@ object OpsPack {
     "q_events_trailing" -> eventsTrailingSql,
     "q_text_bm25" -> textBm25Sql,
     "q_text_bm25_indexed" -> textBm25Sql,
+    "q_select_budget" -> selectBudgetSql,
     "q_docs_lang_rollup" -> langRollupSql,
     "q_split_counts" -> splitCountsSql,
     "q_shuffle_export" -> shuffleExportSql,

@@ -24,7 +24,7 @@ object Dedup {
   // would otherwise pin disk-backed blocks until session shutdown).
   private val cachedFrames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private def cacheShared(df: DataFrame): DataFrame = {
+  private[operators] def cacheShared(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cachedFrames.add(p)
     p
@@ -44,7 +44,7 @@ object Dedup {
     override def initialValue(): Integer = 0
   }
 
-  private def newCacheScope[T](f: => T): T = {
+  private[operators] def newCacheScope[T](f: => T): T = {
     val d = scopeDepth.get()
     if (d == 0) releaseCaches()
     scopeDepth.set(d + 1)
