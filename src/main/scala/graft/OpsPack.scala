@@ -654,9 +654,10 @@ object OpsPack {
       .orderBy("doc_id")
 
   /** Sequence packing: documents → 256-token packs across 64 deterministic
-    * streams, rolled up per stream. Rows-only under the harness (greedy
-    * packing has no SQL mirror); budget/uniqueness/determinism invariants
-    * are pinned in OpsSpec. */
+    * streams, rolled up per stream. Hash-checked since round 5: the
+    * oracle SIMULATES first-fit-decreasing in DuckDB with a recursive CTE
+    * carrying each stream's open-bin list (see [[packStatsSql]]);
+    * budget/uniqueness/determinism invariants stay pinned in OpsSpec. */
   def packStats(s: SparkSession, dir: String): DataFrame = {
     val withTokens = docs(s, dir).select(col("doc_id"),
       TextOps.tokenCount(col("text")).cast("long").as("tokens"))
@@ -1940,6 +1941,67 @@ object OpsPack {
       |       ow AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** Greedy-packing oracle: DuckDB SIMULATES first-fit-decreasing with a
+    * recursive CTE that carries each md5-bucketed stream's open-bin
+    * remaining-capacity LIST — one recursion step per (group, doc) in the
+    * same (tokens desc, id) order the engine packs, list_position finding
+    * the first bin that fits (0 = none → open a new bin, capacity clamped
+    * at 0 for overflow singletons exactly like the engine), then the same
+    * two-level rollup. Flips q_pack_stats from rows-only to hash-checked:
+    * the sequential-unit determinism claim (md5 streams + FFD) is now
+    * verified end to end, not just unit-pinned. */
+  private val packStatsSql: String = {
+    val budget = 256
+    val groups = 64
+    val fit = "list_position(list_transform(s.rem, x -> x >= d.tokens), true)"
+    s"""WITH RECURSIVE keyed AS (
+       |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % $groups AS g,
+       |         doc_id AS id,
+       |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tokens
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |d AS (
+       |  SELECT g, id, tokens,
+       |    row_number() OVER (PARTITION BY g ORDER BY tokens DESC, id) AS rn
+       |  FROM keyed),
+       |sim AS (
+       |  SELECT g, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS rem,
+       |         CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS pack_idx,
+       |         CAST(NULL AS BIGINT) AS tokens
+       |  FROM (SELECT DISTINCT g FROM d)
+       |  UNION ALL
+       |  SELECT d.g, d.rn,
+       |    CASE WHEN coalesce($fit, 0) = 0
+       |         THEN list_append(s.rem, greatest($budget - d.tokens, 0))
+       |         ELSE list_transform(s.rem, (x, i) ->
+       |           CASE WHEN i = list_position(
+       |                  list_transform(s.rem, y -> y >= d.tokens), true)
+       |                THEN x - d.tokens ELSE x END)
+       |    END AS rem,
+       |    d.id,
+       |    CASE WHEN coalesce($fit, 0) = 0 THEN len(s.rem)
+       |         ELSE $fit - 1
+       |    END AS pack_idx,
+       |    d.tokens
+       |  FROM sim s JOIN d ON d.g = s.g AND d.rn = s.rn + 1),
+       |assigned AS (SELECT g AS pack_group, pack_idx, id, tokens
+       |             FROM sim WHERE rn >= 1),
+       |packs AS (
+       |  SELECT pack_group, pack_idx, count(*) AS n_docs,
+       |         sum(tokens) AS pack_tokens
+       |  FROM assigned GROUP BY pack_group, pack_idx)
+       |SELECT CAST(pack_group AS BIGINT) AS pack_group,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_packs,
+       |  CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(min(pack_tokens) AS BIGINT) AS min_pack_tokens,
+       |  CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens,
+       |  CAST(sum(CASE WHEN pack_tokens * 10 >= $budget * 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_packs,
+       |  CAST(sum(CASE WHEN pack_tokens > $budget THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_packs,
+       |  CAST(sum(pack_tokens) AS DOUBLE) / CAST(count(*) * $budget AS DOUBLE) AS utilization
+       |FROM packs GROUP BY pack_group ORDER BY pack_group""".stripMargin
+  }
+
   /** Budget-selection oracle: the global window-cumsum formulation the
     * two-phase engine reproduces exactly — same quality formula as the
     * top-k-quality oracle, BIGINT token cumsum, prefix cut at the budget. */
@@ -2012,6 +2074,7 @@ object OpsPack {
     "q_text_bm25" -> textBm25Sql,
     "q_text_bm25_indexed" -> textBm25Sql,
     "q_select_budget" -> selectBudgetSql,
+    "q_pack_stats" -> packStatsSql,
     "q_docs_lang_rollup" -> langRollupSql,
     "q_split_counts" -> splitCountsSql,
     "q_shuffle_export" -> shuffleExportSql,

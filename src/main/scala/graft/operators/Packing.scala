@@ -103,7 +103,8 @@ object Packing {
           .as("n_full_packs"),
         sum(when(col("pack_tokens") > budget, 1L).otherwise(0L))
           .as("n_overflow_packs"))
-      .select(col("pack_group"), col("n_docs").cast("long").as("n_docs"),
+      .select(col("pack_group").cast("long").as("pack_group"),
+        col("n_docs").cast("long").as("n_docs"),
         col("n_packs").cast("long").as("n_packs"),
         col("total_tokens").cast("long").as("total_tokens"),
         col("min_pack_tokens").cast("long").as("min_pack_tokens"),
