@@ -547,8 +547,11 @@ object OpsPack {
       ss, staged, batchSchema, sink, outputMode = "append",
       sourceOptions = Map("maxFilesPerTrigger" -> "1"),
       checkpointDir = Some(ckptBase)) { stream =>
+      // value rides in decimal so each window's sum is order-independent
+      // and engine-exact — that's what lets this REPLAY be hash-checked
       graft.streaming.EventStreams.windowedCounts(
-        graft.streaming.EventStreams.normalizeEventTs(stream),
+        graft.streaming.EventStreams.normalizeEventTs(stream)
+          .withColumn("value", col("value").cast("decimal(18,6)")),
         windowLength = "1 hour", watermark = "0 seconds")
     }
     try {
@@ -557,7 +560,17 @@ object OpsPack {
       q.stop()
       deleteRecursively(Paths.get(ckptBase))
     }
-    ss.table(sink).orderBy("window_start", "event_type")
+    // epoch-micros window bounds + double-surfaced decimal sums: the
+    // append-mode emission (every window the final watermark closed) is
+    // deterministic, so the replay hash-checks against a batch SQL mirror
+    ss.table(sink)
+      .select(
+        unix_micros(col("window_start")).as("window_start_us"),
+        unix_micros(col("window_end")).as("window_end_us"),
+        col("event_type"),
+        col("n"),
+        col("total_value").cast("double").as("total_value"))
+      .orderBy("window_start_us", "event_type")
   }
 
   /** Contamination scan: every corpus document against a small probe set
@@ -1915,6 +1928,22 @@ object OpsPack {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Streaming-replay oracle: append mode emits exactly the windows the
+    * final watermark closed — deterministic, so the batch rollup restricted
+    * to hour windows ending at-or-before the max event time mirrors the
+    * whole two-micro-batch replay (decimal-exact sums, epoch-aligned
+    * tumbling windows). */
+  private val eventsStreamedSql: String =
+    """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+      |w AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws, event_type,
+      |        CAST(count(*) AS BIGINT) AS n,
+      |        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |      FROM events GROUP BY 1, 2)
+      |SELECT ws AS window_start_us, ws + 3600000000 AS window_end_us,
+      |  event_type, n, total_value
+      |FROM w WHERE ws + 3600000000 <= (SELECT m FROM mx)
+      |ORDER BY window_start_us, event_type""".stripMargin
+
   /** Band-join oracle: the plain inequality join the bucketed plan
     * reformulates — every (click, purchase) same-user pair within ±1h. */
   private val eventsRangeJoinSql: String =
@@ -2069,6 +2098,7 @@ object OpsPack {
     "q_events_windowed" -> eventsWindowedSql,
     "q_events_asof" -> eventsAsofSql,
     "q_events_sessions" -> eventsSessionsSql,
+    "q_events_streamed" -> eventsStreamedSql,
     "q_events_rangejoin" -> eventsRangeJoinSql,
     "q_events_trailing" -> eventsTrailingSql,
     "q_text_bm25" -> textBm25Sql,
