@@ -292,6 +292,17 @@ class AsOfSearchSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("index append rejects a mismatched bucket count") {
+    val path = "target/test_inv_bucket_guard"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    Search.writeInvertedIndex(corpus, "text", "doc_id", path, numBuckets = 16)
+    val e = intercept[IllegalArgumentException] {
+      Search.appendToInvertedIndex(corpus, "text", "doc_id", path,
+        numBuckets = 32)
+    }
+    assert(e.getMessage.contains("16 buckets"))
+  }
+
   test("bm25 scoring pass plans no shuffle before the top-k") {
     // a parquet-backed corpus, so the scan isn't constant-folded away
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

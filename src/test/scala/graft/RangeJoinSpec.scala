@@ -62,6 +62,24 @@ class RangeJoinSpec extends SparkTestBase {
       || Option(e.getCause).exists(_.getMessage.contains("widen bucketWidthMicros")))
   }
 
+  test("keyless band join: global time-band pairing without equi-keys") {
+    val l = Seq((100L, 1L), (5000L, 2L)).toDF("ts_us", "id")
+    val r = Seq((600L, 10L), (4000L, 11L), (9000L, 12L)).toDF("ts_us", "id")
+    val got = RangeJoin.bandJoin(l, r, keyCols = Nil, "ts_us", 1000L)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 11L))) // |5000-4000|=1000 inclusive
+  }
+
+  test("keyless interval join matches covering intervals") {
+    val p = Seq((5L, 1L), (45L, 2L)).toDF("ts_us", "id")
+    val i = Seq((0L, 10L, 100L), (40L, 50L, 101L), (60L, 70L, 102L))
+      .toDF("lo_us", "hi_us", "iid")
+    val got = RangeJoin.intervalJoin(p, i, Nil, "ts_us", "lo_us", "hi_us",
+      bucketWidthMicros = 8L)
+      .select("p_id", "i_iid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 101L)))
+  }
+
   test("trailing features equal a brute-force computation") {
     val rnd = new scala.util.Random(5)
     val rows = Seq.tabulate(500)(i =>

@@ -31,6 +31,17 @@ class SelectionSpec extends SparkTestBase {
     }
   }
 
+  test("a declared score range clamps out-of-range scores into edge buckets") {
+    val rows = Seq.tabulate(100)(i => (i.toLong, i / 100.0, 5L)) ++
+      Seq((200L, -0.5, 5L), (201L, 1.7, 5L)) // outside the declared [0,1]
+    val df = rows.toDF("doc_id", "score", "n_tokens")
+    val got = Selection.selectByBudget(df, "score", "n_tokens", "doc_id",
+      budget = 50L, numBuckets = 32, scoreRange = Some((0.0, 1.0)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == reference(rows, 50L)) // clamping only coarsens phase 1
+    assert(got.contains(201L) && !got.contains(200L)) // 1.7 ranks top
+  }
+
   test("null scores or token counts are never selected") {
     val df = Seq(
       (1L, Some(0.9), Some(10L)), (2L, None, Some(5L)),
