@@ -121,7 +121,8 @@ object Bench {
       "q_pack_stats", "q_contamination", "q_contamination_bloom",
       "q_contamination_ratio", "q_dedup_incremental", "q_select_budget",
       "q_text_bm25",
-      "q_text_boilerplate", "q_text_boilerplate_para", "q_events_sessions",
+      "q_text_boilerplate", "q_normalize_group", "q_text_boilerplate_para",
+      "q_events_sessions",
       "q_semantic_dedup", "q_embedding_cosine_pairs",
       "q_compare_column_stats_rel", "q_events_trailing", "q_events_asof",
       "q_events_rangejoin", "q_embedding_cosine_lsh", "q_ann_ivf",

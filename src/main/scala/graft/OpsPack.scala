@@ -889,6 +889,19 @@ object OpsPack {
       numBuckets = InvIndexBuckets)
   }
 
+  /** Group-wise z-score normalization driver query: l_quantity scaled
+    * within each return flag ([[graft.operators.Normalize]] — one exact
+    * decimal-moment aggregation, broadcast join back, fixed double-op
+    * sequence so every z is engine-identical). */
+  def normalizeGroup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Normalize.zscoreByGroup(
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_returnflag", "l_quantity"),
+      Seq("l_returnflag"), "l_quantity", "z")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("double").as("l_quantity"), col("z"))
+      .orderBy("l_returnflag", "l_quantity")
+
   /** Budget-constrained quality selection: the maximal (quality desc,
     * doc_id) prefix whose token sum fits a 12k-token budget
     * ([[graft.operators.Selection]] — bucket-summary prefix scan + an
@@ -988,6 +1001,7 @@ object OpsPack {
     "q_text_bm25" -> (textBm25 _),
     "q_text_bm25_indexed" -> (textBm25Indexed _),
     "q_select_budget" -> (selectBudget _),
+    "q_normalize_group" -> (normalizeGroup _),
     "q_docs_lang_rollup" -> (langRollup _),
     "q_split_counts" -> (splitCounts _),
     "q_shuffle_export" -> (shuffleExport _),
@@ -2031,6 +2045,25 @@ object OpsPack {
        |FROM packs GROUP BY pack_group ORDER BY pack_group""".stripMargin
   }
 
+  /** Z-score oracle: the identical fixed sequence of double operations
+    * over DECIMAL-exact group moments — mean = Σx/n once, variance as
+    * Σx²/n − mean², clamped at 0, sqrt, divide — so every score is
+    * bit-identical (IEEE ops are correctly rounded in both engines). */
+  private val normalizeGroupSql: String =
+    """WITH s AS (SELECT l_returnflag,
+      |  CAST(count(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS n_d,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_d,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))
+      |           * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sumsq_d
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, CAST(l.l_quantity AS DOUBLE) AS l_quantity,
+      |  CASE WHEN sqrt(greatest(sumsq_d / n_d - (sum_d / n_d) * (sum_d / n_d), 0)) > 0
+      |       THEN (CAST(l.l_quantity AS DOUBLE) - sum_d / n_d)
+      |            / sqrt(greatest(sumsq_d / n_d - (sum_d / n_d) * (sum_d / n_d), 0))
+      |  END AS z
+      |FROM lineitem l JOIN s USING (l_returnflag)
+      |ORDER BY l_returnflag, l_quantity""".stripMargin
+
   /** Budget-selection oracle: the global window-cumsum formulation the
     * two-phase engine reproduces exactly — same quality formula as the
     * top-k-quality oracle, BIGINT token cumsum, prefix cut at the budget. */
@@ -2104,6 +2137,7 @@ object OpsPack {
     "q_text_bm25" -> textBm25Sql,
     "q_text_bm25_indexed" -> textBm25Sql,
     "q_select_budget" -> selectBudgetSql,
+    "q_normalize_group" -> normalizeGroupSql,
     "q_pack_stats" -> packStatsSql,
     "q_docs_lang_rollup" -> langRollupSql,
     "q_split_counts" -> splitCountsSql,

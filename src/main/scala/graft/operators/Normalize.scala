@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Group-wise feature normalization — the scaling pass feature pipelines
+  * run before training. One aggregation computes each group's exact
+  * decimal moments (count, Σx, Σx² — order-independent, engine-exact),
+  * the tiny per-group stats table broadcast-joins back, and the scaled
+  * value is a fixed double-arithmetic sequence over those exact sums, so
+  * results are bit-reproducible across engines, runs, and partitionings.
+  * No window functions: the stats side is |groups| rows, the join is a
+  * broadcast, and the scan stays embarrassingly parallel.
+  */
+object Normalize {
+
+  /** Attach a population z-score per group: z = (x − mean) / stddev,
+    * where mean = Σx/n and stddev = sqrt(max(Σx²/n − mean², 0)) — all
+    * four double operations in that fixed order over DECIMAL-exact sums.
+    * Groups with zero variance (or a single row) emit NULL. NULL values
+    * pass through with a NULL score. */
+  def zscoreByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      outCol: String = "z"): DataFrame = {
+    require(groupCols.nonEmpty, "zscoreByGroup needs at least one group column")
+    val v = col(valueCol).cast("decimal(18,6)")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(v).as("_graft_n"),
+        sum(v).cast("double").as("_graft_sum"),
+        sum(v * v).cast("double").as("_graft_sumsq"))
+    val mean = col("_graft_sum") / col("_graft_n").cast("double")
+    val variance = greatest(
+      col("_graft_sumsq") / col("_graft_n").cast("double") - mean * mean,
+      lit(0.0))
+    val std = sqrt(variance)
+    df.join(broadcast(stats), groupCols, "left")
+      .withColumn(outCol,
+        when(std > 0.0, (col(valueCol).cast("double") - mean) / std))
+      .drop("_graft_n", "_graft_sum", "_graft_sumsq")
+  }
+
+  /** Attach a min-max scaled value per group: (x − min) / (max − min) in
+    * [0, 1]; constant groups emit NULL. Same one-agg + broadcast shape. */
+  def minMaxByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      outCol: String = "scaled"): DataFrame = {
+    require(groupCols.nonEmpty, "minMaxByGroup needs at least one group column")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(min(col(valueCol)).cast("double").as("_graft_min"),
+        max(col(valueCol)).cast("double").as("_graft_max"))
+    val span = col("_graft_max") - col("_graft_min")
+    df.join(broadcast(stats), groupCols, "left")
+      .withColumn(outCol,
+        when(span > 0.0,
+          (col(valueCol).cast("double") - col("_graft_min")) / span))
+      .drop("_graft_min", "_graft_max")
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Normalize
+
+/** Group-wise normalization semantics. */
+class NormalizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", 1.0), ("a", 2.0), ("a", 3.0),
+    ("b", 5.0), ("b", 5.0), // zero variance
+    ("c", 7.0))             // single row
+    .toDF("g", "v")
+
+  test("zscore matches the closed form; degenerate groups emit NULL") {
+    val got = Normalize.zscoreByGroup(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val a = got.filter(_._1 == "a").sortBy(_._2).map(_._3)
+    // mean 2, population std sqrt(2/3)
+    val std = math.sqrt(2.0 / 3.0)
+    assert(a.flatten.zip(Seq(-1.0 / std, 0.0, 1.0 / std))
+      .forall { case (x, e) => math.abs(x - e) < 1e-12 })
+    assert(got.filter(r => r._1 == "b" || r._1 == "c").forall(_._3.isEmpty))
+  }
+
+  test("minmax scales into [0,1]; constant groups emit NULL") {
+    val got = Normalize.minMaxByGroup(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got.contains(("a", 1.0, Some(0.0))) &&
+      got.contains(("a", 2.0, Some(0.5))) &&
+      got.contains(("a", 3.0, Some(1.0))))
+    assert(got.filter(r => r._1 == "b" || r._1 == "c").forall(_._3.isEmpty))
+  }
+
+  test("stats side joins back as a broadcast") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_returnflag", "l_quantity")
+    val plan = Normalize.zscoreByGroup(docs, Seq("l_returnflag"), "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("zscore is invariant under repartitioning (exact decimal moments)") {
+    val base = Normalize.zscoreByGroup(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.get(2))).toSet
+    val re = Normalize.zscoreByGroup(df.repartition(7), Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.get(2))).toSet
+    assert(base == re)
+  }
+}
