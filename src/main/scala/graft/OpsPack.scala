@@ -856,6 +856,41 @@ object OpsPack {
       .orderBy("event_id")
   }
 
+  /** Ordered-funnel driver query: per-user earliest reach times through
+    * view → click → purchase ([[graft.operators.Funnel.funnelStages]] —
+    * stage mins as unbounded windows over ONE user_id exchange, rollup
+    * pre-partitioned). Epoch-micros outputs keep the hash engine-exact. */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.normalizeEventTs(
+      s.read.parquet(s"$dir/events.parquet"))
+    graft.operators.Funnel.funnelStages(
+      ev, keyCol = "user_id", tsCol = "ts", stageCol = "event_type",
+      stages = FunnelStages)
+      .select(col("user_id"),
+        unix_micros(col("stage_1_ts")).as("view_us"),
+        unix_micros(col("stage_2_ts")).as("click_us"),
+        unix_micros(col("stage_3_ts")).as("purchase_us"),
+        col("depth"))
+      .orderBy("user_id")
+  }
+
+  /** Cohort-retention driver query: users bucketed by first-activity day,
+    * distinct-user counts per (cohort day, day offset)
+    * ([[graft.operators.Funnel.cohortRetention]]). Day numbers are integral
+    * epoch-day divisions — exact and timezone-free in both engines. */
+  def eventsCohort(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.normalizeEventTs(
+      s.read.parquet(s"$dir/events.parquet"))
+      .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+    graft.operators.Funnel.cohortRetention(ev, keyCol = "user_id", dayCol = "day")
+      .select(col("cohort_day").cast("long").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"),
+        col("n_keys").cast("long").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** BM25 keyword-search driver query: top-25 documents for a three-term
     * query under the engine-portable fixed-point scorer
     * ([[graft.operators.Search.bm25TopKPortable]]) — one stats pass, one
@@ -998,6 +1033,8 @@ object OpsPack {
     "q_events_sessions" -> (eventsSessions _),
     "q_events_rangejoin" -> (eventsRangeJoin _),
     "q_events_trailing" -> (eventsTrailing _),
+    "q_events_funnel" -> (eventsFunnel _),
+    "q_events_cohort" -> (eventsCohort _),
     "q_text_bm25" -> (textBm25 _),
     "q_text_bm25_indexed" -> (textBm25Indexed _),
     "q_select_budget" -> (selectBudget _),
@@ -1984,6 +2021,40 @@ object OpsPack {
       |       ow AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** Funnel oracle: the same greedy-earliest stage recurrence as the engine
+    * (stage i = min ts of a stage-i event at-or-after stage i-1's reach),
+    * expressed as stacked unbounded-window mins over epoch micros —
+    * monotone in ts, so the timestamp-domain engine comparison and the
+    * micros-domain SQL agree exactly. */
+  private val eventsFunnelSql: String =
+    """WITH s1 AS (SELECT *,
+      |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+      |    OVER (PARTITION BY user_id) AS r1 FROM events),
+      |s2 AS (SELECT *,
+      |  min(CASE WHEN event_type = 'click' AND epoch_us(ts) >= r1
+      |           THEN epoch_us(ts) END)
+      |    OVER (PARTITION BY user_id) AS r2 FROM s1),
+      |s3 AS (SELECT *,
+      |  min(CASE WHEN event_type = 'purchase' AND epoch_us(ts) >= r2
+      |           THEN epoch_us(ts) END)
+      |    OVER (PARTITION BY user_id) AS r3 FROM s2)
+      |SELECT user_id, min(r1) AS view_us, min(r2) AS click_us,
+      |  min(r3) AS purchase_us,
+      |  CAST(CASE WHEN min(r3) IS NOT NULL THEN 3
+      |            WHEN min(r2) IS NOT NULL THEN 2
+      |            WHEN min(r1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+      |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Cohort oracle: integral epoch-day buckets (post-1970 data, so floor
+    * and truncating division agree), window-min first day, distinct-user
+    * rollup. */
+  private val eventsCohortSql: String =
+    """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM d)
+      |SELECT cohort_day, day - cohort_day AS day_offset,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Greedy-packing oracle: DuckDB SIMULATES first-fit-decreasing with a
     * recursive CTE that carries each md5-bucketed stream's open-bin
     * remaining-capacity LIST — one recursion step per (group, doc) in the
@@ -2134,6 +2205,8 @@ object OpsPack {
     "q_events_streamed" -> eventsStreamedSql,
     "q_events_rangejoin" -> eventsRangeJoinSql,
     "q_events_trailing" -> eventsTrailingSql,
+    "q_events_funnel" -> eventsFunnelSql,
+    "q_events_cohort" -> eventsCohortSql,
     "q_text_bm25" -> textBm25Sql,
     "q_text_bm25_indexed" -> textBm25Sql,
     "q_select_budget" -> selectBudgetSql,

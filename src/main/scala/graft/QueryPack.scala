@@ -381,6 +381,28 @@ object OracleGen {
        |ORDER BY ${keys.map(k => s"a_$k").mkString(", ")}""".stripMargin
   }
 
+  /** Oracle for the CDC snapshot diff: same full-outer join, CASE
+    * classification, and name-sorted concat_ws changed-set as
+    * [[graft.operators.Cdc.changes]] (concat_ws skips NULL parts in both
+    * engines, so the per-column CASE chain mirrors the engine's `when`s). */
+  def cdcSql(keys: Seq[String]): String = {
+    val nonKeys = liCols.filterNot(keys.contains).sorted
+    def mis(c: String) = s"(a_$c IS DISTINCT FROM b_$c)"
+    val anyMis = nonKeys.map(mis).mkString(" OR ")
+    val parts = nonKeys.map(c => s"CASE WHEN ${mis(c)} THEN '$c' END").mkString(", ")
+    val nChanged = nonKeys.map(c => s"CASE WHEN ${mis(c)} THEN 1 ELSE 0 END").mkString(" + ")
+    s"""${prefix(keys)}
+       |SELECT ${keys.map(k => s"COALESCE(a_$k, b_$k) AS $k").mkString(", ")},
+       |  CASE WHEN in1 IS NULL THEN 'insert'
+       |       WHEN in2 IS NULL THEN 'delete'
+       |       WHEN $anyMis THEN 'update' ELSE 'unchanged' END AS change_type,
+       |  CASE WHEN in1 AND in2 THEN concat_ws(',', $parts) ELSE '' END AS changed_cols,
+       |  CAST(CASE WHEN in1 AND in2 THEN $nChanged ELSE 0 END AS BIGINT) AS n_changed
+       |FROM j
+       |WHERE in1 IS NULL OR in2 IS NULL OR ($anyMis)
+       |ORDER BY ${keys.mkString(", ")}""".stripMargin
+  }
+
   /** Oracle for the boolean predicate suite. */
   def predicatesSql(keys: Seq[String], absTol: Double): String = {
     val nonKeys = liCols.filterNot(keys.contains)

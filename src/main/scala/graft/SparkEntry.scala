@@ -57,6 +57,11 @@ object SparkEntry {
     // All mismatching rows: keys + both versions (§2.6 / spark.py:793-867).
     "q_compare_all_mismatch" -> ((s, dir) =>
       compare(s, dir).allMismatch().orderBy(keys2.map(col): _*)),
+    // Row-level CDC classification (insert/delete/update + changed columns)
+    // from the same single full-outer join shape as the compare core.
+    "q_compare_cdc" -> ((s, dir) =>
+      graft.operators.Cdc.changes(frameA(s, dir), frameB(s, dir), keys2)
+        .orderBy(keys2.map(col): _*)),
     // Boolean predicate suite (§2.11).
     "q_compare_predicates" -> { (s, dir) =>
       import s.implicits._
@@ -83,6 +88,7 @@ object SparkEntry {
     "q_compare_df1_unq_rows" -> OracleGen.unqRowsSql(keys2, 1),
     "q_compare_df2_unq_rows" -> OracleGen.unqRowsSql(keys2, 2),
     "q_compare_all_mismatch" -> OracleGen.allMismatchSql(keys2, 0.0),
+    "q_compare_cdc" -> OracleGen.cdcSql(keys2),
     "q_compare_predicates" -> OracleGen.predicatesSql(keys2, 0.0),
   ) ++ OpsPack.oracleSql
 }
