@@ -118,6 +118,41 @@ object OpsPack {
       .toSeq.toDF("rank", "vec_id")
   }
 
+  /** Filtered ANN driver query: top-20 by cosine among vectors whose label
+    * is in {1, 2, 3} — the metadata predicate reaches the parquet scan as a
+    * pushed filter before any vector math ([[graft.operators.Ann.filteredTopK]]).
+    * Same rank-only output contract as q_ann_topk. */
+  val AnnFilterLabels: Seq[Int] = Seq(1, 2, 3)
+
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0).select(col("embedding")).first()
+      .getSeq[Float](0).map(_.toDouble)
+    val top = Ann.filteredTopK(e, "embedding", "vec_id",
+      col("label").isin(AnnFilterLabels.map(Integer.valueOf): _*), q, 20)
+    import s.implicits._
+    top.collect().zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
+      .toSeq.toDF("rank", "vec_id")
+  }
+
+  /** kNN majority-vote classification driver query: labels for three query
+    * vectors from their 15 nearest neighbors (self excluded, ties toward
+    * the smaller label) — [[graft.operators.Ann.knnClassify]]'s
+    * bounded-heap neighbor join + broadcast vote rollup. */
+  val KnnK = 15
+
+  def annKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val queries = e.where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Ann.knnClassify(e, "embedding", "vec_id", "label",
+      queries, "qv", "qid", k = KnnK)
+      .select(col("query_id"), col("predicted_label"),
+        col("votes").cast("long").as("votes"))
+      .orderBy("query_id")
+  }
+
   /** Persisted LSH-bucketed ANN: the corpus written `partitionBy(__bucket)`
     * under its 8-bit hyperplane signature (once per JVM × dir), then the
     * probe reads ONLY the query's multi-probe buckets — the bucket set is
@@ -1074,6 +1109,8 @@ object OpsPack {
     "q_pack_stats" -> (packStats _),
     "q_ann_topk" -> (annTopK _),
     "q_ann_topk_multi" -> (annTopKMulti _),
+    "q_ann_filtered" -> (annFiltered _),
+    "q_ann_knn" -> (annKnnClassify _),
     "q_ann_topk_quantized" -> (annTopKQuantized _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_lsh_bucketed" -> (annLshBucketed _),
@@ -1743,6 +1780,35 @@ object OpsPack {
       |SELECT CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT) AS rank, vec_id
       |FROM scored ORDER BY c DESC, vec_id LIMIT 20""".stripMargin
 
+  /** Filtered-ANN oracle: q_ann_topk's exact ranking restricted to the
+    * label slice (the query vector still comes from the full table). */
+  private val annFilteredSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+       |q AS (SELECT v FROM e WHERE vec_id = 0),
+       |scored AS (SELECT e.vec_id, list_cosine_similarity(e.v, (SELECT v FROM q)) c
+       |           FROM e WHERE label IN (${AnnFilterLabels.mkString(", ")}))
+       |SELECT CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT) AS rank, vec_id
+       |FROM scored ORDER BY c DESC, vec_id LIMIT 20""".stripMargin
+
+  /** kNN-classification oracle: exact top-k per query (self excluded, the
+    * heap's (cosine desc, id asc) tie rule), vote counts, argmax with the
+    * smaller label winning ties. */
+  private val annKnnSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+       |scored AS (SELECT q.query_id, e.vec_id, e.label,
+       |    list_cosine_similarity(e.v, q.qv) c
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY c DESC, vec_id) rn FROM scored),
+       |votes AS (SELECT query_id, CAST(label AS BIGINT) AS label,
+       |    CAST(count(*) AS BIGINT) AS votes
+       |  FROM ranked WHERE rn <= $KnnK GROUP BY 1, 2)
+       |SELECT query_id, label AS predicted_label, votes
+       |FROM votes QUALIFY row_number() OVER (PARTITION BY query_id
+       |  ORDER BY votes DESC, label) = 1
+       |ORDER BY query_id""".stripMargin
+
   /** Quantized-ANN oracle: the same max-abs/127 scale, the same
     * floor(x/s + 0.5) rounding (round() diverges half-even/half-away across
     * engines; floor(+0.5) doesn't), and integer dot products — exact in
@@ -2243,6 +2309,8 @@ object OpsPack {
     "q_text_classifier" -> textClassifierSql,
     "q_ann_topk" -> annTopKSql,
     "q_ann_topk_multi" -> annTopKMultiSql,
+    "q_ann_filtered" -> annFilteredSql,
+    "q_ann_knn" -> annKnnSql,
     "q_ann_topk_quantized" -> annTopKQuantizedSql,
     "q_ann_ivf" -> annTopKSql,
     "q_ann_ivf_persisted" -> annTopKSql,

@@ -70,6 +70,51 @@ object Ann {
         col("e").getField("score").as("cosine"), (col("pos") + 1).as("rank"))
   }
 
+  /** Predicate-filtered ANN top-k: the metadata predicate applies BEFORE any
+    * vector math, so Catalyst pushes it into the scan (`PushedFilters` /
+    * partition pruning on a partitioned layout) and the cosine expressions
+    * only ever run on surviving rows — the "filtered vector search" shape
+    * (search within a label / language / license slice). Same
+    * TakeOrderedAndProject top-k as [[bruteForceTopK]]. */
+  def filteredTopK(
+      df: DataFrame, vecCol: String, idCol: String, pred: Column,
+      query: Seq[Double], k: Int): DataFrame =
+    bruteForceTopK(df.where(pred), vecCol, idCol, query, k)
+
+  /** kNN majority-vote classification: each query's predicted label is the
+    * modal label among its k nearest corpus neighbors by cosine (ties →
+    * smaller label; `excludeSelf` drops a corpus row sharing the query's
+    * id — train/query overlap).
+    *
+    * Scale shape: neighbor selection is the bounded-heap top-k join
+    * ([[bruteForceTopKJoin]]'s aggregate — map-side partial top-k, shuffle
+    * ≤ k×partitions rows per query); the ≤ queries×k neighbor set then
+    * BROADCASTS back onto the (id, label) projection, so the corpus is
+    * scanned but never shuffled; the vote rollup is queries×k rows. */
+  def knnClassify(
+      df: DataFrame, vecCol: String, idCol: String, labelCol: String,
+      queries: DataFrame, queryVecCol: String, queryIdCol: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      col(labelCol).cast("long").as("label"))
+    val scored = base.crossJoin(broadcast(
+      queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))))
+    val candidates = if (excludeSelf) scored.where(col("id") =!= col("query_id")) else scored
+    val neighbors = candidates
+      .select(col("query_id"), col("id"), cosine(col("__v"), col("__qv")).as("cosine"))
+      .groupBy("query_id")
+      .agg(graft.functions.VectorFunctions.topKByScore(col("cosine"), col("id"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e").getField("id").as("id"))
+    base.select("id", "label").join(broadcast(neighbors), "id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .groupBy("query_id")
+      .agg(max(struct(col("votes"), (-col("label")).as("neg"), col("label"))).as("m"))
+      .select(col("query_id"),
+        col("m").getField("label").as("predicted_label"),
+        col("m").getField("votes").as("votes"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: plane p, dim d component from
     * a hash — reproducible across runs/engines without RNG state. */
   /** Hyperplane components for table `t`, plane `p` (0-based global plane
