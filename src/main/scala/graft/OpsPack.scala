@@ -789,6 +789,25 @@ object OpsPack {
       s.read.parquet(s"$dir/lineitem.parquet"), NumProfileCols)
       .orderBy("column")
 
+  /** Equi-width histogram driver query: 16 bins over l_extendedprice
+    * ([[graft.operators.Profile.equiWidthHistogram]] — min/max pass fixes
+    * the edges, grouped count bins; every edge/bin double op mirrored
+    * verbatim in the oracle). */
+  val HistogramBins = 16
+
+  def profileHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.equiWidthHistogram(
+      s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice", HistogramBins)
+      .orderBy("bin")
+
+  /** Pearson-correlation driver query over lineitem's measures
+    * ([[graft.operators.Profile.correlationMatrix]] — one pass of exact
+    * decimal moments, fixed double formula per pair). */
+  def profileCorr(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.correlationMatrix(
+      s.read.parquet(s"$dir/lineitem.parquet"), NumProfileCols)
+      .orderBy("col1", "col2")
+
   /** Hourly event rollup, robust to how the driver typed `ts` this round:
     * nanosecond longs (TIMESTAMP(NANOS) under `nanosAsLong`) bucket with
     * integral division (exact at any magnitude — doubles can't hold ns
@@ -1106,6 +1125,8 @@ object OpsPack {
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_sample_per_source" -> (samplePerSource _),
     "q_profile_numeric" -> (numericProfileLineitem _),
+    "q_profile_histogram" -> (profileHistogram _),
+    "q_profile_corr" -> (profileCorr _),
     "q_pack_stats" -> (packStats _),
     "q_ann_topk" -> (annTopK _),
     "q_ann_topk_multi" -> (annTopKMulti _),
@@ -1907,6 +1928,61 @@ object OpsPack {
       |  CAST(sum(q) AS DOUBLE) AS qty_sum
       |FROM k GROUP BY hot_key ORDER BY hot_key""".stripMargin
 
+  /** Histogram oracle: the same fixed double-op sequence as the engine —
+    * width once, floor((v−mn)/width) clamped, lo/hi from bin·width. */
+  private val profileHistogramSql: String = {
+    val b = HistogramBins
+    s"""WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+       |              max(CAST(l_extendedprice AS DOUBLE)) AS mx FROM lineitem),
+       |w AS (SELECT mn, mx, (mx - mn) / CAST($b AS DOUBLE) AS width FROM mm),
+       |bb AS (SELECT least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn) / width) AS BIGINT),
+       |                    ${b - 1}) AS bin
+       |       FROM lineitem, w WHERE l_extendedprice IS NOT NULL)
+       |SELECT bin, mn + CAST(bin AS DOUBLE) * width AS lo,
+       |  mn + CAST(bin + 1 AS DOUBLE) * width AS hi,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM bb, w GROUP BY bin, mn, width ORDER BY bin""".stripMargin
+  }
+
+  /** Correlation oracle: identical decimal moment sums and the identical
+    * double formula, textual op order mirrored from
+    * [[graft.operators.Profile.correlationMatrix]]. */
+  private val profileCorrSql: String = {
+    val cols = NumProfileCols
+    def dec(c: String) = s"CAST($c AS DECIMAL(18,6))"
+    // DuckDB's DECIMAL->DOUBLE cast divides two doubles (raw / 10^scale)
+    // and can land one ulp off the correctly-rounded value once the raw
+    // integer exceeds 2^53; the VARCHAR round-trip goes through strtod,
+    // which rounds correctly and therefore matches Java's
+    // BigDecimal.doubleValue on the engine side (observed: p_ab one ulp
+    // low under the direct cast at sf0.01).
+    def toDouble(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    val sums = cols.map(c => s"${toDouble(s"SUM(${dec(c)})")} AS s_$c")
+    val pairsLe = for {
+      (a, i) <- cols.zipWithIndex; (b, j) <- cols.zipWithIndex if i <= j
+    } yield (a, b)
+    // DECIMAL(19,6) forces DuckDB's int128 multiply path (int64-backed
+    // DECIMAL(18) products overflow int64); values are exact either way,
+    // so the Spark mirror (decimal(18,6) products) is unaffected.
+    def decw(c: String) = s"CAST($c AS DECIMAL(19,6))"
+    val prods = pairsLe.map { case (a, b) =>
+      s"${toDouble(s"SUM(${decw(a)} * ${decw(b)})")} AS p_${a}__$b" }
+    val selects = for {
+      (a, i) <- cols.zipWithIndex; (b, j) <- cols.zipWithIndex if i < j
+    } yield {
+      val num = s"(n_d * p_${a}__$b - s_$a * s_$b)"
+      val den = s"(sqrt(n_d * p_${a}__$a - s_$a * s_$a) * " +
+        s"sqrt(n_d * p_${b}__$b - s_$b * s_$b))"
+      s"SELECT '$a' AS col1, '$b' AS col2, " +
+        s"CASE WHEN $den = 0 THEN NULL ELSE $num / $den END AS corr FROM m"
+    }
+    s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n_d,
+       |  ${(sums ++ prods).mkString(",\n  ")}
+       |FROM lineitem)
+       |${selects.mkString("\n UNION ALL ")}
+       |ORDER BY col1, col2""".stripMargin
+  }
+
   private val eventsWindowedSql: String =
     """SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,
       | CAST(count(*) AS BIGINT) AS n,
@@ -2189,9 +2265,9 @@ object OpsPack {
   private val normalizeGroupSql: String =
     """WITH s AS (SELECT l_returnflag,
       |  CAST(count(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS n_d,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_d,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))
-      |           * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sumsq_d
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_d,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+      |           * CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sumsq_d
       |  FROM lineitem GROUP BY 1)
       |SELECT l.l_returnflag, CAST(l.l_quantity AS DOUBLE) AS l_quantity,
       |  CASE WHEN sqrt(greatest(sumsq_d / n_d - (sum_d / n_d) * (sum_d / n_d), 0)) > 0
@@ -2294,6 +2370,8 @@ object OpsPack {
     "q_docs_topk_quality" -> topkQualitySql,
     "q_sample_per_source" -> samplePerSourceSql,
     "q_profile_numeric" -> numericProfileSql,
+    "q_profile_histogram" -> profileHistogramSql,
+    "q_profile_corr" -> profileCorrSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_clean_corpus" -> cleanCorpusSql,
     "q_dedup_jaccard_pairs" -> jaccardSql,

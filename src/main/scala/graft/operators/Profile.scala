@@ -27,6 +27,79 @@ object Profile {
     }.toDF("column", "n_nulls", "n_distinct")
   }
 
+  /** Equi-width histogram over a numeric column: one tiny min/max
+    * aggregation fixes the bin edges driver-side, then one grouped count
+    * produces the (non-empty) bins — two O(data) scans, one exchange of
+    * ≤ `bins` partial-count rows (map-side combine makes the shuffle
+    * byte-count independent of data size).
+    *
+    * All edge arithmetic is a FIXED double-op sequence (width =
+    * (max−min)/bins once; bin = floor((v−min)/width) clamped into the last
+    * bin; lo/hi = min + bin·width) so the result is bit-identical across
+    * engines. Degenerate case max == min puts everything in bin 0. */
+  def equiWidthHistogram(df: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val spark = df.sparkSession
+    val v = col(c).cast("double")
+    val mm = df.agg(min(v).as("mn"), max(v).as("mx")).first()
+    import spark.implicits._
+    if (mm.isNullAt(0)) return Seq.empty[(Long, Double, Double, Long)]
+      .toDF("bin", "lo", "hi", "n")
+    val mn = mm.getDouble(0)
+    val mx = mm.getDouble(1)
+    if (mx == mn)
+      return df.where(v.isNotNull).agg(count(lit(1)).as("n"))
+        .select(lit(0L).as("bin"), lit(mn).as("lo"), lit(mx).as("hi"), col("n"))
+    val width = (mx - mn) / bins
+    val bin = least(floor((v - lit(mn)) / lit(width)), lit((bins - 1).toLong))
+    df.where(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (lit(mn) + col("bin").cast("double") * lit(width)).as("lo"),
+        (lit(mn) + (col("bin") + 1).cast("double") * lit(width)).as("hi"),
+        col("n"))
+  }
+
+  /** Exact Pearson correlation for every pair of `cols` in ONE aggregation
+    * pass: all first/second moments accumulate as DECIMAL sums (exact —
+    * no double accumulation-order nondeterminism, unlike `corr()`'s
+    * streaming co-moment updates), then each pair's coefficient is a fixed
+    * double-op sequence over the collected moments:
+    * (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²_sum) · √(n·Σy² − Σy²_sum)) —
+    * engine-bit-identical given the exact sums. NULL handling: rows are
+    * counted by `count(*)`, so columns are expected non-NULL (profile
+    * nulls first via [[columnProfile]]).
+    *
+    * Scale shape: one scan, one single-row shuffle of
+    * cols + cols·(cols+1)/2 decimal partials; the pair algebra is
+    * driver-side on that single row. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val spark = df.sparkSession
+    val base = df.select(cols.map(c => col(c).cast("decimal(18,6)").as(c)): _*)
+    val pairs = for {
+      (a, i) <- cols.zipWithIndex; (b, j) <- cols.zipWithIndex if i <= j
+    } yield (a, b)
+    val aggs = (count(lit(1)).as("n") +:
+      cols.map(c => sum(col(c)).as(s"s_$c"))) ++
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"p_${a}__$b") }
+    val r = base.agg(aggs.head, aggs.tail: _*).first()
+    val nD = r.getAs[Long]("n").toDouble
+    def d(name: String): Double = r.getDecimal(r.fieldIndex(name)).doubleValue()
+    def p(a: String, b: String): Double =
+      if (cols.indexOf(a) <= cols.indexOf(b)) d(s"p_${a}__$b") else d(s"p_${b}__$a")
+    import spark.implicits._
+    (for { (a, i) <- cols.zipWithIndex; (b, j) <- cols.zipWithIndex if i < j }
+      yield {
+        val num = nD * p(a, b) - d(s"s_$a") * d(s"s_$b")
+        val den = math.sqrt(nD * p(a, a) - d(s"s_$a") * d(s"s_$a")) *
+          math.sqrt(nD * p(b, b) - d(s"s_$b") * d(s"s_$b"))
+        (a, b, if (den == 0.0) null.asInstanceOf[java.lang.Double]
+               else java.lang.Double.valueOf(num / den))
+      }).toDF("col1", "col2", "corr")
+  }
+
   /** Numeric distribution profile: per column, null count, min/max, and
     * DISCONTINUOUS percentiles — order statistics (actual elements of the
     * column, the `percentile_disc` definition: the value at rank

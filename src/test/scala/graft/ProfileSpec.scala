@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Profile
+
+/** Histogram + correlation profiling. */
+class ProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("equiWidthHistogram bins cover the range; max lands in the last bin") {
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val bins = Profile.equiWidthHistogram(df, "v", 10)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(bins.keySet == (0L to 9L).toSet)
+    assert(bins(0L)._3 == 10L)            // 0..9
+    assert(bins(9L)._3 == 11L)            // 90..100: max clamps into bin 9
+    assert(bins(0L)._1 == 0.0 && bins(9L)._2 == 100.0)
+    // adjacent bins share edges
+    assert(bins(3L)._2 == bins(4L)._1)
+  }
+
+  test("equiWidthHistogram degenerate and empty inputs") {
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val r = Profile.equiWidthHistogram(const, "v", 4).collect()
+    assert(r.length == 1 && r(0).getLong(0) == 0L && r(0).getLong(3) == 3L)
+    assert(Profile.equiWidthHistogram(Seq.empty[Double].toDF("v"), "v", 4)
+      .collect().isEmpty)
+  }
+
+  test("correlationMatrix matches hand-computed Pearson") {
+    // y = 2x exactly -> corr 1; z anti-correlated with x -> corr -1
+    val df = Seq((1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0))
+      .toDF("x", "y", "z")
+    val m = Profile.correlationMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(m(("x", "y")) - 1.0) < 1e-12)
+    assert(math.abs(m(("x", "z")) + 1.0) < 1e-12)
+    assert(math.abs(m(("y", "z")) + 1.0) < 1e-12)
+    assert(m.size == 3)
+  }
+
+  test("correlationMatrix constant column yields NULL coefficient") {
+    val df = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0)).toDF("x", "c")
+    val r = Profile.correlationMatrix(df, Seq("x", "c")).collect()(0)
+    assert(r.isNullAt(2))
+  }
+
+  test("correlationMatrix agrees with Spark's corr() on random-ish data") {
+    val df = (1 to 50).map(i => (i.toDouble, (i * i % 13).toDouble)).toDF("a", "b")
+    val ours = Profile.correlationMatrix(df, Seq("a", "b")).collect()(0).getDouble(2)
+    val ref = df.stat.corr("a", "b")
+    assert(math.abs(ours - ref) < 1e-9)
+  }
+}
