@@ -831,6 +831,34 @@ object OpsPack {
       .orderBy("bucket", "event_type")
   }
 
+  /** Sliding-window rollup driver query: 2-hour windows every hour via
+    * Spark's native `window()` generator — each event lands in exactly two
+    * epoch-aligned windows, mirrored in the oracle as a union of two
+    * shifted hourly bucketings. Decimal-exact sums, epoch-micros window
+    * starts. */
+  def eventsSliding(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.normalizeEventTs(
+      s.read.parquet(s"$dir/events.parquet"))
+    ev.groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start_us", "event_type")
+  }
+
+  /** Percent-rank normalization driver query: l_quantity's within-flag
+    * quantile position ([[graft.operators.Normalize.percentRankByGroup]]),
+    * collapsed to the distinct (flag, value, pr) triples — tie rows share
+    * a rank, so the triple set is the full function graph. */
+  def normalizeRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Normalize.percentRankByGroup(
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_quantity").cast("double").as("l_quantity")),
+      Seq("l_returnflag"), "l_quantity", "pr")
+      .distinct()
+      .orderBy("l_returnflag", "l_quantity")
+
   /** As-of join driver query: every purchase event attributed to the same
     * user's most recent click at-or-before it, within a 2-hour tolerance —
     * the pandas `merge_asof` shape as a single-shuffle union+forward-fill
@@ -1089,6 +1117,8 @@ object OpsPack {
     "q_events_trailing" -> (eventsTrailing _),
     "q_events_funnel" -> (eventsFunnel _),
     "q_events_cohort" -> (eventsCohort _),
+    "q_events_sliding" -> (eventsSliding _),
+    "q_normalize_rank" -> (normalizeRank _),
     "q_text_bm25" -> (textBm25 _),
     "q_text_bm25_indexed" -> (textBm25Indexed _),
     "q_select_budget" -> (selectBudget _),
@@ -2187,6 +2217,28 @@ object OpsPack {
       |            WHEN min(r1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
       |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Sliding-window oracle: a 2h/1h sliding window assigns each event to
+    * the hourly windows starting at its floor-hour and the hour before —
+    * a union of two shifted copies of the hourly bucketing. */
+  private val eventsSlidingSql: String =
+    """WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS h,
+      |             event_type, value FROM events),
+      |w AS (SELECT h AS ws, event_type, value FROM b
+      |      UNION ALL
+      |      SELECT h - 3600000000, event_type, value FROM b)
+      |SELECT ws AS window_start_us, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Percent-rank oracle: both engines define percent_rank as
+    * (rank−1)/(n−1) evaluated in double — identical integer operands ⇒
+    * identical doubles; DISTINCT collapses tie rows. */
+  private val normalizeRankSql: String =
+    """SELECT DISTINCT l_returnflag, CAST(l_quantity AS DOUBLE) AS l_quantity,
+      |  percent_rank() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS DOUBLE)) AS pr
+      |FROM lineitem ORDER BY 1, 2""".stripMargin
+
   /** Cohort oracle: integral epoch-day buckets (post-1970 data, so floor
     * and truncating division agree), window-min first day, distinct-user
     * rollup. */
@@ -2349,6 +2401,8 @@ object OpsPack {
     "q_events_trailing" -> eventsTrailingSql,
     "q_events_funnel" -> eventsFunnelSql,
     "q_events_cohort" -> eventsCohortSql,
+    "q_events_sliding" -> eventsSlidingSql,
+    "q_normalize_rank" -> normalizeRankSql,
     "q_text_bm25" -> textBm25Sql,
     "q_text_bm25_indexed" -> textBm25Sql,
     "q_select_budget" -> selectBudgetSql,

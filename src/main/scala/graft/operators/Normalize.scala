@@ -42,6 +42,27 @@ object Normalize {
       .drop("_graft_n", "_graft_sum", "_graft_sumsq")
   }
 
+  /** Attach a percent-rank (quantile) normalization per group:
+    * (rank − 1) / (n − 1) in [0, 1], ties sharing a rank — the
+    * distribution-free scaling that is robust to outliers where z-score
+    * and min-max are not. Single-row groups emit 0.
+    *
+    * This one IS a window (rank needs a per-group sort): one key shuffle +
+    * per-partition sort — the minimum for any rank statistic. The result
+    * is a pure function of the value multiset (tie rows share ranks), so
+    * it is deterministic and engine-portable: both engines define
+    * percent_rank as the same integer division evaluated in double. */
+  def percentRankByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      outCol: String = "pr"): DataFrame = {
+    require(groupCols.nonEmpty, "percentRankByGroup needs at least one group column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    df.withColumn(outCol, percent_rank().over(w))
+  }
+
   /** Attach a min-max scaled value per group: (x − min) / (max − min) in
     * [0, 1]; constant groups emit NULL. Same one-agg + broadcast shape. */
   def minMaxByGroup(

@@ -44,6 +44,17 @@ class NormalizeSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("percent-rank normalization: ties share ranks; singletons get 0") {
+    val d = Seq(("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 30.0), ("c", 7.0))
+      .toDF("g", "v")
+    val got = Normalize.percentRankByGroup(d, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got(("a", 10.0)) == 0.0)
+    assert(got(("a", 20.0)) == 1.0 / 3.0) // tie pair shares rank 2 of 4
+    assert(got(("a", 30.0)) == 1.0)
+    assert(got(("c", 7.0)) == 0.0)        // single-row group
+  }
+
   test("zscore is invariant under repartitioning (exact decimal moments)") {
     val base = Normalize.zscoreByGroup(df, Seq("g"), "v")
       .collect().map(r => (r.getString(0), r.getDouble(1), r.get(2))).toSet
