@@ -831,6 +831,29 @@ object OpsPack {
       .orderBy("bucket", "event_type")
   }
 
+  /** Fixed-point PageRank driver query: 5 supersteps over the bipartite
+    * customer↔supplier trade graph (distinct pairs through orders×lineitem,
+    * both directions), scaled-BIGINT arithmetic end to end
+    * ([[graft.operators.Graph.pageRankScaled]]) — integer sums make a
+    * distributed iterative rank computation hash-checkable against the
+    * oracle's unrolled-CTE mirror. */
+  val PageRankIters = 5
+
+  def graphPageRank(s: SparkSession, dir: String): DataFrame = {
+    val o = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.pageRankScaled(edges, PageRankIters)
+      .selectExpr(
+        "CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind",
+        "node DIV 2 AS key", "rank_scaled")
+      .orderBy("kind", "key")
+  }
+
   /** Sliding-window rollup driver query: 2-hour windows every hour via
     * Spark's native `window()` generator — each event lands in exactly two
     * epoch-aligned windows, mirrored in the oracle as a union of two
@@ -1119,6 +1142,7 @@ object OpsPack {
     "q_events_cohort" -> (eventsCohort _),
     "q_events_sliding" -> (eventsSliding _),
     "q_normalize_rank" -> (normalizeRank _),
+    "q_graph_pagerank" -> (graphPageRank _),
     "q_text_bm25" -> (textBm25 _),
     "q_text_bm25_indexed" -> (textBm25Indexed _),
     "q_select_budget" -> (selectBudget _),
@@ -2217,6 +2241,35 @@ object OpsPack {
       |            WHEN min(r1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
       |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** PageRank oracle: the same integer recurrence with the iterations
+    * UNROLLED as plain CTEs (aggregates are illegal in a recursive term) —
+    * each rᵢ is a LEFT JOIN of the node set against the aggregated
+    * floor-divided contributions of rᵢ₋₁. Intermediate BIGINT casts keep
+    * DuckDB's SUM(BIGINT)→HUGEINT promotion out of the result type. */
+  private val graphPageRankSql: String = {
+    val scale = graft.operators.Graph.DefaultScale
+    val base = (15L * scale) / 100L
+    val iterCtes = (1 to PageRankIters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  CAST($base + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ed.dst AS node, SUM(r.r // ed.outdeg) AS c
+         |    FROM ed JOIN r${i - 1} r ON r.node = ed.src GROUP BY ed.dst) s USING (node))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |r0 AS (SELECT node, CAST($scale AS BIGINT) AS r FROM nodes),
+       |$iterCtes
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  node // 2 AS key, r AS rank_scaled
+       |FROM r$PageRankIters ORDER BY kind, key""".stripMargin
+  }
+
   /** Sliding-window oracle: a 2h/1h sliding window assigns each event to
     * the hourly windows starting at its floor-hour and the hour before —
     * a union of two shifted copies of the hourly bucketing. */
@@ -2403,6 +2456,7 @@ object OpsPack {
     "q_events_cohort" -> eventsCohortSql,
     "q_events_sliding" -> eventsSlidingSql,
     "q_normalize_rank" -> normalizeRankSql,
+    "q_graph_pagerank" -> graphPageRankSql,
     "q_text_bm25" -> textBm25Sql,
     "q_text_bm25_indexed" -> textBm25Sql,
     "q_select_budget" -> selectBudgetSql,

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Graph
+
+/** Fixed-point PageRank semantics. */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Driver-side reference: the same integer recurrence, adjacency maps. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = Graph.DefaultScale): Map[Long, Long] = {
+    val es = edges.distinct
+    val out = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    val base = (15L * scale) / 100L
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val in = es.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / out(s) }.sum).toMap
+      r = nodes.map(n => n -> (base + (85L * in.getOrElse(n, 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  private val cycleWithTail = Seq(
+    (1L, 2L), (2L, 3L), (3L, 1L), // cycle
+    (4L, 1L),                     // tail feeding the cycle
+    (1L, 4L))
+
+  test("pageRankScaled matches the driver-side integer reference") {
+    val edges = cycleWithTail.toDF("src", "dst")
+    val got = Graph.pageRankScaled(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(cycleWithTail, 4))
+    // node 1 has two feeders (3 and 4); it must outrank the single-feed nodes
+    assert(got(1L) > got(2L) && got(1L) > got(4L))
+  }
+
+  test("zero iterations returns the uniform initial rank") {
+    val got = Graph.pageRankScaled(cycleWithTail.toDF("src", "dst"), iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(Graph.DefaultScale))
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("duplicate edges do not double-count; result is partitioning-invariant") {
+    val dup = cycleWithTail ++ cycleWithTail
+    val a = Graph.pageRankScaled(dup.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRankScaled(cycleWithTail.toDF("src", "dst").repartition(7), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("sink node keeps receiving rank but contributes nothing (dropped mass)") {
+    val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst") // 2 is a sink
+    val got = Graph.pageRankScaled(edges, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(Seq((1L, 2L), (3L, 2L)), 2))
+    assert(got(2L) > got(1L))
+  }
+}
