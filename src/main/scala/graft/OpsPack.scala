@@ -534,10 +534,13 @@ object OpsPack {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
 
-  def eventsStreamed(s: SparkSession, dir: String): DataFrame = {
+  /** Stage the events table as a two-file replay directory (earlier half →
+    * later half by modification time), shared by every streaming driver
+    * query against the same sf dir. */
+  private def stageStreamDir(s: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
-    val staged = stagedStreamDirs.getOrElseUpdate(dir, {
+    stagedStreamDirs.getOrElseUpdate(dir, {
       val root = Paths.get(s"target/graft_stream_driver_${md5Hex(dir)}")
       deleteRecursively(root) // stale single-file layout from earlier rounds
       Files.createDirectories(root)
@@ -571,6 +574,11 @@ object OpsPack {
       writeHalf(col("ts") > lit(mid), "half1", 2000000L)
       root.toString
     })
+  }
+
+  def eventsStreamed(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val staged = stageStreamDir(s, dir)
     val sink = s"graft_events_stream_sink_${streamSinkSeq.incrementAndGet()}"
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
@@ -606,6 +614,49 @@ object OpsPack {
         col("n"),
         col("total_value").cast("double").as("total_value"))
       .orderBy("window_start_us", "event_type")
+  }
+
+  /** Stream-stream join driver query: clicks ⋈ purchases within ±1 hour on
+    * the same user, replayed in two micro-batches with 1-hour watermarks on
+    * BOTH sides and an event-time range condition — the state-bounded
+    * streaming-join shape (state for a side is dropped once the watermark
+    * passes its join horizon). An append-mode INNER stream-stream join
+    * emits every matched pair exactly once, and the half-split replay
+    * can't drop pairs (batch 2's rows all sit above batch 1's watermark
+    * minus the horizon), so the emitted set equals the batch band join and
+    * shares q_events_rangejoin's oracle verbatim. */
+  def eventsStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val staged = stageStreamDir(s, dir)
+    val sink = s"graft_events_stream_sink_${streamSinkSeq.incrementAndGet()}"
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckptBase =
+      if (Files.isWritable(Paths.get("/dev/shm"))) s"/dev/shm/graft_ckpt_$sink"
+      else s"target/graft_ckpt_$sink"
+    val schema = ss.read.parquet(staged).schema
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val ev = graft.streaming.EventStreams.normalizeEventTs(stream)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("c_user = p_user AND p_ts >= c_ts - INTERVAL 1 HOUR" +
+        " AND p_ts <= c_ts + INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").option("checkpointLocation", ckptBase).start()
+    try q.processAllAvailable()
+    finally { q.stop(); deleteRecursively(Paths.get(ckptBase)) }
+    ss.table(sink)
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy("click_id", "purchase_id")
   }
 
   /** Contamination scan: every corpus document against a small probe set
@@ -1167,6 +1218,7 @@ object OpsPack {
     "q_text_chunks" -> (textChunks _),
     "q_text_classifier" -> (textClassifier _),
     "q_events_streamed" -> (eventsStreamed _),
+    "q_events_stream_join" -> (eventsStreamJoin _),
     "q_text_pii" -> (piiScan _),
     "q_text_repetition" -> (textRepetition _),
     "q_lm_ngram_score" -> (lmNgramScore _),
@@ -2451,6 +2503,7 @@ object OpsPack {
     "q_events_sessions" -> eventsSessionsSql,
     "q_events_streamed" -> eventsStreamedSql,
     "q_events_rangejoin" -> eventsRangeJoinSql,
+    "q_events_stream_join" -> eventsRangeJoinSql,
     "q_events_trailing" -> eventsTrailingSql,
     "q_events_funnel" -> eventsFunnelSql,
     "q_events_cohort" -> eventsCohortSql,
