@@ -882,6 +882,38 @@ object OpsPack {
       .orderBy("bucket", "event_type")
   }
 
+  /** Z-order layout driver query: lineitem written Morton-clustered on
+    * (l_partkey, l_suppkey) once per source stamp, then a 2-D box probe
+    * (the lowest eighth of each dimension) reads the layout with a plain
+    * conjunctive range `where` — parquet row-group stats prune the
+    * Z-rectangles that miss the box ([[graft.sources.ZOrder]]; pruning
+    * quality pinned in ZOrderSpec). The oracle runs the same box on the
+    * source table: a layout must never change query results. */
+  private val zorderLayoutCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  def layoutZOrder(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val path = zorderLayoutCache.getOrElseUpdate(dir, {
+      val p = "target/graft_zorder_" +
+        layoutStamp(dir, "lineitem", "bits=8|dims=part,supp|files=32|v1")
+      if (!layoutComplete(p))
+        graft.sources.ZOrder.writeZOrdered(
+          li, Seq("l_partkey", "l_suppkey"), p, bits = 8, numFiles = 32)
+      p
+    })
+    val mm = li.agg(
+      min(col("l_partkey")).as("pmn"), max(col("l_partkey")).as("pmx"),
+      min(col("l_suppkey")).as("smn"), max(col("l_suppkey")).as("smx")).first()
+    val (pmn, pmx) = (mm.getAs[Long]("pmn"), mm.getAs[Long]("pmx"))
+    val (smn, smx) = (mm.getAs[Long]("smn"), mm.getAs[Long]("smx"))
+    s.read.parquet(path)
+      .where(col("l_partkey") >= pmn && col("l_partkey") <= pmn + (pmx - pmn) / 8 &&
+        col("l_suppkey") >= smn && col("l_suppkey") <= smn + (smx - smn) / 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity").cast("double").as("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
+
   /** Fixed-point PageRank driver query: 5 supersteps over the bipartite
     * customer↔supplier trade graph (distinct pairs through orders×lineitem,
     * both directions), scaled-BIGINT arithmetic end to end
@@ -1194,6 +1226,7 @@ object OpsPack {
     "q_events_sliding" -> (eventsSliding _),
     "q_normalize_rank" -> (normalizeRank _),
     "q_graph_pagerank" -> (graphPageRank _),
+    "q_layout_zorder" -> (layoutZOrder _),
     "q_text_bm25" -> (textBm25 _),
     "q_text_bm25_indexed" -> (textBm25Indexed _),
     "q_select_budget" -> (selectBudget _),
@@ -2293,6 +2326,18 @@ object OpsPack {
       |            WHEN min(r1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
       |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Z-order probe oracle: the same box on the SOURCE table — the layout
+    * is a physical rearrangement and must be invisible to results. */
+  private val layoutZOrderSql: String =
+    """WITH mm AS (SELECT min(l_partkey) pmn, max(l_partkey) pmx,
+      |              min(l_suppkey) smn, max(l_suppkey) smx FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  CAST(l_quantity AS DOUBLE) AS l_quantity
+      |FROM lineitem, mm
+      |WHERE l_partkey >= pmn AND l_partkey <= pmn + (pmx - pmn) // 8
+      |  AND l_suppkey >= smn AND l_suppkey <= smn + (smx - smn) // 8
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
   /** PageRank oracle: the same integer recurrence with the iterations
     * UNROLLED as plain CTEs (aggregates are illegal in a recursive term) —
     * each rᵢ is a LEFT JOIN of the node set against the aggregated
@@ -2510,6 +2555,7 @@ object OpsPack {
     "q_events_sliding" -> eventsSlidingSql,
     "q_normalize_rank" -> normalizeRankSql,
     "q_graph_pagerank" -> graphPageRankSql,
+    "q_layout_zorder" -> layoutZOrderSql,
     "q_text_bm25" -> textBm25Sql,
     "q_text_bm25_indexed" -> textBm25Sql,
     "q_select_budget" -> selectBudgetSql,
