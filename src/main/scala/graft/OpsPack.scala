@@ -1112,6 +1112,18 @@ object OpsPack {
       numBuckets = InvIndexBuckets)
   }
 
+  /** Collocation-mining driver query: top-25 adjacent bigrams (count ≥ 5)
+    * with exact integer counts and the one-division lift ratio
+    * ([[graft.operators.Collocations.topBigrams]] — two grouped counts, a
+    * TakeOrdered top-k, k-bounded collects only). */
+  val CollocationK = 25
+  val CollocationMinCount = 5L
+
+  def textCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.topBigrams(
+      docs(s, dir), "text", CollocationK, CollocationMinCount)
+      .orderBy(col("c_xy").desc, col("w1"), col("w2"))
+
   /** Group-wise z-score normalization driver query: l_quantity scaled
     * within each return flag ([[graft.operators.Normalize]] — one exact
     * decimal-moment aggregation, broadcast join back, fixed double-op
@@ -1258,6 +1270,7 @@ object OpsPack {
     "q_text_boilerplate" -> (boilerplateClean _),
     "q_text_boilerplate_para" -> (boilerplateCleanPara _),
     "q_text_vocab" -> (vocabStats _),
+    "q_text_collocations" -> (textCollocations _),
     "q_sample_stratified" -> (stratifiedCounts _),
     "q_mixture_plan" -> (mixturePlanQuery _),
     "q_mixture_sample" -> (mixtureSampleQuery _),
@@ -2326,6 +2339,33 @@ object OpsPack {
       |            WHEN min(r1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
       |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Collocation oracle: same tokenizer as the BM25 family, window-lead
+    * bigrams, identical tie-broken top-k, and the identical single double
+    * division (exact BIGINT factors ⇒ correctly-rounded in both engines). */
+  private val textCollocationsSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |                x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |dd AS (SELECT * FROM d WHERE len(toks) > 0),
+       |u AS (SELECT unnest(toks) AS w FROM dd),
+       |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+       |pos AS (SELECT doc_id, unnest(toks) AS w,
+       |          generate_subscripts(toks, 1) AS i FROM dd),
+       |bg AS (SELECT w AS w1,
+       |         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM pos),
+       |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+       |       FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2),
+       |top AS (SELECT * FROM bc WHERE c_xy >= $CollocationMinCount
+       |        ORDER BY c_xy DESC, w1, w2 LIMIT $CollocationK)
+       |SELECT t.w1, t.w2, t.c_xy, u1.c AS c_x, u2.c AS c_y,
+       |  CAST(nn.n * t.c_xy AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS lift
+       |FROM top t CROSS JOIN nn
+       |JOIN uc u1 ON u1.w = t.w1
+       |JOIN uc u2 ON u2.w = t.w2
+       |ORDER BY c_xy DESC, w1, w2""".stripMargin
+
   /** Z-order probe oracle: the same box on the SOURCE table — the layout
     * is a physical rearrangement and must be invisible to results. */
   private val layoutZOrderSql: String =
@@ -2571,6 +2611,7 @@ object OpsPack {
     "q_text_boilerplate" -> boilerplateSql,
     "q_text_boilerplate_para" -> boilerplateParaSql,
     "q_text_vocab" -> vocabSql,
+    "q_text_collocations" -> textCollocationsSql,
     "q_sample_stratified" -> stratifiedSql,
     "q_mixture_plan" -> mixturePlanSql,
     "q_mixture_sample" -> mixtureSampleSql,
