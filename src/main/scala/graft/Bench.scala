@@ -111,22 +111,26 @@ object Bench {
     // costs at sf0.1 (descending); unlisted queries sort alphabetically
     // after the ranked ones.
     val costRank = Seq(
-      "q_compare_all_mismatch", "q_clean_corpus", "q_clean_corpus_fast",
-      "q_events_streamed",
-      "q_dedup_jaccard_pairs", "q_dedup_substring", "q_multimodal_features",
-      "q_lm_ngram_score", "q_profile_numeric",
+      "q_graph_pagerank", "q_compare_all_mismatch", "q_dedup_jaccard_pairs",
+      "q_events_stream_join", "q_clean_corpus", "q_clean_corpus_fast",
+      "q_events_streamed", "q_profile_numeric", "q_dedup_minhash_lsh",
+      "q_dedup_substring", "q_dedup_incremental", "q_normalize_rank",
+      "q_multimodal_features",
+      "q_lm_ngram_score", "q_contamination_bloom",
       "q_compare_dupe_counts", "q_dedup_simhash", "q_dedup_winnow",
-      "q_profile_lineitem", "q_dedup_minhash_lsh", "q_text_repetition",
+      "q_select_budget", "q_profile_corr", "q_normalize_group",
+      "q_profile_lineitem", "q_text_repetition",
       "q_compare_custom_comparator", "q_source_csv", "q_compare_column_stats",
-      "q_pack_stats", "q_contamination", "q_contamination_bloom",
-      "q_contamination_ratio", "q_dedup_incremental", "q_select_budget",
+      "q_pack_stats", "q_contamination",
+      "q_contamination_ratio", "q_text_collocations",
       "q_text_bm25",
-      "q_text_boilerplate", "q_normalize_group", "q_text_boilerplate_para",
+      "q_text_boilerplate", "q_text_boilerplate_para",
       "q_events_sessions",
       "q_semantic_dedup", "q_embedding_cosine_pairs",
       "q_compare_column_stats_rel", "q_events_trailing", "q_events_asof",
       "q_events_rangejoin", "q_embedding_cosine_lsh", "q_ann_ivf",
-      "q_ann_topk_multi", "q_events_windowed", "q_ann_lsh_bucketed",
+      "q_events_funnel", "q_ann_topk_multi", "q_events_windowed",
+      "q_ann_lsh_bucketed", "q_events_sliding", "q_events_cohort",
       "q_compare_column_stats_tol", "q_skew_agg", "q_docs_topk_quality",
       "q_compare_stats_ignore", "q_text_pii", "q_text_bm25_indexed")
       .zipWithIndex.toMap

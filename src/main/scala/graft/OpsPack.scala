@@ -965,6 +965,34 @@ object OpsPack {
       .distinct()
       .orderBy("l_returnflag", "l_quantity")
 
+  /** Semi-structured extraction driver query: the `props` JSON column
+    * parsed with a typed `from_json` schema (Jackson, codegen projection —
+    * the schema-on-read path for event payloads), rolled up per event
+    * type. Integer payloads keep the aggregate exact; the oracle parses
+    * the same strings with DuckDB's JSON extension. */
+  def eventsProps(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy("event_type")
+
+  /** Multi-dimensional ROLLUP driver query: (lang, source) document counts
+    * with subtotal and grand-total rows — the reporting-cube shape Spark
+    * plans as one Expand + aggregation (no per-level jobs). */
+  def docsRollup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+        coalesce(col("source"), lit("<all>")).as("source"),
+        col("n_docs"), col("total_chars"))
+      .orderBy("lang", "source")
+
   /** As-of join driver query: every purchase event attributed to the same
     * user's most recent click at-or-before it, within a 2-hour tolerance —
     * the pandas `merge_asof` shape as a single-shuffle union+forward-fill
@@ -1244,6 +1272,8 @@ object OpsPack {
     "q_select_budget" -> (selectBudget _),
     "q_normalize_group" -> (normalizeGroup _),
     "q_docs_lang_rollup" -> (langRollup _),
+    "q_docs_rollup" -> (docsRollup _),
+    "q_events_props" -> (eventsProps _),
     "q_split_counts" -> (splitCounts _),
     "q_shuffle_export" -> (shuffleExport _),
     "q_compare_report" -> (compareReport _),
@@ -2211,6 +2241,27 @@ object OpsPack {
       |  CAST(mx AS BIGINT) AS value_max
       |FROM allstat ORDER BY media_id""".stripMargin
 
+  /** JSON-props oracle: DuckDB's JSON extension parsing the same strings;
+    * integer payloads make every aggregate exact. */
+  private val eventsPropsSql: String =
+    """SELECT event_type,
+      |  CAST(count(k) AS BIGINT) AS n_with_k,
+      |  CAST(sum(k) AS BIGINT) AS k_sum,
+      |  CAST(min(k) AS BIGINT) AS k_min,
+      |  CAST(max(k) AS BIGINT) AS k_max
+      |FROM (SELECT event_type,
+      |        CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** ROLLUP oracle: ANSI GROUP BY ROLLUP with the same NULL sentinels. */
+  private val docsRollupSql: String =
+    """SELECT COALESCE(lang, '<all>') AS lang,
+      |  COALESCE(source, '<all>') AS source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY ROLLUP(lang, source)
+      |ORDER BY lang, source""".stripMargin
+
   private val langRollupSql: String =
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
       | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
@@ -2602,6 +2653,8 @@ object OpsPack {
     "q_normalize_group" -> normalizeGroupSql,
     "q_pack_stats" -> packStatsSql,
     "q_docs_lang_rollup" -> langRollupSql,
+    "q_docs_rollup" -> docsRollupSql,
+    "q_events_props" -> eventsPropsSql,
     "q_split_counts" -> splitCountsSql,
     "q_shuffle_export" -> shuffleExportSql,
     "q_text_stats" -> statsSql,
