@@ -73,6 +73,36 @@ object Explain {
             portableHashes = true))
         timed("full cleanCorpus portable write")(
           full.write.format("noop").mode("overwrite").save())
+      case "pagerank_phases" =>
+        def timed[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        val o = spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_custkey")
+        val li = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey", "l_suppkey")
+        val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+        val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+          .persist()
+        timed("edges distinct")(println("  m=" + e.count()))
+        val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        val ed = e.join(broadcast(deg), "src").persist()
+        timed("ed")(println("  m=" + ed.count()))
+        val nodes = e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+          .distinct().persist()
+        timed("nodes")(println("  n=" + nodes.count()))
+        var ranks = nodes.withColumn("r", lit(1000000000L))
+        for (i <- 1 to 5) {
+          val contrib = ed.join(broadcast(ranks), col("src") === col("node"))
+            .selectExpr("dst", "r DIV outdeg AS c")
+            .groupBy("dst").agg(sum(col("c")).as("s"))
+          ranks = nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
+            .selectExpr("node", s"150000000 + (85 * coalesce(s, 0L)) DIV 100 AS r")
+          ranks = timed(s"iter $i materialize")(ranks.localCheckpoint())
+        }
+        timed("final count")(println("  n=" + ranks.count()))
       case q =>
         val df = SparkEntry.queries(q)(spark, sf)
         df.explain("formatted")

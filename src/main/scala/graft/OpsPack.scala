@@ -927,10 +927,12 @@ object OpsPack {
       .select(col("o_orderkey"), col("o_custkey"))
     val li = s.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_suppkey"))
+    // one-direction pairs only: the operator dedups + caches them once and
+    // symmetrizes from the cache (even/odd id domains — reversal can't
+    // collide with a forward edge)
     val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-    graft.operators.Graph.pageRankScaled(edges, PageRankIters)
+    graft.operators.Graph.pageRankScaled(pairs, PageRankIters, symmetrize = true)
       .selectExpr(
         "CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind",
         "node DIV 2 AS key", "rank_scaled")

@@ -52,6 +52,17 @@ class GraphSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("symmetrize equals an explicit bidirectional union (disjoint domains)") {
+    // even ids on one side, odd on the other — reversal cannot collide
+    val oneWay = Seq((0L, 1L), (0L, 3L), (2L, 1L), (2L, 1L))
+    val both = oneWay.distinct.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val viaFlag = Graph.pageRankScaled(oneWay.toDF("src", "dst"), 3, symmetrize = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaUnion = Graph.pageRankScaled(both.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFlag == viaUnion)
+  }
+
   test("sink node keeps receiving rank but contributes nothing (dropped mass)") {
     val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst") // 2 is a sink
     val got = Graph.pageRankScaled(edges, 2)
