@@ -659,6 +659,33 @@ object OpsPack {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Incremental-rollup driver query: the two-micro-batch replay maintains
+    * a bucket-partitioned hourly aggregate table via foreachBatch merge
+    * with dynamic partition overwrite
+    * ([[graft.streaming.IncrementalRollup]]) — only the hours a batch
+    * touches are rewritten. Additive BIGINT/DECIMAL state makes the
+    * maintained table equal the batch rollup, so q_events_windowed's
+    * oracle applies verbatim. */
+  def eventsIncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val staged = stageStreamDir(s, dir)
+    val seq = streamSinkSeq.incrementAndGet()
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val table = s"target/graft_rollup_$seq"
+    val ckpt =
+      if (Files.isWritable(Paths.get("/dev/shm"))) s"/dev/shm/graft_ckpt_rollup_$seq"
+      else s"target/graft_ckpt_rollup_$seq"
+    val q = graft.streaming.IncrementalRollup.ingestHourlyRollup(
+      ss, staged, ss.read.parquet(staged), table, ckpt)
+    try q.processAllAvailable()
+    finally { q.stop(); deleteRecursively(Paths.get(ckpt)) }
+    ss.read.parquet(table)
+      .select(col("bucket"), col("event_type"), col("n"),
+        col("total_v").cast("double").as("total_value"))
+      .orderBy("bucket", "event_type")
+  }
+
   /** Contamination scan: every corpus document against a small probe set
     * (doc_id ≡ 0 mod 50 plays the benchmark suite) — ≥ 2 shared word
     * 3-grams flags a pair. The probe side broadcasts, so the corpus never
@@ -858,6 +885,14 @@ object OpsPack {
     graft.operators.Profile.correlationMatrix(
       s.read.parquet(s"$dir/lineitem.parquet"), NumProfileCols)
       .orderBy("col1", "col2")
+
+  /** IQR-outlier driver query: Tukey fences at 1.5·IQR over the exact
+    * p25/p75 order statistics, with beyond-fence counts
+    * ([[graft.operators.Profile.outlierProfile]]). */
+  def profileOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.outlierProfile(
+      s.read.parquet(s"$dir/lineitem.parquet"), NumProfileCols)
+      .orderBy("column")
 
   /** Hourly event rollup, robust to how the driver typed `ts` this round:
     * nanosecond longs (TIMESTAMP(NANOS) under `nanosAsLong`) bucket with
@@ -1296,6 +1331,7 @@ object OpsPack {
     "q_text_classifier" -> (textClassifier _),
     "q_events_streamed" -> (eventsStreamed _),
     "q_events_stream_join" -> (eventsStreamJoin _),
+    "q_events_incr_rollup" -> (eventsIncrementalRollup _),
     "q_text_pii" -> (piiScan _),
     "q_text_repetition" -> (textRepetition _),
     "q_lm_ngram_score" -> (lmNgramScore _),
@@ -1311,6 +1347,7 @@ object OpsPack {
     "q_profile_numeric" -> (numericProfileLineitem _),
     "q_profile_histogram" -> (profileHistogram _),
     "q_profile_corr" -> (profileCorr _),
+    "q_profile_outliers" -> (profileOutliers _),
     "q_pack_stats" -> (packStats _),
     "q_ann_topk" -> (annTopK _),
     "q_ann_topk_multi" -> (annTopKMulti _),
@@ -1962,6 +1999,30 @@ object OpsPack {
          |  (SELECT min(CAST($c AS DOUBLE)) FROM lineitem) AS min,
          |  (SELECT max(CAST($c AS DOUBLE)) FROM lineitem) AS max,
          |  $pexprs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$perCol
+       |ORDER BY "column"""".stripMargin
+  }
+
+  /** IQR-outlier oracle: the numeric-profile percentile device (cume_dist
+    * min-selection = percentile_disc) + the same fence double ops +
+    * correlated beyond-fence counts. */
+  private val profileOutliersSql: String = {
+    val perCol = NumProfileCols.map { c =>
+      def pexpr(p: Double) =
+        s"""(SELECT min(v) FROM (SELECT CAST($c AS DOUBLE) v,
+           |     cume_dist() OVER (ORDER BY CAST($c AS DOUBLE)) cd
+           |     FROM lineitem WHERE $c IS NOT NULL) WHERE cd >= $p)"""
+          .stripMargin
+      s"""SELECT '$c' AS "column", p25, p75,
+         |  p25 - 1.5 * (p75 - p25) AS lo_fence,
+         |  p75 + 1.5 * (p75 - p25) AS hi_fence,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+         |     WHERE CAST($c AS DOUBLE) < p25 - 1.5 * (p75 - p25)) AS n_below,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+         |     WHERE CAST($c AS DOUBLE) > p75 + 1.5 * (p75 - p25)) AS n_above
+         |FROM (SELECT ${pexpr(0.25)} AS p25, ${pexpr(0.75)} AS p75)"""
+        .stripMargin
     }.mkString("\nUNION ALL\n")
     s"""$perCol
        |ORDER BY "column"""".stripMargin
@@ -2637,6 +2698,7 @@ object OpsPack {
 
   val oracleSql: Map[String, String] = Map(
     "q_events_windowed" -> eventsWindowedSql,
+    "q_events_incr_rollup" -> eventsWindowedSql,
     "q_events_asof" -> eventsAsofSql,
     "q_events_sessions" -> eventsSessionsSql,
     "q_events_streamed" -> eventsStreamedSql,
@@ -2675,6 +2737,7 @@ object OpsPack {
     "q_profile_numeric" -> numericProfileSql,
     "q_profile_histogram" -> profileHistogramSql,
     "q_profile_corr" -> profileCorrSql,
+    "q_profile_outliers" -> profileOutliersSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_clean_corpus" -> cleanCorpusSql,
     "q_dedup_jaccard_pairs" -> jaccardSql,

@@ -61,6 +61,35 @@ object Profile {
         col("n"))
   }
 
+  /** Tukey-fence (IQR) outlier profile: per column, the exact p25/p75
+    * order statistics fix lo/hi fences at 1.5·IQR, then ONE counting pass
+    * tallies rows beyond each fence. Fences are a fixed double-op sequence
+    * over exact order statistics (engine-bit-identical); the percentile
+    * pass reuses [[numericProfile]]'s rank-selection machinery.
+    * Output: (column, p25, p75, lo_fence, hi_fence, n_below, n_above). */
+  def outlierProfile(df: DataFrame, cols: Seq[String],
+      fenceFactor: Double = 1.5): DataFrame = {
+    val spark = df.sparkSession
+    val quart = numericProfile(df, cols, Seq(0.25, 0.75))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(4), r.getDouble(5)))).toMap
+    val fences = cols.map { c =>
+      val (p25, p75) = quart(c)
+      val iqr = p75 - p25
+      c -> ((p25, p75, p25 - fenceFactor * iqr, p75 + fenceFactor * iqr))
+    }
+    val aggs = fences.flatMap { case (c, (_, _, lo, hi)) =>
+      val v = col(c).cast("double")
+      Seq(sum(when(v < lo, 1L).otherwise(0L)).as(s"__below_$c"),
+        sum(when(v > hi, 1L).otherwise(0L)).as(s"__above_$c"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).first()
+    import spark.implicits._
+    fences.map { case (c, (p25, p75, lo, hi)) =>
+      (c, p25, p75, lo, hi,
+        r.getAs[Long](s"__below_$c"), r.getAs[Long](s"__above_$c"))
+    }.toDF("column", "p25", "p75", "lo_fence", "hi_fence", "n_below", "n_above")
+  }
+
   /** Exact Pearson correlation for every pair of `cols` in ONE aggregation
     * pass: all first/second moments accumulate as DECIMAL sums (exact —
     * no double accumulation-order nondeterminism, unlike `corr()`'s

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained aggregate table — the streaming-warehouse ETL
+  * pattern: each micro-batch's partial rollup is MERGED into a
+  * bucket-partitioned parquet table by rewriting only the partitions the
+  * batch touched (dynamic partition overwrite), so maintenance cost scales
+  * with the batch's time spread, not the table's history.
+  *
+  * Exactness: counts and value sums are kept as additive types (BIGINT +
+  * DECIMAL) in the table, so merge = re-aggregation of (existing ∪ partial)
+  * is associative and the maintained table equals the batch rollup over
+  * everything ingested — which is what makes the whole ingest loop
+  * hash-checkable against a plain GROUP BY oracle.
+  *
+  * At 100 TB: the rollup table is tiny relative to the feed (one row per
+  * bucket × type); per batch it costs the batch's own aggregation + a read
+  * and rewrite of the affected hour partitions. Failure atomicity rides on
+  * the parquet committer per partition; re-running a batch after a partial
+  * failure is NOT idempotent (counts double) — production would pair this
+  * with batch-id dedup in the table, noted here as out of scope.
+  */
+object IncrementalRollup {
+
+  /** Merge `batch` (raw events with TIMESTAMP `ts`) into the hourly rollup
+    * at `tablePath`, partitioned by `bucket` (hours since epoch). */
+  def mergeHourlyBatch(batch: DataFrame, tablePath: String): Unit = {
+    val spark = batch.sparkSession
+    val partial = batch
+      .select(expr("unix_micros(ts) DIV 3600000000").as("bucket"),
+        col("event_type"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total_v"))
+    if (partial.isEmpty) return
+    val exists = new java.io.File(tablePath, "_SUCCESS").exists
+    val merged = if (!exists) partial else {
+      val touched = partial.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val existing = spark.read.parquet(tablePath)
+        .where(col("bucket").isin(touched: _*))
+        .select(col("bucket"), col("event_type"), col("n"),
+          col("total_v").cast("decimal(18,6)").as("total_v"))
+      existing.union(partial)
+        .groupBy("bucket", "event_type")
+        .agg(sum(col("n")).as("n"), sum(col("total_v")).as("total_v"))
+    }
+    merged
+      .select(col("bucket"), col("event_type"),
+        col("n").cast("long").as("n"),
+        col("total_v").cast("decimal(18,6)").as("total_v"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(tablePath)
+  }
+
+  /** Drive a file-source replay of `sourceDir` through
+    * [[mergeHourlyBatch]] into `tablePath`. */
+  def ingestHourlyRollup(
+      spark: SparkSession,
+      sourceDir: String,
+      schemaOf: DataFrame,
+      tablePath: String,
+      checkpointDir: String,
+      sourceOptions: Map[String, String] = Map("maxFilesPerTrigger" -> "1"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream.schema(schemaOf.schema)
+      .options(sourceOptions).parquet(sourceDir)
+    EventStreams.normalizeEventTs(stream)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeHourlyBatch(batch, tablePath)
+      }
+      .start()
+  }
+}

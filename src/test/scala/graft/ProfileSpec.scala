@@ -26,6 +26,19 @@ class ProfileSpec extends SparkTestBase {
       .collect().isEmpty)
   }
 
+  test("outlierProfile counts rows beyond the 1.5-IQR Tukey fences") {
+    // 1..20 plus two gross outliers
+    val df = ((1 to 20).map(_.toDouble) ++ Seq(-100.0, 500.0, 600.0)).toDF("v")
+    val r = Profile.outlierProfile(df, Seq("v")).collect()(0)
+    // percentile_disc over 23 sorted values: p25 = rank ceil(0.25*23)=6 -> 5.0
+    // (values -100,1..20,500,600); p75 = rank ceil(0.75*23)=18 -> 17.0
+    assert(r.getDouble(1) == 5.0 && r.getDouble(2) == 17.0)
+    val iqr = 17.0 - 5.0
+    assert(r.getDouble(3) == 5.0 - 1.5 * iqr && r.getDouble(4) == 17.0 + 1.5 * iqr)
+    assert(r.getLong(5) == 1L) // -100 below
+    assert(r.getLong(6) == 2L) // 500, 600 above
+  }
+
   test("correlationMatrix matches hand-computed Pearson") {
     // y = 2x exactly -> corr 1; z anti-correlated with x -> corr -1
     val df = Seq((1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0))
