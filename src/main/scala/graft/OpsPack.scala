@@ -1279,6 +1279,40 @@ object OpsPack {
           .as("avg_chars"))
       .orderBy("lang")
 
+  /** Pivot driver query: documents cross-tabulated lang × source with an
+    * EXPLICIT pivot value list (the scale-correct form — no extra
+    * distinct-values job, stable output schema); absent cells fill 0. */
+  val PivotSources: Seq[String] = (0 until 20).map(i => s"src$i")
+
+  def docsPivot(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy("lang")
+      .pivot("source", PivotSources)
+      .count()
+      .na.fill(0L, PivotSources)
+      .orderBy("lang")
+
+  /** Curriculum-binning driver query: documents quartile-bucketed by
+    * quality WITHOUT a global sort — the quartile boundaries come from the
+    * exact rank-selection percentile pass ([[graft.operators.Profile.numericProfile]],
+    * one shuffle of (column, value) pairs), then staging is a pure
+    * comparison expression and the rollup a grouped count. A global
+    * `ntile` window would sort the corpus on one partition. */
+  def docsCurriculum(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps
+    val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val prof = graft.operators.Profile.numericProfile(
+      scored.select("q"), Seq("q"), Seq(0.25, 0.5, 0.75)).first()
+    val (q25, q50, q75) = (prof.getDouble(4), prof.getDouble(5), prof.getDouble(6))
+    scored.withColumn("stage",
+        when(col("q") <= q25, 1L).when(col("q") <= q50, 2L)
+          .when(col("q") <= q75, 3L).otherwise(4L))
+      .groupBy("stage", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("stage", "lang")
+  }
+
   /** The BASELINE workload: full compare + rendered report (text/html/json);
     * emits size metrics so the bench measures the same thing the reference
     * benchmarks (compare construction AND report rendering). */
@@ -1310,6 +1344,8 @@ object OpsPack {
     "q_normalize_group" -> (normalizeGroup _),
     "q_docs_lang_rollup" -> (langRollup _),
     "q_docs_rollup" -> (docsRollup _),
+    "q_docs_pivot" -> (docsPivot _),
+    "q_docs_curriculum" -> (docsCurriculum _),
     "q_events_props" -> (eventsProps _),
     "q_split_counts" -> (splitCounts _),
     "q_shuffle_export" -> (shuffleExport _),
@@ -2325,6 +2361,48 @@ object OpsPack {
       |FROM documents GROUP BY ROLLUP(lang, source)
       |ORDER BY lang, source""".stripMargin
 
+  /** Pivot oracle: conditional aggregation over the explicit value list —
+    * exactly what Spark's pivot compiles to. */
+  private val docsPivotSql: String = {
+    val cells = PivotSources.map(v =>
+      s"CAST(SUM(CASE WHEN source = '$v' THEN 1 ELSE 0 END) AS BIGINT) AS $v")
+      .mkString(",\n  ")
+    s"""SELECT lang,
+       |  $cells
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** Curriculum oracle: the engine's quality formula (selectBudget's
+    * mirror), quartile boundaries via the cume_dist order-statistic
+    * device, CASE staging, grouped rollup. */
+  private val docsCurriculumSql: String = {
+    val stop = "\\b(the|a|an|and|of|to|in|is|it|for)\\b"
+    def pexpr(p: Double) =
+      s"""(SELECT min(x) FROM (SELECT qs x, cume_dist() OVER (ORDER BY qs) cd
+         |     FROM q) WHERE cd >= $p)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(lower(text), '$stop')) AS BIGINT) AS n_stop,
+       |    len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents),
+       |q AS (SELECT doc_id, lang, n_tokens,
+       |  0.5 * (least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0)
+       |  + 0.3 * (CASE WHEN n_tokens = 0 THEN 0.0
+       |           ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
+       |  + 0.2 * (CASE WHEN n_chars IS NULL OR n_chars = 0 THEN 0.0
+       |           ELSE CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
+       |    AS qs FROM base),
+       |b AS (SELECT ${pexpr(0.25)} AS q25, ${pexpr(0.5)} AS q50,
+       |             ${pexpr(0.75)} AS q75)
+       |SELECT CAST(CASE WHEN qs <= q25 THEN 1 WHEN qs <= q50 THEN 2
+       |            WHEN qs <= q75 THEN 3 ELSE 4 END AS BIGINT) AS stage,
+       |  lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM q, b GROUP BY 1, 2 ORDER BY stage, lang""".stripMargin
+  }
+
   private val langRollupSql: String =
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
       | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
@@ -2718,6 +2796,8 @@ object OpsPack {
     "q_pack_stats" -> packStatsSql,
     "q_docs_lang_rollup" -> langRollupSql,
     "q_docs_rollup" -> docsRollupSql,
+    "q_docs_pivot" -> docsPivotSql,
+    "q_docs_curriculum" -> docsCurriculumSql,
     "q_events_props" -> eventsPropsSql,
     "q_split_counts" -> splitCountsSql,
     "q_shuffle_export" -> shuffleExportSql,
