@@ -673,6 +673,9 @@ object OpsPack {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val table = s"target/graft_rollup_$seq"
+    // the maintained table must start empty — a previous JVM's table at the
+    // same seq would otherwise be merged into (counts double)
+    deleteRecursively(Paths.get(table))
     val ckpt =
       if (Files.isWritable(Paths.get("/dev/shm"))) s"/dev/shm/graft_ckpt_rollup_$seq"
       else s"target/graft_ckpt_rollup_$seq"
@@ -681,8 +684,9 @@ object OpsPack {
     try q.processAllAvailable()
     finally { q.stop(); deleteRecursively(Paths.get(ckpt)) }
     ss.read.parquet(table)
-      .select(col("bucket"), col("event_type"), col("n"),
-        col("total_v").cast("double").as("total_value"))
+      // partition-directory inference types bucket INT — surface it long
+      .select(col("bucket").cast("long").as("bucket"), col("event_type"),
+        col("n"), col("total_v").cast("double").as("total_value"))
       .orderBy("bucket", "event_type")
   }
 

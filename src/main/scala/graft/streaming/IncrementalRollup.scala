@@ -35,7 +35,13 @@ object IncrementalRollup {
       .groupBy("bucket", "event_type")
       .agg(count(lit(1)).as("n"), sum(col("v")).as("total_v"))
     if (partial.isEmpty) return
-    val exists = new java.io.File(tablePath, "_SUCCESS").exists
+    // dynamic-partition-overwrite commits do NOT write _SUCCESS — detect
+    // the table by its partition directories (relying on the marker made
+    // every batch think it was the first and silently replace, instead of
+    // merge, its touched partitions; caught by StreamingSpec)
+    val rootDir = new java.io.File(tablePath)
+    val exists = rootDir.isDirectory &&
+      Option(rootDir.listFiles).exists(_.exists(_.getName.startsWith("bucket=")))
     val merged = if (!exists) partial else {
       val touched = partial.select("bucket").distinct()
         .collect().map(_.getLong(0)).toSeq
@@ -48,9 +54,14 @@ object IncrementalRollup {
         .agg(sum(col("n")).as("n"), sum(col("total_v")).as("total_v"))
     }
     merged
-      .select(col("bucket"), col("event_type"),
+      .select(col("bucket").cast("long").as("bucket"), col("event_type"),
         col("n").cast("long").as("n"),
         col("total_v").cast("decimal(18,6)").as("total_v"))
+      // the merged plan READS the partitions the write is about to
+      // replace — materialize it first (self-overwrite otherwise loses
+      // the existing rows mid-job). The rollup is one row per
+      // bucket × type, so the checkpoint is tiny by construction.
+      .localCheckpoint()
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")

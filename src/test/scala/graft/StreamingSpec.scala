@@ -168,6 +168,50 @@ class StreamingSpec extends SparkTestBase {
     updates.foreach(u => assert(u.events == byUser(u.userId)))
   }
 
+  test("incremental rollup merge: maintained table equals the batch rollup; untouched partitions survive") {
+    import graft.streaming.IncrementalRollup
+    import spark.implicits._
+    def rm(p: String): Unit = {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val table = "target/test_incr_rollup"
+    rm(table)
+    def ev(rows: Seq[(Long, String, Double)]) = rows
+      .toDF("us", "event_type", "value")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"), col("value"))
+    val h = 3600000000L // one hour of micros
+    // batch 1: hours 0 and 1
+    IncrementalRollup.mergeHourlyBatch(
+      ev(Seq((10L, "a", 1.5), (20L, "a", 2.5), (h + 5L, "b", 1.0))), table)
+    // batch 1 landed both hours
+    val after1 = spark.read.parquet(table)
+      .select(col("bucket").cast("long"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after1 == Set((0L, "a"), (1L, "b")), s"after batch 1: $after1")
+    // batch 2: touches hour 1 again plus new hour 2 — hour 0 must be untouched
+    val hour0File = new java.io.File(s"$table/bucket=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
+    IncrementalRollup.mergeHourlyBatch(
+      ev(Seq((h + 7L, "b", 3.0), (2 * h + 1L, "a", 4.0))), table)
+    val got = spark.read.parquet(table)
+      .select(col("bucket").cast("long").as("bucket"), col("event_type"), col("n"),
+        col("total_v").cast("double").as("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      (0L, "a") -> ((2L, 4.0)),
+      (1L, "b") -> ((2L, 4.0)),
+      (2L, "a") -> ((1L, 4.0))))
+    // dynamic partition overwrite left hour 0's files alone
+    val hour0After = new java.io.File(s"$table/bucket=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
+    assert(hour0After == hour0File)
+  }
+
   test("streaming ingest dedup: later micro-batches dedup against earlier ones") {
     import graft.streaming.IngestDedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
