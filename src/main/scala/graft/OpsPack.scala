@@ -1317,6 +1317,92 @@ object OpsPack {
       .orderBy("stage", "lang")
   }
 
+  /** Multi-join analytical driver query (TPC-H Q5 shape): revenue by
+    * nation for one region/year (1996 / ASIA) — the fact table joins broadcast
+    * dimensions (region→nation→supplier/customer all tiny), so the only
+    * big-table work is one scan of orders⋈lineitem and the final rollup;
+    * revenue accumulates in DECIMAL (exact product of decimal casts, so
+    * the sum is order-independent and hash-checkable). */
+  def salesByNation(s: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+    val region = t("region").where(col("r_name") === "ASIA")
+    val nation = t("nation")
+    val supplier = t("supplier")
+    val customer = t("customer")
+    val orders = t("orders").where(year(col("o_orderdate")) === 1996)
+    val lineitem = t("lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"),
+        (col("l_extendedprice").cast("decimal(18,6)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,6)") -
+            col("l_discount").cast("decimal(18,6)"))).as("rev"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_items"), sum(col("rev")).as("revenue"))
+      .select(col("n_name"), col("n_items"),
+        col("revenue").cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Top-20 customers by decimal-exact revenue (TPC-H Q10 shape):
+    * fact-side rollup FIRST (groupBy custkey — the only big shuffle),
+    * then only the 20 winners join the customer dimension. */
+  def topCustomers(s: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+    val rev = t("lineitem")
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"),
+        (col("l_extendedprice").cast("decimal(18,6)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,6)") -
+            col("l_discount").cast("decimal(18,6)"))).as("rev"))
+      .groupBy("o_custkey")
+      .agg(sum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(20)
+    rev.join(broadcast(t("customer").select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("custkey"), col("c_name"),
+        col("revenue").cast("double").as("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("custkey"))
+  }
+
+  /** Distribution-drift driver query: two deterministic lineitem slices
+    * (orderkey mod splits — the compare pack's df1/df2 shapes) histogrammed
+    * on SHARED equi-width edges, per-bin counts full-outer joined with the
+    * one-division rate ratio — the PSI/χ² INPUT table with every cell
+    * exact (a single scalar drift statistic would sum per-bin doubles in
+    * engine-dependent order; the per-bin table is the portable form). */
+  def profileDrift(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val a = li.where(col("l_orderkey") % 10 =!= 7)
+    val b = li.where(col("l_orderkey") % 10 =!= 3)
+    val v = col("l_extendedprice").cast("double")
+    val mm = li.agg(min(v).as("mn"), max(v).as("mx")).first()
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val bins = HistogramBins
+    val width = (mx - mn) / bins
+    def counts(df: DataFrame, name: String) =
+      df.where(v.isNotNull)
+        .groupBy(least(floor((v - lit(mn)) / lit(width)),
+          lit((bins - 1).toLong)).as("bin"))
+        .agg(count(lit(1)).as(name))
+    counts(a, "n_a").join(counts(b, "n_b"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("rate_ratio",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("n_b").cast("double") / col("n_a").cast("double")))
+      .orderBy("bin")
+  }
+
   /** The BASELINE workload: full compare + rendered report (text/html/json);
     * emits size metrics so the bench measures the same thing the reference
     * benchmarks (compare construction AND report rendering). */
@@ -1398,6 +1484,9 @@ object OpsPack {
     "q_ann_lsh_bucketed" -> (annLshBucketed _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
     "q_skew_agg" -> (skewAgg _),
+    "q_sales_by_nation" -> (salesByNation _),
+    "q_top_customers" -> (topCustomers _),
+    "q_profile_drift" -> (profileDrift _),
     "q_embedding_cosine_pairs" -> (cosinePairs _),
     "q_embedding_cosine_lsh" -> (cosinePairsLsh _),
     "q_semantic_dedup" -> (semanticDedupQuery _),
@@ -2511,6 +2600,61 @@ object OpsPack {
       |       ow AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** Q5-shape oracle: same joins, same decimal revenue (DECIMAL(19,6)
+    * operands force DuckDB's int128 multiply), VARCHAR-routed final double. */
+  private val salesByNationSql: String =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+      |    * (CAST(1 AS DECIMAL(19,6)) - CAST(l_discount AS DECIMAL(19,6))))
+      |    AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey AND year(o_orderdate) = 1996
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Q10-shape oracle: decimal-exact revenue ranking (ties → custkey),
+    * winners joined to the dimension, VARCHAR-routed double. */
+  private val topCustomersSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+      |      * (CAST(1 AS DECIMAL(19,6)) - CAST(l_discount AS DECIMAL(19,6)))) AS revenue,
+      |    CAST(count(*) AS BIGINT) AS n_items
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY o_custkey),
+      |top AS (SELECT * FROM rev ORDER BY revenue DESC, o_custkey LIMIT 20)
+      |SELECT t.o_custkey AS custkey, c.c_name,
+      |  CAST(CAST(t.revenue AS VARCHAR) AS DOUBLE) AS revenue, t.n_items
+      |FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
+      |ORDER BY t.revenue DESC, custkey""".stripMargin
+
+  /** Drift oracle: shared histogram edges (the q_profile_histogram device),
+    * two mod-slice counts, full-outer bin join, one-division rate ratio. */
+  private val profileDriftSql: String = {
+    val b = HistogramBins
+    def cnt(excl: Int, name: String) =
+      s"""SELECT least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn) / width) AS BIGINT),
+         |         ${b - 1}) AS bin, CAST(count(*) AS BIGINT) AS $name
+         |  FROM lineitem, w
+         |  WHERE l_orderkey % 10 <> $excl AND l_extendedprice IS NOT NULL
+         |  GROUP BY 1""".stripMargin
+    s"""WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+       |              max(CAST(l_extendedprice AS DOUBLE)) AS mx FROM lineitem),
+       |w AS (SELECT mn, (mx - mn) / CAST($b AS DOUBLE) AS width FROM mm),
+       |ca AS (${cnt(7, "n_a")}),
+       |cb AS (${cnt(3, "n_b")})
+       |SELECT COALESCE(ca.bin, cb.bin) AS bin,
+       |  CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+       |  CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+       |  CASE WHEN COALESCE(n_a, 0) > 0 AND COALESCE(n_b, 0) > 0
+       |       THEN CAST(n_b AS DOUBLE) / CAST(n_a AS DOUBLE) END AS rate_ratio
+       |FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin
+       |ORDER BY bin""".stripMargin
+  }
+
   /** Funnel oracle: the same greedy-earliest stage recurrence as the engine
     * (stage i = min ts of a stage-i event at-or-after stage i-1's reach),
     * expressed as stacked unbounded-window mins over epoch micros —
@@ -2844,6 +2988,9 @@ object OpsPack {
     "q_ann_ivf_persisted" -> annTopKSql,
     "q_ann_lsh_bucketed" -> annLshBucketedSql,
     "q_skew_agg" -> skewAggSql,
+    "q_sales_by_nation" -> salesByNationSql,
+    "q_top_customers" -> topCustomersSql,
+    "q_profile_drift" -> profileDriftSql,
     "q_embedding_cosine_pairs" -> cosinePairsLsh2Sql,
     "q_embedding_cosine_lsh" -> cosineLshSql,
     "q_semantic_dedup" -> semanticDedupSql,

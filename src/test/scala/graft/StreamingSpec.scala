@@ -185,31 +185,31 @@ class StreamingSpec extends SparkTestBase {
       .toDF("us", "event_type", "value")
       .select(timestamp_micros(col("us")).as("ts"), col("event_type"), col("value"))
     val h = 3600000000L // one hour of micros
-    // batch 1: hours 0 and 1
+    // batch 1: hour 0 (day 0) and hour 25 (day 1)
     IncrementalRollup.mergeHourlyBatch(
-      ev(Seq((10L, "a", 1.5), (20L, "a", 2.5), (h + 5L, "b", 1.0))), table)
-    // batch 1 landed both hours
+      ev(Seq((10L, "a", 1.5), (20L, "a", 2.5), (25 * h + 5L, "b", 1.0))), table)
     val after1 = spark.read.parquet(table)
       .select(col("bucket").cast("long"), col("event_type")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(after1 == Set((0L, "a"), (1L, "b")), s"after batch 1: $after1")
-    // batch 2: touches hour 1 again plus new hour 2 — hour 0 must be untouched
-    val hour0File = new java.io.File(s"$table/bucket=0").listFiles()
+    assert(after1 == Set((0L, "a"), (25L, "b")), s"after batch 1: $after1")
+    // batch 2: touches day 1 again (hour 25 MERGES) plus new day 2 —
+    // day 0 must be physically untouched
+    val day0File = new java.io.File(s"$table/day=0").listFiles()
       .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
     IncrementalRollup.mergeHourlyBatch(
-      ev(Seq((h + 7L, "b", 3.0), (2 * h + 1L, "a", 4.0))), table)
+      ev(Seq((25 * h + 7L, "b", 3.0), (49 * h + 1L, "a", 4.0))), table)
     val got = spark.read.parquet(table)
       .select(col("bucket").cast("long").as("bucket"), col("event_type"), col("n"),
         col("total_v").cast("double").as("v"))
       .collect().map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
     assert(got == Map(
       (0L, "a") -> ((2L, 4.0)),
-      (1L, "b") -> ((2L, 4.0)),
-      (2L, "a") -> ((1L, 4.0))))
-    // dynamic partition overwrite left hour 0's files alone
-    val hour0After = new java.io.File(s"$table/bucket=0").listFiles()
+      (25L, "b") -> ((2L, 4.0)),
+      (49L, "a") -> ((1L, 4.0))))
+    // dynamic partition overwrite left day 0's files alone
+    val day0After = new java.io.File(s"$table/day=0").listFiles()
       .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
-    assert(hour0After == hour0File)
+    assert(day0After == day0File)
   }
 
   test("streaming ingest dedup: later micro-batches dedup against earlier ones") {
