@@ -409,6 +409,25 @@ object OpsPack {
       .orderBy("doc_id")
   }
 
+  /** Support denominator for the heavy-hitter driver query: tokens with
+    * frequency ≥ 1/500 of the corpus token stream (integer
+    * cross-multiplied — no float threshold to drift across engines). */
+  val HeavyHitterDenominator = 500L
+
+  /** Exact support-threshold heavy hitters via Misra-Gries candidates +
+    * exact recount ([[graft.operators.HeavyHitters]]): the sketch only
+    * bounds the candidate set — the emitted counts are exact, which is
+    * what lets a sketch-accelerated operator hash-check against a plain
+    * GROUP BY / HAVING oracle. */
+  def textHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HeavyHitters
+    val toks = HeavyHitters.tokenStream(docs(s, dir), "text")
+    HeavyHitters.heavyHitters(toks, "token",
+      denominator = HeavyHitterDenominator,
+      capacity = 2 * HeavyHitterDenominator.toInt)
+      .orderBy(col("freq").desc, col("token"))
+  }
+
   /** Per-document OOV ratio against the corpus's own top-20 vocabulary. */
   def vocabStats(s: SparkSession, dir: String): DataFrame =
     TextOps.inVocabStats(docs(s, dir), "text", "doc_id", topK = 20)
@@ -1464,6 +1483,7 @@ object OpsPack {
     "q_text_boilerplate" -> (boilerplateClean _),
     "q_text_boilerplate_para" -> (boilerplateCleanPara _),
     "q_text_vocab" -> (vocabStats _),
+    "q_text_heavy_hitters" -> (textHeavyHitters _),
     "q_text_collocations" -> (textCollocations _),
     "q_sample_stratified" -> (stratifiedCounts _),
     "q_mixture_plan" -> (mixturePlanQuery _),
@@ -2010,6 +2030,18 @@ object OpsPack {
       |  CASE WHEN n_tokens = 0 THEN 0.0
       |       ELSE 1.0 - CAST(n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS oov_ratio
       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Heavy-hitter oracle: the plain GROUP BY / HAVING formulation the
+    * MG-candidates + exact-recount pipeline must reproduce exactly. The
+    * integer cross-multiplied support cut (freq·denom ≥ N) avoids any
+    * float threshold. */
+  private val heavyHittersSql: String =
+    s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) t FROM documents),
+       |tot AS (SELECT count(*) n FROM toks),
+       |cf AS (SELECT t AS token, CAST(count(*) AS BIGINT) freq FROM toks GROUP BY 1)
+       |SELECT token, freq FROM cf, tot
+       |WHERE freq * $HeavyHitterDenominator >= n
+       |ORDER BY freq DESC, token""".stripMargin
 
   /** Group-top-k oracle: the row_number window formulation the heap
     * aggregate replaces, over the same quality arithmetic as the
@@ -2956,6 +2988,7 @@ object OpsPack {
     "q_text_boilerplate" -> boilerplateSql,
     "q_text_boilerplate_para" -> boilerplateParaSql,
     "q_text_vocab" -> vocabSql,
+    "q_text_heavy_hitters" -> heavyHittersSql,
     "q_text_collocations" -> textCollocationsSql,
     "q_sample_stratified" -> stratifiedSql,
     "q_mixture_plan" -> mixturePlanSql,
