@@ -1422,6 +1422,19 @@ object OpsPack {
       .orderBy("bin")
   }
 
+  /** Chi-squared categorical drift driver query: the documents corpus
+    * sliced two ways (doc_id mod splits — the same A/B shapes as
+    * [[profileDrift]]) cross-tabulated on `source`, every cell's χ²
+    * contribution an exact cross-multiplied rational with one final double
+    * division ([[graft.operators.Profile.chi2Drift]]). */
+  def profileChi2(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Profile.chi2Drift(
+      d.where(col("doc_id") % 10 =!= 7),
+      d.where(col("doc_id") % 10 =!= 3), "source")
+      .orderBy("source")
+  }
+
   /** The BASELINE workload: full compare + rendered report (text/html/json);
     * emits size metrics so the bench measures the same thing the reference
     * benchmarks (compare construction AND report rendering). */
@@ -1507,6 +1520,7 @@ object OpsPack {
     "q_sales_by_nation" -> (salesByNation _),
     "q_top_customers" -> (topCustomers _),
     "q_profile_drift" -> (profileDrift _),
+    "q_profile_chi2" -> (profileChi2 _),
     "q_embedding_cosine_pairs" -> (cosinePairs _),
     "q_embedding_cosine_lsh" -> (cosinePairsLsh _),
     "q_semantic_dedup" -> (semanticDedupQuery _),
@@ -2030,6 +2044,38 @@ object OpsPack {
       |  CASE WHEN n_tokens = 0 THEN 0.0
       |       ELSE 1.0 - CAST(n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS oov_ratio
       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Chi-squared drift oracle: identical cross-multiplied decimal cells
+    * (operand-for-operand the widths Spark produces), with DECIMAL→DOUBLE
+    * routed through VARCHAR — DuckDB's direct decimal→double cast divides
+    * two doubles and can land one ulp low past 2^53, while strtod rounds
+    * correctly and matches Java's BigDecimal.doubleValue. */
+  private val profileChi2Sql: String = {
+    def term(o: String, r: String) = {
+      val diff = s"CAST(CAST($o AS DECIMAL(9,0)) * CAST(n_tot AS DECIMAL(9,0)) - " +
+        s"CAST($r AS DECIMAL(9,0)) * CAST(c_tot AS DECIMAL(9,0)) AS DECIMAL(19,0))"
+      val num = s"($diff * $diff)"
+      val den = s"(CAST(CAST(n_tot AS DECIMAL(12,0)) * CAST($r AS DECIMAL(12,0)) AS DECIMAL(24,0)) * CAST(c_tot AS DECIMAL(14,0)))"
+      s"CASE WHEN $r > 0 AND c_tot > 0 THEN " +
+        s"CAST(CAST($num AS VARCHAR) AS DOUBLE) / CAST(CAST($den AS VARCHAR) AS DOUBLE) ELSE 0.0 END"
+    }
+    s"""WITH da AS (SELECT source FROM documents WHERE doc_id % 10 <> 7),
+       |db AS (SELECT source FROM documents WHERE doc_id % 10 <> 3),
+       |ca AS (SELECT source, CAST(count(*) AS BIGINT) n_a FROM da GROUP BY 1),
+       |cb AS (SELECT source, CAST(count(*) AS BIGINT) n_b FROM db GROUP BY 1),
+       |cells AS (SELECT COALESCE(ca.source, cb.source) AS source,
+       |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+       |  FROM ca FULL OUTER JOIN cb ON ca.source = cb.source),
+       |tot AS (SELECT CAST(sum(n_a) AS BIGINT) r_a, CAST(sum(n_b) AS BIGINT) r_b FROM cells),
+       |w AS (SELECT source, n_a, n_b, r_a, r_b,
+       |  r_a + r_b AS n_tot, n_a + n_b AS c_tot FROM cells, tot)
+       |SELECT source, n_a, n_b,
+       |  CASE WHEN n_tot > 0 THEN
+       |    CAST(CAST(CAST(r_a AS DECIMAL(12,0)) * CAST(c_tot AS DECIMAL(12,0)) AS VARCHAR) AS DOUBLE)
+       |      / CAST(n_tot AS DOUBLE) END AS expected_a,
+       |  (${term("n_a", "r_a")}) + (${term("n_b", "r_b")}) AS chi2_cell
+       |FROM w ORDER BY source""".stripMargin
+  }
 
   /** Heavy-hitter oracle: the plain GROUP BY / HAVING formulation the
     * MG-candidates + exact-recount pipeline must reproduce exactly. The
@@ -2997,6 +3043,7 @@ object OpsPack {
     "q_sample_per_source" -> samplePerSourceSql,
     "q_profile_numeric" -> numericProfileSql,
     "q_profile_histogram" -> profileHistogramSql,
+    "q_profile_chi2" -> profileChi2Sql,
     "q_profile_corr" -> profileCorrSql,
     "q_profile_outliers" -> profileOutliersSql,
     "q_dedup_exact" -> dedupExactSql,

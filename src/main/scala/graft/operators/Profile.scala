@@ -248,4 +248,58 @@ object Profile {
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
+
+  /** Chi-squared categorical drift between two slices: the 2×C contingency
+    * table with each cell's χ² contribution computed as an EXACT
+    * cross-multiplied rational, divided once at the end.
+    *
+    * For side s with row total R_s, category total C_c, grand total N and
+    * observed o: the textbook (o−e)²/e with e = R_s·C_c/N rearranges to
+    *
+    *   contribution = (o·N − R_s·C_c)² / (N · R_s · C_c)
+    *
+    * — numerator and denominator are exact DECIMAL products of BIGINT
+    * counts, so the only float op is the final double division (plus one
+    * double add combining the two sides), making every cell bit-identical
+    * across engines. A single scalar χ² would sum per-cell doubles in
+    * engine-dependent order; the per-cell table is the portable form (sum
+    * it client-side if a scalar is wanted).
+    *
+    * Scale shape: the two grouped counts are the only O(data) work (one
+    * scan each, map-side combine, shuffle bytes ∝ category count); the
+    * rational arithmetic runs on the C-row cell table joined to a
+    * broadcast single-row totals frame. Exactness bounds: the decimal
+    * widths below hold to ~10⁹ rows per side (|o·N − R·C| ≤ N² needs ≤ 19
+    * digits); past that, flip the same formula to doubles — the plan is
+    * unchanged. */
+  def chi2Drift(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    val ca = a.groupBy(col(catCol)).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(catCol)).agg(count(lit(1)).as("n_b"))
+    val cells = ca.join(cb, Seq(catCol), "full_outer")
+      .select(col(catCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = cells.agg(sum(col("n_a")).as("r_a"), sum(col("n_b")).as("r_b"))
+    def dec(c: org.apache.spark.sql.Column, p: Int) = c.cast(s"decimal($p,0)")
+    val withTot = cells.crossJoin(broadcast(totals))
+      .withColumn("n_tot", col("r_a") + col("r_b"))
+      .withColumn("c_tot", col("n_a") + col("n_b"))
+    def term(o: String, r: String) = {
+      // (o·N − R·C) fits DECIMAL(19); its square fills DECIMAL(38) exactly.
+      val diff = dec(dec(col(o), 9) * dec(col("n_tot"), 9) -
+        dec(col(r), 9) * dec(col("c_tot"), 9), 19)
+      val num = diff * diff
+      val den = dec(dec(col("n_tot"), 12) * dec(col(r), 12), 24) * dec(col("c_tot"), 14)
+      when(col(r) > 0 && col("c_tot") > 0,
+        num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    }
+    withTot
+      .withColumn("chi2_cell", term("n_a", "r_a") + term("n_b", "r_b"))
+      .withColumn("expected_a",
+        when(col("n_tot") > 0,
+          (dec(col("r_a"), 12) * dec(col("c_tot"), 12)).cast("double") /
+            col("n_tot").cast("double")))
+      .select(col(catCol), col("n_a"), col("n_b"), col("expected_a"),
+        col("chi2_cell"))
+  }
 }

@@ -63,4 +63,34 @@ class ProfileSpec extends SparkTestBase {
     val ref = df.stat.corr("a", "b")
     assert(math.abs(ours - ref) < 1e-9)
   }
+
+  test("chi2Drift: identical slices give zero cells, values match textbook doubles") {
+    val a = Seq.fill(30)("x").map(Tuple1(_)) ++ Seq.fill(10)("y").map(Tuple1(_))
+    val b = Seq.fill(20)("x").map(Tuple1(_)) ++ Seq.fill(20)("y").map(Tuple1(_))
+    val dfA = a.toDF("cat")
+    val dfB = b.toDF("cat")
+    // identical slices: every contribution exactly 0
+    val same = Profile.chi2Drift(dfA, dfA, "cat").collect()
+    assert(same.forall(_.getDouble(4) == 0.0))
+    // textbook (o-e)^2/e per cell, computed in plain doubles
+    val got = Profile.chi2Drift(dfA, dfB, "cat")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    def cell(oA: Double, oB: Double, rA: Double, rB: Double): Double = {
+      val n = rA + rB; val c = oA + oB
+      val eA = rA * c / n; val eB = rB * c / n
+      (oA - eA) * (oA - eA) / eA + (oB - eB) * (oB - eB) / eB
+    }
+    assert(math.abs(got("x") - cell(30, 20, 40, 40)) < 1e-9)
+    assert(math.abs(got("y") - cell(10, 20, 40, 40)) < 1e-9)
+  }
+
+  test("chi2Drift: category absent on one side contributes its full mass") {
+    val dfA = Seq("x", "x", "z").map(Tuple1(_)).toDF("cat")
+    val dfB = Seq("x", "x", "x").map(Tuple1(_)).toDF("cat")
+    val rows = Profile.chi2Drift(dfA, dfB, "cat")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(rows("z")._1 == 1L && rows("z")._2 == 0L)
+    // z: o_a=1,o_b=0,R=3/3,C=1,N=6 -> e=0.5 each -> chi2 = .25/.5*2 = 1.0
+    assert(math.abs(rows("z")._3 - 1.0) < 1e-12)
+  }
 }
