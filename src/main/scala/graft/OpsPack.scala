@@ -1422,6 +1422,24 @@ object OpsPack {
       .orderBy("bin")
   }
 
+  /** Shard count for the sorted-export driver query. */
+  val ExportShards = 16
+
+  /** Secondary-sorted shard-export manifest driver query
+    * ([[graft.operators.Export.sortedShardManifest]]): documents hashed
+    * into 16 shards, each ordered by (n_chars, doc_id), manifested as
+    * (shard, n_rows, extrema, order-sensitive checksum). The checksum's
+    * rank-tagged md5 sum is commutative to AGGREGATE but sensitive to
+    * ORDER, which is how a physical-layout property hash-checks against
+    * an engine that never sees the files; ExportSpec pins the written
+    * layout (one sorted file per shard) to the same checksums. */
+  def exportManifest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Export
+    Export.sortedShardManifest(docs(s, dir), "doc_id", Seq("n_chars"),
+      "n_chars", ExportShards)
+      .orderBy("shard")
+  }
+
   /** Chi-squared categorical drift driver query: the documents corpus
     * sliced two ways (doc_id mod splits — the same A/B shapes as
     * [[profileDrift]]) cross-tabulated on `source`, every cell's χ²
@@ -1471,6 +1489,7 @@ object OpsPack {
     "q_events_props" -> (eventsProps _),
     "q_split_counts" -> (splitCounts _),
     "q_shuffle_export" -> (shuffleExport _),
+    "q_export_manifest" -> (exportManifest _),
     "q_compare_report" -> (compareReport _),
     "q_text_stats" -> (textStats _),
     "q_dedup_exact" -> (dedupExact _),
@@ -2140,6 +2159,25 @@ object OpsPack {
        |  CAST(row_number() OVER (PARTITION BY hh % $ShuffleExportBuckets
        |    ORDER BY hh, doc_id) AS BIGINT) AS pos
        |FROM h ORDER BY doc_id""".stripMargin
+
+  /** Sorted-shard manifest oracle: identical 48-bit md5 shard arithmetic,
+    * the same per-shard rank window, and the same rank-tagged element sum
+    * (HUGEINT-exact, emitted as VARCHAR on both sides so the integer never
+    * rides a float bridge). */
+  private val exportManifestSql: String =
+    s"""WITH h AS (SELECT doc_id, n_chars,
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % $ExportShards AS shard
+       |  FROM documents),
+       |r AS (SELECT shard, n_chars, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY n_chars, doc_id) AS BIGINT) AS rank
+       |  FROM h),
+       |e AS (SELECT shard, n_chars,
+       |  ('0x' || substr(md5(CAST(rank AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS elem
+       |  FROM r)
+       |SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars,
+       |  CAST(sum(elem) AS VARCHAR) AS checksum
+       |FROM e GROUP BY shard ORDER BY shard""".stripMargin
 
   /** Stratified-sample oracle: the same md5 bucket arithmetic as the split
     * oracle, against the same per-stratum percentage table. */
@@ -3027,6 +3065,7 @@ object OpsPack {
     "q_events_props" -> eventsPropsSql,
     "q_split_counts" -> splitCountsSql,
     "q_shuffle_export" -> shuffleExportSql,
+    "q_export_manifest" -> exportManifestSql,
     "q_text_stats" -> statsSql,
     "q_text_pii" -> piiSql,
     "q_text_repetition" -> repetitionSql,

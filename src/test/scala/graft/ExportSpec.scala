@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Export
+
+class ExportSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = (1 to 200)
+    .map(i => (i.toLong, (i * 37 % 100).toLong, s"doc$i"))
+    .toDF("id", "size", "body")
+
+  test("writeSortedShards: one file per shard, rows sorted within each file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val n = Export.writeSortedShards(corpus, "id", Seq("size"), 4, dir)
+    assert(n == 200L)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 4)
+    for (sd <- shardDirs) {
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${sd.getName}: expected one file, got ${files.length}")
+      // a single-file read of one parquet file preserves row order
+      val rows = spark.read.parquet(files.head.getPath)
+        .select("size", "id").as[(Long, Long)].collect().toSeq
+      assert(rows == rows.sortBy(identity), s"${sd.getName} not sorted")
+    }
+    // nothing lost or duplicated
+    val back = spark.read.parquet(dir).select("id").as[Long].collect().sorted
+    assert(back.toSeq == (1L to 200L))
+  }
+
+  test("manifest checksum is order-sensitive and matches the physical layout") {
+    val m = Export.sortedShardManifest(corpus, "id", Seq("size"), "size", 4)
+      .orderBy("shard").collect()
+    assert(m.map(_.getLong(1)).sum == 200L)
+    // recompute each shard's checksum from the physically written files,
+    // folding in file order — must equal the manifest's value
+    val dir = java.nio.file.Files.createTempDirectory("graft_export2").toString
+    Export.writeSortedShards(corpus, "id", Seq("size"), 4, dir)
+    val manifest = m.map(r => r.getLong(0) -> r.getString(4)).toMap
+    for (sd <- new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))) {
+      val shard = sd.getName.stripPrefix("shard=").toLong
+      val f = sd.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val ids = spark.read.parquet(f.getPath).select("id").as[Long].collect()
+      val sum = ids.zipWithIndex.map { case (id, i) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${i + 1}:$id".getBytes("UTF-8"))
+        BigInt(md.take(6).map(b => f"$b%02x").mkString, 16)
+      }.sum
+      assert(sum.toString == manifest(shard), s"shard $shard checksum")
+    }
+    // permuting two rows' sort positions changes the checksum
+    val swapped = corpus.withColumn("size",
+      when(col("id") === 1, lit(999L)).otherwise(col("size")))
+    val m2 = Export.sortedShardManifest(swapped, "id", Seq("size"), "size", 4)
+      .orderBy("shard").collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val shard1 = Export.shardOf(lit(1L), 4)
+    val s1 = spark.range(1).select(shard1.as("s")).as[Long].head()
+    assert(m2(s1) != manifest(s1))
+  }
+}
