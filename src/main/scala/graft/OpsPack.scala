@@ -173,6 +173,7 @@ object OpsPack {
   def prepareIndexes(s: SparkSession, dir: String): Unit = {
     annLshBucketed(s, dir)
     annIvfPersisted(s, dir)
+    annIvfStreamed(s, dir)
     dedupIncremental(s, dir)
     textBm25Indexed(s, dir)
   }
@@ -241,6 +242,83 @@ object OpsPack {
         Ivf.writeClustered(e, "embedding", c, p)
         java.nio.file.Files.write(centFile,
           c.map(_.map(_.toString).mkString("\t")).mkString("\n").getBytes("UTF-8"))
+        (p, c)
+      }
+    })
+    val q = embeddings(s, dir).where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0).map(_.toDouble)
+    val top = Ivf.ivfTopKFromClustered(s, path, "embedding", "vec_id", cents, q, 20, nprobe = 4)
+    import s.implicits._
+    top.collect().zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
+      .toSeq.toDF("rank", "vec_id")
+  }
+
+  private val ivfStreamedCache =
+    scala.collection.concurrent.TrieMap[String, (String, Array[Array[Double]])]()
+
+  /** Streaming-maintained IVF driver query: the embeddings table replayed
+    * as two micro-batches through [[graft.streaming.IngestIvf]] — each
+    * batch assigned under FROZEN deterministically-trained centroids and
+    * appended into the `cluster=N` partition layout — then probed with
+    * [[Ivf.ivfTopKFromClustered]] at nprobe = k, which is exactly the
+    * brute-force top-20 of everything ingested, so q_ann_ivf's oracle
+    * applies verbatim. A done-marker gates layout reuse (an append-built
+    * layout without the marker may be half-ingested from a dead JVM —
+    * rebuild, don't trust `_SUCCESS`, which every append rewrites). */
+  def annIvfStreamed(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val (path, cents) = ivfStreamedCache.getOrElseUpdate(dir, {
+      val p = "target/graft_ivf_streamed_" +
+        layoutStamp(dir, "embeddings", "k=4|iters=2|train=0.25|stream2|v1")
+      val done = Paths.get(p, "_graft_ingest_done")
+      val centFile = Paths.get(p, "_graft_centroids.tsv")
+      if (Files.exists(done) && Files.exists(centFile)) {
+        val c = scala.jdk.CollectionConverters.ListHasAsScala(
+          Files.readAllLines(centFile)).asScala
+          .map(_.split('\t').map(java.lang.Double.parseDouble)).toArray
+        (p, c)
+      } else {
+        deleteRecursively(Paths.get(p))
+        val e = embeddings(s, dir)
+        val c = Ivf.kmeansCentroids(e, "embedding", "vec_id", k = 4, iters = 2,
+          trainFraction = 0.25)
+        // two-file replay staging: lower vec_id half arrives first
+        val root = Paths.get(s"target/graft_ivf_stream_src_${md5Hex(dir)}")
+        deleteRecursively(root)
+        Files.createDirectories(root)
+        val mm = e.agg(min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx")).first()
+        val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+        def writeHalf(cond: org.apache.spark.sql.Column, name: String, mtimeMs: Long): Unit = {
+          val tmp = root.resolve(s"tmp_$name")
+          e.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          import scala.jdk.CollectionConverters._
+          val part = Files.list(tmp).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          Files.move(part, root.resolve(s"$name.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(root.resolve(s"$name.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+          deleteRecursively(tmp)
+        }
+        writeHalf(col("vec_id") <= mid, "half0", 1000000L)
+        writeHalf(col("vec_id") > mid, "half1", 2000000L)
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val ckpt =
+          if (Files.isWritable(Paths.get("/dev/shm")))
+            s"/dev/shm/graft_ckpt_ivf_${streamSinkSeq.incrementAndGet()}"
+          else s"target/graft_ckpt_ivf_${streamSinkSeq.incrementAndGet()}"
+        val schema = ss.read.parquet(root.toString).schema
+        val stream = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(root.toString)
+        val q = graft.streaming.IngestIvf.ingestToClustered(
+          stream, "embedding", c, p, Some(ckpt))
+        try q.processAllAvailable()
+        finally { q.stop(); deleteRecursively(Paths.get(ckpt)) }
+        Files.write(centFile,
+          c.map(_.map(_.toString).mkString("\t")).mkString("\n").getBytes("UTF-8"))
+        Files.write(done, Array.emptyByteArray)
         (p, c)
       }
     })
@@ -1535,6 +1613,7 @@ object OpsPack {
     "q_ann_ivf" -> (annIvf _),
     "q_ann_lsh_bucketed" -> (annLshBucketed _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
+    "q_ann_ivf_streamed" -> (annIvfStreamed _),
     "q_skew_agg" -> (skewAgg _),
     "q_sales_by_nation" -> (salesByNation _),
     "q_top_customers" -> (topCustomers _),
@@ -3105,6 +3184,7 @@ object OpsPack {
     "q_ann_topk_quantized" -> annTopKQuantizedSql,
     "q_ann_ivf" -> annTopKSql,
     "q_ann_ivf_persisted" -> annTopKSql,
+    "q_ann_ivf_streamed" -> annTopKSql,
     "q_ann_lsh_bucketed" -> annLshBucketedSql,
     "q_skew_agg" -> skewAggSql,
     "q_sales_by_nation" -> salesByNationSql,

@@ -54,6 +54,41 @@ class IvfSpec extends SparkTestBase {
     assert(one == brute) // the true neighbours all live in the probed cluster
   }
 
+  test("streaming ingest: two micro-batches yield the batch layout's exact probe") {
+    import graft.streaming.IngestIvf
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = "target/ingest_ivf_layout"
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val cents = Ivf.kmeansCentroids(vecs, "embedding", "vec_id", k = 4, iters = 5)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = IngestIvf.ingestToClustered(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", cents, path)
+    val rows = vecs.as[(Long, Array[Float])].collect().toSeq
+    try {
+      // batches share clusters (both halves contain all four centers), so
+      // the append path must MERGE partition directories, not replace them
+      input.addData(rows.take(20))
+      q.processAllAvailable()
+      input.addData(rows.drop(20))
+      q.processAllAvailable()
+    } finally q.stop()
+    val query = Seq(10.0, 0.5)
+    val streamed = Ivf.ivfTopKFromClustered(
+      spark, path, "embedding", "vec_id", cents, query, 5, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Ann.bruteForceTopK(vecs, "embedding", "vec_id", query, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(streamed == brute)
+    // nothing lost or duplicated across the appends
+    assert(spark.read.parquet(path).count() == 40L)
+  }
+
   test("vector_sum aggregate matches the posexplode formulation it replaced") {
     val byHand = vecs
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
