@@ -506,6 +506,21 @@ object OpsPack {
       .orderBy(col("freq").desc, col("token"))
   }
 
+  /** Merge steps for the BPE-trainer driver query. */
+  val BpeSteps = 8
+
+  /** BPE tokenizer-training driver query
+    * ([[graft.operators.BpeTrainer.topMerges]]): the first 8 merge rules
+    * learned over the corpus's word-frequency table, each chosen by
+    * weighted pair count with a total tie-break. Data-dependent iterative
+    * training hash-checks because merge application is literal string
+    * replace on the paren symbol encoding — identical LTR non-overlap
+    * semantics in every engine — and the oracle unrolls the 8 iterations
+    * as stacked CTEs. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrainer.topMerges(docs(s, dir), "text", BpeSteps)
+      .orderBy("step")
+
   /** Per-document OOV ratio against the corpus's own top-20 vocabulary. */
   def vocabStats(s: SparkSession, dir: String): DataFrame =
     TextOps.inVocabStats(docs(s, dir), "text", "doc_id", topK = 20)
@@ -1594,6 +1609,7 @@ object OpsPack {
     "q_text_boilerplate_para" -> (boilerplateCleanPara _),
     "q_text_vocab" -> (vocabStats _),
     "q_text_heavy_hitters" -> (textHeavyHitters _),
+    "q_bpe_merges" -> (bpeMerges _),
     "q_text_collocations" -> (textCollocations _),
     "q_sample_stratified" -> (stratifiedCounts _),
     "q_mixture_plan" -> (mixturePlanQuery _),
@@ -2173,6 +2189,34 @@ object OpsPack {
        |      / CAST(n_tot AS DOUBLE) END AS expected_a,
        |  (${term("n_a", "r_a")}) + (${term("n_b", "r_b")}) AS chi2_cell
        |FROM w ORDER BY source""".stripMargin
+  }
+
+  /** BPE-merge oracle: the trainer's iterations unrolled as stacked CTEs —
+    * per step, a weighted adjacent-pair count over the current encoding, a
+    * (count desc, pair asc) argmax, and a literal `replace` applying the
+    * merge (LTR non-overlap = BPE's simultaneous merge, identical in both
+    * engines; the paren encoding makes symbol boundaries unambiguous). */
+  private val bpeMergesSql: String = {
+    val steps = (1 to BpeSteps).map { i =>
+      s"""p$i AS (SELECT s.a[u.i] AS s1, s.a[u.i+1] AS s2, CAST(sum(s.c) AS BIGINT) AS n
+         |  FROM (SELECT regexp_extract_all(enc, '\\(([a-z]+)\\)', 1) AS a, c FROM e${i - 1}) s,
+         |  LATERAL (SELECT unnest(generate_series(1, len(s.a)-1)) AS i) u
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT s1, s2, n FROM p$i ORDER BY n DESC, s1, s2 LIMIT 1),
+         |e$i AS (SELECT replace(e${i - 1}.enc,
+         |    '(' || t$i.s1 || ')(' || t$i.s2 || ')', '(' || t$i.s1 || t$i.s2 || ')') AS enc, e${i - 1}.c
+         |  FROM e${i - 1}, t$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeSteps).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS step, s1 AS sym_a, s2 AS sym_b, s1 || s2 AS merged, n FROM t$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) t FROM documents),
+       |wf AS (SELECT lower(t) AS w, CAST(count(*) AS BIGINT) AS c FROM toks
+       |  WHERE regexp_matches(lower(t), '^[a-z]+$$') GROUP BY 1),
+       |e0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS enc, c FROM wf),
+       |$steps
+       |$out
+       |ORDER BY step""".stripMargin
   }
 
   /** Heavy-hitter oracle: the plain GROUP BY / HAVING formulation the
@@ -3153,6 +3197,7 @@ object OpsPack {
     "q_text_boilerplate_para" -> boilerplateParaSql,
     "q_text_vocab" -> vocabSql,
     "q_text_heavy_hitters" -> heavyHittersSql,
+    "q_bpe_merges" -> bpeMergesSql,
     "q_text_collocations" -> textCollocationsSql,
     "q_sample_stratified" -> stratifiedSql,
     "q_mixture_plan" -> mixturePlanSql,
