@@ -38,7 +38,11 @@ import org.apache.spark.sql.functions._
 object HeavyHitters {
 
   /** Per-partition mergeable-MG candidate summaries: (token, lower-bound
-    * count) rows, at most `capacity` per input partition. */
+    * count) rows, at most `capacity` per input partition — plus ONE
+    * sentinel row per partition (`token = NULL`, lower_bound = the
+    * partition's exact token count), so the same single pass also yields
+    * the exact stream total (Σ sentinel rows) and the recount pass never
+    * needs a separate `count()` scan. */
   def candidateSummaries(tokens: DataFrame, tokenCol: String, capacity: Int): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val spark = tokens.sparkSession
@@ -61,14 +65,17 @@ object HeavyHitters {
           }
         }
       }
+      var n = 0L
       while (it.hasNext) {
         val t = it.next()
+        n += 1L
         m.put(t, m.getOrDefault(t, 0L) + 1L)
         if (m.size > 2 * capacity) compress()
       }
       compress()
-      val out = new Array[(String, Long)](m.size)
-      var i = 0
+      val out = new Array[(String, Long)](m.size + 1)
+      out(0) = (null, n)
+      var i = 1
       val eit = m.entrySet().iterator()
       while (eit.hasNext) { val e = eit.next(); out(i) = (e.getKey, e.getValue); i += 1 }
       out.iterator
@@ -88,14 +95,37 @@ object HeavyHitters {
       capacity: Int): DataFrame = {
     require(capacity >= denominator,
       s"capacity ($capacity) must be >= denominator ($denominator) for exactness")
-    val total = tokens.count()
-    val cands = candidateSummaries(tokens, tokenCol, capacity)
-      .select(tokenCol).distinct()
-    tokens
-      .join(broadcast(cands), Seq(tokenCol), "left_semi")
-      .groupBy(tokenCol)
-      .agg(count(lit(1)).as("freq"))
-      .where(col("freq") * lit(denominator) >= lit(total))
+    // one pass yields candidates AND the exact total (sentinel rows);
+    // the merged per-token summary is capacity × partitions rows — fine
+    // to hold distributed, never collected wholesale
+    val summaries = candidateSummaries(tokens, tokenCol, capacity)
+      .groupBy(tokenCol).agg(sum(col("lower_bound")).as("lb"))
+      .persist()
+    try {
+      val total = Option(summaries.where(col(tokenCol).isNull)
+        .agg(sum(col("lb"))).first().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      // Provable prune before the broadcast: a token with true count
+      // ≥ total/denominator has Σlb ≥ total/denominator − total/(capacity+1),
+      // i.e. lb·denominator·(capacity+1) ≥ total·(capacity+1−denominator)
+      // (cross-multiplied in decimal — no float threshold, no overflow).
+      // Since Σ over all lb ≤ total, at most ≈ denominator·(capacity+1)/
+      // (capacity+1−denominator) tokens can clear it — a few thousand,
+      // independent of partition count, so the broadcast stays tiny at any
+      // cluster size.
+      val cands = summaries
+        .where(col(tokenCol).isNotNull &&
+          col("lb").cast("decimal(38,0)") * lit(denominator * (capacity + 1L)) >=
+            lit(total).cast("decimal(38,0)") * lit(capacity + 1L - denominator))
+        .select(col(tokenCol).cast("string"))
+        .collect().map(_.getString(0)).toSeq
+      val spark = tokens.sparkSession
+      import spark.implicits._
+      tokens
+        .join(broadcast(cands.toDF(tokenCol)), Seq(tokenCol), "left_semi")
+        .groupBy(tokenCol)
+        .agg(count(lit(1)).as("freq"))
+        .where(col("freq") * lit(denominator) >= lit(total))
+    } finally { summaries.unpersist(); () }
   }
 
   /** Whitespace token stream of a text column — the same tokenization as
