@@ -521,6 +521,28 @@ object OpsPack {
     graft.operators.BpeTrainer.topMerges(docs(s, dir), "text", BpeSteps)
       .orderBy("step")
 
+  /** End-to-end BPE tokenization driver query: train the 8 merges, then
+    * encode every document's words with the learned table
+    * ([[graft.operators.BpeTrainer.encodeWords]] — a pure expression
+    * chain of 8 literal replaces, no join against a vocabulary) and roll
+    * up per-document word/symbol counts. One corpus scan + one id-keyed
+    * aggregation after training. */
+  def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BpeTrainer
+    val d = docs(s, dir)
+    val merges = BpeTrainer.topMerges(d, "text", BpeSteps).orderBy("step")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = d.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(col("doc_id"), lower(col("t")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+    BpeTrainer.encodeWords(words, "w", merges)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_symbols").cast("long")).as("n_symbols"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document OOV ratio against the corpus's own top-20 vocabulary. */
   def vocabStats(s: SparkSession, dir: String): DataFrame =
     TextOps.inVocabStats(docs(s, dir), "text", "doc_id", topK = 20)
@@ -1610,6 +1632,7 @@ object OpsPack {
     "q_text_vocab" -> (vocabStats _),
     "q_text_heavy_hitters" -> (textHeavyHitters _),
     "q_bpe_merges" -> (bpeMerges _),
+    "q_bpe_tokenize" -> (bpeTokenize _),
     "q_text_collocations" -> (textCollocations _),
     "q_sample_stratified" -> (stratifiedCounts _),
     "q_mixture_plan" -> (mixturePlanQuery _),
@@ -2196,7 +2219,9 @@ object OpsPack {
     * (count desc, pair asc) argmax, and a literal `replace` applying the
     * merge (LTR non-overlap = BPE's simultaneous merge, identical in both
     * engines; the paren encoding makes symbol boundaries unambiguous). */
-  private val bpeMergesSql: String = {
+  /** Shared CTE prefix: word frequencies, paren encoding, and the
+    * unrolled per-step pair-count/argmax/merge chain through t/e{steps}. */
+  private def bpeCtes: String = {
     val steps = (1 to BpeSteps).map { i =>
       s"""p$i AS (SELECT s.a[u.i] AS s1, s.a[u.i+1] AS s2, CAST(sum(s.c) AS BIGINT) AS n
          |  FROM (SELECT regexp_extract_all(enc, '\\(([a-z]+)\\)', 1) AS a, c FROM e${i - 1}) s,
@@ -2207,16 +2232,40 @@ object OpsPack {
          |    '(' || t$i.s1 || ')(' || t$i.s2 || ')', '(' || t$i.s1 || t$i.s2 || ')') AS enc, e${i - 1}.c
          |  FROM e${i - 1}, t$i)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeSteps).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS step, s1 AS sym_a, s2 AS sym_b, s1 || s2 AS merged, n FROM t$i"
-    }.mkString("\nUNION ALL ")
     s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) t FROM documents),
        |wf AS (SELECT lower(t) AS w, CAST(count(*) AS BIGINT) AS c FROM toks
        |  WHERE regexp_matches(lower(t), '^[a-z]+$$') GROUP BY 1),
        |e0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS enc, c FROM wf),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private val bpeMergesSql: String = {
+    val out = (1 to BpeSteps).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS step, s1 AS sym_a, s2 AS sym_b, s1 || s2 AS merged, n FROM t$i"
+    }.mkString("\nUNION ALL ")
+    s"""$bpeCtes
        |$out
        |ORDER BY step""".stripMargin
+  }
+
+  /** BPE-tokenize oracle: the merge chain replayed per document word (the
+    * 8 learned pairs cross-joined in — each t-CTE is one row), then a
+    * per-document rollup of word and symbol counts. */
+  private val bpeTokenizeSql: String = {
+    val enc = (1 to BpeSteps).foldLeft("regexp_replace(w, '(.)', '(\\1)', 'g')") {
+      case (e, i) =>
+        s"replace($e, '(' || t$i.s1 || ')(' || t$i.s2 || ')', '(' || t$i.s1 || t$i.s2 || ')')"
+    }
+    s"""$bpeCtes,
+       |dtoks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) t FROM documents),
+       |dw AS (SELECT doc_id, lower(t) AS w FROM dtoks
+       |  WHERE regexp_matches(lower(t), '^[a-z]+$$')),
+       |encd AS (SELECT doc_id,
+       |  len(regexp_extract_all($enc, '\\(([a-z]+)\\)', 1)) AS ns
+       |  FROM dw${(1 to BpeSteps).map(i => s", t$i").mkString})
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(ns) AS BIGINT) AS n_symbols
+       |FROM encd GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Heavy-hitter oracle: the plain GROUP BY / HAVING formulation the
@@ -3198,6 +3247,7 @@ object OpsPack {
     "q_text_vocab" -> vocabSql,
     "q_text_heavy_hitters" -> heavyHittersSql,
     "q_bpe_merges" -> bpeMergesSql,
+    "q_bpe_tokenize" -> bpeTokenizeSql,
     "q_text_collocations" -> textCollocationsSql,
     "q_sample_stratified" -> stratifiedSql,
     "q_mixture_plan" -> mixturePlanSql,
