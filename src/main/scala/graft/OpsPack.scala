@@ -410,6 +410,17 @@ object OpsPack {
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
       .orderBy("vec_id")
 
+  /** Cluster-quality driver query ([[graft.operators.Ivf.clusterStats]]):
+    * per-cluster member counts, squared-distance extrema, and
+    * decimal-accumulated inertia over the fixed deterministic centroid
+    * family (the oracle-stable parameterization — a mirror of DATA-trained
+    * centroids would have to reproduce k-means' double-sum accumulation
+    * order; production monitors [[graft.operators.Ivf.kmeansCentroids]]
+    * output with the same operator). */
+  def annClusterStats(s: SparkSession, dir: String): DataFrame =
+    Ivf.clusterStats(embeddings(s, dir), "embedding", semDedupCentroids)
+      .orderBy("cluster")
+
   /** PII scan + redaction: deterministic synthetic PII (email/IP/SSN/phone
     * derived from doc_id) is appended to each document, then counted and
     * redacted — pure codegen'd regex expressions, zero shuffle. The md5 of
@@ -1653,6 +1664,7 @@ object OpsPack {
     "q_ann_lsh_bucketed" -> (annLshBucketed _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
     "q_ann_ivf_streamed" -> (annIvfStreamed _),
+    "q_ann_cluster_stats" -> (annClusterStats _),
     "q_skew_agg" -> (skewAgg _),
     "q_sales_by_nation" -> (salesByNation _),
     "q_top_customers" -> (topCustomers _),
@@ -2579,6 +2591,34 @@ object OpsPack {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Cluster-stats oracle: the semantic-dedup assignment mirror (same
+    * centroid literals, same first-wins argmin) with d² completed by the
+    * |v|² term, extrema in plain double, inertia decimal-summed and
+    * emitted as VARCHAR. */
+  private val annClusterStatsSql: String = {
+    val cents = semDedupCentroids
+    // centroid constants ride as '…'::DOUBLE — a bare 0.123… literal is
+    // DECIMAL in DuckDB, and its decimal→double cast is the one-ulp-low
+    // path (oracle-portability finding); strtod parses exactly
+    def dotLit(v: String, c: Array[Double]): String =
+      c.zipWithIndex.map { case (w, d) => s"$v[${d + 1}] * '$w'::DOUBLE" }
+        .mkString("(", " + ", ")")
+    val dList = cents.map { c =>
+      val c2 = c.map(x => x * x).sum
+      s"('$c2'::DOUBLE - 2.0 * ${dotLit("v", c)})"
+    }.mkString("[", ",\n    ", "]")
+    val vn = (0 until EmbeddingDim).map(d => s"v[${d + 1}] * v[${d + 1}]")
+      .mkString("(", " + ", ")")
+    s"""WITH e AS (SELECT embedding::DOUBLE[] v FROM embeddings),
+       |a AS (SELECT v, $dList AS dl FROM e),
+       |b AS (SELECT CAST(list_position(dl, list_min(dl)) - 1 AS BIGINT) AS cluster,
+       |  dl[list_position(dl, list_min(dl))] + $vn AS d2 FROM a)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       |  min(d2) AS min_d2, max(d2) AS max_d2,
+       |  CAST(sum(CAST(d2 AS DECIMAL(38,6))) AS VARCHAR) AS inertia
+       |FROM b GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
   /** Salted-aggregation oracle: the two-phase salted plan must equal the
     * plain GROUP BY (decimal sums are exact, so salting can't perturb). */
   private val skewAggSql: String =
@@ -3280,6 +3320,7 @@ object OpsPack {
     "q_ann_ivf" -> annTopKSql,
     "q_ann_ivf_persisted" -> annTopKSql,
     "q_ann_ivf_streamed" -> annTopKSql,
+    "q_ann_cluster_stats" -> annClusterStatsSql,
     "q_ann_lsh_bucketed" -> annLshBucketedSql,
     "q_skew_agg" -> skewAggSql,
     "q_sales_by_nation" -> salesByNationSql,

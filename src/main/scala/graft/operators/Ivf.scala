@@ -139,6 +139,40 @@ object Ivf {
       .limit(k)
   }
 
+  /** Per-cluster quality rollup for a coarse quantizer: member count and
+    * squared-distance extrema/total per cluster — the monitoring pass
+    * that tells an IVF deployment when centroid drift warrants a retrain
+    * (rising inertia, emptying clusters, ballooning max distance).
+    *
+    * Zero joins: assignment and the per-row squared distance are pure
+    * codegen'd expressions (d² = (|c|² − 2·v·c) + |v|², the fixed op
+    * order every engine reproduces), and the rollup is one grouped
+    * aggregation with k output rows. `inertia` accumulates the per-row
+    * double in DECIMAL(38,6) — exact and order-independent once each row
+    * is rounded, so the total ignores aggregation order — and is emitted
+    * as a string so the 38-digit value never rides a float bridge. */
+  def clusterStats(df: DataFrame, vecCol: String, centroids: Array[Array[Double]]): DataFrame = {
+    val v = col(vecCol)
+    def d2Expr(c: Array[Double]): Column = {
+      val c2 = c.map(x => x * x).sum
+      (lit(c2) - lit(2.0) * Ann.dot(v, Ann.vecLit(c.toSeq))) + Ann.dot(v, v)
+    }
+    val d2 =
+      if (centroids.length == 1) d2Expr(centroids(0))
+      else centroids.zipWithIndex.tail.foldLeft(
+        when(col("cluster") === 0, d2Expr(centroids(0)))) {
+        case (acc, (c, i)) => acc.when(col("cluster") === i, d2Expr(c))
+      }
+    withCluster(df, vecCol, centroids)
+      .withColumn("d2", d2)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("d2")).as("min_d2"),
+        max(col("d2")).as("max_d2"),
+        sum(col("d2").cast("decimal(38,6)")).cast("string").as("inertia"))
+  }
+
   /** Same, over a [[writeClustered]] layout: the cluster filter becomes a
     * partition filter, so unprobed clusters are never read. */
   def ivfTopKFromClustered(

@@ -89,6 +89,24 @@ class IvfSpec extends SparkTestBase {
     assert(spark.read.parquet(path).count() == 40L)
   }
 
+  test("clusterStats: counts, extrema, and inertia match hand computation") {
+    val cents = Array(Array(10.0, 0.0), Array(-10.0, 0.0), Array(0.0, 10.0), Array(0.0, -10.0))
+    val stats = Ivf.clusterStats(vecs, "embedding", cents)
+      .orderBy("cluster").collect()
+    assert(stats.map(_.getLong(1)).toSeq == Seq(10L, 10L, 10L, 10L))
+    // hand-compute cluster 0's members: i % 4 == 0, v = (10 + (i/4)*0.1, (i/4)*0.05)
+    val d2s = (0 until 10).map { j =>
+      // mirror the float-valued inputs exactly
+      val vx = (10f + j * 0.1f).toDouble; val vy = (0f + j * 0.05f).toDouble
+      (100.0 - 2.0 * (vx * 10.0 + vy * 0.0)) + (vx * vx + vy * vy)
+    }
+    val r0 = stats(0)
+    assert(r0.getDouble(2) == d2s.min)
+    assert(r0.getDouble(3) == d2s.max)
+    val expectedInertia = d2s.map(d => BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(BigDecimal(r0.getString(4)) == expectedInertia)
+  }
+
   test("vector_sum aggregate matches the posexplode formulation it replaced") {
     val byHand = vecs
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
