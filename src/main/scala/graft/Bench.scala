@@ -114,8 +114,9 @@ object Bench {
       "q_graph_pagerank", "q_compare_all_mismatch", "q_dedup_jaccard_pairs",
       "q_events_stream_join", "q_clean_corpus", "q_clean_corpus_fast",
       "q_events_streamed", "q_profile_numeric", "q_dedup_minhash_lsh",
-      "q_dedup_substring", "q_dedup_incremental", "q_normalize_rank",
-      "q_multimodal_features",
+      "q_dedup_substring", "q_bpe_tokenize", "q_dedup_incremental",
+      "q_bpe_merges", "q_normalize_rank",
+      "q_multimodal_features", "q_text_heavy_hitters",
       "q_lm_ngram_score", "q_contamination_bloom",
       "q_compare_dupe_counts", "q_dedup_simhash", "q_dedup_winnow",
       "q_select_budget", "q_profile_corr", "q_normalize_group",

@@ -421,6 +421,18 @@ object OpsPack {
     Ivf.clusterStats(embeddings(s, dir), "embedding", semDedupCentroids)
       .orderBy("cluster")
 
+  /** Classifier-agreement driver query
+    * ([[graft.operators.Agreement.confusionWithKappa]]): the n-gram langId
+    * heuristic scored against the stored lang metadata — confusion matrix
+    * with marginals and the exact-rational Cohen's kappa
+    * ((N·A − E)/(N² − E), one double division). */
+  def langAgreement(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Agreement.confusionWithKappa(
+      docs(s, dir).select(col("lang").as("gold"),
+        TextOps.langId(col("text")).as("pred")),
+      "gold", "pred")
+      .orderBy("a", "b")
+
   /** PII scan + redaction: deterministic synthetic PII (email/IP/SSN/phone
     * derived from doc_id) is appended to each document, then counted and
     * redacted — pure codegen'd regex expressions, zero shuffle. The md5 of
@@ -1642,6 +1654,7 @@ object OpsPack {
     "q_text_boilerplate_para" -> (boilerplateCleanPara _),
     "q_text_vocab" -> (vocabStats _),
     "q_text_heavy_hitters" -> (textHeavyHitters _),
+    "q_text_lang_agreement" -> (langAgreement _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_tokenize" -> (bpeTokenize _),
     "q_text_collocations" -> (textCollocations _),
@@ -2291,6 +2304,42 @@ object OpsPack {
        |SELECT token, freq FROM cf, tot
        |WHERE freq * $HeavyHitterDenominator >= n
        |ORDER BY freq DESC, token""".stripMargin
+
+  /** Lang-agreement oracle: the statsSql langId argmax (same marker
+    * scoring, same first-wins tie-break) cross-tabulated against the gold
+    * column, with kappa's rational mirrored decimal-for-decimal and the
+    * two divisions routed VARCHAR→DOUBLE. */
+  private val langAgreementSql: String = {
+    val markers = TextOps.LangMarkers
+    def cnt(expr: String, pat: String) = s"len(regexp_extract_all($expr, '$pat'))"
+    val scoreCols = markers.map { case (l, p) =>
+      s"${cnt("lower(text)", p)} AS score_$l"
+    }.mkString(", ")
+    val lang = markers.tail.foldLeft(("score_" + markers.head._1, s"'${markers.head._1}'")) {
+      case ((bs, bl), (l, _)) =>
+        (s"greatest($bs, score_$l)", s"CASE WHEN score_$l > $bs THEN '$l' ELSE $bl END")
+    }
+    def d13(x: String) = s"CAST($x AS DECIMAL(13,0))"
+    s"""WITH sc AS (SELECT lang AS gold, $scoreCols FROM documents),
+       |pr AS (SELECT gold,
+       |  CASE WHEN ${lang._1} = 0 THEN 'und' ELSE ${lang._2} END AS pred FROM sc),
+       |cells AS (SELECT gold AS a, pred AS b, CAST(count(*) AS BIGINT) n FROM pr GROUP BY 1, 2),
+       |rt AS (SELECT a, CAST(sum(n) AS BIGINT) row_total FROM cells GROUP BY 1),
+       |ct AS (SELECT b, CAST(sum(n) AS BIGINT) col_total FROM cells GROUP BY 1),
+       |en AS (SELECT COALESCE(CAST(sum(${d13("rt.row_total")} * ${d13("ct.col_total")}) AS DECIMAL(38,0)),
+       |  CAST(0 AS DECIMAL(38,0))) AS e_num FROM rt JOIN ct ON rt.a = ct.b),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) n_total,
+       |  CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) n_agree FROM cells),
+       |smry AS (SELECT n_total, n_agree,
+       |  CASE WHEN ${d13("n_total")} * ${d13("n_total")} - e_num <> 0 THEN
+       |    CAST(CAST(${d13("n_total")} * ${d13("n_agree")} - e_num AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(${d13("n_total")} * ${d13("n_total")} - e_num AS VARCHAR) AS DOUBLE)
+       |  ELSE 1.0 END AS kappa FROM tot, en)
+       |SELECT cells.a, cells.b, cells.n, rt.row_total, ct.col_total,
+       |  smry.n_total, smry.n_agree, smry.kappa
+       |FROM cells JOIN rt ON cells.a = rt.a JOIN ct ON cells.b = ct.b, smry
+       |ORDER BY cells.a, cells.b""".stripMargin
+  }
 
   /** Group-top-k oracle: the row_number window formulation the heap
     * aggregate replaces, over the same quality arithmetic as the
@@ -3286,6 +3335,7 @@ object OpsPack {
     "q_text_boilerplate_para" -> boilerplateParaSql,
     "q_text_vocab" -> vocabSql,
     "q_text_heavy_hitters" -> heavyHittersSql,
+    "q_text_lang_agreement" -> langAgreementSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_tokenize" -> bpeTokenizeSql,
     "q_text_collocations" -> textCollocationsSql,
