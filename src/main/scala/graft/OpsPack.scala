@@ -176,6 +176,7 @@ object OpsPack {
     annIvfStreamed(s, dir)
     dedupIncremental(s, dir)
     textBm25Indexed(s, dir)
+    sourceOrc(s, dir)
   }
 
   /** Fingerprint of a source table's files (path, size, mtime) plus the
@@ -1578,6 +1579,50 @@ object OpsPack {
       .orderBy("shard")
   }
 
+  /** CDC apply driver query: derive the changeset between two document
+    * snapshots ([[graft.operators.Cdc.changesWithValues]] — one null-safe
+    * full-outer join) and apply it back to the old snapshot
+    * ([[graft.operators.Cdc.applyChanges]] — one anti join + union). The
+    * roundtrip invariant apply(A, changes(A→B)) ≡ B makes the whole CDC
+    * pipeline oracle-checkable: the mirror just constructs B directly. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Cdc
+    val base = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val oldS = base.where(col("doc_id") % 11 =!= 3)
+    val newS = docs(s, dir).where(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), col("source"),
+        (col("n_chars") + col("doc_id") % 5).as("n_chars"))
+    val cs = Cdc.changesWithValues(oldS, newS, Seq("doc_id"), Seq("source", "n_chars"))
+    Cdc.applyChanges(oldS, cs, Seq("doc_id"), Seq("source", "n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val orcStageCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** ORC source driver query: the documents table staged once as ORC
+    * (layout-stamped, like the persisted indexes), read back through
+    * Spark's native ORC scan, and rolled up per language with an
+    * order-independent content checksum over (doc_id, md5(text)) — the
+    * roundtrip proof that VALUES survive the format, not just counts. The
+    * oracle runs the same arithmetic on the parquet table. */
+  def sourceOrc(s: SparkSession, dir: String): DataFrame = {
+    val path = orcStageCache.getOrElseUpdate(dir, {
+      val p = "target/graft_orc_documents_" + layoutStamp(dir, "documents", "orc|v1")
+      if (!layoutComplete(p))
+        docs(s, dir).write.mode("overwrite").orc(p)
+      p
+    })
+    val elem = Dedup.md5Long48(
+      concat(col("doc_id").cast("string"), lit(":"),
+        md5(col("text").cast("binary"))).cast("binary"))
+    s.read.orc(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(elem.cast("decimal(38,0)")).cast("string").as("checksum"))
+      .orderBy("lang")
+  }
+
   /** Chi-squared categorical drift driver query: the documents corpus
     * sliced two ways (doc_id mod splits — the same A/B shapes as
     * [[profileDrift]]) cross-tabulated on `source`, every cell's χ²
@@ -1683,6 +1728,8 @@ object OpsPack {
     "q_top_customers" -> (topCustomers _),
     "q_profile_drift" -> (profileDrift _),
     "q_profile_chi2" -> (profileChi2 _),
+    "q_cdc_apply" -> (cdcApply _),
+    "q_source_orc" -> (sourceOrc _),
     "q_embedding_cosine_pairs" -> (cosinePairs _),
     "q_embedding_cosine_lsh" -> (cosinePairsLsh _),
     "q_semantic_dedup" -> (semanticDedupQuery _),
@@ -2392,6 +2439,23 @@ object OpsPack {
        |  CAST(row_number() OVER (PARTITION BY hh % $ShuffleExportBuckets
        |    ORDER BY hh, doc_id) AS BIGINT) AS pos
        |FROM h ORDER BY doc_id""".stripMargin
+
+  /** CDC-apply oracle: the roundtrip target B constructed directly. */
+  private val cdcApplySql: String =
+    """SELECT doc_id, source, n_chars + doc_id % 5 AS n_chars
+      |FROM documents WHERE doc_id % 13 <> 5 ORDER BY doc_id""".stripMargin
+
+  /** ORC-source oracle: the same rollup + order-independent checksum over
+    * the parquet table — equality proves the ORC roundtrip preserved
+    * every (doc_id, text) byte-for-byte and every n_chars. */
+  private val sourceOrcSql: String =
+    """WITH e AS (SELECT lang, n_chars,
+      |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 12))::BIGINT AS elem
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(elem) AS VARCHAR) AS checksum
+      |FROM e GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Sorted-shard manifest oracle: identical 48-bit md5 shard arithmetic,
     * the same per-shard rank window, and the same rank-tagged element sum
@@ -3347,6 +3411,8 @@ object OpsPack {
     "q_profile_numeric" -> numericProfileSql,
     "q_profile_histogram" -> profileHistogramSql,
     "q_profile_chi2" -> profileChi2Sql,
+    "q_cdc_apply" -> cdcApplySql,
+    "q_source_orc" -> sourceOrcSql,
     "q_profile_corr" -> profileCorrSql,
     "q_profile_outliers" -> profileOutliersSql,
     "q_dedup_exact" -> dedupExactSql,

@@ -76,4 +76,53 @@ object Cdc {
       compareCols: Seq[String] = Nil): DataFrame =
     snapshotDiff(oldDf, newDf, keys, compareCols)
       .where(col("change_type") =!= "unchanged")
+
+  /** The applyable changeset: like [[changes]] but each insert/update row
+    * carries the NEW values of `valueCols` (deletes carry keys only,
+    * values null) — the payload a downstream [[applyChanges]] consumer
+    * needs. Same single null-safe full-outer join as [[snapshotDiff]]. */
+  def changesWithValues(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changesWithValues needs at least one key column")
+    val l = oldDf
+      .select((keys ++ valueCols).map(c => col(c).as(s"a_$c")) :+ lit(true).as("__in1"): _*)
+    val r = newDf
+      .select((keys ++ valueCols).map(c => col(c).as(s"b_$c")) :+ lit(true).as("__in2"): _*)
+    val cond = keys.map(k => col(s"a_$k") <=> col(s"b_$k")).reduce(_ && _)
+    val anyChanged = valueCols.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val changeType =
+      when(col("__in1").isNull, lit("insert"))
+        .when(col("__in2").isNull, lit("delete"))
+        .when(anyChanged, lit("update"))
+        .otherwise(lit("unchanged"))
+    l.join(r, cond, "full_outer")
+      .withColumn("change_type", changeType)
+      .where(col("change_type") =!= "unchanged")
+      .select(
+        keys.map(k => coalesce(col(s"a_$k"), col(s"b_$k")).as(k)) ++
+          Seq(col("change_type")) ++
+          valueCols.map(c => col(s"b_$c").as(c)): _*)
+  }
+
+  /** Apply a [[changesWithValues]] changeset to a snapshot: untouched rows
+    * pass through an anti join on the changed keys; insert/update rows
+    * come from the changeset's new values. The invariant
+    * `applyChanges(A, changesWithValues(A, B)) ≡ B` is what makes a CDC
+    * pipeline verifiable end-to-end (and is how the driver query is
+    * oracle-checked).
+    *
+    * Scale shape: one key-hash join (the changeset side is usually a tiny
+    * fraction of the snapshot — AQE broadcasts it when small) plus a
+    * union; no windows, no global sorts. */
+  def applyChanges(snapshot: DataFrame, changeset: DataFrame,
+      keys: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val outCols = (keys ++ valueCols).map(col)
+    snapshot
+      .join(changeset.select(keys.map(col): _*), keys, "left_anti")
+      .select(outCols: _*)
+      .unionByName(
+        changeset.where(col("change_type").isin("insert", "update"))
+          .select(outCols: _*))
+  }
 }

@@ -56,6 +56,24 @@ class CdcSpec extends SparkTestBase {
     assert(d(7L) == "unchanged")
   }
 
+  test("applyChanges roundtrip: apply(A, changesWithValues(A,B)) == B") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "z", 30L), (4L, "w", 40L))
+      .toDF("id", "s", "v")
+    val b = Seq((1L, "x", 10L), (2L, "y", 99L), (4L, "W", 40L), (5L, "n", 50L))
+      .toDF("id", "s", "v") // 2 updated, 3 deleted, 4 updated, 5 inserted
+    val cs = Cdc.changesWithValues(a, b, Seq("id"), Seq("s", "v"))
+    val kinds = cs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kinds == Map(2L -> "update", 3L -> "delete", 4L -> "update", 5L -> "insert"))
+    val applied = Cdc.applyChanges(a, cs, Seq("id"), Seq("s", "v"))
+      .as[(Long, String, Long)].collect().toSet
+    val expect = b.as[(Long, String, Long)].collect().toSet
+    assert(applied == expect)
+    // deletes carry null values in the changeset
+    val del = cs.where(col("change_type") === "delete").collect()(0)
+    assert(del.isNullAt(2) && del.isNullAt(3))
+  }
+
   test("single full-outer join plan — no extra exchanges beyond the join") {
     val plan = Cdc.snapshotDiff(oldDf, newDf, Seq("id"))
       .queryExecution.executedPlan.toString
