@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Inter-classifier agreement — the QA pass a labeling pipeline runs when
@@ -17,12 +18,17 @@ import org.apache.spark.sql.functions._
   * — numerator and denominator are exact DECIMAL products of BIGINT
   * counts, so the only float op is the final double division, making the
   * statistic bit-identical across engines. Widths hold to N ≈ 10¹²
-  * (N² fills DECIMAL(25)); the labels tables are label-cardinality-sized.
+  * (N² fills DECIMAL(26)).
   *
   * Scale shape: ONE O(data) aggregation (the cell count, map-side
-  * combined, shuffle bytes ∝ label-pair cardinality); everything after
-  * runs on the tiny cell table, and the summary broadcasts back onto the
-  * matrix rows. */
+  * combined, shuffle bytes ∝ label-pair cardinality). Everything after
+  * runs on label-cardinality frames: the marginals come from a melted
+  * union of the cell table, the corpus totals and E ride
+  * constant-partition windows over those tiny frames (single-partition
+  * windows over ≤ C rows are free, and they keep the plan free of 1-row
+  * cross joins — the BroadcastNestedLoopJoin shape the driver-suite plan
+  * pin bans), and the matrix re-attaches marginals with label-keyed
+  * equi-joins. */
 object Agreement {
 
   /** Confusion matrix of `aCol` (gold / annotator 1) vs `bCol`
@@ -32,30 +38,31 @@ object Agreement {
   def confusionWithKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("n"))
-    val rows = cells.groupBy("a").agg(sum(col("n")).as("row_total"))
-    val cols = cells.groupBy("b").agg(sum(col("n")).as("col_total"))
-    // chance-agreement numerator: Σ over labels of row_total · col_total
-    // (absent marginals are zero and contribute nothing — inner join)
-    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(13,0)")
-    val e = rows.join(cols, col("a") === col("b"))
-      .agg(coalesce(sum(dec(col("row_total")) * dec(col("col_total"))),
-        lit(0).cast("decimal(27,0)")).as("e_num"))
-    val tot = cells.agg(
-      sum(col("n")).as("n_total"),
-      sum(when(col("a") === col("b"), col("n")).otherwise(lit(0L))).as("n_agree"))
-    val summary = tot.crossJoin(e)
-      .withColumn("kappa_num",
-        dec(col("n_total")) * dec(col("n_agree")) - col("e_num"))
-      .withColumn("kappa_den",
-        dec(col("n_total")) * dec(col("n_total")) - col("e_num"))
+    val one = Window.partitionBy(lit(1))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(13,0)")
+    // melted marginals: one row per label with both margin totals, plus
+    // the chance-agreement numerator E as a constant-window column
+    val marg = cells.select(col("a").as("label"), col("n"), lit(1).as("is_row"))
+      .unionByName(cells.select(col("b").as("label"), col("n"), lit(0).as("is_row")))
+      .groupBy("label")
+      .agg(
+        coalesce(sum(when(col("is_row") === 1, col("n"))), lit(0L)).as("row_total"),
+        coalesce(sum(when(col("is_row") === 0, col("n"))), lit(0L)).as("col_total"))
+      .withColumn("e_num",
+        sum(dec(col("row_total")) * dec(col("col_total"))).over(one))
+    val withTotals = cells
+      .withColumn("n_total", sum(col("n")).over(one))
+      .withColumn("n_agree",
+        sum(when(col("a") === col("b"), col("n")).otherwise(lit(0L))).over(one))
+    withTotals
+      .join(marg.select(col("label").as("a"), col("row_total"), col("e_num")), "a")
+      .join(marg.select(col("label").as("b"), col("col_total")), "b")
+      .withColumn("kappa_num", dec(col("n_total")) * dec(col("n_agree")) - col("e_num"))
+      .withColumn("kappa_den", dec(col("n_total")) * dec(col("n_total")) - col("e_num"))
       .withColumn("kappa",
         when(col("kappa_den") =!= 0,
           col("kappa_num").cast("double") / col("kappa_den").cast("double"))
           .otherwise(lit(1.0))) // degenerate: all mass on one cell pair
-      .select("n_total", "n_agree", "kappa")
-    cells
-      .join(rows, "a").join(cols, "b")
-      .crossJoin(broadcast(summary))
       .select(col("a"), col("b"), col("n"), col("row_total"), col("col_total"),
         col("n_total"), col("n_agree"), col("kappa"))
   }

@@ -279,9 +279,15 @@ object Profile {
       .select(col(catCol),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-    val totals = cells.agg(sum(col("n_a")).as("r_a"), sum(col("n_b")).as("r_b"))
+    // the grand totals ride a constant-partition window over the cell
+    // table — C rows at any corpus scale, so the single-partition window
+    // is free, and it keeps the plan join-free (a 1-row cross join would
+    // plan the BroadcastNestedLoopJoin shape the driver-suite pin bans)
+    val one = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     def dec(c: org.apache.spark.sql.Column, p: Int) = c.cast(s"decimal($p,0)")
-    val withTot = cells.crossJoin(broadcast(totals))
+    val withTot = cells
+      .withColumn("r_a", sum(col("n_a")).over(one))
+      .withColumn("r_b", sum(col("n_b")).over(one))
       .withColumn("n_tot", col("r_a") + col("r_b"))
       .withColumn("c_tot", col("n_a") + col("n_b"))
     def term(o: String, r: String) = {

@@ -46,6 +46,13 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(summaries.count() <= 5L * 7L + 7L)
   }
 
+  test("recount plan: broadcast left-semi join, never a sort-merge join") {
+    val plan = HeavyHitters.heavyHitters(skewed, "token", 40L, 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("empty input yields empty result") {
     val empty = spark.emptyDataset[String].toDF("token")
     assert(HeavyHitters.heavyHitters(empty, "token", 10L, 16).count() == 0)
