@@ -530,6 +530,31 @@ object OpsPack {
       .orderBy(col("freq").desc, col("token"))
   }
 
+  /** Count-Min grid shape for the sketch driver query: 4 rows × 1024
+    * buckets — a few KiB, whatever the corpus size. */
+  val CountMinDepth = 4
+  val CountMinWidth = 1024
+
+  /** Count-Min sketch driver query ([[graft.operators.CountMin]]): build
+    * the counter grid over the whitespace token stream, then point-query
+    * it for the exact heavy-hitter key set, emitting the true count next
+    * to the sketch estimate (`est ≥ freq` always; equality whenever the
+    * token's min-row is collision-free). The md5 hash family makes the
+    * grid — and therefore every estimate — bit-identical in the oracle's
+    * SQL mirror, so a probabilistic structure hash-checks exactly. */
+  def sketchCountMin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CountMin, HeavyHitters}
+    val toks = HeavyHitters.tokenStream(docs(s, dir), "text")
+    val grid = CountMin.sketch(toks, "token", CountMinDepth, CountMinWidth)
+    val heavy = HeavyHitters.heavyHitters(toks, "token",
+      denominator = HeavyHitterDenominator,
+      capacity = 2 * HeavyHitterDenominator.toInt)
+    CountMin.estimate(grid, heavy, "token", CountMinDepth, CountMinWidth)
+      .join(broadcast(heavy), Seq("token"))
+      .select(col("token"), col("freq"), col("est"))
+      .orderBy("token")
+  }
+
   /** Merge steps for the BPE-trainer driver query. */
   val BpeSteps = 8
 
@@ -1699,6 +1724,7 @@ object OpsPack {
     "q_text_boilerplate_para" -> (boilerplateCleanPara _),
     "q_text_vocab" -> (vocabStats _),
     "q_text_heavy_hitters" -> (textHeavyHitters _),
+    "q_sketch_countmin" -> (sketchCountMin _),
     "q_text_lang_agreement" -> (langAgreement _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_tokenize" -> (bpeTokenize _),
@@ -2351,6 +2377,33 @@ object OpsPack {
        |SELECT token, freq FROM cf, tot
        |WHERE freq * $HeavyHitterDenominator >= n
        |ORDER BY freq DESC, token""".stripMargin
+
+  /** Count-Min oracle: the grid rebuilt cell-for-cell in SQL — md5 hex
+    * halves parsed to the same 48-bit longs ([[graft.operators.Dedup.md5Prefix48]]
+    * contract), row hash `(a + (i+1)·b) % width`, bucket counts by GROUP
+    * BY, estimates by min over the key's depth cells. All integer. */
+  private val countMinSql: String = {
+    val (d, w) = (CountMinDepth, CountMinWidth)
+    val is = (0 until d).mkString("[", ",", "]")
+    s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) t FROM documents),
+       |tot AS (SELECT count(*) n FROM toks),
+       |cf AS (SELECT t AS token, CAST(count(*) AS BIGINT) freq FROM toks GROUP BY 1),
+       |heavy AS (SELECT token, freq FROM cf, tot WHERE freq * $HeavyHitterDenominator >= n),
+       |rows_ AS (SELECT unnest($is) AS r),
+       |h AS (SELECT ('0x' || substr(md5(t), 1, 12))::BIGINT AS a,
+       |             ('0x' || substr(md5(t), 17, 12))::BIGINT AS b FROM toks),
+       |cells AS (SELECT r, (a + (r + 1) * b) % $w AS bkt,
+       |                 CAST(count(*) AS BIGINT) cnt
+       |          FROM h CROSS JOIN rows_ GROUP BY 1, 2),
+       |kc AS (SELECT token, freq, r,
+       |         (('0x' || substr(md5(token), 1, 12))::BIGINT
+       |          + (r + 1) * ('0x' || substr(md5(token), 17, 12))::BIGINT) % $w AS bkt
+       |       FROM heavy CROSS JOIN rows_)
+       |SELECT token, freq, CAST(min(cnt) AS BIGINT) AS est
+       |FROM kc JOIN cells USING (r, bkt)
+       |GROUP BY 1, 2
+       |ORDER BY token""".stripMargin
+  }
 
   /** Lang-agreement oracle: the statsSql langId argmax (same marker
     * scoring, same first-wins tie-break) cross-tabulated against the gold
@@ -3399,6 +3452,7 @@ object OpsPack {
     "q_text_boilerplate_para" -> boilerplateParaSql,
     "q_text_vocab" -> vocabSql,
     "q_text_heavy_hitters" -> heavyHittersSql,
+    "q_sketch_countmin" -> countMinSql,
     "q_text_lang_agreement" -> langAgreementSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_tokenize" -> bpeTokenizeSql,
