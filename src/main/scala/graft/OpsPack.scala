@@ -555,6 +555,42 @@ object OpsPack {
       .orderBy("token")
   }
 
+  /** Register count for the distinct-sketch driver query: 256 registers →
+    * ~1.04/√256 ≈ 6.5% standard error, 2 KiB of state. */
+  val DistinctBuckets = 256
+
+  /** HLL-style distinct-count sketch driver query
+    * ([[graft.operators.DistinctSketch]]): md5-bucketed max-rank registers
+    * over the token stream, the exact-integer register sum, and the
+    * harmonic-mean estimate (one double division against a compile-time
+    * constant) — next to the exact distinct count for calibration. The two
+    * single-row aggregates combine via a tagged union + global max, NOT a
+    * join (the constant-key crossJoin degenerates to a nested-loop join —
+    * the chi²/kappa plan lesson). */
+  def sketchDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DistinctSketch
+    val m = DistinctBuckets
+    // distinct event ids — the "unique events/visitors" cardinality ask;
+    // decimal string form so both engines hash identical bytes
+    val ids = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id").cast("string").as("v"))
+    val summ = DistinctSketch.estimate(
+      DistinctSketch.registers(ids, "v", m), m)
+    val exact = ids.agg(count_distinct(col("v")).as("exact_distinct"))
+    summ.withColumn("exact_distinct", lit(null).cast("long"))
+      .unionByName(exact.select(
+        lit(null).cast("long").as("n_buckets"),
+        lit(null).cast("long").as("zero_buckets"),
+        lit(null).cast("long").as("sum_pow"),
+        lit(null).cast("decimal(38,6)").as("est"),
+        col("exact_distinct")))
+      .agg(max("n_buckets").as("n_buckets"),
+        max("zero_buckets").as("zero_buckets"),
+        max("sum_pow").as("sum_pow"),
+        max("est").as("est"),
+        max("exact_distinct").as("exact_distinct"))
+  }
+
   /** Merge steps for the BPE-trainer driver query. */
   val BpeSteps = 8
 
@@ -1725,6 +1761,7 @@ object OpsPack {
     "q_text_vocab" -> (vocabStats _),
     "q_text_heavy_hitters" -> (textHeavyHitters _),
     "q_sketch_countmin" -> (sketchCountMin _),
+    "q_sketch_distinct" -> (sketchDistinct _),
     "q_text_lang_agreement" -> (langAgreement _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_tokenize" -> (bpeTokenize _),
@@ -2403,6 +2440,34 @@ object OpsPack {
        |FROM kc JOIN cells USING (r, bkt)
        |GROUP BY 1, 2
        |ORDER BY token""".stripMargin
+  }
+
+  /** Distinct-sketch oracle: registers rebuilt in SQL (same md5 hex-half
+    * longs, same trailing-zero rank via `bit_count((b & -b) - 1)`), the
+    * 2^(48−reg) sum as exact BIGINT, and the one double division with the
+    * numerator constant routed VARCHAR→DOUBLE (strtod is exact — bare
+    * float literals are DECIMAL in DuckDB and ride a one-ulp-low cast). */
+  private val distinctSketchSql: String = {
+    val m = DistinctBuckets
+    val c = graft.operators.DistinctSketch.numeratorConst(m).toString
+    s"""WITH toks AS (SELECT CAST(event_id AS VARCHAR) t FROM events),
+       |h AS (SELECT ('0x' || substr(md5(t), 1, 12))::BIGINT AS a,
+       |             ('0x' || substr(md5(t), 17, 12))::BIGINT AS b FROM toks),
+       |br AS (SELECT a % $m AS bucket,
+       |         CASE WHEN b = 0 THEN 48
+       |              ELSE least(bit_count((b & (-b)) - 1) + 1, 48) END AS r FROM h),
+       |regs AS (SELECT bucket, max(r) AS register FROM br GROUP BY 1),
+       |s AS (SELECT sum(1::BIGINT << (48 - register)) sp,
+       |             CAST(count(*) AS BIGINT) present FROM regs),
+       |p AS (SELECT CAST($m AS BIGINT) n_buckets,
+       |             CAST($m - present AS BIGINT) zero_buckets,
+       |             CAST(sp + ($m - present) * (1::BIGINT << 48) AS BIGINT) sum_pow
+       |      FROM s),
+       |e AS (SELECT CAST(count(DISTINCT t) AS BIGINT) exact_distinct FROM toks)
+       |SELECT n_buckets, zero_buckets, sum_pow,
+       |  CAST(CAST('$c'::DOUBLE / CAST(sum_pow AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS est,
+       |  exact_distinct
+       |FROM p, e""".stripMargin
   }
 
   /** Lang-agreement oracle: the statsSql langId argmax (same marker
@@ -3453,6 +3518,7 @@ object OpsPack {
     "q_text_vocab" -> vocabSql,
     "q_text_heavy_hitters" -> heavyHittersSql,
     "q_sketch_countmin" -> countMinSql,
+    "q_sketch_distinct" -> distinctSketchSql,
     "q_text_lang_agreement" -> langAgreementSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_tokenize" -> bpeTokenizeSql,
