@@ -591,6 +591,21 @@ object OpsPack {
         max("exact_distinct").as("exact_distinct"))
   }
 
+  /** Edit-distance budget for the fuzzy-join driver query. */
+  val FuzzyK = 2
+
+  /** Fuzzy-join driver query ([[graft.operators.FuzzyJoin]]): dictionary-
+    * first record linkage over part names — distinct values with class
+    * sizes, PassJoin segment-blocked pairs at edit distance ≤ 2, sizes
+    * mapped back. The oracle is deliberately NOT a mirror of the blocking:
+    * it brute-forces `levenshtein ≤ k` over the dictionary, so the hash
+    * match PROVES the pigeonhole candidate generation is recall-complete
+    * on this corpus, not merely self-consistent. */
+  def fuzzyJoinNames(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.linkValues(
+      s.read.parquet(s"$dir/part.parquet").select("p_name"), "p_name", FuzzyK)
+      .orderBy("name1", "name2")
+
   /** Merge steps for the BPE-trainer driver query. */
   val BpeSteps = 8
 
@@ -1762,6 +1777,7 @@ object OpsPack {
     "q_text_heavy_hitters" -> (textHeavyHitters _),
     "q_sketch_countmin" -> (sketchCountMin _),
     "q_sketch_distinct" -> (sketchDistinct _),
+    "q_fuzzy_join" -> (fuzzyJoinNames _),
     "q_text_lang_agreement" -> (langAgreement _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_tokenize" -> (bpeTokenize _),
@@ -2469,6 +2485,20 @@ object OpsPack {
        |  exact_distinct
        |FROM p, e""".stripMargin
   }
+
+  /** Fuzzy-join oracle: brute-force `levenshtein ≤ k` over the distinct-
+    * name dictionary — an algorithm-independent ground truth (both engines
+    * implement the classic unit-cost Wagner-Fischer distance), so it
+    * checks the PassJoin blocking's completeness rather than mirroring it. */
+  private val fuzzyJoinSql: String =
+    s"""WITH d AS (SELECT p_name, CAST(count(*) AS BIGINT) n FROM part GROUP BY 1)
+       |SELECT a.p_name AS name1, b.p_name AS name2,
+       |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+       |  a.n AS n1, b.n AS n2
+       |FROM d a JOIN d b ON a.p_name < b.p_name
+       |WHERE abs(length(a.p_name) - length(b.p_name)) <= $FuzzyK
+       |  AND levenshtein(a.p_name, b.p_name) <= $FuzzyK
+       |ORDER BY 1, 2""".stripMargin
 
   /** Lang-agreement oracle: the statsSql langId argmax (same marker
     * scoring, same first-wins tie-break) cross-tabulated against the gold
@@ -3519,6 +3549,7 @@ object OpsPack {
     "q_text_heavy_hitters" -> heavyHittersSql,
     "q_sketch_countmin" -> countMinSql,
     "q_sketch_distinct" -> distinctSketchSql,
+    "q_fuzzy_join" -> fuzzyJoinSql,
     "q_text_lang_agreement" -> langAgreementSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_tokenize" -> bpeTokenizeSql,
