@@ -893,6 +893,46 @@ object OpsPack {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Streaming top-k driver query ([[graft.streaming.StreamingTopK]]):
+    * the two-micro-batch replay drives the Space-Saving
+    * `flatMapGroupsWithState` operator (per event type, top-5 users by
+    * event count) in Update mode; the final emission per group — selected
+    * by its cumulative `events_seen`, not sink order — is the exact
+    * answer because the capacity exceeds the distinct-user count, so the
+    * incremental stateful stream hash-checks against a plain batch
+    * GROUP BY / row_number mirror. The bounded-eviction path is the
+    * production configuration (state O(capacity) per group forever) and
+    * is pinned separately by StreamingTopKSpec. */
+  val StreamTopK = 5
+  val StreamTopKCapacity = 4096
+
+  def eventsStreamTopK(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val staged = stageStreamDir(s, dir)
+    val sink = s"graft_events_stream_sink_${streamSinkSeq.incrementAndGet()}"
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckptBase =
+      if (Files.isWritable(Paths.get("/dev/shm"))) s"/dev/shm/graft_ckpt_$sink"
+      else s"target/graft_ckpt_$sink"
+    val schema = ss.read.parquet(staged).schema
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val topk = graft.streaming.StreamingTopK.topKPerGroup(
+      stream, "event_type", "user_id", StreamTopK, StreamTopKCapacity)(ss)
+    val q = topk.toDF().writeStream.format("memory").queryName(sink)
+      .outputMode("update").option("checkpointLocation", ckptBase).start()
+    try q.processAllAvailable()
+    finally { q.stop(); deleteRecursively(Paths.get(ckptBase)) }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("group")
+    ss.table(sink)
+      .withColumn("mx", max(col("events_seen")).over(w))
+      .where(col("events_seen") === col("mx"))
+      .select(col("group").as("event_type"), col("rank"),
+        col("item").as("user_id"), col("n"))
+      .orderBy("event_type", "rank")
+  }
+
   /** Incremental-rollup driver query: the two-micro-batch replay maintains
     * a bucket-partitioned hourly aggregate table via foreachBatch merge
     * with dynamic partition overwrite
@@ -1767,6 +1807,7 @@ object OpsPack {
     "q_text_classifier" -> (textClassifier _),
     "q_events_streamed" -> (eventsStreamed _),
     "q_events_stream_join" -> (eventsStreamJoin _),
+    "q_events_stream_topk" -> (eventsStreamTopK _),
     "q_events_incr_rollup" -> (eventsIncrementalRollup _),
     "q_text_pii" -> (piiScan _),
     "q_text_repetition" -> (textRepetition _),
@@ -2485,6 +2526,19 @@ object OpsPack {
        |  exact_distinct
        |FROM p, e""".stripMargin
   }
+
+  /** Streaming top-k oracle: the batch mirror of the Space-Saving
+    * operator's exact regime — per-type user counts, row_number with the
+    * same (count desc, user asc) tie-break, top 5. */
+  private val streamTopKSql: String =
+    s"""WITH c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) n
+       |           FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, user_id, n,
+       |        row_number() OVER (PARTITION BY event_type
+       |                           ORDER BY n DESC, user_id) rk FROM c)
+       |SELECT event_type, CAST(rk AS INT) AS rank, user_id, n
+       |FROM r WHERE rk <= $StreamTopK
+       |ORDER BY event_type, rank""".stripMargin
 
   /** Fuzzy-join oracle: brute-force `levenshtein ≤ k` over the distinct-
     * name dictionary — an algorithm-independent ground truth (both engines
@@ -3519,6 +3573,7 @@ object OpsPack {
     "q_events_streamed" -> eventsStreamedSql,
     "q_events_rangejoin" -> eventsRangeJoinSql,
     "q_events_stream_join" -> eventsRangeJoinSql,
+    "q_events_stream_topk" -> streamTopKSql,
     "q_events_trailing" -> eventsTrailingSql,
     "q_events_funnel" -> eventsFunnelSql,
     "q_events_cohort" -> eventsCohortSql,

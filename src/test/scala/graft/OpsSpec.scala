@@ -1127,7 +1127,8 @@ class OpsSpec extends SparkTestBase {
     // the streaming queries' frames are memory-sink/parquet scans (no
     // joins) that cost a full streaming replay to build — skip the run,
     // not the rule.
-    val skip = Set("q_events_streamed", "q_events_stream_join", "q_events_incr_rollup")
+    val skip = Set("q_events_streamed", "q_events_stream_join", "q_events_incr_rollup",
+      "q_events_stream_topk")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip(name)) {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
