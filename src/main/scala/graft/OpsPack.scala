@@ -606,6 +606,31 @@ object OpsPack {
       s.read.parquet(s"$dir/part.parquet").select("p_name"), "p_name", FuzzyK)
       .orderBy("name1", "name2")
 
+  /** Wider grid for the join-size sketch: the inner-product estimator's
+    * expected collision excess is |A|·|B|/width, so width scales with the
+    * row count it forecasts for (64 Ki buckets ⇒ ~3% excess at sf0.01). */
+  val JoinSizeWidth = 65536
+
+  /** Join-cardinality-forecast driver query
+    * ([[graft.operators.CountMin.joinSizeEstimate]]): predict the
+    * l_partkey self-join size (the cost of any blocking/linkage pass on
+    * that key) from two CM grids, next to the exact `Σ n²` ground truth.
+    * The two single-row frames combine via tagged union + global max —
+    * never a constant-key join. */
+  def sketchJoinSize(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val keys = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey").cast("string").as("k"))
+    val grid = CountMin.sketch(keys, "k", CountMinDepth, JoinSizeWidth)
+    val est = CountMin.joinSizeEstimate(grid, grid)
+    val exact = keys.groupBy("k").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).as("exact_size"))
+    est.withColumn("exact_size", lit(null).cast("long"))
+      .unionByName(exact.select(lit(null).cast("long").as("est"),
+        col("exact_size")))
+      .agg(max("est").as("est"), max("exact_size").as("exact_size"))
+  }
+
   /** Merge steps for the BPE-trainer driver query. */
   val BpeSteps = 8
 
@@ -1819,6 +1844,7 @@ object OpsPack {
     "q_sketch_countmin" -> (sketchCountMin _),
     "q_sketch_distinct" -> (sketchDistinct _),
     "q_fuzzy_join" -> (fuzzyJoinNames _),
+    "q_sketch_join_size" -> (sketchJoinSize _),
     "q_text_lang_agreement" -> (langAgreement _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_tokenize" -> (bpeTokenize _),
@@ -2525,6 +2551,25 @@ object OpsPack {
        |  CAST(CAST('$c'::DOUBLE / CAST(sum_pow AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS est,
        |  exact_distinct
        |FROM p, e""".stripMargin
+  }
+
+  /** Join-size oracle: the same grid over l_partkey strings, per-row
+    * self inner product, min across rows — and the exact Σn². */
+  private val joinSizeSql: String = {
+    val (d, w) = (CountMinDepth, JoinSizeWidth)
+    val is = (0 until d).mkString("[", ",", "]")
+    s"""WITH keys AS (SELECT CAST(l_partkey AS VARCHAR) k FROM lineitem),
+       |rows_ AS (SELECT unnest($is) AS r),
+       |h AS (SELECT ('0x' || substr(md5(k), 1, 12))::BIGINT AS a,
+       |             ('0x' || substr(md5(k), 17, 12))::BIGINT AS b FROM keys),
+       |cells AS (SELECT r, (a + (r + 1) * b) % $w AS bkt,
+       |                 CAST(count(*) AS BIGINT) cnt
+       |          FROM h CROSS JOIN rows_ GROUP BY 1, 2),
+       |ip AS (SELECT r, sum(cnt * cnt) AS ipr FROM cells GROUP BY 1),
+       |e1 AS (SELECT CAST(min(ipr) AS BIGINT) est FROM ip),
+       |e2 AS (SELECT CAST(sum(n * n) AS BIGINT) exact_size
+       |       FROM (SELECT count(*) n FROM keys GROUP BY k))
+       |SELECT est, exact_size FROM e1, e2""".stripMargin
   }
 
   /** Streaming top-k oracle: the batch mirror of the Space-Saving
@@ -3605,6 +3650,7 @@ object OpsPack {
     "q_sketch_countmin" -> countMinSql,
     "q_sketch_distinct" -> distinctSketchSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
+    "q_sketch_join_size" -> joinSizeSql,
     "q_text_lang_agreement" -> langAgreementSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_tokenize" -> bpeTokenizeSql,

@@ -62,6 +62,23 @@ object CountMin {
       .groupBy("row", "bucket")
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Join-cardinality estimate from two grids built with the same shape
+    * and family (Cormode & Muthukrishnan §4.2): per row, the inner product
+    * `Σ_bucket cntA·cntB` never undercounts `|A ⋈ B| = Σ_key nA·nB`
+    * (collisions only add cross terms, expected excess ≤ |A|·|B|/width);
+    * the min over `depth` rows is the estimate. Grids are `depth × width`
+    * rows — the join-size forecast costs two sketch scans and a
+    * broadcast-sized join of the grids, never touching the join itself:
+    * the shape a planner can afford BEFORE committing to a shuffle. All
+    * integer, so the estimate is engine-exact and oracle-checkable. */
+  def joinSizeEstimate(gridA: DataFrame, gridB: DataFrame): DataFrame =
+    gridA.select(col("row"), col("bucket"), col("cnt").as("cnt_a"))
+      .join(gridB.select(col("row"), col("bucket"), col("cnt").as("cnt_b")),
+        Seq("row", "bucket")) // absent cells contribute zero products
+      .groupBy("row")
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
+      .agg(min(col("ip")).as("est"))
+
   /** Point estimates for a key set: min over the key's `depth` cells.
     * The grid broadcasts (≤ depth × width rows); keys never shuffle. A key
     * whose cell is absent from the grid was never observed (cnt 0). */

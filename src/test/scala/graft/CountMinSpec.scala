@@ -47,6 +47,22 @@ class CountMinSpec extends SparkTestBase {
     assert(merged.sameElements(whole))
   }
 
+  test("join-size estimate never undercounts and is exact without collisions") {
+    // A: key i repeated i times (i=1..5); B: each key once plus strangers
+    val a = (1 to 5).flatMap(i => Seq.fill(i)(s"k$i")).toDF("token")
+    val b = ((1 to 5).map(i => s"k$i") ++ Seq("x", "y")).toDF("token")
+    val w = 4096 // 7 keys in 4096 buckets: collision-free whp
+    val ga = CountMin.sketch(a, "token", depth, w)
+    val gb = CountMin.sketch(b, "token", depth, w)
+    val est = CountMin.joinSizeEstimate(ga, gb).collect().head.getAs[Long]("est")
+    val truth = (1 to 5).map(_.toLong).sum // each key i contributes i*1
+    assert(est >= truth)
+    assert(est == truth)
+    // self-join size of A: sum i^2
+    val self = CountMin.joinSizeEstimate(ga, ga).collect().head.getAs[Long]("est")
+    assert(self == (1 to 5).map(i => i.toLong * i).sum)
+  }
+
   test("estimate plan broadcasts the grid — no shuffle on the key side") {
     val tokens = (1 to 1000).map(i => s"t${i % 13}").toDF("token")
     val grid = CountMin.sketch(tokens, "token", depth, width)
