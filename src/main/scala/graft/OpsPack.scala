@@ -1738,6 +1738,46 @@ object OpsPack {
       .orderBy("doc_id")
   }
 
+  /** Incremental join-view maintenance driver query
+    * ([[graft.operators.Cdc.maintainJoinView]]): a materialized
+    * orders⋈lineitem view under deterministic CDC deltas on BOTH bases
+    * (order-status updates + new orders on one side; partkey updates +
+    * new lines on the other), maintained via affected-key recompute. The
+    * oracle computes the view DIRECTLY from the new snapshots — the
+    * incremental plan must reproduce the full rejoin bit-for-bit.
+    * Lineitem is restricted to its unique-(orderkey, linenumber) subset
+    * (the synthetic table carries duplicate keys; CDC needs keyed rows —
+    * same rule as the compare family's uniqueKeyed base). */
+  def cdcJoinView(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Cdc
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"), col("l_linenumber"))
+    val liU = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_returnflag"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .where(col("__n") === 1).drop("__n")
+    val a0 = orders.where(col("o_orderkey") % 7 =!= 2)
+    val a1 = orders.withColumn("o_orderstatus",
+      when(col("o_orderkey") % 5 === 1, concat(col("o_orderstatus"), lit("*")))
+        .otherwise(col("o_orderstatus")))
+    val b0 = liU.where((col("l_orderkey") * 31 + col("l_linenumber")) % 11 =!= 4)
+    val b1 = liU.withColumn("l_partkey",
+      when(col("l_linenumber") % 4 === 2, col("l_partkey") + 1)
+        .otherwise(col("l_partkey")))
+    def proj(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+          col("o_orderstatus"), col("l_partkey"), col("l_returnflag"))
+    val view0 = proj(a0, b0)
+    val dA = Cdc.changes(a0, a1, Seq("o_orderkey"))
+    val dB = Cdc.changes(b0, b1, Seq("l_orderkey", "l_linenumber"))
+    Cdc.maintainJoinView(view0, a1, b1, dA, dB, "o_orderkey", "l_orderkey")(proj)
+      .orderBy("o_orderkey", "l_linenumber", "l_partkey")
+  }
+
   private val orcStageCache = scala.collection.concurrent.TrieMap[String, String]()
 
   /** ORC source driver query: the documents table staged once as ORC
@@ -1875,6 +1915,7 @@ object OpsPack {
     "q_profile_drift" -> (profileDrift _),
     "q_profile_chi2" -> (profileChi2 _),
     "q_cdc_apply" -> (cdcApply _),
+    "q_cdc_join_view" -> (cdcJoinView _),
     "q_source_orc" -> (sourceOrc _),
     "q_embedding_cosine_pairs" -> (cosinePairs _),
     "q_embedding_cosine_lsh" -> (cosinePairsLsh _),
@@ -2688,6 +2729,25 @@ object OpsPack {
        |FROM h ORDER BY doc_id""".stripMargin
 
   /** CDC-apply oracle: the roundtrip target B constructed directly. */
+  /** Join-view oracle: the DIRECT rejoin of the mutated snapshots — the
+    * incremental maintenance plan must reproduce it exactly. */
+  private val cdcJoinViewSql: String =
+    s"""WITH u AS (SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag
+       |           FROM lineitem
+       |           QUALIFY count(*) OVER (PARTITION BY l_orderkey, l_linenumber) = 1),
+       |a1 AS (SELECT o_orderkey, o_custkey,
+       |         CASE WHEN o_orderkey % 5 = 1 THEN o_orderstatus || '*'
+       |              ELSE o_orderstatus END AS o_orderstatus
+       |       FROM orders),
+       |b1 AS (SELECT l_orderkey, l_linenumber,
+       |         CASE WHEN l_linenumber % 4 = 2 THEN l_partkey + 1
+       |              ELSE l_partkey END AS l_partkey,
+       |         l_returnflag FROM u)
+       |SELECT o_orderkey, l_linenumber, o_custkey, o_orderstatus,
+       |       l_partkey, l_returnflag
+       |FROM a1 JOIN b1 ON o_orderkey = l_orderkey
+       |ORDER BY 1, 2, 5""".stripMargin
+
   private val cdcApplySql: String =
     """SELECT doc_id, source, n_chars + doc_id % 5 AS n_chars
       |FROM documents WHERE doc_id % 13 <> 5 ORDER BY doc_id""".stripMargin
@@ -3664,6 +3724,7 @@ object OpsPack {
     "q_profile_histogram" -> profileHistogramSql,
     "q_profile_chi2" -> profileChi2Sql,
     "q_cdc_apply" -> cdcApplySql,
+    "q_cdc_join_view" -> cdcJoinViewSql,
     "q_source_orc" -> sourceOrcSql,
     "q_profile_corr" -> profileCorrSql,
     "q_profile_outliers" -> profileOutliersSql,

@@ -125,4 +125,45 @@ object Cdc {
         changeset.where(col("change_type").isin("insert", "update"))
           .select(outCols: _*))
   }
+
+  /** Incrementally maintain a materialized JOIN view under CDC deltas on
+    * both base tables — the "delete-and-reinsert by affected key" strategy
+    * production incremental pipelines use, which stays correct under
+    * inserts, updates AND deletes (unlike the textbook
+    * `ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB` algebra, which only covers monotone inserts):
+    *
+    *   1. the affected-key set K = join keys touched by either changeset;
+    *   2. view rows whose key ∉ K pass through untouched (one anti join
+    *      against the broadcast key set — the full view is scanned once,
+    *      never rejoined);
+    *   3. the view is recomputed ONLY for K, from delta-restricted slices
+    *      of the new base snapshots (two broadcast semi joins + the
+    *      caller's own join projection on those slices).
+    *
+    * Cost is O(view + |K|-slice), independent of the base tables' total
+    * size — the property that makes a 100 TB materialized view affordable
+    * to keep fresh when deltas are small. The invariant
+    * `maintainJoinView(...) ≡ project(a1, b1)` is exactly how
+    * q_cdc_join_view is oracle-checked: the incremental plan must
+    * reproduce the direct rejoin bit-for-bit.
+    *
+    * @param view0   the materialized `project(a0, b0)`, containing `aKey`
+    * @param dA, dB  [[changes]] frames for a0→a1 / b0→b1 (any shape with
+    *                the respective join-key column — only keys are read)
+    * @param project builds the view from (a-side, b-side) — applied here
+    *                only to the K-restricted slices
+    */
+  def maintainJoinView(
+      view0: DataFrame, a1: DataFrame, b1: DataFrame,
+      dA: DataFrame, dB: DataFrame, aKey: String, bKey: String)(
+      project: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val touched = dA.select(col(aKey))
+      .unionByName(dB.select(col(bKey).as(aKey)))
+      .distinct()
+    val untouched = view0.join(broadcast(touched), Seq(aKey), "left_anti")
+    val aSlice = a1.join(broadcast(touched), Seq(aKey), "left_semi")
+    val bSlice = b1.join(
+      broadcast(touched.select(col(aKey).as(bKey))), Seq(bKey), "left_semi")
+    untouched.unionByName(project(aSlice, bSlice))
+  }
 }

@@ -74,6 +74,45 @@ class CdcSpec extends SparkTestBase {
     assert(del.isNullAt(2) && del.isNullAt(3))
   }
 
+  test("maintainJoinView == direct rejoin under inserts, updates AND deletes") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // dim (a): key, attr; fact (b): key, line, val — 1:many
+    val a0 = Seq((1L, "p"), (2L, "q"), (3L, "r"), (4L, "s")).toDF("k", "attr")
+    val a1 = Seq((1L, "p"), (2L, "Q"), (4L, "s"), (5L, "t")).toDF("k", "attr")
+    // a: 2 updated, 3 DELETED (its view rows must vanish), 5 inserted
+    val b0 = Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 20L), (3L, 1, 30L), (4L, 1, 40L))
+      .toDF("k2", "line", "v")
+    val b1 = Seq((1L, 1, 10L), (2L, 1, 20L), (4L, 1, 41L), (5L, 1, 50L), (5L, 2, 51L))
+      .toDF("k2", "line", "v") // (1,2) deleted, (4,1) updated, 5's lines inserted
+    def proj(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("k") === col("k2")).select(col("k"), col("line"), col("attr"), col("v"))
+    val dA = Cdc.changes(a0, a1, Seq("k"))
+    val dB = Cdc.changes(b0, b1, Seq("k2", "line"))
+    val incr = Cdc.maintainJoinView(proj(a0, b0), a1, b1, dA, dB, "k", "k2")(proj)
+      .as[(Long, Int, String, Long)].collect().toSet
+    val direct = proj(a1, b1).as[(Long, Int, String, Long)].collect().toSet
+    assert(incr == direct)
+    // deleted dim key 3 left no residue; untouched key 1's surviving line passed through
+    assert(!incr.exists(_._1 == 3L) && incr.contains((1L, 1, "p", 10L)))
+  }
+
+  test("maintainJoinView plan: view passes through one broadcast anti join, no rejoin") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val a = (1L to 100L).map(i => (i, s"a$i")).toDF("k", "attr")
+    val b = (1L to 100L).flatMap(i => Seq((i, 1, i), (i, 2, i + 1))).toDF("k2", "line", "v")
+    def proj(x: DataFrame, y: DataFrame): DataFrame =
+      x.join(y, col("k") === col("k2")).select(col("k"), col("line"), col("attr"), col("v"))
+    val dA = Cdc.changes(a, a.where(col("k") =!= 7L), Seq("k"))
+    val plan = Cdc.maintainJoinView(proj(a, b), a, b, dA,
+      Cdc.changes(b, b, Seq("k2", "line")), "k", "k2")(proj)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // the untouched-view branch and the two slices all key off broadcasts
+    assert(plan.contains("BroadcastExchange"))
+  }
+
   test("single full-outer join plan — no extra exchanges beyond the join") {
     val plan = Cdc.snapshotDiff(oldDf, newDf, Seq("id"))
       .queryExecution.executedPlan.toString
