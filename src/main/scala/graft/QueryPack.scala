@@ -47,7 +47,7 @@ object ComparePack {
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
   private def uniqueKeyed(s: SparkSession, dir: String): DataFrame =
-    uniqueKeyedCache.getOrElseUpdate((s, dir), {
+    Memo.memo(uniqueKeyedCache, (s, dir), {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(keys2.map(col): _*)
       li(s, dir)
         .withColumn("__graft_n", count(lit(1)).over(w))
@@ -107,7 +107,7 @@ object ComparePack {
 
   def compare(s: SparkSession, dir: String, absTol: Double = 0.0,
       keys: Seq[String] = keys2, raw: Boolean = false, relTol: Double = 0.0): SparkCompare =
-    compareCache.getOrElseUpdate(
+    Memo.memo(compareCache, 
       (s, dir, absTol, relTol, keys, raw), {
         if (absTol != 0.0 || relTol != 0.0)
           // tolerance only changes match expressions — derive from the base
@@ -155,7 +155,7 @@ object ComparePack {
     * the join does not — keys are numeric, so ignoreSpaces never touches
     * it). */
   private def compareAC(s: SparkSession, dir: String): SparkCompare =
-    miscCache.getOrElseUpdate((s, dir, "ac_base"),
+    Memo.memo(miscCache, (s, dir, "ac_base"),
       new SparkCompare(s, frameA(s, dir), frameC(s, dir),
         CompareConfig(joinColumns = keys2,
           assumeKeysUnique = Some(true), assumeKeysNullFree = Some(true))))
@@ -164,13 +164,13 @@ object ComparePack {
     * columns match by length (case flips match, padding mismatches),
     * everything else falls through to the default pipeline (§2.10). */
   def compareCustom(s: SparkSession, dir: String): SparkCompare =
-    miscCache.getOrElseUpdate((s, dir, "custom"),
+    Memo.memo(miscCache, (s, dir, "custom"),
       compareAC(s, dir).withMatchSettings(customComparators = Seq(LengthComparator)))
 
   /** Compare frameA against its string-perturbed twin with
     * ignore_spaces + ignore_case active (string normalization path). */
   def compareIgnore(s: SparkSession, dir: String): SparkCompare =
-    miscCache.getOrElseUpdate((s, dir, "ignore"),
+    Memo.memo(miscCache, (s, dir, "ignore"),
       compareAC(s, dir).withMatchSettings(ignoreSpaces = true, ignoreCase = true))
 
   /** CSV-source compare: a fixed CSV pair written under target/, loaded via

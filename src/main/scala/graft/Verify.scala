@@ -2,7 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Queries run CONCURRENTLY on a small thread pool (Spark schedules
+  * concurrent jobs from one session across the local[32] cores). Round-4
+  * evidence for why: the driver's verify run has a wall-clock budget, and a
+  * serial sweep of 105 queries finished only 57 of them inside it
+  * (CORRECTNESS_r04 covered a hash-ordered prefix of the query map — a time
+  * cutoff, not failures; the same sweep completes locally with 0 failures).
+  * Overlapping queries hides each one's driver-side planning latency behind
+  * the others' executor work, and cuts the sweep ~3-4x. All side-effecting
+  * layout caches are double-check-locked ([[Memo]]); persisted index
+  * layouts are built once, serially, before the pool starts.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: sfDir outDir [comma-separated query names — local iteration only]
@@ -21,18 +33,61 @@ object Verify {
       // observability costs with the UI off
       .config("spark.sql.maxPlanStringLength", "65536")
       .config("spark.sql.dataFrameQueryContext.enabled", "false")
+      // concurrent queries: FAIR keeps one long stage from starving the
+      // short queries queued behind it in FIFO order
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
+          else "target/spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Dump the oracle SQL FIRST: if the harness kills a long verify run on
+    // a wall-clock budget, the queries that DID finish are still checkable
+    // (round 4 lost 48 of 105 queries to exactly this — the sweep was cut
+    // off mid-run, and everything not yet dumped fell out of the gate).
+    writeOracleJson(outDir, only)
+    val t0 = System.nanoTime()
+    // Build persisted index/layout directories once before fanning out, so
+    // no two pooled queries ever race on one layout build (the memo locks
+    // would serialize them anyway; doing it here keeps the timing honest
+    // and the failure mode obvious).
+    try OpsPack.prepareIndexes(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] prepareIndexes failed: ${e.getMessage}")
+    }
+    val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      .sortBy(_._1)
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val futures = selected.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val q0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            System.err.println(
+              f"[verify] ${done.incrementAndGet()}%3d/${selected.size} $name%-28s ${(System.nanoTime() - q0) / 1e9}%7.2fs")
+          } catch { case e: Throwable =>
+            done.incrementAndGet()
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
         }
-      }
+      })
+    }
+    pool.shutdown()
+    futures.foreach(f => try f.get() catch { case _: Throwable => () })
+    System.err.println(
+      f"[verify] all ${selected.size} queries in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    graft.operators.Dedup.releaseCaches()
+    spark.stop()
+  }
+
+  private def writeOracleJson(outDir: String, only: Set[String]): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -49,7 +104,5 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    graft.operators.Dedup.releaseCaches()
-    spark.stop()
   }
 }
