@@ -198,7 +198,7 @@ object OpsPack {
     new java.io.File(p, "_SUCCESS").exists
 
   def annLshBucketed(s: SparkSession, dir: String): DataFrame = {
-    val path = lshLayoutCache.getOrElseUpdate(dir, {
+    val path = Memo.memo(lshLayoutCache, dir, {
       val p = "target/graft_lsh_bucketed_" +
         layoutStamp(dir, "embeddings", s"bits=$LshBucketBits|v1")
       if (!layoutComplete(p))
@@ -224,7 +224,7 @@ object OpsPack {
     scala.collection.concurrent.TrieMap[String, (String, Array[Array[Double]])]()
 
   def annIvfPersisted(s: SparkSession, dir: String): DataFrame = {
-    val (path, cents) = ivfLayoutCache.getOrElseUpdate(dir, {
+    val (path, cents) = Memo.memo(ivfLayoutCache, dir, {
       val p = "target/graft_ivf_clustered_" +
         layoutStamp(dir, "embeddings", "k=4|iters=2|train=0.25|v1")
       val centFile = java.nio.file.Paths.get(p, "_graft_centroids.tsv")
@@ -269,7 +269,7 @@ object OpsPack {
     * rebuild, don't trust `_SUCCESS`, which every append rewrites). */
   def annIvfStreamed(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val (path, cents) = ivfStreamedCache.getOrElseUpdate(dir, {
+    val (path, cents) = Memo.memo(ivfStreamedCache, dir, {
       val p = "target/graft_ivf_streamed_" +
         layoutStamp(dir, "embeddings", "k=4|iters=2|train=0.25|stream2|v1")
       val done = Paths.get(p, "_graft_ingest_done")
@@ -799,7 +799,7 @@ object OpsPack {
   private def stageStreamDir(s: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
-    stagedStreamDirs.getOrElseUpdate(dir, {
+    Memo.memo(stagedStreamDirs, dir, {
       val root = Paths.get(s"target/graft_stream_driver_${md5Hex(dir)}")
       deleteRecursively(root) // stale single-file layout from earlier rounds
       Files.createDirectories(root)
@@ -1041,7 +1041,7 @@ object OpsPack {
     val d = docs(s, dir)
     val corpus = d.where(col("doc_id") % 50 =!= 0)
     val batch = d.where(col("doc_id") % 50 === 0)
-    val path = mhIndexCache.getOrElseUpdate(dir, {
+    val path = Memo.memo(mhIndexCache, dir, {
       val p = "target/graft_mh_index_" +
         layoutStamp(dir, "documents", "nh=64|b=16|sh=3|pfx=8|v2")
       if (!layoutComplete(p) ||
@@ -1231,7 +1231,7 @@ object OpsPack {
 
   def layoutZOrder(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
-    val path = zorderLayoutCache.getOrElseUpdate(dir, {
+    val path = Memo.memo(zorderLayoutCache, dir, {
       val p = "target/graft_zorder_" +
         layoutStamp(dir, "lineitem", "bits=8|dims=part,supp|files=32|v1")
       if (!layoutComplete(p))
@@ -1468,7 +1468,7 @@ object OpsPack {
   private val invIndexCache = scala.collection.concurrent.TrieMap[String, String]()
 
   def textBm25Indexed(s: SparkSession, dir: String): DataFrame = {
-    val path = invIndexCache.getOrElseUpdate(dir, {
+    val path = Memo.memo(invIndexCache, dir, {
       val p = "target/graft_inverted_index_" +
         layoutStamp(dir, "documents", s"buckets=$InvIndexBuckets|v1")
       if (!layoutComplete(p))
@@ -1787,7 +1787,7 @@ object OpsPack {
     * roundtrip proof that VALUES survive the format, not just counts. The
     * oracle runs the same arithmetic on the parquet table. */
   def sourceOrc(s: SparkSession, dir: String): DataFrame = {
-    val path = orcStageCache.getOrElseUpdate(dir, {
+    val path = Memo.memo(orcStageCache, dir, {
       val p = "target/graft_orc_documents_" + layoutStamp(dir, "documents", "orc|v1")
       if (!layoutComplete(p))
         docs(s, dir).write.mode("overwrite").orc(p)
@@ -1830,7 +1830,94 @@ object OpsPack {
       .toDF("report_chars", "html_chars", "json_chars", "report_lines")
   }
 
+  /** Data-quality constraint suite driver query: the deequ-style pre-ingest
+    * gate over lineitem ([[graft.operators.Quality]]) — every row-level
+    * check fused into ONE aggregate scan, key-uniqueness as one groupBy,
+    * referential integrity as anti-join counts against orders/part. All
+    * metrics exact BIGINTs. */
+  def qualityChecks(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality._
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    val part = s.read.parquet(s"$dir/part.parquet")
+    validate(li, Seq(
+      notNull("l_orderkey"),
+      notNull("l_shipdate"),
+      inRange("l_quantity", lit(1.0), lit(50.0)),
+      inRange("l_discount", lit(0.0), lit(0.08)),
+      inSet("l_returnflag", Seq("A", "N", "R")),
+      inSet("l_linestatus", Seq("O", "F")),
+      unique("l_orderkey", "l_linenumber"),
+      refIntegrity("ref(l_orderkey->orders)", Seq("l_orderkey"),
+        orders, Seq("o_orderkey")),
+      refIntegrity("ref(l_partkey->part)", Seq("l_partkey"),
+        part, Seq("p_partkey"))))
+      .orderBy("check")
+  }
+
+  /** Triangle-count driver query: parts co-occurring in an order form an
+    * undirected graph; count each part's triangles with the degree-oriented
+    * wedge join ([[graft.operators.Graph.triangleCounts]] — O(m^1.5) wedge
+    * bound, skew-proof). The oracle mirrors with the naive id-ordered
+    * 3-way join, which counts identically because per-node triangle counts
+    * are orientation-independent. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val lp = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = lp.as("x").join(lp.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+    graft.operators.Graph.triangleCounts(edges)
+      .orderBy("node")
+  }
+
+  /** CUBE rollup driver query: all 2³ grouping combinations of
+    * (returnflag, linestatus, ship_year) in one pass — Spark's expand-based
+    * CUBE computes every grouping set from a single scan. Sentinel
+    * coalesces stand in for the grouping-null markers so the row set is
+    * hash-stable (grouping_id bit orders are engine-specific; sentinels are
+    * not). Decimal-carried revenue, surfaced as double. */
+  def salesCube(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        col("l_extendedprice").cast("decimal(18,6)").as("price"))
+      .cube(col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("price")).cast("double").as("revenue"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+        coalesce(col("ship_year"), lit(-1L)).as("ship_year"),
+        col("n_items"), col("revenue"))
+      .orderBy("l_returnflag", "l_linestatus", "ship_year")
+
+  /** TF-IDF keyword extraction driver query: each document's top-3 terms by
+    * the exact scaled rational tf·10⁹ DIV df
+    * ([[graft.operators.TextOps.tfidfKeywords]] — no logs, no windows). */
+  def docsKeywords(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfKeywords(docs(s, dir), "text", "doc_id", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "rank")
+
+  /** Trailing-window anomaly driver query: events whose value deviates from
+    * the user's previous-10-events mean by more than 300% of it, tested
+    * cross-multiplied in exact BIGINT micro-units
+    * ([[graft.operators.TimeSeries.anomalyFlags]]). */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.normalizeEventTs(
+      s.read.parquet(s"$dir/events.parquet"))
+    graft.operators.TimeSeries.anomalyFlags(
+      ev, keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      valueCol = "value", lookback = 10, thresholdPct = 300L, minPrior = 5)
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_checks" -> (qualityChecks _),
+    "q_graph_triangles" -> (graphTriangles _),
+    "q_sales_cube" -> (salesCube _),
+    "q_docs_keywords" -> (docsKeywords _),
+    "q_events_anomaly" -> (eventsAnomaly _),
     "q_events_windowed" -> (eventsWindowed _),
     "q_events_asof" -> (eventsAsof _),
     "q_events_sessions" -> (eventsSessions _),
@@ -3670,7 +3757,80 @@ object OpsPack {
        |ORDER BY score DESC, id LIMIT 25""".stripMargin
   }
 
+  /** Quality-suite oracle: each constraint as its own exact count, unioned.
+    * NULL predicate results count as violations (COALESCE to 1), mirroring
+    * the engine's unknown-is-not-a-pass rule. */
+  private val qualityChecksSql: String =
+    """SELECT * FROM (
+      |SELECT 'row_count' AS "check", CAST(count(*) AS BIGINT) violations FROM lineitem
+      |UNION ALL SELECT 'not_null(l_orderkey)', CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'not_null(l_shipdate)', CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'in_range(l_quantity)', CAST(sum(COALESCE(CAST(l_quantity < 1.0 OR l_quantity > 50.0 AS INT), 1)) AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'in_range(l_discount)', CAST(sum(COALESCE(CAST(l_discount < 0.0 OR l_discount > 0.08 AS INT), 1)) AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'in_set(l_returnflag)', CAST(sum(COALESCE(CAST(l_returnflag NOT IN ('A','N','R') AS INT), 1)) AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'in_set(l_linestatus)', CAST(sum(COALESCE(CAST(l_linestatus NOT IN ('O','F') AS INT), 1)) AS BIGINT) FROM lineitem
+      |UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', COALESCE((SELECT CAST(sum(n) AS BIGINT) FROM (SELECT count(*) n FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)), 0)
+      |UNION ALL SELECT 'ref(l_orderkey->orders)', (SELECT CAST(count(*) AS BIGINT) FROM lineitem l WHERE l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |UNION ALL SELECT 'ref(l_partkey->part)', (SELECT CAST(count(*) AS BIGINT) FROM lineitem l WHERE l_partkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      |) ORDER BY "check"""".stripMargin
+
+  /** Triangle oracle: naive id-ordered 3-way join over the same
+    * co-occurrence edge set — orientation-free, counts identical. */
+  private val graphTrianglesSql: String =
+    """WITH lp AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+      |e AS (SELECT DISTINCT x.p AS u, y.p AS v FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+      |t AS (SELECT e1.u a, e1.v b, e2.v c
+      |      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |n AS (SELECT unnest([a, b, c]) node FROM t)
+      |SELECT node, CAST(count(*) AS BIGINT) n_triangles FROM n
+      |GROUP BY node ORDER BY node""".stripMargin
+
+  private val salesCubeSql: String =
+    """SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+      |  COALESCE(l_linestatus, '<all>') AS l_linestatus,
+      |  COALESCE(CAST(year(l_shipdate) AS BIGINT), -1) AS ship_year,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus, year(l_shipdate))
+      |ORDER BY l_returnflag, l_linestatus, ship_year""".stripMargin
+
+  /** Keyword oracle: same whitespace tokenization as the vocabulary oracle,
+    * same scaled-rational score, row_number for the per-doc top-3. */
+  private val docsKeywordsSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) token FROM documents),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) tf FROM toks GROUP BY 1, 2),
+      |dfq AS (SELECT token, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+      |scored AS (SELECT doc_id, token, tf * 1000000000 // df AS score_scaled,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY tf * 1000000000 // df DESC, token) rnk
+      |  FROM tf JOIN dfq USING (token))
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", token, score_scaled
+      |FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  /** Anomaly oracle: identical ROWS-framed window and cross-multiplied
+    * BIGINT deviation test over exact micro-unit values. */
+  private val eventsAnomalySql: String =
+    """WITH base AS (SELECT user_id, event_id, epoch_us(ts) ts_us,
+      |  CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) value_us FROM events),
+      |w AS (SELECT user_id, event_id, ts_us, value_us,
+      |  CAST(count(*) OVER tw AS BIGINT) trailing_n,
+      |  COALESCE(CAST(sum(value_us) OVER tw AS BIGINT), 0) trailing_sum_us
+      |  FROM base
+      |  WINDOW tw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id, ts_us, value_us, trailing_n, trailing_sum_us
+      |FROM w
+      |WHERE trailing_n >= 5
+      |  AND abs(trailing_n * value_us - trailing_sum_us) * 100 > 300 * abs(trailing_sum_us)
+      |ORDER BY event_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_quality_checks" -> qualityChecksSql,
+    "q_graph_triangles" -> graphTrianglesSql,
+    "q_sales_cube" -> salesCubeSql,
+    "q_docs_keywords" -> docsKeywordsSql,
+    "q_events_anomaly" -> eventsAnomalySql,
     "q_events_windowed" -> eventsWindowedSql,
     "q_events_incr_rollup" -> eventsWindowedSql,
     "q_events_asof" -> eventsAsofSql,

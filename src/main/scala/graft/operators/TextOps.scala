@@ -224,6 +224,37 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Per-document top-`k` TF-IDF keywords. Returns
+    * (id, rank, token, score_scaled), rank 1-based by (score desc, token).
+    *
+    * The score is the EXACT scaled integer tf·10⁹ DIV df — monotone-
+    * equivalent to tf·(N/df) for ranking within a document (N is constant),
+    * with no logarithm: libm log() differs across engines in the last ulp,
+    * so a log-idf ranking cannot be hash-checked; the rational form can.
+    *
+    * Scale shape: explode → (doc, term) tf aggregation with map-side
+    * combine; document frequencies are a second two-level aggregation over
+    * the tf table (already one row per (doc, term) — never the raw
+    * postings); the per-doc top-k folds each document's bounded term set
+    * (≤ its token count) through sort_array+slice inside one aggregation,
+    * so only k rows per document survive. No Window node anywhere. */
+  def tfidfKeywords(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = Parallelize.spread(df).select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("token"))
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "token")
+      .select(col("id"), col("token"),
+        expr("tf * CAST(1000000000 AS BIGINT) DIV df").as("score_scaled"))
+    scored.groupBy("id")
+      .agg(slice(sort_array(collect_list(
+          struct((-col("score_scaled")).as("neg"), col("token")))), 1, k).as("top"))
+      .select(col("id"), posexplode(col("top")).as(Seq("r", "e")))
+      .select(col("id"), (col("r") + 1).cast("long").as("rank"),
+        col("e.token").as("token"), (-col("e.neg")).as("score_scaled"))
+  }
+
   /** Per-document in-vocabulary statistics against the corpus's own top-K
     * vocabulary — the classic cheap LM-quality proxy (documents full of
     * out-of-vocabulary tokens are markup, code, or noise). Returns

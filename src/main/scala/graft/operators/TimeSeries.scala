@@ -51,4 +51,47 @@ object TimeSeries {
         (micros - lag(micros, 1).over(ordered)).as("gap_us"))
       .drop(usCol)
   }
+
+  /** Trailing-window anomaly detection with EXACT integer arithmetic: flag
+    * every event whose value deviates from the mean of the key's previous
+    * `lookback` events by more than `thresholdPct` percent of that mean.
+    *
+    * The test |v − s/n| > (p/100)·|s/n| is evaluated cross-multiplied as
+    * 100·|n·v − s| > p·|s| — no division ever happens, so the flag set is
+    * a pure integer predicate, bit-identical in any engine (the float
+    * z-score formulation differs in ulps across engines and is the reason
+    * most anomaly backfills can't be replayed exactly). Values ride as
+    * exact micro-units (decimal(18,6) unscaled into BIGINT).
+    *
+    * Scale shape: one hash shuffle on the key, a ROWS-framed window that
+    * slides incrementally over each partition's time sort — the same
+    * single-exchange plan as [[trailingFeatures]]. Returns only the
+    * flagged events: (keyCol, tieCol, ts_us, value_us, trailing_n,
+    * trailing_sum_us). */
+  def anomalyFlags(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      lookback: Int,
+      thresholdPct: Long,
+      minPrior: Int): DataFrame = {
+    require(lookback >= minPrior && minPrior >= 1,
+      s"need lookback >= minPrior >= 1, got $lookback/$minPrior")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts_us").asc, col(tieCol).asc)
+      .rowsBetween(-lookback.toLong, -1L)
+    val vUs = (col(valueCol).cast("decimal(18,6)") * lit(1000000L))
+      .cast("long")
+    events
+      .select(col(keyCol), col(tieCol),
+        unix_micros(col(tsCol)).as("ts_us"), vUs.as("value_us"))
+      .select(col("*"),
+        count(lit(1)).over(w).as("trailing_n"),
+        coalesce(sum(col("value_us")).over(w), lit(0L)).as("trailing_sum_us"))
+      .where(col("trailing_n") >= minPrior &&
+        abs(col("trailing_n") * col("value_us") - col("trailing_sum_us")) * 100L >
+          lit(thresholdPct) * abs(col("trailing_sum_us")))
+  }
 }

@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.{Graph, Quality, TextOps, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Round-5 operator additions: constraint suite, triangle counting,
+  * TF-IDF keywords, trailing-window anomaly flags. */
+class QualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- Quality.validate ----------------------------------------------------
+
+  test("quality suite: fused row checks, uniqueness, referential integrity") {
+    import Quality._
+    val df = Seq(
+      (1L, Some(10.0), "A"),
+      (2L, Some(99.0), "A"),  // out of range
+      (2L, None, "X"),        // dup key + null value (range check: violation) + bad domain
+      (4L, Some(20.0), "R"))
+      .toDF("id", "v", "flag")
+    val ref = Seq(1L, 2L, 3L).toDF("rid")
+    val got = validate(df, Seq(
+      notNull("v"),
+      inRange("v", lit(0.0), lit(50.0)),
+      inSet("flag", Seq("A", "N", "R")),
+      unique("id"),
+      refIntegrity("ref(id)", Seq("id"), ref, Seq("rid"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("row_count") == 4L)
+    assert(got("not_null(v)") == 1L)
+    assert(got("in_range(v)") == 2L)  // 99.0 out of range + NULL counts
+    assert(got("in_set(flag)") == 1L)
+    assert(got("unique(id)") == 2L)   // both rows of the duplicated key
+    assert(got("ref(id)") == 1L)      // id=4 unreferenced
+  }
+
+  test("quality suite: clean table reports zero violations everywhere") {
+    import Quality._
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    val got = validate(df, Seq(notNull("v"), unique("id"),
+      inRange("v", lit(0.0), lit(10.0))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.count(_ == 0L) == 3 && got("row_count") == 2L)
+  }
+
+  // ---- Graph.triangleCounts ------------------------------------------------
+
+  /** Driver-side reference: brute-force triple enumeration. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val tri = for {
+      a <- nodes; b <- nodes if a < b && adj(a)(b)
+      c <- nodes if b < c && adj(a)(c) && adj(b)(c)
+    } yield (a, b, c)
+    tri.flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("triangleCounts matches brute force; direction/dup/self-loop-proof") {
+    // K4 on {1..4} plus a pendant and noise: dups, reversals, a self-loop
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (2L, 1L), (1L, 2L), (3L, 3L))
+    val got = Graph.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refTriangles(edges))
+    // K4: every vertex sits in C(3,2) = 3 triangles; pendant in none
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: triangle-free graph returns empty") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    assert(Graph.triangleCounts(star.toDF("src", "dst")).count() == 0L)
+  }
+
+  test("triangleCounts plan: equi-joins only, no cartesian/broadcast-NL") {
+    val plan = Graph.triangleCounts(
+      Seq((1L, 2L)).toDF("src", "dst")).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+  }
+
+  // ---- TextOps.tfidfKeywords -----------------------------------------------
+
+  test("tfidfKeywords: rare terms outrank common ones; exact scaled scores") {
+    val docs = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "banana cherry shared"),
+      (3L, "cherry cherry cherry shared")).toDF("doc_id", "text")
+    val got = TextOps.tfidfKeywords(docs, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byDoc = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(x => (x._3, x._4)).toSeq).toMap
+    // doc 1: apple tf=2 df=1 -> 2e9; banana tf=1 df=2 -> 5e8
+    assert(byDoc(1L) == Seq(("apple", 2000000000L), ("banana", 500000000L)))
+    // doc 3: cherry tf=3 df=2 -> 1.5e9; shared tf=1 df=3 -> 333333333 (floor)
+    assert(byDoc(3L) == Seq(("cherry", 1500000000L), ("shared", 333333333L)))
+    // k bound respected
+    assert(got.groupBy(_._1).values.forall(_.size <= 2))
+  }
+
+  test("tfidfKeywords: score ties rank by token ascending") {
+    val docs = Seq((1L, "zz aa")).toDF("doc_id", "text")
+    val got = TextOps.tfidfKeywords(docs, "text", "doc_id", k = 2)
+      .orderBy("rank").collect().map(_.getString(2))
+    assert(got.toSeq == Seq("aa", "zz"))
+  }
+
+  // ---- TimeSeries.anomalyFlags ---------------------------------------------
+
+  test("anomalyFlags: exact cross-multiplied deviation over the row frame") {
+    // user 1: nine 10.0s then a 100.0 (flagged: |9*100-90|*100 > 300*90)
+    // and an in-band 11.0 afterwards (not flagged)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val rows = (1 to 9).map(i => (1L, i.toLong, ts(i), 10.0)) ++
+      Seq((1L, 10L, ts(10), 100.0), (1L, 11L, ts(11), 11.0)) ++
+      // user 2: too little history — never flagged
+      Seq((2L, 20L, ts(1), 1.0), (2L, 21L, ts(2), 500.0))
+    val df = rows.toDF("user_id", "event_id", "ts", "value")
+    val got = TimeSeries.anomalyFlags(df, "user_id", "ts", "event_id", "value",
+      lookback = 10, thresholdPct = 300L, minPrior = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(10L))
+  }
+
+  test("anomalyFlags: values are exact micro-units (no float drift)") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val rows = (1 to 6).map(i => (1L, i.toLong, ts(i), 0.1)) :+
+      (1L, 7L, ts(7), 0.7)
+    val out = TimeSeries.anomalyFlags(rows.toDF("user_id", "event_id", "ts", "value"),
+      "user_id", "ts", "event_id", "value", 10, 300L, 5)
+      .collect()
+    // 0.7 vs mean 0.1: |6*700000 - 600000|*100 = 360M > 300*600000 = 180M
+    assert(out.map(_.getLong(1)).toSet == Set(7L))
+    assert(out.head.getAs[Long]("value_us") == 700000L)
+  }
+}
