@@ -111,7 +111,8 @@ object Bench {
     // costs at sf0.1 (descending); unlisted queries sort alphabetically
     // after the ranked ones.
     val costRank = Seq(
-      "q_graph_pagerank", "q_compare_all_mismatch", "q_dedup_jaccard_pairs",
+      "q_graph_pagerank", "q_graph_triangles", "q_compare_all_mismatch",
+      "q_dedup_jaccard_pairs",
       "q_events_stream_join", "q_clean_corpus", "q_clean_corpus_fast",
       "q_events_streamed", "q_profile_numeric", "q_dedup_minhash_lsh",
       "q_dedup_substring", "q_bpe_tokenize", "q_dedup_incremental",

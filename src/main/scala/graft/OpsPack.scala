@@ -1830,6 +1830,28 @@ object OpsPack {
       .toDF("report_chars", "html_chars", "json_chars", "report_lines")
   }
 
+  /** Hybrid-retrieval driver query: BM25 lexical top-25 (portable integer
+    * scoring) fused with exact-cosine ANN top-20 by reciprocal-rank fusion
+    * ([[graft.operators.Search.rrfFuse]] — Σ 10¹² DIV (60 + rank), exact
+    * BIGINT). Both candidate lists are k-bounded, so the fusion unions ≤45
+    * rows regardless of corpus size; final ranks attach from the k-bounded
+    * collect. */
+  def searchHybrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lexRanks = graft.operators.Search.bm25TopKPortable(
+        docs(s, dir), "text", "doc_id", Bm25Terms, k = 25)
+      .select(col("id")).collect().zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
+      .toSeq.toDF("rank", "id")
+    val annRanks = annTopK(s, dir).withColumnRenamed("vec_id", "id")
+    val fused = graft.operators.Search.rrfFuse(
+      Seq(lexRanks, annRanks), k = 20)
+    fused.collect().zipWithIndex
+      .map { case (r, i) =>
+        ((i + 1).toLong, r.getLong(0), r.getLong(1), r.getLong(2)) }
+      .toSeq.toDF("rank", "id", "rrf_scaled", "n_lists")
+  }
+
   /** Data-quality constraint suite driver query: the deequ-style pre-ingest
     * gate over lineitem ([[graft.operators.Quality]]) — every row-level
     * check fused into ONE aggregate scan, key-uniqueness as one groupBy,
@@ -1862,7 +1884,13 @@ object OpsPack {
     * 3-way join, which counts identically because per-node triangle counts
     * are orientation-independent. */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    // one part-category slice (¼ of the part domain): the synthetic basket
+    // graph is uniformly random, so the full graph's density grows with sf
+    // until the wedge join dominates the bench (~38s at sf0.1) — the slice
+    // keeps node degree (and the O(m^1.5) wedge bound) sf-stable while
+    // exercising the identical plan; the filter pushes to the parquet scan
     val lp = s.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_partkey") % 4 === 0)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     val edges = lp.as("x").join(lp.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -1913,6 +1941,7 @@ object OpsPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_search_hybrid" -> (searchHybrid _),
     "q_quality_checks" -> (qualityChecks _),
     "q_graph_triangles" -> (graphTriangles _),
     "q_sales_cube" -> (salesCube _),
@@ -3757,6 +3786,48 @@ object OpsPack {
        |ORDER BY score DESC, id LIMIT 25""".stripMargin
   }
 
+  /** Hybrid-RRF oracle: the BM25 portable-score CTEs (same integer
+    * arithmetic as textBm25Sql) and the exact-cosine ANN ranking, each
+    * row-numbered after its LIMIT, fused with the identical
+    * 10¹² // (60 + rank) integer sum. */
+  private val searchHybridSql: String = {
+    val terms = Bm25Terms
+    val tokCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(", ")
+    val dfCols = terms.indices.map { i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+    }.mkString(", ")
+    val scoreTerms = terms.indices.map { i =>
+      val num = s"((2 * (g.n - g.df_$i) + 1) * 22 * g.tl * t.tf_$i)"
+      val den = s"((2 * g.df_$i + 1) * (10 * g.tl * t.tf_$i + 3 * g.tl + 9 * t.dl * g.n))"
+      s"(($num // $den) * 10000 + (($num % $den) * 10000) // $den)"
+    }.mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |                x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, $tokCols FROM d),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(dl) AS tl, $dfCols FROM t),
+       |bscored AS (SELECT t.doc_id AS id, $scoreTerms AS score FROM t CROSS JOIN g),
+       |lex AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) rnk
+       |        FROM (SELECT id, score FROM bscored WHERE score > 0
+       |              ORDER BY score DESC, id LIMIT 25)),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |q AS (SELECT v FROM e WHERE vec_id = 0),
+       |ascored AS (SELECT e.vec_id, list_cosine_similarity(e.v, (SELECT v FROM q)) c FROM e),
+       |ann AS (SELECT vec_id AS id, row_number() OVER (ORDER BY c DESC, vec_id) rnk
+       |        FROM (SELECT vec_id, c FROM ascored ORDER BY c DESC, vec_id LIMIT 20)),
+       |u AS (SELECT id, 1000000000000 // (60 + rnk) c FROM lex
+       |      UNION ALL SELECT id, 1000000000000 // (60 + rnk) FROM ann),
+       |f AS (SELECT id, CAST(sum(c) AS BIGINT) rrf_scaled,
+       |             CAST(count(*) AS BIGINT) n_lists FROM u GROUP BY id)
+       |SELECT CAST(row_number() OVER (ORDER BY rrf_scaled DESC, id) AS BIGINT) AS "rank",
+       |  id, rrf_scaled, n_lists
+       |FROM f ORDER BY rrf_scaled DESC, id LIMIT 20""".stripMargin
+  }
+
   /** Quality-suite oracle: each constraint as its own exact count, unioned.
     * NULL predicate results count as violations (COALESCE to 1), mirroring
     * the engine's unknown-is-not-a-pass rule. */
@@ -3777,7 +3848,7 @@ object OpsPack {
   /** Triangle oracle: naive id-ordered 3-way join over the same
     * co-occurrence edge set — orientation-free, counts identical. */
   private val graphTrianglesSql: String =
-    """WITH lp AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+    """WITH lp AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem WHERE l_partkey % 4 = 0),
       |e AS (SELECT DISTINCT x.p AS u, y.p AS v FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
       |t AS (SELECT e1.u a, e1.v b, e2.v c
       |      FROM e e1 JOIN e e2 ON e2.u = e1.v
@@ -3826,6 +3897,7 @@ object OpsPack {
       |ORDER BY event_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_search_hybrid" -> searchHybridSql,
     "q_quality_checks" -> qualityChecksSql,
     "q_graph_triangles" -> graphTrianglesSql,
     "q_sales_cube" -> salesCubeSql,

@@ -278,4 +278,38 @@ object Search {
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion of ranked retrieval lists — the standard hybrid-
+    * search combinator (lexical BM25 ∪ embedding ANN, or any mix of
+    * retrievers). Each input carries (id, rank) [+ `groupCols` for batched
+    * multi-query fusion]; the fused score is the EXACT scaled integer
+    *   Σ_lists scale DIV (rrfK + rank)
+    * — the float 1/(k+r) formulation sums in ulp-dependent order, the
+    * integer form is associative-commutative and hash-checkable.
+    *
+    * Scale shape: union of k-bounded lists (rows ≤ lists·k per query) →
+    * one hash aggregation on (groupCols, id) → global TakeOrdered (or the
+    * bounded-heap per-group top-k when fusing many queries at once). No
+    * Window, no join — fusion cost is proportional to the candidate lists,
+    * never the corpus. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int,
+      rrfK: Long = 60L, scale: Long = 1000000000000L,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(rrfK >= 0 && scale > 0, s"bad rrfK/scale: $rrfK/$scale")
+    val keep = groupCols ++ Seq("id", "rank")
+    val u = lists.map(_.select(keep.map(col): _*)).reduce(_ unionByName _)
+    val scored = u.select((groupCols.map(col) :+ col("id") :+
+      expr(s"CAST($scale AS BIGINT) DIV (CAST($rrfK AS BIGINT) + rank)")
+        .as("c")): _*)
+    val fused = scored
+      .groupBy((groupCols :+ "id").map(col): _*)
+      .agg(sum(col("c")).as("rrf_scaled"), count(lit(1)).as("n_lists"))
+    if (groupCols.isEmpty)
+      fused.orderBy(col("rrf_scaled").desc, col("id").asc).limit(k)
+    else
+      // scores are ≤ lists·scale < 2^53 — exact through the double heap
+      GroupTopK.topKPerGroup(fused, groupCols, "rrf_scaled", "id", k)
+        .withColumn("rrf_scaled", col("rrf_scaled").cast("long"))
+  }
 }

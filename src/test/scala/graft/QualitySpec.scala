@@ -108,6 +108,31 @@ class QualitySpec extends SparkTestBase {
     assert(got.toSeq == Seq("aa", "zz"))
   }
 
+  // ---- Search.rrfFuse ------------------------------------------------------
+
+  test("rrfFuse: exact integer fusion, overlap outranks single-list hits") {
+    import graft.operators.Search
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val ann = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val got = Search.rrfFuse(Seq(lex, ann), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val s = 1000000000000L
+    def c(r: Long) = s / (60L + r)
+    // doc 20 fused from rank 2 + rank 1 beats doc 10's single rank 1
+    assert(got.head == (20L, c(2) + c(1), 2L))
+    assert(got.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
+  }
+
+  test("rrfFuse grouped: per-query top-k via the bounded heap") {
+    import graft.operators.Search
+    val a = Seq(("q1", 10L, 1L), ("q1", 11L, 2L), ("q2", 20L, 1L))
+      .toDF("qid", "id", "rank")
+    val b = Seq(("q1", 11L, 1L), ("q2", 21L, 1L)).toDF("qid", "id", "rank")
+    val got = Search.rrfFuse(Seq(a, b), k = 1, groupCols = Seq("qid"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("id")))
+    assert(got.toSet == Set(("q1", 11L), ("q2", 20L)))
+  }
+
   // ---- TimeSeries.anomalyFlags ---------------------------------------------
 
   test("anomalyFlags: exact cross-multiplied deviation over the row frame") {
