@@ -884,6 +884,39 @@ object OpsPack {
     * can't drop pairs (batch 2's rows all sit above batch 1's watermark
     * minus the horizon), so the emitted set equals the batch band join and
     * shares q_events_rangejoin's oracle verbatim. */
+  /** Streaming anomaly driver query: the trailing-window deviation detector
+    * run INCREMENTALLY over the two-micro-batch replay with O(lookback)
+    * state per user ([[graft.streaming.StreamingAnomaly]]). The exact
+    * integer predicate makes the stream's flag set bit-identical to the
+    * batch window formulation, so this shares q_events_anomaly's oracle
+    * verbatim — an incremental stateful operator under a full hash check. */
+  def eventsStreamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val staged = stageStreamDir(s, dir)
+    val sink = s"graft_events_stream_sink_${streamSinkSeq.incrementAndGet()}"
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckptBase =
+      if (Files.isWritable(Paths.get("/dev/shm"))) s"/dev/shm/graft_ckpt_$sink"
+      else s"target/graft_ckpt_$sink"
+    val batchSchema = ss.read.parquet(staged)
+    val q = graft.streaming.EventStreams.runToMemory(
+      ss, staged, batchSchema, sink, outputMode = "append",
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"),
+      checkpointDir = Some(ckptBase)) { stream =>
+      graft.streaming.StreamingAnomaly.flags(
+        graft.streaming.EventStreams.normalizeEventTs(stream),
+        lookback = 10, thresholdPct = 300L, minPrior = 5)(ss).toDF()
+    }
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      deleteRecursively(Paths.get(ckptBase))
+    }
+    ss.table(sink).orderBy("event_id")
+  }
+
   def eventsStreamJoin(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val staged = stageStreamDir(s, dir)
@@ -1988,6 +2021,7 @@ object OpsPack {
     "q_text_classifier" -> (textClassifier _),
     "q_events_streamed" -> (eventsStreamed _),
     "q_events_stream_join" -> (eventsStreamJoin _),
+    "q_events_stream_anomaly" -> (eventsStreamAnomaly _),
     "q_events_stream_topk" -> (eventsStreamTopK _),
     "q_events_incr_rollup" -> (eventsIncrementalRollup _),
     "q_text_pii" -> (piiScan _),
@@ -3910,6 +3944,7 @@ object OpsPack {
     "q_events_streamed" -> eventsStreamedSql,
     "q_events_rangejoin" -> eventsRangeJoinSql,
     "q_events_stream_join" -> eventsRangeJoinSql,
+    "q_events_stream_anomaly" -> eventsAnomalySql,
     "q_events_stream_topk" -> streamTopKSql,
     "q_events_trailing" -> eventsTrailingSql,
     "q_events_funnel" -> eventsFunnelSql,

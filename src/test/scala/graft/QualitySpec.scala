@@ -151,6 +151,24 @@ class QualitySpec extends SparkTestBase {
     assert(got == Set(10L))
   }
 
+  test("anomalyFlags: streaming twin agrees in batch mode (same flag set)") {
+    import graft.streaming.StreamingAnomaly
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    // two users, interleaved, with in-band and out-of-band values
+    val rows = (1 to 9).flatMap(i => Seq(
+      (1L, i.toLong * 2, ts(i), 10.0),
+      (2L, i.toLong * 2 + 1, ts(i), 5.0))) ++
+      Seq((1L, 100L, ts(10), 99.0), (2L, 101L, ts(10), 5.1))
+    val df = rows.toDF("user_id", "event_id", "ts", "value")
+    val batch = TimeSeries.anomalyFlags(df, "user_id", "ts", "event_id", "value",
+      lookback = 10, thresholdPct = 300L, minPrior = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5))).toSet
+    val streamTwin = StreamingAnomaly.flags(df, 10, 300L, 5)(spark)
+      .collect().map(f => (f.user_id, f.event_id, f.trailing_n, f.trailing_sum_us)).toSet
+    assert(streamTwin == batch && batch.nonEmpty)
+  }
+
   test("anomalyFlags: values are exact micro-units (no float drift)") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)

@@ -157,6 +157,56 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming anomaly: ring state crosses micro-batches; equals batch window") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    import graft.streaming.StreamingAnomaly
+    implicit val s = spark
+    val base = java.nio.file.Paths.get("target/stream_anomaly")
+    org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    java.nio.file.Files.createDirectories(base)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1's history SPANS the batch split: 6 priors in batch 1, the
+    // outlier (and an in-band row) in batch 2 — the flag depends on state
+    // carried across micro-batches, the exact merge path a one-shot replay
+    // would mask (round-5 lesson: split batches must share keys)
+    val all = (1 to 6).map(i => (1L, i.toLong, ts(i), 10.0)) ++
+      Seq((1L, 7L, ts(7), 95.0), (1L, 8L, ts(8), 10.5))
+    val (b1, b2) = (all.take(6), all.drop(6))
+    def writeHalf(rows: Seq[(Long, Long, java.sql.Timestamp, Double)],
+        name: String, mtime: Long): Unit = {
+      val tmp = base.resolve(s"tmp_$name")
+      rows.toDF("user_id", "event_id", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, base.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(base.resolve(s"$name.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+    writeHalf(b1, "half0", 1000000L)
+    writeHalf(b2, "half1", 2000000L)
+    val batchDf = all.toDF("user_id", "event_id", "ts", "value")
+    val expected = TimeSeries.anomalyFlags(batchDf, "user_id", "ts", "event_id",
+        "value", lookback = 10, thresholdPct = 300L, minPrior = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(4), r.getLong(5))).toSet
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", "1").parquet(base.toString)
+    val q = StreamingAnomaly.flags(stream, 10, 300L, 5).toDF()
+      .writeStream.format("memory").queryName("anomaly_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("anomaly_sink").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("trailing_n"),
+        r.getAs[Long]("trailing_sum_us"))).toSet
+    assert(expected == Set((7L, 6L, 60000000L)))
+    assert(streamed == expected)
+  }
+
   test("stateful user sessions accumulate counts and sums") {
     implicit val s = spark
     val batch = EventStreams.normalizeEventTs(spark.read.parquet(dir)).limit(200)
