@@ -1303,7 +1303,10 @@ object OpsPack {
     // collide with a forward edge)
     val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-    graft.operators.Graph.pageRankScaled(pairs, PageRankIters, symmetrize = true)
+    graft.operators.Graph.pageRankScaled(pairs, PageRankIters, symmetrize = true,
+      // customer+supplier node domain: bounded by the dim-table sizes, so
+      // skip the sizing probe job (hint-skippable, like the compare probes)
+      assumeSmallGraph = Some(true))
       .selectExpr(
         "CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind",
         "node DIV 2 AS key", "rank_scaled")

@@ -45,6 +45,11 @@ object Graph {
     */
   /** @param edgesDistinct the caller guarantees `edges` carries no
     *   duplicate (src, dst) rows — skips the dedup shuffle.
+    * @param assumeSmallGraph caller-supplied answer to "does the node set
+    *   fit a broadcast?" — skips the sizing count job(s) entirely (the same
+    *   hint-skippable-probe contract as SparkCompare's assumeKeysUnique):
+    *   a fixed per-action cost that matters when the supersteps themselves
+    *   are sub-second. None = measure.
     * @param symmetrize treat `edges` as undirected: the reverse direction
     *   is unioned in INTERNALLY, after the one-direction set is
     *   deduplicated and cached, so the caller's (possibly expensive) edge
@@ -59,7 +64,8 @@ object Graph {
       checkpointEvery: Int = 8,
       broadcastNodeLimit: Long = 4000000L,
       edgesDistinct: Boolean = false,
-      symmetrize: Boolean = false): DataFrame = Dedup.newCacheScope {
+      symmetrize: Boolean = false,
+      assumeSmallGraph: Option[Boolean] = None): DataFrame = Dedup.newCacheScope {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val raw = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
@@ -73,13 +79,20 @@ object Graph {
     // degrees are one row per distinct src ≤ nodes — broadcast alongside
     // the rank table on small graphs so the cached edge list is never
     // sorted or exchanged
-    val degCount = deg.count()
+    val degSmall = assumeSmallGraph.getOrElse(deg.count() <= broadcastNodeLimit)
     val ed = Dedup.cacheShared(
-      if (degCount <= broadcastNodeLimit) e.join(broadcast(deg), "src")
+      if (degSmall) e.join(broadcast(deg), "src")
       else e.join(deg, "src"))
+    // a symmetrized graph's node set IS deg's keyset (every node appears as
+    // a src), so the 2·|E|-row union+distinct shuffle and its extra count
+    // job vanish; only a genuinely directed graph pays them (sink nodes
+    // never appear as src)
     val nodes = Dedup.cacheShared(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
-    val smallGraph = nodes.count() <= broadcastNodeLimit
+      if (symmetrize) deg.select(col("src").as("node"))
+      else e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val smallGraph = assumeSmallGraph.getOrElse(
+      if (symmetrize) degSmall else nodes.count() <= broadcastNodeLimit)
     def rankSide(df: DataFrame): DataFrame = if (smallGraph) broadcast(df) else df
     val base = ((dampingDen - dampingNum) * scale) / dampingDen
     var ranks = nodes.withColumn("r", lit(scale))
@@ -87,8 +100,18 @@ object Graph {
       val contrib = ed.join(rankSide(ranks), col("src") === col("node"))
         .selectExpr("dst", "r DIV outdeg AS c")
         .groupBy("dst").agg(sum(col("c")).as("s"))
-      ranks = nodes.join(rankSide(contrib), col("node") === col("dst"), "left")
-        .selectExpr("node", s"$base + ($dampingNum * coalesce(s, 0L)) DIV $dampingDen AS r")
+      // undirected ⇒ every node has in-edges ⇒ contrib already covers the
+      // full node set: the per-superstep nodes⋈contrib join (half the
+      // superstep's work) only exists to re-admit zero-in-degree nodes of
+      // directed graphs
+      ranks =
+        if (symmetrize)
+          contrib.selectExpr("dst AS node",
+            s"$base + ($dampingNum * s) DIV $dampingDen AS r")
+        else
+          nodes.join(rankSide(contrib), col("node") === col("dst"), "left")
+            .selectExpr("node",
+              s"$base + ($dampingNum * coalesce(s, 0L)) DIV $dampingDen AS r")
       if (i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint()
     }
