@@ -305,7 +305,7 @@ object OpsPack {
         writeHalf(col("vec_id") <= mid, "half0", 1000000L)
         writeHalf(col("vec_id") > mid, "half1", 2000000L)
         val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
         val ckpt =
           if (Files.isWritable(Paths.get("/dev/shm")))
             s"/dev/shm/graft_ckpt_ivf_${streamSinkSeq.incrementAndGet()}"
@@ -840,7 +840,7 @@ object OpsPack {
     val staged = stageStreamDir(s, dir)
     val sink = s"graft_events_stream_sink_${streamSinkSeq.incrementAndGet()}"
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
     val ckptBase =
       if (Files.isWritable(Paths.get("/dev/shm"))) s"/dev/shm/graft_ckpt_$sink"
       else s"target/graft_ckpt_$sink"
@@ -895,7 +895,7 @@ object OpsPack {
     val staged = stageStreamDir(s, dir)
     val sink = s"graft_events_stream_sink_${streamSinkSeq.incrementAndGet()}"
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
     val ckptBase =
       if (Files.isWritable(Paths.get("/dev/shm"))) s"/dev/shm/graft_ckpt_$sink"
       else s"target/graft_ckpt_$sink"
@@ -922,7 +922,7 @@ object OpsPack {
     val staged = stageStreamDir(s, dir)
     val sink = s"graft_events_stream_sink_${streamSinkSeq.incrementAndGet()}"
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
     val ckptBase =
       if (Files.isWritable(Paths.get("/dev/shm"))) s"/dev/shm/graft_ckpt_$sink"
       else s"target/graft_ckpt_$sink"
@@ -969,7 +969,7 @@ object OpsPack {
     val staged = stageStreamDir(s, dir)
     val sink = s"graft_events_stream_sink_${streamSinkSeq.incrementAndGet()}"
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
     val ckptBase =
       if (Files.isWritable(Paths.get("/dev/shm"))) s"/dev/shm/graft_ckpt_$sink"
       else s"target/graft_ckpt_$sink"
@@ -1003,7 +1003,7 @@ object OpsPack {
     val staged = stageStreamDir(s, dir)
     val seq = streamSinkSeq.incrementAndGet()
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
     val table = s"target/graft_rollup_$seq"
     // the maintained table must start empty — a previous JVM's table at the
     // same seq would otherwise be merged into (counts double)
