@@ -1917,6 +1917,21 @@ object OpsPack {
       .orderBy("check")
   }
 
+  /** Privacy-audit driver query: k-anonymity over the customer table's
+    * quasi-identifier tuple (nation, market segment) — every row in a
+    * group smaller than k counts as re-identifiable — plus name-format and
+    * balance-domain checks, all through the same compiled
+    * [[graft.operators.Quality]] suite (one fused scan + one groupBy). */
+  def privacyKanon(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality._
+    validate(s.read.parquet(s"$dir/customer.parquet"), Seq(
+      kAnonymity(10L, "c_nationkey", "c_mktsegment"),
+      notNull("c_name"),
+      matchesRegex("c_name", "^Customer#[0-9]+$"),
+      inRange("c_acctbal", lit(-999.99), lit(9999.99))))
+      .orderBy("check")
+  }
+
   /** Triangle-count driver query: parts co-occurring in an order form an
     * undirected graph; count each part's triangles with the degree-oriented
     * wedge join ([[graft.operators.Graph.triangleCounts]] — O(m^1.5) wedge
@@ -1983,6 +1998,7 @@ object OpsPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_hybrid" -> (searchHybrid _),
     "q_quality_checks" -> (qualityChecks _),
+    "q_privacy_kanon" -> (privacyKanon _),
     "q_graph_triangles" -> (graphTriangles _),
     "q_sales_cube" -> (salesCube _),
     "q_docs_keywords" -> (docsKeywords _),
@@ -3887,6 +3903,15 @@ object OpsPack {
       |UNION ALL SELECT 'ref(l_partkey->part)', (SELECT CAST(count(*) AS BIGINT) FROM lineitem l WHERE l_partkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
       |) ORDER BY "check"""".stripMargin
 
+  private val privacyKanonSql: String =
+    """SELECT * FROM (
+      |SELECT 'row_count' AS "check", CAST(count(*) AS BIGINT) violations FROM customer
+      |UNION ALL SELECT 'not_null(c_name)', CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+      |UNION ALL SELECT 'matches_regex(c_name)', CAST(sum(COALESCE(CAST(NOT regexp_matches(c_name, '^Customer#[0-9]+$') AS INT), 1)) AS BIGINT) FROM customer
+      |UNION ALL SELECT 'in_range(c_acctbal)', CAST(sum(COALESCE(CAST(c_acctbal < -999.99 OR c_acctbal > 9999.99 AS INT), 1)) AS BIGINT) FROM customer
+      |UNION ALL SELECT 'k_anonymity(10:c_nationkey,c_mktsegment)', COALESCE((SELECT CAST(sum(n) AS BIGINT) FROM (SELECT count(*) n FROM customer GROUP BY c_nationkey, c_mktsegment HAVING count(*) < 10)), 0)
+      |) ORDER BY "check"""".stripMargin
+
   /** Triangle oracle: naive id-ordered 3-way join over the same
     * co-occurrence edge set — orientation-free, counts identical. */
   private val graphTrianglesSql: String =
@@ -3941,6 +3966,7 @@ object OpsPack {
   val oracleSql: Map[String, String] = Map(
     "q_search_hybrid" -> searchHybridSql,
     "q_quality_checks" -> qualityChecksSql,
+    "q_privacy_kanon" -> privacyKanonSql,
     "q_graph_triangles" -> graphTrianglesSql,
     "q_sales_cube" -> salesCubeSql,
     "q_docs_keywords" -> docsKeywordsSql,

@@ -38,6 +38,14 @@ object Quality {
   final case class RefCheck(name: String, keyCols: Seq[String],
       ref: DataFrame, refCols: Seq[String]) extends Constraint
 
+  /** k-anonymity constraint over a quasi-identifier tuple: violations =
+    * number of rows whose quasi-identifier group has fewer than `minSize`
+    * members — every such row is re-identifiable below the k threshold.
+    * Same one-groupBy shape as [[UniqueCheck]] (uniqueness IS k-anonymity's
+    * complement: unique(cols) ≡ "every group has size 1"). */
+  final case class MinGroupSizeCheck(name: String, keyCols: Seq[String],
+      minSize: Long) extends Constraint
+
   def notNull(colName: String): Constraint =
     RowCheck(s"not_null($colName)", col(colName).isNull)
 
@@ -60,6 +68,10 @@ object Quality {
       refCols: Seq[String]): Constraint =
     RefCheck(name, keyCols, ref, refCols)
 
+  def kAnonymity(minSize: Long, keyCols: String*): Constraint =
+    MinGroupSizeCheck(s"k_anonymity($minSize:${keyCols.mkString(",")})",
+      keyCols, minSize)
+
   /** Run the suite. Returns one row per constraint plus a `row_count` row:
     * (check STRING, violations BIGINT). Job shape: 1 fused aggregate scan
     * for every RowCheck + the row count, 1 groupBy per UniqueCheck, 1
@@ -79,13 +91,21 @@ object Quality {
       ("row_count", aggRow.getLong(0)) +:
         rowChecks.zipWithIndex.map { case (c, i) => (c.name, aggRow.getLong(i + 1)) }
 
-    val uniqueResults = constraints.collect { case c: UniqueCheck =>
-      val n = df.groupBy(c.keyCols.map(col): _*)
-        .agg(count(lit(1)).as("__n"))
-        .where(col("__n") > 1)
-        .agg(coalesce(sum(col("__n")), lit(0L)))
-        .first().getLong(0)
-      (c.name, n)
+    val uniqueResults = constraints.collect {
+      case c: UniqueCheck =>
+        val n = df.groupBy(c.keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1)
+          .agg(coalesce(sum(col("__n")), lit(0L)))
+          .first().getLong(0)
+        (c.name, n)
+      case c: MinGroupSizeCheck =>
+        val n = df.groupBy(c.keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") < c.minSize)
+          .agg(coalesce(sum(col("__n")), lit(0L)))
+          .first().getLong(0)
+        (c.name, n)
     }
 
     val refResults = constraints.collect { case c: RefCheck =>

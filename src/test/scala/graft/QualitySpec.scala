@@ -43,6 +43,18 @@ class QualitySpec extends SparkTestBase {
     assert(got.values.count(_ == 0L) == 3 && got("row_count") == 2L)
   }
 
+  test("quality suite: k-anonymity counts rows in under-k groups") {
+    import Quality._
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"),   // group of 3: safe at k=3
+      ("b", "y"), ("b", "y"),               // group of 2: 2 violations
+      ("c", "z"))                           // group of 1: 1 violation
+      .toDF("qi1", "qi2")
+    val got = validate(df, Seq(kAnonymity(3L, "qi1", "qi2")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("k_anonymity(3:qi1,qi2)") == 3L)
+  }
+
   // ---- Graph.triangleCounts ------------------------------------------------
 
   /** Driver-side reference: brute-force triple enumeration. */
