@@ -606,6 +606,31 @@ object OpsPack {
       s.read.parquet(s"$dir/part.parquet").select("p_name"), "p_name", FuzzyK)
       .orderBy("name1", "name2")
 
+  /** Entity-resolution composite driver query: fuzzy pairs (PassJoin,
+    * ed ≤ 2) over the part-name dictionary → connected components →
+    * per-entity canonical record (min name) with name/row counts. The
+    * linkage layer every dedup pipeline ends with: pair evidence →
+    * transitive closure → survivorship. Node ids are min-partkey per name
+    * (deterministic), singletons re-admitted by coalesce; only multi-name
+    * entities emit. The oracle brute-forces the pairs (recall-complete
+    * check, like q_fuzzy_join) and closes components with the recursive-CTE
+    * min-label walk. */
+  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    val dict = s.read.parquet(s"$dir/part.parquet")
+      .groupBy("p_name")
+      .agg(count(lit(1)).as("n"), min(col("p_partkey")).cast("long").as("nid"))
+    val pairs = graft.operators.FuzzyJoin.selfJoin(dict, "nid", "p_name", FuzzyK)
+    val comp = graft.operators.Dedup.connectedComponents(pairs, "id1", "id2")
+    dict.join(comp, dict("nid") === comp("id"), "left")
+      .select(col("p_name"), col("n"),
+        coalesce(col("comp"), col("nid")).as("entity"))
+      .groupBy("entity")
+      .agg(count(lit(1)).as("n_names"), min(col("p_name")).as("canonical_name"),
+        sum(col("n")).as("n_rows"))
+      .where(col("n_names") >= 2)
+      .orderBy("entity")
+  }
+
   /** Wider grid for the join-size sketch: the inner-product estimator's
     * expected collision excess is |A|·|B|/width, so width scales with the
     * row count it forecasts for (64 Ki buckets ⇒ ~3% excess at sf0.01). */
@@ -919,6 +944,44 @@ object OpsPack {
       deleteRecursively(Paths.get(ckptBase))
     }
     ss.table(sink).orderBy("event_id")
+  }
+
+  /** Stream-static enrichment driver query: the replayed event stream
+    * joins a BROADCAST static dimension (customer → market segment) inside
+    * the micro-batch plan — the standard Structured Streaming enrichment
+    * shape (the static side never shuffles, re-read per trigger) — then
+    * rolls up per (segment, event_type) in complete mode. Decimal-carried
+    * sums make the final emission equal the batch join+rollup, so the
+    * whole streaming pipeline hash-checks against a plain SQL mirror. */
+  def eventsStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val staged = stageStreamDir(s, dir)
+    val sink = s"graft_events_stream_sink_${streamSinkSeq.incrementAndGet()}"
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val ckptBase =
+      if (Files.isWritable(Paths.get("/dev/shm"))) s"/dev/shm/graft_ckpt_$sink"
+      else s"target/graft_ckpt_$sink"
+    val cust = ss.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batchSchema = ss.read.parquet(staged)
+    val q = graft.streaming.EventStreams.runToMemory(
+      ss, staged, batchSchema, sink, outputMode = "complete",
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"),
+      checkpointDir = Some(ckptBase)) { stream =>
+      graft.streaming.EventStreams.normalizeEventTs(stream)
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+    }
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      deleteRecursively(Paths.get(ckptBase))
+    }
+    ss.table(sink).orderBy("c_mktsegment", "event_type")
   }
 
   def eventsStreamJoin(s: SparkSession, dir: String): DataFrame = {
@@ -2045,6 +2108,7 @@ object OpsPack {
     "q_events_streamed" -> (eventsStreamed _),
     "q_events_stream_join" -> (eventsStreamJoin _),
     "q_events_stream_anomaly" -> (eventsStreamAnomaly _),
+    "q_events_stream_enrich" -> (eventsStreamEnrich _),
     "q_events_stream_topk" -> (eventsStreamTopK _),
     "q_events_incr_rollup" -> (eventsIncrementalRollup _),
     "q_text_pii" -> (piiScan _),
@@ -2057,6 +2121,7 @@ object OpsPack {
     "q_sketch_countmin" -> (sketchCountMin _),
     "q_sketch_distinct" -> (sketchDistinct _),
     "q_fuzzy_join" -> (fuzzyJoinNames _),
+    "q_entity_resolution" -> (entityResolution _),
     "q_sketch_join_size" -> (sketchJoinSize _),
     "q_text_lang_agreement" -> (langAgreement _),
     "q_bpe_merges" -> (bpeMerges _),
@@ -2813,6 +2878,37 @@ object OpsPack {
        |WHERE abs(length(a.p_name) - length(b.p_name)) <= $FuzzyK
        |  AND levenshtein(a.p_name, b.p_name) <= $FuzzyK
        |ORDER BY 1, 2""".stripMargin
+
+  private val eventsStreamEnrichSql: String =
+    """SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) n,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) total_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Entity-resolution oracle: brute-force pair generation (proves the
+    * PassJoin blocking recall-complete) + recursive-CTE min-label closure
+    * + survivorship rollup. */
+  private val entityResolutionSql: String =
+    s"""WITH RECURSIVE
+       |d AS (SELECT p_name, CAST(count(*) AS BIGINT) n,
+       |      CAST(min(p_partkey) AS BIGINT) nid FROM part GROUP BY 1),
+       |pr AS (SELECT least(a.nid, b.nid) id1, greatest(a.nid, b.nid) id2
+       |       FROM d a JOIN d b ON a.p_name < b.p_name
+       |       WHERE abs(length(a.p_name) - length(b.p_name)) <= $FuzzyK
+       |         AND levenshtein(a.p_name, b.p_name) <= $FuzzyK),
+       |edges AS (SELECT id1 a, id2 b FROM pr UNION SELECT id2, id1 FROM pr),
+       |walk(id, comp) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
+       |comps AS (SELECT id, min(comp) comp FROM walk GROUP BY id),
+       |lbl AS (SELECT d.p_name, d.n, COALESCE(c.comp, d.nid) entity
+       |        FROM d LEFT JOIN comps c ON c.id = d.nid),
+       |ent AS (SELECT entity, CAST(count(*) AS BIGINT) n_names,
+       |        min(p_name) canonical_name, CAST(sum(n) AS BIGINT) n_rows
+       |        FROM lbl GROUP BY 1)
+       |SELECT entity, n_names, canonical_name, n_rows FROM ent
+       |WHERE n_names >= 2 ORDER BY entity""".stripMargin
 
   /** Lang-agreement oracle: the statsSql langId argmax (same marker
     * scoring, same first-wins tie-break) cross-tabulated against the gold
@@ -3979,6 +4075,7 @@ object OpsPack {
     "q_events_rangejoin" -> eventsRangeJoinSql,
     "q_events_stream_join" -> eventsRangeJoinSql,
     "q_events_stream_anomaly" -> eventsAnomalySql,
+    "q_events_stream_enrich" -> eventsStreamEnrichSql,
     "q_events_stream_topk" -> streamTopKSql,
     "q_events_trailing" -> eventsTrailingSql,
     "q_events_funnel" -> eventsFunnelSql,
@@ -4011,6 +4108,7 @@ object OpsPack {
     "q_sketch_countmin" -> countMinSql,
     "q_sketch_distinct" -> distinctSketchSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
+    "q_entity_resolution" -> entityResolutionSql,
     "q_sketch_join_size" -> joinSizeSql,
     "q_text_lang_agreement" -> langAgreementSql,
     "q_bpe_merges" -> bpeMergesSql,
