@@ -1380,6 +1380,26 @@ object OpsPack {
       .orderBy("kind", "key")
   }
 
+  /** Multi-source BFS driver query: hop distances (≤ 3) from nation-0's
+    * suppliers through the symmetrized customer↔supplier trade graph
+    * ([[graft.operators.Graph.kHopDistances]] — frontier equi-joins + one
+    * anti-join per superstep). Exact integer distances ⇒ the full reach
+    * set hash-checks against the oracle's unrolled per-level mirror. */
+  def graphKHop(s: SparkSession, dir: String): DataFrame = {
+    val o = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val oneDir = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = oneDir.union(oneDir.select(col("dst").as("src"), col("src").as("dst")))
+    val sources = s.read.parquet(s"$dir/supplier.parquet")
+      .where(col("s_nationkey") === 0)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    graft.operators.Graph.kHopDistances(edges, sources, maxHops = 3)
+      .orderBy("node")
+  }
+
   /** Sliding-window rollup driver query: 2-hour windows every hour via
     * Spark's native `window()` generator — each event lands in exactly two
     * epoch-aligned windows, mirrored in the oracle as a union of two
@@ -2076,6 +2096,7 @@ object OpsPack {
     "q_events_sliding" -> (eventsSliding _),
     "q_normalize_rank" -> (normalizeRank _),
     "q_graph_pagerank" -> (graphPageRank _),
+    "q_graph_khop" -> (graphKHop _),
     "q_layout_zorder" -> (layoutZOrder _),
     "q_text_bm25" -> (textBm25 _),
     "q_text_bm25_indexed" -> (textBm25Indexed _),
@@ -2884,6 +2905,26 @@ object OpsPack {
       |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) total_value
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** k-hop BFS oracle: the supersteps unrolled — per level, the frontier's
+    * neighbor set minus everything labeled so far. */
+  private val graphKHopSql: String =
+    """WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e AS (SELECT c a, s b FROM pairs UNION SELECT s, c FROM pairs),
+      |d0 AS (SELECT DISTINCT s_suppkey * 2 + 1 node FROM supplier WHERE s_nationkey = 0),
+      |n1 AS (SELECT DISTINCT e.b node FROM e JOIN d0 ON e.a = d0.node),
+      |d1 AS (SELECT node FROM n1 WHERE node NOT IN (SELECT node FROM d0)),
+      |n2 AS (SELECT DISTINCT e.b node FROM e JOIN d1 ON e.a = d1.node),
+      |d2 AS (SELECT node FROM n2 WHERE node NOT IN (SELECT node FROM d0)
+      |       AND node NOT IN (SELECT node FROM d1)),
+      |n3 AS (SELECT DISTINCT e.b node FROM e JOIN d2 ON e.a = d2.node),
+      |d3 AS (SELECT node FROM n3 WHERE node NOT IN (SELECT node FROM d0)
+      |       AND node NOT IN (SELECT node FROM d1) AND node NOT IN (SELECT node FROM d2))
+      |SELECT CAST(node AS BIGINT) node, CAST(dist AS BIGINT) dist FROM (
+      |  SELECT node, 0 dist FROM d0 UNION ALL SELECT node, 1 FROM d1
+      |  UNION ALL SELECT node, 2 FROM d2 UNION ALL SELECT node, 3 FROM d3)
+      |ORDER BY node""".stripMargin
 
   /** Entity-resolution oracle: brute-force pair generation (proves the
     * PassJoin blocking recall-complete) + recursive-CTE min-label closure
@@ -4083,6 +4124,7 @@ object OpsPack {
     "q_events_sliding" -> eventsSlidingSql,
     "q_normalize_rank" -> normalizeRankSql,
     "q_graph_pagerank" -> graphPageRankSql,
+    "q_graph_khop" -> graphKHopSql,
     "q_layout_zorder" -> layoutZOrderSql,
     "q_text_bm25" -> textBm25Sql,
     "q_text_bm25_indexed" -> textBm25Sql,

@@ -118,6 +118,38 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 
+  /** Multi-source BFS: minimum hop distance (≤ `maxHops`) from any node in
+    * `sources` (col `node`) along `edges` (cols `src`, `dst`; directed —
+    * symmetrize upstream for undirected reach). Returns (node, dist) for
+    * every reached node, dist ∈ [0, maxHops].
+    *
+    * Superstep shape: frontier ⋈ edges → next frontier, minus everything
+    * already labeled (one anti-join) — each edge is traversed at most once
+    * per endpoint label state, and the frontier join is a plain equi-join
+    * Catalyst shuffles (or broadcasts, when the frontier is small) on the
+    * src key. Distances are exact small integers, so the whole reach set
+    * hash-checks against an unrolled per-level SQL mirror. */
+  def kHopDistances(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = Dedup.newCacheScope {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = Dedup.cacheShared(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct())
+    var labeled = sources.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0L))
+    var frontier = labeled
+    for (d <- 1 to maxHops) {
+      val next = Dedup.cacheShared(
+        frontier.join(e, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(labeled.select("node"), Seq("node"), "left_anti")
+          .withColumn("dist", lit(d.toLong)))
+      labeled = labeled.union(next)
+      frontier = next
+    }
+    labeled
+  }
+
   /** Per-node triangle counts over undirected `edges` (cols `src`, `dst`;
     * self-loops dropped, duplicates and direction collapsed). Returns
     * (node, n_triangles) for every node in ≥1 triangle.

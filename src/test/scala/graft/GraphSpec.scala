@@ -70,4 +70,24 @@ class GraphSpec extends SparkTestBase {
     assert(got == refPageRank(Seq((1L, 2L), (3L, 2L)), 2))
     assert(got(2L) > got(1L))
   }
+
+  test("kHopDistances: min-hop labels, unreachable nodes absent") {
+    import spark.implicits._
+    // path 1-2-3-4 plus a shortcut 1-3 and an island 9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (9L, 9L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val sources = Seq(1L).toDF("node")
+    val got = Graph.kHopDistances(edges, sources, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 reached at dist 1 via the shortcut, not 2; island 9 unreachable
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("kHopDistances: maxHops 0 returns the source set only") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graph.kHopDistances(edges, Seq(1L, 5L).toDF("node"), 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 5L -> 0L))
+  }
 }
