@@ -1327,6 +1327,30 @@ object OpsPack {
     * Z-rectangles that miss the box ([[graft.sources.ZOrder]]; pruning
     * quality pinned in ZOrderSpec). The oracle runs the same box on the
     * source table: a layout must never change query results. */
+  /** Hive-partitioned layout driver query: documents written once
+    * `partitionBy(lang)` (stamp-keyed like every persisted layout), then
+    * the timed probe reads ONE language directory — the partition filter
+    * prunes at planning time (PartitionFilters, no footer reads outside
+    * the slice) — and rolls up per source. The bread-and-butter warehouse
+    * layout: at 100 TB the probe's scan cost is the slice's bytes, not the
+    * table's. The oracle runs the same rollup on the source table with a
+    * WHERE — a layout must never change results. */
+  private val partitionedLayoutCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  def layoutPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val path = Memo.memo(partitionedLayoutCache, dir, {
+      val p = "target/graft_part_lang_" + layoutStamp(dir, "documents", "by=lang|v1")
+      if (!layoutComplete(p))
+        d.write.mode("overwrite").partitionBy("lang").parquet(p)
+      p
+    })
+    s.read.parquet(path).where(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
   private val zorderLayoutCache = scala.collection.concurrent.TrieMap[String, String]()
 
   def layoutZOrder(s: SparkSession, dir: String): DataFrame = {
@@ -1627,6 +1651,20 @@ object OpsPack {
       .select(col("l_returnflag"),
         col("l_quantity").cast("double").as("l_quantity"), col("z"))
       .orderBy("l_returnflag", "l_quantity")
+
+  /** Winsorization driver query: l_extendedprice clipped to each return
+    * flag's exact [p05, p95] order statistics
+    * ([[graft.operators.Normalize.winsorizeByGroup]] — one sort-based
+    * boundary aggregation, broadcast back, pure-comparison clip ⇒
+    * bit-identical output). */
+  def normalizeWinsor(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Normalize.winsorizeByGroup(
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+      Seq("l_returnflag"), "l_extendedprice", pLo = 0.05, pHi = 0.95)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("value"), col("clipped"))
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "value")
 
   /** Budget-constrained quality selection: the maximal (quality desc,
     * doc_id) prefix whose token sum fits a 12k-token budget
@@ -2098,10 +2136,12 @@ object OpsPack {
     "q_graph_pagerank" -> (graphPageRank _),
     "q_graph_khop" -> (graphKHop _),
     "q_layout_zorder" -> (layoutZOrder _),
+    "q_layout_partitioned" -> (layoutPartitioned _),
     "q_text_bm25" -> (textBm25 _),
     "q_text_bm25_indexed" -> (textBm25Indexed _),
     "q_select_budget" -> (selectBudget _),
     "q_normalize_group" -> (normalizeGroup _),
+    "q_normalize_winsor" -> (normalizeWinsor _),
     "q_docs_lang_rollup" -> (langRollup _),
     "q_docs_rollup" -> (docsRollup _),
     "q_docs_pivot" -> (docsPivot _),
@@ -2905,6 +2945,26 @@ object OpsPack {
       |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) total_value
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val layoutPartitionedSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) total_chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Winsorize oracle: per-group percentile_disc boundaries spelled out
+    * via cume_dist (same mirror as the numeric profile), comparison-only
+    * clip. */
+  private val normalizeWinsorSql: String =
+    """WITH v AS (SELECT l_orderkey, l_linenumber, l_returnflag g,
+      |           CAST(l_extendedprice AS DOUBLE) v FROM lineitem),
+      |cd AS (SELECT g, v, cume_dist() OVER (PARTITION BY g ORDER BY v) cd FROM v),
+      |b AS (SELECT g, min(CASE WHEN cd >= 0.05 THEN v END) lo,
+      |             min(CASE WHEN cd >= 0.95 THEN v END) hi FROM cd GROUP BY g)
+      |SELECT l_orderkey, l_linenumber, v.g AS l_returnflag, v.v AS value,
+      |  least(greatest(v.v, b.lo), b.hi) AS clipped
+      |FROM v JOIN b ON v.g = b.g
+      |ORDER BY l_orderkey, l_linenumber, l_returnflag, value""".stripMargin
 
   /** k-hop BFS oracle: the supersteps unrolled — per level, the frontier's
     * neighbor set minus everything labeled so far. */
@@ -4126,10 +4186,12 @@ object OpsPack {
     "q_graph_pagerank" -> graphPageRankSql,
     "q_graph_khop" -> graphKHopSql,
     "q_layout_zorder" -> layoutZOrderSql,
+    "q_layout_partitioned" -> layoutPartitionedSql,
     "q_text_bm25" -> textBm25Sql,
     "q_text_bm25_indexed" -> textBm25Sql,
     "q_select_budget" -> selectBudgetSql,
     "q_normalize_group" -> normalizeGroupSql,
+    "q_normalize_winsor" -> normalizeWinsorSql,
     "q_pack_stats" -> packStatsSql,
     "q_docs_lang_rollup" -> langRollupSql,
     "q_docs_rollup" -> docsRollupSql,

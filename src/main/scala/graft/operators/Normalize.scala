@@ -81,4 +81,34 @@ object Normalize {
           (col(valueCol).cast("double") - col("_graft_min")) / span))
       .drop("_graft_min", "_graft_max")
   }
+
+  /** Winsorize per group: clip values to the exact [pLo, pHi] order-
+    * statistic boundaries (ANSI `percentile_disc` — "smallest value whose
+    * cumulative distribution reaches p"). Clipping is pure comparison —
+    * no arithmetic on the value — so the output is bit-identical across
+    * engines, unlike interpolated-percentile clips.
+    *
+    * Scale shape: ONE per-group sort-based aggregation for both boundaries
+    * (the `approx_percentile` switch is the 100 TB path, same trade as the
+    * numeric profile), boundaries broadcast back onto the rows. */
+  def winsorizeByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      pLo: Double,
+      pHi: Double,
+      outCol: String = "clipped"): DataFrame = {
+    require(groupCols.nonEmpty, "winsorizeByGroup needs at least one group column")
+    require(0.0 <= pLo && pLo <= pHi && pHi <= 1.0, s"bad percentiles: $pLo/$pHi")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(
+        expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY CAST(`$valueCol` AS DOUBLE))")
+          .as("_graft_lo"),
+        expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY CAST(`$valueCol` AS DOUBLE))")
+          .as("_graft_hi"))
+    df.join(broadcast(stats), groupCols, "left")
+      .withColumn(outCol,
+        least(greatest(col(valueCol).cast("double"), col("_graft_lo")), col("_graft_hi")))
+      .drop("_graft_lo", "_graft_hi")
+  }
 }

@@ -62,4 +62,17 @@ class NormalizeSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.get(2))).toSet
     assert(base == re)
   }
+
+  test("winsorize clips to exact percentile_disc boundaries per group") {
+    import spark.implicits._
+    // group a: 1..10 → p10 boundary = 1 (cume 0.1 at v=1), p90 = 9
+    val rows = (1 to 10).map(i => ("a", i.toDouble)) ++ Seq(("b", 5.0))
+    val out = Normalize.winsorizeByGroup(rows.toDF("g", "v"), Seq("g"), "v",
+        pLo = 0.1, pHi = 0.9)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(out(("a", 1.0)) == 1.0)   // at the low boundary, not below
+    assert(out(("a", 10.0)) == 9.0)  // clipped down to p90
+    assert(out(("a", 5.0)) == 5.0)   // interior untouched
+    assert(out(("b", 5.0)) == 5.0)   // single-row group: lo = hi = value
+  }
 }

@@ -145,6 +145,31 @@ class QualitySpec extends SparkTestBase {
     assert(got.toSet == Set(("q1", 11L), ("q2", 20L)))
   }
 
+  // ---- partitioned layout --------------------------------------------------
+
+  test("hive-partitioned probe prunes to the requested lang partitions") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = "target/graft_test_part_lang"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    d.write.mode("overwrite").partitionBy("lang").parquet(p)
+    val probe = spark.read.parquet(p).where(col("lang") === "en")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    // pruning is observable: only the en directory's files are read
+    val files = spark.read.parquet(p).where(col("lang") === "en")
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")),
+      files.take(3).mkString(","))
+    // and the layout never changes results
+    val viaLayout = probe.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = d.where(col("lang") === "en").groupBy("source")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaLayout == direct)
+  }
+
   // ---- TimeSeries.anomalyFlags ---------------------------------------------
 
   test("anomalyFlags: exact cross-multiplied deviation over the row frame") {
