@@ -111,8 +111,8 @@ object Bench {
     // costs at sf0.1 (descending); unlisted queries sort alphabetically
     // after the ranked ones.
     val costRank = Seq(
-      "q_graph_pagerank", "q_entity_resolution", "q_graph_triangles",
-      "q_compare_all_mismatch", "q_events_stream_enrich",
+      "q_graph_pagerank", "q_graph_khop", "q_entity_resolution", "q_graph_triangles",
+      "q_compare_all_mismatch", "q_normalize_winsor", "q_events_stream_enrich",
       "q_events_stream_anomaly", "q_quality_checks",
       "q_dedup_jaccard_pairs",
       "q_events_stream_join", "q_clean_corpus", "q_clean_corpus_fast",
