@@ -946,6 +946,49 @@ object OpsPack {
     ss.table(sink).orderBy("event_id")
   }
 
+  /** Native session-window streaming driver query: the replayed stream
+    * aggregated with `session_window(ts, 30 min)` per user — Spark's
+    * merging-session state (sessions spanning the two micro-batches merge
+    * in the state store; the half-split replay exercises exactly that
+    * path). Append mode emits a session once the watermark passes its end
+    * (last event + gap), so with a 0-second watermark the emitted set is
+    * every session whose end+gap ≤ the stream's max event time — mirrored
+    * as a WHERE in the oracle's islands formulation. Decimal sums keep the
+    * emission hash-exact. */
+  def eventsStreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val staged = stageStreamDir(s, dir)
+    val sink = s"graft_events_stream_sink_${streamSinkSeq.incrementAndGet()}"
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val ckptBase =
+      if (Files.isWritable(Paths.get("/dev/shm"))) s"/dev/shm/graft_ckpt_$sink"
+      else s"target/graft_ckpt_$sink"
+    val batchSchema = ss.read.parquet(staged)
+    val q = graft.streaming.EventStreams.runToMemory(
+      ss, staged, batchSchema, sink, outputMode = "append",
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"),
+      checkpointDir = Some(ckptBase)) { stream =>
+      graft.streaming.EventStreams.normalizeEventTs(stream)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+    }
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      deleteRecursively(Paths.get(ckptBase))
+    }
+    ss.table(sink)
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"), col("value_sum"))
+      .orderBy("user_id", "session_start_us")
+  }
+
   /** Stream-static enrichment driver query: the replayed event stream
     * joins a BROADCAST static dimension (customer → market segment) inside
     * the micro-batch plan — the standard Structured Streaming enrichment
@@ -2170,6 +2213,7 @@ object OpsPack {
     "q_events_stream_join" -> (eventsStreamJoin _),
     "q_events_stream_anomaly" -> (eventsStreamAnomaly _),
     "q_events_stream_enrich" -> (eventsStreamEnrich _),
+    "q_events_stream_sessions" -> (eventsStreamSessions _),
     "q_events_stream_topk" -> (eventsStreamTopK _),
     "q_events_incr_rollup" -> (eventsIncrementalRollup _),
     "q_text_pii" -> (piiScan _),
@@ -2939,6 +2983,27 @@ object OpsPack {
        |WHERE abs(length(a.p_name) - length(b.p_name)) <= $FuzzyK
        |  AND levenshtein(a.p_name, b.p_name) <= $FuzzyK
        |ORDER BY 1, 2""".stripMargin
+
+  /** Session-window stream oracle: the islands formulation (gap break +
+    * running sum), session end = last event + gap, emitted iff the final
+    * watermark (= max event time, 0s delay) passed the end. */
+  private val eventsStreamSessionsSql: String =
+    """WITH b AS (SELECT user_id, epoch_us(ts) us, CAST(value AS DECIMAL(18,6)) v FROM events),
+      |mx AS (SELECT max(us) m FROM b),
+      |l AS (SELECT user_id, us, v,
+      |  lag(us) OVER (PARTITION BY user_id ORDER BY us) prev FROM b),
+      |f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+      |                     THEN 1 ELSE 0 END brk FROM l),
+      |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid FROM f),
+      |sess AS (SELECT user_id, sid, min(us) session_start_us,
+      |  max(us) + 1800000000 session_end_us,
+      |  CAST(count(*) AS BIGINT) n_events,
+      |  CAST(SUM(v) AS DOUBLE) value_sum
+      |  FROM g GROUP BY 1, 2)
+      |SELECT user_id, session_start_us, session_end_us, n_events, value_sum
+      |FROM sess WHERE session_end_us <= (SELECT m FROM mx)
+      |ORDER BY user_id, session_start_us""".stripMargin
 
   private val eventsStreamEnrichSql: String =
     """SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) n,
@@ -4177,6 +4242,7 @@ object OpsPack {
     "q_events_stream_join" -> eventsRangeJoinSql,
     "q_events_stream_anomaly" -> eventsAnomalySql,
     "q_events_stream_enrich" -> eventsStreamEnrichSql,
+    "q_events_stream_sessions" -> eventsStreamSessionsSql,
     "q_events_stream_topk" -> streamTopKSql,
     "q_events_trailing" -> eventsTrailingSql,
     "q_events_funnel" -> eventsFunnelSql,
