@@ -113,7 +113,7 @@ object Bench {
     val costRank = Seq(
       "q_graph_pagerank", "q_graph_khop", "q_entity_resolution", "q_graph_triangles",
       "q_compare_all_mismatch", "q_normalize_winsor", "q_events_stream_enrich",
-      "q_events_stream_anomaly", "q_quality_checks",
+      "q_events_stream_sessions", "q_events_stream_anomaly", "q_quality_checks",
       "q_dedup_jaccard_pairs",
       "q_events_stream_join", "q_clean_corpus", "q_clean_corpus_fast",
       "q_events_streamed", "q_profile_numeric", "q_dedup_minhash_lsh",

@@ -375,6 +375,30 @@ object OpsPack {
   val CosLshThreshold = 0.3
   val EmbeddingDim = 64
 
+  /** LSH-recall measurement driver query: "measure, don't guess" as a
+    * first-class query. On an explicit hash-sampled subset (vec_id ≡ 0
+    * mod 32 — the bounded-input form VERDICT r3 prescribed for any exact
+    * pair verification), count the exact cosine-threshold pairs and the
+    * multi-table-LSH pairs (a subset by construction: LSH candidates are
+    * exact-verified), and emit recall as the exact scaled integer
+    * n_lsh·10⁴ DIV n_exact. The subset cross join is the deliberate,
+    * size-capped verification twin — ~3k vectors at sf0.1 — never the
+    * production path (that is q_embedding_cosine_lsh). */
+  val RecallThreshold = 0.15
+
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = embeddings(s, dir).where(col("vec_id") % 32 === 0)
+    val lshCnt = Ann.cosineNearDuplicatesMultiTable(sub, "embedding", "vec_id",
+      threshold = RecallThreshold, dim = EmbeddingDim,
+      bits = CosLshBits, tables = CosLshTables).count()
+    val exactCnt = Ann.cosinePairsExact(sub, "embedding", "vec_id",
+      RecallThreshold).count()
+    val recall = if (exactCnt == 0) 10000L else lshCnt * 10000L / exactCnt
+    Seq((exactCnt, lshCnt, recall))
+      .toDF("n_exact", "n_lsh", "recall_pct_scaled")
+  }
+
   /** Multi-table LSH-bucketed cosine pairs (oracle-checked). */
   def cosinePairsLsh(s: SparkSession, dir: String): DataFrame =
     Ann.cosineNearDuplicatesMultiTable(embeddings(s, dir), "embedding", "vec_id",
@@ -2262,6 +2286,7 @@ object OpsPack {
     "q_source_orc" -> (sourceOrc _),
     "q_embedding_cosine_pairs" -> (cosinePairs _),
     "q_embedding_cosine_lsh" -> (cosinePairsLsh _),
+    "q_ann_recall" -> (annRecall _),
     "q_semantic_dedup" -> (semanticDedupQuery _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_features" -> (multimodalFeatures _))
@@ -2608,6 +2633,41 @@ object OpsPack {
        |WHERE (CASE WHEN n1.nrm * n2.nrm = 0 THEN 0.0
        |       ELSE ${dotSum("e1.v", "e2.v")} / (n1.nrm * n2.nrm) END) >= $threshold
        |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** LSH-recall oracle: exact pairs and verified LSH candidates on the
+    * same mod-32 subset, with the identical left-assoc double sums as the
+    * pair mirrors; recall as the same scaled integer division. */
+  private val annRecallSql: String = {
+    val dim = EmbeddingDim
+    def dotSum(va: String, vb: String): String =
+      (1 to dim).map(i => s"$va[$i] * $vb[$i]").mkString("(", " + ", ")")
+    def proj(v: String, globalPlane: Int): String =
+      Ann.planeVector(globalPlane, dim).zipWithIndex
+        .map { case (w, d) => s"$v[${d + 1}] * $w" }.mkString("(", " + ", ")")
+    val sigCols = (0 until CosLshTables).map { t =>
+      (0 until CosLshBits).map { p =>
+        s"(CASE WHEN ${proj("v", t * CosLshBits + p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", s") t$t")
+    }.mkString(", ")
+    val anyTable = (0 until CosLshTables).map(t => s"a.t$t = b.t$t").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id % 32 = 0),
+       |n AS (SELECT vec_id, sqrt(${dotSum("v", "v")}) nrm FROM e),
+       |ex AS (SELECT a.vec_id id1, b.vec_id id2
+       |       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |       JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+       |       WHERE (CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+       |              ELSE ${dotSum("a.v", "b.v")} / (na.nrm * nb.nrm) END) >= $RecallThreshold),
+       |sig AS (SELECT vec_id, $sigCols FROM e),
+       |cand AS (SELECT DISTINCT a.vec_id id1, b.vec_id id2 FROM sig a JOIN sig b
+       |         ON a.vec_id < b.vec_id AND ($anyTable)),
+       |lsh AS (SELECT c.id1 FROM cand c JOIN ex ON ex.id1 = c.id1 AND ex.id2 = c.id2),
+       |x AS (SELECT CAST(count(*) AS BIGINT) n_exact FROM ex),
+       |y AS (SELECT CAST(count(*) AS BIGINT) n_lsh FROM lsh)
+       |SELECT n_exact, n_lsh,
+       |  CAST(CASE WHEN n_exact = 0 THEN 10000
+       |       ELSE n_lsh * 10000 // n_exact END AS BIGINT) recall_pct_scaled
+       |FROM x, y""".stripMargin
   }
 
   private val cosineLshSql: String =
@@ -4326,6 +4386,7 @@ object OpsPack {
     "q_profile_drift" -> profileDriftSql,
     "q_embedding_cosine_pairs" -> cosinePairsLsh2Sql,
     "q_embedding_cosine_lsh" -> cosineLshSql,
+    "q_ann_recall" -> annRecallSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_features" -> multimodalFeaturesSql)
