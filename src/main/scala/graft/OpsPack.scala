@@ -615,6 +615,26 @@ object OpsPack {
         max("exact_distinct").as("exact_distinct"))
   }
 
+  /** Grouped distinct-sketch driver query: distinct users PER EVENT TYPE
+    * via per-group HLL registers ([[graft.operators.DistinctSketch
+    * .registersByGroup]] — ≤ groups·m rows shuffle at any data size), the
+    * exact per-group distinct joined alongside so the sketch's error is
+    * itself measured. Register sums are exact BIGINTs; one double
+    * division per group. */
+  def sketchDistinctGrouped(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DistinctSketch
+    val m = DistinctBuckets
+    val ids = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("user_id").cast("string").as("v"))
+    val est = DistinctSketch.estimateByGroup(
+      DistinctSketch.registersByGroup(ids, Seq("event_type"), "v", m),
+      Seq("event_type"), m)
+    val exact = ids.groupBy("event_type")
+      .agg(count_distinct(col("v")).as("exact_distinct"))
+    est.join(broadcast(exact), Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   /** Edit-distance budget for the fuzzy-join driver query. */
   val FuzzyK = 2
 
@@ -2249,6 +2269,7 @@ object OpsPack {
     "q_text_heavy_hitters" -> (textHeavyHitters _),
     "q_sketch_countmin" -> (sketchCountMin _),
     "q_sketch_distinct" -> (sketchDistinct _),
+    "q_sketch_distinct_grouped" -> (sketchDistinctGrouped _),
     "q_fuzzy_join" -> (fuzzyJoinNames _),
     "q_entity_resolution" -> (entityResolution _),
     "q_sketch_join_size" -> (sketchJoinSize _),
@@ -2975,6 +2996,28 @@ object OpsPack {
     * 2^(48−reg) sum as exact BIGINT, and the one double division with the
     * numerator constant routed VARCHAR→DOUBLE (strtod is exact — bare
     * float literals are DECIMAL in DuckDB and ride a one-ulp-low cast). */
+  private val distinctSketchGroupedSql: String = {
+    val m = DistinctBuckets
+    val c = graft.operators.DistinctSketch.numeratorConst(m).toString
+    s"""WITH toks AS (SELECT event_type g, CAST(user_id AS VARCHAR) t FROM events),
+       |h AS (SELECT g, ('0x' || substr(md5(t), 1, 12))::BIGINT AS a,
+       |             ('0x' || substr(md5(t), 17, 12))::BIGINT AS b FROM toks),
+       |br AS (SELECT g, a % $m AS bucket,
+       |         CASE WHEN b = 0 THEN 48
+       |              ELSE least(bit_count((b & (-b)) - 1) + 1, 48) END AS r FROM h),
+       |regs AS (SELECT g, bucket, max(r) AS register FROM br GROUP BY 1, 2),
+       |s AS (SELECT g, sum(1::BIGINT << (48 - register)) sp,
+       |             CAST(count(*) AS BIGINT) present FROM regs GROUP BY 1),
+       |p AS (SELECT g, CAST($m - present AS BIGINT) zero_buckets,
+       |             CAST(sp + ($m - present) * (1::BIGINT << 48) AS BIGINT) sum_pow
+       |      FROM s),
+       |e AS (SELECT g, CAST(count(DISTINCT t) AS BIGINT) exact_distinct FROM toks GROUP BY 1)
+       |SELECT p.g event_type, zero_buckets, sum_pow,
+       |  CAST(CAST('$c'::DOUBLE / CAST(sum_pow AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS est,
+       |  exact_distinct
+       |FROM p JOIN e ON e.g = p.g ORDER BY event_type""".stripMargin
+  }
+
   private val distinctSketchSql: String = {
     val m = DistinctBuckets
     val c = graft.operators.DistinctSketch.numeratorConst(m).toString
@@ -4337,6 +4380,7 @@ object OpsPack {
     "q_text_heavy_hitters" -> heavyHittersSql,
     "q_sketch_countmin" -> countMinSql,
     "q_sketch_distinct" -> distinctSketchSql,
+    "q_sketch_distinct_grouped" -> distinctSketchGroupedSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_entity_resolution" -> entityResolutionSql,
     "q_sketch_join_size" -> joinSizeSql,

@@ -52,6 +52,37 @@ object DistinctSketch {
       .agg(max(col("r")).as("register"))
   }
 
+  /** Grouped register tables: `(groupCols*, bucket, register)`, at most
+    * `m` rows PER GROUP — the "distinct users per segment/hour" production
+    * shape. Same one-scan hash aggregate; the shuffle carries at most
+    * groups·m rows regardless of data volume. */
+  def registersByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, m: Int): DataFrame = {
+    require(groupCols.nonEmpty, "registersByGroup needs at least one group column")
+    val (a, b) = Dedup.md5HashPair(col(valueCol))
+    df.select(groupCols.map(col) ++
+        Seq(pmod(a, lit(m.toLong)).as("bucket"), rho(b).as("r")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("r")).as("register"))
+  }
+
+  /** Per-group summary of a grouped register table: one row per group with
+    * the exact integer register sum and the HLL estimate (same arithmetic
+    * discipline as [[estimate]] — one double division per group). */
+  def estimateByGroup(regs: DataFrame, groupCols: Seq[String], m: Int): DataFrame =
+    regs
+      .select(groupCols.map(col) :+
+        expr("shiftleft(CAST(1 AS BIGINT), 48 - register)").as("pw"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("pw")).as("s_present"), count(lit(1)).as("present"))
+      .select(groupCols.map(col) ++ Seq(
+        (lit(m.toLong) - col("present")).as("zero_buckets"),
+        (coalesce(col("s_present"), lit(0L)) +
+          (lit(m.toLong) - col("present")) * lit(1L << 48)).as("sum_pow")): _*)
+      .withColumn("est",
+        (lit(numeratorConst(m)) / col("sum_pow").cast("double"))
+          .cast("decimal(38,6)").cast("double"))
+
   /** Merge register tables of two corpora: per-bucket max — exactly the
     * registers of the union (max is idempotent, so overlap is free). */
   def merge(left: DataFrame, right: DataFrame): DataFrame =
