@@ -52,4 +52,25 @@ class DistinctSketchSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Window"), plan)
   }
+
+  test("grouped registers equal per-group global registers; estimates match") {
+    import spark.implicits._
+    // cardinalities in the raw estimator's valid regime (n ≳ m): the
+    // portable estimator deliberately omits the small-range linear-counting
+    // correction (it needs ln(), which is not bit-portable across engines)
+    val df = ((1 to 300).map(i => ("a", s"x$i")) ++
+      (1 to 400).map(i => ("b", s"y${i % 200}"))).toDF("g", "v")
+    val grouped = DistinctSketch.registersByGroup(df, Seq("g"), "v", m)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = DistinctSketch.registers(df.where($"g" === g), "v", m)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(solo == grouped.collect { case ((`g`, b), r) => b -> r })
+    }
+    val est = DistinctSketch.estimateByGroup(
+      DistinctSketch.registersByGroup(df, Seq("g"), "v", m), Seq("g"), m)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+    assert(math.abs(est("a") - 300) / 300 < 0.52)
+    assert(math.abs(est("b") - 200) / 200 < 0.52)
+  }
 }
