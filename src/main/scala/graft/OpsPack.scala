@@ -1491,6 +1491,19 @@ object OpsPack {
       .orderBy("kind", "key")
   }
 
+  /** CUSUM changepoint driver query: per-user one-sided drift statistic
+    * vs a 60.0 reference, flagged above 200.0 accumulated excess
+    * ([[graft.operators.TimeSeries.cusumFlags]] — prefix-sum minus
+    * running-min over ONE key exchange, pure BIGINT micro-units). */
+  def eventsCusum(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.normalizeEventTs(
+      s.read.parquet(s"$dir/events.parquet"))
+    graft.operators.TimeSeries.cusumFlags(
+      ev, keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      valueCol = "value", referenceUs = 60000000L, thresholdUs = 200000000L)
+      .orderBy("event_id")
+  }
+
   /** Multi-source BFS driver query: hop distances (≤ 3) from nation-0's
     * suppliers through the symmetrized customer↔supplier trade graph
     * ([[graft.operators.Graph.kHopDistances]] — frontier equi-joins + one
@@ -2211,6 +2224,7 @@ object OpsPack {
     "q_sales_cube" -> (salesCube _),
     "q_docs_keywords" -> (docsKeywords _),
     "q_events_anomaly" -> (eventsAnomaly _),
+    "q_events_cusum" -> (eventsCusum _),
     "q_events_windowed" -> (eventsWindowed _),
     "q_events_asof" -> (eventsAsof _),
     "q_events_sessions" -> (eventsSessions _),
@@ -4311,6 +4325,22 @@ object OpsPack {
       |SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", token, score_scaled
       |FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** CUSUM oracle: identical prefix-sum / running-min windows in BIGINT
+    * micro-units (the empty-prefix 0 in the min encodes the reset). */
+  private val eventsCusumSql: String =
+    """WITH b AS (SELECT user_id, event_id, epoch_us(ts) ts_us,
+      |  CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) value_us FROM events),
+      |p AS (SELECT user_id, event_id, ts_us, value_us,
+      |  sum(value_us - 60000000) OVER w pfx FROM b
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |c AS (SELECT user_id, event_id, ts_us, value_us,
+      |  pfx - least(0, min(pfx) OVER w2) cusum_us FROM p
+      |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id, ts_us, value_us, CAST(cusum_us AS BIGINT) cusum_us
+      |FROM c WHERE cusum_us > 200000000 ORDER BY event_id""".stripMargin
+
   /** Anomaly oracle: identical ROWS-framed window and cross-multiplied
     * BIGINT deviation test over exact micro-unit values. */
   private val eventsAnomalySql: String =
@@ -4336,6 +4366,7 @@ object OpsPack {
     "q_sales_cube" -> salesCubeSql,
     "q_docs_keywords" -> docsKeywordsSql,
     "q_events_anomaly" -> eventsAnomalySql,
+    "q_events_cusum" -> eventsCusumSql,
     "q_events_windowed" -> eventsWindowedSql,
     "q_events_incr_rollup" -> eventsWindowedSql,
     "q_events_asof" -> eventsAsofSql,

@@ -52,6 +52,44 @@ object TimeSeries {
       .drop(usCol)
   }
 
+  /** CUSUM changepoint detection with EXACT integer arithmetic: per key,
+    * the one-sided cumulative-sum statistic over deviations from a fixed
+    * reference,
+    *   s_i = max(0, s_{i−1} + (v_i − ref)),
+    * rewritten window-expressibly as s_i = prefix_i − min_{j ≤ i} prefix_j
+    * with prefix_i = Σ_{j ≤ i} (v_j − ref) — a running sum and a running
+    * min over the SAME (ts, tie) order, so both fold into one Window node
+    * over one key shuffle. Values ride as decimal-exact micro-units; the
+    * statistic is pure BIGINT, bit-identical in any engine (float CUSUM
+    * backfills drift). Returns the events where s_i first-or-again exceeds
+    * `thresholdUs`: (keyCol, tieCol, ts_us, value_us, cusum_us). */
+  def cusumFlags(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      referenceUs: Long,
+      thresholdUs: Long): DataFrame = {
+    val ordered = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts_us").asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0L)
+    val vUs = (col(valueCol).cast("decimal(18,6)") * lit(1000000L)).cast("long")
+    events
+      .select(col(keyCol), col(tieCol),
+        unix_micros(col(tsCol)).as("ts_us"),
+        (vUs - lit(referenceUs)).as("dev_us"), vUs.as("value_us"))
+      .select(col(keyCol), col(tieCol), col("ts_us"), col("value_us"),
+        sum(col("dev_us")).over(ordered).as("prefix_us"))
+      // the running min must include the EMPTY prefix (0) — that is what
+      // encodes the max(0, ·) reset of the recurrence. Same window spec,
+      // same sort: the second pass adds no exchange.
+      .select(col(keyCol), col(tieCol), col("ts_us"), col("value_us"),
+        (col("prefix_us") -
+          least(lit(0L), min(col("prefix_us")).over(ordered))).as("cusum_us"))
+      .where(col("cusum_us") > thresholdUs)
+  }
+
   /** Trailing-window anomaly detection with EXACT integer arithmetic: flag
     * every event whose value deviates from the mean of the key's previous
     * `lookback` events by more than `thresholdPct` percent of that mean.

@@ -145,6 +145,36 @@ class QualitySpec extends SparkTestBase {
     assert(got.toSet == Set(("q1", 11L), ("q2", 20L)))
   }
 
+  test("cusumFlags: prefix-minus-runmin equals the max(0,.) recurrence") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    // deviations vs ref 10: +5, -20 (reset), +5, +5, +5 -> cusum 15 at the end
+    val vals = Seq(15.0, -10.0, 15.0, 15.0, 15.0)
+    val rows = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, ts(i), v) }
+    val df = rows.toDF("user_id", "event_id", "ts", "value")
+    def ref(thresholdUs: Long): Set[(Long, Long)] = {
+      var s = 0L
+      vals.zipWithIndex.flatMap { case (v, i) =>
+        s = math.max(0L, s + ((BigDecimal(v) * 1000000).toLong - 10000000L))
+        if (s > thresholdUs) Some((i.toLong, s)) else None
+      }.toSet
+    }
+    for (h <- Seq(0L, 4000000L, 12000000L)) {
+      val got = TimeSeries.cusumFlags(df, "user_id", "ts", "event_id", "value",
+          referenceUs = 10000000L, thresholdUs = h)
+        .collect().map(r => (r.getLong(1), r.getAs[Long]("cusum_us"))).toSet
+      assert(got == ref(h), s"threshold $h")
+    }
+  }
+
+  test("cusumFlags plan: one exchange, windows share the sort") {
+    val df = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val plan = TimeSeries.cusumFlags(df, "user_id", "ts", "event_id", "value", 0L, 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length <= 2, plan)
+  }
+
   // ---- partitioned layout --------------------------------------------------
 
   test("hive-partitioned probe prunes to the requested lang partitions") {
