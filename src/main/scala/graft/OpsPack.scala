@@ -1033,6 +1033,37 @@ object OpsPack {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** Streaming CUSUM driver query: the drift detector replayed over two
+    * micro-batches with ONE BIGINT of state per user
+    * ([[graft.streaming.StreamingAnomaly.cusumFlags]]) — shares
+    * q_events_cusum's oracle verbatim (pure integer recurrence). */
+  def eventsStreamCusum(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val staged = stageStreamDir(s, dir)
+    val sink = s"graft_events_stream_sink_${streamSinkSeq.incrementAndGet()}"
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val ckptBase =
+      if (Files.isWritable(Paths.get("/dev/shm"))) s"/dev/shm/graft_ckpt_$sink"
+      else s"target/graft_ckpt_$sink"
+    val batchSchema = ss.read.parquet(staged)
+    val q = graft.streaming.EventStreams.runToMemory(
+      ss, staged, batchSchema, sink, outputMode = "append",
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"),
+      checkpointDir = Some(ckptBase)) { stream =>
+      graft.streaming.StreamingAnomaly.cusumFlags(
+        graft.streaming.EventStreams.normalizeEventTs(stream),
+        referenceUs = 60000000L, thresholdUs = 200000000L)(ss).toDF()
+    }
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      deleteRecursively(Paths.get(ckptBase))
+    }
+    ss.table(sink).orderBy("event_id")
+  }
+
   /** Stream-static enrichment driver query: the replayed event stream
     * joins a BROADCAST static dimension (customer → market segment) inside
     * the micro-batch plan — the standard Structured Streaming enrichment
@@ -2225,6 +2256,7 @@ object OpsPack {
     "q_docs_keywords" -> (docsKeywords _),
     "q_events_anomaly" -> (eventsAnomaly _),
     "q_events_cusum" -> (eventsCusum _),
+    "q_events_stream_cusum" -> (eventsStreamCusum _),
     "q_events_windowed" -> (eventsWindowed _),
     "q_events_asof" -> (eventsAsof _),
     "q_events_sessions" -> (eventsSessions _),
@@ -4367,6 +4399,7 @@ object OpsPack {
     "q_docs_keywords" -> docsKeywordsSql,
     "q_events_anomaly" -> eventsAnomalySql,
     "q_events_cusum" -> eventsCusumSql,
+    "q_events_stream_cusum" -> eventsCusumSql,
     "q_events_windowed" -> eventsWindowedSql,
     "q_events_incr_rollup" -> eventsWindowedSql,
     "q_events_asof" -> eventsAsofSql,

@@ -32,6 +32,46 @@ object StreamingAnomaly {
       user_id: Long, event_id: Long, ts_us: Long, value_us: Long,
       trailing_n: Long, trailing_sum_us: Long)
 
+  final case class CusumState(s: Long)
+  final case class CusumFlag(
+      user_id: Long, event_id: Long, ts_us: Long, value_us: Long, cusum_us: Long)
+
+  /** Streaming twin of [[graft.operators.TimeSeries.cusumFlags]]: the
+    * CUSUM recurrence s ← max(0, s + (v − ref)) maintained per key in
+    * flatMapGroupsWithState with O(1) state — ONE BIGINT per key, the
+    * cheapest stateful operator there is. Pure integer arithmetic ⇒ the
+    * stream's flag set equals the batch window formulation bit-for-bit
+    * under in-order per-key arrival, sharing the batch oracle verbatim. */
+  def cusumFlags(
+      events: DataFrame,
+      referenceUs: Long,
+      thresholdUs: Long)(implicit spark: SparkSession): Dataset[CusumFlag] = {
+    import spark.implicits._
+    val typed = events.select(
+      col("user_id").cast("long").as("_1"),
+      unix_micros(col("ts")).as("_2"),
+      col("event_id").cast("long").as("_3"),
+      (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long").as("_4"))
+      .as[(Long, Long, Long, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[CusumState]) => {
+          val batch = rows.map { case (_, ts, id, v) => EventRec(ts, id, v) }
+            .toSeq.sortBy(e => (e.tsUs, e.eventId))
+          var s = state.getOption.map(_.s).getOrElse(0L)
+          val out = Vector.newBuilder[CusumFlag]
+          batch.foreach { e =>
+            s = math.max(0L, s + (e.valueUs - referenceUs))
+            if (s > thresholdUs)
+              out += CusumFlag(userId, e.eventId, e.tsUs, e.valueUs, s)
+          }
+          state.update(CusumState(s))
+          out.result().iterator
+        })
+  }
+
   /** Flag anomalies on a (streaming or batch) events frame with columns
     * (user_id, ts, event_id, value). Emits one row per flagged event. */
   def flags(
