@@ -1407,6 +1407,15 @@ object OpsPack {
       s.read.parquet(s"$dir/lineitem.parquet"), NumProfileCols)
       .orderBy("col1", "col2")
 
+  /** Equi-depth histogram driver query: l_extendedprice deciles bounded
+    * by exact order statistics ([[graft.operators.Profile
+    * .equiDepthHistogram]] — comparison-count bucket assignment over
+    * broadcast boundary literals, no interpolation). */
+  def profileHistogramDepth(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.equiDepthHistogram(
+      s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice", buckets = 10)
+      .orderBy("bucket")
+
   /** IQR-outlier driver query: Tukey fences at 1.5·IQR over the exact
     * p25/p75 order statistics, with beyond-fence counts
     * ([[graft.operators.Profile.outlierProfile]]). */
@@ -2330,6 +2339,7 @@ object OpsPack {
     "q_sample_per_source" -> (samplePerSource _),
     "q_profile_numeric" -> (numericProfileLineitem _),
     "q_profile_histogram" -> (profileHistogram _),
+    "q_profile_histogram_depth" -> (profileHistogramDepth _),
     "q_profile_corr" -> (profileCorr _),
     "q_profile_outliers" -> (profileOutliers _),
     "q_pack_stats" -> (packStats _),
@@ -3414,6 +3424,28 @@ object OpsPack {
        |      % 10000 < thr
        |ORDER BY doc_id, epoch""".stripMargin
 
+  /** Equi-depth histogram oracle: decile boundaries spelled out as the
+    * same cume_dist min-selection, bucket = the identical comparison
+    * count. */
+  private val profileHistogramDepthSql: String = {
+    val bSubqs = (1 until 10).map { i =>
+      s"""(SELECT min(v) FROM (
+         |   SELECT CAST(l_extendedprice AS DOUBLE) v,
+         |     cume_dist() OVER (ORDER BY CAST(l_extendedprice AS DOUBLE)) cd
+         |   FROM lineitem WHERE l_extendedprice IS NOT NULL)
+         |  WHERE cd >= ${i.toDouble / 10}) b$i""".stripMargin
+    }.mkString(",\n")
+    val bucketExpr = (1 until 10)
+      .map(i => s"(CASE WHEN v > b$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH vals AS (SELECT CAST(l_extendedprice AS DOUBLE) v FROM lineitem
+       |             WHERE l_extendedprice IS NOT NULL),
+       |b AS (SELECT
+       |$bSubqs),
+       |a AS (SELECT v, CAST($bucketExpr AS BIGINT) bucket FROM vals, b)
+       |SELECT bucket, CAST(count(*) AS BIGINT) n, min(v) min_v, max(v) max_v
+       |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   /** Numeric-profile oracle: percentile_disc is ANSI "smallest value whose
     * cumulative distribution reaches p", mirrored literally via cume_dist
     * (DuckDB's own quantile_disc uses a different index rule, so the
@@ -4459,6 +4491,7 @@ object OpsPack {
     "q_sample_per_source" -> samplePerSourceSql,
     "q_profile_numeric" -> numericProfileSql,
     "q_profile_histogram" -> profileHistogramSql,
+    "q_profile_histogram_depth" -> profileHistogramDepthSql,
     "q_profile_chi2" -> profileChi2Sql,
     "q_cdc_apply" -> cdcApplySql,
     "q_cdc_join_view" -> cdcJoinViewSql,

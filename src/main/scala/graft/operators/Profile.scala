@@ -61,6 +61,30 @@ object Profile {
         col("n"))
   }
 
+  /** Equi-DEPTH histogram: `buckets` bins bounded by the exact
+    * percentile_disc order statistics at i/buckets — each bin holds
+    * roughly n/buckets rows (exactly, up to value ties crossing a
+    * boundary). Bucket assignment is the comparison count
+    * Σᵢ [v > bᵢ] over the broadcast boundary literals — engine-exact,
+    * no interpolation anywhere. One sort-based boundary aggregation
+    * (the `approx_percentile` switch is the 100 TB path) + one grouped
+    * count. Output: (bucket, n, min_v, max_v). */
+  def equiDepthHistogram(df: DataFrame, c: String, buckets: Int): DataFrame = {
+    require(buckets > 1, s"buckets must be > 1, got $buckets")
+    val v = col(c).cast("double")
+    val bExprs = (1 until buckets).map { i =>
+      expr(s"percentile_disc(${i.toDouble / buckets}) WITHIN GROUP " +
+        s"(ORDER BY CAST(`$c` AS DOUBLE))").as(s"b$i")
+    }
+    val row = df.agg(bExprs.head, bExprs.tail: _*).first()
+    val bounds = (0 until buckets - 1).map(row.getDouble)
+    val bucket = bounds.map(b => when(v > lit(b), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    df.where(v.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), min(v).as("min_v"), max(v).as("max_v"))
+  }
+
   /** Tukey-fence (IQR) outlier profile: per column, the exact p25/p75
     * order statistics fix lo/hi fences at 1.5·IQR, then ONE counting pass
     * tallies rows beyond each fence. Fences are a fixed double-op sequence
