@@ -80,7 +80,19 @@ object Verify {
       })
     }
     pool.shutdown()
-    futures.foreach(f => try f.get() catch { case _: Throwable => () })
+    // Bounded drain: one hung query (a stuck stream, a wedged state store)
+    // must cost its own slot, not the whole dump — oracle_sql.json and all
+    // completed outputs are already on disk, so abandoning stragglers at
+    // the deadline degrades coverage by exactly the stuck queries.
+    val deadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "900").toLong
+    if (!pool.awaitTermination(deadlineSec, java.util.concurrent.TimeUnit.SECONDS)) {
+      val unfinished = futures.count(!_.isDone)
+      System.err.println(
+        s"[verify] DEADLINE after ${deadlineSec}s — abandoning $unfinished unfinished queries")
+      pool.shutdownNow()
+    }
+    futures.foreach(f => if (f.isDone) (try f.get() catch { case _: Throwable => () }))
     System.err.println(
       f"[verify] all ${selected.size} queries in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     graft.operators.Dedup.releaseCaches()
