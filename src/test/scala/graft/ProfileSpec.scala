@@ -93,4 +93,28 @@ class ProfileSpec extends SparkTestBase {
     // z: o_a=1,o_b=0,R=3/3,C=1,N=6 -> e=0.5 each -> chi2 = .25/.5*2 = 1.0
     assert(math.abs(rows("z")._3 - 1.0) < 1e-12)
   }
+
+  test("equiDepthHistogram: exact quartile boundaries, near-equal depths") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val got = Profile.equiDepthHistogram(df, "v", buckets = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // percentile_disc boundaries at ranks 25/50/75 -> buckets (,25],(25,50],...
+    assert(got(0L) == ((25L, 1.0, 25.0)))
+    assert(got(1L) == ((25L, 26.0, 50.0)))
+    assert(got(2L) == ((25L, 51.0, 75.0)))
+    assert(got(3L) == ((25L, 76.0, 100.0)))
+  }
+
+  test("equiDepthHistogram: ties collapse into the lower bucket; empty ok") {
+    import spark.implicits._
+    val tied = Seq(1.0, 1.0, 1.0, 1.0, 9.0, 9.0).toDF("v")
+    val got = Profile.equiDepthHistogram(tied, "v", buckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // boundaries (rank 2, 4) = (1, 1): all 1.0s in bucket 0, 9.0s above both
+    assert(got(0L) == 4L && got(2L) == 2L && got.size == 2)
+    assert(Profile.equiDepthHistogram(
+      Seq.empty[Double].toDF("v"), "v", 4).count() == 0L)
+  }
 }
