@@ -388,15 +388,26 @@ object OpsPack {
 
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // ONE action for both counts: tag-union the two pair frames and run a
+    // single grouped count (the sampled vector set is persisted so the two
+    // subtrees share its scan instead of each re-reading parquet).
     val sub = embeddings(s, dir).where(col("vec_id") % 32 === 0)
-    val lshCnt = Ann.cosineNearDuplicatesMultiTable(sub, "embedding", "vec_id",
-      threshold = RecallThreshold, dim = EmbeddingDim,
-      bits = CosLshBits, tables = CosLshTables).count()
-    val exactCnt = Ann.cosinePairsExact(sub, "embedding", "vec_id",
-      RecallThreshold).count()
-    val recall = if (exactCnt == 0) 10000L else lshCnt * 10000L / exactCnt
-    Seq((exactCnt, lshCnt, recall))
-      .toDF("n_exact", "n_lsh", "recall_pct_scaled")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lsh = Ann.cosineNearDuplicatesMultiTable(sub, "embedding", "vec_id",
+        threshold = RecallThreshold, dim = EmbeddingDim,
+        bits = CosLshBits, tables = CosLshTables)
+        .select(lit("lsh").as("side"))
+      val exact = Ann.cosinePairsExact(sub, "embedding", "vec_id",
+        RecallThreshold).select(lit("exact").as("side"))
+      val counts = lsh.union(exact).groupBy("side").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val lshCnt = counts.getOrElse("lsh", 0L)
+      val exactCnt = counts.getOrElse("exact", 0L)
+      val recall = if (exactCnt == 0) 10000L else lshCnt * 10000L / exactCnt
+      Seq((exactCnt, lshCnt, recall))
+        .toDF("n_exact", "n_lsh", "recall_pct_scaled")
+    } finally sub.unpersist(blocking = false)
   }
 
   /** Multi-table LSH-bucketed cosine pairs (oracle-checked). */
@@ -1521,10 +1532,18 @@ object OpsPack {
     // collide with a forward edge)
     val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    // The node domain is bounded by the customer+supplier dim tables, so the
+    // small-graph answer is knowable from a METADATA count (parquet row-count
+    // footers — no scan, no graph-sized probe job). Gate the hint on it:
+    // below the operator's broadcast limit, skip the sizing probe; above it
+    // (the dims grow with sf — ~15M nodes well before 100 TB), hand the
+    // decision back to the operator so it degrades to the shuffle-join
+    // supersteps instead of broadcasting a multi-GB rank table.
+    val nodeUpperBound =
+      s.read.parquet(s"$dir/customer.parquet").count() +
+        s.read.parquet(s"$dir/supplier.parquet").count()
     graft.operators.Graph.pageRankScaled(pairs, PageRankIters, symmetrize = true,
-      // customer+supplier node domain: bounded by the dim-table sizes, so
-      // skip the sizing probe job (hint-skippable, like the compare probes)
-      assumeSmallGraph = Some(true))
+      assumeSmallGraph = if (nodeUpperBound <= 4000000L) Some(true) else None)
       .selectExpr(
         "CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind",
         "node DIV 2 AS key", "rank_scaled")
@@ -3158,7 +3177,7 @@ object OpsPack {
       |sess AS (SELECT user_id, sid, min(us) session_start_us,
       |  max(us) + 1800000000 session_end_us,
       |  CAST(count(*) AS BIGINT) n_events,
-      |  CAST(SUM(v) AS DOUBLE) value_sum
+      |  CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) value_sum
       |  FROM g GROUP BY 1, 2)
       |SELECT user_id, session_start_us, session_end_us, n_events, value_sum
       |FROM sess WHERE session_end_us <= (SELECT m FROM mx)
@@ -4279,7 +4298,7 @@ object OpsPack {
        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(dl) AS tl, $dfCols
        |      FROM t),
        |scored AS (
-       |  SELECT t.doc_id AS id, $scoreTerms AS score,
+       |  SELECT t.doc_id AS id, CAST($scoreTerms AS BIGINT) AS score,
        |    ${terms.indices.map(i => s"t.tf_$i AS tf_$i").mkString(", ")}
        |  FROM t CROSS JOIN g)
        |SELECT id, score, ${terms.indices.map(i => s"tf_$i").mkString(", ")}

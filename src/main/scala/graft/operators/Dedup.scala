@@ -21,12 +21,23 @@ object Dedup {
 
   // Postings/shingle frames persisted by the pair operators, so sessions
   // running many dedup passes can release them (persist without a handle
-  // would otherwise pin disk-backed blocks until session shutdown).
-  private val cachedFrames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  // would otherwise pin disk-backed blocks until session shutdown). Two
+  // registries: a THREAD-LOCAL one scoping the per-pass auto-release (so a
+  // concurrent verify/benchmark pool thread entering a new pass releases
+  // only ITS previous pass's caches, never a cache another in-flight query
+  // on a sibling thread is still reading — cross-thread eviction caused
+  // recomputation storms under the 8-thread verify sweep), and a global one
+  // so releaseCaches() can still drain everything at session handoff.
+  private val allCachedFrames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val threadCachedFrames = new ThreadLocal[java.util.ArrayDeque[DataFrame]] {
+    override def initialValue(): java.util.ArrayDeque[DataFrame] =
+      new java.util.ArrayDeque[DataFrame]()
+  }
 
   private[operators] def cacheShared(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cachedFrames.add(p)
+    allCachedFrames.add(p)
+    threadCachedFrames.get().add(p)
     p
   }
 
@@ -46,20 +57,34 @@ object Dedup {
 
   private[operators] def newCacheScope[T](f: => T): T = {
     val d = scopeDepth.get()
-    if (d == 0) releaseCaches()
+    if (d == 0) releaseThreadCaches()
     scopeDepth.set(d + 1)
     try f finally scopeDepth.set(d)
   }
 
-  /** Unpersist every postings cache created by the dedup pair operators.
-    * Called automatically at the start of each new top-level pass; also
-    * public for explicit cleanup (e.g. before session handoff). Results
-    * already materialized are unaffected (lazy consumers recompute). */
+  /** Release only the caches registered by passes run on the CURRENT
+    * thread — the per-pass auto-release scope. */
+  private def releaseThreadCaches(): Unit = {
+    val q = threadCachedFrames.get()
+    var d = q.poll()
+    while (d != null) {
+      d.unpersist(blocking = true)
+      allCachedFrames.remove(d)
+      d = q.poll()
+    }
+  }
+
+  /** Unpersist every postings cache created by the dedup pair operators on
+    * ANY thread. For explicit whole-session cleanup (benchmark harness
+    * between queries, session handoff); per-pass scoping uses the
+    * thread-local registry instead. Results already materialized are
+    * unaffected (lazy consumers recompute); double-unpersist (a frame also
+    * still referenced by a thread-local queue) is a no-op. */
   def releaseCaches(): Unit = {
     // blocking = true: the next pass (or benchmark query) should start with
     // the storage pool actually drained, not with eviction queued behind it.
-    var d = cachedFrames.poll()
-    while (d != null) { d.unpersist(blocking = true); d = cachedFrames.poll() }
+    var d = allCachedFrames.poll()
+    while (d != null) { d.unpersist(blocking = true); d = allCachedFrames.poll() }
   }
 
   /** Connected components over an undirected pair graph via iterative

@@ -106,9 +106,13 @@ object Normalize {
           .as("_graft_lo"),
         expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY CAST(`$valueCol` AS DOUBLE))")
           .as("_graft_hi"))
+    // NULL guard: greatest/least skip NULLs, which would silently clip a
+    // missing value to the lower boundary — a NULL input stays NULL.
     df.join(broadcast(stats), groupCols, "left")
       .withColumn(outCol,
-        least(greatest(col(valueCol).cast("double"), col("_graft_lo")), col("_graft_hi")))
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol).cast("double"), col("_graft_lo")),
+            col("_graft_hi"))))
       .drop("_graft_lo", "_graft_hi")
   }
 }

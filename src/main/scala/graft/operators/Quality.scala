@@ -81,11 +81,15 @@ object Quality {
     import spark.implicits._
 
     val rowChecks = constraints.collect { case c: RowCheck => c }
-    // one scan: count(*) plus one conditional sum per row-level constraint
+    // one scan: count(*) plus one conditional sum per row-level constraint.
+    // coalesce: sum() over ZERO rows is NULL, and an empty table is exactly
+    // the degenerate input a pre-ingest gate must report (0 violations, 0
+    // rows), not crash on a NULL primitive read.
     val aggCols =
       count(lit(1)).as("row_count") +:
         rowChecks.map(c =>
-          sum(when(c.violated, lit(1L)).otherwise(lit(0L))).as(c.name))
+          coalesce(sum(when(c.violated, lit(1L)).otherwise(lit(0L))), lit(0L))
+            .as(c.name))
     val aggRow = df.agg(aggCols.head, aggCols.tail: _*).first()
     val rowResults =
       ("row_count", aggRow.getLong(0)) +:

@@ -75,4 +75,16 @@ class NormalizeSpec extends SparkTestBase {
     assert(out(("a", 5.0)) == 5.0)   // interior untouched
     assert(out(("b", 5.0)) == 5.0)   // single-row group: lo = hi = value
   }
+
+  test("winsorize passes NULL values through instead of clipping to the floor") {
+    import spark.implicits._
+    // greatest/least skip NULLs, so an unguarded clip would turn a missing
+    // value into the p-low order statistic
+    val rows = ((1 to 10).map(i => ("a", Some(i.toDouble))) :+ ("a", None))
+    val out = Normalize.winsorizeByGroup(rows.toDF("g", "v"), Seq("g"), "v",
+        pLo = 0.1, pHi = 0.9)
+      .collect().map(r => Option(r.get(1)) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.collect { case (None, c) => c }.toSeq == Seq(None))
+    assert(out.collect { case (Some(10.0), c) => c }.toSeq == Seq(Some(9.0)))
+  }
 }

@@ -1161,6 +1161,27 @@ class OpsSpec extends SparkTestBase {
     assert(persisted == base)
   }
 
+  test("dedup cache scope is per-thread: a pass on another thread keeps its caches") {
+    // the concurrent verify sweep's failure mode: query A's pass on thread 1
+    // must NOT be evicted when query B starts a pass on thread 2
+    Dedup.releaseCaches()
+    val sc = spark.sparkContext
+    def persisted = sc.getPersistentRDDs.size
+    val base = persisted
+    Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5).count()
+    val afterLocal = persisted
+    assert(afterLocal > base)
+    val t = new Thread(() =>
+      Dedup.jaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.5).count())
+    t.start(); t.join()
+    // the sibling thread's pass added its own caches without draining ours
+    assert(persisted > afterLocal,
+      s"cross-thread pass evicted this thread's caches (persisted=$persisted, before=$afterLocal)")
+    // and the global drain still clears everything from every thread
+    Dedup.releaseCaches()
+    assert(persisted == base)
+  }
+
   test("salted join and salted aggregate preserve plain-join semantics") {
     import graft.operators.Skew
     val left = (1 to 100).map(i => (if (i <= 90) 1L else i.toLong, i)).toDF("k", "v")

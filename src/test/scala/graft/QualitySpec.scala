@@ -43,6 +43,18 @@ class QualitySpec extends SparkTestBase {
     assert(got.values.count(_ == 0L) == 3 && got("row_count") == 2L)
   }
 
+  test("quality suite: empty table reports zero violations, not a crash") {
+    import Quality._
+    // a pre-ingest gate's most important degenerate input: zero rows means
+    // every sum(when(...)) aggregate is NULL without the coalesce guard
+    val df = Seq((1L, 1.0)).toDF("id", "v").where(lit(false))
+    val got = validate(df, Seq(notNull("v"), inRange("v", lit(0.0), lit(10.0)),
+      unique("id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("row_count" -> 0L, "not_null(v)" -> 0L,
+      "in_range(v)" -> 0L, "unique(id)" -> 0L))
+  }
+
   test("quality suite: k-anonymity counts rows in under-k groups") {
     import Quality._
     val df = Seq(
