@@ -61,14 +61,114 @@ object Profile {
         col("n"))
   }
 
+  /** Executed-plan string of the most recent [[selectRanks]] sort phase —
+    * test-only observability (the spec pins that the rank sort is
+    * partitioned by (column, bucket), i.e. parallel, not one task per
+    * column). None when every target rank resolved via the pure-bucket
+    * shortcut. */
+  @volatile private[graft] var lastRankSelectionPlan: Option[String] = None
+
+  /** Distributed EXACT rank selection: the value at 1-based rank k of each
+    * column's sorted non-NULL values, for many (column, k) targets at once.
+    *
+    * Two phases, neither of which ever sorts a whole column in one task
+    * (the scale flaw of a `row_number` window partitioned only by column —
+    * at 100 TB that is one task sorting one column's entire data):
+    *
+    *   A. One equi-width bucket pass: each value maps to one of `buckets`
+    *      value-range buckets (floor((v−min)/width), order-refining since
+    *      floor is monotone), and a grouped count/min/max per
+    *      (column, bucket) — ≤ cols·buckets rows — comes back to the
+    *      driver. Walking the cumulative counts locates each target rank's
+    *      bucket and its rank-offset WITHIN that bucket.
+    *   B. Only the hit buckets (expected n/buckets rows each) are sorted:
+    *      a broadcast semi-join keeps their rows, `row_number` over
+    *      (column, bucket) — parallel across hits — picks the offsets.
+    *
+    * A hit bucket whose min == max needs no sort at all (the answer is
+    * that value) — this also neutralizes the worst skew case, a dominant
+    * tied value concentrating a column in one bucket. Identical results to
+    * the full sort, including ties (bucketing refines the value order, and
+    * tied rows all carry the same v). */
+  private[graft] def selectRanks(
+      stacked: DataFrame,
+      ranksPerCol: Map[String, Seq[Long]],
+      statsPerCol: Map[String, (Double, Double)],
+      buckets: Int = 1024): Map[(String, Long), Double] = {
+    val wanted = ranksPerCol.filter(_._2.nonEmpty)
+    if (wanted.isEmpty) return Map.empty
+    val spark = stacked.sparkSession
+    import spark.implicits._
+    val bstats = wanted.keys.toSeq.sorted
+      .map { c => val (mn, mx) = statsPerCol(c); (c, mn, mx) }
+      .toDF("column", "__mn", "__mx")
+    // NaN/±Inf-safe: least() treats NaN as greatest (→ last bucket, where
+    // the sort also puts it); greatest() floors -Inf into bucket 0. The
+    // cast happens after clamping so ANSI mode never sees a NaN→long cast.
+    val width = (col("__mx") - col("__mn")) / lit(buckets.toDouble)
+    val bucketCol = when(col("__mx") === col("__mn"), lit(0L)).otherwise(
+      greatest(least(floor((col("v") - col("__mn")) / width),
+        lit((buckets - 1).toDouble)), lit(0.0)).cast("long"))
+    val bucketed = stacked.where(col("v").isNotNull)
+      .join(broadcast(bstats), Seq("column"))
+      .withColumn("__b", bucketCol)
+    // Phase A: bucket histogram, ≤ cols·buckets rows to the driver
+    val hist: Map[String, Seq[(Long, Long, Double, Double)]] = bucketed
+      .groupBy("column", "__b")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mnv"), max(col("v")).as("mxv"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+    val resolved = collection.mutable.Map.empty[(String, Long), Double]
+    // (column, bucket) -> (offset within bucket -> global rank)
+    val needSort =
+      collection.mutable.Map.empty[(String, Long), collection.mutable.Map[Long, Long]]
+    wanted.foreach { case (c, ranks) =>
+      var cum = 0L
+      val spans = hist.getOrElse(c, Seq.empty).map { case (b, n, mnv, mxv) =>
+        val start = cum; cum += n; (b, n, start, mnv, mxv)
+      }
+      ranks.distinct.foreach { k =>
+        spans.find(s => k > s._3 && k <= s._3 + s._2) match {
+          case Some((b, _, start, mnv, mxv)) =>
+            if (mnv == mxv) resolved((c, k)) = mnv
+            else needSort.getOrElseUpdate((c, b),
+              collection.mutable.Map.empty) += ((k - start) -> k)
+          case None => // k out of range — caller passed rank > n; skip
+        }
+      }
+    }
+    // Phase B: sort ONLY the hit buckets, in parallel across (column, bucket)
+    if (needSort.nonEmpty) {
+      val hitDf = needSort.toSeq
+        .map { case ((c, b), offs) => (c, b, offs.keys.toSeq.sorted) }
+        .toDF("column", "__b", "__offs")
+      val picked = bucketed
+        .join(broadcast(hitDf), Seq("column", "__b"))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("column", "__b").orderBy("v")))
+        .where(array_contains(col("__offs"), col("__rn").cast("long")))
+        .select(col("column"), col("__b"), col("__rn").cast("long").as("__rn"),
+          col("v"))
+      lastRankSelectionPlan = Some(picked.queryExecution.executedPlan.toString)
+      picked.collect().foreach { r =>
+        val key = (r.getString(0), r.getLong(1))
+        resolved((r.getString(0), needSort(key)(r.getLong(2)))) = r.getDouble(3)
+      }
+    } else lastRankSelectionPlan = None
+    resolved.toMap
+  }
+
   /** Equi-DEPTH histogram: `buckets` bins bounded by the exact
     * percentile_disc order statistics at i/buckets — each bin holds
     * roughly n/buckets rows (exactly, up to value ties crossing a
     * boundary). Bucket assignment is the comparison count
     * Σᵢ [v > bᵢ] over the broadcast boundary literals — engine-exact,
-    * no interpolation anywhere. One sort-based boundary aggregation
-    * (the `approx_percentile` switch is the 100 TB path) + one grouped
-    * count. Output: (bucket, n, min_v, max_v). */
+    * no interpolation anywhere. Boundaries come from the distributed
+    * bucketed [[selectRanks]] (parallel partial sorts of only the hit
+    * buckets) + one grouped count. Output: (bucket, n, min_v, max_v). */
   def equiDepthHistogram(df: DataFrame, c: String, buckets: Int): DataFrame = {
     require(buckets > 1, s"buckets must be > 1, got $buckets")
     val spark = df.sparkSession
@@ -76,25 +176,25 @@ object Profile {
     // boundaries by RANK SELECTION, not stacked percentile_disc aggregates:
     // b-1 independent percentile_disc calls each buffer the whole column in
     // one sort-based aggregation object (15s vs 2s at sf0.1 for 9 deciles).
-    // Instead: one count, the percentile_disc target ranks in exact integer
-    // arithmetic (k = ceil(i·n/buckets) — smallest k with k/n ≥ i/buckets),
-    // one ordered row_number pass selecting exactly those rows — the same
-    // machinery as numericProfile, with the same documented
-    // approx_percentile switch as the 100 TB path.
-    val n = df.agg(count(v)).first().getLong(0)
+    // Instead: one count/min/max, the percentile_disc target ranks in exact
+    // integer arithmetic (k = ceil(i·n/buckets) — smallest k with
+    // k/n ≥ i/buckets), then the distributed bucketed [[selectRanks]] —
+    // no single task ever sorts the whole column (the previous
+    // unpartitioned row_number window did exactly that).
+    val mm = df.agg(count(v).as("n"), min(v).as("mn"), max(v).as("mx")).first()
+    val n = mm.getLong(0)
     import spark.implicits._
     if (n == 0) return Seq.empty[(Long, Long, Double, Double)]
       .toDF("bucket", "n", "min_v", "max_v")
     val ranks = (1 until buckets)
       .map(i => math.max(1L, (i.toLong * n + buckets - 1) / buckets))
       .distinct
-    val hits = df.where(v.isNotNull).select(v.as("v"))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("v")))
-      .where(col("__rn").isin(ranks: _*))
-      .collect().map(r => r.getInt(1).toLong -> r.getDouble(0)).toMap
+    val hits = selectRanks(
+      df.where(v.isNotNull).select(lit(c).as("column"), v.as("v")),
+      Map(c -> ranks.map(_.toLong)),
+      Map(c -> ((mm.getDouble(1), mm.getDouble(2)))))
     val bounds = (1 until buckets)
-      .map(i => hits(math.max(1L, (i.toLong * n + buckets - 1) / buckets)))
+      .map(i => hits((c, math.max(1L, (i.toLong * n + buckets - 1) / buckets))))
     val bucket = bounds.map(b => when(v > lit(b), 1).otherwise(0))
       .reduce(_ + _).cast("long")
     df.where(v.isNotNull)
@@ -182,15 +282,18 @@ object Profile {
     * Shape: the table unpivots to (column, v) pairs (`stack` — codegen'd,
     * keeps NULL values). The exact path then computes order statistics by
     * RANK SELECTION: one cheap counts/min/max aggregation fixes each
-    * column's target ranks, and a per-column `row_number` window picks
-    * exactly those rows — the whole percentile cost is one shuffle of the
-    * stacked pairs plus a cols-way-parallel sort. The earlier
+    * column's target ranks, and the distributed bucketed [[selectRanks]]
+    * picks exactly those rows — one equi-width histogram pass locates each
+    * rank's value-range bucket, and only the hit buckets (≈n/1024 rows)
+    * are sorted, in parallel across (column, bucket). No single task ever
+    * sorts a whole column (the earlier per-column row_number window did,
+    * which is a non-starter at 100 TB). The still-earlier
     * `percentile_disc` aggregation built a value→count map per column and
     * merged every partition's partial maps in the final tasks —
     * near-continuous columns made those maps row-sized, and the
     * single-threaded merges dominated the sf0.1 profile query (measured
     * 4.6-5.7s for the percentile agg vs 1.5-2.4s for rank selection,
-    * identical values — including ties, where row_number picks an
+    * identical values — including ties, where rank selection picks an
     * arbitrary row among equals but every such row carries the same v).
     * Percentiles must map to distinct integer percent labels (p25, ...). */
   def numericProfile(df: DataFrame, cols: Seq[String],
@@ -227,15 +330,12 @@ object Profile {
           val n = r.getAs[Long]("__n")
           c -> percentiles.map(p => math.max(1L, math.ceil(p * n).toLong))
       }
-      val allRanks = ranksPerCol.values.flatten.toSeq.distinct
-      val hits: Map[(String, Long), Double] =
-        if (allRanks.isEmpty) Map.empty
-        else stacked.where(col("v").isNotNull)
-          .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("column").orderBy("v")))
-          .where(col("__rn").isin(allRanks: _*))
-          .collect()
-          .map(r => (r.getString(0), r.getInt(2).toLong) -> r.getDouble(1)).toMap
+      val statsPerCol = byCol.collect {
+        case (c, r) if r.getAs[Long]("__n") > 0 =>
+          c -> ((r.getDouble(r.fieldIndex("__min")),
+            r.getDouble(r.fieldIndex("__max"))))
+      }
+      val hits = selectRanks(stacked, ranksPerCol, statsPerCol)
       cols.map { c =>
         byCol.get(c) match {
           case Some(r) =>
@@ -322,9 +422,16 @@ object Profile {
         coalesce(col("n_b"), lit(0L)).as("n_b"))
     // the grand totals ride a constant-partition window over the cell
     // table — C rows at any corpus scale, so the single-partition window
-    // is free, and it keeps the plan join-free (a 1-row cross join would
-    // plan the BroadcastNestedLoopJoin shape the driver-suite pin bans)
-    val one = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    // is free, and it keeps the plan join-free (attaching a 1-row totals
+    // frame would plan the BroadcastNestedLoopJoin shape the driver-suite
+    // pin bans — a constant equi-key folds to an unconditioned join). The
+    // key must be one Catalyst can neither fold nor simplify, or the spec
+    // comes back empty and WindowExec warns "moving all data to a single
+    // partition" (intended here, but it reads as an unbounded-sort red
+    // flag in plan audits): counts are non-negative so this CASE is
+    // constant 0, but the optimizer cannot prove it.
+    val one = org.apache.spark.sql.expressions.Window
+      .partitionBy(when(col("n_a") < 0, lit(1L)).otherwise(lit(0L)))
     def dec(c: org.apache.spark.sql.Column, p: Int) = c.cast(s"decimal($p,0)")
     val withTot = cells
       .withColumn("r_a", sum(col("n_a")).over(one))

@@ -107,6 +107,46 @@ class ProfileSpec extends SparkTestBase {
     assert(got(3L) == ((25L, 76.0, 100.0)))
   }
 
+  test("selectRanks matches a driver-side sort on mixed data (ties, skew, tiny buckets)") {
+    // deliberately small bucket count so targets span several buckets AND
+    // the dominant-tie shortcut (pure bucket) and the sort path both fire
+    val rnd = new scala.util.Random(7)
+    val colA = Seq.fill(400)(rnd.nextInt(50).toDouble)         // heavy ties
+    val colB = Seq.fill(300)(rnd.nextDouble() * 1e6)           // near-continuous
+    val colC = Seq.fill(200)(42.0)                             // constant column
+    val stacked = (colA.map(("a", _)) ++ colB.map(("b", _)) ++ colC.map(("c", _)))
+      .toDF("column", "v")
+    val ranks = Map(
+      "a" -> Seq(1L, 100L, 200L, 400L),
+      "b" -> Seq(1L, 150L, 300L),
+      "c" -> Seq(1L, 99L, 200L))
+    val stats = Map(
+      "a" -> ((colA.min, colA.max)),
+      "b" -> ((colB.min, colB.max)),
+      "c" -> ((42.0, 42.0)))
+    val got = Profile.selectRanks(stacked, ranks, stats, buckets = 8)
+    val sortedByCol = Map("a" -> colA.sorted, "b" -> colB.sorted, "c" -> colC.sorted)
+    ranks.foreach { case (c, ks) => ks.foreach { k =>
+      assert(got((c, k)) == sortedByCol(c)(k.toInt - 1), s"col $c rank $k")
+    } }
+  }
+
+  test("numericProfile rank pass is partitioned by (column, bucket) — parallel sort") {
+    // near-continuous values so the sort phase actually runs (no pure-bucket
+    // shortcut), then pin that the recorded plan partitions the window by
+    // BOTH keys — the 100 TB guarantee that no task sorts a whole column
+    val df = (1 to 5000).map(i => (i * 37 % 4999 + i / 1000.0, i * 73 % 4999 + i / 2000.0))
+      .toDF("x", "y")
+    val out = Profile.numericProfile(df, Seq("x", "y"), Seq(0.25, 0.5, 0.75))
+    assert(out.count() == 2)
+    val plan = Profile.lastRankSelectionPlan
+    assert(plan.isDefined, "sort phase did not run (all targets resolved by shortcut)")
+    assert(plan.get.contains("__b"), plan.get.take(2000))
+    // the window's required distribution is (column, __b) — the exchange
+    // hashes both, so parallelism scales with hit buckets, not columns
+    assert(plan.get.contains("hashpartitioning(column"), plan.get.take(2000))
+  }
+
   test("equiDepthHistogram: ties collapse into the lower bucket; empty ok") {
     import spark.implicits._
     val tied = Seq(1.0, 1.0, 1.0, 1.0, 9.0, 9.0).toDF("v")
