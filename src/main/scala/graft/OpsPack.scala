@@ -785,6 +785,20 @@ object OpsPack {
       .orderBy("source", "rank")
   }
 
+  /** Weighted bottom-k sample driver query: integer weights 1..7 cycling
+    * with n_chars, k = 100 — min-of-w md5 priorities are the integer-exact
+    * Efraimidis–Spirakis key ([[graft.operators.Sampling.weightedSample]]),
+    * so the selected set, its weights, and every priority value mirror
+    * bit-for-bit in DuckDB via generate_series + the shared md5 prefix
+    * parse. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = docs(s, dir)
+      .withColumn("w", (col("n_chars") % 7 + 1).cast("long"))
+    Sampling.weightedSample(d, "doc_id", "w", k = 100)
+      .orderBy("priority", "doc_id")
+  }
+
   /** Mixture-plan budget (chars) and weight rule for the driver queries:
     * weight 1..5 cycling with the source's numeric suffix, so the plan
     * exercises unequal targets; the budget is sized so sf0.01 upsamples
@@ -1216,6 +1230,50 @@ object OpsPack {
       .select(col("bucket").cast("long").as("bucket"), col("event_type"),
         col("n"), col("total_v").cast("double").as("total_value"))
       .orderBy("bucket", "event_type")
+  }
+
+  /** Streaming CDC apply driver query
+    * ([[graft.streaming.StreamingCdcApply]]): the q_cdc_apply changeset
+    * split into three micro-batches (doc_id mod 3 — disjoint key sets, so
+    * the per-batch one-change-per-key contract holds) replayed onto a
+    * snapshot table seeded with the OLD snapshot; each batch keyed-merges
+    * into only the key-buckets it touches. The final table must equal the
+    * new snapshot — q_cdc_apply's roundtrip oracle applies verbatim. */
+  def cdcStreamApply(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Cdc
+    import graft.streaming.StreamingCdcApply
+    val base = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val oldS = base.where(col("doc_id") % 11 =!= 3)
+    val newS = docs(s, dir).where(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), col("source"),
+        (col("n_chars") + col("doc_id") % 5).as("n_chars"))
+    val cs = Cdc.changesWithValues(oldS, newS, Seq("doc_id"),
+      Seq("source", "n_chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seq = streamSinkSeq.incrementAndGet()
+    val table = s"target/graft_cdc_snap_$seq"
+    val srcDir = s"target/graft_cdc_changes_$seq"
+    deleteRecursively(Paths.get(table))
+    deleteRecursively(Paths.get(srcDir))
+    val ckpt =
+      if (Files.isWritable(Paths.get("/dev/shm"))) s"/dev/shm/graft_ckpt_cdc_$seq"
+      else s"target/graft_ckpt_cdc_$seq"
+    try {
+      StreamingCdcApply.seedSnapshot(oldS, table, Seq("doc_id"))
+      for (i <- 0 until 3)
+        cs.where(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+    } finally cs.unpersist(blocking = false)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = StreamingCdcApply.ingestChanges(ss, srcDir, ss.read.parquet(srcDir),
+      table, ckpt, Seq("doc_id"), Seq("source", "n_chars"))
+    try q.processAllAvailable()
+    finally { q.stop(); deleteRecursively(Paths.get(ckpt)) }
+    ss.read.parquet(table)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
   }
 
   /** Contamination scan: every corpus document against a small probe set
@@ -2356,6 +2414,7 @@ object OpsPack {
     "q_mixture_sample" -> (mixtureSampleQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_sample_per_source" -> (samplePerSource _),
+    "q_sample_weighted" -> (sampleWeighted _),
     "q_profile_numeric" -> (numericProfileLineitem _),
     "q_profile_histogram" -> (profileHistogram _),
     "q_profile_histogram_depth" -> (profileHistogramDepth _),
@@ -2378,6 +2437,7 @@ object OpsPack {
     "q_profile_drift" -> (profileDrift _),
     "q_profile_chi2" -> (profileChi2 _),
     "q_cdc_apply" -> (cdcApply _),
+    "q_cdc_stream_apply" -> (cdcStreamApply _),
     "q_cdc_join_view" -> (cdcJoinView _),
     "q_source_orc" -> (sourceOrc _),
     "q_embedding_cosine_pairs" -> (cosinePairs _),
@@ -3317,6 +3377,24 @@ object OpsPack {
        |SELECT lang, rank, doc_id, quality_score FROM r WHERE rank <= 3
        |ORDER BY lang, rank""".stripMargin
   }
+
+  /** Weighted-sample oracle: the identical min-of-w md5 priority key —
+    * generate_series fans each doc into w draws, the same `id:t` string is
+    * hashed with the shared 48-bit prefix parse, and the bottom-100 by
+    * (priority, doc_id) is the sample. Integer-only end to end. */
+  private val sampleWeightedSql: String =
+    """WITH w AS (SELECT doc_id, CAST(n_chars % 7 + 1 AS BIGINT) AS weight
+      |           FROM documents),
+      |e AS (SELECT doc_id, weight,
+      |        unnest(generate_series(1, weight)) AS t FROM w),
+      |h AS (SELECT doc_id, weight,
+      |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |     CAST(t AS VARCHAR)), 1, 12))::BIGINT AS hk
+      |  FROM e),
+      |p AS (SELECT doc_id, CAST(max(weight) AS BIGINT) AS weight,
+      |        CAST(min(hk) AS BIGINT) AS priority FROM h GROUP BY 1)
+      |SELECT doc_id, weight, priority FROM p
+      |ORDER BY priority, doc_id LIMIT 100""".stripMargin
 
   /** Per-group hash-sample oracle: smallest md5 key hash wins, same 48-bit
     * prefix parse as every other sampling oracle. */
@@ -4508,11 +4586,13 @@ object OpsPack {
     "q_mixture_sample" -> mixtureSampleSql,
     "q_docs_topk_quality" -> topkQualitySql,
     "q_sample_per_source" -> samplePerSourceSql,
+    "q_sample_weighted" -> sampleWeightedSql,
     "q_profile_numeric" -> numericProfileSql,
     "q_profile_histogram" -> profileHistogramSql,
     "q_profile_histogram_depth" -> profileHistogramDepthSql,
     "q_profile_chi2" -> profileChi2Sql,
     "q_cdc_apply" -> cdcApplySql,
+    "q_cdc_stream_apply" -> cdcApplySql,
     "q_cdc_join_view" -> cdcJoinViewSql,
     "q_source_orc" -> sourceOrcSql,
     "q_profile_corr" -> profileCorrSql,

@@ -190,6 +190,32 @@ object ComparePack {
     statsDf(s, new SparkCompare(s, dfa, dfb, CompareConfig(joinColumns = Seq("id"))))
   }
 
+  /** The report's NUMERIC payload as (metric, value BIGINT) rows — the
+    * oracle-checkable core of `buildReportData` (shapes, column/row
+    * summaries, column comparison). The rendered text stays golden-pinned
+    * (q_compare_report); this twin proves the numbers inside it. */
+  def reportStatsDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = compare(s, dir).buildReportData()
+    Seq(
+      ("df1_rows", d.df1Shape._1),
+      ("df1_cols", d.df1Shape._2.toLong),
+      ("df2_rows", d.df2Shape._1),
+      ("df2_cols", d.df2Shape._2.toLong),
+      ("common_columns", d.columnSummary.commonColumns.toLong),
+      ("col_df1_unique", d.columnSummary.df1Unique.toLong),
+      ("col_df2_unique", d.columnSummary.df2Unique.toLong),
+      ("common_rows", d.rowSummary.commonRows),
+      ("row_df1_unique", d.rowSummary.df1Unique),
+      ("row_df2_unique", d.rowSummary.df2Unique),
+      ("unequal_rows", d.rowSummary.unequalRows),
+      ("equal_rows", d.rowSummary.equalRows),
+      ("unequal_columns", d.columnComparison.unequalColumns.toLong),
+      ("equal_columns", d.columnComparison.equalColumns.toLong),
+      ("unequal_values", d.columnComparison.unequalValues))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
   /** columnStats as a DataFrame (driver-side; stats already computed). */
   def statsDf(s: SparkSession, c: SparkCompare): DataFrame = {
     import s.implicits._
@@ -401,6 +427,52 @@ object OracleGen {
        |FROM j
        |WHERE in1 IS NULL OR in2 IS NULL OR ($anyMis)
        |ORDER BY ${keys.mkString(", ")}""".stripMargin
+  }
+
+  /** Oracle for the report's numeric payload (q_compare_report_stats):
+    * frame shapes, row/column summary counts, and the column-comparison
+    * rollup, each as a (metric, value) row. Reuses the shared join prefix
+    * and per-column match expressions; key columns join the per-column
+    * table with unequal = 0, mirroring the engine's columnStats (which
+    * carries key rows as always-equal). */
+  def reportStatsSql(keys: Seq[String]): String = {
+    val nonKeys = liCols.filterNot(keys.contains)
+    val matchSel = nonKeys.map(c => s"${matchCntExpr(c, 0.0)} AS match_$c").mkString(", ")
+    val allMatch = nonKeys.map(c => matchExpr(c, 0.0)).mkString(" AND ")
+    val perCol = (nonKeys.map(c =>
+      s"SELECT '$c' AS c, cnt - match_$c AS unequal FROM colagg") ++
+      keys.map(k => s"SELECT '$k', CAST(0 AS BIGINT) FROM colagg"))
+      .mkString("\n  UNION ALL ")
+    s"""${prefix(keys)},
+       |cnts AS (SELECT
+       |  CAST(SUM(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END) AS BIGINT) AS common_rows,
+       |  CAST(SUM(CASE WHEN in1 AND in2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS df1_unq,
+       |  CAST(SUM(CASE WHEN in1 IS NULL AND in2 THEN 1 ELSE 0 END) AS BIGINT) AS df2_unq,
+       |  CAST(SUM(CASE WHEN in1 AND in2 AND ($allMatch) THEN 1 ELSE 0 END) AS BIGINT) AS matching
+       |  FROM j),
+       |colagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt, $matchSel FROM i),
+       |percol AS ($perCol),
+       |colsum AS (SELECT
+       |  CAST(SUM(CASE WHEN unequal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS unequal_columns,
+       |  CAST(SUM(CASE WHEN unequal = 0 THEN 1 ELSE 0 END) AS BIGINT) AS equal_columns,
+       |  CAST(SUM(unequal) AS BIGINT) AS unequal_values FROM percol)
+       |SELECT * FROM (
+       |SELECT 'df1_rows' AS metric, (SELECT CAST(COUNT(*) AS BIGINT) FROM df1) AS "value"
+       |UNION ALL SELECT 'df1_cols', ${liCols.length}
+       |UNION ALL SELECT 'df2_rows', (SELECT CAST(COUNT(*) AS BIGINT) FROM df2)
+       |UNION ALL SELECT 'df2_cols', ${liCols.length}
+       |UNION ALL SELECT 'common_columns', ${liCols.length}
+       |UNION ALL SELECT 'col_df1_unique', 0
+       |UNION ALL SELECT 'col_df2_unique', 0
+       |UNION ALL SELECT 'common_rows', (SELECT common_rows FROM cnts)
+       |UNION ALL SELECT 'row_df1_unique', (SELECT df1_unq FROM cnts)
+       |UNION ALL SELECT 'row_df2_unique', (SELECT df2_unq FROM cnts)
+       |UNION ALL SELECT 'unequal_rows', (SELECT common_rows - matching FROM cnts)
+       |UNION ALL SELECT 'equal_rows', (SELECT matching FROM cnts)
+       |UNION ALL SELECT 'unequal_columns', (SELECT unequal_columns FROM colsum)
+       |UNION ALL SELECT 'equal_columns', (SELECT equal_columns FROM colsum)
+       |UNION ALL SELECT 'unequal_values', (SELECT unequal_values FROM colsum)
+       |) ORDER BY metric""".stripMargin
   }
 
   /** Oracle for the boolean predicate suite. */

@@ -62,6 +62,10 @@ object SparkEntry {
     "q_compare_cdc" -> ((s, dir) =>
       graft.operators.Cdc.changes(frameA(s, dir), frameB(s, dir), keys2)
         .orderBy(keys2.map(col): _*)),
+    // The report's numeric payload (shapes + summaries + column rollup) as
+    // (metric, value) rows — the oracle-checkable twin of q_compare_report's
+    // golden-pinned text render.
+    "q_compare_report_stats" -> (reportStatsDf _),
     // Boolean predicate suite (§2.11).
     "q_compare_predicates" -> { (s, dir) =>
       import s.implicits._
@@ -89,6 +93,7 @@ object SparkEntry {
     "q_compare_df2_unq_rows" -> OracleGen.unqRowsSql(keys2, 2),
     "q_compare_all_mismatch" -> OracleGen.allMismatchSql(keys2, 0.0),
     "q_compare_cdc" -> OracleGen.cdcSql(keys2),
+    "q_compare_report_stats" -> OracleGen.reportStatsSql(keys2),
     "q_compare_predicates" -> OracleGen.predicatesSql(keys2, 0.0),
   ) ++ OpsPack.oracleSql
 }

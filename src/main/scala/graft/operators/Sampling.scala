@@ -75,6 +75,48 @@ object Sampling {
     df.where(hashBucket(col(keyCol), 100) < rate)
   }
 
+  /** Deterministic weight-proportional bottom-k sampling WITHOUT
+    * replacement — "pick k documents favoring the high-quality ones" with
+    * a reproducible, engine-portable decision for every row.
+    *
+    * Each row draws `w` = min(weight, maxWeight) independent 48-bit md5
+    * hashes (one per t ∈ 1..w of `id:t`) and keeps the minimum as its
+    * priority; the sample is the k rows with the SMALLEST priorities
+    * (ties by id). Min-of-w uniform draws is distributed Beta(1, w) — the
+    * integer-exact equivalent of the Efraimidis–Spirakis u^(1/w) priority
+    * key, so inclusion is exactly weight-proportional in the
+    * without-replacement sense, monotone in w (more draws can only lower
+    * the min: raising a row's weight never evicts it from the sample it
+    * was already in, holding others fixed), and identical across engines
+    * (DuckDB mirrors it with generate_series + the same md5 prefix parse).
+    * Unlike `rand()`-based weighted reservoirs, the result does not depend
+    * on run, partitioning, or traversal order.
+    *
+    * `maxWeight` caps the per-row draw fan-out (weights saturate at the
+    * cap — beyond it, marginal inclusion gain is ≤ 1/cap per extra unit,
+    * and the cap keeps the explode bounded at scale). Rows with weight
+    * < 1 or NULL id are excluded.
+    *
+    * Scale shape: explode of ≤ maxWeight per row, map-side min combine
+    * into one shuffle of distinct ids, then TakeOrdered k (per-partition
+    * top-k heaps, no global sort). Output: (id, weight, priority). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, maxWeight: Int = 64): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxWeight >= 1, s"maxWeight must be >= 1, got $maxWeight")
+    val w = least(col(weightCol).cast("long"), lit(maxWeight.toLong))
+    df.where(col(weightCol) >= 1 && col(idCol).isNotNull)
+      .select(col(idCol), w.as("__w"))
+      .withColumn("__t", explode(sequence(lit(1L), col("__w"))))
+      .withColumn("__h", Dedup.md5Long48(
+        concat(col(idCol).cast("string"), lit(":"), col("__t").cast("string"))
+          .cast("binary")))
+      .groupBy(col(idCol))
+      .agg(max(col("__w")).as("weight"), min(col("__h")).as("priority"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic global shuffle for training export — the data-ordering
     * pass every pre-training pipeline runs before tokenization: rows get a
     * reproducible pseudo-random order keyed on their id hash, independent

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming CDC apply — the keyed-merge upsert consumer for a
+  * [[graft.operators.Cdc.changesWithValues]] feed: each micro-batch of
+  * (keys, change_type, new values) rows is merged into a persisted snapshot
+  * table, so the table tracks the source as `apply(A, changes(A→B)) ≡ B`
+  * batch over batch (the invariant the batch operator is oracle-checked
+  * with — the streaming twin shares that oracle verbatim).
+  *
+  * Scale shape: the snapshot is hash-bucketed on the key
+  * (`__bucket` partition directories); a batch reads and rewrites ONLY the
+  * buckets its keys touch (dynamic partition overwrite — the
+  * [[IncrementalRollup]] pattern), so per-batch cost is
+  * O(batch + touched-bucket rows), independent of snapshot size when
+  * deltas are concentrated. Size `buckets` so one bucket's rows fit an
+  * executor comfortably at the target scale. Production engines get this
+  * atomically from a MERGE-capable table format; the parquet committer
+  * here is atomic per partition, and re-running a half-applied batch is
+  * idempotent per key (upsert), unlike the rollup's additive merge.
+  *
+  * Contract: at most one change row per key per micro-batch (any changeset
+  * derived from a snapshot diff satisfies this; feeds with finer-grained
+  * events should be last-write-wins pre-deduplicated upstream). Cross-batch
+  * sequences on one key — insert, then update, then delete — apply in
+  * arrival order; StreamingSpec replays exactly that. */
+object StreamingCdcApply {
+
+  /** The snapshot's key-bucket column — ONE definition shared by the
+    * initial seed load and every batch merge, so a key's rows can never
+    * land in two partitions. */
+  def bucketExpr(keys: Seq[String], buckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(keys.map(col): _*), lit(buckets))
+
+  /** Seed the snapshot table with an initial full load. */
+  def seedSnapshot(initial: DataFrame, tablePath: String, keys: Seq[String],
+      buckets: Int = 16): Unit =
+    initial.withColumn("__bucket", bucketExpr(keys, buckets))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(tablePath)
+
+  /** Merge one changeset micro-batch (shape:
+    * [[graft.operators.Cdc.changesWithValues]] — keys, change_type, new
+    * values) into the bucket-partitioned snapshot at `tablePath`. */
+  def applyChangeBatch(batch: DataFrame, tablePath: String, keys: Seq[String],
+      valueCols: Seq[String], buckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val withB = batch.withColumn("__bucket", bucketExpr(keys, buckets))
+    val touched = withB.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val outCols = keys ++ valueCols
+    // dynamic-partition-overwrite commits write no _SUCCESS marker — detect
+    // the table by its partition directories (same rule as IncrementalRollup)
+    val rootDir = new java.io.File(tablePath)
+    val exists = rootDir.isDirectory &&
+      Option(rootDir.listFiles).exists(_.exists(_.getName.startsWith("__bucket=")))
+    val current =
+      if (exists)
+        spark.read.parquet(tablePath)
+          .where(col("__bucket").isin(touched: _*))
+          .select(outCols.map(col): _*)
+      else batch.select(outCols.map(col): _*).where(lit(false))
+    val applied = graft.operators.Cdc.applyChanges(current, withB, keys, valueCols)
+      .withColumn("__bucket", bucketExpr(keys, buckets))
+      // the merged plan READS the partitions the write replaces —
+      // materialize first (touched buckets only, bounded by construction)
+      .localCheckpoint()
+    applied
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket")
+      .parquet(tablePath)
+    // dynamic overwrite only replaces partitions PRESENT in the output — a
+    // batch whose deletes empty a bucket produces no rows for it, so the
+    // stale directory would survive. Drop touched-but-now-empty buckets
+    // explicitly (bounded by the batch's own bucket count).
+    val nonEmpty = applied.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    touched.filterNot(nonEmpty).foreach { b =>
+      val dir = java.nio.file.Paths.get(tablePath, s"__bucket=$b")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  /** Drive a file-source replay of changeset batches from `sourceDir`
+    * through [[applyChangeBatch]] into the snapshot at `tablePath`. */
+  def ingestChanges(
+      spark: SparkSession,
+      sourceDir: String,
+      schemaOf: DataFrame,
+      tablePath: String,
+      checkpointDir: String,
+      keys: Seq[String],
+      valueCols: Seq[String],
+      buckets: Int = 16,
+      sourceOptions: Map[String, String] = Map("maxFilesPerTrigger" -> "1"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream.schema(schemaOf.schema)
+      .options(sourceOptions).parquet(sourceDir)
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyChangeBatch(batch, tablePath, keys, valueCols, buckets)
+      }
+      .start()
+  }
+}

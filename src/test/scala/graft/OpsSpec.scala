@@ -608,6 +608,50 @@ class OpsSpec extends SparkTestBase {
       .where(col("lang") === "en").count() == 0L)
   }
 
+  test("weighted sample: exact min-of-w md5 priorities, monotone in weight") {
+    import graft.operators.Sampling
+    // driver-side reference: the same 48-bit md5 prefix of "id:t"
+    def md5p48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xff))
+    }
+    def refPriority(id: Long, w: Long): Long =
+      (1L to w).map(t => md5p48(s"$id:$t")).min
+    // weights 1, 2, 4 (the exactness pin), plus excluded rows
+    val df = Seq(
+      (1L, 1L), (2L, 2L), (3L, 4L), (4L, 1L), (5L, 2L), (6L, 4L),
+      (7L, 0L),   // weight < 1: excluded
+      (8L, -3L))  // negative: excluded
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!got.contains(7L) && !got.contains(8L))
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    got.foreach { case (id, (w, pri)) =>
+      assert(pri == refPriority(id, w), s"id $id w $w")
+    }
+    // monotone: more weight can only LOWER a row's priority (never evict)
+    for (id <- 1L to 6L; w <- 1L to 7L)
+      assert(refPriority(id, w + 1) <= refPriority(id, w))
+    // and the engine agrees when the same id is re-weighted upward
+    val up = Sampling.weightedSample(
+      Seq((1L, 8L), (2L, 8L), (3L, 8L)).toDF("id", "w"), "id", "w", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (id <- 1L to 3L) assert(up(id) <= got(id)._2)
+    // bottom-k: k smaller than the population keeps the smallest priorities
+    val top2 = Sampling.weightedSample(df, "id", "w", k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val expect2 = got.toSeq.sortBy { case (id, (_, p)) => (p, id) }
+      .take(2).map(_._1)
+    assert(top2 == expect2)
+    // maxWeight saturation: weight 100 capped at 4 equals weight 4
+    val capped = Sampling.weightedSample(
+      Seq((3L, 100L)).toDF("id", "w"), "id", "w", k = 1, maxWeight = 4)
+      .collect().head
+    assert(capped.getLong(1) == 4L && capped.getLong(2) == refPriority(3L, 4L))
+  }
+
   test("mixture plan and sample: exact planner math, determinism, epoch bounds") {
     import graft.operators.Sampling
     // two domains: "big" has 4× the target weight of "small" but the same

@@ -262,6 +262,47 @@ class StreamingSpec extends SparkTestBase {
     assert(day0After == day0File)
   }
 
+  test("streaming CDC apply: one key inserted, updated, then deleted across batches") {
+    import graft.streaming.StreamingCdcApply
+    import spark.implicits._
+    def rm(p: String): Unit = {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val table = "target/test_cdc_stream_apply"
+    rm(table)
+    def snap: Map[Long, (String, Long)] = spark.read.parquet(table)
+      .select("id", "name", "v").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    def batch(rows: Seq[(Long, String, String, Long)]) =
+      rows.toDF("id", "change_type", "name", "v")
+        .select(col("id"), col("change_type"), col("name"), col("v"))
+    val keys = Seq("id")
+    val vals = Seq("name", "v")
+    StreamingCdcApply.seedSnapshot(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "v"), table, keys)
+    assert(snap == Map(1L -> (("a", 10L)), 2L -> (("b", 20L))))
+    // batch 1: insert key 3, update key 1
+    StreamingCdcApply.applyChangeBatch(
+      batch(Seq((3L, "insert", "c", 30L), (1L, "update", "a2", 11L))),
+      table, keys, vals)
+    assert(snap == Map(1L -> (("a2", 11L)), 2L -> (("b", 20L)), 3L -> (("c", 30L))))
+    // batch 2: update the key batch 1 inserted — state carried across batches
+    StreamingCdcApply.applyChangeBatch(
+      batch(Seq((3L, "update", "c2", 31L))), table, keys, vals)
+    assert(snap == Map(1L -> (("a2", 11L)), 2L -> (("b", 20L)), 3L -> (("c2", 31L))))
+    // batch 3: delete that key; empty batch is a no-op
+    StreamingCdcApply.applyChangeBatch(
+      batch(Seq((3L, "delete", null, 0L))), table, keys, vals)
+    StreamingCdcApply.applyChangeBatch(
+      batch(Seq.empty), table, keys, vals)
+    assert(snap == Map(1L -> (("a2", 11L)), 2L -> (("b", 20L))))
+  }
+
   test("streaming ingest dedup: later micro-batches dedup against earlier ones") {
     import graft.streaming.IngestDedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
