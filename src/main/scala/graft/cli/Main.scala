@@ -46,6 +46,8 @@ object Main {
       |  --output PATH              write the report to a file
       |  --quiet                    suppress stdout report
       |  --spark-app-name NAME      Spark application name
+      |  --backend NAME             engine selector (script compatibility;
+      |                             only 'spark' is accepted)
       |  --no-cache-intermediates   skip caching the merged join
       |  --assume-keys-unique       promise join keys are unique per side:
       |                             skips the duplicate-shape probe scan and
@@ -175,6 +177,15 @@ object Main {
         case "--output" => a = a.copy(output = Some(value("--output")))
         case "--quiet" => a = a.copy(quiet = true)
         case "--spark-app-name" => a = a.copy(sparkAppName = value("--spark-app-name"))
+        // reference parser.py:268-510 selects among pandas/polars/spark/
+        // snowflake engines; this library IS the spark engine, so the flag
+        // exists for script compatibility and validates rather than switches
+        case "--backend" =>
+          val b = value("--backend")
+          if (b.toLowerCase != "spark")
+            throw new BadArgsException(
+              s"--backend '$b' is not available: this is a Spark-native engine " +
+                "(only 'spark' is accepted)")
         case "--cache-intermediates" => a = a.copy(cacheIntermediates = true)
         case "--no-cache-intermediates" => a = a.copy(cacheIntermediates = false)
         case "--assume-keys-unique" => a = a.copy(assumeKeysUnique = true)

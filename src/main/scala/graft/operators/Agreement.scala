@@ -38,7 +38,10 @@ object Agreement {
   def confusionWithKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("n"))
-    val one = Window.partitionBy(lit(1))
+    // non-foldable constant keys (counts are ≥ 0) — a literal would be
+    // stripped and WindowExec would warn; see Windows.constantPartition
+    val one = Windows.constantPartition(col("n"))
+    val oneMarg = Windows.constantPartition(col("row_total"))
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(13,0)")
     // melted marginals: one row per label with both margin totals, plus
     // the chance-agreement numerator E as a constant-window column
@@ -49,7 +52,7 @@ object Agreement {
         coalesce(sum(when(col("is_row") === 1, col("n"))), lit(0L)).as("row_total"),
         coalesce(sum(when(col("is_row") === 0, col("n"))), lit(0L)).as("col_total"))
       .withColumn("e_num",
-        sum(dec(col("row_total")) * dec(col("col_total"))).over(one))
+        sum(dec(col("row_total")) * dec(col("col_total"))).over(oneMarg))
     val withTotals = cells
       .withColumn("n_total", sum(col("n")).over(one))
       .withColumn("n_agree",

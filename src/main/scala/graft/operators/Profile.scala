@@ -422,16 +422,9 @@ object Profile {
         coalesce(col("n_b"), lit(0L)).as("n_b"))
     // the grand totals ride a constant-partition window over the cell
     // table — C rows at any corpus scale, so the single-partition window
-    // is free, and it keeps the plan join-free (attaching a 1-row totals
-    // frame would plan the BroadcastNestedLoopJoin shape the driver-suite
-    // pin bans — a constant equi-key folds to an unconditioned join). The
-    // key must be one Catalyst can neither fold nor simplify, or the spec
-    // comes back empty and WindowExec warns "moving all data to a single
-    // partition" (intended here, but it reads as an unbounded-sort red
-    // flag in plan audits): counts are non-negative so this CASE is
-    // constant 0, but the optimizer cannot prove it.
-    val one = org.apache.spark.sql.expressions.Window
-      .partitionBy(when(col("n_a") < 0, lit(1L)).otherwise(lit(0L)))
+    // is free and join-free; see [[Windows.constantPartition]] for why the
+    // key must be non-foldable
+    val one = Windows.constantPartition(col("n_a"))
     def dec(c: org.apache.spark.sql.Column, p: Int) = c.cast(s"decimal($p,0)")
     val withTot = cells
       .withColumn("r_a", sum(col("n_a")).over(one))

@@ -169,7 +169,9 @@ object Sampling {
   def mixturePlan(df: DataFrame, groupCol: String, sizeCol: String,
       weightOf: Column => Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val one = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    // non-foldable constant key (doc counts are ≥ 0) — a literal would be
+    // stripped and WindowExec would warn; see Windows.constantPartition
+    val one = Windows.constantPartition(col("n_docs"))
     val rate = col("desired_size") / col("available").cast("double")
     df.groupBy(col(groupCol).as("group"))
       .agg(count(lit(1)).as("n_docs"), sum(col(sizeCol)).cast("long").as("available"))

