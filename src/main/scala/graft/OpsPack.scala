@@ -332,6 +332,29 @@ object OpsPack {
       .toSeq.toDF("rank", "vec_id")
   }
 
+  /** Product-quantization parameters for the PQ driver query: 4 subspaces
+    * of 16 dims, 8 codes per subspace (codebooks from the shared plane
+    * family at a disjoint offset — literal-embeddable in the oracle;
+    * production trains them with [[graft.operators.Ivf.kmeansCentroids]]). */
+  val PqSubspaces = 4
+  val PqCodebookSize = 8
+  val PqPlaneOffset = 16384
+
+  /** PQ-ADC ANN driver query ([[graft.operators.Pq]]): encode the corpus to
+    * 4 codes per vector, score ALL vectors for the vec_id=0 query by
+    * summing per-subspace distance-table lookups, take the ascending
+    * top-20. Codes, ADC sums, and the ranking are fixed-order double
+    * arithmetic — bit-identical in the oracle's literal-codebook mirror. */
+  def annTopKPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val e = embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0).select(col("embedding")).first()
+      .getSeq[Float](0).map(_.toDouble)
+    val books = Pq.codebooks(EmbeddingDim, PqSubspaces, PqCodebookSize, PqPlaneOffset)
+    Pq.adcTopK(e, "embedding", "vec_id", q, 20, books)
+      .select(col("id").as("vec_id"), col("adc_dist"))
+  }
+
   /** Quantized ANN: int8-quantize the corpus, rank by quantized cosine for
     * the query vector of vec_id=0. Integer dot products are exact in
     * double, so the full ranking (not just the id set) is engine-stable. */
@@ -2426,6 +2449,7 @@ object OpsPack {
     "q_ann_filtered" -> (annFiltered _),
     "q_ann_knn" -> (annKnnClassify _),
     "q_ann_topk_quantized" -> (annTopKQuantized _),
+    "q_ann_pq" -> (annTopKPq _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_lsh_bucketed" -> (annLshBucketed _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
@@ -3696,6 +3720,48 @@ object OpsPack {
     * within-cluster cosine pairs, and the recursive-CTE component collapse
     * from the clean-corpus oracle. Only ids and cluster indices surface, so
     * ulp-level cosine differences between engines never reach the hash. */
+  /** PQ-ADC oracle: the literal-codebook mirror. Encode = per-subspace
+    * argmin over the same fixed-order (c² − 2·v·c) distance expressions
+    * (list_position(list_min) ≡ array_position(array_min) — first index on
+    * ties); ADC table = the same left-to-right Σ(q_i−c_i)² the engine
+    * computes driver-side; score = the same m-ordered lookup sum. Every
+    * constant rides a '…'::DOUBLE string cast (exact parse — bare float
+    * literals parse as DECIMAL in DuckDB). */
+  private val annPqSql: String = {
+    val books = graft.operators.Pq.codebooks(
+      EmbeddingDim, PqSubspaces, PqCodebookSize, PqPlaneOffset)
+    val subdim = EmbeddingDim / PqSubspaces
+    def dlit(x: Double) = s"'$x'::DOUBLE"
+    def encList(m: Int): String = books(m).map { c =>
+      val c2 = c.map(x => x * x).sum
+      val dot = c.zipWithIndex
+        .map { case (w, i) => s"v[${m * subdim + i + 1}] * ${dlit(w)}" }
+        .mkString("(", " + ", ")")
+      s"(${dlit(c2)} - 2.0 * $dot)"
+    }.mkString("[", ",\n      ", "]")
+    def dtList(m: Int): String = books(m).map { c =>
+      c.zipWithIndex.map { case (w, i) =>
+        val t = s"(qv[${m * subdim + i + 1}] - ${dlit(w)})"
+        s"$t * $t"
+      }.mkString("(", " + ", ")")
+    }.mkString("[", ",\n      ", "]")
+    val dlCols = (0 until PqSubspaces)
+      .map(m => s"${encList(m)} AS dl_$m").mkString(",\n  ")
+    val codeCols = (0 until PqSubspaces)
+      .map(m => s"CAST(list_position(dl_$m, list_min(dl_$m)) - 1 AS INT) AS code_$m")
+      .mkString(", ")
+    val adcSum = (0 until PqSubspaces)
+      .map(m => s"(${dtList(m)})[code_$m + 1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |dl AS (SELECT vec_id,
+       |  $dlCols
+       |  FROM e),
+       |enc AS (SELECT vec_id, $codeCols FROM dl),
+       |adc AS (SELECT enc.vec_id, $adcSum AS adc_dist FROM enc, q)
+       |SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin
+  }
+
   private val semanticDedupSql: String = {
     val cents = semDedupCentroids
     def dotLit(v: String, c: Array[Double]): String =
@@ -4615,6 +4681,7 @@ object OpsPack {
     "q_ann_filtered" -> annFilteredSql,
     "q_ann_knn" -> annKnnSql,
     "q_ann_topk_quantized" -> annTopKQuantizedSql,
+    "q_ann_pq" -> annPqSql,
     "q_ann_ivf" -> annTopKSql,
     "q_ann_ivf_persisted" -> annTopKSql,
     "q_ann_ivf_streamed" -> annTopKSql,

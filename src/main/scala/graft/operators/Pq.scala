@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the memory-side half of the standard
+  * IVF+PQ ANN recipe (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011): the embedding splits into M subspaces,
+  * each sub-vector is replaced by the index of its nearest codebook entry,
+  * and a query scores a vector by summing per-subspace distances looked up
+  * from a precomputed table (asymmetric distance computation, ADC).
+  *
+  * Why it matters at 100 TB: a 64-float embedding is 256 bytes; its PQ code
+  * is M small ints (M bytes at K ≤ 256). A scored scan over a persisted
+  * codes table reads ~64× fewer bytes than the raw vectors, and the
+  * per-vector score is M array lookups + M−1 adds instead of a dim-length
+  * dot product — the scan-side complement of [[Ivf]]'s partition pruning
+  * (prune lists with IVF, score cheap with PQ).
+  *
+  * Determinism/oracle story (the [[Ann]] pattern): codebooks here derive
+  * from the shared [[graft.functions.LshPlanes]] family (a disjoint plane
+  * offset), so they embed as literals in oracle SQL; production would train
+  * them per subspace with [[Ivf.kmeansCentroids]] — the encode/ADC algebra
+  * is identical for any codebook array. Every distance is a fixed-order
+  * double expression: argmin ties resolve to the SMALLEST code on both
+  * engines (Spark `array_position(array_min)` ≡ DuckDB
+  * `list_position(list_min)`), so codes, ADC sums, and the final ranking
+  * are bit-identical.
+  */
+object Pq {
+
+  /** Deterministic codebooks: entry (m, j) is the `dim/subspaces`-length
+    * plane vector at global index `planeOffset + m·codebookSize + j`. */
+  def codebooks(dim: Int, subspaces: Int, codebookSize: Int,
+      planeOffset: Int): Seq[Seq[Seq[Double]]] = {
+    require(dim % subspaces == 0,
+      s"dim $dim not divisible into $subspaces subspaces")
+    val subdim = dim / subspaces
+    (0 until subspaces).map { m =>
+      (0 until codebookSize).map { j =>
+        graft.functions.LshPlanes.vector(planeOffset + m * codebookSize + j, subdim)
+      }
+    }
+  }
+
+  /** Code column for subspace `m`: argmin_j ‖v_m − c_mj‖², computed as
+    * argmin_j (‖c_mj‖² − 2·v_m·c_mj) — the ‖v_m‖² term is constant across
+    * j and drops out. Ties take the smallest j (`array_position` returns
+    * the FIRST index equal to the min, mirroring DuckDB `list_position`). */
+  def codeExpr(vecCol: Column, books: Seq[Seq[Seq[Double]]], m: Int): Column = {
+    val subdim = books(m).head.length
+    val sub = slice(vecCol, m * subdim + 1, subdim)
+    val dists = books(m).map { c =>
+      val c2 = c.map(x => x * x).sum
+      lit(c2) - lit(2.0) * Ann.dot(sub, Ann.vecLit(c))
+    }
+    val darr = array(dists: _*)
+    (array_position(darr, array_min(darr)) - 1).cast("int")
+  }
+
+  /** Encode a vector table to (id, code_0 … code_{M−1}) — the persisted PQ
+    * layout (one scan, pure codegen'd column algebra, no shuffle). */
+  def encode(df: DataFrame, vecCol: String, idCol: String,
+      books: Seq[Seq[Seq[Double]]]): DataFrame =
+    df.select(col(idCol).as("id") +:
+      books.indices.map(m => codeExpr(col(vecCol), books, m).as(s"code_$m")): _*)
+
+  /** Driver-side ADC table: d(m)(j) = ‖q_m − c_mj‖², accumulated
+    * left-to-right in subspace order — the fixed double-op sequence the
+    * oracle mirrors term by term. */
+  def adcTable(query: Seq[Double], books: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] =
+    books.zipWithIndex.map { case (book, m) =>
+      val subdim = book.head.length
+      val qm = query.slice(m * subdim, (m + 1) * subdim)
+      book.map { c =>
+        var s = 0.0
+        var i = 0
+        while (i < subdim) { val d = qm(i) - c(i); s += d * d; i += 1 }
+        s
+      }
+    }
+
+  /** ADC top-k over a codes table (`encode`'s shape): per-vector score is
+    * M literal-array lookups + adds; ranking ascends by (adc_dist, id).
+    * `orderBy().limit(k)` executes as per-partition top-k heaps +
+    * driver merge (TakeOrderedAndProject) — no global sort. */
+  def adcTopKFromCodes(codes: DataFrame, idCol: String, query: Seq[Double],
+      k: Int, books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val table = adcTable(query, books)
+    val adc = table.zipWithIndex.map { case (row, m) =>
+      element_at(array(row.map(lit): _*), col(s"code_$m") + 1)
+    }.reduce(_ + _)
+    codes.select(col(idCol), adc.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** ADC top-k straight off the raw vectors (encode fused into the scan —
+    * the no-persisted-layout form). */
+  def adcTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, books: Seq[Seq[Seq[Double]]]): DataFrame =
+    adcTopKFromCodes(encode(df, vecCol, idCol, books), "id", query, k, books)
+}

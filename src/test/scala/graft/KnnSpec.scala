@@ -59,4 +59,74 @@ class KnnSpec extends SparkTestBase {
     // never a repartition of the corpus by id
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  // ---- product quantization --------------------------------------------
+
+  import graft.operators.Pq
+
+  private val PqDim = 8
+  private lazy val pqBooks = Pq.codebooks(PqDim, subspaces = 2,
+    codebookSize = 4, planeOffset = 900)
+
+  /** Driver-side reference encode: argmin_j ‖v_m − c_mj‖² (first on ties),
+    * via the same c²−2vc form the engine uses. */
+  private def refCodes(v: Seq[Double]): Seq[Int] =
+    pqBooks.zipWithIndex.map { case (book, m) =>
+      val sub = v.slice(m * 4, m * 4 + 4)
+      val dists = book.map { c =>
+        val c2 = c.map(x => x * x).sum
+        var dot = 0.0
+        for (i <- 0 until 4) dot += sub(i) * c(i)
+        c2 - 2.0 * dot
+      }
+      dists.indexOf(dists.min)
+    }
+
+  private lazy val pqVecs = {
+    val rnd = new scala.util.Random(11)
+    (0L until 40L).map(i => (i, Array.fill(PqDim)(rnd.nextFloat() * 2 - 1)))
+  }
+
+  test("pq encode matches driver-side argmin; codes bounded by codebook size") {
+    val df = pqVecs.toDF("vec_id", "embedding")
+    val got = Pq.encode(df, "embedding", "vec_id", pqBooks)
+      .collect().map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2))).toMap
+    pqVecs.foreach { case (id, v) =>
+      val ref = refCodes(v.map(_.toDouble).toSeq)
+      assert(got(id) == ref, s"vec $id")
+      assert(ref.forall(c => c >= 0 && c < 4))
+    }
+    // a vector assembled FROM codebook entries must encode to those codes
+    val exact = (pqBooks(0)(2) ++ pqBooks(1)(1)).toArray.map(_.toFloat)
+    val g = Pq.encode(Seq((99L, exact)).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", pqBooks).collect().head
+    assert(g.getInt(1) == 2 && g.getInt(2) == 1)
+  }
+
+  test("pq ADC top-k equals the driver-side table-lookup ranking exactly") {
+    val df = pqVecs.toDF("vec_id", "embedding")
+    val query = pqVecs(7)._2.map(_.toDouble).toSeq
+    val table = Pq.adcTable(query, pqBooks)
+    val ref = pqVecs.map { case (id, v) =>
+      val codes = refCodes(v.map(_.toDouble).toSeq)
+      id -> codes.zipWithIndex.map { case (c, m) => table(m)(c) }.sum
+    }.sortBy { case (id, d) => (d, id) }.take(10)
+    val got = Pq.adcTopK(df, "embedding", "vec_id", query, 10, pqBooks)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got == ref)
+    // persisted-codes path is identical to the fused path
+    val codes = Pq.encode(df, "embedding", "vec_id", pqBooks)
+    val fromCodes = Pq.adcTopKFromCodes(codes, "id", query, 10, pqBooks)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(fromCodes == got)
+  }
+
+  test("pq top-k plan: TakeOrdered over column algebra, no shuffle of the corpus") {
+    val df = pqVecs.toDF("vec_id", "embedding")
+    val plan = Pq.adcTopK(df, "embedding", "vec_id",
+        pqVecs.head._2.map(_.toDouble).toSeq, 5, pqBooks)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }
