@@ -669,6 +669,43 @@ object OpsPack {
       .orderBy("event_type")
   }
 
+  /** Streaming distinct-sketch driver query
+    * ([[graft.streaming.StreamingDistinct]]): the events replay maintains
+    * the per-event-type HLL register table incrementally (per-batch
+    * register merge by max — associative, commutative, idempotent), then
+    * estimates from the MAINTAINED table. Max-merge exactness means the
+    * final registers equal the batch registers over the whole feed, so
+    * q_sketch_distinct_grouped's oracle applies verbatim. */
+  def eventsStreamDistinct(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.DistinctSketch
+    import graft.streaming.StreamingDistinct
+    val m = DistinctBuckets
+    val staged = stageStreamDir(s, dir)
+    val seq = streamSinkSeq.incrementAndGet()
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val table = s"target/graft_regs_$seq"
+    deleteRecursively(Paths.get(table))
+    val ckpt =
+      if (Files.isWritable(Paths.get("/dev/shm"))) s"/dev/shm/graft_ckpt_regs_$seq"
+      else s"target/graft_ckpt_regs_$seq"
+    val q = StreamingDistinct.ingestRegisters(
+      ss, staged, ss.read.parquet(staged), table, ckpt,
+      Seq("event_type"), "v", m,
+      prepare = b => b.select(col("event_type"), col("user_id").cast("string").as("v")))
+    try q.processAllAvailable()
+    finally { q.stop(); deleteRecursively(Paths.get(ckpt)) }
+    val est = DistinctSketch.estimateByGroup(
+      ss.read.parquet(table), Seq("event_type"), m)
+    val exact = ss.read.parquet(staged)
+      .select(col("event_type"), col("user_id").cast("string").as("v"))
+      .groupBy("event_type")
+      .agg(count_distinct(col("v")).as("exact_distinct"))
+    est.join(broadcast(exact), Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   /** Edit-distance budget for the fuzzy-join driver query. */
   val FuzzyK = 2
 
@@ -2425,6 +2462,7 @@ object OpsPack {
     "q_sketch_countmin" -> (sketchCountMin _),
     "q_sketch_distinct" -> (sketchDistinct _),
     "q_sketch_distinct_grouped" -> (sketchDistinctGrouped _),
+    "q_events_stream_distinct" -> (eventsStreamDistinct _),
     "q_fuzzy_join" -> (fuzzyJoinNames _),
     "q_entity_resolution" -> (entityResolution _),
     "q_sketch_join_size" -> (sketchJoinSize _),
@@ -4640,6 +4678,7 @@ object OpsPack {
     "q_sketch_countmin" -> countMinSql,
     "q_sketch_distinct" -> distinctSketchSql,
     "q_sketch_distinct_grouped" -> distinctSketchGroupedSql,
+    "q_events_stream_distinct" -> distinctSketchGroupedSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_entity_resolution" -> entityResolutionSql,
     "q_sketch_join_size" -> joinSizeSql,

@@ -262,6 +262,49 @@ class StreamingSpec extends SparkTestBase {
     assert(day0After == day0File)
   }
 
+  test("streaming distinct sketch: batch merges are exact and idempotent") {
+    import graft.streaming.StreamingDistinct
+    import graft.operators.DistinctSketch
+    import spark.implicits._
+    def rm(p: String): Unit = {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val table = "target/test_stream_distinct"
+    rm(table)
+    val m = 16
+    def mk(rows: Seq[(String, String)]) = rows.toDF("g", "v")
+    val b1 = mk(Seq(("a", "u1"), ("a", "u2"), ("b", "u1")))
+    val b2 = mk(Seq(("a", "u2"), ("a", "u3"), ("b", "u9")))
+    StreamingDistinct.mergeRegistersBatch(b1, table, Seq("g"), "v", m)
+    StreamingDistinct.mergeRegistersBatch(b2, table, Seq("g"), "v", m)
+    def regs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val maintained = regs(spark.read.parquet(table).select("g", "bucket", "register"))
+    // exactly the batch registers over the union — max-merge loses nothing
+    val batch = regs(DistinctSketch.registersByGroup(
+      b1.unionByName(b2), Seq("g"), "v", m).select("g", "bucket", "register"))
+    assert(maintained == batch && maintained.nonEmpty)
+    // idempotent: replaying an already-merged batch changes nothing
+    StreamingDistinct.mergeRegistersBatch(b2, table, Seq("g"), "v", m)
+    assert(regs(spark.read.parquet(table).select("g", "bucket", "register")) == batch)
+    // and the estimate off the maintained table equals the batch estimate
+    val estM = DistinctSketch.estimateByGroup(
+      spark.read.parquet(table), Seq("g"), m)
+      .select("g", "sum_pow", "est").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val estB = DistinctSketch.estimateByGroup(
+      DistinctSketch.registersByGroup(b1.unionByName(b2), Seq("g"), "v", m),
+      Seq("g"), m)
+      .select("g", "sum_pow", "est").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(estM == estB)
+  }
+
   test("streaming CDC apply: one key inserted, updated, then deleted across batches") {
     import graft.streaming.StreamingCdcApply
     import spark.implicits._
