@@ -355,6 +355,28 @@ object OpsPack {
       .select(col("id").as("vec_id"), col("adc_dist"))
   }
 
+  /** IVF+PQ composition parameters: 8 coarse clusters (plane-family
+    * centroids at a disjoint offset), probe the 2 nearest. */
+  val IvfPqClusters = 8
+  val IvfPqNprobe = 2
+  val IvfPqPlaneOffset = 24576
+
+  /** IVF+PQ driver query ([[graft.operators.Pq.ivfPqTopK]]): the full
+    * FAISS-style recipe — coarse-quantizer pruning to nprobe clusters, then
+    * PQ-ADC scoring of only their members. Assignment, probe selection, and
+    * scoring are all fixed-order double arithmetic over literal centroids/
+    * codebooks, so the pruned ranking mirrors bit-for-bit. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val e = embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0).select(col("embedding")).first()
+      .getSeq[Float](0).map(_.toDouble)
+    val cents = Pq.coarseCentroids(EmbeddingDim, IvfPqClusters, IvfPqPlaneOffset)
+    val books = Pq.codebooks(EmbeddingDim, PqSubspaces, PqCodebookSize, PqPlaneOffset)
+    Pq.ivfPqTopK(e, "embedding", "vec_id", q, 20, cents, books, IvfPqNprobe)
+      .select(col("id").as("vec_id"), col("adc_dist"))
+  }
+
   /** Quantized ANN: int8-quantize the corpus, rank by quantized cosine for
     * the query vector of vec_id=0. Integer dot products are exact in
     * double, so the full ranking (not just the id set) is engine-stable. */
@@ -2488,6 +2510,7 @@ object OpsPack {
     "q_ann_knn" -> (annKnnClassify _),
     "q_ann_topk_quantized" -> (annTopKQuantized _),
     "q_ann_pq" -> (annTopKPq _),
+    "q_ann_ivf_pq" -> (annIvfPq _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_lsh_bucketed" -> (annLshBucketed _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
@@ -3800,6 +3823,65 @@ object OpsPack {
        |SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin
   }
 
+  /** IVF+PQ oracle: coarse assignment via the same literal-centroid argmin
+    * (first on ties), probe clusters = the query's 2 nearest by the same
+    * fixed-order distances ordered (d, j), then the PQ encode + ADC mirror
+    * restricted to the probed members. */
+  private val annIvfPqSql: String = {
+    val cents = graft.operators.Pq.coarseCentroids(
+      EmbeddingDim, IvfPqClusters, IvfPqPlaneOffset)
+    val books = graft.operators.Pq.codebooks(
+      EmbeddingDim, PqSubspaces, PqCodebookSize, PqPlaneOffset)
+    val subdim = EmbeddingDim / PqSubspaces
+    def dlit(x: Double) = s"'$x'::DOUBLE"
+    def centDist(v: String, c: Seq[Double]): String = {
+      val c2 = c.map(x => x * x).sum
+      val dot = c.zipWithIndex
+        .map { case (w, i) => s"$v[${i + 1}] * ${dlit(w)}" }
+        .mkString("(", " + ", ")")
+      s"(${dlit(c2)} - 2.0 * $dot)"
+    }
+    val assignList = cents.map(centDist("v", _)).mkString("[", ",\n      ", "]")
+    val qDistRows = cents.zipWithIndex
+      .map { case (c, j) => s"SELECT $j AS j, ${centDist("qv", c)} AS d FROM q" }
+      .mkString("\n  UNION ALL ")
+    def encList(m: Int): String = books(m).map { c =>
+      val c2 = c.map(x => x * x).sum
+      val dot = c.zipWithIndex
+        .map { case (w, i) => s"v[${m * subdim + i + 1}] * ${dlit(w)}" }
+        .mkString("(", " + ", ")")
+      s"(${dlit(c2)} - 2.0 * $dot)"
+    }.mkString("[", ",\n      ", "]")
+    def dtList(m: Int): String = books(m).map { c =>
+      c.zipWithIndex.map { case (w, i) =>
+        val t = s"(qv[${m * subdim + i + 1}] - ${dlit(w)})"
+        s"$t * $t"
+      }.mkString("(", " + ", ")")
+    }.mkString("[", ",\n      ", "]")
+    val dlCols = (0 until PqSubspaces)
+      .map(m => s"${encList(m)} AS dl_$m").mkString(",\n  ")
+    val codeCols = (0 until PqSubspaces)
+      .map(m => s"CAST(list_position(dl_$m, list_min(dl_$m)) - 1 AS INT) AS code_$m")
+      .mkString(", ")
+    val adcSum = (0 until PqSubspaces)
+      .map(m => s"(${dtList(m)})[code_$m + 1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |cdist AS ($qDistRows),
+       |probe AS (SELECT j FROM cdist ORDER BY d, j LIMIT $IvfPqNprobe),
+       |asg AS (SELECT vec_id, v,
+       |  CAST(list_position(al, list_min(al)) - 1 AS INT) AS cluster
+       |  FROM (SELECT vec_id, v, $assignList AS al FROM e)),
+       |probed AS (SELECT vec_id, v FROM asg
+       |           WHERE cluster IN (SELECT j FROM probe)),
+       |dl AS (SELECT vec_id,
+       |  $dlCols
+       |  FROM probed),
+       |enc AS (SELECT vec_id, $codeCols FROM dl),
+       |adc AS (SELECT enc.vec_id, $adcSum AS adc_dist FROM enc, q)
+       |SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin
+  }
+
   private val semanticDedupSql: String = {
     val cents = semDedupCentroids
     def dotLit(v: String, c: Array[Double]): String =
@@ -4721,6 +4803,7 @@ object OpsPack {
     "q_ann_knn" -> annKnnSql,
     "q_ann_topk_quantized" -> annTopKQuantizedSql,
     "q_ann_pq" -> annPqSql,
+    "q_ann_ivf_pq" -> annIvfPqSql,
     "q_ann_ivf" -> annTopKSql,
     "q_ann_ivf_persisted" -> annTopKSql,
     "q_ann_ivf_streamed" -> annTopKSql,

@@ -100,4 +100,50 @@ object Pq {
   def adcTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int, books: Seq[Seq[Seq[Double]]]): DataFrame =
     adcTopKFromCodes(encode(df, vecCol, idCol, books), "id", query, k, books)
+
+  // ---- IVF + PQ composition (the full FAISS-style recipe) ---------------
+
+  /** Deterministic full-dim coarse centroids from the plane family —
+    * literal-embeddable like the codebooks; production trains them with
+    * [[Ivf.kmeansCentroids]] (the probe/score algebra is identical for any
+    * centroid array). */
+  def coarseCentroids(dim: Int, k: Int, planeOffset: Int): Seq[Seq[Double]] =
+    (0 until k).map(j => graft.functions.LshPlanes.vector(planeOffset + j, dim))
+
+  /** Coarse-cluster assignment: argmin_j ‖v − c_j‖² via the same
+    * c²−2·v·c / first-on-ties form as [[codeExpr]]. */
+  def assignExpr(vecCol: Column, cents: Seq[Seq[Double]]): Column = {
+    val dists = cents.map { c =>
+      val c2 = c.map(x => x * x).sum
+      lit(c2) - lit(2.0) * Ann.dot(vecCol, Ann.vecLit(c))
+    }
+    val darr = array(dists: _*)
+    (array_position(darr, array_min(darr)) - 1).cast("int")
+  }
+
+  /** Driver-side probe list: the `nprobe` coarse clusters nearest to the
+    * query, by the same fixed-order c²−2·q·c distances (ties by index). */
+  def probeClusters(query: Seq[Double], cents: Seq[Seq[Double]],
+      nprobe: Int): Seq[Int] =
+    cents.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum
+      var dot = 0.0
+      var i = 0
+      while (i < query.length) { dot += query(i) * c(i); i += 1 }
+      (c2 - 2.0 * dot, j)
+    }.sorted.take(nprobe).map(_._2)
+
+  /** IVF+PQ top-k: assign, keep only the probed clusters' members, ADC-score
+    * those. At scale the assignment lives in a cluster-partitioned layout
+    * ([[Ivf.writeClustered]]-style), so the probe reads nprobe partition
+    * directories of CODES — both pruning (IVF) and cheap scoring (PQ). */
+  def ivfPqTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]], nprobe: Int): DataFrame = {
+    val probe = probeClusters(query, cents, nprobe)
+    val probed = df
+      .withColumn("__graft_ivfpq_cluster", assignExpr(col(vecCol), cents))
+      .where(col("__graft_ivfpq_cluster").isin(probe: _*))
+    adcTopK(probed, vecCol, idCol, query, k, books)
+  }
 }

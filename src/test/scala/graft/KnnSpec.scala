@@ -121,6 +121,39 @@ class KnnSpec extends SparkTestBase {
     assert(fromCodes == got)
   }
 
+  test("ivf+pq: probes the right clusters and matches the driver-side composition") {
+    val cents = Pq.coarseCentroids(PqDim, k = 4, planeOffset = 950)
+    val df = pqVecs.toDF("vec_id", "embedding")
+    val query = pqVecs(3)._2.map(_.toDouble).toSeq
+    def refAssign(v: Seq[Double]): Int = {
+      val dists = cents.map { c =>
+        val c2 = c.map(x => x * x).sum
+        var dot = 0.0
+        for (i <- v.indices) dot += v(i) * c(i)
+        c2 - 2.0 * dot
+      }
+      dists.indexOf(dists.min)
+    }
+    val probe = Pq.probeClusters(query, cents, nprobe = 2)
+    assert(probe.length == 2 && probe.distinct.length == 2)
+    // the query's own cluster is always probed first
+    assert(probe.head == refAssign(query))
+    // composition ≡ ADC ranking restricted to the probed members
+    val probedIds = pqVecs.filter { case (_, v) =>
+      probe.contains(refAssign(v.map(_.toDouble).toSeq))
+    }.map(_._1).toSet
+    val table = Pq.adcTable(query, pqBooks)
+    val ref = pqVecs.filter(p => probedIds(p._1)).map { case (id, v) =>
+      val codes = refCodes(v.map(_.toDouble).toSeq)
+      id -> codes.zipWithIndex.map { case (c, m) => table(m)(c) }.sum
+    }.sortBy { case (id, d) => (d, id) }.take(10)
+    val got = Pq.ivfPqTopK(df, "embedding", "vec_id", query, 10, cents,
+        pqBooks, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got == ref)
+    assert(got.map(_._1).toSet.subsetOf(probedIds))
+  }
+
   test("pq top-k plan: TakeOrdered over column algebra, no shuffle of the corpus") {
     val df = pqVecs.toDF("vec_id", "embedding")
     val plan = Pq.adcTopK(df, "embedding", "vec_id",
