@@ -881,6 +881,18 @@ object OpsPack {
       .orderBy("priority", "doc_id")
   }
 
+  /** Per-group weighted sample driver query: the same 1..7 weights, 5 docs
+    * per source domain, ranked by the min-of-w md5 priority within each
+    * group via the bounded heap (no window sort —
+    * [[graft.operators.Sampling.weightedSamplePerGroup]]). */
+  def sampleWeightedGrouped(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = docs(s, dir)
+      .withColumn("w", (col("n_chars") % 7 + 1).cast("long"))
+    Sampling.weightedSamplePerGroup(d, Seq("source"), "doc_id", "w", k = 5)
+      .orderBy("source", "rank")
+  }
+
   /** Mixture-plan budget (chars) and weight rule for the driver queries:
     * weight 1..5 cycling with the source's numeric suffix, so the plan
     * exercises unequal targets; the budget is sized so sf0.01 upsamples
@@ -2498,6 +2510,7 @@ object OpsPack {
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_sample_per_source" -> (samplePerSource _),
     "q_sample_weighted" -> (sampleWeighted _),
+    "q_sample_weighted_grouped" -> (sampleWeightedGrouped _),
     "q_profile_numeric" -> (numericProfileLineitem _),
     "q_profile_histogram" -> (profileHistogram _),
     "q_profile_histogram_depth" -> (profileHistogramDepth _),
@@ -3480,6 +3493,26 @@ object OpsPack {
       |        CAST(min(hk) AS BIGINT) AS priority FROM h GROUP BY 1)
       |SELECT doc_id, weight, priority FROM p
       |ORDER BY priority, doc_id LIMIT 100""".stripMargin
+
+  /** Per-group weighted-sample oracle: the min-of-w priorities ranked by a
+    * per-source row_number mirror. */
+  private val sampleWeightedGroupedSql: String =
+    """WITH w AS (SELECT source, doc_id,
+      |           CAST(n_chars % 7 + 1 AS BIGINT) AS weight FROM documents),
+      |e AS (SELECT source, doc_id,
+      |        unnest(generate_series(1, weight)) AS t FROM w),
+      |h AS (SELECT source, doc_id,
+      |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |     CAST(t AS VARCHAR)), 1, 12))::BIGINT AS hk
+      |  FROM e),
+      |p AS (SELECT source, doc_id, CAST(min(hk) AS BIGINT) AS priority
+      |      FROM h GROUP BY 1, 2),
+      |r AS (SELECT source,
+      |  CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY priority, doc_id) AS BIGINT) AS rank,
+      |  doc_id, priority FROM p)
+      |SELECT source, rank, doc_id, priority FROM r WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin
 
   /** Per-group hash-sample oracle: smallest md5 key hash wins, same 48-bit
     * prefix parse as every other sampling oracle. */
@@ -4774,6 +4807,7 @@ object OpsPack {
     "q_docs_topk_quality" -> topkQualitySql,
     "q_sample_per_source" -> samplePerSourceSql,
     "q_sample_weighted" -> sampleWeightedSql,
+    "q_sample_weighted_grouped" -> sampleWeightedGroupedSql,
     "q_profile_numeric" -> numericProfileSql,
     "q_profile_histogram" -> profileHistogramSql,
     "q_profile_histogram_depth" -> profileHistogramDepthSql,

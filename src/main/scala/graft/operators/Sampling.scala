@@ -100,21 +100,46 @@ object Sampling {
     * Scale shape: explode of ≤ maxWeight per row, map-side min combine
     * into one shuffle of distinct ids, then TakeOrdered k (per-partition
     * top-k heaps, no global sort). Output: (id, weight, priority). */
+  /** The min-of-w priority as ONE column expression: w hashes via a
+    * `transform` lambda over `sequence(1, w)`, reduced with `array_min` —
+    * no explode, no per-id shuffle, the whole priority is a projection. */
+  private def weightedPriority(idCol: String, w: Column): Column =
+    array_min(transform(sequence(lit(1L), w), t =>
+      Dedup.md5Long48(
+        concat(col(idCol).cast("string"), lit(":"), t.cast("string"))
+          .cast("binary"))))
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, maxWeight: Int = 64): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(maxWeight >= 1, s"maxWeight must be >= 1, got $maxWeight")
     val w = least(col(weightCol).cast("long"), lit(maxWeight.toLong))
     df.where(col(weightCol) >= 1 && col(idCol).isNotNull)
-      .select(col(idCol), w.as("__w"))
-      .withColumn("__t", explode(sequence(lit(1L), col("__w"))))
-      .withColumn("__h", Dedup.md5Long48(
-        concat(col(idCol).cast("string"), lit(":"), col("__t").cast("string"))
-          .cast("binary")))
-      .groupBy(col(idCol))
-      .agg(max(col("__w")).as("weight"), min(col("__h")).as("priority"))
+      .select(col(idCol), w.as("weight"),
+        weightedPriority(idCol, w).as("priority"))
       .orderBy(col("priority"), col(idCol))
       .limit(k)
+  }
+
+  /** Per-group weighted bottom-k: [[weightedSample]]'s priority ranked
+    * WITHIN each group via the bounded-heap [[GroupTopK.topKPerGroup]]
+    * (map-side partial top-k; ≤ k×partitions rows shuffle per group — no
+    * window sort). The 48-bit priority is exact in double, so heap order
+    * is bit-stable. Returns (groupCols*, rank, id, priority). */
+  def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
+      idCol: String, weightCol: String, k: Int,
+      maxWeight: Int = 64): DataFrame = {
+    require(groupCols.nonEmpty, "weightedSamplePerGroup needs group columns")
+    require(k > 0, s"k must be positive, got $k")
+    require(maxWeight >= 1, s"maxWeight must be >= 1, got $maxWeight")
+    val w = least(col(weightCol).cast("long"), lit(maxWeight.toLong))
+    val pcol = Utils.tempColumnName(df)
+    GroupTopK.topKPerGroup(
+      df.where(col(weightCol) >= 1 && col(idCol).isNotNull)
+        .withColumn(pcol, -weightedPriority(idCol, w).cast("double")),
+      groupCols, pcol, idCol, k)
+      .withColumn("priority", (-col(pcol)).cast("long"))
+      .drop(pcol)
   }
 
   /** Deterministic global shuffle for training export — the data-ordering

@@ -652,6 +652,39 @@ class OpsSpec extends SparkTestBase {
     assert(capped.getLong(1) == 4L && capped.getLong(2) == refPriority(3L, 4L))
   }
 
+  test("weighted sample per group: heap ranking matches priorities; plans shuffle-light") {
+    import graft.operators.Sampling
+    def md5p48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xff))
+    }
+    def refPriority(id: Long, w: Long): Long =
+      (1L to w).map(t => md5p48(s"$id:$t")).min
+    val rows = (1L to 30L).map(i => (i, if (i % 2 == 0) "even" else "odd", i % 5 + 1))
+    val df = rows.toDF("id", "g", "w")
+    val got = Sampling.weightedSamplePerGroup(df, Seq("g"), "id", "w", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference: per group, 3 smallest (priority, id)
+    val ref = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.map { case (id, _, w) => (id, refPriority(id, w)) }
+        .sortBy { case (id, p) => (p, id) }.take(3).zipWithIndex
+        .map { case ((id, p), i) => (g, (i + 1).toLong, id, p) }
+    }.toSet
+    assert(got.toSet == ref && got.length == 6)
+    // plan: the global form is TakeOrdered with NO shuffle at all (the
+    // priority is a pure projection — no explode, no per-id exchange)
+    val plan = Sampling.weightedSample(df, "id", "w", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Generate explode"), plan)
+    // the grouped form aggregates via the bounded heap, never a window sort
+    val gplan = Sampling.weightedSamplePerGroup(df, Seq("g"), "id", "w", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!gplan.contains("Window"), gplan)
+  }
+
   test("mixture plan and sample: exact planner math, determinism, epoch bounds") {
     import graft.operators.Sampling
     // two domains: "big" has 4× the target weight of "small" but the same
