@@ -111,13 +111,15 @@ object Bench {
     // costs at sf0.1 (descending); unlisted queries sort alphabetically
     // after the ranked ones.
     val costRank = Seq(
-      "q_graph_pagerank", "q_graph_khop", "q_entity_resolution", "q_graph_triangles",
+      "q_graph_pagerank", "q_dedup_jaccard_pairs", "q_cdc_stream_apply",
+      "q_events_stream_distinct", "q_bpe_tokenize",
+      "q_graph_khop", "q_entity_resolution", "q_graph_triangles",
+      "q_cdc_join_view", "q_docs_curriculum",
       "q_compare_all_mismatch", "q_normalize_winsor", "q_events_stream_enrich",
       "q_events_stream_sessions", "q_events_stream_anomaly", "q_quality_checks",
-      "q_dedup_jaccard_pairs",
       "q_events_stream_join", "q_clean_corpus", "q_clean_corpus_fast",
       "q_events_streamed", "q_profile_numeric", "q_dedup_minhash_lsh",
-      "q_dedup_substring", "q_bpe_tokenize", "q_dedup_incremental",
+      "q_dedup_substring", "q_dedup_incremental",
       "q_bpe_merges", "q_normalize_rank",
       "q_multimodal_features", "q_text_heavy_hitters",
       "q_lm_ngram_score", "q_contamination_bloom",

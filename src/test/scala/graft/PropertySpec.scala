@@ -108,6 +108,33 @@ class PropertySpec extends SparkTestBase {
     assert(on.contains("DataComPy Comparison"))
   }
 
+  test("selectRanks equals the sorted reference across generated distributions") {
+    // the distributed bucketed rank selection must return EXACTLY the
+    // value at each target rank for any distribution shape — uniform,
+    // tie-heavy, clustered-in-a-narrow-range, negative, single-value —
+    // and any bucket count (including buckets ≪ distinct values, which
+    // forces multi-rank hits inside one bucket)
+    val dists: Seq[(String, Gen[Double])] = Seq(
+      ("uniform", Gen.choose(-1e6, 1e6)),
+      ("tie-heavy", Gen.choose(0, 9).map(_.toDouble)),
+      ("narrow", Gen.choose(0, 1000).map(1.0 + _ * 1e-9)),
+      ("mixed-sign-skew", Gen.oneOf(Gen.const(-5.0), Gen.choose(0.0, 1.0))))
+    for (((name, gen), di) <- dists.zipWithIndex; buckets <- Seq(4, 64)) {
+      val seed = Seed(1000L + di)
+      val n = 257
+      val values = Gen.listOfN(n, gen).apply(Gen.Parameters.default, seed).get
+      val sorted = values.sorted
+      val stacked = values.map(("c", _)).toDF("column", "v")
+      val ranks = Seq(1L, 2L, (n / 4).toLong, (n / 2).toLong, (n - 1).toLong, n.toLong)
+      val got = Profile.selectRanks(stacked, Map("c" -> ranks),
+        Map("c" -> ((values.min, values.max))), buckets)
+      ranks.foreach { k =>
+        assert(got(("c", k)) == sorted(k.toInt - 1),
+          s"dist=$name buckets=$buckets rank=$k")
+      }
+    }
+  }
+
   test("numeric semantics hold with ANSI mode disabled too") {
     val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
     try {
