@@ -1994,6 +1994,27 @@ object OpsPack {
       .orderBy("doc_id")
   }
 
+  /** Per-source token budget for the grouped selection driver query (small
+    * enough that every source gets a real boundary cut at sf0.01+). */
+  val SelectBudgetGroupTokens = 2500L
+
+  /** Per-group budget selection driver query
+    * ([[graft.operators.Selection.selectByBudgetPerGroup]]): every source
+    * domain independently fills a 2500-token quota with its best-quality
+    * documents — per-domain curation quotas, boundary cut resolved per
+    * group in parallel. */
+  def selectBudgetGrouped(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Selection, TextOps}
+    val scored = docs(s, dir).select(col("doc_id"), col("source"),
+      TextOps.qualityScore(col("text")).as("quality_score"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Selection.selectByBudgetPerGroup(scored, Seq("source"),
+      "quality_score", "n_tokens", "doc_id",
+      budget = SelectBudgetGroupTokens, numBuckets = 256,
+      scoreRange = Some((0.0, 1.0)))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic 80/10/10 split assignment per document (md5-bucketed —
     * reproducible across engines, runs, and partitionings), rolled up to
     * per-split counts. */
@@ -2453,6 +2474,7 @@ object OpsPack {
     "q_text_bm25" -> (textBm25 _),
     "q_text_bm25_indexed" -> (textBm25Indexed _),
     "q_select_budget" -> (selectBudget _),
+    "q_select_budget_grouped" -> (selectBudgetGrouped _),
     "q_normalize_group" -> (normalizeGroup _),
     "q_normalize_winsor" -> (normalizeWinsor _),
     "q_docs_lang_rollup" -> (langRollup _),
@@ -4566,6 +4588,32 @@ object OpsPack {
        |FROM c WHERE cum <= $SelectBudgetTokens ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-group budget-selection oracle: the same quality formula and
+    * cumsum cut, windowed PER SOURCE with an independent budget each. */
+  private val selectBudgetGroupedSql: String = {
+    val stop = "\\b(the|a|an|and|of|to|in|is|it|for)\\b"
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(lower(text), '$stop')) AS BIGINT) AS n_stop,
+       |    len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents),
+       |q AS (SELECT doc_id, source,
+       |  0.5 * (least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0)
+       |  + 0.3 * (CASE WHEN n_tokens = 0 THEN 0.0
+       |           ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
+       |  + 0.2 * (CASE WHEN n_chars IS NULL OR n_chars = 0 THEN 0.0
+       |           ELSE CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
+       |    AS quality_score,
+       |  n_tokens FROM base),
+       |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+       |        ORDER BY quality_score DESC, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q)
+       |SELECT doc_id, source, quality_score, n_tokens
+       |FROM c WHERE cum <= $SelectBudgetGroupTokens ORDER BY doc_id""".stripMargin
+  }
+
   /** BM25 (portable fixed-point) oracle: identical tokenization, rational
     * RSJ-odds idf, k1=6/5 b=3/4 saturation cleared to integer fractions,
     * and the same two-step BIGINT floor division — bit-identical scores by
@@ -4771,6 +4819,7 @@ object OpsPack {
     "q_text_bm25" -> textBm25Sql,
     "q_text_bm25_indexed" -> textBm25Sql,
     "q_select_budget" -> selectBudgetSql,
+    "q_select_budget_grouped" -> selectBudgetGroupedSql,
     "q_normalize_group" -> normalizeGroupSql,
     "q_normalize_winsor" -> normalizeWinsorSql,
     "q_pack_stats" -> packStatsSql,

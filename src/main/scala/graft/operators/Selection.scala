@@ -111,4 +111,102 @@ object Selection {
       .drop("_graft_sel_cum")
     high.unionByName(cut).drop("_graft_sel_bucket")
   }
+
+  /** Per-group budget selection: [[selectByBudget]] with an independent
+    * `budget` for EVERY group — "fill each domain's token budget with its
+    * best-scoring documents" (per-source/per-language curation quotas).
+    *
+    * Same two exact phases, group-aware: one aggregation produces
+    * (group, bucket) token sums (≤ groups·B rows to the driver — mixture
+    * groups number in the tens at any corpus scale), the driver prefix-scans
+    * each group's buckets for its boundary + residual, and only each
+    * group's boundary bucket pays the ordered running sum — the window
+    * partitions by (group, bucket), so parallelism is the number of
+    * groups, each sorting ≈ its n/B boundary slice. Groups whose total
+    * fits keep everything (boundary −1). */
+  def selectByBudgetPerGroup(
+      docs: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      tokensCol: String,
+      idCol: String,
+      budget: Long,
+      numBuckets: Int = 1024,
+      scoreRange: Option[(Double, Double)] = None): DataFrame = Dedup.newCacheScope {
+    require(groupCols.nonEmpty, "selectByBudgetPerGroup needs group columns")
+    require(budget >= 0, "budget must be non-negative")
+    require(numBuckets > 0, "numBuckets must be positive")
+    val spark = docs.sparkSession
+    val score = col(scoreCol)
+    val floating = docs.schema(scoreCol).dataType match {
+      case DoubleType | FloatType => true
+      case _ => false
+    }
+    val s = Dedup.cacheShared(
+      docs.where(score.isNotNull && col(tokensCol).isNotNull &&
+        (if (floating) !isnan(score) else lit(true))))
+    val (lo, hi) = scoreRange.getOrElse {
+      val r = s.agg(min(score).cast("double"), max(score).cast("double")).first()
+      if (r.isNullAt(0)) return s.limit(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // one GLOBAL score range for every group: bucket order still refines
+    // score order within each group, which is all phase 2 needs
+    val width = (hi - lo) / numBuckets
+    val bucket =
+      if (width == 0.0) lit(0)
+      else greatest(lit(0.0),
+        least(floor((score - lit(lo)) / lit(width)),
+          lit((numBuckets - 1).toDouble))).cast("int")
+    val summary = s.groupBy(groupCols.map(col) :+ bucket.as("_graft_sel_bucket"): _*)
+      .agg(sum(col(tokensCol)).cast("long").as("tok"))
+    val collected = summary.collect()
+    val gIdx = groupCols.indices
+    val perGroup = collected
+      .groupBy(r => gIdx.map(r.get))
+      .map { case (gvals, rows) =>
+        val sums = rows.map(r =>
+          r.getInt(groupCols.length) -> r.getLong(groupCols.length + 1)).toMap
+        var acc = 0L
+        var boundary = -1
+        var residual = 0L
+        val it = sums.keys.toSeq.sorted.reverse.iterator
+        var done = false
+        while (it.hasNext && !done) {
+          val b = it.next()
+          val t = sums(b)
+          if (acc + t > budget) { boundary = b; residual = budget - acc; done = true }
+          else acc += t
+        }
+        (gvals, boundary, residual)
+      }.toSeq
+    val groupFields = summary.schema.fields.take(groupCols.length)
+    val bSchema = org.apache.spark.sql.types.StructType(groupFields ++ Seq(
+      org.apache.spark.sql.types.StructField("_graft_sel_boundary",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_graft_sel_residual",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val bRows = perGroup.map { case (gvals, b, r) =>
+      // Seq[Any]: Seq(b, r) alone would unify Int and Long to Seq[Long],
+      // boxing the boundary as a Long into the IntegerType field
+      org.apache.spark.sql.Row.fromSeq(gvals ++ Seq[Any](b, r))
+    }
+    val bdf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(bRows).asJava), bSchema)
+    val withB = s.withColumn("_graft_sel_bucket", bucket)
+      .join(broadcast(bdf), groupCols)
+    val high = withB.where(col("_graft_sel_bucket") > col("_graft_sel_boundary"))
+    // each group's boundary bucket pays its own ordered running sum —
+    // the window partitions by (group, bucket): parallel across groups
+    val w = Window.partitionBy((groupCols :+ "_graft_sel_bucket").map(col): _*)
+      .orderBy(score.desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = withB.where(col("_graft_sel_bucket") === col("_graft_sel_boundary"))
+      .withColumn("_graft_sel_cum", sum(col(tokensCol)).over(w))
+      .where(col("_graft_sel_cum") <= col("_graft_sel_residual"))
+      .drop("_graft_sel_cum")
+    high.unionByName(cut)
+      .drop("_graft_sel_bucket", "_graft_sel_boundary", "_graft_sel_residual")
+  }
 }

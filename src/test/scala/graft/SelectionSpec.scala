@@ -31,6 +31,27 @@ class SelectionSpec extends SparkTestBase {
     }
   }
 
+  test("per-group selection equals the per-group cumsum reference; fits-all groups keep everything") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(300) { i =>
+      val g = Seq("a", "b", "c")(i % 3)
+      (i.toLong, g, math.floor(rnd.nextDouble() * 20) / 20.0,
+        (rnd.nextInt(30) + 1).toLong)
+    } ++ Seq((1000L, "tiny", 0.5, 3L), (1001L, "tiny", 0.9, 4L)) // fits whole
+    val df = rows.toDF("doc_id", "g", "score", "n_tokens")
+    for (budget <- Seq(40L, 300L, 100000L); buckets <- Seq(1, 7, 256)) {
+      val got = Selection.selectByBudgetPerGroup(df, Seq("g"),
+          "score", "n_tokens", "doc_id", budget, numBuckets = buckets)
+        .select("doc_id", "g").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val ref = rows.groupBy(_._2).flatMap { case (g, rs) =>
+        reference(rs.map(r => (r._1, r._3, r._4)), budget).map((_, g))
+      }.toSet
+      assert(got == ref, s"budget=$budget buckets=$buckets")
+      if (budget >= 7L) // the tiny group's whole 7 tokens fit
+        assert(got.contains((1000L, "tiny")) && got.contains((1001L, "tiny")))
+    }
+  }
+
   test("a declared score range clamps out-of-range scores into edge buckets") {
     val rows = Seq.tabulate(100)(i => (i.toLong, i / 100.0, 5L)) ++
       Seq((200L, -0.5, 5L), (201L, 1.7, 5L)) // outside the declared [0,1]
