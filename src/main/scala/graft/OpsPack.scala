@@ -377,6 +377,21 @@ object OpsPack {
       .select(col("id").as("vec_id"), col("adc_dist"))
   }
 
+  /** Residual IVF-PQ driver query
+    * ([[graft.operators.Pq.ivfPqResidualTopK]]): the classic form — probed
+    * vectors PQ-code their residual v − centroid(cluster), and the query
+    * carries one ADC table per probed cluster from its own residual. */
+  def annIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val e = embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0).select(col("embedding")).first()
+      .getSeq[Float](0).map(_.toDouble)
+    val cents = Pq.coarseCentroids(EmbeddingDim, IvfPqClusters, IvfPqPlaneOffset)
+    val books = Pq.codebooks(EmbeddingDim, PqSubspaces, PqCodebookSize, PqPlaneOffset)
+    Pq.ivfPqResidualTopK(e, "embedding", "vec_id", q, 20, cents, books, IvfPqNprobe)
+      .select(col("id").as("vec_id"), col("adc_dist"))
+  }
+
   /** Quantized ANN: int8-quantize the corpus, rank by quantized cosine for
     * the query vector of vec_id=0. Integer dot products are exact in
     * double, so the full ranking (not just the id set) is engine-stable. */
@@ -2546,6 +2561,7 @@ object OpsPack {
     "q_ann_topk_quantized" -> (annTopKQuantized _),
     "q_ann_pq" -> (annTopKPq _),
     "q_ann_ivf_pq" -> (annIvfPq _),
+    "q_ann_ivf_pq_residual" -> (annIvfPqResidual _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_lsh_bucketed" -> (annLshBucketed _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
@@ -3937,6 +3953,76 @@ object OpsPack {
        |SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin
   }
 
+  /** Residual IVF-PQ oracle: assignment + probe as in [[annIvfPqSql]];
+    * residuals via `list_transform` against the literal centroid
+    * list-of-lists (one subtraction per element, matching the engine's
+    * zip_with); encode lists run over `rv`; the per-cluster ADC table
+    * derives from the query residual `qr` joined by cluster. */
+  private val annIvfPqResidualSql: String = {
+    val cents = graft.operators.Pq.coarseCentroids(
+      EmbeddingDim, IvfPqClusters, IvfPqPlaneOffset)
+    val books = graft.operators.Pq.codebooks(
+      EmbeddingDim, PqSubspaces, PqCodebookSize, PqPlaneOffset)
+    val subdim = EmbeddingDim / PqSubspaces
+    def dlit(x: Double) = s"'$x'::DOUBLE"
+    val centsLit = cents
+      .map(c => c.map(dlit).mkString("[", ", ", "]"))
+      .mkString("[", ",\n   ", "]")
+    def centDist(v: String, c: Seq[Double]): String = {
+      val c2 = c.map(x => x * x).sum
+      val dot = c.zipWithIndex
+        .map { case (w, i) => s"$v[${i + 1}] * ${dlit(w)}" }
+        .mkString("(", " + ", ")")
+      s"(${dlit(c2)} - 2.0 * $dot)"
+    }
+    val assignList = cents.map(centDist("v", _)).mkString("[", ",\n      ", "]")
+    val qDistRows = cents.zipWithIndex
+      .map { case (c, j) => s"SELECT $j AS j, ${centDist("qv", c)} AS d FROM q" }
+      .mkString("\n  UNION ALL ")
+    def encList(m: Int): String = books(m).map { c =>
+      val c2 = c.map(x => x * x).sum
+      val dot = c.zipWithIndex
+        .map { case (w, i) => s"rv[${m * subdim + i + 1}] * ${dlit(w)}" }
+        .mkString("(", " + ", ")")
+      s"(${dlit(c2)} - 2.0 * $dot)"
+    }.mkString("[", ",\n      ", "]")
+    def dtList(m: Int): String = books(m).map { c =>
+      c.zipWithIndex.map { case (w, i) =>
+        val t = s"(qr[${m * subdim + i + 1}] - ${dlit(w)})"
+        s"$t * $t"
+      }.mkString("(", " + ", ")")
+    }.mkString("[", ",\n      ", "]")
+    val dlCols = (0 until PqSubspaces)
+      .map(m => s"${encList(m)} AS dl_$m").mkString(",\n  ")
+    val codeCols = (0 until PqSubspaces)
+      .map(m => s"CAST(list_position(dl_$m, list_min(dl_$m)) - 1 AS INT) AS code_$m")
+      .mkString(", ")
+    val adcSum = (0 until PqSubspaces)
+      .map(m => s"(${dtList(m)})[code_$m + 1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |cdist AS ($qDistRows),
+       |probe AS (SELECT j FROM cdist ORDER BY d, j LIMIT $IvfPqNprobe),
+       |asg AS (SELECT vec_id, v,
+       |  CAST(list_position(al, list_min(al)) - 1 AS INT) AS cluster
+       |  FROM (SELECT vec_id, v, $assignList AS al FROM e)),
+       |probed AS (SELECT vec_id, v, cluster FROM asg
+       |           WHERE cluster IN (SELECT j FROM probe)),
+       |withrv AS (SELECT vec_id, cluster,
+       |  list_transform(generate_series(1, $EmbeddingDim),
+       |    i -> v[i] - ($centsLit)[cluster + 1][i]) AS rv
+       |  FROM probed),
+       |rq AS (SELECT p.j AS cluster,
+       |  list_transform(generate_series(1, $EmbeddingDim),
+       |    i -> qv[i] - ($centsLit)[p.j + 1][i]) AS qr
+       |  FROM probe p, q),
+       |enc AS (SELECT vec_id, cluster, $codeCols FROM
+       |  (SELECT vec_id, cluster, $dlCols FROM withrv)),
+       |adc AS (SELECT enc.vec_id, ($adcSum) AS adc_dist
+       |        FROM enc JOIN rq USING (cluster))
+       |SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin
+  }
+
   private val semanticDedupSql: String = {
     val cents = semDedupCentroids
     def dotLit(v: String, c: Array[Double]): String =
@@ -4887,6 +4973,7 @@ object OpsPack {
     "q_ann_topk_quantized" -> annTopKQuantizedSql,
     "q_ann_pq" -> annPqSql,
     "q_ann_ivf_pq" -> annIvfPqSql,
+    "q_ann_ivf_pq_residual" -> annIvfPqResidualSql,
     "q_ann_ivf" -> annTopKSql,
     "q_ann_ivf_persisted" -> annTopKSql,
     "q_ann_ivf_streamed" -> annTopKSql,

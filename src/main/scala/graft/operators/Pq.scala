@@ -146,4 +146,47 @@ object Pq {
       .where(col("__graft_ivfpq_cluster").isin(probe: _*))
     adcTopK(probed, vecCol, idCol, query, k, books)
   }
+
+  /** CLASSIC residual-encoded IVF-PQ top-k: each probed vector is PQ-coded
+    * on its RESIDUAL v − centroid(cluster) (residuals concentrate near the
+    * origin, so one shared codebook quantizes them far better than raw
+    * vectors — the Jégou et al. §IV form), and the query builds one ADC
+    * table PER PROBED CLUSTER from its own residual q − centroid(c).
+    * Same literal-exactness discipline throughout: the residual is a
+    * per-element single subtraction (`zip_with`), codes and lookups are
+    * the fixed-order expressions of [[codeExpr]]/[[adcTable]], and the
+    * per-cluster table dispatch is one CASE over ≤ nprobe branches. */
+  def ivfPqResidualTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]], nprobe: Int): DataFrame = {
+    val probe = probeClusters(query, cents, nprobe)
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val cluster = assignExpr(col(vecCol), cents)
+    val residual = zip_with(col(vecCol).cast("array<double>"),
+      element_at(centArr, col("__graft_ivfpq_cluster") + 1),
+      (a, b) => a - b)
+    val coded = df
+      .withColumn("__graft_ivfpq_cluster", cluster)
+      .where(col("__graft_ivfpq_cluster").isin(probe: _*))
+      .withColumn("__graft_ivfpq_rv", residual)
+      .select(col(idCol).as("id") +: col("__graft_ivfpq_cluster").as("cluster") +:
+        books.indices.map(m =>
+          codeExpr(col("__graft_ivfpq_rv"), books, m).as(s"code_$m")): _*)
+    // one ADC table per probed cluster, from the query's residual there
+    val tables = probe.map { c =>
+      val qr = query.zip(cents(c)).map { case (q, w) => q - w }
+      c -> adcTable(qr, books)
+    }
+    val adc = tables.map { case (c, table) =>
+      val s = table.zipWithIndex.map { case (row, m) =>
+        element_at(array(row.map(lit): _*), col(s"code_$m") + 1)
+      }.reduce(_ + _)
+      (c, s)
+    }.foldLeft(lit(null).cast("double")) { case (acc, (c, s)) =>
+      when(col("cluster") === c, s).otherwise(acc)
+    }
+    coded.select(col("id"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("id").asc)
+      .limit(k)
+  }
 }

@@ -154,6 +154,39 @@ class KnnSpec extends SparkTestBase {
     assert(got.map(_._1).toSet.subsetOf(probedIds))
   }
 
+  test("residual ivf+pq matches the driver-side residual composition") {
+    val cents = Pq.coarseCentroids(PqDim, k = 4, planeOffset = 950)
+    val df = pqVecs.toDF("vec_id", "embedding")
+    val query = pqVecs(5)._2.map(_.toDouble).toSeq
+    def refAssign(v: Seq[Double]): Int = {
+      val dists = cents.map { c =>
+        val c2 = c.map(x => x * x).sum
+        var dot = 0.0
+        for (i <- v.indices) dot += v(i) * c(i)
+        c2 - 2.0 * dot
+      }
+      dists.indexOf(dists.min)
+    }
+    val probe = Pq.probeClusters(query, cents, nprobe = 2)
+    val tables = probe.map { c =>
+      c -> Pq.adcTable(query.zip(cents(c)).map { case (q, w) => q - w }, pqBooks)
+    }.toMap
+    val ref = pqVecs.flatMap { case (id, vf) =>
+      val v = vf.map(_.toDouble).toSeq
+      val cl = refAssign(v)
+      if (!probe.contains(cl)) None
+      else {
+        val rv = v.zip(cents(cl)).map { case (a, b) => a - b }
+        val codes = refCodes(rv)
+        Some(id -> codes.zipWithIndex.map { case (c, m) => tables(cl)(m)(c) }.sum)
+      }
+    }.sortBy { case (id, d) => (d, id) }.take(10)
+    val got = Pq.ivfPqResidualTopK(df, "embedding", "vec_id", query, 10,
+        cents, pqBooks, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got == ref && got.nonEmpty)
+  }
+
   test("pq top-k plan: TakeOrdered over column algebra, no shuffle of the corpus") {
     val df = pqVecs.toDF("vec_id", "embedding")
     val plan = Pq.adcTopK(df, "embedding", "vec_id",
