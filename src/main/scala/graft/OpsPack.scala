@@ -177,6 +177,7 @@ object OpsPack {
     dedupIncremental(s, dir)
     textBm25Indexed(s, dir)
     sourceOrc(s, dir)
+    preparePqCodes(s, dir)
   }
 
   /** Fingerprint of a source table's files (path, size, mtime) plus the
@@ -375,6 +376,48 @@ object OpsPack {
     val books = Pq.codebooks(EmbeddingDim, PqSubspaces, PqCodebookSize, PqPlaneOffset)
     Pq.ivfPqTopK(e, "embedding", "vec_id", q, 20, cents, books, IvfPqNprobe)
       .select(col("id").as("vec_id"), col("adc_dist"))
+  }
+
+  private val pqCodesCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Stage the cluster-partitioned PQ-codes layout once (untimed ingest,
+    * like the IVF/LSH layouts): (vec_id, code_0..3) under cluster=…
+    * directories — 4 small ints per vector instead of 64 floats. */
+  private def preparePqCodes(s: SparkSession, dir: String): String =
+    Memo.memo(pqCodesCache, dir, {
+      import graft.operators.Pq
+      val p = "target/graft_pq_codes_" + layoutStamp(dir, "embeddings", "pqcodes|v1")
+      if (!layoutComplete(p)) {
+        val cents = Pq.coarseCentroids(EmbeddingDim, IvfPqClusters, IvfPqPlaneOffset)
+        val books = Pq.codebooks(EmbeddingDim, PqSubspaces, PqCodebookSize, PqPlaneOffset)
+        embeddings(s, dir)
+          .select(col("vec_id") +:
+            Pq.assignExpr(col("embedding"), cents).as("cluster") +:
+            books.indices.map(m =>
+              Pq.codeExpr(col("embedding"), books, m).as(s"code_$m")): _*)
+          .write.mode("overwrite").partitionBy("cluster").parquet(p)
+      }
+      p
+    })
+
+  /** Persisted PQ probe driver query: the scan-side scale story
+    * materialized — the probe reads ONLY the nprobe probed cluster
+    * DIRECTORIES of the codes layout (partition pruning; 4 ints per
+    * vector), then ADC-scores from codes alone. Result ≡ the fused
+    * q_ann_ivf_pq (same assignment, probe set, and ADC arithmetic), so
+    * its oracle applies verbatim. */
+  def annPqPersisted(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val path = preparePqCodes(s, dir)
+    val e = embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0).select(col("embedding")).first()
+      .getSeq[Float](0).map(_.toDouble)
+    val cents = Pq.coarseCentroids(EmbeddingDim, IvfPqClusters, IvfPqPlaneOffset)
+    val books = Pq.codebooks(EmbeddingDim, PqSubspaces, PqCodebookSize, PqPlaneOffset)
+    val probe = Pq.probeClusters(q, cents, IvfPqNprobe)
+    val codes = s.read.parquet(path).where(col("cluster").isin(probe: _*))
+    Pq.adcTopKFromCodes(codes, "vec_id", q, 20, books)
+      .select(col("vec_id"), col("adc_dist"))
   }
 
   /** Residual IVF-PQ driver query
@@ -2562,6 +2605,7 @@ object OpsPack {
     "q_ann_pq" -> (annTopKPq _),
     "q_ann_ivf_pq" -> (annIvfPq _),
     "q_ann_ivf_pq_residual" -> (annIvfPqResidual _),
+    "q_ann_pq_persisted" -> (annPqPersisted _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_lsh_bucketed" -> (annLshBucketed _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
@@ -4974,6 +5018,7 @@ object OpsPack {
     "q_ann_pq" -> annPqSql,
     "q_ann_ivf_pq" -> annIvfPqSql,
     "q_ann_ivf_pq_residual" -> annIvfPqResidualSql,
+    "q_ann_pq_persisted" -> annIvfPqSql,
     "q_ann_ivf" -> annTopKSql,
     "q_ann_ivf_persisted" -> annTopKSql,
     "q_ann_ivf_streamed" -> annTopKSql,

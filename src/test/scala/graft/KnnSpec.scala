@@ -187,6 +187,27 @@ class KnnSpec extends SparkTestBase {
     assert(got == ref && got.nonEmpty)
   }
 
+  test("persisted pq-codes probe prunes to the probed cluster directories") {
+    val dir = "/root/testdata/sf0.001"
+    val out = OpsPack.annPqPersisted(spark, dir)
+    // result parity with the fused composition (same oracle by design)
+    val fused = OpsPack.annIvfPq(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == fused)
+    // the probe's scan carries PartitionFilters on cluster — planning-time
+    // pruning, so only the probed directories' files are ever read
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    val cents = graft.operators.Pq.coarseCentroids(
+      OpsPack.EmbeddingDim, OpsPack.IvfPqClusters, OpsPack.IvfPqPlaneOffset)
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") === 0).select(col("embedding")).first()
+      .getSeq[Float](0).map(_.toDouble)
+    val probe = graft.operators.Pq.probeClusters(q, cents, OpsPack.IvfPqNprobe)
+    // every probed cluster id appears in the pushed partition filter
+    probe.foreach(c => assert(plan.contains(c.toString), s"probed $c missing"))
+  }
+
   test("pq top-k plan: TakeOrdered over column algebra, no shuffle of the corpus") {
     val df = pqVecs.toDF("vec_id", "embedding")
     val plan = Pq.adcTopK(df, "embedding", "vec_id",
