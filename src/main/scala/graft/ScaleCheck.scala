@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-sweep harness: replicate the synthetic tables N× with shifted
+  * keys, run the heaviest operators at 1× and N×, and report the runtime
+  * ratio vs the ideal (≈ N for linear work). This is the "would it survive
+  * 100×?" question asked with a measurement instead of an argument — run
+  * manually (`SPARK_GRAFT_SCALE_MULT=8 sbt "runMain graft.ScaleCheck"`),
+  * never part of the driver bench.
+  *
+  * Replication preserves the workload's SHAPE: join keys shift by a
+  * per-table stride so replicas stay referentially consistent and key
+  * cardinality grows with the data (a modular copy would multiply
+  * per-key collision counts instead); document text gets a per-replica
+  * suffix token so near-dup/shingle work grows linearly rather than
+  * quadratically (identical replicas would make every document an exact
+  * dup of N−1 others — a different, pathological workload). */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "8").toInt
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.maxPlanStringLength", "65536")
+      .config("spark.sql.dataFrameQueryContext.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
+          else "target/spark-local"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val out = s"target/graft_scale_${mult}x"
+    def table(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).first().getLong(0) + 1L
+
+    // ---- stage the replicated tables (reused if already on disk) --------
+    def stage(name: String)(build: Int => DataFrame): String = {
+      val p = s"$out/$name.parquet"
+      if (!new java.io.File(p, "_SUCCESS").exists) {
+        val t0 = System.nanoTime()
+        (0 until mult).map(build).reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(p)
+        System.err.println(
+          f"[scale] staged $name%-12s ${(System.nanoTime() - t0) / 1e9}%6.1fs")
+      }
+      p
+    }
+    val (okS, ckS, skS, pkS, dkS) = (
+      stride(table("orders"), "o_orderkey"),
+      stride(table("customer"), "c_custkey"),
+      stride(table("supplier"), "s_suppkey"),
+      stride(table("part"), "p_partkey"),
+      stride(table("documents"), "doc_id"))
+    val liP = stage("lineitem") { i =>
+      table("lineitem")
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * okS))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * pkS))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * skS))
+    }
+    val ordP = stage("orders") { i =>
+      table("orders")
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * okS))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * ckS))
+    }
+    val docP = stage("documents") { i =>
+      // per-replica letter rotation: scrambles nearly every word, so a
+      // document's shingle set is DISSIMILAR to its other-replica twins
+      // (a mere suffix token leaves cross-replica Jaccard ≈ 1 and turns
+      // the near-dup workload quadratic in replicas — measured: the pair
+      // output exploded 600× while intended to stay ~linear). Within a
+      // replica the original similarity structure is preserved exactly
+      // (translation is a bijection on the alphabet).
+      // two independent rotations → distinct mutation up to 64 replicas
+      // (one alone has period 8: replicas i and i+8 would share a rotation
+      // and re-create cross-replica near-dups — measured at mult=32)
+      val a1 = "etaoinsr"
+      val a2 = "dlcumwfg"
+      def rot(abc: String, k: Int) =
+        abc.drop(k % abc.length) + abc.take(k % abc.length)
+      table("documents")
+        .withColumn("doc_id", col("doc_id") + lit(i * dkS))
+        .withColumn("text",
+          translate(translate(col("text"), a1, rot(a1, i % 8)),
+            a2, rot(a2, (i / 8) % 8)))
+    }
+
+    // ---- timed operators at 1x and Nx -----------------------------------
+    def time(body: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = body
+      val s = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scale]   rows=$n%,d  ${s}%6.1fs")
+      s
+    }
+    def pagerank(li: DataFrame, ord: DataFrame): Long = {
+      val pairs = ord.select(col("o_orderkey"), col("o_custkey"))
+        .join(li.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.operators.Graph.pageRankScaled(pairs, 5, symmetrize = true).count()
+    }
+    def jaccard(docs: DataFrame): Long =
+      graft.operators.Dedup.jaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.5, maxDocFrequency = 200L).count()
+    def profile(li: DataFrame): Long =
+      graft.operators.Profile.numericProfile(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")).count()
+    def budget(docs: DataFrame, budgetTokens: Long): Long =
+      graft.operators.Selection.selectByBudget(
+        docs.select(col("doc_id"),
+          graft.operators.TextOps.qualityScore(col("text")).as("q"),
+          graft.operators.TextOps.tokenCount(col("text")).cast("long").as("t")),
+        "q", "t", "doc_id", budgetTokens, numBuckets = 256,
+        scoreRange = Some((0.0, 1.0))).count()
+    def wsample(docs: DataFrame): Long =
+      graft.operators.Sampling.weightedSample(
+        docs.withColumn("w", (col("n_chars") % 7 + 1).cast("long")),
+        "doc_id", "w", k = 100).count()
+
+    val cases: Seq[(String, (DataFrame, DataFrame, DataFrame) => Long)] = Seq(
+      ("pagerank_5iter", (li, ord, _) => pagerank(li, ord)),
+      ("jaccard_pairs", (_, _, d) => jaccard(d)),
+      ("numeric_profile", (li, _, _) => profile(li)),
+      ("select_budget", (_, _, d) => budget(d, 12000L * mult)),
+      ("weighted_sample", (_, _, d) => wsample(d)))
+
+    val li1 = table("lineitem"); val ord1 = table("orders"); val doc1 = table("documents")
+    val liN = spark.read.parquet(liP)
+    val ordN = spark.read.parquet(ordP)
+    val docN = spark.read.parquet(docP)
+    // untimed warmup
+    li1.limit(1).collect(); liN.limit(1).collect(); docN.limit(1).collect()
+
+    val rows = cases.map { case (name, f) =>
+      System.err.println(s"[scale] $name @1x")
+      val t1 = time(f(li1, ord1, doc1))
+      graft.operators.Dedup.releaseCaches()
+      System.err.println(s"[scale] $name @${mult}x")
+      val tn = time(f(liN, ordN, docN))
+      graft.operators.Dedup.releaseCaches()
+      val ratio = tn / math.max(t1, 1e-9)
+      f""""$name":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$ratio%.2f}"""
+    }
+    println(s"""{"mult":$mult,"cases":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}
