@@ -127,26 +127,62 @@ object ScaleCheck {
         docs.withColumn("w", (col("n_chars") % 7 + 1).cast("long")),
         "doc_id", "w", k = 100).count()
 
-    val cases: Seq[(String, (DataFrame, DataFrame, DataFrame) => Long)] = Seq(
-      ("pagerank_5iter", (li, ord, _) => pagerank(li, ord)),
-      ("jaccard_pairs", (_, _, d) => jaccard(d)),
-      ("numeric_profile", (li, _, _) => profile(li)),
-      ("select_budget", (_, _, d) => budget(d, 12000L * mult)),
-      ("weighted_sample", (_, _, d) => wsample(d)))
+    def compareStats(li: DataFrame): Long = {
+      import graft.operators.{SparkCompare, CompareConfig}
+      val a = li.where(col("l_orderkey") % 10 =!= 7)
+      val b = li.where(col("l_orderkey") % 10 =!= 3)
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 7 === 0, col("l_quantity") + lit(0.005))
+            .otherwise(col("l_quantity")))
+      // duplicate (orderkey, linenumber) keys exist in the synthetic data,
+      // so this exercises the dupe-rank pairing machinery too — the full
+      // flagship path: probe, null-safe join, fused stats pass
+      new SparkCompare(li.sparkSession, a, b,
+        CompareConfig(joinColumns = Seq("l_orderkey", "l_linenumber")))
+        .columnStats.length.toLong
+    }
+    def minhash(docs: DataFrame): Long =
+      graft.operators.Dedup.minhashNearDuplicates(
+        docs, "text", "doc_id", threshold = 0.5).count()
+    def sessions(ev: DataFrame): Long =
+      graft.operators.Sessionize.sessionStats(
+        graft.streaming.EventStreams.normalizeEventTs(ev),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        gapSeconds = 1800L, valueCol = "value").count()
 
-    val li1 = table("lineitem"); val ord1 = table("orders"); val doc1 = table("documents")
+    val cases: Seq[(String, (DataFrame, DataFrame, DataFrame, DataFrame) => Long)] = Seq(
+      ("compare_stats", (li, _, _, _) => compareStats(li)),
+      ("pagerank_5iter", (li, ord, _, _) => pagerank(li, ord)),
+      ("jaccard_pairs", (_, _, d, _) => jaccard(d)),
+      ("minhash_lsh", (_, _, d, _) => minhash(d)),
+      ("sessionization", (_, _, _, ev) => sessions(ev)),
+      ("numeric_profile", (li, _, _, _) => profile(li)),
+      ("select_budget", (_, _, d, _) => budget(d, 12000L * mult)),
+      ("weighted_sample", (_, _, d, _) => wsample(d)))
+
+    val evS = stride(table("events"), "event_id")
+    val evUS = stride(table("events"), "user_id")
+    val evP = stage("events") { i =>
+      table("events")
+        .withColumn("event_id", col("event_id") + lit(i * evS))
+        .withColumn("user_id", col("user_id") + lit(i * evUS))
+    }
+    val li1 = table("lineitem"); val ord1 = table("orders")
+    val doc1 = table("documents"); val ev1 = table("events")
     val liN = spark.read.parquet(liP)
     val ordN = spark.read.parquet(ordP)
     val docN = spark.read.parquet(docP)
+    val evN = spark.read.parquet(evP)
     // untimed warmup
-    li1.limit(1).collect(); liN.limit(1).collect(); docN.limit(1).collect()
+    li1.limit(1).collect(); liN.limit(1).collect()
+    docN.limit(1).collect(); evN.limit(1).collect()
 
     val rows = cases.map { case (name, f) =>
       System.err.println(s"[scale] $name @1x")
-      val t1 = time(f(li1, ord1, doc1))
+      val t1 = time(f(li1, ord1, doc1, ev1))
       graft.operators.Dedup.releaseCaches()
       System.err.println(s"[scale] $name @${mult}x")
-      val tn = time(f(liN, ordN, docN))
+      val tn = time(f(liN, ordN, docN, evN))
       graft.operators.Dedup.releaseCaches()
       val ratio = tn / math.max(t1, 1e-9)
       f""""$name":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$ratio%.2f}"""
