@@ -64,6 +64,31 @@ object OpsPack {
     Dedup.minhashNearDuplicatesMd5(docs(s, dir), "text", "doc_id",
       threshold = 0.5, numHashes = 64, bands = 16).orderBy("id1", "id2")
 
+  /** Best-representative dedup survivorship: near-dup pairs (portable
+    * MinHash-LSH family) → connected components → keep the HIGHEST-QUALITY
+    * document per component (ties → smaller id) — the survivorship rule
+    * real dedup pipelines ship (min-id keep, as in q_clean_corpus, is the
+    * verification-friendly default; quality-keep is what you actually
+    * want). Singletons are their own component and always survive. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashNearDuplicatesMd5(d, "text", "doc_id",
+      threshold = 0.5, numHashes = 64, bands = 16).select("id1", "id2")
+    val comps = Dedup.connectedComponents(pairs)
+    val scored = d.select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality_score"))
+    val withComp = scored
+      .join(comps.toDF("doc_id", "component"), Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    withComp.groupBy("component")
+      .agg(max(struct(col("quality_score"),
+        (-col("doc_id")).as("nid"), col("doc_id"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("component"),
+        col("m.quality_score").as("quality_score"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dups within hamming 3 — four 16-bit pigeonhole blocks, so
     * bucket sizes stay bounded at corpus scale (md5 family, oracle-checked). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -1456,6 +1481,25 @@ object OpsPack {
       .orderBy("corpus_id", "probe_id")
   }
 
+  /** Decontaminated-corpus driver query: the composition a training
+    * pipeline actually ships — the corpus MINUS every document the
+    * contamination scan flags against the benchmark probe set (≥ 2 shared
+    * word 3-grams with any probe). One anti join against the flagged-id
+    * set (tiny — bounded by the scan's output), so the corpus itself is
+    * scanned once and never shuffled. Shares the contamination scan's
+    * parameters, so the oracle derives from the same gram CTEs. */
+  def decontaminatedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.where(col("doc_id") % 50 =!= 0)
+    val probes = d.where(col("doc_id") % 50 === 0)
+    val flagged = Dedup.contaminationPairs(
+      corpus, probes, "text", "doc_id", n = 3, minOverlap = 2L)
+      .select(col("corpus_id").as("doc_id")).distinct()
+    corpus.join(flagged, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Containment-ratio contamination scan over the same probe split: shared
     * grams as a fraction of the probe's gram set. */
   def contaminationRatio(s: SparkSession, dir: String): DataFrame = {
@@ -2549,10 +2593,12 @@ object OpsPack {
     "q_clean_corpus" -> (cleanCorpusQuery _),
     "q_clean_corpus_fast" -> (cleanCorpusFastQuery _),
     "q_contamination" -> (contamination _),
+    "q_decontaminated_corpus" -> (decontaminatedCorpus _),
     "q_contamination_bloom" -> (contaminationBloom _),
     "q_contamination_ratio" -> (contaminationRatio _),
     "q_dedup_jaccard_pairs" -> (jaccardPairs _),
     "q_dedup_minhash_lsh" -> (minhashPairs _),
+    "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_dedup_simhash" -> (simhashPairs _),
     "q_dedup_winnow" -> (winnowPairsQuery _),
     "q_dedup_incremental" -> (dedupIncremental _),
@@ -2709,6 +2755,20 @@ object OpsPack {
        |GROUP BY 1, 2 HAVING count(*) >= 2
        |ORDER BY corpus_id, probe_id""".stripMargin
 
+  /** Decontamination oracle: the contamination scan's flagged corpus ids
+    * anti-joined out of the corpus slice. */
+  private val decontaminatedSql: String =
+    s"""WITH $gramsCtes,
+       |c AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
+       |p AS (SELECT * FROM grams WHERE doc_id % 50 = 0),
+       |o AS (SELECT c.doc_id AS id, p.doc_id AS pid, count(*) n
+       |      FROM c JOIN p ON c.g = p.g GROUP BY 1, 2),
+       |flagged AS (SELECT DISTINCT id FROM o WHERE n >= 2)
+       |SELECT d.doc_id, d.source, d.lang, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT id FROM flagged)
+       |ORDER BY d.doc_id""".stripMargin
+
   private val contaminationRatioSql: String =
     s"""WITH $gramsCtes,
        |c AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
@@ -2806,6 +2866,46 @@ object OpsPack {
        |${minhashPairCtes(0.5)}
        |SELECT id1, id2, jaccard FROM mh_pairs
        |ORDER BY id1, id2""".stripMargin
+
+  /** Keep-best survivorship oracle: the MinHash pair CTEs, recursive-CTE
+    * component closure (min label), the same quality formula as the
+    * budget-selection oracle, and a per-component row_number argmax
+    * (quality desc, id asc — matching the engine's struct-max tie rule). */
+  private val dedupKeepBestSql: String = {
+    val stop = "\\b(the|a|an|and|of|to|in|is|it|for)\\b"
+    s"""WITH RECURSIVE
+       |$gramsCtes,
+       |${minhashPairCtes(0.5)},
+       |edges AS (SELECT id1 a, id2 b FROM mh_pairs
+       |          UNION SELECT id2, id1 FROM mh_pairs),
+       |walk(id, comp) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
+       |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(lower(text), '$stop')) AS BIGINT) AS n_stop,
+       |    len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents),
+       |q AS (SELECT doc_id,
+       |  0.5 * (least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0)
+       |  + 0.3 * (CASE WHEN n_tokens = 0 THEN 0.0
+       |           ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
+       |  + 0.2 * (CASE WHEN n_chars IS NULL OR n_chars = 0 THEN 0.0
+       |           ELSE CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
+       |    AS quality_score
+       |  FROM base),
+       |wc AS (SELECT q.doc_id, q.quality_score,
+       |         COALESCE(c.comp, q.doc_id) AS component
+       |       FROM q LEFT JOIN comps c ON c.id = q.doc_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY component
+       |        ORDER BY quality_score DESC, doc_id) rn FROM wc)
+       |SELECT doc_id, component, quality_score FROM r WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Incremental-dedup oracle: the same md5 MinHash pipeline run CROSS-SET
     * (batch signatures vs corpus signatures; banded candidates where any
@@ -5001,9 +5101,11 @@ object OpsPack {
     "q_clean_corpus" -> cleanCorpusSql,
     "q_dedup_jaccard_pairs" -> jaccardSql,
     "q_contamination" -> contaminationSql,
+    "q_decontaminated_corpus" -> decontaminatedSql,
     "q_contamination_bloom" -> contaminationSql,
     "q_contamination_ratio" -> contaminationRatioSql,
     "q_dedup_minhash_lsh" -> minhashSql,
+    "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_winnow" -> winnowSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
