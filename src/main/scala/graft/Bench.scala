@@ -111,8 +111,9 @@ object Bench {
     // costs at sf0.1 (descending); unlisted queries sort alphabetically
     // after the ranked ones.
     val costRank = Seq(
-      "q_graph_pagerank", "q_dedup_jaccard_pairs", "q_cdc_stream_apply",
-      "q_events_stream_distinct", "q_bpe_tokenize",
+      "q_graph_pagerank", "q_dedup_keep_best", "q_dedup_jaccard_pairs",
+      "q_cdc_stream_apply",
+      "q_events_stream_distinct", "q_decontaminated_corpus", "q_bpe_tokenize",
       "q_graph_khop", "q_entity_resolution", "q_graph_triangles",
       "q_cdc_join_view", "q_docs_curriculum",
       "q_compare_all_mismatch", "q_normalize_winsor", "q_events_stream_enrich",
