@@ -2133,6 +2133,18 @@ object OpsPack {
     * the within-shard order are engine-portable by construction. */
   val ShuffleExportBuckets = 8
 
+  /** Range-sharded export driver query
+    * ([[graft.operators.Export.rangeShardedPositions]]): documents range-
+    * sharded on n_chars into 8 globally-ordered shards — exact equi-depth
+    * boundaries via distributed rank selection, (shard, pos) a global
+    * total order, no task sorting more than ≈ n/8 rows. */
+  def exportRangeSharded(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Export.rangeShardedPositions(
+      docs(s, dir).select(col("doc_id"), col("n_chars")),
+      "n_chars", "doc_id", numShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
   def shuffleExport(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sampling
     Sampling.deterministicShuffle(docs(s, dir), "doc_id", ShuffleExportBuckets)
@@ -2587,6 +2599,7 @@ object OpsPack {
     "q_split_counts" -> (splitCounts _),
     "q_shuffle_export" -> (shuffleExport _),
     "q_export_manifest" -> (exportManifest _),
+    "q_export_range" -> (exportRangeSharded _),
     "q_compare_report" -> (compareReport _),
     "q_text_stats" -> (textStats _),
     "q_dedup_exact" -> (dedupExact _),
@@ -3824,6 +3837,31 @@ object OpsPack {
   /** Equi-depth histogram oracle: decile boundaries spelled out as the
     * same cume_dist min-selection, bucket = the identical comparison
     * count. */
+  /** Range-sharded export oracle: the same percentile_disc boundary rule
+    * (cume_dist mirror, as in the equi-depth histogram oracle), the same
+    * comparison-count shard assignment, and a per-shard row_number under
+    * (key, id). */
+  private val exportRangeSql: String = {
+    val shards = 8
+    val bSubqs = (1 until shards).map { i =>
+      s"""(SELECT min(v) FROM (
+         |   SELECT CAST(n_chars AS DOUBLE) v,
+         |     cume_dist() OVER (ORDER BY CAST(n_chars AS DOUBLE)) cd
+         |   FROM documents WHERE n_chars IS NOT NULL)
+         |  WHERE cd >= ${i.toDouble / shards}) b$i""".stripMargin
+    }.mkString(",\n")
+    val shardExpr = (1 until shards)
+      .map(i => s"(CASE WHEN v > b$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH vals AS (SELECT doc_id, CAST(n_chars AS DOUBLE) v FROM documents
+       |              WHERE n_chars IS NOT NULL),
+       |b AS (SELECT
+       |$bSubqs),
+       |a AS (SELECT doc_id, v, CAST($shardExpr AS BIGINT) shard FROM vals, b)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY v, doc_id) AS BIGINT) AS pos
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
   private val profileHistogramDepthSql: String = {
     val bSubqs = (1 until 10).map { i =>
       s"""(SELECT min(v) FROM (
@@ -5061,6 +5099,7 @@ object OpsPack {
     "q_split_counts" -> splitCountsSql,
     "q_shuffle_export" -> shuffleExportSql,
     "q_export_manifest" -> exportManifestSql,
+    "q_export_range" -> exportRangeSql,
     "q_text_stats" -> statsSql,
     "q_text_pii" -> piiSql,
     "q_text_repetition" -> repetitionSql,

@@ -60,6 +60,44 @@ object Export {
     df.sparkSession.read.parquet(path).count()
   }
 
+  /** GLOBALLY-ORDERED range-sharded layout: shard boundaries are the exact
+    * order statistics at ranks ⌈i·n/S⌉ of the key (distributed rank
+    * selection — [[Profile.selectRanks]], no single-task sort anywhere),
+    * shard membership is the comparison count Σᵢ [v > bᵢ] against the
+    * broadcast boundary literals, and `pos` is the row's 1-based rank
+    * within its shard under (key, id). The pair (shard, pos) is a GLOBAL
+    * total order — shard boundaries refine key order — which is the
+    * property a hash-sharded export cannot give: concatenating range
+    * shards 0..S−1 reads the whole corpus in key order, with no task ever
+    * sorting more than ≈ n/S rows (equi-depth boundaries bound shard
+    * sizes against key skew, up to boundary ties). Rows with a NULL key
+    * are excluded. Output: original columns + (shard, pos). */
+  def rangeShardedPositions(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 1, s"numShards must be > 1, got $numShards")
+    val v = col(keyCol).cast("double")
+    val nn = df.where(v.isNotNull)
+    val mm = nn.agg(count(lit(1)).as("n"), min(v).as("mn"), max(v).as("mx")).first()
+    val n = mm.getLong(0)
+    if (n == 0)
+      return nn.withColumn("shard", lit(0L)).withColumn("pos", lit(0L))
+    def rank(i: Int): Long = math.max(1L, (i.toLong * n + numShards - 1) / numShards)
+    val ranks = (1 until numShards).map(rank(_)).distinct
+    val hits = Profile.selectRanks(
+      nn.select(lit(keyCol).as("column"), v.as("v")),
+      Map(keyCol -> ranks),
+      Map(keyCol -> ((mm.getDouble(1), mm.getDouble(2)))))
+    val bounds = (1 until numShards).map(i => hits((keyCol, rank(i))))
+    val shard = bounds.map(b => when(v > lit(b), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(v.asc, col(idCol).asc)
+    nn.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Order-sensitive per-shard manifest of the sorted-shard layout:
     * (shard, n_rows, min/max of `statCol`, checksum). `checksum` is the
     * decimal string of Σ md5Prefix48(rank ":" key) over the shard in sort

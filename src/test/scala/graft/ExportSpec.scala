@@ -60,4 +60,25 @@ class ExportSpec extends SparkTestBase {
     val s1 = spark.range(1).select(shard1.as("s")).as[Long].head()
     assert(m2(s1) != manifest(s1))
   }
+
+  test("rangeShardedPositions: (shard, pos) is a global total order with balanced shards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // heavy ties + a NULL key (must be excluded)
+    val rows = Seq.tabulate(403)(i => (i.toLong, Option((rnd.nextInt(40) * 10).toLong))) :+
+      (999L, Option.empty[Long])
+    val df = rows.toDF("id", "k")
+    val got = Export.rangeShardedPositions(df, "k", "id", numShards = 4)
+      .select("id", "k", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 403) // NULL key excluded
+    // concatenating shards in (shard, pos) order reads the global (k, id) sort
+    val byLayout = got.sortBy { case (_, _, s, p) => (s, p) }.map(t => (t._2, t._1))
+    val globalSort = rows.collect { case (id, Some(k)) => (k, id) }.sorted
+    assert(byLayout.toSeq == globalSort)
+    // equi-depth boundaries keep shards near-balanced despite the tie-heavy key
+    val sizes = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.size >= 3 && sizes.values.max <= 403 / 2,
+      s"shard sizes $sizes")
+  }
 }
