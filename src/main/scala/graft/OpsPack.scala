@@ -1062,11 +1062,7 @@ object OpsPack {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.operators.Utils.deleteRecursively(p)
 
   /** Stage the events table as a two-file replay directory (earlier half →
     * later half by modification time), shared by every streaming driver
@@ -2885,7 +2881,6 @@ object OpsPack {
     * budget-selection oracle, and a per-component row_number argmax
     * (quality desc, id asc — matching the engine's struct-max tie rule). */
   private val dedupKeepBestSql: String = {
-    val stop = "\\b(the|a|an|and|of|to|in|is|it|for)\\b"
     s"""WITH RECURSIVE
        |$gramsCtes,
        |${minhashPairCtes(0.5)},
@@ -2896,21 +2891,7 @@ object OpsPack {
        |  UNION
        |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
        |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
-       |base AS (
-       |  SELECT doc_id,
-       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
-       |    CAST(len(regexp_extract_all(lower(text), '$stop')) AS BIGINT) AS n_stop,
-       |    len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
-       |    CAST(length(text) AS BIGINT) AS n_chars
-       |  FROM documents),
-       |q AS (SELECT doc_id,
-       |  0.5 * (least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0)
-       |  + 0.3 * (CASE WHEN n_tokens = 0 THEN 0.0
-       |           ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
-       |  + 0.2 * (CASE WHEN n_chars IS NULL OR n_chars = 0 THEN 0.0
-       |           ELSE CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
-       |    AS quality_score
-       |  FROM base),
+       |${qualitySqlCtes()},
        |wc AS (SELECT q.doc_id, q.quality_score,
        |         COALESCE(c.comp, q.doc_id) AS component
        |       FROM q LEFT JOIN comps c ON c.id = q.doc_id),
@@ -4034,59 +4015,24 @@ object OpsPack {
     * within-cluster cosine pairs, and the recursive-CTE component collapse
     * from the clean-corpus oracle. Only ids and cluster indices surface, so
     * ulp-level cosine differences between engines never reach the hash. */
-  /** PQ-ADC oracle: the literal-codebook mirror. Encode = per-subspace
-    * argmin over the same fixed-order (c² − 2·v·c) distance expressions
-    * (list_position(list_min) ≡ array_position(array_min) — first index on
-    * ties); ADC table = the same left-to-right Σ(q_i−c_i)² the engine
+  /** THE shared PQ oracle-SQL generators — one implementation of the
+    * literal-codebook arithmetic mirrors, parameterized by which vector
+    * variable carries the corpus side (`v` raw / `rv` residual) and the
+    * query side (`qv` raw / `qr` residual), so the three PQ oracles are
+    * provably identical in arithmetic. Encode = per-subspace argmin over
+    * the same fixed-order (c² − 2·v·c) distance expressions
+    * (list_position(list_min) ≡ array_position(array_min) — first index
+    * on ties); ADC table = the same left-to-right Σ(q_i−c_i)² the engine
     * computes driver-side; score = the same m-ordered lookup sum. Every
     * constant rides a '…'::DOUBLE string cast (exact parse — bare float
     * literals parse as DECIMAL in DuckDB). */
-  private val annPqSql: String = {
-    val books = graft.operators.Pq.codebooks(
+  private object PqOracleGen {
+    lazy val books: Seq[Seq[Seq[Double]]] = graft.operators.Pq.codebooks(
       EmbeddingDim, PqSubspaces, PqCodebookSize, PqPlaneOffset)
-    val subdim = EmbeddingDim / PqSubspaces
-    def dlit(x: Double) = s"'$x'::DOUBLE"
-    def encList(m: Int): String = books(m).map { c =>
-      val c2 = c.map(x => x * x).sum
-      val dot = c.zipWithIndex
-        .map { case (w, i) => s"v[${m * subdim + i + 1}] * ${dlit(w)}" }
-        .mkString("(", " + ", ")")
-      s"(${dlit(c2)} - 2.0 * $dot)"
-    }.mkString("[", ",\n      ", "]")
-    def dtList(m: Int): String = books(m).map { c =>
-      c.zipWithIndex.map { case (w, i) =>
-        val t = s"(qv[${m * subdim + i + 1}] - ${dlit(w)})"
-        s"$t * $t"
-      }.mkString("(", " + ", ")")
-    }.mkString("[", ",\n      ", "]")
-    val dlCols = (0 until PqSubspaces)
-      .map(m => s"${encList(m)} AS dl_$m").mkString(",\n  ")
-    val codeCols = (0 until PqSubspaces)
-      .map(m => s"CAST(list_position(dl_$m, list_min(dl_$m)) - 1 AS INT) AS code_$m")
-      .mkString(", ")
-    val adcSum = (0 until PqSubspaces)
-      .map(m => s"(${dtList(m)})[code_$m + 1]").mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-       |dl AS (SELECT vec_id,
-       |  $dlCols
-       |  FROM e),
-       |enc AS (SELECT vec_id, $codeCols FROM dl),
-       |adc AS (SELECT enc.vec_id, $adcSum AS adc_dist FROM enc, q)
-       |SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin
-  }
-
-  /** IVF+PQ oracle: coarse assignment via the same literal-centroid argmin
-    * (first on ties), probe clusters = the query's 2 nearest by the same
-    * fixed-order distances ordered (d, j), then the PQ encode + ADC mirror
-    * restricted to the probed members. */
-  private val annIvfPqSql: String = {
-    val cents = graft.operators.Pq.coarseCentroids(
+    lazy val cents: Seq[Seq[Double]] = graft.operators.Pq.coarseCentroids(
       EmbeddingDim, IvfPqClusters, IvfPqPlaneOffset)
-    val books = graft.operators.Pq.codebooks(
-      EmbeddingDim, PqSubspaces, PqCodebookSize, PqPlaneOffset)
-    val subdim = EmbeddingDim / PqSubspaces
-    def dlit(x: Double) = s"'$x'::DOUBLE"
+    val subdim: Int = EmbeddingDim / PqSubspaces
+    def dlit(x: Double): String = s"'$x'::DOUBLE"
     def centDist(v: String, c: Seq[Double]): String = {
       val c2 = c.map(x => x * x).sum
       val dot = c.zipWithIndex
@@ -4094,44 +4040,66 @@ object OpsPack {
         .mkString("(", " + ", ")")
       s"(${dlit(c2)} - 2.0 * $dot)"
     }
-    val assignList = cents.map(centDist("v", _)).mkString("[", ",\n      ", "]")
-    val qDistRows = cents.zipWithIndex
-      .map { case (c, j) => s"SELECT $j AS j, ${centDist("qv", c)} AS d FROM q" }
+    def assignList(v: String): String =
+      cents.map(centDist(v, _)).mkString("[", ",\n      ", "]")
+    def qDistRows(q: String): String = cents.zipWithIndex
+      .map { case (c, j) => s"SELECT $j AS j, ${centDist(q, c)} AS d FROM q" }
       .mkString("\n  UNION ALL ")
-    def encList(m: Int): String = books(m).map { c =>
+    def encList(v: String)(m: Int): String = books(m).map { c =>
       val c2 = c.map(x => x * x).sum
       val dot = c.zipWithIndex
-        .map { case (w, i) => s"v[${m * subdim + i + 1}] * ${dlit(w)}" }
+        .map { case (w, i) => s"$v[${m * subdim + i + 1}] * ${dlit(w)}" }
         .mkString("(", " + ", ")")
       s"(${dlit(c2)} - 2.0 * $dot)"
     }.mkString("[", ",\n      ", "]")
-    def dtList(m: Int): String = books(m).map { c =>
+    def dtList(q: String)(m: Int): String = books(m).map { c =>
       c.zipWithIndex.map { case (w, i) =>
-        val t = s"(qv[${m * subdim + i + 1}] - ${dlit(w)})"
+        val t = s"($q[${m * subdim + i + 1}] - ${dlit(w)})"
         s"$t * $t"
       }.mkString("(", " + ", ")")
     }.mkString("[", ",\n      ", "]")
-    val dlCols = (0 until PqSubspaces)
-      .map(m => s"${encList(m)} AS dl_$m").mkString(",\n  ")
-    val codeCols = (0 until PqSubspaces)
+    def dlCols(v: String): String = (0 until PqSubspaces)
+      .map(m => s"${encList(v)(m)} AS dl_$m").mkString(",\n  ")
+    val codeCols: String = (0 until PqSubspaces)
       .map(m => s"CAST(list_position(dl_$m, list_min(dl_$m)) - 1 AS INT) AS code_$m")
       .mkString(", ")
-    val adcSum = (0 until PqSubspaces)
-      .map(m => s"(${dtList(m)})[code_$m + 1]").mkString(" + ")
+    def adcSum(q: String): String = (0 until PqSubspaces)
+      .map(m => s"(${dtList(q)(m)})[code_$m + 1]").mkString(" + ")
+  }
+
+  /** PQ-ADC oracle — see [[PqOracleGen]] for the exactness contract. */
+  private val annPqSql: String = {
+    import PqOracleGen._
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-       |cdist AS ($qDistRows),
+       |dl AS (SELECT vec_id,
+       |  ${dlCols("v")}
+       |  FROM e),
+       |enc AS (SELECT vec_id, $codeCols FROM dl),
+       |adc AS (SELECT enc.vec_id, ${adcSum("qv")} AS adc_dist FROM enc, q)
+       |SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin
+  }
+
+  /** IVF+PQ oracle: coarse assignment via the same literal-centroid argmin
+    * (first on ties), probe clusters = the query's 2 nearest by the same
+    * fixed-order distances ordered (d, j), then the PQ encode + ADC mirror
+    * restricted to the probed members ([[PqOracleGen]]). */
+  private val annIvfPqSql: String = {
+    import PqOracleGen._
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |cdist AS (${qDistRows("qv")}),
        |probe AS (SELECT j FROM cdist ORDER BY d, j LIMIT $IvfPqNprobe),
        |asg AS (SELECT vec_id, v,
        |  CAST(list_position(al, list_min(al)) - 1 AS INT) AS cluster
-       |  FROM (SELECT vec_id, v, $assignList AS al FROM e)),
+       |  FROM (SELECT vec_id, v, ${assignList("v")} AS al FROM e)),
        |probed AS (SELECT vec_id, v FROM asg
        |           WHERE cluster IN (SELECT j FROM probe)),
        |dl AS (SELECT vec_id,
-       |  $dlCols
+       |  ${dlCols("v")}
        |  FROM probed),
        |enc AS (SELECT vec_id, $codeCols FROM dl),
-       |adc AS (SELECT enc.vec_id, $adcSum AS adc_dist FROM enc, q)
+       |adc AS (SELECT enc.vec_id, ${adcSum("qv")} AS adc_dist FROM enc, q)
        |SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin
   }
 
@@ -4141,53 +4109,17 @@ object OpsPack {
     * zip_with); encode lists run over `rv`; the per-cluster ADC table
     * derives from the query residual `qr` joined by cluster. */
   private val annIvfPqResidualSql: String = {
-    val cents = graft.operators.Pq.coarseCentroids(
-      EmbeddingDim, IvfPqClusters, IvfPqPlaneOffset)
-    val books = graft.operators.Pq.codebooks(
-      EmbeddingDim, PqSubspaces, PqCodebookSize, PqPlaneOffset)
-    val subdim = EmbeddingDim / PqSubspaces
-    def dlit(x: Double) = s"'$x'::DOUBLE"
+    import PqOracleGen._
     val centsLit = cents
       .map(c => c.map(dlit).mkString("[", ", ", "]"))
       .mkString("[", ",\n   ", "]")
-    def centDist(v: String, c: Seq[Double]): String = {
-      val c2 = c.map(x => x * x).sum
-      val dot = c.zipWithIndex
-        .map { case (w, i) => s"$v[${i + 1}] * ${dlit(w)}" }
-        .mkString("(", " + ", ")")
-      s"(${dlit(c2)} - 2.0 * $dot)"
-    }
-    val assignList = cents.map(centDist("v", _)).mkString("[", ",\n      ", "]")
-    val qDistRows = cents.zipWithIndex
-      .map { case (c, j) => s"SELECT $j AS j, ${centDist("qv", c)} AS d FROM q" }
-      .mkString("\n  UNION ALL ")
-    def encList(m: Int): String = books(m).map { c =>
-      val c2 = c.map(x => x * x).sum
-      val dot = c.zipWithIndex
-        .map { case (w, i) => s"rv[${m * subdim + i + 1}] * ${dlit(w)}" }
-        .mkString("(", " + ", ")")
-      s"(${dlit(c2)} - 2.0 * $dot)"
-    }.mkString("[", ",\n      ", "]")
-    def dtList(m: Int): String = books(m).map { c =>
-      c.zipWithIndex.map { case (w, i) =>
-        val t = s"(qr[${m * subdim + i + 1}] - ${dlit(w)})"
-        s"$t * $t"
-      }.mkString("(", " + ", ")")
-    }.mkString("[", ",\n      ", "]")
-    val dlCols = (0 until PqSubspaces)
-      .map(m => s"${encList(m)} AS dl_$m").mkString(",\n  ")
-    val codeCols = (0 until PqSubspaces)
-      .map(m => s"CAST(list_position(dl_$m, list_min(dl_$m)) - 1 AS INT) AS code_$m")
-      .mkString(", ")
-    val adcSum = (0 until PqSubspaces)
-      .map(m => s"(${dtList(m)})[code_$m + 1]").mkString(" + ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-       |cdist AS ($qDistRows),
+       |cdist AS (${qDistRows("qv")}),
        |probe AS (SELECT j FROM cdist ORDER BY d, j LIMIT $IvfPqNprobe),
        |asg AS (SELECT vec_id, v,
        |  CAST(list_position(al, list_min(al)) - 1 AS INT) AS cluster
-       |  FROM (SELECT vec_id, v, $assignList AS al FROM e)),
+       |  FROM (SELECT vec_id, v, ${assignList("v")} AS al FROM e)),
        |probed AS (SELECT vec_id, v, cluster FROM asg
        |           WHERE cluster IN (SELECT j FROM probe)),
        |withrv AS (SELECT vec_id, cluster,
@@ -4199,8 +4131,8 @@ object OpsPack {
        |    i -> qv[i] - ($centsLit)[p.j + 1][i]) AS qr
        |  FROM probe p, q),
        |enc AS (SELECT vec_id, cluster, $codeCols FROM
-       |  (SELECT vec_id, cluster, $dlCols FROM withrv)),
-       |adc AS (SELECT enc.vec_id, ($adcSum) AS adc_dist
+       |  (SELECT vec_id, cluster, ${dlCols("rv")} FROM withrv)),
+       |adc AS (SELECT enc.vec_id, (${adcSum("qr")}) AS adc_dist
        |        FROM enc JOIN rq USING (cluster))
        |SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 20""".stripMargin
   }
@@ -4830,57 +4762,49 @@ object OpsPack {
       |FROM lineitem l JOIN s USING (l_returnflag)
       |ORDER BY l_returnflag, l_quantity""".stripMargin
 
-  /** Budget-selection oracle: the global window-cumsum formulation the
-    * two-phase engine reproduces exactly — same quality formula as the
-    * top-k-quality oracle, BIGINT token cumsum, prefix cut at the budget. */
-  private val selectBudgetSql: String = {
+  /** The ONE SQL mirror of [[graft.operators.TextOps.qualityScore]]:
+    * `base` + `q` CTEs computing (doc_id, extra*, quality_score,
+    * n_tokens). Shared by every oracle that scores quality — a formula
+    * change lands in exactly one place on each side. */
+  private def qualitySqlCtes(extra: Seq[String] = Nil): String = {
     val stop = "\\b(the|a|an|and|of|to|in|is|it|for)\\b"
-    s"""WITH base AS (
-       |  SELECT doc_id,
+    val sel = ("doc_id" +: extra).mkString(", ")
+    s"""base AS (
+       |  SELECT $sel,
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
        |    CAST(len(regexp_extract_all(lower(text), '$stop')) AS BIGINT) AS n_stop,
        |    len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
        |    CAST(length(text) AS BIGINT) AS n_chars
        |  FROM documents),
-       |q AS (SELECT doc_id,
+       |q AS (SELECT $sel,
        |  0.5 * (least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0)
        |  + 0.3 * (CASE WHEN n_tokens = 0 THEN 0.0
        |           ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
        |  + 0.2 * (CASE WHEN n_chars IS NULL OR n_chars = 0 THEN 0.0
        |           ELSE CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
        |    AS quality_score,
-       |  n_tokens FROM base),
+       |  n_tokens FROM base)""".stripMargin
+  }
+
+  /** Budget-selection oracle: the global window-cumsum formulation the
+    * two-phase engine reproduces exactly — same quality formula as the
+    * top-k-quality oracle, BIGINT token cumsum, prefix cut at the budget. */
+  private val selectBudgetSql: String =
+    s"""WITH ${qualitySqlCtes()},
        |c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q)
        |SELECT doc_id, quality_score, n_tokens
        |FROM c WHERE cum <= $SelectBudgetTokens ORDER BY doc_id""".stripMargin
-  }
 
   /** Per-group budget-selection oracle: the same quality formula and
     * cumsum cut, windowed PER SOURCE with an independent budget each. */
-  private val selectBudgetGroupedSql: String = {
-    val stop = "\\b(the|a|an|and|of|to|in|is|it|for)\\b"
-    s"""WITH base AS (
-       |  SELECT doc_id, source,
-       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
-       |    CAST(len(regexp_extract_all(lower(text), '$stop')) AS BIGINT) AS n_stop,
-       |    len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
-       |    CAST(length(text) AS BIGINT) AS n_chars
-       |  FROM documents),
-       |q AS (SELECT doc_id, source,
-       |  0.5 * (least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0)
-       |  + 0.3 * (CASE WHEN n_tokens = 0 THEN 0.0
-       |           ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
-       |  + 0.2 * (CASE WHEN n_chars IS NULL OR n_chars = 0 THEN 0.0
-       |           ELSE CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
-       |    AS quality_score,
-       |  n_tokens FROM base),
+  private val selectBudgetGroupedSql: String =
+    s"""WITH ${qualitySqlCtes(Seq("source"))},
        |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source
        |        ORDER BY quality_score DESC, doc_id
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM q)
        |SELECT doc_id, source, quality_score, n_tokens
        |FROM c WHERE cum <= $SelectBudgetGroupTokens ORDER BY doc_id""".stripMargin
-  }
 
   /** BM25 (portable fixed-point) oracle: identical tokenization, rational
     * RSJ-odds idf, k1=6/5 b=3/4 saturation cleared to integer fractions,

@@ -63,7 +63,12 @@ object Dedup {
   }
 
   /** Release only the caches registered by passes run on the CURRENT
-    * thread — the per-pass auto-release scope. */
+    * thread — the per-pass auto-release scope, and the right call for any
+    * long-running loop (a streaming foreachBatch) that wants to drop its
+    * OWN pass's caches between iterations without evicting caches that
+    * concurrent queries on sibling threads are reading. */
+  def releaseOwnCaches(): Unit = releaseThreadCaches()
+
   private def releaseThreadCaches(): Unit = {
     val q = threadCachedFrames.get()
     var d = q.poll()

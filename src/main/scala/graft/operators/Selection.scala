@@ -194,8 +194,15 @@ object Selection {
     val bdf = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(bRows).asJava), bSchema)
-    val withB = s.withColumn("_graft_sel_bucket", bucket)
-      .join(broadcast(bdf), groupCols)
+    // NULL-SAFE group attach: a plain equi-join on the group columns drops
+    // every NULL-group row (NULL != NULL), while groupBy above put them in
+    // a real group with its own boundary — the same null-safe grouping
+    // semantics every per-group operator (and the window-cumsum oracle's
+    // PARTITION BY) uses
+    val preJoin = s.withColumn("_graft_sel_bucket", bucket)
+    var withB = preJoin.join(broadcast(bdf),
+      groupCols.map(c => preJoin(c) <=> bdf(c)).reduce(_ && _))
+    groupCols.foreach(c => withB = withB.drop(bdf(c)))
     val high = withB.where(col("_graft_sel_bucket") > col("_graft_sel_boundary"))
     // each group's boundary bucket pays its own ordered running sum —
     // the window partitions by (group, bucket): parallel across groups

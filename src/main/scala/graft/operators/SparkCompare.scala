@@ -585,4 +585,16 @@ object Utils {
     val taken = dfs.flatMap(_.columns).map(_.toLowerCase).toSet
     Iterator.from(0).map(i => s"_temp_$i").find(n => !taken.contains(n)).get
   }
+
+  /** Recursively delete a path. The ONE shared implementation — the
+    * `Files.walk` stream must be closed (it holds directory handles;
+    * the idiom previously copied at several sites leaked one per call). */
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.walk(p)
+      try stream.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally stream.close()
+    }
 }

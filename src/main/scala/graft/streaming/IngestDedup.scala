@@ -116,7 +116,11 @@ object IngestDedup {
       }
     } finally {
       survivors.unpersist()
-      Dedup.releaseCaches()
+      // thread-scoped: drop only THIS batch's postings caches — the global
+      // drain would evict caches that concurrent queries on sibling
+      // verify-pool threads are mid-read (the cross-thread recomputation
+      // storm the per-thread registry exists to prevent)
+      Dedup.releaseOwnCaches()
     }
   }
 }

@@ -79,12 +79,8 @@ object StreamingCdcApply {
     val nonEmpty = applied.select("__bucket").distinct()
       .collect().map(_.getInt(0)).toSet
     touched.filterNot(nonEmpty).foreach { b =>
-      val dir = java.nio.file.Paths.get(tablePath, s"__bucket=$b")
-      if (java.nio.file.Files.isDirectory(dir)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      graft.operators.Utils.deleteRecursively(
+        java.nio.file.Paths.get(tablePath, s"__bucket=$b"))
     }
   }
 

@@ -26,8 +26,11 @@ object StreamingDistinct {
   def mergeRegistersBatch(batch: DataFrame, tablePath: String,
       groupCols: Seq[String], valueCol: String, m: Int): Unit = {
     val spark = batch.sparkSession
+    // emptiness is checked on the RAW batch: probing the aggregated frame
+    // would evaluate the grouped register shuffle once for the probe and
+    // again for the write — doubling every batch's real work
+    if (batch.isEmpty) return
     val partial = DistinctSketch.registersByGroup(batch, groupCols, valueCol, m)
-    if (partial.isEmpty) return
     val f = new java.io.File(tablePath)
     val exists = f.isDirectory &&
       Option(f.listFiles).exists(_.exists(_.getName.endsWith(".parquet")))

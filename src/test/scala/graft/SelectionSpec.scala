@@ -52,6 +52,21 @@ class SelectionSpec extends SparkTestBase {
     }
   }
 
+  test("per-group selection keeps NULL-group rows as their own quota group") {
+    // NULL != NULL under a plain equi-join — the boundary attach must be
+    // null-safe or the whole NULL group silently vanishes
+    val rows = Seq(
+      (1L, Option("a"), 0.9, 10L), (2L, Option("a"), 0.8, 10L),
+      (3L, Option.empty[String], 0.9, 10L), (4L, Option.empty[String], 0.5, 10L),
+      (5L, Option.empty[String], 0.7, 10L))
+    val df = rows.toDF("doc_id", "g", "score", "n_tokens")
+    val got = Selection.selectByBudgetPerGroup(df, Seq("g"),
+        "score", "n_tokens", "doc_id", budget = 20L, numBuckets = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // group "a": both fit (20 tokens); NULL group: best two of three
+    assert(got == Set(1L, 2L, 3L, 5L))
+  }
+
   test("a declared score range clamps out-of-range scores into edge buckets") {
     val rows = Seq.tabulate(100)(i => (i.toLong, i / 100.0, 5L)) ++
       Seq((200L, -0.5, 5L), (201L, 1.7, 5L)) // outside the declared [0,1]
