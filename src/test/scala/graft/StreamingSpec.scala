@@ -221,14 +221,8 @@ class StreamingSpec extends SparkTestBase {
   test("incremental rollup merge: maintained table equals the batch rollup; untouched partitions survive") {
     import graft.streaming.IncrementalRollup
     import spark.implicits._
-    def rm(p: String): Unit = {
-      val root = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
+    def rm(p: String): Unit =
+      graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(p))
     val table = "target/test_incr_rollup"
     rm(table)
     def ev(rows: Seq[(Long, String, Double)]) = rows
@@ -266,14 +260,8 @@ class StreamingSpec extends SparkTestBase {
     import graft.streaming.StreamingDistinct
     import graft.operators.DistinctSketch
     import spark.implicits._
-    def rm(p: String): Unit = {
-      val root = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
+    def rm(p: String): Unit =
+      graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(p))
     val table = "target/test_stream_distinct"
     rm(table)
     val m = 16
@@ -308,14 +296,8 @@ class StreamingSpec extends SparkTestBase {
   test("streaming CDC apply: one key inserted, updated, then deleted across batches") {
     import graft.streaming.StreamingCdcApply
     import spark.implicits._
-    def rm(p: String): Unit = {
-      val root = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
+    def rm(p: String): Unit =
+      graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(p))
     val table = "target/test_cdc_stream_apply"
     rm(table)
     def snap: Map[Long, (String, Long)] = spark.read.parquet(table)
@@ -350,14 +332,8 @@ class StreamingSpec extends SparkTestBase {
     import graft.streaming.IngestDedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    def rm(p: String): Unit = {
-      val root = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
+    def rm(p: String): Unit =
+      graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(p))
     val indexPath = "target/ingest_mh_index"
     val corpusPath = "target/ingest_corpus"
     rm(indexPath); rm(corpusPath)
