@@ -538,6 +538,19 @@ object OpsPack {
     } finally sub.unpersist(blocking = false)
   }
 
+  /** Embedding-alignment driver query
+    * ([[graft.operators.Ann.mutualNearestNeighbors]]): the mod-16 slice
+    * plays the small (query-language) corpus, everything else the big one;
+    * pairs survive iff each side is the other's best cosine match. */
+  def embeddingAlign(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    Ann.mutualNearestNeighbors(
+      e.where(col("vec_id") % 16 =!= 0),
+      e.where(col("vec_id") % 16 === 0),
+      "embedding", "vec_id")
+      .orderBy("a_id")
+  }
+
   /** Multi-table LSH-bucketed cosine pairs (oracle-checked). */
   def cosinePairsLsh(s: SparkSession, dir: String): DataFrame =
     Ann.cosineNearDuplicatesMultiTable(embeddings(s, dir), "embedding", "vec_id",
@@ -2677,6 +2690,7 @@ object OpsPack {
     "q_source_orc" -> (sourceOrc _),
     "q_embedding_cosine_pairs" -> (cosinePairs _),
     "q_embedding_cosine_lsh" -> (cosinePairsLsh _),
+    "q_embedding_align" -> (embeddingAlign _),
     "q_ann_recall" -> (annRecall _),
     "q_semantic_dedup" -> (semanticDedupQuery _),
     "q_multimodal_meta" -> (multimodalMeta _),
@@ -3063,6 +3077,34 @@ object OpsPack {
        |WHERE (CASE WHEN n1.nrm * n2.nrm = 0 THEN 0.0
        |       ELSE ${dotSum("e1.v", "e2.v")} / (n1.nrm * n2.nrm) END) >= $threshold
        |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Alignment oracle: the same explicit left-assoc dot/norm sums as the
+    * cosine pair mirrors (bit-identical cosines — argmax must not flip on
+    * a ulp), per-side row_number argmax with the engine's (c desc, id)
+    * tie rule, and the mutual join. */
+  private val embeddingAlignSql: String = {
+    val dim = EmbeddingDim
+    def dotSum(va: String, vb: String): String =
+      (1 to dim).map(i => s"$va[$i] * $vb[$i]").mkString("(", " + ", ")")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |n AS (SELECT vec_id, sqrt(${dotSum("v", "v")}) nrm FROM e),
+       |a AS (SELECT * FROM e WHERE vec_id % 16 <> 0),
+       |b AS (SELECT * FROM e WHERE vec_id % 16 = 0),
+       |s AS (SELECT a.vec_id a_id, b.vec_id b_id,
+       |      CASE WHEN n1.nrm * n2.nrm = 0 THEN 0.0
+       |           ELSE ${dotSum("a.v", "b.v")} / (n1.nrm * n2.nrm) END c
+       |      FROM a JOIN n n1 ON n1.vec_id = a.vec_id
+       |      CROSS JOIN b JOIN n n2 ON n2.vec_id = b.vec_id),
+       |ba AS (SELECT a_id, b_id, c FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) rn
+       |  FROM s) WHERE rn = 1),
+       |bb AS (SELECT a_id, b_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY c DESC, a_id) rn
+       |  FROM s) WHERE rn = 1)
+       |SELECT ba.a_id, ba.b_id, ba.c AS cosine
+       |FROM ba JOIN bb USING (a_id, b_id)
+       |ORDER BY a_id""".stripMargin
   }
 
   /** LSH-recall oracle: exact pairs and verified LSH candidates on the
@@ -5095,6 +5137,7 @@ object OpsPack {
     "q_profile_drift" -> profileDriftSql,
     "q_embedding_cosine_pairs" -> cosinePairsLsh2Sql,
     "q_embedding_cosine_lsh" -> cosineLshSql,
+    "q_embedding_align" -> embeddingAlignSql,
     "q_ann_recall" -> annRecallSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_multimodal_meta" -> multimodalMetaSql,

@@ -70,6 +70,39 @@ object Ann {
         col("e").getField("score").as("cosine"), (col("pos") + 1).as("rank"))
   }
 
+  /** Mutual-nearest-neighbor embedding alignment — the bitext-mining /
+    * cross-corpus linking shape: pair a row of `big` with a row of `small`
+    * iff each is the OTHER's best cosine match (mutual top-1 — the
+    * precision filter aligned-corpus miners apply before training on the
+    * pairs). Ties break to the smaller partner id on both sides.
+    *
+    * Scale shape: `small` broadcasts (the sampled/query-side corpus —
+    * queries ≪ corpus, the same contract as [[bruteForceTopKJoin]]); each
+    * direction's argmax is a map-side struct-max aggregation over the
+    * broadcast fan-out, so `big` is scanned once per direction and only
+    * per-id singleton maxima shuffle. When BOTH sides are large, prune
+    * candidates first with the LSH bucketing
+    * ([[cosineNearDuplicatesMultiTable]]) and run the mutual filter on
+    * the candidate pairs instead of the cross fan-out. */
+  def mutualNearestNeighbors(big: DataFrame, small: DataFrame,
+      vecCol: String, idCol: String): DataFrame = {
+    val scored = big.select(col(idCol).as("a_id"), col(vecCol).as("__av"))
+      .crossJoin(broadcast(
+        small.select(col(idCol).as("b_id"), col(vecCol).as("__bv"))))
+      .select(col("a_id"), col("b_id"),
+        cosine(col("__av"), col("__bv")).as("cosine"))
+    def bestPer(keyCol: String, otherCol: String): DataFrame =
+      scored.groupBy(keyCol)
+        .agg(max(struct(col("cosine"), (-col(otherCol)).as("no"),
+          col(otherCol))).as("m"))
+        .select(col(keyCol), col(s"m.$otherCol").as(otherCol),
+          col("m.cosine").as("cosine"))
+    val bestForA = bestPer("a_id", "b_id")
+    val bestForB = bestPer("b_id", "a_id").withColumnRenamed("cosine", "__cb")
+    bestForA.join(bestForB, Seq("a_id", "b_id"))
+      .select("a_id", "b_id", "cosine")
+  }
+
   /** Predicate-filtered ANN top-k: the metadata predicate applies BEFORE any
     * vector math, so Catalyst pushes it into the scan (`PushedFilters` /
     * partition pruning on a partitioned layout) and the cosine expressions

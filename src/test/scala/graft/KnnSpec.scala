@@ -60,6 +60,27 @@ class KnnSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("mutualNearestNeighbors keeps only pairs that are each other's argmax") {
+    // big side: two tight clusters + a decoy closer to b0 than any b is to it
+    val big = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // best for b10; b10 best for it → mutual
+      (2L, Array(0.95f, 0.05f, 0.0f)), // b10's second choice → NOT mutual
+      (3L, Array(0.0f, 1.0f, 0.0f)),   // mutual with b11
+      (4L, Array(0.0f, 0.0f, 1.0f)))   // its best is b10 (cos 0) — not b10's best
+      .toDF("vec_id", "embedding")
+    val small = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.mutualNearestNeighbors(big, small, "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (3L, 11L)))
+    // the pair cosines are the true pairwise cosines
+    val c = Ann.mutualNearestNeighbors(big, small, "embedding", "vec_id")
+      .where(col("a_id") === 1L).select("cosine").first().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
   // ---- product quantization --------------------------------------------
 
   import graft.operators.Pq

@@ -1216,7 +1216,8 @@ class OpsSpec extends SparkTestBase {
         // kNN classification shares the same shape); queries that collect
         // driver-side return LocalRelations here and their internal scorer
         // plans are pinned by their own specs
-        if (name != "q_ann_topk_multi" && name != "q_ann_knn")
+        if (name != "q_ann_topk_multi" && name != "q_ann_knn" &&
+            name != "q_embedding_align")
           assert(!plan.contains("BroadcastNestedLoopJoin"),
             s"$name plan contains a non-broadcastable nested-loop join")
       }
