@@ -551,6 +551,19 @@ object OpsPack {
       .orderBy("a_id")
   }
 
+  /** Margin-scored alignment driver query
+    * ([[graft.operators.Ann.mutualNearestNeighborsWithMargin]]): the same
+    * mutual pairs, each scored by the ratio margin over both sides'
+    * top-2 neighborhoods. */
+  def embeddingAlignMargin(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    Ann.mutualNearestNeighborsWithMargin(
+      e.where(col("vec_id") % 16 =!= 0),
+      e.where(col("vec_id") % 16 === 0),
+      "embedding", "vec_id", k = 2)
+      .orderBy("a_id")
+  }
+
   /** Multi-table LSH-bucketed cosine pairs (oracle-checked). */
   def cosinePairsLsh(s: SparkSession, dir: String): DataFrame =
     Ann.cosineNearDuplicatesMultiTable(embeddings(s, dir), "embedding", "vec_id",
@@ -2691,6 +2704,7 @@ object OpsPack {
     "q_embedding_cosine_pairs" -> (cosinePairs _),
     "q_embedding_cosine_lsh" -> (cosinePairsLsh _),
     "q_embedding_align" -> (embeddingAlign _),
+    "q_embedding_align_margin" -> (embeddingAlignMargin _),
     "q_ann_recall" -> (annRecall _),
     "q_semantic_dedup" -> (semanticDedupQuery _),
     "q_multimodal_meta" -> (multimodalMeta _),
@@ -3104,6 +3118,43 @@ object OpsPack {
        |  FROM s) WHERE rn = 1)
        |SELECT ba.a_id, ba.b_id, ba.c AS cosine
        |FROM ba JOIN bb USING (a_id, b_id)
+       |ORDER BY a_id""".stripMargin
+  }
+
+  /** Margin-alignment oracle: the alignment mirror plus per-side top-2
+    * neighborhood sums as explicit rank-ordered adds
+    * (c1 + COALESCE(c2, 0) — the heap's fixed op sequence) and the same
+    * division chain for the margin. */
+  private val embeddingAlignMarginSql: String = {
+    val dim = EmbeddingDim
+    def dotSum(va: String, vb: String): String =
+      (1 to dim).map(i => s"$va[$i] * $vb[$i]").mkString("(", " + ", ")")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |n AS (SELECT vec_id, sqrt(${dotSum("v", "v")}) nrm FROM e),
+       |a AS (SELECT * FROM e WHERE vec_id % 16 <> 0),
+       |b AS (SELECT * FROM e WHERE vec_id % 16 = 0),
+       |s AS (SELECT a.vec_id a_id, b.vec_id b_id,
+       |      CASE WHEN n1.nrm * n2.nrm = 0 THEN 0.0
+       |           ELSE ${dotSum("a.v", "b.v")} / (n1.nrm * n2.nrm) END c
+       |      FROM a JOIN n n1 ON n1.vec_id = a.vec_id
+       |      CROSS JOIN b JOIN n n2 ON n2.vec_id = b.vec_id),
+       |ra AS (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) rn FROM s),
+       |rb AS (SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY c DESC, a_id) rn FROM s),
+       |ba AS (SELECT a_id, b_id, c FROM ra WHERE rn = 1),
+       |bb AS (SELECT a_id, b_id FROM rb WHERE rn = 1),
+       |ta AS (SELECT a_id,
+       |  max(CASE WHEN rn = 1 THEN c END)
+       |    + COALESCE(max(CASE WHEN rn = 2 THEN c END), 0.0) AS sa
+       |  FROM ra WHERE rn <= 2 GROUP BY a_id),
+       |tb AS (SELECT b_id,
+       |  max(CASE WHEN rn = 1 THEN c END)
+       |    + COALESCE(max(CASE WHEN rn = 2 THEN c END), 0.0) AS sb
+       |  FROM rb WHERE rn <= 2 GROUP BY b_id)
+       |SELECT ba.a_id, ba.b_id, ba.c AS cosine,
+       |  CASE WHEN (sa / 4.0 + sb / 4.0) = 0 THEN 0.0
+       |       ELSE ba.c / (sa / 4.0 + sb / 4.0) END AS margin
+       |FROM ba JOIN bb USING (a_id, b_id)
+       |JOIN ta USING (a_id) JOIN tb USING (b_id)
        |ORDER BY a_id""".stripMargin
   }
 
@@ -5138,6 +5189,7 @@ object OpsPack {
     "q_embedding_cosine_pairs" -> cosinePairsLsh2Sql,
     "q_embedding_cosine_lsh" -> cosineLshSql,
     "q_embedding_align" -> embeddingAlignSql,
+    "q_embedding_align_margin" -> embeddingAlignMarginSql,
     "q_ann_recall" -> annRecallSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_multimodal_meta" -> multimodalMetaSql,

@@ -103,6 +103,57 @@ object Ann {
       .select("a_id", "b_id", "cosine")
   }
 
+  /** [[mutualNearestNeighbors]] with the RATIO-MARGIN score (Artetxe &
+    * Schwenk, ACL 2019 §3.2): margin(x, y) = cos(x, y) divided by the mean
+    * of both sides' average top-k neighbor cosines — mutual pairs whose
+    * margin ≈ 1 are generic hubs, margin ≫ 1 are genuinely aligned. Adds
+    * two bounded-heap top-k aggregations over the SAME broadcast fan-out
+    * (the scored cross is cached for the four consumers and released with
+    * the pass); the heap's (score desc, id asc) order makes the k-sum a
+    * fixed-order add, so margins mirror bit-exactly. Zero denominators
+    * (all-orthogonal neighborhoods) yield margin 0 by convention. */
+  def mutualNearestNeighborsWithMargin(big: DataFrame, small: DataFrame,
+      vecCol: String, idCol: String, k: Int = 2): DataFrame = Dedup.newCacheScope {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = Dedup.cacheShared(
+      big.select(col(idCol).as("a_id"), col(vecCol).as("__av"))
+        .crossJoin(broadcast(
+          small.select(col(idCol).as("b_id"), col(vecCol).as("__bv"))))
+        .select(col("a_id"), col("b_id"),
+          cosine(col("__av"), col("__bv")).as("cosine")))
+    def bestPer(keyCol: String, otherCol: String): DataFrame =
+      scored.groupBy(keyCol)
+        .agg(max(struct(col("cosine"), (-col(otherCol)).as("no"),
+          col(otherCol))).as("m"))
+        .select(col(keyCol), col(s"m.$otherCol").as(otherCol),
+          col("m.cosine").as("cosine"))
+    // Σ of the top-k neighbor cosines, added in HEAP RANK ORDER (the fixed
+    // op sequence the oracle mirrors as c1 + c2 + …); absent ranks add 0.0
+    def topkSum(keyCol: String, outCol: String): DataFrame = {
+      val t = scored.groupBy(keyCol)
+        .agg(graft.functions.VectorFunctions.topKByScore(
+          col("cosine"), col(if (keyCol == "a_id") "b_id" else "a_id"), k).as("t"))
+      // size guard, not bare element_at: ANSI mode throws on an
+      // out-of-bounds index when a side has fewer than k candidates
+      val s = (1 to k).map(i =>
+          when(size(col("t")) >= i,
+            element_at(col("t"), i).getField("score")).otherwise(lit(0.0)))
+        .reduce(_ + _)
+      t.select(col(keyCol), s.as(outCol))
+    }
+    val mutual = bestPer("a_id", "b_id")
+      .join(bestPer("b_id", "a_id").withColumnRenamed("cosine", "__cb"),
+        Seq("a_id", "b_id"))
+      .select("a_id", "b_id", "cosine")
+    val denom = col("sa") / lit(2.0 * k) + col("sb") / lit(2.0 * k)
+    mutual
+      .join(topkSum("a_id", "sa"), "a_id")
+      .join(topkSum("b_id", "sb"), "b_id")
+      .withColumn("margin",
+        when(denom === 0.0, lit(0.0)).otherwise(col("cosine") / denom))
+      .select("a_id", "b_id", "cosine", "margin")
+  }
+
   /** Predicate-filtered ANN top-k: the metadata predicate applies BEFORE any
     * vector math, so Catalyst pushes it into the scan (`PushedFilters` /
     * partition pruning on a partitioned layout) and the cosine expressions

@@ -81,6 +81,34 @@ class KnnSpec extends SparkTestBase {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("margin alignment: ratio margin from rank-ordered top-2 sums; k > |side| safe") {
+    val big = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val small = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.mutualNearestNeighborsWithMargin(big, small, "embedding", "vec_id", k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    // mutual pairs: (1,10) and (2,11); vec 3 is nobody's best
+    assert(got.keySet == Set((10L, 1L), (11L, 2L)))
+    // driver-side margin reference for (1,10): cos(1,·) = {1.0, 0.0};
+    // cos(10,·) over big = {1.0, 0.0, 0.6}: top2 = 1.0 + 0.6
+    val (c, m) = got((10L, 1L))
+    assert(math.abs(c - 1.0) < 1e-12)
+    val expected = 1.0 / ((1.0 + 0.0) / 4.0 + (1.0 + 0.6f.toDouble / 1.0) / 4.0)
+    assert(math.abs(m - expected) < 1e-6, s"margin $m vs $expected")
+    // k larger than the small side: absent ranks contribute 0, no ANSI throw
+    val one = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val g2 = Ann.mutualNearestNeighborsWithMargin(big, one, "embedding", "vec_id", k = 3)
+      .collect()
+    assert(g2.length == 1 && g2.head.getLong(0) == 1L)
+  }
+
   // ---- product quantization --------------------------------------------
 
   import graft.operators.Pq

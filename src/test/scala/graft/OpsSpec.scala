@@ -1217,7 +1217,7 @@ class OpsSpec extends SparkTestBase {
         // driver-side return LocalRelations here and their internal scorer
         // plans are pinned by their own specs
         if (name != "q_ann_topk_multi" && name != "q_ann_knn" &&
-            name != "q_embedding_align")
+            name != "q_embedding_align" && name != "q_embedding_align_margin")
           assert(!plan.contains("BroadcastNestedLoopJoin"),
             s"$name plan contains a non-broadcastable nested-loop join")
       }
