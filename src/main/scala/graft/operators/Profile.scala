@@ -319,37 +319,39 @@ object Profile {
       if (r.isNullAt(i)) null else r.getDouble(i)
     }
     val rows: Seq[org.apache.spark.sql.Row] = if (exact) {
-      val byCol = stacked.groupBy("column")
-        .agg(count(lit(1)).as("__total"), count(col("v")).as("__n"),
-          min(col("v")).as("__min"), max(col("v")).as("__max"))
-        .collect().map(r => r.getString(0) -> r).toMap
+      // phase 1 is ONE stack-free aggregation over the original columns
+      // (columnProfile's shape): the previous stacked.groupBy("column")
+      // scanned the cols×-exploded pair stream and reduced onto only
+      // `cols` shuffle keys — same numbers, strictly more work (measured
+      // the fastest-growing term of the 64× scale sweep). The stacked
+      // frame is still what rank selection bucket-scans below.
+      val aggExprs = count(lit(1)).as("__total") +: cols.flatMap { c =>
+        val v = col(c).cast("double")
+        Seq(count(v).as(s"__n_$c"), min(v).as(s"__min_$c"), max(v).as(s"__max_$c"))
+      }
+      val r = df.agg(aggExprs.head, aggExprs.tail: _*).first()
+      val total = r.getAs[Long]("__total")
+      val nPerCol = cols.map(c => c -> r.getAs[Long](s"__n_$c")).toMap
       // rank of percentile p among a column's n non-NULL values, sorted:
       // smallest k with k/n ≥ p ⟺ k = ceil(p·n) (the percentile_disc rule)
-      val ranksPerCol: Map[String, Seq[Long]] = byCol.collect {
-        case (c, r) if r.getAs[Long]("__n") > 0 =>
-          val n = r.getAs[Long]("__n")
+      val ranksPerCol: Map[String, Seq[Long]] = nPerCol.collect {
+        case (c, n) if n > 0 =>
           c -> percentiles.map(p => math.max(1L, math.ceil(p * n).toLong))
       }
-      val statsPerCol = byCol.collect {
-        case (c, r) if r.getAs[Long]("__n") > 0 =>
-          c -> ((r.getDouble(r.fieldIndex("__min")),
-            r.getDouble(r.fieldIndex("__max"))))
+      val statsPerCol = nPerCol.collect {
+        case (c, n) if n > 0 =>
+          c -> ((r.getDouble(r.fieldIndex(s"__min_$c")),
+            r.getDouble(r.fieldIndex(s"__max_$c"))))
       }
       val hits = selectRanks(stacked, ranksPerCol, statsPerCol)
       cols.map { c =>
-        byCol.get(c) match {
-          case Some(r) =>
-            val pvals = ranksPerCol.get(c) match {
-              case Some(ks) => ks.map(k => hits((c, k)): Any)
-              case None => percentiles.map(_ => null: Any) // all-NULL column
-            }
-            org.apache.spark.sql.Row.fromSeq(
-              Seq(c, r.getAs[Long]("__total") - r.getAs[Long]("__n"),
-                numOrNull(r, "__min"), numOrNull(r, "__max")) ++ pvals)
-          case None =>
-            org.apache.spark.sql.Row.fromSeq(
-              Seq(c, 0L, null, null) ++ percentiles.indices.map(_ => null))
+        val pvals = ranksPerCol.get(c) match {
+          case Some(ks) => ks.map(k => hits((c, k)): Any)
+          case None => percentiles.map(_ => null: Any) // all-NULL column
         }
+        org.apache.spark.sql.Row.fromSeq(
+          Seq(c, total - nPerCol(c),
+            numOrNull(r, s"__min_$c"), numOrNull(r, s"__max_$c")) ++ pvals)
       }
     } else {
       val aggExprs = Seq(
