@@ -2446,6 +2446,20 @@ object OpsPack {
       .orderBy("source")
   }
 
+  /** Event-time drift monitor driver query: the same exact-rational χ²
+    * ([[graft.operators.Profile.chi2Drift]]) cross-tabulated on event_type
+    * between ALTERNATING EPOCH DAYS of the feed — the "did today's traffic
+    * mix shift?" check a streaming pipeline runs on every window pair. */
+  def eventsChi2Drift(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.normalizeEventTs(
+      s.read.parquet(s"$dir/events.parquet"))
+      .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+    graft.operators.Profile.chi2Drift(
+      ev.where(col("day") % 2 === 0),
+      ev.where(col("day") % 2 === 1), "event_type")
+      .orderBy("event_type")
+  }
+
   /** The BASELINE workload: full compare + rendered report (text/html/json);
     * emits size metrics so the bench measures the same thing the reference
     * benchmarks (compare construction AND report rendering). */
@@ -2697,6 +2711,7 @@ object OpsPack {
     "q_top_customers" -> (topCustomers _),
     "q_profile_drift" -> (profileDrift _),
     "q_profile_chi2" -> (profileChi2 _),
+    "q_events_chi2_drift" -> (eventsChi2Drift _),
     "q_cdc_apply" -> (cdcApply _),
     "q_cdc_stream_apply" -> (cdcStreamApply _),
     "q_cdc_join_view" -> (cdcJoinView _),
@@ -3373,7 +3388,9 @@ object OpsPack {
     * routed through VARCHAR — DuckDB's direct decimal→double cast divides
     * two doubles and can land one ulp low past 2^53, while strtod rounds
     * correctly and matches Java's BigDecimal.doubleValue. */
-  private val profileChi2Sql: String = {
+  /** χ² drift oracle, parameterized by the two slice SELECTs and the
+    * category column — one arithmetic mirror for every drift fixture. */
+  private def chi2SqlFor(aSel: String, bSel: String, cat: String): String = {
     def term(o: String, r: String) = {
       val diff = s"CAST(CAST($o AS DECIMAL(9,0)) * CAST(n_tot AS DECIMAL(9,0)) - " +
         s"CAST($r AS DECIMAL(9,0)) * CAST(c_tot AS DECIMAL(9,0)) AS DECIMAL(19,0))"
@@ -3382,23 +3399,34 @@ object OpsPack {
       s"CASE WHEN $r > 0 AND c_tot > 0 THEN " +
         s"CAST(CAST($num AS VARCHAR) AS DOUBLE) / CAST(CAST($den AS VARCHAR) AS DOUBLE) ELSE 0.0 END"
     }
-    s"""WITH da AS (SELECT source FROM documents WHERE doc_id % 10 <> 7),
-       |db AS (SELECT source FROM documents WHERE doc_id % 10 <> 3),
-       |ca AS (SELECT source, CAST(count(*) AS BIGINT) n_a FROM da GROUP BY 1),
-       |cb AS (SELECT source, CAST(count(*) AS BIGINT) n_b FROM db GROUP BY 1),
-       |cells AS (SELECT COALESCE(ca.source, cb.source) AS source,
+    s"""WITH da AS ($aSel),
+       |db AS ($bSel),
+       |ca AS (SELECT $cat, CAST(count(*) AS BIGINT) n_a FROM da GROUP BY 1),
+       |cb AS (SELECT $cat, CAST(count(*) AS BIGINT) n_b FROM db GROUP BY 1),
+       |cells AS (SELECT COALESCE(ca.$cat, cb.$cat) AS $cat,
        |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
-       |  FROM ca FULL OUTER JOIN cb ON ca.source = cb.source),
+       |  FROM ca FULL OUTER JOIN cb ON ca.$cat = cb.$cat),
        |tot AS (SELECT CAST(sum(n_a) AS BIGINT) r_a, CAST(sum(n_b) AS BIGINT) r_b FROM cells),
-       |w AS (SELECT source, n_a, n_b, r_a, r_b,
+       |w AS (SELECT $cat, n_a, n_b, r_a, r_b,
        |  r_a + r_b AS n_tot, n_a + n_b AS c_tot FROM cells, tot)
-       |SELECT source, n_a, n_b,
+       |SELECT $cat, n_a, n_b,
        |  CASE WHEN n_tot > 0 THEN
        |    CAST(CAST(CAST(r_a AS DECIMAL(12,0)) * CAST(c_tot AS DECIMAL(12,0)) AS VARCHAR) AS DOUBLE)
        |      / CAST(n_tot AS DOUBLE) END AS expected_a,
        |  (${term("n_a", "r_a")}) + (${term("n_b", "r_b")}) AS chi2_cell
-       |FROM w ORDER BY source""".stripMargin
+       |FROM w ORDER BY $cat""".stripMargin
   }
+
+  private val profileChi2Sql: String = chi2SqlFor(
+    "SELECT source FROM documents WHERE doc_id % 10 <> 7",
+    "SELECT source FROM documents WHERE doc_id % 10 <> 3",
+    "source")
+
+  /** Event-time drift oracle: alternating epoch days of the event feed. */
+  private val eventsChi2Sql: String = chi2SqlFor(
+    "SELECT event_type FROM events WHERE (epoch_us(ts) // 86400000000) % 2 = 0",
+    "SELECT event_type FROM events WHERE (epoch_us(ts) // 86400000000) % 2 = 1",
+    "event_type")
 
   /** BPE-merge oracle: the trainer's iterations unrolled as stacked CTEs —
     * per step, a weighted adjacent-pair count over the current encoding, a
@@ -5147,6 +5175,7 @@ object OpsPack {
     "q_profile_histogram" -> profileHistogramSql,
     "q_profile_histogram_depth" -> profileHistogramDepthSql,
     "q_profile_chi2" -> profileChi2Sql,
+    "q_events_chi2_drift" -> eventsChi2Sql,
     "q_cdc_apply" -> cdcApplySql,
     "q_cdc_stream_apply" -> cdcApplySql,
     "q_cdc_join_view" -> cdcJoinViewSql,
