@@ -61,6 +61,21 @@ class ExportSpec extends SparkTestBase {
     assert(m2(s1) != manifest(s1))
   }
 
+  test("rangeShardedPositions: empty and all-NULL inputs yield empty output") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Option[Long])].toDF("id", "k")
+    assert(Export.rangeShardedPositions(empty, "k", "id", 4).count() == 0L)
+    val allNull = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long])).toDF("id", "k")
+    assert(Export.rangeShardedPositions(allNull, "k", "id", 4).count() == 0L)
+    // single-value key: one shard holds everything, positions still total-order
+    val const = Seq((1L, Some(5L)), (2L, Some(5L)), (3L, Some(5L))).toDF("id", "k")
+    val got = Export.rangeShardedPositions(const, "k", "id", 4)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.map(_._2).distinct.length == 1)
+    assert(got.map(_._3).toSeq == Seq(1L, 2L, 3L)) // tie → id order
+  }
+
   test("rangeShardedPositions: (shard, pos) is a global total order with balanced shards") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
