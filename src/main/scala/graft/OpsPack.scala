@@ -411,7 +411,10 @@ object OpsPack {
   private def preparePqCodes(s: SparkSession, dir: String): String =
     Memo.memo(pqCodesCache, dir, {
       import graft.operators.Pq
-      val p = "target/graft_pq_codes_" + layoutStamp(dir, "embeddings", "pqcodes|v1")
+      // every PQ/IVF parameter is part of the stamp: changing any of them
+      // must invalidate the persisted codes, not silently reuse stale ones
+      val p = "target/graft_pq_codes_" + layoutStamp(dir, "embeddings",
+        s"pqcodes|$PqSubspaces|$PqCodebookSize|$PqPlaneOffset|$IvfPqClusters|$IvfPqPlaneOffset|v1")
       if (!layoutComplete(p)) {
         val cents = Pq.coarseCentroids(EmbeddingDim, IvfPqClusters, IvfPqPlaneOffset)
         val books = Pq.codebooks(EmbeddingDim, PqSubspaces, PqCodebookSize, PqPlaneOffset)
@@ -2014,6 +2017,14 @@ object OpsPack {
       .orderBy("user_id")
   }
 
+  /** Epoch-day index as FLOOR division. The DuckDB oracles' `//` floors;
+    * Spark's `DIV` truncates toward zero — a pre-epoch timestamp would
+    * otherwise land on a different day index (and parity) than the oracle.
+    * One shared definition for every day-bucketed driver query. */
+  private val epochDayFloor = expr(
+    "unix_micros(ts) DIV 86400000000" +
+      " - (CASE WHEN unix_micros(ts) % 86400000000 < 0 THEN 1 ELSE 0 END)")
+
   /** Cohort-retention driver query: users bucketed by first-activity day,
     * distinct-user counts per (cohort day, day offset)
     * ([[graft.operators.Funnel.cohortRetention]]). Day numbers are integral
@@ -2021,7 +2032,7 @@ object OpsPack {
   def eventsCohort(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.streaming.EventStreams.normalizeEventTs(
       s.read.parquet(s"$dir/events.parquet"))
-      .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+      .withColumn("day", epochDayFloor)
     graft.operators.Funnel.cohortRetention(ev, keyCol = "user_id", dayCol = "day")
       .select(col("cohort_day").cast("long").as("cohort_day"),
         col("day_offset").cast("long").as("day_offset"),
@@ -2453,7 +2464,7 @@ object OpsPack {
   def eventsChi2Drift(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.streaming.EventStreams.normalizeEventTs(
       s.read.parquet(s"$dir/events.parquet"))
-      .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+      .withColumn("day", epochDayFloor)
     graft.operators.Profile.chi2Drift(
       ev.where(col("day") % 2 === 0),
       ev.where(col("day") % 2 === 1), "event_type")

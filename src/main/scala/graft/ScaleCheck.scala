@@ -150,15 +150,19 @@ object ScaleCheck {
         keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
         gapSeconds = 1800L, valueCol = "value").count()
 
-    val cases: Seq[(String, (DataFrame, DataFrame, DataFrame, DataFrame) => Long)] = Seq(
-      ("compare_stats", (li, _, _, _) => compareStats(li)),
-      ("pagerank_5iter", (li, ord, _, _) => pagerank(li, ord)),
-      ("jaccard_pairs", (_, _, d, _) => jaccard(d)),
-      ("minhash_lsh", (_, _, d, _) => minhash(d)),
-      ("sessionization", (_, _, _, ev) => sessions(ev)),
-      ("numeric_profile", (li, _, _, _) => profile(li)),
-      ("select_budget", (_, _, d, _) => budget(d, 12000L * mult)),
-      ("weighted_sample", (_, _, d, _) => wsample(d)))
+    // each case takes the run's replica multiplier (1 for the baseline run,
+    // `mult` for the scaled run) so size-parameterized workloads — the
+    // budget, whose natural token quota grows with the corpus — compare the
+    // SAME operator at two scales, not two different workload mixes
+    val cases: Seq[(String, (DataFrame, DataFrame, DataFrame, DataFrame, Int) => Long)] = Seq(
+      ("compare_stats", (li, _, _, _, _) => compareStats(li)),
+      ("pagerank_5iter", (li, ord, _, _, _) => pagerank(li, ord)),
+      ("jaccard_pairs", (_, _, d, _, _) => jaccard(d)),
+      ("minhash_lsh", (_, _, d, _, _) => minhash(d)),
+      ("sessionization", (_, _, _, ev, _) => sessions(ev)),
+      ("numeric_profile", (li, _, _, _, _) => profile(li)),
+      ("select_budget", (_, _, d, _, m) => budget(d, 12000L * m)),
+      ("weighted_sample", (_, _, d, _, _) => wsample(d)))
 
     val evS = stride(table("events"), "event_id")
     val evUS = stride(table("events"), "user_id")
@@ -179,10 +183,10 @@ object ScaleCheck {
 
     val rows = cases.map { case (name, f) =>
       System.err.println(s"[scale] $name @1x")
-      val t1 = time(f(li1, ord1, doc1, ev1))
+      val t1 = time(f(li1, ord1, doc1, ev1, 1))
       graft.operators.Dedup.releaseCaches()
       System.err.println(s"[scale] $name @${mult}x")
-      val tn = time(f(liN, ordN, docN, evN))
+      val tn = time(f(liN, ordN, docN, evN, mult))
       graft.operators.Dedup.releaseCaches()
       val ratio = tn / math.max(t1, 1e-9)
       f""""$name":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$ratio%.2f}"""

@@ -29,15 +29,20 @@ object Dedup {
   // recomputation storms under the 8-thread verify sweep), and a global one
   // so releaseCaches() can still drain everything at session handoff.
   private val allCachedFrames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-  private val threadCachedFrames = new ThreadLocal[java.util.ArrayDeque[DataFrame]] {
-    override def initialValue(): java.util.ArrayDeque[DataFrame] =
-      new java.util.ArrayDeque[DataFrame]()
-  }
+  // thread-local entries hold WEAK references: after a global releaseCaches()
+  // drain, a pool thread that never runs another pass must not pin the
+  // unpersisted frames' plan graphs for the rest of the session — once the
+  // global queue drops the strong reference, GC can reclaim them
+  private val threadCachedFrames =
+    new ThreadLocal[java.util.ArrayDeque[java.lang.ref.WeakReference[DataFrame]]] {
+      override def initialValue(): java.util.ArrayDeque[java.lang.ref.WeakReference[DataFrame]] =
+        new java.util.ArrayDeque[java.lang.ref.WeakReference[DataFrame]]()
+    }
 
   private[operators] def cacheShared(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     allCachedFrames.add(p)
-    threadCachedFrames.get().add(p)
+    threadCachedFrames.get().add(new java.lang.ref.WeakReference(p))
     p
   }
 
@@ -71,11 +76,13 @@ object Dedup {
 
   private def releaseThreadCaches(): Unit = {
     val q = threadCachedFrames.get()
-    var d = q.poll()
-    while (d != null) {
-      d.unpersist(blocking = true)
-      allCachedFrames.remove(d)
-      d = q.poll()
+    var ref = q.poll()
+    while (ref != null) {
+      val d = ref.get()
+      // a frame missing from the global registry was already released by a
+      // session-wide drain (or GC'd entirely) — just drop the reference
+      if (d != null && allCachedFrames.remove(d)) d.unpersist(blocking = true)
+      ref = q.poll()
     }
   }
 

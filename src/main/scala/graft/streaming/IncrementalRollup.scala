@@ -44,10 +44,13 @@ object IncrementalRollup {
     // dynamic-partition-overwrite commits do NOT write _SUCCESS — detect
     // the table by its partition directories (relying on the marker made
     // every batch think it was the first and silently replace, instead of
-    // merge, its touched partitions; caught by StreamingSpec)
-    val rootDir = new java.io.File(tablePath)
-    val exists = rootDir.isDirectory &&
-      Option(rootDir.listFiles).exists(_.exists(_.getName.startsWith("day=")))
+    // merge, its touched partitions; caught by StreamingSpec). Probed via
+    // the session's Hadoop FileSystem so the table is found on HDFS/S3 too,
+    // not only on the local FS.
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val exists = fs.exists(root) && fs.getFileStatus(root).isDirectory &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("day="))
     val merged = if (!exists) partial else {
       val touched = partial.select("day").distinct()
         .collect().map(_.getLong(0)).toSeq

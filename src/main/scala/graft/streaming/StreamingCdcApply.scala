@@ -52,10 +52,14 @@ object StreamingCdcApply {
       .collect().map(_.getInt(0)).toSeq
     val outCols = keys ++ valueCols
     // dynamic-partition-overwrite commits write no _SUCCESS marker — detect
-    // the table by its partition directories (same rule as IncrementalRollup)
-    val rootDir = new java.io.File(tablePath)
-    val exists = rootDir.isDirectory &&
-      Option(rootDir.listFiles).exists(_.exists(_.getName.startsWith("__bucket=")))
+    // the table by its partition directories (same rule as IncrementalRollup).
+    // The probe goes through the session's Hadoop FileSystem, not
+    // java.io.File: on HDFS/S3 a local-FS probe would silently say "no
+    // table" and the first batch would overwrite-seed the snapshot.
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val exists = fs.exists(root) && fs.getFileStatus(root).isDirectory &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("__bucket="))
     val current =
       if (exists)
         spark.read.parquet(tablePath)
@@ -79,8 +83,7 @@ object StreamingCdcApply {
     val nonEmpty = applied.select("__bucket").distinct()
       .collect().map(_.getInt(0)).toSet
     touched.filterNot(nonEmpty).foreach { b =>
-      graft.operators.Utils.deleteRecursively(
-        java.nio.file.Paths.get(tablePath, s"__bucket=$b"))
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"__bucket=$b"), true)
     }
   }
 

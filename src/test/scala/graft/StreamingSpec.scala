@@ -328,6 +328,59 @@ class StreamingSpec extends SparkTestBase {
     assert(snap == Map(1L -> (("a2", 11L)), 2L -> (("b", 20L))))
   }
 
+  test("snapshot tables behind a file:-qualified URI: probe and bucket cleanup go through the Hadoop FileSystem") {
+    import graft.streaming.{IncrementalRollup, StreamingCdcApply}
+    import spark.implicits._
+    def rm(p: String): Unit =
+      graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(p))
+    // CDC apply: the existence probe must FIND the seeded table through the
+    // scheme-qualified path (a java.io.File probe would say "no table" and
+    // batch 1 would overwrite-seed, losing key 2)
+    val cdcLocal = new java.io.File("target/test_cdc_apply_uri").getAbsolutePath
+    rm(cdcLocal)
+    val cdcTable = "file:" + cdcLocal
+    val keys = Seq("id")
+    val vals = Seq("name", "v")
+    StreamingCdcApply.seedSnapshot(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "v"), cdcTable, keys)
+    StreamingCdcApply.applyChangeBatch(
+      Seq((1L, "update", "a2", 11L)).toDF("id", "change_type", "name", "v"),
+      cdcTable, keys, vals)
+    def snap: Map[Long, (String, Long)] = spark.read.parquet(cdcTable)
+      .select("id", "name", "v").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(snap == Map(1L -> (("a2", 11L)), 2L -> (("b", 20L))))
+    // a delete that empties key 1's bucket removes that bucket directory
+    // through the same FileSystem (buckets=2 puts each key alone)
+    val cdcLocal2 = new java.io.File("target/test_cdc_apply_uri2").getAbsolutePath
+    rm(cdcLocal2)
+    val cdcTable2 = "file:" + cdcLocal2
+    StreamingCdcApply.seedSnapshot(
+      Seq((1L, "a", 10L)).toDF("id", "name", "v"), cdcTable2, keys, buckets = 2)
+    StreamingCdcApply.applyChangeBatch(
+      Seq((1L, "delete", null.asInstanceOf[String], 0L))
+        .toDF("id", "change_type", "name", "v"),
+      cdcTable2, keys, vals, buckets = 2)
+    // the now-empty table has no bucket directories left at all (the empty
+    // bucket was deleted through the FileSystem, not left stale)
+    assert(!new java.io.File(cdcLocal2).listFiles()
+      .exists(_.getName.startsWith("__bucket=")))
+    // incremental rollup: second batch must MERGE (probe found the table),
+    // not replace
+    val ruLocal = new java.io.File("target/test_incr_rollup_uri").getAbsolutePath
+    rm(ruLocal)
+    val ruTable = "file:" + ruLocal
+    def ev(rows: Seq[(Long, String, Double)]) = rows
+      .toDF("us", "event_type", "value")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"), col("value"))
+    IncrementalRollup.mergeHourlyBatch(ev(Seq((10L, "a", 1.5))), ruTable)
+    IncrementalRollup.mergeHourlyBatch(ev(Seq((20L, "a", 2.5))), ruTable)
+    val got = spark.read.parquet(ruTable)
+      .select(col("n").cast("long"), col("total_v").cast("double")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((2L, 4.0)), s"rollup under file: URI merged to $got")
+  }
+
   test("streaming ingest dedup: later micro-batches dedup against earlier ones") {
     import graft.streaming.IngestDedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
