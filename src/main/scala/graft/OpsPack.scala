@@ -567,6 +567,22 @@ object OpsPack {
       .orderBy("a_id")
   }
 
+  /** LSH-pruned alignment driver query
+    * ([[graft.operators.Ann.mutualNearestNeighborsLsh]]): the large×large
+    * form — same corpus slices as q_embedding_align, but candidate pairs
+    * come from the multi-table LSH bucketing and the mutual top-1 filter
+    * runs on the candidates, so NEITHER side broadcasts and no plan node
+    * is a cross fan-out (suite plan pin applies in full). */
+  def embeddingAlignLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    Ann.mutualNearestNeighborsLsh(
+      e.where(col("vec_id") % 16 =!= 0),
+      e.where(col("vec_id") % 16 === 0),
+      "embedding", "vec_id", dim = EmbeddingDim,
+      bits = CosLshBits, tables = CosLshTables)
+      .orderBy("a_id")
+  }
+
   /** Multi-table LSH-bucketed cosine pairs (oracle-checked). */
   def cosinePairsLsh(s: SparkSession, dir: String): DataFrame =
     Ann.cosineNearDuplicatesMultiTable(embeddings(s, dir), "embedding", "vec_id",
@@ -2178,6 +2194,22 @@ object OpsPack {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy("doc_id")
 
+  /** STRING-keyed range-sharded export driver query
+    * ([[graft.operators.Export.rangeShardedPositionsString]]): documents
+    * sharded on the lexicographic key source#doc_id — the common
+    * text-corpus case (export ordered by a string id). Boundaries are
+    * exact lexicographic order statistics via the prefix-stripped string
+    * rank selection; shard membership and within-shard order are plain
+    * binary string comparisons, which DuckDB's default collation mirrors
+    * directly. */
+  def exportRangeShardedStr(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Export.rangeShardedPositions(
+      docs(s, dir).select(col("doc_id"),
+        concat(col("source"), lit("#"), col("doc_id").cast("string")).as("k")),
+      "k", "doc_id", numShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
   def shuffleExport(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sampling
     Sampling.deterministicShuffle(docs(s, dir), "doc_id", ShuffleExportBuckets)
@@ -2647,6 +2679,7 @@ object OpsPack {
     "q_shuffle_export" -> (shuffleExport _),
     "q_export_manifest" -> (exportManifest _),
     "q_export_range" -> (exportRangeSharded _),
+    "q_export_range_str" -> (exportRangeShardedStr _),
     "q_compare_report" -> (compareReport _),
     "q_text_stats" -> (textStats _),
     "q_dedup_exact" -> (dedupExact _),
@@ -2731,6 +2764,7 @@ object OpsPack {
     "q_embedding_cosine_lsh" -> (cosinePairsLsh _),
     "q_embedding_align" -> (embeddingAlign _),
     "q_embedding_align_margin" -> (embeddingAlignMargin _),
+    "q_embedding_align_lsh" -> (embeddingAlignLsh _),
     "q_ann_recall" -> (annRecall _),
     "q_semantic_dedup" -> (semanticDedupQuery _),
     "q_multimodal_meta" -> (multimodalMeta _),
@@ -3181,6 +3215,49 @@ object OpsPack {
        |       ELSE ba.c / (sa / 4.0 + sb / 4.0) END AS margin
        |FROM ba JOIN bb USING (a_id, b_id)
        |JOIN ta USING (a_id) JOIN tb USING (b_id)
+       |ORDER BY a_id""".stripMargin
+  }
+
+  /** LSH-pruned alignment oracle: the signature CTEs of the cosine-LSH
+    * mirrors (plane literals, identical left-assoc projections) generate
+    * the same candidate set (any-table full-signature agreement), then the
+    * alignment mirror's scoring + per-side argmax + mutual join runs on
+    * the candidates instead of the full cross. */
+  private val embeddingAlignLshSql: String = {
+    val dim = EmbeddingDim
+    def dotSum(va: String, vb: String): String =
+      (1 to dim).map(i => s"$va[$i] * $vb[$i]").mkString("(", " + ", ")")
+    def proj(v: String, globalPlane: Int): String =
+      Ann.planeVector(globalPlane, dim).zipWithIndex
+        .map { case (w, d) => s"$v[${d + 1}] * $w" }.mkString("(", " + ", ")")
+    val sigCols = (0 until CosLshTables).map { t =>
+      (0 until CosLshBits).map { p =>
+        s"(CASE WHEN ${proj("v", t * CosLshBits + p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", s") t$t")
+    }.mkString(", ")
+    val anyTable = (0 until CosLshTables).map(t => s"sa.t$t = sb.t$t").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |n AS (SELECT vec_id, sqrt(${dotSum("v", "v")}) nrm FROM e),
+       |a AS (SELECT * FROM e WHERE vec_id % 16 <> 0),
+       |b AS (SELECT * FROM e WHERE vec_id % 16 = 0),
+       |siga AS (SELECT vec_id, $sigCols FROM a),
+       |sigb AS (SELECT vec_id, $sigCols FROM b),
+       |cand AS (SELECT DISTINCT sa.vec_id a_id, sb.vec_id b_id
+       |         FROM siga sa JOIN sigb sb ON ($anyTable)),
+       |s AS (SELECT cd.a_id, cd.b_id,
+       |      CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+       |           ELSE ${dotSum("ea.v", "eb.v")} / (na.nrm * nb.nrm) END c
+       |      FROM cand cd
+       |      JOIN e ea ON ea.vec_id = cd.a_id JOIN e eb ON eb.vec_id = cd.b_id
+       |      JOIN n na ON na.vec_id = cd.a_id JOIN n nb ON nb.vec_id = cd.b_id),
+       |ba AS (SELECT a_id, b_id, c FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) rn
+       |  FROM s) WHERE rn = 1),
+       |bb AS (SELECT a_id, b_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY c DESC, a_id) rn
+       |  FROM s) WHERE rn = 1)
+       |SELECT ba.a_id, ba.b_id, ba.c AS cosine
+       |FROM ba JOIN bb USING (a_id, b_id)
        |ORDER BY a_id""".stripMargin
   }
 
@@ -3967,6 +4044,34 @@ object OpsPack {
       .map(i => s"(CASE WHEN v > b$i THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH vals AS (SELECT doc_id, CAST(n_chars AS DOUBLE) v FROM documents
        |              WHERE n_chars IS NOT NULL),
+       |b AS (SELECT
+       |$bSubqs),
+       |a AS (SELECT doc_id, v, CAST($shardExpr AS BIGINT) shard FROM vals, b)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY v, doc_id) AS BIGINT) AS pos
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
+  /** String-keyed range-shard oracle: the numeric mirror's percentile
+    * device (cume_dist min-selection) over VARCHAR — DuckDB's min/compare
+    * on VARCHAR is binary order, matching Spark's — then the same
+    * comparison-count shard assignment and per-shard (key, id)
+    * row_number. */
+  private val exportRangeStrSql: String = {
+    val shards = 8
+    val bSubqs = (1 until shards).map { i =>
+      s"""(SELECT min(v) FROM (
+         |   SELECT source || '#' || CAST(doc_id AS VARCHAR) v,
+         |     cume_dist() OVER (ORDER BY source || '#' || CAST(doc_id AS VARCHAR)) cd
+         |   FROM documents
+         |   WHERE source || '#' || CAST(doc_id AS VARCHAR) IS NOT NULL)
+         |  WHERE cd >= ${i.toDouble / shards}) b$i""".stripMargin
+    }.mkString(",\n")
+    val shardExpr = (1 until shards)
+      .map(i => s"(CASE WHEN v > b$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH vals AS (SELECT doc_id, source || '#' || CAST(doc_id AS VARCHAR) v
+       |              FROM documents
+       |              WHERE source || '#' || CAST(doc_id AS VARCHAR) IS NOT NULL),
        |b AS (SELECT
        |$bSubqs),
        |a AS (SELECT doc_id, v, CAST($shardExpr AS BIGINT) shard FROM vals, b)
@@ -5156,6 +5261,7 @@ object OpsPack {
     "q_shuffle_export" -> shuffleExportSql,
     "q_export_manifest" -> exportManifestSql,
     "q_export_range" -> exportRangeSql,
+    "q_export_range_str" -> exportRangeStrSql,
     "q_text_stats" -> statsSql,
     "q_text_pii" -> piiSql,
     "q_text_repetition" -> repetitionSql,
@@ -5230,6 +5336,7 @@ object OpsPack {
     "q_embedding_cosine_lsh" -> cosineLshSql,
     "q_embedding_align" -> embeddingAlignSql,
     "q_embedding_align_margin" -> embeddingAlignMarginSql,
+    "q_embedding_align_lsh" -> embeddingAlignLshSql,
     "q_ann_recall" -> annRecallSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_multimodal_meta" -> multimodalMetaSql,

@@ -154,6 +154,63 @@ object Ann {
       .select("a_id", "b_id", "cosine", "margin")
   }
 
+  /** LSH-pruned mutual-nearest-neighbor alignment — the LARGE × LARGE form
+    * of [[mutualNearestNeighbors]], for bitext mining where NEITHER corpus
+    * fits a broadcast. Candidate pairs come from the multi-table hyperplane
+    * LSH bucketing (a pair is a candidate iff the two vectors share ANY
+    * table's full `bits`-bit signature — the same candidate generation as
+    * [[cosineNearDuplicatesMultiTable]]), and the mutual top-1 filter runs
+    * on the candidates: a pair survives iff each side is the other's best
+    * cosine match AMONG ITS LSH CANDIDATES.
+    *
+    * Scale shape — every join is an equi-join, no cross fan-out anywhere
+    * (pinned by the suite-wide plan rule):
+    *   - signatures are one fused codegen'd expression per side, exploded
+    *     to (id, table, sig) rows — `tables` small rows per vector, never
+    *     the embedding replicated;
+    *   - candidate generation shuffles on (table, signature) with bucket
+    *     sizes ~n/2^bits per table;
+    *   - vectors join back AFTER candidate dedup; both argmax directions
+    *     are map-side struct-max aggregations (ties → smaller partner id).
+    *
+    * Semantics note: this is mutual-top-1 over the LSH candidate set, an
+    * APPROXIMATION of the exact [[mutualNearestNeighbors]] — a true mutual
+    * pair is missed iff the two vectors share no table signature (miss
+    * probability (1−pᵇ)ᵗ, p = 1−θ/π); a reported pair can differ from the
+    * exact result iff a side's true argmax was pruned. Raise `tables` /
+    * lower `bits` to trade cost for recall. */
+  def mutualNearestNeighborsLsh(a: DataFrame, b: DataFrame,
+      vecCol: String, idCol: String, dim: Int,
+      bits: Int = 8, tables: Int = 16): DataFrame = Dedup.newCacheScope {
+    val sigsA = Parallelize.spread(a).select(col(idCol).as("a_id"),
+      posexplode(lshTableSignatures(col(vecCol), dim, bits, tables)).as(Seq("tbl", "sig")))
+    val sigsB = Parallelize.spread(b).select(col(idCol).as("b_id"),
+      posexplode(lshTableSignatures(col(vecCol), dim, bits, tables)).as(Seq("tbl", "sig")))
+    val candidates = sigsA.join(sigsB, Seq("tbl", "sig"))
+      .select("a_id", "b_id").distinct()
+    val ea = a.select(col(idCol).as("a_id"), col(vecCol).as("__av"),
+      norm(col(vecCol)).as("__na"))
+    val eb = b.select(col(idCol).as("b_id"), col(vecCol).as("__bv"),
+      norm(col(vecCol)).as("__nb"))
+    // the scored candidate frame feeds BOTH argmax directions — cache it
+    // for the pass (released by the next pass's scope, like the dedup
+    // postings), or the candidate join would run twice
+    val scored = Dedup.cacheShared(candidates.join(ea, "a_id").join(eb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        when(col("__na") * col("__nb") === 0.0, lit(0.0))
+          .otherwise(dot(col("__av"), col("__bv")) / (col("__na") * col("__nb")))
+          .as("cosine")))
+    def bestPer(keyCol: String, otherCol: String): DataFrame =
+      scored.groupBy(keyCol)
+        .agg(max(struct(col("cosine"), (-col(otherCol)).as("no"),
+          col(otherCol))).as("m"))
+        .select(col(keyCol), col(s"m.$otherCol").as(otherCol),
+          col("m.cosine").as("cosine"))
+    bestPer("a_id", "b_id")
+      .join(bestPer("b_id", "a_id").drop("cosine"), Seq("a_id", "b_id"))
+      .select("a_id", "b_id", "cosine")
+  }
+
   /** Predicate-filtered ANN top-k: the metadata predicate applies BEFORE any
     * vector math, so Catalyst pushes it into the scan (`PushedFilters` /
     * partition pruning on a partitioned layout) and the cosine expressions

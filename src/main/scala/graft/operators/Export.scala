@@ -71,13 +71,20 @@ object Export {
     * shards 0..S−1 reads the whole corpus in key order, with no task ever
     * sorting more than ≈ n/S rows (equi-depth boundaries bound shard
     * sizes against key skew, up to boundary ties). Rows with a NULL key
-    * are excluded. Output: original columns + (shard, pos). */
+    * are excluded. Output: original columns + (shard, pos).
+    *
+    * A STRING key dispatches to the lexicographic path
+    * ([[rangeShardedPositionsString]] — boundaries via
+    * [[Profile.selectRanksString]], binary string order); every other
+    * orderable type ranges over its double cast. */
   def rangeShardedPositions(
       df: DataFrame,
       keyCol: String,
       idCol: String,
       numShards: Int): DataFrame = {
     require(numShards > 1, s"numShards must be > 1, got $numShards")
+    if (df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType)
+      return rangeShardedPositionsString(df, keyCol, idCol, numShards)
     val v = col(keyCol).cast("double")
     val nn = df.where(v.isNotNull)
     val mm = nn.agg(count(lit(1)).as("n"), min(v).as("mn"), max(v).as("mx")).first()
@@ -90,6 +97,39 @@ object Export {
       nn.select(lit(keyCol).as("column"), v.as("v")),
       Map(keyCol -> ranks),
       Map(keyCol -> ((mm.getDouble(1), mm.getDouble(2)))))
+    val bounds = (1 until numShards).map(i => hits((keyCol, rank(i))))
+    val shard = bounds.map(b => when(v > lit(b), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(v.asc, col(idCol).asc)
+    nn.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** [[rangeShardedPositions]] for a STRING key — the text-corpus case
+    * (export keyed on a document/url id): shard boundaries are the exact
+    * LEXICOGRAPHIC order statistics at ranks ⌈i·n/S⌉ via the distributed
+    * string rank selection ([[Profile.selectRanksString]] — prefix-stripped
+    * codepoint bucketing, only hit buckets sort), shard membership is the
+    * comparison count against the broadcast boundary string literals
+    * (binary string comparison — identical in Spark and DuckDB's default
+    * collation), and (shard, pos) is a global total order under (key, id)
+    * exactly as in the numeric form. */
+  def rangeShardedPositionsString(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 1, s"numShards must be > 1, got $numShards")
+    val v = col(keyCol).cast("string")
+    val nn = df.where(v.isNotNull)
+    val n = nn.count()
+    if (n == 0)
+      return nn.withColumn("shard", lit(0L)).withColumn("pos", lit(0L))
+    def rank(i: Int): Long = math.max(1L, (i.toLong * n + numShards - 1) / numShards)
+    val ranks = (1 until numShards).map(rank(_)).distinct
+    val hits = Profile.selectRanksString(
+      nn.select(lit(keyCol).as("column"), v.as("v")),
+      Map(keyCol -> ranks))
     val bounds = (1 until numShards).map(i => hits((keyCol, rank(i))))
     val shard = bounds.map(b => when(v > lit(b), 1).otherwise(0))
       .reduce(_ + _).cast("long")

@@ -161,6 +161,118 @@ object Profile {
     resolved.toMap
   }
 
+  /** [[selectRanks]] for STRING keys (lexicographic / UTF-8 binary order —
+    * Spark's string comparison): the value at 1-based rank k of each
+    * column's sorted non-NULL strings, for many (column, k) targets at
+    * once. Same two-phase shape — an order-refining bucket pass, then
+    * parallel sorts of ONLY the hit buckets — so no task ever sorts a
+    * whole column.
+    *
+    * The bucket key is a MONOTONE numeric encoding of the string: the
+    * codepoints of the first 3 characters after the column's COMMON PREFIX,
+    * base-2²¹ (UTF-8 byte order equals codepoint order, so the encoding
+    * never inverts string order; strings equal through the encoded window
+    * share a bucket and resolve in the in-bucket sort — correctness needs
+    * only weak monotonicity, never uniqueness). The common prefix of the
+    * column's min and max IS a prefix of every value in between (binary
+    * order), and stripping it keeps real-world keys with a long shared
+    * prefix — "doc_000…" ids, URL schemes — from collapsing into one
+    * bucket. The encoding min/max per column comes from one extra tiny
+    * aggregation over the SAME expression the bucketing uses, so there is
+    * no driver-side arithmetic mirror to drift.
+    *
+    * Worst case — values identical through prefix+3 codepoints but not
+    * equal — degrades to one bucket whose single sort is the column (the
+    * caller's shard count bounds how much that costs); the pure-bucket
+    * shortcut still resolves fully-tied columns without any sort. */
+  private[graft] def selectRanksString(
+      stacked: DataFrame,
+      ranksPerCol: Map[String, Seq[Long]],
+      buckets: Int = 1024): Map[(String, Long), String] = {
+    val wanted = ranksPerCol.filter(_._2.nonEmpty)
+    if (wanted.isEmpty) return Map.empty
+    val spark = stacked.sparkSession
+    import spark.implicits._
+    val nn = stacked.where(col("v").isNotNull)
+    val mm = nn.groupBy("column").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    if (mm.isEmpty) return Map.empty
+    // common prefix in Java chars, floored to a codepoint boundary (never
+    // split a surrogate pair), then converted to a CODEPOINT count — the
+    // unit Spark's substr indexes by
+    def prefixCodepoints(a: String, b: String): Int = {
+      var i = 0
+      val lim = math.min(a.length, b.length)
+      while (i < lim && a.charAt(i) == b.charAt(i)) i += 1
+      if (i > 0 && Character.isHighSurrogate(a.charAt(i - 1))) i -= 1
+      a.codePointCount(0, i)
+    }
+    val pstats = mm.toSeq.sortBy(_._1)
+      .map { case (c, (mn, mx)) => (c, prefixCodepoints(mn, mx)) }
+      .toDF("column", "__p")
+    // codepoint window after the prefix; ascii('') = 0 pads exhausted
+    // strings low, which matches "shorter sorts first" in binary order
+    def cp(j: Int) = ascii(col("v").substr(col("__p") + lit(1 + j), lit(1)))
+    val enc = ((cp(0).cast("double") * lit(2097152.0) + cp(1).cast("double"))
+      * lit(2097152.0) + cp(2).cast("double"))
+    val withEnc = nn.join(broadcast(pstats), Seq("column")).withColumn("__e", enc)
+    // encoding extrema per column from the SAME expression (no Scala mirror)
+    val estats = withEnc.groupBy("column")
+      .agg(min(col("__e")).as("__emn"), max(col("__e")).as("__emx"))
+    val width = (col("__emx") - col("__emn")) / lit(buckets.toDouble)
+    val bucketCol = when(col("__emx") === col("__emn"), lit(0L)).otherwise(
+      greatest(least(floor((col("__e") - col("__emn")) / width),
+        lit((buckets - 1).toDouble)), lit(0.0)).cast("long"))
+    val bucketed = withEnc.join(broadcast(estats), Seq("column"))
+      .withColumn("__b", bucketCol)
+    // Phase A: bucket histogram with per-bucket STRING extrema
+    val hist: Map[String, Seq[(Long, Long, String, String)]] = bucketed
+      .groupBy("column", "__b")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mnv"), max(col("v")).as("mxv"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+    val resolved = collection.mutable.Map.empty[(String, Long), String]
+    val needSort =
+      collection.mutable.Map.empty[(String, Long), collection.mutable.Map[Long, Long]]
+    wanted.foreach { case (c, ranks) =>
+      var cum = 0L
+      val spans = hist.getOrElse(c, Seq.empty).map { case (b, n, mnv, mxv) =>
+        val start = cum; cum += n; (b, n, start, mnv, mxv)
+      }
+      ranks.distinct.foreach { k =>
+        spans.find(s => k > s._3 && k <= s._3 + s._2) match {
+          case Some((b, _, start, mnv, mxv)) =>
+            if (mnv == mxv) resolved((c, k)) = mnv
+            else needSort.getOrElseUpdate((c, b),
+              collection.mutable.Map.empty) += ((k - start) -> k)
+          case None => // rank > n; skip
+        }
+      }
+    }
+    // Phase B: sort ONLY the hit buckets, parallel across (column, bucket)
+    if (needSort.nonEmpty) {
+      val hitDf = needSort.toSeq
+        .map { case ((c, b), offs) => (c, b, offs.keys.toSeq.sorted) }
+        .toDF("column", "__b", "__offs")
+      val picked = bucketed
+        .join(broadcast(hitDf), Seq("column", "__b"))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("column", "__b").orderBy("v")))
+        .where(array_contains(col("__offs"), col("__rn").cast("long")))
+        .select(col("column"), col("__b"), col("__rn").cast("long").as("__rn"),
+          col("v"))
+      lastRankSelectionPlan = Some(picked.queryExecution.executedPlan.toString)
+      picked.collect().foreach { r =>
+        val key = (r.getString(0), r.getLong(1))
+        resolved((r.getString(0), needSort(key)(r.getLong(2)))) = r.getString(3)
+      }
+    } else lastRankSelectionPlan = None
+    resolved.toMap
+  }
+
   /** Equi-DEPTH histogram: `buckets` bins bounded by the exact
     * percentile_disc order statistics at i/buckets — each bin holds
     * roughly n/buckets rows (exactly, up to value ties crossing a

@@ -76,6 +76,37 @@ class ExportSpec extends SparkTestBase {
     assert(got.map(_._3).toSeq == Seq(1L, 2L, 3L)) // tie → id order
   }
 
+  test("rangeShardedPositions: string keys — degenerate inputs and lexicographic total order") {
+    import spark.implicits._
+    // empty / all-NULL / single-value pins, mirroring the numeric ones
+    val empty = Seq.empty[(Long, Option[String])].toDF("id", "k")
+    assert(Export.rangeShardedPositions(empty, "k", "id", 4).count() == 0L)
+    val allNull = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("id", "k")
+    assert(Export.rangeShardedPositions(allNull, "k", "id", 4).count() == 0L)
+    val const = Seq((1L, Some("same")), (2L, Some("same")), (3L, Some("same"))).toDF("id", "k")
+    val gotC = Export.rangeShardedPositions(const, "k", "id", 4)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(gotC.map(_._2).distinct.length == 1)
+    assert(gotC.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    // long-shared-prefix keys (the case the prefix stripping exists for) +
+    // ties + a NULL: (shard, pos) must read back the global (k, id) sort
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.tabulate(301)(i =>
+      (i.toLong, Option(f"corpus/doc_${rnd.nextInt(120)}%05d"))) :+
+      (999L, Option.empty[String])
+    val df = rows.toDF("id", "k")
+    val got = Export.rangeShardedPositions(df, "k", "id", numShards = 4)
+      .select("id", "k", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 301)
+    val byLayout = got.sortBy { case (_, _, s, p) => (s, p) }.map(t => (t._2, t._1))
+    val globalSort = rows.collect { case (id, Some(k)) => (k, id) }.sorted
+    assert(byLayout.toSeq == globalSort)
+    val sizes = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.size >= 3 && sizes.values.max <= 301 / 2, s"shard sizes $sizes")
+  }
+
   test("rangeShardedPositions: (shard, pos) is a global total order with balanced shards") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
