@@ -203,6 +203,7 @@ object OpsPack {
     textBm25Indexed(s, dir)
     sourceOrc(s, dir)
     preparePqCodes(s, dir)
+    annPqStreamed(s, dir)
   }
 
   /** Fingerprint of a source table's files (path, size, mtime) plus the
@@ -281,6 +282,38 @@ object OpsPack {
       .toSeq.toDF("rank", "vec_id")
   }
 
+  /** Two-file replay staging shared by the streaming ingest driver
+    * queries: the embeddings table split at the vec_id midpoint, lower
+    * half written first (older mtime), so a `maxFilesPerTrigger=1` file
+    * source replays it as two ordered micro-batches. Returns the staging
+    * directory (recreated on every call — callers stage only when
+    * rebuilding their layout). */
+  private def stageEmbeddingHalves(
+      s: SparkSession, dir: String, name: String): java.nio.file.Path = {
+    import java.nio.file.Files
+    val e = embeddings(s, dir)
+    val root = java.nio.file.Paths.get(s"target/${name}_${md5Hex(dir)}")
+    deleteRecursively(root)
+    Files.createDirectories(root)
+    val mm = e.agg(min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx")).first()
+    val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    def writeHalf(cond: org.apache.spark.sql.Column, nm: String, mtimeMs: Long): Unit = {
+      val tmp = root.resolve(s"tmp_$nm")
+      e.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, root.resolve(s"$nm.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(root.resolve(s"$nm.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      deleteRecursively(tmp)
+    }
+    writeHalf(col("vec_id") <= mid, "half0", 1000000L)
+    writeHalf(col("vec_id") > mid, "half1", 2000000L)
+    root
+  }
+
   private val ivfStreamedCache =
     scala.collection.concurrent.TrieMap[String, (String, Array[Array[Double]])]()
 
@@ -310,26 +343,7 @@ object OpsPack {
         val e = embeddings(s, dir)
         val c = Ivf.kmeansCentroids(e, "embedding", "vec_id", k = 4, iters = 2,
           trainFraction = 0.25)
-        // two-file replay staging: lower vec_id half arrives first
-        val root = Paths.get(s"target/graft_ivf_stream_src_${md5Hex(dir)}")
-        deleteRecursively(root)
-        Files.createDirectories(root)
-        val mm = e.agg(min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx")).first()
-        val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
-        def writeHalf(cond: org.apache.spark.sql.Column, name: String, mtimeMs: Long): Unit = {
-          val tmp = root.resolve(s"tmp_$name")
-          e.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          import scala.jdk.CollectionConverters._
-          val part = Files.list(tmp).iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet")).get
-          Files.move(part, root.resolve(s"$name.parquet"),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          Files.setLastModifiedTime(root.resolve(s"$name.parquet"),
-            java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-          deleteRecursively(tmp)
-        }
-        writeHalf(col("vec_id") <= mid, "half0", 1000000L)
-        writeHalf(col("vec_id") > mid, "half1", 2000000L)
+        val root = stageEmbeddingHalves(s, dir, "graft_ivf_stream_src")
         val ss = s.newSession()
         ss.conf.set("spark.sql.shuffle.partitions", "4")
         val ckpt =
@@ -352,6 +366,29 @@ object OpsPack {
     val q = embeddings(s, dir).where(col("vec_id") === 0)
       .select(col("embedding")).first().getSeq[Float](0).map(_.toDouble)
     val top = Ivf.ivfTopKFromClustered(s, path, "embedding", "vec_id", cents, q, 20, nprobe = 4)
+    import s.implicits._
+    top.collect().zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
+      .toSeq.toDF("rank", "vec_id")
+  }
+
+  /** Data-TRAINED IVF driver query — the end-to-end check of the trained
+    * ANN path ([[graft.operators.Ivf.kmeansCentroidsPortable]]): md5
+    * hash-sampled training set (25%), k=4 lowest-id init, 2 Lloyd
+    * iterations with exact decimal accumulation, then a PARTIAL probe
+    * (nprobe=2 of 4) of the full corpus. The partial probe is the point:
+    * at nprobe=k any centroids yield the exact top-20 and the oracle
+    * would check nothing — at nprobe=2 the trained centroids decide which
+    * clusters are probed, so the DuckDB mirror (the training loop
+    * unrolled as CTEs, the PageRank-unroll pattern) hash-checks training,
+    * assignment, probe selection, and ranking together. */
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val cents = Ivf.kmeansCentroidsPortable(e, "embedding", "vec_id",
+      k = 4, iters = 2, trainFraction = 0.25)
+    val q = e.where(col("vec_id") === 0).select(col("embedding")).first()
+      .getSeq[Float](0).map(_.toDouble)
+    val top = Ivf.ivfTopK(e, "embedding", "vec_id", cents, q, 20, nprobe = 2)
     import s.implicits._
     top.collect().zipWithIndex
       .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
@@ -418,11 +455,7 @@ object OpsPack {
       if (!layoutComplete(p)) {
         val cents = Pq.coarseCentroids(EmbeddingDim, IvfPqClusters, IvfPqPlaneOffset)
         val books = Pq.codebooks(EmbeddingDim, PqSubspaces, PqCodebookSize, PqPlaneOffset)
-        embeddings(s, dir)
-          .select(col("vec_id") +:
-            Pq.assignExpr(col("embedding"), cents).as("cluster") +:
-            books.indices.map(m =>
-              Pq.codeExpr(col("embedding"), books, m).as(s"code_$m")): _*)
+        Pq.encodeClustered(embeddings(s, dir), "embedding", "vec_id", cents, books)
           .write.mode("overwrite").partitionBy("cluster").parquet(p)
       }
       p
@@ -442,6 +475,56 @@ object OpsPack {
       .getSeq[Float](0).map(_.toDouble)
     val cents = Pq.coarseCentroids(EmbeddingDim, IvfPqClusters, IvfPqPlaneOffset)
     val books = Pq.codebooks(EmbeddingDim, PqSubspaces, PqCodebookSize, PqPlaneOffset)
+    val probe = Pq.probeClusters(q, cents, IvfPqNprobe)
+    val codes = s.read.parquet(path).where(col("cluster").isin(probe: _*))
+    Pq.adcTopKFromCodes(codes, "vec_id", q, 20, books)
+      .select(col("vec_id"), col("adc_dist"))
+  }
+
+  private val pqStreamedCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Streaming-maintained PQ codes driver query: the embeddings table
+    * replayed as two micro-batches through [[graft.streaming.IngestPq]] —
+    * each batch coarse-assigned and PQ-encoded under the FROZEN
+    * deterministic centroids/codebooks and appended into the `cluster=N`
+    * codes layout — then probed exactly like q_ann_pq_persisted
+    * (partition-pruned ADC from codes alone). Appended codes ≡ the batch
+    * encode of everything ingested, so q_ann_ivf_pq's oracle applies
+    * verbatim. Same done-marker discipline as the streamed IVF layout
+    * (an append-built layout without the marker may be half-ingested from
+    * a dead JVM — rebuild). */
+  def annPqStreamed(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Pq
+    val cents = Pq.coarseCentroids(EmbeddingDim, IvfPqClusters, IvfPqPlaneOffset)
+    val books = Pq.codebooks(EmbeddingDim, PqSubspaces, PqCodebookSize, PqPlaneOffset)
+    val path = Memo.memo(pqStreamedCache, dir, {
+      val p = "target/graft_pq_streamed_" + layoutStamp(dir, "embeddings",
+        s"pqstream|$PqSubspaces|$PqCodebookSize|$PqPlaneOffset|$IvfPqClusters|$IvfPqPlaneOffset|v1")
+      val done = Paths.get(p, "_graft_ingest_done")
+      if (!Files.exists(done)) {
+        deleteRecursively(Paths.get(p))
+        val root = stageEmbeddingHalves(s, dir, "graft_pq_stream_src")
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val ckpt =
+          if (Files.isWritable(Paths.get("/dev/shm")))
+            s"/dev/shm/graft_ckpt_pq_${streamSinkSeq.incrementAndGet()}"
+          else s"target/graft_ckpt_pq_${streamSinkSeq.incrementAndGet()}"
+        val schema = ss.read.parquet(root.toString).schema
+        val stream = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(root.toString)
+        val q = graft.streaming.IngestPq.ingestToCodes(
+          stream, "embedding", "vec_id", cents, books, p, Some(ckpt))
+        try q.processAllAvailable()
+        finally { q.stop(); deleteRecursively(Paths.get(ckpt)) }
+        Files.write(done, Array.emptyByteArray)
+      }
+      p
+    })
+    val e = embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0).select(col("embedding")).first()
+      .getSeq[Float](0).map(_.toDouble)
     val probe = Pq.probeClusters(q, cents, IvfPqNprobe)
     val codes = s.read.parquet(path).where(col("cluster").isin(probe: _*))
     Pq.adcTopKFromCodes(codes, "vec_id", q, 20, books)
@@ -2503,6 +2586,28 @@ object OpsPack {
       .orderBy("event_type")
   }
 
+  /** Corpus snapshot-diff driver query
+    * ([[graft.operators.SnapshotDiff.diff]]): snapshot A drops doc_id ≡ 7
+    * (mod 10) — those become B's ADDITIONS; B additionally drops ≡ 3
+    * (REMOVALS), revises the text of ≡ 1 (CHANGES), and moves ≡ 9 to
+    * doc_id + 10⁶ with identical content (RENAMES — content matched by
+    * hash across the two key-only slices). Pure key/hash joins — the
+    * oracle mirrors every rule including the unique-hash pairing
+    * fallback. */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val a = d.where(col("doc_id") % 10 =!= 7)
+    val b = d.where(col("doc_id") % 10 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 1, concat(col("text"), lit(" (rev2)")))
+          .otherwise(col("text")))
+      .withColumn("doc_id",
+        when(col("doc_id") % 10 === 9, col("doc_id") + 1000000L)
+          .otherwise(col("doc_id")))
+    graft.operators.SnapshotDiff.diff(a, b, "doc_id", "text")
+      .orderBy("status", "id")
+  }
+
   /** The BASELINE workload: full compare + rendered report (text/html/json);
     * emits size metrics so the bench measures the same thing the reference
     * benchmarks (compare construction AND report rendering). */
@@ -2680,6 +2785,7 @@ object OpsPack {
     "q_export_manifest" -> (exportManifest _),
     "q_export_range" -> (exportRangeSharded _),
     "q_export_range_str" -> (exportRangeShardedStr _),
+    "q_corpus_diff" -> (corpusDiff _),
     "q_compare_report" -> (compareReport _),
     "q_text_stats" -> (textStats _),
     "q_dedup_exact" -> (dedupExact _),
@@ -2745,7 +2851,9 @@ object OpsPack {
     "q_ann_ivf_pq" -> (annIvfPq _),
     "q_ann_ivf_pq_residual" -> (annIvfPqResidual _),
     "q_ann_pq_persisted" -> (annPqPersisted _),
+    "q_ann_pq_streamed" -> (annPqStreamed _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_ivf_trained" -> (annIvfTrained _),
     "q_ann_lsh_bucketed" -> (annLshBucketed _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
     "q_ann_ivf_streamed" -> (annIvfStreamed _),
@@ -3988,6 +4096,36 @@ object OpsPack {
       |WHERE bkt < CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 70 ELSE 100 END
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Snapshot-diff oracle: the same slice arithmetic, md5 content hashes,
+    * full-outer key join, unique-hash rename pairing, and anti-join
+    * fallbacks — every rule engine-mirrorable by construction. */
+  private val corpusDiffSql: String =
+    """WITH a AS (SELECT doc_id id, md5(text) h FROM documents WHERE doc_id % 10 <> 7),
+      |b AS (SELECT CASE WHEN doc_id % 10 = 9 THEN doc_id + 1000000 ELSE doc_id END id,
+      |        md5(CASE WHEN doc_id % 10 = 1 THEN text || ' (rev2)' ELSE text END) h
+      |      FROM documents WHERE doc_id % 10 <> 3),
+      |j AS (SELECT COALESCE(a.id, b.id) id, a.h ha, b.h hb
+      |      FROM a FULL OUTER JOIN b ON a.id = b.id),
+      |changed AS (SELECT id, 'changed' status, CAST(NULL AS BIGINT) old_id
+      |            FROM j WHERE ha IS NOT NULL AND hb IS NOT NULL AND ha <> hb),
+      |leavers AS (SELECT id, ha h FROM j WHERE hb IS NULL),
+      |arrivals AS (SELECT id, hb h FROM j WHERE ha IS NULL),
+      |rg AS (SELECT h, count(*) nr, min(id) rid FROM leavers GROUP BY h),
+      |ag AS (SELECT h, count(*) na, min(id) aid FROM arrivals GROUP BY h),
+      |pairs AS (SELECT ag.aid id, rg.rid old_id FROM rg JOIN ag USING (h)
+      |          WHERE rg.nr = 1 AND ag.na = 1),
+      |renamed AS (SELECT id, 'renamed' status, old_id FROM pairs),
+      |removed AS (SELECT l.id, 'removed' status, CAST(NULL AS BIGINT) old_id
+      |            FROM leavers l LEFT JOIN pairs p ON p.old_id = l.id
+      |            WHERE p.old_id IS NULL),
+      |added AS (SELECT ar.id, 'added' status, CAST(NULL AS BIGINT) old_id
+      |          FROM arrivals ar LEFT JOIN pairs p ON p.id = ar.id
+      |          WHERE p.id IS NULL)
+      |SELECT id, status, old_id FROM (
+      |  SELECT * FROM changed UNION ALL SELECT * FROM renamed
+      |  UNION ALL SELECT * FROM removed UNION ALL SELECT * FROM added)
+      |ORDER BY status, id""".stripMargin
+
   /** Mixture-plan oracle: identical grouping, weight rule, and IEEE op
     * order (weight·budget first, then the two divisions) — every fraction
     * is one double op on exact integers, so values match bit-for-bit. */
@@ -4164,6 +4302,68 @@ object OpsPack {
       |scored AS (SELECT e.vec_id, list_cosine_similarity(e.v, (SELECT v FROM q)) c FROM e)
       |SELECT CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT) AS rank, vec_id
       |FROM scored ORDER BY c DESC, vec_id LIMIT 20""".stripMargin
+
+  /** Trained-IVF oracle: the whole [[annIvfTrained]] pipeline unrolled as
+    * CTEs — md5 hash sample (the splitCounts mirror), k lowest-id init,
+    * two Lloyd iterations (fixed-order left-assoc distance sums, argmin
+    * ties to the smaller cluster, per-dimension DECIMAL(38,12) sums with
+    * the decimal→VARCHAR→DOUBLE bridge, empty clusters keep their
+    * centroid), then the query's probe-cluster selection (Σ(cᵢ−qᵢ)² in
+    * array order, ties to the smaller index) and the cosine ranking over
+    * the probed members. Output is (rank, vec_id) — rank gaps ≫ ulp, the
+    * q_ann_topk discipline. */
+  private val annIvfTrainedSql: String = {
+    val dim = EmbeddingDim
+    val k = 4
+    val nprobe = 2
+    val iters = 2
+    def dotL(va: String, vb: String): String =
+      (1 to dim).map(i => s"$va[$i] * $vb[$i]").mkString("(", " + ", ")")
+    def c2(cv: String): String =
+      (1 to dim).map(i => s"$cv[$i] * $cv[$i]").mkString("(", " + ", ")")
+    def qd(cv: String, qv: String): String =
+      (1 to dim).map(i => s"($cv[$i] - $qv[$i]) * ($cv[$i] - $qv[$i])")
+        .mkString("(", " + ", ")")
+    val sums = (1 to dim)
+      .map(i => s"SUM(CAST(v[$i] AS DECIMAL(38,12))) AS s$i").mkString(", ")
+    def centList(a: String): String = "[" + (1 to dim)
+      .map(i => s"CAST(CAST($a.s$i AS VARCHAR) AS DOUBLE) / $a.n")
+      .mkString(", ") + "]"
+    val iterCtes = (1 to iters).map { i =>
+      s"""asg$i AS (SELECT t.vec_id, t.v, c.cluster,
+         |    (${c2("c.cv")}) - 2.0 * ${dotL("t.v", "c.cv")} AS d
+         |  FROM train t CROSS JOIN cent${i - 1} c),
+         |a$i AS (SELECT vec_id, v, cluster FROM asg$i
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1),
+         |s$i AS (SELECT cluster, CAST(count(*) AS BIGINT) n, $sums
+         |  FROM a$i GROUP BY cluster),
+         |cent$i AS (SELECT c0.cluster,
+         |    CASE WHEN s.n IS NULL OR s.n = 0 THEN c0.cv
+         |         ELSE ${centList("s")} END AS cv
+         |  FROM cent${i - 1} c0 LEFT JOIN s$i s USING (cluster))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |train AS (SELECT vec_id, v FROM e
+       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT % 10000 < 2500),
+       |cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster,
+       |    v AS cv
+       |  FROM train QUALIFY row_number() OVER (ORDER BY vec_id) <= $k),
+       |$iterCtes,
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |pd AS (SELECT c.cluster, ${qd("c.cv", "q.qv")} AS d FROM cent$iters c, q),
+       |probe AS (SELECT cluster FROM pd
+       |  QUALIFY row_number() OVER (ORDER BY d, cluster) <= $nprobe),
+       |asgf AS (SELECT e.vec_id, e.v, c.cluster,
+       |    (${c2("c.cv")}) - 2.0 * ${dotL("e.v", "c.cv")} AS d
+       |  FROM e CROSS JOIN cent$iters c),
+       |af AS (SELECT vec_id, v, cluster FROM asgf
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1),
+       |probed AS (SELECT af.vec_id, af.v FROM af JOIN probe USING (cluster)),
+       |scored AS (SELECT vec_id,
+       |    list_cosine_similarity(v, (SELECT qv FROM q)) c FROM probed)
+       |SELECT CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT) AS rank, vec_id
+       |FROM scored ORDER BY c DESC, vec_id LIMIT 20""".stripMargin
+  }
 
   /** Filtered-ANN oracle: q_ann_topk's exact ranking restricted to the
     * label slice (the query vector still comes from the full table). */
@@ -5262,6 +5462,7 @@ object OpsPack {
     "q_export_manifest" -> exportManifestSql,
     "q_export_range" -> exportRangeSql,
     "q_export_range_str" -> exportRangeStrSql,
+    "q_corpus_diff" -> corpusDiffSql,
     "q_text_stats" -> statsSql,
     "q_text_pii" -> piiSql,
     "q_text_repetition" -> repetitionSql,
@@ -5323,7 +5524,9 @@ object OpsPack {
     "q_ann_ivf_pq" -> annIvfPqSql,
     "q_ann_ivf_pq_residual" -> annIvfPqResidualSql,
     "q_ann_pq_persisted" -> annIvfPqSql,
+    "q_ann_pq_streamed" -> annIvfPqSql,
     "q_ann_ivf" -> annTopKSql,
+    "q_ann_ivf_trained" -> annIvfTrainedSql,
     "q_ann_ivf_persisted" -> annTopKSql,
     "q_ann_ivf_streamed" -> annTopKSql,
     "q_ann_cluster_stats" -> annClusterStatsSql,

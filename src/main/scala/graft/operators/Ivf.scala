@@ -91,6 +91,61 @@ object Ivf {
     } finally if (sampled) train.unpersist()
   }
 
+  /** Oracle-portable deterministic twin of [[kmeansCentroids]]: training
+    * sums accumulate per (cluster, dimension) in DECIMAL(38,12) — exact
+    * and aggregation-order-independent once each component rounds (the
+    * [[clusterStats]] inertia discipline) — and each new centroid
+    * component is ONE double division of the decimal sum's plain decimal
+    * string by the member count (decimal→string→double is the correctly-
+    * rounded bridge both engines share). Training is therefore
+    * bit-reproducible across engines, partitionings, and runs, which is
+    * what lets a DuckDB CTE unroll hash-check the DATA-TRAINED IVF path
+    * end to end (q_ann_ivf_trained) rather than only the deterministic
+    * plane-family parameterization.
+    *
+    * The per-iteration pass posexplodes the TRAINING rows ((cluster, dim)
+    * grouped decimal sums — a dim× fan-out); coarse-quantizer training is
+    * sample-bounded by design at any corpus scale, and the production
+    * fast path remains [[kmeansCentroids]]'s fused double VectorSum.
+    * Same contract otherwise: k lowest-id init, fixed iterations, empty
+    * clusters keep their previous centroid. */
+  def kmeansCentroidsPortable(
+      df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int, trainFraction: Double = 1.0): Array[Array[Double]] = {
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
+    val base =
+      if (trainFraction < 1.0) Sampling.hashSample(df, idCol, trainFraction) else df
+    val train = base
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[Array[Double]] = train
+        .orderBy(col("__id")).limit(k)
+        .select(col("__v")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(centroids.length == k, s"need at least $k vectors to train $k centroids")
+      for (_ <- 0 until iters) {
+        val stats = train
+          .select(clusterExpr(col("__v"), centroids).as("cluster"),
+            posexplode(col("__v")).as(Seq("dim", "x")))
+          .groupBy("cluster", "dim")
+          .agg(count(lit(1)).as("n"), sum(col("x").cast("decimal(38,12)")).as("s"))
+          .collect()
+        val next = centroids.map(_.clone())
+        stats.foreach { r =>
+          val c = r.getInt(0)
+          val d = r.getInt(1)
+          val n = r.getLong(2)
+          if (n > 0) next(c)(d) =
+            java.lang.Double.parseDouble(r.getDecimal(3).toPlainString) / n
+        }
+        centroids = next
+      }
+      centroids
+    } finally { train.unpersist(); () }
+  }
+
   /** Attach the cluster id (codegen'd argmin — no join, no shuffle). */
   def withCluster(df: DataFrame, vecCol: String, centroids: Array[Array[Double]]): DataFrame =
     df.withColumn("cluster", clusterExpr(col(vecCol), centroids))

@@ -133,6 +133,27 @@ object Pq {
       (c2 - 2.0 * dot, j)
     }.sorted.take(nprobe).map(_._2)
 
+  /** The persisted-codes row shape: (id, cluster, code_0 … code_{M−1}) —
+    * coarse assignment + PQ codes in one zero-shuffle projection. This is
+    * the frame [[graft.OpsPack]] persists `partitionBy(cluster)` and the
+    * streaming ingest ([[graft.streaming.IngestPq]]) appends batch by
+    * batch; the id column keeps its name so probes read it back as-is. */
+  def encodeClustered(df: DataFrame, vecCol: String, idCol: String,
+      cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]]): DataFrame =
+    df.select(col(idCol) +:
+      assignExpr(col(vecCol), cents).as("cluster") +:
+      books.indices.map(m => codeExpr(col(vecCol), books, m).as(s"code_$m")): _*)
+
+  /** Append-only ingestion into a cluster-partitioned codes layout (the
+    * [[Ivf.appendClustered]] pattern): encode ONLY the new rows under the
+    * FROZEN centroids/codebooks and append their files — ingest cost is
+    * proportional to the delivery, existing partitions untouched, and
+    * probes keep pruning at scan time. */
+  def appendCodes(df: DataFrame, vecCol: String, idCol: String,
+      cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]], path: String): Unit =
+    encodeClustered(df, vecCol, idCol, cents, books)
+      .write.mode("append").partitionBy("cluster").parquet(path)
+
   /** IVF+PQ top-k: assign, keep only the probed clusters' members, ADC-score
     * those. At scale the assignment lives in a cluster-partitioned layout
     * ([[Ivf.writeClustered]]-style), so the probe reads nprobe partition

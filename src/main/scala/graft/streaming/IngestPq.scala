@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Pq
+
+/** Continuous ingest for the persisted PQ codes layout — the streaming
+  * face of the cluster-partitioned codes table, the same relationship
+  * [[IngestIvf]] has to the raw-vector IVF layout. Each micro-batch is
+  * coarse-assigned and PQ-encoded under the FROZEN centroids/codebooks
+  * and its code rows (M small ints per vector instead of the raw floats)
+  * append into the `cluster=N` partition directories — so a
+  * partition-pruned ADC probe ([[Pq.adcTopKFromCodes]] over the probed
+  * directories) at any point scores everything ingested so far, reading
+  * ~dim·4/M× fewer bytes than the vectors it replaces.
+  *
+  * Per-batch cost is batch-sized (encode is a zero-shuffle projection;
+  * existing partitions are untouched). Codebook/centroid drift under a
+  * shifting distribution degrades recall at a given nprobe, never
+  * correctness at full probe — retrain + re-encode when drift matters.
+  * Delivery is foreachBatch's at-least-once: a replayed batch
+  * double-appends its codes; make ingest idempotent upstream (id-dedup)
+  * or compact downstream if exact multiplicity matters. */
+object IngestPq {
+
+  /** Start the codes-ingest stream over a STREAMING frame carrying the
+    * vector and id columns. The layout directory is created by the first
+    * batch's append. */
+  def ingestToCodes(
+      vecs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]],
+      path: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        Pq.appendCodes(batch.toDF(), vecCol, idCol, cents, books, path)
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+}

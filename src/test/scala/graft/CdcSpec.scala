@@ -121,4 +121,37 @@ class CdcSpec extends SparkTestBase {
     assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
       .findAllIn(plan).size == 1)
   }
+
+  test("snapshot diff: added/removed/changed/renamed with unique-hash pairing only") {
+    import graft.operators.SnapshotDiff
+    val a = Seq(
+      (1L, "alpha"),   // unchanged
+      (2L, "beta"),    // changed in b
+      (3L, "gamma"),   // removed (content nowhere in b's arrivals)
+      (4L, "delta"),   // renamed → id 44
+      (5L, "dup"),     // ambiguous: two leavers share content...
+      (6L, "dup")      // ...so NEITHER pairs with b's single "dup" arrival
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      (1L, "alpha"),
+      (2L, "beta v2"),
+      (44L, "delta"),  // renamed from 4
+      (55L, "dup"),    // ambiguous arrival → stays added
+      (7L, "epsilon")  // genuinely new
+    ).toDF("doc_id", "text")
+    val got = SnapshotDiff.diff(a, b, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set(
+      (2L, "changed", -1L),
+      (44L, "renamed", 4L),
+      (3L, "removed", -1L),
+      (5L, "removed", -1L),
+      (6L, "removed", -1L),
+      (55L, "added", -1L),
+      (7L, "added", -1L)))
+    // unchanged rows are not emitted
+    assert(!got.exists(_._1 == 1L))
+  }
 }
