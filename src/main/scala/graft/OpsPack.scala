@@ -666,6 +666,20 @@ object OpsPack {
       .orderBy("a_id")
   }
 
+  /** Margin-scored LSH-pruned alignment driver query
+    * ([[graft.operators.Ann.mutualNearestNeighborsLshWithMargin]]): the
+    * large×large mutual pairs, each scored by the ratio margin over both
+    * sides' top-2 CANDIDATE neighborhoods. */
+  def embeddingAlignLshMargin(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    Ann.mutualNearestNeighborsLshWithMargin(
+      e.where(col("vec_id") % 16 =!= 0),
+      e.where(col("vec_id") % 16 === 0),
+      "embedding", "vec_id", dim = EmbeddingDim,
+      bits = CosLshBits, tables = CosLshTables, k = 2)
+      .orderBy("a_id")
+  }
+
   /** Multi-table LSH-bucketed cosine pairs (oracle-checked). */
   def cosinePairsLsh(s: SparkSession, dir: String): DataFrame =
     Ann.cosineNearDuplicatesMultiTable(embeddings(s, dir), "embedding", "vec_id",
@@ -2586,6 +2600,23 @@ object OpsPack {
       .orderBy("event_type")
   }
 
+  /** SCD Type-2 driver query ([[graft.operators.Cdc.scd2Intervals]]):
+    * each user's event stream read as an attribute-version history →
+    * validity intervals (valid_from/valid_to micros, current flag). One
+    * per-key window; ties on ts break by event_id on both engines. */
+  def cdcScd2(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.normalizeEventTs(
+      s.read.parquet(s"$dir/events.parquet"))
+    graft.operators.Cdc.scd2Intervals(
+      ev.select(col("user_id"), col("event_id"), col("ts")),
+      Seq("user_id"), "ts", "event_id")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("is_current"))
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
+
   /** Corpus snapshot-diff driver query
     * ([[graft.operators.SnapshotDiff.diff]]): snapshot A drops doc_id ≡ 7
     * (mod 10) — those become B's ADDITIONS; B additionally drops ≡ 3
@@ -2786,6 +2817,7 @@ object OpsPack {
     "q_export_range" -> (exportRangeSharded _),
     "q_export_range_str" -> (exportRangeShardedStr _),
     "q_corpus_diff" -> (corpusDiff _),
+    "q_cdc_scd2" -> (cdcScd2 _),
     "q_compare_report" -> (compareReport _),
     "q_text_stats" -> (textStats _),
     "q_dedup_exact" -> (dedupExact _),
@@ -2873,6 +2905,7 @@ object OpsPack {
     "q_embedding_align" -> (embeddingAlign _),
     "q_embedding_align_margin" -> (embeddingAlignMargin _),
     "q_embedding_align_lsh" -> (embeddingAlignLsh _),
+    "q_embedding_align_lsh_margin" -> (embeddingAlignLshMargin _),
     "q_ann_recall" -> (annRecall _),
     "q_semantic_dedup" -> (semanticDedupQuery _),
     "q_multimodal_meta" -> (multimodalMeta _),
@@ -3261,113 +3294,92 @@ object OpsPack {
        |ORDER BY id1, id2""".stripMargin
   }
 
-  /** Alignment oracle: the same explicit left-assoc dot/norm sums as the
-    * cosine pair mirrors (bit-identical cosines — argmax must not flip on
-    * a ulp), per-side row_number argmax with the engine's (c desc, id)
-    * tie rule, and the mutual join. */
-  private val embeddingAlignSql: String = {
-    val dim = EmbeddingDim
-    def dotSum(va: String, vb: String): String =
-      (1 to dim).map(i => s"$va[$i] * $vb[$i]").mkString("(", " + ", ")")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-       |n AS (SELECT vec_id, sqrt(${dotSum("v", "v")}) nrm FROM e),
-       |a AS (SELECT * FROM e WHERE vec_id % 16 <> 0),
-       |b AS (SELECT * FROM e WHERE vec_id % 16 = 0),
-       |s AS (SELECT a.vec_id a_id, b.vec_id b_id,
-       |      CASE WHEN n1.nrm * n2.nrm = 0 THEN 0.0
-       |           ELSE ${dotSum("a.v", "b.v")} / (n1.nrm * n2.nrm) END c
-       |      FROM a JOIN n n1 ON n1.vec_id = a.vec_id
-       |      CROSS JOIN b JOIN n n2 ON n2.vec_id = b.vec_id),
-       |ba AS (SELECT a_id, b_id, c FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) rn
-       |  FROM s) WHERE rn = 1),
-       |bb AS (SELECT a_id, b_id FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY c DESC, a_id) rn
-       |  FROM s) WHERE rn = 1)
-       |SELECT ba.a_id, ba.b_id, ba.c AS cosine
-       |FROM ba JOIN bb USING (a_id, b_id)
-       |ORDER BY a_id""".stripMargin
-  }
-
-  /** Margin-alignment oracle: the alignment mirror plus per-side top-2
-    * neighborhood sums as explicit rank-ordered adds
-    * (c1 + COALESCE(c2, 0) — the heap's fixed op sequence) and the same
-    * division chain for the margin. */
-  private val embeddingAlignMarginSql: String = {
-    val dim = EmbeddingDim
-    def dotSum(va: String, vb: String): String =
-      (1 to dim).map(i => s"$va[$i] * $vb[$i]").mkString("(", " + ", ")")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-       |n AS (SELECT vec_id, sqrt(${dotSum("v", "v")}) nrm FROM e),
-       |a AS (SELECT * FROM e WHERE vec_id % 16 <> 0),
-       |b AS (SELECT * FROM e WHERE vec_id % 16 = 0),
-       |s AS (SELECT a.vec_id a_id, b.vec_id b_id,
-       |      CASE WHEN n1.nrm * n2.nrm = 0 THEN 0.0
-       |           ELSE ${dotSum("a.v", "b.v")} / (n1.nrm * n2.nrm) END c
-       |      FROM a JOIN n n1 ON n1.vec_id = a.vec_id
-       |      CROSS JOIN b JOIN n n2 ON n2.vec_id = b.vec_id),
-       |ra AS (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) rn FROM s),
-       |rb AS (SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY c DESC, a_id) rn FROM s),
-       |ba AS (SELECT a_id, b_id, c FROM ra WHERE rn = 1),
-       |bb AS (SELECT a_id, b_id FROM rb WHERE rn = 1),
-       |ta AS (SELECT a_id,
-       |  max(CASE WHEN rn = 1 THEN c END)
-       |    + COALESCE(max(CASE WHEN rn = 2 THEN c END), 0.0) AS sa
-       |  FROM ra WHERE rn <= 2 GROUP BY a_id),
-       |tb AS (SELECT b_id,
-       |  max(CASE WHEN rn = 1 THEN c END)
-       |    + COALESCE(max(CASE WHEN rn = 2 THEN c END), 0.0) AS sb
-       |  FROM rb WHERE rn <= 2 GROUP BY b_id)
-       |SELECT ba.a_id, ba.b_id, ba.c AS cosine,
-       |  CASE WHEN (sa / 4.0 + sb / 4.0) = 0 THEN 0.0
-       |       ELSE ba.c / (sa / 4.0 + sb / 4.0) END AS margin
-       |FROM ba JOIN bb USING (a_id, b_id)
-       |JOIN ta USING (a_id) JOIN tb USING (b_id)
-       |ORDER BY a_id""".stripMargin
-  }
-
-  /** LSH-pruned alignment oracle: the signature CTEs of the cosine-LSH
-    * mirrors (plane literals, identical left-assoc projections) generate
-    * the same candidate set (any-table full-signature agreement), then the
-    * alignment mirror's scoring + per-side argmax + mutual join runs on
-    * the candidates instead of the full cross. */
-  private val embeddingAlignLshSql: String = {
+  /** ONE builder for the whole alignment-oracle family (the shared-builder
+    * rule — extend, don't copy): the same explicit left-assoc dot/norm
+    * sums as the cosine pair mirrors (bit-identical cosines — argmax must
+    * not flip on a ulp), per-side row_number argmax with the engine's
+    * (c desc, id) tie rule, and the mutual join. `lshPruned` swaps the
+    * full cross for the multi-table-LSH candidate CTEs (any-table
+    * full-signature agreement — the candidate set
+    * [[graft.operators.Ann.mutualNearestNeighborsLsh]] generates);
+    * `margin` adds the per-side top-2 neighborhood sums as explicit
+    * rank-ordered adds (c1 + COALESCE(c2, 0) — the heap's fixed op
+    * sequence) and the ratio-margin division chain. */
+  private def alignSqlFor(lshPruned: Boolean, margin: Boolean): String = {
     val dim = EmbeddingDim
     def dotSum(va: String, vb: String): String =
       (1 to dim).map(i => s"$va[$i] * $vb[$i]").mkString("(", " + ", ")")
     def proj(v: String, globalPlane: Int): String =
       Ann.planeVector(globalPlane, dim).zipWithIndex
         .map { case (w, d) => s"$v[${d + 1}] * $w" }.mkString("(", " + ", ")")
-    val sigCols = (0 until CosLshTables).map { t =>
-      (0 until CosLshBits).map { p =>
-        s"(CASE WHEN ${proj("v", t * CosLshBits + p)} >= 0 THEN ${1L << p} ELSE 0 END)"
-      }.mkString("(", " + ", s") t$t")
-    }.mkString(", ")
-    val anyTable = (0 until CosLshTables).map(t => s"sa.t$t = sb.t$t").mkString(" OR ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-       |n AS (SELECT vec_id, sqrt(${dotSum("v", "v")}) nrm FROM e),
-       |a AS (SELECT * FROM e WHERE vec_id % 16 <> 0),
-       |b AS (SELECT * FROM e WHERE vec_id % 16 = 0),
-       |siga AS (SELECT vec_id, $sigCols FROM a),
-       |sigb AS (SELECT vec_id, $sigCols FROM b),
-       |cand AS (SELECT DISTINCT sa.vec_id a_id, sb.vec_id b_id
-       |         FROM siga sa JOIN sigb sb ON ($anyTable)),
-       |s AS (SELECT cd.a_id, cd.b_id,
-       |      CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
-       |           ELSE ${dotSum("ea.v", "eb.v")} / (na.nrm * nb.nrm) END c
-       |      FROM cand cd
-       |      JOIN e ea ON ea.vec_id = cd.a_id JOIN e eb ON eb.vec_id = cd.b_id
-       |      JOIN n na ON na.vec_id = cd.a_id JOIN n nb ON nb.vec_id = cd.b_id),
-       |ba AS (SELECT a_id, b_id, c FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) rn
-       |  FROM s) WHERE rn = 1),
-       |bb AS (SELECT a_id, b_id FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY c DESC, a_id) rn
-       |  FROM s) WHERE rn = 1)
-       |SELECT ba.a_id, ba.b_id, ba.c AS cosine
-       |FROM ba JOIN bb USING (a_id, b_id)
-       |ORDER BY a_id""".stripMargin
+    val scoredCtes = if (!lshPruned) {
+      s"""s AS (SELECT a.vec_id a_id, b.vec_id b_id,
+         |      CASE WHEN n1.nrm * n2.nrm = 0 THEN 0.0
+         |           ELSE ${dotSum("a.v", "b.v")} / (n1.nrm * n2.nrm) END c
+         |      FROM a JOIN n n1 ON n1.vec_id = a.vec_id
+         |      CROSS JOIN b JOIN n n2 ON n2.vec_id = b.vec_id)""".stripMargin
+    } else {
+      val sigCols = (0 until CosLshTables).map { t =>
+        (0 until CosLshBits).map { p =>
+          s"(CASE WHEN ${proj("v", t * CosLshBits + p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString("(", " + ", s") t$t")
+      }.mkString(", ")
+      val anyTable = (0 until CosLshTables).map(t => s"sa.t$t = sb.t$t").mkString(" OR ")
+      s"""siga AS (SELECT vec_id, $sigCols FROM a),
+         |sigb AS (SELECT vec_id, $sigCols FROM b),
+         |cand AS (SELECT DISTINCT sa.vec_id a_id, sb.vec_id b_id
+         |         FROM siga sa JOIN sigb sb ON ($anyTable)),
+         |s AS (SELECT cd.a_id, cd.b_id,
+         |      CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+         |           ELSE ${dotSum("ea.v", "eb.v")} / (na.nrm * nb.nrm) END c
+         |      FROM cand cd
+         |      JOIN e ea ON ea.vec_id = cd.a_id JOIN e eb ON eb.vec_id = cd.b_id
+         |      JOIN n na ON na.vec_id = cd.a_id JOIN n nb ON nb.vec_id = cd.b_id)""".stripMargin
+    }
+    val prefix =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |n AS (SELECT vec_id, sqrt(${dotSum("v", "v")}) nrm FROM e),
+         |a AS (SELECT * FROM e WHERE vec_id % 16 <> 0),
+         |b AS (SELECT * FROM e WHERE vec_id % 16 = 0),
+         |$scoredCtes""".stripMargin
+    if (!margin)
+      s"""$prefix,
+         |ba AS (SELECT a_id, b_id, c FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) rn
+         |  FROM s) WHERE rn = 1),
+         |bb AS (SELECT a_id, b_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY c DESC, a_id) rn
+         |  FROM s) WHERE rn = 1)
+         |SELECT ba.a_id, ba.b_id, ba.c AS cosine
+         |FROM ba JOIN bb USING (a_id, b_id)
+         |ORDER BY a_id""".stripMargin
+    else
+      s"""$prefix,
+         |ra AS (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) rn FROM s),
+         |rb AS (SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY c DESC, a_id) rn FROM s),
+         |ba AS (SELECT a_id, b_id, c FROM ra WHERE rn = 1),
+         |bb AS (SELECT a_id, b_id FROM rb WHERE rn = 1),
+         |ta AS (SELECT a_id,
+         |  max(CASE WHEN rn = 1 THEN c END)
+         |    + COALESCE(max(CASE WHEN rn = 2 THEN c END), 0.0) AS sa
+         |  FROM ra WHERE rn <= 2 GROUP BY a_id),
+         |tb AS (SELECT b_id,
+         |  max(CASE WHEN rn = 1 THEN c END)
+         |    + COALESCE(max(CASE WHEN rn = 2 THEN c END), 0.0) AS sb
+         |  FROM rb WHERE rn <= 2 GROUP BY b_id)
+         |SELECT ba.a_id, ba.b_id, ba.c AS cosine,
+         |  CASE WHEN (sa / 4.0 + sb / 4.0) = 0 THEN 0.0
+         |       ELSE ba.c / (sa / 4.0 + sb / 4.0) END AS margin
+         |FROM ba JOIN bb USING (a_id, b_id)
+         |JOIN ta USING (a_id) JOIN tb USING (b_id)
+         |ORDER BY a_id""".stripMargin
   }
+
+  private val embeddingAlignSql: String = alignSqlFor(lshPruned = false, margin = false)
+  private val embeddingAlignMarginSql: String = alignSqlFor(lshPruned = false, margin = true)
+  private val embeddingAlignLshMarginSql: String = alignSqlFor(lshPruned = true, margin = true)
+
+  private val embeddingAlignLshSql: String = alignSqlFor(lshPruned = true, margin = false)
 
   /** LSH-recall oracle: exact pairs and verified LSH candidates on the
     * same mod-32 subset, with the identical left-assoc double sums as the
@@ -4095,6 +4107,15 @@ object OpsPack {
       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM b
       |WHERE bkt < CASE WHEN lang = 'en' THEN 40 WHEN lang = 'de' THEN 70 ELSE 100 END
       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** SCD2 oracle: one lead() window per user with the same (ts, event_id)
+    * tie order; integral micros, no value arithmetic at all. */
+  private val cdcScd2Sql: String =
+    """WITH h AS (SELECT user_id, event_id, epoch_us(ts) t FROM events)
+      |SELECT user_id, event_id, t AS valid_from_us,
+      |  lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to_us,
+      |  lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL AS is_current
+      |FROM h ORDER BY user_id, valid_from_us, event_id""".stripMargin
 
   /** Snapshot-diff oracle: the same slice arithmetic, md5 content hashes,
     * full-outer key join, unique-hash rename pairing, and anti-join
@@ -5463,6 +5484,7 @@ object OpsPack {
     "q_export_range" -> exportRangeSql,
     "q_export_range_str" -> exportRangeStrSql,
     "q_corpus_diff" -> corpusDiffSql,
+    "q_cdc_scd2" -> cdcScd2Sql,
     "q_text_stats" -> statsSql,
     "q_text_pii" -> piiSql,
     "q_text_repetition" -> repetitionSql,
@@ -5540,6 +5562,7 @@ object OpsPack {
     "q_embedding_align" -> embeddingAlignSql,
     "q_embedding_align_margin" -> embeddingAlignMarginSql,
     "q_embedding_align_lsh" -> embeddingAlignLshSql,
+    "q_embedding_align_lsh_margin" -> embeddingAlignLshMarginSql,
     "q_ann_recall" -> annRecallSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_multimodal_meta" -> multimodalMetaSql,

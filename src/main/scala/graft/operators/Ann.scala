@@ -182,6 +182,42 @@ object Ann {
   def mutualNearestNeighborsLsh(a: DataFrame, b: DataFrame,
       vecCol: String, idCol: String, dim: Int,
       bits: Int = 8, tables: Int = 16): DataFrame = Dedup.newCacheScope {
+    val scored = lshCandidateScores(a, b, vecCol, idCol, dim, bits, tables)
+    bestPerSide(scored, "a_id", "b_id")
+      .join(bestPerSide(scored, "b_id", "a_id").drop("cosine"), Seq("a_id", "b_id"))
+      .select("a_id", "b_id", "cosine")
+  }
+
+  /** [[mutualNearestNeighborsLsh]] with the RATIO-MARGIN score of
+    * [[mutualNearestNeighborsWithMargin]], computed over the LSH candidate
+    * neighborhoods (each side's top-k among its candidates — the natural
+    * neighborhood when the full cross is off the table). Same margin
+    * algebra: cos / (mean of both sides' top-k averages), absent ranks
+    * add 0, zero denominators → margin 0. */
+  def mutualNearestNeighborsLshWithMargin(a: DataFrame, b: DataFrame,
+      vecCol: String, idCol: String, dim: Int,
+      bits: Int = 8, tables: Int = 16, k: Int = 2): DataFrame = Dedup.newCacheScope {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = lshCandidateScores(a, b, vecCol, idCol, dim, bits, tables)
+    val mutual = bestPerSide(scored, "a_id", "b_id")
+      .join(bestPerSide(scored, "b_id", "a_id").drop("cosine"), Seq("a_id", "b_id"))
+      .select("a_id", "b_id", "cosine")
+    val denom = col("sa") / lit(2.0 * k) + col("sb") / lit(2.0 * k)
+    mutual
+      .join(topKSumPerSide(scored, "a_id", "sa", k), "a_id")
+      .join(topKSumPerSide(scored, "b_id", "sb", k), "b_id")
+      .withColumn("margin",
+        when(denom === 0.0, lit(0.0)).otherwise(col("cosine") / denom))
+      .select("a_id", "b_id", "cosine", "margin")
+  }
+
+  /** Scored LSH candidate pairs (a_id, b_id, cosine) between two corpora:
+    * multi-table signature equi-join candidates, deduped, vectors joined
+    * back AFTER dedup, cached for the pass (the frame feeds both argmax
+    * directions and, in the margin form, both top-k sums — released by
+    * the next pass's scope, like the dedup postings). */
+  private def lshCandidateScores(a: DataFrame, b: DataFrame,
+      vecCol: String, idCol: String, dim: Int, bits: Int, tables: Int): DataFrame = {
     val sigsA = Parallelize.spread(a).select(col(idCol).as("a_id"),
       posexplode(lshTableSignatures(col(vecCol), dim, bits, tables)).as(Seq("tbl", "sig")))
     val sigsB = Parallelize.spread(b).select(col(idCol).as("b_id"),
@@ -192,23 +228,35 @@ object Ann {
       norm(col(vecCol)).as("__na"))
     val eb = b.select(col(idCol).as("b_id"), col(vecCol).as("__bv"),
       norm(col(vecCol)).as("__nb"))
-    // the scored candidate frame feeds BOTH argmax directions — cache it
-    // for the pass (released by the next pass's scope, like the dedup
-    // postings), or the candidate join would run twice
-    val scored = Dedup.cacheShared(candidates.join(ea, "a_id").join(eb, "b_id")
+    Dedup.cacheShared(candidates.join(ea, "a_id").join(eb, "b_id")
       .select(col("a_id"), col("b_id"),
         when(col("__na") * col("__nb") === 0.0, lit(0.0))
           .otherwise(dot(col("__av"), col("__bv")) / (col("__na") * col("__nb")))
           .as("cosine")))
-    def bestPer(keyCol: String, otherCol: String): DataFrame =
-      scored.groupBy(keyCol)
-        .agg(max(struct(col("cosine"), (-col(otherCol)).as("no"),
-          col(otherCol))).as("m"))
-        .select(col(keyCol), col(s"m.$otherCol").as(otherCol),
-          col("m.cosine").as("cosine"))
-    bestPer("a_id", "b_id")
-      .join(bestPer("b_id", "a_id").drop("cosine"), Seq("a_id", "b_id"))
-      .select("a_id", "b_id", "cosine")
+  }
+
+  /** Per-side argmax over a scored pair frame (ties → smaller partner
+    * id) — the struct-max shared by every mutual-top-1 form. */
+  private def bestPerSide(scored: DataFrame, keyCol: String, otherCol: String): DataFrame =
+    scored.groupBy(keyCol)
+      .agg(max(struct(col("cosine"), (-col(otherCol)).as("no"),
+        col(otherCol))).as("m"))
+      .select(col(keyCol), col(s"m.$otherCol").as(otherCol),
+        col("m.cosine").as("cosine"))
+
+  /** Σ of a side's top-k cosines, added in heap rank order (the fixed op
+    * sequence the oracle mirrors as c1 + c2 + …); absent ranks add 0
+    * (the size guard keeps ANSI mode off an out-of-bounds element_at). */
+  private def topKSumPerSide(scored: DataFrame, keyCol: String,
+      outCol: String, k: Int): DataFrame = {
+    val t = scored.groupBy(keyCol)
+      .agg(graft.functions.VectorFunctions.topKByScore(
+        col("cosine"), col(if (keyCol == "a_id") "b_id" else "a_id"), k).as("t"))
+    val s = (1 to k).map(i =>
+        when(size(col("t")) >= i,
+          element_at(col("t"), i).getField("score")).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    t.select(col(keyCol), s.as(outCol))
   }
 
   /** Predicate-filtered ANN top-k: the metadata predicate applies BEFORE any

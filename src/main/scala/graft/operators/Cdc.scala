@@ -166,4 +166,30 @@ object Cdc {
       broadcast(touched.select(col(aKey).as(bKey))), Seq(bKey), "left_semi")
     untouched.unionByName(project(aSlice, bSlice))
   }
+
+  /** SCD Type-2 interval build — turn a keyed, timestamped VERSION HISTORY
+    * into validity intervals, the slowly-changing-dimension shape every
+    * warehouse load job maintains: each version is valid from its own
+    * timestamp until the next version of the same key (NULL `valid_to` =
+    * the current version, flagged `is_current`). Joining a fact row at
+    * time t then selects the version with valid_from ≤ t < valid_to —
+    * the [[AsOf]] join's natural dimension-side layout.
+    *
+    * Scale shape: ONE window partitioned by the KEY — per-entity history
+    * is small by construction (versions of one entity), so parallelism is
+    * per-key and no task ever sorts more than one key's versions. Ties on
+    * the timestamp break by `tieCol`, making intervals deterministic
+    * under same-timestamp updates (the earlier tie gets a zero-length
+    * interval rather than a nondeterministic order). */
+  def scd2Intervals(history: DataFrame, keyCols: Seq[String],
+      tsCol: String, tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2Intervals needs at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    history
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

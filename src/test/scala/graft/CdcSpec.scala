@@ -122,6 +122,27 @@ class CdcSpec extends SparkTestBase {
       .findAllIn(plan).size == 1)
   }
 
+  test("scd2 intervals: per-key validity chain, deterministic under ts ties") {
+    val h = Seq(
+      (1L, 10L, 100L), // key 1: three versions
+      (1L, 11L, 200L),
+      (1L, 12L, 300L),
+      (2L, 20L, 150L), // key 2: ts tie → event_id order decides
+      (2L, 21L, 150L)
+    ).toDF("k", "eid", "t")
+    val got = Cdc.scd2Intervals(h, Seq("k"), "t", "eid")
+      .select("k", "eid", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    assert(got == Set(
+      (1L, 10L, 100L, 200L, false),
+      (1L, 11L, 200L, 300L, false),
+      (1L, 12L, 300L, -1L, true),
+      (2L, 20L, 150L, 150L, false), // earlier tie: zero-length interval
+      (2L, 21L, 150L, -1L, true)))
+  }
+
   test("snapshot diff: added/removed/changed/renamed with unique-hash pairing only") {
     import graft.operators.SnapshotDiff
     val a = Seq(

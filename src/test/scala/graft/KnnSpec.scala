@@ -109,6 +109,39 @@ class KnnSpec extends SparkTestBase {
     assert(g2.length == 1 && g2.head.getLong(0) == 1L)
   }
 
+  test("LSH-pruned alignment: equals the exact form when tables saturate; plan has no cross fan-out") {
+    val big = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val small = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    // 1-bit signatures over many tables: candidate coverage saturates, so
+    // the pruned result must EQUAL the exact mutual-top-1 (same tie rules)
+    val lsh = Ann.mutualNearestNeighborsLsh(big, small, "embedding", "vec_id",
+      dim = 3, bits = 1, tables = 16)
+    val exact = Ann.mutualNearestNeighbors(big, small, "embedding", "vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9))).toSet
+    assert(rows(lsh) == rows(exact) && rows(lsh).nonEmpty)
+    // margin twin agrees with the exact margin form under the same saturation
+    val lshM = Ann.mutualNearestNeighborsLshWithMargin(big, small, "embedding",
+      "vec_id", dim = 3, bits = 1, tables = 16, k = 2)
+    val exactM = Ann.mutualNearestNeighborsWithMargin(big, small, "embedding", "vec_id", k = 2)
+    def rowsM(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9), math.rint(r.getDouble(3) * 1e9))).toSet
+    assert(rowsM(lshM) == rowsM(exactM) && rowsM(lshM).nonEmpty)
+    // the whole point of the pruned form: every join is an equi-join
+    val plan = lshM.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "LSH-pruned alignment must not plan a cross fan-out")
+  }
+
   // ---- product quantization --------------------------------------------
 
   import graft.operators.Pq
