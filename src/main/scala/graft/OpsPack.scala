@@ -4121,9 +4121,12 @@ object OpsPack {
     * full-outer key join, unique-hash rename pairing, and anti-join
     * fallbacks — every rule engine-mirrorable by construction. */
   private val corpusDiffSql: String =
-    """WITH a AS (SELECT doc_id id, md5(text) h FROM documents WHERE doc_id % 10 <> 7),
+    """WITH a AS (SELECT doc_id id,
+      |        md5(CASE WHEN text IS NULL THEN 'N' ELSE 'V' || text END) h
+      |      FROM documents WHERE doc_id % 10 <> 7),
       |b AS (SELECT CASE WHEN doc_id % 10 = 9 THEN doc_id + 1000000 ELSE doc_id END id,
-      |        md5(CASE WHEN doc_id % 10 = 1 THEN text || ' (rev2)' ELSE text END) h
+      |        md5(CASE WHEN text IS NULL THEN 'N' ELSE
+      |              'V' || CASE WHEN doc_id % 10 = 1 THEN text || ' (rev2)' ELSE text END END) h
       |      FROM documents WHERE doc_id % 10 <> 3),
       |j AS (SELECT COALESCE(a.id, b.id) id, a.h ha, b.h hb
       |      FROM a FULL OUTER JOIN b ON a.id = b.id),

@@ -184,6 +184,10 @@ object Cdc {
   def scd2Intervals(history: DataFrame, keyCols: Seq[String],
       tsCol: String, tieCol: String): DataFrame = {
     require(keyCols.nonEmpty, "scd2Intervals needs at least one key column")
+    Seq("valid_from", "valid_to", "is_current").foreach { c =>
+      require(!history.columns.exists(_.equalsIgnoreCase(c)),
+        s"scd2Intervals emits column '$c'; the history frame already has it — rename or drop it first")
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col(tieCol).asc)

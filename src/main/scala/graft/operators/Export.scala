@@ -76,7 +76,14 @@ object Export {
     * A STRING key dispatches to the lexicographic path
     * ([[rangeShardedPositionsString]] — boundaries via
     * [[Profile.selectRanksString]], binary string order); every other
-    * orderable type ranges over its double cast. */
+    * orderable type ranges over its double cast.
+    *
+    * Contract change (since the string path landed): string keys
+    * previously ranged over their DOUBLE cast — numeric-string keys
+    * sharded numerically and non-numeric rows were dropped as NULL. They
+    * now shard lexicographically and keep every non-NULL row. A caller
+    * that wants the old numeric behavior for numeric-string keys must
+    * cast the key column to double explicitly before calling. */
   def rangeShardedPositions(
       df: DataFrame,
       keyCol: String,

@@ -154,6 +154,23 @@ object Pq {
     encodeClustered(df, vecCol, idCol, cents, books)
       .write.mode("append").partitionBy("cluster").parquet(path)
 
+  /** IDEMPOTENT batch append into the codes layout: rows land under
+    * `cluster=N/batch=B` and the write is a DYNAMIC partition overwrite,
+    * so replaying batch B (foreachBatch's at-least-once delivery) rewrites
+    * exactly its own `batch=B` sub-partitions instead of double-appending —
+    * the layout is safe without any caller-side done-marker discipline.
+    * Probes read the layout unchanged: `cluster` stays the leading
+    * partition level, so partition pruning is untouched, and the extra
+    * `batch` column is dropped by the probe's projection. */
+  def appendCodesBatch(df: DataFrame, vecCol: String, idCol: String,
+      cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]], path: String,
+      batchId: Long): Unit =
+    encodeClustered(df, vecCol, idCol, cents, books)
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cluster", "batch").parquet(path)
+
   /** IVF+PQ top-k: assign, keep only the probed clusters' members, ADC-score
     * those. At scale the assignment lives in a cluster-partitioned layout
     * ([[Ivf.writeClustered]]-style), so the probe reads nprobe partition

@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   * compare family's merge indicator, `SparkCompare`/`Cdc.changes` — cannot
   * see, because neither key matches).
   *
-  * Semantics, with h = md5(content):
+  * Semantics, with h = md5('N') when content IS NULL else
+  * md5('V' ++ content) — the flag byte keeps NULL content a real,
+  * distinct hash value (without it a NULL hash never pairs: an id whose
+  * content nulls out on one side would misclassify as added/removed, and
+  * NULL-on-both-sides would emit the same id as BOTH removed and added):
   *   - id in both snapshots, h equal        → unchanged (not emitted)
   *   - id in both snapshots, h differs      → `changed`
   *   - id only in A whose h matches an id only in B, and that h is UNIQUE
@@ -29,13 +33,19 @@ import org.apache.spark.sql.functions._
   * old_id is non-NULL only for `renamed`. */
 object SnapshotDiff {
 
+  /** Null-flagged content hash: 'N' for NULL, 'V' ++ content otherwise
+    * (DuckDB mirror: md5(CASE WHEN c IS NULL THEN 'N' ELSE 'V' || c END)). */
+  private def contentHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(when(c.isNull, lit("N"))
+      .otherwise(concat(lit("V"), c.cast("string"))).cast("binary"))
+
   def diff(a: DataFrame, b: DataFrame, idCol: String, contentCol: String): DataFrame = {
     val idType = a.schema(idCol).dataType
     val nullOld = lit(null).cast(idType)
     val ha = a.select(col(idCol).as("__id"),
-      md5(col(contentCol).cast("binary")).as("__ha"))
+      contentHash(col(contentCol)).as("__ha"))
     val hb = b.select(col(idCol).as("__id"),
-      md5(col(contentCol).cast("binary")).as("__hb"))
+      contentHash(col(contentCol)).as("__hb"))
     val j = ha.join(hb, Seq("__id"), "full_outer")
     val changed = j
       .where(col("__ha").isNotNull && col("__hb").isNotNull && col("__ha") =!= col("__hb"))

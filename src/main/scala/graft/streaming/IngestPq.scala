@@ -19,9 +19,12 @@ import graft.operators.Pq
   * existing partitions are untouched). Codebook/centroid drift under a
   * shifting distribution degrades recall at a given nprobe, never
   * correctness at full probe — retrain + re-encode when drift matters.
-  * Delivery is foreachBatch's at-least-once: a replayed batch
-  * double-appends its codes; make ingest idempotent upstream (id-dedup)
-  * or compact downstream if exact multiplicity matters. */
+  * Delivery is foreachBatch's at-least-once, and the write is made
+  * IDEMPOTENT under replay: each batch lands in its own
+  * `cluster=N/batch=B` sub-partitions via dynamic partition overwrite
+  * ([[Pq.appendCodesBatch]]), so a replayed batch rewrites exactly its
+  * prior output instead of double-appending — probes over the layout
+  * never see duplicate vec_ids from redelivery. */
 object IngestPq {
 
   /** Start the codes-ingest stream over a STREAMING frame carrying the
@@ -37,8 +40,8 @@ object IngestPq {
       checkpointDir: Option[String] = None): StreamingQuery = {
     val writer = vecs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        Pq.appendCodes(batch.toDF(), vecCol, idCol, cents, books, path)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        Pq.appendCodesBatch(batch.toDF(), vecCol, idCol, cents, books, path, batchId)
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()

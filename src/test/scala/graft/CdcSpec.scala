@@ -175,4 +175,41 @@ class CdcSpec extends SparkTestBase {
     // unchanged rows are not emitted
     assert(!got.exists(_._1 == 1L))
   }
+
+  test("snapshot diff: NULL content is a real hash value, not a classification hole") {
+    import graft.operators.SnapshotDiff
+    val a = Seq(
+      (1L, Option("alpha")),  // content nulls out in b → changed
+      (2L, Option.empty[String]), // NULL on both sides → unchanged
+      (3L, Option.empty[String])  // NULL content removed outright
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      (1L, Option.empty[String]),
+      (2L, Option.empty[String]),
+      (4L, Option("fresh"))
+    ).toDF("doc_id", "text")
+    val got = SnapshotDiff.diff(a, b, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // 1: value→NULL is a content change; 2: NULL≡NULL so unchanged (not
+    // emitted); 3's NULL hash finds no arrival with NULL content → removed.
+    assert(got == Set(
+      (1L, "changed", -1L),
+      (3L, "removed", -1L),
+      (4L, "added", -1L)))
+    // NULL content is distinct from empty-string content (flag byte)
+    val a2 = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    val b2 = Seq((1L, Option(""))).toDF("doc_id", "text")
+    val g2 = SnapshotDiff.diff(a2, b2, "doc_id", "text").collect()
+    assert(g2.length == 1 && g2.head.getString(1) == "changed")
+  }
+
+  test("scd2 intervals: rejects history frames that already carry output columns") {
+    val h = Seq((1L, 10L, 100L, true)).toDF("k", "eid", "t", "is_current")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.scd2Intervals(h, Seq("k"), "t", "eid")
+    }
+    assert(e.getMessage.contains("is_current"))
+  }
 }

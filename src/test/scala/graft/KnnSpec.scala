@@ -298,4 +298,28 @@ class KnnSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("appendCodesBatch: replaying a batch is idempotent, probe sees no dupes") {
+    val cents = Pq.coarseCentroids(PqDim, k = 4, planeOffset = 950)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_batch").toString
+    try {
+      val half1 = pqVecs.take(20).toDF("vec_id", "embedding")
+      val half2 = pqVecs.drop(20).toDF("vec_id", "embedding")
+      Pq.appendCodesBatch(half1, "embedding", "vec_id", cents, pqBooks, dir, 0L)
+      Pq.appendCodesBatch(half2, "embedding", "vec_id", cents, pqBooks, dir, 1L)
+      // at-least-once redelivery of batch 0: dynamic overwrite, not append
+      Pq.appendCodesBatch(half1, "embedding", "vec_id", cents, pqBooks, dir, 0L)
+      val codes = spark.read.parquet(dir)
+      assert(codes.count() == 40L)
+      assert(codes.select("vec_id").distinct().count() == 40L)
+      // probe ranking over the replayed layout ≡ the fused one-shot ranking
+      val query = pqVecs(5)._2.map(_.toDouble).toSeq
+      val got = Pq.adcTopKFromCodes(codes, "vec_id", query, 10, pqBooks)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+      val ref = Pq.adcTopK(pqVecs.toDF("vec_id", "embedding"),
+          "embedding", "vec_id", query, 10, pqBooks)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+      assert(got == ref)
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }
