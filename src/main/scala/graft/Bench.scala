@@ -111,7 +111,8 @@ object Bench {
     // costs at sf0.1 (descending); unlisted queries sort alphabetically
     // after the ranked ones.
     val costRank = Seq(
-      "q_graph_pagerank", "q_dedup_keep_best", "q_dedup_jaccard_pairs",
+      "q_graph_pagerank", "q_dedup_keep_best", "q_split_leakage",
+      "q_dedup_cluster_sizes", "q_dedup_jaccard_pairs",
       "q_cdc_stream_apply",
       "q_events_stream_distinct", "q_decontaminated_corpus", "q_bpe_tokenize",
       "q_graph_khop", "q_entity_resolution", "q_graph_triangles",

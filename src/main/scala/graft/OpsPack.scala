@@ -89,6 +89,55 @@ object OpsPack {
       .orderBy("doc_id")
   }
 
+  /** Train/test LEAKAGE scan — the eval-contamination check every corpus
+    * split must pass before a benchmark number means anything: a test
+    * document with a train-side near-duplicate leaks the answer into
+    * training. Composition: the portable MinHash-LSH near-dup pairs, then
+    * the deterministic split label ([[graft.operators.Sampling.splitLabel]]
+    * — a PURE md5-bucket function of the id, so labeling the pair frame is
+    * a zero-join, zero-shuffle projection on the already-bounded pair set,
+    * never a corpus-size join). Emits (test_doc_id, train_doc_id, jaccard)
+    * for every cross-boundary near-dup pair. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val pairs = Dedup.minhashNearDuplicatesMd5(docs(s, dir), "text", "doc_id",
+      threshold = 0.5, numHashes = 64, bands = 16)
+    pairs
+      .withColumn("sp1", Sampling.splitLabel(col("id1"), 80, 10))
+      .withColumn("sp2", Sampling.splitLabel(col("id2"), 80, 10))
+      .where((col("sp1") === "test" && col("sp2") === "train") ||
+        (col("sp1") === "train" && col("sp2") === "test"))
+      .select(
+        when(col("sp1") === "test", col("id1")).otherwise(col("id2")).as("test_doc_id"),
+        when(col("sp1") === "test", col("id2")).otherwise(col("id1")).as("train_doc_id"),
+        col("jaccard"))
+      .orderBy("test_doc_id", "train_doc_id")
+  }
+
+  /** Duplicate-cluster SIZE HISTOGRAM — the corpus-health dashboard number
+    * behind every dedup decision (how much of the corpus is duplicated,
+    * and in how big clumps): near-dup pairs → connected components →
+    * per-component sizes → (cluster_size, n_clusters, n_docs), with the
+    * singleton row (size 1) counted by an anti-join against the component
+    * membership. Scale shape: everything after the pair scan operates on
+    * the component table (pairs-bounded, ≪ corpus); the one corpus-size
+    * pass is the anti-join, whose build side is that small table. */
+  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashNearDuplicatesMd5(d, "text", "doc_id",
+      threshold = 0.5, numHashes = 64, bands = 16).select("id1", "id2")
+    val comps = Dedup.connectedComponents(pairs).toDF("doc_id", "component")
+    val multi = comps.groupBy("component").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+    val singles = d.select(col("doc_id"))
+      .join(comps.select("doc_id"), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit(1L).as("cluster_size"), col("n").as("n_clusters"),
+        col("n").as("n_docs"))
+    multi.unionByName(singles).orderBy("cluster_size")
+  }
+
   /** SimHash near-dups within hamming 3 — four 16-bit pigeonhole blocks, so
     * bucket sizes stay bounded at corpus scale (md5 family, oracle-checked). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -423,6 +472,32 @@ object OpsPack {
   val IvfPqClusters = 8
   val IvfPqNprobe = 2
   val IvfPqPlaneOffset = 24576
+
+  /** Random-projection ANN parameters: 64 → 16 dims (4× cheaper distance
+    * arithmetic / 4× fewer bytes when the projection is persisted), 100
+    * prefilter candidates reranked exactly to the top 20. Plane offset
+    * disjoint from every other plane-family consumer. */
+  val RpProjDim = 16
+  val RpPlaneOffset = 40960
+  val RpCandidates = 100
+
+  /** Random-projection ANN driver query
+    * ([[graft.operators.Ann.randomProjectionTopK]]): JL prefilter in the
+    * 16-dim deterministic projection, exact-cosine rerank of the 100
+    * survivors. Output is the (rank, vec_id) discipline — rank gaps ≫
+    * ulp; the candidate boundary itself is fixed-order arithmetic, exact
+    * in the oracle mirror. */
+  def annRpTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0).select(col("embedding")).first()
+      .getSeq[Float](0).map(_.toDouble)
+    val top = Ann.randomProjectionTopK(e, "embedding", "vec_id", q, 20,
+      RpProjDim, RpPlaneOffset, RpCandidates)
+    import s.implicits._
+    top.collect().zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
+      .toSeq.toDF("rank", "vec_id")
+  }
 
   /** IVF+PQ driver query ([[graft.operators.Pq.ivfPqTopK]]): the full
     * FAISS-style recipe — coarse-quantizer pruning to nprobe clusters, then
@@ -1082,6 +1157,28 @@ object OpsPack {
       TextOps.qualityScore(col("text")).as("quality_score"))
     GroupTopK.topKPerGroup(scored, Seq("lang"), "quality_score", "doc_id", 3)
       .orderBy("lang", "rank")
+  }
+
+  /** ADAPTIVE per-language quality gate
+    * ([[graft.operators.Profile.thresholdsByGroup]]): each language's cut
+    * is ITS OWN exact p75 quality order statistic — one global threshold
+    * misgrades languages whose score distributions sit lower. The per-group
+    * quantile runs through the distributed rank selection (each group a
+    * "column" of the bucketed two-phase machinery — no per-group full
+    * sort), then one broadcast join + counting pass tallies survivors.
+    * Output: (lang, n_docs, threshold, n_kept). */
+  def qualityAdaptive(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profile
+    val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+      TextOps.qualityScore(col("text")).as("quality_score"))
+    val thr = Profile.thresholdsByGroup(scored, "lang", "quality_score", 3, 4)
+    scored.join(broadcast(thr), Seq("lang"))
+      .groupBy("lang")
+      .agg(max(col("n")).as("n_docs"),
+        max(col("threshold")).as("threshold"),
+        sum(when(col("quality_score") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .orderBy("lang")
   }
 
   /** Deterministic 5-document inspection sample per source domain (smallest
@@ -1942,6 +2039,34 @@ object OpsPack {
       .orderBy("kind", "key")
   }
 
+  /** Min-label community coarsening driver query
+    * ([[graft.operators.Graph.minLabelPropagation]]): 3 supersteps of
+    * synchronous HashMin over the symmetrized customer↔supplier trade
+    * graph, rolled up to community sizes. Exact integer labels ⇒ the
+    * whole assignment hash-checks against an unrolled 3-level SQL
+    * mirror. Broadcast gated on the same dim-table metadata counts as
+    * the PageRank twin. */
+  def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    // thin to every 7th order: the full trade graph is near-complete and
+    // collapses to ONE community — the sparse subgraph keeps a real
+    // community-size distribution for the fixture to pin
+    val o = s.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val nodeUpperBound =
+      s.read.parquet(s"$dir/customer.parquet").count() +
+        s.read.parquet(s"$dir/supplier.parquet").count()
+    graft.operators.Graph.minLabelPropagation(pairs, iters = 2, symmetrize = true,
+      assumeSmallGraph = if (nodeUpperBound <= 4000000L) Some(true) else None)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("community")
+  }
+
   /** CUSUM changepoint driver query: per-user one-sided drift statistic
     * vs a 60.0 reference, flagged above 200.0 accumulated excess
     * ([[graft.operators.TimeSeries.cusumFlags]] — prefix-sum minus
@@ -2798,6 +2923,7 @@ object OpsPack {
     "q_normalize_rank" -> (normalizeRank _),
     "q_graph_pagerank" -> (graphPageRank _),
     "q_graph_khop" -> (graphKHop _),
+    "q_graph_labelprop" -> (graphLabelProp _),
     "q_layout_zorder" -> (layoutZOrder _),
     "q_layout_partitioned" -> (layoutPartitioned _),
     "q_text_bm25" -> (textBm25 _),
@@ -2830,6 +2956,8 @@ object OpsPack {
     "q_dedup_jaccard_pairs" -> (jaccardPairs _),
     "q_dedup_minhash_lsh" -> (minhashPairs _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
+    "q_split_leakage" -> (splitLeakage _),
+    "q_dedup_cluster_sizes" -> (dedupClusterSizes _),
     "q_dedup_simhash" -> (simhashPairs _),
     "q_dedup_winnow" -> (winnowPairsQuery _),
     "q_dedup_incremental" -> (dedupIncremental _),
@@ -2865,6 +2993,7 @@ object OpsPack {
     "q_mixture_plan" -> (mixturePlanQuery _),
     "q_mixture_sample" -> (mixtureSampleQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
+    "q_quality_adaptive" -> (qualityAdaptive _),
     "q_sample_per_source" -> (samplePerSource _),
     "q_sample_weighted" -> (sampleWeighted _),
     "q_sample_weighted_grouped" -> (sampleWeightedGrouped _),
@@ -2875,6 +3004,7 @@ object OpsPack {
     "q_profile_outliers" -> (profileOutliers _),
     "q_pack_stats" -> (packStats _),
     "q_ann_topk" -> (annTopK _),
+    "q_ann_rp" -> (annRpTopK _),
     "q_ann_topk_multi" -> (annTopKMulti _),
     "q_ann_filtered" -> (annFiltered _),
     "q_ann_knn" -> (annKnnClassify _),
@@ -3128,6 +3258,53 @@ object OpsPack {
        |        ORDER BY quality_score DESC, doc_id) rn FROM wc)
        |SELECT doc_id, component, quality_score FROM r WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Split-leakage oracle: the MinHash pair CTEs, then the split-counts
+    * oracle's md5-bucket rule applied to each pair side (a pure function
+    * of the id — mirrored inline, no join), keeping only test↔train
+    * pairs with the test id first. */
+  private val splitLeakageSql: String = {
+    def sp(c: String) =
+      s"""CASE WHEN ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 12))::BIGINT % 100 < 80 THEN 'train'
+         |     WHEN ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 12))::BIGINT % 100 < 90 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH $gramsCtes,
+       |${minhashPairCtes(0.5)},
+       |x AS (SELECT id1, id2, jaccard, ${sp("id1")} sp1, ${sp("id2")} sp2 FROM mh_pairs)
+       |SELECT CASE WHEN sp1 = 'test' THEN id1 ELSE id2 END AS test_doc_id,
+       |  CASE WHEN sp1 = 'test' THEN id2 ELSE id1 END AS train_doc_id, jaccard
+       |FROM x
+       |WHERE (sp1 = 'test' AND sp2 = 'train') OR (sp1 = 'train' AND sp2 = 'test')
+       |ORDER BY test_doc_id, train_doc_id""".stripMargin
+  }
+
+  /** Cluster-size histogram oracle: the keep-best oracle's recursive-CTE
+    * component closure, per-component sizes, a GROUP BY size rollup, and
+    * the singleton row from an anti-join count (emitted unconditionally,
+    * exactly like the engine's aggregate-always-returns-one-row shape). */
+  private val dedupClusterSizesSql: String = {
+    s"""WITH RECURSIVE
+       |$gramsCtes,
+       |${minhashPairCtes(0.5)},
+       |edges AS (SELECT id1 a, id2 b FROM mh_pairs
+       |          UNION SELECT id2, id1 FROM mh_pairs),
+       |walk(id, comp) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
+       |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+       |csizes AS (SELECT comp, CAST(count(*) AS BIGINT) sz FROM comps GROUP BY comp),
+       |multi AS (SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |            CAST(sum(sz) AS BIGINT) AS n_docs
+       |          FROM csizes GROUP BY sz),
+       |singles AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+       |              CAST(count(*) AS BIGINT) AS n_clusters,
+       |              CAST(count(*) AS BIGINT) AS n_docs
+       |            FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+       |            WHERE c.id IS NULL)
+       |SELECT * FROM (SELECT * FROM multi UNION ALL SELECT * FROM singles)
+       |ORDER BY cluster_size""".stripMargin
   }
 
   /** Incremental-dedup oracle: the same md5 MinHash pipeline run CROSS-SET
@@ -3892,6 +4069,27 @@ object OpsPack {
       |  UNION ALL SELECT node, 2 FROM d2 UNION ALL SELECT node, 3 FROM d3)
       |ORDER BY node""".stripMargin
 
+  /** Label-propagation oracle: the k-hop oracle's symmetrized edge CTEs,
+    * then each superstep unrolled as one neighbor-min aggregation + one
+    * least() merge — exact integer mins, bit-identical by construction. */
+  private val graphLabelPropSql: String = {
+    val steps = (1 to 2).map { i =>
+      s"""m$i AS (SELECT e.b node, min(l${i - 1}.label) nl
+         |        FROM e JOIN l${i - 1} ON l${i - 1}.node = e.a GROUP BY e.b),
+         |l$i AS (SELECT l.node, least(l.label, coalesce(m$i.nl, l.label)) AS label
+         |        FROM l${i - 1} l LEFT JOIN m$i ON m$i.node = l.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |              WHERE o_orderkey % 7 = 0),
+       |e AS (SELECT c a, s b FROM pairs UNION SELECT s, c FROM pairs),
+       |n AS (SELECT DISTINCT a AS node FROM e),
+       |l0 AS (SELECT node, node AS label FROM n),
+       |$steps
+       |SELECT CAST(label AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM l2 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Entity-resolution oracle: brute-force pair generation (proves the
     * PassJoin blocking recall-complete) + recursive-CTE min-label closure
     * + survivorship rollup. */
@@ -3980,6 +4178,25 @@ object OpsPack {
        |SELECT lang, rank, doc_id, quality_score FROM r WHERE rank <= 3
        |ORDER BY lang, rank""".stripMargin
   }
+
+  /** Adaptive-quality oracle: the shared quality CTEs with lang, each
+    * lang's p75 as the value at 1-based rank ⌈3n/4⌉ = (3n+3) DIV 4 of the
+    * ascending scores (row_number mirror of the engine's exact rank
+    * selection — tie rows share the value, so ordering by score alone is
+    * enough), then the same ≥-threshold survivor count. */
+  private val qualityAdaptiveSql: String =
+    s"""WITH ${qualitySqlCtes(Seq("lang"))},
+       |sel AS (SELECT lang, quality_score,
+       |          row_number() OVER (PARTITION BY lang ORDER BY quality_score) rn,
+       |          count(*) OVER (PARTITION BY lang) n
+       |        FROM q),
+       |thr AS (SELECT lang, CAST(n AS BIGINT) AS n_docs, quality_score AS threshold
+       |        FROM sel WHERE rn = (3 * n + 3) // 4)
+       |SELECT q.lang, t.n_docs, t.threshold,
+       |  CAST(sum(CASE WHEN q.quality_score >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM q JOIN thr t USING (lang)
+       |GROUP BY q.lang, t.n_docs, t.threshold
+       |ORDER BY lang""".stripMargin
 
   /** Weighted-sample oracle: the identical min-of-w md5 priority key —
     * generate_series fans each doc into w draws, the same `id:t` string is
@@ -4326,6 +4543,42 @@ object OpsPack {
       |scored AS (SELECT e.vec_id, list_cosine_similarity(e.v, (SELECT v FROM q)) c FROM e)
       |SELECT CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT) AS rank, vec_id
       |FROM scored ORDER BY c DESC, vec_id LIMIT 20""".stripMargin
+
+  /** Random-projection ANN oracle: the 16 projection dots expanded with
+    * literal plane weights in array order (the cosine-LSH discipline), the
+    * projected query as the SAME left-assoc sums over the vec_id=0 row,
+    * the squared-distance accumulation in plane order — so the top-100
+    * candidate BOUNDARY is bit-identical — then the explicit dot/norm
+    * cosine rerank (alignSqlFor's form, not list_cosine_similarity, so
+    * even near-tied cosines cannot flip rank). */
+  private val annRpSql: String = {
+    val dim = EmbeddingDim
+    def proj(v: String, g: Int): String =
+      Ann.planeVector(g, dim).zipWithIndex
+        .map { case (w, d) => s"$v[${d + 1}] * $w" }.mkString("(", " + ", ")")
+    def dotSum(va: String, vb: String): String =
+      (1 to dim).map(i => s"$va[$i] * $vb[$i]").mkString("(", " + ", ")")
+    val qpCols = (0 until RpProjDim)
+      .map(j => s"${proj("v", RpPlaneOffset + j)} AS p$j").mkString(", ")
+    val pdExpr = (0 until RpProjDim)
+      .map { j =>
+        val pj = proj("e.v", RpPlaneOffset + j)
+        s"($pj - qp.p$j) * ($pj - qp.p$j)"
+      }
+      .mkString("(", " + ", ")")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |q AS (SELECT v FROM e WHERE vec_id = 0),
+       |qp AS (SELECT $qpCols FROM q),
+       |cand AS (SELECT e.vec_id, e.v FROM e, qp
+       |         ORDER BY $pdExpr, e.vec_id LIMIT $RpCandidates),
+       |qn AS (SELECT sqrt(${dotSum("v", "v")}) nrm FROM q),
+       |scored AS (SELECT cd.vec_id,
+       |    CASE WHEN sqrt(${dotSum("cd.v", "cd.v")}) * qn.nrm = 0 THEN 0.0
+       |         ELSE ${dotSum("cd.v", "q.v")} / (sqrt(${dotSum("cd.v", "cd.v")}) * qn.nrm) END cs
+       |  FROM cand cd, q, qn)
+       |SELECT CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS BIGINT) AS rank, vec_id
+       |FROM scored ORDER BY cs DESC, vec_id LIMIT 20""".stripMargin
+  }
 
   /** Trained-IVF oracle: the whole [[annIvfTrained]] pipeline unrolled as
     * CTEs — md5 hash sample (the splitCounts mirror), k lowest-id init,
@@ -5467,6 +5720,7 @@ object OpsPack {
     "q_normalize_rank" -> normalizeRankSql,
     "q_graph_pagerank" -> graphPageRankSql,
     "q_graph_khop" -> graphKHopSql,
+    "q_graph_labelprop" -> graphLabelPropSql,
     "q_layout_zorder" -> layoutZOrderSql,
     "q_layout_partitioned" -> layoutPartitionedSql,
     "q_text_bm25" -> textBm25Sql,
@@ -5511,6 +5765,7 @@ object OpsPack {
     "q_mixture_plan" -> mixturePlanSql,
     "q_mixture_sample" -> mixtureSampleSql,
     "q_docs_topk_quality" -> topkQualitySql,
+    "q_quality_adaptive" -> qualityAdaptiveSql,
     "q_sample_per_source" -> samplePerSourceSql,
     "q_sample_weighted" -> sampleWeightedSql,
     "q_sample_weighted_grouped" -> sampleWeightedGroupedSql,
@@ -5534,6 +5789,8 @@ object OpsPack {
     "q_contamination_ratio" -> contaminationRatioSql,
     "q_dedup_minhash_lsh" -> minhashSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
+    "q_split_leakage" -> splitLeakageSql,
+    "q_dedup_cluster_sizes" -> dedupClusterSizesSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_winnow" -> winnowSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
@@ -5541,6 +5798,7 @@ object OpsPack {
     "q_text_chunks" -> textChunksSql,
     "q_text_classifier" -> textClassifierSql,
     "q_ann_topk" -> annTopKSql,
+    "q_ann_rp" -> annRpSql,
     "q_ann_topk_multi" -> annTopKMultiSql,
     "q_ann_filtered" -> annFilteredSql,
     "q_ann_knn" -> annKnnSql,

@@ -70,6 +70,51 @@ object Ann {
         col("e").getField("score").as("cosine"), (col("pos") + 1).as("rank"))
   }
 
+  /** Random-projection (Johnson–Lindenstrauss) ANN: PREFILTER in a low-
+    * dimensional deterministic projection, exact-rerank only the
+    * survivors — the classic dimensionality-reduction recall/cost dial
+    * that sits between brute force and IVF. Stage 1 scores every vector
+    * by its squared L2 distance to the query IN PROJECTION SPACE
+    * (projDim ≪ dim deterministic hyperplanes from the shared
+    * [[planeVector]] family, so the heavy full-corpus pass does
+    * projDim/dim of the arithmetic and — when the projection is a
+    * persisted column — reads projDim/dim of the bytes) and keeps the
+    * `candidates` best; stage 2 reranks those few by exact cosine.
+    *
+    * Scale shape: both stages are TakeOrdered (per-partition bounded
+    * heaps + driver merge — no global sort, no shuffle of the corpus),
+    * and the rerank input is `candidates` rows regardless of corpus
+    * size. JL distance preservation makes the prefilter's top-C contain
+    * the true top-k with high probability for C modestly above k;
+    * candidates/k is the recall dial. All arithmetic is fixed-order
+    * (projection dots in plane order, pd accumulation left-associated),
+    * so the candidate BOUNDARY is engine-exact and oracle-mirrorable. */
+  def randomProjectionTopK(
+      df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int,
+      projDim: Int, planeOffset: Int, candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val dim = query.length
+    val planes = (0 until projDim).map(j => planeVector(planeOffset + j, dim))
+    // driver-side projected query, accumulated in array order like dot()
+    val qp = planes.map { p =>
+      var s = 0.0; var i = 0
+      while (i < dim) { s += query(i) * p(i); i += 1 }
+      s
+    }
+    val pd = planes.zip(qp).map { case (p, q0) =>
+      val d = dot(col(vecCol), vecLit(p)) - lit(q0)
+      d * d
+    }.reduce(_ + _)
+    val cand = df
+      .select(col(idCol), col(vecCol), pd.as("__graft_rp_pd"))
+      .orderBy(col("__graft_rp_pd").asc, col(idCol))
+      .limit(candidates)
+    cand.select(col(idCol), cosine(col(vecCol), vecLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Mutual-nearest-neighbor embedding alignment — the bitext-mining /
     * cross-corpus linking shape: pair a row of `big` with a row of `small`
     * iff each is the OTHER's best cosine match (mutual top-1 — the

@@ -150,6 +150,57 @@ object Graph {
     labeled
   }
 
+  /** Synchronous MIN-LABEL propagation ("HashMin") for a FIXED number of
+    * supersteps: label₀(v) = v; labelᵢ₊₁(v) = min(labelᵢ(v), min of the
+    * neighbors' labelᵢ). Run to convergence it computes connected
+    * components; run a few supersteps it is the bounded-cost community
+    * coarsening big-graph pipelines actually schedule (after i supersteps
+    * each node holds the min id of its radius-i neighborhood — local
+    * clumps merge without committing to a full-diameter iteration
+    * count). Every step is exact integer min — associative, commutative,
+    * order-independent — so a fixed-step run is bit-identical everywhere
+    * and hash-checkable against an unrolled SQL mirror, the same property
+    * that makes the scaled-integer PageRank checkable.
+    *
+    * Scale shape per superstep (the pageRankScaled design, same knobs):
+    * the label table joins the cached edge list — broadcast when the node
+    * set fits (`assumeSmallGraph`/`broadcastNodeLimit`, metadata-gateable
+    * by the caller), classic shuffle join past it — then one
+    * groupBy(dst).min combine (map-side partial). The edge list is
+    * deduplicated and cached ONCE; `symmetrize` unions the reversal from
+    * the cache (requires reversal-collision-free id domains, as in
+    * pageRankScaled). Returns (node, label). */
+  def minLabelPropagation(edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 8,
+      broadcastNodeLimit: Long = 4000000L,
+      symmetrize: Boolean = false,
+      assumeSmallGraph: Option[Boolean] = None): DataFrame = Dedup.newCacheScope {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val raw = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val oneDir = Dedup.cacheShared(raw.distinct())
+    val e = Dedup.cacheShared(
+      if (symmetrize)
+        oneDir.union(oneDir.select(col("dst").as("src"), col("src").as("dst")))
+      else oneDir)
+    val nodes = Dedup.cacheShared(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val small = assumeSmallGraph.getOrElse(nodes.count() <= broadcastNodeLimit)
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    var labels = nodes.withColumn("label", col("node"))
+    for (i <- 1 to iters) {
+      val nb = e.join(side(labels), col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+      labels = labels.join(side(nb), col("node") === col("dst"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      if (i % checkpointEvery == 0 && i < iters)
+        labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
   /** Per-node triangle counts over undirected `edges` (cols `src`, `dst`;
     * self-loops dropped, duplicates and direction collapsed). Returns
     * (node, n_triangles) for every node in ≥1 triangle.

@@ -314,6 +314,60 @@ object Profile {
       .agg(count(lit(1)).as("n"), min(v).as("min_v"), max(v).as("max_v"))
   }
 
+  /** PER-GROUP exact quantile thresholds — the machinery behind ADAPTIVE
+    * quality gates: one global score cut misgrades whole languages or
+    * domains whose score distributions sit lower, so real pipelines cut at
+    * "each group's own p-th percentile". The quantile is the EXACT order
+    * statistic at 1-based rank ⌈(num/den)·n_g⌉ of each group's ascending
+    * non-NULL values (exact integer rank arithmetic — no float p).
+    *
+    * Scale shape: each group is stacked as its own "column" of the
+    * distributed rank selection ([[selectRanks]] — the group label IS the
+    * multi-column key), so the selection inherits the two-phase bucketed
+    * design whole: one grouped count/min/max pass, then ONLY hit buckets
+    * sort, in parallel across (group, bucket), pure-tie buckets sort-free.
+    * No task ever sorts one group's whole data, which is what a
+    * `row_number() OVER (PARTITION BY group)` would do to a skewed group
+    * at 100 TB. Group cardinality must be driver-bounded (languages,
+    * domains, sources — the same contract as the histogram collect:
+    * ≤ groups·buckets summary rows come to the driver).
+    *
+    * NULL groups and NULL values are excluded (a NULL group has no
+    * percentile contract; mirror of the sampling operators' NULL-key
+    * rule). Output: one row per group — (groupCol as string, n, threshold)
+    * where n counts the group's non-NULL values. Groups smaller than den
+    * still resolve (rank clamps to ≥ 1). */
+  def thresholdsByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      pctNum: Int, pctDen: Int, buckets: Int = 1024): DataFrame = {
+    require(pctDen > 0 && pctNum >= 0 && pctNum <= pctDen,
+      s"need 0 <= pctNum <= pctDen, got $pctNum/$pctDen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = col(groupCol).cast("string")
+    val v = col(valueCol).cast("double")
+    val nn = df.where(g.isNotNull && v.isNotNull)
+      .select(g.as("column"), v.as("v"))
+    // one grouped pass: per-group count/min/max (driver-bounded by groups)
+    val stats = nn.groupBy("column")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    if (stats.isEmpty)
+      return Seq.empty[(String, Long, Double)].toDF(groupCol, "n", "threshold")
+    // rank = ceil(num·n/den) in exact integer arithmetic, clamped to ≥ 1
+    def rank(n: Long): Long =
+      math.max(1L, (pctNum.toLong * n + pctDen - 1) / pctDen)
+    val hits = selectRanks(
+      nn,
+      stats.map { case (grp, (n, _, _)) => grp -> Seq(rank(n)) },
+      stats.map { case (grp, (_, mn, mx)) => grp -> ((mn, mx)) },
+      buckets)
+    stats.toSeq.sortBy(_._1)
+      .map { case (grp, (n, _, _)) => (grp, n, hits((grp, rank(n)))) }
+      .toDF(groupCol, "n", "threshold")
+  }
+
   /** Tukey-fence (IQR) outlier profile: per column, the exact p25/p75
     * order statistics fix lo/hi fences at 1.5·IQR, then ONE counting pass
     * tallies rows beyond each fence. Fences are a fixed double-op sequence

@@ -90,4 +90,34 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 0L, 5L -> 0L))
   }
+
+  test("minLabelPropagation: radius-i neighborhood min per step") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus isolated pair 8-9 (one direction; symmetrized)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    def labels(iters: Int): Map[Long, Long] =
+      Graph.minLabelPropagation(edges, iters, symmetrize = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0 supersteps: every node keeps its own label
+    assert(labels(0) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 8L -> 8L, 9L -> 9L))
+    // 1 superstep: each node takes the min over its radius-1 neighborhood
+    assert(labels(1) == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L, 8L -> 8L, 9L -> 8L))
+    // 3 supersteps: min over the radius-3 neighborhood (5 sees back to 2)
+    assert(labels(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L, 8L -> 8L, 9L -> 8L))
+    // diameter supersteps: converged to connected components
+    assert(labels(4) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("minLabelPropagation: directed edges only push labels downstream") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.minLabelPropagation(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 never receives anything; 3 reaches 1's label after 2 steps
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val one = Graph.minLabelPropagation(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
 }

@@ -299,6 +299,30 @@ class KnnSpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("randomProjectionTopK: candidates saturate → equals brute force; plan is TakeOrdered") {
+    val df = pqVecs.toDF("vec_id", "embedding")
+    val query = pqVecs(11)._2.map(_.toDouble).toSeq
+    // candidates = corpus size: the prefilter passes everything through,
+    // so the rerank IS brute force — exact equality, not recall
+    val got = Ann.randomProjectionTopK(df, "embedding", "vec_id", query,
+        k = 10, projDim = 4, planeOffset = 4000, candidates = 40)
+      .collect().map(_.getLong(0)).toSeq
+    val ref = Ann.bruteForceTopK(df, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == ref)
+    // tight candidates: top-k still comes back k-sized and from the corpus
+    val tight = Ann.randomProjectionTopK(df, "embedding", "vec_id", query,
+        k = 5, projDim = 4, planeOffset = 4000, candidates = 8)
+      .collect().map(_.getLong(0))
+    assert(tight.length == 5 && tight.toSet.subsetOf(pqVecs.map(_._1).toSet))
+    // both stages are bounded heaps — the corpus never shuffles
+    val plan = Ann.randomProjectionTopK(df, "embedding", "vec_id", query,
+        k = 5, projDim = 4, planeOffset = 4000, candidates = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("appendCodesBatch: replaying a batch is idempotent, probe sees no dupes") {
     val cents = Pq.coarseCentroids(PqDim, k = 4, planeOffset = 950)
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_batch").toString

@@ -157,4 +157,45 @@ class ProfileSpec extends SparkTestBase {
     assert(Profile.equiDepthHistogram(
       Seq.empty[Double].toDF("v"), "v", 4).count() == 0L)
   }
+
+  test("thresholdsByGroup: each group's exact rank-k order statistic") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: 0..8 → p75 rank ceil(27/4) = 7 → 6.0
+      ("a", Option(1.0)), ("a", Option(2.0)), ("a", Option(3.0)),
+      ("a", Option(4.0)), ("a", Option(5.0)), ("a", Option(6.0)),
+      ("a", Option(7.0)), ("a", Option(8.0)), ("a", Option(0.0)),
+      // group b: all ties → pure-bucket shortcut, threshold = the value
+      ("b", Option(4.0)), ("b", Option(4.0)), ("b", Option(4.0)),
+      // group c: singleton → rank clamps to 1
+      ("c", Option(9.0)),
+      // NULL group and NULL value are excluded
+      (null.asInstanceOf[String], Option(99.0)), ("a", Option.empty[Double])
+    ).toDF("g", "v")
+    val got = Profile.thresholdsByGroup(df, "g", "v", 3, 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // group a has 9 non-NULL values (1..8 plus the 0.0) → rank ceil(27/4)=7 → 6.0
+    assert(got("a") == ((9L, 6.0)))
+    assert(got("b") == ((3L, 4.0)))
+    assert(got("c") == ((1L, 9.0)))
+    assert(got.size == 3) // no NULL-group row
+    // reference check against a full per-group sort for a sweep of ranks
+    val ref = Seq("a" -> Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0))
+    ref.foreach { case (g, sorted) =>
+      val n = sorted.length
+      val k = math.max(1L, (3L * n + 3) / 4)
+      assert(got(g)._2 == sorted((k - 1).toInt))
+    }
+  }
+
+  test("thresholdsByGroup: empty input and p=0/p=1 bounds") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(Profile.thresholdsByGroup(empty, "g", "v", 1, 2).count() == 0L)
+    val df = Seq(("x", 1.0), ("x", 2.0), ("x", 3.0), ("x", 4.0)).toDF("g", "v")
+    // p=0 clamps to rank 1 (min); p=1 is rank n (max)
+    val lo = Profile.thresholdsByGroup(df, "g", "v", 0, 4).collect()(0).getDouble(2)
+    val hi = Profile.thresholdsByGroup(df, "g", "v", 4, 4).collect()(0).getDouble(2)
+    assert(lo == 1.0 && hi == 4.0)
+  }
 }
