@@ -250,6 +250,7 @@ object OpsPack {
     annIvfStreamed(s, dir)
     dedupIncremental(s, dir)
     textBm25Indexed(s, dir)
+    textGrep(s, dir)
     sourceOrc(s, dir)
     preparePqCodes(s, dir)
     annPqStreamed(s, dir)
@@ -1179,6 +1180,24 @@ object OpsPack {
         sum(when(col("quality_score") >= col("threshold"), 1L).otherwise(0L))
           .as("n_kept"))
       .orderBy("lang")
+  }
+
+  /** Bootstrap-replicate count for the corpus-metric error bar query. */
+  val BootstrapReplicates = 32
+
+  /** Deterministic Poisson-bootstrap driver query
+    * ([[graft.operators.Sampling.poissonBootstrapMeans]]): 32 reproducible
+    * resample replicates of the corpus's mean quality score in ONE
+    * map-side pass — the error bar every "corpus quality went up" claim
+    * needs. Integer-exact replicate sums; the caller reads the replicate
+    * spread as the CI. */
+  def qualityBootstrap(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val scored = docs(s, dir).select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality_score"))
+    Sampling.poissonBootstrapMeans(scored, "quality_score", "doc_id",
+      BootstrapReplicates)
+      .orderBy("replicate")
   }
 
   /** Deterministic 5-document inspection sample per source domain (smallest
@@ -2311,6 +2330,34 @@ object OpsPack {
       numBuckets = InvIndexBuckets)
   }
 
+  /** Trigram-index corpus grep parameters: the pattern is a token bigram
+    * the synthetic corpus repeats often enough to be a real fixture at
+    * every SF; buckets sized so a probe's partition filter bites. */
+  val TrigramBuckets = 64
+  val GrepPattern = "window window"
+  private val trgmIndexCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Corpus-grep driver query
+    * ([[graft.operators.Search.substringSearchFromIndex]]): substring
+    * search through the persisted character-trigram postings index —
+    * candidates = docs matching ALL pattern trigrams (recall-complete by
+    * construction), verified with a real `contains` on candidates only.
+    * The oracle is the full-scan contains — the index path must return
+    * exactly the scan's answer. */
+  def textGrep(s: SparkSession, dir: String): DataFrame = {
+    val path = Memo.memo(trgmIndexCache, dir, {
+      val p = "target/graft_trigram_index_" +
+        layoutStamp(dir, "documents", s"buckets=$TrigramBuckets|v1")
+      if (!layoutComplete(p))
+        graft.operators.Search.writeTrigramIndex(
+          docs(s, dir), "text", "doc_id", p, TrigramBuckets)
+      p
+    })
+    graft.operators.Search.substringSearchFromIndex(
+      s, path, docs(s, dir), "text", "doc_id", GrepPattern, TrigramBuckets)
+      .orderBy("doc_id")
+  }
+
   /** Collocation-mining driver query: top-25 adjacent bigrams (count ≥ 5)
     * with exact integer counts and the one-division lift ratio
     * ([[graft.operators.Collocations.topBigrams]] — two grouped counts, a
@@ -2928,6 +2975,7 @@ object OpsPack {
     "q_layout_partitioned" -> (layoutPartitioned _),
     "q_text_bm25" -> (textBm25 _),
     "q_text_bm25_indexed" -> (textBm25Indexed _),
+    "q_text_grep" -> (textGrep _),
     "q_select_budget" -> (selectBudget _),
     "q_select_budget_grouped" -> (selectBudgetGrouped _),
     "q_normalize_group" -> (normalizeGroup _),
@@ -2994,6 +3042,7 @@ object OpsPack {
     "q_mixture_sample" -> (mixtureSampleQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_quality_adaptive" -> (qualityAdaptive _),
+    "q_quality_bootstrap" -> (qualityBootstrap _),
     "q_sample_per_source" -> (samplePerSource _),
     "q_sample_weighted" -> (sampleWeighted _),
     "q_sample_weighted_grouped" -> (sampleWeightedGrouped _),
@@ -4197,6 +4246,28 @@ object OpsPack {
        |FROM q JOIN thr t USING (lang)
        |GROUP BY q.lang, t.n_docs, t.threshold
        |ORDER BY lang""".stripMargin
+
+  /** Bootstrap oracle: the same md5 multiplicity thresholds (cumulative
+    * Poisson(1) over 10⁶), integer replicate sums with the HUGEINT→BIGINT
+    * bridge, and the identical two-division mean sequence. */
+  private val qualityBootstrapSql: String = {
+    val cases = graft.operators.Sampling.PoissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN h < $t THEN $k" }.mkString(" ")
+    s"""WITH ${qualitySqlCtes()},
+       |qi AS (SELECT doc_id, CAST(floor(quality_score * 1000000000.0) AS BIGINT) AS qv FROM q),
+       |x AS (SELECT qi.qv, r.b,
+       |        ('0x' || substr(md5(CAST(qi.doc_id AS VARCHAR) || '#' || CAST(r.b AS VARCHAR)), 1, 12))::BIGINT
+       |          % 1000000 AS h
+       |      FROM qi CROSS JOIN (SELECT unnest(range(1, $BootstrapReplicates + 1)) AS b) r),
+       |mm AS (SELECT b, qv,
+       |         CASE $cases ELSE ${graft.operators.Sampling.PoissonThresholds.length} END AS m
+       |       FROM x)
+       |SELECT CAST(b AS BIGINT) AS replicate,
+       |  CAST(sum(m) AS BIGINT) AS n_eff,
+       |  CAST(CAST(sum(m * qv) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) / 1000000000.0 AS mean_value
+       |FROM mm GROUP BY b ORDER BY replicate""".stripMargin
+  }
 
   /** Weighted-sample oracle: the identical min-of-w md5 priority key —
     * generate_series fans each doc into w draws, the same `id:t` string is
@@ -5725,6 +5796,9 @@ object OpsPack {
     "q_layout_partitioned" -> layoutPartitionedSql,
     "q_text_bm25" -> textBm25Sql,
     "q_text_bm25_indexed" -> textBm25Sql,
+    "q_text_grep" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE contains(text, '$GrepPattern') ORDER BY doc_id""".stripMargin,
     "q_select_budget" -> selectBudgetSql,
     "q_select_budget_grouped" -> selectBudgetGroupedSql,
     "q_normalize_group" -> normalizeGroupSql,
@@ -5766,6 +5840,7 @@ object OpsPack {
     "q_mixture_sample" -> mixtureSampleSql,
     "q_docs_topk_quality" -> topkQualitySql,
     "q_quality_adaptive" -> qualityAdaptiveSql,
+    "q_quality_bootstrap" -> qualityBootstrapSql,
     "q_sample_per_source" -> samplePerSourceSql,
     "q_sample_weighted" -> sampleWeightedSql,
     "q_sample_weighted_grouped" -> sampleWeightedGroupedSql,

@@ -144,6 +144,18 @@ object ScaleCheck {
     def minhash(docs: DataFrame): Long =
       graft.operators.Dedup.minhashNearDuplicates(
         docs, "text", "doc_id", threshold = 0.5).count()
+    def thresholds(docs: DataFrame): Long =
+      graft.operators.Profile.thresholdsByGroup(
+        docs.select(col("lang"),
+          graft.operators.TextOps.qualityScore(col("text")).as("q")),
+        "lang", "q", 3, 4).count()
+    def labelprop(li: DataFrame, ord: DataFrame): Long = {
+      val pairs = ord.select(col("o_orderkey"), col("o_custkey"))
+        .join(li.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.operators.Graph.minLabelPropagation(pairs, 3, symmetrize = true).count()
+    }
     def sessions(ev: DataFrame): Long =
       graft.operators.Sessionize.sessionStats(
         graft.streaming.EventStreams.normalizeEventTs(ev),
@@ -162,7 +174,9 @@ object ScaleCheck {
       ("sessionization", (_, _, _, ev, _) => sessions(ev)),
       ("numeric_profile", (li, _, _, _, _) => profile(li)),
       ("select_budget", (_, _, d, _, m) => budget(d, 12000L * m)),
-      ("weighted_sample", (_, _, d, _, _) => wsample(d)))
+      ("weighted_sample", (_, _, d, _, _) => wsample(d)),
+      ("group_thresholds", (_, _, d, _, _) => thresholds(d)),
+      ("labelprop_3iter", (li, ord, _, _, _) => labelprop(li, ord)))
 
     val evS = stride(table("events"), "event_id")
     val evUS = stride(table("events"), "user_id")

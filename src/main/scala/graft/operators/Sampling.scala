@@ -232,4 +232,52 @@ object Sampling {
         buckets) < threshold)
       .select(df.columns.map(col) :+ col("epoch"): _*)
   }
+
+  /** Cumulative Poisson(1) probabilities over a 10⁶ hash space — the
+    * multiplicity thresholds of [[poissonBootstrapMeans]] (P(k≤0)=.367879,
+    * k≤1=.735759, k≤2=.919699, k≤3=.981012, k≤4=.996340; the tail caps at
+    * 5, total mass error < 4·10⁻⁴). */
+  val PoissonThresholds: Seq[Long] = Seq(367879L, 735759L, 919699L, 981012L, 996340L)
+
+  /** Deterministic POISSON BOOTSTRAP of a mean — the error bar on a corpus
+    * metric ("mean quality is 0.61 ± what?") computed the only way that
+    * scales: the classic n-out-of-n resample needs a global draw per
+    * replicate, but the Poisson approximation gives every row an
+    * independent multiplicity m ~ Poisson(1) per replicate, so the whole
+    * B-replicate bootstrap is ONE map-side pass — here with m a pure md5
+    * function of (id, replicate), so the resample is reproducible across
+    * runs, engines, and partitionings (the house sampler discipline).
+    *
+    * Exactness: values enter as floor(value·scale) BIGINTs, replicate sums
+    * are exact integers (associative-commutative — hash-checkable), and
+    * the mean is a fixed two-division double sequence. Contract:
+    * |value|·scale must fit a long per row and Σ m·value·scale per
+    * replicate must fit a long (n·5·scale·max|value| < 2⁶³ — drop `scale`
+    * an order of magnitude per 10× corpus growth; quality-score shaped
+    * values in [0,1] hold to ~10⁹ rows at the default). NULL ids/values
+    * are excluded. Output: (replicate, n_eff, mean_value), one row per
+    * replicate — the CALLER reads its quantiles as the CI. */
+  def poissonBootstrapMeans(df: DataFrame, valueCol: String, idCol: String,
+      replicates: Int, scale: Long = 1000000000L): DataFrame = {
+    require(replicates >= 1, s"replicates must be >= 1, got $replicates")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val exploded = df
+      .where(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        floor(col(valueCol).cast("double") * scale).cast("long").as("__q"))
+      .withColumn("b", explode(sequence(lit(1L), lit(replicates.toLong))))
+    val h = hashBucket(
+      concat(col("__id"), lit("#"), col("b").cast("string")), 1000000)
+    val m = PoissonThresholds.zipWithIndex
+      .foldRight(lit(PoissonThresholds.length.toLong)) { case ((t, k), rest) =>
+        when(h < t, k.toLong).otherwise(rest)
+      }
+    exploded
+      .withColumn("__m", m)
+      .groupBy(col("b").as("replicate"))
+      .agg(sum(col("__m")).as("n_eff"), sum(col("__m") * col("__q")).as("__sq"))
+      .select(col("replicate"), col("n_eff"),
+        (col("__sq").cast("double") / col("n_eff").cast("double")
+          / lit(scale.toDouble)).as("mean_value"))
+  }
 }

@@ -279,6 +279,63 @@ object Search {
       .limit(k)
   }
 
+  // ---- Trigram substring search (corpus grep) ---------------------------
+
+  /** Build the persisted CHARACTER-TRIGRAM postings index for substring
+    * search — corpus grep without a full text scan per pattern (the
+    * pg_trgm / code-search-index design). Postings are one (g, doc_id)
+    * row per DISTINCT trigram per document (array_distinct before the
+    * explode, so a repetitive document costs its vocabulary, not its
+    * length), partitioned by bucket = pmod(xxhash64(g), B) — a probe
+    * reads only its own trigrams' partition directories. Bucketing is a
+    * pruning device only: it never affects results, so the non-portable
+    * fast hash is fine here. Index construction is a one-off ingest job
+    * (one shuffle to B files); [[substringSearchFromIndex]] probes it. */
+  def writeTrigramIndex(docs: DataFrame, textCol: String, idCol: String,
+      path: String, numBuckets: Int = 64): Unit = {
+    require(numBuckets > 0)
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"""CASE WHEN length(`$textCol`) >= 3
+                 THEN array_distinct(transform(sequence(1, length(`$textCol`) - 2),
+                                               i -> substring(`$textCol`, i, 3)))
+                 ELSE CAST(array() AS array<string>) END""").as("__grams"))
+      .select(col("doc_id"), explode(col("__grams")).as("g"))
+      .withColumn("bucket", pmod(xxhash64(col("g")), lit(numBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Substring search over the trigram index: every document containing
+    * `pattern` contains ALL of the pattern's trigrams, so the candidate
+    * set — docs whose matched-trigram count equals the pattern's distinct
+    * trigram count — is recall-complete by construction, and only THOSE
+    * documents are verified with a real `contains`. The probe reads ≤
+    * |trigrams| of B partition directories (partition filter), the
+    * candidate aggregation shuffles candidate postings only, and the
+    * verify is a broadcast semi-join onto the corpus (candidates of a
+    * selective pattern ≪ corpus — for patterns so common the candidate
+    * set approaches the corpus, a full scan is the right plan anyway).
+    * Returns the matching ids as (idCol). */
+  def substringSearchFromIndex(
+      spark: SparkSession, path: String,
+      docs: DataFrame, textCol: String, idCol: String,
+      pattern: String, numBuckets: Int = 64): DataFrame = {
+    require(pattern.length >= 3,
+      s"pattern must be >= 3 chars for the trigram index, got '$pattern'")
+    val grams = pattern.sliding(3).toSeq.distinct
+    val buckets = grams.map(termBucket(_, numBuckets)).distinct
+    val cand = spark.read.parquet(path)
+      .where(col("bucket").isin(buckets: _*) && col("g").isin(grams: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("__ng"))
+      .where(col("__ng") === grams.length)
+      .select("doc_id")
+    docs
+      .join(broadcast(cand.withColumnRenamed("doc_id", idCol)), Seq(idCol), "left_semi")
+      .where(col(textCol).contains(pattern))
+      .select(col(idCol))
+  }
+
   /** Reciprocal-rank fusion of ranked retrieval lists — the standard hybrid-
     * search combinator (lexical BM25 ∪ embedding ANN, or any mix of
     * retrievers). Each input carries (id, rank) [+ `groupCols` for batched

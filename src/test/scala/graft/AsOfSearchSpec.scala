@@ -303,6 +303,31 @@ class AsOfSearchSpec extends SparkTestBase {
     assert(e.getMessage.contains("16 buckets"))
   }
 
+  test("trigram index grep: equals the full-scan contains, pruned probe") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = "target/test_trigram_index"
+    Search.writeTrigramIndex(docs, "text", "doc_id", path, numBuckets = 32)
+    for (pattern <- Seq("window window", "merge part", "zzz no such text")) {
+      val probe = Search.substringSearchFromIndex(
+        spark, path, docs, "text", "doc_id", pattern, numBuckets = 32)
+      val got = probe.collect().map(_.getLong(0)).sorted.toSeq
+      val ref = docs.where(org.apache.spark.sql.functions.col("text")
+        .contains(pattern)).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == ref, s"pattern '$pattern'")
+    }
+    // the probe's index scan is partition-pruned to the pattern's buckets
+    val plan = Search.substringSearchFromIndex(
+        spark, path, docs, "text", "doc_id", "window win", numBuckets = 32)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    // sub-trigram patterns are rejected, not silently unindexed
+    intercept[IllegalArgumentException] {
+      Search.substringSearchFromIndex(
+        spark, path, docs, "text", "doc_id", "ab", numBuckets = 32)
+    }
+  }
+
   test("bm25 scoring pass plans no shuffle before the top-k") {
     // a parquet-backed corpus, so the scan isn't constant-folded away
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -652,6 +652,43 @@ class OpsSpec extends SparkTestBase {
     assert(capped.getLong(1) == 4L && capped.getLong(2) == refPriority(3L, 4L))
   }
 
+  test("poisson bootstrap: md5 multiplicities match the driver reference; exact means") {
+    import graft.operators.Sampling
+    def md5p48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xff))
+    }
+    def refM(id: Long, b: Long): Long = {
+      val h = md5p48(s"$id#$b") % 1000000L
+      val idx = Sampling.PoissonThresholds.indexWhere(h < _)
+      if (idx < 0) Sampling.PoissonThresholds.length.toLong else idx.toLong
+    }
+    val vals = (1L to 50L).map(i => i -> (i.toDouble / 100.0))
+    val df = vals.toDF("id", "v")
+    val got = Sampling.poissonBootstrapMeans(df, "v", "id", replicates = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == (1L to 8L).toSet)
+    for (b <- 1L to 8L) {
+      val ms = vals.map { case (id, v) => (refM(id, b), math.floor(v * 1e9).toLong) }
+      val nEff = ms.map(_._1).sum
+      val sq = ms.map { case (m, q) => m * q }.sum
+      assert(got(b)._1 == nEff, s"replicate $b n_eff")
+      assert(got(b)._2 == sq.toDouble / nEff.toDouble / 1e9, s"replicate $b mean")
+    }
+    // multiplicity frequencies are Poisson(1)-shaped in aggregate: m = 0
+    // for roughly a third of draws, and the heavy tail is rare
+    val draws = for (id <- 1L to 50L; b <- 1L to 8L) yield refM(id, b)
+    val zeros = draws.count(_ == 0L).toDouble / draws.size
+    assert(zeros > 0.25 && zeros < 0.45, s"P(m=0) ≈ e^-1, got $zeros")
+    assert(draws.count(_ >= 4L) < draws.size / 20)
+    // NULL values and ids are excluded
+    val withNulls = (Seq((1L, Option(0.5)), (2L, Option.empty[Double]))).toDF("id", "v")
+    val n = Sampling.poissonBootstrapMeans(withNulls, "v", "id", 2)
+      .agg(org.apache.spark.sql.functions.max("n_eff")).first().getLong(0)
+    assert(n <= 5L) // only id 1 contributes (multiplicity ≤ 5)
+  }
+
   test("weighted sample per group: heap ranking matches priorities; plans shuffle-light") {
     import graft.operators.Sampling
     def md5p48(s: String): Long = {
