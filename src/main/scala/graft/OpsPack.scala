@@ -700,6 +700,32 @@ object OpsPack {
     } finally sub.unpersist(blocking = false)
   }
 
+  /** Retrieval-metrics driver query
+    * ([[graft.operators.Ann.retrievalMetrics]]): the mod-32 vectors play
+    * HELD-OUT queries against the rest of the corpus; ground truth is the
+    * exact float-cosine top-10 per query, the retriever under test is the
+    * int8-quantized ranking at the same k, and the metrics are per-query
+    * recall hits + exact scaled reciprocal rank — MRR/recall@k of the
+    * quantization dial, measured, not guessed. Both rankings are bounded
+    * broadcast query fan-outs (the q_ann_topk_multi shape). */
+  def annMrr(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val corpus = e.where(col("vec_id") % 32 =!= 0)
+    val queries = e.where(col("vec_id") % 32 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val truth = Ann.bruteForceTopKJoin(
+      corpus, "embedding", "vec_id", queries, "qv", "query_id", k = 10)
+      .select(col("query_id"), col("id"))
+    val corpusQ = corpus.select(col("vec_id"),
+      Ann.int8Quantize(col("embedding")).getField("q").as("qv8"))
+    val queriesQ = queries.select(col("query_id"),
+      Ann.int8Quantize(col("qv")).getField("q").as("qq8"))
+    val retrieved = Ann.bruteForceTopKJoin(
+      corpusQ, "qv8", "vec_id", queriesQ, "qq8", "query_id", k = 10)
+      .select(col("query_id"), col("id"), col("rank"))
+    Ann.retrievalMetrics(retrieved, truth).orderBy("query_id")
+  }
+
   /** Embedding-alignment driver query
     * ([[graft.operators.Ann.mutualNearestNeighbors]]): the mod-16 slice
     * plays the small (query-language) corpus, everything else the big one;
@@ -3086,6 +3112,7 @@ object OpsPack {
     "q_embedding_align_lsh" -> (embeddingAlignLsh _),
     "q_embedding_align_lsh_margin" -> (embeddingAlignLshMargin _),
     "q_ann_recall" -> (annRecall _),
+    "q_ann_mrr" -> (annMrr _),
     "q_semantic_dedup" -> (semanticDedupQuery _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_features" -> (multimodalFeatures _))
@@ -4766,6 +4793,52 @@ object OpsPack {
        |FROM scored ORDER BY c DESC, vec_id LIMIT 20""".stripMargin
   }
 
+  /** Retrieval-metrics oracle: exact-cosine truth and int8-quantized
+    * retrieval both ranked with the explicit left-assoc dot/norm sums
+    * (bit-identical cosines — the alignment-oracle discipline; the
+    * quantized CTEs are the q_ann_topk_quantized mirror restricted per
+    * side), per-query row_number with the heap's (c desc, id) tie rule,
+    * then the exact integer hit counts and `scale DIV first_rank`. */
+  private val annMrrSql: String = {
+    val dim = EmbeddingDim
+    def dotSum(va: String, vb: String): String =
+      (1 to dim).map(i => s"$va[$i] * $vb[$i]").mkString("(", " + ", ")")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |cn AS (SELECT vec_id, v, sqrt(${dotSum("v", "v")}) nrm FROM e WHERE vec_id % 32 <> 0),
+       |qn AS (SELECT vec_id qid, v qv, sqrt(${dotSum("v", "v")}) qnrm FROM e WHERE vec_id % 32 = 0),
+       |ts AS (SELECT qn.qid, cn.vec_id,
+       |         CASE WHEN cn.nrm * qn.qnrm = 0 THEN 0.0
+       |              ELSE ${dotSum("cn.v", "qn.qv")} / (cn.nrm * qn.qnrm) END cs
+       |       FROM cn CROSS JOIN qn),
+       |truth AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) rk
+       |    FROM ts) WHERE rk <= 10),
+       |s AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 sc FROM e),
+       |z AS (SELECT e.vec_id,
+       |        CASE WHEN sc = 0 THEN list_transform(v, x -> 0)
+       |             ELSE list_transform(v, x -> CAST(greatest(-127.0, least(127.0, floor(x / sc + 0.5))) AS INT)) END qv
+       |      FROM e JOIN s USING (vec_id)),
+       |zc AS (SELECT vec_id, qv, sqrt(${dotSum("qv", "qv")}) nrm FROM z WHERE vec_id % 32 <> 0),
+       |zq AS (SELECT vec_id qid, qv qqv, sqrt(${dotSum("qv", "qv")}) qnrm FROM z WHERE vec_id % 32 = 0),
+       |rs AS (SELECT zq.qid, zc.vec_id,
+       |         CASE WHEN zc.nrm * zq.qnrm = 0 THEN 0.0
+       |              ELSE ${dotSum("zc.qv", "zq.qqv")} / (zc.nrm * zq.qnrm) END cs
+       |       FROM zc CROSS JOIN zq),
+       |retr AS (SELECT qid, vec_id, rk FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) rk
+       |    FROM rs) WHERE rk <= 10),
+       |hits AS (SELECT r.qid, CAST(count(*) AS BIGINT) nh, CAST(min(r.rk) AS BIGINT) fr
+       |         FROM retr r JOIN truth t ON t.qid = r.qid AND t.vec_id = r.vec_id
+       |         GROUP BY r.qid),
+       |nt AS (SELECT qid, CAST(count(*) AS BIGINT) n_truth FROM truth GROUP BY qid)
+       |SELECT nt.qid AS query_id, nt.n_truth,
+       |  COALESCE(h.nh, 0) AS n_hits,
+       |  COALESCE(h.fr, 0) AS first_rank,
+       |  CAST(CASE WHEN h.fr IS NULL THEN 0 ELSE 1000000000000 // h.fr END AS BIGINT) AS rr_scaled
+       |FROM nt LEFT JOIN hits h ON h.qid = nt.qid
+       |ORDER BY query_id""".stripMargin
+  }
+
   /** Persisted-LSH-probe oracle: per-vector 8-bit signature from the same
     * plane literals as the engine, probe set = the query vector's own
     * signature plus every 1-bit flip, exact cosine ranking within the
@@ -5900,6 +5973,7 @@ object OpsPack {
     "q_embedding_align_lsh" -> embeddingAlignLshSql,
     "q_embedding_align_lsh_margin" -> embeddingAlignLshMarginSql,
     "q_ann_recall" -> annRecallSql,
+    "q_ann_mrr" -> annMrrSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_features" -> multimodalFeaturesSql)

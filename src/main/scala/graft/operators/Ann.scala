@@ -545,6 +545,36 @@ object Ann {
       .limit(k)
   }
 
+  /** Retrieval-quality metrics — recall@k and reciprocal rank of a
+    * retriever against a ground-truth relevance set, per query: the
+    * "measure, don't guess" primitive for every ANN recall/cost dial in
+    * this file (quantization, LSH, IVF probes, RP candidates). `retrieved`
+    * carries (query_id, id, rank); `truth` carries (query_id, id).
+    * Reciprocal rank is the EXACT scaled integer `scale DIV first_rank`
+    * (the RRF discipline — float 1/r is order-dependent under averaging);
+    * queries with no retrieved hit report first_rank 0 / rr_scaled 0.
+    *
+    * Scale shape: one equi-join of two k-bounded lists (≤ q·k rows each),
+    * two grouped counts — cost is proportional to the candidate lists,
+    * never the corpus. Output: (query_id, n_truth, n_hits, first_rank,
+    * rr_scaled); mean rr_scaled over queries = scaled MRR, Σn_hits/Σn_truth
+    * = recall@k — left to the caller, who may want either rollup. */
+  def retrievalMetrics(retrieved: DataFrame, truth: DataFrame,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(scale > 0, s"scale must be > 0, got $scale")
+    val hits = retrieved.join(truth, Seq("query_id", "id"))
+    val per = hits.groupBy("query_id")
+      .agg(count(lit(1)).as("__nh"), min(col("rank").cast("long")).as("__fr"))
+    truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(per, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("__nh"), lit(0L)).as("n_hits"),
+        coalesce(col("__fr"), lit(0L)).as("first_rank"),
+        when(col("__fr").isNull, lit(0L))
+          .otherwise(call_function("div", lit(scale), col("__fr")))
+          .as("rr_scaled"))
+  }
+
   /** Exact all-pairs cosine ≥ threshold (oracle-checkable; O(n²) — for
     * verification and small dimension tables, not the 100 TB path). Norms
     * are computed once per vector before the join. */

@@ -341,6 +341,8 @@ object Profile {
       pctNum: Int, pctDen: Int, buckets: Int = 1024): DataFrame = {
     require(pctDen > 0 && pctNum >= 0 && pctNum <= pctDen,
       s"need 0 <= pctNum <= pctDen, got $pctNum/$pctDen")
+    require(groupCol != "n" && groupCol != "threshold",
+      s"groupCol '$groupCol' collides with an output column name")
     val spark = df.sparkSession
     import spark.implicits._
     val g = col(groupCol).cast("string")

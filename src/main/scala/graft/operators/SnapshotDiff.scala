@@ -33,11 +33,13 @@ import org.apache.spark.sql.functions._
   * old_id is non-NULL only for `renamed`. */
 object SnapshotDiff {
 
-  /** Null-flagged content hash: 'N' for NULL, 'V' ++ content otherwise
-    * (DuckDB mirror: md5(CASE WHEN c IS NULL THEN 'N' ELSE 'V' || c END)). */
+  /** Null-flagged content hash: 'N' for NULL, 'V' ++ content-bytes
+    * otherwise — the concat stays in BINARY so non-UTF-8 content hashes
+    * its raw bytes (DuckDB text mirror:
+    * md5(CASE WHEN c IS NULL THEN 'N' ELSE 'V' || c END)). */
   private def contentHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    md5(when(c.isNull, lit("N"))
-      .otherwise(concat(lit("V"), c.cast("string"))).cast("binary"))
+    md5(when(c.isNull, lit("N").cast("binary"))
+      .otherwise(concat(lit("V").cast("binary"), c.cast("binary"))))
 
   def diff(a: DataFrame, b: DataFrame, idCol: String, contentCol: String): DataFrame = {
     val idType = a.schema(idCol).dataType

@@ -323,6 +323,29 @@ class KnnSpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("retrievalMetrics: per-query hits, first rank, exact scaled RR") {
+    val retrieved = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), // q1: truth hit at rank 2
+      (2L, 20L, 1L), (2L, 21L, 2L),                // q2: no truth hits
+      (3L, 31L, 1L), (3L, 32L, 2L)                 // q3: hits at ranks 1 and 2
+    ).toDF("query_id", "id", "rank")
+    val truth = Seq(
+      (1L, 11L), (1L, 99L),
+      (2L, 98L),
+      (3L, 31L), (3L, 32L), (3L, 97L),
+      (4L, 96L) // query with truth but nothing retrieved at all
+    ).toDF("query_id", "id")
+    val got = Ann.retrievalMetrics(retrieved, truth)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 2L, 500000000000L))) // scale DIV 2
+    assert(got(2L) == ((1L, 0L, 0L, 0L)))
+    assert(got(3L) == ((3L, 2L, 1L, 1000000000000L)))
+    assert(got(4L) == ((1L, 0L, 0L, 0L)))
+    assert(got.size == 4)
+  }
+
   test("appendCodesBatch: replaying a batch is idempotent, probe sees no dupes") {
     val cents = Pq.coarseCentroids(PqDim, k = 4, planeOffset = 950)
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_batch").toString

@@ -1254,7 +1254,8 @@ class OpsSpec extends SparkTestBase {
         // driver-side return LocalRelations here and their internal scorer
         // plans are pinned by their own specs
         if (name != "q_ann_topk_multi" && name != "q_ann_knn" &&
-            name != "q_embedding_align" && name != "q_embedding_align_margin")
+            name != "q_embedding_align" && name != "q_embedding_align_margin" &&
+            name != "q_ann_mrr")
           assert(!plan.contains("BroadcastNestedLoopJoin"),
             s"$name plan contains a non-broadcastable nested-loop join")
       }
