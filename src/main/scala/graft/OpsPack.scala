@@ -5624,24 +5624,33 @@ object OpsPack {
     * `base` + `q` CTEs computing (doc_id, extra*, quality_score,
     * n_tokens). Shared by every oracle that scores quality — a formula
     * change lands in exactly one place on each side. */
-  private def qualitySqlCtes(extra: Seq[String] = Nil): String = {
+  private def qualitySqlCtes(extra: Seq[String] = Nil): String =
+    qualitySqlCtesFrom("documents", "text", extra, prefix = "")
+
+  /** The ONE quality-formula SQL builder (shared-builder rule — extend,
+    * don't copy): emits `{p}base` / `{p}q` CTEs computing the engine's
+    * quality_score over `textExpr` rows of `fromSql`; `prefix` lets one
+    * statement carry several chains (the snapshot-diff quality oracle
+    * scores BOTH snapshots). */
+  private def qualitySqlCtesFrom(fromSql: String, textExpr: String,
+      extra: Seq[String] = Nil, prefix: String = ""): String = {
     val stop = "\\b(the|a|an|and|of|to|in|is|it|for)\\b"
     val sel = ("doc_id" +: extra).mkString(", ")
-    s"""base AS (
+    s"""${prefix}base AS (
        |  SELECT $sel,
-       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
-       |    CAST(len(regexp_extract_all(lower(text), '$stop')) AS BIGINT) AS n_stop,
-       |    len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
-       |    CAST(length(text) AS BIGINT) AS n_chars
-       |  FROM documents),
-       |q AS (SELECT $sel,
+       |    CAST(len(regexp_extract_all($textExpr, '\\S+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(lower($textExpr), '$stop')) AS BIGINT) AS n_stop,
+       |    len(regexp_extract_all($textExpr, '[a-zA-Z]')) AS n_alpha,
+       |    CAST(length($textExpr) AS BIGINT) AS n_chars
+       |  FROM $fromSql),
+       |${prefix}q AS (SELECT $sel,
        |  0.5 * (least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0)
        |  + 0.3 * (CASE WHEN n_tokens = 0 THEN 0.0
        |           ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
        |  + 0.2 * (CASE WHEN n_chars IS NULL OR n_chars = 0 THEN 0.0
        |           ELSE CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END)
        |    AS quality_score,
-       |  n_tokens FROM base)""".stripMargin
+       |  n_tokens FROM ${prefix}base)""".stripMargin
   }
 
   /** Budget-selection oracle: the global window-cumsum formulation the
