@@ -154,7 +154,10 @@ object ScaleCheck {
         .join(li.select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      graft.operators.Graph.minLabelPropagation(pairs, 3, symmetrize = true).count()
+      // 12 supersteps: deep enough that the pre-r9 lazily-doubling plan
+      // (2^12 superstep subtrees) would hang the sweep — pins the
+      // per-superstep localCheckpoint materialization at scale
+      graft.operators.Graph.minLabelPropagation(pairs, 12, symmetrize = true).count()
     }
     def sessions(ev: DataFrame): Long =
       graft.operators.Sessionize.sessionStats(
@@ -176,7 +179,7 @@ object ScaleCheck {
       ("select_budget", (_, _, d, _, m) => budget(d, 12000L * m)),
       ("weighted_sample", (_, _, d, _, _) => wsample(d)),
       ("group_thresholds", (_, _, d, _, _) => thresholds(d)),
-      ("labelprop_3iter", (li, ord, _, _, _) => labelprop(li, ord)))
+      ("labelprop_12iter", (li, ord, _, _, _) => labelprop(li, ord)))
 
     val evS = stride(table("events"), "event_id")
     val evUS = stride(table("events"), "user_id")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -111,6 +111,62 @@ object Ann {
       .orderBy(col("__graft_rp_pd").asc, col(idCol))
       .limit(candidates)
     cand.select(col(idCol), cosine(col(vecCol), vecLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Persist the Johnson–Lindenstrauss projection as its own NARROW layout —
+    * the missing half of [[randomProjectionTopK]]'s byte-read story: the
+    * prefilter's heavy full-corpus pass should read projDim·8 bytes per
+    * vector (p_0…p_{projDim−1} as flat DOUBLE columns — doubles, not
+    * floats, so the stored values are BIT-IDENTICAL to the on-the-fly
+    * projection and the candidate boundary is unchanged), not the full
+    * dim·4-byte float vector it projects from. One one-off ingest job
+    * (the IVF/PQ persisted-layout pattern); probes go through
+    * [[rpTopKFromProjected]]. */
+  def writeRpProjected(df: DataFrame, vecCol: String, idCol: String,
+      path: String, projDim: Int, planeOffset: Int): Unit = {
+    require(projDim > 0, s"projDim must be > 0, got $projDim")
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val projCols = (0 until projDim).map { j =>
+      dot(col(vecCol), vecLit(planeVector(planeOffset + j, dim))).as(s"p$j")
+    }
+    df.select(col(idCol) +: projCols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** RP ANN over the persisted projection layout: stage 1 scans ONLY the
+    * narrow (id, p_0…p_{projDim−1}) table — projDim/dim of the arithmetic
+    * AND projDim·8/(dim·4) of the bytes, with no access to the full
+    * vectors at all — and TakeOrders the `candidates` best by squared
+    * distance to the driver-projected query (accumulated in plane order,
+    * exactly [[randomProjectionTopK]]'s stage 1, so the candidate set is
+    * identical). Stage 2 broadcast-semi-joins the ≤`candidates` ids back
+    * onto the full corpus and reranks by exact cosine. Result ≡
+    * [[randomProjectionTopK]] — same oracle applies verbatim. */
+  def rpTopKFromProjected(spark: SparkSession, path: String,
+      df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int,
+      projDim: Int, planeOffset: Int, candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val dim = query.length
+    val qp = (0 until projDim).map { j =>
+      val p = planeVector(planeOffset + j, dim)
+      var s = 0.0; var i = 0
+      while (i < dim) { s += query(i) * p(i); i += 1 }
+      s
+    }
+    val pd = qp.zipWithIndex.map { case (q0, j) =>
+      val d = col(s"p$j") - lit(q0)
+      d * d
+    }.reduce(_ + _)
+    val candIds = spark.read.parquet(path)
+      .select(col(idCol), pd.as("__graft_rp_pd"))
+      .orderBy(col("__graft_rp_pd").asc, col(idCol))
+      .limit(candidates)
+      .select(col(idCol))
+    df.join(broadcast(candIds), Seq(idCol), "left_semi")
+      .select(col(idCol), cosine(col(vecCol), vecLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -558,14 +614,23 @@ object Ann {
     * two grouped counts — cost is proportional to the candidate lists,
     * never the corpus. Output: (query_id, n_truth, n_hits, first_rank,
     * rr_scaled); mean rr_scaled over queries = scaled MRR, Σn_hits/Σn_truth
-    * = recall@k — left to the caller, who may want either rollup. */
+    * = recall@k — [[retrievalSummary]] is that rollup, or roll up ad hoc.
+    *
+    * CONTRACT: the output is TRUTH-DRIVEN — one row per query_id present
+    * in `truth`; a query that only appears in `retrieved` (no relevance
+    * judgments) has no recall denominator and is dropped. Duplicate
+    * (query_id, id) rows are tolerated on both inputs: truth pairs are
+    * de-duplicated before the join and n_hits counts DISTINCT retrieved
+    * ids, so a retriever that returns the same id at two ranks scores it
+    * once (at its best rank, via min(rank)). */
   def retrievalMetrics(retrieved: DataFrame, truth: DataFrame,
       scale: Long = 1000000000000L): DataFrame = {
     require(scale > 0, s"scale must be > 0, got $scale")
-    val hits = retrieved.join(truth, Seq("query_id", "id"))
+    val truthPairs = truth.select(col("query_id"), col("id")).distinct()
+    val hits = retrieved.join(truthPairs, Seq("query_id", "id"))
     val per = hits.groupBy("query_id")
-      .agg(count(lit(1)).as("__nh"), min(col("rank").cast("long")).as("__fr"))
-    truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .agg(countDistinct(col("id")).as("__nh"), min(col("rank").cast("long")).as("__fr"))
+    truthPairs.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
       .join(per, Seq("query_id"), "left")
       .select(col("query_id"), col("n_truth"),
         coalesce(col("__nh"), lit(0L)).as("n_hits"),
@@ -574,6 +639,32 @@ object Ann {
           .otherwise(call_function("div", lit(scale), col("__fr")))
           .as("rr_scaled"))
   }
+
+  /** The one-row rollup of [[retrievalMetrics]] — the composite numbers
+    * people actually quote for a retriever: recall@k = Σn_hits/Σn_truth
+    * and MRR = mean rr_scaled over queries, both as EXACT scaled
+    * integers (`scale·Σhits DIV Σtruth`, `Σrr DIV n_queries` — integer
+    * div, associative-commutative sums, hash-checkable; the float forms
+    * average in ulp-dependent order). Inherits retrievalMetrics' contract
+    * (truth-driven query set, duplicate-tolerant). Cost: the per-query
+    * frame is ≤ |queries| rows; the rollup is one tiny aggregation.
+    * Output: (n_queries, n_truth, n_hits, recall_scaled, mrr_scaled). */
+  def retrievalSummary(retrieved: DataFrame, truth: DataFrame,
+      scale: Long = 1000000000000L): DataFrame =
+    retrievalMetrics(retrieved, truth, scale)
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_truth")).as("n_truth"),
+        sum(col("n_hits")).as("n_hits"),
+        sum(col("rr_scaled")).as("__rr_sum"))
+      .select(col("n_queries"),
+        col("n_truth").cast("long").as("n_truth"),
+        col("n_hits").cast("long").as("n_hits"),
+        when(col("n_truth") === 0, lit(0L))
+          .otherwise(call_function("div", lit(scale) * col("n_hits"), col("n_truth")))
+          .as("recall_scaled"),
+        when(col("n_queries") === 0, lit(0L))
+          .otherwise(call_function("div", col("__rr_sum"), col("n_queries")))
+          .as("mrr_scaled"))
 
   /** Exact all-pairs cosine ≥ threshold (oracle-checkable; O(n²) — for
     * verification and small dimension tables, not the 100 TB path). Norms

@@ -39,7 +39,7 @@ object Dedup {
         new java.util.ArrayDeque[java.lang.ref.WeakReference[DataFrame]]()
     }
 
-  private[operators] def cacheShared(df: DataFrame): DataFrame = {
+  private[graft] def cacheShared(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     allCachedFrames.add(p)
     threadCachedFrames.get().add(new java.lang.ref.WeakReference(p))
@@ -60,7 +60,7 @@ object Dedup {
     override def initialValue(): Integer = 0
   }
 
-  private[operators] def newCacheScope[T](f: => T): T = {
+  private[graft] def newCacheScope[T](f: => T): T = {
     val d = scopeDepth.get()
     if (d == 0) releaseThreadCaches()
     scopeDepth.set(d + 1)

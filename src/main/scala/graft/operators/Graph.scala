@@ -169,13 +169,30 @@ object Graph {
     * groupBy(dst).min combine (map-side partial). The edge list is
     * deduplicated and cached ONCE; `symmetrize` unions the reversal from
     * the cache (requires reversal-collision-free id domains, as in
-    * pageRankScaled). Returns (node, label). */
+    * pageRankScaled).
+    *
+    * Unlike PageRank (whose recurrence reads `ranks` ONCE per superstep,
+    * so an unchecked lineage grows linearly), HashMin reads `labels`
+    * TWICE per superstep — inside the neighbor-min and as the outer
+    * join's left side — so a lazily-chained plan would DOUBLE each
+    * iteration (2^k duplicated superstep subtrees by superstep k). Every
+    * superstep therefore ends in an eager `localCheckpoint()`: the label
+    * frame is materialized once, its lineage truncated to a LogicalRDD,
+    * and the next superstep's two reads hit the materialized copy — plan
+    * size and analysis cost stay LINEAR in `iters` at any iteration
+    * count (pinned by GraphSpec at iters = 12). A per-superstep job is
+    * the native Pregel cost: the algorithm consumes each label set twice,
+    * so the materialization does work the recurrence needs anyway.
+    * `checkpointEvery` is retained for signature compatibility and
+    * ignored — per-superstep truncation strictly dominates the periodic
+    * form it used to control. Returns (node, label). */
   def minLabelPropagation(edges: DataFrame, iters: Int,
       checkpointEvery: Int = 8,
       broadcastNodeLimit: Long = 4000000L,
       symmetrize: Boolean = false,
       assumeSmallGraph: Option[Boolean] = None): DataFrame = Dedup.newCacheScope {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(checkpointEvery > 0, s"checkpointEvery must be > 0, got $checkpointEvery")
     val raw = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val oneDir = Dedup.cacheShared(raw.distinct())
@@ -192,11 +209,13 @@ object Graph {
     for (i <- 1 to iters) {
       val nb = e.join(side(labels), col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nl"))
-      labels = labels.join(side(nb), col("node") === col("dst"), "left")
+      val next = labels.join(side(nb), col("node") === col("dst"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-      if (i % checkpointEvery == 0 && i < iters)
-        labels = labels.localCheckpoint()
+      // final superstep stays lazy: its two `labels` reads hit the
+      // iter-1 materialization, so the caller's action pays one plan of
+      // constant depth instead of an extra eager job
+      labels = if (i < iters) next.localCheckpoint() else next
     }
     labels
   }

@@ -161,7 +161,17 @@ object Pq {
     * the layout is safe without any caller-side done-marker discipline.
     * Probes read the layout unchanged: `cluster` stays the leading
     * partition level, so partition pruning is untouched, and the extra
-    * `batch` column is dropped by the probe's projection. */
+    * `batch` column is dropped by the probe's projection.
+    *
+    * DETERMINISTIC-REPLAY ASSUMPTION: idempotency holds because a dynamic
+    * overwrite rewrites only the (cluster, batch) partitions PRESENT in
+    * the replay. A replay of batch B must therefore deliver the same rows
+    * as the original attempt (replayable source, same batchId ⇒ same
+    * rows — exactly Structured Streaming's foreachBatch contract); if a
+    * replay could drop a cluster the first (possibly partial) attempt
+    * wrote, that cluster's stale `cluster=N/batch=B` files would survive.
+    * Sources without that guarantee need a caller-side done-marker or a
+    * pre-delete of every `batch=B` sub-partition instead. */
   def appendCodesBatch(df: DataFrame, vecCol: String, idCol: String,
       cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]], path: String,
       batchId: Long): Unit =

@@ -313,16 +313,27 @@ object Search {
     * documents are verified with a real `contains`. The probe reads ≤
     * |trigrams| of B partition directories (partition filter), the
     * candidate aggregation shuffles candidate postings only, and the
-    * verify is a broadcast semi-join onto the corpus (candidates of a
-    * selective pattern ≪ corpus — for patterns so common the candidate
-    * set approaches the corpus, a full scan is the right plan anyway).
-    * Returns the matching ids as (idCol). */
+    * verify is a broadcast semi-join onto the corpus when the candidate
+    * set is small.
+    *
+    * The broadcast is GUARDED, not assumed: the candidate count (one
+    * cheap job over the pruned postings — the aggregation the probe runs
+    * anyway) decides the plan. At or below `broadcastLimit` candidates,
+    * the semi-join broadcasts; above it — a pattern so common its
+    * candidates approach the corpus — the index is pruning nothing and
+    * the right plan is the plain `contains` full scan, which is what the
+    * fallback runs (no corpus-sized frame is ever broadcast, no OOM
+    * cliff on low-selectivity patterns). Both branches return identical
+    * results: the candidate set is recall-complete and `contains` is the
+    * final verdict either way. Returns the matching ids as (idCol). */
   def substringSearchFromIndex(
       spark: SparkSession, path: String,
       docs: DataFrame, textCol: String, idCol: String,
-      pattern: String, numBuckets: Int = 64): DataFrame = {
+      pattern: String, numBuckets: Int = 64,
+      broadcastLimit: Long = 4000000L): DataFrame = {
     require(pattern.length >= 3,
       s"pattern must be >= 3 chars for the trigram index, got '$pattern'")
+    require(broadcastLimit > 0, s"broadcastLimit must be > 0, got $broadcastLimit")
     val grams = pattern.sliding(3).toSeq.distinct
     val buckets = grams.map(termBucket(_, numBuckets)).distinct
     val cand = spark.read.parquet(path)
@@ -330,10 +341,12 @@ object Search {
       .groupBy("doc_id").agg(count(lit(1)).as("__ng"))
       .where(col("__ng") === grams.length)
       .select("doc_id")
-    docs
-      .join(broadcast(cand.withColumnRenamed("doc_id", idCol)), Seq(idCol), "left_semi")
-      .where(col(textCol).contains(pattern))
-      .select(col(idCol))
+    if (cand.count() <= broadcastLimit)
+      docs
+        .join(broadcast(cand.withColumnRenamed("doc_id", idCol)), Seq(idCol), "left_semi")
+        .where(col(textCol).contains(pattern))
+        .select(col(idCol))
+    else docs.where(col(textCol).contains(pattern)).select(col(idCol))
   }
 
   /** Reciprocal-rank fusion of ranked retrieval lists — the standard hybrid-

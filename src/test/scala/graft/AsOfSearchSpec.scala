@@ -328,6 +328,30 @@ class AsOfSearchSpec extends SparkTestBase {
     }
   }
 
+  test("trigram grep: low-selectivity patterns fall back to a full scan, never a corpus broadcast") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = "target/test_trigram_index_guard"
+    Search.writeTrigramIndex(docs, "text", "doc_id", path, numBuckets = 32)
+    // "the " is deliberately common — its candidate set approaches the
+    // corpus, so with a 1-candidate broadcast limit the guard must refuse
+    // the broadcast and run the plain contains scan instead
+    val guarded = Search.substringSearchFromIndex(
+      spark, path, docs, "text", "doc_id", "the ", numBuckets = 32,
+      broadcastLimit = 1L)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      s"fallback must not broadcast a corpus-sized candidate frame:\n$plan")
+    val got = guarded.collect().map(_.getLong(0)).sorted.toSeq
+    val ref = docs.where(col("text").contains("the ")).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ref && got.nonEmpty)
+    // the same pattern under the default limit still matches the full scan
+    val broadcastPath = Search.substringSearchFromIndex(
+      spark, path, docs, "text", "doc_id", "the ", numBuckets = 32)
+    assert(broadcastPath.collect().map(_.getLong(0)).sorted.toSeq == ref)
+  }
+
   test("bm25 scoring pass plans no shuffle before the top-k") {
     // a parquet-backed corpus, so the scan isn't constant-folded away
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

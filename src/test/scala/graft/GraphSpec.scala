@@ -109,6 +109,25 @@ class GraphSpec extends SparkTestBase {
     assert(labels(4) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("minLabelPropagation: plan size stays bounded at deep iteration counts") {
+    import spark.implicits._
+    // HashMin reads `labels` twice per superstep, so without per-superstep
+    // materialization the logical plan doubles each iteration — 2^12
+    // duplicated subtrees by iters = 12. The per-superstep localCheckpoint
+    // truncates lineage to a LogicalRDD, so the FINAL frame's plan must be
+    // one superstep deep regardless of iters: a node count far below what
+    // even two chained supersteps of the full pipeline would produce.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    val deep = Graph.minLabelPropagation(edges, iters = 12, symmetrize = true)
+    val planNodes = deep.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planNodes < 64,
+      s"expected a lineage-truncated (single-superstep) plan, got $planNodes nodes")
+    // and the deep run still converges to connected components
+    val got = deep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("minLabelPropagation: directed edges only push labels downstream") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
