@@ -1896,6 +1896,25 @@ object OpsPack {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Trainer parameters for the in-engine classifier-training driver
+    * query: 2 fixed-point GD iterations at scale 10⁶, lrDen 256 — small
+    * enough to unroll as oracle CTEs, real enough that the weights move. */
+  val TrainerIters = 2
+
+  /** In-engine classifier TRAINING driver query
+    * ([[graft.operators.Trainer.trainHashedLinearModel]]): fixed-point
+    * hard-sigmoid logistic GD over the same hashed-token features the
+    * scorer uses, labels = "is this document English" — so the trained
+    * weight table feeds [[textClassifier]]'s scorer shape directly. Every
+    * operation is exact integer arithmetic, so the DuckDB oracle unrolls
+    * the 2 iterations as CTEs (the k-means/PageRank pattern) and the
+    * weight table hash-checks bit for bit. */
+  def textClassifierTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Trainer.trainHashedLinearModel(
+      docs(s, dir).withColumn("y", when(col("lang") === "en", 1).otherwise(0)),
+      "text", "doc_id", "y", ClassifierFeatures, TrainerIters)
+      .orderBy("feature")
+
   /** Sequence packing: documents → 256-token packs across 64 deterministic
     * streams, rolled up per stream. Hash-checked since round 5: the
     * oracle SIMULATES first-fit-decreasing in DuckDB with a recursive CTE
@@ -1971,6 +1990,38 @@ object OpsPack {
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticEncodedMedia(docs(s, dir), "doc_id")
     Multimodal.decodeStats(media).orderBy("media_id")
+  }
+
+  /** Variant ids live far above the doc_id range so base/copy never collide. */
+  val PhashVariantOffset = 1000000L
+  val PhashMaxHamming = 3
+
+  /** Multimodal perceptual-hash near-dup driver query
+    * ([[graft.operators.Multimodal.perceptualHashes]] +
+    * [[graft.operators.Dedup.simhashPairsFromSignatures]]): every document
+    * becomes a REAL encoded PNG still, every 5th also a one-pixel-edited
+    * copy (red(0,0)+1 — the classic perceptual near-dup), then the decode →
+    * 8×8 aHash → Hamming-banded pigeonhole pair join finds the copies
+    * without any all-pairs comparison. The codecs are lossless and the
+    * hash is integer-exact, so the DuckDB oracle mirrors the whole
+    * pipeline from the generator's closed pixel forms — decode, resample,
+    * threshold, banding included. Output: (id1, id2, hamming). */
+  def multimodalNearDup(s: SparkSession, dir: String): DataFrame = Dedup.newCacheScope {
+    val d = docs(s, dir)
+    val base = d.select(col("doc_id").as("media_id"),
+      col("doc_id").as("base_id"), lit(0).as("bump"))
+    val variants = d.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + PhashVariantOffset).as("media_id"),
+        col("doc_id").as("base_id"), lit(1).as("bump"))
+    val media = Multimodal.syntheticStillVariants(
+      base.union(variants), "media_id", "base_id", "bump")
+    // the banded pair join reads the signature frame on BOTH sides — cache
+    // the hashes so the encode+decode codec pass runs once, not twice (at
+    // layout scale you'd persist the hash column; this is the in-session twin)
+    val hashes = Dedup.cacheShared(Multimodal.perceptualHashes(media)
+      .select(col("media_id").as("id"), col("phash").as("sh")))
+    Dedup.simhashPairsFromSignatures(hashes, maxHamming = PhashMaxHamming)
+      .orderBy("id1", "id2")
   }
 
   /** Numeric distribution profile over lineitem's measure columns: exact
@@ -3089,6 +3140,7 @@ object OpsPack {
     "q_dedup_substring" -> (dedupSubstring _),
     "q_text_chunks" -> (textChunks _),
     "q_text_classifier" -> (textClassifier _),
+    "q_text_classifier_train" -> (textClassifierTrain _),
     "q_events_streamed" -> (eventsStreamed _),
     "q_events_stream_join" -> (eventsStreamJoin _),
     "q_events_stream_anomaly" -> (eventsStreamAnomaly _),
@@ -3168,7 +3220,8 @@ object OpsPack {
     "q_ann_retrieval_summary" -> (annRetrievalSummary _),
     "q_semantic_dedup" -> (semanticDedupQuery _),
     "q_multimodal_meta" -> (multimodalMeta _),
-    "q_multimodal_features" -> (multimodalFeatures _))
+    "q_multimodal_features" -> (multimodalFeatures _),
+    "q_multimodal_near_dup" -> (multimodalNearDup _))
 
   // ---------- DuckDB oracles ----------
 
@@ -3487,6 +3540,39 @@ object OpsPack {
        |  CAST(sum(w) AS BIGINT) AS score_fp,
        |  sum(w) > 0 AS accept
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Trainer oracle: the fixed-point GD loop unrolled as CTEs — identical
+    * tokenize/hash/binarize (the scorer oracle's md5 prefix mirror), then
+    * per iteration: margin sum over the presence table, hard-sigmoid
+    * p = clamp(500000 + z//4, 0, 10⁶) (DuckDB `//` truncates toward zero
+    * like Spark `div`, verified on negative operands), error y·10⁶ − p,
+    * per-feature gradient sum, weight += g//256. HUGEINT sums bridged to
+    * BIGINT at every CTE boundary. */
+  private val textClassifierTrainSql: String = {
+    val s = 1000000L
+    val half = s / 2
+    val lrDen = 256L
+    val iterCtes = (1 to TrainerIters).map { i =>
+      s"""z$i AS (SELECT fe.doc_id, fe.y, CAST(sum(w.w) AS BIGINT) AS z
+         |  FROM feats fe JOIN w${i - 1} w USING (f) GROUP BY fe.doc_id, fe.y),
+         |e$i AS (SELECT doc_id,
+         |    y * $s - least($s, greatest(0, $half + z // 4)) AS err FROM z$i),
+         |g$i AS (SELECT fe.f, CAST(sum(e.err) AS BIGINT) AS g
+         |  FROM feats fe JOIN e$i e USING (doc_id) GROUP BY fe.f),
+         |w$i AS (SELECT w.f, CAST(w.w + COALESCE(g.g // $lrDen, 0) AS BIGINT) AS w
+         |  FROM w${i - 1} w LEFT JOIN g$i g USING (f))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, lang,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) t
+       |  FROM documents),
+       |feats AS (SELECT DISTINCT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    ('0x' || substr(md5(t), 1, 12))::BIGINT % $ClassifierFeatures AS f
+       |  FROM toks),
+       |w0 AS (SELECT DISTINCT f, CAST(0 AS BIGINT) AS w FROM feats),
+       |$iterCtes
+       |SELECT f AS feature, w AS weight FROM w$TrainerIters ORDER BY feature""".stripMargin
   }
 
   /** Chunking oracle: identical token split, start-position rule
@@ -5263,6 +5349,45 @@ object OpsPack {
       |  CAST(mx AS BIGINT) AS value_max
       |FROM allstat ORDER BY media_id""".stripMargin
 
+  /** Perceptual-hash near-dup oracle: the still corpus (every doc + the
+    * one-pixel-edited copy of every 5th) rebuilt from the generator's
+    * closed pixel forms, the aHash mirrored bit for bit — nearest-neighbor
+    * sample (x·w)//8, integer BT.601 luma, strict luma·64 > Σluma
+    * threshold — and the Hamming distance summed per-bit (the
+    * q_dedup_simhash per-bit CASE pattern; no engine-specific bit_count
+    * semantics in play). The banded engine join and this all-pairs mirror
+    * agree exactly because the pigeonhole candidate set is recall-complete
+    * at maxHamming = $PhashMaxHamming. */
+  private val multimodalNearDupSql: String =
+    s"""WITH m AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(doc_id AS BIGINT) AS base_id,
+       |         0 AS bump
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id + $PhashVariantOffset AS BIGINT), CAST(doc_id AS BIGINT), 1
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |g AS (SELECT media_id, base_id, bump,
+       |        base_id % 13 + 4 AS w, base_id % 11 + 4 AS h FROM m),
+       |gx AS (SELECT *, unnest(range(0, 8)) AS x FROM g),
+       |cells AS (SELECT *, unnest(range(0, 8)) AS y FROM gx),
+       |sp AS (SELECT media_id, base_id, bump, y * 8 + x AS j,
+       |         (x * w) // 8 AS sx, (y * h) // 8 AS sy FROM cells),
+       |lum AS (SELECT media_id, j,
+       |    ((base_id*7 + sx*13 + sy*31
+       |       + CASE WHEN sx = 0 AND sy = 0 THEN bump ELSE 0 END) % 256) * 299
+       |  + ((base_id*11 + sx*3 + sy*17) % 256) * 587
+       |  + ((base_id*5 + sx*29 + sy*7) % 256) * 114 AS l
+       |  FROM sp),
+       |tot AS (SELECT media_id, sum(l) AS t FROM lum GROUP BY media_id),
+       |bits AS (SELECT lum.media_id, j, (l * 64 > t) AS s
+       |         FROM lum JOIN tot USING (media_id)),
+       |ham AS (SELECT a.media_id AS id1, b.media_id AS id2,
+       |          CAST(sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+       |        FROM bits a JOIN bits b ON a.media_id < b.media_id AND a.j = b.j
+       |        GROUP BY a.media_id, b.media_id)
+       |SELECT id1, id2, hamming FROM ham
+       |WHERE hamming <= $PhashMaxHamming ORDER BY id1, id2""".stripMargin
+
   /** JSON-props oracle: DuckDB's JSON extension parsing the same strings;
     * integer payloads make every aggregate exact. */
   private val eventsPropsSql: String =
@@ -6023,6 +6148,7 @@ object OpsPack {
     "q_dedup_substring" -> dedupSubstringSql,
     "q_text_chunks" -> textChunksSql,
     "q_text_classifier" -> textClassifierSql,
+    "q_text_classifier_train" -> textClassifierTrainSql,
     "q_ann_topk" -> annTopKSql,
     "q_ann_rp" -> annRpSql,
     "q_ann_rp_persisted" -> annRpSql,
@@ -6056,5 +6182,6 @@ object OpsPack {
     "q_ann_retrieval_summary" -> annRetrievalSummarySql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_multimodal_meta" -> multimodalMetaSql,
-    "q_multimodal_features" -> multimodalFeaturesSql)
+    "q_multimodal_features" -> multimodalFeaturesSql,
+    "q_multimodal_near_dup" -> multimodalNearDupSql)
 }

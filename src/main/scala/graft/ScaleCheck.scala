@@ -159,6 +159,10 @@ object ScaleCheck {
       // per-superstep localCheckpoint materialization at scale
       graft.operators.Graph.minLabelPropagation(pairs, 12, symmetrize = true).count()
     }
+    def trainer(docs: DataFrame): Long =
+      graft.operators.Trainer.trainHashedLinearModel(
+        docs.withColumn("y", when(col("lang") === "en", 1).otherwise(0)),
+        "text", "doc_id", "y", numFeatures = 256, iters = 2).count()
     def sessions(ev: DataFrame): Long =
       graft.operators.Sessionize.sessionStats(
         graft.streaming.EventStreams.normalizeEventTs(ev),
@@ -179,7 +183,8 @@ object ScaleCheck {
       ("select_budget", (_, _, d, _, m) => budget(d, 12000L * m)),
       ("weighted_sample", (_, _, d, _, _) => wsample(d)),
       ("group_thresholds", (_, _, d, _, _) => thresholds(d)),
-      ("labelprop_12iter", (li, ord, _, _, _) => labelprop(li, ord)))
+      ("labelprop_12iter", (li, ord, _, _, _) => labelprop(li, ord)),
+      ("classifier_train", (_, _, d, _, _) => trainer(d)))
 
     val evS = stride(table("events"), "event_id")
     val evUS = stride(table("events"), "user_id")

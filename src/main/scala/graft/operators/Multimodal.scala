@@ -15,6 +15,8 @@ import org.apache.spark.sql.types._
 private[operators] case class MediaPayload(media_id: Long, content: Array[Byte])
 private[operators] case class MediaFeatures(media_id: Long, features: Array[Float])
 private[operators] case class MediaFrame(media_id: Long, frame_index: Int, frame: Array[Byte])
+private[operators] case class StillVariant(media_id: Long, base_id: Long, bump: Int)
+private[operators] case class MediaHash(media_id: Long, phash: Long)
 private[operators] case class MediaStats(
     media_id: Long, kind: String, width: Int, height: Int,
     n_frames: Int, n_samples: Long,
@@ -247,6 +249,91 @@ object Multimodal {
         MediaPayload(id, bytes)
       })
       .toDF()
+  }
+
+  /** Synthesize REAL PNG stills with a controlled perturbation — the
+    * near-duplicate test corpus for perceptual hashing: each input row
+    * (mediaIdCol, baseIdCol, bumpCol) encodes `Synthetic.image(base_id, 0)`
+    * with the red channel of pixel (0,0) shifted by +bump (mod 256).
+    * bump = 0 reproduces the base still; a small bump is the classic
+    * one-pixel edit that perceptual hashing must land within a few Hamming
+    * bits of its original. Encoding runs executor-side (narrow stage). */
+  def syntheticStillVariants(df: DataFrame, mediaIdCol: String,
+      baseIdCol: String, bumpCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(mediaIdCol).cast("long").as("media_id"),
+        col(baseIdCol).cast("long").as("base_id"),
+        col(bumpCol).cast("int").as("bump")).as[StillVariant]
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { v =>
+        val img = Synthetic.image(v.base_id, 0)
+        if (v.bump != 0) {
+          val rgb = img.getRGB(0, 0)
+          val r = (((rgb >> 16) & 0xFF) + v.bump) & 0xFF
+          img.setRGB(0, 0, (r << 16) | (rgb & 0x00FFFF))
+        }
+        MediaPayload(v.media_id, JdkCodec.encodePng(img))
+      })
+      .toDF()
+  }
+
+  /** 64-bit average-hash (aHash) perceptual fingerprint over DECODED
+    * pixels — the image-side twin of text SimHash, and the primitive under
+    * multimodal near-dup detection: 8×8 nearest-neighbor grid samples
+    * (source pixel (x·W/8, y·H/8), integer division — deterministic across
+    * JDKs, unlike interpolating rescales), per-sample INTEGER luma
+    * (r·299 + g·587 + b·114 — the BT.601 weights kept ×1000, no float),
+    * bit (y·8+x) set ⇔ luma·64 > Σ lumas (the strict integer compare
+    * against the un-divided mean). PNG stills hash directly; GVC1 videos
+    * hash their first frame; audio/NULL/unknown payloads emit no row.
+    *
+    * Integer-exact end to end and the codecs are lossless, so the hash is
+    * engine-mirrorable from the payload generator's closed forms — the
+    * whole decode→resample→threshold path gets a DuckDB oracle. One
+    * narrow mapPartitions stage, no shuffle. Returns (media_id, phash);
+    * rename phash→sh and feed
+    * [[graft.operators.Dedup.simhashPairsFromSignatures]] for
+    * Hamming-banded near-dup pairs (the pigeonhole block join — no
+    * all-pairs comparison at any corpus size). */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[MediaPayload]
+      .mapPartitions(_.flatMap { m =>
+        val img: BufferedImage =
+          if (m.content == null) null
+          else if (JdkCodec.isPng(m.content)) JdkCodec.decodePng(m.content)
+          else if (JdkCodec.isVideo(m.content)) {
+            val fs = JdkCodec.unpackFrames(m.content)
+            if (fs.isEmpty) null else JdkCodec.decodePng(fs.head)
+          } else null
+        Option(img).map(i => MediaHash(m.media_id, aHash64(i)))
+      })
+      .toDF()
+  }
+
+  private def aHash64(img: BufferedImage): Long = {
+    val lum = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val rgb = img.getRGB(x * img.getWidth / 8, y * img.getHeight / 8)
+        val l = ((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
+          (rgb & 0xFF) * 114L
+        lum(y * 8 + x) = l
+        total += l
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      if (lum(j) * 64L > total) hash |= (1L << j)
+      j += 1
+    }
+    hash
   }
 
   private val FeatureBatchSize = 64 // rows decoded per executor-side batch

@@ -237,4 +237,101 @@ object Pq {
       .orderBy(col("adc_dist").asc, col("id").asc)
       .limit(k)
   }
+
+  /** Threshold-gated COMPACTION for the per-batch codes layout: the
+    * idempotent `cluster=N/batch=B` scheme ([[appendCodesBatch]])
+    * accumulates one file per (cluster, batch), and after thousands of
+    * micro-batches a probe's nprobe directories are thousands of tiny
+    * files — the classic streaming-ingest small-file tax. This pass
+    * rewrites each over-threshold cluster's ELIGIBLE batches into one
+    * fresh merged batch partition and deletes them, leaving probe results
+    * byte-identical (same rows, same layout contract: `cluster` stays the
+    * leading partition level).
+    *
+    * Replay safety: the newest `keepLatestBatches` batch ids (globally,
+    * non-negative ids only) are NEVER compacted — Structured Streaming's
+    * at-least-once replay can only redeliver batches at the checkpoint
+    * frontier, so keeping the newest id(s) out of the merge preserves
+    * [[appendCodesBatch]]'s overwrite-idempotency for exactly the batches
+    * that can still be replayed. Merged output lands under a NEGATIVE
+    * batch id (min(existing, 0) − 1), which no stream ever writes, so
+    * re-compaction cycles are collision-free and themselves compactable.
+    *
+    * Crash safety without a transaction log, per cluster, in this order:
+    * (1) merged rows are written to an underscore-prefixed temp dir
+    * (invisible to Spark reads), (2) a manifest file records the batch
+    * dirs to delete, (3) the temp dir is atomically renamed to its
+    * `batch=<newId>` target, (4) the listed dirs are deleted and the
+    * manifest removed. A crash before (3) rolls BACK on the next call
+    * (temp + manifest dropped, originals untouched); a crash after (3)
+    * rolls FORWARD (listed dirs deleted — the merged partition already
+    * holds their rows). Concurrent PROBES during (3)–(4) can see a row
+    * twice, so run compaction as the offline maintenance pass it is —
+    * same discipline as any compactor without snapshot isolation.
+    *
+    * Returns the compacted cluster ids. */
+  def compactCodes(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFilesPerCluster: Int = 16,
+      keepLatestBatches: Int = 1,
+      targetFiles: Int = 1): Seq[Int] = {
+    require(maxFilesPerCluster > 0 && keepLatestBatches >= 0 && targetFiles > 0,
+      s"bad compaction params ($maxFilesPerCluster, $keepLatestBatches, $targetFiles)")
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val root = new Path(path)
+    val fs: FileSystem = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    def clusterDirs() = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+    def batchDirs(c: Path) = fs.listStatus(c).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    def dataFiles(d: Path) = fs.listStatus(d).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    // recover any pass interrupted mid-swap (see crash-safety contract)
+    clusterDirs().foreach { c =>
+      val manifest = new Path(c.getPath, "_graft_compacting")
+      if (fs.exists(manifest)) {
+        val tmp = new Path(c.getPath, "_graft_compact_tmp")
+        if (fs.exists(tmp)) { // rename never happened: roll back
+          fs.delete(tmp, true)
+          fs.delete(manifest, false)
+        } else {              // merged partition is live: roll forward
+          val in = fs.open(manifest)
+          val listed = try scala.io.Source.fromInputStream(in).getLines().toSeq
+          finally in.close()
+          listed.foreach(n => fs.delete(new Path(c.getPath, n), true))
+          fs.delete(manifest, false)
+        }
+      }
+    }
+    val allBatchIds = clusterDirs().flatMap(c => batchDirs(c.getPath))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).distinct
+    val latestKept = allBatchIds.filter(_ >= 0).sorted.reverse.take(keepLatestBatches).toSet
+    val compacted = clusterDirs().flatMap { c =>
+      val batches = batchDirs(c.getPath)
+      val nFiles = batches.map(b => dataFiles(b.getPath).size).sum
+      val eligible = batches.filterNot(b =>
+        latestKept.contains(b.getPath.getName.stripPrefix("batch=").toLong))
+      if (nFiles <= maxFilesPerCluster || eligible.size < 2) None
+      else {
+        val newId = math.min(
+          batches.map(_.getPath.getName.stripPrefix("batch=").toLong).min, 0L) - 1L
+        val tmp = new Path(c.getPath, "_graft_compact_tmp")
+        fs.delete(tmp, true)
+        spark.read.parquet(eligible.map(_.getPath.toString): _*)
+          .coalesce(targetFiles)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val manifest = new Path(c.getPath, "_graft_compacting")
+        val out = fs.create(manifest, true)
+        try out.write(eligible.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        if (!fs.rename(tmp, new Path(c.getPath, s"batch=$newId")))
+          throw new java.io.IOException(s"compaction rename failed under ${c.getPath}")
+        eligible.foreach(b => fs.delete(b.getPath, true))
+        fs.delete(manifest, false)
+        Some(c.getPath.getName.stripPrefix("cluster=").toInt)
+      }
+    }
+    compacted
+  }
 }

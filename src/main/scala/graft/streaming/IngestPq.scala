@@ -24,7 +24,11 @@ import graft.operators.Pq
   * `cluster=N/batch=B` sub-partitions via dynamic partition overwrite
   * ([[Pq.appendCodesBatch]]), so a replayed batch rewrites exactly its
   * prior output instead of double-appending — probes over the layout
-  * never see duplicate vec_ids from redelivery. */
+  * never see duplicate vec_ids from redelivery. The per-batch layout
+  * accumulates one small file per (cluster, batch); schedule
+  * [[Pq.compactCodes]] as the offline maintenance pass (it keeps the
+  * checkpoint-frontier batches uncompacted, so replay idempotency
+  * survives compaction). */
 object IngestPq {
 
   /** Start the codes-ingest stream over a STREAMING frame carrying the

@@ -346,6 +346,47 @@ class KnnSpec extends SparkTestBase {
     assert(got.size == 4)
   }
 
+  test("retrievalSummary: exact integer rollup of the per-query metrics") {
+    val retrieved = Seq(
+      (1L, 11L, 1L), (1L, 12L, 2L), (1L, 13L, 3L),
+      (2L, 21L, 1L), (2L, 22L, 2L),
+      (3L, 31L, 1L), (3L, 32L, 2L)
+    ).toDF("query_id", "id", "rank")
+    val truth = Seq(
+      (1L, 11L), (1L, 99L), (2L, 98L), (3L, 31L), (3L, 32L), (3L, 97L), (4L, 96L)
+    ).toDF("query_id", "id")
+    val got = Ann.retrievalSummary(retrieved, truth).collect().head
+    assert(got.getLong(0) == 4L)                      // n_queries (truth-driven)
+    assert(got.getLong(1) == 7L && got.getLong(2) == 3L)
+    assert(got.getLong(3) == 3L * 1000000000000L / 7L) // recall_scaled, integer div
+    // rr: q1 = scale/1, q2 = 0, q3 = scale/1, q4 = 0 → mean over 4
+    assert(got.getLong(4) == (1000000000000L + 0L + 1000000000000L + 0L) / 4L)
+  }
+
+  test("rpTopKFromProjected: narrow-layout prefilter, result equals the fused RP operator") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rp_layout").toString
+    try {
+      val vecs = pqVecs.toDF("vec_id", "embedding")
+      Ann.writeRpProjected(vecs, "embedding", "vec_id", dir,
+        projDim = 4, planeOffset = 7000)
+      val query = pqVecs(3)._2.map(_.toDouble).toSeq
+      val probe = Ann.rpTopKFromProjected(spark, dir, vecs, "embedding", "vec_id",
+        query, k = 5, projDim = 4, planeOffset = 7000, candidates = 12)
+      val got = probe.collect().map(r => r.getLong(0)).toSeq
+      val ref = Ann.randomProjectionTopK(vecs, "embedding", "vec_id",
+        query, 5, 4, 7000, 12).collect().map(r => r.getLong(0)).toSeq
+      assert(got == ref)
+      // stage 1 reads ONLY the narrow projection columns — the parquet scan
+      // of the layout must project (vec_id, p0..p3), never a vector column
+      val plan = probe.queryExecution.executedPlan.toString
+      val layoutScan = plan.linesIterator
+        .filter(l => l.contains("ReadSchema") && l.contains("p0")).mkString("\n")
+      assert(layoutScan.nonEmpty, s"expected a narrow layout scan:\n$plan")
+      assert(!layoutScan.contains("embedding"),
+        s"layout scan must not read the vector column:\n$layoutScan")
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("appendCodesBatch: replaying a batch is idempotent, probe sees no dupes") {
     val cents = Pq.coarseCentroids(PqDim, k = 4, planeOffset = 950)
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_batch").toString
@@ -367,6 +408,81 @@ class KnnSpec extends SparkTestBase {
           "embedding", "vec_id", query, 10, pqBooks)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
       assert(got == ref)
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("compactCodes: merges batch partitions, probe unchanged, replay frontier kept") {
+    val cents = Pq.coarseCentroids(PqDim, k = 4, planeOffset = 950)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_compact").toString
+    try {
+      // 10 micro-batches of 4 vectors each — one tiny file per (cluster, batch)
+      val batches = pqVecs.grouped(4).toSeq
+      batches.zipWithIndex.foreach { case (b, i) =>
+        Pq.appendCodesBatch(b.toDF("vec_id", "embedding"), "embedding", "vec_id",
+          cents, pqBooks, dir, i.toLong)
+      }
+      def files(sub: String => Boolean): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(dir)).filter(f => f.getName.endsWith(".parquet") &&
+          sub(f.getParentFile.getName))
+      }
+      val before = files(_ => true).size
+      val query = pqVecs(5)._2.map(_.toDouble).toSeq
+      val ref = Pq.adcTopKFromCodes(spark.read.parquet(dir), "vec_id", query, 10, pqBooks)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+
+      val compacted = Pq.compactCodes(spark, dir, maxFilesPerCluster = 2)
+      assert(compacted.nonEmpty)
+      // fewer files, identical rows and probe ranking
+      val after = files(_ => true).size
+      assert(after < before, s"expected compaction to shrink $before files, got $after")
+      val codes = spark.read.parquet(dir)
+      assert(codes.count() == pqVecs.size.toLong)
+      assert(codes.select("vec_id").distinct().count() == pqVecs.size.toLong)
+      val got = Pq.adcTopKFromCodes(codes, "vec_id", query, 10, pqBooks)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+      assert(got == ref)
+      // the newest batch id survives compaction, so a checkpoint-frontier
+      // replay still dynamic-overwrites its own partitions (idempotent)
+      assert(files(_ == s"batch=${batches.size - 1}").nonEmpty)
+      Pq.appendCodesBatch(batches.last.toDF("vec_id", "embedding"), "embedding",
+        "vec_id", cents, pqBooks, dir, (batches.size - 1).toLong)
+      assert(spark.read.parquet(dir).count() == pqVecs.size.toLong)
+      // merged partitions carry negative ids — re-compaction is collision-free
+      Pq.compactCodes(spark, dir, maxFilesPerCluster = 1, targetFiles = 1)
+      assert(spark.read.parquet(dir).select("vec_id").distinct().count()
+        == pqVecs.size.toLong)
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("compactCodes: interrupted swap rolls forward from the manifest") {
+    val cents = Pq.coarseCentroids(PqDim, k = 4, planeOffset = 950)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_crash").toString
+    try {
+      pqVecs.grouped(10).zipWithIndex.foreach { case (b, i) =>
+        Pq.appendCodesBatch(b.toDF("vec_id", "embedding"), "embedding", "vec_id",
+          cents, pqBooks, dir, i.toLong)
+      }
+      val ref = spark.read.parquet(dir).select("vec_id").distinct().count()
+      // simulate a crash after the rename but before the deletes: a cluster
+      // holds both the merged batch=-1 AND a stale batch dir listed in a
+      // leftover manifest — the next compactCodes call must finish the swap
+      val cluster = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("cluster=")).head
+      val stale = cluster.listFiles().filter(_.getName.startsWith("batch=")).head
+      val merged = new java.io.File(cluster, "batch=-1")
+      // "merged" partition := a copy of the stale batch (same rows)
+      java.nio.file.Files.createDirectory(merged.toPath)
+      stale.listFiles().foreach { f =>
+        java.nio.file.Files.copy(f.toPath, merged.toPath.resolve(f.getName))
+      }
+      java.nio.file.Files.write(new java.io.File(cluster, "_graft_compacting").toPath,
+        stale.getName.getBytes("UTF-8"))
+      Pq.compactCodes(spark, dir, maxFilesPerCluster = 1000000) // recovery only
+      assert(!stale.exists, "roll-forward must delete the manifest-listed dir")
+      assert(!new java.io.File(cluster, "_graft_compacting").exists)
+      assert(spark.read.parquet(dir).select("vec_id").distinct().count() == ref)
     } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 }

@@ -1236,6 +1236,38 @@ class OpsSpec extends SparkTestBase {
     assert(resized(1L).getAs[String]("kind") == "audio") // audio passes through
   }
 
+  test("multimodal perceptual hash: real decode, edit-tolerant, banded pairs find the copy") {
+    import graft.operators.{Dedup, Multimodal}
+    import spark.implicits._
+    // stills 0..19 + a one-pixel-edited copy of each of 0, 5, 10, 15
+    val base = (0L until 20L).map(id => (id, id, 0)).toDF("media_id", "base_id", "bump")
+    val copies = Seq(0L, 5L, 10L, 15L)
+      .map(id => (id + 1000L, id, 1)).toDF("media_id", "base_id", "bump")
+    val media = Multimodal.syntheticStillVariants(base.union(copies),
+      "media_id", "base_id", "bump")
+    val hashes = Multimodal.perceptualHashes(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.size == 24)
+    // a bump=0 variant decodes to the identical image → identical hash; the
+    // one-pixel edit moves the hash at most a few bits (usually 0-1)
+    for (id <- Seq(0L, 5L, 10L, 15L)) {
+      val d = java.lang.Long.bitCount(hashes(id) ^ hashes(id + 1000L))
+      assert(d <= 3, s"edit distance for $id was $d bits")
+    }
+    // the Hamming-banded pair join surfaces every (base, copy) pair
+    val pairs = Dedup.simhashPairsFromSignatures(
+      Multimodal.perceptualHashes(media)
+        .select(col("media_id").as("id"), col("phash").as("sh")), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (id <- Seq(0L, 5L, 10L, 15L)) assert(pairs.contains((id, id + 1000L)))
+    // video payloads hash their first frame; audio emits no row
+    val mixed = Multimodal.syntheticEncodedMedia(
+      (0L until 6L).toDF("doc_id"), "doc_id")
+    val mixedHashes = Multimodal.perceptualHashes(mixed)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(mixedHashes == Set(0L, 2L, 3L, 5L)) // 1, 4 are audio
+  }
+
   test("driver queries: no cartesian product in any executed plan") {
     val dir = "/root/testdata/sf0.001"
     // the streaming queries' frames are memory-sink/parquet scans (no
@@ -1255,7 +1287,7 @@ class OpsSpec extends SparkTestBase {
         // plans are pinned by their own specs
         if (name != "q_ann_topk_multi" && name != "q_ann_knn" &&
             name != "q_embedding_align" && name != "q_embedding_align_margin" &&
-            name != "q_ann_mrr")
+            name != "q_ann_mrr" && name != "q_ann_retrieval_summary")
           assert(!plan.contains("BroadcastNestedLoopJoin"),
             s"$name plan contains a non-broadcastable nested-loop join")
       }
@@ -1354,6 +1386,32 @@ class OpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       TextOps.linearModelScores(d, "text", "doc_id", Array.empty[Long])
     }
+  }
+
+  test("trainHashedLinearModel: fixed-point GD matches the hand-rolled recurrence") {
+    import graft.operators.Trainer
+    // one token per doc, distinct buckets (alpha→0, gamma→12 mod 16): the
+    // recurrence is hand-computable, including div-truncation on negatives
+    val d = Seq((1L, "alpha", 1), (2L, "gamma", 0)).toDF("doc_id", "text", "y")
+    def weights(iters: Int): Map[Long, Long] =
+      Trainer.trainHashedLinearModel(d, "text", "doc_id", "y",
+        numFeatures = 16, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter 1: z = 0, p = 500000, err = ±500000, w = ±(500000 div 256) = ±1953
+    assert(weights(1) == Map(0L -> 1953L, 12L -> -1953L))
+    // iter 2: z = ±1953, z div 4 = ±488 (TRUNCATED toward zero on the
+    // negative side), p = 500000 ± 488, err = ±499512, w ± = 499512 div 256
+    assert(weights(2) == Map(0L -> 3904L, 12L -> -3904L))
+    // the trained table densifies straight into the scorer's weight shape
+    val arr = Trainer.weightsToArray(
+      Trainer.trainHashedLinearModel(d, "text", "doc_id", "y", 16, 2), 16)
+    assert(arr(0) == 3904L && arr(12) == -3904L && arr.sum == 0L)
+    val scored = graft.operators.TextOps.linearModelScores(d, "text", "doc_id", arr)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(scored == Map(1L -> true, 2L -> false)) // the model separates its training pair
+    // plan stays bounded at deep iteration counts (per-iteration checkpoint)
+    val deep = Trainer.trainHashedLinearModel(d, "text", "doc_id", "y", 16, 12)
+    assert(deep.queryExecution.optimizedPlan.collect { case p => p }.size < 64)
   }
 
   test("chunkDocuments: coverage, overlap, and tail invariants") {
