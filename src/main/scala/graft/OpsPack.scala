@@ -2006,23 +2006,35 @@ object OpsPack {
     * hash is integer-exact, so the DuckDB oracle mirrors the whole
     * pipeline from the generator's closed pixel forms — decode, resample,
     * threshold, banding included. Output: (id1, id2, hamming). */
-  def multimodalNearDup(s: SparkSession, dir: String): DataFrame = Dedup.newCacheScope {
-    val d = docs(s, dir)
-    val base = d.select(col("doc_id").as("media_id"),
-      col("doc_id").as("base_id"), lit(0).as("bump"))
-    val variants = d.where(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + PhashVariantOffset).as("media_id"),
-        col("doc_id").as("base_id"), lit(1).as("bump"))
-    val media = Multimodal.syntheticStillVariants(
-      base.union(variants), "media_id", "base_id", "bump")
-    // the banded pair join reads the signature frame on BOTH sides — cache
-    // the hashes so the encode+decode codec pass runs once, not twice (at
-    // layout scale you'd persist the hash column; this is the in-session twin)
-    val hashes = Dedup.cacheShared(Multimodal.perceptualHashes(media)
-      .select(col("media_id").as("id"), col("phash").as("sh")))
-    Dedup.simhashPairsFromSignatures(hashes, maxHamming = PhashMaxHamming)
-      .orderBy("id1", "id2")
-  }
+  private def phashPairs(s: SparkSession, dir: String, method: String): DataFrame =
+    Dedup.newCacheScope {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id").as("media_id"),
+        col("doc_id").as("base_id"), lit(0).as("bump"))
+      val variants = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + PhashVariantOffset).as("media_id"),
+          col("doc_id").as("base_id"), lit(1).as("bump"))
+      val media = Multimodal.syntheticStillVariants(
+        base.union(variants), "media_id", "base_id", "bump")
+      // the banded pair join reads the signature frame on BOTH sides — cache
+      // the hashes so the encode+decode codec pass runs once, not twice (at
+      // layout scale you'd persist the hash column; this is the in-session twin)
+      val hashes = Dedup.cacheShared(Multimodal.perceptualHashes(media, method)
+        .select(col("media_id").as("id"), col("phash").as("sh")))
+      Dedup.simhashPairsFromSignatures(hashes, maxHamming = PhashMaxHamming)
+        .orderBy("id1", "id2")
+    }
+
+  def multimodalNearDup(s: SparkSession, dir: String): DataFrame =
+    phashPairs(s, dir, "ahash")
+
+  /** The dHash twin of [[multimodalNearDup]]: horizontal-gradient-sign
+    * bits over a 9×8 luma grid — no global mean, so the one-pixel edit
+    * moves only the (at most two) bits whose comparisons touch the edited
+    * sample, and global brightness shifts cancel. Same banded pair join,
+    * same closed-form oracle machinery. */
+  def multimodalNearDupDhash(s: SparkSession, dir: String): DataFrame =
+    phashPairs(s, dir, "dhash")
 
   /** Numeric distribution profile over lineitem's measure columns: exact
     * order-statistic percentiles (`percentile_disc`) in one aggregation
@@ -3221,7 +3233,8 @@ object OpsPack {
     "q_semantic_dedup" -> (semanticDedupQuery _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_features" -> (multimodalFeatures _),
-    "q_multimodal_near_dup" -> (multimodalNearDup _))
+    "q_multimodal_near_dup" -> (multimodalNearDup _),
+    "q_multimodal_near_dup_dhash" -> (multimodalNearDupDhash _))
 
   // ---------- DuckDB oracles ----------
 
@@ -5358,7 +5371,35 @@ object OpsPack {
     * semantics in play). The banded engine join and this all-pairs mirror
     * agree exactly because the pigeonhole candidate set is recall-complete
     * at maxHamming = $PhashMaxHamming. */
-  private val multimodalNearDupSql: String =
+  private def phashOracleSql(method: String): String = {
+    // shared: the still corpus, the closed-form luma of sampled pixel
+    // (sx, sy) with the one-pixel red bump folded in
+    def lumExpr: String =
+      s"""((base_id*7 + sx*13 + sy*31
+         |       + CASE WHEN sx = 0 AND sy = 0 THEN bump ELSE 0 END) % 256) * 299
+         |  + ((base_id*11 + sx*3 + sy*17) % 256) * 587
+         |  + ((base_id*5 + sx*29 + sy*7) % 256) * 114""".stripMargin
+    val bitsCtes = method match {
+      case "ahash" =>
+        s"""gx AS (SELECT *, unnest(range(0, 8)) AS x FROM g),
+           |cells AS (SELECT *, unnest(range(0, 8)) AS y FROM gx),
+           |sp AS (SELECT media_id, base_id, bump, y * 8 + x AS j,
+           |         (x * w) // 8 AS sx, (y * h) // 8 AS sy FROM cells),
+           |lum AS (SELECT media_id, j, $lumExpr AS l FROM sp),
+           |tot AS (SELECT media_id, sum(l) AS t FROM lum GROUP BY media_id),
+           |bits AS (SELECT lum.media_id, j, (l * 64 > t) AS s
+           |         FROM lum JOIN tot USING (media_id))""".stripMargin
+      case "dhash" =>
+        s"""gx AS (SELECT *, unnest(range(0, 9)) AS x FROM g),
+           |cells AS (SELECT *, unnest(range(0, 8)) AS y FROM gx),
+           |sp AS (SELECT media_id, base_id, bump, x, y,
+           |         (x * w) // 9 AS sx, (y * h) // 8 AS sy FROM cells),
+           |lum AS (SELECT media_id, x, y, $lumExpr AS l FROM sp),
+           |bits AS (SELECT a.media_id, a.y * 8 + a.x AS j, (b.l > a.l) AS s
+           |         FROM lum a JOIN lum b
+           |           ON a.media_id = b.media_id AND b.y = a.y AND b.x = a.x + 1)""".stripMargin
+      case other => throw new IllegalArgumentException(other)
+    }
     s"""WITH m AS (
        |  SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(doc_id AS BIGINT) AS base_id,
        |         0 AS bump
@@ -5368,25 +5409,17 @@ object OpsPack {
        |  FROM documents WHERE doc_id % 5 = 0),
        |g AS (SELECT media_id, base_id, bump,
        |        base_id % 13 + 4 AS w, base_id % 11 + 4 AS h FROM m),
-       |gx AS (SELECT *, unnest(range(0, 8)) AS x FROM g),
-       |cells AS (SELECT *, unnest(range(0, 8)) AS y FROM gx),
-       |sp AS (SELECT media_id, base_id, bump, y * 8 + x AS j,
-       |         (x * w) // 8 AS sx, (y * h) // 8 AS sy FROM cells),
-       |lum AS (SELECT media_id, j,
-       |    ((base_id*7 + sx*13 + sy*31
-       |       + CASE WHEN sx = 0 AND sy = 0 THEN bump ELSE 0 END) % 256) * 299
-       |  + ((base_id*11 + sx*3 + sy*17) % 256) * 587
-       |  + ((base_id*5 + sx*29 + sy*7) % 256) * 114 AS l
-       |  FROM sp),
-       |tot AS (SELECT media_id, sum(l) AS t FROM lum GROUP BY media_id),
-       |bits AS (SELECT lum.media_id, j, (l * 64 > t) AS s
-       |         FROM lum JOIN tot USING (media_id)),
+       |$bitsCtes,
        |ham AS (SELECT a.media_id AS id1, b.media_id AS id2,
        |          CAST(sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS INTEGER) AS hamming
        |        FROM bits a JOIN bits b ON a.media_id < b.media_id AND a.j = b.j
        |        GROUP BY a.media_id, b.media_id)
        |SELECT id1, id2, hamming FROM ham
        |WHERE hamming <= $PhashMaxHamming ORDER BY id1, id2""".stripMargin
+  }
+
+  private val multimodalNearDupSql: String = phashOracleSql("ahash")
+  private val multimodalNearDupDhashSql: String = phashOracleSql("dhash")
 
   /** JSON-props oracle: DuckDB's JSON extension parsing the same strings;
     * integer payloads make every aggregate exact. */
@@ -6183,5 +6216,6 @@ object OpsPack {
     "q_semantic_dedup" -> semanticDedupSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
-    "q_multimodal_near_dup" -> multimodalNearDupSql)
+    "q_multimodal_near_dup" -> multimodalNearDupSql,
+    "q_multimodal_near_dup_dhash" -> multimodalNearDupDhashSql)
 }

@@ -277,25 +277,40 @@ object Multimodal {
       .toDF()
   }
 
-  /** 64-bit average-hash (aHash) perceptual fingerprint over DECODED
-    * pixels — the image-side twin of text SimHash, and the primitive under
-    * multimodal near-dup detection: 8×8 nearest-neighbor grid samples
-    * (source pixel (x·W/8, y·H/8), integer division — deterministic across
-    * JDKs, unlike interpolating rescales), per-sample INTEGER luma
-    * (r·299 + g·587 + b·114 — the BT.601 weights kept ×1000, no float),
-    * bit (y·8+x) set ⇔ luma·64 > Σ lumas (the strict integer compare
-    * against the un-divided mean). PNG stills hash directly; GVC1 videos
-    * hash their first frame; audio/NULL/unknown payloads emit no row.
+  /** 64-bit perceptual fingerprint over DECODED pixels — the image-side
+    * twin of text SimHash, and the primitive under multimodal near-dup
+    * detection. Two classic families, selected by `method`:
     *
-    * Integer-exact end to end and the codecs are lossless, so the hash is
-    * engine-mirrorable from the payload generator's closed forms — the
-    * whole decode→resample→threshold path gets a DuckDB oracle. One
+    *   - `"ahash"` (average hash): 8×8 nearest-neighbor grid samples
+    *     (source pixel (x·W/8, y·H/8), integer division — deterministic
+    *     across JDKs, unlike interpolating rescales), per-sample INTEGER
+    *     luma (r·299 + g·587 + b·114 — the BT.601 weights kept ×1000, no
+    *     float), bit (y·8+x) set ⇔ luma·64 > Σ lumas (the strict integer
+    *     compare against the un-divided mean);
+    *   - `"dhash"` (difference hash): a 9×8 luma grid, bit (y·8+x) set ⇔
+    *     luma(x+1, y) > luma(x, y) — horizontal gradient signs. No global
+    *     mean, so a local edit moves ONLY the bits whose comparisons
+    *     touch the edited sample (edit locality the mean-coupled aHash
+    *     can't promise), and global brightness shifts cancel entirely.
+    *
+    * PNG stills hash directly; GVC1 videos hash their first frame;
+    * audio/NULL/unknown payloads emit no row.
+    *
+    * Integer-exact end to end and the codecs are lossless, so both hashes
+    * are engine-mirrorable from the payload generator's closed forms —
+    * the whole decode→resample→threshold path gets a DuckDB oracle. One
     * narrow mapPartitions stage, no shuffle. Returns (media_id, phash);
     * rename phash→sh and feed
     * [[graft.operators.Dedup.simhashPairsFromSignatures]] for
     * Hamming-banded near-dup pairs (the pigeonhole block join — no
     * all-pairs comparison at any corpus size). */
-  def perceptualHashes(media: DataFrame): DataFrame = {
+  def perceptualHashes(media: DataFrame, method: String = "ahash"): DataFrame = {
+    val hashOf: BufferedImage => Long = method match {
+      case "ahash" => aHash64
+      case "dhash" => dHash64
+      case other => throw new IllegalArgumentException(
+        s"unknown perceptual-hash method '$other' (ahash | dhash)")
+    }
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("content")).as[MediaPayload]
       .mapPartitions(_.flatMap { m =>
@@ -306,9 +321,35 @@ object Multimodal {
             val fs = JdkCodec.unpackFrames(m.content)
             if (fs.isEmpty) null else JdkCodec.decodePng(fs.head)
           } else null
-        Option(img).map(i => MediaHash(m.media_id, aHash64(i)))
+        Option(img).map(i => MediaHash(m.media_id, hashOf(i)))
       })
       .toDF()
+  }
+
+  private def lumaAt(img: BufferedImage, sx: Int, sy: Int): Long = {
+    val rgb = img.getRGB(sx, sy)
+    ((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L
+  }
+
+  private def dHash64(img: BufferedImage): Long = {
+    val lum = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        lum(y)(x) = lumaAt(img, x * img.getWidth / 9, y * img.getHeight / 8)
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      val (yy, xx) = (j / 8, j % 8)
+      if (lum(yy)(xx + 1) > lum(yy)(xx)) hash |= (1L << j)
+      j += 1
+    }
+    hash
   }
 
   private def aHash64(img: BufferedImage): Long = {
@@ -318,9 +359,7 @@ object Multimodal {
     while (y < 8) {
       var x = 0
       while (x < 8) {
-        val rgb = img.getRGB(x * img.getWidth / 8, y * img.getHeight / 8)
-        val l = ((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
-          (rgb & 0xFF) * 114L
+        val l = lumaAt(img, x * img.getWidth / 8, y * img.getHeight / 8)
         lum(y * 8 + x) = l
         total += l
         x += 1

@@ -1266,6 +1266,17 @@ class OpsSpec extends SparkTestBase {
     val mixedHashes = Multimodal.perceptualHashes(mixed)
       .collect().map(r => r.getLong(0)).toSet
     assert(mixedHashes == Set(0L, 2L, 3L, 5L)) // 1, 4 are audio
+    // dHash: no global mean, so the one-pixel edit moves ONLY the bits
+    // whose comparisons touch the edited sample — at most 2
+    val dHashes = Multimodal.perceptualHashes(media, "dhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- Seq(0L, 5L, 10L, 15L)) {
+      val d = java.lang.Long.bitCount(dHashes(id) ^ dHashes(id + 1000L))
+      assert(d <= 2, s"dhash edit distance for $id was $d bits")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.perceptualHashes(media, "phash").collect()
+    }
   }
 
   test("driver queries: no cartesian product in any executed plan") {
