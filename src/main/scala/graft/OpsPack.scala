@@ -2226,6 +2226,42 @@ object OpsPack {
       .orderBy("community")
   }
 
+  /** PPR superstep count — 3 keeps the oracle's unrolled CTE depth modest
+    * while the seed mass visibly diffuses two hops past the seed set. */
+  val PprIters = 3
+
+  /** Personalized-PageRank (TrustRank) driver query
+    * ([[graft.operators.Graph.personalizedPageRankScaled]]): every 10th
+    * customer is a TRUSTED seed; rank mass teleports back to the seeds
+    * only and diffuses over the thinned symmetrized trade graph — each
+    * node's score is its graph proximity to trust, the corpus-curation
+    * primitive for propagating a small vetted set's quality signal.
+    * Exact scaled-integer supersteps ⇒ the whole run hash-checks against
+    * the unrolled 3-level SQL mirror. Broadcast gated on the same
+    * dim-table metadata counts as the PageRank twin. */
+  def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    val o = s.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val seeds = s.read.parquet(s"$dir/customer.parquet")
+      .where(col("c_custkey") % 10 === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    val nodeUpperBound =
+      s.read.parquet(s"$dir/customer.parquet").count() +
+        s.read.parquet(s"$dir/supplier.parquet").count()
+    graft.operators.Graph.personalizedPageRankScaled(pairs, seeds, PprIters,
+      symmetrize = true,
+      assumeSmallGraph = if (nodeUpperBound <= 4000000L) Some(true) else None)
+      .selectExpr(
+        "CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind",
+        "node DIV 2 AS key", "rank_scaled")
+      .orderBy("kind", "key")
+  }
+
   /** CUSUM changepoint driver query: per-user one-sided drift statistic
     * vs a 60.0 reference, flagged above 200.0 accumulated excess
     * ([[graft.operators.TimeSeries.cusumFlags]] — prefix-sum minus
@@ -3111,6 +3147,7 @@ object OpsPack {
     "q_graph_pagerank" -> (graphPageRank _),
     "q_graph_khop" -> (graphKHop _),
     "q_graph_labelprop" -> (graphLabelProp _),
+    "q_graph_ppr" -> (graphPpr _),
     "q_layout_zorder" -> (layoutZOrder _),
     "q_layout_partitioned" -> (layoutPartitioned _),
     "q_text_bm25" -> (textBm25 _),
@@ -5735,6 +5772,38 @@ object OpsPack {
        |FROM r$PageRankIters ORDER BY kind, key""".stripMargin
   }
 
+  /** PPR oracle: the PageRank mirror with a seed-flagged node table — r0
+    * is scale on seeds / 0 elsewhere, and the teleport term is
+    * seed·base instead of base everywhere. */
+  private val graphPprSql: String = {
+    val scale = graft.operators.Graph.DefaultScale
+    val base = (15L * scale) / 100L
+    val iterCtes = (1 to PprIters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  CAST(n.seed * $base + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM ns n LEFT JOIN (
+         |    SELECT ed.dst AS node, SUM(r.r // ed.outdeg) AS c
+         |    FROM ed JOIN r${i - 1} r ON r.node = ed.src GROUP BY ed.dst) s USING (node))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |            WHERE o_orderkey % 7 = 0),
+       |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |seeds AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+       |          WHERE c_custkey % 10 = 0),
+       |ns AS (SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS seed
+       |       FROM nodes n LEFT JOIN seeds s USING (node)),
+       |r0 AS (SELECT node, CAST(seed * $scale AS BIGINT) AS r FROM ns),
+       |$iterCtes
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  node // 2 AS key, r AS rank_scaled
+       |FROM r$PprIters ORDER BY kind, key""".stripMargin
+  }
+
   /** Sliding-window oracle: a 2h/1h sliding window assigns each event to
     * the hourly windows starting at its floor-hour and the hour before —
     * a union of two shifted copies of the hourly bucketing. */
@@ -6101,6 +6170,7 @@ object OpsPack {
     "q_graph_pagerank" -> graphPageRankSql,
     "q_graph_khop" -> graphKHopSql,
     "q_graph_labelprop" -> graphLabelPropSql,
+    "q_graph_ppr" -> graphPprSql,
     "q_layout_zorder" -> layoutZOrderSql,
     "q_layout_partitioned" -> layoutPartitionedSql,
     "q_text_bm25" -> textBm25Sql,

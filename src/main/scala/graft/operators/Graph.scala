@@ -118,6 +118,77 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 
+  /** PERSONALIZED PageRank (TrustRank-shaped) — rank mass teleports back to
+    * a SEED set instead of uniformly: rank₀(v) = scale·[v ∈ seeds];
+    * rankᵢ₊₁(v) = [v ∈ seeds]·base + (num · Σ_{u→v} rankᵢ(u) DIV deg(u))
+    * DIV den. This is the quality/trust-propagation primitive corpus
+    * curation actually runs at scale (Gyöngyi et al.'s TrustRank): seed a
+    * small vetted set (trusted domains, human-rated documents), propagate
+    * through the link/similarity graph, and read each node's rank as its
+    * proximity-to-trust score — the graph-side complement of the
+    * per-document quality classifier. Same fixed-point discipline as
+    * [[pageRankScaled]] (scaled BIGINTs, exact integer sums, dangling mass
+    * dropped), so a fixed-iteration run is bit-identical everywhere and
+    * unrolls into a SQL oracle.
+    *
+    * Scale shape per superstep: identical to [[pageRankScaled]] — the rank
+    * table joins the cached degree-annotated edge list (broadcast under
+    * the node limit, classic shuffle join past it), one groupBy(dst)
+    * combine, then the seed-flagged node table re-admits zero-in-degree
+    * nodes and applies the teleport term. `ranks` is read ONCE per
+    * superstep, so lineage grows linearly; periodic localCheckpoint
+    * truncates it. Seeds outside the graph's node set are ignored.
+    * Returns (node, rank_scaled). */
+  def personalizedPageRankScaled(edges: DataFrame, seeds: DataFrame, iters: Int,
+      dampingNum: Long = 85, dampingDen: Long = 100,
+      scale: Long = DefaultScale,
+      checkpointEvery: Int = 8,
+      broadcastNodeLimit: Long = 4000000L,
+      edgesDistinct: Boolean = false,
+      symmetrize: Boolean = false,
+      assumeSmallGraph: Option[Boolean] = None): DataFrame = Dedup.newCacheScope {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(checkpointEvery > 0, s"checkpointEvery must be > 0, got $checkpointEvery")
+    val raw = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val oneDir = Dedup.cacheShared(if (edgesDistinct) raw else raw.distinct())
+    val e =
+      if (symmetrize)
+        oneDir.union(oneDir.select(col("dst").as("src"), col("src").as("dst")))
+      else oneDir
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val degSmall = assumeSmallGraph.getOrElse(deg.count() <= broadcastNodeLimit)
+    val ed = Dedup.cacheShared(
+      if (degSmall) e.join(broadcast(deg), "src")
+      else e.join(deg, "src"))
+    val nodes =
+      if (symmetrize) deg.select(col("src").as("node"))
+      else e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+    val smallGraph = assumeSmallGraph.getOrElse(
+      if (symmetrize) degSmall else nodes.count() <= broadcastNodeLimit)
+    def rankSide(df: DataFrame): DataFrame = if (smallGraph) broadcast(df) else df
+    // seed flag rides the node table — one join at setup, zero per superstep
+    val seedSet = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("__graft_is_seed", lit(1L))
+    val nodesSeeded = Dedup.cacheShared(
+      nodes.join(rankSide(seedSet), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__graft_is_seed"), lit(0L)).as("seed")))
+    val base = ((dampingDen - dampingNum) * scale) / dampingDen
+    var ranks = nodesSeeded.select(col("node"), (col("seed") * scale).as("r"))
+    for (i <- 1 to iters) {
+      val contrib = ed.join(rankSide(ranks), col("src") === col("node"))
+        .selectExpr("dst", "r DIV outdeg AS c")
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = nodesSeeded.join(rankSide(contrib), col("node") === col("dst"), "left")
+        .selectExpr("node",
+          s"seed * $base + ($dampingNum * coalesce(s, 0L)) DIV $dampingDen AS r")
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"))
+  }
+
   /** Multi-source BFS: minimum hop distance (≤ `maxHops`) from any node in
     * `sources` (col `node`) along `edges` (cols `src`, `dst`; directed —
     * symmetrize upstream for undirected reach). Returns (node, dist) for

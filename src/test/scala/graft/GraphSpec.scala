@@ -109,6 +109,28 @@ class GraphSpec extends SparkTestBase {
     assert(labels(4) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("personalizedPageRankScaled: teleport only to seeds, hand-computed fixed point") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    // seed 99 is outside the graph — ignored by the node join
+    val seeds = Seq(1L, 99L).toDF("node")
+    def ranks(iters: Int): Map[Long, Long] =
+      Graph.personalizedPageRankScaled(edges, seeds, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r0: scale on the seed, zero elsewhere
+    assert(ranks(0) == Map(1L -> 1000000000L, 2L -> 0L, 3L -> 0L))
+    // iter 1: seed keeps only its teleport base (15% of scale); node 2
+    // receives 85% of the seed's full mass; node 3 receives nothing yet
+    assert(ranks(1) == Map(1L -> 150000000L, 2L -> 850000000L, 3L -> 0L))
+    // iter 2: the mass keeps diffusing — 85% of each upstream rank
+    assert(ranks(2) == Map(1L -> 150000000L, 2L -> 127500000L, 3L -> 722500000L))
+    // empty seed set ⇒ no teleport source ⇒ everything decays to zero
+    val none = Graph.personalizedPageRankScaled(edges,
+      Seq.empty[Long].toDF("node"), 2)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(none == Set(0L))
+  }
+
   test("minLabelPropagation: plan size stays bounded at deep iteration counts") {
     import spark.implicits._
     // HashMin reads `labels` twice per superstep, so without per-superstep
