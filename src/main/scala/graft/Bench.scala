@@ -115,6 +115,7 @@ object Bench {
       "q_dedup_cluster_sizes", "q_dedup_jaccard_pairs",
       "q_cdc_stream_apply", "q_graph_ppr", "q_text_classifier_train", "q_quality_adaptive",
       "q_graph_labelprop", "q_quality_bootstrap", "q_multimodal_near_dup",
+      "q_multimodal_near_dup_dhash",
       "q_events_stream_distinct", "q_decontaminated_corpus", "q_bpe_tokenize",
       "q_graph_khop", "q_entity_resolution", "q_graph_triangles",
       "q_cdc_join_view", "q_docs_curriculum",

@@ -255,6 +255,7 @@ object OpsPack {
     preparePqCodes(s, dir)
     annPqStreamed(s, dir)
     annRpPersisted(s, dir)
+    multimodalProbeIndex(s, dir)
   }
 
   /** Fingerprint of a source table's files (path, size, mtime) plus the
@@ -2036,6 +2037,44 @@ object OpsPack {
   def multimodalNearDupDhash(s: SparkSession, dir: String): DataFrame =
     phashPairs(s, dir, "dhash")
 
+  private val phashIndexCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Probe-vs-persisted-index driver query
+    * ([[graft.operators.Multimodal.writePhashIndex]] /
+    * [[graft.operators.Multimodal.phashProbeIndex]]): the whole corpus's
+    * aHashes live in the banded `bp`-partitioned index (one-off ingest,
+    * stamped + reused); the one-pixel-edited variants then probe it —
+    * reading ONLY their own block-value partitions — and must surface
+    * exactly the ≤ maxHamming probe×corpus pairs (pigeonhole
+    * recall-completeness, verified on the full hashes the postings
+    * carry). The shape a curation pipeline runs daily: dedup the new
+    * delivery against the indexed corpus without rescanning the corpus. */
+  def multimodalProbeIndex(s: SparkSession, dir: String): DataFrame =
+    Dedup.newCacheScope {
+      val d = docs(s, dir)
+      val path = Memo.memo(phashIndexCache, dir, {
+        val p = "target/graft_phash_index_" +
+          layoutStamp(dir, "documents", s"phash|$PhashMaxHamming|pfx4|v1")
+        if (!layoutComplete(p)) {
+          val base = d.select(col("doc_id").as("media_id"),
+            col("doc_id").as("base_id"), lit(0).as("bump"))
+          val corpusHashes = Multimodal.perceptualHashes(
+            Multimodal.syntheticStillVariants(base, "media_id", "base_id", "bump"))
+          Multimodal.writePhashIndex(corpusHashes, p, PhashMaxHamming)
+        }
+        p
+      })
+      val variants = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + PhashVariantOffset).as("media_id"),
+          col("doc_id").as("base_id"), lit(1).as("bump"))
+      // cached: the banded probe derivation reads the hash frame twice
+      // (partition-list collect + candidate join)
+      val probes = Dedup.cacheShared(Multimodal.perceptualHashes(
+        Multimodal.syntheticStillVariants(variants, "media_id", "base_id", "bump")))
+      Multimodal.phashProbeIndex(s, path, probes, PhashMaxHamming)
+        .orderBy("probe_id", "corpus_id")
+    }
+
   /** Numeric distribution profile over lineitem's measure columns: exact
     * order-statistic percentiles (`percentile_disc`) in one aggregation
     * job; the approx_percentile switch is the 100 TB path, pinned by
@@ -3271,7 +3310,8 @@ object OpsPack {
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_multimodal_near_dup" -> (multimodalNearDup _),
-    "q_multimodal_near_dup_dhash" -> (multimodalNearDupDhash _))
+    "q_multimodal_near_dup_dhash" -> (multimodalNearDupDhash _),
+    "q_multimodal_probe_index" -> (multimodalProbeIndex _))
 
   // ---------- DuckDB oracles ----------
 
@@ -5437,7 +5477,7 @@ object OpsPack {
            |           ON a.media_id = b.media_id AND b.y = a.y AND b.x = a.x + 1)""".stripMargin
       case other => throw new IllegalArgumentException(other)
     }
-    s"""WITH m AS (
+    s"""m AS (
        |  SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(doc_id AS BIGINT) AS base_id,
        |         0 AS bump
        |  FROM documents
@@ -5446,17 +5486,41 @@ object OpsPack {
        |  FROM documents WHERE doc_id % 5 = 0),
        |g AS (SELECT media_id, base_id, bump,
        |        base_id % 13 + 4 AS w, base_id % 11 + 4 AS h FROM m),
-       |$bitsCtes,
+       |$bitsCtes""".stripMargin
+  }
+
+  private val multimodalNearDupSql: String =
+    s"""WITH ${phashOracleSql("ahash")},
        |ham AS (SELECT a.media_id AS id1, b.media_id AS id2,
        |          CAST(sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS INTEGER) AS hamming
        |        FROM bits a JOIN bits b ON a.media_id < b.media_id AND a.j = b.j
        |        GROUP BY a.media_id, b.media_id)
        |SELECT id1, id2, hamming FROM ham
        |WHERE hamming <= $PhashMaxHamming ORDER BY id1, id2""".stripMargin
-  }
 
-  private val multimodalNearDupSql: String = phashOracleSql("ahash")
-  private val multimodalNearDupDhashSql: String = phashOracleSql("dhash")
+  private val multimodalNearDupDhashSql: String =
+    s"""WITH ${phashOracleSql("dhash")},
+       |ham AS (SELECT a.media_id AS id1, b.media_id AS id2,
+       |          CAST(sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+       |        FROM bits a JOIN bits b ON a.media_id < b.media_id AND a.j = b.j
+       |        GROUP BY a.media_id, b.media_id)
+       |SELECT id1, id2, hamming FROM ham
+       |WHERE hamming <= $PhashMaxHamming ORDER BY id1, id2""".stripMargin
+
+  /** Probe-vs-index oracle: the same bits table split into probe rows
+    * (variant ids ≥ the offset) and corpus rows (base ids below it) —
+    * the banded engine probe must surface exactly the ≤ maxHamming pairs
+    * of that cross product (pigeonhole recall-completeness). */
+  private val multimodalProbeIndexSql: String =
+    s"""WITH ${phashOracleSql("ahash")},
+       |ham AS (SELECT a.media_id AS probe_id, b.media_id AS corpus_id,
+       |          CAST(sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+       |        FROM bits a JOIN bits b
+       |          ON a.j = b.j AND a.media_id >= $PhashVariantOffset
+       |             AND b.media_id < $PhashVariantOffset
+       |        GROUP BY a.media_id, b.media_id)
+       |SELECT probe_id, corpus_id, hamming FROM ham
+       |WHERE hamming <= $PhashMaxHamming ORDER BY probe_id, corpus_id""".stripMargin
 
   /** JSON-props oracle: DuckDB's JSON extension parsing the same strings;
     * integer payloads make every aggregate exact. */
@@ -6287,5 +6351,6 @@ object OpsPack {
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_multimodal_near_dup" -> multimodalNearDupSql,
-    "q_multimodal_near_dup_dhash" -> multimodalNearDupDhashSql)
+    "q_multimodal_near_dup_dhash" -> multimodalNearDupDhashSql,
+    "q_multimodal_probe_index" -> multimodalProbeIndexSql)
 }

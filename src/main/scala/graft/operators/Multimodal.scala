@@ -326,6 +326,66 @@ object Multimodal {
       .toDF()
   }
 
+  /** Persist the BANDED perceptual-hash index — the probe-side scale path
+    * for image near-dup: each (id, phash) row explodes into its
+    * `maxHamming+1` pigeonhole blocks (any pair within the Hamming budget
+    * shares at least one exact block — [[graft.operators.Dedup]]'s SimHash
+    * discipline), and postings land partitioned by
+    * `bp = block·2^prefixBits + (value >> (width − prefixBits))` — so a
+    * probe reads ONLY the partition directories its own block values hash
+    * into, never the whole index. The full hash rides each posting (8
+    * bytes ×(maxHamming+1) rows), so candidate verification needs no
+    * second corpus read. One shuffle to lay out; [[phashProbeIndex]]
+    * probes it. Index construction is the one-off ingest job; per-probe
+    * cost is candidate-bounded and independent of corpus size. */
+  def writePhashIndex(hashes: DataFrame, path: String,
+      maxHamming: Int = 3, prefixBits: Int = 4): Unit = {
+    require(maxHamming >= 0 && 64 % (maxHamming + 1) == 0,
+      s"maxHamming+1 must divide 64, got $maxHamming")
+    require(prefixBits >= 0 && prefixBits <= 64 / (maxHamming + 1),
+      s"prefixBits out of range: $prefixBits")
+    bandRows(hashes, maxHamming, prefixBits)
+      .repartition(col("bp"))
+      .write.mode("overwrite").partitionBy("bp").parquet(path)
+  }
+
+  private def bandRows(hashes: DataFrame, maxHamming: Int, prefixBits: Int): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    hashes.select(col("media_id"), col("phash"),
+      posexplode(transform(sequence(lit(0), lit(blocks - 1)), b =>
+        call_function("shiftright", col("phash"), b * lit(width))
+          .bitwiseAND(lit((1L << width) - 1)))).as(Seq("block", "value")))
+      .withColumn("bp",
+        col("block") * lit(1L << prefixBits)
+          + call_function("shiftright", col("value"), lit(width - prefixBits)))
+  }
+
+  /** Probe the banded index: find every indexed image within `maxHamming`
+    * bits of each probe hash. The probe's own (block, value) rows pick the
+    * `bp` partitions to read (partition filter — ≤ probes·(maxHamming+1)
+    * directories of the ≤ (maxHamming+1)·2^prefixBits total), candidates
+    * come from the (block, value) equi-join, and the exact Hamming check
+    * runs on the full hashes both sides already carry. Returns
+    * (probe_id, corpus_id, hamming), distinct. Recall-complete at the
+    * index's own maxHamming (pigeonhole); `maxHamming` here may be lower
+    * (tighter) but not higher than the index's. */
+  def phashProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, maxHamming: Int = 3, prefixBits: Int = 4): DataFrame = {
+    val pb = bandRows(probes, maxHamming, prefixBits)
+      .select(col("media_id").as("probe_id"), col("phash").as("__psh"),
+        col("block"), col("value"), col("bp"))
+    val wanted = pb.select(col("bp")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = spark.read.parquet(path)
+      .where(col("bp").isin(wanted: _*))
+    pb.join(idx, Seq("block", "value"))
+      .select(col("probe_id"), col("media_id").as("corpus_id"),
+        bit_count(col("__psh").bitwiseXOR(col("phash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   private def lumaAt(img: BufferedImage, sx: Int, sy: Int): Long = {
     val rgb = img.getRGB(sx, sy)
     ((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L

@@ -1279,6 +1279,37 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("phash index probe: partition-pruned and recall-complete vs brute force") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash_idx").toString
+    try {
+      val base = (0L until 30L).map(id => (id, id, 0)).toDF("media_id", "base_id", "bump")
+      val corpusHashes = Multimodal.perceptualHashes(
+        Multimodal.syntheticStillVariants(base, "media_id", "base_id", "bump"))
+      Multimodal.writePhashIndex(corpusHashes, dir, maxHamming = 3)
+      val probes = Seq(0L, 5L, 11L)
+        .map(id => (id + 1000L, id, 1)).toDF("media_id", "base_id", "bump")
+      val probeHashes = Multimodal.perceptualHashes(
+        Multimodal.syntheticStillVariants(probes, "media_id", "base_id", "bump"))
+      val probed = Multimodal.phashProbeIndex(spark, dir, probeHashes, maxHamming = 3)
+      val got = probed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // brute-force reference over the full cross product
+      val ch = corpusHashes.collect().map(r => r.getLong(0) -> r.getLong(1))
+      val ph = probeHashes.collect().map(r => r.getLong(0) -> r.getLong(1))
+      val ref = (for {
+        (pid, psh) <- ph; (cid, csh) <- ch
+        d = java.lang.Long.bitCount(psh ^ csh) if d <= 3
+      } yield (pid, cid, d)).toSet
+      assert(got == ref)
+      assert(ref.exists { case (pid, cid, _) => pid == cid + 1000L }) // copies found
+      // the index scan is partition-pruned to the probe's bp values
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("bp"), plan)
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("driver queries: no cartesian product in any executed plan") {
     val dir = "/root/testdata/sf0.001"
     // the streaming queries' frames are memory-sink/parquet scans (no
