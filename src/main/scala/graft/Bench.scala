@@ -112,6 +112,7 @@ object Bench {
     // after the ranked ones.
     val costRank = Seq(
       "q_graph_pagerank", "q_dedup_keep_best", "q_split_leakage",
+      "q_split_cluster_safe",
       "q_dedup_cluster_sizes", "q_dedup_jaccard_pairs",
       "q_cdc_stream_apply", "q_graph_ppr", "q_text_classifier_train", "q_quality_adaptive",
       "q_graph_labelprop", "q_quality_bootstrap", "q_multimodal_near_dup",

@@ -114,6 +114,25 @@ object OpsPack {
       .orderBy("test_doc_id", "train_doc_id")
   }
 
+  /** CLUSTER-SAFE split driver query
+    * ([[graft.operators.Sampling.withClusterSafeSplit]]): the constructive
+    * FIX for what q_split_leakage detects — near-dup clusters take their
+    * representative's split, so no pair crosses the train/test boundary
+    * (pinned zero-leakage in OpsSpec). Output: per-split document counts
+    * under the cluster-safe labels; the oracle mirrors the MinHash pairs,
+    * the recursive component closure, the min-id representative, and the
+    * md5-bucket split of the REP id. */
+  def splitClusterSafe(s: SparkSession, dir: String): DataFrame = Dedup.newCacheScope {
+    import graft.operators.Sampling
+    val d = docs(s, dir)
+    val pairs = Dedup.cacheShared(
+      Dedup.minhashNearDuplicatesMd5(d, "text", "doc_id", threshold = 0.5,
+        numHashes = 64, bands = 16).select("id1", "id2"))
+    Sampling.withClusterSafeSplit(d.select(col("doc_id")), "doc_id", pairs)
+      .groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+  }
+
   /** Duplicate-cluster SIZE HISTOGRAM — the corpus-health dashboard number
     * behind every dedup decision (how much of the corpus is duplicated,
     * and in how big clumps): near-dup pairs → connected components →
@@ -3221,6 +3240,7 @@ object OpsPack {
     "q_dedup_minhash_lsh" -> (minhashPairs _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_split_leakage" -> (splitLeakage _),
+    "q_split_cluster_safe" -> (splitClusterSafe _),
     "q_dedup_cluster_sizes" -> (dedupClusterSizes _),
     "q_dedup_simhash" -> (simhashPairs _),
     "q_dedup_winnow" -> (winnowPairsQuery _),
@@ -3549,6 +3569,31 @@ object OpsPack {
        |FROM x
        |WHERE (sp1 = 'test' AND sp2 = 'train') OR (sp1 = 'train' AND sp2 = 'test')
        |ORDER BY test_doc_id, train_doc_id""".stripMargin
+  }
+
+  /** Cluster-safe-split oracle: the MinHash pair CTEs → recursive-CTE
+    * component closure → min-id representative (singletons represent
+    * themselves) → the split-counts md5-bucket rule applied to the REP
+    * id → per-split counts. */
+  private val splitClusterSafeSql: String = {
+    s"""WITH RECURSIVE
+       |$gramsCtes,
+       |${minhashPairCtes(0.5)},
+       |edges AS (SELECT id1 a, id2 b FROM mh_pairs
+       |          UNION SELECT id2, id1 FROM mh_pairs),
+       |walk(id, comp) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
+       |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+       |rep AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep
+       |        FROM documents d LEFT JOIN comps c ON c.id = d.doc_id),
+       |lab AS (SELECT doc_id,
+       |  CASE WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 12))::BIGINT % 100 < 80 THEN 'train'
+       |       WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 12))::BIGINT % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split FROM rep)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM lab GROUP BY split ORDER BY split""".stripMargin
   }
 
   /** Cluster-size histogram oracle: the keep-best oracle's recursive-CTE
@@ -6308,6 +6353,7 @@ object OpsPack {
     "q_dedup_minhash_lsh" -> minhashSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_split_leakage" -> splitLeakageSql,
+    "q_split_cluster_safe" -> splitClusterSafeSql,
     "q_dedup_cluster_sizes" -> dedupClusterSizesSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_winnow" -> winnowSql,

@@ -50,6 +50,32 @@ object Sampling {
       valPct: Int = 10): DataFrame =
     df.withColumn("split", splitLabel(col(keyCol), trainPct, valPct))
 
+  /** CLUSTER-SAFE deterministic split — the constructive fix for the
+    * leakage a split-leakage scan detects: hashing each document's OWN id
+    * into a split puts two near-duplicates on opposite sides of the
+    * train/test boundary whenever their ids hash apart, and the test set
+    * silently contains paraphrases of training documents. Here every
+    * member of a near-dup CLUSTER takes the split of its cluster
+    * REPRESENTATIVE (the connected component's minimum id; documents in
+    * no pair represent themselves), so by construction no near-dup pair —
+    * or any transitive chain of them — ever crosses a split boundary.
+    *
+    * `pairs` carries (id1, id2) near-dup edges from any detector
+    * (MinHash-LSH, SimHash, perceptual hash). Scale shape: components are
+    * pairs-bounded (≪ corpus), so the representative attach is one
+    * broadcast left join onto the corpus; the split label stays the same
+    * pure md5-bucket projection as [[withSplit]] — applied to the rep id.
+    * NULL ids label "test" (the [[splitLabel]] rule). Adds `split`. */
+  def withClusterSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs.select(col("id1"), col("id2")))
+      .toDF("__graft_cs_id", "__graft_cs_rep")
+    df.join(broadcast(comps), df(idCol) === col("__graft_cs_id"), "left")
+      .withColumn("split",
+        splitLabel(coalesce(col("__graft_cs_rep"), col(idCol)), trainPct, valPct))
+      .drop("__graft_cs_id", "__graft_cs_rep")
+  }
+
   /** Deterministic stratified (per-stratum-rate) sampling — how training
     * mixes are actually built: downsample over-represented domains or
     * languages, keep the rest. A row survives iff its key's hash bucket

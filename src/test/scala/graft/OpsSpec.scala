@@ -1430,6 +1430,34 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("withClusterSafeSplit: no near-dup pair or chain crosses a split boundary") {
+    import graft.operators.{Dedup, Sampling}
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.minhashNearDuplicatesMd5(d, "text", "doc_id",
+      threshold = 0.5, numHashes = 64, bands = 16).select("id1", "id2")
+    def crossPairs(labeled: org.apache.spark.sql.DataFrame): Long =
+      pairs.join(labeled.toDF("id1", "sp1"), "id1")
+        .join(labeled.toDF("id2", "sp2"), "id2")
+        .where(col("sp1") =!= col("sp2")).count()
+    // the per-doc-id split leaks near-dup pairs across the boundary…
+    val naive = Sampling.withSplit(d.select(col("doc_id")), "doc_id")
+      .select("doc_id", "split")
+    assert(crossPairs(naive) > 0, "fixture should exhibit naive-split leakage")
+    // …the cluster-safe split cannot, by construction
+    val safe = Sampling.withClusterSafeSplit(d.select(col("doc_id")), "doc_id", pairs)
+      .select("doc_id", "split")
+    assert(crossPairs(safe) == 0L)
+    assert(safe.count() == d.count()) // every document labeled exactly once
+    // transitive chains share one split even when no direct pair links the ends
+    val hand = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val lab = Sampling.withClusterSafeSplit(
+      Seq(1L, 2L, 3L, 4L).toDF("doc_id"), "doc_id", hand)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lab(1L) == lab(2L) && lab(2L) == lab(3L))
+    assert(lab.size == 4) // the unpaired doc keeps its own hash split
+  }
+
   test("trainHashedLinearModel: fixed-point GD matches the hand-rolled recurrence") {
     import graft.operators.Trainer
     // one token per doc, distinct buckets (alpha→0, gamma→12 mod 16): the
