@@ -127,7 +127,10 @@ object Ann {
   def writeRpProjected(df: DataFrame, vecCol: String, idCol: String,
       path: String, projDim: Int, planeOffset: Int): Unit = {
     require(projDim > 0, s"projDim must be > 0, got $projDim")
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val dimRow = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    require(dimRow.nonEmpty, "cannot infer vector dim: no non-NULL vectors")
+    val dim = dimRow.head.getInt(0)
     val projCols = (0 until projDim).map { j =>
       dot(col(vecCol), vecLit(planeVector(planeOffset + j, dim))).as(s"p$j")
     }
@@ -648,6 +651,8 @@ object Ann {
     * average in ulp-dependent order). Inherits retrievalMetrics' contract
     * (truth-driven query set, duplicate-tolerant). Cost: the per-query
     * frame is ≤ |queries| rows; the rollup is one tiny aggregation.
+    * `scale·Σn_hits` must fit a BIGINT — at the default scale that bounds
+    * Σn_hits at ~9.2·10⁶ (lower the scale for larger evaluations).
     * Output: (n_queries, n_truth, n_hits, recall_scaled, mrr_scaled). */
   def retrievalSummary(retrieved: DataFrame, truth: DataFrame,
       scale: Long = 1000000000000L): DataFrame =

@@ -1348,7 +1348,12 @@ class OpsSpec extends SparkTestBase {
     // second pass auto-released the first's caches before adding its own
     assert(persisted <= afterFirst)
     Dedup.releaseCaches()
-    assert(persisted == base)
+    // ≤, not ==: eagerly localCheckpoint'ed frames from OTHER tests
+    // (labelprop/PPR/trainer supersteps) are unpersisted asynchronously by
+    // the ContextCleaner once they become garbage, so the GLOBAL persisted
+    // count can shrink out from under this test's baseline — the contract
+    // under test is only that releaseCaches drains Dedup's own registry
+    assert(persisted <= base)
   }
 
   test("dedup cache scope is per-thread: a pass on another thread keeps its caches") {
@@ -1368,8 +1373,10 @@ class OpsSpec extends SparkTestBase {
     assert(persisted > afterLocal,
       s"cross-thread pass evicted this thread's caches (persisted=$persisted, before=$afterLocal)")
     // and the global drain still clears everything from every thread
+    // (≤, not ==: see the sibling test — other tests' localCheckpoint RDDs
+    // are GC-cleaned asynchronously, shrinking the global count)
     Dedup.releaseCaches()
-    assert(persisted == base)
+    assert(persisted <= base)
   }
 
   test("salted join and salted aggregate preserve plain-join semantics") {
