@@ -2094,6 +2094,19 @@ object OpsPack {
         .orderBy("probe_id", "corpus_id")
     }
 
+  /** Exact two-sample KS drift driver query
+    * ([[graft.operators.Profile.ksStatistic]]): the l_orderkey%3 slice of
+    * lineitem prices vs the rest — max CDF deviation as the exact scaled
+    * integer max|rank₁·n₂ − rank₂·n₁|, located without any global sort
+    * (bucketed two-phase running ranks). The numeric-drift complement of
+    * q_events_chi2_drift's categorical test. */
+  def profileKs(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    graft.operators.Profile.ksStatistic(
+      li.where(col("l_orderkey") % 3 === 0), "l_extendedprice",
+      li.where(col("l_orderkey") % 3 =!= 0), "l_extendedprice")
+  }
+
   /** Numeric distribution profile over lineitem's measure columns: exact
     * order-statistic percentiles (`percentile_disc`) in one aggregation
     * job; the approx_percentile switch is the 100 TB path, pinned by
@@ -3312,6 +3325,7 @@ object OpsPack {
     "q_top_customers" -> (topCustomers _),
     "q_profile_drift" -> (profileDrift _),
     "q_profile_chi2" -> (profileChi2 _),
+    "q_profile_ks" -> (profileKs _),
     "q_events_chi2_drift" -> (eventsChi2Drift _),
     "q_cdc_apply" -> (cdcApply _),
     "q_cdc_stream_apply" -> (cdcStreamApply _),
@@ -5913,6 +5927,29 @@ object OpsPack {
        |FROM r$PprIters ORDER BY kind, key""".stripMargin
   }
 
+  /** KS oracle: the textbook global-window formulation — per-value side
+    * counts, inclusive running ranks over the full value order, exact
+    * integer deviation, smallest-value tie. The engine's bucketed
+    * two-phase ranks must equal it exactly (floor bucketing is
+    * order-refining; exclusive bucket bases + inclusive in-bucket sums =
+    * global inclusive ranks). */
+  private val profileKsSql: String =
+    """WITH u AS (
+      |  SELECT CAST(l_extendedprice AS DOUBLE) v, 1 c1, 0 c2
+      |  FROM lineitem WHERE l_orderkey % 3 = 0 AND l_extendedprice IS NOT NULL
+      |  UNION ALL
+      |  SELECT CAST(l_extendedprice AS DOUBLE) v, 0, 1
+      |  FROM lineitem WHERE l_orderkey % 3 <> 0 AND l_extendedprice IS NOT NULL),
+      |g AS (SELECT v, CAST(sum(c1) AS BIGINT) c1, CAST(sum(c2) AS BIGINT) c2
+      |      FROM u GROUP BY v),
+      |n AS (SELECT CAST(sum(c1) AS BIGINT) n1, CAST(sum(c2) AS BIGINT) n2 FROM g),
+      |r AS (SELECT v,
+      |        CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) r1,
+      |        CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) r2 FROM g),
+      |d AS (SELECT v, abs(r1 * n.n2 - r2 * n.n1) dd FROM r, n)
+      |SELECT n.n1, n.n2, CAST(d.dd AS BIGINT) AS d_scaled, d.v AS at_value
+      |FROM d, n ORDER BY d.dd DESC, d.v LIMIT 1""".stripMargin
+
   /** Sliding-window oracle: a 2h/1h sliding window assigns each event to
     * the hourly windows starting at its floor-hour and the hour before —
     * a union of two shifted copies of the hourly bucketing. */
@@ -6336,6 +6373,7 @@ object OpsPack {
     "q_profile_histogram" -> profileHistogramSql,
     "q_profile_histogram_depth" -> profileHistogramDepthSql,
     "q_profile_chi2" -> profileChi2Sql,
+    "q_profile_ks" -> profileKsSql,
     "q_events_chi2_drift" -> eventsChi2Sql,
     "q_cdc_apply" -> cdcApplySql,
     "q_cdc_stream_apply" -> cdcApplySql,

@@ -619,4 +619,75 @@ object Profile {
       .select(col(catCol), col("n_a"), col("n_b"), col("expected_a"),
         col("chi2_cell"))
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic — the numeric-drift
+    * complement of [[chi2Drift]]'s categorical test: D = max over distinct
+    * values v of |F₁(v) − F₂(v)|, reported as the SCALED INTEGER
+    * d_scaled = max |rank₁(v)·n₂ − rank₂(v)·n₁| (divide by n₁·n₂ for the
+    * classical D; the integer form is exact, associative, and
+    * hash-checkable — the float CDF difference is not). Also returns the
+    * smallest value attaining the max.
+    *
+    * Scale shape — the [[selectRanks]] two-phase discipline applied to a
+    * running-rank problem (a naive `sum() OVER (ORDER BY v)` is a
+    * SINGLE-PARTITION global sort, the plan this repo bans): per-value
+    * side counts aggregate once; each distinct value maps to an
+    * equi-width bucket (floor is monotone ⇒ bucketing refines the value
+    * order); per-bucket count sums come to the driver (≤ `buckets` rows)
+    * and a prefix scan fixes each bucket's EXCLUSIVE base ranks; then the
+    * inclusive running ranks complete WITHIN each bucket — windows
+    * partitioned by bucket, parallel across buckets, no task ever sees
+    * more than ≈ distinct/buckets values. Global TakeOrdered picks the
+    * max deviation (ties to the smallest value).
+    *
+    * NULL values are excluded per side. Both sides must be non-empty.
+    * Exactness bound: |rank·n| ≤ n₁·n₂ must fit a BIGINT — holds to ~3·10⁹
+    * rows per side. Output: one row (n1, n2, d_scaled, at_value). */
+  def ksStatistic(df1: DataFrame, col1: String, df2: DataFrame, col2: String,
+      buckets: Int = 1024): DataFrame = Dedup.newCacheScope {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = df1.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, c: String, one: Int) =
+      df.select(col(c).cast("double").as("v")).where(col("v").isNotNull)
+        .select(col("v"), lit(1L - one).as("c1"), lit(one.toLong).as("c2"))
+    val perV = Dedup.cacheShared(
+      side(df1, col1, 0).union(side(df2, col2, 1))
+        .groupBy("v").agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2")))
+    val mm = perV.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2")).first()
+    require(!mm.isNullAt(0), "ksStatistic: both inputs are empty")
+    val (mn, mx, n1, n2) = (mm.getDouble(0), mm.getDouble(1), mm.getLong(2), mm.getLong(3))
+    require(n1 > 0 && n2 > 0, s"ksStatistic needs non-empty sides, got ($n1, $n2)")
+    // bucket by value range (selectRanks' NaN/Inf-safe clamped floor)
+    val width = (mx - mn) / buckets.toDouble
+    val bucketCol =
+      if (mx == mn) lit(0L)
+      else greatest(least(floor((col("v") - lit(mn)) / lit(width)),
+        lit((buckets - 1).toDouble)), lit(0.0)).cast("long")
+    val bucketed = Dedup.cacheShared(perV.withColumn("__b", bucketCol))
+    // phase A: per-bucket side counts → driver prefix scan → exclusive bases
+    val perBucket = bucketed.groupBy("__b")
+      .agg(sum(col("c1")).as("s1"), sum(col("c2")).as("s2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var (acc1, acc2) = (0L, 0L)
+    val offsets = perBucket.map { case (b, s1, s2) =>
+      val o = (b, acc1, acc2); acc1 += s1; acc2 += s2; o
+    }.toSeq.toDF("__b", "o1", "o2")
+    // phase B: inclusive running ranks within each bucket, parallel across
+    // buckets; deviation is exact integer arithmetic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bucketed.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__r1", col("o1") + sum(col("c1")).over(w))
+      .withColumn("__r2", col("o2") + sum(col("c2")).over(w))
+      .select(col("v"),
+        abs(col("__r1") * lit(n2) - col("__r2") * lit(n1)).as("d"))
+      .orderBy(col("d").desc, col("v").asc)
+      .limit(1)
+      .select(lit(n1).as("n1"), lit(n2).as("n2"),
+        col("d").as("d_scaled"), col("v").as("at_value"))
+  }
 }

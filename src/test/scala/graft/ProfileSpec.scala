@@ -198,4 +198,35 @@ class ProfileSpec extends SparkTestBase {
     val hi = Profile.thresholdsByGroup(df, "g", "v", 4, 4).collect()(0).getDouble(2)
     assert(lo == 1.0 && hi == 4.0)
   }
+
+  test("ksStatistic: exact scaled deviation, ties included, bucket-partitioned ranks") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 2.0, 3.0, 10.0).toDF("x")
+    val b = Seq(2.0, 4.0, 4.0, 5.0).toDF("y")
+    val ks = Profile.ksStatistic(a, "x", b, "y", buckets = 4)
+    val got = ks.first()
+    // hand reference: dev(v) = |cnt_a(≤v)·n_b − cnt_b(≤v)·n_a| over distinct v
+    // v=1:4, v=2:7, v=3:11, v=4:1, v=5:4, v=10:0 → max 11 at v=3
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3))
+      == ((5L, 4L, 11L, 3.0)))
+    // the running ranks are computed within value-range buckets (parallel),
+    // never as one global-order window
+    val plan = ks.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__b"),
+      s"expected bucket-partitioned rank windows:\n$plan")
+    // brute-force sweep across bucket counts — bucketing must not change values
+    for (bk <- Seq(1, 2, 7, 1024)) {
+      val r = Profile.ksStatistic(a, "x", b, "y", buckets = bk).first()
+      assert(r.getLong(2) == 11L && r.getDouble(3) == 3.0, s"buckets=$bk")
+    }
+    // degenerate: identical constant distributions → zero deviation
+    val c1 = Seq(7.0, 7.0).toDF("x")
+    val c2 = Seq(7.0).toDF("y")
+    val z = Profile.ksStatistic(c1, "x", c2, "y").first()
+    assert(z.getLong(2) == 0L)
+    // empty side rejected with a clear message
+    intercept[IllegalArgumentException] {
+      Profile.ksStatistic(Seq.empty[Double].toDF("x"), "x", b, "y").first()
+    }
+  }
 }
