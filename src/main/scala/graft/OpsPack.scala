@@ -2107,6 +2107,19 @@ object OpsPack {
       li.where(col("l_orderkey") % 3 =!= 0), "l_extendedprice")
   }
 
+  /** Per-group KS drift driver query
+    * ([[graft.operators.Profile.ksStatisticByGroup]]): the same %3 price
+    * split, one exact KS row per l_returnflag segment — "which segment
+    * drifted", located without per-group global sorts. */
+  def profileKsGrouped(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    graft.operators.Profile.ksStatisticByGroup(
+      li.where(col("l_orderkey") % 3 === 0), "l_extendedprice",
+      li.where(col("l_orderkey") % 3 =!= 0), "l_extendedprice",
+      "l_returnflag")
+      .orderBy("l_returnflag")
+  }
+
   /** Numeric distribution profile over lineitem's measure columns: exact
     * order-statistic percentiles (`percentile_disc`) in one aggregation
     * job; the approx_percentile switch is the 100 TB path, pinned by
@@ -3326,6 +3339,7 @@ object OpsPack {
     "q_profile_drift" -> (profileDrift _),
     "q_profile_chi2" -> (profileChi2 _),
     "q_profile_ks" -> (profileKs _),
+    "q_profile_ks_grouped" -> (profileKsGrouped _),
     "q_events_chi2_drift" -> (eventsChi2Drift _),
     "q_cdc_apply" -> (cdcApply _),
     "q_cdc_stream_apply" -> (cdcStreamApply _),
@@ -5950,6 +5964,34 @@ object OpsPack {
       |SELECT n.n1, n.n2, CAST(d.dd AS BIGINT) AS d_scaled, d.v AS at_value
       |FROM d, n ORDER BY d.dd DESC, d.v LIMIT 1""".stripMargin
 
+  /** Grouped-KS oracle: the per-group window formulation — running ranks
+    * PARTITION BY group, per-group max, smallest-value tie. */
+  private val profileKsGroupedSql: String =
+    """WITH u AS (
+      |  SELECT CAST(l_returnflag AS VARCHAR) g, CAST(l_extendedprice AS DOUBLE) v, 1 c1, 0 c2
+      |  FROM lineitem
+      |  WHERE l_orderkey % 3 = 0 AND l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+      |  UNION ALL
+      |  SELECT CAST(l_returnflag AS VARCHAR), CAST(l_extendedprice AS DOUBLE), 0, 1
+      |  FROM lineitem
+      |  WHERE l_orderkey % 3 <> 0 AND l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |gv AS (SELECT g, v, CAST(sum(c1) AS BIGINT) c1, CAST(sum(c2) AS BIGINT) c2
+      |       FROM u GROUP BY g, v),
+      |n AS (SELECT g, CAST(sum(c1) AS BIGINT) n1, CAST(sum(c2) AS BIGINT) n2
+      |      FROM gv GROUP BY g),
+      |r AS (SELECT g, v,
+      |        CAST(sum(c1) OVER (PARTITION BY g ORDER BY v) AS BIGINT) r1,
+      |        CAST(sum(c2) OVER (PARTITION BY g ORDER BY v) AS BIGINT) r2 FROM gv),
+      |d AS (SELECT r.g, r.v, abs(r.r1 * n.n2 - r.r2 * n.n1) dd
+      |      FROM r JOIN n USING (g) WHERE n.n1 > 0 AND n.n2 > 0),
+      |dm AS (SELECT g, max(dd) dmax FROM d GROUP BY g)
+      |SELECT d.g AS l_returnflag, n.n1, n.n2,
+      |  CAST(dm.dmax AS BIGINT) AS d_scaled, min(d.v) AS at_value
+      |FROM d JOIN dm USING (g) JOIN n USING (g)
+      |WHERE d.dd = dm.dmax
+      |GROUP BY d.g, n.n1, n.n2, dm.dmax
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Sliding-window oracle: a 2h/1h sliding window assigns each event to
     * the hourly windows starting at its floor-hour and the hour before —
     * a union of two shifted copies of the hourly bucketing. */
@@ -6374,6 +6416,7 @@ object OpsPack {
     "q_profile_histogram_depth" -> profileHistogramDepthSql,
     "q_profile_chi2" -> profileChi2Sql,
     "q_profile_ks" -> profileKsSql,
+    "q_profile_ks_grouped" -> profileKsGroupedSql,
     "q_events_chi2_drift" -> eventsChi2Sql,
     "q_cdc_apply" -> cdcApplySql,
     "q_cdc_stream_apply" -> cdcApplySql,

@@ -643,6 +643,74 @@ object Profile {
     * NULL values are excluded per side. Both sides must be non-empty.
     * Exactness bound: |rank·n| ≤ n₁·n₂ must fit a BIGINT — holds to ~3·10⁹
     * rows per side. Output: one row (n1, n2, d_scaled, at_value). */
+  /** PER-GROUP exact KS — "which segment drifted": [[ksStatistic]] run for
+    * every group at once, the [[thresholdsByGroup]] discipline (groups ride
+    * the bucket key; group cardinality driver-bounded — ≤ groups·buckets
+    * summary rows collect). Groups with an empty side have no two-sample
+    * statistic and are OMITTED (mirror of thresholdsByGroup's NULL-group
+    * exclusion; NULL groups/values excluded too). The per-group max is
+    * located sort-free: per-(group, bucket) deviations → one grouped max →
+    * broadcast-join filter → min value among the ties. Output: one row per
+    * comparable group — (groupCol as string, n1, n2, d_scaled, at_value). */
+  def ksStatisticByGroup(df1: DataFrame, col1: String, df2: DataFrame, col2: String,
+      groupCol: String, buckets: Int = 1024): DataFrame = Dedup.newCacheScope {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = df1.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, c: String, one: Int) =
+      df.select(col(groupCol).cast("string").as("g"), col(c).cast("double").as("v"))
+        .where(col("g").isNotNull && col("v").isNotNull)
+        .select(col("g"), col("v"), lit(1L - one).as("c1"), lit(one.toLong).as("c2"))
+    val perV = Dedup.cacheShared(
+      side(df1, col1, 0).union(side(df2, col2, 1))
+        .groupBy("g", "v").agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2")))
+    val stats = perV.groupBy("g")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .filter { case (_, _, _, n1, n2) => n1 > 0 && n2 > 0 }
+    if (stats.isEmpty)
+      return Seq.empty[(String, Long, Long, Long, Double)]
+        .toDF(groupCol, "n1", "n2", "d_scaled", "at_value")
+    val bstats = stats.toSeq
+      .map { case (g, mn, mx, n1, n2) => (g, mn, mx, n1, n2) }
+      .toDF("g", "__mn", "__mx", "__n1", "__n2")
+    val width = (col("__mx") - col("__mn")) / lit(buckets.toDouble)
+    val bucketCol = when(col("__mx") === col("__mn"), lit(0L)).otherwise(
+      greatest(least(floor((col("v") - col("__mn")) / width),
+        lit((buckets - 1).toDouble)), lit(0.0)).cast("long"))
+    val bucketed = Dedup.cacheShared(
+      perV.join(broadcast(bstats), Seq("g")).withColumn("__b", bucketCol))
+    val perBucket = bucketed.groupBy("g", "__b")
+      .agg(sum(col("c1")).as("s1"), sum(col("c2")).as("s2"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val offsets = perBucket.toSeq.flatMap { case (g, rows) =>
+      var (a1, a2) = (0L, 0L)
+      rows.sortBy(_._2).map { case (_, b, s1, s2) =>
+        val o = (g, b, a1, a2); a1 += s1; a2 += s2; o
+      }
+    }.toDF("g", "__b", "o1", "o2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g", "__b").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val dev = Dedup.cacheShared(
+      bucketed.join(broadcast(offsets), Seq("g", "__b"))
+        .withColumn("__r1", col("o1") + sum(col("c1")).over(w))
+        .withColumn("__r2", col("o2") + sum(col("c2")).over(w))
+        .select(col("g"), col("v"), col("__n1"), col("__n2"),
+          abs(col("__r1") * col("__n2") - col("__r2") * col("__n1")).as("d")))
+    val dmax = dev.groupBy("g").agg(max(col("d")).as("__dmax"))
+    dev.join(broadcast(dmax), Seq("g"))
+      .where(col("d") === col("__dmax"))
+      .groupBy("g")
+      .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
+        max(col("d")).as("d_scaled"), min(col("v")).as("at_value"))
+      .select(col("g").as(groupCol), col("n1"), col("n2"),
+        col("d_scaled"), col("at_value"))
+  }
+
   def ksStatistic(df1: DataFrame, col1: String, df2: DataFrame, col2: String,
       buckets: Int = 1024): DataFrame = Dedup.newCacheScope {
     require(buckets > 0, s"buckets must be positive, got $buckets")

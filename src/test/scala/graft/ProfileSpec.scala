@@ -229,4 +229,25 @@ class ProfileSpec extends SparkTestBase {
       Profile.ksStatistic(Seq.empty[Double].toDF("x"), "x", b, "y").first()
     }
   }
+
+  test("ksStatisticByGroup: per-group KS equals the per-group global computation") {
+    import spark.implicits._
+    val a = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 2.0), ("g1", 3.0), ("g1", 10.0),
+      ("g2", 5.0), ("g2", 6.0), ("g3", 1.0)).toDF("g", "x")
+    val b = Seq(("g1", 2.0), ("g1", 4.0), ("g1", 4.0), ("g1", 5.0),
+      ("g2", 5.0), ("g2", 6.0)).toDF("g", "y")
+    val got = Profile.ksStatisticByGroup(a, "x", b, "y", "g", buckets = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // g1 is the single-group ksStatistic fixture: max 11 at v=3
+    assert(got("g1") == ((5L, 4L, 11L, 3.0)))
+    // g2: identical distributions → deviation 0; smallest value reports
+    assert(got("g2") == ((2L, 2L, 0L, 5.0)))
+    // g3 has no side-2 rows → no two-sample statistic → omitted
+    assert(!got.contains("g3") && got.size == 2)
+    // values invariant across bucket counts
+    val again = Profile.ksStatisticByGroup(a, "x", b, "y", "g", buckets = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(again == Map("g1" -> 11L, "g2" -> 0L))
+  }
 }
