@@ -114,7 +114,8 @@ object Bench {
       "q_graph_pagerank", "q_dedup_keep_best", "q_split_leakage",
       "q_split_cluster_safe",
       "q_dedup_cluster_sizes", "q_dedup_jaccard_pairs",
-      "q_cdc_stream_apply", "q_graph_ppr", "q_text_classifier_train", "q_quality_adaptive",
+      "q_cdc_stream_apply", "q_graph_ppr", "q_profile_ks_grouped",
+      "q_profile_ks", "q_text_classifier_train", "q_quality_adaptive",
       "q_graph_labelprop", "q_quality_bootstrap", "q_multimodal_near_dup",
       "q_multimodal_near_dup_dhash",
       "q_events_stream_distinct", "q_decontaminated_corpus", "q_bpe_tokenize",
