@@ -275,6 +275,7 @@ object OpsPack {
     annPqStreamed(s, dir)
     annRpPersisted(s, dir)
     multimodalProbeIndex(s, dir)
+    multimodalIncremental(s, dir)
   }
 
   /** Fingerprint of a source table's files (path, size, mtime) plus the
@@ -2056,6 +2057,51 @@ object OpsPack {
   def multimodalNearDupDhash(s: SparkSession, dir: String): DataFrame =
     phashPairs(s, dir, "dhash")
 
+  private val phashIngestCache =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** Streaming-ingest image-dedup driver query
+    * ([[graft.streaming.IngestPhash.processBatch]] — batch-driven, the
+    * same unit foreachBatch delivers): batch 1 ingests every base still
+    * (in-batch near-dup collapse included — the synthetic corpus has
+    * incidental hash-near images), batch 2 delivers TWO edited copies of
+    * every 5th document (bump 1 and bump 2) — the copies collapse against
+    * each other in-batch (keep-min), and the survivor is then dropped by
+    * the index probe when it lands within the Hamming budget of its
+    * batch-1 base. Output: the accumulated corpus ids. The oracle
+    * replays the whole ladder declaratively: closed-form hashes for all
+    * three payload sets, per-batch recursive component closure with
+    * min-id survivorship, then the cross-batch Hamming filter. */
+  def multimodalIncremental(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val d = docs(s, dir)
+    val (_, corpusPath) = Memo.memo(phashIngestCache, dir, {
+      val root = "target/graft_phash_ingest_" +
+        layoutStamp(dir, "documents", s"phashing|$PhashMaxHamming|pfx4|v1")
+      val idx = s"$root/index"
+      val cor = s"$root/corpus"
+      val done = Paths.get(root, "_graft_ingest_done")
+      if (!Files.exists(done)) {
+        deleteRecursively(Paths.get(root))
+        Files.createDirectories(Paths.get(root))
+        def still(src: DataFrame, offset: Long, bump: Int) =
+          Multimodal.syntheticStillVariants(
+            src.select((col("doc_id") + offset).as("media_id"),
+              col("doc_id").as("base_id"), lit(bump).as("bump")),
+            "media_id", "base_id", "bump")
+        val batch1 = still(d, 0L, 0)
+        val fifth = d.where(col("doc_id") % 5 === 0)
+        val batch2 = still(fifth, PhashVariantOffset, 1)
+          .union(still(fifth, 2L * PhashVariantOffset, 2))
+        graft.streaming.IngestPhash.processBatch(batch1, idx, cor, PhashMaxHamming)
+        graft.streaming.IngestPhash.processBatch(batch2, idx, cor, PhashMaxHamming)
+        Files.write(done, Array.emptyByteArray)
+      }
+      (idx, cor)
+    })
+    s.read.parquet(corpusPath).select(col("media_id")).orderBy("media_id")
+  }
+
   private val phashIndexCache = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Probe-vs-persisted-index driver query
@@ -3359,7 +3405,8 @@ object OpsPack {
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_multimodal_near_dup" -> (multimodalNearDup _),
     "q_multimodal_near_dup_dhash" -> (multimodalNearDupDhash _),
-    "q_multimodal_probe_index" -> (multimodalProbeIndex _))
+    "q_multimodal_probe_index" -> (multimodalProbeIndex _),
+    "q_multimodal_incremental" -> (multimodalIncremental _))
 
   // ---------- DuckDB oracles ----------
 
@@ -5580,6 +5627,75 @@ object OpsPack {
        |SELECT id1, id2, hamming FROM ham
        |WHERE hamming <= $PhashMaxHamming ORDER BY id1, id2""".stripMargin
 
+  /** Incremental image-ingest oracle: the whole two-batch ladder replayed
+    * declaratively — closed-form hashes for all three payload sets (base,
+    * bump-1 copy, bump-2 copy), per-batch recursive component closure with
+    * min-id survivorship (the engine's in-batch collapse), then the
+    * cross-batch Hamming filter against batch-1 SURVIVORS only (the index
+    * holds survivors, not deliveries). */
+  private val multimodalIncrementalSql: String = {
+    val off = PhashVariantOffset
+    val lum =
+      s"""((base_id*7 + sx*13 + sy*31
+         |       + CASE WHEN sx = 0 AND sy = 0 THEN bump ELSE 0 END) % 256) * 299
+         |  + ((base_id*11 + sx*3 + sy*17) % 256) * 587
+         |  + ((base_id*5 + sx*29 + sy*7) % 256) * 114""".stripMargin
+    s"""WITH RECURSIVE
+       |m AS (
+       |  SELECT CAST(doc_id AS BIGINT) media_id, CAST(doc_id AS BIGINT) base_id, 0 bump
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id + $off AS BIGINT), CAST(doc_id AS BIGINT), 1
+       |  FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT CAST(doc_id + ${2 * off} AS BIGINT), CAST(doc_id AS BIGINT), 2
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |g AS (SELECT media_id, base_id, bump,
+       |        base_id % 13 + 4 w, base_id % 11 + 4 h FROM m),
+       |gx AS (SELECT *, unnest(range(0, 8)) x FROM g),
+       |cells AS (SELECT *, unnest(range(0, 8)) y FROM gx),
+       |sp AS (SELECT media_id, base_id, bump, y * 8 + x AS j,
+       |         (x * w) // 8 sx, (y * h) // 8 sy FROM cells),
+       |lum AS (SELECT media_id, j, $lum AS l FROM sp),
+       |tot AS (SELECT media_id, sum(l) t FROM lum GROUP BY media_id),
+       |bits AS (SELECT lum.media_id, j, (l * 64 > t) s
+       |         FROM lum JOIN tot USING (media_id)),
+       |ham AS (SELECT a.media_id id1, b.media_id id2,
+       |          sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) dd
+       |        FROM bits a JOIN bits b ON a.media_id < b.media_id AND a.j = b.j
+       |        GROUP BY a.media_id, b.media_id),
+       |nd AS (SELECT id1, id2 FROM ham WHERE dd <= $PhashMaxHamming),
+       |e1 AS (SELECT id1 a, id2 b FROM nd WHERE id2 < $off
+       |       UNION SELECT id2, id1 FROM nd WHERE id2 < $off),
+       |w1(id, comp) AS (SELECT a, a FROM e1
+       |  UNION SELECT e.b, w.comp FROM w1 w JOIN e1 e ON e.a = w.id),
+       |c1 AS (SELECT id, min(comp) comp FROM w1 GROUP BY id),
+       |surv1 AS (SELECT m.media_id FROM m
+       |          LEFT JOIN c1 ON c1.id = m.media_id
+       |          WHERE m.media_id < $off
+       |            AND (c1.id IS NULL OR c1.comp = m.media_id)),
+       |e2 AS (SELECT id1 a, id2 b FROM nd WHERE id1 >= $off
+       |       UNION SELECT id2, id1 FROM nd WHERE id1 >= $off),
+       |w2(id, comp) AS (SELECT a, a FROM e2
+       |  UNION SELECT e.b, w.comp FROM w2 w JOIN e2 e ON e.a = w.id),
+       |c2 AS (SELECT id, min(comp) comp FROM w2 GROUP BY id),
+       |s2a AS (SELECT m.media_id FROM m
+       |        LEFT JOIN c2 ON c2.id = m.media_id
+       |        WHERE m.media_id >= $off
+       |          AND (c2.id IS NULL OR c2.comp = m.media_id)),
+       |dropped AS (SELECT DISTINCT s.media_id FROM s2a s
+       |            JOIN nd ON (nd.id1 = s.media_id
+       |                        AND nd.id2 IN (SELECT media_id FROM surv1))
+       |                    OR (nd.id2 = s.media_id
+       |                        AND nd.id1 IN (SELECT media_id FROM surv1)))
+       |SELECT media_id FROM (
+       |  SELECT media_id FROM surv1
+       |  UNION ALL
+       |  SELECT media_id FROM s2a
+       |  WHERE media_id NOT IN (SELECT media_id FROM dropped))
+       |ORDER BY media_id""".stripMargin
+  }
+
   /** Probe-vs-index oracle: the same bits table split into probe rows
     * (variant ids ≥ the offset) and corpus rows (base ids below it) —
     * the banded engine probe must surface exactly the ≤ maxHamming pairs
@@ -6479,5 +6595,6 @@ object OpsPack {
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_multimodal_near_dup" -> multimodalNearDupSql,
     "q_multimodal_near_dup_dhash" -> multimodalNearDupDhashSql,
-    "q_multimodal_probe_index" -> multimodalProbeIndexSql)
+    "q_multimodal_probe_index" -> multimodalProbeIndexSql,
+    "q_multimodal_incremental" -> multimodalIncrementalSql)
 }

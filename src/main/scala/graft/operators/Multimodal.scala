@@ -339,15 +339,35 @@ object Multimodal {
     * probes it. Index construction is the one-off ingest job; per-probe
     * cost is candidate-bounded and independent of corpus size. */
   def writePhashIndex(hashes: DataFrame, path: String,
-      maxHamming: Int = 3, prefixBits: Int = 4): Unit = {
+      maxHamming: Int = 3, prefixBits: Int = 4,
+      mode: String = "overwrite"): Unit = {
     require(maxHamming >= 0 && 64 % (maxHamming + 1) == 0,
       s"maxHamming+1 must divide 64, got $maxHamming")
     require(prefixBits >= 0 && prefixBits <= 64 / (maxHamming + 1),
       s"prefixBits out of range: $prefixBits")
+    // layout metadata: banding parameters ride the layout so appends (and
+    // probes through [[phashIndexParams]]) can never drift from the
+    // writer's scheme — a different block split would silently prune away
+    // partitions holding real candidates (the minhash-index discipline)
+    val metaFile = java.nio.file.Paths.get(path, PhashParamsFile)
+    if (mode == "append" && java.nio.file.Files.exists(metaFile)) {
+      val Array(h, p) = new String(
+        java.nio.file.Files.readAllBytes(metaFile), "UTF-8").trim.split('|')
+      require(h.toInt == maxHamming && p.toInt == prefixBits,
+        s"index at $path was written with maxHamming=$h/prefixBits=$p, " +
+          s"append requested $maxHamming/$prefixBits")
+    }
     bandRows(hashes, maxHamming, prefixBits)
       .repartition(col("bp"))
-      .write.mode("overwrite").partitionBy("bp").parquet(path)
+      .write.mode(mode).partitionBy("bp").parquet(path)
+    java.nio.file.Files.write(metaFile, s"$maxHamming|$prefixBits".getBytes("UTF-8"))
   }
+
+  private[graft] val PhashParamsFile = "_graft_phash_params"
+
+  /** True once [[writePhashIndex]] has committed at least one batch. */
+  def phashIndexReady(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, PhashParamsFile))
 
   private def bandRows(hashes: DataFrame, maxHamming: Int, prefixBits: Int): DataFrame = {
     val blocks = maxHamming + 1

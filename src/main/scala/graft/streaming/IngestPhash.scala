@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Dedup, Multimodal}
+
+/** Continuous MEDIA ingest with incremental perceptual-hash deduplication —
+  * the image face of [[IngestDedup]], over the persisted banded phash index
+  * ([[Multimodal.writePhashIndex]] / [[Multimodal.phashProbeIndex]]).
+  *
+  * Each micro-batch of arriving payloads runs the image dedup ladder
+  * without ever rescanning the accumulated corpus:
+  *
+  *   1. decode + hash the batch (REAL codec pass, one narrow stage);
+  *   2. in-batch near-dup collapse — Hamming-banded pairs → connected
+  *      components → keep each component's minimum id (exact byte dups are
+  *      hash-identical, so they collapse here too: Hamming 0);
+  *   3. cross-corpus probe against the banded index: the batch's block
+  *      values pick the partitions to read, candidates verify on the full
+  *      hashes the postings carry — per-batch cost is candidate-bounded
+  *      and independent of accumulated corpus size;
+  *   4. survivors append their (media_id, phash) row to the corpus sink
+  *      AND their postings to the index, so the NEXT batch dedups against
+  *      them. Banding parameters ride the layout; appends with drifting
+  *      parameters are rejected.
+  *
+  * Delivery is foreachBatch's at-least-once: a replayed batch's payloads
+  * hash identically (deterministic codecs), land at Hamming 0 from their
+  * first copy, and the probe drops them — duplicates from replay are
+  * self-healing for dedup purposes, the same argument as [[IngestDedup]].
+  * Exactly-once corpus bookkeeping needs a transactional table format
+  * underneath (deployment-specific, out of scope). */
+object IngestPhash {
+
+  /** Start the ingest stream. `media` is a STREAMING frame carrying
+    * (media_id, content); both sinks are created by the first non-empty
+    * batch. */
+  def ingestWithDedup(
+      media: DataFrame,
+      indexPath: String,
+      corpusPath: String,
+      maxHamming: Int = 3,
+      prefixBits: Int = 4,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        processBatch(batch.toDF(), indexPath, corpusPath, maxHamming, prefixBits)
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
+  /** One micro-batch of the ladder — also the unit driven directly in
+    * batch mode by the spec (the streaming harness adds only delivery). */
+  def processBatch(
+      batch: DataFrame,
+      indexPath: String,
+      corpusPath: String,
+      maxHamming: Int = 3,
+      prefixBits: Int = 4): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    // the codec pass feeds the pair join (twice), the probe, and both
+    // sinks — hash once, persist
+    val hashes = Multimodal.perceptualHashes(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = Dedup.simhashPairsFromSignatures(
+        hashes.select(col("media_id").as("id"), col("phash").as("sh")), maxHamming)
+      val losers = Dedup.connectedComponents(pairs.select(col("id1"), col("id2")))
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as("__graft_drop_id"))
+      val inBatch = hashes.join(losers,
+        hashes("media_id") === col("__graft_drop_id"), "left_anti")
+      val ready = Multimodal.phashIndexReady(indexPath)
+      val survivorsPlan =
+        if (!ready) inBatch
+        else {
+          val dupIds = Multimodal.phashProbeIndex(spark, indexPath, inBatch,
+            maxHamming, prefixBits)
+            .select(col("probe_id").as("__graft_dup_id")).distinct()
+          inBatch.join(dupIds,
+            inBatch("media_id") === col("__graft_dup_id"), "left_anti")
+        }
+      val survivors = survivorsPlan
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (survivors.count() > 0) {
+          survivors.write.mode("append").parquet(corpusPath)
+          Multimodal.writePhashIndex(survivors, indexPath, maxHamming, prefixBits,
+            mode = if (ready) "append" else "overwrite")
+        }
+      } finally survivors.unpersist()
+    } finally {
+      hashes.unpersist()
+      Dedup.releaseOwnCaches()
+    }
+  }
+}

@@ -1437,6 +1437,57 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("IngestPhash ladder: matches a hand simulation; replayed delivery self-heals") {
+    import graft.operators.Multimodal
+    import graft.streaming.IngestPhash
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_phash_ingest").toString
+    val (idx, cor) = (s"$root/index", s"$root/corpus")
+    try {
+      def still(ids: Seq[Long], offset: Long, bump: Int) =
+        Multimodal.syntheticStillVariants(
+          ids.map(id => (id + offset, id, bump)).toDF("media_id", "base_id", "bump"),
+          "media_id", "base_id", "bump")
+      val baseIds = 0L until 20L
+      val batch1 = still(baseIds, 0L, 0)
+      val batch2 = still(Seq(0L, 5L), 1000L, 1).union(still(Seq(0L, 5L), 2000L, 2))
+      IngestPhash.processBatch(batch1, idx, cor, maxHamming = 3)
+      IngestPhash.processBatch(batch2, idx, cor, maxHamming = 3)
+      val got = spark.read.parquet(cor).select("media_id")
+        .collect().map(_.getLong(0)).toSet
+      // independent simulation from the raw hashes
+      def hashesOf(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.perceptualHashes(df).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val h1 = hashesOf(batch1); val h2 = hashesOf(batch2)
+      def near(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b) <= 3
+      def collapse(h: Map[Long, Long]): Set[Long] = {
+        // keep each component's min id under the near() relation
+        val ids = h.keys.toSeq.sorted
+        val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+        def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        for (a <- ids; b <- ids if a < b && near(h(a), h(b))) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        ids.filter(i => find(i) == i).toSet
+      }
+      val surv1 = collapse(h1)
+      val surv2 = collapse(h2).filterNot(i => surv1.exists(c => near(h2(i), h1(c))))
+      assert(got == surv1 ++ surv2)
+      assert(surv2.size < 4, "the edited copies should mostly collapse/probe away")
+      // at-least-once replay of batch 2: every row is Hamming-0 from its
+      // first (indexed) copy or within budget of its base — nothing lands
+      IngestPhash.processBatch(batch2, idx, cor, maxHamming = 3)
+      assert(spark.read.parquet(cor).count() == got.size.toLong)
+      // parameter drift on append is rejected, not silently mixed
+      intercept[IllegalArgumentException] {
+        Multimodal.writePhashIndex(
+          Multimodal.perceptualHashes(batch1), idx, maxHamming = 1, mode = "append")
+      }
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("withClusterSafeSplit: no near-dup pair or chain crosses a split boundary") {
     import graft.operators.{Dedup, Sampling}
     import spark.implicits._
