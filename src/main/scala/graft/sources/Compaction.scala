@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Generic small-file compaction for PARTITIONED parquet layouts — the
+  * maintenance pass every streaming-appended index in this repo eventually
+  * needs: each ingest batch adds one file per partition directory
+  * (minhash/trigram/BM25 postings under `pfx=`/`bucket=`, phash postings
+  * under `bp=`), so a long-running stream turns every probe's partition
+  * read into thousands of file opens. This pass rewrites any LEAF
+  * partition directory holding more than `maxFiles` data files into
+  * `targetFiles` files, in place, leaving reader results byte-identical
+  * (same rows, same directory, same partition pruning).
+  *
+  * Crash safety without a transaction log — per directory, in this order:
+  * (1) all rows are rewritten into an underscore-prefixed temp subdir
+  * (invisible to Spark readers), (2) a manifest records the OLD file names
+  * to delete, (3) the new files move in one by one under collision-free
+  * `graft-compact-*` names, (4) the listed old files are deleted, the
+  * manifest and temp dir removed. Recovery at every call entry: a
+  * manifest WITHOUT its temp's marker rolls BACK (drop temp + manifest,
+  * originals untouched); a manifest WITH the temp marker rolls FORWARD
+  * (finish the moves — idempotent, names are unique — then the deletes).
+  * The marker (`_graft_ready`, written after the temp write commits) is
+  * what distinguishes "temp half-written" from "moves half-done".
+  * Concurrent readers during (3)–(4) can see a row twice — run this as
+  * the offline maintenance pass it is, like any compactor without
+  * snapshot isolation.
+  *
+  * [[graft.operators.Pq.compactCodes]] stays the right tool for the
+  * `cluster=N/batch=B` codes layout (it must preserve the replay
+  * frontier's batch ids); this pass is for layouts whose partition values
+  * are stable across batches. Returns the compacted directory paths. */
+object Compaction {
+
+  def compactLeafPartitions(spark: SparkSession, path: String,
+      maxFiles: Int = 16, targetFiles: Int = 1): Seq[String] = {
+    require(maxFiles > 0 && targetFiles > 0,
+      s"bad compaction params ($maxFiles, $targetFiles)")
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val root = new Path(path)
+    val fs: FileSystem = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+
+    def isHidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def dataFiles(d: Path) = fs.listStatus(d).toSeq
+      .filter(s => s.isFile && !isHidden(s.getPath.getName))
+    def leafDirs(d: Path): Seq[Path] = {
+      val entries = fs.listStatus(d).toSeq
+      val subDirs = entries.filter(s => s.isDirectory && !isHidden(s.getPath.getName))
+      if (subDirs.isEmpty) Seq(d) else subDirs.flatMap(s => leafDirs(s.getPath))
+    }
+
+    def recover(dir: Path): Unit = {
+      val manifest = new Path(dir, "_graft_compacting")
+      if (!fs.exists(manifest)) return
+      val tmp = new Path(dir, "_graft_compact_tmp")
+      val ready = new Path(tmp, "_graft_ready")
+      if (!fs.exists(ready)) { // temp write never committed: roll back
+        fs.delete(tmp, true)
+        fs.delete(manifest, false)
+      } else { // moves may be half-done: finish them, then the deletes
+        fs.listStatus(tmp).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith("graft-compact-"))
+          .foreach { s =>
+            val target = new Path(dir, s.getPath.getName)
+            if (!fs.exists(target)) fs.rename(s.getPath, target)
+          }
+        val in = fs.open(manifest)
+        val listed = try scala.io.Source.fromInputStream(in).getLines().toSeq
+        finally in.close()
+        listed.filter(_.nonEmpty).foreach(n => fs.delete(new Path(dir, n), false))
+        fs.delete(manifest, false)
+        fs.delete(tmp, true)
+      }
+    }
+
+    val leaves = leafDirs(root)
+    leaves.foreach(recover)
+    leaves.flatMap { dir =>
+      val files = dataFiles(dir)
+      if (files.size <= maxFiles) None
+      else {
+        val tmp = new Path(dir, "_graft_compact_tmp")
+        fs.delete(tmp, true)
+        spark.read.parquet(files.map(_.getPath.toString): _*)
+          .coalesce(targetFiles)
+          .write.mode("overwrite").parquet(tmp.toString)
+        // rename the committed part files to collision-free final names
+        // INSIDE the temp dir, then mark the temp complete
+        val parts = fs.listStatus(tmp).toSeq
+          .filter(s => s.isFile && !isHidden(s.getPath.getName))
+        val stamp = java.util.UUID.randomUUID().toString
+        val finalNames = parts.zipWithIndex.map { case (s, i) =>
+          val n = s"graft-compact-$stamp-$i${s.getPath.getName.dropWhile(_ != '.')}"
+          if (!fs.rename(s.getPath, new Path(tmp, n)))
+            throw new java.io.IOException(s"compaction staging rename failed in $tmp")
+          n
+        }
+        val ready = fs.create(new Path(tmp, "_graft_ready"), true)
+        ready.close()
+        val manifest = new Path(dir, "_graft_compacting")
+        val out = fs.create(manifest, true)
+        try out.write(files.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        finalNames.foreach { n =>
+          if (!fs.rename(new Path(tmp, n), new Path(dir, n)))
+            throw new java.io.IOException(s"compaction move failed into $dir")
+        }
+        files.foreach(s => fs.delete(s.getPath, false))
+        fs.delete(manifest, false)
+        fs.delete(tmp, true)
+        Some(dir.toString)
+      }
+    }
+  }
+}

@@ -127,4 +127,61 @@ class ExportSpec extends SparkTestBase {
     assert(sizes.size >= 3 && sizes.values.max <= 403 / 2,
       s"shard sizes $sizes")
   }
+
+  test("compactLeafPartitions: appended index shrinks, probe unchanged, crash recovery") {
+    import graft.operators.Dedup
+    import graft.sources.Compaction
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_idx").toString
+    try {
+      // 3 ingest batches → 3 files per touched prefix directory
+      Dedup.writeMinhashIndexMd5(docs.where(col("doc_id") % 3 === 0),
+        "text", "doc_id", dir, prefixBits = 4)
+      for (r <- Seq(1, 2))
+        Dedup.writeMinhashIndexMd5(docs.where(col("doc_id") % 3 === r),
+          "text", "doc_id", dir, prefixBits = 4, mode = "append")
+      def allFiles() = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+      }
+      val before = allFiles().size
+      val batch = docs.where(col("doc_id") % 50 === 0)
+      val corpus = docs.where(col("doc_id") % 50 =!= 0)
+      def probe() = Dedup.minhashProbeIndexMd5(dir, corpus, batch,
+        "text", "doc_id", threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ref = probe()
+      val compacted = Compaction.compactLeafPartitions(spark, dir, maxFiles = 1)
+      assert(compacted.nonEmpty)
+      val after = allFiles().size
+      assert(after < before, s"expected fewer files, got $before -> $after")
+      assert(probe() == ref)
+      // crash recovery, roll-back: a manifest WITHOUT the temp-ready marker
+      // means the temp write never committed — originals must survive
+      val leaf = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("pfx=")).head
+      java.nio.file.Files.write(
+        new java.io.File(leaf, "_graft_compacting").toPath, "bogus".getBytes("UTF-8"))
+      Compaction.compactLeafPartitions(spark, dir, maxFiles = 1000000)
+      assert(!new java.io.File(leaf, "_graft_compacting").exists)
+      assert(probe() == ref)
+      // roll-forward: ready temp + staged file + manifest listing an old file
+      val victim = leaf.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val tmp = new java.io.File(leaf, "_graft_compact_tmp")
+      java.nio.file.Files.createDirectory(tmp.toPath)
+      val staged = new java.io.File(tmp, s"graft-compact-test-0.parquet")
+      java.nio.file.Files.copy(victim.toPath, staged.toPath)
+      java.nio.file.Files.write(new java.io.File(tmp, "_graft_ready").toPath,
+        Array.emptyByteArray)
+      java.nio.file.Files.write(new java.io.File(leaf, "_graft_compacting").toPath,
+        victim.getName.getBytes("UTF-8"))
+      Compaction.compactLeafPartitions(spark, dir, maxFiles = 1000000)
+      assert(!victim.exists, "roll-forward must delete the manifest-listed file")
+      assert(new java.io.File(leaf, staged.getName).exists,
+        "roll-forward must finish the staged move")
+      assert(!tmp.exists)
+      assert(probe() == ref) // the staged copy replaced the victim: same rows
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }
