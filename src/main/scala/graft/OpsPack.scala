@@ -1833,6 +1833,22 @@ object OpsPack {
       .orderBy("corpus_id", "probe_id")
   }
 
+  /** Multi-benchmark contamination-matrix driver query
+    * ([[graft.operators.Dedup.contaminationMatrix]]): the probe slice
+    * split into two labeled benchmarks, scanned against the corpus in ONE
+    * postings pass — per benchmark: contaminated-doc count, leaked-probe
+    * count, total overlap mass. The rollup an eval-hygiene review reads
+    * before deciding what to decontaminate. */
+  def contaminationMatrixQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val probes = d.where(col("doc_id") % 50 === 0)
+      .withColumn("benchmark",
+        when(col("doc_id") % 100 === 0, "bench_a").otherwise("bench_b"))
+    Dedup.contaminationMatrix(d.where(col("doc_id") % 50 =!= 0), probes,
+      "text", "doc_id", "benchmark", n = 3, minOverlap = 2L)
+      .orderBy("benchmark")
+  }
+
   /** Decontaminated-corpus driver query: the composition a training
     * pipeline actually ships — the corpus MINUS every document the
     * contamination scan flags against the benchmark probe set (≥ 2 shared
@@ -3307,6 +3323,7 @@ object OpsPack {
     "q_contamination" -> (contamination _),
     "q_decontaminated_corpus" -> (decontaminatedCorpus _),
     "q_contamination_bloom" -> (contaminationBloom _),
+    "q_contamination_matrix" -> (contaminationMatrixQuery _),
     "q_contamination_ratio" -> (contaminationRatio _),
     "q_dedup_jaccard_pairs" -> (jaccardPairs _),
     "q_dedup_minhash_lsh" -> (minhashPairs _),
@@ -3489,6 +3506,22 @@ object OpsPack {
        |FROM c JOIN p ON c.g = p.g
        |GROUP BY 1, 2 HAVING count(*) >= 2
        |ORDER BY corpus_id, probe_id""".stripMargin
+
+  /** Matrix oracle: the contamination join with the probe's benchmark
+    * label carried through, rolled up per benchmark. */
+  private val contaminationMatrixSql: String =
+    s"""WITH $gramsCtes,
+       |c AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
+       |p AS (SELECT CASE WHEN doc_id % 100 = 0 THEN 'bench_a' ELSE 'bench_b' END benchmark,
+       |        doc_id, g
+       |      FROM grams WHERE doc_id % 50 = 0),
+       |o AS (SELECT p.benchmark, c.doc_id cid, p.doc_id pid, count(*) n
+       |      FROM c JOIN p ON c.g = p.g GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+       |SELECT benchmark,
+       |  CAST(count(DISTINCT cid) AS BIGINT) AS n_contaminated_docs,
+       |  CAST(count(DISTINCT pid) AS BIGINT) AS n_probes_hit,
+       |  CAST(sum(n) AS BIGINT) AS total_overlap
+       |FROM o GROUP BY benchmark ORDER BY benchmark""".stripMargin
 
   /** Decontamination oracle: the contamination scan's flagged corpus ids
     * anti-joined out of the corpus slice. */
@@ -6546,6 +6579,7 @@ object OpsPack {
     "q_contamination" -> contaminationSql,
     "q_decontaminated_corpus" -> decontaminatedSql,
     "q_contamination_bloom" -> contaminationSql,
+    "q_contamination_matrix" -> contaminationMatrixSql,
     "q_contamination_ratio" -> contaminationRatioSql,
     "q_dedup_minhash_lsh" -> minhashSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,

@@ -745,6 +745,49 @@ object Dedup {
       .where(col("overlap") >= minOverlap)
   }
 
+  /** MULTI-BENCHMARK contamination matrix — the rollup an eval-hygiene
+    * review actually reads: probe documents carry a benchmark label, ONE
+    * postings pass scans the corpus against all benchmarks at once, and
+    * the output is one row per benchmark — how many corpus documents are
+    * contaminated by it, how many of its probes leaked, and the total
+    * n-gram overlap mass. Scanning the corpus once per benchmark (the
+    * naive loop) costs B corpus passes; here the benchmark label rides
+    * the broadcast probe postings for free.
+    *
+    * Scale shape: exactly [[contaminationPairs]] — corpus grams never
+    * shuffle, probe grams broadcast (swap in the Bloom prefilter of
+    * [[contaminationPairsBloom]] upstream when the combined benchmark
+    * suite outgrows the broadcast); the pair set is bounded by real
+    * overlaps and the final rollup is one tiny aggregation. NULL
+    * benchmark labels are excluded. Output:
+    * (benchmark, n_contaminated_docs, n_probes_hit, total_overlap). */
+  def contaminationMatrix(
+      corpus: DataFrame,
+      probe: DataFrame,
+      textCol: String,
+      idCol: String,
+      benchCol: String,
+      n: Int = 3,
+      minOverlap: Long = 1L): DataFrame = {
+    val corpusGrams = Parallelize.spread(corpus)
+      .select(col(idCol).as("corpus_id"),
+        explode(TextOps.wordShingles(col(textCol), n)).as("gs"))
+      .select(col("corpus_id"), xxhash64(col("gs")).as("g"))
+    val probeGrams = probe
+      .where(col(benchCol).isNotNull)
+      .select(col(benchCol).cast("string").as("benchmark"), col(idCol).as("probe_id"),
+        explode(TextOps.wordShingles(col(textCol), n)).as("gs"))
+      .select(col("benchmark"), col("probe_id"), xxhash64(col("gs")).as("g"))
+    corpusGrams.join(broadcast(probeGrams), Seq("g"))
+      .groupBy("benchmark", "corpus_id", "probe_id")
+      .agg(count(lit(1)).as("overlap"))
+      .where(col("overlap") >= minOverlap)
+      .groupBy("benchmark")
+      .agg(countDistinct(col("corpus_id")).as("n_contaminated_docs"),
+        countDistinct(col("probe_id")).as("n_probes_hit"),
+        sum(col("overlap")).as("total_overlap"))
+  }
+
   /** Contamination with a BLOOM-FILTER prefilter on the corpus side — the
     * scale path when the probe set is too large to broadcast as raw grams
     * (every benchmark suite at once: tens of millions of grams). The probe's
