@@ -1908,6 +1908,27 @@ object OpsPack {
       .orderBy("batch_id", "corpus_id")
   }
 
+  /** Markup-stripping driver query ([[graft.operators.TextOps.stripMarkup]]):
+    * every document is wrapped in REAL markup by pure column algebra —
+    * a doctype/html/body shell, every token its own `<p>` paragraph, a
+    * trailing self-closed tag and entity run — then stripped back to
+    * plain text. The wrap is deterministic and the strip is one shared
+    * RE2 tag pattern + the fixed-order entity decode, so the oracle
+    * mirrors BOTH sides and the hash check covers tag removal
+    * (attributes, self-closing, multi-tag), paragraph-boundary space
+    * preservation, and one-level entity decoding end to end. */
+  def textStripMarkup(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<!DOCTYPE html><html><body><div class=\"doc\" id=\"d"),
+      col("doc_id").cast("string"),
+      lit("\"><p>"),
+      regexp_replace(col("text"), " ", "</p> <p>"),
+      lit("</p></div><br/>&amp;copy; <b>corp</b>&nbsp;&quot;end&quot;</body></html>"))
+    docs(s, dir)
+      .select(col("doc_id"), TextOps.stripMarkup(html).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Context-window chunking: 32-token chunks advancing 24 tokens
     * (8-token overlap) — sized so the synthetic documents (10-99 tokens)
     * split into 1-4 chunks each. Pure projection + explode — the whole
@@ -3336,6 +3357,7 @@ object OpsPack {
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_substring" -> (dedupSubstring _),
     "q_text_chunks" -> (textChunks _),
+    "q_text_strip_markup" -> (textStripMarkup _),
     "q_text_classifier" -> (textClassifier _),
     "q_text_classifier_train" -> (textClassifierTrain _),
     "q_events_streamed" -> (eventsStreamed _),
@@ -3816,6 +3838,27 @@ object OpsPack {
        |w0 AS (SELECT DISTINCT f, CAST(0 AS BIGINT) AS w FROM feats),
        |$iterCtes
        |SELECT f AS feature, w AS weight FROM w$TrainerIters ORDER BY feature""".stripMargin
+  }
+
+  /** Markup-strip oracle: the identical wrap (string concatenation +
+    * global space→paragraph replace), the identical tag pattern with the
+    * 'g' flag, and the identical entity-decode replace chain in the
+    * identical order. */
+  private val textStripMarkupSql: String = {
+    val decoded = graft.operators.TextOps.MarkupEntities.foldLeft("t0") {
+      case (acc, (e, r)) =>
+        val rr = r.replace("'", "''")
+        s"replace($acc, '$e', '$rr')"
+    }
+    s"""WITH h AS (SELECT doc_id,
+       |    '<!DOCTYPE html><html><body><div class="doc" id="d' || doc_id || '"><p>'
+       |    || regexp_replace(text, ' ', '</p> <p>', 'g')
+       |    || '</p></div><br/>&amp;copy; <b>corp</b>&nbsp;&quot;end&quot;</body></html>'
+       |    AS html
+       |  FROM documents),
+       |s AS (SELECT doc_id, regexp_replace(html, '<[^>]*>', '', 'g') AS t0 FROM h)
+       |SELECT doc_id, $decoded AS clean_text
+       |FROM s ORDER BY doc_id""".stripMargin
   }
 
   /** Chunking oracle: identical token split, start-position rule
@@ -6591,6 +6634,7 @@ object OpsPack {
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_substring" -> dedupSubstringSql,
     "q_text_chunks" -> textChunksSql,
+    "q_text_strip_markup" -> textStripMarkupSql,
     "q_text_classifier" -> textClassifierSql,
     "q_text_classifier_train" -> textClassifierTrainSql,
     "q_ann_topk" -> annTopKSql,

@@ -142,6 +142,31 @@ object TextOps {
     regexp_extract_all(norm, lit(pat), lit(1))
   }
 
+  /** Entity decode table for [[stripMarkup]], applied IN THIS ORDER —
+    * `&amp;` is deliberately LAST so a doubly-encoded entity like
+    * `&amp;lt;` decodes exactly ONE level (to the literal `&lt;`), never
+    * cascading to `<`. RE2-free literal replacements, so the oracle chains
+    * the identical `replace` calls in the identical order. */
+  val MarkupEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** Strip HTML/XML markup to plain text — the first transform of any
+    * web-scraped corpus: one tag-removal regex (`<[^>]*>` — attributes,
+    * self-closing and closing tags alike; RE2-compatible, shared verbatim
+    * with the oracle) followed by the fixed-order entity decode of
+    * [[MarkupEntities]]. Decode runs AFTER tag removal, so an entity that
+    * decodes to angle brackets yields literal text, not a strippable tag —
+    * the order every sanitizing extractor uses. Pure codegen'd string
+    * expressions: zero shuffle, scales with input splits. Not a full HTML5
+    * parser (script/style CONTENT survives; a real crawler pipeline runs a
+    * DOM extractor first) — this is the cheap in-engine pass for
+    * already-mostly-text markup. */
+  def stripMarkup(text: Column): Column =
+    MarkupEntities.foldLeft(regexp_replace(text, "<[^>]*>", "")) {
+      case (c, (e, r)) => call_function("replace", c, lit(e), lit(r))
+    }
+
   /** PII patterns, ordered by application priority. Deliberately
     * RE2-compatible (no lookaround, no backreferences) so the DuckDB
     * oracle runs the IDENTICAL pattern strings. Word-boundary anchors keep

@@ -1542,6 +1542,22 @@ class OpsSpec extends SparkTestBase {
     assert(deep.queryExecution.optimizedPlan.collect { case p => p }.size < 64)
   }
 
+  test("stripMarkup: attribute/self-closing tags, one-level entity decode") {
+    val d = Seq(
+      (1L, "<div class=\"x\" data-a='1'>hello <b>world</b></div>"),
+      (2L, "a<br/>b &amp;lt; c &nbsp;&quot;q&quot; &#39;s&#39; &gt;"),
+      (3L, "no markup at all"),
+      (4L, "<p>spaced</p> <p>words</p>")
+    ).toDF("id", "t")
+    val got = d.select(col("id"), TextOps.stripMarkup(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "hello world")
+    // &amp;lt; decodes exactly one level (to the literal &lt;), never to <
+    assert(got(2L) == "ab &lt; c  \"q\" 's' >")
+    assert(got(3L) == "no markup at all")
+    assert(got(4L) == "spaced words") // inter-tag spaces survive
+  }
+
   test("chunkDocuments: coverage, overlap, and tail invariants") {
     val d = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
