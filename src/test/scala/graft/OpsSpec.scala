@@ -1339,44 +1339,43 @@ class OpsSpec extends SparkTestBase {
   test("dedup cache scope: a new pass releases the previous pass's postings") {
     Dedup.releaseCaches()
     val sc = spark.sparkContext
-    def persisted = sc.getPersistentRDDs.size
-    val base = persisted
+    // count only RDDs persisted SINCE this test's baseline: other tests'
+    // dead localCheckpoint RDDs (labelprop/PPR/trainer supersteps) are
+    // unpersisted asynchronously by the ContextCleaner and make the raw
+    // global count drift mid-test; Dedup's own caches hold strong
+    // references until release, so the since-baseline set is noise-free
+    val base = sc.getPersistentRDDs.keySet
+    def newSince = sc.getPersistentRDDs.keySet.diff(base).size
     Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5).count()
-    val afterFirst = persisted
-    assert(afterFirst > base) // the pass did register postings caches
+    val afterFirst = newSince
+    assert(afterFirst > 0) // the pass did register postings caches
     Dedup.jaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.5).count()
     // second pass auto-released the first's caches before adding its own
-    assert(persisted <= afterFirst)
+    assert(newSince <= afterFirst)
     Dedup.releaseCaches()
-    // ≤, not ==: eagerly localCheckpoint'ed frames from OTHER tests
-    // (labelprop/PPR/trainer supersteps) are unpersisted asynchronously by
-    // the ContextCleaner once they become garbage, so the GLOBAL persisted
-    // count can shrink out from under this test's baseline — the contract
-    // under test is only that releaseCaches drains Dedup's own registry
-    assert(persisted <= base)
+    assert(newSince == 0)
   }
 
   test("dedup cache scope is per-thread: a pass on another thread keeps its caches") {
     // the concurrent verify sweep's failure mode: query A's pass on thread 1
-    // must NOT be evicted when query B starts a pass on thread 2
+    // must NOT be evicted when query B starts a pass on thread 2.
+    // Since-baseline counting for the same reason as the sibling test.
     Dedup.releaseCaches()
     val sc = spark.sparkContext
-    def persisted = sc.getPersistentRDDs.size
-    val base = persisted
+    val base = sc.getPersistentRDDs.keySet
+    def newSince = sc.getPersistentRDDs.keySet.diff(base).size
     Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5).count()
-    val afterLocal = persisted
-    assert(afterLocal > base)
+    val afterLocal = newSince
+    assert(afterLocal > 0)
     val t = new Thread(() =>
       Dedup.jaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.5).count())
     t.start(); t.join()
     // the sibling thread's pass added its own caches without draining ours
-    assert(persisted > afterLocal,
-      s"cross-thread pass evicted this thread's caches (persisted=$persisted, before=$afterLocal)")
+    assert(newSince > afterLocal,
+      s"cross-thread pass evicted this thread's caches (newSince=$newSince, before=$afterLocal)")
     // and the global drain still clears everything from every thread
-    // (≤, not ==: see the sibling test — other tests' localCheckpoint RDDs
-    // are GC-cleaned asynchronously, shrinking the global count)
     Dedup.releaseCaches()
-    assert(persisted <= base)
+    assert(newSince == 0)
   }
 
   test("salted join and salted aggregate preserve plain-join semantics") {
