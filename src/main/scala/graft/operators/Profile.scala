@@ -651,7 +651,17 @@ object Profile {
     * exclusion; NULL groups/values excluded too). The per-group max is
     * located sort-free: per-(group, bucket) deviations → one grouped max →
     * broadcast-join filter → min value among the ties. Output: one row per
-    * comparable group — (groupCol as string, n1, n2, d_scaled, at_value). */
+    * comparable group — (groupCol as string, n1, n2, d_scaled, at_value).
+    *
+    * Driver bound: unlike [[thresholdsByGroup]] (whose collect is
+    * groups-only), the phase-A summary here is groups·buckets rows — at
+    * the default 1024 buckets a million-group column would collect a
+    * billion rows. So the bucket count SCALES DOWN as groups grow
+    * ([[ksEffectiveBuckets]]): the collected summary never exceeds
+    * ~[[KsMaxDriverRows]] rows regardless of group cardinality. Fewer
+    * buckets only narrows phase-B parallelism (more values per in-bucket
+    * window), never the result — bucketing is a pure partitioning of the
+    * value order. */
   def ksStatisticByGroup(df1: DataFrame, col1: String, df2: DataFrame, col2: String,
       groupCol: String, buckets: Int = 1024): DataFrame = Dedup.newCacheScope {
     require(buckets > 0, s"buckets must be positive, got $buckets")
@@ -676,10 +686,11 @@ object Profile {
     val bstats = stats.toSeq
       .map { case (g, mn, mx, n1, n2) => (g, mn, mx, n1, n2) }
       .toDF("g", "__mn", "__mx", "__n1", "__n2")
-    val width = (col("__mx") - col("__mn")) / lit(buckets.toDouble)
+    val effBuckets = ksEffectiveBuckets(buckets, stats.length)
+    val width = (col("__mx") - col("__mn")) / lit(effBuckets.toDouble)
     val bucketCol = when(col("__mx") === col("__mn"), lit(0L)).otherwise(
       greatest(least(floor((col("v") - col("__mn")) / width),
-        lit((buckets - 1).toDouble)), lit(0.0)).cast("long"))
+        lit((effBuckets - 1).toDouble)), lit(0.0)).cast("long"))
     val bucketed = Dedup.cacheShared(
       perV.join(broadcast(bstats), Seq("g")).withColumn("__b", bucketCol))
     val perBucket = bucketed.groupBy("g", "__b")
@@ -710,6 +721,18 @@ object Profile {
       .select(col("g").as(groupCol), col("n1"), col("n2"),
         col("d_scaled"), col("at_value"))
   }
+
+  /** Cap on the phase-A rows [[ksStatisticByGroup]] collects to the driver
+    * (per-(group, bucket) side counts): ~4M rows ≈ tens of MB of longs —
+    * comfortable on any driver, and the prefix scan over them is O(rows). */
+  private[graft] val KsMaxDriverRows: Long = 4L << 20
+
+  /** Buckets per group such that groups·buckets ≤ [[KsMaxDriverRows]],
+    * floored at 1 (single-bucket KS is still exact — phase B just runs one
+    * window per group). */
+  private[graft] def ksEffectiveBuckets(buckets: Int, groups: Int): Int =
+    math.max(1, math.min(buckets.toLong,
+      KsMaxDriverRows / math.max(groups, 1)).toInt)
 
   def ksStatistic(df1: DataFrame, col1: String, df2: DataFrame, col2: String,
       buckets: Int = 1024): DataFrame = Dedup.newCacheScope {

@@ -61,16 +61,37 @@ object Sampling {
     * or any transitive chain of them — ever crosses a split boundary.
     *
     * `pairs` carries (id1, id2) near-dup edges from any detector
-    * (MinHash-LSH, SimHash, perceptual hash). Scale shape: components are
-    * pairs-bounded (≪ corpus), so the representative attach is one
-    * broadcast left join onto the corpus; the split label stays the same
-    * pure md5-bucket projection as [[withSplit]] — applied to the rep id.
+    * (MinHash-LSH, SimHash, perceptual hash). Scale shape: `comps` holds
+    * one row per document appearing in ANY near-dup pair — on a clean
+    * corpus that is pairs-bounded (≪ corpus) and the representative attach
+    * is one broadcast left join, but this operator's target corpus is
+    * precisely the dup-heavy one (a raw web crawl can put 30-50% of
+    * documents in near-dup clusters), where the component table is
+    * corpus-scale and an unconditional broadcast hint is a driver OOM, not
+    * a plan choice. So the broadcast is GATED exactly like
+    * [[Graph.pageRankScaled]]'s `broadcastNodeLimit`: below
+    * `broadcastComponentLimit` rows (one size probe — a count over the
+    * already-materialized component table) the join broadcasts, above it
+    * the plain equi-join shuffles; `assumeSmallClusters` skips the probe
+    * (Some(true) forces the broadcast, Some(false) the shuffle join) —
+    * semantics identical either way. The split label stays the same pure
+    * md5-bucket projection as [[withSplit]] — applied to the rep id.
     * NULL ids label "test" (the [[splitLabel]] rule). Adds `split`. */
   def withClusterSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
-      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val comps = Dedup.connectedComponents(pairs.select(col("id1"), col("id2")))
+      trainPct: Int = 80, valPct: Int = 10,
+      broadcastComponentLimit: Long = 4000000L,
+      assumeSmallClusters: Option[Boolean] = None): DataFrame = {
+    val rawComps = Dedup.connectedComponents(pairs.select(col("id1"), col("id2")))
       .toDF("__graft_cs_id", "__graft_cs_rep")
-    df.join(broadcast(comps), df(idCol) === col("__graft_cs_id"), "left")
+    // the size probe and the join read the component table once each —
+    // cache it (pass-scoped registry, released by the next pass) so the
+    // component computation never runs twice
+    val comps =
+      if (assumeSmallClusters.isDefined) rawComps else Dedup.cacheShared(rawComps)
+    val small = assumeSmallClusters.getOrElse(
+      comps.count() <= broadcastComponentLimit)
+    val compSide = if (small) broadcast(comps) else comps
+    df.join(compSide, df(idCol) === col("__graft_cs_id"), "left")
       .withColumn("split",
         splitLabel(coalesce(col("__graft_cs_rep"), col(idCol)), trainPct, valPct))
       .drop("__graft_cs_id", "__graft_cs_rep")

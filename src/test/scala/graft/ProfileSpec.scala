@@ -245,9 +245,30 @@ class ProfileSpec extends SparkTestBase {
     assert(got("g2") == ((2L, 2L, 0L, 5.0)))
     // g3 has no side-2 rows → no two-sample statistic → omitted
     assert(!got.contains("g3") && got.size == 2)
-    // values invariant across bucket counts
-    val again = Profile.ksStatisticByGroup(a, "x", b, "y", "g", buckets = 1024)
-      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
-    assert(again == Map("g1" -> 11L, "g2" -> 0L))
+    // values invariant across bucket counts — including the buckets=1
+    // degenerate the high-group-cardinality guard scales down to
+    for (bk <- Seq(1, 1024)) {
+      val again = Profile.ksStatisticByGroup(a, "x", b, "y", "g", buckets = bk)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(again == Map("g1" -> 11L, "g2" -> 0L), s"buckets=$bk")
+    }
+  }
+
+  test("ksStatisticByGroup bounds its driver collect: buckets scale down as groups grow") {
+    // groups·buckets never exceeds the driver cap; tiny group counts keep
+    // the full requested resolution
+    assert(Profile.ksEffectiveBuckets(1024, 1) == 1024)
+    assert(Profile.ksEffectiveBuckets(1024, 4096) == 1024) // 4M/4096 = exactly 1024
+    assert(Profile.ksEffectiveBuckets(1024, 8192) == 512)
+    assert(Profile.ksEffectiveBuckets(1024, 1 << 22) == 1)
+    assert(Profile.ksEffectiveBuckets(1024, Int.MaxValue) == 1) // never zero
+    // whenever scaling (not the floor-at-1) decides, groups·buckets ≤ cap —
+    // at the floor the collect degenerates to ≤ one row per group, the same
+    // bound the stats probe already pays
+    val cap = Profile.KsMaxDriverRows
+    for (g <- Seq(1, 100, 10000, 1 << 21, 1 << 22)) {
+      val eff = Profile.ksEffectiveBuckets(1024, g)
+      if (eff > 1) assert(g.toLong * eff <= cap, s"groups=$g exceeds the driver cap")
+    }
   }
 }
