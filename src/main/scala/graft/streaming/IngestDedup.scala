@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Dedup
+import graft.sources.Compaction
 
 /** Continuous corpus ingest with incremental deduplication — the streaming
   * face of the persisted MinHash index ([[Dedup.writeMinhashIndexMd5]] /
@@ -39,7 +40,17 @@ object IngestDedup {
   /** Start the ingest stream. `docs` is a STREAMING DataFrame carrying at
     * least (`idCol`, `textCol`); `corpusPath` accumulates accepted rows as
     * parquet; `indexPath` accumulates their banded signature postings.
-    * Both are created on the first non-empty batch. */
+    * Both are created on the first non-empty batch.
+    *
+    * Self-maintenance: each batch appends one file per postings partition,
+    * so a long-running stream degrades every probe's partition read
+    * linearly in batch count. Every `compactEveryBatches` micro-batches
+    * (0 disables) the loop runs
+    * [[graft.sources.Compaction.compactLeafPartitions]] over the index —
+    * partition dirs holding more than `compactMaxFiles` data files rewrite
+    * to one, crash-safe, probe results byte-identical. Tied to batchId, so
+    * a replayed batch re-runs its compaction idempotently (recovery at
+    * every entry) instead of drifting the schedule. */
   def ingestWithDedup(
       docs: DataFrame,
       indexPath: String,
@@ -51,12 +62,18 @@ object IngestDedup {
       bands: Int = 16,
       shingleSize: Int = 3,
       prefixBits: Int = 8,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      compactEveryBatches: Int = 64,
+      compactMaxFiles: Int = 16): StreamingQuery = {
     val writer = docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), indexPath, corpusPath, textCol, idCol,
           threshold, numHashes, bands, shingleSize, prefixBits)
+        if (compactEveryBatches > 0 && (batchId + 1) % compactEveryBatches == 0)
+          Compaction.compactLeafPartitions(batch.sparkSession, indexPath,
+            maxFiles = compactMaxFiles)
+        ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()

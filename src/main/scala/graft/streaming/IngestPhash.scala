@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.{Dedup, Multimodal}
+import graft.sources.Compaction
 
 /** Continuous MEDIA ingest with incremental perceptual-hash deduplication —
   * the image face of [[IngestDedup]], over the persisted banded phash index
@@ -36,18 +37,28 @@ object IngestPhash {
 
   /** Start the ingest stream. `media` is a STREAMING frame carrying
     * (media_id, content); both sinks are created by the first non-empty
-    * batch. */
+    * batch. Every `compactEveryBatches` micro-batches (0 disables) the
+    * loop compacts `bp=` partition dirs that exceed `compactMaxFiles`
+    * data files ([[graft.sources.Compaction.compactLeafPartitions]] —
+    * crash-safe, probe results byte-identical), so a long-running stream's
+    * probe reads never degrade linearly in batch count. */
   def ingestWithDedup(
       media: DataFrame,
       indexPath: String,
       corpusPath: String,
       maxHamming: Int = 3,
       prefixBits: Int = 4,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      compactEveryBatches: Int = 64,
+      compactMaxFiles: Int = 16): StreamingQuery = {
     val writer = media.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), indexPath, corpusPath, maxHamming, prefixBits)
+        if (compactEveryBatches > 0 && (batchId + 1) % compactEveryBatches == 0)
+          Compaction.compactLeafPartitions(batch.sparkSession, indexPath,
+            maxFiles = compactMaxFiles)
+        ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()

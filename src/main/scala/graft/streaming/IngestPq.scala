@@ -25,15 +25,23 @@ import graft.operators.Pq
   * ([[Pq.appendCodesBatch]]), so a replayed batch rewrites exactly its
   * prior output instead of double-appending — probes over the layout
   * never see duplicate vec_ids from redelivery. The per-batch layout
-  * accumulates one small file per (cluster, batch); schedule
-  * [[Pq.compactCodes]] as the offline maintenance pass (it keeps the
-  * checkpoint-frontier batches uncompacted, so replay idempotency
-  * survives compaction). */
+  * accumulates one small file per (cluster, batch); the loop runs
+  * [[Pq.compactCodes]] itself on a batch-count schedule (below), keeping
+  * the checkpoint-frontier batches uncompacted so replay idempotency
+  * survives compaction. */
 object IngestPq {
 
   /** Start the codes-ingest stream over a STREAMING frame carrying the
     * vector and id columns. The layout directory is created by the first
-    * batch's append. */
+    * batch's append.
+    *
+    * Self-maintenance: every `compactEveryBatches` micro-batches (0
+    * disables) the loop runs [[Pq.compactCodes]] in-line — clusters whose
+    * directories exceed `compactMaxFiles` data files merge into negative
+    * batch ids, while the newest `compactKeepLatestBatches` batch ids stay
+    * uncompacted so foreachBatch's replay-overwrite idempotency survives
+    * (a replayed batch rewrites exactly its own `batch=B` partitions,
+    * which must therefore still exist). */
   def ingestToCodes(
       vecs: DataFrame,
       vecCol: String,
@@ -41,11 +49,19 @@ object IngestPq {
       cents: Seq[Seq[Double]],
       books: Seq[Seq[Seq[Double]]],
       path: String,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      compactEveryBatches: Int = 64,
+      compactMaxFiles: Int = 16,
+      compactKeepLatestBatches: Int = 1): StreamingQuery = {
     val writer = vecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         Pq.appendCodesBatch(batch.toDF(), vecCol, idCol, cents, books, path, batchId)
+        if (compactEveryBatches > 0 && (batchId + 1) % compactEveryBatches == 0)
+          Pq.compactCodes(batch.sparkSession, path,
+            maxFilesPerCluster = compactMaxFiles,
+            keepLatestBatches = compactKeepLatestBatches)
+        ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Search
+import graft.sources.Compaction
 
 /** Continuous ingest for the persisted inverted text index — the streaming
   * face of [[Search.writeInvertedIndex]], the same relationship
@@ -24,19 +25,31 @@ object IngestSearch {
 
   /** Start the index-ingest stream over a STREAMING frame carrying at
     * least (`idCol`, `textCol`). The index is created on the first
-    * non-empty batch. */
+    * non-empty batch. Every `compactEveryBatches` micro-batches (0
+    * disables) the loop compacts `bucket=` partition dirs exceeding
+    * `compactMaxFiles` data files
+    * ([[graft.sources.Compaction.compactLeafPartitions]] — crash-safe,
+    * scores byte-identical; the underscore-prefixed stats sidecar is
+    * invisible to the compactor), so probe reads stay O(targetFiles) per
+    * bucket however long the stream runs. */
   def ingestToIndex(
       docs: DataFrame,
       indexPath: String,
       textCol: String,
       idCol: String,
       numBuckets: Int = 64,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      compactEveryBatches: Int = 64,
+      compactMaxFiles: Int = 16): StreamingQuery = {
     val writer = docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         Search.appendToInvertedIndex(
           batch.toDF(), textCol, idCol, indexPath, numBuckets)
+        if (compactEveryBatches > 0 && (batchId + 1) % compactEveryBatches == 0)
+          Compaction.compactLeafPartitions(batch.sparkSession, indexPath,
+            maxFiles = compactMaxFiles)
+        ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()

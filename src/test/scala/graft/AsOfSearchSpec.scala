@@ -268,9 +268,12 @@ class AsOfSearchSpec extends SparkTestBase {
     rm(indexPath)
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String)]
+    // compaction fires after the third batch (batchId 2: (2+1) % 3 == 0),
+    // so the final per-batch probe equality below also pins scores across
+    // the self-compaction rewrite
     val q = IngestSearch.ingestToIndex(
       input.toDF().toDF("doc_id", "text"), indexPath, "text", "doc_id",
-      numBuckets = 16)
+      numBuckets = 16, compactEveryBatches = 3, compactMaxFiles = 1)
     val terms = Seq("apple", "cherry")
     val batches = Seq(
       Seq((1L, "apple banana apple"), (2L, "banana cherry")),
@@ -289,6 +292,18 @@ class AsOfSearchSpec extends SparkTestBase {
           .collect().map(_.toSeq).toSeq
         assert(fromIndex == fromScan, s"after batch with ${b.map(_._1)}")
       }
+      // the wired compactor actually ran: bucket dirs that had accumulated
+      // one file per batch now hold compactor-written files
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val dataFiles = walk(new java.io.File(indexPath)).filter(f =>
+        f.getName.endsWith(".parquet") &&
+          f.getParentFile.getName.startsWith("bucket="))
+      assert(dataFiles.exists(_.getName.startsWith("graft-compact-")),
+        s"expected compactor-written files, got ${dataFiles.map(_.getName)}")
+      val perDir = dataFiles.groupBy(_.getParentFile.getName).values.map(_.size)
+      assert(perDir.forall(_ == 1),
+        "every bucket dir should be back to one data file after self-compaction")
     } finally q.stop()
   }
 

@@ -421,4 +421,99 @@ class StreamingSpec extends SparkTestBase {
       assert(corpusIds == Set(0L, 1L, 4L))
     } finally q.stop()
   }
+
+  test("streaming ingest dedup self-compacts the postings index on its batch schedule") {
+    import graft.streaming.IngestDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def rm(p: String): Unit =
+      graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(p))
+    val indexPath = "target/ingest_mh_index_selfcompact"
+    val corpusPath = "target/ingest_corpus_selfcompact"
+    rm(indexPath); rm(corpusPath)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // prefixBits=1 → two pfx dirs, so every batch touches both and the
+    // second batch provably leaves 2 files per dir for the compactor;
+    // compaction fires after batch 2 (batchId 1: (1+1) % 2 == 0)
+    val q = IngestDedup.ingestWithDedup(
+      input.toDF().toDF("doc_id", "text"), indexPath, corpusPath,
+      "text", "doc_id", threshold = 0.5, numHashes = 32, bands = 16,
+      prefixBits = 1, compactEveryBatches = 2, compactMaxFiles = 1)
+    def leafDataFiles: Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(indexPath)).filter(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+          f.getParentFile.getName.startsWith("pfx="))
+    }
+    try {
+      input.addData(
+        (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1L, "completely different content about spark query engines and columnar formats"))
+      q.processAllAvailable()
+      input.addData(
+        (2L, "a third body of text mentioning distributed joins and shuffle exchanges"),
+        (3L, "yet another unrelated document on perceptual hashing of small images"))
+      q.processAllAvailable()
+      // the wired compactor ran: every pfx dir is back to ONE data file,
+      // and the files are the compactor's (not just single-writer luck)
+      val files = leafDataFiles
+      val perDir = files.groupBy(_.getParentFile.getName).values.map(_.size)
+      assert(perDir.nonEmpty && perDir.forall(_ == 1),
+        s"expected 1 data file per pfx dir after self-compaction, got ${files.map(_.getPath)}")
+      assert(files.exists(_.getName.startsWith("graft-compact-")),
+        "expected compactor-written files in the index")
+      // probe equality across the rewrite: replayed content still collapses
+      input.addData((4L,
+        "the quick brown fox jumps over the lazy dog near the river bank today"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(corpusPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(0L, 1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("streaming phash ingest self-compacts the banded index on its batch schedule") {
+    import graft.operators.Multimodal
+    import graft.streaming.IngestPhash
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_phash_stream").toString
+    val (idx, cor) = (s"$root/index", s"$root/corpus")
+    def media(ids: Seq[Long], offset: Long): Seq[(Long, Array[Byte])] =
+      Multimodal.syntheticStillVariants(
+        ids.map(id => (id + offset, id, 0)).toDF("media_id", "base_id", "bump"),
+        "media_id", "base_id", "bump")
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("content"))).toSeq
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte])]
+    // compaction fires after batch 2 (batchId 1); prefixBits=1 keeps the
+    // bp partition space small so both batches hit shared dirs
+    val q = IngestPhash.ingestWithDedup(
+      input.toDF().toDF("media_id", "content"), idx, cor,
+      maxHamming = 3, prefixBits = 1,
+      compactEveryBatches = 2, compactMaxFiles = 1)
+    try {
+      input.addData(media(0L until 8L, 0L)); q.processAllAvailable()
+      input.addData(media(8L until 16L, 0L)); q.processAllAvailable()
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val dataFiles = walk(new java.io.File(idx)).filter(f =>
+        f.getName.endsWith(".parquet") &&
+          f.getParentFile.getName.startsWith("bp="))
+      assert(dataFiles.exists(_.getName.startsWith("graft-compact-")),
+        s"expected compactor-written files, got ${dataFiles.map(_.getName)}")
+      assert(dataFiles.groupBy(_.getParentFile.getName).values.forall(_.size == 1),
+        "every bp dir should hold one data file after self-compaction")
+      // probe across the rewrite: exact replays of indexed payloads drop
+      val before = spark.read.parquet(cor).count()
+      input.addData(media(Seq(0L, 9L), 0L).map { case (i, c) => (i + 5000L, c) })
+      q.processAllAvailable()
+      assert(spark.read.parquet(cor).count() == before)
+    } finally {
+      q.stop()
+      graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
 }
