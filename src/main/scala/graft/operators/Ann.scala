@@ -550,6 +550,127 @@ object Ann {
       .where(col("cosine") >= threshold)
   }
 
+  private[graft] val LshIndexParamsFile = "_graft_lsh_index_params"
+
+  /** Persist the multi-table LSH signature postings of a corpus — the
+    * ingest-time half of incremental cosine near-dup, closing the one
+    * similarity layout that had no persisted/streaming story (IVF, PQ,
+    * MinHash, trigram, and phash already have theirs). At 100 TB you never
+    * re-sign the corpus per arriving batch: each vector's `tables`
+    * signatures land once as (id, tbl, sig) rows — three longs, no vector
+    * replication — partitioned by
+    * `tp = tbl·2^prefixBits + (sig >> (bits − prefixBits))`, so a probe
+    * reads only the partition directories its own signatures land in (the
+    * [[Multimodal.writePhashIndex]] `bp` discipline). The banding
+    * parameters ride the layout in [[LshIndexParamsFile]]; appends (and
+    * probes) with drifting parameters are rejected — a different plane
+    * family or band split would silently prune away real candidates.
+    * `mode = "append"` is the rolling-ingest path ([[graft.streaming.IngestLsh]]). */
+  def writeLshSigIndex(df: DataFrame, vecCol: String, idCol: String,
+      path: String, dim: Int, bits: Int = 16, tables: Int = 8,
+      prefixBits: Int = 4, mode: String = "overwrite"): Unit = {
+    require(bits > 0 && bits < 63, s"bits out of range: $bits")
+    require(tables > 0, s"tables must be positive, got $tables")
+    require(prefixBits >= 0 && prefixBits <= bits,
+      s"prefixBits must be within [0, bits=$bits], got $prefixBits")
+    val metaFile = java.nio.file.Paths.get(path, LshIndexParamsFile)
+    if (mode == "append" && java.nio.file.Files.exists(metaFile)) {
+      val (d, b, t, p) = lshSigIndexParams(path)
+      require(d == dim && b == bits && t == tables && p == prefixBits,
+        s"index at $path was written with dim=$d/bits=$b/tables=$t/prefixBits=$p, " +
+          s"append requested $dim/$bits/$tables/$prefixBits")
+    }
+    df.select(col(idCol).as("id"),
+      posexplode(lshTableSignatures(col(vecCol), dim, bits, tables))
+        .as(Seq("tbl", "sig")))
+      .withColumn("tp", col("tbl").cast("long") * lit(1L << prefixBits)
+        + shiftright(col("sig"), bits - prefixBits))
+      .repartition(col("tp"))
+      .write.mode(mode).partitionBy("tp").parquet(path)
+    java.nio.file.Files.write(metaFile,
+      s"$dim|$bits|$tables|$prefixBits".getBytes("UTF-8"))
+  }
+
+  /** True once [[writeLshSigIndex]] has committed at least one batch. */
+  def lshSigIndexReady(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, LshIndexParamsFile))
+
+  /** The (dim, bits, tables, prefixBits) a layout was written with. */
+  def lshSigIndexParams(path: String): (Int, Int, Int, Int) = {
+    val Array(d, b, t, p) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, LshIndexParamsFile)), "UTF-8").trim.split('|')
+    (d.toInt, b.toInt, t.toInt, p.toInt)
+  }
+
+  /** All pairs with cosine ≥ threshold from a persisted
+    * [[writeLshSigIndex]] layout — [[cosineNearDuplicatesMultiTable]]'s
+    * exact output without re-signing the corpus: candidates come from the
+    * postings' (tbl, sig) self-join (bucket-bounded, never a cross join),
+    * and only the deduplicated candidate pairs join back to `corpus` for
+    * exact-cosine verification, so the wide embedding column is read once
+    * per side, never replicated `tables`×. Parameters come FROM the
+    * layout, so a probe can never disagree with the writer's scheme. */
+  def cosinePairsFromLshIndex(spark: SparkSession, path: String,
+      corpus: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val sigs = spark.read.parquet(path)
+    val a = sigs.select(col("id").as("id1"), col("tbl"), col("sig"))
+    val b = sigs.select(col("id").as("id2"), col("tbl"), col("sig"))
+    val candidates = a.join(b, Seq("tbl", "sig")).where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    verifyCosine(candidates, corpus, vecCol, idCol, threshold)
+  }
+
+  /** Probe a [[writeLshSigIndex]] layout with a BATCH of new vectors: every
+    * (batch, corpus) pair at cosine ≥ threshold. The batch signs itself
+    * under the LAYOUT's parameters; its `tp` values become a partition
+    * filter (≤ |batch|·tables of the tables·2^prefixBits directories), so
+    * per-probe cost is candidate-bounded and independent of accumulated
+    * corpus size — the property that makes [[graft.streaming.IngestLsh]]
+    * sustainable under an unbounded stream. Returns
+    * (batch_id, corpus_id, cosine). */
+  def lshProbeIndex(spark: SparkSession, path: String,
+      corpus: DataFrame, batch: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val (dim, bits, tables, prefixBits) = lshSigIndexParams(path)
+    val bsigs = batch.select(col(idCol).as("batch_id"),
+      posexplode(lshTableSignatures(col(vecCol), dim, bits, tables))
+        .as(Seq("tbl", "sig")))
+      .withColumn("tp", col("tbl").cast("long") * lit(1L << prefixBits)
+        + shiftright(col("sig"), bits - prefixBits))
+    // the probed partition list is bounded by tables·2^prefixBits values
+    val wanted = bsigs.select(col("tp")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = spark.read.parquet(path).where(col("tp").isin(wanted: _*))
+    val candidates = bsigs.join(idx, Seq("tbl", "sig"))
+      .select(col("batch_id"), col("id").as("corpus_id")).distinct()
+    val bv = batch.select(col(idCol).as("batch_id"), col(vecCol).as("__bv"),
+      norm(col(vecCol)).as("__bn"))
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    candidates.join(bv, "batch_id").join(cv, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        when(col("__bn") * col("__cn") === 0.0, lit(0.0))
+          .otherwise(dot(col("__bv"), col("__cv")) / (col("__bn") * col("__cn")))
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Exact-cosine verification of a deduplicated candidate pair set against
+    * the corpus vectors — the shared tail of the multi-table LSH paths. */
+  private def verifyCosine(candidates: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, threshold: Double): DataFrame = {
+    val withNorm = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    val e1 = withNorm.toDF("id1", "v1", "nrm1")
+    val e2 = withNorm.toDF("id2", "v2", "nrm2")
+    candidates.join(e1, "id1").join(e2, "id2")
+      .select(col("id1"), col("id2"),
+        when(col("nrm1") * col("nrm2") === 0.0, lit(0.0))
+          .otherwise(dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Symmetric int8 quantization: scale = max|x|/127, q_i = clamp(floor(
     * x_i/scale + 0.5), ±127). Returns `struct<scale double, q array<int>>`.
     * Engine-mirrorable arithmetic (floor(x/s + 0.5) rounds identically

@@ -973,18 +973,27 @@ object Dedup {
     * Engine-mirrorable (DuckDB: `('0x' || substr(md5(t), k, 1))::INT` nibble
     * parse + the same bit shifts), so the near-dup result gets a real
     * oracle. Returns (id, sh). */
-  def simhashSignaturesMd5(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = Parallelize.spread(df)
-      .select(col(idCol).as("id"), explode(split(trim(lower(col(textCol))), "\\s+")).as("t"))
-      // top 64 digest bits as one long (fused digest, no hex round trip);
-      // hex nibble k of the old formulation is (h64 >>> (60-4k)) & 15, so
-      // bit j = (h64 >>> (60 - 4*(j/4) + j%4)) & 1 — identical bit values
+  def simhashSignaturesMd5(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashSignaturesMd5FromTokens(Parallelize.spread(df)
+      .select(col(idCol).as("id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("t")))
+
+  /** The md5 SimHash aggregation over an already-tokenized (id, t) frame —
+    * the shared core of [[simhashSignaturesMd5]], exposed so non-text
+    * token streams (e.g. [[Multimodal.audioFingerprints]]' quantized
+    * waveform tokens) ride the identical oracle-mirrorable pipeline.
+    * Returns (id, sh). */
+  def simhashSignaturesMd5FromTokens(toks: DataFrame): DataFrame = {
+    // top 64 digest bits as one long (fused digest, no hex round trip);
+    // hex nibble k of the old formulation is (h64 >>> (60-4k)) & 15, so
+    // bit j = (h64 >>> (60 - 4*(j/4) + j%4)) & 1 — identical bit values
+    val hashed = toks
       .select(col("id"), graft.functions.Md5Longs.longs(col("t").cast("binary"))
         .getItem(2).as("h64"))
     val bitSums = (0 until 64).map(j =>
       sum(shiftrightunsigned(col("h64"), 60 - 4 * (j / 4) + j % 4)
         .bitwiseAND(lit(1L)).cast("long")).as(s"b$j"))
-    val agged = toks.groupBy("id")
+    val agged = hashed.groupBy("id")
       .agg(count(lit(1)).as("n"), bitSums: _*)
     val sh = (0 until 64).map(j =>
       when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))

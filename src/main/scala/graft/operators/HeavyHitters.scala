@@ -128,10 +128,127 @@ object HeavyHitters {
     } finally { summaries.unpersist(); () }
   }
 
+  /** PER-GROUP [[candidateSummaries]]: one independent Misra-Gries sketch
+    * per (partition, group), so the MG lower-bound guarantee holds against
+    * each group's OWN stream length N_g — a single composite-keyed sketch
+    * would bound against the whole partition's N and silently prune heavy
+    * tokens of small groups. Per-task memory is
+    * O(groups-in-partition × capacity); group cardinality is
+    * driver-bounded by contract (the [[Profile.thresholdsByGroup]] rule —
+    * languages, domains, splits — NOT user ids). NULL groups and NULL
+    * tokens are excluded. Emits (group, token, lower_bound) rows plus one
+    * sentinel per (partition, group) (`token = NULL`, lower_bound = the
+    * group's exact token count in that partition). */
+  def candidateSummariesByGroup(tokens: DataFrame, groupCol: String,
+      tokenCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens.select(col(groupCol).cast("string"), col(tokenCol).cast("string"))
+      .where(col(groupCol).isNotNull && col(tokenCol).isNotNull)
+      .as[(String, String)].mapPartitions { it =>
+        val sketches = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+        val totals = new java.util.HashMap[String, Long]()
+        def compress(m: java.util.HashMap[String, Long]): Unit = {
+          if (m.size > capacity) {
+            val counts = new Array[Long](m.size)
+            var i = 0
+            val vit = m.values().iterator()
+            while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+            java.util.Arrays.sort(counts)
+            val cut = counts(m.size - capacity - 1)
+            val eit = m.entrySet().iterator()
+            while (eit.hasNext) {
+              val e = eit.next()
+              if (e.getValue <= cut) eit.remove() else e.setValue(e.getValue - cut)
+            }
+          }
+        }
+        while (it.hasNext) {
+          val (g, t) = it.next()
+          totals.merge(g, 1L, _ + _)
+          val m = sketches.computeIfAbsent(g,
+            _ => new java.util.HashMap[String, Long](4 * capacity))
+          m.merge(t, 1L, _ + _)
+          if (m.size > 2 * capacity) compress(m)
+        }
+        val out = Seq.newBuilder[(String, String, Long)]
+        val git = sketches.entrySet().iterator()
+        while (git.hasNext) {
+          val ge = git.next()
+          val g = ge.getKey
+          compress(ge.getValue)
+          out += ((g, null, totals.get(g)))
+          val eit = ge.getValue.entrySet().iterator()
+          while (eit.hasNext) {
+            val e = eit.next()
+            out += ((g, e.getKey, e.getValue))
+          }
+        }
+        out.result().iterator
+      }.toDF(groupCol, tokenCol, "lower_bound")
+  }
+
+  /** Exact PER-GROUP heavy hitters — "top boilerplate lines per domain",
+    * "dominant tokens per language": every (group, token) whose frequency
+    * within its group satisfies `freq · denominator ≥ totalTokens(group)`,
+    * with its EXACT count. The [[heavyHitters]] two-pass discipline with
+    * the group riding every key: per-group MG candidate sketches (pass 1),
+    * a per-group provable prune against the group's own total, then an
+    * exact recount of the candidate-filtered stream keyed on
+    * (group, token). Candidates stay distributed end to end — the prune
+    * bounds them to ≈ denominator·(capacity+1)/(capacity+1−denominator)
+    * per group, so the broadcast to pass 2's semi join is
+    * groups × a-few-thousand rows, tiny under the driver-bounded group
+    * contract. Requires `capacity ≥ denominator` for per-group exactness
+    * (the [[candidateSummaries]] proof applied to each group's stream).
+    * Returns (group, token, freq). */
+  def heavyHittersByGroup(
+      tokens: DataFrame,
+      groupCol: String,
+      tokenCol: String,
+      denominator: Long,
+      capacity: Int): DataFrame = {
+    require(capacity >= denominator,
+      s"capacity ($capacity) must be >= denominator ($denominator) for exactness")
+    val summaries = candidateSummariesByGroup(tokens, groupCol, tokenCol, capacity)
+      .groupBy(groupCol, tokenCol).agg(sum(col("lower_bound")).as("lb"))
+      .persist()
+    try {
+      val totals = summaries.where(col(tokenCol).isNull)
+        .groupBy(groupCol).agg(sum(col("lb")).as("__graft_hh_total"))
+      // per-group prune, the cross-multiplied decimal inequality of
+      // [[heavyHitters]] against the group's OWN total
+      val cands = summaries
+        .where(col(tokenCol).isNotNull)
+        .join(broadcast(totals), Seq(groupCol))
+        .where(col("lb").cast("decimal(38,0)") * lit(denominator * (capacity + 1L)) >=
+          col("__graft_hh_total").cast("decimal(38,0)") * lit(capacity + 1L - denominator))
+        .select(col(groupCol), col(tokenCol))
+      tokens
+        .select(col(groupCol).cast("string").as(groupCol),
+          col(tokenCol).cast("string").as(tokenCol))
+        .where(col(groupCol).isNotNull && col(tokenCol).isNotNull)
+        .join(broadcast(cands), Seq(groupCol, tokenCol), "left_semi")
+        .groupBy(groupCol, tokenCol)
+        .agg(count(lit(1)).as("freq"))
+        .join(broadcast(totals), Seq(groupCol))
+        .where(col("freq") * lit(denominator) >= col("__graft_hh_total"))
+        .select(col(groupCol), col(tokenCol), col("freq"))
+    } finally { summaries.unpersist(); () }
+  }
+
   /** Whitespace token stream of a text column — the same tokenization as
     * [[TextOps.vocabulary]] (`regexp_split_to_array(trim(text), '\s+')`
     * on the DuckDB side). */
   def tokenStream(df: DataFrame, textCol: String): DataFrame =
     Parallelize.spread(df)
       .select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
+
+  /** [[tokenStream]] with a grouping column riding each token — the input
+    * shape [[heavyHittersByGroup]] consumes. */
+  def tokenStreamByGroup(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    Parallelize.spread(df)
+      .select(col(groupCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
 }

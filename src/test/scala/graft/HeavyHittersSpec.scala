@@ -64,4 +64,69 @@ class HeavyHittersSpec extends SparkTestBase {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("x", 100L)))
   }
+
+  /** Two groups with very different stream lengths: g "big" carries the
+    * skewed 1..60 stream (N = 1830), g "small" just 10 tokens — whose
+    * heavy tokens would be invisible against the combined N. */
+  private def skewedGrouped = {
+    val big = (1 to 60).flatMap(i => Seq.fill(i)(("big", s"t$i")))
+    val small = Seq.fill(6)(("small", "hot")) ++
+      Seq(("small", "a"), ("small", "b"), ("small", "c"), ("small", "d"))
+    spark.createDataset(big ++ small).repartition(7).toDF("g", "token")
+  }
+
+  test("per-group heavy hitters are exact vs a per-group groupBy/having") {
+    val toks = skewedGrouped
+    val naive = toks.groupBy("g", "token").agg(count(lit(1)).as("freq"))
+      .join(toks.groupBy("g").agg(count(lit(1)).as("n")), "g")
+    for (denom <- Seq(10L, 40L)) {
+      val expected = naive.where(col("freq") * denom >= col("n"))
+        .select("g", "token", "freq")
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      val got = HeavyHitters.heavyHittersByGroup(toks, "g", "token",
+        denom, capacity = denom.toInt)
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      assert(got == expected, s"denom=$denom")
+      assert(got.nonEmpty)
+    }
+    // the small group's heavy token IS found (6/10 ≥ 1/10) even though
+    // 6/1840 of the combined stream is far below every global threshold —
+    // the question the global operator cannot answer
+    val got10 = HeavyHitters.heavyHittersByGroup(toks, "g", "token", 10L, 10)
+      .as[(String, String, Long)].collect()
+    assert(got10.exists(r => r._1 == "small" && r._2 == "hot" && r._3 == 6L))
+  }
+
+  test("per-group summaries: per-group sentinels and lower bounds never exceed truth") {
+    val toks = skewedGrouped
+    val summaries = HeavyHitters.candidateSummariesByGroup(toks, "g", "token", 5)
+      .groupBy("g", "token").agg(sum("lower_bound").as("lb"))
+    // sentinels (token NULL) sum to each group's exact stream length
+    val totals = summaries.where(col("token").isNull)
+      .select("g", "lb").as[(String, Long)].collect().toMap
+    assert(totals == Map("big" -> 1830L, "small" -> 10L))
+    val trueCounts = toks.groupBy("g", "token").agg(count(lit(1)).as("freq"))
+    assert(summaries.where(col("token").isNotNull)
+      .join(trueCounts, Seq("g", "token"))
+      .where(col("lb") > col("freq")).count() == 0,
+      "a per-group lower bound exceeded a true count")
+    // NULL groups and NULL tokens are excluded, not sketched
+    val withNulls = spark.createDataset(
+      Seq((null: String, "x"), ("g1", null: String), ("g1", "y")))
+      .toDF("g", "token")
+    val s2 = HeavyHitters.candidateSummariesByGroup(withNulls, "g", "token", 4)
+    assert(s2.where(col("g").isNull).count() == 0)
+    // g1's sentinel counts only the non-null token
+    assert(s2.where(col("token").isNull)
+      .agg(sum("lower_bound")).first().getLong(0) == 1L)
+  }
+
+  test("per-group recount plan stays broadcast, never a sort-merge join") {
+    val plan = HeavyHitters.heavyHittersByGroup(skewedGrouped, "g", "token", 10L, 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

@@ -456,6 +456,48 @@ class KnnSpec extends SparkTestBase {
     } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("streaming PQ ingest self-compacts codes on its batch schedule") {
+    import graft.streaming.IngestPq
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cents = Pq.coarseCentroids(PqDim, k = 4, planeOffset = 950)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_stream_compact").toString
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    // four micro-batches, compaction every 2: fires after batchIds 1 and 3,
+    // so all but the frontier batch dirs merge into negative ids
+    val q = IngestPq.ingestToCodes(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      cents, pqBooks, dir,
+      compactEveryBatches = 2, compactMaxFiles = 1, compactKeepLatestBatches = 1)
+    try {
+      pqVecs.grouped(10).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def batchDirs: Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) :+ f else Seq.empty
+      walk(new java.io.File(dir)).map(_.getName).filter(_.startsWith("batch="))
+    }
+    // evidence the wired compactor ran: merged (negative-id) partitions
+    // exist, and the replay frontier (the newest batch id) survived
+    assert(batchDirs.exists(_.startsWith("batch=-")),
+      s"expected merged negative-id batch partitions, got $batchDirs")
+    assert(batchDirs.contains("batch=3"), s"frontier batch must survive: $batchDirs")
+    // nothing lost or duplicated, probe ranking ≡ the fused one-shot ADC
+    val codes = spark.read.parquet(dir)
+    assert(codes.count() == pqVecs.size.toLong)
+    assert(codes.select("vec_id").distinct().count() == pqVecs.size.toLong)
+    val query = pqVecs(5)._2.map(_.toDouble).toSeq
+    val got = Pq.adcTopKFromCodes(codes, "vec_id", query, 10, pqBooks)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val ref = Pq.adcTopK(pqVecs.toDF("vec_id", "embedding"),
+        "embedding", "vec_id", query, 10, pqBooks)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got == ref)
+    graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("compactCodes: interrupted swap rolls forward from the manifest") {
     val cents = Pq.coarseCentroids(PqDim, k = 4, planeOffset = 950)
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_crash").toString
@@ -484,5 +526,88 @@ class KnnSpec extends SparkTestBase {
       assert(!new java.io.File(cluster, "_graft_compacting").exists)
       assert(spark.read.parquet(dir).select("vec_id").distinct().count() == ref)
     } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  // two near-dup pairs on orthogonal axes, a loner, and a mid vector below
+  // every pair threshold — the LSH-index fixtures
+  private lazy val lshVecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.01f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.01f, 0.99f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f)),
+    (5L, Array(0.5f, 0.5f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("persisted LSH signature index: pairs ≡ the in-memory multi-table path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+    try {
+      // two-half build exercises the append path streaming ingest rides
+      Ann.writeLshSigIndex(lshVecs.where(col("vec_id") % 2 === 0), "embedding",
+        "vec_id", dir, dim = 3, bits = 8, tables = 6, prefixBits = 3)
+      Ann.writeLshSigIndex(lshVecs.where(col("vec_id") % 2 =!= 0), "embedding",
+        "vec_id", dir, dim = 3, bits = 8, tables = 6, prefixBits = 3,
+        mode = "append")
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fromIdx = pairSet(Ann.cosinePairsFromLshIndex(
+        spark, dir, lshVecs, "embedding", "vec_id", 0.95))
+      val direct = pairSet(Ann.cosineNearDuplicatesMultiTable(
+        lshVecs, "embedding", "vec_id", 0.95, dim = 3, bits = 8, tables = 6))
+      assert(fromIdx == direct)
+      assert(fromIdx == Set((0L, 1L), (2L, 3L)))
+      // parameter drift on append is rejected, not silently mixed
+      intercept[IllegalArgumentException] {
+        Ann.writeLshSigIndex(lshVecs, "embedding", "vec_id", dir,
+          dim = 3, bits = 4, tables = 6, prefixBits = 3, mode = "append")
+      }
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("LSH index probe prunes partitions and finds the batch's near-dups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_probe").toString
+    try {
+      Ann.writeLshSigIndex(lshVecs, "embedding", "vec_id", dir,
+        dim = 3, bits = 8, tables = 6, prefixBits = 3)
+      val batch = Seq((100L, Array(0.999f, 0.001f, 0.0f))).toDF("vec_id", "embedding")
+      val probe = Ann.lshProbeIndex(spark, dir, lshVecs, batch,
+        "embedding", "vec_id", 0.95)
+      // the layout scan carries a PartitionFilter on tp — planning-time
+      // pruning, unprobed signature directories never open
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("tp"), plan)
+      val got = probe.select("batch_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 0L), (100L, 1L)))
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("IngestLsh ladder: in-batch collapse, cross-batch probe, replay self-heals") {
+    import graft.streaming.IngestLsh
+    val root = java.nio.file.Files.createTempDirectory("graft_lsh_ingest").toString
+    val (idx, cor) = (s"$root/index", s"$root/corpus")
+    try {
+      def run(b: org.apache.spark.sql.DataFrame): Unit =
+        IngestLsh.processBatch(b, idx, cor, "embedding", "vec_id",
+          threshold = 0.95, dim = 3, bits = 8, tables = 6, prefixBits = 3)
+      def corpusIds = spark.read.parquet(cor)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      // batch 1: each near-dup pair collapses to its min id in-batch
+      run(lshVecs)
+      assert(corpusIds == Set(0L, 2L, 4L, 5L))
+      // batch 2: 10 is a scaled copy of 0 (cosine 1 → probe drops it),
+      // 11 is a new direction (survives), 12 is a zero vector (rejected)
+      val batch2 = Seq(
+        (10L, Array(2.0f, 0.0f, 0.0f)),
+        (11L, Array(0.6f, -0.8f, 0.0f)),
+        (12L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      run(batch2)
+      assert(corpusIds == Set(0L, 2L, 4L, 5L, 11L))
+      // at-least-once replay of batch 2: every live row lands at cosine 1
+      // against its first copy — nothing appends twice
+      run(batch2)
+      assert(spark.read.parquet(cor).count() == 5L)
+      assert(corpusIds == Set(0L, 2L, 4L, 5L, 11L))
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(root))
   }
 }

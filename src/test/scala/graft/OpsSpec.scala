@@ -1279,6 +1279,58 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("audio fingerprint: real WAV decode matches the closed form, edits stay near") {
+    import graft.operators.{Dedup, Multimodal}
+    import spark.implicits._
+    // clips spread over the id space (distinct waveform offsets) + a
+    // one-sample-edited copy of four of them
+    val baseIds = (0L until 20L).map(_ * 37L)
+    val editIds = Seq(0L, 5L * 37L, 10L * 37L, 15L * 37L)
+    val base = baseIds.map(id => (id, id, 0)).toDF("media_id", "base_id", "bump")
+    val copies = editIds.map(id => (id + 10000L, id, 1)).toDF("media_id", "base_id", "bump")
+    val media = Multimodal.syntheticAudioVariants(base.union(copies),
+      "media_id", "base_id", "bump")
+    val fps = Multimodal.audioFingerprints(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.size == 24)
+    // the DECODE path is the content under test: fingerprints from the real
+    // WAV round trip must equal the same SimHash core fed the closed-form
+    // quantized tokens directly
+    val handToks = (baseIds.map(id => (id, id, 0)) ++ editIds.map(id => (id + 10000L, id, 1)))
+      .flatMap { case (mid, bid, bump) =>
+        val n = (bid % 96 + 32).toInt
+        (0 until n).map { i =>
+          val b = if (i == 0) bump * 256L else 0L
+          (mid, s"$i:${((bid * 31 + i * 173L + b) % 65536) / 1024}")
+        }
+      }.toDF("id", "t")
+    val expected = Dedup.simhashSignaturesMd5FromTokens(handToks)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps == expected)
+    // one-sample edits stay within the Hamming budget; decorrelated clips
+    // stay far outside it (the discrimination an envelope hash lacks)
+    for (id <- editIds) {
+      val d = java.lang.Long.bitCount(fps(id) ^ fps(id + 10000L))
+      assert(d <= 7, s"edit distance for clip $id was $d bits")
+    }
+    val unrelated = for {
+      a <- baseIds; b <- baseIds if a < b
+    } yield java.lang.Long.bitCount(fps(a) ^ fps(b))
+    assert(unrelated.count(_ > 7) > unrelated.size * 3 / 4,
+      s"most distinct clips must decorrelate, distances: ${unrelated.sorted}")
+    // the banded pair join surfaces every (base, copy) pair
+    val pairs = Dedup.simhashPairsFromSignatures(
+      Multimodal.audioFingerprints(media)
+        .select(col("media_id").as("id"), col("afp").as("sh")), maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (id <- editIds) assert(pairs.contains((id, id + 10000L)))
+    // non-WAV payloads emit no row (stills/videos are the image family's)
+    val mixed = Multimodal.syntheticEncodedMedia((0L until 6L).toDF("doc_id"), "doc_id")
+    val audioOnly = Multimodal.audioFingerprints(mixed)
+      .collect().map(_.getLong(0)).toSet
+    assert(audioOnly == Set(1L, 4L)) // ids ≡ 1 mod 3 are the WAV payloads
+  }
+
   test("phash index probe: partition-pruned and recall-complete vs brute force") {
     import graft.operators.Multimodal
     import spark.implicits._
@@ -1513,6 +1565,40 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(lab(1L) == lab(2L) && lab(2L) == lab(3L))
     assert(lab.size == 4) // the unpaired doc keeps its own hash split
+  }
+
+  test("withClusterSafeSplit: the component broadcast is gated, not unconditional") {
+    // on the dup-heavy corpora this operator targets, the component table
+    // is corpus-scale — above the limit the attach must be a plain shuffle
+    // join, never a broadcast hint of a corpus-sized frame (the
+    // pageRankScaled broadcastNodeLimit discipline)
+    import graft.operators.Sampling
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // silence Catalyst's own size-based auto-broadcast so the plan shows
+    // exactly what the gate requested
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def labs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val shuffled = Sampling.withClusterSafeSplit(docs, "doc_id", pairs,
+        assumeSmallClusters = Some(false))
+      val sPlan = shuffled.queryExecution.executedPlan.toString
+      assert(!sPlan.contains("BroadcastExchange"),
+        s"above the limit the component attach must not broadcast:\n$sPlan")
+      val hinted = Sampling.withClusterSafeSplit(docs, "doc_id", pairs,
+        assumeSmallClusters = Some(true))
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        "below the limit the gate should keep the broadcast")
+      // the size probe itself routes above-limit tables to the shuffle join
+      val probed = Sampling.withClusterSafeSplit(docs, "doc_id", pairs,
+        broadcastComponentLimit = 0L)
+      assert(!probed.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+      // every path labels identically — the gate is a plan choice only
+      assert(labs(shuffled) == labs(hinted) && labs(probed) == labs(shuffled))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
   test("trainHashedLinearModel: fixed-point GD matches the hand-rolled recurrence") {
