@@ -276,6 +276,7 @@ object OpsPack {
     annRpPersisted(s, dir)
     multimodalProbeIndex(s, dir)
     multimodalIncremental(s, dir)
+    cosinePairsLshPersisted(s, dir)
   }
 
   /** Fingerprint of a source table's files (path, size, mtime) plus the
@@ -856,6 +857,36 @@ object OpsPack {
       bits = CosLshBits, tables = CosLshTables)
       .select("id1", "id2").orderBy("id1", "id2")
 
+  private val lshSigIndexCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The same cosine pairs from the PERSISTED signature index
+    * ([[graft.operators.Ann.writeLshSigIndex]] /
+    * [[graft.operators.Ann.cosinePairsFromLshIndex]]): the layout is built
+    * in two halves — overwrite then append — so the query exercises the
+    * exact append path [[graft.streaming.IngestLsh]] rides, and the pair
+    * computation reads postings instead of re-signing the corpus. Stored
+    * signatures ≡ on-the-fly signatures (same fused plane expression), so
+    * the output is [[cosinePairsLsh]]'s bit for bit and shares its oracle
+    * SQL verbatim. */
+  def cosinePairsLshPersisted(s: SparkSession, dir: String): DataFrame = {
+    val path = Memo.memo(lshSigIndexCache, dir, {
+      val p = "target/graft_lsh_sig_index_" + layoutStamp(dir, "embeddings",
+        s"bits=$CosLshBits|tables=$CosLshTables|pfx=4|v1")
+      if (!layoutComplete(p)) {
+        val e = embeddings(s, dir)
+        Ann.writeLshSigIndex(e.where(col("vec_id") % 2 === 0), "embedding",
+          "vec_id", p, EmbeddingDim, CosLshBits, CosLshTables, prefixBits = 4)
+        Ann.writeLshSigIndex(e.where(col("vec_id") % 2 =!= 0), "embedding",
+          "vec_id", p, EmbeddingDim, CosLshBits, CosLshTables, prefixBits = 4,
+          mode = "append")
+      }
+      p
+    })
+    Ann.cosinePairsFromLshIndex(s, path, embeddings(s, dir), "embedding",
+      "vec_id", CosLshThreshold)
+      .select("id1", "id2").orderBy("id1", "id2")
+  }
+
   /** Semantic dedup parameters. The centroid family is the deterministic
     * [[Ann.planeVector]] family (disjoint plane offset from every LSH use),
     * normalized to unit length so no centroid's norm penalty dominates the
@@ -1002,6 +1033,28 @@ object OpsPack {
       denominator = HeavyHitterDenominator,
       capacity = 2 * HeavyHitterDenominator.toInt)
       .orderBy(col("freq").desc, col("token"))
+  }
+
+  /** Per-group support threshold: within each language, a token is heavy
+    * at support ≥ 1/200 of THAT language's token stream — the per-segment
+    * question ("dominant tokens per language / boilerplate per domain")
+    * the global sketch cannot answer, since a small language's heavy
+    * tokens are invisible against the whole corpus's N. */
+  val HeavyHitterGroupDenominator = 200L
+
+  /** Exact PER-GROUP heavy hitters
+    * ([[graft.operators.HeavyHitters.heavyHittersByGroup]]): one
+    * independent Misra-Gries sketch per (partition, language) bounds each
+    * group's candidates against its OWN stream length, then the exact
+    * recount keyed on (lang, token) — so the emitted counts hash-check
+    * against a plain per-group GROUP BY / HAVING oracle. */
+  def textHeavyHittersGrouped(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HeavyHitters
+    val toks = HeavyHitters.tokenStreamByGroup(docs(s, dir), "lang", "text")
+    HeavyHitters.heavyHittersByGroup(toks, "lang", "token",
+      denominator = HeavyHitterGroupDenominator,
+      capacity = 2 * HeavyHitterGroupDenominator.toInt)
+      .orderBy(col("lang"), col("freq").desc, col("token"))
   }
 
   /** Count-Min grid shape for the sketch driver query: 4 rows × 1024
@@ -2094,6 +2147,44 @@ object OpsPack {
   def multimodalNearDupDhash(s: SparkSession, dir: String): DataFrame =
     phashPairs(s, dir, "dhash")
 
+  /** A one-sample edit moves the SimHash only where the bit-majority
+    * margin is within ±2 — measured mean 0.8 / max 7 bits on this corpus —
+    * so the budget is looser than the image families' 3; 8 pigeonhole
+    * blocks of 8 bits still keep decorrelated clips (~32 bits apart)
+    * unreachable. */
+  val AudioMaxHamming = 7
+
+  /** AUDIO perceptual near-dup driver query
+    * ([[graft.operators.Multimodal.audioFingerprints]] +
+    * [[graft.operators.Dedup.simhashPairsFromSignatures]]): every document
+    * becomes a REAL encoded WAV clip, every 5th also a one-sample-edited
+    * copy, then the decode → quantized-waveform SimHash → Hamming-banded
+    * pigeonhole pair join finds the copies without any all-pairs
+    * comparison — the image near-dup ladder with the codec and fingerprint
+    * swapped for the audio stack. (Besides the planted copies, adjacent
+    * doc ids yield waveforms offset by 31/65536 of full scale — genuinely
+    * near-identical audio below the quantization width — and surface as
+    * incidental near-dups, like the image corpus's hash-near stills.)
+    * PCM16 is lossless and the hash md5/integer-exact, so the DuckDB
+    * oracle mirrors the whole pipeline from the generator's closed sample
+    * forms. Output: (id1, id2, hamming). */
+  def multimodalNearDupAudio(s: SparkSession, dir: String): DataFrame =
+    Dedup.newCacheScope {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id").as("media_id"),
+        col("doc_id").as("base_id"), lit(0).as("bump"))
+      val variants = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + PhashVariantOffset).as("media_id"),
+          col("doc_id").as("base_id"), lit(1).as("bump"))
+      val media = Multimodal.syntheticAudioVariants(
+        base.union(variants), "media_id", "base_id", "bump")
+      // cache: the banded pair join reads the fingerprint frame twice
+      val hashes = Dedup.cacheShared(Multimodal.audioFingerprints(media)
+        .select(col("media_id").as("id"), col("afp").as("sh")))
+      Dedup.simhashPairsFromSignatures(hashes, maxHamming = AudioMaxHamming)
+        .orderBy("id1", "id2")
+    }
+
   private val phashIngestCache =
     scala.collection.concurrent.TrieMap[String, (String, String)]()
 
@@ -2201,6 +2292,28 @@ object OpsPack {
       li.where(col("l_orderkey") % 3 =!= 0), "l_extendedprice",
       "l_returnflag")
       .orderBy("l_returnflag")
+  }
+
+  /** Metrics the ranked drift rollup scans — one per-group KS per metric. */
+  val KsRankedMetrics = Seq("l_extendedprice", "l_quantity", "l_discount")
+
+  /** RANKED drift rollup — the table a drift review actually reads: one
+    * row per (metric, segment), every numeric metric's per-group exact KS
+    * in one output, ordered worst-first by d_scaled ("which segment of
+    * which metric drifted most"). d_scaled = max|r₁·n₂ − r₂·n₁| compares
+    * across metrics of the same group because the n₁·n₂ scale is the
+    * group's row counts, metric-independent (up to per-metric NULLs).
+    * Deterministic ties by (metric, segment). */
+  def profileKsRanked(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val a = li.where(col("l_orderkey") % 3 === 0)
+    val b = li.where(col("l_orderkey") % 3 =!= 0)
+    KsRankedMetrics.map { m =>
+      graft.operators.Profile.ksStatisticByGroup(a, m, b, m, "l_returnflag")
+        .select(lit(m).as("metric"), col("l_returnflag"), col("n1"),
+          col("n2"), col("d_scaled"), col("at_value"))
+    }.reduce(_ union _)
+      .orderBy(col("d_scaled").desc, col("metric"), col("l_returnflag"))
   }
 
   /** Numeric distribution profile over lineitem's measure columns: exact
@@ -2427,6 +2540,29 @@ object OpsPack {
         "CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind",
         "node DIV 2 AS key", "rank_scaled")
       .orderBy("kind", "key")
+  }
+
+  /** TrustRank over the DOC-SIMILARITY graph — the end-to-end curation
+    * composite: edges are MinHash near-dup pairs (the q_dedup_minhash_lsh
+    * detector verbatim, symmetrized), seeds are the curated slice
+    * (doc_id % 7 = 0), and seed trust diffuses over similarity edges —
+    * "how close is each document to vetted content through chains of
+    * near-duplication", the signal that catches paraphrase farms whose
+    * members individually pass quality gates. Reuses
+    * [[graft.operators.Graph.personalizedPageRankScaled]] unchanged; the
+    * oracle composes the MinHash pair CTEs with the unrolled PPR mirror.
+    * Documents in no near-dup pair are not graph nodes and emit no row. */
+  def graphPprDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashNearDuplicatesMd5(d, "text", "doc_id",
+      threshold = 0.5, numHashes = 64, bands = 16)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val seeds = d.where(col("doc_id") % 7 === 0).select(col("doc_id").as("node"))
+    graft.operators.Graph.personalizedPageRankScaled(pairs, seeds, PprIters,
+      symmetrize = true,
+      assumeSmallGraph = if (d.count() <= 4000000L) Some(true) else None)
+      .select(col("node").as("doc_id"), col("rank_scaled"))
+      .orderBy("doc_id")
   }
 
   /** CUSUM changepoint driver query: per-user one-sided drift statistic
@@ -3374,6 +3510,7 @@ object OpsPack {
     "q_text_boilerplate_para" -> (boilerplateCleanPara _),
     "q_text_vocab" -> (vocabStats _),
     "q_text_heavy_hitters" -> (textHeavyHitters _),
+    "q_text_heavy_hitters_grouped" -> (textHeavyHittersGrouped _),
     "q_sketch_countmin" -> (sketchCountMin _),
     "q_sketch_distinct" -> (sketchDistinct _),
     "q_sketch_distinct_grouped" -> (sketchDistinctGrouped _),
@@ -3425,6 +3562,8 @@ object OpsPack {
     "q_profile_chi2" -> (profileChi2 _),
     "q_profile_ks" -> (profileKs _),
     "q_profile_ks_grouped" -> (profileKsGrouped _),
+    "q_profile_ks_ranked" -> (profileKsRanked _),
+    "q_graph_ppr_docs" -> (graphPprDocs _),
     "q_events_chi2_drift" -> (eventsChi2Drift _),
     "q_cdc_apply" -> (cdcApply _),
     "q_cdc_stream_apply" -> (cdcStreamApply _),
@@ -3432,6 +3571,7 @@ object OpsPack {
     "q_source_orc" -> (sourceOrc _),
     "q_embedding_cosine_pairs" -> (cosinePairs _),
     "q_embedding_cosine_lsh" -> (cosinePairsLsh _),
+    "q_embedding_cosine_lsh_persisted" -> (cosinePairsLshPersisted _),
     "q_embedding_align" -> (embeddingAlign _),
     "q_embedding_align_margin" -> (embeddingAlignMargin _),
     "q_embedding_align_lsh" -> (embeddingAlignLsh _),
@@ -3444,6 +3584,7 @@ object OpsPack {
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_multimodal_near_dup" -> (multimodalNearDup _),
     "q_multimodal_near_dup_dhash" -> (multimodalNearDupDhash _),
+    "q_multimodal_near_dup_audio" -> (multimodalNearDupAudio _),
     "q_multimodal_probe_index" -> (multimodalProbeIndex _),
     "q_multimodal_incremental" -> (multimodalIncremental _))
 
@@ -4379,6 +4520,20 @@ object OpsPack {
        |SELECT token, freq FROM cf, tot
        |WHERE freq * $HeavyHitterDenominator >= n
        |ORDER BY freq DESC, token""".stripMargin
+
+  /** Per-group heavy-hitters oracle: the same tokenization split per
+    * language, per-group totals, and the HAVING cut against the group's
+    * own total — plain SQL, because the sketch only bounds candidates and
+    * the emitted counts are exact. */
+  private val heavyHittersGroupedSql: String =
+    s"""WITH toks AS (SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) t
+       |              FROM documents WHERE lang IS NOT NULL),
+       |tot AS (SELECT lang, count(*) n FROM toks GROUP BY 1),
+       |cf AS (SELECT lang, t AS token, CAST(count(*) AS BIGINT) freq
+       |       FROM toks GROUP BY 1, 2)
+       |SELECT cf.lang, token, freq FROM cf JOIN tot USING (lang)
+       |WHERE freq * $HeavyHitterGroupDenominator >= n
+       |ORDER BY lang, freq DESC, token""".stripMargin
 
   /** Count-Min oracle: the grid rebuilt cell-for-cell in SQL — md5 hex
     * halves parsed to the same 48-bit longs ([[graft.operators.Dedup.md5Prefix48]]
@@ -5703,6 +5858,46 @@ object OpsPack {
        |SELECT id1, id2, hamming FROM ham
        |WHERE hamming <= $PhashMaxHamming ORDER BY id1, id2""".stripMargin
 
+  /** Audio perceptual near-dup oracle: the clip corpus (every doc + the
+    * one-sample-edited copy of every 5th) rebuilt from the generator's
+    * closed sample forms, the quantized-waveform SimHash mirrored bit for
+    * bit — token `i || ':' || (m // 1024)` where m is the biased sample
+    * `(base_id·31 + i·173 [+ bump·256 at i=0]) % 65536` (the engine's
+    * `(s+32768) >> 10` IS `m // 1024`; all modulo operands non-negative,
+    * so DuckDB's % agrees with the JVM's), then the q_dedup_simhash md5
+    * nibble-majority pipeline and the per-bit CASE Hamming sum. */
+  private val multimodalNearDupAudioSql: String = {
+    val nibs = (0 until 16)
+      .map(k => s"('0x' || substr(h, ${k + 1}, 1))::INT v$k").mkString(", ")
+    val bitSums = (0 until 64)
+      .map(j => s"SUM((v${j / 4} >> ${j % 4}) & 1) b$j").mkString(", ")
+    val sigBits = (0 until 64).map(j => s"(2 * b$j > n) s$j").mkString(", ")
+    val hamming = (0 until 64)
+      .map(j => s"(CASE WHEN x.s$j <> y.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(doc_id AS BIGINT) AS base_id,
+       |         0 AS bump
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id + $PhashVariantOffset AS BIGINT), CAST(doc_id AS BIGINT), 1
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |clip AS (SELECT media_id, base_id, bump, base_id % 96 + 32 AS nsamp FROM m),
+       |samp AS (SELECT media_id, base_id, bump, unnest(range(0, nsamp)) AS i FROM clip),
+       |tok AS (SELECT media_id,
+       |          i || ':' || ((base_id*31 + i*173
+       |            + CASE WHEN i = 0 THEN bump*256 ELSE 0 END) % 65536) // 1024 AS t
+       |        FROM samp),
+       |h AS (SELECT media_id, md5(t) h FROM tok),
+       |nib AS (SELECT media_id, $nibs FROM h),
+       |bits AS (SELECT media_id, count(*) n, $bitSums FROM nib GROUP BY media_id),
+       |sig AS (SELECT media_id, $sigBits FROM bits),
+       |ham AS (SELECT x.media_id AS id1, y.media_id AS id2,
+       |          CAST($hamming AS INTEGER) AS hamming
+       |        FROM sig x JOIN sig y ON x.media_id < y.media_id)
+       |SELECT id1, id2, hamming FROM ham
+       |WHERE hamming <= $AudioMaxHamming ORDER BY id1, id2""".stripMargin
+  }
+
   /** Incremental image-ingest oracle: the whole two-batch ladder replayed
     * declaratively — closed-form hashes for all three payload sets (base,
     * bump-1 copy, bump-2 copy), per-batch recursive component closure with
@@ -6133,6 +6328,35 @@ object OpsPack {
        |FROM r$PprIters ORDER BY kind, key""".stripMargin
   }
 
+  /** Docs-TrustRank oracle: the MinHash pair CTEs (the q_dedup_minhash_lsh
+    * mirror verbatim) feed the symmetrized edge table, and the unrolled
+    * PPR recurrence runs over it with the doc_id%7 seed flag — one WITH,
+    * two composed oracles. */
+  private val graphPprDocsSql: String = {
+    val scale = graft.operators.Graph.DefaultScale
+    val base = (15L * scale) / 100L
+    val iterCtes = (1 to PprIters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |  CAST(n.seed * $base + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM ns n LEFT JOIN (
+         |    SELECT ed.dst AS node, SUM(r.r // ed.outdeg) AS c
+         |    FROM ed JOIN r${i - 1} r ON r.node = ed.src GROUP BY ed.dst) s USING (node))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $gramsCtes,
+       |${minhashPairCtes(0.5)},
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM mh_pairs
+       |          UNION SELECT id2, id1 FROM mh_pairs),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |ns AS (SELECT node, CASE WHEN node % 7 = 0 THEN 1 ELSE 0 END AS seed FROM nodes),
+       |r0 AS (SELECT node, CAST(seed * $scale AS BIGINT) AS r FROM ns),
+       |$iterCtes
+       |SELECT node AS doc_id, r AS rank_scaled
+       |FROM r$PprIters ORDER BY doc_id""".stripMargin
+  }
+
   /** KS oracle: the textbook global-window formulation — per-value side
     * counts, inclusive running ranks over the full value order, exact
     * integer deviation, smallest-value tie. The engine's bucketed
@@ -6183,6 +6407,43 @@ object OpsPack {
       |WHERE d.dd = dm.dmax
       |GROUP BY d.g, n.n1, n.n2, dm.dmax
       |ORDER BY l_returnflag""".stripMargin
+
+  /** Ranked-drift oracle: the grouped-KS mirror instantiated once per
+    * metric (suffixed CTE names in one WITH), unioned, ordered worst-first
+    * — exactly the engine's union of per-metric ksStatisticByGroup runs. */
+  private val profileKsRankedSql: String = {
+    def block(m: String, i: Int): String =
+      s"""u$i AS (
+         |  SELECT CAST(l_returnflag AS VARCHAR) g, CAST($m AS DOUBLE) v, 1 c1, 0 c2
+         |  FROM lineitem
+         |  WHERE l_orderkey % 3 = 0 AND l_returnflag IS NOT NULL AND $m IS NOT NULL
+         |  UNION ALL
+         |  SELECT CAST(l_returnflag AS VARCHAR), CAST($m AS DOUBLE), 0, 1
+         |  FROM lineitem
+         |  WHERE l_orderkey % 3 <> 0 AND l_returnflag IS NOT NULL AND $m IS NOT NULL),
+         |gv$i AS (SELECT g, v, CAST(sum(c1) AS BIGINT) c1, CAST(sum(c2) AS BIGINT) c2
+         |         FROM u$i GROUP BY g, v),
+         |n$i AS (SELECT g, CAST(sum(c1) AS BIGINT) n1, CAST(sum(c2) AS BIGINT) n2
+         |        FROM gv$i GROUP BY g),
+         |r$i AS (SELECT g, v,
+         |          CAST(sum(c1) OVER (PARTITION BY g ORDER BY v) AS BIGINT) r1,
+         |          CAST(sum(c2) OVER (PARTITION BY g ORDER BY v) AS BIGINT) r2 FROM gv$i),
+         |d$i AS (SELECT r$i.g, r$i.v, abs(r$i.r1 * n$i.n2 - r$i.r2 * n$i.n1) dd
+         |        FROM r$i JOIN n$i USING (g) WHERE n$i.n1 > 0 AND n$i.n2 > 0),
+         |dm$i AS (SELECT g, max(dd) dmax FROM d$i GROUP BY g),
+         |res$i AS (SELECT '$m' AS metric, d$i.g AS l_returnflag, n$i.n1, n$i.n2,
+         |    CAST(dm$i.dmax AS BIGINT) AS d_scaled, min(d$i.v) AS at_value
+         |  FROM d$i JOIN dm$i USING (g) JOIN n$i USING (g)
+         |  WHERE d$i.dd = dm$i.dmax
+         |  GROUP BY d$i.g, n$i.n1, n$i.n2, dm$i.dmax)""".stripMargin
+    val blocks = KsRankedMetrics.zipWithIndex
+      .map { case (m, i) => block(m, i) }.mkString(",\n")
+    val union = KsRankedMetrics.indices
+      .map(i => s"SELECT * FROM res$i").mkString(" UNION ALL ")
+    s"""WITH $blocks
+       |SELECT * FROM ($union)
+       |ORDER BY d_scaled DESC, metric, l_returnflag""".stripMargin
+  }
 
   /** Sliding-window oracle: a 2h/1h sliding window assigns each event to
     * the hourly windows starting at its floor-hour and the hour before —
@@ -6583,6 +6844,7 @@ object OpsPack {
     "q_text_boilerplate_para" -> boilerplateParaSql,
     "q_text_vocab" -> vocabSql,
     "q_text_heavy_hitters" -> heavyHittersSql,
+    "q_text_heavy_hitters_grouped" -> heavyHittersGroupedSql,
     "q_sketch_countmin" -> countMinSql,
     "q_sketch_distinct" -> distinctSketchSql,
     "q_sketch_distinct_grouped" -> distinctSketchGroupedSql,
@@ -6609,6 +6871,8 @@ object OpsPack {
     "q_profile_chi2" -> profileChi2Sql,
     "q_profile_ks" -> profileKsSql,
     "q_profile_ks_grouped" -> profileKsGroupedSql,
+    "q_profile_ks_ranked" -> profileKsRankedSql,
+    "q_graph_ppr_docs" -> graphPprDocsSql,
     "q_events_chi2_drift" -> eventsChi2Sql,
     "q_cdc_apply" -> cdcApplySql,
     "q_cdc_stream_apply" -> cdcApplySql,
@@ -6661,6 +6925,9 @@ object OpsPack {
     "q_profile_drift" -> profileDriftSql,
     "q_embedding_cosine_pairs" -> cosinePairsLsh2Sql,
     "q_embedding_cosine_lsh" -> cosineLshSql,
+    // the persisted-index form reads stored signatures that are
+    // bit-identical to the on-the-fly ones — same pairs, same oracle
+    "q_embedding_cosine_lsh_persisted" -> cosineLshSql,
     "q_embedding_align" -> embeddingAlignSql,
     "q_embedding_align_margin" -> embeddingAlignMarginSql,
     "q_embedding_align_lsh" -> embeddingAlignLshSql,
@@ -6673,6 +6940,7 @@ object OpsPack {
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_multimodal_near_dup" -> multimodalNearDupSql,
     "q_multimodal_near_dup_dhash" -> multimodalNearDupDhashSql,
+    "q_multimodal_near_dup_audio" -> multimodalNearDupAudioSql,
     "q_multimodal_probe_index" -> multimodalProbeIndexSql,
     "q_multimodal_incremental" -> multimodalIncrementalSql)
 }
