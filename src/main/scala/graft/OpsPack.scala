@@ -2306,13 +2306,25 @@ object OpsPack {
     * Deterministic ties by (metric, segment). */
   def profileKsRanked(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
-    val a = li.where(col("l_orderkey") % 3 === 0)
-    val b = li.where(col("l_orderkey") % 3 =!= 0)
-    KsRankedMetrics.map { m =>
-      graft.operators.Profile.ksStatisticByGroup(a, m, b, m, "l_returnflag")
-        .select(lit(m).as("metric"), col("l_returnflag"), col("n1"),
-          col("n2"), col("d_scaled"), col("at_value"))
-    }.reduce(_ union _)
+    // ONE scan per side for ALL metrics: melt (metric, value) rows and ride
+    // the existing grouped KS with a composite (metric ∥ group) key —
+    // groups are independent in ksStatisticByGroup, so per-composite-group
+    // results are identical to three per-metric runs (the oracle keeps the
+    // per-metric form), at 2 lineitem scans instead of 6
+    val stackExpr = s"stack(${KsRankedMetrics.size}, " +
+      KsRankedMetrics.map(m => s"'$m', CAST($m AS DOUBLE)").mkString(", ") +
+      ") AS (metric, v)"
+    def melt(cond: org.apache.spark.sql.Column) =
+      li.where(cond && col("l_returnflag").isNotNull)
+        .selectExpr("l_returnflag", stackExpr)
+        .withColumn("__mg", concat_ws("\u0001", col("metric"), col("l_returnflag")))
+    val a = melt(col("l_orderkey") % 3 === 0)
+    val b = melt(col("l_orderkey") % 3 =!= 0)
+    graft.operators.Profile.ksStatisticByGroup(a, "v", b, "v", "__mg")
+      .withColumn("__parts", split(col("__mg"), "\u0001"))
+      .select(col("__parts").getItem(0).as("metric"),
+        col("__parts").getItem(1).as("l_returnflag"),
+        col("n1"), col("n2"), col("d_scaled"), col("at_value"))
       .orderBy(col("d_scaled").desc, col("metric"), col("l_returnflag"))
   }
 
