@@ -277,6 +277,7 @@ object OpsPack {
     multimodalProbeIndex(s, dir)
     multimodalIncremental(s, dir)
     cosinePairsLshPersisted(s, dir)
+    multimodalProbeIndexAudio(s, dir)
   }
 
   /** Fingerprint of a source table's files (path, size, mtime) plus the
@@ -2268,6 +2269,45 @@ object OpsPack {
         .orderBy("probe_id", "corpus_id")
     }
 
+  private val audioIndexCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Audio probe-vs-persisted-index driver query: the banded fingerprint
+    * index machinery is 64-bit-agnostic, so the AUDIO fingerprints ride
+    * [[graft.operators.Multimodal.writePhashIndex]] /
+    * [[graft.operators.Multimodal.phashProbeIndex]] unchanged (afp renamed
+    * to the layout's phash column) — the whole corpus's clip fingerprints
+    * live in the `bp`-partitioned index (one-off ingest, stamped+reused),
+    * the one-sample-edited variants probe it reading only their own
+    * block-value partitions, and must surface exactly the ≤ maxHamming
+    * probe×corpus pairs. The daily-delivery dedup shape, audio edition. */
+  def multimodalProbeIndexAudio(s: SparkSession, dir: String): DataFrame =
+    Dedup.newCacheScope {
+      val d = docs(s, dir)
+      val path = Memo.memo(audioIndexCache, dir, {
+        val p = "target/graft_audio_index_" +
+          layoutStamp(dir, "documents", s"afp|$AudioMaxHamming|pfx4|v1")
+        if (!layoutComplete(p)) {
+          val base = d.select(col("doc_id").as("media_id"),
+            col("doc_id").as("base_id"), lit(0).as("bump"))
+          val corpusFps = Multimodal.audioFingerprints(
+            Multimodal.syntheticAudioVariants(base, "media_id", "base_id", "bump"))
+            .select(col("media_id"), col("afp").as("phash"))
+          Multimodal.writePhashIndex(corpusFps, p, AudioMaxHamming)
+        }
+        p
+      })
+      val variants = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + PhashVariantOffset).as("media_id"),
+          col("doc_id").as("base_id"), lit(1).as("bump"))
+      // cached: the banded probe derivation reads the fingerprint frame
+      // twice (partition-list collect + candidate join)
+      val probes = Dedup.cacheShared(Multimodal.audioFingerprints(
+        Multimodal.syntheticAudioVariants(variants, "media_id", "base_id", "bump"))
+        .select(col("media_id"), col("afp").as("phash")))
+      Multimodal.phashProbeIndex(s, path, probes, AudioMaxHamming)
+        .orderBy("probe_id", "corpus_id")
+    }
+
   /** Exact two-sample KS drift driver query
     * ([[graft.operators.Profile.ksStatistic]]): the l_orderkey%3 slice of
     * lineitem prices vs the rest — max CDF deviation as the exact scaled
@@ -3597,6 +3637,7 @@ object OpsPack {
     "q_multimodal_near_dup" -> (multimodalNearDup _),
     "q_multimodal_near_dup_dhash" -> (multimodalNearDupDhash _),
     "q_multimodal_near_dup_audio" -> (multimodalNearDupAudio _),
+    "q_multimodal_probe_index_audio" -> (multimodalProbeIndexAudio _),
     "q_multimodal_probe_index" -> (multimodalProbeIndex _),
     "q_multimodal_incremental" -> (multimodalIncremental _))
 
@@ -5878,14 +5919,33 @@ object OpsPack {
     * `(s+32768) >> 10` IS `m // 1024`; all modulo operands non-negative,
     * so DuckDB's % agrees with the JVM's), then the q_dedup_simhash md5
     * nibble-majority pipeline and the per-bit CASE Hamming sum. */
-  private val multimodalNearDupAudioSql: String = {
+  /** Audio SimHash signature CTE chain: from a media CTE `m<sfx>` carrying
+    * (media_id, base_id, bump) to `sig<sfx>` (media_id, s0..s63) — the
+    * closed-form decode→quantize→md5→nibble-majority mirror, suffixed so
+    * one WITH can carry corpus and probe signatures side by side. */
+  private def audioSigCtes(sfx: String): String = {
     val nibs = (0 until 16)
       .map(k => s"('0x' || substr(h, ${k + 1}, 1))::INT v$k").mkString(", ")
     val bitSums = (0 until 64)
       .map(j => s"SUM((v${j / 4} >> ${j % 4}) & 1) b$j").mkString(", ")
     val sigBits = (0 until 64).map(j => s"(2 * b$j > n) s$j").mkString(", ")
-    val hamming = (0 until 64)
-      .map(j => s"(CASE WHEN x.s$j <> y.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""clip$sfx AS (SELECT media_id, base_id, bump, base_id % 96 + 32 AS nsamp FROM m$sfx),
+       |samp$sfx AS (SELECT media_id, base_id, bump, unnest(range(0, nsamp)) AS i FROM clip$sfx),
+       |tok$sfx AS (SELECT media_id,
+       |          i || ':' || ((base_id*31 + i*173
+       |            + CASE WHEN i = 0 THEN bump*256 ELSE 0 END) % 65536) // 1024 AS t
+       |        FROM samp$sfx),
+       |h$sfx AS (SELECT media_id, md5(t) h FROM tok$sfx),
+       |nib$sfx AS (SELECT media_id, $nibs FROM h$sfx),
+       |bits$sfx AS (SELECT media_id, count(*) n, $bitSums FROM nib$sfx GROUP BY media_id),
+       |sig$sfx AS (SELECT media_id, $sigBits FROM bits$sfx)""".stripMargin
+  }
+
+  /** 64-term per-bit Hamming CASE sum between sig rows `x` and `y`. */
+  private def audioHammingExpr: String = (0 until 64)
+    .map(j => s"(CASE WHEN x.s$j <> y.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+
+  private val multimodalNearDupAudioSql: String =
     s"""WITH m AS (
        |  SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(doc_id AS BIGINT) AS base_id,
        |         0 AS bump
@@ -5893,22 +5953,34 @@ object OpsPack {
        |  UNION ALL
        |  SELECT CAST(doc_id + $PhashVariantOffset AS BIGINT), CAST(doc_id AS BIGINT), 1
        |  FROM documents WHERE doc_id % 5 = 0),
-       |clip AS (SELECT media_id, base_id, bump, base_id % 96 + 32 AS nsamp FROM m),
-       |samp AS (SELECT media_id, base_id, bump, unnest(range(0, nsamp)) AS i FROM clip),
-       |tok AS (SELECT media_id,
-       |          i || ':' || ((base_id*31 + i*173
-       |            + CASE WHEN i = 0 THEN bump*256 ELSE 0 END) % 65536) // 1024 AS t
-       |        FROM samp),
-       |h AS (SELECT media_id, md5(t) h FROM tok),
-       |nib AS (SELECT media_id, $nibs FROM h),
-       |bits AS (SELECT media_id, count(*) n, $bitSums FROM nib GROUP BY media_id),
-       |sig AS (SELECT media_id, $sigBits FROM bits),
+       |${audioSigCtes("")},
        |ham AS (SELECT x.media_id AS id1, y.media_id AS id2,
-       |          CAST($hamming AS INTEGER) AS hamming
+       |          CAST($audioHammingExpr AS INTEGER) AS hamming
        |        FROM sig x JOIN sig y ON x.media_id < y.media_id)
        |SELECT id1, id2, hamming FROM ham
        |WHERE hamming <= $AudioMaxHamming ORDER BY id1, id2""".stripMargin
-  }
+
+  /** Audio probe-vs-persisted-index oracle: corpus and probe signatures
+    * rebuilt from the closed forms, then the all-pairs probe×corpus
+    * Hamming filter — the engine's banded partition-pruned probe must
+    * equal it exactly (pigeonhole recall-completeness at the index's own
+    * maxHamming). */
+  private val multimodalProbeIndexAudioSql: String =
+    s"""WITH mc AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(doc_id AS BIGINT) AS base_id,
+       |         0 AS bump
+       |  FROM documents),
+       |${audioSigCtes("c")},
+       |mp AS (
+       |  SELECT CAST(doc_id + $PhashVariantOffset AS BIGINT) AS media_id,
+       |         CAST(doc_id AS BIGINT) AS base_id, 1 AS bump
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |${audioSigCtes("p")}
+       |SELECT x.media_id AS probe_id, y.media_id AS corpus_id,
+       |  CAST($audioHammingExpr AS INTEGER) AS hamming
+       |FROM sigp x JOIN sigc y ON TRUE
+       |WHERE $audioHammingExpr <= $AudioMaxHamming
+       |ORDER BY probe_id, corpus_id""".stripMargin
 
   /** Incremental image-ingest oracle: the whole two-batch ladder replayed
     * declaratively — closed-form hashes for all three payload sets (base,
@@ -6953,6 +7025,7 @@ object OpsPack {
     "q_multimodal_near_dup" -> multimodalNearDupSql,
     "q_multimodal_near_dup_dhash" -> multimodalNearDupDhashSql,
     "q_multimodal_near_dup_audio" -> multimodalNearDupAudioSql,
+    "q_multimodal_probe_index_audio" -> multimodalProbeIndexAudioSql,
     "q_multimodal_probe_index" -> multimodalProbeIndexSql,
     "q_multimodal_incremental" -> multimodalIncrementalSql)
 }
