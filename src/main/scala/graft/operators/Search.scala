@@ -292,8 +292,18 @@ object Search {
     * fast hash is fine here. Index construction is a one-off ingest job
     * (one shuffle to B files); [[substringSearchFromIndex]] probes it. */
   def writeTrigramIndex(docs: DataFrame, textCol: String, idCol: String,
-      path: String, numBuckets: Int = 64): Unit = {
+      path: String, numBuckets: Int = 64, mode: String = "overwrite"): Unit = {
     require(numBuckets > 0)
+    // bucketing parameters ride the layout (the inverted-index marker
+    // discipline): an append or probe under a different bucket count would
+    // silently prune partitions holding real postings
+    val marker = java.nio.file.Paths.get(path, TrigramBucketsFile)
+    if (mode == "append" && java.nio.file.Files.exists(marker)) {
+      val existing = new String(
+        java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toInt
+      require(existing == numBuckets,
+        s"trigram index at $path was built with $existing buckets, not $numBuckets")
+    }
     docs
       .select(col(idCol).as("doc_id"),
         expr(s"""CASE WHEN length(`$textCol`) >= 3
@@ -303,7 +313,27 @@ object Search {
       .select(col("doc_id"), explode(col("__grams")).as("g"))
       .withColumn("bucket", pmod(xxhash64(col("g")), lit(numBuckets.toLong)))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .write.mode(mode).partitionBy("bucket").parquet(path)
+    java.nio.file.Files.write(marker, numBuckets.toString.getBytes("UTF-8"))
+  }
+
+  private[graft] val TrigramBucketsFile = "_graft_trigram_buckets"
+
+  /** True once [[writeTrigramIndex]] has committed at least one batch. */
+  def trigramIndexReady(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, TrigramBucketsFile))
+
+  /** Rolling-ingest append into a [[writeTrigramIndex]] layout — the
+    * batch's distinct-trigram postings land in the same bucket partitions
+    * (no rewrite of existing postings); bucket-count drift is rejected via
+    * the layout marker. At-least-once replay duplicates a document's
+    * postings, which the probe tolerates (it counts DISTINCT matched
+    * trigrams per doc). */
+  def appendToTrigramIndex(batch: DataFrame, textCol: String, idCol: String,
+      path: String, numBuckets: Int = 64): Unit = {
+    if (batch.isEmpty) return
+    writeTrigramIndex(batch, textCol, idCol, path, numBuckets,
+      mode = if (trigramIndexReady(path)) "append" else "overwrite")
   }
 
   /** Substring search over the trigram index: every document containing
@@ -334,11 +364,23 @@ object Search {
     require(pattern.length >= 3,
       s"pattern must be >= 3 chars for the trigram index, got '$pattern'")
     require(broadcastLimit > 0, s"broadcastLimit must be > 0, got $broadcastLimit")
+    // a probe under the wrong bucket count would silently prune away real
+    // postings — reject drift when the layout carries its marker
+    val marker = java.nio.file.Paths.get(path, TrigramBucketsFile)
+    if (java.nio.file.Files.exists(marker)) {
+      val existing = new String(
+        java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toInt
+      require(existing == numBuckets,
+        s"trigram index at $path was built with $existing buckets, not $numBuckets")
+    }
     val grams = pattern.sliding(3).toSeq.distinct
     val buckets = grams.map(termBucket(_, numBuckets)).distinct
     val cand = spark.read.parquet(path)
       .where(col("bucket").isin(buckets: _*) && col("g").isin(grams: _*))
-      .groupBy("doc_id").agg(count(lit(1)).as("__ng"))
+      // DISTINCT matched trigrams, not posting rows: an at-least-once
+      // ingest replay duplicates a document's postings, and a plain count
+      // would overshoot |grams| and silently DROP the true match
+      .groupBy("doc_id").agg(countDistinct(col("g")).as("__ng"))
       .where(col("__ng") === grams.length)
       .select("doc_id")
     if (cand.count() <= broadcastLimit)

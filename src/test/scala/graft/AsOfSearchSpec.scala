@@ -307,6 +307,62 @@ class AsOfSearchSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming trigram ingest: grep equals accumulated-corpus contains per batch") {
+    import graft.streaming.IngestTrigram
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val indexPath = "target/ingest_trgm_index"
+    graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(indexPath))
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // compaction fires after batch 3 (batchId 2), so the final probe
+    // equality also pins grep across the self-compaction rewrite
+    val q = IngestTrigram.ingestToIndex(
+      input.toDF().toDF("doc_id", "text"), indexPath, "text", "doc_id",
+      numBuckets = 16, compactEveryBatches = 3, compactMaxFiles = 1)
+    val batches = Seq(
+      Seq((1L, "the quick brown fox"), (2L, "pack my box with jugs")),
+      Seq((3L, "quick silver foxes box"), (4L, "wholly unrelated text")),
+      Seq((5L, "a fox in a box")))
+    try {
+      var acc = Seq.empty[(Long, String)]
+      for (b <- batches) {
+        input.addData(b: _*)
+        q.processAllAvailable()
+        acc = acc ++ b
+        for (pat <- Seq("fox", "box")) {
+          val fromIndex = Search.substringSearchFromIndex(spark, indexPath,
+            acc.toDF("doc_id", "text"), "text", "doc_id", pat, numBuckets = 16)
+            .collect().map(_.getLong(0)).sorted.toSeq
+          val fromScan = acc.filter(_._2.contains(pat)).map(_._1).sorted
+          assert(fromIndex == fromScan, s"pattern '$pat' after ${b.map(_._1)}")
+        }
+      }
+      // at-least-once replay duplicates postings; the distinct-gram count
+      // keeps every true match (a row count would overshoot and drop them)
+      Search.appendToTrigramIndex(
+        batches.head.toDF("doc_id", "text"), "text", "doc_id", indexPath, 16)
+      val replayed = Search.substringSearchFromIndex(spark, indexPath,
+        acc.toDF("doc_id", "text"), "text", "doc_id", "fox", numBuckets = 16)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(replayed == acc.filter(_._2.contains("fox")).map(_._1).sorted)
+      // bucket-count drift is rejected on append AND on probe
+      intercept[IllegalArgumentException] {
+        Search.appendToTrigramIndex(
+          batches.head.toDF("doc_id", "text"), "text", "doc_id", indexPath, 32)
+      }
+      intercept[IllegalArgumentException] {
+        Search.substringSearchFromIndex(spark, indexPath,
+          acc.toDF("doc_id", "text"), "text", "doc_id", "fox", numBuckets = 32)
+      }
+      // the wired compactor ran
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      assert(walk(new java.io.File(indexPath)).exists(
+        _.getName.startsWith("graft-compact-")))
+    } finally q.stop()
+  }
+
   test("index append rejects a mismatched bucket count") {
     val path = "target/test_inv_bucket_guard"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
