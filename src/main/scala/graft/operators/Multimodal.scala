@@ -87,6 +87,26 @@ object Multimodal {
 
     private val VideoMagic: Array[Byte] = Array('G', 'V', 'C', '1').map(_.toByte)
 
+    // AudioSystem.getAudioInputStream / AudioSystem.write route every call
+    // through a GLOBAL `synchronized` provider lookup (JDK13Services), so
+    // 32 executor threads hammering 40k clips serialize on one monitor —
+    // measured: the audio fingerprint sweep ran SUPERLINEAR (ratio ~5-10
+    // at 8× data) until the providers were resolved ONCE here and invoked
+    // directly. Same SPI implementations, same bytes — only the per-call
+    // global lock is gone.
+    private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toSeq
+    }
+    private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala
+        .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+        .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter on this JDK"))
+    }
+
     def encodePng(img: BufferedImage): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       ImageIO.write(img, "png", bos)
@@ -109,14 +129,20 @@ object Multimodal {
       val ais = new AudioInputStream(
         new ByteArrayInputStream(data), fmt, samples.length.toLong)
       val bos = new ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      wavWriter.write(ais, AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
 
-    /** WAV stream → PCM16 samples (via AudioSystem, not manual RIFF
-      * parsing — the decode path exercises the real audio stack). */
+    /** WAV stream → PCM16 samples (via the JDK's real AudioFileReader SPI,
+      * not manual RIFF parsing — the decode path exercises the real audio
+      * stack; the provider is resolved once, see [[audioReaders]]). */
     def decodeWav(bytes: Array[Byte]): Array[Short] = {
-      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val ais = audioReaders.iterator.flatMap { r =>
+        try Some(r.getAudioInputStream(new ByteArrayInputStream(bytes)))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+      }.nextOption().getOrElse(
+        throw new javax.sound.sampled.UnsupportedAudioFileException(
+          "no provider could decode the stream"))
       try {
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
