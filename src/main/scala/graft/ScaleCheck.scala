@@ -168,6 +168,30 @@ object ScaleCheck {
         graft.streaming.EventStreams.normalizeEventTs(ev),
         keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
         gapSeconds = 1800L, valueCol = "value").count()
+    def hhGrouped(docs: DataFrame, m: Int): Long = {
+      import graft.operators.HeavyHitters
+      // the per-replica letter rotation dilutes every token's support by
+      // the replica count (group totals grow ×m, each rotated variant
+      // keeps its 1× count), so the support threshold scales with m to
+      // keep the SAME workload: ~the original heavy set per replica,
+      // output rows ≈ ×m
+      HeavyHitters.heavyHittersByGroup(
+        HeavyHitters.tokenStreamByGroup(docs, "lang", "text"),
+        "lang", "token", denominator = 200L * m, capacity = 400 * m).count()
+    }
+    def ksGrouped(li: DataFrame): Long =
+      graft.operators.Profile.ksStatisticByGroup(
+        li.where(col("l_orderkey") % 3 === 0), "l_extendedprice",
+        li.where(col("l_orderkey") % 3 =!= 0), "l_extendedprice",
+        "l_returnflag").count()
+    def audioFp(docs: DataFrame): Long = {
+      import graft.operators.Multimodal
+      Multimodal.audioFingerprints(
+        Multimodal.syntheticAudioVariants(
+          docs.select(col("doc_id").as("media_id"),
+            col("doc_id").as("base_id"), lit(0).as("bump")),
+          "media_id", "base_id", "bump")).count()
+    }
 
     // each case takes the run's replica multiplier (1 for the baseline run,
     // `mult` for the scaled run) so size-parameterized workloads — the
@@ -184,7 +208,10 @@ object ScaleCheck {
       ("weighted_sample", (_, _, d, _, _) => wsample(d)),
       ("group_thresholds", (_, _, d, _, _) => thresholds(d)),
       ("labelprop_12iter", (li, ord, _, _, _) => labelprop(li, ord)),
-      ("classifier_train", (_, _, d, _, _) => trainer(d)))
+      ("classifier_train", (_, _, d, _, _) => trainer(d)),
+      ("hh_grouped", (_, _, d, _, m) => hhGrouped(d, m)),
+      ("ks_grouped", (li, _, _, _, _) => ksGrouped(li)),
+      ("audio_fingerprint", (_, _, d, _, _) => audioFp(d)))
 
     val evS = stride(table("events"), "event_id")
     val evUS = stride(table("events"), "user_id")
@@ -203,7 +230,13 @@ object ScaleCheck {
     li1.limit(1).collect(); liN.limit(1).collect()
     docN.limit(1).collect(); evN.limit(1).collect()
 
-    val rows = cases.map { case (name, f) =>
+    // SPARK_GRAFT_SCALE_ONLY=case1,case2 — re-measure specific cases
+    // against the already-staged replicas (the min-across-runs rule needs
+    // cheap isolated retries when a host throttle window hits a sweep)
+    val onlyCase = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val rows = cases.filter { case (n, _) => onlyCase.forall(_.contains(n)) }
+      .map { case (name, f) =>
       System.err.println(s"[scale] $name @1x")
       val t1 = time(f(li1, ord1, doc1, ev1, 1))
       graft.operators.Dedup.releaseCaches()
@@ -213,7 +246,52 @@ object ScaleCheck {
       val ratio = tn / math.max(t1, 1e-9)
       f""""$name":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$ratio%.2f}"""
     }
-    println(s"""{"mult":$mult,"cases":{${rows.mkString(",")}}}""")
+
+    // ---- persisted-LSH probe: fixed batch vs growing corpus -------------
+    // Index construction is the one-off ingest job (staged, untimed); what
+    // runs per delivery is the PROBE, so that is what the sweep times — a
+    // fixed ~3% batch against the 1x and Nx indexes. Replicas rotate the
+    // embedding array per copy (a bijection on dimensions: within-replica
+    // cosine structure preserved exactly, cross-replica vectors
+    // decorrelated — identical replicas would make every vector a near-dup
+    // of N−1 twins, a different, quadratic workload).
+    val embS = stride(table("embeddings"), "vec_id")
+    val embP = stage("embeddings") { i =>
+      val k = i % 64
+      table("embeddings")
+        .withColumn("vec_id", col("vec_id") + lit(i * embS))
+        .withColumn("embedding",
+          expr(s"concat(slice(embedding, ${k + 1}, ${64 - k}), slice(embedding, 1, $k))"))
+    }
+    def stageLshIndex(emb: DataFrame, tag: String): String = {
+      val p = s"$out/lsh_index_$tag"
+      if (!graft.operators.Ann.lshSigIndexReady(p)) {
+        val t0 = System.nanoTime()
+        graft.operators.Ann.writeLshSigIndex(emb, "embedding", "vec_id", p,
+          dim = 64, bits = 16, tables = 8, prefixBits = 6)
+        System.err.println(
+          f"[scale] staged lsh_index_$tag ${(System.nanoTime() - t0) / 1e9}%6.1fs")
+      }
+      p
+    }
+    val lshRow =
+      if (!onlyCase.forall(_.contains("lsh_probe_fixed_batch"))) Seq.empty[String]
+      else {
+        val emb1 = table("embeddings")
+        val embN = spark.read.parquet(embP)
+        val p1 = stageLshIndex(emb1, "1x")
+        val pN = stageLshIndex(embN, s"${mult}x")
+        val batch = emb1.where(col("vec_id") % 29 === 0)
+        System.err.println(s"[scale] lsh_probe_fixed_batch @1x")
+        val t1 = time(graft.operators.Ann.lshProbeIndex(
+          spark, p1, emb1, batch, "embedding", "vec_id", 0.8).count())
+        System.err.println(s"[scale] lsh_probe_fixed_batch @${mult}x")
+        val tn = time(graft.operators.Ann.lshProbeIndex(
+          spark, pN, embN, batch, "embedding", "vec_id", 0.8).count())
+        val ratio = tn / math.max(t1, 1e-9)
+        Seq(f""""lsh_probe_fixed_batch":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$ratio%.2f}""")
+      }
+    println(s"""{"mult":$mult,"cases":{${(rows ++ lshRow).mkString(",")}}}""")
     spark.stop()
   }
 }
