@@ -145,7 +145,7 @@ object Bench {
       "q_semantic_dedup", "q_embedding_cosine_pairs",
       "q_compare_column_stats_rel", "q_events_trailing", "q_events_asof",
       "q_events_rangejoin", "q_embedding_cosine_lsh",
-      "q_embedding_cosine_lsh_persisted", "q_ann_ivf",
+      "q_embedding_cosine_lsh_persisted", "q_embedding_incremental", "q_ann_ivf",
       "q_events_funnel", "q_ann_topk_multi", "q_events_windowed",
       "q_ann_lsh_bucketed", "q_events_sliding", "q_events_cohort",
       "q_compare_column_stats_tol", "q_skew_agg", "q_docs_topk_quality",

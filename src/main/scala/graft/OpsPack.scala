@@ -278,6 +278,7 @@ object OpsPack {
     multimodalIncremental(s, dir)
     cosinePairsLshPersisted(s, dir)
     multimodalProbeIndexAudio(s, dir)
+    embeddingIncremental(s, dir)
   }
 
   /** Fingerprint of a source table's files (path, size, mtime) plus the
@@ -2269,6 +2270,46 @@ object OpsPack {
         .orderBy("probe_id", "corpus_id")
     }
 
+  private val lshIngestCache =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** Streaming-ingest embedding-dedup driver query
+    * ([[graft.streaming.IngestLsh.processBatch]] — batch-driven, the same
+    * unit foreachBatch delivers): batch 1 ingests the even-id half of the
+    * embeddings (in-batch LSH near-dup collapse included), batch 2 the odd
+    * half — its in-batch survivors then probe the persisted signature
+    * index and drop when they sit at cosine ≥ threshold of an indexed
+    * batch-1 survivor. Output: the accumulated corpus ids. The oracle
+    * replays the ladder declaratively: one literal-hyperplane LSH pair
+    * table, per-batch recursive component closure with min-id
+    * survivorship, then the cross-batch candidate+cosine filter against
+    * batch-1 SURVIVORS only (the index holds survivors, not deliveries). */
+  def embeddingIncremental(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val e = embeddings(s, dir)
+    val (_, corpusPath) = Memo.memo(lshIngestCache, dir, {
+      val root = "target/graft_lsh_ingest_" + layoutStamp(dir, "embeddings",
+        s"lshing|$CosLshBits|$CosLshTables|$CosLshThreshold|pfx4|v1")
+      val idx = s"$root/index"
+      val cor = s"$root/corpus"
+      val done = Paths.get(root, "_graft_ingest_done")
+      if (!Files.exists(done)) {
+        deleteRecursively(Paths.get(root))
+        Files.createDirectories(Paths.get(root))
+        def batch(parity: Int) = e.where(col("vec_id") % 2 === parity)
+        graft.streaming.IngestLsh.processBatch(batch(0), idx, cor,
+          "embedding", "vec_id", CosLshThreshold, EmbeddingDim,
+          CosLshBits, CosLshTables, prefixBits = 4)
+        graft.streaming.IngestLsh.processBatch(batch(1), idx, cor,
+          "embedding", "vec_id", CosLshThreshold, EmbeddingDim,
+          CosLshBits, CosLshTables, prefixBits = 4)
+        Files.write(done, Array.emptyByteArray)
+      }
+      (idx, cor)
+    })
+    s.read.parquet(corpusPath).select(col("vec_id")).orderBy("vec_id")
+  }
+
   private val audioIndexCache = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Audio probe-vs-persisted-index driver query: the banded fingerprint
@@ -3624,6 +3665,7 @@ object OpsPack {
     "q_embedding_cosine_pairs" -> (cosinePairs _),
     "q_embedding_cosine_lsh" -> (cosinePairsLsh _),
     "q_embedding_cosine_lsh_persisted" -> (cosinePairsLshPersisted _),
+    "q_embedding_incremental" -> (embeddingIncremental _),
     "q_embedding_align" -> (embeddingAlign _),
     "q_embedding_align_margin" -> (embeddingAlignMargin _),
     "q_embedding_align_lsh" -> (embeddingAlignLsh _),
@@ -4164,6 +4206,68 @@ object OpsPack {
        |WHERE (CASE WHEN n1.nrm * n2.nrm = 0 THEN 0.0
        |       ELSE ${dotSum("e1.v", "e2.v")} / (n1.nrm * n2.nrm) END) >= $threshold
        |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Incremental embedding-ingest oracle: the two-batch IngestLsh ladder
+    * replayed declaratively — ONE verified LSH pair table over all vectors
+    * (signatures are batch-independent, so filtering it by id parity
+    * yields exactly the in-batch and cross-batch pair sets the engine
+    * sees), per-batch recursive closure with min-id survivorship, then the
+    * cross-batch drop against batch-1 survivors. Zero-norm vectors are
+    * rejected at the engine's door and excluded from membership here
+    * (their cosine is defined 0, so they never carry edges either). */
+  private val embeddingIncrementalSql: String = {
+    val dim = EmbeddingDim
+    def dotSum(va: String, vb: String): String =
+      (1 to dim).map(i => s"$va[$i] * $vb[$i]").mkString("(", " + ", ")")
+    def proj(v: String, globalPlane: Int): String =
+      Ann.planeVector(globalPlane, dim).zipWithIndex
+        .map { case (w, d) => s"$v[${d + 1}] * $w" }.mkString("(", " + ", ")")
+    val sigCols = (0 until CosLshTables).map { t =>
+      (0 until CosLshBits).map { p =>
+        s"(CASE WHEN ${proj("v", t * CosLshBits + p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", s") t$t")
+    }.mkString(", ")
+    val anyTable = (0 until CosLshTables).map(t => s"a.t$t = b.t$t").mkString(" OR ")
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |n AS MATERIALIZED (SELECT vec_id, sqrt(${dotSum("v", "v")}) nrm FROM e),
+       |sig AS MATERIALIZED (SELECT vec_id, $sigCols FROM e),
+       |cand AS (SELECT a.vec_id id1, b.vec_id id2 FROM sig a JOIN sig b
+       |         ON a.vec_id < b.vec_id AND ($anyTable)),
+       |lp AS MATERIALIZED (SELECT id1, id2 FROM cand
+       |       JOIN e e1 ON e1.vec_id = id1 JOIN e e2 ON e2.vec_id = id2
+       |       JOIN n n1 ON n1.vec_id = id1 JOIN n n2 ON n2.vec_id = id2
+       |       WHERE (CASE WHEN n1.nrm * n2.nrm = 0 THEN 0.0
+       |              ELSE ${dotSum("e1.v", "e2.v")} / (n1.nrm * n2.nrm) END)
+       |             >= $CosLshThreshold),
+       |e1x AS (SELECT id1 a, id2 b FROM lp WHERE id1 % 2 = 0 AND id2 % 2 = 0
+       |        UNION SELECT id2, id1 FROM lp WHERE id1 % 2 = 0 AND id2 % 2 = 0),
+       |w1(id, comp) AS (SELECT a, a FROM e1x
+       |  UNION SELECT ee.b, w.comp FROM w1 w JOIN e1x ee ON ee.a = w.id),
+       |c1 AS (SELECT id, min(comp) comp FROM w1 GROUP BY id),
+       |surv1 AS (SELECT n.vec_id FROM n LEFT JOIN c1 ON c1.id = n.vec_id
+       |          WHERE n.vec_id % 2 = 0 AND n.nrm > 0
+       |            AND (c1.id IS NULL OR c1.comp = n.vec_id)),
+       |e2x AS (SELECT id1 a, id2 b FROM lp WHERE id1 % 2 = 1 AND id2 % 2 = 1
+       |        UNION SELECT id2, id1 FROM lp WHERE id1 % 2 = 1 AND id2 % 2 = 1),
+       |w2(id, comp) AS (SELECT a, a FROM e2x
+       |  UNION SELECT ee.b, w.comp FROM w2 w JOIN e2x ee ON ee.a = w.id),
+       |c2 AS (SELECT id, min(comp) comp FROM w2 GROUP BY id),
+       |s2a AS (SELECT n.vec_id FROM n LEFT JOIN c2 ON c2.id = n.vec_id
+       |        WHERE n.vec_id % 2 = 1 AND n.nrm > 0
+       |          AND (c2.id IS NULL OR c2.comp = n.vec_id)),
+       |dropped AS (SELECT DISTINCT s.vec_id FROM s2a s
+       |            JOIN lp ON (lp.id1 = s.vec_id
+       |                        AND lp.id2 IN (SELECT vec_id FROM surv1))
+       |                    OR (lp.id2 = s.vec_id
+       |                        AND lp.id1 IN (SELECT vec_id FROM surv1)))
+       |SELECT vec_id FROM (
+       |  SELECT vec_id FROM surv1
+       |  UNION ALL
+       |  SELECT vec_id FROM s2a
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM dropped))
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** ONE builder for the whole alignment-oracle family (the shared-builder
@@ -7012,6 +7116,7 @@ object OpsPack {
     // the persisted-index form reads stored signatures that are
     // bit-identical to the on-the-fly ones — same pairs, same oracle
     "q_embedding_cosine_lsh_persisted" -> cosineLshSql,
+    "q_embedding_incremental" -> embeddingIncrementalSql,
     "q_embedding_align" -> embeddingAlignSql,
     "q_embedding_align_margin" -> embeddingAlignMarginSql,
     "q_embedding_align_lsh" -> embeddingAlignLshSql,
