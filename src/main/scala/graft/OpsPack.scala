@@ -2651,8 +2651,11 @@ object OpsPack {
       threshold = 0.5, numHashes = 64, bands = 16)
       .select(col("id1").as("src"), col("id2").as("dst"))
     val seeds = d.where(col("doc_id") % 7 === 0).select(col("doc_id").as("node"))
+    // near-dup pairs are one row per (id1 < id2) by construction (the
+    // candidate set dedups before verification), so the edge-distinct
+    // shuffle is skippable
     graft.operators.Graph.personalizedPageRankScaled(pairs, seeds, PprIters,
-      symmetrize = true,
+      edgesDistinct = true, symmetrize = true,
       assumeSmallGraph = if (d.count() <= 4000000L) Some(true) else None)
       .select(col("node").as("doc_id"), col("rank_scaled"))
       .orderBy("doc_id")
