@@ -115,7 +115,7 @@ object Bench {
       "q_split_cluster_safe",
       "q_dedup_cluster_sizes", "q_dedup_jaccard_pairs",
       "q_cdc_stream_apply", "q_graph_ppr", "q_graph_ppr_docs",
-      "q_profile_ks_ranked",
+      "q_curation_pipeline", "q_profile_ks_ranked",
       "q_profile_ks_grouped",
       "q_profile_ks", "q_text_classifier_train", "q_quality_adaptive",
       "q_graph_labelprop", "q_quality_bootstrap", "q_multimodal_near_dup",

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, Ivf, Multimodal, TextOps}
+import graft.operators.{Ann, Dedup, Ivf, Multimodal, Sampling, TextOps}
 
 /** Driver queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal), with DuckDB oracles where
@@ -2078,6 +2078,43 @@ object OpsPack {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** The END-TO-END curation pipeline in ONE query — the flagship
+    * integration composite a training-data team actually ships, every
+    * stage an already-oracle-checked operator:
+    *
+    *   raw web markup → [[graft.operators.TextOps.stripMarkup]] → the
+    *   clean-corpus ladder (quality gate → exact dedup → cluster-transitive
+    *   MinHash near-dup removal) over the STRIPPED text →
+    *   deterministic md5-bucket train/val/test split →
+    *   per-(split, language) document and token rollup.
+    *
+    * The markup wrap is the q_text_strip_markup synthesis (so the strip
+    * stage has real tags/entities to remove), the dedup family is the
+    * portable md5 one, and the split is the pure-projection
+    * [[graft.operators.Sampling.withSplit]] — which is why the WHOLE
+    * pipeline, recursion included, hash-checks against a single DuckDB
+    * statement. Scale shape: each stage is the audited operator; nothing
+    * here adds a join or shuffle beyond them (the rollup is one grouped
+    * agg over the surviving rows). */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<!DOCTYPE html><html><body><div class=\"doc\" id=\"d"),
+      col("doc_id").cast("string"),
+      lit("\"><p>"),
+      regexp_replace(col("text"), " ", "</p> <p>"),
+      lit("</p></div><br/>&amp;copy; <b>corp</b>&nbsp;&quot;end&quot;</body></html>"))
+    val src = docs(s, dir).select(col("doc_id"), col("lang"),
+      TextOps.stripMarkup(html).as("clean_text"))
+    val cleaned = Dedup.cleanCorpus(src, "clean_text", "doc_id",
+      nearDupThreshold = 0.5, portableHashes = true,
+      numHashes = CleanCorpusHashes, bands = CleanCorpusBands)
+    Sampling.withSplit(cleaned, "doc_id")
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("clean_text")).cast("long")).as("total_tokens"))
+      .orderBy("split", "lang")
+  }
+
   /** Multimodal metadata plumbing, oracle-checked: the synthetic media
     * construction (kind dispatch, dimension arithmetic, duration, payload
     * byte length) is pure column algebra with an exact DuckDB mirror. The
@@ -3572,6 +3609,7 @@ object OpsPack {
     "q_text_stats" -> (textStats _),
     "q_dedup_exact" -> (dedupExact _),
     "q_clean_corpus" -> (cleanCorpusQuery _),
+    "q_curation_pipeline" -> (curationPipeline _),
     "q_clean_corpus_fast" -> (cleanCorpusFastQuery _),
     "q_contamination" -> (contamination _),
     "q_decontaminated_corpus" -> (decontaminatedCorpus _),
@@ -4114,23 +4152,24 @@ object OpsPack {
        |  array_to_string(t[s+1 : s+32], ' ') AS chunk_text
        |FROM st ORDER BY doc_id, chunk_id""".stripMargin
 
-  /** Clean-corpus oracle — the FULL composite, mirrored end to end:
-    * quality filter (same arithmetic as the text-stats oracle) → exact
-    * dedup (min-id per normalized-content md5) → md5-family MinHash-LSH
-    * near-dup pairs over the surviving docs → connected components via a
-    * recursive CTE (comp labels propagate along edges until fixpoint;
-    * min label per node = component id) → drop every non-minimum member. */
-  private val cleanCorpusSql: String =
-    s"""WITH RECURSIVE
-       |q0 AS (
-       |  SELECT doc_id, text, lang, source,
+  /** The FULL clean-corpus CTE chain (quality filter → exact dedup →
+    * md5-MinHash near-dup pairs → recursive component closure → losers),
+    * from any (doc_id, text, `cols`...) source — the shared-builder rule:
+    * `cleanCorpusSql` instantiates it over `documents`, the curation
+    * pipeline over the markup-stripped source. Ends at `base` (the
+    * exact-dedup survivors with `cols` riding along) and `losers` (the
+    * near-dup ids to drop). */
+  private def cleanChainCtes(src: String, cols: Seq[String]): String = {
+    val sel = if (cols.isEmpty) "" else cols.mkString(", ", ", ", "")
+    s"""q0 AS (
+       |  SELECT doc_id, text$sel,
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
        |    len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
        |    len(regexp_extract_all(text, '\\S')) AS n_nonspace,
        |    CAST(length(text) AS BIGINT) AS n_chars
-       |  FROM documents),
+       |  FROM $src),
        |quality AS (
-       |  SELECT doc_id, text, lang, source FROM q0
+       |  SELECT doc_id, text$sel FROM q0
        |  WHERE NOT (n_tokens < 5
        |    OR (CASE WHEN n_chars IS NULL OR n_chars = 0 THEN 0.0
        |        ELSE CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END) < 0.5
@@ -4150,10 +4189,54 @@ object OpsPack {
        |  UNION
        |  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
        |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
-       |losers AS (SELECT id FROM comps WHERE comp < id)
+       |losers AS (SELECT id FROM comps WHERE comp < id)""".stripMargin
+  }
+
+  /** Clean-corpus oracle — the FULL composite, mirrored end to end:
+    * quality filter (same arithmetic as the text-stats oracle) → exact
+    * dedup (min-id per normalized-content md5) → md5-family MinHash-LSH
+    * near-dup pairs over the surviving docs → connected components via a
+    * recursive CTE (comp labels propagate along edges until fixpoint;
+    * min label per node = component id) → drop every non-minimum member. */
+  private val cleanCorpusSql: String =
+    s"""WITH RECURSIVE
+       |${cleanChainCtes("documents", Seq("lang", "source"))}
        |SELECT doc_id, lang, source FROM base
        |WHERE doc_id NOT IN (SELECT id FROM losers)
        |ORDER BY doc_id""".stripMargin
+
+  /** Curation-pipeline oracle: the end-to-end composite mirrored in one
+    * statement — markup strip (the q_text_strip_markup wrap+strip mirror
+    * verbatim, producing the `text` the rest of the chain consumes) →
+    * the full clean chain over the STRIPPED text → deterministic
+    * md5-bucket split labels → per-(split, lang) doc and token rollup. */
+  private val curationPipelineSql: String = {
+    val decoded = graft.operators.TextOps.MarkupEntities.foldLeft("t0") {
+      case (acc, (e, r)) =>
+        val rr = r.replace("'", "''")
+        s"replace($acc, '$e', '$rr')"
+    }
+    s"""WITH RECURSIVE
+       |h AS (SELECT doc_id, lang,
+       |    '<!DOCTYPE html><html><body><div class="doc" id="d' || doc_id || '"><p>'
+       |    || regexp_replace(text, ' ', '</p> <p>', 'g')
+       |    || '</p></div><br/>&amp;copy; <b>corp</b>&nbsp;&quot;end&quot;</body></html>'
+       |    AS html
+       |  FROM documents),
+       |s0 AS (SELECT doc_id, lang, regexp_replace(html, '<[^>]*>', '', 'g') AS t0 FROM h),
+       |src AS (SELECT doc_id, lang, $decoded AS text FROM s0),
+       |${cleanChainCtes("src", Seq("lang"))},
+       |survivors AS (
+       |  SELECT doc_id, lang, text FROM base
+       |  WHERE doc_id NOT IN (SELECT id FROM losers)),
+       |b AS (SELECT *,
+       |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 AS bkt
+       |      FROM survivors)
+       |SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+       |  lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens
+       |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+  }
 
   /** SimHash oracle: token md5 → 16 nibbles → 64 bit-majority sums →
     * boolean signature bits → all-pairs hamming ≤ 3 (candidate banding is an
@@ -7073,6 +7156,7 @@ object OpsPack {
     "q_profile_outliers" -> profileOutliersSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_clean_corpus" -> cleanCorpusSql,
+    "q_curation_pipeline" -> curationPipelineSql,
     "q_dedup_jaccard_pairs" -> jaccardSql,
     "q_contamination" -> contaminationSql,
     "q_decontaminated_corpus" -> decontaminatedSql,
