@@ -582,6 +582,51 @@ class KnnSpec extends SparkTestBase {
     } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("IngestLsh streaming face: micro-batches dedup against earlier ones, index self-compacts") {
+    import graft.streaming.IngestLsh
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("graft_lsh_stream").toString
+    val (idx, cor) = (s"$root/index", s"$root/corpus")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    // compaction fires after batch 2 (batchId 1); prefixBits=1 keeps the tp
+    // space small so both batches hit shared partition dirs
+    val q = IngestLsh.ingestWithDedup(
+      input.toDF().toDF("vec_id", "embedding"), idx, cor, "embedding", "vec_id",
+      threshold = 0.95, dim = 3, bits = 8, tables = 6, prefixBits = 1,
+      compactEveryBatches = 2, compactMaxFiles = 1)
+    try {
+      def corpusIds = spark.read.parquet(cor)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      input.addData(Seq(
+        (0L, Array(1.0f, 0.0f, 0.0f)),
+        (1L, Array(0.99f, 0.01f, 0.0f)),  // collapses onto 0 in-batch
+        (2L, Array(0.0f, 1.0f, 0.0f))))
+      q.processAllAvailable()
+      assert(corpusIds == Set(0L, 2L))
+      input.addData(Seq(
+        (10L, Array(3.0f, 0.0f, 0.0f)),   // cosine 1 vs indexed 0 → dropped
+        (11L, Array(0.0f, 0.0f, 1.0f)))) // new direction → survives
+      q.processAllAvailable()
+      assert(corpusIds == Set(0L, 2L, 11L))
+      // the wired compactor ran over the tp= partitions
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val dataFiles = walk(new java.io.File(idx)).filter(f =>
+        f.getName.endsWith(".parquet") && f.getParentFile.getName.startsWith("tp="))
+      assert(dataFiles.exists(_.getName.startsWith("graft-compact-")),
+        s"expected compactor-written files, got ${dataFiles.map(_.getName)}")
+      assert(dataFiles.groupBy(_.getParentFile.getName).values.forall(_.size == 1))
+      // probes across the rewrite still see everything indexed so far
+      input.addData(Seq((20L, Array(0.0f, 2.0f, 0.0f)))) // cosine 1 vs 2 → dropped
+      q.processAllAvailable()
+      assert(corpusIds == Set(0L, 2L, 11L))
+    } finally {
+      q.stop()
+      graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+
   test("IngestLsh ladder: in-batch collapse, cross-batch probe, replay self-heals") {
     import graft.streaming.IngestLsh
     val root = java.nio.file.Files.createTempDirectory("graft_lsh_ingest").toString
