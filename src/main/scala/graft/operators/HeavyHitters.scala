@@ -198,43 +198,69 @@ object HeavyHitters {
     * exact recount of the candidate-filtered stream keyed on
     * (group, token). Candidates stay distributed end to end — the prune
     * bounds them to ≈ denominator·(capacity+1)/(capacity+1−denominator)
-    * per group, so the broadcast to pass 2's semi join is
-    * groups × a-few-thousand rows, tiny under the driver-bounded group
-    * contract. Requires `capacity ≥ denominator` for per-group exactness
-    * (the [[candidateSummaries]] proof applied to each group's stream).
-    * Returns (group, token, freq). */
+    * per group, so pass 2's semi-join build side is
+    * groups × a-few-thousand rows — and the BROADCAST of it is GATED,
+    * not assumed (the pageRankScaled discipline): at or below
+    * `broadcastCandidateLimit` rows (one count over the already-persisted
+    * summary) the semi join broadcasts; above it — group cardinality far
+    * past the driver-bounded contract — the plain shuffled semi join runs
+    * instead, results identical. Requires `capacity ≥ denominator` for
+    * per-group exactness (the [[candidateSummaries]] proof applied to
+    * each group's stream). Returns (group, token, freq). */
   def heavyHittersByGroup(
       tokens: DataFrame,
       groupCol: String,
       tokenCol: String,
       denominator: Long,
-      capacity: Int): DataFrame = {
+      capacity: Int,
+      broadcastCandidateLimit: Long = 4000000L): DataFrame = {
     require(capacity >= denominator,
       s"capacity ($capacity) must be >= denominator ($denominator) for exactness")
+    val spark = tokens.sparkSession
+    import spark.implicits._
     val summaries = candidateSummariesByGroup(tokens, groupCol, tokenCol, capacity)
       .groupBy(groupCol, tokenCol).agg(sum(col("lower_bound")).as("lb"))
       .persist()
     try {
-      val totals = summaries.where(col(tokenCol).isNull)
-        .groupBy(groupCol).agg(sum(col("lb")).as("__graft_hh_total"))
+      // per-group exact totals: ≤ one row per group (the driver-bounded
+      // group contract) — LOCALIZED, so the returned lazy plan never
+      // references the summary lineage this call unpersists on exit
+      val totalsDf = broadcast(
+        summaries.where(col(tokenCol).isNull)
+          .groupBy(groupCol).agg(sum(col("lb")).as("__graft_hh_total"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .toSeq.toDF(groupCol, "__graft_hh_total"))
       // per-group prune, the cross-multiplied decimal inequality of
       // [[heavyHitters]] against the group's OWN total
-      val cands = summaries
+      val candsPlan = summaries
         .where(col(tokenCol).isNotNull)
-        .join(broadcast(totals), Seq(groupCol))
+        .join(totalsDf, Seq(groupCol))
         .where(col("lb").cast("decimal(38,0)") * lit(denominator * (capacity + 1L)) >=
           col("__graft_hh_total").cast("decimal(38,0)") * lit(capacity + 1L - denominator))
         .select(col(groupCol), col(tokenCol))
-      tokens
-        .select(col(groupCol).cast("string").as(groupCol),
-          col(tokenCol).cast("string").as(tokenCol))
-        .where(col(groupCol).isNotNull && col(tokenCol).isNotNull)
-        .join(broadcast(cands), Seq(groupCol, tokenCol), "left_semi")
-        .groupBy(groupCol, tokenCol)
-        .agg(count(lit(1)).as("freq"))
-        .join(broadcast(totals), Seq(groupCol))
-        .where(col("freq") * lit(denominator) >= col("__graft_hh_total"))
-        .select(col(groupCol), col(tokenCol), col("freq"))
+        .persist()
+      try {
+        val cands =
+          if (candsPlan.count() <= broadcastCandidateLimit)
+            broadcast(candsPlan.collect()
+              .map(r => (r.getString(0), r.getString(1)))
+              .toSeq.toDF(groupCol, tokenCol))
+          else
+            // group cardinality far past the contract: shuffled semi join;
+            // an action on the result after this call re-runs the summary
+            // pass for the build side — persist upstream if that matters
+            candsPlan
+        tokens
+          .select(col(groupCol).cast("string").as(groupCol),
+            col(tokenCol).cast("string").as(tokenCol))
+          .where(col(groupCol).isNotNull && col(tokenCol).isNotNull)
+          .join(cands, Seq(groupCol, tokenCol), "left_semi")
+          .groupBy(groupCol, tokenCol)
+          .agg(count(lit(1)).as("freq"))
+          .join(totalsDf, Seq(groupCol))
+          .where(col("freq") * lit(denominator) >= col("__graft_hh_total"))
+          .select(col(groupCol), col(tokenCol), col("freq"))
+      } finally { candsPlan.unpersist(); () }
     } finally { summaries.unpersist(); () }
   }
 

@@ -129,4 +129,29 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("per-group candidate broadcast is gated: above the limit the semi join shuffles") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = HeavyHitters.heavyHittersByGroup(skewedGrouped, "g", "token",
+        10L, 64, broadcastCandidateLimit = 0L)
+      val plan = gated.queryExecution.executedPlan.toString
+      // the tiny localized totals still broadcast (groups-bounded by
+      // contract); the SEMI join against the candidate set must not
+      val semiBroadcast = plan.linesIterator
+        .exists(l => l.contains("LeftSemi") && l.contains("Broadcast"))
+      assert(!semiBroadcast,
+        s"above the limit the candidate semi join must not broadcast:\n$plan")
+      // results identical to the broadcast path — the gate is a plan choice
+      val viaBroadcast = HeavyHitters.heavyHittersByGroup(skewedGrouped, "g", "token",
+        10L, 64)
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      val viaShuffle = gated
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      assert(viaShuffle == viaBroadcast && viaShuffle.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
