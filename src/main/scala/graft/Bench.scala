@@ -120,7 +120,7 @@ object Bench {
       "q_profile_ks", "q_text_classifier_train", "q_quality_adaptive",
       "q_graph_labelprop", "q_quality_bootstrap", "q_multimodal_near_dup",
       "q_multimodal_near_dup_dhash", "q_multimodal_near_dup_audio",
-      "q_multimodal_probe_index_audio",
+      "q_multimodal_near_dup_video", "q_multimodal_probe_index_audio",
       "q_events_stream_distinct", "q_decontaminated_corpus", "q_bpe_tokenize",
       "q_graph_khop", "q_entity_resolution", "q_graph_triangles",
       "q_cdc_join_view", "q_docs_curriculum",

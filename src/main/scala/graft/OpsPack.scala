@@ -2307,6 +2307,45 @@ object OpsPack {
         .orderBy("probe_id", "corpus_id")
     }
 
+  /** VIDEO perceptual near-dup driver query
+    * ([[graft.operators.Multimodal.videoFrameHashes]] +
+    * [[graft.operators.Dedup.simhashPairsFromSignatures]]): every document
+    * becomes a REAL multi-frame GVC1 video (2-4 PNG frames), every 5th
+    * also a one-pixel-edited copy (frame 0 only — the other frames stay
+    * bit-identical), then per-frame decode → aHash → the banded pigeonhole
+    * join over COMPOSITE (video, frame) ids finds close frame pairs
+    * without all-pairs comparison, and a grouped rollup lifts them to
+    * video pairs: (id1, id2, min frame Hamming, close-frame-pair count).
+    * Frames pack into composite id `media_id·8 + frame` (frames ≤ 4 < 8),
+    * so composite ordering implies video ordering and the rollup's
+    * id1 < id2 matches the oracle's. Output: one row per video pair with
+    * any frame pair within the budget. */
+  def multimodalNearDupVideo(s: SparkSession, dir: String): DataFrame =
+    Dedup.newCacheScope {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id").as("media_id"),
+        col("doc_id").as("base_id"), lit(0).as("bump"))
+      val variants = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + PhashVariantOffset).as("media_id"),
+          col("doc_id").as("base_id"), lit(1).as("bump"))
+      val media = Multimodal.syntheticVideoVariants(
+        base.union(variants), "media_id", "base_id", "bump")
+      // cache: the banded pair join reads the frame-hash frame twice
+      val fh = Dedup.cacheShared(Multimodal.videoFrameHashes(media)
+        .select((col("media_id") * 8 + col("frame")).as("id"),
+          col("phash").as("sh")))
+      Dedup.simhashPairsFromSignatures(fh, maxHamming = PhashMaxHamming)
+        .select(expr("id1 DIV 8").as("v1"), expr("id2 DIV 8").as("v2"),
+          col("hamming"))
+        .where(col("v1") =!= col("v2"))
+        .groupBy("v1", "v2")
+        .agg(min(col("hamming")).as("min_hamming"),
+          count(lit(1)).as("n_close_frame_pairs"))
+        .select(col("v1").as("id1"), col("v2").as("id2"),
+          col("min_hamming"), col("n_close_frame_pairs"))
+        .orderBy("id1", "id2")
+    }
+
   private val lshIngestCache =
     scala.collection.concurrent.TrieMap[String, (String, String)]()
 
@@ -3721,6 +3760,7 @@ object OpsPack {
     "q_multimodal_near_dup_dhash" -> (multimodalNearDupDhash _),
     "q_multimodal_near_dup_audio" -> (multimodalNearDupAudio _),
     "q_multimodal_probe_index_audio" -> (multimodalProbeIndexAudio _),
+    "q_multimodal_near_dup_video" -> (multimodalNearDupVideo _),
     "q_multimodal_probe_index" -> (multimodalProbeIndex _),
     "q_multimodal_incremental" -> (multimodalIncremental _))
 
@@ -6172,6 +6212,49 @@ object OpsPack {
        |WHERE $audioHammingExpr <= $AudioMaxHamming
        |ORDER BY probe_id, corpus_id""".stripMargin
 
+  /** Video near-dup oracle: per-(video, frame) aHash bits from the
+    * generator's closed pixel forms (the frame index rides every channel
+    * formula; the one-pixel bump edits frame 0 only), all-pairs frame
+    * Hamming across DISTINCT videos, then the per-video-pair rollup —
+    * min close-frame Hamming + close-frame-pair count. The engine's
+    * banded composite-id join is recall-complete at the budget
+    * (pigeonhole), so the two agree exactly. */
+  private val multimodalNearDupVideoSql: String = {
+    val lum =
+      s"""((base_id*7 + sx*13 + sy*31 + fr*97
+         |       + CASE WHEN sx = 0 AND sy = 0 AND fr = 0 THEN bump ELSE 0 END) % 256) * 299
+         |  + ((base_id*11 + sx*3 + sy*17 + fr*89) % 256) * 587
+         |  + ((base_id*5 + sx*29 + sy*7 + fr*83) % 256) * 114""".stripMargin
+    s"""WITH m AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(doc_id AS BIGINT) AS base_id,
+       |         0 AS bump
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id + $PhashVariantOffset AS BIGINT), CAST(doc_id AS BIGINT), 1
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |g AS (SELECT media_id, base_id, bump,
+       |        base_id % 13 + 4 AS w, base_id % 11 + 4 AS h,
+       |        base_id % 3 + 2 AS nf FROM m),
+       |gf AS (SELECT *, unnest(range(0, nf)) AS fr FROM g),
+       |gx AS (SELECT *, unnest(range(0, 8)) AS x FROM gf),
+       |cells AS (SELECT *, unnest(range(0, 8)) AS y FROM gx),
+       |sp AS (SELECT media_id, base_id, bump, fr, y * 8 + x AS j,
+       |         (x * w) // 8 AS sx, (y * h) // 8 AS sy FROM cells),
+       |lum AS (SELECT media_id, fr, j, $lum AS l FROM sp),
+       |tot AS (SELECT media_id, fr, sum(l) AS t FROM lum GROUP BY media_id, fr),
+       |bits AS (SELECT lum.media_id, lum.fr, j, (l * 64 > t) AS s
+       |         FROM lum JOIN tot USING (media_id, fr)),
+       |ham AS (SELECT a.media_id id1, a.fr f1, b.media_id id2, b.fr f2,
+       |          sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) dd
+       |        FROM bits a JOIN bits b
+       |          ON a.media_id < b.media_id AND a.j = b.j
+       |        GROUP BY a.media_id, a.fr, b.media_id, b.fr)
+       |SELECT id1, id2, CAST(min(dd) AS INTEGER) AS min_hamming,
+       |  CAST(count(*) AS BIGINT) AS n_close_frame_pairs
+       |FROM ham WHERE dd <= $PhashMaxHamming
+       |GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin
+  }
+
   /** Incremental image-ingest oracle: the whole two-batch ladder replayed
     * declaratively — closed-form hashes for all three payload sets (base,
     * bump-1 copy, bump-2 copy), per-batch recursive component closure with
@@ -7218,6 +7301,7 @@ object OpsPack {
     "q_multimodal_near_dup_dhash" -> multimodalNearDupDhashSql,
     "q_multimodal_near_dup_audio" -> multimodalNearDupAudioSql,
     "q_multimodal_probe_index_audio" -> multimodalProbeIndexAudioSql,
+    "q_multimodal_near_dup_video" -> multimodalNearDupVideoSql,
     "q_multimodal_probe_index" -> multimodalProbeIndexSql,
     "q_multimodal_incremental" -> multimodalIncrementalSql)
 }

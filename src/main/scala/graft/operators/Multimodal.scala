@@ -17,6 +17,7 @@ private[operators] case class MediaFeatures(media_id: Long, features: Array[Floa
 private[operators] case class MediaFrame(media_id: Long, frame_index: Int, frame: Array[Byte])
 private[operators] case class StillVariant(media_id: Long, base_id: Long, bump: Int)
 private[operators] case class MediaHash(media_id: Long, phash: Long)
+private[operators] case class VideoFrameHash(media_id: Long, frame: Int, phash: Long)
 private[operators] case class MediaStats(
     media_id: Long, kind: String, width: Int, height: Int,
     n_frames: Int, n_samples: Long,
@@ -299,6 +300,64 @@ object Multimodal {
           img.setRGB(0, 0, (r << 16) | (rgb & 0x00FFFF))
         }
         MediaPayload(v.media_id, JdkCodec.encodePng(img))
+      })
+      .toDF()
+  }
+
+  /** Synthesize REAL GVC1 video payloads with a controlled perturbation —
+    * the video near-duplicate test corpus, the [[syntheticStillVariants]]
+    * discipline per frame: each input row (mediaIdCol, baseIdCol, bumpCol)
+    * packs `Synthetic.image(base_id, fr)` PNG frames for every fr, with
+    * frame 0's pixel (0,0) red channel shifted by +bump (mod 256) — the
+    * one-frame edit a frame-level video fingerprint must land within a
+    * few Hamming bits of (the other frames stay bit-identical). */
+  def syntheticVideoVariants(df: DataFrame, mediaIdCol: String,
+      baseIdCol: String, bumpCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(mediaIdCol).cast("long").as("media_id"),
+        col(baseIdCol).cast("long").as("base_id"),
+        col(bumpCol).cast("int").as("bump")).as[StillVariant]
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { v =>
+        val frames = (0 until Synthetic.videoFrames(v.base_id)).map { fr =>
+          val img = Synthetic.image(v.base_id, fr)
+          if (v.bump != 0 && fr == 0) {
+            val rgb = img.getRGB(0, 0)
+            val r = (((rgb >> 16) & 0xFF) + v.bump) & 0xFF
+            img.setRGB(0, 0, (r << 16) | (rgb & 0x00FFFF))
+          }
+          JdkCodec.encodePng(img)
+        }
+        MediaPayload(v.media_id, JdkCodec.packFrames(frames))
+      })
+      .toDF()
+  }
+
+  /** PER-FRAME perceptual hashes of video payloads — the multi-frame form
+    * of [[perceptualHashes]] (which hashes only a video's FIRST frame):
+    * every GVC1 frame decodes and hashes independently, so two videos can
+    * match on ANY aligned content even when their opening frames differ.
+    * Returns (media_id, frame, phash); non-video payloads emit no row.
+    * Pack (media_id, frame) into one composite id and feed
+    * [[graft.operators.Dedup.simhashPairsFromSignatures]] — the banded
+    * pigeonhole join then finds close FRAME pairs without any all-pairs
+    * comparison, and a grouped rollup lifts them to video pairs. One
+    * narrow mapPartitions stage, no shuffle. */
+  def videoFrameHashes(media: DataFrame, method: String = "ahash"): DataFrame = {
+    val hashOf: BufferedImage => Long = method match {
+      case "ahash" => aHash64
+      case "dhash" => dHash64
+      case other => throw new IllegalArgumentException(
+        s"unknown perceptual-hash method '$other' (ahash | dhash)")
+    }
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("content")).as[MediaPayload]
+      .mapPartitions(_.flatMap { m =>
+        if (m.content == null || !JdkCodec.isVideo(m.content)) Iterator.empty
+        else JdkCodec.unpackFrames(m.content).iterator.zipWithIndex.map {
+          case (png, fr) =>
+            VideoFrameHash(m.media_id, fr, hashOf(JdkCodec.decodePng(png)))
+        }
       })
       .toDF()
   }

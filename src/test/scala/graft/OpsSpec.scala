@@ -1331,6 +1331,33 @@ class OpsSpec extends SparkTestBase {
     assert(audioOnly == Set(1L, 4L)) // ids ≡ 1 mod 3 are the WAV payloads
   }
 
+  test("video frame hashes: per-frame decode, one-frame edits stay near, others exact") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val base = (0L until 12L).map(id => (id, id, 0)).toDF("media_id", "base_id", "bump")
+    val copies = Seq(0L, 5L).map(id => (id + 1000L, id, 1)).toDF("media_id", "base_id", "bump")
+    val media = Multimodal.syntheticVideoVariants(base.union(copies),
+      "media_id", "base_id", "bump")
+    val fh = Multimodal.videoFrameHashes(media)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // every video contributes exactly its frame count
+    for (id <- 0L until 12L)
+      assert((0 until (id % 3 + 2).toInt).forall(fr => fh.contains((id, fr))),
+        s"missing frames for video $id")
+    for (id <- Seq(0L, 5L)) {
+      // the edit touches frame 0 only: a few bits there, zero elsewhere
+      val d0 = java.lang.Long.bitCount(fh((id, 0)) ^ fh((id + 1000L, 0)))
+      assert(d0 <= 3, s"frame-0 edit distance for video $id was $d0")
+      for (fr <- 1 until (id % 3 + 2).toInt)
+        assert(fh((id, fr)) == fh((id + 1000L, fr)),
+          s"unedited frame $fr of video $id must hash identically")
+    }
+    // non-video payloads emit no rows (ids ≡ 2 mod 3 are the GVC1 ones)
+    val mixed = Multimodal.syntheticEncodedMedia((0L until 6L).toDF("doc_id"), "doc_id")
+    assert(Multimodal.videoFrameHashes(mixed)
+      .select("media_id").distinct().collect().map(_.getLong(0)).toSet == Set(2L, 5L))
+  }
+
   test("phash index probe: partition-pruned and recall-complete vs brute force") {
     import graft.operators.Multimodal
     import spark.implicits._
