@@ -212,9 +212,14 @@ object Bench {
       java.nio.file.Paths.get("target/bench_full.json"), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] full-json write failed: ${e.getMessage}") }
     println(fullLine)
+    // locale-pinned formatting: the f-interpolator uses the default JVM
+    // locale, which under comma-decimal locales (de_DE, …) would turn this
+    // machine-parsed line into invalid JSON
+    def sec3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val top = results.sortBy(-_._2).take(25)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"slowest":$top,"sf":"$sfDir","full":"target/bench_full.json"}""")
+      .map { case (k, v) => "\"" + k + "\":" + sec3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"slowest":$top,"sf":"$sfDir","full":"target/bench_full.json"}""")
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
     graft.operators.Dedup.releaseCaches()
     val localDir = spark.conf.get("spark.local.dir")

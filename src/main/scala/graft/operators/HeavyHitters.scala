@@ -37,6 +37,13 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
+  /** Byte companion to [[heavyHittersByGroup]]'s row-count broadcast gate:
+    * the candidate collect must also fit the driver heap when tokens are
+    * LONG (boilerplate lines, not words) — summed (group + token) chars
+    * above this and the shuffled semi join runs instead. 64M chars ≈
+    * 128 MB of String payload on-heap. */
+  val BroadcastCandidateBytes: Long = 64L * 1024 * 1024
+
   /** Per-partition mergeable-MG candidate summaries: (token, lower-bound
     * count) rows, at most `capacity` per input partition — plus ONE
     * sentinel row per partition (`token = NULL`, lower_bound = the
@@ -201,10 +208,12 @@ object HeavyHitters {
     * per group, so pass 2's semi-join build side is
     * groups × a-few-thousand rows — and the BROADCAST of it is GATED,
     * not assumed (the pageRankScaled discipline): at or below
-    * `broadcastCandidateLimit` rows (one count over the already-persisted
-    * summary) the semi join broadcasts; above it — group cardinality far
-    * past the driver-bounded contract — the plain shuffled semi join runs
-    * instead, results identical. Requires `capacity ≥ denominator` for
+    * `broadcastCandidateLimit` rows AND [[BroadcastCandidateBytes]]
+    * summed chars (one agg over the already-persisted candidate plan) the
+    * semi join broadcasts; above either bound — group cardinality far past
+    * the driver-bounded contract, or tokens long enough that even a small
+    * candidate count is hundreds of driver-heap megabytes — the plain
+    * shuffled semi join runs instead, results identical. Requires `capacity ≥ denominator` for
     * per-group exactness (the [[candidateSummaries]] proof applied to
     * each group's stream). Returns (group, token, freq). */
   def heavyHittersByGroup(
@@ -213,7 +222,8 @@ object HeavyHitters {
       tokenCol: String,
       denominator: Long,
       capacity: Int,
-      broadcastCandidateLimit: Long = 4000000L): DataFrame = {
+      broadcastCandidateLimit: Long = 4000000L,
+      broadcastCandidateBytes: Long = BroadcastCandidateBytes): DataFrame = {
     require(capacity >= denominator,
       s"capacity ($capacity) must be >= denominator ($denominator) for exactness")
     val spark = tokens.sparkSession
@@ -240,16 +250,27 @@ object HeavyHitters {
         .select(col(groupCol), col(tokenCol))
         .persist()
       try {
+        // the gate is row-count AND byte-size aware: a row-only gate would
+        // happily collect millions of LONG tokens (boilerplate lines can be
+        // kilobytes each) onto the driver heap while still reading
+        // "broadcast" — measure both in one agg over the persisted plan
+        val gate = candsPlan
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(length(col(groupCol)) + length(col(tokenCol))), lit(0L))
+              .as("bytes"))
+          .first()
         val cands =
-          if (candsPlan.count() <= broadcastCandidateLimit)
+          if (gate.getLong(0) <= broadcastCandidateLimit &&
+              gate.getLong(1) <= broadcastCandidateBytes)
             broadcast(candsPlan.collect()
               .map(r => (r.getString(0), r.getString(1)))
               .toSeq.toDF(groupCol, tokenCol))
           else
-            // group cardinality far past the contract: shuffled semi join;
-            // an action on the result after this call re-runs the summary
-            // pass for the build side — persist upstream if that matters
-            candsPlan
+            // candidates past either gate: shuffled semi join, with the
+            // candidate set MATERIALIZED (executor-side, lineage cut) so
+            // actions on the returned plan after this call's unpersist
+            // don't silently re-run the whole summary pass 1
+            candsPlan.localCheckpoint(true)
         tokens
           .select(col(groupCol).cast("string").as(groupCol),
             col(tokenCol).cast("string").as(tokenCol))

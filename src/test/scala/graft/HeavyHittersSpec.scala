@@ -154,4 +154,36 @@ class HeavyHittersSpec extends SparkTestBase {
       assert(viaShuffle == viaBroadcast && viaShuffle.nonEmpty)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("per-group candidate broadcast gate is BYTE-aware and the shuffled path is recompute-safe") {
+    // a row count far under the limit must still refuse to collect when the
+    // summed (group + token) chars exceed the byte gate — long boilerplate
+    // tokens would otherwise land hundreds of MB on the driver heap while
+    // the row gate still said "broadcast"
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaBytesGate = HeavyHitters.heavyHittersByGroup(skewedGrouped, "g", "token",
+        10L, 64, broadcastCandidateBytes = 0L)
+      val plan = viaBytesGate.queryExecution.executedPlan.toString
+      val semiBroadcast = plan.linesIterator
+        .exists(l => l.contains("LeftSemi") && l.contains("Broadcast"))
+      assert(!semiBroadcast,
+        s"past the byte gate the candidate semi join must not driver-broadcast:\n$plan")
+      // recompute contract: the gated path's build side is MATERIALIZED
+      // (localCheckpoint — lineage cut), never a driver-collected
+      // LocalTableScan, and a SECOND action after the operator's internal
+      // unpersist still returns the same rows without re-running pass 1
+      assert(plan.contains("ExistingRDD"),
+        s"gated build side should be checkpoint-materialized:\n$plan")
+      val expected = HeavyHitters.heavyHittersByGroup(skewedGrouped, "g", "token", 10L, 64)
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      def results = viaBytesGate
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      assert(results == expected && expected.nonEmpty)
+      assert(results == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
