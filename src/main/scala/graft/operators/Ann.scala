@@ -631,23 +631,45 @@ object Ann {
     * (batch_id, corpus_id, cosine). */
   def lshProbeIndex(spark: SparkSession, path: String,
       corpus: DataFrame, batch: DataFrame, vecCol: String, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    lshProbeIndexResolved(spark, path, _ => corpus, batch, vecCol, idCol,
+      threshold)
+
+  /** [[lshProbeIndex]] with the corpus supplied by a RESOLVER instead of a
+    * pre-built frame: `corpusForIds` receives the distinct candidate
+    * corpus-id frame (single column, the id column's type) and returns the
+    * corpus rows to verify against — any SUPERSET of the candidate rows
+    * (the inner join on corpus_id below does the exact filtering). With
+    * the corpus sink hash-bucketed ([[graft.sources.BucketedCorpus]]) the
+    * resolver turns candidate ids into a partition filter, making
+    * [[graft.streaming.IngestLsh]]'s exact-cosine verify scan
+    * candidate-bounded in BYTES READ too — previously the one per-batch
+    * term linear in accumulated corpus size. */
+  def lshProbeIndexResolved(spark: SparkSession, path: String,
+      corpusForIds: DataFrame => DataFrame, batch: DataFrame,
+      vecCol: String, idCol: String, threshold: Double): DataFrame =
+    Dedup.newCacheScope {
     val (dim, bits, tables, prefixBits) = lshSigIndexParams(path)
-    val bsigs = batch.select(col(idCol).as("batch_id"),
+    // two consumers (partition-list collect + candidate join): cache so the
+    // batch signs itself ONCE per probe, not once per consumer
+    val bsigs = Dedup.cacheShared(batch.select(col(idCol).as("batch_id"),
       posexplode(lshTableSignatures(col(vecCol), dim, bits, tables))
         .as(Seq("tbl", "sig")))
       .withColumn("tp", col("tbl").cast("long") * lit(1L << prefixBits)
-        + shiftright(col("sig"), bits - prefixBits))
+        + shiftright(col("sig"), bits - prefixBits)))
     // the probed partition list is bounded by tables·2^prefixBits values
     val wanted = bsigs.select(col("tp")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val idx = spark.read.parquet(path).where(col("tp").isin(wanted: _*))
-    val candidates = bsigs.join(idx, Seq("tbl", "sig"))
-      .select(col("batch_id"), col("id").as("corpus_id")).distinct()
+    // cached: the final join reads it, and the resolver may run an action
+    // of its own (a bucket-list collect) to derive a pruned corpus read
+    val candidates = Dedup.cacheShared(bsigs.join(idx, Seq("tbl", "sig"))
+      .select(col("batch_id"), col("id").as("corpus_id")).distinct())
     val bv = batch.select(col(idCol).as("batch_id"), col(vecCol).as("__bv"),
       norm(col(vecCol)).as("__bn"))
-    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
-      norm(col(vecCol)).as("__cn"))
+    val cv = corpusForIds(candidates.select(col("corpus_id")).distinct())
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
     candidates.join(bv, "batch_id").join(cv, "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
         when(col("__bn") * col("__cn") === 0.0, lit(0.0))

@@ -562,6 +562,30 @@ object Dedup {
       threshold: Double = 0.5,
       numHashes: Int = 64,
       bands: Int = 16,
+      shingleSize: Int = 3): DataFrame =
+    minhashProbeIndexMd5Resolved(indexPath, _ => corpus, batch, textCol,
+      idCol, threshold, numHashes, bands, shingleSize)
+
+  /** [[minhashProbeIndexMd5]] with the corpus supplied by a RESOLVER
+    * instead of a pre-built frame: `corpusForIds` receives the distinct
+    * candidate corpus-id frame (single column, the id column's type) and
+    * returns the corpus rows to verify against — any SUPERSET of the
+    * candidate rows (the broadcast semi join below does the exact
+    * filtering). This is the corpus-scan-free hook for
+    * [[graft.streaming.IngestDedup]]: with the corpus sink hash-bucketed
+    * ([[graft.sources.BucketedCorpus]]), the resolver turns the candidate
+    * ids into a partition filter, so the verify read's scan bytes follow
+    * the CANDIDATE count, not the accumulated corpus size — the last
+    * per-batch term that was linear in the corpus. */
+  def minhashProbeIndexMd5Resolved(
+      indexPath: String,
+      corpusForIds: DataFrame => DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
       shingleSize: Int = 3): DataFrame = newCacheScope {
     val spark = batch.sparkSession
     // two consumers (signatures + verification side 1): shingle once
@@ -576,13 +600,16 @@ object Dedup {
       readPrefixMask(spark, indexPath)).as("pfx")).distinct()
       .collect().map(_.getLong(0))
     val index = spark.read.parquet(indexPath).where(col("pfx").isin(pfxs: _*))
+    // three consumers (final join + candIds, and the resolver may run an
+    // action of its own to derive a pruned read): cache the candidate set
     val cands = index
       .join(broadcast(batchPost), Seq("band", "bucket"))
       .select(col("batch_id"), col("id").as("corpus_id")).distinct()
+      .transform(cacheShared)
     // verification re-shingles ONLY candidate corpus rows
     val candIds = cands.select(col("corpus_id")).distinct()
       .withColumnRenamed("corpus_id", "__graft_cand_id")
-    val corpusCand = Parallelize.spread(corpus)
+    val corpusCand = Parallelize.spread(corpusForIds(candIds))
       .join(broadcast(candIds), col(idCol) === col("__graft_cand_id"), "left_semi")
     val g1 = batchSh.toDF("batch_id", "g1")
     val g2 = corpusCand.select(col(idCol).as("corpus_id"),

@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hash-bucketed corpus sink for the streaming ingest loops — the layout
+  * that makes the per-batch exact-verify read PRUNABLE.
+  *
+  * The problem it solves: a plain `.write.mode("append").parquet(path)`
+  * corpus gives the probe's exact-verification join no partition or file
+  * pruning handle on id, so every micro-batch pays a full map-side scan of
+  * the accumulated corpus — a 100 TB read per minute once the corpus IS
+  * 100 TB, the one term that made [[graft.streaming.IngestDedup]] /
+  * [[graft.streaming.IngestLsh]] unsustainable under an unbounded stream.
+  *
+  * The layout: rows land dir-partitioned on
+  * `__graft_cb = pmod(xxhash64(id), buckets)` — the trigram-index
+  * `bucket=` discipline applied to the corpus itself. A probe that needs
+  * the payloads of a bounded candidate-id set computes those ids' buckets
+  * (≤ `buckets` distinct values, driver-safe by construction) and reads
+  * ONLY those partition directories ([[readForIds]]); the scan cost
+  * follows the candidate count, not the corpus. The bucket count rides the
+  * layout in [[MetaFile]], so appends and reads can never disagree on the
+  * hash scheme; `xxhash64` is over the id column's SPARK type, so writer
+  * and prober must present ids with the same type (they do — the probe's
+  * candidate ids come from index postings written from the same column).
+  *
+  * Bucketed dirs are exactly the leaf-dir shape
+  * [[Compaction.compactLeafPartitions]] handles, so the same crash-safe
+  * maintenance pass that bounds the INDEX file counts bounds the corpus
+  * sink's too — a year-long stream compacts to ≤ `buckets` files instead
+  * of one file per micro-batch forever.
+  */
+object BucketedCorpus {
+
+  private[graft] val MetaFile = "_graft_corpus_buckets"
+  private[graft] val BucketCol = "__graft_cb"
+
+  private def bucketOf(id: Column, buckets: Int): Column =
+    pmod(xxhash64(id), lit(buckets.toLong))
+
+  /** Append one batch, creating the layout (and its bucket-count metadata)
+    * on first write. Appends with a drifting bucket count are rejected —
+    * a different modulus would silently route probe reads to the wrong
+    * directories. */
+  def append(df: DataFrame, path: String, idCol: String, buckets: Int): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val metaFile = java.nio.file.Paths.get(path, MetaFile)
+    if (java.nio.file.Files.exists(metaFile)) {
+      val b = bucketsOf(path)
+      require(b == buckets,
+        s"corpus at $path was written with buckets=$b, append requested $buckets")
+    }
+    df.withColumn(BucketCol, bucketOf(col(idCol), buckets))
+      .write.mode("append").partitionBy(BucketCol).parquet(path)
+    java.nio.file.Files.write(metaFile, buckets.toString.getBytes("UTF-8"))
+    ()
+  }
+
+  /** True once [[append]] has committed at least one batch. */
+  def ready(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, MetaFile))
+
+  /** The bucket count a layout was written with. */
+  def bucketsOf(path: String): Int =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, MetaFile)), "UTF-8").trim.toInt
+
+  /** The whole corpus, original schema (bucket column dropped). */
+  def readAll(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop(BucketCol)
+
+  /** The corpus rows that could hold any of `ids` — a SUPERSET of the rows
+    * with those ids (the whole bucket each id hashes into), which is what
+    * an exact-verify join needs: the caller's semi/inner join on id does
+    * the exact filtering, this read just prunes the scan to the candidate
+    * buckets. `ids` must be a single-column frame of the id column's
+    * original type; its distinct bucket set (≤ the layout's bucket count,
+    * always driver-safe) becomes the partition filter. */
+  def readForIds(spark: SparkSession, path: String, ids: DataFrame): DataFrame = {
+    val b = bucketsOf(path)
+    val idc = ids.columns match {
+      case Array(only) => only
+      case other => throw new IllegalArgumentException(
+        s"readForIds wants a single-column id frame, got ${other.mkString(", ")}")
+    }
+    val wanted = ids.select(bucketOf(col(idc), b).as(BucketCol)).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(path)
+      .where(col(BucketCol).isin(wanted: _*))
+      .drop(BucketCol)
+  }
+}

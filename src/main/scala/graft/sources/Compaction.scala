@@ -42,7 +42,13 @@ object Compaction {
     val fs: FileSystem = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Seq.empty
 
-    def isHidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    // Spark's own visibility rule: underscore/dot names are hidden UNLESS
+    // they are partition directories (contain '='). Without the exemption
+    // an underscore-prefixed partition column (BucketedCorpus's
+    // `__graft_cb=`) would be invisible to the compactor while perfectly
+    // visible to every Spark reader.
+    def isHidden(n: String) =
+      (n.startsWith("_") || n.startsWith(".")) && !n.contains("=")
     def dataFiles(d: Path) = fs.listStatus(d).toSeq
       .filter(s => s.isFile && !isHidden(s.getPath.getName))
     def leafDirs(d: Path): Seq[Path] = {
