@@ -166,6 +166,10 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (pass <- 1 to passes; (name, fn) <- selected) {
+      // pass boundary: drop the cross-query shared frames so every pass
+      // still charges the shared subplans once (min-of-passes must not
+      // report memoized work as free)
+      if (selected.headOption.exists(_._1 == name)) OpsPack.releaseSharedFrames()
       quiesceIfThrottled()
       val t0 = System.nanoTime()
       // Materialize EVERY output column via the noop sink: a bare count()
@@ -200,8 +204,43 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Rolling per-query minimum ACROSS bench sessions, keyed by sf (the
+    // r11 judge request): the host throttles in 2-40x windows, so a
+    // round-over-round delta alone cannot distinguish "regression" from
+    // "dilation" — the committed per-sf min history can, mechanically.
+    // The file is flat {"query":seconds} JSON written only by this block.
+    val sfName = new java.io.File(sfDir).getName
+    val histPath = java.nio.file.Paths.get(s"bench_history_$sfName.json")
+    val prior: Map[String, Double] =
+      if (java.nio.file.Files.exists(histPath))
+        try "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+          .findAllMatchIn(java.nio.file.Files.readString(histPath))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        catch { case _: Throwable => Map.empty }
+      else Map.empty
+    val merged = (prior.keySet ++ results.map(_._1)).toSeq.sorted.map { k =>
+      val now = results.collectFirst { case (`k`, v) => v }
+      val m = (prior.get(k), now) match {
+        case (Some(p), Some(v)) => math.min(p, v)
+        case (Some(p), None) => p
+        case (None, Some(v)) => v
+        case (None, None) => Double.MaxValue // unreachable by construction
+      }
+      k -> m
+    }
+    try java.nio.file.Files.writeString(histPath,
+      merged.map { case (k, v) => s"${jstr(k)}:$v" }
+        .mkString("{", ",", "}") + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] history write failed: ${e.getMessage}") }
+    val minSoFar = merged.toMap
+    val totalMin = results.map { case (k, v) =>
+      math.min(v, minSoFar.getOrElse(k, v)) }.sum
+    val minJson = results.map { case (k, _) =>
+      s"\"" + k + "\":" + minSoFar.getOrElse(k, Double.NaN) }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"min_so_far":$minJson,"total_min_so_far":$totalMin,"sf":"$sfDir"}"""
     // The full per-query line is ~7 KB at 170+ queries; the round driver
     // keeps only the LAST ~2000 chars of stdout, so rounds 8-10 recorded
     // parsed:null with a mid-line tail fragment. Persist the full line to
@@ -219,7 +258,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val top = results.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + sec3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"slowest":$top,"sf":"$sfDir","full":"target/bench_full.json"}""")
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"total_min_so_far":${sec3(totalMin)},"slowest":$top,"sf":"$sfDir","full":"target/bench_full.json"}""")
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
     graft.operators.Dedup.releaseCaches()
     val localDir = spark.conf.get("spark.local.dir")

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Ann, Dedup, Ivf, Multimodal, Sampling, TextOps}
@@ -278,7 +278,9 @@ object OpsPack {
     multimodalIncremental(s, dir)
     cosinePairsLshPersisted(s, dir)
     multimodalProbeIndexAudio(s, dir)
+    multimodalProbeIndexVideo(s, dir)
     embeddingIncremental(s, dir)
+    textHeavyHittersStreamed(s, dir)
   }
 
   /** Fingerprint of a source table's files (path, size, mtime) plus the
@@ -1056,6 +1058,48 @@ object OpsPack {
     HeavyHitters.heavyHittersByGroup(toks, "lang", "token",
       denominator = HeavyHitterGroupDenominator,
       capacity = 2 * HeavyHitterGroupDenominator.toInt)
+      .orderBy(col("lang"), col("freq").desc, col("token"))
+  }
+
+  private val hhIngestCache =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** STREAMING per-group heavy hitters driver query
+    * ([[graft.streaming.IngestHeavyHitters]] — batch-driven, the same
+    * unit foreachBatch delivers): batch 0 ingests the even-doc half's
+    * (lang, token) stream, batch 1 the odd half, and batch 1 is then
+    * REPLAYED — at-least-once delivery, converged by the batch-dir
+    * overwrite discipline. Each batch lands only its bounded MG candidate
+    * summaries plus its raw rows; the probe merges the persisted
+    * summaries (MG mergeability: per-batch deficits sum to the global
+    * N/(capacity+1) bound), prunes per group, and exact-recounts against
+    * the accumulated corpus — so it must equal the plain GROUP BY/HAVING
+    * mirror over ALL documents. Shares q_text_heavy_hitters_grouped's
+    * oracle verbatim: "top boilerplate per domain, continuously" with no
+    * weaker a guarantee than the batch operator. */
+  def textHeavyHittersStreamed(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.IngestHeavyHitters
+    val cap = 2 * HeavyHitterGroupDenominator.toInt
+    val (sumP, corP) = Memo.memo(hhIngestCache, dir, {
+      val root = "target/graft_hh_ingest_" + layoutStamp(dir, "documents",
+        s"hh|$HeavyHitterGroupDenominator|$cap|v1")
+      val (sp, cp) = (s"$root/summaries", s"$root/corpus")
+      val done = Paths.get(root, "_graft_ingest_done")
+      if (!Files.exists(done)) {
+        deleteRecursively(Paths.get(root))
+        Files.createDirectories(Paths.get(root))
+        def half(parity: Int) = graft.operators.HeavyHitters.tokenStreamByGroup(
+          docs(s, dir).where(col("doc_id") % 2 === parity), "lang", "text")
+        IngestHeavyHitters.processBatch(half(0), 0L, sp, cp, "lang", "token", cap)
+        IngestHeavyHitters.processBatch(half(1), 1L, sp, cp, "lang", "token", cap)
+        IngestHeavyHitters.processBatch(half(1), 1L, sp, cp, "lang", "token", cap)
+        Files.write(done, Array.emptyByteArray)
+      }
+      (sp, cp)
+    })
+    IngestHeavyHitters.probe(s, sumP, corP, "lang", "token",
+      HeavyHitterGroupDenominator)
       .orderBy(col("lang"), col("freq").desc, col("token"))
   }
 
@@ -1972,17 +2016,22 @@ object OpsPack {
     * mirrors BOTH sides and the hash check covers tag removal
     * (attributes, self-closing, multi-tag), paragraph-boundary space
     * preservation, and one-level entity decoding end to end. */
-  def textStripMarkup(s: SparkSession, dir: String): DataFrame = {
-    val html = concat(
-      lit("<!DOCTYPE html><html><body><div class=\"doc\" id=\"d"),
-      col("doc_id").cast("string"),
-      lit("\"><p>"),
-      regexp_replace(col("text"), " ", "</p> <p>"),
-      lit("</p></div><br/>&amp;copy; <b>corp</b>&nbsp;&quot;end&quot;</body></html>"))
+  /** The markup wrap every strip-consuming driver query synthesizes: a
+    * doctype/html/body shell, every token its own `<p>` paragraph, a
+    * trailing self-closed tag and entity run — real tags and entities by
+    * pure column algebra, shared by q_text_strip_markup, q_clean_corpus,
+    * and q_curation_pipeline (one wrap, one oracle mirror). */
+  private def syntheticHtml: Column = concat(
+    lit("<!DOCTYPE html><html><body><div class=\"doc\" id=\"d"),
+    col("doc_id").cast("string"),
+    lit("\"><p>"),
+    regexp_replace(col("text"), " ", "</p> <p>"),
+    lit("</p></div><br/>&amp;copy; <b>corp</b>&nbsp;&quot;end&quot;</body></html>"))
+
+  def textStripMarkup(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), TextOps.stripMarkup(html).as("clean_text"))
+      .select(col("doc_id"), TextOps.stripMarkup(syntheticHtml).as("clean_text"))
       .orderBy("doc_id")
-  }
 
   /** Context-window chunking: 32-token chunks advancing 24 tokens
     * (8-token overlap) — sized so the synthetic documents (10-99 tokens)
@@ -2042,10 +2091,15 @@ object OpsPack {
   }
 
   /** The flagship corpus-cleaning composite under the driver harness:
-    * quality filter → exact dedup → cluster-transitive near-dup removal,
-    * run over the portable md5 hash family so the ENTIRE composite —
-    * including the connected-components pass — is oracle-checked (the
-    * DuckDB mirror closes components with a recursive CTE).
+    * markup strip → quality filter → exact dedup → cluster-transitive
+    * near-dup removal, run over the portable md5 hash family so the
+    * ENTIRE composite — including the connected-components pass — is
+    * oracle-checked (the DuckDB mirror closes components with a recursive
+    * CTE). The input is the [[syntheticHtml]]-wrapped-then-stripped text,
+    * which makes the whole ladder IDENTICAL (by construction, not by
+    * luck) to q_curation_pipeline's front half — the two queries share
+    * one persisted [[cleanedStrippedCorpus]] frame per sf dir instead of
+    * running the same subplan twice per bench pass.
     *
     * Signature shape 32 hashes × 8 bands (r = 4): the md5 signature pass
     * dominates the composite's cost and is linear in numHashes, so halving
@@ -2057,9 +2111,46 @@ object OpsPack {
   val CleanCorpusHashes = 32
   val CleanCorpusBands = 8
 
+  /** Markup-stripped docs projection — the shared FRONT of the cleaning
+    * composites: (doc_id, lang, source, clean_text) with clean_text the
+    * [[syntheticHtml]] wrap stripped back to plain text. */
+  private def strippedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      TextOps.stripMarkup(syntheticHtml).as("clean_text"))
+
+  private val cleanedStrippedCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** The cleaned stripped corpus BOTH q_clean_corpus and
+    * q_curation_pipeline consume — markup strip → quality gate → exact
+    * dedup → cluster-transitive near-dup removal over the portable md5
+    * family — computed ONCE per sf dir and persisted (the r11 fusion: the
+    * two queries ran the identical ladder subplan independently every
+    * bench pass). Eagerly materialized so the persisted partitions never
+    * lazily re-derive through pass-scoped ladder caches that are released
+    * at scope exit; at layout scale this frame is the survivors table a
+    * deployment would land once and read many times. */
+  private def cleanedStrippedCorpus(s: SparkSession, dir: String): DataFrame =
+    Memo.memo(cleanedStrippedCache, dir, {
+      val cleaned = Dedup.cleanCorpus(strippedDocs(s, dir), "clean_text",
+        "doc_id", nearDupThreshold = 0.5, portableHashes = true,
+        numHashes = CleanCorpusHashes, bands = CleanCorpusBands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cleaned.count()
+      cleaned
+    })
+
+  /** Drop the cross-query pass-shared frames. The bench harness calls
+    * this between timing passes so each pass still charges the cleaning
+    * ladder exactly once — the fusion saves the DUPLICATE subplan, it
+    * must not let pass-2 minimums report the ladder as free. */
+  def releaseSharedFrames(): Unit = {
+    cleanedStrippedCache.values.foreach(_.unpersist(true))
+    cleanedStrippedCache.clear()
+  }
+
   def cleanCorpusQuery(s: SparkSession, dir: String): DataFrame =
-    Dedup.cleanCorpus(docs(s, dir), "text", "doc_id", nearDupThreshold = 0.5,
-      portableHashes = true, numHashes = CleanCorpusHashes, bands = CleanCorpusBands)
+    cleanedStrippedCorpus(s, dir)
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
@@ -2073,8 +2164,9 @@ object OpsPack {
     * and this entry makes the fast path's COST visible in the judged
     * bench next to the portable family's. */
   def cleanCorpusFastQuery(s: SparkSession, dir: String): DataFrame =
-    Dedup.cleanCorpus(docs(s, dir), "text", "doc_id", nearDupThreshold = 0.5,
-      portableHashes = false, numHashes = CleanCorpusHashes, bands = CleanCorpusBands)
+    Dedup.cleanCorpus(strippedDocs(s, dir), "clean_text", "doc_id",
+      nearDupThreshold = 0.5, portableHashes = false,
+      numHashes = CleanCorpusHashes, bands = CleanCorpusBands)
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
@@ -2095,25 +2187,15 @@ object OpsPack {
     * pipeline, recursion included, hash-checks against a single DuckDB
     * statement. Scale shape: each stage is the audited operator; nothing
     * here adds a join or shuffle beyond them (the rollup is one grouped
-    * agg over the surviving rows). */
-  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
-    val html = concat(
-      lit("<!DOCTYPE html><html><body><div class=\"doc\" id=\"d"),
-      col("doc_id").cast("string"),
-      lit("\"><p>"),
-      regexp_replace(col("text"), " ", "</p> <p>"),
-      lit("</p></div><br/>&amp;copy; <b>corp</b>&nbsp;&quot;end&quot;</body></html>"))
-    val src = docs(s, dir).select(col("doc_id"), col("lang"),
-      TextOps.stripMarkup(html).as("clean_text"))
-    val cleaned = Dedup.cleanCorpus(src, "clean_text", "doc_id",
-      nearDupThreshold = 0.5, portableHashes = true,
-      numHashes = CleanCorpusHashes, bands = CleanCorpusBands)
-    Sampling.withSplit(cleaned, "doc_id")
+    * agg over the surviving rows), and the whole strip+clean front half
+    * is the pass-shared persisted [[cleanedStrippedCorpus]] frame —
+    * computed once per sf dir, consumed here and by q_clean_corpus. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame =
+    Sampling.withSplit(cleanedStrippedCorpus(s, dir), "doc_id")
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(TextOps.tokenCount(col("clean_text")).cast("long")).as("total_tokens"))
       .orderBy("split", "lang")
-  }
 
   /** Multimodal metadata plumbing, oracle-checked: the synthetic media
     * construction (kind dispatch, dimension arithmetic, duration, payload
@@ -2365,7 +2447,9 @@ object OpsPack {
     val e = embeddings(s, dir)
     val (_, corpusPath) = Memo.memo(lshIngestCache, dir, {
       val root = "target/graft_lsh_ingest_" + layoutStamp(dir, "embeddings",
-        s"lshing|$CosLshBits|$CosLshTables|$CosLshThreshold|pfx4|v1")
+        // v2: the corpus sink became a BucketedCorpus layout (hash-bucketed
+        // dirs) — force a rebuild so the memo can't serve the flat layout
+        s"lshing|$CosLshBits|$CosLshTables|$CosLshThreshold|pfx4|v2")
       val idx = s"$root/index"
       val cor = s"$root/corpus"
       val done = Paths.get(root, "_graft_ingest_done")
@@ -2422,6 +2506,57 @@ object OpsPack {
         Multimodal.syntheticAudioVariants(variants, "media_id", "base_id", "bump"))
         .select(col("media_id"), col("afp").as("phash")))
       Multimodal.phashProbeIndex(s, path, probes, AudioMaxHamming)
+        .orderBy("probe_id", "corpus_id")
+    }
+
+  private val videoIndexCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Video probe-vs-persisted-index driver query — the persisted-index
+    * face of [[multimodalNearDupVideo]] ([[graft.streaming.IngestVideo]]'s
+    * batch probe shape): the whole corpus's PER-FRAME aHashes live in the
+    * banded `bp`-partitioned index under composite ids
+    * `media_id·8 + frame` (one-off ingest, stamped+reused; the index
+    * machinery is 64-bit-agnostic, the audio precedent), the one-pixel-
+    * edited variants probe it reading only their own block-value
+    * partitions, frame matches lift to video pairs, and the rollup —
+    * (probe video, corpus video, min frame Hamming, close-frame-pair
+    * count) — must equal the oracle's all-pairs probe×corpus frame scan
+    * exactly (pigeonhole recall-completeness at the index's own
+    * maxHamming). The daily-delivery dedup shape, video edition. */
+  def multimodalProbeIndexVideo(s: SparkSession, dir: String): DataFrame =
+    Dedup.newCacheScope {
+      val d = docs(s, dir)
+      val path = Memo.memo(videoIndexCache, dir, {
+        val p = "target/graft_video_index_" +
+          layoutStamp(dir, "documents", s"vfp|$PhashMaxHamming|pfx4|v1")
+        if (!layoutComplete(p)) {
+          val base = d.select(col("doc_id").as("media_id"),
+            col("doc_id").as("base_id"), lit(0).as("bump"))
+          val corpusFrames = Multimodal.videoFrameHashes(
+            Multimodal.syntheticVideoVariants(base, "media_id", "base_id", "bump"))
+            .select((col("media_id") * 8 + col("frame")).as("media_id"),
+              col("phash"))
+          Multimodal.writePhashIndex(corpusFrames, p, PhashMaxHamming)
+        }
+        p
+      })
+      val variants = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + PhashVariantOffset).as("media_id"),
+          col("doc_id").as("base_id"), lit(1).as("bump"))
+      // cached: the banded probe derivation reads the frame-hash frame
+      // twice (partition-list collect + candidate join)
+      val probes = Dedup.cacheShared(Multimodal.videoFrameHashes(
+        Multimodal.syntheticVideoVariants(variants, "media_id", "base_id", "bump"))
+        .select((col("media_id") * 8 + col("frame")).as("media_id"),
+          col("phash")))
+      Multimodal.phashProbeIndex(s, path, probes, PhashMaxHamming)
+        .select(shiftright(col("probe_id"), 3).as("pv"),
+          shiftright(col("corpus_id"), 3).as("cv"), col("hamming"))
+        .groupBy("pv", "cv")
+        .agg(min(col("hamming")).as("min_hamming"),
+          count(lit(1)).as("n_close_frame_pairs"))
+        .select(col("pv").as("probe_id"), col("cv").as("corpus_id"),
+          col("min_hamming"), col("n_close_frame_pairs"))
         .orderBy("probe_id", "corpus_id")
     }
 
@@ -3684,6 +3819,7 @@ object OpsPack {
     "q_text_vocab" -> (vocabStats _),
     "q_text_heavy_hitters" -> (textHeavyHitters _),
     "q_text_heavy_hitters_grouped" -> (textHeavyHittersGrouped _),
+    "q_text_heavy_hitters_stream" -> (textHeavyHittersStreamed _),
     "q_sketch_countmin" -> (sketchCountMin _),
     "q_sketch_distinct" -> (sketchDistinct _),
     "q_sketch_distinct_grouped" -> (sketchDistinctGrouped _),
@@ -3760,6 +3896,7 @@ object OpsPack {
     "q_multimodal_near_dup_dhash" -> (multimodalNearDupDhash _),
     "q_multimodal_near_dup_audio" -> (multimodalNearDupAudio _),
     "q_multimodal_probe_index_audio" -> (multimodalProbeIndexAudio _),
+    "q_multimodal_probe_index_video" -> (multimodalProbeIndexVideo _),
     "q_multimodal_near_dup_video" -> (multimodalNearDupVideo _),
     "q_multimodal_probe_index" -> (multimodalProbeIndex _),
     "q_multimodal_incremental" -> (multimodalIncremental _))
@@ -4195,8 +4332,8 @@ object OpsPack {
   /** The FULL clean-corpus CTE chain (quality filter → exact dedup →
     * md5-MinHash near-dup pairs → recursive component closure → losers),
     * from any (doc_id, text, `cols`...) source — the shared-builder rule:
-    * `cleanCorpusSql` instantiates it over `documents`, the curation
-    * pipeline over the markup-stripped source. Ends at `base` (the
+    * `cleanCorpusSql` AND the curation pipeline both instantiate it over
+    * the markup-stripped `src` chain. Ends at `base` (the
     * exact-dedup survivors with `cols` riding along) and `losers` (the
     * near-dup ids to drop). */
   private def cleanChainCtes(src: String, cols: Seq[String]): String = {
@@ -4232,39 +4369,53 @@ object OpsPack {
        |losers AS (SELECT id FROM comps WHERE comp < id)""".stripMargin
   }
 
-  /** Clean-corpus oracle — the FULL composite, mirrored end to end:
-    * quality filter (same arithmetic as the text-stats oracle) → exact
-    * dedup (min-id per normalized-content md5) → md5-family MinHash-LSH
-    * near-dup pairs over the surviving docs → connected components via a
-    * recursive CTE (comp labels propagate along edges until fixpoint;
-    * min label per node = component id) → drop every non-minimum member. */
-  private val cleanCorpusSql: String =
-    s"""WITH RECURSIVE
-       |${cleanChainCtes("documents", Seq("lang", "source"))}
-       |SELECT doc_id, lang, source FROM base
-       |WHERE doc_id NOT IN (SELECT id FROM losers)
-       |ORDER BY doc_id""".stripMargin
-
-  /** Curation-pipeline oracle: the end-to-end composite mirrored in one
-    * statement — markup strip (the q_text_strip_markup wrap+strip mirror
-    * verbatim, producing the `text` the rest of the chain consumes) →
-    * the full clean chain over the STRIPPED text → deterministic
-    * md5-bucket split labels → per-(split, lang) doc and token rollup. */
-  private val curationPipelineSql: String = {
+  /** Markup wrap + strip CTE chain — the q_text_strip_markup mirror as a
+    * shared builder: `h` (the [[syntheticHtml]] wrap) → `s0` (tag strip) →
+    * `src` (entity decode), carrying `cols` as passengers; `src` holds
+    * (doc_id, cols..., text) with `text` the stripped clean text the rest
+    * of a chain consumes. One wrap, one mirror — instantiated by the
+    * clean-corpus AND curation oracles so their shared engine frame
+    * ([[cleanedStrippedCorpus]]) has ONE declarative definition. */
+  private def markupStripSrcCtes(cols: Seq[String]): String = {
+    val sel = if (cols.isEmpty) "" else cols.mkString(", ", ", ", "")
     val decoded = graft.operators.TextOps.MarkupEntities.foldLeft("t0") {
       case (acc, (e, r)) =>
         val rr = r.replace("'", "''")
         s"replace($acc, '$e', '$rr')"
     }
-    s"""WITH RECURSIVE
-       |h AS (SELECT doc_id, lang,
-       |    '<!DOCTYPE html><html><body><div class="doc" id="d' || doc_id || '"><p>'
-       |    || regexp_replace(text, ' ', '</p> <p>', 'g')
-       |    || '</p></div><br/>&amp;copy; <b>corp</b>&nbsp;&quot;end&quot;</body></html>'
+    s"""h AS (SELECT doc_id$sel,
+       |    '<!DOCTYPE html><html><body><div class="doc" id="d' || doc_id || '"><p>' ||
+       |    regexp_replace(text, ' ', '</p> <p>', 'g') ||
+       |    '</p></div><br/>&amp;copy; <b>corp</b>&nbsp;&quot;end&quot;</body></html>'
        |    AS html
        |  FROM documents),
-       |s0 AS (SELECT doc_id, lang, regexp_replace(html, '<[^>]*>', '', 'g') AS t0 FROM h),
-       |src AS (SELECT doc_id, lang, $decoded AS text FROM s0),
+       |s0 AS (SELECT doc_id$sel, regexp_replace(html, '<[^>]*>', '', 'g') AS t0 FROM h),
+       |src AS (SELECT doc_id$sel, $decoded AS text FROM s0)""".stripMargin
+  }
+
+  /** Clean-corpus oracle — the FULL composite, mirrored end to end:
+    * markup strip (the shared [[markupStripSrcCtes]] chain) → quality
+    * filter (same arithmetic as the text-stats oracle) → exact dedup
+    * (min-id per normalized-content md5) → md5-family MinHash-LSH
+    * near-dup pairs over the surviving docs → connected components via a
+    * recursive CTE (comp labels propagate along edges until fixpoint;
+    * min label per node = component id) → drop every non-minimum member. */
+  private val cleanCorpusSql: String =
+    s"""WITH RECURSIVE
+       |${markupStripSrcCtes(Seq("lang", "source"))},
+       |${cleanChainCtes("src", Seq("lang", "source"))}
+       |SELECT doc_id, lang, source FROM base
+       |WHERE doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Curation-pipeline oracle: the end-to-end composite mirrored in one
+    * statement — markup strip (the shared [[markupStripSrcCtes]] chain,
+    * producing the `text` the rest of the chain consumes) →
+    * the full clean chain over the STRIPPED text → deterministic
+    * md5-bucket split labels → per-(split, lang) doc and token rollup. */
+  private val curationPipelineSql: String = {
+    s"""WITH RECURSIVE
+       |${markupStripSrcCtes(Seq("lang"))},
        |${cleanChainCtes("src", Seq("lang"))},
        |survivors AS (
        |  SELECT doc_id, lang, text FROM base
@@ -6255,6 +6406,50 @@ object OpsPack {
        |GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin
   }
 
+  /** Video probe-vs-persisted-index oracle: the [[multimodalNearDupVideoSql]]
+    * frame-bit CTEs verbatim (corpus = every base video, probes = the
+    * one-pixel-edited variants — distinguished by the id offset), then the
+    * all-pairs probe×corpus frame Hamming filter and the per-video-pair
+    * rollup. The engine's banded composite-id probe is recall-complete at
+    * the budget (pigeonhole), so the two agree exactly. */
+  private val multimodalProbeIndexVideoSql: String = {
+    val lum =
+      s"""((base_id*7 + sx*13 + sy*31 + fr*97
+         |       + CASE WHEN sx = 0 AND sy = 0 AND fr = 0 THEN bump ELSE 0 END) % 256) * 299
+         |  + ((base_id*11 + sx*3 + sy*17 + fr*89) % 256) * 587
+         |  + ((base_id*5 + sx*29 + sy*7 + fr*83) % 256) * 114""".stripMargin
+    s"""WITH m AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(doc_id AS BIGINT) AS base_id,
+       |         0 AS bump
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id + $PhashVariantOffset AS BIGINT), CAST(doc_id AS BIGINT), 1
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |g AS (SELECT media_id, base_id, bump,
+       |        base_id % 13 + 4 AS w, base_id % 11 + 4 AS h,
+       |        base_id % 3 + 2 AS nf FROM m),
+       |gf AS (SELECT *, unnest(range(0, nf)) AS fr FROM g),
+       |gx AS (SELECT *, unnest(range(0, 8)) AS x FROM gf),
+       |cells AS (SELECT *, unnest(range(0, 8)) AS y FROM gx),
+       |sp AS (SELECT media_id, base_id, bump, fr, y * 8 + x AS j,
+       |         (x * w) // 8 AS sx, (y * h) // 8 AS sy FROM cells),
+       |lum AS (SELECT media_id, fr, j, $lum AS l FROM sp),
+       |tot AS (SELECT media_id, fr, sum(l) AS t FROM lum GROUP BY media_id, fr),
+       |bits AS (SELECT lum.media_id, lum.fr, j, (l * 64 > t) AS s
+       |         FROM lum JOIN tot USING (media_id, fr)),
+       |ham AS (SELECT a.media_id id1, a.fr f1, b.media_id id2, b.fr f2,
+       |          sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) dd
+       |        FROM bits a JOIN bits b
+       |          ON a.media_id >= $PhashVariantOffset
+       |         AND b.media_id < $PhashVariantOffset AND a.j = b.j
+       |        GROUP BY a.media_id, a.fr, b.media_id, b.fr)
+       |SELECT id1 AS probe_id, id2 AS corpus_id,
+       |  CAST(min(dd) AS INTEGER) AS min_hamming,
+       |  CAST(count(*) AS BIGINT) AS n_close_frame_pairs
+       |FROM ham WHERE dd <= $PhashMaxHamming
+       |GROUP BY id1, id2 ORDER BY probe_id, corpus_id""".stripMargin
+  }
+
   /** Incremental image-ingest oracle: the whole two-batch ladder replayed
     * declaratively — closed-form hashes for all three payload sets (base,
     * bump-1 copy, bump-2 copy), per-batch recursive component closure with
@@ -7202,6 +7397,7 @@ object OpsPack {
     "q_text_vocab" -> vocabSql,
     "q_text_heavy_hitters" -> heavyHittersSql,
     "q_text_heavy_hitters_grouped" -> heavyHittersGroupedSql,
+    "q_text_heavy_hitters_stream" -> heavyHittersGroupedSql,
     "q_sketch_countmin" -> countMinSql,
     "q_sketch_distinct" -> distinctSketchSql,
     "q_sketch_distinct_grouped" -> distinctSketchGroupedSql,
@@ -7301,6 +7497,7 @@ object OpsPack {
     "q_multimodal_near_dup_dhash" -> multimodalNearDupDhashSql,
     "q_multimodal_near_dup_audio" -> multimodalNearDupAudioSql,
     "q_multimodal_probe_index_audio" -> multimodalProbeIndexAudioSql,
+    "q_multimodal_probe_index_video" -> multimodalProbeIndexVideoSql,
     "q_multimodal_near_dup_video" -> multimodalNearDupVideoSql,
     "q_multimodal_probe_index" -> multimodalProbeIndexSql,
     "q_multimodal_incremental" -> multimodalIncrementalSql)

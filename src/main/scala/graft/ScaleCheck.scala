@@ -291,7 +291,69 @@ object ScaleCheck {
         val ratio = tn / math.max(t1, 1e-9)
         Seq(f""""lsh_probe_fixed_batch":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$ratio%.2f}""")
       }
-    println(s"""{"mult":$mult,"cases":{${(rows ++ lshRow).mkString(",")}}}""")
+    // ---- ingest probe vs corpus FILE-COUNT growth ------------------------
+    // The r11 gap: the ingest verify read was a full corpus scan, so
+    // per-batch cost grew with accumulated corpus SIZE — and the sweep
+    // above grows rows, not files. This case grows the thing the fix
+    // targets: the same documents ingested as 4 vs 4+28 micro-batches
+    // (every batch appends one file per touched corpus bucket; the wired
+    // compactor bounds them on its cadence), then ONE fixed probe batch
+    // runs against each state. Flat wall-clock = the probe's corpus read
+    // is pruned to candidate buckets and bounded by compaction, i.e.
+    // per-batch cost is independent of how long the stream has been
+    // running.
+    val ingestRow =
+      if (!onlyCase.forall(_.contains("ingest_probe_file_growth"))) Seq.empty[String]
+      else {
+        import graft.streaming.IngestDedup
+        import graft.sources.{BucketedCorpus, Compaction}
+        val d1 = table("documents")
+        val probeBatch = d1.where(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        def corpusFiles(p: String): Int = {
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+          walk(new java.io.File(p)).count(f =>
+            f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        }
+        def build(tag: String, batches: Int): (String, String) = {
+          val root = s"$out/ingest_growth_$tag"
+          val (idx, cor) = (s"$root/index", s"$root/corpus")
+          if (!new java.io.File(s"$root/_done").exists) {
+            graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(root))
+            val t0 = System.nanoTime()
+            (0 until batches).foreach { b =>
+              IngestDedup.processBatch(d1.where(col("doc_id") % batches === b),
+                idx, cor, "text", "doc_id", numHashes = 32, bands = 16,
+                prefixBits = 6, corpusBuckets = 16)
+              if ((b + 1) % 8 == 0) {
+                Compaction.compactLeafPartitions(spark, idx, maxFiles = 8)
+                Compaction.compactLeafPartitions(spark, cor, maxFiles = 8)
+              }
+            }
+            java.nio.file.Files.createFile(java.nio.file.Paths.get(root, "_done"))
+            System.err.println(
+              f"[scale] staged ingest_growth_$tag (${batches} batches, " +
+                f"${corpusFiles(cor)} corpus files) ${(System.nanoTime() - t0) / 1e9}%6.1fs")
+          }
+          (idx, cor)
+        }
+        val (idxS, corS) = build("small", 4)
+        val (idxL, corL) = build("large", 32)
+        def probe(idx: String, cor: String): Long =
+          graft.operators.Dedup.minhashProbeIndexMd5Resolved(idx,
+            ids => BucketedCorpus.readForIds(spark, cor, ids),
+            probeBatch, "text", "doc_id", numHashes = 32, bands = 16).count()
+        System.err.println(s"[scale] ingest_probe_file_growth @4 batches " +
+          s"(${corpusFiles(corS)} corpus files)")
+        val t1 = time(probe(idxS, corS))
+        System.err.println(s"[scale] ingest_probe_file_growth @32 batches " +
+          s"(${corpusFiles(corL)} corpus files)")
+        val tn = time(probe(idxL, corL))
+        val ratio = tn / math.max(t1, 1e-9)
+        Seq(f""""ingest_probe_file_growth":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$ratio%.2f,"files1":${corpusFiles(corS)},"filesN":${corpusFiles(corL)}}""")
+      }
+    println(s"""{"mult":$mult,"cases":{${(rows ++ lshRow ++ ingestRow).mkString(",")}}}""")
     spark.stop()
   }
 }

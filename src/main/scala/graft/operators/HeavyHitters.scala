@@ -223,12 +223,41 @@ object HeavyHitters {
       denominator: Long,
       capacity: Int,
       broadcastCandidateLimit: Long = 4000000L,
+      broadcastCandidateBytes: Long = BroadcastCandidateBytes): DataFrame =
+    heavyHittersByGroupFromSummaries(
+      candidateSummariesByGroup(tokens, groupCol, tokenCol, capacity),
+      tokens, groupCol, tokenCol, denominator, capacity,
+      broadcastCandidateLimit, broadcastCandidateBytes)
+
+  /** The prune + exact-recount TAIL of [[heavyHittersByGroup]] from an
+    * ALREADY-BUILT summary set — the hook that makes the operator
+    * incremental: MG summaries are mergeable by construction (Agarwal et
+    * al.), so per-batch summaries persisted by a streaming ingest
+    * ([[graft.streaming.IngestHeavyHitters]]) sum into exactly the bound
+    * one pass over the concatenated stream would have produced — each
+    * batch's sketch under-counts its own slice by at most
+    * N_batch/(capacity+1), and the slices' deficits add to the global
+    * N/(capacity+1) bound the prune relies on. `rawSummaries` carries
+    * (group, token, lower_bound) rows with the per-(partition, group)
+    * NULL-token sentinels; `tokens` is the exact-recount stream (the
+    * accumulated corpus under streaming). `capacity` must be the value
+    * the summaries were built with — a larger claimed capacity would
+    * tighten the prune past what the sketches guarantee and silently
+    * drop real heavy hitters. */
+  def heavyHittersByGroupFromSummaries(
+      rawSummaries: DataFrame,
+      tokens: DataFrame,
+      groupCol: String,
+      tokenCol: String,
+      denominator: Long,
+      capacity: Int,
+      broadcastCandidateLimit: Long = 4000000L,
       broadcastCandidateBytes: Long = BroadcastCandidateBytes): DataFrame = {
     require(capacity >= denominator,
       s"capacity ($capacity) must be >= denominator ($denominator) for exactness")
     val spark = tokens.sparkSession
     import spark.implicits._
-    val summaries = candidateSummariesByGroup(tokens, groupCol, tokenCol, capacity)
+    val summaries = rawSummaries
       .groupBy(groupCol, tokenCol).agg(sum(col("lower_bound")).as("lb"))
       .persist()
     try {

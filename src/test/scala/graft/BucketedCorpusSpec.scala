@@ -153,16 +153,18 @@ class BucketedCorpusSpec extends SparkTestBase {
         .select("media_id").distinct().as[Long].collect().toSet
       assert(corpusVids == Set(0L, 1L))
       // batch 2: a variant of INDEXED 1 (probe path drops it), a genuinely
-      // new video 3 (survives)
-      val b2 = media(Seq((6001L, 1L, 1), (3L, 3L, 0)))
+      // new video 2 (its frames sit >maxHamming from every indexed frame —
+      // measured; video 3 is a REAL Hamming-3 neighbour of 1 and would
+      // correctly drop)
+      val b2 = media(Seq((6001L, 1L, 1), (2L, 2L, 0)))
       IngestVideo.processBatch(b2, idx, cor)
-      assert(corpusVids == Set(0L, 1L, 3L))
+      assert(corpusVids == Set(0L, 1L, 2L))
       // at-least-once replay: every frame lands at Hamming 0 → dropped
       IngestVideo.processBatch(b2, idx, cor)
-      assert(corpusVids == Set(0L, 1L, 3L))
+      assert(corpusVids == Set(0L, 1L, 2L))
       // the corpus carries one row per surviving frame (2-4 per video)
       val frames = BucketedCorpus.readAll(spark, cor).count()
-      assert(frames == Seq(0L, 1L, 3L).map(id => id % 3 + 2).sum)
+      assert(frames == Seq(0L, 1L, 2L).map(id => id % 3 + 2).sum)
     } finally rm(root)
   }
 

@@ -155,6 +155,34 @@ class HeavyHittersSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("streaming per-group heavy hitters: merged persisted summaries equal the batch operator; replay converges") {
+    import graft.streaming.IngestHeavyHitters
+    val root = java.nio.file.Files.createTempDirectory("graft_hh_stream").toString
+    val (sp, cp) = (s"$root/summaries", s"$root/corpus")
+    try {
+      val toks = skewedGrouped
+      val parts = toks.randomSplit(Array(0.4, 0.3, 0.3), seed = 7L)
+      parts.zipWithIndex.foreach { case (b, i) =>
+        IngestHeavyHitters.processBatch(b, i.toLong, sp, cp, "g", "token", 64)
+      }
+      // at-least-once replay of the middle batch: the batch-dir overwrite
+      // rewrites it in place instead of double-counting
+      IngestHeavyHitters.processBatch(parts(1), 1L, sp, cp, "g", "token", 64)
+      val streamed = IngestHeavyHitters.probe(spark, sp, cp, "g", "token", 10L)
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      val batch = HeavyHitters.heavyHittersByGroup(toks, "g", "token", 10L, 64)
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      assert(streamed == batch && batch.nonEmpty)
+      // capacity drift is rejected on both faces
+      intercept[IllegalArgumentException] {
+        IngestHeavyHitters.processBatch(parts(0), 9L, sp, cp, "g", "token", 32)
+      }
+      assert(IngestHeavyHitters.capacityOf(sp) == 64)
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("per-group candidate broadcast gate is BYTE-aware and the shuffled path is recompute-safe") {
     // a row count far under the limit must still refuse to collect when the
     // summed (group + token) chars exceed the byte gate — long boilerplate
