@@ -331,6 +331,13 @@ object ScaleCheck {
                 Compaction.compactLeafPartitions(spark, cor, maxFiles = 8)
               }
             }
+            // both states end on a compaction boundary, so the probe ratio
+            // isolates STREAM LENGTH (8x the batches, 8x the appends, same
+            // maintenance discipline) rather than comparing a compacted
+            // state against an uncompacted one — without this, the 4-batch
+            // build never reaches the cadence and carries ~60x the files
+            Compaction.compactLeafPartitions(spark, idx, maxFiles = 8)
+            Compaction.compactLeafPartitions(spark, cor, maxFiles = 8)
             java.nio.file.Files.createFile(java.nio.file.Paths.get(root, "_done"))
             System.err.println(
               f"[scale] staged ingest_growth_$tag (${batches} batches, " +
