@@ -281,6 +281,7 @@ object OpsPack {
     multimodalProbeIndexVideo(s, dir)
     embeddingIncremental(s, dir)
     textHeavyHittersStreamed(s, dir)
+    corpusRetention(s, dir)
   }
 
   /** Fingerprint of a source table's files (path, size, mtime) plus the
@@ -2111,12 +2112,26 @@ object OpsPack {
   val CleanCorpusHashes = 32
   val CleanCorpusBands = 8
 
+  private val strippedDocsCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
   /** Markup-stripped docs projection — the shared FRONT of the cleaning
     * composites: (doc_id, lang, source, clean_text) with clean_text the
-    * [[syntheticHtml]] wrap stripped back to plain text. */
+    * [[syntheticHtml]] wrap stripped back to plain text. Persisted per sf
+    * dir: the md5 ladder ([[cleanedStrippedCorpus]]) and the xxhash twin
+    * (q_clean_corpus_fast) both consume it, and the RE2 strip pass is the
+    * single most expensive shared stage (~3.5s at sf0.1) — one strip per
+    * pass, not one per hash family. Released at bench pass boundaries
+    * with the other shared frames. */
   private def strippedDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
-      TextOps.stripMarkup(syntheticHtml).as("clean_text"))
+    Memo.memo(strippedDocsCache, dir, {
+      val stripped = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextOps.stripMarkup(syntheticHtml).as("clean_text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      stripped.count()
+      stripped
+    })
 
   private val cleanedStrippedCache =
     scala.collection.concurrent.TrieMap[String, DataFrame]()
@@ -2147,6 +2162,8 @@ object OpsPack {
   def releaseSharedFrames(): Unit = {
     cleanedStrippedCache.values.foreach(_.unpersist(true))
     cleanedStrippedCache.clear()
+    strippedDocsCache.values.foreach(_.unpersist(true))
+    strippedDocsCache.clear()
   }
 
   def cleanCorpusQuery(s: SparkSession, dir: String): DataFrame =
@@ -2196,6 +2213,47 @@ object OpsPack {
       .agg(count(lit(1)).as("n_docs"),
         sum(TextOps.tokenCount(col("clean_text")).cast("long")).as("total_tokens"))
       .orderBy("split", "lang")
+
+  private val retentionCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Corpus RETENTION driver query ([[graft.sources.Retention]] over a
+    * [[graft.sources.BucketedCorpus]] layout) — the delete story a
+    * long-running ingest deployment needs (erasure requests, license
+    * takedowns, age-out): documents land in two appends (the ingest
+    * shape), a DELETE WHERE tombstones every row matching
+    * `lang = 'en' OR doc_id % 7 = 0` (SQL semantics — NULL langs are
+    * not deleted), a vacuum physically rewrites ONLY the bucket dirs the
+    * dead ids hash into under the compactor's crash-safe discipline and
+    * clears the tombstones, and the query reads the survivors back. The
+    * oracle is the direct complement select over `documents`; layout
+    * build is one-off (stamped+reused). Logical-vs-physical equivalence
+    * (reads identical before and after vacuum, untouched buckets
+    * byte-identical, orphan index postings harmless) is spec-pinned in
+    * RetentionSpec. */
+  def corpusRetention(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val path = Memo.memo(retentionCache, dir, {
+      val root = "target/graft_retention_" +
+        layoutStamp(dir, "documents", "ret|b16|en7|v1")
+      val done = Paths.get(root, "_graft_retention_done")
+      if (!Files.exists(done)) {
+        deleteRecursively(Paths.get(root))
+        val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"))
+        graft.sources.BucketedCorpus.append(
+          d.where(col("doc_id") % 2 === 0), root, "doc_id", 16)
+        graft.sources.BucketedCorpus.append(
+          d.where(col("doc_id") % 2 === 1), root, "doc_id", 16)
+        graft.sources.Retention.deleteWhere(s, root,
+          col("lang") === "en" || col("doc_id") % 7 === 0, "doc_id")
+        graft.sources.Retention.vacuum(s, root, "doc_id")
+        Files.write(done, Array.emptyByteArray)
+      }
+      root
+    })
+    graft.sources.BucketedCorpus.readAll(s, path)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
 
   /** Multimodal metadata plumbing, oracle-checked: the synthetic media
     * construction (kind dispatch, dimension arithmetic, duration, payload
@@ -3783,6 +3841,7 @@ object OpsPack {
     "q_text_stats" -> (textStats _),
     "q_dedup_exact" -> (dedupExact _),
     "q_clean_corpus" -> (cleanCorpusQuery _),
+    "q_corpus_retention" -> (corpusRetention _),
     "q_curation_pipeline" -> (curationPipeline _),
     "q_clean_corpus_fast" -> (cleanCorpusFastQuery _),
     "q_contamination" -> (contamination _),
@@ -4406,6 +4465,15 @@ object OpsPack {
        |${cleanChainCtes("src", Seq("lang", "source"))}
        |SELECT doc_id, lang, source FROM base
        |WHERE doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Retention oracle: the tombstone + vacuum machinery must land exactly
+    * at the declarative complement — every document row NOT matching the
+    * delete predicate, with SQL NULL semantics (a NULL lang is not
+    * deleted, hence the coalesce). */
+  private val corpusRetentionSql: String =
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE NOT coalesce(lang = 'en' OR doc_id % 7 = 0, FALSE)
        |ORDER BY doc_id""".stripMargin
 
   /** Curation-pipeline oracle: the end-to-end composite mirrored in one
@@ -7435,6 +7503,7 @@ object OpsPack {
     "q_profile_outliers" -> profileOutliersSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_clean_corpus" -> cleanCorpusSql,
+    "q_corpus_retention" -> corpusRetentionSql,
     "q_curation_pipeline" -> curationPipelineSql,
     "q_dedup_jaccard_pairs" -> jaccardSql,
     "q_contamination" -> contaminationSql,

@@ -66,9 +66,15 @@ object BucketedCorpus {
     new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path, MetaFile)), "UTF-8").trim.toInt
 
-  /** The whole corpus, original schema (bucket column dropped). */
+  /** The whole corpus, original schema (bucket column dropped), LIVE rows
+    * only: ids logically deleted via [[Retention]] are tombstone-filtered
+    * until a vacuum removes them physically (zero cost when nothing is
+    * tombstoned). Note the corollary: re-appending a tombstoned id before
+    * the vacuum is indistinguishable from the dead row — a deleted id
+    * stays deleted until [[Retention.vacuum]] clears the tombstones. */
   def readAll(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop(BucketCol)
+    Retention.filterLive(spark, path,
+      spark.read.parquet(path).drop(BucketCol))
 
   /** The corpus rows that could hold any of `ids` — a SUPERSET of the rows
     * with those ids (the whole bucket each id hashes into), which is what
@@ -86,8 +92,9 @@ object BucketedCorpus {
     }
     val wanted = ids.select(bucketOf(col(idc), b).as(BucketCol)).distinct()
       .collect().map(_.getLong(0)).toSeq
-    spark.read.parquet(path)
-      .where(col(BucketCol).isin(wanted: _*))
-      .drop(BucketCol)
+    Retention.filterLive(spark, path,
+      spark.read.parquet(path)
+        .where(col(BucketCol).isin(wanted: _*))
+        .drop(BucketCol))
   }
 }

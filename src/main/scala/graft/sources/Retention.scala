@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delete-by-predicate with index-safe semantics for the streaming corpus
+  * sinks — the retention story a long-running ingest deployment needs
+  * (GDPR erasure, license takedowns, age-out policies) once a corpus
+  * accumulates for months.
+  *
+  * The design is tombstone + vacuum, the production split between logical
+  * and physical delete:
+  *
+  *   - **Logical delete now**: [[deleteWhere]]/[[deleteIds]] append the
+  *     doomed ids to an underscore-prefixed tombstone directory inside
+  *     the corpus layout (invisible to plain parquet readers — the same
+  *     Spark visibility rule the layouts' metadata files ride).
+  *     [[graft.sources.BucketedCorpus.readAll]]/`readForIds` anti-join
+  *     the tombstones, so every downstream read — including the ingest
+  *     loops' exact-verify probes — stops seeing the rows IMMEDIATELY,
+  *     at the cost of one bounded anti-join (zero when no tombstones
+  *     exist). No index rewrite is needed for correctness: a dead
+  *     corpus row's postings become orphans, and orphan postings are
+  *     already harmless by the ingest loops' crash-window contract (a
+  *     candidate that cannot verify against a live corpus row confirms
+  *     nothing).
+  *   - **Physical delete at maintenance time**: [[vacuum]] rewrites ONLY
+  *     the bucket directories the tombstoned ids hash into (the same
+  *     pruning the probes use — dead ids → ≤ buckets dirs), dropping
+  *     dead rows under [[Compaction]]'s crash-safe temp/marker/manifest
+  *     discipline, then clears the tombstones. A crash anywhere
+  *     converges: half-rewritten dirs recover at the next maintenance
+  *     entry, and tombstones outliving their rows anti-join to nothing.
+  *
+  * Deletion predicates follow SQL semantics: a row is deleted when the
+  * predicate is TRUE (not NULL), so `col("lang") === "en"` never deletes
+  * NULL-lang rows. */
+object Retention {
+
+  private[graft] val TombstoneDir = "_graft_tombstones"
+
+  private def tombstonePath(corpusPath: String) =
+    java.nio.file.Paths.get(corpusPath, TombstoneDir)
+
+  /** True if any ids are currently tombstoned (logically deleted but not
+    * yet vacuumed). */
+  def hasTombstones(corpusPath: String): Boolean = {
+    val p = tombstonePath(corpusPath)
+    if (!java.nio.file.Files.isDirectory(p)) return false
+    val s = java.nio.file.Files.list(p)
+    try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
+  /** The tombstoned id set (single column named `idCol`), empty-safe. */
+  def tombstones(spark: SparkSession, corpusPath: String, idCol: String): Option[DataFrame] =
+    if (!hasTombstones(corpusPath)) None
+    else Some(spark.read.parquet(tombstonePath(corpusPath).toString)
+      .select(col(idCol)).distinct())
+
+  /** Logically delete the given ids: append them to the tombstone set.
+    * `ids` is a single-column frame of the corpus id column's name and
+    * type. Idempotent — re-deleting an id (or a replayed delete batch)
+    * only adds duplicate tombstone rows, which [[tombstones]] distincts
+    * away. */
+  def deleteIds(ids: DataFrame, corpusPath: String, idCol: String): Unit = {
+    ids.select(col(idCol))
+      .write.mode("append").parquet(tombstonePath(corpusPath).toString)
+    ()
+  }
+
+  /** Logically delete every LIVE corpus row matching `predicate` (one
+    * corpus scan — the cost of any DELETE WHERE). Returns the number of
+    * newly tombstoned ids. */
+  def deleteWhere(spark: SparkSession, corpusPath: String,
+      predicate: Column, idCol: String): Long = {
+    val doomed = BucketedCorpus.readAll(spark, corpusPath)
+      .where(predicate).select(col(idCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = doomed.count()
+      if (n > 0) deleteIds(doomed, corpusPath, idCol)
+      n
+    } finally { doomed.unpersist(); () }
+  }
+
+  /** Anti-join `df` against the corpus's tombstones — the filter every
+    * [[BucketedCorpus]] read applies. The id column is the tombstone
+    * set's own (single) column, so callers need not thread it through;
+    * zero-cost when no tombstones exist. */
+  def filterLive(spark: SparkSession, corpusPath: String, df: DataFrame): DataFrame =
+    if (!hasTombstones(corpusPath)) df
+    else {
+      val ts = spark.read.parquet(tombstonePath(corpusPath).toString)
+      val idc = ts.columns.head
+      df.join(ts.select(col(idc).as("__graft_dead_id")).distinct(),
+        df(idc) === col("__graft_dead_id"), "left_anti")
+    }
+
+  /** Physically remove tombstoned rows and clear the tombstones. Only the
+    * bucket directories the dead ids hash into are rewritten (computed
+    * from the tombstone set — ≤ the layout's bucket count, driver-safe),
+    * each under [[Compaction]]'s crash-safe discipline; untouched buckets
+    * keep their files byte-identical. Returns the rewritten directories.
+    * Crash-safe end to end: tombstones are cleared LAST, so a crash
+    * mid-vacuum leaves rows that are still tombstone-filtered on read and
+    * get dropped by the next vacuum. */
+  def vacuum(spark: SparkSession, corpusPath: String, idCol: String): Seq[String] = {
+    val ts = tombstones(spark, corpusPath, idCol).getOrElse(return Seq.empty)
+    val buckets = BucketedCorpus.bucketsOf(corpusPath)
+    val wanted = ts
+      .select(pmod(xxhash64(col(idCol)), lit(buckets.toLong)).as("cb"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val dead = broadcast(ts.withColumnRenamed(idCol, "__graft_dead_id"))
+    val root = new Path(corpusPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val touched = Compaction.leafDirs(fs, root).filter { d =>
+      val n = d.getName
+      n.startsWith(BucketedCorpus.BucketCol + "=") &&
+        wanted.contains(n.drop(BucketedCorpus.BucketCol.length + 1).toLong)
+    }
+    touched.foreach(d => Compaction.recoverDir(fs, d))
+    val rewritten = touched.flatMap { dir =>
+      val files = Compaction.dataFiles(fs, dir)
+      if (files.isEmpty) None
+      else {
+        val live = spark.read.parquet(files.map(_.getPath.toString): _*)
+          .join(dead, col(idCol) === col("__graft_dead_id"), "left_anti")
+        Compaction.rewriteDir(spark, fs, dir, files, live, targetFiles = 1)
+        Some(dir.toString)
+      }
+    }
+    // clear LAST: a crash above leaves tombstones that still filter reads
+    fs.delete(new Path(corpusPath, TombstoneDir), true)
+    rewritten
+  }
+}

@@ -195,6 +195,51 @@ class BucketedCorpusSpec extends SparkTestBase {
     } finally rm(root)
   }
 
+  test("IngestVideo streaming face: micro-batches dedup against earlier ones, both sinks compact") {
+    import graft.streaming.IngestVideo
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp("graft_video_stream")
+    val (idx, cor) = (s"$root/index", s"$root/corpus")
+    def media(rows: Seq[(Long, Long, Int)]): Seq[(Long, Array[Byte])] =
+      Multimodal.syntheticVideoVariants(
+        rows.toDF("media_id", "base_id", "bump"), "media_id", "base_id", "bump")
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("content"))).toSeq
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte])]
+    // compaction fires after batch 2 (batchId 1); one corpus bucket so
+    // both batches provably share a dir
+    val q = IngestVideo.ingestWithDedup(
+      input.toDF().toDF("media_id", "content"), idx, cor,
+      maxHamming = 3, prefixBits = 1, corpusBuckets = 1,
+      compactEveryBatches = 2, compactMaxFiles = 1)
+    try {
+      def corpusVids = BucketedCorpus.readAll(spark, cor)
+        .select("media_id").distinct().as[Long].collect().toSet
+      input.addData(media(Seq((0L, 0L, 0), (1L, 1L, 0))))
+      q.processAllAvailable()
+      assert(corpusVids == Set(0L, 1L))
+      // batch 2: a one-pixel variant of indexed 1 drops via the frame
+      // probe; new video 2 survives (measured >maxHamming from 0 and 1)
+      input.addData(media(Seq((6001L, 1L, 1), (2L, 2L, 0))))
+      q.processAllAvailable()
+      assert(corpusVids == Set(0L, 1L, 2L))
+      // the wired compactor ran over BOTH sinks
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      def leaf(dir: String, pfx: String) = walk(new java.io.File(dir)).filter(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+          f.getParentFile.getName.startsWith(pfx))
+      assert(leaf(idx, "bp=").exists(_.getName.startsWith("graft-compact-")))
+      assert(leaf(cor, BucketedCorpus.BucketCol + "=")
+        .groupBy(_.getParentFile.getName).values.forall(_.size == 1))
+      // probes across the rewrite: an exact replay of indexed content drops
+      input.addData(media(Seq((2L, 2L, 0))).map { case (_, c) => (9000L, c) })
+      q.processAllAvailable()
+      assert(corpusVids == Set(0L, 1L, 2L))
+    } finally q.stop()
+    rm(root)
+  }
+
   test("ingest loops compact the corpus sink on the batch schedule") {
     import graft.streaming.IngestDedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{BucketedCorpus, Retention}
+
+/** Delete-by-predicate over the bucketed corpus sinks: logical deletes
+  * (tombstones) are visible to every read immediately, the vacuum's
+  * physical rewrite touches only the dead ids' buckets and leaves results
+  * identical, replayed deletes and repeated vacuums converge, and the
+  * ingest probes drop nothing on orphaned index postings. */
+class RetentionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rm(p: String): Unit =
+    graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(p))
+
+  private def freshCorpus(path: String): Unit = {
+    val rows = (0L until 100L).map(i => (i, s"text_$i", if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "t", "lang")
+    BucketedCorpus.append(rows, path, "id", buckets = 8)
+  }
+
+  test("deleteWhere: reads exclude tombstoned rows immediately, with SQL NULL semantics") {
+    val root = tmp("graft_retention")
+    val path = s"$root/corpus"
+    try {
+      val rows = Seq((1L, "a", "en"), (2L, "b", "de"), (3L, "c", null: String))
+        .toDF("id", "t", "lang")
+      BucketedCorpus.append(rows, path, "id", buckets = 4)
+      val n = Retention.deleteWhere(spark, path, col("lang") === "en", "id")
+      assert(n == 1L)
+      // NULL lang: predicate NULL, not TRUE — row 3 survives
+      assert(BucketedCorpus.readAll(spark, path)
+        .select("id").as[Long].collect().toSet == Set(2L, 3L))
+      // readForIds is filtered too — a dead id resolves to nothing
+      assert(BucketedCorpus.readForIds(spark, path, Seq(1L, 2L).toDF("id"))
+        .select("id").as[Long].collect().toSet == Set(2L))
+      // deleting already-dead rows is a no-op (they are no longer live)
+      assert(Retention.deleteWhere(spark, path, col("lang") === "en", "id") == 0L)
+    } finally rm(root)
+  }
+
+  test("vacuum rewrites ONLY the dead ids' buckets, results identical, converges") {
+    val root = tmp("graft_retention_vac")
+    val path = s"$root/corpus"
+    try {
+      freshCorpus(path)
+      val survivorsBefore = BucketedCorpus.readAll(spark, path) // pre-delete
+        .as[(Long, String, String)].collect().toSet
+      Retention.deleteWhere(spark, path, col("lang") === "en", "id")
+      val logical = BucketedCorpus.readAll(spark, path)
+        .as[(Long, String, String)].collect().toSet
+      assert(logical == survivorsBefore.filter(_._3 != "en") && logical.nonEmpty)
+      // snapshot per-bucket file names before the vacuum
+      def filesByBucket: Map[String, Set[String]] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(path))
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")
+            && f.getParentFile.getName.startsWith(BucketedCorpus.BucketCol + "="))
+          .groupBy(_.getParentFile.getName).map { case (k, v) =>
+            k -> v.map(_.getName).toSet }
+      }
+      val before = filesByBucket
+      val deadBuckets = (0L until 100L).filter(_ % 3 == 0)
+        .map(i => spark.range(i, i + 1).select(
+          pmod(xxhash64(col("id")), lit(8L))).first().getLong(0)).toSet
+        .map((b: Long) => s"${BucketedCorpus.BucketCol}=$b")
+      val rewritten = Retention.vacuum(spark, path, "id")
+      assert(!Retention.hasTombstones(path))
+      val after = filesByBucket
+      // untouched buckets keep their files byte-for-byte (same names)
+      (before.keySet -- deadBuckets).foreach { b =>
+        assert(after(b) == before(b), s"bucket $b rewritten without dead rows")
+      }
+      assert(rewritten.map(p => p.split('/').last).toSet == deadBuckets)
+      // physical: the raw files (tombstones cleared) no longer hold the rows
+      assert(spark.read.parquet(path).where(col("lang") === "en").count() == 0)
+      // reads identical before and after the physical delete
+      assert(BucketedCorpus.readAll(spark, path)
+        .as[(Long, String, String)].collect().toSet == logical)
+      // a second vacuum is a no-op
+      assert(Retention.vacuum(spark, path, "id").isEmpty)
+    } finally rm(root)
+  }
+
+  test("ingest probe treats tombstoned corpus rows as absent (postings orphaned, content kept)") {
+    import graft.streaming.IngestDedup
+    val root = tmp("graft_retention_probe")
+    val (idx, cor) = (s"$root/index", s"$root/corpus")
+    try {
+      val docA = "the quick brown fox jumps over the lazy dog near the river bank today"
+      val docB = "completely different content about spark query engines and columnar formats"
+      IngestDedup.processBatch(Seq((0L, docA), (1L, docB)).toDF("doc_id", "text"),
+        idx, cor, "text", "doc_id", numHashes = 32, bands = 16, prefixBits = 4)
+      // erase doc 0; its index postings become orphans
+      Retention.deleteIds(Seq(0L).toDF("doc_id"), cor, "doc_id")
+      def corpusIds = BucketedCorpus.readAll(spark, cor)
+        .select("doc_id").as[Long].collect().toSet
+      assert(corpusIds == Set(1L))
+      // re-ingesting docA content must SURVIVE: the orphan posting cannot
+      // verify against a live corpus row
+      IngestDedup.processBatch(Seq((7L, docA)).toDF("doc_id", "text"),
+        idx, cor, "text", "doc_id", numHashes = 32, bands = 16, prefixBits = 4)
+      assert(corpusIds == Set(1L, 7L))
+      // and replaying it now dedups against the NEW live copy
+      IngestDedup.processBatch(Seq((8L, docA)).toDF("doc_id", "text"),
+        idx, cor, "text", "doc_id", numHashes = 32, bands = 16, prefixBits = 4)
+      assert(corpusIds == Set(1L, 7L))
+    } finally rm(root)
+  }
+}
