@@ -218,8 +218,12 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         catch { case _: Throwable => Map.empty }
       else Map.empty
-    val merged = (prior.keySet ++ results.map(_._1)).toSeq.sorted.map { k =>
-      val now = results.collectFirst { case (`k`, v) => v }
+    // a FAILED query's elapsed time (often milliseconds to an exception)
+    // must never enter a rolling minimum that can only decrease — one bad
+    // run would permanently poison the regression baseline
+    val healthy = results.filter { case (k, _) => !errors.contains(k) }
+    val merged = (prior.keySet ++ healthy.map(_._1)).toSeq.sorted.map { k =>
+      val now = healthy.collectFirst { case (`k`, v) => v }
       val m = (prior.get(k), now) match {
         case (Some(p), Some(v)) => math.min(p, v)
         case (Some(p), None) => p
@@ -236,8 +240,10 @@ object Bench {
     val minSoFar = merged.toMap
     val totalMin = results.map { case (k, v) =>
       math.min(v, minSoFar.getOrElse(k, v)) }.sum
-    val minJson = results.map { case (k, _) =>
-      s"\"" + k + "\":" + minSoFar.getOrElse(k, Double.NaN) }
+    // only queries with a known healthy minimum (an errored query with no
+    // history has none, and NaN is not valid JSON)
+    val minJson = results.flatMap { case (k, _) =>
+      minSoFar.get(k).map(m => s"\"" + k + "\":" + m) }
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"min_so_far":$minJson,"total_min_so_far":$totalMin,"sf":"$sfDir"}"""

@@ -2384,7 +2384,9 @@ object OpsPack {
     val d = docs(s, dir)
     val (_, corpusPath) = Memo.memo(phashIngestCache, dir, {
       val root = "target/graft_phash_ingest_" +
-        layoutStamp(dir, "documents", s"phashing|$PhashMaxHamming|pfx4|v1")
+        // v2: the corpus sink became a BucketedCorpus layout (hash-bucketed
+        // dirs) — force a rebuild so the memo can't serve the flat layout
+        layoutStamp(dir, "documents", s"phashing|$PhashMaxHamming|pfx4|v2")
       val idx = s"$root/index"
       val cor = s"$root/corpus"
       val done = Paths.get(root, "_graft_ingest_done")

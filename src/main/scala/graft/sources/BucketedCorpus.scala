@@ -36,13 +36,28 @@ object BucketedCorpus {
   private[graft] val MetaFile = "_graft_corpus_buckets"
   private[graft] val BucketCol = "__graft_cb"
 
-  private def bucketOf(id: Column, buckets: Int): Column =
+  /** The bucket-routing hash — ONE definition shared by the writer
+    * ([[append]]), the pruned reads ([[readForIds]]), and
+    * [[Retention.vacuum]]'s touched-bucket derivation, so the three can
+    * never disagree on where an id's rows live. */
+  private[sources] def bucketOf(id: Column, buckets: Int): Column =
     pmod(xxhash64(id), lit(buckets.toLong))
 
   /** Append one batch, creating the layout (and its bucket-count metadata)
     * on first write. Appends with a drifting bucket count are rejected —
     * a different modulus would silently route probe reads to the wrong
-    * directories. */
+    * directories.
+    *
+    * The metadata file is written BEFORE the data commit: the first
+    * batch's crash windows must all leave a state whose replay converges.
+    * Meta-first, a crash before the data job commits leaves a layout that
+    * is [[ready]] but holds no data files ([[hasData]] false — the ingest
+    * loops skip the probe and the replay appends exactly once); the
+    * reverse order would leave COMMITTED data invisible to `ready`, so a
+    * replay's probe would be skipped and the rows appended twice,
+    * permanently. (Parquet job commits are atomic at job granularity —
+    * uncommitted task output stays under `_temporary`, which every reader
+    * here ignores.) */
   def append(df: DataFrame, path: String, idCol: String, buckets: Int): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val metaFile = java.nio.file.Paths.get(path, MetaFile)
@@ -50,21 +65,46 @@ object BucketedCorpus {
       val b = bucketsOf(path)
       require(b == buckets,
         s"corpus at $path was written with buckets=$b, append requested $buckets")
+    } else {
+      java.nio.file.Files.createDirectories(metaFile.getParent)
+      java.nio.file.Files.write(metaFile, buckets.toString.getBytes("UTF-8"))
     }
     df.withColumn(BucketCol, bucketOf(col(idCol), buckets))
       .write.mode("append").partitionBy(BucketCol).parquet(path)
-    java.nio.file.Files.write(metaFile, buckets.toString.getBytes("UTF-8"))
     ()
   }
 
-  /** True once [[append]] has committed at least one batch. */
+  /** True once [[append]] has recorded the layout metadata. A layout can
+    * be ready with no data yet (the meta-first crash window) — probes
+    * gate on `ready && hasData`. */
   def ready(path: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(path, MetaFile))
+
+  /** True once at least one data file is committed. */
+  def hasData(path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.exists(root) && Compaction.leafDirs(fs, root)
+      .exists(d => Compaction.dataFiles(fs, d).nonEmpty)
+  }
 
   /** The bucket count a layout was written with. */
   def bucketsOf(path: String): Int =
     new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path, MetaFile)), "UTF-8").trim.toInt
+
+  /** Finish or roll back any half-done maintenance rewrite (a crashed
+    * [[Retention.vacuum]] or compaction) before trusting the file lists —
+    * without this, a crash between a rewrite's move and its deletes would
+    * leave every LIVE row of that bucket visible twice until the next
+    * maintenance entry. Cheap: one manifest-existence check per bucket
+    * dir, mutation only when a crash actually left one behind. */
+  private def recoverPending(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root))
+      Compaction.leafDirs(fs, root).foreach(d => Compaction.recoverDir(fs, d))
+  }
 
   /** The whole corpus, original schema (bucket column dropped), LIVE rows
     * only: ids logically deleted via [[Retention]] are tombstone-filtered
@@ -72,9 +112,11 @@ object BucketedCorpus {
     * tombstoned). Note the corollary: re-appending a tombstoned id before
     * the vacuum is indistinguishable from the dead row — a deleted id
     * stays deleted until [[Retention.vacuum]] clears the tombstones. */
-  def readAll(spark: SparkSession, path: String): DataFrame =
+  def readAll(spark: SparkSession, path: String): DataFrame = {
+    recoverPending(spark, path)
     Retention.filterLive(spark, path,
       spark.read.parquet(path).drop(BucketCol))
+  }
 
   /** The corpus rows that could hold any of `ids` — a SUPERSET of the rows
     * with those ids (the whole bucket each id hashes into), which is what
@@ -92,6 +134,7 @@ object BucketedCorpus {
     }
     val wanted = ids.select(bucketOf(col(idc), b).as(BucketCol)).distinct()
       .collect().map(_.getLong(0)).toSeq
+    recoverPending(spark, path)
     Retention.filterLive(spark, path,
       spark.read.parquet(path)
         .where(col(BucketCol).isin(wanted: _*))

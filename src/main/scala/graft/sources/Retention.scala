@@ -109,8 +109,10 @@ object Retention {
   def vacuum(spark: SparkSession, corpusPath: String, idCol: String): Seq[String] = {
     val ts = tombstones(spark, corpusPath, idCol).getOrElse(return Seq.empty)
     val buckets = BucketedCorpus.bucketsOf(corpusPath)
+    // the writer's own routing hash — vacuum must never disagree with
+    // append/readForIds about where an id's rows live
     val wanted = ts
-      .select(pmod(xxhash64(col(idCol)), lit(buckets.toLong)).as("cb"))
+      .select(BucketedCorpus.bucketOf(col(idCol), buckets).as("cb"))
       .distinct().collect().map(_.getLong(0)).toSet
     val dead = broadcast(ts.withColumnRenamed(idCol, "__graft_dead_id"))
     val root = new Path(corpusPath)
@@ -134,5 +136,39 @@ object Retention {
     // clear LAST: a crash above leaves tombstones that still filter reads
     fs.delete(new Path(corpusPath, TombstoneDir), true)
     rewritten
+  }
+
+  /** Physically drop the POSTINGS of erased ids from a persisted index
+    * layout (MinHash `pfx=`, phash/video `bp=`, LSH `tp=`, trigram
+    * `bucket=` — any leaf-partitioned postings dir whose rows carry the
+    * id in `idCol`). Orphan postings are correctness-harmless by the
+    * probe contract (they can never verify against a live corpus row),
+    * so this is a WEIGHT reclaim, not a correctness pass — run it in the
+    * maintenance window alongside compaction once erased mass is worth
+    * the rewrite. Unlike [[vacuum]], postings of one id live in MANY
+    * partitions (one per band/table/block), so every leaf dir is
+    * rewritten under the crash-safe discipline; `deadIds` is broadcast
+    * (erasure sets are small relative to the corpus — for bulk age-out,
+    * rebuild the index instead). Returns the rewritten directories. */
+  def vacuumPostings(spark: SparkSession, indexPath: String,
+      deadIds: DataFrame, idCol: String): Seq[String] = {
+    val dead = broadcast(
+      deadIds.select(col(deadIds.columns.head).as("__graft_dead_id")).distinct())
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    val leaves = Compaction.leafDirs(fs, root)
+    leaves.foreach(d => Compaction.recoverDir(fs, d))
+    leaves.flatMap { dir =>
+      val files = Compaction.dataFiles(fs, dir)
+      if (files.isEmpty) None
+      else {
+        val rows = spark.read.parquet(files.map(_.getPath.toString): _*)
+        val live = rows.join(dead,
+          rows(idCol) === col("__graft_dead_id"), "left_anti")
+        Compaction.rewriteDir(spark, fs, dir, files, live, targetFiles = 1)
+        Some(dir.toString)
+      }
+    }
   }
 }

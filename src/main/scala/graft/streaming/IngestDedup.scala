@@ -124,7 +124,8 @@ object IngestDedup {
     // candidates the verify join would discard anyway)
     val hasIndex = indexReady(indexPath)
     val survivorsPlan =
-      if (!hasIndex || !BucketedCorpus.ready(corpusPath)) inBatch
+      if (!hasIndex || !BucketedCorpus.ready(corpusPath) ||
+          !BucketedCorpus.hasData(corpusPath)) inBatch
       else {
         val dupIds = Dedup.minhashProbeIndexMd5Resolved(indexPath,
           ids => BucketedCorpus.readForIds(spark, corpusPath, ids),

@@ -121,7 +121,8 @@ object IngestLsh {
       // whose candidates the verify join would discard anyway)
       val ready = Ann.lshSigIndexReady(indexPath)
       val survivorsPlan =
-        if (!ready || !BucketedCorpus.ready(corpusPath)) inBatch
+        if (!ready || !BucketedCorpus.ready(corpusPath) ||
+            !BucketedCorpus.hasData(corpusPath)) inBatch
         else {
           val dupIds = Ann.lshProbeIndexResolved(spark, indexPath,
             ids => BucketedCorpus.readForIds(spark, corpusPath, ids),

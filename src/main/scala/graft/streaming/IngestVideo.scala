@@ -107,7 +107,8 @@ object IngestVideo {
         fh("media_id") === col("__graft_drop_id"), "left_anti")
       val ready = Multimodal.phashIndexReady(indexPath)
       val survivorsPlan =
-        if (!ready || !BucketedCorpus.ready(corpusPath)) inBatch
+        if (!ready || !BucketedCorpus.ready(corpusPath) ||
+            !BucketedCorpus.hasData(corpusPath)) inBatch
         else {
           // two consumers (bucket-list collect + existence semi join):
           // cache so the banded probe runs once

@@ -83,6 +83,35 @@ class BucketedCorpusSpec extends SparkTestBase {
     } finally rm(root)
   }
 
+  test("meta-first first-batch crash window: ready-but-empty corpus skips the probe, replay appends once") {
+    import graft.streaming.IngestDedup
+    val root = tmp("graft_bcorpus_meta")
+    val (idx, cor) = (s"$root/index", s"$root/corpus")
+    try {
+      // simulate the crash: batch 1's index postings AND the corpus
+      // metadata committed, the corpus DATA job did not (meta is written
+      // before the data commit — the reverse order would leave committed
+      // data invisible to ready() and a replay would append it twice)
+      val batch1 = Seq((0L, docA), (1L, docB)).toDF("doc_id", "text")
+      Dedup.writeMinhashIndexMd5(batch1, "text", "doc_id", idx,
+        numHashes = 32, bands = 16, prefixBits = 4)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cor))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(cor, "_graft_corpus_buckets"), "64".getBytes("UTF-8"))
+      assert(BucketedCorpus.ready(cor) && !BucketedCorpus.hasData(cor))
+      // replay: the probe is skipped (nothing live to verify against) and
+      // the batch lands exactly once
+      IngestDedup.processBatch(batch1, idx, cor, "text", "doc_id",
+        numHashes = 32, bands = 16, prefixBits = 4)
+      def corpusIds = BucketedCorpus.readAll(spark, cor)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(corpusIds == Seq(0L, 1L))
+      IngestDedup.processBatch(batch1, idx, cor, "text", "doc_id",
+        numHashes = 32, bands = 16, prefixBits = 4)
+      assert(corpusIds == Seq(0L, 1L))
+    } finally rm(root)
+  }
+
   test("IngestDedup orphan-postings crash window: replay converges to one corpus copy") {
     import graft.streaming.IngestDedup
     val root = tmp("graft_bcorpus_crash")

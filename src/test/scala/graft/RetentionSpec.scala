@@ -88,6 +88,39 @@ class RetentionSpec extends SparkTestBase {
     } finally rm(root)
   }
 
+  test("vacuumPostings physically drops erased ids' postings; probe results unchanged") {
+    import graft.operators.Dedup
+    val root = tmp("graft_retention_idx")
+    val (idx, cor) = (s"$root/index", s"$root/corpus")
+    try {
+      val docA = "the quick brown fox jumps over the lazy dog near the river bank today"
+      val docB = "completely different content about spark query engines and columnar formats"
+      val corpus = Seq((0L, docA), (1L, docB)).toDF("doc_id", "text")
+      BucketedCorpus.append(corpus, cor, "doc_id", buckets = 4)
+      Dedup.writeMinhashIndexMd5(corpus, "text", "doc_id", idx,
+        numHashes = 32, bands = 16, prefixBits = 4)
+      // erase doc 0 end to end: corpus tombstone + vacuum, then the
+      // posting-side weight reclaim
+      Retention.deleteIds(Seq(0L).toDF("doc_id"), cor, "doc_id")
+      Retention.vacuum(spark, cor, "doc_id")
+      def probe(batch: Seq[(Long, String)]) =
+        Dedup.minhashProbeIndexMd5Resolved(idx,
+          ids => BucketedCorpus.readForIds(spark, cor, ids),
+          batch.toDF("doc_id", "text"), "text", "doc_id",
+          numHashes = 32, bands = 16)
+          .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+      val probeBatch = Seq((10L, docA.replace("today", "tonight")), (11L, docB))
+      val beforeVacuum = probe(probeBatch)
+      assert(beforeVacuum == Set((11L, 1L))) // doc 0 already invisible
+      assert(Retention.vacuumPostings(spark, idx,
+        Seq(0L).toDF("doc_id"), "id").nonEmpty)
+      // postings physically gone, probe identical
+      assert(spark.read.parquet(idx).where(col("id") === 0L).count() == 0)
+      assert(spark.read.parquet(idx).where(col("id") === 1L).count() > 0)
+      assert(probe(probeBatch) == beforeVacuum)
+    } finally rm(root)
+  }
+
   test("ingest probe treats tombstoned corpus rows as absent (postings orphaned, content kept)") {
     import graft.streaming.IngestDedup
     val root = tmp("graft_retention_probe")
