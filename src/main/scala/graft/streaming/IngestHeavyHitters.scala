@@ -36,7 +36,15 @@ import graft.operators.HeavyHitters
   * recount — whose cost follows the pruned candidate count — touches the
   * corpus. `capacity` rides the summary layout; probes and appends with
   * a drifting value are rejected (a larger claimed capacity would tighten
-  * the prune past what the persisted sketches guarantee). */
+  * the prune past what the persisted sketches guarantee).
+  *
+  * File-count note: the `batch=<id>` directories ARE the replay
+  * mechanism, so the generic leaf-dir compactor must not merge across
+  * them while the stream can still replay those ids. Probes are offline
+  * analytics (not per-batch work), so many batch dirs cost only when the
+  * question is asked; a deployment running for months would consolidate
+  * batches older than its checkpoint fence — a coordination policy, out
+  * of scope here. */
 object IngestHeavyHitters {
 
   private[graft] val CapacityFile = "_graft_hh_capacity"
