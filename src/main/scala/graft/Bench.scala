@@ -238,8 +238,13 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] history write failed: ${e.getMessage}") }
     val minSoFar = merged.toMap
+    // an errored query contributes its HISTORY minimum (or nothing) — its
+    // fail-fast elapsed time must not drag the headline metric down any
+    // more than it may enter the history itself
     val totalMin = results.map { case (k, v) =>
-      math.min(v, minSoFar.getOrElse(k, v)) }.sum
+      if (errors.contains(k)) minSoFar.getOrElse(k, 0.0)
+      else math.min(v, minSoFar.getOrElse(k, v))
+    }.sum
     // only queries with a known healthy minimum (an errored query with no
     // history has none, and NaN is not valid JSON)
     val minJson = results.flatMap { case (k, _) =>

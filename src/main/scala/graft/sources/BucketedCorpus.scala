@@ -80,10 +80,14 @@ object BucketedCorpus {
   def ready(path: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(path, MetaFile))
 
-  /** True once at least one data file is committed. */
-  def hasData(path: String): Boolean = {
+  /** True once at least one data file is committed. Resolved through the
+    * session's Hadoop configuration like every other filesystem touch
+    * here — a bare Configuration would miss `spark.hadoop.*` settings
+    * (object-store credentials, endpoints) and fail on exactly the
+    * deployments the layout is for. */
+  def hasData(spark: SparkSession, path: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(root) && Compaction.leafDirs(fs, root)
       .exists(d => Compaction.dataFiles(fs, d).nonEmpty)
   }
@@ -114,6 +118,12 @@ object BucketedCorpus {
     * stays deleted until [[Retention.vacuum]] clears the tombstones. */
   def readAll(spark: SparkSession, path: String): DataFrame = {
     recoverPending(spark, path)
+    // a ready-but-empty layout (the meta-first crash window) has no files
+    // to infer a schema from — fail with the contract, not an opaque
+    // AnalysisException; probe paths gate on `ready && hasData` already
+    require(hasData(spark, path),
+      s"corpus at $path has no committed data files (meta-first crash " +
+        "window or empty layout) — gate reads on ready && hasData")
     Retention.filterLive(spark, path,
       spark.read.parquet(path).drop(BucketCol))
   }

@@ -113,7 +113,12 @@ object Compaction {
     try out.write(files.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     finalNames.foreach { n =>
-      if (!fs.rename(new Path(tmp, n), new Path(dir, n)))
+      val target = new Path(dir, n)
+      // a CONCURRENT reader's recovery pass may have finished this move
+      // already (BucketedCorpus reads self-recover manifests they find) —
+      // a failed rename whose target exists is that benign race, not a
+      // filesystem fault; names are unique, so the move is idempotent
+      if (!fs.rename(new Path(tmp, n), target) && !fs.exists(target))
         throw new java.io.IOException(s"compaction move failed into $dir")
     }
     files.foreach(s => fs.delete(s.getPath, false))

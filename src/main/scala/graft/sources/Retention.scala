@@ -72,9 +72,12 @@ object Retention {
 
   /** Logically delete every LIVE corpus row matching `predicate` (one
     * corpus scan — the cost of any DELETE WHERE). Returns the number of
-    * newly tombstoned ids. */
+    * newly tombstoned ids; 0 without touching anything when the layout
+    * has no committed data yet (the meta-first crash window). */
   def deleteWhere(spark: SparkSession, corpusPath: String,
       predicate: Column, idCol: String): Long = {
+    if (!BucketedCorpus.ready(corpusPath) ||
+        !BucketedCorpus.hasData(spark, corpusPath)) return 0L
     val doomed = BucketedCorpus.readAll(spark, corpusPath)
       .where(predicate).select(col(idCol)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -107,7 +110,25 @@ object Retention {
     * mid-vacuum leaves rows that are still tombstone-filtered on read and
     * get dropped by the next vacuum. */
   def vacuum(spark: SparkSession, corpusPath: String, idCol: String): Seq[String] = {
-    val ts = tombstones(spark, corpusPath, idCol).getOrElse(return Seq.empty)
+    // SNAPSHOT the tombstone files at entry: the whole pass — bucket
+    // derivation, every per-dir anti-join, and the final clear — must see
+    // ONE id set. A lazy read of the directory would let ids deleted
+    // mid-vacuum leak into later buckets but not earlier ones, and a
+    // wholesale directory delete at the end would silently DISCARD them —
+    // permanently resurrecting concurrently-erased rows. Tombstones
+    // appended after this snapshot survive untouched for the next vacuum.
+    val tsDir = tombstonePath(corpusPath)
+    if (!java.nio.file.Files.isDirectory(tsDir)) return Seq.empty
+    val snapshot = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(tsDir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toVector
+      finally s.close()
+    }
+    if (snapshot.isEmpty) return Seq.empty
+    val ts = spark.read.parquet(snapshot.map(_.toString): _*)
+      .select(col(idCol)).distinct()
     val buckets = BucketedCorpus.bucketsOf(corpusPath)
     // the writer's own routing hash — vacuum must never disagree with
     // append/readForIds about where an id's rows live
@@ -133,8 +154,9 @@ object Retention {
         Some(dir.toString)
       }
     }
-    // clear LAST: a crash above leaves tombstones that still filter reads
-    fs.delete(new Path(corpusPath, TombstoneDir), true)
+    // clear LAST, and only the snapshot's own files: a crash above leaves
+    // tombstones that still filter reads; concurrent deletes stay queued
+    snapshot.foreach(f => java.nio.file.Files.deleteIfExists(f))
     rewritten
   }
 
@@ -146,10 +168,16 @@ object Retention {
     * so this is a WEIGHT reclaim, not a correctness pass — run it in the
     * maintenance window alongside compaction once erased mass is worth
     * the rewrite. Unlike [[vacuum]], postings of one id live in MANY
-    * partitions (one per band/table/block), so every leaf dir is
-    * rewritten under the crash-safe discipline; `deadIds` is broadcast
-    * (erasure sets are small relative to the corpus — for bulk age-out,
-    * rebuild the index instead). Returns the rewritten directories. */
+    * partitions (one per band/table/block) with no id-derived directory
+    * scheme shared across layouts, so the touched set is DISCOVERED with
+    * one cheap read-only pass — the id column of the whole index,
+    * semi-joined against the dead set, collecting the distinct files that
+    * still hold dead postings (bounded by the erasure set's posting
+    * spread) — and only THEIR directories are rewritten under the
+    * crash-safe discipline; untouched dirs keep their files
+    * byte-identical. `deadIds` is broadcast (erasure sets are small
+    * relative to the corpus — for bulk age-out, rebuild the index
+    * instead). Returns the rewritten directories. */
   def vacuumPostings(spark: SparkSession, indexPath: String,
       deadIds: DataFrame, idCol: String): Seq[String] = {
     val dead = broadcast(
@@ -159,7 +187,15 @@ object Retention {
     if (!fs.exists(root)) return Seq.empty
     val leaves = Compaction.leafDirs(fs, root)
     leaves.foreach(d => Compaction.recoverDir(fs, d))
-    leaves.flatMap { dir =>
+    // read-only discovery pass: which files still hold dead postings?
+    // (column-pruned to the id column — a tiny fraction of a rewrite)
+    val idx = spark.read.parquet(indexPath)
+    val hitDirs = idx
+      .join(dead, idx(idCol) === col("__graft_dead_id"), "left_semi")
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => new Path(new java.net.URI(r.getString(0))).getParent)
+      .map(_.toUri.getPath).toSet
+    leaves.filter(d => hitDirs.contains(d.toUri.getPath)).flatMap { dir =>
       val files = Compaction.dataFiles(fs, dir)
       if (files.isEmpty) None
       else {

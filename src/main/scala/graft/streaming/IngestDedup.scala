@@ -125,7 +125,7 @@ object IngestDedup {
     val hasIndex = indexReady(indexPath)
     val survivorsPlan =
       if (!hasIndex || !BucketedCorpus.ready(corpusPath) ||
-          !BucketedCorpus.hasData(corpusPath)) inBatch
+          !BucketedCorpus.hasData(spark, corpusPath)) inBatch
       else {
         val dupIds = Dedup.minhashProbeIndexMd5Resolved(indexPath,
           ids => BucketedCorpus.readForIds(spark, corpusPath, ids),

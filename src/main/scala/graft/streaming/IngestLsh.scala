@@ -122,7 +122,7 @@ object IngestLsh {
       val ready = Ann.lshSigIndexReady(indexPath)
       val survivorsPlan =
         if (!ready || !BucketedCorpus.ready(corpusPath) ||
-            !BucketedCorpus.hasData(corpusPath)) inBatch
+            !BucketedCorpus.hasData(spark, corpusPath)) inBatch
         else {
           val dupIds = Ann.lshProbeIndexResolved(spark, indexPath,
             ids => BucketedCorpus.readForIds(spark, corpusPath, ids),

@@ -104,7 +104,7 @@ object IngestPhash {
       val ready = Multimodal.phashIndexReady(indexPath)
       val survivorsPlan =
         if (!ready || !BucketedCorpus.ready(corpusPath) ||
-            !BucketedCorpus.hasData(corpusPath)) inBatch
+            !BucketedCorpus.hasData(spark, corpusPath)) inBatch
         else {
           // two consumers (bucket-list collect + existence semi join):
           // cache so the banded probe runs once

@@ -98,7 +98,7 @@ class BucketedCorpusSpec extends SparkTestBase {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cor))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(cor, "_graft_corpus_buckets"), "64".getBytes("UTF-8"))
-      assert(BucketedCorpus.ready(cor) && !BucketedCorpus.hasData(cor))
+      assert(BucketedCorpus.ready(cor) && !BucketedCorpus.hasData(spark, cor))
       // replay: the probe is skipped (nothing live to verify against) and
       // the batch lands exactly once
       IngestDedup.processBatch(batch1, idx, cor, "text", "doc_id",

@@ -51,10 +51,16 @@ class RetentionSpec extends SparkTestBase {
       freshCorpus(path)
       val survivorsBefore = BucketedCorpus.readAll(spark, path) // pre-delete
         .as[(Long, String, String)].collect().toSet
-      Retention.deleteWhere(spark, path, col("lang") === "en", "id")
+      // a SMALL dead set (3 of 100 ids) so some of the 8 buckets provably
+      // hold no dead row — with a broad predicate every bucket would be
+      // touched and the untouched-buckets assertion below would iterate
+      // zero times
+      val deadIds = Set(0L, 1L, 2L)
+      Retention.deleteWhere(spark, path, col("id") < 3, "id")
       val logical = BucketedCorpus.readAll(spark, path)
         .as[(Long, String, String)].collect().toSet
-      assert(logical == survivorsBefore.filter(_._3 != "en") && logical.nonEmpty)
+      assert(logical == survivorsBefore.filterNot(r => deadIds(r._1)) &&
+        logical.nonEmpty)
       // snapshot per-bucket file names before the vacuum
       def filesByBucket: Map[String, Set[String]] = {
         def walk(f: java.io.File): Seq[java.io.File] =
@@ -66,20 +72,23 @@ class RetentionSpec extends SparkTestBase {
             k -> v.map(_.getName).toSet }
       }
       val before = filesByBucket
-      val deadBuckets = (0L until 100L).filter(_ % 3 == 0)
+      val deadBuckets = deadIds
         .map(i => spark.range(i, i + 1).select(
-          pmod(xxhash64(col("id")), lit(8L))).first().getLong(0)).toSet
+          pmod(xxhash64(col("id")), lit(8L))).first().getLong(0))
         .map((b: Long) => s"${BucketedCorpus.BucketCol}=$b")
+      val untouched = before.keySet -- deadBuckets
+      assert(untouched.nonEmpty,
+        "fixture degenerated: every bucket holds a dead id, nothing to pin")
       val rewritten = Retention.vacuum(spark, path, "id")
       assert(!Retention.hasTombstones(path))
       val after = filesByBucket
       // untouched buckets keep their files byte-for-byte (same names)
-      (before.keySet -- deadBuckets).foreach { b =>
+      untouched.foreach { b =>
         assert(after(b) == before(b), s"bucket $b rewritten without dead rows")
       }
       assert(rewritten.map(p => p.split('/').last).toSet == deadBuckets)
       // physical: the raw files (tombstones cleared) no longer hold the rows
-      assert(spark.read.parquet(path).where(col("lang") === "en").count() == 0)
+      assert(spark.read.parquet(path).where(col("id") < 3).count() == 0)
       // reads identical before and after the physical delete
       assert(BucketedCorpus.readAll(spark, path)
         .as[(Long, String, String)].collect().toSet == logical)
@@ -112,8 +121,29 @@ class RetentionSpec extends SparkTestBase {
       val probeBatch = Seq((10L, docA.replace("today", "tonight")), (11L, docB))
       val beforeVacuum = probe(probeBatch)
       assert(beforeVacuum == Set((11L, 1L))) // doc 0 already invisible
-      assert(Retention.vacuumPostings(spark, idx,
-        Seq(0L).toDF("doc_id"), "id").nonEmpty)
+      // snapshot per-dir file names: the rewrite must touch ONLY the
+      // partition dirs that actually hold dead postings (discovered by a
+      // read-only pass), never the whole index
+      def filesByDir: Map[String, Set[String]] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(idx))
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")
+            && f.getParentFile.getName.startsWith("pfx="))
+          .groupBy(_.getParentFile.getName)
+          .map { case (k, v) => k -> v.map(_.getName).toSet }
+      }
+      val before = filesByDir
+      val deadDirs = spark.read.parquet(idx).where(col("id") === 0L)
+        .select(col("pfx")).distinct().collect()
+        .map(r => s"pfx=${r.get(0)}").toSet
+      val rewritten = Retention.vacuumPostings(spark, idx,
+        Seq(0L).toDF("doc_id"), "id")
+      assert(rewritten.map(_.split('/').last).toSet == deadDirs && deadDirs.nonEmpty)
+      val after = filesByDir
+      (before.keySet -- deadDirs).foreach { d =>
+        assert(after(d) == before(d), s"index dir $d rewritten without dead postings")
+      }
       // postings physically gone, probe identical
       assert(spark.read.parquet(idx).where(col("id") === 0L).count() == 0)
       assert(spark.read.parquet(idx).where(col("id") === 1L).count() > 0)
