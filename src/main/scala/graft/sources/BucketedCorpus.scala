@@ -97,17 +97,20 @@ object BucketedCorpus {
     new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path, MetaFile)), "UTF-8").trim.toInt
 
-  /** Finish or roll back any half-done maintenance rewrite (a crashed
-    * [[Retention.vacuum]] or compaction) before trusting the file lists —
-    * without this, a crash between a rewrite's move and its deletes would
-    * leave every LIVE row of that bucket visible twice until the next
-    * maintenance entry. Cheap: one manifest-existence check per bucket
-    * dir, mutation only when a crash actually left one behind. */
-  private def recoverPending(spark: SparkSession, path: String): Unit = {
+  /** ONE walk doing both read preconditions: finish or roll back any
+    * half-done maintenance rewrite (a crashed [[Retention.vacuum]] or
+    * compaction would otherwise leave every LIVE row of a bucket visible
+    * twice until the next maintenance entry), and report whether any
+    * committed data file exists. Folded together because reads run this
+    * per call and separate recover + hasData walks would double the
+    * recursive LIST cost that dominates small reads on object stores. */
+  private def prepareRead(spark: SparkSession, path: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(root))
-      Compaction.leafDirs(fs, root).foreach(d => Compaction.recoverDir(fs, d))
+    if (!fs.exists(root)) return false
+    val leaves = Compaction.leafDirs(fs, root)
+    leaves.foreach(d => Compaction.recoverDir(fs, d))
+    leaves.exists(d => Compaction.dataFiles(fs, d).nonEmpty)
   }
 
   /** The whole corpus, original schema (bucket column dropped), LIVE rows
@@ -117,11 +120,10 @@ object BucketedCorpus {
     * the vacuum is indistinguishable from the dead row — a deleted id
     * stays deleted until [[Retention.vacuum]] clears the tombstones. */
   def readAll(spark: SparkSession, path: String): DataFrame = {
-    recoverPending(spark, path)
     // a ready-but-empty layout (the meta-first crash window) has no files
     // to infer a schema from — fail with the contract, not an opaque
     // AnalysisException; probe paths gate on `ready && hasData` already
-    require(hasData(spark, path),
+    require(prepareRead(spark, path),
       s"corpus at $path has no committed data files (meta-first crash " +
         "window or empty layout) — gate reads on ready && hasData")
     Retention.filterLive(spark, path,
@@ -144,7 +146,9 @@ object BucketedCorpus {
     }
     val wanted = ids.select(bucketOf(col(idc), b).as(BucketCol)).distinct()
       .collect().map(_.getLong(0)).toSeq
-    recoverPending(spark, path)
+    require(prepareRead(spark, path),
+      s"corpus at $path has no committed data files (meta-first crash " +
+        "window or empty layout) — gate reads on ready && hasData")
     Retention.filterLive(spark, path,
       spark.read.parquet(path)
         .where(col(BucketCol).isin(wanted: _*))

@@ -57,8 +57,13 @@ object Compaction {
   }
 
   /** Finish or roll back a half-done [[rewriteDir]] in `dir` — call at
-    * every maintenance-pass entry before trusting the dir's file list. */
-  private[sources] def recoverDir(fs: FileSystem, dir: Path): Unit = {
+    * every maintenance-pass entry before trusting the dir's file list.
+    * Tolerant of the LIVE-writer race (the mirror of [[rewriteDir]]'s
+    * rename tolerance): if the in-flight rewrite COMPLETES while this
+    * recovery is mid-pass, the manifest/temp paths vanish underneath it —
+    * that is the writer finishing its own cleanup, not a failure, so
+    * vanished paths end the recovery instead of throwing out of a read. */
+  private[sources] def recoverDir(fs: FileSystem, dir: Path): Unit = try {
     val manifest = new Path(dir, "_graft_compacting")
     if (!fs.exists(manifest)) return
     val tmp = new Path(dir, "_graft_compact_tmp")
@@ -81,6 +86,8 @@ object Compaction {
       fs.delete(tmp, true)
     }
     ()
+  } catch {
+    case _: java.io.FileNotFoundException => () // live writer finished first
   }
 
   /** Crash-safely replace `dir`'s data files (currently `files`) with the

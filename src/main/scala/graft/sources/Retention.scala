@@ -43,21 +43,34 @@ object Retention {
   private def tombstonePath(corpusPath: String) =
     java.nio.file.Paths.get(corpusPath, TombstoneDir)
 
-  /** True if any ids are currently tombstoned (logically deleted but not
-    * yet vacuumed). */
-  def hasTombstones(corpusPath: String): Boolean = {
+  /** The current tombstone data files — the one definition of "what is a
+    * tombstone file" ([[hasTombstones]], [[tombstones]], and [[vacuum]]'s
+    * entry snapshot all go through it). */
+  private def tombstoneFiles(corpusPath: String): Vector[java.nio.file.Path] = {
     val p = tombstonePath(corpusPath)
-    if (!java.nio.file.Files.isDirectory(p)) return false
+    if (!java.nio.file.Files.isDirectory(p)) return Vector.empty
+    import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.list(p)
-    try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toVector
     finally s.close()
   }
 
+  private def readTombstones(spark: SparkSession,
+      files: Seq[java.nio.file.Path], idCol: String): DataFrame =
+    spark.read.parquet(files.map(_.toString): _*)
+      .select(col(idCol)).distinct()
+
+  /** True if any ids are currently tombstoned (logically deleted but not
+    * yet vacuumed). */
+  def hasTombstones(corpusPath: String): Boolean =
+    tombstoneFiles(corpusPath).nonEmpty
+
   /** The tombstoned id set (single column named `idCol`), empty-safe. */
-  def tombstones(spark: SparkSession, corpusPath: String, idCol: String): Option[DataFrame] =
-    if (!hasTombstones(corpusPath)) None
-    else Some(spark.read.parquet(tombstonePath(corpusPath).toString)
-      .select(col(idCol)).distinct())
+  def tombstones(spark: SparkSession, corpusPath: String, idCol: String): Option[DataFrame] = {
+    val files = tombstoneFiles(corpusPath)
+    if (files.isEmpty) None else Some(readTombstones(spark, files, idCol))
+  }
 
   /** Logically delete the given ids: append them to the tombstone set.
     * `ids` is a single-column frame of the corpus id column's name and
@@ -72,12 +85,17 @@ object Retention {
 
   /** Logically delete every LIVE corpus row matching `predicate` (one
     * corpus scan — the cost of any DELETE WHERE). Returns the number of
-    * newly tombstoned ids; 0 without touching anything when the layout
-    * has no committed data yet (the meta-first crash window). */
+    * newly tombstoned ids; 0 without touching anything when the layout is
+    * ready but holds no committed data yet (the meta-first crash window —
+    * there is nothing a delete could match). A path with NO layout at all
+    * fails loudly: an erasure job pointed at a typo'd or unmounted path
+    * must surface the misconfiguration, not report success. */
   def deleteWhere(spark: SparkSession, corpusPath: String,
       predicate: Column, idCol: String): Long = {
-    if (!BucketedCorpus.ready(corpusPath) ||
-        !BucketedCorpus.hasData(spark, corpusPath)) return 0L
+    require(BucketedCorpus.ready(corpusPath),
+      s"no BucketedCorpus layout at $corpusPath (missing bucket metadata) — " +
+        "refusing to silently skip a delete against a mistyped path")
+    if (!BucketedCorpus.hasData(spark, corpusPath)) return 0L
     val doomed = BucketedCorpus.readAll(spark, corpusPath)
       .where(predicate).select(col(idCol)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -117,18 +135,9 @@ object Retention {
     // wholesale directory delete at the end would silently DISCARD them —
     // permanently resurrecting concurrently-erased rows. Tombstones
     // appended after this snapshot survive untouched for the next vacuum.
-    val tsDir = tombstonePath(corpusPath)
-    if (!java.nio.file.Files.isDirectory(tsDir)) return Seq.empty
-    val snapshot = {
-      import scala.jdk.CollectionConverters._
-      val s = java.nio.file.Files.list(tsDir)
-      try s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toVector
-      finally s.close()
-    }
+    val snapshot = tombstoneFiles(corpusPath)
     if (snapshot.isEmpty) return Seq.empty
-    val ts = spark.read.parquet(snapshot.map(_.toString): _*)
-      .select(col(idCol)).distinct()
+    val ts = readTombstones(spark, snapshot, idCol)
     val buckets = BucketedCorpus.bucketsOf(corpusPath)
     // the writer's own routing hash — vacuum must never disagree with
     // append/readForIds about where an id's rows live
@@ -155,8 +164,14 @@ object Retention {
       }
     }
     // clear LAST, and only the snapshot's own files: a crash above leaves
-    // tombstones that still filter reads; concurrent deletes stay queued
-    snapshot.foreach(f => java.nio.file.Files.deleteIfExists(f))
+    // tombstones that still filter reads; concurrent deletes stay queued.
+    // Deletes go through the Hadoop filesystem so checksum twins (.crc on
+    // local FS) die with their parquet; once no tombstone remains, the
+    // directory and its write sidecars (_SUCCESS) go too — otherwise
+    // months of delete/vacuum cycles leak orphan metadata files.
+    snapshot.foreach(f => fs.delete(new Path(f.toString), false))
+    if (!hasTombstones(corpusPath))
+      fs.delete(new Path(corpusPath, TombstoneDir), true)
     rewritten
   }
 
@@ -187,24 +202,33 @@ object Retention {
     if (!fs.exists(root)) return Seq.empty
     val leaves = Compaction.leafDirs(fs, root)
     leaves.foreach(d => Compaction.recoverDir(fs, d))
+    // an index root that exists but holds no committed data (writer
+    // crashed pre-commit, or a rollback emptied it) has nothing to vacuum
+    // and no schema to infer — return instead of crashing the pass
+    if (!leaves.exists(d => Compaction.dataFiles(fs, d).nonEmpty))
+      return Seq.empty
     // read-only discovery pass: which files still hold dead postings?
-    // (column-pruned to the id column — a tiny fraction of a rewrite)
+    // (column-pruned to the id column — a tiny fraction of a rewrite).
+    // Both sides of the directory match are fs-QUALIFIED Hadoop paths —
+    // comparing decoded URI strings against on-disk names diverges on
+    // escapable partition values and would silently skip rewrites.
     val idx = spark.read.parquet(indexPath)
     val hitDirs = idx
       .join(dead, idx(idCol) === col("__graft_dead_id"), "left_semi")
       .select(input_file_name().as("f")).distinct()
-      .collect().map(r => new Path(new java.net.URI(r.getString(0))).getParent)
-      .map(_.toUri.getPath).toSet
-    leaves.filter(d => hitDirs.contains(d.toUri.getPath)).flatMap { dir =>
-      val files = Compaction.dataFiles(fs, dir)
-      if (files.isEmpty) None
-      else {
-        val rows = spark.read.parquet(files.map(_.getPath.toString): _*)
-        val live = rows.join(dead,
-          rows(idCol) === col("__graft_dead_id"), "left_anti")
-        Compaction.rewriteDir(spark, fs, dir, files, live, targetFiles = 1)
-        Some(dir.toString)
+      .collect().map(_.getString(0)).filter(_.nonEmpty)
+      .map(s => fs.makeQualified(new Path(s).getParent).toString).toSet
+    leaves.filter(d => hitDirs.contains(fs.makeQualified(d).toString))
+      .flatMap { dir =>
+        val files = Compaction.dataFiles(fs, dir)
+        if (files.isEmpty) None
+        else {
+          val rows = spark.read.parquet(files.map(_.getPath.toString): _*)
+          val live = rows.join(dead,
+            rows(idCol) === col("__graft_dead_id"), "left_anti")
+          Compaction.rewriteDir(spark, fs, dir, files, live, targetFiles = 1)
+          Some(dir.toString)
+        }
       }
-    }
   }
 }
