@@ -209,6 +209,18 @@ object Bench {
     // round-over-round delta alone cannot distinguish "regression" from
     // "dilation" — the committed per-sf min history can, mechanically.
     // The file is flat {"query":seconds} JSON written only by this block.
+    // A rolling minimum can only decrease, so it must never survive a QUERY
+    // REDEFINITION: when a query's measured work changes (r12 added the
+    // markup strip to q_clean_corpus*), the old cheaper-definition minimum
+    // would permanently misreport the new definition as regressed. The
+    // history key therefore carries a per-query definition version —
+    // plain name = v1, `name@v<N>` after a redefinition (bump the entry in
+    // OpsPack.queryDefVersions next to the redefining change); the old
+    // version's entry goes stale in the file but is never consulted.
+    def histKey(name: String): String = {
+      val v = OpsPack.queryDefVersions.getOrElse(name, 1)
+      if (v <= 1) name else s"$name@v$v"
+    }
     val sfName = new java.io.File(sfDir).getName
     val histPath = java.nio.file.Paths.get(s"bench_history_$sfName.json")
     val prior: Map[String, Double] =
@@ -222,6 +234,7 @@ object Bench {
     // must never enter a rolling minimum that can only decrease — one bad
     // run would permanently poison the regression baseline
     val healthy = results.filter { case (k, _) => !errors.contains(k) }
+      .map { case (k, v) => histKey(k) -> v }
     val merged = (prior.keySet ++ healthy.map(_._1)).toSeq.sorted.map { k =>
       val now = healthy.collectFirst { case (`k`, v) => v }
       val m = (prior.get(k), now) match {
@@ -242,13 +255,13 @@ object Bench {
     // fail-fast elapsed time must not drag the headline metric down any
     // more than it may enter the history itself
     val totalMin = results.map { case (k, v) =>
-      if (errors.contains(k)) minSoFar.getOrElse(k, 0.0)
-      else math.min(v, minSoFar.getOrElse(k, v))
+      if (errors.contains(k)) minSoFar.getOrElse(histKey(k), 0.0)
+      else math.min(v, minSoFar.getOrElse(histKey(k), v))
     }.sum
     // only queries with a known healthy minimum (an errored query with no
     // history has none, and NaN is not valid JSON)
     val minJson = results.flatMap { case (k, _) =>
-      minSoFar.get(k).map(m => s"\"" + k + "\":" + m) }
+      minSoFar.get(histKey(k)).map(m => s"\"" + k + "\":" + m) }
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"min_so_far":$minJson,"total_min_so_far":$totalMin,"sf":"$sfDir"}"""

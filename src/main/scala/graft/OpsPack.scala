@@ -14,6 +14,17 @@ import graft.operators.{Ann, Dedup, Ivf, Multimodal, Sampling, TextOps}
   * variants remain the fast default engine path, pinned by unit tests. */
 object OpsPack {
 
+  /** Per-query DEFINITION versions for the bench minimum history
+    * (`bench_history_<sf>.json`): the rolling minimum can only decrease,
+    * so a redefinition that changes a query's measured work must retire
+    * the old entry or the new definition reads as a permanent regression.
+    * Bump a query's version HERE in the same change that redefines it;
+    * unlisted queries are v1 (plain-name history key). */
+  val queryDefVersions: Map[String, Int] = Map(
+    // r13: thirds instead of halves, fence consolidation + stale-replay
+    // skip inside the measured build, weighted probe
+    "q_text_heavy_hitters_stream" -> 2)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -1084,17 +1095,26 @@ object OpsPack {
     val cap = 2 * HeavyHitterGroupDenominator.toInt
     val (sumP, corP) = Memo.memo(hhIngestCache, dir, {
       val root = "target/graft_hh_ingest_" + layoutStamp(dir, "documents",
-        s"hh|$HeavyHitterGroupDenominator|$cap|v1")
+        s"hh|$HeavyHitterGroupDenominator|$cap|v2")
       val (sp, cp) = (s"$root/summaries", s"$root/corpus")
       val done = Paths.get(root, "_graft_ingest_done")
       if (!Files.exists(done)) {
         deleteRecursively(Paths.get(root))
         Files.createDirectories(Paths.get(root))
-        def half(parity: Int) = graft.operators.HeavyHitters.tokenStreamByGroup(
-          docs(s, dir).where(col("doc_id") % 2 === parity), "lang", "text")
-        IngestHeavyHitters.processBatch(half(0), 0L, sp, cp, "lang", "token", cap)
-        IngestHeavyHitters.processBatch(half(1), 1L, sp, cp, "lang", "token", cap)
-        IngestHeavyHitters.processBatch(half(1), 1L, sp, cp, "lang", "token", cap)
+        def slice(parity: Int) = graft.operators.HeavyHitters.tokenStreamByGroup(
+          docs(s, dir).where(col("doc_id") % 3 === parity), "lang", "text")
+        IngestHeavyHitters.processBatch(slice(0), 0L, sp, cp, "lang", "token", cap)
+        IngestHeavyHitters.processBatch(slice(1), 1L, sp, cp, "lang", "token", cap)
+        // replay of a delivered batch: the batch-dir overwrite converges
+        IngestHeavyHitters.processBatch(slice(1), 1L, sp, cp, "lang", "token", cap)
+        // consolidation fence at the committed frontier: batches 0-1 merge
+        // into one summary aggregate + one (group, token, count) corpus
+        // aggregate per layout — MG-mergeable, so the probe is bit-identical
+        IngestHeavyHitters.consolidate(s, sp, cp, 2L, "lang", "token")
+        // a STALE replay from below the fence is skipped as the no-op it is
+        IngestHeavyHitters.processBatch(slice(0), 0L, sp, cp, "lang", "token", cap)
+        // one post-fence batch rides alongside the consolidated dirs
+        IngestHeavyHitters.processBatch(slice(2), 2L, sp, cp, "lang", "token", cap)
         Files.write(done, Array.emptyByteArray)
       }
       (sp, cp)
@@ -2253,6 +2273,105 @@ object OpsPack {
     graft.sources.BucketedCorpus.readAll(s, path)
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
+  }
+
+  private val erasureCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** One (kind, id, lang, n_postings) state row per LIVE corpus entry of a
+    * corpus + postings-index pair — the erasure job's observable surface.
+    * Pre-vacuum ('tombstoned') the join is LEFT from the corpus: dead ids
+    * are already tombstone-filtered out of the read, and their postings
+    * are harmless orphans the probe contract ignores. Post-vacuum
+    * ('vacuumed') the join is FULL OUTER: a dead posting that survived
+    * [[graft.sources.Retention.vacuumPostings]] surfaces as a row with a
+    * NULL lang, a live row that lost its postings as a NULL count — either
+    * breaks the oracle hash. */
+  private def erasureState(s: SparkSession, corPath: String, idxPath: String,
+      idCol: String, kind: String, langCol: Option[String],
+      fullOuter: Boolean): DataFrame = {
+    val live = graft.sources.BucketedCorpus.readAll(s, corPath)
+      .select(col(idCol).as("live_id"),
+        langCol.map(col).getOrElse(lit(null).cast("string")).as("lang"))
+    val counts = s.read.parquet(idxPath)
+      .groupBy(col("id").as("__pid"))
+      .agg(count(lit(1)).as("n_postings"))
+    live.join(counts, col("live_id") === col("__pid"),
+        if (fullOuter) "full_outer" else "left")
+      .select(lit(kind).as("kind"),
+        coalesce(col("live_id"), col("__pid")).as("id"),
+        col("lang"), col("n_postings"))
+  }
+
+  /** End-to-end ERASURE job driver query — the composed GDPR path across
+    * one deployment's persisted layouts: a bucketed DOCUMENT corpus with
+    * its MinHash-LSH postings index, and a bucketed EMBEDDING corpus with
+    * its LSH signature index. The job runs deleteWhere (tombstones) →
+    * vacuum (dead corpus buckets rewritten) → vacuumPostings (dead
+    * postings dropped from both indexes), and the query emits the system
+    * state at BOTH phases: 'tombstoned' proves reads exclude erased ids
+    * IMMEDIATELY — no maintenance pass on the critical path — and
+    * 'vacuumed' proves the physical pass removed rows AND postings without
+    * touching anything live. Posting counts are constants by construction
+    * (bands per document, tables per vector), so the oracle mirrors the
+    * whole pipeline as a NULL-safe complement select. Heavy-hitters token
+    * corpora get the same treatment through their own handle
+    * ([[graft.streaming.IngestHeavyHitters.deleteIds]], spec-pinned). */
+  def erasureE2e(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = Memo.memo(erasureCache, dir, {
+      val r = "target/graft_erasure_" + layoutStamp(dir, "documents", "er|v1")
+      val done = Paths.get(r, "_graft_erasure_done")
+      if (!Files.exists(done)) {
+        deleteRecursively(Paths.get(r))
+        Files.createDirectories(Paths.get(r))
+        val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        val (dCor, dIdx) = (s"$r/doc_corpus", s"$r/doc_index")
+        graft.sources.BucketedCorpus.append(
+          d.where(col("doc_id") % 2 === 0), dCor, "doc_id", 16)
+        graft.sources.BucketedCorpus.append(
+          d.where(col("doc_id") % 2 === 1), dCor, "doc_id", 16)
+        Dedup.writeMinhashIndexMd5(d, "text", "doc_id", dIdx,
+          numHashes = 16, bands = 8, prefixBits = 6)
+        val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val (vCor, vIdx) = (s"$r/vec_corpus", s"$r/vec_index")
+        graft.sources.BucketedCorpus.append(e, vCor, "vec_id", 16)
+        graft.operators.Ann.writeLshSigIndex(e, "embedding", "vec_id", vIdx,
+          dim = 64, bits = 16, tables = 4, prefixBits = 4)
+        // logical delete NOW (tombstones; every read excludes immediately)
+        graft.sources.Retention.deleteWhere(s, dCor,
+          col("lang") === "en" || col("doc_id") % 7 === 0, "doc_id")
+        graft.sources.Retention.deleteWhere(s, vCor,
+          col("vec_id") % 7 === 0, "vec_id")
+        erasureState(s, dCor, dIdx, "doc_id", "doc", Some("lang"), fullOuter = false)
+          .unionByName(erasureState(s, vCor, vIdx, "vec_id", "vec", None,
+            fullOuter = false))
+          .withColumn("phase", lit("tombstoned"))
+          .write.mode("overwrite").parquet(s"$r/pre_snapshot")
+        // the physical pass clears the tombstones — keep the dead id sets
+        // for the postings reclaim that follows it
+        graft.sources.Retention.tombstones(s, dCor, "doc_id").get
+          .write.mode("overwrite").parquet(s"$r/dead_docs")
+        graft.sources.Retention.tombstones(s, vCor, "vec_id").get
+          .write.mode("overwrite").parquet(s"$r/dead_vecs")
+        graft.sources.Retention.vacuum(s, dCor, "doc_id")
+        graft.sources.Retention.vacuum(s, vCor, "vec_id")
+        graft.sources.Retention.vacuumPostings(s, dIdx,
+          s.read.parquet(s"$r/dead_docs"), "id")
+        graft.sources.Retention.vacuumPostings(s, vIdx,
+          s.read.parquet(s"$r/dead_vecs"), "id")
+        Files.write(done, Array.emptyByteArray)
+      }
+      r
+    })
+    val pre = s.read.parquet(s"$root/pre_snapshot")
+    val post = erasureState(s, s"$root/doc_corpus", s"$root/doc_index",
+      "doc_id", "doc", Some("lang"), fullOuter = true)
+      .unionByName(erasureState(s, s"$root/vec_corpus", s"$root/vec_index",
+        "vec_id", "vec", None, fullOuter = true))
+      .withColumn("phase", lit("vacuumed"))
+    pre.unionByName(post)
+      .select("phase", "kind", "id", "lang", "n_postings")
+      .orderBy("phase", "kind", "id")
   }
 
   /** Multimodal metadata plumbing, oracle-checked: the synthetic media
@@ -3844,6 +3963,7 @@ object OpsPack {
     "q_dedup_exact" -> (dedupExact _),
     "q_clean_corpus" -> (cleanCorpusQuery _),
     "q_corpus_retention" -> (corpusRetention _),
+    "q_erasure_e2e" -> (erasureE2e _),
     "q_curation_pipeline" -> (curationPipeline _),
     "q_clean_corpus_fast" -> (cleanCorpusFastQuery _),
     "q_contamination" -> (contamination _),
@@ -4477,6 +4597,28 @@ object OpsPack {
     s"""SELECT doc_id, lang, source FROM documents
        |WHERE NOT coalesce(lang = 'en' OR doc_id % 7 = 0, FALSE)
        |ORDER BY doc_id""".stripMargin
+
+  /** Erasure-e2e oracle: the NULL-safe complement selects of both erasure
+    * predicates, posting counts as the construction constants (bands per
+    * document, tables per vector), each live state emitted at both phases
+    * — because that is precisely what the erasure job must leave behind:
+    * the complement, unchanged, with intact postings, before AND after
+    * the physical pass. */
+  private val erasureE2eSql: String =
+    s"""WITH live_docs AS (
+       |  SELECT doc_id, lang FROM documents
+       |  WHERE NOT coalesce(lang = 'en' OR doc_id % 7 = 0, FALSE)),
+       |live_vecs AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 0),
+       |state AS (
+       |  SELECT 'doc' AS kind, doc_id AS id, lang,
+       |         CAST(8 AS BIGINT) AS n_postings FROM live_docs
+       |  UNION ALL
+       |  SELECT 'vec', vec_id, CAST(NULL AS VARCHAR), CAST(4 AS BIGINT)
+       |  FROM live_vecs)
+       |SELECT 'tombstoned' AS phase, kind, id, lang, n_postings FROM state
+       |UNION ALL
+       |SELECT 'vacuumed', kind, id, lang, n_postings FROM state
+       |ORDER BY phase, kind, id""".stripMargin
 
   /** Curation-pipeline oracle: the end-to-end composite mirrored in one
     * statement — markup strip (the shared [[markupStripSrcCtes]] chain,
@@ -7506,6 +7648,7 @@ object OpsPack {
     "q_dedup_exact" -> dedupExactSql,
     "q_clean_corpus" -> cleanCorpusSql,
     "q_corpus_retention" -> corpusRetentionSql,
+    "q_erasure_e2e" -> erasureE2eSql,
     "q_curation_pipeline" -> curationPipelineSql,
     "q_dedup_jaccard_pairs" -> jaccardSql,
     "q_contamination" -> contaminationSql,

@@ -360,7 +360,49 @@ object ScaleCheck {
         val ratio = tn / math.max(t1, 1e-9)
         Seq(f""""ingest_probe_file_growth":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$ratio%.2f,"files1":${corpusFiles(corS)},"filesN":${corpusFiles(corL)}}""")
       }
-    println(s"""{"mult":$mult,"cases":{${(rows ++ lshRow ++ ingestRow).mkString(",")}}}""")
+    // ---- retention vacuum vs corpus growth --------------------------------
+    // The bucketed-prune claim, measured: vacuum rewrites ONLY the dead
+    // ids' bucket directories, so with bucket count sized to the corpus
+    // (constant rows per bucket — how a deployment provisions the layout)
+    // a FIXED erasure set costs the same wall-clock whether the corpus is
+    // 1x or Nx. A full-scan delete would grow ~Nx here.
+    val retentionRow =
+      if (!onlyCase.forall(_.contains("retention_vacuum_bucket_prune"))) Seq.empty[String]
+      else {
+        import graft.sources.{BucketedCorpus, Retention}
+        import spark.implicits._
+        def buildCorpus(tag: String, df: DataFrame, buckets: Int): String = {
+          val p = s"$out/retention_$tag"
+          if (!BucketedCorpus.ready(p)) {
+            val t0 = System.nanoTime()
+            BucketedCorpus.append(df.select(col("doc_id"), col("lang"), col("text")),
+              p, "doc_id", buckets)
+            System.err.println(
+              f"[scale] staged retention_$tag ($buckets buckets) ${(System.nanoTime() - t0) / 1e9}%6.1fs")
+          }
+          p
+        }
+        val p1 = buildCorpus("1x", doc1, 16)
+        val pN = buildCorpus(s"${mult}x", docN, 16 * mult)
+        // the same 4 base ids exist in both corpora; they hash into ≤4
+        // bucket dirs regardless of scale
+        val dead = Seq(3L, 101L, 217L, 333L).toDF("doc_id")
+        def vac(p: String): (Double, Int) = {
+          Retention.deleteIds(dead, p, "doc_id")
+          val t0 = System.nanoTime()
+          val rewritten = Retention.vacuum(spark, p, "doc_id")
+          ((System.nanoTime() - t0) / 1e9, rewritten.size)
+        }
+        System.err.println(s"[scale] retention_vacuum_bucket_prune @1x")
+        val (t1, d1dirs) = vac(p1)
+        System.err.println(f"[scale]   dirs=$d1dirs  ${t1}%6.1fs")
+        System.err.println(s"[scale] retention_vacuum_bucket_prune @${mult}x")
+        val (tn, dNdirs) = vac(pN)
+        System.err.println(f"[scale]   dirs=$dNdirs  ${tn}%6.1fs")
+        val ratio = tn / math.max(t1, 1e-9)
+        Seq(f""""retention_vacuum_bucket_prune":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$ratio%.2f,"dirs1":$d1dirs,"dirsN":$dNdirs}""")
+      }
+    println(s"""{"mult":$mult,"cases":{${(rows ++ lshRow ++ ingestRow ++ retentionRow).mkString(",")}}}""")
     spark.stop()
   }
 }

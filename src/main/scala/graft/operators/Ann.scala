@@ -573,8 +573,7 @@ object Ann {
     require(tables > 0, s"tables must be positive, got $tables")
     require(prefixBits >= 0 && prefixBits <= bits,
       s"prefixBits must be within [0, bits=$bits], got $prefixBits")
-    val metaFile = java.nio.file.Paths.get(path, LshIndexParamsFile)
-    if (mode == "append" && java.nio.file.Files.exists(metaFile)) {
+    if (mode == "append" && graft.sources.LayoutMeta.exists(path, LshIndexParamsFile)) {
       val (d, b, t, p) = lshSigIndexParams(path)
       require(d == dim && b == bits && t == tables && p == prefixBits,
         s"index at $path was written with dim=$d/bits=$b/tables=$t/prefixBits=$p, " +
@@ -587,18 +586,18 @@ object Ann {
         + shiftright(col("sig"), bits - prefixBits))
       .repartition(col("tp"))
       .write.mode(mode).partitionBy("tp").parquet(path)
-    java.nio.file.Files.write(metaFile,
-      s"$dim|$bits|$tables|$prefixBits".getBytes("UTF-8"))
+    graft.sources.LayoutMeta.write(path, LshIndexParamsFile,
+      s"$dim|$bits|$tables|$prefixBits")
   }
 
   /** True once [[writeLshSigIndex]] has committed at least one batch. */
   def lshSigIndexReady(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path, LshIndexParamsFile))
+    graft.sources.LayoutMeta.exists(path, LshIndexParamsFile)
 
   /** The (dim, bits, tables, prefixBits) a layout was written with. */
   def lshSigIndexParams(path: String): (Int, Int, Int, Int) = {
-    val Array(d, b, t, p) = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, LshIndexParamsFile)), "UTF-8").trim.split('|')
+    val Array(d, b, t, p) =
+      graft.sources.LayoutMeta.read(path, LshIndexParamsFile).trim.split('|')
     (d.toInt, b.toInt, t.toInt, p.toInt)
   }
 

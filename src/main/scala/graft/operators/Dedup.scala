@@ -506,9 +506,8 @@ object Dedup {
       shingleSize: Int = 3,
       prefixBits: Int = 12,
       mode: String = "overwrite"): Unit = {
-    val metaFile = java.nio.file.Paths.get(path, PrefixBitsFile)
-    if (mode == "append" && java.nio.file.Files.exists(metaFile)) {
-      val existing = new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8").trim.toInt
+    if (mode == "append" && graft.sources.LayoutMeta.exists(path, PrefixBitsFile)) {
+      val existing = graft.sources.LayoutMeta.read(path, PrefixBitsFile).trim.toInt
       require(existing == prefixBits,
         s"index at $path was written with prefixBits=$existing, append requested $prefixBits")
     }
@@ -525,8 +524,16 @@ object Dedup {
       // partitioning) per ingest batch.
       .repartition(col("pfx"))
       .write.mode(mode).partitionBy("pfx").parquet(path)
-    java.nio.file.Files.write(metaFile, prefixBits.toString.getBytes("UTF-8"))
+    graft.sources.LayoutMeta.write(path, PrefixBitsFile, prefixBits.toString)
   }
+
+  /** True once [[writeMinhashIndexMd5]] has recorded the layout metadata —
+    * the probe-readiness gate the ingest loops check, resolved through the
+    * LAYOUT's filesystem (a local-disk check would silently report false
+    * on object-store deployments after a driver restart, making the loops
+    * skip the cross-corpus probe and append duplicates forever). */
+  def minhashIndexReady(path: String): Boolean =
+    graft.sources.LayoutMeta.exists(path, PrefixBitsFile)
 
   /** Layout metadata: the prefix width the index was partitioned with.
     * Probes read it from the layout itself so they can never drift from
@@ -625,10 +632,9 @@ object Dedup {
 
   private def readPrefixMask(
       spark: org.apache.spark.sql.SparkSession, indexPath: String): Column = {
-    val metaFile = java.nio.file.Paths.get(indexPath, PrefixBitsFile)
-    require(java.nio.file.Files.exists(metaFile),
+    require(graft.sources.LayoutMeta.exists(indexPath, PrefixBitsFile),
       s"no $PrefixBitsFile under $indexPath — not a writeMinhashIndexMd5 layout")
-    val bits = new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8").trim.toInt
+    val bits = graft.sources.LayoutMeta.read(indexPath, PrefixBitsFile).trim.toInt
     lit((1L << bits) - 1)
   }
 

@@ -243,7 +243,14 @@ object HeavyHitters {
     * accumulated corpus under streaming). `capacity` must be the value
     * the summaries were built with — a larger claimed capacity would
     * tighten the prune past what the sketches guarantee and silently
-    * drop real heavy hitters. */
+    * drop real heavy hitters.
+    *
+    * `weightCol`: when set, `tokens` carries PRE-AGGREGATED (group, token,
+    * weight) rows and the recount sums weights instead of counting rows —
+    * the hook that lets a consolidation pass collapse a token corpus to
+    * one row per (group, token) ([[graft.streaming.IngestHeavyHitters
+    * .consolidate]]) without changing a single output bit: Σ weights of
+    * the aggregate ≡ row count of the raw stream. */
   def heavyHittersByGroupFromSummaries(
       rawSummaries: DataFrame,
       tokens: DataFrame,
@@ -252,7 +259,8 @@ object HeavyHitters {
       denominator: Long,
       capacity: Int,
       broadcastCandidateLimit: Long = 4000000L,
-      broadcastCandidateBytes: Long = BroadcastCandidateBytes): DataFrame = {
+      broadcastCandidateBytes: Long = BroadcastCandidateBytes,
+      weightCol: Option[String] = None): DataFrame = {
     require(capacity >= denominator,
       s"capacity ($capacity) must be >= denominator ($denominator) for exactness")
     val spark = tokens.sparkSession
@@ -300,13 +308,17 @@ object HeavyHitters {
             // actions on the returned plan after this call's unpersist
             // don't silently re-run the whole summary pass 1
             candsPlan.localCheckpoint(true)
-        tokens
-          .select(col(groupCol).cast("string").as(groupCol),
-            col(tokenCol).cast("string").as(tokenCol))
+        val weighted = tokens
+          .select(Seq(col(groupCol).cast("string").as(groupCol),
+            col(tokenCol).cast("string").as(tokenCol)) ++
+            weightCol.map(w => col(w).cast("long").as("__graft_hh_w")): _*)
           .where(col(groupCol).isNotNull && col(tokenCol).isNotNull)
           .join(cands, Seq(groupCol, tokenCol), "left_semi")
           .groupBy(groupCol, tokenCol)
-          .agg(count(lit(1)).as("freq"))
+        (weightCol match {
+          case Some(_) => weighted.agg(sum(col("__graft_hh_w")).as("freq"))
+          case None => weighted.agg(count(lit(1)).as("freq"))
+        })
           .join(totalsDf, Seq(groupCol))
           .where(col("freq") * lit(denominator) >= col("__graft_hh_total"))
           .select(col(groupCol), col(tokenCol), col("freq"))

@@ -519,10 +519,9 @@ object Multimodal {
     // probes through [[phashIndexParams]]) can never drift from the
     // writer's scheme — a different block split would silently prune away
     // partitions holding real candidates (the minhash-index discipline)
-    val metaFile = java.nio.file.Paths.get(path, PhashParamsFile)
-    if (mode == "append" && java.nio.file.Files.exists(metaFile)) {
-      val Array(h, p) = new String(
-        java.nio.file.Files.readAllBytes(metaFile), "UTF-8").trim.split('|')
+    if (mode == "append" && graft.sources.LayoutMeta.exists(path, PhashParamsFile)) {
+      val Array(h, p) =
+        graft.sources.LayoutMeta.read(path, PhashParamsFile).trim.split('|')
       require(h.toInt == maxHamming && p.toInt == prefixBits,
         s"index at $path was written with maxHamming=$h/prefixBits=$p, " +
           s"append requested $maxHamming/$prefixBits")
@@ -530,14 +529,14 @@ object Multimodal {
     bandRows(hashes, maxHamming, prefixBits)
       .repartition(col("bp"))
       .write.mode(mode).partitionBy("bp").parquet(path)
-    java.nio.file.Files.write(metaFile, s"$maxHamming|$prefixBits".getBytes("UTF-8"))
+    graft.sources.LayoutMeta.write(path, PhashParamsFile, s"$maxHamming|$prefixBits")
   }
 
   private[graft] val PhashParamsFile = "_graft_phash_params"
 
   /** True once [[writePhashIndex]] has committed at least one batch. */
   def phashIndexReady(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path, PhashParamsFile))
+    graft.sources.LayoutMeta.exists(path, PhashParamsFile)
 
   private def bandRows(hashes: DataFrame, maxHamming: Int, prefixBits: Int): DataFrame = {
     val blocks = maxHamming + 1

@@ -178,9 +178,8 @@ object Search {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     writeStats(path, statsOf(docs, textCol))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "_graft_index_buckets"),
-      numBuckets.toString.getBytes("UTF-8"))
+    graft.sources.LayoutMeta.write(path, "_graft_index_buckets",
+      numBuckets.toString)
   }
 
   /** Append one batch of documents to an existing index (or create it):
@@ -196,10 +195,9 @@ object Search {
       path: String, numBuckets: Int = 256): Unit = {
     // an empty batch must not create a schemaless (unreadable) index dir
     if (batch.isEmpty) return
-    val marker = java.nio.file.Paths.get(path, "_graft_index_buckets")
-    if (java.nio.file.Files.exists(marker)) {
-      val existing = new String(
-        java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toInt
+    if (graft.sources.LayoutMeta.exists(path, "_graft_index_buckets")) {
+      val existing =
+        graft.sources.LayoutMeta.read(path, "_graft_index_buckets").trim.toInt
       require(existing == numBuckets,
         s"index at $path was built with $existing buckets, not $numBuckets")
       postingsOf(batch, textCol, idCol, numBuckets)
@@ -233,14 +231,13 @@ object Search {
   }
 
   private def writeStats(path: String, s: (Long, Long)): Unit =
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "_graft_corpus_stats.tsv"),
-      s"${s._1}\t${s._2}".getBytes("UTF-8"))
+    graft.sources.LayoutMeta.write(path, "_graft_corpus_stats.tsv",
+      s"${s._1}\t${s._2}")
 
   private def readStats(path: String): (Long, Long) = {
-    val Array(nStr, tlStr) = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "_graft_corpus_stats.tsv")), "UTF-8")
-      .trim.split('\t')
+    val Array(nStr, tlStr) =
+      graft.sources.LayoutMeta.read(path, "_graft_corpus_stats.tsv")
+        .trim.split('\t')
     (nStr.toLong, tlStr.toLong)
   }
 
@@ -297,10 +294,9 @@ object Search {
     // bucketing parameters ride the layout (the inverted-index marker
     // discipline): an append or probe under a different bucket count would
     // silently prune partitions holding real postings
-    val marker = java.nio.file.Paths.get(path, TrigramBucketsFile)
-    if (mode == "append" && java.nio.file.Files.exists(marker)) {
-      val existing = new String(
-        java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toInt
+    if (mode == "append" && graft.sources.LayoutMeta.exists(path, TrigramBucketsFile)) {
+      val existing =
+        graft.sources.LayoutMeta.read(path, TrigramBucketsFile).trim.toInt
       require(existing == numBuckets,
         s"trigram index at $path was built with $existing buckets, not $numBuckets")
     }
@@ -314,14 +310,14 @@ object Search {
       .withColumn("bucket", pmod(xxhash64(col("g")), lit(numBuckets.toLong)))
       .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(path)
-    java.nio.file.Files.write(marker, numBuckets.toString.getBytes("UTF-8"))
+    graft.sources.LayoutMeta.write(path, TrigramBucketsFile, numBuckets.toString)
   }
 
   private[graft] val TrigramBucketsFile = "_graft_trigram_buckets"
 
   /** True once [[writeTrigramIndex]] has committed at least one batch. */
   def trigramIndexReady(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path, TrigramBucketsFile))
+    graft.sources.LayoutMeta.exists(path, TrigramBucketsFile)
 
   /** Rolling-ingest append into a [[writeTrigramIndex]] layout — the
     * batch's distinct-trigram postings land in the same bucket partitions
@@ -366,10 +362,9 @@ object Search {
     require(broadcastLimit > 0, s"broadcastLimit must be > 0, got $broadcastLimit")
     // a probe under the wrong bucket count would silently prune away real
     // postings — reject drift when the layout carries its marker
-    val marker = java.nio.file.Paths.get(path, TrigramBucketsFile)
-    if (java.nio.file.Files.exists(marker)) {
-      val existing = new String(
-        java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toInt
+    if (graft.sources.LayoutMeta.exists(path, TrigramBucketsFile)) {
+      val existing =
+        graft.sources.LayoutMeta.read(path, TrigramBucketsFile).trim.toInt
       require(existing == numBuckets,
         s"trigram index at $path was built with $existing buckets, not $numBuckets")
     }

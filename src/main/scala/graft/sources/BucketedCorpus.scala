@@ -34,7 +34,15 @@ import org.apache.spark.sql.functions._
 object BucketedCorpus {
 
   private[graft] val MetaFile = "_graft_corpus_buckets"
+  private[graft] val SchemaFile = "_graft_corpus_schema"
   private[graft] val BucketCol = "__graft_cb"
+
+  /** The schema stamp recorded in the layout meta: order-insensitive
+    * (parquet reads resolve columns BY NAME, so a reordered append is
+    * harmless) but name- and type-exact. */
+  private def schemaStamp(df: DataFrame): Seq[String] =
+    df.schema.fields.map(f => s"${f.name}:${f.dataType.catalogString}")
+      .sorted.toSeq
 
   /** The bucket-routing hash — ONE definition shared by the writer
     * ([[append]]), the pruned reads ([[readForIds]]), and
@@ -60,14 +68,38 @@ object BucketedCorpus {
     * here ignores.) */
   def append(df: DataFrame, path: String, idCol: String, buckets: Int): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val metaFile = java.nio.file.Paths.get(path, MetaFile)
-    if (java.nio.file.Files.exists(metaFile)) {
+    if (LayoutMeta.exists(path, MetaFile)) {
       val b = bucketsOf(path)
       require(b == buckets,
         s"corpus at $path was written with buckets=$b, append requested $buckets")
     } else {
-      java.nio.file.Files.createDirectories(metaFile.getParent)
-      java.nio.file.Files.write(metaFile, buckets.toString.getBytes("UTF-8"))
+      LayoutMeta.write(path, MetaFile, buckets.toString)
+    }
+    // Schema-drift guard — the bucket-count discipline extended to the
+    // column set: a parquet append with a DIFFERENT schema "succeeds" and
+    // creates a mixed-schema layout whose later reads resolve arbitrarily
+    // (columns silently dropped or nulled depending on which footer wins
+    // the inference), so reject it at the door, naming the diff. Layouts
+    // created before the guard existed have no schema meta: record it on
+    // the next append instead of rejecting them.
+    val stamp = schemaStamp(df)
+    LayoutMeta.readOpt(path, SchemaFile) match {
+      case Some(recorded) =>
+        val rec = recorded.linesIterator.filter(_.nonEmpty).toSeq
+        if (rec != stamp) {
+          val missing = rec.diff(stamp)
+          val extra = stamp.diff(rec)
+          throw new IllegalArgumentException(
+            s"corpus at $path schema drift — layout has [${rec.mkString(", ")}]; " +
+              s"append ${
+                Seq(
+                  if (missing.nonEmpty) s"lacks [${missing.mkString(", ")}]" else "",
+                  if (extra.nonEmpty) s"adds [${extra.mkString(", ")}]" else ""
+                ).filter(_.nonEmpty).mkString(" and ")
+              }")
+        }
+      case None =>
+        LayoutMeta.write(path, SchemaFile, stamp.mkString("\n"))
     }
     df.withColumn(BucketCol, bucketOf(col(idCol), buckets))
       .write.mode("append").partitionBy(BucketCol).parquet(path)
@@ -77,8 +109,7 @@ object BucketedCorpus {
   /** True once [[append]] has recorded the layout metadata. A layout can
     * be ready with no data yet (the meta-first crash window) — probes
     * gate on `ready && hasData`. */
-  def ready(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path, MetaFile))
+  def ready(path: String): Boolean = LayoutMeta.exists(path, MetaFile)
 
   /** True once at least one data file is committed. Resolved through the
     * session's Hadoop configuration like every other filesystem touch
@@ -94,8 +125,7 @@ object BucketedCorpus {
 
   /** The bucket count a layout was written with. */
   def bucketsOf(path: String): Int =
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, MetaFile)), "UTF-8").trim.toInt
+    LayoutMeta.read(path, MetaFile).trim.toInt
 
   /** ONE walk doing both read preconditions: finish or roll back any
     * half-done maintenance rewrite (a crashed [[Retention.vacuum]] or
@@ -103,14 +133,49 @@ object BucketedCorpus {
     * twice until the next maintenance entry), and report whether any
     * committed data file exists. Folded together because reads run this
     * per call and separate recover + hasData walks would double the
-    * recursive LIST cost that dominates small reads on object stores. */
+    * recursive LIST cost that dominates small reads on object stores. The
+    * per-leaf recovery probes run ONLY when the layout-root maintenance
+    * marker is present ([[Compaction.MaintenanceMarker]] — every
+    * maintenance pass sets it before its first rewrite and clears it only
+    * after a full recovery walk), so the common nothing-ever-crashed read
+    * pays one root stat instead of one per bucket per probe. */
   private def prepareRead(spark: SparkSession, path: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return false
     val leaves = Compaction.leafDirs(fs, root)
-    leaves.foreach(d => Compaction.recoverDir(fs, d))
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, Compaction.MaintenanceMarker)))
+      leaves.foreach(d => Compaction.recoverDir(fs, d))
     leaves.exists(d => Compaction.dataFiles(fs, d).nonEmpty)
+  }
+
+  /** Tombstone-aware small-file compaction for corpus sinks — what the
+    * ingest loops run on their cadence. Identical to
+    * [[Compaction.compactLeafPartitions]] except that rows of ids
+    * tombstoned at ENTRY (a file snapshot, the [[Retention.vacuum]]
+    * discipline) are dropped while each over-threshold bucket is being
+    * rewritten anyway — vacuum-for-free on the ingest cadence — and the
+    * tombstones those rewrites made physically true are cleared
+    * ([[Retention.clearCoveredTombstones]]); ids whose buckets stayed
+    * under the threshold remain queued for the next pass or an explicit
+    * vacuum. Read results are identical before and after by construction
+    * (dropped rows were already tombstone-filtered from every read). */
+  def compact(spark: SparkSession, path: String,
+      maxFiles: Int = 16, targetFiles: Int = 1): Seq[String] = {
+    val snapshot = Retention.tombstoneFiles(path)
+    val transform: DataFrame => DataFrame =
+      if (snapshot.isEmpty) identity
+      else { rows =>
+        val ts = spark.read.parquet(snapshot: _*)
+        val idc = ts.columns.head
+        rows.join(
+          broadcast(ts.select(col(idc).as("__graft_dead_id")).distinct()),
+          rows(idc) === col("__graft_dead_id"), "left_anti")
+      }
+    val rewritten = Compaction.compactLeafPartitions(
+      spark, path, maxFiles, targetFiles, transform)
+    Retention.clearCoveredTombstones(spark, path, snapshot, rewritten)
+    rewritten
   }
 
   /** The whole corpus, original schema (bucket column dropped), LIVE rows

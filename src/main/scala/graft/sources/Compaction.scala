@@ -47,10 +47,10 @@ object Compaction {
   private[sources] def isHidden(n: String): Boolean =
     (n.startsWith("_") || n.startsWith(".")) && !n.contains("=")
 
-  private[sources] def dataFiles(fs: FileSystem, d: Path): Seq[FileStatus] =
+  private[graft] def dataFiles(fs: FileSystem, d: Path): Seq[FileStatus] =
     fs.listStatus(d).toSeq.filter(s => s.isFile && !isHidden(s.getPath.getName))
 
-  private[sources] def leafDirs(fs: FileSystem, d: Path): Seq[Path] = {
+  private[graft] def leafDirs(fs: FileSystem, d: Path): Seq[Path] = {
     val entries = fs.listStatus(d).toSeq
     val subDirs = entries.filter(s => s.isDirectory && !isHidden(s.getPath.getName))
     if (subDirs.isEmpty) Seq(d) else subDirs.flatMap(s => leafDirs(fs, s.getPath))
@@ -63,7 +63,7 @@ object Compaction {
     * recovery is mid-pass, the manifest/temp paths vanish underneath it —
     * that is the writer finishing its own cleanup, not a failure, so
     * vanished paths end the recovery instead of throwing out of a read. */
-  private[sources] def recoverDir(fs: FileSystem, dir: Path): Unit = try {
+  private[graft] def recoverDir(fs: FileSystem, dir: Path): Unit = try {
     val manifest = new Path(dir, "_graft_compacting")
     if (!fs.exists(manifest)) return
     val tmp = new Path(dir, "_graft_compact_tmp")
@@ -134,8 +134,122 @@ object Compaction {
     ()
   }
 
+  // ---- cross-directory consolidation -----------------------------------
+  // replaceDirs swaps a SET of sibling directories for ONE merged
+  // directory — the primitive behind batch-dir consolidation
+  // ([[graft.streaming.IngestHeavyHitters.consolidate]]), where the
+  // per-dir rewrite above doesn't apply (the dirs being merged cease to
+  // exist). Same log-free crash discipline, one level up: (1) the merged
+  // rows land in an underscore temp dir and get a ready marker, (2) a
+  // root manifest records the target name and the doomed dir names,
+  // (3) the temp RENAMES to the target (one atomic-ish move), (4) the
+  // listed old dirs are deleted, the manifest removed. [[recoverRoot]] at
+  // every entry rolls a half-done swap forward (temp marker present) or
+  // back (absent); between (3) and (4) a concurrent reader can see a row
+  // twice — run it as the offline maintenance pass it is, or recover at
+  // probe entry like the heavy-hitters loop does.
+
+  private[graft] val ConsolidateTmp = "_graft_consolidate_tmp"
+  private[graft] val ConsolidateManifest = "_graft_consolidating"
+
+  /** Finish or roll back a half-done [[replaceDirs]] under `root`. */
+  private[graft] def recoverRoot(fs: FileSystem, root: Path): Unit = try {
+    val manifest = new Path(root, ConsolidateManifest)
+    if (!fs.exists(manifest)) return
+    val in = fs.open(manifest)
+    val lines = try scala.io.Source.fromInputStream(in).getLines().toVector
+    finally in.close()
+    val target = new Path(root, lines.head)
+    val olds = lines.tail.filter(_.nonEmpty).map(n => new Path(root, n))
+    val tmp = new Path(root, ConsolidateTmp)
+    if (fs.exists(new Path(tmp, "_graft_ready"))) {
+      // merged rows fully committed: roll FORWARD. A pre-existing target
+      // is a stale old dir (replaceDirs requires target ∈ olds when it
+      // already exists) — clear it so the rename lands.
+      if (fs.exists(target)) fs.delete(target, true)
+      if (!fs.rename(tmp, target) && !fs.exists(target))
+        throw new java.io.IOException(s"consolidation move failed into $target")
+    } else if (fs.exists(tmp)) {
+      // temp half-written: roll BACK — originals untouched
+      fs.delete(tmp, true)
+      fs.delete(manifest, false)
+      return
+    } else if (!fs.exists(target)) {
+      // no temp, no target: the rename never ran and the temp is gone
+      // (rollback raced us) — originals intact, drop the manifest
+      fs.delete(manifest, false)
+      return
+    }
+    // target committed: finish the deletes (idempotent)
+    olds.filterNot(_.getName == target.getName).foreach(p => fs.delete(p, true))
+    fs.delete(new Path(target, "_graft_ready"), false)
+    fs.delete(manifest, false)
+    ()
+  } catch {
+    case _: java.io.FileNotFoundException => () // live consolidator finished first
+  }
+
+  /** Crash-safely replace the sibling directories `oldDirNames` (immediate
+    * children of `root`) with ONE directory `targetDirName` holding `rows`
+    * written as `targetFiles` files. If the target name already exists it
+    * must be among the old names (a re-run merging a previous
+    * consolidation into a new one). `rows` may — and typically does —
+    * read from the old dirs: it is fully materialized into the temp
+    * before anything is deleted. */
+  private[graft] def replaceDirs(spark: SparkSession, root: Path,
+      oldDirNames: Seq[String], targetDirName: String, rows: DataFrame,
+      targetFiles: Int = 1): Unit = {
+    val fs: FileSystem = root.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverRoot(fs, root)
+    val target = new Path(root, targetDirName)
+    require(!fs.exists(target) || oldDirNames.contains(targetDirName),
+      s"replaceDirs target $targetDirName exists but is not among the " +
+        "directories being replaced")
+    val tmp = new Path(root, ConsolidateTmp)
+    fs.delete(tmp, true)
+    rows.coalesce(targetFiles).write.mode("overwrite").parquet(tmp.toString)
+    val ready = fs.create(new Path(tmp, "_graft_ready"), true)
+    ready.close()
+    val manifest = new Path(root, ConsolidateManifest)
+    val out = fs.create(manifest, true)
+    try out.write((targetDirName +: oldDirNames).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // the swap itself IS the recovery's forward path — one implementation
+    recoverRoot(fs, root)
+  }
+
+  /** Layout-root marker meaning "a maintenance rewrite may have crashed
+    * here": written by every maintenance pass BEFORE its first rewrite and
+    * cleared only after a full entry-recovery walk plus all of the pass's
+    * own rewrites complete. The invariant readers rely on: marker absent ⇒
+    * no crashed-rewrite manifest exists anywhere in the layout — so a read
+    * path ([[BucketedCorpus.prepareRead]]) can skip its per-leaf recovery
+    * probes (≈ buckets × one stat each, per read, per micro-batch on an
+    * object store) with a single root stat in the common
+    * nothing-ever-crashed case. A LIVE maintenance job is still the
+    * documented concurrent-reader caveat, marker or not; concurrent
+    * maintenance JOBS on one layout are outside the single-writer
+    * maintenance contract. */
+  private[graft] val MaintenanceMarker = "_graft_maintenance_pending"
+
+  private[graft] def markMaintenance(fs: FileSystem, root: Path): Unit = {
+    val m = fs.create(new Path(root, MaintenanceMarker), true)
+    m.close()
+  }
+
+  private[graft] def clearMaintenance(fs: FileSystem, root: Path): Unit = {
+    fs.delete(new Path(root, MaintenanceMarker), false)
+    ()
+  }
+
+  /** `transform` rewrites each over-threshold directory's rows through the
+    * caller's filter before they land — identity (the default) keeps the
+    * byte-identical-reads contract; [[BucketedCorpus.compact]] passes a
+    * tombstone anti-join so physically deleting logically-dead rows rides
+    * a rewrite that was happening anyway. */
   def compactLeafPartitions(spark: SparkSession, path: String,
-      maxFiles: Int = 16, targetFiles: Int = 1): Seq[String] = {
+      maxFiles: Int = 16, targetFiles: Int = 1,
+      transform: DataFrame => DataFrame = identity): Seq[String] = {
     require(maxFiles > 0 && targetFiles > 0,
       s"bad compaction params ($maxFiles, $targetFiles)")
     val root = new Path(path)
@@ -143,14 +257,18 @@ object Compaction {
     if (!fs.exists(root)) return Seq.empty
     val leaves = leafDirs(fs, root)
     leaves.foreach(d => recoverDir(fs, d))
-    leaves.flatMap { dir =>
-      val files = dataFiles(fs, dir)
-      if (files.size <= maxFiles) None
-      else {
-        rewriteDir(spark, fs, dir, files,
-          spark.read.parquet(files.map(_.getPath.toString): _*), targetFiles)
-        Some(dir.toString)
-      }
+    val over = leaves.map(dir => dir -> dataFiles(fs, dir))
+      .filter(_._2.size > maxFiles)
+    if (over.nonEmpty) markMaintenance(fs, root)
+    val rewritten = over.map { case (dir, files) =>
+      rewriteDir(spark, fs, dir, files,
+        transform(spark.read.parquet(files.map(_.getPath.toString): _*)),
+        targetFiles)
+      dir.toString
     }
+    // every leaf recovered at entry + our own rewrites done ⇒ no manifest
+    // can remain: safe to clear even a PREVIOUS crashed pass's marker
+    clearMaintenance(fs, root)
+    rewritten
   }
 }

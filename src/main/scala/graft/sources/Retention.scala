@@ -40,25 +40,20 @@ object Retention {
 
   private[graft] val TombstoneDir = "_graft_tombstones"
 
-  private def tombstonePath(corpusPath: String) =
-    java.nio.file.Paths.get(corpusPath, TombstoneDir)
+  private def tombstonePath(corpusPath: String): String =
+    s"$corpusPath/$TombstoneDir"
 
   /** The current tombstone data files — the one definition of "what is a
     * tombstone file" ([[hasTombstones]], [[tombstones]], and [[vacuum]]'s
-    * entry snapshot all go through it). */
-  private def tombstoneFiles(corpusPath: String): Vector[java.nio.file.Path] = {
-    val p = tombstonePath(corpusPath)
-    if (!java.nio.file.Files.isDirectory(p)) return Vector.empty
-    import scala.jdk.CollectionConverters._
-    val s = java.nio.file.Files.list(p)
-    try s.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toVector
-    finally s.close()
-  }
+    * entry snapshot all go through it). Listed through the LAYOUT's
+    * filesystem ([[LayoutMeta]]): erasure correctness must not depend on
+    * the driver's local disk when the corpus lives on an object store. */
+  private[sources] def tombstoneFiles(corpusPath: String): Vector[String] =
+    LayoutMeta.listFiles(tombstonePath(corpusPath), _.endsWith(".parquet"))
 
   private def readTombstones(spark: SparkSession,
-      files: Seq[java.nio.file.Path], idCol: String): DataFrame =
-    spark.read.parquet(files.map(_.toString): _*)
+      files: Seq[String], idCol: String): DataFrame =
+    spark.read.parquet(files: _*)
       .select(col(idCol)).distinct()
 
   /** True if any ids are currently tombstoned (logically deleted but not
@@ -78,8 +73,23 @@ object Retention {
     * only adds duplicate tombstone rows, which [[tombstones]] distincts
     * away. */
   def deleteIds(ids: DataFrame, corpusPath: String, idCol: String): Unit = {
+    // public API, same misconfiguration guard as deleteWhere: an erasure
+    // job pointed at a mistyped or unmounted path must fail loudly, not
+    // "succeed" into a fresh tombstone dir nobody will ever read
+    require(BucketedCorpus.ready(corpusPath),
+      s"no BucketedCorpus layout at $corpusPath (missing bucket metadata) — " +
+        "refusing to tombstone against a path with no layout")
+    appendTombstones(ids, corpusPath, idCol)
+  }
+
+  /** The tombstone APPEND itself, usable by non-[[BucketedCorpus]] layouts
+    * that carry their own readiness guard (the heavy-hitters token corpus —
+    * [[graft.streaming.IngestHeavyHitters.deleteIds]]). Callers outside
+    * this file must wrap it in their layout's misconfiguration check. */
+  private[graft] def appendTombstones(
+      ids: DataFrame, layoutPath: String, idCol: String): Unit = {
     ids.select(col(idCol))
-      .write.mode("append").parquet(tombstonePath(corpusPath).toString)
+      .write.mode("append").parquet(tombstonePath(layoutPath))
     ()
   }
 
@@ -113,7 +123,7 @@ object Retention {
   def filterLive(spark: SparkSession, corpusPath: String, df: DataFrame): DataFrame =
     if (!hasTombstones(corpusPath)) df
     else {
-      val ts = spark.read.parquet(tombstonePath(corpusPath).toString)
+      val ts = spark.read.parquet(tombstonePath(corpusPath))
       val idc = ts.columns.head
       df.join(ts.select(col(idc).as("__graft_dead_id")).distinct(),
         df(idc) === col("__graft_dead_id"), "left_anti")
@@ -147,12 +157,18 @@ object Retention {
     val dead = broadcast(ts.withColumnRenamed(idCol, "__graft_dead_id"))
     val root = new Path(corpusPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val touched = Compaction.leafDirs(fs, root).filter { d =>
+    // recover EVERY leaf (not just the touched set): this pass clears the
+    // layout's maintenance marker on success, which asserts "no crashed
+    // manifest remains anywhere" to the readers' fast path — an untouched
+    // dir's stale manifest must not outlive that claim
+    val leaves = Compaction.leafDirs(fs, root)
+    leaves.foreach(d => Compaction.recoverDir(fs, d))
+    val touched = leaves.filter { d =>
       val n = d.getName
       n.startsWith(BucketedCorpus.BucketCol + "=") &&
         wanted.contains(n.drop(BucketedCorpus.BucketCol.length + 1).toLong)
     }
-    touched.foreach(d => Compaction.recoverDir(fs, d))
+    if (touched.nonEmpty) Compaction.markMaintenance(fs, root)
     val rewritten = touched.flatMap { dir =>
       val files = Compaction.dataFiles(fs, dir)
       if (files.isEmpty) None
@@ -163,16 +179,59 @@ object Retention {
         Some(dir.toString)
       }
     }
+    Compaction.clearMaintenance(fs, root)
     // clear LAST, and only the snapshot's own files: a crash above leaves
     // tombstones that still filter reads; concurrent deletes stay queued.
     // Deletes go through the Hadoop filesystem so checksum twins (.crc on
-    // local FS) die with their parquet; once no tombstone remains, the
-    // directory and its write sidecars (_SUCCESS) go too — otherwise
-    // months of delete/vacuum cycles leak orphan metadata files.
-    snapshot.foreach(f => fs.delete(new Path(f.toString), false))
-    if (!hasTombstones(corpusPath))
-      fs.delete(new Path(corpusPath, TombstoneDir), true)
+    // local FS) die with their parquet. The tombstone DIRECTORY is never
+    // recursively deleted — a check-then-rmdir here would race a
+    // concurrent deleteIds (its freshly landed files, or its in-flight
+    // job's _temporary dir) and silently destroy an erasure request
+    // forever. Only the snapshot's files and the job-commit _SUCCESS
+    // sidecar (rewritten by every append, read by nobody) go; an empty
+    // directory shell costs one LIST and nothing else.
+    snapshot.foreach(f => fs.delete(new Path(f), false))
+    fs.delete(new Path(tombstonePath(corpusPath), "_SUCCESS"), false)
     rewritten
+  }
+
+  /** Clear the tombstones that a tombstone-aware compaction pass
+    * ([[BucketedCorpus.compact]]) just made PHYSICALLY true: an id whose
+    * bucket directory was rewritten through the snapshot anti-join has no
+    * rows left anywhere (an id's rows live only in its bucket), so its
+    * tombstone is spent. Ids in the snapshot whose buckets were NOT
+    * rewritten stay queued — re-appended as a fresh tombstone file before
+    * the snapshot files are deleted, so a crash anywhere leaves at worst
+    * duplicate tombstones (distinct'd on read), never a lost erasure.
+    * `snapshotFiles` must be the exact tombstone files whose ids the
+    * compaction filtered with (the caller snapshots BEFORE compacting);
+    * concurrent deletes land in files outside the snapshot and are
+    * untouched. */
+  private[sources] def clearCoveredTombstones(spark: SparkSession,
+      corpusPath: String, snapshotFiles: Seq[String],
+      rewrittenDirs: Seq[String]): Unit = {
+    if (snapshotFiles.isEmpty || rewrittenDirs.isEmpty) return
+    val rewrittenBuckets = rewrittenDirs.flatMap { d =>
+      val n = new Path(d).getName
+      if (n.startsWith(BucketedCorpus.BucketCol + "="))
+        Some(n.drop(BucketedCorpus.BucketCol.length + 1).toLong)
+      else None
+    }.toSet
+    if (rewrittenBuckets.isEmpty) return
+    val ts = spark.read.parquet(snapshotFiles: _*)
+    val idc = ts.columns.head
+    val buckets = BucketedCorpus.bucketsOf(corpusPath)
+    val remainder = ts.select(col(idc)).distinct()
+      .where(!BucketedCorpus.bucketOf(col(idc), buckets)
+        .isin(rewrittenBuckets.toSeq: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // remainder FIRST, snapshot deletes LAST (crash ⇒ duplicates, not loss)
+      if (remainder.count() > 0) appendTombstones(remainder, corpusPath, idc)
+      val fs = new Path(corpusPath).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      snapshotFiles.foreach(f => fs.delete(new Path(f), false))
+    } finally { remainder.unpersist(); () }
   }
 
   /** Physically drop the POSTINGS of erased ids from a persisted index
@@ -195,8 +254,15 @@ object Retention {
     * instead). Returns the rewritten directories. */
   def vacuumPostings(spark: SparkSession, indexPath: String,
       deadIds: DataFrame, idCol: String): Seq[String] = {
+    // localCheckpoint cuts the dead set's lineage to an in-memory RDD:
+    // the discovery pass below evaluates input_file_name(), which Spark
+    // rejects when MORE THAN ONE file source feeds the plan — a dead set
+    // that arrives as a parquet read (an erasure job's id list usually
+    // does) would otherwise fail the whole vacuum. Materializing is free
+    // by contract: erasure sets are broadcast-small.
     val dead = broadcast(
-      deadIds.select(col(deadIds.columns.head).as("__graft_dead_id")).distinct())
+      deadIds.select(col(deadIds.columns.head).as("__graft_dead_id")).distinct()
+        .localCheckpoint(true))
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Seq.empty

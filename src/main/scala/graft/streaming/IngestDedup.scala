@@ -80,7 +80,9 @@ object IngestDedup {
         if (compactEveryBatches > 0 && (batchId + 1) % compactEveryBatches == 0) {
           Compaction.compactLeafPartitions(batch.sparkSession, indexPath,
             maxFiles = compactMaxFiles)
-          Compaction.compactLeafPartitions(batch.sparkSession, corpusPath,
+          // tombstone-aware on the corpus: dead rows drop while the bucket
+          // is being rewritten anyway (vacuum-for-free on the cadence)
+          BucketedCorpus.compact(batch.sparkSession, corpusPath,
             maxFiles = compactMaxFiles)
         }
         ()
@@ -90,8 +92,7 @@ object IngestDedup {
   }
 
   private def indexReady(indexPath: String): Boolean =
-    java.nio.file.Files.exists(
-      java.nio.file.Paths.get(indexPath, "_graft_prefix_bits"))
+    Dedup.minhashIndexReady(indexPath)
 
   /** One micro-batch of the ingest ladder — also the unit the spec drives
     * directly in batch mode (same code path, the streaming harness adds

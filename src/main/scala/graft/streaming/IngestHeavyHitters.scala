@@ -1,29 +1,39 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.HeavyHitters
+import graft.sources.{Compaction, LayoutMeta, Retention}
 
 /** Continuous per-group heavy hitters — "top boilerplate per domain,
   * continuously": the streaming face of
-  * [[HeavyHitters.heavyHittersByGroup]], closing the last curation signal
-  * that had no incremental story.
+  * [[HeavyHitters.heavyHittersByGroup]].
   *
   * The design rides Misra-Gries MERGEABILITY (the Agarwal et al. framing
   * already underpinning the batch operator): each micro-batch lands
   *
-  *   1. its per-(partition, group) MG candidate summaries — (group,
+  *   1. its raw (group, token [, doc id]) rows into a token corpus, and
+  *   2. its per-(partition, group) MG candidate summaries — (group,
   *      token, lower_bound) rows plus the exact per-group count
-  *      sentinels — into a summary layout, and
-  *   2. its raw (group, token) rows into a token corpus,
+  *      sentinels — into a summary layout,
   *
   * both under a `batch=<id>` directory written with OVERWRITE, so an
   * at-least-once replay of a batch rewrites its own directory instead of
   * double-counting — delivery converges to exactly-once per batch id by
   * construction (the deterministic-directory discipline; a crash
   * mid-overwrite leaves a partial dir the replay overwrites again).
+  * Corpus-before-summaries write order: a crash between the two writes
+  * leaves batch N's rows in the corpus but not in the sketches, so until
+  * the replay lands a [[probe]] is TRANSIENTLY inexact for tokens whose
+  * status depends on batch N (its mass is recounted but not reflected in
+  * the candidate bounds or group totals); the replay overwrites both dirs
+  * and restores exactness. The reverse order would instead UNDER-recount
+  * tokens the sketches already counted — the same one-batch window, but
+  * dropping real heavy hitters rather than admitting borderline ones, the
+  * worse failure direction for a curation signal.
   *
   * [[probe]] then merges ALL persisted summaries by summing lower bounds —
   * each batch's sketch under-counts its slice by at most
@@ -38,20 +48,52 @@ import graft.operators.HeavyHitters
   * a drifting value are rejected (a larger claimed capacity would tighten
   * the prune past what the persisted sketches guarantee).
   *
-  * File-count note: the `batch=<id>` directories ARE the replay
-  * mechanism, so the generic leaf-dir compactor must not merge across
-  * them while the stream can still replay those ids. Probes are offline
-  * analytics (not per-batch work), so many batch dirs cost only when the
-  * question is asked; a deployment running for months would consolidate
-  * batches older than its checkpoint fence — a coordination policy, out
-  * of scope here. */
+  * **Consolidation** ([[consolidate]]): `batch=` directories are the
+  * replay mechanism, so the generic leaf-dir compactor must not merge
+  * across them while the stream can still replay those ids — but a
+  * deployment running for months would otherwise accumulate one dir per
+  * micro-batch in BOTH layouts, every probe paying the LIST + footer
+  * costs. Consolidation merges all batches below a caller-supplied FENCE
+  * — a batch id at or below the stream's committed checkpoint frontier,
+  * which Structured Streaming guarantees will never replay — into one
+  * `batch=-<fence>` dir per layout: summaries merge LOSSLESSLY by summing
+  * `lower_bound` per (group, token) (MG mergeability — the exact merge
+  * [[probe]] performs anyway), and the token corpus AGGREGATES to one
+  * (group, token, count) row per key, which the weighted recount consumes
+  * with bit-identical results. The fence rides the summary layout: a
+  * replayed batch below it is skipped as the no-op it is (its rows are
+  * already inside the consolidated aggregates). Both swaps run under
+  * [[Compaction.replaceDirs]]' crash-safe temp/marker/manifest discipline,
+  * recovered at every probe and consolidate entry. Post-consolidation the
+  * layouts hold O(1) consolidated dirs + one dir per post-fence batch,
+  * and probe cost is flat in how MANY batches delivered a given corpus.
+  *
+  * **Erasure** ([[deleteIds]]): when [[ingest]] is configured with an
+  * `idCol`, raw corpus rows carry the source document id, and erasing a
+  * document tombstones it ([[Retention]]'s dir convention inside the
+  * corpus layout): every probe's recount anti-joins the tombstones
+  * IMMEDIATELY, and the next [[consolidate]] drops the rows physically
+  * while it is rewriting anyway (tombstones persist — post-fence raw
+  * batches or a replayed batch may still carry the id). Summaries keep
+  * their aggregate counts: they hold no document ids (nothing to erase
+  * under an id-keyed request), so after an erasure the support thresholds
+  * remain computed against INGESTED group totals while erased occurrences
+  * no longer count toward any token's frequency — a stricter-only filter.
+  * For bulk age-out, rebuild the layouts instead. */
 object IngestHeavyHitters {
 
   private[graft] val CapacityFile = "_graft_hh_capacity"
+  private[graft] val FenceFile = "_graft_hh_fence"
+  private[graft] val IdColFile = "_graft_hh_id"
+  private[graft] val WeightCol = "__graft_tc"
 
   /** Start the ingest stream. `rows` is a STREAMING frame carrying at
-    * least (`groupCol`, `tokenCol`); both layouts are created by the
-    * first non-empty batch. */
+    * least (`groupCol`, `tokenCol`) — plus `idCol`'s column when erasure
+    * by document id must be possible; both layouts are created by the
+    * first non-empty batch. `consolidateEvery` > 0 consolidates all
+    * batches below the current one on that cadence (safe: foreachBatch
+    * only receives batch N after batch N−1 committed, so ids < N never
+    * replay). */
   def ingest(
       rows: DataFrame,
       summaryPath: String,
@@ -59,12 +101,18 @@ object IngestHeavyHitters {
       groupCol: String,
       tokenCol: String,
       capacity: Int,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      idCol: Option[String] = None,
+      checkpointDir: Option[String] = None,
+      consolidateEvery: Int = 0): StreamingQuery = {
     val writer = rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), batchId, summaryPath, corpusPath,
-          groupCol, tokenCol, capacity)
+          groupCol, tokenCol, capacity, idCol)
+        if (consolidateEvery > 0 && batchId > 0 && batchId % consolidateEvery == 0)
+          consolidate(batch.sparkSession, summaryPath, corpusPath,
+            batchId, groupCol, tokenCol)
+        ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()
@@ -72,7 +120,9 @@ object IngestHeavyHitters {
 
   /** One micro-batch — also the unit driven directly in batch mode by the
     * spec (the streaming harness adds only delivery). Batch-id-keyed
-    * OVERWRITE makes this idempotent under replay. */
+    * OVERWRITE makes this idempotent under replay; batches below the
+    * consolidation fence are skipped (their rows already live inside the
+    * consolidated aggregates — rewriting their dirs would double-count). */
   def processBatch(
       batch: DataFrame,
       batchId: Long,
@@ -80,39 +130,145 @@ object IngestHeavyHitters {
       corpusPath: String,
       groupCol: String,
       tokenCol: String,
-      capacity: Int): Unit = {
+      capacity: Int,
+      idCol: Option[String] = None): Unit = {
     if (batch.isEmpty) return
-    val metaFile = java.nio.file.Paths.get(summaryPath, CapacityFile)
-    if (java.nio.file.Files.exists(metaFile)) {
+    if (ready(summaryPath)) {
+      if (batchId < fenceOf(summaryPath)) return
       val c = capacityOf(summaryPath)
       require(c == capacity,
         s"summary layout at $summaryPath was built with capacity=$c, " +
           s"batch offered $capacity")
+    } else {
+      // meta FIRST (the BucketedCorpus discipline): a first-batch crash
+      // after the data writes but before the meta would let a replay with
+      // a DIFFERENT capacity pass the drift check against its own sketches
+      LayoutMeta.write(summaryPath, CapacityFile, capacity.toString)
     }
+    // corpus column-set drift guard (the schema discipline): the probe
+    // reads all raw batch dirs as ONE parquet read, which silently
+    // misresolves columns across a mixed-schema layout
+    val idStamp = idCol.getOrElse("")
+    LayoutMeta.readOpt(corpusPath, IdColFile) match {
+      case Some(rec) => require(rec.trim == idStamp,
+        s"corpus at $corpusPath was built with idCol='${rec.trim}', " +
+          s"batch offered '$idStamp'")
+      case None => LayoutMeta.write(corpusPath, IdColFile, idStamp)
+    }
+    // corpus BEFORE summaries — see the object doc's crash-window analysis
+    batch.select(col(groupCol) +: col(tokenCol) +: idCol.map(col).toSeq: _*)
+      .write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
     HeavyHitters.candidateSummariesByGroup(batch, groupCol, tokenCol, capacity)
       .write.mode("overwrite").parquet(s"$summaryPath/batch=$batchId")
-    batch.select(col(groupCol), col(tokenCol))
-      .write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
-    java.nio.file.Files.createDirectories(metaFile.getParent)
-    java.nio.file.Files.write(metaFile, capacity.toString.getBytes("UTF-8"))
     ()
   }
 
-  /** True once [[processBatch]] has committed at least one batch. */
+  /** True once [[processBatch]] has recorded the layout metadata. */
   def ready(summaryPath: String): Boolean =
-    java.nio.file.Files.exists(
-      java.nio.file.Paths.get(summaryPath, CapacityFile))
+    LayoutMeta.exists(summaryPath, CapacityFile)
 
   /** The capacity the summary layout was built with. */
   def capacityOf(summaryPath: String): Int =
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(summaryPath, CapacityFile)), "UTF-8").trim.toInt
+    LayoutMeta.read(summaryPath, CapacityFile).trim.toInt
+
+  /** The consolidation fence: batch ids below it must never be written
+    * (their contents live in the consolidated dirs). 0 when none set. */
+  def fenceOf(summaryPath: String): Long =
+    LayoutMeta.readOpt(summaryPath, FenceFile).map(_.trim.toLong).getOrElse(0L)
+
+  /** Logically erase a document's token rows: `ids` is a single-column
+    * frame of the id column the corpus was ingested with. Probes exclude
+    * the rows immediately (tombstone anti-join); the next [[consolidate]]
+    * drops them physically from everything below its fence. */
+  def deleteIds(ids: DataFrame, corpusPath: String, idCol: String): Unit = {
+    val recorded = LayoutMeta.readOpt(corpusPath, IdColFile).map(_.trim)
+    require(recorded.contains(idCol),
+      s"corpus at $corpusPath does not carry id column '$idCol' " +
+        s"(ingested with idCol='${recorded.getOrElse("<no layout>")}') — " +
+        "an erasure request with no handle must fail loudly")
+    Retention.appendTombstones(ids, corpusPath, idCol)
+  }
+
+  /** The layout's `batch=<id>` directories as (id, path string). */
+  private def batchDirs(spark: SparkSession, root: String): Seq[(Long, String)] = {
+    val r = new Path(root)
+    val fs = r.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(r)) return Seq.empty
+    fs.listStatus(r).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(s => (s.getPath.getName.drop("batch=".length).toLong,
+        s.getPath.toString))
+  }
+
+  /** Merge every batch below `fence` (including earlier consolidations)
+    * into one `batch=-<fence>` dir per layout — lossless by MG
+    * mergeability on the summary side, exact by weighted recount on the
+    * corpus side (see the object doc). The fence meta is advanced FIRST:
+    * from that moment replays of covered batches are skipped, which is
+    * safe whether or not the physical merge below ever completes (probe
+    * reads are unaffected by the fence, and a half-done swap recovers at
+    * the next entry). Idempotent; a no-op when nothing new is covered.
+    * Offline-maintenance caveat: a probe running CONCURRENTLY with the
+    * swap window can see a row twice ([[Compaction.replaceDirs]]). */
+  def consolidate(
+      spark: SparkSession,
+      summaryPath: String,
+      corpusPath: String,
+      fence: Long,
+      groupCol: String,
+      tokenCol: String): Unit = {
+    require(fence >= 0, s"fence must be non-negative, got $fence")
+    if (!ready(summaryPath)) return
+    val f = math.max(fence, fenceOf(summaryPath))
+    if (f > fenceOf(summaryPath))
+      LayoutMeta.write(summaryPath, FenceFile, f.toString)
+    val target = s"batch=-$f"
+    // a single old dir already named the target is the idempotent-re-run
+    // case (or a re-fence with nothing new below it): skip the IO
+    def needsSwap(olds: Seq[(Long, String)]): Boolean =
+      olds.nonEmpty && !(olds.size == 1 && olds.head._1 == -f)
+
+    val sumOlds = batchDirs(spark, summaryPath).filter(_._1 < f)
+    if (needsSwap(sumOlds)) {
+      val merged = spark.read.parquet(sumOlds.map(_._2): _*)
+        .groupBy(col(groupCol), col(tokenCol))
+        .agg(sum(col("lower_bound")).as("lower_bound"))
+      Compaction.replaceDirs(spark, new Path(summaryPath),
+        sumOlds.map(d => s"batch=${d._1}"), target, merged)
+    }
+
+    val corOlds = batchDirs(spark, corpusPath).filter(_._1 < f)
+    if (needsSwap(corOlds)) {
+      val (oldCons, oldRaw) = corOlds.partition(_._1 < 0)
+      val rawRows = if (oldRaw.isEmpty) None else Some(
+        // erased ids drop here, physically, while the rewrite is free —
+        // the id column does not survive into the aggregate, which is
+        // why tombstoned rows must go now or never
+        Retention.filterLive(spark, corpusPath,
+          spark.read.parquet(oldRaw.map(_._2): _*))
+          .select(col(groupCol), col(tokenCol), lit(1L).as(WeightCol)))
+      val consRows = if (oldCons.isEmpty) None else Some(
+        spark.read.parquet(oldCons.map(_._2): _*)
+          .select(col(groupCol), col(tokenCol), col(WeightCol)))
+      val merged = (rawRows.toSeq ++ consRows.toSeq).reduce(_ unionByName _)
+        .groupBy(col(groupCol), col(tokenCol))
+        .agg(sum(col(WeightCol)).as(WeightCol))
+      Compaction.replaceDirs(spark, new Path(corpusPath),
+        corOlds.map(d => s"batch=${d._1}"), target, merged)
+    }
+    ()
+  }
 
   /** Exact per-group heavy hitters over EVERYTHING ingested so far:
     * merged persisted summaries → per-group provable prune → exact
-    * recount against the accumulated token corpus. Hash-equal to running
-    * [[HeavyHitters.heavyHittersByGroup]] over the concatenated batches
-    * (mergeability, see the object doc). */
+    * recount against the accumulated token corpus (raw batches at weight
+    * 1 unioned with consolidated (group, token, count) aggregates — the
+    * weighted recount, bit-identical to recounting the raw stream).
+    * Hash-equal to running [[HeavyHitters.heavyHittersByGroup]] over the
+    * concatenated batches (mergeability, see the object doc), minus any
+    * tombstoned documents' rows ([[deleteIds]]). Recovers half-done
+    * consolidation swaps and dir rewrites at entry, so a crashed
+    * maintenance pass can never double-count. */
   def probe(
       spark: SparkSession,
       summaryPath: String,
@@ -121,11 +277,31 @@ object IngestHeavyHitters {
       tokenCol: String,
       denominator: Long): DataFrame = {
     val capacity = capacityOf(summaryPath)
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(summaryPath, corpusPath).foreach { p =>
+      val root = new Path(p)
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) {
+        Compaction.recoverRoot(fs, root)
+        Compaction.leafDirs(fs, root).foreach(d => Compaction.recoverDir(fs, d))
+      }
+    }
+    require(batchDirs(spark, summaryPath).nonEmpty,
+      s"summary layout at $summaryPath holds no committed batches " +
+        "(meta-first crash window or empty layout)")
     val summaries = spark.read.parquet(summaryPath)
       .select(col(groupCol), col(tokenCol), col("lower_bound"))
-    val tokens = spark.read.parquet(corpusPath)
-      .select(col(groupCol), col(tokenCol))
+    val (cons, raw) = batchDirs(spark, corpusPath).partition(_._1 < 0)
+    val rawT = if (raw.isEmpty) None else Some(
+      Retention.filterLive(spark, corpusPath,
+        spark.read.parquet(raw.map(_._2): _*))
+        .select(col(groupCol), col(tokenCol), lit(1L).as(WeightCol)))
+    val consT = if (cons.isEmpty) None else Some(
+      spark.read.parquet(cons.map(_._2): _*)
+        .select(col(groupCol), col(tokenCol), col(WeightCol)))
+    val tokens = (rawT.toSeq ++ consT.toSeq).reduce(_ unionByName _)
     HeavyHitters.heavyHittersByGroupFromSummaries(summaries, tokens,
-      groupCol, tokenCol, denominator, capacity)
+      groupCol, tokenCol, denominator, capacity,
+      weightCol = Some(WeightCol))
   }
 }

@@ -78,7 +78,9 @@ object IngestLsh {
         if (compactEveryBatches > 0 && (batchId + 1) % compactEveryBatches == 0) {
           Compaction.compactLeafPartitions(batch.sparkSession, indexPath,
             maxFiles = compactMaxFiles)
-          Compaction.compactLeafPartitions(batch.sparkSession, corpusPath,
+          // tombstone-aware on the corpus: dead rows drop while the bucket
+          // is being rewritten anyway (vacuum-for-free on the cadence)
+          BucketedCorpus.compact(batch.sparkSession, corpusPath,
             maxFiles = compactMaxFiles)
         }
         ()

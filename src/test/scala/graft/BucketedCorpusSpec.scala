@@ -27,6 +27,34 @@ class BucketedCorpusSpec extends SparkTestBase {
   private val docC =
     "a third body of text mentioning distributed joins and shuffle exchanges"
 
+  test("schema drift on append is rejected naming the column diff; " +
+    "pre-guard layouts record their schema on the next append") {
+    val path = tmp("graft_bschema") + "/corpus"
+    try {
+      val rows = (0L until 8L).map(i => (i, s"text_$i")).toDF("id", "t")
+      BucketedCorpus.append(rows, path, "id", buckets = 4)
+      // same schema, different column ORDER: fine (parquet resolves by name)
+      BucketedCorpus.append(rows.select("t", "id"), path, "id", buckets = 4)
+      // extra column: rejected, the diff named
+      val extra = intercept[IllegalArgumentException] {
+        BucketedCorpus.append(rows.withColumn("lang", lit("en")),
+          path, "id", buckets = 4)
+      }
+      assert(extra.getMessage.contains("lang"), extra.getMessage)
+      // type drift on an existing column: rejected too
+      val typed = intercept[IllegalArgumentException] {
+        BucketedCorpus.append(rows.withColumn("t", lit(7)), path, "id", 4)
+      }
+      assert(typed.getMessage.contains("t:"), typed.getMessage)
+      // a layout created before the guard existed has no schema meta —
+      // the next append records it instead of rejecting
+      graft.sources.LayoutMeta.delete(path, BucketedCorpus.SchemaFile)
+      BucketedCorpus.append(rows, path, "id", buckets = 4)
+      assert(graft.sources.LayoutMeta.exists(path, BucketedCorpus.SchemaFile))
+      assert(BucketedCorpus.readAll(spark, path).count() == 24)
+    } finally rm(path)
+  }
+
   test("bucketed corpus: append/readAll round-trips, drift rejected, readForIds prunes") {
     val path = tmp("graft_bcorpus") + "/corpus"
     try {

@@ -183,6 +183,134 @@ class HeavyHittersSpec extends SparkTestBase {
     } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  private def hhBatchDirNames(p: String): Set[String] =
+    Option(new java.io.File(p).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+
+  test("consolidation: batches below the fence merge losslessly, probe identical; " +
+    "replays below the fence are skipped; re-consolidation folds the previous dir") {
+    import graft.streaming.IngestHeavyHitters
+    val root = java.nio.file.Files.createTempDirectory("graft_hh_cons").toString
+    val (sp, cp) = (s"$root/summaries", s"$root/corpus")
+    try {
+      val toks = skewedGrouped
+      val parts = toks.randomSplit(Array(0.3, 0.3, 0.2, 0.2), seed = 11L)
+      parts.zipWithIndex.foreach { case (b, i) =>
+        IngestHeavyHitters.processBatch(b, i.toLong, sp, cp, "g", "token", 64)
+      }
+      val expected = HeavyHitters.heavyHittersByGroup(toks, "g", "token", 10L, 64)
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      IngestHeavyHitters.consolidate(spark, sp, cp, 3L, "g", "token")
+      assert(hhBatchDirNames(sp) == Set("batch=-3", "batch=3"))
+      assert(hhBatchDirNames(cp) == Set("batch=-3", "batch=3"))
+      def probed = IngestHeavyHitters.probe(spark, sp, cp, "g", "token", 10L)
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      assert(probed == expected && expected.nonEmpty)
+      // an at-least-once replay of a CONSOLIDATED batch is a no-op — its
+      // rows already live inside the aggregate; rewriting batch=0 would
+      // double-count them
+      IngestHeavyHitters.processBatch(parts(0), 0L, sp, cp, "g", "token", 64)
+      assert(hhBatchDirNames(sp) == Set("batch=-3", "batch=3"))
+      assert(probed == expected)
+      // a later fence folds the previous consolidation into the new one
+      IngestHeavyHitters.consolidate(spark, sp, cp, 4L, "g", "token")
+      assert(hhBatchDirNames(sp) == Set("batch=-4"))
+      assert(hhBatchDirNames(cp) == Set("batch=-4"))
+      assert(probed == expected)
+      // the consolidated corpus is a true aggregate: ONE row per key, and
+      // its weights recount to exactly the raw stream's multiplicities
+      val cons = spark.read.parquet(s"$cp/batch=-4")
+      assert(cons.columns.toSet == Set("g", "token", "__graft_tc"))
+      assert(cons.groupBy("g", "token").count()
+        .where(col("count") > 1).count() == 0)
+      assert(cons.agg(sum("__graft_tc")).first().getLong(0) == toks.count())
+      // idempotent re-run with the same fence: nothing changes
+      IngestHeavyHitters.consolidate(spark, sp, cp, 4L, "g", "token")
+      assert(hhBatchDirNames(sp) == Set("batch=-4") && probed == expected)
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("a crashed consolidation swap recovers at probe entry: marker present rolls " +
+    "FORWARD, marker absent rolls BACK — probe results identical either way") {
+    import graft.streaming.IngestHeavyHitters
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft_hh_crash").toString
+    val (sp, cp) = (s"$root/summaries", s"$root/corpus")
+    try {
+      val toks = skewedGrouped
+      val parts = toks.randomSplit(Array(0.5, 0.5), seed = 3L)
+      parts.zipWithIndex.foreach { case (b, i) =>
+        IngestHeavyHitters.processBatch(b, i.toLong, sp, cp, "g", "token", 64)
+      }
+      val expected = IngestHeavyHitters.probe(spark, sp, cp, "g", "token", 10L)
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      val fs = new Path(root).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      // FORWARD crash on the summary layout: merged rows fully staged
+      // (ready marker) + manifest written, but the swap never ran — the
+      // dangerous window, where trusting olds AND the target double-counts
+      val merged = spark.read.parquet(s"$sp/batch=0", s"$sp/batch=1")
+        .groupBy(col("g"), col("token"))
+        .agg(sum(col("lower_bound")).as("lower_bound"))
+      merged.coalesce(1).write.parquet(s"$sp/_graft_consolidate_tmp")
+      fs.create(new Path(s"$sp/_graft_consolidate_tmp/_graft_ready"), true).close()
+      val mOut = fs.create(new Path(s"$sp/_graft_consolidating"), true)
+      mOut.write("batch=-2\nbatch=0\nbatch=1".getBytes("UTF-8")); mOut.close()
+      // BACKWARD crash on the corpus layout: temp half-written (no
+      // marker) + manifest — recovery must drop both and keep originals
+      fs.mkdirs(new Path(s"$cp/_graft_consolidate_tmp"))
+      val mOut2 = fs.create(new Path(s"$cp/_graft_consolidating"), true)
+      mOut2.write("batch=-2\nbatch=0\nbatch=1".getBytes("UTF-8")); mOut2.close()
+      val got = IngestHeavyHitters.probe(spark, sp, cp, "g", "token", 10L)
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      assert(got == expected && expected.nonEmpty)
+      assert(hhBatchDirNames(sp) == Set("batch=-2"), "forward-recovered")
+      assert(hhBatchDirNames(cp) == Set("batch=0", "batch=1"), "rolled back")
+      assert(!fs.exists(new Path(s"$sp/_graft_consolidating")))
+      assert(!fs.exists(new Path(s"$cp/_graft_consolidating")))
+      assert(!fs.exists(new Path(s"$cp/_graft_consolidate_tmp")))
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
+  test("erasure: deleteIds hides a document's tokens from the probe immediately; " +
+    "the next consolidation drops them physically; wrong handle fails loudly") {
+    import graft.streaming.IngestHeavyHitters
+    val root = java.nio.file.Files.createTempDirectory("graft_hh_erase").toString
+    val (sp, cp) = (s"$root/summaries", s"$root/corpus")
+    try {
+      // doc 1 carries the dominant token; doc 99 carries a unique heavy
+      // token that must vanish — totals: g1 = 28, so with denominator 4
+      // a token needs freq ≥ 7
+      val batch0 = Seq.fill(20)(("g1", "common", 1L)).toDF("g", "token", "doc_id")
+      val batch1 = Seq.fill(8)(("g1", "secret", 99L)).toDF("g", "token", "doc_id")
+      IngestHeavyHitters.processBatch(batch0, 0L, sp, cp, "g", "token", 16,
+        idCol = Some("doc_id"))
+      IngestHeavyHitters.processBatch(batch1, 1L, sp, cp, "g", "token", 16,
+        idCol = Some("doc_id"))
+      def probed = IngestHeavyHitters.probe(spark, sp, cp, "g", "token", 4L)
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      assert(probed == Seq(("g1", "common", 20L), ("g1", "secret", 8L)))
+      // a handle the corpus was not ingested with must not silently no-op
+      intercept[IllegalArgumentException] {
+        IngestHeavyHitters.deleteIds(Seq(99L).toDF("nope"), cp, "nope")
+      }
+      IngestHeavyHitters.deleteIds(Seq(99L).toDF("doc_id"), cp, "doc_id")
+      // tombstone filtering is immediate — no maintenance pass needed
+      assert(probed == Seq(("g1", "common", 20L)))
+      // consolidation drops the rows physically while rewriting anyway
+      IngestHeavyHitters.consolidate(spark, sp, cp, 2L, "g", "token")
+      val cons = spark.read.parquet(s"$cp/batch=-2")
+      assert(cons.where(col("token") === "secret").count() == 0)
+      assert(probed == Seq(("g1", "common", 20L)))
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("per-group candidate broadcast gate is BYTE-aware and the shuffled path is recompute-safe") {
     // a row count far under the limit must still refuse to collect when the
     // summed (group + token) chars exceed the byte gate — long boilerplate

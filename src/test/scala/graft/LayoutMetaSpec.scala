@@ -1,0 +1,138 @@
+package graft
+
+import java.io.File
+import java.net.URI
+
+import org.apache.hadoop.fs.RawLocalFileSystem
+import org.apache.spark.sql.functions._
+
+import graft.sources.{BucketedCorpus, Retention}
+import graft.operators.Dedup
+
+/** A Hadoop filesystem with a NON-`file:` scheme, backed by local disk —
+  * the stand-in for an object store. Any code path that touches a layout
+  * through `java.nio` instead of the layout's Hadoop filesystem would
+  * resolve a `grafttest://…` path string as a RELATIVE local path (a file
+  * literally named `grafttest:…` under the JVM's cwd) and the round-trip
+  * assertions below would fail — which is exactly the deployment bug this
+  * suite pins closed ([[graft.sources.LayoutMeta]]). */
+class GraftTestFs extends RawLocalFileSystem {
+  override def getScheme: String = "grafttest"
+  override def getUri: URI = URI.create("grafttest:///")
+}
+
+class LayoutMetaSpec extends SparkTestBase {
+
+  private def registerScheme(): Unit =
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.grafttest.impl", classOf[GraftTestFs].getName)
+
+  private def fresh(name: String): String = {
+    val local = new File(s"target/$name").getAbsoluteFile
+    graft.operators.Utils.deleteRecursively(local.toPath)
+    s"grafttest://${local.getPath}"
+  }
+
+  private def noLocalLeak(): Unit = {
+    // a java.nio touch on a grafttest:// path string lands as a local file
+    // whose name starts with the scheme — in cwd or under target/
+    val bad = Option(new File(".").listFiles()).toSeq.flatten ++
+      Option(new File("target").listFiles()).toSeq.flatten
+    assert(!bad.exists(_.getName.startsWith("grafttest:")),
+      s"java.nio leak: ${bad.filter(_.getName.startsWith("grafttest:")).toList}")
+  }
+
+  test("bucketed corpus + retention + minhash index run END-TO-END through " +
+    "a non-file Hadoop scheme (no java.nio touch on any layout path)") {
+    registerScheme()
+    import spark.implicits._
+    val corpus = fresh("grafttest_corpus")
+    val docs = (0L until 60L)
+      .map(i => (i, s"alpha beta gamma delta epsilon token$i zeta"))
+      .toDF("doc_id", "text")
+    BucketedCorpus.append(docs.where($"doc_id" < 30), corpus, "doc_id", 8)
+    BucketedCorpus.append(docs.where($"doc_id" >= 30), corpus, "doc_id", 8)
+    assert(BucketedCorpus.ready(corpus))
+    assert(BucketedCorpus.hasData(spark, corpus))
+    assert(BucketedCorpus.bucketsOf(corpus) == 8)
+    assert(BucketedCorpus.readAll(spark, corpus).count() == 60)
+    // drift guards fire through the scheme too
+    intercept[IllegalArgumentException] {
+      BucketedCorpus.append(docs.limit(1), corpus, "doc_id", 16)
+    }
+    // pruned candidate read
+    val someIds = docs.where($"doc_id" % 13 === 0).select("doc_id")
+    val got = BucketedCorpus.readForIds(spark, corpus, someIds)
+      .join(someIds.withColumnRenamed("doc_id", "want"),
+        col("doc_id") === col("want"), "left_semi")
+    assert(got.count() == 5)
+
+    // retention: tombstones + vacuum live on the layout's filesystem
+    val nDel = Retention.deleteWhere(spark, corpus, $"doc_id" % 3 === 0, "doc_id")
+    assert(nDel == 20)
+    assert(Retention.hasTombstones(corpus))
+    assert(BucketedCorpus.readAll(spark, corpus).count() == 40)
+    val rewritten = Retention.vacuum(spark, corpus, "doc_id")
+    assert(rewritten.nonEmpty)
+    assert(!Retention.hasTombstones(corpus))
+    assert(BucketedCorpus.readAll(spark, corpus).count() == 40)
+
+    // a persisted minhash index: meta write, ready gate, probe mask read
+    val idx = fresh("grafttest_idx")
+    Dedup.writeMinhashIndexMd5(docs, "text", "doc_id", idx,
+      numHashes = 16, bands = 8, prefixBits = 4)
+    assert(Dedup.minhashIndexReady(idx))
+    val probeBatch = docs.where($"doc_id" === 7)
+      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+    val hits = Dedup.minhashProbeIndexMd5Resolved(idx,
+      ids => BucketedCorpus.readForIds(spark, corpus, ids),
+      probeBatch, "text", "doc_id", threshold = 0.4,
+      numHashes = 16, bands = 8)
+    // doc 7 survives retention (7 % 3 != 0) and is a near-dup of itself
+    assert(hits.where($"corpus_id" === 7).count() == 1)
+    noLocalLeak()
+  }
+
+  test("after a 'driver restart' (fresh filesystem instance), layout " +
+    "readiness still reads true through the scheme") {
+    registerScheme()
+    import spark.implicits._
+    val corpus = fresh("grafttest_restart")
+    BucketedCorpus.append(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), corpus, "doc_id", 4)
+    // the object-store failure mode was: meta on the old driver's local
+    // disk, gone after restart, ready() false, probes silently skipped.
+    // Clearing Hadoop's FileSystem cache is the closest local stand-in
+    // for "a different driver node asks".
+    org.apache.hadoop.fs.FileSystem.closeAll()
+    assert(BucketedCorpus.ready(corpus))
+    assert(BucketedCorpus.bucketsOf(corpus) == 4)
+    noLocalLeak()
+  }
+
+  test("grep pin: no java.nio.file on layout paths in sources/, " +
+    "streaming/, or the layout-carrying operators") {
+    def scalaFiles(dir: String): Seq[File] = {
+      val d = new File(dir)
+      Option(d.listFiles()).toSeq.flatten.filter(_.getName.endsWith(".scala"))
+    }
+    def offenders(files: Seq[File], allow: Set[String]): Seq[String] =
+      files.filterNot(f => allow.contains(f.getName)).flatMap { f =>
+        val src = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        // comments may MENTION java.nio (the LayoutMeta doc does); only
+        // code lines count
+        val hits = src.linesIterator.zipWithIndex.filter { case (l, _) =>
+          l.contains("java.nio.file") && !l.trim.startsWith("*") &&
+            !l.trim.startsWith("//")
+        }
+        hits.map { case (_, i) => s"${f.getName}:${i + 1}" }.toSeq
+      }
+    assert(offenders(scalaFiles("src/main/scala/graft/sources"), Set.empty).isEmpty)
+    assert(offenders(scalaFiles("src/main/scala/graft/streaming"), Set.empty).isEmpty)
+    // SparkCompare.scala hosts Utils.deleteRecursively — a local-target
+    // test/bench helper, never pointed at a layout
+    assert(offenders(scalaFiles("src/main/scala/graft/operators"),
+      Set("SparkCompare.scala")).isEmpty)
+  }
+}

@@ -151,6 +151,95 @@ class RetentionSpec extends SparkTestBase {
     } finally rm(root)
   }
 
+  test("tombstone-aware compaction: over-threshold buckets drop dead rows while " +
+    "rewriting, covered tombstones clear, uncovered stay queued, reads identical") {
+    val root = tmp("graft_retention_cmp")
+    val path = s"$root/corpus"
+    try {
+      // many small appends → every bucket well over the maxFiles threshold
+      (0 until 6).foreach { k =>
+        val rows = (0L until 100L).filter(_ % 6 == k)
+          .map(i => (i, s"text_$i")).toDF("id", "t")
+        BucketedCorpus.append(rows, path, "id", buckets = 4)
+      }
+      // dead ids: 0 and 1 land in (at most) two buckets; id 0's bucket
+      // will be rewritten (all are over threshold), so both are covered
+      Retention.deleteIds(Seq(0L, 1L).toDF("id"), path, "id")
+      val logical = BucketedCorpus.readAll(spark, path)
+        .select("id").as[Long].collect().toSet
+      assert(logical == (2L until 100L).toSet)
+      val rewritten = BucketedCorpus.compact(spark, path, maxFiles = 2)
+      assert(rewritten.size == 4, "all four over-threshold buckets rewrite")
+      // physically clean: the raw files no longer hold the dead rows
+      assert(spark.read.parquet(path).where(col("id") < 2).count() == 0)
+      // covered tombstones cleared — vacuum now has nothing to do
+      assert(!Retention.hasTombstones(path))
+      assert(Retention.vacuum(spark, path, "id").isEmpty)
+      // reads identical before and after
+      assert(BucketedCorpus.readAll(spark, path)
+        .select("id").as[Long].collect().toSet == logical)
+      // an UNCOVERED tombstone (its bucket under the threshold) stays
+      // queued: compact again with nothing over threshold
+      Retention.deleteIds(Seq(50L).toDF("id"), path, "id")
+      val r2 = BucketedCorpus.compact(spark, path, maxFiles = 16)
+      assert(r2.isEmpty && Retention.hasTombstones(path))
+      assert(BucketedCorpus.readAll(spark, path)
+        .select("id").as[Long].collect().toSet == logical - 50L)
+    } finally rm(root)
+  }
+
+  test("maintenance marker fast path: reads skip per-bucket recovery probes when " +
+    "no marker is present, and still recover a crashed rewrite when it is") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.Compaction
+    val root = tmp("graft_retention_mark")
+    val path = s"$root/corpus"
+    try {
+      freshCorpus(path)
+      val expected = BucketedCorpus.readAll(spark, path)
+        .select("id").as[Long].collect().toSet
+      val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+      // a completed maintenance pass leaves NO marker behind
+      Retention.deleteIds(Seq(5L).toDF("id"), path, "id")
+      Retention.vacuum(spark, path, "id")
+      assert(!fs.exists(new Path(path, Compaction.MaintenanceMarker)))
+      // simulate a CRASHED rewrite in one bucket: temp rows + ready marker
+      // + manifest listing the live files (the roll-forward state), plus
+      // the layout-root maintenance marker every pass sets first
+      val bucket = Option(new java.io.File(path).listFiles()).get
+        .filter(f => f.isDirectory &&
+          f.getName.startsWith(BucketedCorpus.BucketCol + "="))
+        .maxBy(f => f.listFiles().count(_.getName.endsWith(".parquet")))
+      val dir = new Path(bucket.getPath)
+      val files = fs.listStatus(dir).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      val rows = spark.read.parquet(files.map(_.getPath.toString): _*)
+      val tmpDir = new Path(dir, "_graft_compact_tmp")
+      rows.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+      val staged = fs.listStatus(tmpDir).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      staged.zipWithIndex.foreach { case (s0, i) =>
+        fs.rename(s0.getPath, new Path(tmpDir,
+          s"graft-compact-spec-$i${s0.getPath.getName.dropWhile(_ != '.')}"))
+      }
+      fs.create(new Path(tmpDir, "_graft_ready"), true).close()
+      val m = fs.create(new Path(dir, "_graft_compacting"), true)
+      m.write(files.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
+      m.close()
+      Compaction.markMaintenance(fs, new Path(path))
+      // the read sees the marker, recovers the bucket, and returns the
+      // exact pre-crash rows — no duplicates from temp+originals
+      assert(BucketedCorpus.readAll(spark, path)
+        .select("id").as[Long].collect().toSet == expected - 5L)
+      assert(!fs.exists(new Path(dir, "_graft_compacting")))
+      // the marker itself stays until a maintenance pass completes — a
+      // reader cannot know whether a LIVE job is mid-rewrite elsewhere
+      assert(fs.exists(new Path(path, Compaction.MaintenanceMarker)))
+      Compaction.compactLeafPartitions(spark, path, maxFiles = 1000)
+      assert(!fs.exists(new Path(path, Compaction.MaintenanceMarker)))
+    } finally rm(root)
+  }
+
   test("ingest probe treats tombstoned corpus rows as absent (postings orphaned, content kept)") {
     import graft.streaming.IngestDedup
     val root = tmp("graft_retention_probe")
