@@ -402,7 +402,53 @@ object ScaleCheck {
         val ratio = tn / math.max(t1, 1e-9)
         Seq(f""""retention_vacuum_bucket_prune":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$ratio%.2f,"dirs1":$d1dirs,"dirsN":$dNdirs}""")
       }
-    println(s"""{"mult":$mult,"cases":{${(rows ++ lshRow ++ ingestRow ++ retentionRow).mkString(",")}}}""")
+    // ---- heavy-hitters probe vs BATCH-COUNT growth ------------------------
+    // The consolidation claim, measured: the same token stream ingested as
+    // 4 vs 32 micro-batches, each consolidated at its checkpoint frontier,
+    // must probe at the same wall-clock — dir count and corpus bytes are
+    // O(1) + post-fence batches either way (the summary merge is lossless
+    // by MG mergeability; the corpus aggregate collapses to one row per
+    // (group, token)). Without consolidation the 32-batch layout carries
+    // 8x the dirs and every probe pays the LIST + footer costs.
+    val hhRow =
+      if (!onlyCase.forall(_.contains("hh_probe_batch_growth"))) Seq.empty[String]
+      else {
+        import graft.streaming.IngestHeavyHitters
+        val toks = graft.operators.HeavyHitters.tokenStreamByGroup(
+          table("documents"), "lang", "text")
+        def build(tag: String, batches: Int): (String, String) = {
+          val root = s"$out/hh_growth_$tag"
+          val (sp, cp) = (s"$root/summaries", s"$root/corpus")
+          if (!new java.io.File(s"$root/_done").exists) {
+            graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(root))
+            val t0 = System.nanoTime()
+            (0 until batches).foreach { b =>
+              IngestHeavyHitters.processBatch(
+                toks.where(col("token").isNotNull &&
+                  pmod(xxhash64(col("token")), lit(batches.toLong)) === b),
+                b.toLong, sp, cp, "lang", "token", capacity = 400)
+            }
+            IngestHeavyHitters.consolidate(spark, sp, cp, batches.toLong,
+              "lang", "token")
+            java.nio.file.Files.createFile(java.nio.file.Paths.get(root, "_done"))
+            System.err.println(
+              f"[scale] staged hh_growth_$tag ($batches batches) ${(System.nanoTime() - t0) / 1e9}%6.1fs")
+          }
+          (sp, cp)
+        }
+        val (spS, cpS) = build("small", 4)
+        val (spL, cpL) = build("large", 32)
+        def probe(sp: String, cp: String): Long =
+          IngestHeavyHitters.probe(spark, sp, cp, "lang", "token",
+            denominator = 200L).count()
+        System.err.println(s"[scale] hh_probe_batch_growth @4 batches")
+        val t1 = time(probe(spS, cpS))
+        System.err.println(s"[scale] hh_probe_batch_growth @32 batches")
+        val tn = time(probe(spL, cpL))
+        val ratio = tn / math.max(t1, 1e-9)
+        Seq(f""""hh_probe_batch_growth":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$ratio%.2f}""")
+      }
+    println(s"""{"mult":$mult,"cases":{${(rows ++ lshRow ++ ingestRow ++ retentionRow ++ hhRow).mkString(",")}}}""")
     spark.stop()
   }
 }

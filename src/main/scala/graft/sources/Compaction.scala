@@ -159,6 +159,14 @@ object Compaction {
     val in = fs.open(manifest)
     val lines = try scala.io.Source.fromInputStream(in).getLines().toVector
     finally in.close()
+    if (lines.isEmpty) {
+      // crash between manifest create and write: the target is unknown,
+      // but nothing was deleted yet — roll back (originals intact, the
+      // staged temp is re-derivable) rather than throw out of a probe
+      fs.delete(new Path(root, ConsolidateTmp), true)
+      fs.delete(manifest, false)
+      return
+    }
     val target = new Path(root, lines.head)
     val olds = lines.tail.filter(_.nonEmpty).map(n => new Path(root, n))
     val tmp = new Path(root, ConsolidateTmp)

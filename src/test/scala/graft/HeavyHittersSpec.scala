@@ -277,6 +277,38 @@ class HeavyHittersSpec extends SparkTestBase {
     } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("streaming harness: ingest(consolidateEvery) consolidates on the cadence " +
+    "and the probe equals the batch operator across it") {
+    import graft.streaming.IngestHeavyHitters
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("graft_hh_ms").toString
+    val (sp, cp) = (s"$root/summaries", s"$root/corpus")
+    val ckpt = s"$root/ckpt"
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val q = IngestHeavyHitters.ingest(input.toDF().toDF("g", "token"),
+      sp, cp, "g", "token", capacity = 64,
+      checkpointDir = Some(ckpt), consolidateEvery = 2)
+    try {
+      val toks = skewedGrouped.as[(String, String)].collect().toSeq
+      val parts = toks.grouped(math.max(1, toks.size / 4 + 1)).toSeq
+      parts.foreach { p => input.addData(p); q.processAllAvailable() }
+      // cadence: batch id 2 triggered consolidate(fence = 2)
+      assert(hhBatchDirNames(sp).contains("batch=-2"), hhBatchDirNames(sp))
+      assert(!hhBatchDirNames(sp).contains("batch=0"))
+      val streamed = IngestHeavyHitters.probe(spark, sp, cp, "g", "token", 10L)
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      val batch = HeavyHitters.heavyHittersByGroup(skewedGrouped, "g", "token", 10L, 64)
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      assert(streamed == batch && batch.nonEmpty)
+    } finally {
+      q.stop()
+      graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(root))
+    }
+  }
+
   test("erasure: deleteIds hides a document's tokens from the probe immediately; " +
     "the next consolidation drops them physically; wrong handle fails loudly") {
     import graft.streaming.IngestHeavyHitters
