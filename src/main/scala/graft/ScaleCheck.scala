@@ -373,10 +373,16 @@ object ScaleCheck {
         import spark.implicits._
         def buildCorpus(tag: String, df: DataFrame, buckets: Int): String = {
           val p = s"$out/retention_$tag"
-          if (!BucketedCorpus.ready(p)) {
+          // explicit done marker AFTER staging — ready() is meta-first, so
+          // it reads true for a crashed half-staged corpus and the sweep
+          // would silently measure against truncated data forever
+          val done = java.nio.file.Paths.get(s"${p}_done")
+          if (!java.nio.file.Files.exists(done)) {
+            graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(p))
             val t0 = System.nanoTime()
             BucketedCorpus.append(df.select(col("doc_id"), col("lang"), col("text")),
               p, "doc_id", buckets)
+            java.nio.file.Files.createFile(done)
             System.err.println(
               f"[scale] staged retention_$tag ($buckets buckets) ${(System.nanoTime() - t0) / 1e9}%6.1fs")
           }

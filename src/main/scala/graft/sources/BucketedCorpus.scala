@@ -68,12 +68,13 @@ object BucketedCorpus {
     * here ignores.) */
   def append(df: DataFrame, path: String, idCol: String, buckets: Int): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    if (LayoutMeta.exists(path, MetaFile)) {
-      val b = bucketsOf(path)
+    val spark = df.sparkSession
+    if (LayoutMeta.exists(spark, path, MetaFile)) {
+      val b = bucketsOf(spark, path)
       require(b == buckets,
         s"corpus at $path was written with buckets=$b, append requested $buckets")
     } else {
-      LayoutMeta.write(path, MetaFile, buckets.toString)
+      LayoutMeta.write(spark, path, MetaFile, buckets.toString)
     }
     // Schema-drift guard — the bucket-count discipline extended to the
     // column set: a parquet append with a DIFFERENT schema "succeeds" and
@@ -83,7 +84,7 @@ object BucketedCorpus {
     // created before the guard existed have no schema meta: record it on
     // the next append instead of rejecting them.
     val stamp = schemaStamp(df)
-    LayoutMeta.readOpt(path, SchemaFile) match {
+    LayoutMeta.readOpt(spark, path, SchemaFile) match {
       case Some(recorded) =>
         val rec = recorded.linesIterator.filter(_.nonEmpty).toSeq
         if (rec != stamp) {
@@ -99,7 +100,7 @@ object BucketedCorpus {
               }")
         }
       case None =>
-        LayoutMeta.write(path, SchemaFile, stamp.mkString("\n"))
+        LayoutMeta.write(spark, path, SchemaFile, stamp.mkString("\n"))
     }
     df.withColumn(BucketCol, bucketOf(col(idCol), buckets))
       .write.mode("append").partitionBy(BucketCol).parquet(path)
@@ -109,6 +110,11 @@ object BucketedCorpus {
   /** True once [[append]] has recorded the layout metadata. A layout can
     * be ready with no data yet (the meta-first crash window) — probes
     * gate on `ready && hasData`. */
+  def ready(spark: SparkSession, path: String): Boolean =
+    LayoutMeta.exists(spark, path, MetaFile)
+
+  /** [[ready]] via the active session — correct whenever one session owns
+    * the layout (see [[LayoutMeta]]'s session note). */
   def ready(path: String): Boolean = LayoutMeta.exists(path, MetaFile)
 
   /** True once at least one data file is committed. Resolved through the
@@ -124,6 +130,9 @@ object BucketedCorpus {
   }
 
   /** The bucket count a layout was written with. */
+  def bucketsOf(spark: SparkSession, path: String): Int =
+    LayoutMeta.read(spark, path, MetaFile).trim.toInt
+
   def bucketsOf(path: String): Int =
     LayoutMeta.read(path, MetaFile).trim.toInt
 
@@ -144,8 +153,22 @@ object BucketedCorpus {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return false
     val leaves = Compaction.leafDirs(fs, root)
-    if (fs.exists(new org.apache.hadoop.fs.Path(root, Compaction.MaintenanceMarker)))
+    val pending = fs.exists(
+      new org.apache.hadoop.fs.Path(root, Compaction.MaintenanceMarker))
+    val walked = fs.exists(
+      new org.apache.hadoop.fs.Path(root, Compaction.RecoveryCleanStamp))
+    // recover when a pass is (or may have crashed) pending — AND once per
+    // layout when its history predates the marker discipline (a
+    // pre-marker crashed rewrite has a manifest but no marker; skipping
+    // it would double-count that bucket's rows on every read forever)
+    if (pending || !walked) {
       leaves.foreach(d => Compaction.recoverDir(fs, d))
+      if (!walked) {
+        val st = fs.create(new org.apache.hadoop.fs.Path(
+          root, Compaction.RecoveryCleanStamp), true)
+        st.close()
+      }
+    }
     leaves.exists(d => Compaction.dataFiles(fs, d).nonEmpty)
   }
 
@@ -162,16 +185,24 @@ object BucketedCorpus {
     * (dropped rows were already tombstone-filtered from every read). */
   def compact(spark: SparkSession, path: String,
       maxFiles: Int = 16, targetFiles: Int = 1): Seq[String] = {
-    val snapshot = Retention.tombstoneFiles(path)
-    val transform: DataFrame => DataFrame =
-      if (snapshot.isEmpty) identity
-      else { rows =>
+    val snapshot = Retention.tombstoneFiles(spark, path)
+    // ONE dead-id frame, materialized once (localCheckpoint) — the
+    // transform closure runs per rewritten bucket, and re-reading +
+    // re-broadcasting the snapshot for each of them would pay N identical
+    // jobs on the ingest cadence
+    val dead =
+      if (snapshot.isEmpty) None
+      else {
         val ts = spark.read.parquet(snapshot: _*)
         val idc = ts.columns.head
-        rows.join(
-          broadcast(ts.select(col(idc).as("__graft_dead_id")).distinct()),
-          rows(idc) === col("__graft_dead_id"), "left_anti")
+        Some((idc, broadcast(ts.select(col(idc).as("__graft_dead_id"))
+          .distinct().localCheckpoint(true))))
       }
+    val transform: DataFrame => DataFrame = dead match {
+      case None => identity
+      case Some((idc, d)) => rows =>
+        rows.join(d, rows(idc) === col("__graft_dead_id"), "left_anti")
+    }
     val rewritten = Compaction.compactLeafPartitions(
       spark, path, maxFiles, targetFiles, transform)
     Retention.clearCoveredTombstones(spark, path, snapshot, rewritten)

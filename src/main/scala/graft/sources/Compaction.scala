@@ -240,12 +240,24 @@ object Compaction {
     * maintenance contract. */
   private[graft] val MaintenanceMarker = "_graft_maintenance_pending"
 
+  /** Companion stamp meaning "this layout has had at least one FULL
+    * recovery walk under the marker discipline". Layouts written before
+    * the marker existed can carry a crashed-rewrite manifest with no
+    * marker over it — the invariant the fast path relies on only holds
+    * from the first full walk onward, so reads treat a missing stamp as
+    * "unknown history" and walk once ([[BucketedCorpus.prepareRead]]). */
+  private[graft] val RecoveryCleanStamp = "_graft_recovery_clean"
+
   private[graft] def markMaintenance(fs: FileSystem, root: Path): Unit = {
     val m = fs.create(new Path(root, MaintenanceMarker), true)
     m.close()
   }
 
   private[graft] def clearMaintenance(fs: FileSystem, root: Path): Unit = {
+    // a full recovery walk preceded every clear — stamp it so reads can
+    // trust the marker's absence from here on
+    val st = fs.create(new Path(root, RecoveryCleanStamp), true)
+    st.close()
     fs.delete(new Path(root, MaintenanceMarker), false)
     ()
   }

@@ -24,26 +24,32 @@ import org.apache.spark.sql.SparkSession
   * failure mode; a spec drives a layout through a non-`file:`-scheme
   * Hadoop filesystem to pin that no `java.nio` touch remains on the path.
   *
+  * Every method takes the caller's session explicitly — metadata must
+  * resolve through the SAME session as the layout's data I/O (a
+  * multi-session driver can carry per-session credentials/endpoints).
+  * The session-less overloads delegate to `SparkSession.active` for
+  * convenience entry points whose public signatures predate this module
+  * (`BucketedCorpus.ready(path)` and friends); they are correct whenever
+  * one session owns the layout, which is every deployment shape this
+  * repo ships.
+  *
   * Writes are create-with-overwrite of a few bytes — the same atomicity
   * the metas always had (they are written once at layout creation and
   * only ever re-written with the identical value). */
 object LayoutMeta {
 
-  /** The layout's filesystem, resolved from the ACTIVE session's Hadoop
-    * configuration — the session carries the `spark.hadoop.*` settings
-    * (credentials, endpoints) a bare Configuration would miss. All layout
-    * metadata is driver-side I/O on paths derived from a running query or
-    * ingest loop, so an active session always exists. */
-  def fs(dir: String): FileSystem =
-    new Path(dir).getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+  def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  def exists(spark: SparkSession, dir: String, name: String): Boolean =
+    fs(spark, dir).exists(new Path(dir, name))
 
   def exists(dir: String, name: String): Boolean =
-    fs(dir).exists(new Path(dir, name))
+    exists(SparkSession.active, dir, name)
 
   /** Read the meta's full contents as UTF-8 (callers trim / split). */
-  def read(dir: String, name: String): String = {
-    val f = fs(dir)
-    val in = f.open(new Path(dir, name))
+  def read(spark: SparkSession, dir: String, name: String): String = {
+    val in = fs(spark, dir).open(new Path(dir, name))
     try {
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](4096)
@@ -53,13 +59,19 @@ object LayoutMeta {
     } finally in.close()
   }
 
+  def read(dir: String, name: String): String =
+    read(SparkSession.active, dir, name)
+
+  def readOpt(spark: SparkSession, dir: String, name: String): Option[String] =
+    if (exists(spark, dir, name)) Some(read(spark, dir, name)) else None
+
   def readOpt(dir: String, name: String): Option[String] =
-    if (exists(dir, name)) Some(read(dir, name)) else None
+    readOpt(SparkSession.active, dir, name)
 
   /** Write (creating the layout directory if needed), overwriting any
     * previous value. */
-  def write(dir: String, name: String, value: String): Unit = {
-    val f = fs(dir)
+  def write(spark: SparkSession, dir: String, name: String, value: String): Unit = {
+    val f = fs(spark, dir)
     val d = new Path(dir)
     if (!f.exists(d)) f.mkdirs(d)
     val out = f.create(new Path(dir, name), true)
@@ -67,18 +79,25 @@ object LayoutMeta {
     ()
   }
 
-  def delete(dir: String, name: String): Unit = {
-    fs(dir).delete(new Path(dir, name), false)
+  def write(dir: String, name: String, value: String): Unit =
+    write(SparkSession.active, dir, name, value)
+
+  def delete(spark: SparkSession, dir: String, name: String): Unit = {
+    fs(spark, dir).delete(new Path(dir, name), false)
     ()
   }
+
+  def delete(dir: String, name: String): Unit =
+    delete(SparkSession.active, dir, name)
 
   /** List a layout SUBDIRECTORY's immediate files whose names pass
     * `keep` — [[Retention]]'s tombstone listing, resolved through the
     * layout's filesystem like everything else here. Returns fully
     * qualified path strings (directly readable by `spark.read`);
     * empty when the directory does not exist. */
-  def listFiles(dir: String, keep: String => Boolean): Vector[String] = {
-    val f = fs(dir)
+  def listFiles(spark: SparkSession, dir: String,
+      keep: String => Boolean): Vector[String] = {
+    val f = fs(spark, dir)
     val d = new Path(dir)
     if (!f.exists(d)) return Vector.empty
     f.listStatus(d).toVector.collect {
@@ -86,4 +105,7 @@ object LayoutMeta {
         s.getPath.toString
     }
   }
+
+  def listFiles(dir: String, keep: String => Boolean): Vector[String] =
+    listFiles(SparkSession.active, dir, keep)
 }

@@ -48,8 +48,8 @@ object Retention {
     * entry snapshot all go through it). Listed through the LAYOUT's
     * filesystem ([[LayoutMeta]]): erasure correctness must not depend on
     * the driver's local disk when the corpus lives on an object store. */
-  private[sources] def tombstoneFiles(corpusPath: String): Vector[String] =
-    LayoutMeta.listFiles(tombstonePath(corpusPath), _.endsWith(".parquet"))
+  private[graft] def tombstoneFiles(spark: SparkSession, corpusPath: String): Vector[String] =
+    LayoutMeta.listFiles(spark, tombstonePath(corpusPath), _.endsWith(".parquet"))
 
   private def readTombstones(spark: SparkSession,
       files: Seq[String], idCol: String): DataFrame =
@@ -58,12 +58,17 @@ object Retention {
 
   /** True if any ids are currently tombstoned (logically deleted but not
     * yet vacuumed). */
+  def hasTombstones(spark: SparkSession, corpusPath: String): Boolean =
+    tombstoneFiles(spark, corpusPath).nonEmpty
+
+  /** [[hasTombstones]] via the active session (see [[LayoutMeta]]'s
+    * session note). */
   def hasTombstones(corpusPath: String): Boolean =
-    tombstoneFiles(corpusPath).nonEmpty
+    hasTombstones(SparkSession.active, corpusPath)
 
   /** The tombstoned id set (single column named `idCol`), empty-safe. */
   def tombstones(spark: SparkSession, corpusPath: String, idCol: String): Option[DataFrame] = {
-    val files = tombstoneFiles(corpusPath)
+    val files = tombstoneFiles(spark, corpusPath)
     if (files.isEmpty) None else Some(readTombstones(spark, files, idCol))
   }
 
@@ -76,7 +81,7 @@ object Retention {
     // public API, same misconfiguration guard as deleteWhere: an erasure
     // job pointed at a mistyped or unmounted path must fail loudly, not
     // "succeed" into a fresh tombstone dir nobody will ever read
-    require(BucketedCorpus.ready(corpusPath),
+    require(BucketedCorpus.ready(ids.sparkSession, corpusPath),
       s"no BucketedCorpus layout at $corpusPath (missing bucket metadata) — " +
         "refusing to tombstone against a path with no layout")
     appendTombstones(ids, corpusPath, idCol)
@@ -102,7 +107,7 @@ object Retention {
     * must surface the misconfiguration, not report success. */
   def deleteWhere(spark: SparkSession, corpusPath: String,
       predicate: Column, idCol: String): Long = {
-    require(BucketedCorpus.ready(corpusPath),
+    require(BucketedCorpus.ready(spark, corpusPath),
       s"no BucketedCorpus layout at $corpusPath (missing bucket metadata) — " +
         "refusing to silently skip a delete against a mistyped path")
     if (!BucketedCorpus.hasData(spark, corpusPath)) return 0L
@@ -121,7 +126,7 @@ object Retention {
     * set's own (single) column, so callers need not thread it through;
     * zero-cost when no tombstones exist. */
   def filterLive(spark: SparkSession, corpusPath: String, df: DataFrame): DataFrame =
-    if (!hasTombstones(corpusPath)) df
+    if (!hasTombstones(spark, corpusPath)) df
     else {
       val ts = spark.read.parquet(tombstonePath(corpusPath))
       val idc = ts.columns.head
@@ -145,10 +150,10 @@ object Retention {
     // wholesale directory delete at the end would silently DISCARD them —
     // permanently resurrecting concurrently-erased rows. Tombstones
     // appended after this snapshot survive untouched for the next vacuum.
-    val snapshot = tombstoneFiles(corpusPath)
+    val snapshot = tombstoneFiles(spark, corpusPath)
     if (snapshot.isEmpty) return Seq.empty
     val ts = readTombstones(spark, snapshot, idCol)
-    val buckets = BucketedCorpus.bucketsOf(corpusPath)
+    val buckets = BucketedCorpus.bucketsOf(spark, corpusPath)
     // the writer's own routing hash — vacuum must never disagree with
     // append/readForIds about where an id's rows live
     val wanted = ts
@@ -220,7 +225,7 @@ object Retention {
     if (rewrittenBuckets.isEmpty) return
     val ts = spark.read.parquet(snapshotFiles: _*)
     val idc = ts.columns.head
-    val buckets = BucketedCorpus.bucketsOf(corpusPath)
+    val buckets = BucketedCorpus.bucketsOf(spark, corpusPath)
     val remainder = ts.select(col(idc)).distinct()
       .where(!BucketedCorpus.bucketOf(col(idc), buckets)
         .isin(rewrittenBuckets.toSeq: _*))

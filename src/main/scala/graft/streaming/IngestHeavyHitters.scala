@@ -133,9 +133,10 @@ object IngestHeavyHitters {
       capacity: Int,
       idCol: Option[String] = None): Unit = {
     if (batch.isEmpty) return
-    if (ready(summaryPath)) {
-      if (batchId < fenceOf(summaryPath)) return
-      val c = capacityOf(summaryPath)
+    val spark = batch.sparkSession
+    if (ready(spark, summaryPath)) {
+      if (batchId < fenceOf(spark, summaryPath)) return
+      val c = capacityOf(spark, summaryPath)
       require(c == capacity,
         s"summary layout at $summaryPath was built with capacity=$c, " +
           s"batch offered $capacity")
@@ -143,17 +144,25 @@ object IngestHeavyHitters {
       // meta FIRST (the BucketedCorpus discipline): a first-batch crash
       // after the data writes but before the meta would let a replay with
       // a DIFFERENT capacity pass the drift check against its own sketches
-      LayoutMeta.write(summaryPath, CapacityFile, capacity.toString)
+      LayoutMeta.write(spark, summaryPath, CapacityFile, capacity.toString)
     }
     // corpus column-set drift guard (the schema discipline): the probe
     // reads all raw batch dirs as ONE parquet read, which silently
     // misresolves columns across a mixed-schema layout
     val idStamp = idCol.getOrElse("")
-    LayoutMeta.readOpt(corpusPath, IdColFile) match {
+    LayoutMeta.readOpt(spark, corpusPath, IdColFile) match {
       case Some(rec) => require(rec.trim == idStamp,
         s"corpus at $corpusPath was built with idCol='${rec.trim}', " +
           s"batch offered '$idStamp'")
-      case None => LayoutMeta.write(corpusPath, IdColFile, idStamp)
+      case None =>
+        // grandfathering a NEW column stamp onto dirs that already exist
+        // would create exactly the mixed-schema layout this guard is for:
+        // pre-guard layouts (no meta) may only continue id-less
+        require(idStamp.isEmpty || batchDirs(spark, corpusPath).isEmpty,
+          s"corpus at $corpusPath already holds batches without an id " +
+            s"column — cannot start carrying '$idStamp' mid-layout " +
+            "(rebuild the layout to enable erasure)")
+        LayoutMeta.write(spark, corpusPath, IdColFile, idStamp)
     }
     // corpus BEFORE summaries — see the object doc's crash-window analysis
     batch.select(col(groupCol) +: col(tokenCol) +: idCol.map(col).toSeq: _*)
@@ -164,24 +173,35 @@ object IngestHeavyHitters {
   }
 
   /** True once [[processBatch]] has recorded the layout metadata. */
+  def ready(spark: SparkSession, summaryPath: String): Boolean =
+    LayoutMeta.exists(spark, summaryPath, CapacityFile)
+
   def ready(summaryPath: String): Boolean =
-    LayoutMeta.exists(summaryPath, CapacityFile)
+    ready(SparkSession.active, summaryPath)
 
   /** The capacity the summary layout was built with. */
+  def capacityOf(spark: SparkSession, summaryPath: String): Int =
+    LayoutMeta.read(spark, summaryPath, CapacityFile).trim.toInt
+
   def capacityOf(summaryPath: String): Int =
-    LayoutMeta.read(summaryPath, CapacityFile).trim.toInt
+    capacityOf(SparkSession.active, summaryPath)
 
   /** The consolidation fence: batch ids below it must never be written
     * (their contents live in the consolidated dirs). 0 when none set. */
+  def fenceOf(spark: SparkSession, summaryPath: String): Long =
+    LayoutMeta.readOpt(spark, summaryPath, FenceFile)
+      .map(_.trim.toLong).getOrElse(0L)
+
   def fenceOf(summaryPath: String): Long =
-    LayoutMeta.readOpt(summaryPath, FenceFile).map(_.trim.toLong).getOrElse(0L)
+    fenceOf(SparkSession.active, summaryPath)
 
   /** Logically erase a document's token rows: `ids` is a single-column
     * frame of the id column the corpus was ingested with. Probes exclude
     * the rows immediately (tombstone anti-join); the next [[consolidate]]
     * drops them physically from everything below its fence. */
   def deleteIds(ids: DataFrame, corpusPath: String, idCol: String): Unit = {
-    val recorded = LayoutMeta.readOpt(corpusPath, IdColFile).map(_.trim)
+    val recorded =
+      LayoutMeta.readOpt(ids.sparkSession, corpusPath, IdColFile).map(_.trim)
     require(recorded.contains(idCol),
       s"corpus at $corpusPath does not carry id column '$idCol' " +
         s"(ingested with idCol='${recorded.getOrElse("<no layout>")}') — " +
@@ -218,10 +238,15 @@ object IngestHeavyHitters {
       groupCol: String,
       tokenCol: String): Unit = {
     require(fence >= 0, s"fence must be non-negative, got $fence")
-    if (!ready(summaryPath)) return
-    val f = math.max(fence, fenceOf(summaryPath))
-    if (f > fenceOf(summaryPath))
-      LayoutMeta.write(summaryPath, FenceFile, f.toString)
+    if (!ready(spark, summaryPath)) return
+    // recover any half-done swap BEFORE listing: a crash after a previous
+    // swap's rename-but-before-deletes would otherwise list the target AND
+    // the olds, and replaceDirs' target-not-in-olds require would throw
+    // out of the very call that should be healing it
+    recoverBoth(spark, summaryPath, corpusPath)
+    val f = math.max(fence, fenceOf(spark, summaryPath))
+    if (f > fenceOf(spark, summaryPath))
+      LayoutMeta.write(spark, summaryPath, FenceFile, f.toString)
     val target = s"batch=-$f"
     // a single old dir already named the target is the idempotent-re-run
     // case (or a re-fence with nothing new below it): skip the IO
@@ -239,24 +264,49 @@ object IngestHeavyHitters {
 
     val corOlds = batchDirs(spark, corpusPath).filter(_._1 < f)
     if (needsSwap(corOlds)) {
-      val (oldCons, oldRaw) = corOlds.partition(_._1 < 0)
-      val rawRows = if (oldRaw.isEmpty) None else Some(
-        // erased ids drop here, physically, while the rewrite is free —
-        // the id column does not survive into the aggregate, which is
-        // why tombstoned rows must go now or never
-        Retention.filterLive(spark, corpusPath,
-          spark.read.parquet(oldRaw.map(_._2): _*))
-          .select(col(groupCol), col(tokenCol), lit(1L).as(WeightCol)))
-      val consRows = if (oldCons.isEmpty) None else Some(
-        spark.read.parquet(oldCons.map(_._2): _*)
-          .select(col(groupCol), col(tokenCol), col(WeightCol)))
-      val merged = (rawRows.toSeq ++ consRows.toSeq).reduce(_ unionByName _)
+      // erased ids drop here, physically, while the rewrite is free — the
+      // id column does not survive into the aggregate, which is why
+      // tombstoned rows must go now or never (weightedTokens filterLives
+      // the raw dirs)
+      val merged = weightedTokens(spark, corpusPath, corOlds, groupCol, tokenCol)
         .groupBy(col(groupCol), col(tokenCol))
         .agg(sum(col(WeightCol)).as(WeightCol))
       Compaction.replaceDirs(spark, new Path(corpusPath),
         corOlds.map(d => s"batch=${d._1}"), target, merged)
     }
     ()
+  }
+
+  private def recoverBoth(spark: SparkSession,
+      summaryPath: String, corpusPath: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(summaryPath, corpusPath).foreach { p =>
+      val root = new Path(p)
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) {
+        Compaction.recoverRoot(fs, root)
+        Compaction.leafDirs(fs, root).foreach(d => Compaction.recoverDir(fs, d))
+      }
+    }
+  }
+
+  /** The token corpus as ONE weighted (group, token, weight) frame: raw
+    * batch dirs at weight 1 — tombstone-filtered, the erasure contract —
+    * unioned with consolidated aggregates' carried counts. The single
+    * definition [[probe]]'s recount and [[consolidate]]'s merge both
+    * consume, so their tombstone/weight semantics can never diverge
+    * (consolidation must stay bit-identical to the probe). */
+  private def weightedTokens(spark: SparkSession, corpusPath: String,
+      dirs: Seq[(Long, String)], groupCol: String, tokenCol: String): DataFrame = {
+    val (cons, raw) = dirs.partition(_._1 < 0)
+    val rawT = if (raw.isEmpty) None else Some(
+      Retention.filterLive(spark, corpusPath,
+        spark.read.parquet(raw.map(_._2): _*))
+        .select(col(groupCol), col(tokenCol), lit(1L).as(WeightCol)))
+    val consT = if (cons.isEmpty) None else Some(
+      spark.read.parquet(cons.map(_._2): _*)
+        .select(col(groupCol), col(tokenCol), col(WeightCol)))
+    (rawT.toSeq ++ consT.toSeq).reduce(_ unionByName _)
   }
 
   /** Exact per-group heavy hitters over EVERYTHING ingested so far:
@@ -276,30 +326,15 @@ object IngestHeavyHitters {
       groupCol: String,
       tokenCol: String,
       denominator: Long): DataFrame = {
-    val capacity = capacityOf(summaryPath)
-    val conf = spark.sessionState.newHadoopConf()
-    Seq(summaryPath, corpusPath).foreach { p =>
-      val root = new Path(p)
-      val fs = root.getFileSystem(conf)
-      if (fs.exists(root)) {
-        Compaction.recoverRoot(fs, root)
-        Compaction.leafDirs(fs, root).foreach(d => Compaction.recoverDir(fs, d))
-      }
-    }
+    val capacity = capacityOf(spark, summaryPath)
+    recoverBoth(spark, summaryPath, corpusPath)
     require(batchDirs(spark, summaryPath).nonEmpty,
       s"summary layout at $summaryPath holds no committed batches " +
         "(meta-first crash window or empty layout)")
     val summaries = spark.read.parquet(summaryPath)
       .select(col(groupCol), col(tokenCol), col("lower_bound"))
-    val (cons, raw) = batchDirs(spark, corpusPath).partition(_._1 < 0)
-    val rawT = if (raw.isEmpty) None else Some(
-      Retention.filterLive(spark, corpusPath,
-        spark.read.parquet(raw.map(_._2): _*))
-        .select(col(groupCol), col(tokenCol), lit(1L).as(WeightCol)))
-    val consT = if (cons.isEmpty) None else Some(
-      spark.read.parquet(cons.map(_._2): _*)
-        .select(col(groupCol), col(tokenCol), col(WeightCol)))
-    val tokens = (rawT.toSeq ++ consT.toSeq).reduce(_ unionByName _)
+    val tokens = weightedTokens(spark, corpusPath,
+      batchDirs(spark, corpusPath), groupCol, tokenCol)
     HeavyHitters.heavyHittersByGroupFromSummaries(summaries, tokens,
       groupCol, tokenCol, denominator, capacity,
       weightCol = Some(WeightCol))
