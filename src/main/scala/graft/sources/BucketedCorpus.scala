@@ -163,11 +163,15 @@ object BucketedCorpus {
     // it would double-count that bucket's rows on every read forever)
     if (pending || !walked) {
       leaves.foreach(d => Compaction.recoverDir(fs, d))
-      if (!walked) {
+      // best-effort: the stamp is a pure optimization, and this is a READ
+      // path — a read-only principal (a consumer credential on an object
+      // store) must not start failing reads because it cannot write the
+      // stamp; it just walks again next time
+      if (!walked) try {
         val st = fs.create(new org.apache.hadoop.fs.Path(
           root, Compaction.RecoveryCleanStamp), true)
         st.close()
-      }
+      } catch { case _: java.io.IOException | _: SecurityException => () }
     }
     leaves.exists(d => Compaction.dataFiles(fs, d).nonEmpty)
   }
@@ -189,20 +193,21 @@ object BucketedCorpus {
     // ONE dead-id frame, materialized once (localCheckpoint) — the
     // transform closure runs per rewritten bucket, and re-reading +
     // re-broadcasting the snapshot for each of them would pay N identical
-    // jobs on the ingest cadence
-    val dead =
-      if (snapshot.isEmpty) None
-      else {
-        val ts = spark.read.parquet(snapshot: _*)
-        val idc = ts.columns.head
-        Some((idc, broadcast(ts.select(col(idc).as("__graft_dead_id"))
-          .distinct().localCheckpoint(true))))
-      }
-    val transform: DataFrame => DataFrame = dead match {
-      case None => identity
-      case Some((idc, d)) => rows =>
-        rows.join(d, rows(idc) === col("__graft_dead_id"), "left_anti")
+    // jobs on the ingest cadence. LAZY: the steady state on the cadence is
+    // "tombstones queued for under-threshold buckets, nothing to rewrite",
+    // and that case must keep paying zero jobs, not one materialize per
+    // call forever.
+    lazy val dead: (String, DataFrame) = {
+      val ts = spark.read.parquet(snapshot: _*)
+      val idc = ts.columns.head
+      (idc, broadcast(ts.select(col(idc).as("__graft_dead_id"))
+        .distinct().localCheckpoint(true)))
     }
+    val transform: DataFrame => DataFrame =
+      if (snapshot.isEmpty) identity
+      else { rows =>
+        rows.join(dead._2, rows(dead._1) === col("__graft_dead_id"), "left_anti")
+      }
     val rewritten = Compaction.compactLeafPartitions(
       spark, path, maxFiles, targetFiles, transform)
     Retention.clearCoveredTombstones(spark, path, snapshot, rewritten)
@@ -234,7 +239,7 @@ object BucketedCorpus {
     * original type; its distinct bucket set (≤ the layout's bucket count,
     * always driver-safe) becomes the partition filter. */
   def readForIds(spark: SparkSession, path: String, ids: DataFrame): DataFrame = {
-    val b = bucketsOf(path)
+    val b = bucketsOf(spark, path)
     val idc = ids.columns match {
       case Array(only) => only
       case other => throw new IllegalArgumentException(

@@ -298,6 +298,12 @@ object IngestHeavyHitters {
     * (consolidation must stay bit-identical to the probe). */
   private def weightedTokens(spark: SparkSession, corpusPath: String,
       dirs: Seq[(Long, String)], groupCol: String, tokenCol: String): DataFrame = {
+    // reachable: a replayed ONLY batch crashing mid-overwrite deletes its
+    // corpus dir before rewriting it while the summary dirs survive — give
+    // the crash-window contract message, not an opaque empty.reduce
+    require(dirs.nonEmpty,
+      s"token corpus at $corpusPath holds no committed batches (replay " +
+        "crash window or empty layout) — replay the batch before probing")
     val (cons, raw) = dirs.partition(_._1 < 0)
     val rawT = if (raw.isEmpty) None else Some(
       Retention.filterLive(spark, corpusPath,
