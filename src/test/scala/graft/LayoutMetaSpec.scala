@@ -93,6 +93,35 @@ class LayoutMetaSpec extends SparkTestBase {
     noLocalLeak()
   }
 
+  test("heavy-hitters ingest + fence consolidation (dir-swap renames) run " +
+    "end-to-end through the non-file scheme") {
+    registerScheme()
+    import spark.implicits._
+    import graft.streaming.IngestHeavyHitters
+    val sp = fresh("grafttest_hh_sum")
+    val cp = fresh("grafttest_hh_cor")
+    val b0 = Seq.fill(12)(("g1", "hot")).toDF("g", "token")
+    val b1 = (Seq.fill(6)(("g1", "warm")) ++ Seq.fill(2)(("g1", "cold")))
+      .toDF("g", "token")
+    IngestHeavyHitters.processBatch(b0, 0L, sp, cp, "g", "token", 16)
+    IngestHeavyHitters.processBatch(b1, 1L, sp, cp, "g", "token", 16)
+    assert(IngestHeavyHitters.ready(spark, sp))
+    assert(IngestHeavyHitters.capacityOf(spark, sp) == 16)
+    def probed = IngestHeavyHitters.probe(spark, sp, cp, "g", "token", 4L)
+      .orderBy(col("freq").desc).as[(String, String, Long)].collect().toSeq
+    val expected = Seq(("g1", "hot", 12L), ("g1", "warm", 6L))
+    assert(probed == expected)
+    // the crash-safe dir swap (temp → marker → manifest → rename → deletes)
+    // through the scheme's own rename/delete semantics
+    IngestHeavyHitters.consolidate(spark, sp, cp, 2L, "g", "token")
+    assert(IngestHeavyHitters.fenceOf(spark, sp) == 2L)
+    assert(probed == expected)
+    // stale replay below the fence is skipped through the scheme too
+    IngestHeavyHitters.processBatch(b0, 0L, sp, cp, "g", "token", 16)
+    assert(probed == expected)
+    noLocalLeak()
+  }
+
   test("after a 'driver restart' (fresh filesystem instance), layout " +
     "readiness still reads true through the scheme") {
     registerScheme()
