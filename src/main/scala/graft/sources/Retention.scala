@@ -98,6 +98,51 @@ object Retention {
     ()
   }
 
+  /** UNDO a logical delete: remove `ids` from the tombstone set, making
+    * any still-physical rows visible again and allowing the ids to be
+    * re-ingested. The answer to "a user re-consents / a document's new
+    * version arrives after an erasure" — without it, a tombstoned id
+    * stays deleted until a vacuum clears the tombstones, and re-appended
+    * content is indistinguishable from the dead rows. Semantics:
+    *   - rows not yet vacuumed become LIVE again (the tombstone was the
+    *     only thing hiding them);
+    *   - rows already vacuumed are gone — reinstating just lifts the
+    *     id-keyed block so a fresh append is visible.
+    * Crash-ordered like [[clearCoveredTombstones]]: the surviving
+    * tombstones are re-appended FIRST, the entry snapshot's files deleted
+    * LAST — a crash leaves duplicate tombstones (distinct'd on read),
+    * never a lost erasure. Ids deleted CONCURRENTLY land in files outside
+    * the snapshot and stay deleted; a concurrent delete of an id being
+    * reinstated resolves to deleted (its tombstone file is not in this
+    * snapshot). Returns the number of ids removed from the snapshot's
+    * tombstone set. */
+  def reinstate(ids: DataFrame, corpusPath: String, idCol: String): Long = {
+    val spark = ids.sparkSession
+    require(BucketedCorpus.ready(spark, corpusPath),
+      s"no BucketedCorpus layout at $corpusPath (missing bucket metadata) — " +
+        "refusing to reinstate against a path with no layout")
+    val snapshot = tombstoneFiles(spark, corpusPath)
+    if (snapshot.isEmpty) return 0L
+    val ts = readTombstones(spark, snapshot, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lift = ids.select(col(idCol).as("__graft_lift_id")).distinct()
+      val remainder = ts.join(broadcast(lift),
+        col(idCol) === col("__graft_lift_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val lifted = ts.count() - remainder.count()
+        if (lifted == 0) return 0L
+        if (remainder.count() > 0)
+          appendTombstones(remainder, corpusPath, idCol)
+        val fs = new Path(corpusPath).getFileSystem(
+          spark.sessionState.newHadoopConf())
+        snapshot.foreach(f => fs.delete(new Path(f), false))
+        lifted
+      } finally { remainder.unpersist(); () }
+    } finally { ts.unpersist(); () }
+  }
+
   /** Logically delete every LIVE corpus row matching `predicate` (one
     * corpus scan — the cost of any DELETE WHERE). Returns the number of
     * newly tombstoned ids; 0 without touching anything when the layout is

@@ -151,6 +151,37 @@ class RetentionSpec extends SparkTestBase {
     } finally rm(root)
   }
 
+  test("reinstate lifts a logical delete: pre-vacuum rows reappear, post-vacuum " +
+    "ids become re-ingestable, other tombstones survive") {
+    val root = tmp("graft_retention_rei")
+    val path = s"$root/corpus"
+    try {
+      freshCorpus(path)
+      Retention.deleteIds(Seq(1L, 2L, 3L).toDF("id"), path, "id")
+      def liveIds = BucketedCorpus.readAll(spark, path)
+        .select("id").as[Long].collect().toSet
+      assert(!liveIds.contains(1L) && !liveIds.contains(2L))
+      // pre-vacuum: the rows still exist physically — reinstating 1 makes
+      // it LIVE again immediately; 2 and 3 stay deleted
+      assert(Retention.reinstate(Seq(1L).toDF("id"), path, "id") == 1L)
+      assert(liveIds.contains(1L) && !liveIds.contains(2L) && !liveIds.contains(3L))
+      // reinstating an id that was never tombstoned is a zero no-op
+      assert(Retention.reinstate(Seq(42L).toDF("id"), path, "id") == 0L)
+      // post-vacuum: 2's rows are physically gone; reinstating lifts the
+      // id-keyed block so a fresh append becomes visible
+      Retention.vacuum(spark, path, "id")
+      assert(!liveIds.contains(2L))
+      assert(Retention.reinstate(Seq(2L).toDF("id"), path, "id") == 0L) // cleared by vacuum
+      BucketedCorpus.append(Seq((2L, "new_text_2", "de")).toDF("id", "t", "lang"),
+        path, "id", buckets = 8)
+      assert(liveIds.contains(2L))
+      // misconfiguration guard matches deleteIds
+      intercept[IllegalArgumentException] {
+        Retention.reinstate(Seq(1L).toDF("id"), s"$root/nope", "id")
+      }
+    } finally rm(root)
+  }
+
   test("tombstone-aware compaction: over-threshold buckets drop dead rows while " +
     "rewriting, covered tombstones clear, uncovered stay queued, reads identical") {
     val root = tmp("graft_retention_cmp")
