@@ -351,6 +351,16 @@ object GraftRegistry {
         .createOrReplaceTempFunction(name, builder, "built-in")
     case _ => () // Connect: see scaladoc — server-side GraftExtensions
   }
+
+  /** True when client-side JVM expression registration is possible. The
+    * SCALAR wrappers use this to fall back to pure built-in-function
+    * twins on non-classic (Connect) sessions — bit-identical, slower
+    * (HOFs evaluate interpreted), but working out of the box instead of
+    * requiring the server-side [[GraftExtensions]] install. Aggregates
+    * ([[TopKByScore]], [[VectorSum]]) and the string expression families
+    * have no built-in twin and still need the server install. */
+  def canRegisterClientSide(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.isInstanceOf[org.apache.spark.sql.classic.SparkSession]
 }
 
 /** Session-extension installer: `SparkSession.builder()
@@ -497,10 +507,39 @@ object LshPlanes {
     GraftRegistry.tempFunction(spark, functionName(dim, bits, tables),
       exprs => LshTableSignatures(exprs.head, dim, bits, tables))
 
-  /** Column wrapper; registers against the active session on first use. */
-  def tableSignatures(vec: Column, dim: Int, bits: Int, tables: Int): Column = {
-    SparkSession.getActiveSession.foreach(register(_, dim, bits, tables))
-    F.call_function(functionName(dim, bits, tables), vec)
+  /** Column wrapper; registers against the active session on first use.
+    * On a non-classic (Connect) session, falls back to the built-in twin
+    * ([[tableSignaturesBuiltin]]) — bit-identical, no server install
+    * needed; see [[GraftRegistry.canRegisterClientSide]]. */
+  def tableSignatures(vec: Column, dim: Int, bits: Int, tables: Int): Column =
+    SparkSession.getActiveSession match {
+      case Some(s) if !GraftRegistry.canRegisterClientSide(s) =>
+        tableSignaturesBuiltin(vec, dim, bits, tables)
+      case other =>
+        other.foreach(register(_, dim, bits, tables))
+        F.call_function(functionName(dim, bits, tables), vec)
+    }
+
+  /** Pure built-in-functions twin of [[LshTableSignatures]] — the
+    * client-side Connect fallback: per-plane [[VectorFunctions
+    * .dotProductBuiltin]] sign bits OR-ed into each table's signature.
+    * Exactly the tables × bits × dim literal-tree formulation the opaque
+    * expression exists to avoid, so planning cost is real — correctness
+    * over speed, install [[GraftExtensions]] server-side for the fast
+    * path. Two semantic guards keep it bit-identical (spec-pinned): a
+    * NaN dot leaves the bit UNSET (Java `>=` semantics — SQL would order
+    * NaN above every number), and a NULL vector yields a NULL signature
+    * array (not an array of zero signatures). */
+  private[graft] def tableSignaturesBuiltin(vec: Column, dim: Int,
+      bits: Int, tables: Int): Column = {
+    val sigs = (0 until tables).map { t =>
+      (0 until bits).map { p =>
+        val plane = F.array(vector(t * bits + p, dim).map(F.lit): _*)
+        val dot = VectorFunctions.dotProductBuiltin(vec, plane)
+        F.when(!F.isnan(dot) && dot >= 0, F.lit(1L << p)).otherwise(F.lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }
+    F.when(vec.isNotNull, F.array(sigs: _*))
   }
 }
 
@@ -527,10 +566,40 @@ object VectorFunctions {
 
   /** Column wrapper for [[DotProduct]]. Registers against the active
     * session on first use (resolution happens at analysis time, so the
-    * active session at *query build* is the one that matters). */
-  def dotProduct(a: Column, b: Column): Column = {
-    SparkSession.getActiveSession.foreach(register)
-    F.call_function(FunctionName, a, b)
+    * active session at *query build* is the one that matters). On a
+    * non-classic (Spark Connect) session — where client-side JVM
+    * expression registration is impossible by design — this returns the
+    * BUILT-IN twin instead ([[dotProductBuiltin]]): bit-identical,
+    * interpreted-HOF slow, but working without the server-side
+    * [[GraftExtensions]] install. */
+  def dotProduct(a: Column, b: Column): Column =
+    SparkSession.getActiveSession match {
+      case Some(s) if !GraftRegistry.canRegisterClientSide(s) =>
+        dotProductBuiltin(a, b)
+      case other =>
+        other.foreach(register)
+        F.call_function(FunctionName, a, b)
+    }
+
+  /** Pure built-in-functions twin of [[DotProduct]] — the client-side
+    * fallback for Spark Connect sessions. Bit-identical by construction
+    * (spec-pinned): the same min-length truncation (slice to
+    * `least(size(a), size(b))` — zip_with alone would null-pad the
+    * shorter side), the same left-to-right double accumulation from 0.0,
+    * the same element-to-double casts, NULL for a NULL array, 0.0 for
+    * empty arrays. ~30× slower than the codegen'd expression (HOFs
+    * evaluate interpreted) — install [[GraftExtensions]] on the Connect
+    * server for the fast path. */
+  private[graft] def dotProductBuiltin(a: Column, b: Column): Column = {
+    val n = F.least(F.size(a), F.size(b))
+    // explicit NULL guard: under legacy (non-ANSI) semantics size(NULL)
+    // is -1, which slice rejects at runtime — the when() also gives the
+    // expression's exact NULL-in-NULL-out behavior
+    F.when(a.isNotNull && b.isNotNull,
+      F.aggregate(
+        F.zip_with(F.slice(a, F.lit(1), n), F.slice(b, F.lit(1), n),
+          (x, y) => x.cast("double") * y.cast("double")),
+        F.lit(0.0), (acc, v) => acc + v))
   }
 
   /** Aggregate column for [[TopKByScore]]: the k best (score, id) pairs of

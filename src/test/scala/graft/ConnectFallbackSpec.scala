@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{LshPlanes, VectorFunctions}
+
+/** The Spark Connect client-side fallbacks must be BIT-IDENTICAL to the
+  * codegen expressions they stand in for — a Connect client and a classic
+  * session running the same similarity query must agree on every hash
+  * bucket and every cosine. The dispatch itself (non-classic session →
+  * fallback) cannot run locally (no Connect server in this environment);
+  * what can — and does — get pinned is the equivalence of the two
+  * implementations on every semantic corner: unequal lengths (min-length
+  * truncation, not zip_with null-padding), empty arrays, NULL arrays,
+  * NaN/Infinity propagation, and the Java-vs-SQL `NaN >= 0` divergence in
+  * the LSH sign bit. */
+class ConnectFallbackSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dotProductBuiltin is bit-identical to the DotProduct expression") {
+    val rows = Seq(
+      (Some(Seq(1.0f, 2.0f, 3.0f)), Some(Seq(4.0f, 5.0f, 6.0f))),
+      (Some(Seq(-1.5f, 0.25f)), Some(Seq(2.0f, -8.0f))),
+      // unequal lengths: min-length truncation, NOT null-padding
+      (Some(Seq(1.0f, 2.0f, 3.0f, 4.0f)), Some(Seq(10.0f, 20.0f))),
+      (Some(Seq.empty[Float]), Some(Seq(1.0f))),
+      // NULL array → NULL result
+      (None, Some(Seq(1.0f, 2.0f))),
+      (Some(Seq(1.0f)), None),
+      // non-finite values propagate identically
+      (Some(Seq(Float.NaN, 1.0f)), Some(Seq(1.0f, 1.0f))),
+      (Some(Seq(Float.PositiveInfinity, 1.0f)), Some(Seq(2.0f, 1.0f))),
+      (Some(Seq(Float.MaxValue, Float.MaxValue)), Some(Seq(Float.MaxValue, 1.0f))))
+    val df = rows.toDF("a", "b")
+      .select(VectorFunctions.dotProduct(col("a"), col("b")).as("expr"),
+        VectorFunctions.dotProductBuiltin(col("a"), col("b")).as("builtin"))
+    df.collect().foreach { r =>
+      (r.isNullAt(0), r.isNullAt(1)) match {
+        case (true, true) => ()
+        case (false, false) =>
+          assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+            java.lang.Double.doubleToLongBits(r.getDouble(1)),
+            s"expr=${r.getDouble(0)} builtin=${r.getDouble(1)}")
+        case other => fail(s"null-ness diverged: $other")
+      }
+    }
+    // double-element arrays too (no float→double cast in play)
+    val d2 = Seq((Seq(1.0e300, -1.0e300, 3.5), Seq(2.0, 2.0, 2.0)))
+      .toDF("a", "b")
+      .select(VectorFunctions.dotProduct(col("a"), col("b")).as("expr"),
+        VectorFunctions.dotProductBuiltin(col("a"), col("b")).as("builtin"))
+      .first()
+    assert(java.lang.Double.doubleToLongBits(d2.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(d2.getDouble(1)))
+  }
+
+  test("tableSignaturesBuiltin matches LshTableSignatures, including the " +
+    "NaN sign-bit and NULL-vector corners") {
+    val (dim, bits, tables) = (8, 6, 3)
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(d => ((seed * 31 + d * 7) % 13 - 6).toFloat / 3.0f)
+    val rows: Seq[Option[Seq[Float]]] =
+      (1 to 20).map(i => Some(vec(i))) ++ Seq(
+        Some(Seq.fill(dim)(0.0f)), // all-zero: every dot 0.0 ≥ 0 → all bits set
+        Some(vec(99).updated(0, Float.NaN)), // NaN rides into every dot
+        None) // NULL vector → NULL signature array
+    val df = rows.toDF("v")
+      .select(
+        LshPlanes.tableSignatures(col("v"), dim, bits, tables).as("expr"),
+        LshPlanes.tableSignaturesBuiltin(col("v"), dim, bits, tables).as("builtin"))
+    df.collect().foreach { r =>
+      (r.isNullAt(0), r.isNullAt(1)) match {
+        case (true, true) => ()
+        case (false, false) =>
+          assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+            s"expr=${r.getSeq[Long](0)} builtin=${r.getSeq[Long](1)}")
+        case other => fail(s"null-ness diverged: $other")
+      }
+    }
+    // the NaN row is the Java-vs-SQL divergence the fallback guards: with
+    // a NaN in every dot, the expression leaves EVERY bit unset
+    val nanRow = Seq(Some(vec(99).updated(0, Float.NaN))).toDF("v")
+      .select(LshPlanes.tableSignaturesBuiltin(col("v"), dim, bits, tables))
+      .first().getSeq[Long](0)
+    assert(nanRow == Seq.fill(tables)(0L))
+  }
+}
