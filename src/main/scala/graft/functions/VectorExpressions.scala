@@ -344,23 +344,37 @@ object VectorSum {
   * surfaces `UNRESOLVED_ROUTINE: graft_…`, which names the function to
   * install). */
 object GraftRegistry {
-  def tempFunction(spark: org.apache.spark.sql.SparkSession, name: String,
-      builder: Seq[Expression] => Expression): Unit = spark match {
-    case classic: org.apache.spark.sql.classic.SparkSession =>
-      classic.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
-    case _ => () // Connect: see scaladoc — server-side GraftExtensions
-  }
-
-  /** True when client-side JVM expression registration is possible. The
-    * SCALAR wrappers use this to fall back to pure built-in-function
-    * twins on non-classic (Connect) sessions — bit-identical, slower
-    * (HOFs evaluate interpreted), but working out of the box instead of
+  /** True when client-side JVM expression registration is possible — the
+    * ONE definition of "is this a classic session" ([[tempFunction]] and
+    * the scalar wrappers' Connect-fallback dispatch both key on it). The
+    * SCALAR wrappers fall back to pure built-in-function twins on
+    * non-classic (Connect) sessions — bit-identical, slower (HOFs
+    * evaluate interpreted), but working out of the box instead of
     * requiring the server-side [[GraftExtensions]] install. Aggregates
     * ([[TopKByScore]], [[VectorSum]]) and the string expression families
     * have no built-in twin and still need the server install. */
   def canRegisterClientSide(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.isInstanceOf[org.apache.spark.sql.classic.SparkSession]
+
+  def tempFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    if (canRegisterClientSide(spark))
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    // else Connect: see scaladoc — server-side GraftExtensions
+
+  /** Scalar-wrapper dispatch for a NON-classic session: `"fallback"`
+    * (default) returns the built-in twin — works against any server;
+    * `"server"` emits `call_function` so a Connect server WITH
+    * [[GraftExtensions]] installed serves the fast codegen expression
+    * (set `spark.graft.connect.functions=server` on such deployments —
+    * the client cannot probe the server's extension list at plan-build
+    * time, so this is an explicit, documented dial, not a guess). */
+  private[functions] def useServerFunctions(
+      spark: org.apache.spark.sql.SparkSession): Boolean =
+    try spark.conf.get("spark.graft.connect.functions", "fallback") == "server"
+    catch { case _: Throwable => false }
 }
 
 /** Session-extension installer: `SparkSession.builder()
@@ -513,10 +527,14 @@ object LshPlanes {
     * needed; see [[GraftRegistry.canRegisterClientSide]]. */
   def tableSignatures(vec: Column, dim: Int, bits: Int, tables: Int): Column =
     SparkSession.getActiveSession match {
+      // no useServerFunctions escape here: the parameterized name is NOT
+      // among GraftExtensions' stable injections, so a server can never
+      // resolve it — the builtin twin is the only Connect path
       case Some(s) if !GraftRegistry.canRegisterClientSide(s) =>
         tableSignaturesBuiltin(vec, dim, bits, tables)
       case other =>
-        other.foreach(register(_, dim, bits, tables))
+        other.foreach(s =>
+          if (GraftRegistry.canRegisterClientSide(s)) register(s, dim, bits, tables))
         F.call_function(functionName(dim, bits, tables), vec)
     }
 
@@ -530,7 +548,7 @@ object LshPlanes {
     * NaN dot leaves the bit UNSET (Java `>=` semantics — SQL would order
     * NaN above every number), and a NULL vector yields a NULL signature
     * array (not an array of zero signatures). */
-  private[graft] def tableSignaturesBuiltin(vec: Column, dim: Int,
+  def tableSignaturesBuiltin(vec: Column, dim: Int,
       bits: Int, tables: Int): Column = {
     val sigs = (0 until tables).map { t =>
       (0 until bits).map { p =>
@@ -574,10 +592,11 @@ object VectorFunctions {
     * [[GraftExtensions]] install. */
   def dotProduct(a: Column, b: Column): Column =
     SparkSession.getActiveSession match {
-      case Some(s) if !GraftRegistry.canRegisterClientSide(s) =>
+      case Some(s) if !GraftRegistry.canRegisterClientSide(s) &&
+          !GraftRegistry.useServerFunctions(s) =>
         dotProductBuiltin(a, b)
       case other =>
-        other.foreach(register)
+        other.foreach(s => if (GraftRegistry.canRegisterClientSide(s)) register(s))
         F.call_function(FunctionName, a, b)
     }
 
@@ -590,15 +609,19 @@ object VectorFunctions {
     * empty arrays. ~30× slower than the codegen'd expression (HOFs
     * evaluate interpreted) — install [[GraftExtensions]] on the Connect
     * server for the fast path. */
-  private[graft] def dotProductBuiltin(a: Column, b: Column): Column = {
+  def dotProductBuiltin(a: Column, b: Column): Column = {
     val n = F.least(F.size(a), F.size(b))
     // explicit NULL guard: under legacy (non-ANSI) semantics size(NULL)
     // is -1, which slice rejects at runtime — the when() also gives the
-    // expression's exact NULL-in-NULL-out behavior
+    // expression's exact NULL-in-NULL-out behavior. NULL ELEMENTS read
+    // as 0.0 in the expression (primitive getters over zeroed slots), so
+    // each side coalesces to 0.0 — a bare cast would poison the whole
+    // aggregate to NULL on the first null slot.
     F.when(a.isNotNull && b.isNotNull,
       F.aggregate(
         F.zip_with(F.slice(a, F.lit(1), n), F.slice(b, F.lit(1), n),
-          (x, y) => x.cast("double") * y.cast("double")),
+          (x, y) => F.coalesce(x.cast("double"), F.lit(0.0)) *
+            F.coalesce(y.cast("double"), F.lit(0.0))),
         F.lit(0.0), (acc, v) => acc + v))
   }
 

@@ -44,6 +44,23 @@ class ConnectFallbackSpec extends SparkTestBase {
         case other => fail(s"null-ness diverged: $other")
       }
     }
+    // NULL ELEMENTS read as 0.0 in the expression (primitive getters over
+    // zeroed slots) — the builtin must coalesce, not poison the aggregate
+    val withNullElems = Seq(
+      (Seq[java.lang.Float](1.0f, null, 2.0f), Seq[java.lang.Float](4.0f, 5.0f, 6.0f)),
+      (Seq[java.lang.Float](null, null), Seq[java.lang.Float](7.0f, 8.0f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.dotProduct(col("a"), col("b")).as("expr"),
+        VectorFunctions.dotProductBuiltin(col("a"), col("b")).as("builtin"))
+      .collect()
+    withNullElems.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"null-element: expr=${r.getDouble(0)} builtin=${r.getDouble(1)}")
+    }
+    assert(withNullElems(0).getDouble(1) == 16.0) // 1*4 + 0 + 2*6
+
     // double-element arrays too (no float→double cast in play)
     val d2 = Seq((Seq(1.0e300, -1.0e300, 3.5), Seq(2.0, 2.0, 2.0)))
       .toDF("a", "b")
