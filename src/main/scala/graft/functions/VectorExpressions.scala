@@ -371,7 +371,7 @@ object GraftRegistry {
     * (set `spark.graft.connect.functions=server` on such deployments —
     * the client cannot probe the server's extension list at plan-build
     * time, so this is an explicit, documented dial, not a guess). */
-  private[functions] def useServerFunctions(
+  private[graft] def useServerFunctions(
       spark: org.apache.spark.sql.SparkSession): Boolean =
     try spark.conf.get("spark.graft.connect.functions", "fallback") == "server"
     catch { case _: Throwable => false }

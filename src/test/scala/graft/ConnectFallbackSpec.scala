@@ -101,4 +101,23 @@ class ConnectFallbackSpec extends SparkTestBase {
       .first().getSeq[Long](0)
     assert(nanRow == Seq.fill(tables)(0L))
   }
+
+  test("the server-functions dial reads the documented conf name and default") {
+    import graft.functions.GraftRegistry
+    val key = "spark.graft.connect.functions"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.unset(key)
+      assert(!GraftRegistry.useServerFunctions(spark)) // default: fallback
+      spark.conf.set(key, "server")
+      assert(GraftRegistry.useServerFunctions(spark))
+      spark.conf.set(key, "fallback")
+      assert(!GraftRegistry.useServerFunctions(spark))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
