@@ -371,10 +371,25 @@ object GraftRegistry {
     * (set `spark.graft.connect.functions=server` on such deployments —
     * the client cannot probe the server's extension list at plan-build
     * time, so this is an explicit, documented dial, not a guess). */
+  private val serverFunctionsMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
   private[graft] def useServerFunctions(
-      spark: org.apache.spark.sql.SparkSession): Boolean =
-    try spark.conf.get("spark.graft.connect.functions", "fallback") == "server"
-    catch { case _: Throwable => false }
+      spark: org.apache.spark.sql.SparkSession): Boolean = {
+    // memoized per session: on Connect a conf read is a server RPC, and
+    // query-build hot loops construct dozens-to-hundreds of these columns
+    // (one per LSH plane) — the dial is a deployment property, read once
+    val memo = serverFunctionsMemo.get(spark)
+    if (memo != null) memo.booleanValue()
+    else {
+      val v =
+        try spark.conf.get("spark.graft.connect.functions", "fallback") == "server"
+        catch { case scala.util.control.NonFatal(_) => false }
+      serverFunctionsMemo.put(spark, java.lang.Boolean.valueOf(v))
+      v
+    }
+  }
 }
 
 /** Session-extension installer: `SparkSession.builder()
@@ -550,6 +565,11 @@ object LshPlanes {
     * array (not an array of zero signatures). */
   def tableSignaturesBuiltin(vec: Column, dim: Int,
       bits: Int, tables: Int): Column = {
+    // the expression's own parameter contract — without it bits=64 would
+    // silently wrap the shift and bits=0 would throw an opaque
+    // empty-reduce instead of the named require
+    require(dim >= 1 && bits >= 1 && bits <= 63 && tables >= 1,
+      "dim/bits/tables must be positive (bits ≤ 63)")
     val sigs = (0 until tables).map { t =>
       (0 until bits).map { p =>
         val plane = F.array(vector(t * bits + p, dim).map(F.lit): _*)
@@ -608,7 +628,15 @@ object VectorFunctions {
     * the same element-to-double casts, NULL for a NULL array, 0.0 for
     * empty arrays. ~30× slower than the codegen'd expression (HOFs
     * evaluate interpreted) — install [[GraftExtensions]] on the Connect
-    * server for the fast path. */
+    * server for the fast path.
+    *
+    * One contract difference a plain-column twin cannot close: the
+    * EXPRESSION rejects non-numeric array inputs at analysis time
+    * (checkInputDataTypes); the builtin has no schema to check at build
+    * time, so a non-numeric array is instead rejected by the runtime
+    * ANSI cast (the Spark 4 default) — and under legacy mode would
+    * silently coalesce to 0.0. Pass numeric arrays, as the expression's
+    * contract already requires. */
   def dotProductBuiltin(a: Column, b: Column): Column = {
     val n = F.least(F.size(a), F.size(b))
     // explicit NULL guard: under legacy (non-ANSI) semantics size(NULL)

@@ -107,15 +107,25 @@ object Retention {
     *   - rows not yet vacuumed become LIVE again (the tombstone was the
     *     only thing hiding them);
     *   - rows already vacuumed are gone — reinstating just lifts the
-    *     id-keyed block so a fresh append is visible.
-    * Crash-ordered like [[clearCoveredTombstones]]: the surviving
-    * tombstones are re-appended FIRST, the entry snapshot's files deleted
-    * LAST — a crash leaves duplicate tombstones (distinct'd on read),
-    * never a lost erasure. Ids deleted CONCURRENTLY land in files outside
-    * the snapshot and stay deleted; a concurrent delete of an id being
-    * reinstated resolves to deleted (its tombstone file is not in this
-    * snapshot). Returns the number of ids removed from the snapshot's
-    * tombstone set. */
+    *     id-keyed block so a fresh append is visible;
+    *   - index postings already reclaimed by [[vacuumPostings]] are NOT
+    *     restored: the corpus row is live again (and the exact-verify
+    *     reads see it), but it no longer surfaces as an index CANDIDATE —
+    *     if the postings were reclaimed, re-append the content through
+    *     the ingest loop (which re-indexes on append) or rebuild the
+    *     index. Reinstate alone fully restores a document only while its
+    *     postings still exist (orphan postings are kept precisely so the
+    *     usual erasure flow — tombstone now, reclaim at maintenance —
+    *     stays reversible until the maintenance pass runs).
+    * Crash-ordered via [[replaceTombstoneSnapshot]] (the
+    * [[clearCoveredTombstones]] discipline): the surviving tombstones are
+    * re-appended FIRST, the entry snapshot's files deleted LAST — a crash
+    * leaves duplicate tombstones (distinct'd on read), never a lost
+    * erasure. Ids deleted CONCURRENTLY land in files outside the snapshot
+    * and stay deleted; a concurrent delete of an id being reinstated
+    * resolves to deleted (its tombstone file is not in this snapshot).
+    * Returns the number of ids removed from the snapshot's tombstone
+    * set. */
   def reinstate(ids: DataFrame, corpusPath: String, idCol: String): Long = {
     val spark = ids.sparkSession
     require(BucketedCorpus.ready(spark, corpusPath),
@@ -129,18 +139,34 @@ object Retention {
       val lift = ids.select(col(idCol).as("__graft_lift_id")).distinct()
       val remainder = ts.join(broadcast(lift),
         col(idCol) === col("__graft_lift_id"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val lifted = ts.count() - remainder.count()
-        if (lifted == 0) return 0L
-        if (remainder.count() > 0)
-          appendTombstones(remainder, corpusPath, idCol)
-        val fs = new Path(corpusPath).getFileSystem(
-          spark.sessionState.newHadoopConf())
-        snapshot.foreach(f => fs.delete(new Path(f), false))
-        lifted
-      } finally { remainder.unpersist(); () }
+      val total = ts.count()
+      val lifted = replaceTombstoneSnapshot(spark, corpusPath, snapshot,
+        remainder, idCol, total)
+      lifted
     } finally { ts.unpersist(); () }
+  }
+
+  /** The snapshot-replacement tail shared by [[reinstate]] and
+    * [[clearCoveredTombstones]] — ONE copy of the crash ordering: persist
+    * and count the remainder, re-append it FIRST (a crash leaves
+    * duplicate tombstones, distinct'd on read), delete exactly the
+    * snapshot's files LAST. Returns how many ids the snapshot lost.
+    * No-op (returns 0) when the remainder equals the snapshot. */
+  private def replaceTombstoneSnapshot(spark: SparkSession,
+      corpusPath: String, snapshotFiles: Seq[String],
+      remainder: DataFrame, idCol: String, snapshotCount: Long): Long = {
+    val rem = remainder
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val kept = rem.count()
+      val removed = snapshotCount - kept
+      if (removed == 0) return 0L
+      if (kept > 0) appendTombstones(rem, corpusPath, idCol)
+      val fs = new Path(corpusPath).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      snapshotFiles.foreach(f => fs.delete(new Path(f), false))
+      removed
+    } finally { rem.unpersist(); () }
   }
 
   /** Logically delete every LIVE corpus row matching `predicate` (one

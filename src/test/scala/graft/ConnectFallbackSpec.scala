@@ -102,22 +102,23 @@ class ConnectFallbackSpec extends SparkTestBase {
     assert(nanRow == Seq.fill(tables)(0L))
   }
 
-  test("the server-functions dial reads the documented conf name and default") {
+  test("the server-functions dial reads the documented conf name and default, " +
+    "once per session (it is a deployment property, not a per-query toggle)") {
     import graft.functions.GraftRegistry
     val key = "spark.graft.connect.functions"
-    val prev = spark.conf.getOption(key)
-    try {
-      spark.conf.unset(key)
-      assert(!GraftRegistry.useServerFunctions(spark)) // default: fallback
-      spark.conf.set(key, "server")
-      assert(GraftRegistry.useServerFunctions(spark))
-      spark.conf.set(key, "fallback")
-      assert(!GraftRegistry.useServerFunctions(spark))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
+    // memoized per session — on Connect a conf read is a server RPC and
+    // query-build hot loops construct one column per LSH plane — so each
+    // assertion uses a FRESH session whose first read is the one that counts
+    val s1 = spark.newSession()
+    assert(!GraftRegistry.useServerFunctions(s1)) // default: fallback
+    val s2 = spark.newSession()
+    s2.conf.set(key, "server")
+    assert(GraftRegistry.useServerFunctions(s2))
+    val s3 = spark.newSession()
+    s3.conf.set(key, "fallback")
+    assert(!GraftRegistry.useServerFunctions(s3))
+    // and the memo sticks: flipping the conf later does not re-read
+    s2.conf.set(key, "fallback")
+    assert(GraftRegistry.useServerFunctions(s2))
   }
 }
