@@ -35,17 +35,29 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     }
   }
 
+  // NULL ELEMENTS contribute 0.0 — and that must be EXPLICIT: a columnar
+  // scan (vectorized parquet reader) leaves the value slot of a null
+  // element UNDEFINED, so reading the primitive getter without an
+  // isNullAt check returns indeterminate garbage (caught live by
+  // ConnectIntegrationSpec — two runs of the same query over the same
+  // file disagreed on a null-element row). The check is only emitted
+  // when the schema says elements can be null.
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     val lt = elemType(left)
     val rt = elemType(right)
+    val lNullable = elemNullable(left)
+    val rNullable = elemNullable(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = extract(x, i, lt)
-      val yv = extract(y, i, rt)
+      val xv = if (lNullable && x.isNullAt(i)) 0.0 else extract(x, i, lt)
+      val yv = if (rNullable && y.isNullAt(i)) 0.0 else extract(y, i, rt)
       acc += xv * yv
       i += 1
     }
@@ -78,11 +90,15 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      def get(arr: String, nullable: Boolean, dt: DataType): String =
+        if (nullable) s"($arr.isNullAt($i) ? 0.0 : ${genGet(arr, i, dt)})"
+        else genGet(arr, i, dt)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${genGet(a, i, elemType(left))} * ${genGet(b, i, elemType(right))};
+         |  $acc += ${get(a, elemNullable(left), elemType(left))} *
+         |    ${get(b, elemNullable(right), elemType(right))};
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -475,13 +491,24 @@ case class LshTableSignatures(child: Expression, dim: Int, bits: Int, tables: In
       case other => throw new IllegalStateException(s"unsupported element type $other")
     }
 
+  private lazy val elemNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   /** Called from generated code. */
   def compute(arr: ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
-    // read each vector element once, not tables × bits times
+    // read each vector element once, not tables × bits times. NULL
+    // elements read as 0.0 EXPLICITLY: a columnar scan leaves the value
+    // slot of a null element undefined, so the bare getter returns
+    // indeterminate garbage there (ConnectIntegrationSpec caught two runs
+    // of the same query disagreeing on a null-element row); the isNullAt
+    // branch is skipped when the schema forbids null elements.
     val n = math.min(arr.numElements(), dim)
     val v = new Array[Double](n)
     var i = 0
-    while (i < n) { v(i) = getElem(arr, i); i += 1 }
+    if (elemNullable)
+      while (i < n) { v(i) = if (arr.isNullAt(i)) 0.0 else getElem(arr, i); i += 1 }
+    else
+      while (i < n) { v(i) = getElem(arr, i); i += 1 }
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -641,8 +668,8 @@ object VectorFunctions {
     val n = F.least(F.size(a), F.size(b))
     // explicit NULL guard: under legacy (non-ANSI) semantics size(NULL)
     // is -1, which slice rejects at runtime — the when() also gives the
-    // expression's exact NULL-in-NULL-out behavior. NULL ELEMENTS read
-    // as 0.0 in the expression (primitive getters over zeroed slots), so
+    // expression's exact NULL-in-NULL-out behavior. NULL ELEMENTS are
+    // DEFINED as 0.0 by the expression (explicit isNullAt guard), so
     // each side coalesces to 0.0 — a bare cast would poison the whole
     // aggregate to NULL on the first null slot.
     F.when(a.isNotNull && b.isNotNull,

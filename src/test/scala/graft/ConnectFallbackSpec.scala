@@ -44,8 +44,10 @@ class ConnectFallbackSpec extends SparkTestBase {
         case other => fail(s"null-ness diverged: $other")
       }
     }
-    // NULL ELEMENTS read as 0.0 in the expression (primitive getters over
-    // zeroed slots) — the builtin must coalesce, not poison the aggregate
+    // NULL ELEMENTS are defined as 0.0 by the expression (explicit
+    // isNullAt guard — a columnar scan leaves null slots undefined, so
+    // the guard is load-bearing, see ConnectIntegrationSpec) — the
+    // builtin must coalesce, not poison the aggregate
     val withNullElems = Seq(
       (Seq[java.lang.Float](1.0f, null, 2.0f), Seq[java.lang.Float](4.0f, 5.0f, 6.0f)),
       (Seq[java.lang.Float](null, null), Seq[java.lang.Float](7.0f, 8.0f)))
@@ -100,6 +102,42 @@ class ConnectFallbackSpec extends SparkTestBase {
       .select(LshPlanes.tableSignaturesBuiltin(col("v"), dim, bits, tables))
       .first().getSeq[Long](0)
     assert(nanRow == Seq.fill(tables)(0L))
+  }
+
+  test("null elements through a PARQUET roundtrip: expression equals builtin " +
+    "(the vectorized reader leaves null slots undefined — regression for the " +
+    "indeterminate-read bug ConnectIntegrationSpec caught)") {
+    // enough rows that the scan really takes the columnar path, with null
+    // elements scattered so their value slots sit next to real data
+    val rows: Seq[(Long, Seq[java.lang.Float], Seq[java.lang.Float])] =
+      (1L to 64L).map { i =>
+        def v(seed: Long): Seq[java.lang.Float] = (0 until 8).map { d =>
+          if ((seed + d) % 5 == 0) null
+          else java.lang.Float.valueOf(((seed * 31 + d * 7) % 13 - 6).toFloat / 3.0f)
+        }
+        (i, v(i), v(i + 99))
+      }
+    val dir = new java.io.File("target/connect-fb-nullelem").getAbsolutePath
+    rows.toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val dots = back.select(col("id"),
+        VectorFunctions.dotProduct(col("a"), col("b")).as("expr"),
+        VectorFunctions.dotProductBuiltin(col("a"), col("b")).as("builtin"))
+      .collect()
+    assert(dots.length == 64)
+    dots.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"id=${r.getLong(0)}: expr=${r.getDouble(1)} builtin=${r.getDouble(2)}")
+    }
+    val sigs = back.select(col("id"),
+        LshPlanes.tableSignatures(col("a"), 8, 6, 3).as("expr"),
+        LshPlanes.tableSignaturesBuiltin(col("a"), 8, 6, 3).as("builtin"))
+      .collect()
+    sigs.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"id=${r.getLong(0)}: expr=${r.getSeq[Long](1)} builtin=${r.getSeq[Long](2)}")
+    }
   }
 
   test("the server-functions dial reads the documented conf name and default, " +

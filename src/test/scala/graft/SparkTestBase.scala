@@ -14,6 +14,12 @@ object SparkTestBase {
     // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir", "target/spark-warehouse")
+    // The documented cluster-wide install (README divergence 4): every
+    // session in this JVM — including the per-client sessions the
+    // in-process Spark Connect server creates for ConnectIntegrationSpec —
+    // resolves the stable-name graft functions. Static conf, so it must
+    // live here rather than in the one suite that needs it.
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 }
 
