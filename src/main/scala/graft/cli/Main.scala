@@ -46,6 +46,9 @@ object Main {
       |  --output PATH              write the report to a file
       |  --quiet                    suppress stdout report
       |  --spark-app-name NAME      Spark application name
+      |  --remote URL               run against a Spark Connect endpoint
+      |                             (sc://host:port) instead of a local
+      |                             session; paths resolve on the SERVER
       |  --backend NAME             engine selector (script compatibility;
       |                             only 'spark' is accepted)
       |  --no-cache-intermediates   skip caching the merged join
@@ -84,6 +87,7 @@ object Main {
       output: Option[String] = None,
       quiet: Boolean = false,
       sparkAppName: String = "datacompy",
+      remote: Option[String] = None,
       cacheIntermediates: Boolean = true,
       assumeKeysUnique: Boolean = false,
       assumeKeysNullFree: Boolean = false)
@@ -177,6 +181,7 @@ object Main {
         case "--output" => a = a.copy(output = Some(value("--output")))
         case "--quiet" => a = a.copy(quiet = true)
         case "--spark-app-name" => a = a.copy(sparkAppName = value("--spark-app-name"))
+        case "--remote" => a = a.copy(remote = Some(value("--remote")))
         // reference parser.py:268-510 selects among pandas/polars/spark/
         // snowflake engines; this library IS the spark engine, so the flag
         // exists for script compatibility and validates rather than switches
@@ -242,20 +247,51 @@ object Main {
     }
   }
 
+  /** Session for one CLI run. `--remote` (or SPARK_GRAFT_REMOTE) attaches
+    * to a Spark Connect endpoint — the compare engine is pure DataFrame
+    * API (no client-side expression registration), so the whole CLI works
+    * unchanged against a remote cluster; input paths then resolve on the
+    * SERVER's filesystem. A remote session is always created fresh and
+    * closed by this run. The Connect client classes ship with Spark
+    * distributions (jars/connect-repl) — a missing client surfaces as a
+    * named error, not a stack trace. */
+  private def openSession(a: Args): (SparkSession, Boolean) =
+    a.remote.orElse(sys.env.get("SPARK_GRAFT_REMOTE")) match {
+      case Some(url) =>
+        val s =
+          try org.apache.spark.sql.connect.SparkSession.builder()
+            .remote(url).create()
+          catch {
+            case _: NoClassDefFoundError =>
+              throw new BadArgsException(
+                "--remote needs the Spark Connect client on the classpath " +
+                  "(spark-connect-client-jvm, shipped in the Spark " +
+                  "distribution's jars/connect-repl directory)")
+          }
+        sys.env.get("SPARK_GRAFT_CPUS").foreach(n =>
+          s.conf.set("spark.sql.shuffle.partitions", n))
+        (s, true)
+      case None =>
+        val existing = SparkSession.getActiveSession
+        val s = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_GRAFT_MASTER",
+            s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]"))
+          .appName(a.sparkAppName)
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .getOrCreate()
+        (s, existing.isEmpty)
+    }
+
   def run(argv: Seq[String]): Int = {
     val a = parse(argv)
-    val existing = SparkSession.getActiveSession
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER",
-        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]"))
-      .appName(a.sparkAppName)
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .getOrCreate()
-    val createdHere = existing.isEmpty
+    val (spark, createdHere) = openSession(a)
     try {
-      spark.sparkContext.setLogLevel(
-        sys.env.getOrElse("DATACOMPY_SPARK_LOG_LEVEL", "ERROR"))
+      // log level is a driver-JVM concern; a Connect client has no
+      // SparkContext (the server owns logging)
+      if (spark.isInstanceOf[org.apache.spark.sql.classic.SparkSession])
+        spark.sparkContext.setLogLevel(
+          sys.env.getOrElse("DATACOMPY_SPARK_LOG_LEVEL", "ERROR"))
       val fmt1 = Readers.inferFormat(a.left, a.inputFormat)
       val fmt2 = Readers.inferFormat(a.right, a.inputFormat)
       val df1 = Readers.load(spark, a.left, fmt1, a.csvDelimiter)

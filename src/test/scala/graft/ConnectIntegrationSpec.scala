@@ -232,6 +232,36 @@ class ConnectIntegrationSpec extends SparkTestBase with BeforeAndAfterAll {
     }
   }
 
+  test("the CLI runs a full compare against a Connect endpoint via --remote: " +
+    "same report and exit code as the local session") {
+    import spark.implicits._
+    val dir = new java.io.File("target/connect-it-cli").getAbsoluteFile
+    val left = new java.io.File(dir, "left.parquet").getAbsolutePath
+    val right = new java.io.File(dir, "right.parquet").getAbsolutePath
+    Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+      .toDF("id", "name", "amount").coalesce(1)
+      .write.mode("overwrite").parquet(left)
+    Seq((1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0))
+      .toDF("id", "name", "amount").coalesce(1)
+      .write.mode("overwrite").parquet(right)
+    def cli(extra: String*): (Int, String) = {
+      val out = new java.io.File(dir,
+        s"report-${extra.hashCode.toHexString}.txt").getAbsolutePath
+      val code = graft.cli.Main.run(Seq(
+        "--left", left, "--right", right, "--on", "id",
+        "--quiet", "--output", out) ++ extra)
+      (code, java.nio.file.Files.readString(java.nio.file.Paths.get(out)))
+    }
+    val (localCode, localReport) = cli()
+    val (remoteCode, remoteReport) = cli("--remote", s"sc://localhost:$port")
+    assert(remoteCode == localCode && localCode == 1) // mismatches present
+    assert(remoteReport == localReport)
+    assert(remoteReport.contains("DataComPy Comparison"))
+    // and the local session the suite shares is still alive (the CLI must
+    // only close the session IT created)
+    assert(!spark.sparkContext.isStopped)
+  }
+
   test("an uninstalled function name surfaces UNRESOLVED_ROUTINE naming the " +
     "function (the documented no-fallback failure mode)") {
     val name = LshPlanes.functionName(9, 9, 9) // parameterized: never injected
