@@ -45,7 +45,8 @@ object Main {
       |  --report-format FMT        text|json|html (default text)
       |  --output PATH              write the report to a file
       |  --quiet                    suppress stdout report
-      |  --spark-app-name NAME      Spark application name
+      |  --spark-app-name NAME      Spark application name (local sessions
+      |                             only; a Connect server names its own)
       |  --remote URL               run against a Spark Connect endpoint
       |                             (sc://host:port) instead of a local
       |                             session; paths resolve on the SERVER
@@ -256,7 +257,7 @@ object Main {
     * distributions (jars/connect-repl) — a missing client surfaces as a
     * named error, not a stack trace. */
   private def openSession(a: Args): (SparkSession, Boolean) =
-    a.remote.orElse(sys.env.get("SPARK_GRAFT_REMOTE")) match {
+    a.remote.orElse(sys.env.get("SPARK_GRAFT_REMOTE").filter(_.nonEmpty)) match {
       case Some(url) =>
         val s =
           try org.apache.spark.sql.connect.SparkSession.builder()
@@ -268,11 +269,20 @@ object Main {
                   "(spark-connect-client-jvm, shipped in the Spark " +
                   "distribution's jars/connect-repl directory)")
           }
-        sys.env.get("SPARK_GRAFT_CPUS").foreach(n =>
+        // the first server round-trip happens HERE (create() is lazy) —
+        // close the session we own if it fails, callers embedding run()
+        // as a library must not leak a gRPC channel per bad endpoint
+        try sys.env.get("SPARK_GRAFT_CPUS").foreach(n =>
           s.conf.set("spark.sql.shuffle.partitions", n))
+        catch { case e: Throwable => s.stop(); throw e }
         (s, true)
       case None =>
+        // ownership check covers the DEFAULT session too: getOrCreate
+        // falls back to it when no thread-local active session exists,
+        // and stopping a host application's session from a library call
+        // is exactly the bug that fallback would cause
         val existing = SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession)
         val s = SparkSession.builder()
           .master(sys.env.getOrElse("SPARK_GRAFT_MASTER",
             s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]"))
@@ -288,8 +298,9 @@ object Main {
     val (spark, createdHere) = openSession(a)
     try {
       // log level is a driver-JVM concern; a Connect client has no
-      // SparkContext (the server owns logging)
-      if (spark.isInstanceOf[org.apache.spark.sql.classic.SparkSession])
+      // SparkContext (the server owns logging). Session-kind test goes
+      // through the registry's ONE definition of "classic".
+      if (graft.functions.GraftRegistry.canRegisterClientSide(spark))
         spark.sparkContext.setLogLevel(
           sys.env.getOrElse("DATACOMPY_SPARK_LOG_LEVEL", "ERROR"))
       val fmt1 = Readers.inferFormat(a.left, a.inputFormat)

@@ -25,6 +25,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  // hoisted once per expression instance — nullSafeEval runs per row
+  private lazy val leftElemType: DataType = elemType(left)
+  private lazy val rightElemType: DataType = elemType(right)
+  private lazy val leftElemNullable: Boolean = elemNullable(left)
+  private lazy val rightElemNullable: Boolean = elemNullable(right)
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
       case (ArrayType(l: NumericType, _), ArrayType(r: NumericType, _)) =>
@@ -49,15 +55,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val lt = elemType(left)
-    val rt = elemType(right)
-    val lNullable = elemNullable(left)
-    val rNullable = elemNullable(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lNullable && x.isNullAt(i)) 0.0 else extract(x, i, lt)
-      val yv = if (rNullable && y.isNullAt(i)) 0.0 else extract(y, i, rt)
+      val xv = if (leftElemNullable && x.isNullAt(i)) 0.0
+        else extract(x, i, leftElemType)
+      val yv = if (rightElemNullable && y.isNullAt(i)) 0.0
+        else extract(y, i, rightElemType)
       acc += xv * yv
       i += 1
     }
@@ -82,6 +86,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     case LongType => s"(double) $arr.getLong($i)"
     case ShortType => s"(double) $arr.getShort($i)"
     case ByteType => s"(double) $arr.getByte($i)"
+    // checkInputDataTypes admits any NumericType, so codegen must cover
+    // decimal too — a missing case here crashes CODE GENERATION for a
+    // query the analyzer accepted (and nullSafeEval handles)
+    case d: DecimalType =>
+      s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
     case other => throw new IllegalStateException(s"unsupported element type $other")
   }
 

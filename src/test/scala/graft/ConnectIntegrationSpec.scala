@@ -53,12 +53,22 @@ class ConnectIntegrationSpec extends SparkTestBase with BeforeAndAfterAll {
     org.apache.spark.SparkEnv.get.conf.set("spark.connect.grpc.binding.port", "0")
     val svc = org.apache.spark.sql.connect.service.SparkConnectService
     svc.start(spark.sparkContext)
-    val grpcServer = svc.getClass.getMethod("server").invoke(svc)
-    port = grpcServer.getClass.getMethod("getPort")
-      .invoke(grpcServer).asInstanceOf[java.lang.Integer].intValue()
-    client = connectClient()
-    serverDialClient = connectClient()
-    serverDialClient.conf.set("spark.graft.connect.functions", "server")
+    // a failure past this point aborts the suite WITHOUT running afterAll
+    // (BeforeAndAfterAll semantics) — tear the server/clients down here so
+    // the rest of the JVM-wide run doesn't inherit a leaked gRPC server
+    try {
+      val grpcServer = svc.getClass.getMethod("server").invoke(svc)
+      port = grpcServer.getClass.getMethod("getPort")
+        .invoke(grpcServer).asInstanceOf[java.lang.Integer].intValue()
+      client = connectClient()
+      serverDialClient = connectClient()
+      serverDialClient.conf.set("spark.graft.connect.functions", "server")
+    } catch {
+      case e: Throwable =>
+        try afterAll() catch { case suppressed: Throwable =>
+          e.addSuppressed(suppressed) }
+        throw e
+    }
   }
 
   override def afterAll(): Unit = {
