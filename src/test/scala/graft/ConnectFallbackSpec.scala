@@ -140,6 +140,34 @@ class ConnectFallbackSpec extends SparkTestBase {
     }
   }
 
+  test("decimal-element arrays work through BOTH evaluation paths (the " +
+    "analyzer admits any numeric element type, so codegen must too)") {
+    val df = spark.sql(
+      """SELECT array(CAST(1.25 AS DECIMAL(10,2)), CAST(-2.50 AS DECIMAL(10,2))) AS a,
+        |       array(CAST(4.00 AS DECIMAL(10,2)), CAST(0.50 AS DECIMAL(10,2))) AS b""".stripMargin)
+    val expect = 1.25 * 4.00 + (-2.50) * 0.50
+    // whole-stage codegen path (default)
+    val viaCodegen = df
+      .select(VectorFunctions.dotProduct(col("a"), col("b")).as("d"))
+      .first().getDouble(0)
+    assert(viaCodegen == expect)
+    // interpreted path (codegen off) must agree — restore BOTH confs to
+    // their prior values (the session is shared across suites)
+    val prevWs = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = df
+        .select(VectorFunctions.dotProduct(col("a"), col("b")).as("d"))
+        .first().getDouble(0)
+      assert(interpreted == expect)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFm)
+    }
+  }
+
   test("the server-functions dial reads the documented conf name and default, " +
     "once per session (it is a deployment property, not a per-query toggle)") {
     import graft.functions.GraftRegistry
