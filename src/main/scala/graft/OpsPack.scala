@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, Ivf, Multimodal, Sampling, TextOps}
+import graft.operators.{Ann, Dedup, Ivf, Multimodal, Sampling, TextOps, TrainOrder}
 
 /** Driver queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal), with DuckDB oracles where
@@ -1481,6 +1481,28 @@ object OpsPack {
       mixtureWeight, MixtureBudgetChars)
       .select(col("doc_id"), col("source"), col("epoch"))
       .orderBy("doc_id", "epoch")
+  }
+
+  /** Deterministic training order ([[graft.operators.TrainOrder]]): the
+    * epoch-seeded pseudorandom permutation of the corpus as (shard, pos)
+    * coordinates — one hash shuffle + per-shard local sort, no global
+    * ordering. Portable md5 family so the oracle mirrors bit-for-bit. */
+  def trainOrderQuery(s: SparkSession, dir: String): DataFrame =
+    TrainOrder.order(docs(s, dir).select(col("doc_id")), "doc_id",
+      seed = 7L, shards = 8, portable = true)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
+  /** Weighted interleave of two corpus halves into one deterministic
+    * training stream (mixture weights 2:1 — the heavy source packs twice
+    * as densely along every shard's prefix). */
+  def trainInterleaveQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TrainOrder.interleave(Seq(
+        ("even", d.where(col("doc_id") % 2 === 0), 2.0),
+        ("odd", d.where(col("doc_id") % 2 =!= 0), 1.0)),
+      "doc_id", seed = 3L, shards = 4, portable = true)
+      .orderBy("shard", "pos")
   }
 
   /** Leave-one-out bigram familiarity scores — the LM-shaped quality
@@ -4015,6 +4037,8 @@ object OpsPack {
     "q_sample_stratified" -> (stratifiedCounts _),
     "q_mixture_plan" -> (mixturePlanQuery _),
     "q_mixture_sample" -> (mixtureSampleQuery _),
+    "q_train_order" -> (trainOrderQuery _),
+    "q_train_interleave" -> (trainInterleaveQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_quality_adaptive" -> (qualityAdaptive _),
     "q_quality_bootstrap" -> (qualityBootstrap _),
@@ -5713,6 +5737,32 @@ object OpsPack {
        |SELECT grp AS source, n_docs, available, weight, desired_size, epochs,
        |  CASE WHEN epochs = 0 THEN 0.0 ELSE rate / CAST(epochs AS DOUBLE) END AS per_epoch_rate
        |FROM p ORDER BY source""".stripMargin
+
+  /** The portable epoch hash in DuckDB: 48-bit md5 prefix of
+    * "<seed>:<id>" — the exact mirror of TrainOrder's md5 family. */
+  private def epochHashSql(seed: Long, idExpr: String): String =
+    s"('0x' || substr(md5('$seed:' || CAST($idExpr AS VARCHAR)), 1, 12))::BIGINT"
+
+  private val trainOrderSql: String =
+    s"""WITH h AS (SELECT doc_id, ${epochHashSql(7, "doc_id")} AS hv FROM documents)
+       |SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
+       |FROM h ORDER BY shard, pos""".stripMargin
+
+  private val trainInterleaveSql: String =
+    s"""WITH h AS (
+       |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS source,
+       |    CASE WHEN doc_id % 2 = 0 THEN 2.0 ELSE 1.0 END AS w,
+       |    doc_id, ${epochHashSql(3, "doc_id")} AS hv
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id, CAST(hv % 4 AS BIGINT) AS shard,
+       |    row_number() OVER (PARTITION BY source, hv % 4 ORDER BY hv, doc_id) AS spos, w
+       |  FROM h)
+       |SELECT source, doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY spos / w, source, doc_id) AS BIGINT) AS pos
+       |FROM ranked ORDER BY shard, pos""".stripMargin
 
   private val mixtureSampleSql: String =
     s"""WITH $mixturePlanCtes,
@@ -7624,6 +7674,8 @@ object OpsPack {
     "q_sample_stratified" -> stratifiedSql,
     "q_mixture_plan" -> mixturePlanSql,
     "q_mixture_sample" -> mixtureSampleSql,
+    "q_train_order" -> trainOrderSql,
+    "q_train_interleave" -> trainInterleaveSql,
     "q_docs_topk_quality" -> topkQualitySql,
     "q_quality_adaptive" -> qualityAdaptiveSql,
     "q_quality_bootstrap" -> qualityBootstrapSql,

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic training order: a pseudorandom permutation of a corpus
+  * WITHOUT a global sort — the step between "curated corpus" and "training
+  * shards" in a large-scale pipeline (training wants each epoch to stream
+  * the data in a fresh, reproducible random order; a literal
+  * `ORDER BY rand()` of 100 TB is a global sort with a nondeterministic
+  * key, wrong on both axes).
+  *
+  * Construction: hash each id with the epoch seed, route the row to
+  * `shard = hash mod shards`, rank it within the shard by `(hash, id)`.
+  * Reading shards `0..shards-1` each in `pos` order IS the permutation:
+  *
+  *   - **Deterministic**: the order is a pure function of (ids, seed,
+  *     shards) — independent of input partitioning, cluster size, or row
+  *     arrival order (the `id` tiebreak covers hash collisions). Any two
+  *     runs — or a re-run after a crash — produce the identical epoch.
+  *   - **Epochs**: vary `seed` (e.g. epoch number); each epoch is an
+  *     independent permutation with no coordination or state.
+  *   - **Scale shape**: ONE hash shuffle on `shard`, then a PER-SHARD
+  *     local sort — no global ordering anywhere. Size `shards` so a
+  *     shard's rows fit an executor's sort buffer (100 TB / 100k shards
+  *     = ~1 GB sorts); the window partitions by shard, so parallelism is
+  *     `shards`, not 1 (a `row_number()` over the whole frame would
+  *     collapse to a single task — the anti-pattern this operator
+  *     replaces).
+  *
+  * Hash families, following the repo's dedup convention: the PORTABLE
+  * family uses the md5 48-bit prefix ([[Dedup.md5Prefix48]] — mirrorable
+  * in any engine with md5 + hex parsing, which is what makes the driver
+  * query oracle-checkable); production deployments flip `portable = false`
+  * for `xxhash64` (faster, same properties, no engine mirror). Family
+  * agreement on the permutation PROPERTIES (not values — the hashes
+  * differ by design) is pinned in TrainOrderSpec. */
+object TrainOrder {
+
+  /** The epoch hash of an id: non-negative, deterministic in (seed, id). */
+  private def epochHash(id: Column, seed: Long, portable: Boolean): Column =
+    if (portable)
+      Dedup.md5Prefix48(md5(concat(lit(seed.toString), lit(":"),
+        id.cast("string")).cast("binary")))
+    else
+      // xxhash64 is signed; clear the sign bit so `pmod` and the oracle's
+      // non-negative arithmetic agree with the md5 family's 48-bit range
+      shiftright(xxhash64(lit(seed), id), 1)
+
+  /** Assign every row a `(shard, pos)` training coordinate: `shard` in
+    * `[0, shards)`, `pos` counting from 1 within the shard in hash order.
+    * All input columns ride along. One shuffle (on shard), per-shard sort. */
+  def order(df: DataFrame, idCol: String, seed: Long, shards: Int,
+      portable: Boolean = false): DataFrame = {
+    require(shards >= 1, s"shards must be positive, got $shards")
+    val h = epochHash(col(idCol), seed, portable)
+    val w = Window.partitionBy(col("__graft_shard"))
+      .orderBy(col("__graft_h"), col(idCol))
+    df.withColumn("__graft_h", h)
+      .withColumn("__graft_shard", pmod(col("__graft_h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumnRenamed("__graft_shard", "shard")
+      .drop("__graft_h")
+  }
+
+  /** Interleave several sources into one deterministic training order with
+    * MIXTURE WEIGHTS: source k with weight w_k occupies ~w_k of every
+    * prefix of the stream (temperature-style mixing — weights need not
+    * sum to 1; only ratios matter). Each source is hashed independently
+    * (its own id space), positions are STRETCHED by 1/w_k (a source
+    * twice as heavy packs its rows twice as densely on the shared axis),
+    * and the merged (shard, mix_pos) order is again a pure function of
+    * (ids, seed, shards, weights). The per-source `pos` window and the
+    * final interleave both stay per-shard — same scale shape as [[order]].
+    * Output: source tag + id + (shard, pos) with `pos` re-ranked over the
+    * interleaved stream. */
+  def interleave(sources: Seq[(String, DataFrame, Double)], idCol: String,
+      seed: Long, shards: Int, portable: Boolean = false): DataFrame = {
+    require(sources.nonEmpty, "interleave needs at least one source")
+    require(sources.forall(_._3 > 0), "mixture weights must be positive")
+    val tagged = sources.map { case (tag, df, weight) =>
+      order(df.select(col(idCol)), idCol, seed, shards, portable)
+        .select(lit(tag).as("source"), col(idCol), col("shard"),
+          // stretch: rank r of a weight-w source lands at r/w on the
+          // shared axis; ties across sources break by (axis, source, id)
+          (col("pos").cast("double") / lit(weight)).as("__graft_axis"),
+          col("pos").as("__graft_src_pos"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__graft_axis"), col("source"), col(idCol))
+    tagged
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__graft_axis", "__graft_src_pos")
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TrainOrder
+
+/** Properties of the deterministic training order: it is a PERMUTATION
+  * (bijective coordinates), a pure function of (ids, seed, shards) —
+  * independent of partitioning and input order — epoch seeds decorrelate,
+  * both hash families satisfy the same contract, and the plan keeps the
+  * one-shuffle-then-local-sort shape (parallelism = shards, never 1). */
+class TrainOrderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ids(n: Int) = (1L to n.toLong).toDF("id")
+
+  test("order is a permutation: every shard's positions are exactly 1..count, " +
+    "and every id appears once") {
+    for (portable <- Seq(true, false)) {
+      val out = TrainOrder.order(ids(500), "id", seed = 7L, shards = 8,
+        portable = portable).cache()
+      try {
+        assert(out.count() == 500)
+        assert(out.select("id").distinct().count() == 500)
+        val byShard = out.groupBy("shard")
+          .agg(count("*").as("n"), min("pos").as("lo"), max("pos").as("hi"),
+            countDistinct("pos").as("d"))
+          .collect()
+        assert(byShard.length <= 8 &&
+          byShard.forall(r => r.getLong(2) == 1L && // lo
+            r.getLong(3) == r.getLong(1) && // hi == n
+            r.getLong(4) == r.getLong(1))) // distinct == n
+        // shards are reasonably balanced for a uniform hash (500 over 8)
+        val sizes = byShard.map(_.getLong(1))
+        assert(sizes.min > 20 && sizes.max < 120, sizes.mkString(","))
+      } finally out.unpersist()
+    }
+  }
+
+  test("the order is a pure function of (ids, seed, shards): invariant under " +
+    "input partitioning and row order") {
+    def coords(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      TrainOrder.order(df, "id", seed = 11L, shards = 4, portable = false)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = coords(ids(300))
+    assert(coords(ids(300).repartition(7)) == base)
+    assert(coords(ids(300).orderBy(col("id").desc)) == base)
+    assert(coords(ids(300).repartition(1)) == base)
+  }
+
+  test("different seeds give different permutations (epochs decorrelate)") {
+    val a = TrainOrder.order(ids(200), "id", seed = 1L, shards = 4)
+      .orderBy("shard", "pos").select("id").as[Long].collect().toSeq
+    val b = TrainOrder.order(ids(200), "id", seed = 2L, shards = 4)
+      .orderBy("shard", "pos").select("id").as[Long].collect().toSeq
+    assert(a.toSet == b.toSet && a != b)
+  }
+
+  test("interleave honors mixture weights along every shard prefix and stays " +
+    "a permutation of the union") {
+    val even = ids(400).where(col("id") % 2 === 0)
+    val odd = ids(400).where(col("id") % 2 =!= 0)
+    val out = TrainOrder.interleave(
+      Seq(("even", even, 2.0), ("odd", odd, 1.0)),
+      "id", seed = 3L, shards = 1, portable = false).cache()
+    try {
+      assert(out.count() == 400)
+      assert(out.select("id").distinct().count() == 400)
+      // weight 2:1 → in every prefix of the single shard, the heavy source
+      // holds ~2/3 of the rows (exact up to interleave rounding)
+      val prefix = out.where(col("pos") <= 90)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val evenShare = prefix.getOrElse("even", 0L).toDouble / 90.0
+      assert(evenShare > 0.60 && evenShare < 0.73, s"evenShare=$evenShare")
+    } finally out.unpersist()
+  }
+
+  test("plan shape: one hash exchange on the shard key, no global sort or " +
+    "single-partition window") {
+    val plan = TrainOrder.order(ids(100), "id", seed = 5L, shards = 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one hash exchange:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("Exchange SinglePartition"),
+      s"global/single-partition ordering leaked into the plan:\n$plan")
+  }
+}
