@@ -38,22 +38,37 @@ import org.apache.spark.sql.functions._
   * differ by design) is pinned in TrainOrderSpec. */
 object TrainOrder {
 
-  /** The epoch hash of an id: non-negative, deterministic in (seed, id). */
-  private def epochHash(id: Column, seed: Long, portable: Boolean): Column =
+  /** The epoch hash of an id: non-negative, deterministic in (seed, id).
+    * Package-visible so the spec can pin the non-negative contract on the
+    * hash itself (pmod would mask a sign-bit regression downstream). */
+  private[graft] def epochHash(id: Column, seed: Long, portable: Boolean): Column =
     if (portable)
       Dedup.md5Prefix48(md5(concat(lit(seed.toString), lit(":"),
         id.cast("string")).cast("binary")))
     else
-      // xxhash64 is signed; clear the sign bit so `pmod` and the oracle's
-      // non-negative arithmetic agree with the md5 family's 48-bit range
-      shiftright(xxhash64(lit(seed), id), 1)
+      // xxhash64 is signed; the UNSIGNED shift clears the sign bit
+      // (shiftright is arithmetic and would keep it) so both families
+      // honor the non-negative contract plain `% n` consumers rely on
+      shiftrightunsigned(xxhash64(lit(seed), id), 1)
 
   /** Assign every row a `(shard, pos)` training coordinate: `shard` in
     * `[0, shards)`, `pos` counting from 1 within the shard in hash order.
-    * All input columns ride along. One shuffle (on shard), per-shard sort. */
+    * All input columns ride along. One shuffle (on shard), per-shard sort.
+    *
+    * PRECONDITION — `idCol` values must be UNIQUE: duplicate ids share the
+    * epoch hash, tie the `(hash, id)` sort key, and make `pos` among the
+    * duplicates depend on arrival order — exactly the nondeterminism this
+    * operator exists to remove. Dedup upstream (the pipeline's own dedup
+    * stage) or pick a unique key. The input must not already carry the
+    * OUTPUT coordinate names (`shard`, `pos`) — chaining epochs means
+    * dropping the previous epoch's coordinates first; rejected loudly
+    * rather than silently producing an ambiguous or clobbered column. */
   def order(df: DataFrame, idCol: String, seed: Long, shards: Int,
       portable: Boolean = false): DataFrame = {
     require(shards >= 1, s"shards must be positive, got $shards")
+    Seq("shard", "pos").foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column — drop or rename it before " +
+        "assigning training coordinates"))
     val h = epochHash(col(idCol), seed, portable)
     val w = Window.partitionBy(col("__graft_shard"))
       .orderBy(col("__graft_h"), col(idCol))
@@ -84,13 +99,12 @@ object TrainOrder {
         .select(lit(tag).as("source"), col(idCol), col("shard"),
           // stretch: rank r of a weight-w source lands at r/w on the
           // shared axis; ties across sources break by (axis, source, id)
-          (col("pos").cast("double") / lit(weight)).as("__graft_axis"),
-          col("pos").as("__graft_src_pos"))
+          (col("pos").cast("double") / lit(weight)).as("__graft_axis"))
     }.reduce(_ unionByName _)
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__graft_axis"), col("source"), col(idCol))
     tagged
       .withColumn("pos", row_number().over(w).cast("long"))
-      .drop("__graft_axis", "__graft_src_pos")
+      .drop("__graft_axis")
   }
 }

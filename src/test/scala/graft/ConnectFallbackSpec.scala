@@ -146,22 +146,20 @@ class ConnectFallbackSpec extends SparkTestBase {
       """SELECT array(CAST(1.25 AS DECIMAL(10,2)), CAST(-2.50 AS DECIMAL(10,2))) AS a,
         |       array(CAST(4.00 AS DECIMAL(10,2)), CAST(0.50 AS DECIMAL(10,2))) AS b""".stripMargin)
     val expect = 1.25 * 4.00 + (-2.50) * 0.50
-    // whole-stage codegen path (default)
-    val viaCodegen = df
-      .select(VectorFunctions.dotProduct(col("a"), col("b")).as("d"))
-      .first().getDouble(0)
-    assert(viaCodegen == expect)
-    // interpreted path (codegen off) must agree — restore BOTH confs to
-    // their prior values (the session is shared across suites)
+    // force EACH path explicitly (relying on ambient defaults could test
+    // the interpreted path twice if an earlier suite leaked a conf);
+    // restore both confs after — the session is shared across suites
     val prevWs = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     val prevFm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try {
-      val interpreted = df
-        .select(VectorFunctions.dotProduct(col("a"), col("b")).as("d"))
+    def path(wholeStage: Boolean, factoryMode: String): Double = {
+      spark.conf.set("spark.sql.codegen.wholeStage", wholeStage.toString)
+      spark.conf.set("spark.sql.codegen.factoryMode", factoryMode)
+      df.select(VectorFunctions.dotProduct(col("a"), col("b")).as("d"))
         .first().getDouble(0)
-      assert(interpreted == expect)
+    }
+    try {
+      assert(path(wholeStage = true, "CODEGEN_ONLY") == expect)
+      assert(path(wholeStage = false, "NO_CODEGEN") == expect)
     } finally {
       spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
       spark.conf.set("spark.sql.codegen.factoryMode", prevFm)

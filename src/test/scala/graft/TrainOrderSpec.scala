@@ -76,6 +76,22 @@ class TrainOrderSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("both hash families honor the non-negative contract, and coordinate " +
+    "name collisions are rejected loudly") {
+    for (portable <- Seq(true, false)) {
+      // the HASH itself, not the shard — pmod would mask a sign-bit bug
+      val negs = ids(200)
+        .select(TrainOrder.epochHash(col("id"), seed = 9L, portable).as("h"))
+        .where(col("h") < 0).count()
+      assert(negs == 0L, s"portable=$portable produced negative hashes")
+    }
+    val withCoords = TrainOrder.order(ids(10), "id", seed = 1L, shards = 2)
+    val ex = intercept[IllegalArgumentException] {
+      TrainOrder.order(withCoords, "id", seed = 2L, shards = 2)
+    }
+    assert(ex.getMessage.contains("shard"))
+  }
+
   test("plan shape: one hash exchange on the shard key, no global sort or " +
     "single-partition window") {
     val plan = TrainOrder.order(ids(100), "id", seed = 5L, shards = 8)
