@@ -179,6 +179,13 @@ object ScaleCheck {
         HeavyHitters.tokenStreamByGroup(docs, "lang", "text"),
         "lang", "token", denominator = 200L * m, capacity = 400 * m).count()
     }
+    def trainOrder(docs: DataFrame): Long =
+      // fixed shard count at both scales: the per-shard local sort grows
+      // linearly with the corpus while parallelism stays = shards — the
+      // claim under test is "permutation without a global sort stays
+      // linear" (a global ORDER BY would go superlinear and single-task)
+      graft.operators.TrainOrder.order(docs.select(col("doc_id")),
+        "doc_id", seed = 7L, shards = 64).count()
     def ksGrouped(li: DataFrame): Long =
       graft.operators.Profile.ksStatisticByGroup(
         li.where(col("l_orderkey") % 3 === 0), "l_extendedprice",
@@ -211,6 +218,7 @@ object ScaleCheck {
       ("classifier_train", (_, _, d, _, _) => trainer(d)),
       ("hh_grouped", (_, _, d, _, m) => hhGrouped(d, m)),
       ("ks_grouped", (li, _, _, _, _) => ksGrouped(li)),
+      ("train_order", (_, _, d, _, _) => trainOrder(d)),
       ("audio_fingerprint", (_, _, d, _, _) => audioFp(d)))
 
     val evS = stride(table("events"), "event_id")
