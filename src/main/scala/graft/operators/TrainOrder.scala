@@ -79,6 +79,25 @@ object TrainOrder {
       .drop("__graft_h")
   }
 
+  /** Materialize the epoch as TRAINING SHARD FILES: `path/shard=k/` holds
+    * exactly ONE parquet file whose row order IS the shard's `pos` order,
+    * so a training reader streams each shard front-to-back with zero
+    * further sorting (parquet preserves row order within a file; a
+    * single-file shard has no cross-file ordering to reconstruct).
+    * Mechanics: one `repartition` on the shard key (a colliding pair of
+    * shard values still lands whole in one partition, so each `shard=`
+    * directory receives exactly one writer's file), a per-partition
+    * `(shard, pos)` sort, and a `partitionBy` write — the same
+    * one-shuffle-plus-local-sort budget as [[order]], now with the file
+    * layout carrying the permutation. Size `shards` so one shard fits a
+    * write task (the [[order]] sizing rule). */
+  def writeShards(df: DataFrame, idCol: String, seed: Long, shards: Int,
+      path: String, portable: Boolean = false): Unit =
+    order(df, idCol, seed, shards, portable)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Interleave several sources into one deterministic training order with
     * MIXTURE WEIGHTS: source k with weight w_k occupies ~w_k of every
     * prefix of the stream (temperature-style mixing — weights need not

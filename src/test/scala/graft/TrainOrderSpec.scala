@@ -92,6 +92,35 @@ class TrainOrderSpec extends SparkTestBase {
     assert(ex.getMessage.contains("shard"))
   }
 
+  test("writeShards: every shard directory is ONE file whose row order is " +
+    "the shard's pos order (a training reader streams it with no sort)") {
+    val path = new java.io.File("target/train-order-shards").getAbsolutePath
+    TrainOrder.writeShards(ids(300), "id", seed = 13L, shards = 6, path)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.nonEmpty && dirs.length <= 6)
+    var total = 0L
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+      // row order WITHIN the file is the pos order — read without Spark
+      // re-sorting (single file, single partition read at this size)
+      val rows = spark.read.parquet(files.head.getAbsolutePath)
+        .select("pos").collect().map(_.getLong(0))
+      assert(rows.toSeq == (1L to rows.length).toSeq,
+        s"${d.getName} not pos-ordered: ${rows.take(10).mkString(",")}")
+      total += rows.length
+    }
+    assert(total == 300)
+    // and the file layout carries the same permutation order() computes
+    val fromLayout = spark.read.parquet(path)
+      .select(col("id"), col("shard").cast("long"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromOrder = TrainOrder.order(ids(300), "id", seed = 13L, shards = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromLayout == fromOrder)
+  }
+
   test("plan shape: one hash exchange on the shard key, no global sort or " +
     "single-partition window") {
     val plan = TrainOrder.order(ids(100), "id", seed = 5L, shards = 8)
