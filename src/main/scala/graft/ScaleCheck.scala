@@ -183,9 +183,14 @@ object ScaleCheck {
       // fixed shard count at both scales: the per-shard local sort grows
       // linearly with the corpus while parallelism stays = shards — the
       // claim under test is "permutation without a global sort stays
-      // linear" (a global ORDER BY would go superlinear and single-task)
+      // linear" (a global ORDER BY would go superlinear and single-task).
+      // sum(pos) keeps the window alive: a bare count() lets the optimizer
+      // prune the unused pos column, which deletes the window, the hash,
+      // AND the shuffle — timing a vacuous row count (caught in review)
       graft.operators.TrainOrder.order(docs.select(col("doc_id")),
-        "doc_id", seed = 7L, shards = 64).count()
+        "doc_id", seed = 7L, shards = 64)
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("s"))
+        .first().getLong(0)
     def ksGrouped(li: DataFrame): Long =
       graft.operators.Profile.ksStatisticByGroup(
         li.where(col("l_orderkey") % 3 === 0), "l_extendedprice",

@@ -64,18 +64,30 @@ object TrainOrder {
     * dropping the previous epoch's coordinates first; rejected loudly
     * rather than silently producing an ambiguous or clobbered column. */
   def order(df: DataFrame, idCol: String, seed: Long, shards: Int,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false): DataFrame =
+    coordinates(df, idCol, seed, shards, portable, prePartition = false)
+
+  /** Shared coordinate assignment. `prePartition = true` repartitions on
+    * the shard key BEFORE the window so the window's clustering
+    * requirement is satisfied by that exchange (no second one) and the
+    * output partition count is `shards` — what [[writeShards]] needs for
+    * its one-file-per-shard write. `order` keeps the planner-inserted
+    * exchange instead (session parallelism for downstream work). */
+  private[graft] def coordinates(df: DataFrame, idCol: String, seed: Long,
+      shards: Int, portable: Boolean, prePartition: Boolean): DataFrame = {
     require(shards >= 1, s"shards must be positive, got $shards")
     Seq("shard", "pos").foreach(c => require(!df.columns.contains(c),
       s"input already has a '$c' column — drop or rename it before " +
         "assigning training coordinates"))
-    val h = epochHash(col(idCol), seed, portable)
-    val w = Window.partitionBy(col("__graft_shard"))
+    val hashed = df
+      .withColumn("__graft_h", epochHash(col(idCol), seed, portable))
+      .withColumn("shard", pmod(col("__graft_h"), lit(shards.toLong)))
+    val clustered =
+      if (prePartition) hashed.repartition(shards, col("shard")) else hashed
+    val w = Window.partitionBy(col("shard"))
       .orderBy(col("__graft_h"), col(idCol))
-    df.withColumn("__graft_h", h)
-      .withColumn("__graft_shard", pmod(col("__graft_h"), lit(shards.toLong)))
+    clustered
       .withColumn("pos", row_number().over(w).cast("long"))
-      .withColumnRenamed("__graft_shard", "shard")
       .drop("__graft_h")
   }
 
@@ -84,19 +96,25 @@ object TrainOrder {
     * so a training reader streams each shard front-to-back with zero
     * further sorting (parquet preserves row order within a file; a
     * single-file shard has no cross-file ordering to reconstruct).
-    * Mechanics: one `repartition` on the shard key (a colliding pair of
-    * shard values still lands whole in one partition, so each `shard=`
-    * directory receives exactly one writer's file), a per-partition
-    * `(shard, pos)` sort, and a `partitionBy` write — the same
-    * one-shuffle-plus-local-sort budget as [[order]], now with the file
-    * layout carrying the permutation. Size `shards` so one shard fits a
-    * write task (the [[order]] sizing rule). */
+    *
+    * ONE shuffle, ONE sort: the repartition on the shard key happens
+    * BEFORE the pos window, so the window's clustering requirement is
+    * satisfied by that exchange (spec-pinned: exactly one exchange and
+    * one sort in the coordinate plan), and the window's own
+    * (shard, hash, id) output order doubles as the (shard, pos) order the
+    * partitioned write wants — rows stream into each directory's file in
+    * pos order with no writer-side re-sort of consequence. A colliding pair of shard values still lands
+    * whole in one partition, so each `shard=` directory receives exactly
+    * one writer's file; the write pins `maxRecordsPerFile = 0` so a
+    * session-level rolling conf cannot silently split a shard and void
+    * the single-file contract. Size `shards` so one shard fits a write
+    * task (the [[order]] sizing rule). */
   def writeShards(df: DataFrame, idCol: String, seed: Long, shards: Int,
       path: String, portable: Boolean = false): Unit =
-    order(df, idCol, seed, shards, portable)
-      .repartition(shards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("pos"))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    coordinates(df, idCol, seed, shards, portable, prePartition = true)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", "0")
+      .partitionBy("shard").parquet(path)
 
   /** Interleave several sources into one deterministic training order with
     * MIXTURE WEIGHTS: source k with weight w_k occupies ~w_k of every

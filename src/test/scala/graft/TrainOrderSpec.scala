@@ -119,6 +119,15 @@ class TrainOrderSpec extends SparkTestBase {
     val fromOrder = TrainOrder.order(ids(300), "id", seed = 13L, shards = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(fromLayout == fromOrder)
+    // the write's coordinate plan does ONE shuffle and ONE sort: the
+    // pre-window repartition satisfies the window's clustering, so no
+    // planner-inserted second exchange (the naive order-then-repartition
+    // formulation shuffles and sorts the corpus twice — caught in review)
+    val plan = TrainOrder.coordinates(ids(300), "id", seed = 13L,
+      shards = 6, portable = false, prePartition = true)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert("Sort \\[".r.findAllIn(plan).size == 1, plan)
   }
 
   test("plan shape: one hash exchange on the shard key, no global sort or " +
