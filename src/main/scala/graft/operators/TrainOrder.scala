@@ -103,8 +103,9 @@ object TrainOrder {
     * one sort in the coordinate plan), and the window's own
     * (shard, hash, id) output order doubles as the (shard, pos) order the
     * partitioned write wants — rows stream into each directory's file in
-    * pos order with no writer-side re-sort of consequence. A colliding pair of shard values still lands
-    * whole in one partition, so each `shard=` directory receives exactly
+    * pos order with no writer-side re-sort of consequence. A colliding
+    * pair of shard values still lands whole in one partition, so each
+    * `shard=` directory receives exactly
     * one writer's file; the write pins `maxRecordsPerFile = 0` so a
     * session-level rolling conf cannot silently split a shard and void
     * the single-file contract. Size `shards` so one shard fits a write
@@ -131,6 +132,9 @@ object TrainOrder {
       seed: Long, shards: Int, portable: Boolean = false): DataFrame = {
     require(sources.nonEmpty, "interleave needs at least one source")
     require(sources.forall(_._3 > 0), "mixture weights must be positive")
+    require(sources.map(_._1).distinct.size == sources.size,
+      "source tags must be distinct — the tag is the cross-source " +
+        "tiebreak, and duplicate tags would also conflate ids across sources")
     val tagged = sources.map { case (tag, df, weight) =>
       order(df.select(col(idCol)), idCol, seed, shards, portable)
         .select(lit(tag).as("source"), col(idCol), col("shard"),
