@@ -1493,6 +1493,29 @@ object OpsPack {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy("shard", "pos")
 
+  /** The PERSISTED face of the training order: writeShards lands the
+    * seed-7 epoch as `shard=` directories (one pos-ordered file each,
+    * staged once per JVM × dir under a content stamp), and the query
+    * reads the coordinates back from the LAYOUT — same oracle as
+    * q_train_order, so a drop, reorder, or duplication anywhere in the
+    * write-read round trip breaks the hash. */
+  private val trainShardsCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  def trainShardsQuery(s: SparkSession, dir: String): DataFrame = {
+    val path = Memo.memo(trainShardsCache, dir, {
+      val p = "target/graft_train_shards_" +
+        layoutStamp(dir, "documents", "seed=7|shards=8|portable|v1")
+      if (!layoutComplete(p))
+        TrainOrder.writeShards(docs(s, dir).select(col("doc_id")), "doc_id",
+          seed = 7L, shards = 8, p, portable = true)
+      p
+    })
+    s.read.parquet(path)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   /** Weighted interleave of two corpus halves into one deterministic
     * training stream (mixture weights 2:1 — the heavy source packs twice
     * as densely along every shard's prefix). */
@@ -4039,6 +4062,7 @@ object OpsPack {
     "q_mixture_sample" -> (mixtureSampleQuery _),
     "q_train_order" -> (trainOrderQuery _),
     "q_train_interleave" -> (trainInterleaveQuery _),
+    "q_train_shards" -> (trainShardsQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_quality_adaptive" -> (qualityAdaptive _),
     "q_quality_bootstrap" -> (qualityBootstrap _),
@@ -7676,6 +7700,9 @@ object OpsPack {
     "q_mixture_sample" -> mixtureSampleSql,
     "q_train_order" -> trainOrderSql,
     "q_train_interleave" -> trainInterleaveSql,
+    // the layout round trip must reproduce the coordinate computation
+    // exactly — same oracle by design
+    "q_train_shards" -> trainOrderSql,
     "q_docs_topk_quality" -> topkQualitySql,
     "q_quality_adaptive" -> qualityAdaptiveSql,
     "q_quality_bootstrap" -> qualityBootstrapSql,
