@@ -293,6 +293,7 @@ object OpsPack {
     embeddingIncremental(s, dir)
     textHeavyHittersStreamed(s, dir)
     corpusRetention(s, dir)
+    trainShardsQuery(s, dir)
   }
 
   /** Fingerprint of a source table's files (path, size, mtime) plus the
@@ -1495,10 +1496,14 @@ object OpsPack {
 
   /** The PERSISTED face of the training order: writeShards lands the
     * seed-7 epoch as `shard=` directories (one pos-ordered file each,
-    * staged once per JVM × dir under a content stamp), and the query
-    * reads the coordinates back from the LAYOUT — same oracle as
-    * q_train_order, so a drop, reorder, or duplication anywhere in the
-    * write-read round trip breaks the hash. */
+    * staged in [[prepareIndexes]] once per JVM × dir under a content
+    * stamp), and the query reads the coordinates back from the LAYOUT —
+    * same oracle as q_train_order, so a dropped, duplicated, or
+    * corrupted COORDINATE anywhere in the write-read round trip breaks
+    * the hash. (The hash cannot see physical row order inside a shard
+    * file — the query re-sorts by (shard, pos) — so the in-file
+    * pos-order contract is pinned by TrainOrderSpec's file-level check,
+    * not here.) */
   private val trainShardsCache =
     scala.collection.concurrent.TrieMap[String, String]()
 
