@@ -124,8 +124,16 @@ object TrainOrder {
     * (its own id space), positions are STRETCHED by 1/w_k (a source
     * twice as heavy packs its rows twice as densely on the shared axis),
     * and the merged (shard, mix_pos) order is again a pure function of
-    * (ids, seed, shards, weights). The per-source `pos` window and the
-    * final interleave both stay per-shard — same scale shape as [[order]].
+    * (ids, seed, shards, weights).
+    *
+    * Scale shape — ONE shuffle total (spec-pinned): the union is
+    * repartitioned on `shard` BEFORE either window, and partitioning by
+    * `shard` alone satisfies the per-source window's (source, shard)
+    * clustering too (co-location on a subset of the keys co-locates the
+    * finer grouping), so the planner inserts no further exchange — where
+    * the naive per-source-order-then-merge formulation shuffles every
+    * source once and the union again (S+1 exchanges). Two per-partition
+    * sorts remain: the per-source rank and the interleave rank.
     * Output: source tag + id + (shard, pos) with `pos` re-ranked over the
     * interleaved stream. */
   def interleave(sources: Seq[(String, DataFrame, Double)], idCol: String,
@@ -135,17 +143,28 @@ object TrainOrder {
     require(sources.map(_._1).distinct.size == sources.size,
       "source tags must be distinct — the tag is the cross-source " +
         "tiebreak, and duplicate tags would also conflate ids across sources")
+    require(idCol != "source" && !idCol.startsWith("__graft_") &&
+      idCol != "shard" && idCol != "pos",
+      s"idCol '$idCol' collides with an interleave output/working column")
     val tagged = sources.map { case (tag, df, weight) =>
-      order(df.select(col(idCol)), idCol, seed, shards, portable)
-        .select(lit(tag).as("source"), col(idCol), col("shard"),
-          // stretch: rank r of a weight-w source lands at r/w on the
-          // shared axis; ties across sources break by (axis, source, id)
-          (col("pos").cast("double") / lit(weight)).as("__graft_axis"))
+      df.select(col(idCol), lit(tag).as("source"),
+        lit(weight).as("__graft_w"))
     }.reduce(_ unionByName _)
-    val w = Window.partitionBy(col("shard"))
+    val clustered = tagged
+      .withColumn("__graft_h", epochHash(col(idCol), seed, portable))
+      .withColumn("shard", pmod(col("__graft_h"), lit(shards.toLong)))
+      .repartition(col("shard"))
+    // per-source rank within the shard == order()'s pos for that source
+    val wSrc = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("__graft_h"), col(idCol))
+    // stretch: rank r of a weight-w source lands at r/w on the shared
+    // axis; ties across sources break by (axis, source, id)
+    val wMix = Window.partitionBy(col("shard"))
       .orderBy(col("__graft_axis"), col("source"), col(idCol))
-    tagged
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .drop("__graft_axis")
+    clustered
+      .withColumn("__graft_axis",
+        row_number().over(wSrc).cast("double") / col("__graft_w"))
+      .withColumn("pos", row_number().over(wMix).cast("long"))
+      .drop("__graft_h", "__graft_w", "__graft_axis")
   }
 }

@@ -74,6 +74,14 @@ class TrainOrderSpec extends SparkTestBase {
       val evenShare = prefix.getOrElse("even", 0L).toDouble / 90.0
       assert(evenShare > 0.60 && evenShare < 0.73, s"evenShare=$evenShare")
     } finally out.unpersist()
+    // ONE exchange total: partitioning by shard satisfies BOTH windows'
+    // clustering (the per-source window's keys are a superset of shard),
+    // vs S+1 exchanges for the naive per-source-order-then-merge shape
+    val plan = TrainOrder.interleave(
+      Seq(("even", even, 2.0), ("odd", odd, 1.0)),
+      "id", seed = 3L, shards = 4, portable = false)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
   test("both hash families honor the non-negative contract, and coordinate " +
