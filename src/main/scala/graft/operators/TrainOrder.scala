@@ -73,15 +73,30 @@ object TrainOrder {
     * output partition count is `shards` — what [[writeShards]] needs for
     * its one-file-per-shard write. `order` keeps the planner-inserted
     * exchange instead (session parallelism for downstream work). */
+  /** Shared hash-and-shard prelude: validates inputs and appends
+    * `__graft_h` + `shard`. ONE home for the guards (a copy of this
+    * prelude once silently lost the shards check — caught in review) and
+    * one home for a load-bearing rule: hashing happens on the frame's
+    * OWN id type, so multi-source callers must apply it per source
+    * BEFORE any union — union type coercion (int ids widening to long)
+    * would otherwise change the hash input and silently re-deal the
+    * epoch. Collision guards compare case-insensitively to match the
+    * analyzer's default resolution (`withColumn("pos", …)` would
+    * silently REPLACE an existing `POS` column). */
+  private def hashShard(df: DataFrame, idCol: String, seed: Long,
+      shards: Int, portable: Boolean): DataFrame = {
+    require(shards >= 1, s"shards must be positive, got $shards")
+    Seq("shard", "pos").foreach(c =>
+      require(!df.columns.exists(_.equalsIgnoreCase(c)),
+        s"input already has a '$c' column — drop or rename it before " +
+          "assigning training coordinates"))
+    df.withColumn("__graft_h", epochHash(col(idCol), seed, portable))
+      .withColumn("shard", pmod(col("__graft_h"), lit(shards.toLong)))
+  }
+
   private[graft] def coordinates(df: DataFrame, idCol: String, seed: Long,
       shards: Int, portable: Boolean, prePartition: Boolean): DataFrame = {
-    require(shards >= 1, s"shards must be positive, got $shards")
-    Seq("shard", "pos").foreach(c => require(!df.columns.contains(c),
-      s"input already has a '$c' column — drop or rename it before " +
-        "assigning training coordinates"))
-    val hashed = df
-      .withColumn("__graft_h", epochHash(col(idCol), seed, portable))
-      .withColumn("shard", pmod(col("__graft_h"), lit(shards.toLong)))
+    val hashed = hashShard(df, idCol, seed, shards, portable)
     val clustered =
       if (prePartition) hashed.repartition(shards, col("shard")) else hashed
     val w = Window.partitionBy(col("shard"))
@@ -134,8 +149,8 @@ object TrainOrder {
     * the naive per-source-order-then-merge formulation shuffles every
     * source once and the union again (S+1 exchanges). Two per-partition
     * sorts remain: the per-source rank and the interleave rank.
-    * Output: source tag + id + (shard, pos) with `pos` re-ranked over the
-    * interleaved stream. */
+    * Output columns: (id, source, shard, pos) — consume by NAME, with
+    * `pos` re-ranked over the interleaved stream. */
   def interleave(sources: Seq[(String, DataFrame, Double)], idCol: String,
       seed: Long, shards: Int, portable: Boolean = false): DataFrame = {
     require(sources.nonEmpty, "interleave needs at least one source")
@@ -143,17 +158,18 @@ object TrainOrder {
     require(sources.map(_._1).distinct.size == sources.size,
       "source tags must be distinct — the tag is the cross-source " +
         "tiebreak, and duplicate tags would also conflate ids across sources")
-    require(idCol != "source" && !idCol.startsWith("__graft_") &&
-      idCol != "shard" && idCol != "pos",
+    require(!idCol.equalsIgnoreCase("source") &&
+      !idCol.toLowerCase.startsWith("__graft_"),
       s"idCol '$idCol' collides with an interleave output/working column")
+    // hash PER SOURCE, before the union: hashShard's contract — union
+    // type coercion must never change the hash input (each source keeps
+    // exactly the (shard, pos) order() would assign it alone)
     val tagged = sources.map { case (tag, df, weight) =>
-      df.select(col(idCol), lit(tag).as("source"),
-        lit(weight).as("__graft_w"))
+      hashShard(df.select(col(idCol)), idCol, seed, shards, portable)
+        .select(col(idCol), col("__graft_h"), col("shard"),
+          lit(tag).as("source"), lit(weight).as("__graft_w"))
     }.reduce(_ unionByName _)
-    val clustered = tagged
-      .withColumn("__graft_h", epochHash(col(idCol), seed, portable))
-      .withColumn("shard", pmod(col("__graft_h"), lit(shards.toLong)))
-      .repartition(col("shard"))
+    val clustered = tagged.repartition(col("shard"))
     // per-source rank within the shard == order()'s pos for that source
     val wSrc = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("__graft_h"), col(idCol))

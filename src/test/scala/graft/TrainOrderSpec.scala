@@ -100,6 +100,38 @@ class TrainOrderSpec extends SparkTestBase {
     assert(ex.getMessage.contains("shard"))
   }
 
+  test("interleave hashes each source on its OWN id type (pre-union): a " +
+    "mixed int/long pairing preserves every source's solo coordinates") {
+    val intIds = (1 to 100).toDF("id") // IntegerType
+    val longIds = (101L to 200L).toDF("id") // LongType
+    val merged = TrainOrder.interleave(
+      Seq(("ints", intIds, 1.0), ("longs", longIds, 1.0)),
+      "id", seed = 5L, shards = 4).cache()
+    try {
+      // per-source (id → shard) must equal the source's solo order():
+      // a post-union hash would widen the int ids and re-deal them
+      def solo(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        TrainOrder.order(df, "id", seed = 5L, shards = 4)
+          .collect().map(r => (r.get(0).toString.toLong, r.getLong(1))).toMap
+      val mergedShards = merged.select("id", "shard").collect()
+        .map(r => (r.get(0).toString.toLong, r.getLong(1))).toMap
+      assert((solo(intIds) ++ solo(longIds)) == mergedShards)
+    } finally merged.unpersist()
+  }
+
+  test("coordinate-name collision guards are case-insensitive (the default " +
+    "analyzer resolves case-insensitively, so POS would be clobbered)") {
+    val df = ids(10).withColumn("POS", col("id"))
+    val ex = intercept[IllegalArgumentException] {
+      TrainOrder.order(df, "id", seed = 1L, shards = 2)
+    }
+    assert(ex.getMessage.contains("pos"))
+    val ex2 = intercept[IllegalArgumentException] {
+      TrainOrder.interleave(Seq(("a", ids(5), 1.0)), "id", seed = 1L, shards = 0)
+    }
+    assert(ex2.getMessage.contains("shards"))
+  }
+
   test("writeShards: every shard directory is ONE file whose row order is " +
     "the shard's pos order (a training reader streams it with no sort)") {
     val path = new java.io.File("target/train-order-shards").getAbsolutePath
