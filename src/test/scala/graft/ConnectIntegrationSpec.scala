@@ -272,6 +272,16 @@ class ConnectIntegrationSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("TrainOrder assigns identical training coordinates through a live " +
+    "Connect session (pure DataFrame API — no registration needed)") {
+    def coords(s: SparkSession): Map[Long, (Long, Long)] = withActive(s) {
+      val df = s.sql("SELECT id FROM range(1, 301)")
+      graft.operators.TrainOrder.order(df, "id", seed = 21L, shards = 8)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(coords(client) == coords(spark))
+  }
+
   test("an uninstalled function name surfaces UNRESOLVED_ROUTINE naming the " +
     "function (the documented no-fallback failure mode)") {
     val name = LshPlanes.functionName(9, 9, 9) // parameterized: never injected
