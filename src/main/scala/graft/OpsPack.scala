@@ -294,6 +294,7 @@ object OpsPack {
     textHeavyHittersStreamed(s, dir)
     corpusRetention(s, dir)
     trainShardsQuery(s, dir)
+    trainInterleaveShardsQuery(s, dir)
   }
 
   /** Fingerprint of a source table's files (path, size, mtime) plus the
@@ -1530,6 +1531,37 @@ object OpsPack {
         ("even", d.where(col("doc_id") % 2 === 0), 2.0),
         ("odd", d.where(col("doc_id") % 2 =!= 0), 1.0)),
       "doc_id", seed = 3L, shards = 4, portable = true)
+      .orderBy("shard", "pos")
+  }
+
+  /** The PERSISTED face of the mixed epoch: writeInterleavedShards lands
+    * the 2:1 interleave WITH its payload (`lang` rides along) as `shard=`
+    * directories — one pos-ordered file each — and the query reads the
+    * mixed stream back from the LAYOUT. The oracle recomputes the
+    * interleave relationally and joins the payload, so a dropped row, a
+    * mis-assigned coordinate, OR a payload value detached from its row
+    * anywhere in the write-read round trip breaks the hash. (In-file pos
+    * order is pinned by TrainOrderSpec's file-level check — the hash
+    * cannot see physical order because the query re-sorts.) */
+  private val trainInterleaveShardsCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  def trainInterleaveShardsQuery(s: SparkSession, dir: String): DataFrame = {
+    val path = Memo.memo(trainInterleaveShardsCache, dir, {
+      val p = "target/graft_train_ileave_shards_" +
+        layoutStamp(dir, "documents", "seed=3|shards=4|w=2:1|lang|v1")
+      if (!layoutComplete(p)) {
+        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        TrainOrder.writeInterleavedShards(Seq(
+            ("even", d.where(col("doc_id") % 2 === 0), 2.0),
+            ("odd", d.where(col("doc_id") % 2 =!= 0), 1.0)),
+          "doc_id", seed = 3L, shards = 4, p, portable = true)
+      }
+      p
+    })
+    s.read.parquet(path)
+      .select(col("source"), col("doc_id"), col("lang"),
+        col("shard").cast("long").as("shard"), col("pos"))
       .orderBy("shard", "pos")
   }
 
@@ -4068,6 +4100,7 @@ object OpsPack {
     "q_train_order" -> (trainOrderQuery _),
     "q_train_interleave" -> (trainInterleaveQuery _),
     "q_train_shards" -> (trainShardsQuery _),
+    "q_train_interleave_shards" -> (trainInterleaveShardsQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_quality_adaptive" -> (qualityAdaptive _),
     "q_quality_bootstrap" -> (qualityBootstrap _),
@@ -5790,7 +5823,27 @@ object OpsPack {
        |  FROM h)
        |SELECT source, doc_id, shard,
        |  CAST(row_number() OVER (PARTITION BY shard
-       |    ORDER BY spos / w, source, doc_id) AS BIGINT) AS pos
+       |    ORDER BY spos / CAST(w AS DOUBLE), source, doc_id) AS BIGINT) AS pos
+       |FROM ranked ORDER BY shard, pos""".stripMargin
+
+  /** [[trainInterleaveSql]] with the payload riding along: DuckDB computes
+    * the same interleave and carries `lang` from the source row, mirroring
+    * the payload-through-the-shuffle contract of writeInterleavedShards.
+    * `spos / CAST(w AS DOUBLE)` keeps the stretch axis in double like the
+    * Scala side (a DECIMAL division could round ties differently). */
+  private val trainInterleaveShardsSql: String =
+    s"""WITH h AS (
+       |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS source,
+       |    CASE WHEN doc_id % 2 = 0 THEN 2.0 ELSE 1.0 END AS w,
+       |    doc_id, lang, ${epochHashSql(3, "doc_id")} AS hv
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id, lang, CAST(hv % 4 AS BIGINT) AS shard,
+       |    row_number() OVER (PARTITION BY source, hv % 4 ORDER BY hv, doc_id) AS spos, w
+       |  FROM h)
+       |SELECT source, doc_id, lang, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY spos / CAST(w AS DOUBLE), source, doc_id) AS BIGINT) AS pos
        |FROM ranked ORDER BY shard, pos""".stripMargin
 
   private val mixtureSampleSql: String =
@@ -7705,6 +7758,7 @@ object OpsPack {
     "q_mixture_sample" -> mixtureSampleSql,
     "q_train_order" -> trainOrderSql,
     "q_train_interleave" -> trainInterleaveSql,
+    "q_train_interleave_shards" -> trainInterleaveShardsSql,
     // the layout round trip must reproduce the coordinate computation
     // exactly — same oracle by design
     "q_train_shards" -> trainOrderSql,

@@ -191,6 +191,21 @@ object ScaleCheck {
         "doc_id", seed = 7L, shards = 64)
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("s"))
         .first().getLong(0)
+    def trainInterleaveWrite(docs: DataFrame): Long = {
+      // the multi-source PERSISTED epoch: payload rides the one shuffle and
+      // lands as one pos-ordered file per shard. Fixed shard count at both
+      // scales (the writeShards sizing rule) — the claim under test is
+      // "mixed-epoch landing stays linear in the corpus with parallelism =
+      // shards", vs the naive coordinates-then-join-back-then-write shape
+      // that adds a shuffle per source per epoch.
+      val p = "target/scale-train-ileave"
+      val d = docs.select(col("doc_id"), col("lang"))
+      graft.operators.TrainOrder.writeInterleavedShards(Seq(
+          ("even", d.where(col("doc_id") % 2 === 0), 2.0),
+          ("odd", d.where(col("doc_id") % 2 =!= 0), 1.0)),
+        "doc_id", seed = 3L, shards = 64, p)
+      spark.read.parquet(p).count()
+    }
     def ksGrouped(li: DataFrame): Long =
       graft.operators.Profile.ksStatisticByGroup(
         li.where(col("l_orderkey") % 3 === 0), "l_extendedprice",
@@ -224,6 +239,7 @@ object ScaleCheck {
       ("hh_grouped", (_, _, d, _, m) => hhGrouped(d, m)),
       ("ks_grouped", (li, _, _, _, _) => ksGrouped(li)),
       ("train_order", (_, _, d, _, _) => trainOrder(d)),
+      ("train_interleave_write", (_, _, d, _, _) => trainInterleaveWrite(d)),
       ("audio_fingerprint", (_, _, d, _, _) => audioFp(d)))
 
     val evS = stride(table("events"), "event_id")

@@ -90,6 +90,14 @@ object TrainOrder {
       require(!df.columns.exists(_.equalsIgnoreCase(c)),
         s"input already has a '$c' column — drop or rename it before " +
           "assigning training coordinates"))
+    // the operator's working names: withColumn would silently REPLACE (and
+    // the final projection then drops) a real input column named __graft_h
+    // — data loss, not an error, without this guard (idCol == "__graft_h"
+    // is the same collision, caught by the same check)
+    require(!df.columns.exists(_.toLowerCase.startsWith("__graft_")),
+      "input carries a reserved '__graft_'-prefixed column — rename it " +
+        "before assigning training coordinates (the prefix is this " +
+        "operator's working-column namespace)")
     df.withColumn("__graft_h", epochHash(col(idCol), seed, portable))
       .withColumn("shard", pmod(col("__graft_h"), lit(shards.toLong)))
   }
@@ -152,7 +160,61 @@ object TrainOrder {
     * Output columns: (id, source, shard, pos) — consume by NAME, with
     * `pos` re-ranked over the interleaved stream. */
   def interleave(sources: Seq[(String, DataFrame, Double)], idCol: String,
-      seed: Long, shards: Int, portable: Boolean = false): DataFrame = {
+      seed: Long, shards: Int, portable: Boolean = false): DataFrame =
+    interleaveImpl(sources, idCol, seed, shards, portable,
+      payload = false, prePartition = false)
+
+  /** [[interleave]] with the PAYLOAD riding along: every source column
+    * crosses the same single shuffle the coordinates do, so the mixed
+    * stream arrives ready to consume (or to land via
+    * [[writeInterleavedShards]]) with NO per-source join-back — the naive
+    * "interleave coordinates, then join each source's rows back by id"
+    * formulation costs one extra shuffle per source per epoch at scale.
+    *
+    * Heterogeneous sources union by NAME with null-fill: a column absent
+    * from some source is NULL on that source's rows (the unified schema a
+    * single landed layout needs anyway); same-name columns must be
+    * union-coercible or the union rejects them loudly. The epoch hash is
+    * computed per source BEFORE the union ([[hashShard]]'s contract), so
+    * payload/ id type coercion never re-deals the permutation. Sources
+    * must not already carry a `source` column (the output tag) — rename
+    * it upstream (rejected loudly).
+    * Output: payload columns + (source, shard, pos). */
+  def interleaveRows(sources: Seq[(String, DataFrame, Double)], idCol: String,
+      seed: Long, shards: Int, portable: Boolean = false): DataFrame =
+    interleaveImpl(sources, idCol, seed, shards, portable,
+      payload = true, prePartition = false)
+
+  /** Land the MIXED corpus as training shard files: [[interleaveRows]]'
+    * payload-carrying stream written as `path/shard=k/` with exactly ONE
+    * parquet file per shard whose row order IS the shard's interleaved
+    * `pos` order — the [[writeShards]] contract for the multi-source
+    * epoch. Same plan discipline: the repartition on the shard key is the
+    * ONE exchange (it satisfies both windows' clustering), the interleave
+    * window's (shard, axis, source, id) output order doubles as the
+    * (shard, pos) write order, and `maxRecordsPerFile = 0` pins the
+    * single-file contract against session confs. Parallelism = shards;
+    * size `shards` so one shard fits a write task. */
+  def writeInterleavedShards(sources: Seq[(String, DataFrame, Double)],
+      idCol: String, seed: Long, shards: Int, path: String,
+      portable: Boolean = false): Unit =
+    interleaveRowsForWritePlan(sources, idCol, seed, shards, portable)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", "0")
+      .partitionBy("shard").parquet(path)
+
+  /** The exact frame [[writeInterleavedShards]] hands to the writer —
+    * package-visible so the spec can pin the one-exchange plan shape of
+    * the WRITE path (prePartition) separately from [[interleaveRows]]. */
+  private[graft] def interleaveRowsForWritePlan(
+      sources: Seq[(String, DataFrame, Double)], idCol: String, seed: Long,
+      shards: Int, portable: Boolean = false): DataFrame =
+    interleaveImpl(sources, idCol, seed, shards, portable,
+      payload = true, prePartition = true)
+
+  private def interleaveImpl(sources: Seq[(String, DataFrame, Double)],
+      idCol: String, seed: Long, shards: Int, portable: Boolean,
+      payload: Boolean, prePartition: Boolean): DataFrame = {
     require(sources.nonEmpty, "interleave needs at least one source")
     require(sources.forall(_._3 > 0), "mixture weights must be positive")
     require(sources.map(_._1).distinct.size == sources.size,
@@ -161,15 +223,23 @@ object TrainOrder {
     require(!idCol.equalsIgnoreCase("source") &&
       !idCol.toLowerCase.startsWith("__graft_"),
       s"idCol '$idCol' collides with an interleave output/working column")
+    if (payload) sources.foreach { case (tag, df, _) =>
+      require(!df.columns.exists(_.equalsIgnoreCase("source")),
+        s"source '$tag' already has a 'source' column, which collides " +
+          "with the interleave output tag — rename it before interleaving")
+    }
     // hash PER SOURCE, before the union: hashShard's contract — union
     // type coercion must never change the hash input (each source keeps
     // exactly the (shard, pos) order() would assign it alone)
     val tagged = sources.map { case (tag, df, weight) =>
-      hashShard(df.select(col(idCol)), idCol, seed, shards, portable)
-        .select(col(idCol), col("__graft_h"), col("shard"),
-          lit(tag).as("source"), lit(weight).as("__graft_w"))
-    }.reduce(_ unionByName _)
-    val clustered = tagged.repartition(col("shard"))
+      hashShard(if (payload) df else df.select(col(idCol)),
+        idCol, seed, shards, portable)
+        .withColumn("source", lit(tag))
+        .withColumn("__graft_w", lit(weight))
+    }.reduce(_.unionByName(_, allowMissingColumns = payload))
+    val clustered =
+      if (prePartition) tagged.repartition(shards, col("shard"))
+      else tagged.repartition(col("shard"))
     // per-source rank within the shard == order()'s pos for that source
     val wSrc = Window.partitionBy(col("source"), col("shard"))
       .orderBy(col("__graft_h"), col(idCol))

@@ -170,6 +170,115 @@ class TrainOrderSpec extends SparkTestBase {
     assert("Sort \\[".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("interleaveRows rides the payload through the SAME coordinates as " +
+    "interleave, with one exchange (no per-source join-back)") {
+    val even = ids(300).where(col("id") % 2 === 0)
+      .withColumn("txt", concat(lit("e"), col("id")))
+    val odd = ids(300).where(col("id") % 2 =!= 0)
+      .withColumn("txt", concat(lit("o"), col("id")))
+    val rows = TrainOrder.interleaveRows(
+      Seq(("even", even, 2.0), ("odd", odd, 1.0)),
+      "id", seed = 3L, shards = 4).cache()
+    try {
+      // coordinates are bit-identical to the coordinate-only operator
+      val coords = TrainOrder.interleave(
+        Seq(("even", even.select("id"), 2.0), ("odd", odd.select("id"), 1.0)),
+        "id", seed = 3L, shards = 4)
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(1), r.getLong(3))).toSet
+      val got = rows.select("id", "source", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == coords)
+      // and the payload column survives, matched to its row
+      assert(rows.where(col("txt") =!= concat(
+        when(col("source") === "even", "e").otherwise("o"), col("id")))
+        .count() == 0L)
+    } finally rows.unpersist()
+    val plan = TrainOrder.interleaveRows(
+      Seq(("even", even, 2.0), ("odd", odd, 1.0)),
+      "id", seed = 3L, shards = 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("interleaveRows unions heterogeneous payloads by name (null-fill) " +
+    "without disturbing the coordinates; collisions are rejected loudly") {
+    val a = ids(60).withColumn("only_a", col("id") * 2)
+    val b = (61L to 120L).toDF("id").withColumn("only_b", lit("x"))
+    val rows = TrainOrder.interleaveRows(
+      Seq(("a", a, 1.0), ("b", b, 1.0)), "id", seed = 9L, shards = 2).cache()
+    try {
+      assert(rows.count() == 120)
+      assert(rows.columns.toSet ==
+        Set("id", "only_a", "only_b", "source", "shard", "pos"))
+      assert(rows.where(col("source") === "b" && col("only_a").isNotNull)
+        .count() == 0L)
+      assert(rows.where(col("source") === "a" &&
+        col("only_a") =!= col("id") * 2).count() == 0L)
+      val coords = TrainOrder.interleave(
+        Seq(("a", a.select("id"), 1.0), ("b", b.select("id"), 1.0)),
+        "id", seed = 9L, shards = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(rows.select("id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == coords)
+    } finally rows.unpersist()
+    // a payload column named 'source' collides with the output tag
+    val ex = intercept[IllegalArgumentException] {
+      TrainOrder.interleaveRows(
+        Seq(("a", ids(5).withColumn("SOURCE", lit("s")), 1.0)),
+        "id", seed = 1L, shards = 2)
+    }
+    assert(ex.getMessage.contains("source"))
+    // a reserved working-column name would be silently replaced + dropped
+    // (data loss) without the guard — ADVICE r13
+    val ex2 = intercept[IllegalArgumentException] {
+      TrainOrder.order(ids(5).withColumn("__graft_h", lit(1L)), "id",
+        seed = 1L, shards = 2)
+    }
+    assert(ex2.getMessage.contains("__graft_"))
+  }
+
+  test("writeInterleavedShards: one pos-ordered file per shard dir, " +
+    "carrying the payload, equal to interleaveRows") {
+    val even = ids(240).where(col("id") % 2 === 0)
+      .withColumn("txt", concat(lit("e"), col("id")))
+    val odd = ids(240).where(col("id") % 2 =!= 0)
+      .withColumn("txt", concat(lit("o"), col("id")))
+    val srcs = Seq(("even", even, 2.0), ("odd", odd, 1.0))
+    val path = new java.io.File("target/train-interleave-shards").getAbsolutePath
+    TrainOrder.writeInterleavedShards(srcs, "id", seed = 13L, shards = 4, path)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.nonEmpty && dirs.length <= 4)
+    var total = 0L
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+      val rows = spark.read.parquet(files.head.getAbsolutePath)
+        .select("pos").collect().map(_.getLong(0))
+      assert(rows.toSeq == (1L to rows.length).toSeq,
+        s"${d.getName} not pos-ordered: ${rows.take(10).mkString(",")}")
+      total += rows.length
+    }
+    assert(total == 240)
+    val fromLayout = spark.read.parquet(path)
+      .select(col("id"), col("txt"), col("source"),
+        col("shard").cast("long"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val fromRows = TrainOrder.interleaveRows(srcs, "id", seed = 13L, shards = 4)
+      .select(col("id"), col("txt"), col("source"), col("shard"), col("pos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(fromLayout == fromRows)
+    // ONE exchange, TWO sorts (per-source rank + interleave rank) in the
+    // write plan — the one-shuffle discipline survives the payload
+    val plan = graft.operators.TrainOrder.interleaveRowsForWritePlan(
+      srcs, "id", seed = 13L, shards = 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("plan shape: one hash exchange on the shard key, no global sort or " +
     "single-partition window") {
     val plan = TrainOrder.order(ids(100), "id", seed = 5L, shards = 8)
