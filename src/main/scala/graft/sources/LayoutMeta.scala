@@ -33,9 +33,15 @@ import org.apache.spark.sql.SparkSession
   * one session owns the layout, which is every deployment shape this
   * repo ships.
   *
-  * Writes are create-with-overwrite of a few bytes — the same atomicity
-  * the metas always had (they are written once at layout creation and
-  * only ever re-written with the identical value). */
+  * [[write]] is create-with-overwrite of a few bytes — fine for metas
+  * that are written once at layout creation and only ever re-written with
+  * the identical value (every parameter stamp here). A meta whose value
+  * ADVANCES over time must use [[writeAtomic]] instead: create-with-
+  * overwrite truncates before the new bytes land, so a crash in that
+  * window leaves an EMPTY file where a committed value used to be — for
+  * the heavy-hitter consolidation fence that would take every probe and
+  * ingest batch down with a parse error until someone hand-repaired a
+  * hidden meta file. */
 object LayoutMeta {
 
   def fs(spark: SparkSession, dir: String): FileSystem =
@@ -81,6 +87,77 @@ object LayoutMeta {
 
   def write(dir: String, name: String, value: String): Unit =
     write(SparkSession.active, dir, name, value)
+
+  /** Atomic replacement for a meta whose value ADVANCES across re-writes
+    * (the consolidation fence): a crashed writer leaves the OLD value or
+    * the NEW value on disk, never an empty or partial file. Read it back
+    * with [[readAtomicOpt]].
+    *
+    * Discipline (single advancing writer — maintenance passes are
+    * serialized by the stream's foreachBatch; readers concurrent):
+    *
+    *   1. heal: if the live file is missing but a tmp exists, a previous
+    *      writer crashed between its delete and rename — promote the tmp
+    *      (it is complete by construction, see 2) BEFORE anything can
+    *      truncate the only copy;
+    *   2. write `<name>.tmp` fully and close it — the live file is
+    *      untouched through this, so a crash here leaves the old value;
+    *   3. delete the live file, rename the tmp into place — a crash
+    *      between the two leaves no live file but a COMPLETE tmp, which
+    *      readers and the next writer's heal both resolve to the new
+    *      value. (Delete-then-rename because `FileSystem.rename` onto an
+    *      existing destination is not portable across Hadoop FSes.)
+    *
+    * Readers check the live name first and fall back to the tmp, so the
+    * only window where they consult the tmp is after the delete — when it
+    * is already complete. The tmp name starts with the meta's own
+    * underscore-prefixed name, so Spark's file index never reads it as
+    * data. */
+  def writeAtomic(spark: SparkSession, dir: String, name: String,
+      value: String): Unit = {
+    val f = fs(spark, dir)
+    val d = new Path(dir)
+    if (!f.exists(d)) f.mkdirs(d)
+    val live = new Path(dir, name)
+    val tmp = new Path(dir, name + ".tmp")
+    if (!f.exists(live) && f.exists(tmp)) {
+      if (!f.rename(tmp, live))
+        throw new java.io.IOException(
+          s"healing rename $tmp -> $live failed — refusing to truncate " +
+            "the only committed copy of an advancing meta")
+    }
+    val out = f.create(tmp, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+    if (f.exists(live)) f.delete(live, false)
+    if (!f.rename(tmp, live))
+      throw new java.io.IOException(s"rename $tmp -> $live failed")
+    ()
+  }
+
+  def writeAtomic(dir: String, name: String, value: String): Unit =
+    writeAtomic(SparkSession.active, dir, name, value)
+
+  /** Read a meta written by [[writeAtomic]]: the live file when present,
+    * else a crashed writer's complete tmp (old-or-new, never partial —
+    * see [[writeAtomic]]'s window analysis). A reader racing the
+    * delete→rename window can see the live file vanish between the
+    * existence probe and the open; one fall-back retry covers it. */
+  def readAtomicOpt(spark: SparkSession, dir: String,
+      name: String): Option[String] = {
+    val tmpName = name + ".tmp"
+    try {
+      if (exists(spark, dir, name)) Some(read(spark, dir, name))
+      else if (exists(spark, dir, tmpName)) Some(read(spark, dir, tmpName))
+      else None
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        if (exists(spark, dir, tmpName)) Some(read(spark, dir, tmpName))
+        else readOpt(spark, dir, name)
+    }
+  }
+
+  def readAtomicOpt(dir: String, name: String): Option[String] =
+    readAtomicOpt(SparkSession.active, dir, name)
 
   def delete(spark: SparkSession, dir: String, name: String): Unit = {
     fs(spark, dir).delete(new Path(dir, name), false)

@@ -187,9 +187,14 @@ object IngestHeavyHitters {
     capacityOf(SparkSession.active, summaryPath)
 
   /** The consolidation fence: batch ids below it must never be written
-    * (their contents live in the consolidated dirs). 0 when none set. */
+    * (their contents live in the consolidated dirs). 0 when none set.
+    * The fence ADVANCES across consolidations, so it is written via
+    * [[LayoutMeta.writeAtomic]] and read back here with the matching
+    * old-or-new read — a crashed consolidation can never leave an empty
+    * fence file that takes every probe and ingest batch down with a
+    * parse error (plain create-with-overwrite truncates first). */
   def fenceOf(spark: SparkSession, summaryPath: String): Long =
-    LayoutMeta.readOpt(spark, summaryPath, FenceFile)
+    LayoutMeta.readAtomicOpt(spark, summaryPath, FenceFile)
       .map(_.trim.toLong).getOrElse(0L)
 
   def fenceOf(summaryPath: String): Long =
@@ -246,7 +251,11 @@ object IngestHeavyHitters {
     recoverBoth(spark, summaryPath, corpusPath)
     val f = math.max(fence, fenceOf(spark, summaryPath))
     if (f > fenceOf(spark, summaryPath))
-      LayoutMeta.write(spark, summaryPath, FenceFile, f.toString)
+      // writeAtomic, not write: the fence is the one meta whose value
+      // ADVANCES, so the create-with-overwrite truncate window would be a
+      // real crash mode here (empty fence file → every probe and batch
+      // throws until hand-repair) — see the LayoutMeta scaladoc
+      LayoutMeta.writeAtomic(spark, summaryPath, FenceFile, f.toString)
     val target = s"batch=-$f"
     // a single old dir already named the target is the idempotent-re-run
     // case (or a re-fence with nothing new below it): skip the IO

@@ -122,6 +122,71 @@ class LayoutMetaSpec extends SparkTestBase {
     noLocalLeak()
   }
 
+  test("writeAtomic: an advancing meta reads as either the old or the new " +
+    "value at EVERY crash window — never empty or partial (the fence " +
+    "contract; plain write truncates first)") {
+    registerScheme()
+    import graft.sources.LayoutMeta
+    val dir = fresh("grafttest_atomic")
+    def got: Option[String] =
+      LayoutMeta.readAtomicOpt(spark, dir, "_fence").map(_.trim)
+    assert(got.isEmpty)
+    LayoutMeta.writeAtomic(spark, dir, "_fence", "5")
+    assert(got.contains("5"))
+    LayoutMeta.writeAtomic(spark, dir, "_fence", "9")
+    assert(got.contains("9"))
+    // crash window A — tmp fully written, live not yet deleted: readers
+    // resolve to the OLD value (live wins while it exists)
+    LayoutMeta.write(spark, dir, "_fence.tmp", "12")
+    assert(got.contains("9"))
+    // the next writer heals the stray tmp and completes its own advance
+    LayoutMeta.writeAtomic(spark, dir, "_fence", "13")
+    assert(got.contains("13"))
+    assert(!LayoutMeta.exists(spark, dir, "_fence.tmp"))
+    // crash window B — live deleted, rename not yet done: the tmp is
+    // complete by construction, and readers resolve to the NEW value
+    LayoutMeta.write(spark, dir, "_fence.tmp", "20")
+    LayoutMeta.delete(spark, dir, "_fence")
+    assert(got.contains("20"))
+    // a writer entering on that crash state heals FIRST (promote tmp to
+    // live) before anything can truncate the only committed copy
+    LayoutMeta.writeAtomic(spark, dir, "_fence", "21")
+    assert(got.contains("21"))
+    assert(!LayoutMeta.exists(spark, dir, "_fence.tmp"))
+    noLocalLeak()
+  }
+
+  test("fenceOf parses at every consolidation crash state — a crashed " +
+    "fence advance can no longer take probes and batches down") {
+    registerScheme()
+    import spark.implicits._
+    import graft.sources.LayoutMeta
+    import graft.streaming.IngestHeavyHitters
+    val sp = fresh("grafttest_hh_fence_sum")
+    val cp = fresh("grafttest_hh_fence_cor")
+    val b = Seq.fill(8)(("g1", "hot")).toDF("g", "token")
+    IngestHeavyHitters.processBatch(b, 0L, sp, cp, "g", "token", 16)
+    IngestHeavyHitters.consolidate(spark, sp, cp, 1L, "g", "token")
+    assert(IngestHeavyHitters.fenceOf(spark, sp) == 1L)
+    def probeCount: Long =
+      IngestHeavyHitters.probe(spark, sp, cp, "g", "token", 4L).count()
+    // window A: advancing writer crashed after writing the tmp
+    LayoutMeta.write(spark, sp, "_graft_hh_fence.tmp", "2")
+    assert(IngestHeavyHitters.fenceOf(spark, sp) == 1L)
+    assert(probeCount == 1L)
+    // window B: crashed between delete and rename — fence resolves to the
+    // tmp's complete NEW value, probes keep answering
+    LayoutMeta.delete(spark, sp, "_graft_hh_fence")
+    assert(IngestHeavyHitters.fenceOf(spark, sp) == 2L)
+    assert(probeCount == 1L)
+    // the next consolidate heals and advances on top
+    IngestHeavyHitters.consolidate(spark, sp, cp, 3L, "g", "token")
+    assert(IngestHeavyHitters.fenceOf(spark, sp) == 3L)
+    assert(!LayoutMeta.exists(spark, sp, "_graft_hh_fence.tmp"))
+    assert(probeCount == 1L)
+    noLocalLeak()
+  }
+
   test("after a 'driver restart' (fresh filesystem instance), layout " +
     "readiness still reads true through the scheme") {
     registerScheme()
