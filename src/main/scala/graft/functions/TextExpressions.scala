@@ -97,11 +97,41 @@ object TextCounts {
   def register(spark: SparkSession): Unit =
     GraftRegistry.tempFunction(spark, FunctionName, exprs => TextCounts(exprs.head))
 
-  /** Column wrapper; registers against the active session on first use. */
-  def counts(text: Column): Column = {
-    SparkSession.getActiveSession.foreach(register)
-    F.call_function(FunctionName, text)
-  }
+  /** Column wrapper; registers against the active session on first use.
+    * On a non-classic (Spark Connect) session this returns the built-in
+    * twin ([[countsBuiltin]]) unless `spark.graft.connect.functions=
+    * server` routes to a server-side [[GraftExtensions]] install. */
+  def counts(text: Column): Column =
+    SparkSession.getActiveSession match {
+      case Some(s) if !GraftRegistry.canRegisterClientSide(s) &&
+          !GraftRegistry.useServerFunctions(s) =>
+        countsBuiltin(text)
+      case other =>
+        other.foreach(s => if (GraftRegistry.canRegisterClientSide(s)) register(s))
+        F.call_function(FunctionName, text)
+    }
+
+  /** Pure built-in-functions twin of [[TextCounts]] — the client-side
+    * Connect fallback. These are EXACTLY the regex definitions the
+    * expression replaced (the expression's own spec pins "TextCounts
+    * matches the regex definitions it replaces", so twin-vs-expression
+    * bit-identity is the already-tested equivalence): eight independent
+    * `length`/`regexp_count` passes instead of one byte loop — correct
+    * everywhere, slower; install [[GraftExtensions]] server-side for the
+    * fast path. Java regex `\s` is ASCII-only, matching the expression's
+    * whitespace set; a NULL text yields NULL (the expression's
+    * null-propagation), which the explicit when() preserves — a bare
+    * array() of null counts would be an array OF nulls instead. */
+  def countsBuiltin(text: Column): Column =
+    F.when(text.isNotNull, F.array(
+      F.length(text),                            // Chars = code points
+      F.regexp_count(text, F.lit("\\S+")),       // Tokens
+      F.regexp_count(text, F.lit("[a-zA-Z]")),   // Alpha
+      F.regexp_count(text, F.lit("[0-9]")),      // Digit
+      F.regexp_count(text, F.lit(" ")),          // Space (literal)
+      F.regexp_count(text, F.lit("[.,;:!?'\"()\\[\\]{}-]")), // Punct
+      F.regexp_count(text, F.lit("[A-Z]")),      // Upper
+      F.regexp_count(text, F.lit("\\S"))))       // NonSpace
 }
 
 /** Single-pass marker-word counting for language ID and stopword ratios.
@@ -185,10 +215,52 @@ object WordSetCounts {
   def register(spark: SparkSession, name: String, sets: Seq[Seq[String]]): Unit =
     GraftRegistry.tempFunction(spark, name, exprs => WordSetCounts(exprs.head, sets))
 
-  /** Column wrapper; the name must be stable per distinct set family. */
-  def counts(text: Column, name: String, sets: Seq[Seq[String]]): Column = {
-    SparkSession.getActiveSession.foreach(register(_, name, sets))
-    F.call_function(name, text)
+  /** Column wrapper; the name must be stable per distinct set family. On a
+    * non-classic (Spark Connect) session this returns the built-in twin —
+    * the parameterized name is NOT among [[GraftExtensions]]' stable
+    * injections, so a server could never resolve it (the
+    * [[LshPlanes.tableSignatures]] rule): the twin is the only Connect
+    * path, no dial. */
+  def counts(text: Column, name: String, sets: Seq[Seq[String]]): Column =
+    SparkSession.getActiveSession match {
+      case Some(s) if !GraftRegistry.canRegisterClientSide(s) =>
+        countsBuiltin(text, sets)
+      case other =>
+        other.foreach(s =>
+          if (GraftRegistry.canRegisterClientSide(s)) register(s, name, sets))
+        F.call_function(name, text)
+    }
+
+  /** Pure built-in-functions twin of [[WordSetCounts]] — the client-side
+    * Connect fallback, bit-identical by the expression's own definition
+    * ("a `\w` run equals a marker word iff the regex matches that
+    * occurrence"): one case-insensitive `\b(w1|w2|…)\b` alternation per
+    * set, against the ORIGINAL text. `(?i)` instead of `lower(text)`
+    * because Java's default ASCII-only case fold is exactly the
+    * expression's per-run byte lowercasing, while `lower()` could move
+    * run boundaries for non-ASCII code points (e.g. İ lowercases to two
+    * code points, one of them `\w`). Words the expression can never
+    * match — anything outside `[a-z0-9_]+` (runs are lowercased `\w`
+    * bytes) — are excluded rather than allowed to match spuriously; a
+    * word listed k times in one set counts k× in the expression's map,
+    * mirrored with (k−1) extra single-word passes (real marker sets have
+    * no duplicates, so this stays one scan per set). */
+  def countsBuiltin(text: Column, sets: Seq[Seq[String]]): Column = {
+    val perSet = sets.map { set =>
+      val eligible = set.filter(_.matches("[a-z0-9_]+"))
+      if (eligible.isEmpty) F.lit(0)
+      else {
+        val grouped = eligible.groupBy(identity)
+        val alternation =
+          "(?i)\\b(?:" + grouped.keys.toSeq.sorted.mkString("|") + ")\\b"
+        val base = F.regexp_count(text, F.lit(alternation))
+        val extras = grouped.toSeq.collect { case (w, occ) if occ.size > 1 =>
+          F.regexp_count(text, F.lit(s"(?i)\\b$w\\b")) * F.lit(occ.size - 1)
+        }
+        extras.foldLeft(base)(_ + _)
+      }
+    }
+    F.when(text.isNotNull, F.array(perSet: _*))
   }
 }
 
@@ -499,9 +571,36 @@ object Md5Longs {
   def register(spark: SparkSession): Unit =
     GraftRegistry.tempFunction(spark, FunctionName, exprs => Md5Longs(exprs.head))
 
-  /** Column wrapper; registers against the active session on first use. */
-  def longs(bin: Column): Column = {
-    SparkSession.getActiveSession.foreach(register(_))
-    F.call_function(FunctionName, bin)
+  /** Column wrapper; registers against the active session on first use.
+    * On a non-classic (Spark Connect) session this returns the built-in
+    * twin ([[longsBuiltin]]) unless `spark.graft.connect.functions=
+    * server` routes to a server-side [[GraftExtensions]] install. */
+  def longs(bin: Column): Column =
+    SparkSession.getActiveSession match {
+      case Some(s) if !GraftRegistry.canRegisterClientSide(s) &&
+          !GraftRegistry.useServerFunctions(s) =>
+        longsBuiltin(bin)
+      case other =>
+        other.foreach(s => if (GraftRegistry.canRegisterClientSide(s)) register(s))
+        F.call_function(FunctionName, bin)
+    }
+
+  /** Pure built-in-functions twin of [[Md5Longs]] — the client-side
+    * Connect fallback: the hex-string round trip the expression exists to
+    * skip, which is also why it is bit-identical by the expression's own
+    * contract ("bit-identical to the hex parses for every input" — the
+    * class doc's three projections spelled out with `md5()` + `conv()`).
+    * The signed third projection uses `conv(…, 16, -10)`: a negative
+    * target base renders the 64-bit value as SIGNED decimal, exactly the
+    * expression's big-endian signed read (an unsigned `conv(…, 16, 10)`
+    * would overflow the long cast for high-bit digests). Slower per value
+    * (one digest per projection plus string parses) — install
+    * [[GraftExtensions]] server-side for the fast path. */
+  def longsBuiltin(bin: Column): Column = {
+    val h = F.md5(bin)
+    F.when(bin.isNotNull, F.array(
+      F.conv(F.substring(h, 1, 12), 16, 10).cast("long"),
+      F.conv(F.substring(h, 17, 12), 16, 10).cast("long"),
+      F.conv(F.substring(h, 1, 16), 16, -10).cast("long")))
   }
 }

@@ -372,12 +372,16 @@ object GraftRegistry {
   /** True when client-side JVM expression registration is possible — the
     * ONE definition of "is this a classic session" ([[tempFunction]] and
     * the scalar wrappers' Connect-fallback dispatch both key on it). The
-    * SCALAR wrappers fall back to pure built-in-function twins on
-    * non-classic (Connect) sessions — bit-identical, slower (HOFs
-    * evaluate interpreted), but working out of the box instead of
-    * requiring the server-side [[GraftExtensions]] install. Aggregates
-    * ([[TopKByScore]], [[VectorSum]]) and the string expression families
-    * have no built-in twin and still need the server install. */
+    * SCALAR wrappers — including the string expression family
+    * ([[TextCounts]], [[WordSetCounts]], [[Md5Longs]]) — fall back to
+    * pure built-in-function twins on non-classic (Connect) sessions:
+    * bit-identical, slower (HOFs/regexes evaluate per pass), but working
+    * out of the box instead of requiring the server-side
+    * [[GraftExtensions]] install. The heap aggregates are narrower:
+    * [[TopKByScore]] has an opt-in sort-based twin (value-identical;
+    * order can diverge only on a -0.0/0.0 score tie — see
+    * [[VectorFunctions.topKByScore]]), [[VectorSum]] has no twin and
+    * still needs the server install. */
   def canRegisterClientSide(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.isInstanceOf[org.apache.spark.sql.classic.SparkSession]
 
@@ -690,10 +694,47 @@ object VectorFunctions {
   }
 
   /** Aggregate column for [[TopKByScore]]: the k best (score, id) pairs of
-    * the group as `array<struct<score, id>>` in rank order. */
-  def topKByScore(score: Column, id: Column, k: Int): Column = {
-    SparkSession.getActiveSession.foreach(register)
-    F.call_function(TopKFunctionName, score, id, F.lit(k))
+    * the group as `array<struct<score, id>>` in rank order. On a
+    * non-classic (Spark Connect) session without the `=server` dial this
+    * returns [[topKByScoreBuiltin]] — value-identical, with ONE documented
+    * reduced guarantee: a -0.0/0.0 score tie can rank in either order
+    * (SQL comparisons normalize the zeros equal, Java's Double.compare
+    * does not), and the collect-then-sort shape buffers whole groups
+    * where the heap keeps k rows. Install [[GraftExtensions]] server-side
+    * and set `spark.graft.connect.functions=server` for the exact heap. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    SparkSession.getActiveSession match {
+      case Some(s) if !GraftRegistry.canRegisterClientSide(s) &&
+          !GraftRegistry.useServerFunctions(s) =>
+        topKByScoreBuiltin(score, id, k)
+      case other =>
+        other.foreach(s => if (GraftRegistry.canRegisterClientSide(s)) register(s))
+        F.call_function(TopKFunctionName, score, id, F.lit(k))
+    }
+
+  /** Sort-based built-in twin of [[TopKByScore]] — the client-side Connect
+    * fallback: collect the group's (score, id) pairs, `array_sort` under
+    * the heap's exact comparator (score DESC, id ASC; Spark orders NaN
+    * above every number, matching Java's Double.compare), slice the top
+    * k. NULL scores/ids are skipped (the when() yields a NULL struct,
+    * which collect_list drops — the expression's skip rule). Known
+    * corner, spec-documented: Spark comparisons treat -0.0 = 0.0 while
+    * the heap's Double.compare orders -0.0 < 0.0, so a crossed-zero
+    * score tie falls through to the id tiebreak here — the SET of
+    * returned pairs is identical, only the order of that one tie can
+    * differ. */
+  def topKByScoreBuiltin(score: Column, id: Column, k: Int): Column = {
+    require(k > 0, s"top_k k must be positive, got $k")
+    val pair = F.when(score.isNotNull && id.isNotNull,
+      F.struct(score.cast("double").as("score"), id.cast("long").as("id")))
+    F.slice(
+      F.array_sort(F.collect_list(pair), (l, r) =>
+        F.when(l.getField("score") > r.getField("score"), -1)
+          .when(l.getField("score") < r.getField("score"), 1)
+          .when(l.getField("id") < r.getField("id"), -1)
+          .when(l.getField("id") > r.getField("id"), 1)
+          .otherwise(0)),
+      1, k)
   }
 
   /** Aggregate column for [[VectorSum]]: element-wise sums + row count of a

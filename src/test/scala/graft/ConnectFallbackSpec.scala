@@ -166,6 +166,139 @@ class ConnectFallbackSpec extends SparkTestBase {
     }
   }
 
+  test("countsBuiltin (regex twin) is bit-identical to TextCounts on every " +
+    "character-class corner") {
+    import graft.functions.TextCounts
+    val texts: Seq[Option[String]] = Seq(
+      Some("Hello, World! 42 times."),
+      Some(""), // empty: all zeros
+      Some("   \t\n\f\r  "), // every ASCII whitespace, no tokens
+      Some("héllo wörld — naïve café"), // multibyte code points count once
+      Some("a\u00A0b"), // NBSP is NOT ASCII \s: one token, like the regex
+      Some("[!?] {x} (y) 'quote' \"dq\" semi;colon: dash-done"),
+      Some("ALL CAPS AND 123 digits_under"),
+      None) // NULL text → NULL array
+    val got = texts.toDF("t")
+      .select(TextCounts.counts(col("t")).as("expr"),
+        TextCounts.countsBuiltin(col("t")).as("builtin"))
+      .collect()
+    got.foreach { r =>
+      (r.isNullAt(0), r.isNullAt(1)) match {
+        case (true, true) => ()
+        case (false, false) =>
+          assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+            s"expr=${r.getSeq[Int](0)} builtin=${r.getSeq[Int](1)}")
+        case other => fail(s"null-ness diverged: $other")
+      }
+    }
+  }
+
+  test("WordSetCounts.countsBuiltin matches the expression on boundary, " +
+    "case, ineligible-word, and duplicate-word corners") {
+    import graft.functions.WordSetCounts
+    val sets = Seq(
+      Seq("the", "a", "ab"), // overlapping-prefix alternation
+      Seq("don", "x_y"), // underscore is \w: 'don_t' matches neither set word
+      Seq("can't", "The"), // ineligible: non-\w char / uppercase — never match
+      Seq("hot", "hot"), // duplicate word: the expression counts it TWICE
+      Seq.empty[String])
+    val texts: Seq[Option[String]] = Seq(
+      Some("THE cat a ab don don_t x_y hot hot hot"),
+      Some("can't The the"), // apostrophe splits runs: can + t; 'The' lowers to the
+      Some("héllo the wörld"), // multibyte bytes are run boundaries both ways
+      Some(""),
+      None)
+    val got = texts.toDF("t")
+      .select(WordSetCounts.counts(col("t"), "graft_wsc_fbspec", sets).as("expr"),
+        WordSetCounts.countsBuiltin(col("t"), sets).as("builtin"))
+      .collect()
+    got.foreach { r =>
+      (r.isNullAt(0), r.isNullAt(1)) match {
+        case (true, true) => ()
+        case (false, false) =>
+          assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+            s"expr=${r.getSeq[Int](0)} builtin=${r.getSeq[Int](1)}")
+        case other => fail(s"null-ness diverged: $other")
+      }
+    }
+    // spot-pin the duplicate-word double count so the equivalence above
+    // cannot be two matching zeros
+    val dup = Seq("hot hot hot").toDF("t")
+      .select(WordSetCounts.countsBuiltin(col("t"), Seq(Seq("hot", "hot"))))
+      .first().getSeq[Int](0)
+    assert(dup == Seq(6)) // 3 occurrences × listed twice
+  }
+
+  test("Md5Longs.longsBuiltin (md5 + conv twin) is bit-identical, including " +
+    "the SIGNED third projection on high-bit digests") {
+    import graft.functions.Md5Longs
+    val rows: Seq[Option[Array[Byte]]] = Seq(
+      Some("hello world".getBytes("UTF-8")),
+      Some(Array.empty[Byte]), // md5 of empty input is defined
+      Some(Array[Byte](0, 1, 2, -1, -128, 127)),
+      // sweep until digests with the sign bit set appear (md5("j") does —
+      // but derive rather than hardcode)
+      None) ++ (0 until 64).map(i => Some(s"probe-$i".getBytes("UTF-8")))
+    val got = rows.toDF("b")
+      .select(Md5Longs.longs(col("b")).as("expr"),
+        Md5Longs.longsBuiltin(col("b")).as("builtin"))
+      .collect()
+    var sawNegative = false
+    got.foreach { r =>
+      (r.isNullAt(0), r.isNullAt(1)) match {
+        case (true, true) => ()
+        case (false, false) =>
+          assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+            s"expr=${r.getSeq[Long](0)} builtin=${r.getSeq[Long](1)}")
+          if (r.getSeq[Long](0)(2) < 0) sawNegative = true
+        case other => fail(s"null-ness diverged: $other")
+      }
+    }
+    // the corner that makes conv(…, 16, -10) load-bearing actually occurred
+    assert(sawNegative, "no digest exercised the signed high-bit read")
+  }
+
+  test("topKByScoreBuiltin returns the heap's exact ranking (NaN ranks " +
+    "first, NULLs skipped, short groups, id tiebreak); the -0.0/0.0 tie " +
+    "is the one documented order divergence") {
+    import graft.functions.VectorFunctions
+    val rows = Seq(
+      // (group, score, id)
+      ("g1", Some(1.0), Some(10L)), ("g1", Some(3.0), Some(11L)),
+      ("g1", Some(2.0), Some(12L)), ("g1", Some(3.0), Some(5L)), // tie → id asc
+      ("g1", Some(Double.NaN), Some(99L)), // NaN > everything (Double.compare)
+      ("g1", None, Some(1L)), ("g1", Some(9.0), None), // skipped
+      ("g2", Some(0.5), Some(20L))) // short group: fewer than k rows
+    val df = rows.toDF("g", "s", "id")
+    def ranked(c: org.apache.spark.sql.Column) =
+      df.groupBy("g").agg(c.as("top")).orderBy("g").collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(p => (p.getDouble(0), p.getLong(1))).toList).toMap
+    val expr = ranked(VectorFunctions.topKByScore(col("s"), col("id"), 3))
+    val twin = ranked(VectorFunctions.topKByScoreBuiltin(col("s"), col("id"), 3))
+    assert(expr("g1").head._2 == 99L && expr("g1").head._1.isNaN)
+    assert(expr("g1").map(_._2) == List(99L, 5L, 11L)) // NaN, then 3.0-tie by id
+    assert(twin("g1").map(_._2) == expr("g1").map(_._2))
+    assert(twin("g2") == expr("g2") && twin("g2") == List((0.5, 20L)))
+    // the documented corner: Double.compare orders -0.0 < 0.0 (heap ranks
+    // +0.0 better under DESC); SQL comparison calls them equal, so the
+    // twin falls through to the id tiebreak — same SET, that one tie's
+    // order may differ
+    val zeros = Seq(("z", -0.0, 7L), ("z", 0.0, 3L)).toDF("g", "s", "id")
+    def zorder(c: org.apache.spark.sql.Column): List[Long] =
+      zeros.groupBy("g").agg(c.as("top")).first()
+        .getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toList
+    assert(zorder(VectorFunctions.topKByScore(col("s"), col("id"), 2)) ==
+      List(3L, 7L)) // +0.0 (id 3) first under Double.compare
+    assert(zorder(VectorFunctions.topKByScoreBuiltin(col("s"), col("id"), 2)) ==
+      List(3L, 7L)) // equal scores → id asc: happens to agree here
+    assert(zorder(VectorFunctions.topKByScoreBuiltin(col("s") * -1.0, col("id"), 2)) ==
+      List(3L, 7L)) // negated: still id asc (SQL −0.0 = 0.0) …
+    assert(zorder(VectorFunctions.topKByScore(col("s") * -1.0, col("id"), 2)) ==
+      List(7L, 3L)) // … while the heap flips with the sign bit — the corner
+  }
+
   test("the server-functions dial reads the documented conf name and default, " +
     "once per session (it is a deployment property, not a per-query toggle)") {
     import graft.functions.GraftRegistry

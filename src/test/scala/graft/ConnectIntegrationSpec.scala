@@ -23,8 +23,10 @@ import graft.functions.{LshPlanes, Md5Longs, TextCounts, VectorFunctions}
   *      install (SparkTestBase sets `spark.sql.extensions`, the documented
   *      deployment), same results;
   *   3. the AGGREGATES (graft_top_k, graft_vector_sum) and string family
-  *      (graft_text_counts, graft_md5_longs), which have no client-side
-  *      twin and REQUIRE the server install — working end-to-end;
+  *      (graft_text_counts, graft_md5_longs) through the server install —
+  *      AND the client-side twins a plain (no-dial) client now gets for
+  *      the string family and top-k, bit-identical to classic (only
+  *      graft_vector_sum still requires the install);
   *   4. the uninstalled-function surface: a name the server cannot resolve
   *      fails with UNRESOLVED_ROUTINE naming the function (what a Connect
   *      user of a parameterized family sees without the fallback).
@@ -207,6 +209,48 @@ class ConnectIntegrationSpec extends SparkTestBase with BeforeAndAfterAll {
         .collect().toSeq
     }
     assert(run(serverDialClient).toString == run(spark).toString)
+  }
+
+  test("string family FALLBACK: a plain Connect client (no dial) gets the " +
+    "regex/md5/word-set twins — bit-identical to classic execution") {
+    import graft.functions.WordSetCounts
+    val sets = Seq(Seq("hello", "b"), Seq("a", "the"))
+    def run(s: SparkSession): Seq[Row] = withActive(s) {
+      s.sql("SELECT * FROM VALUES ('Hello, wörld 42!'), (''), ('  a  b  '), " +
+          "(CAST(NULL AS STRING)) t(t)")
+        .select(
+          TextCounts.counts(F.col("t")).as("c"),
+          WordSetCounts.counts(F.col("t"), "graft_wsc_it", sets).as("w"),
+          Md5Longs.longs(F.encode(F.col("t"), "UTF-8")).as("m"))
+        .collect().toSeq
+    }
+    withActive(client) {
+      // the dispatch really took the twins, not call_function
+      assert(!TextCounts.counts(F.lit("x")).toString
+        .contains(TextCounts.FunctionName))
+      assert(!Md5Longs.longs(F.lit(Array[Byte](1))).toString
+        .contains(Md5Longs.FunctionName))
+    }
+    assert(run(client).toString == run(spark).toString)
+  }
+
+  test("top-k FALLBACK: a plain Connect client gets the sort twin — same " +
+    "ranking as the classic heap (no -0.0 ties in this data, the one " +
+    "documented divergence)") {
+    def run(s: SparkSession): Seq[Row] = withActive(s) {
+      val df = s.read.parquet(vecPath)
+      df.filter(F.col("a").isNotNull && !F.exists(F.col("a"), _.isNull) &&
+          F.size(F.col("a")) === 8)
+        .groupBy((F.col("id") % 2).as("g"))
+        .agg(VectorFunctions.topKByScore(
+          F.element_at(F.col("a"), 1).cast("double"), F.col("id"), 3).as("top"))
+        .orderBy("g").collect().toSeq
+    }
+    withActive(client) {
+      assert(!VectorFunctions.topKByScore(F.lit(1.0), F.lit(1L), 3).toString
+        .contains(VectorFunctions.TopKFunctionName))
+    }
+    assert(run(client).toString == run(spark).toString)
   }
 
   test("the full compare engine runs through a live Connect session — " +
