@@ -44,12 +44,19 @@ object Bench {
     // NOT added to any query's time — it is the opposite: it keeps query
     // times from absorbing host stalls. Each pause is logged to stderr.
     var probeSink = 0L // keeps the JIT from eliding the probe loop
+    // every probe lands here so the emitted JSON can carry its own
+    // throttle adjudication (canary_median / canary_p90 vs the committed
+    // idle band) — a throttled window is then visible IN the artifact
+    // instead of requiring a cross-reference against the minimum history
+    val probeLog = scala.collection.mutable.ArrayBuffer[Double]()
     def clockProbe(): Double = {
       val t0 = System.nanoTime()
       var s = 0L; var i = 0
       while (i < 20000000) { s += i; i += 1 }
       probeSink ^= s
-      (System.nanoTime() - t0) / 1e9
+      val p = (System.nanoTime() - t0) / 1e9
+      probeLog += p
+      p
     }
     // Baseline anchor: the run's own measurement is wrong when the RUN
     // STARTS inside a throttle window (the baseline self-inflates and the
@@ -263,8 +270,23 @@ object Bench {
     val minJson = results.flatMap { case (k, _) =>
       minSoFar.get(histKey(k)).map(m => s"\"" + k + "\":" + m) }
       .mkString("{", ",", "}")
+    // Self-adjudicating artifact: per-query fixed-work canary stats ride
+    // the JSON line. probeLog holds one probe per timed query (taken by
+    // quiesceIfThrottled immediately before it) plus warmup/quiesce
+    // probes; the committed idle band for this 20M-add probe is ~8-20ms,
+    // so canary_p90 well above ~2× canary_min means host throttling
+    // dilated part of the run and the totals should be read against
+    // min_so_far rather than at face value.
+    def pct(sorted: IndexedSeq[Double], q: Double): Double =
+      if (sorted.isEmpty) 0.0
+      else sorted(math.min(sorted.length - 1, (q * sorted.length).toInt))
+    val probesSorted = probeLog.toIndexedSeq.sorted
+    def sec4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val canaryJson =
+      s""""canary_min":${sec4(pct(probesSorted, 0.0))},"canary_median":${sec4(pct(probesSorted, 0.5))},"canary_p90":${sec4(pct(probesSorted, 0.9))},"canary_max":${sec4(pct(probesSorted, 1.0))},"canary_n":${probesSorted.length}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"min_so_far":$minJson,"total_min_so_far":$totalMin,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"min_so_far":$minJson,"total_min_so_far":$totalMin,$canaryJson,"sf":"$sfDir"}"""
     // The full per-query line is ~7 KB at 170+ queries; the round driver
     // keeps only the LAST ~2000 chars of stdout, so rounds 8-10 recorded
     // parsed:null with a mid-line tail fragment. Persist the full line to
@@ -282,7 +304,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val top = results.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + sec3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"total_min_so_far":${sec3(totalMin)},"slowest":$top,"sf":"$sfDir","full":"target/bench_full.json"}""")
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"total_min_so_far":${sec3(totalMin)},$canaryJson,"slowest":$top,"sf":"$sfDir","full":"target/bench_full.json"}""")
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
     graft.operators.Dedup.releaseCaches()
     val localDir = spark.conf.get("spark.local.dir")

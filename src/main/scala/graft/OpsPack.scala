@@ -292,6 +292,7 @@ object OpsPack {
     multimodalProbeIndexVideo(s, dir)
     embeddingIncremental(s, dir)
     textHeavyHittersStreamed(s, dir)
+    textHeavyHittersLateErase(s, dir)
     corpusRetention(s, dir)
     trainShardsQuery(s, dir)
     trainInterleaveShardsQuery(s, dir)
@@ -1117,6 +1118,58 @@ object OpsPack {
         IngestHeavyHitters.processBatch(slice(0), 0L, sp, cp, "lang", "token", cap)
         // one post-fence batch rides alongside the consolidated dirs
         IngestHeavyHitters.processBatch(slice(2), 2L, sp, cp, "lang", "token", cap)
+        Files.write(done, Array.emptyByteArray)
+      }
+      (sp, cp)
+    })
+    IngestHeavyHitters.probe(s, sumP, corP, "lang", "token",
+      HeavyHitterGroupDenominator)
+      .orderBy(col("lang"), col("freq").desc, col("token"))
+  }
+
+  private val hhLateEraseCache =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** LATE-erasure heavy hitters ([[graft.streaming.IngestHeavyHitters]]
+    * with `retainIds` consolidation): batches 0-1 ingest two doc slices
+    * WITH the document id, consolidate under a fence keeping the id in
+    * the corpus aggregate — and only THEN does the erasure request
+    * arrive (`doc_id % 17 = 0`), reaching rows already merged below the
+    * fence. A post-fence batch re-delivers some erased docs (tombstones
+    * persist, so they stay invisible). The probe must equal the plain
+    * GROUP BY/HAVING mirror with erased docs excluded from every token
+    * frequency while support thresholds stay against INGESTED group
+    * totals (the summaries hold no ids — the stricter-only contract). */
+  def textHeavyHittersLateErase(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.IngestHeavyHitters
+    val cap = 2 * HeavyHitterGroupDenominator.toInt
+    val (sumP, corP) = Memo.memo(hhLateEraseCache, dir, {
+      val root = "target/graft_hh_late_erase_" + layoutStamp(dir, "documents",
+        s"hh-late|$HeavyHitterGroupDenominator|$cap|mod17|v1")
+      val (sp, cp) = (s"$root/summaries", s"$root/corpus")
+      val done = Paths.get(root, "_graft_ingest_done")
+      if (!Files.exists(done)) {
+        deleteRecursively(Paths.get(root))
+        Files.createDirectories(Paths.get(root))
+        def slice(parity: Int) =
+          graft.operators.Parallelize.spread(
+            docs(s, dir).where(col("doc_id") % 3 === parity))
+            .select(col("lang"), col("doc_id"),
+              explode(split(trim(col("text")), "\\s+")).as("token"))
+        IngestHeavyHitters.processBatch(slice(0), 0L, sp, cp, "lang", "token",
+          cap, idCol = Some("doc_id"))
+        IngestHeavyHitters.processBatch(slice(1), 1L, sp, cp, "lang", "token",
+          cap, idCol = Some("doc_id"))
+        IngestHeavyHitters.consolidate(s, sp, cp, 2L, "lang", "token",
+          retainIds = true)
+        // the LATE request: ids merged below the fence are still reachable
+        IngestHeavyHitters.deleteIds(
+          docs(s, dir).where(col("doc_id") % 17 === 0).select("doc_id"),
+          cp, "doc_id")
+        // post-fence delivery re-carries some erased docs — tombstones win
+        IngestHeavyHitters.processBatch(slice(2), 2L, sp, cp, "lang", "token",
+          cap, idCol = Some("doc_id"))
         Files.write(done, Array.emptyByteArray)
       }
       (sp, cp)
@@ -4083,6 +4136,7 @@ object OpsPack {
     "q_text_heavy_hitters" -> (textHeavyHitters _),
     "q_text_heavy_hitters_grouped" -> (textHeavyHittersGrouped _),
     "q_text_heavy_hitters_stream" -> (textHeavyHittersStreamed _),
+    "q_hh_erasure_late" -> (textHeavyHittersLateErase _),
     "q_sketch_countmin" -> (sketchCountMin _),
     "q_sketch_distinct" -> (sketchDistinct _),
     "q_sketch_distinct_grouped" -> (sketchDistinctGrouped _),
@@ -5263,6 +5317,21 @@ object OpsPack {
        |tot AS (SELECT lang, count(*) n FROM toks GROUP BY 1),
        |cf AS (SELECT lang, t AS token, CAST(count(*) AS BIGINT) freq
        |       FROM toks GROUP BY 1, 2)
+       |SELECT cf.lang, token, freq FROM cf JOIN tot USING (lang)
+       |WHERE freq * $HeavyHitterGroupDenominator >= n
+       |ORDER BY lang, freq DESC, token""".stripMargin
+
+  /** [[heavyHittersGroupedSql]] with the late-erasure contract spelled
+    * out: erased docs (`doc_id % 17 = 0`) leave every token FREQUENCY,
+    * while the support threshold divides INGESTED group totals (the
+    * summaries' sentinels hold no ids — stricter-only). */
+  private val heavyHittersLateEraseSql: String =
+    s"""WITH toks AS (SELECT lang, doc_id,
+       |                unnest(regexp_split_to_array(trim(text), '\\s+')) t
+       |              FROM documents WHERE lang IS NOT NULL),
+       |tot AS (SELECT lang, count(*) n FROM toks GROUP BY 1),
+       |cf AS (SELECT lang, t AS token, CAST(count(*) AS BIGINT) freq
+       |       FROM toks WHERE doc_id % 17 <> 0 GROUP BY 1, 2)
        |SELECT cf.lang, token, freq FROM cf JOIN tot USING (lang)
        |WHERE freq * $HeavyHitterGroupDenominator >= n
        |ORDER BY lang, freq DESC, token""".stripMargin
@@ -7742,6 +7811,7 @@ object OpsPack {
     "q_text_heavy_hitters" -> heavyHittersSql,
     "q_text_heavy_hitters_grouped" -> heavyHittersGroupedSql,
     "q_text_heavy_hitters_stream" -> heavyHittersGroupedSql,
+    "q_hh_erasure_late" -> heavyHittersLateEraseSql,
     "q_sketch_countmin" -> countMinSql,
     "q_sketch_distinct" -> distinctSketchSql,
     "q_sketch_distinct_grouped" -> distinctSketchGroupedSql,

@@ -126,7 +126,8 @@ object Retention {
     * resolves to deleted (its tombstone file is not in this snapshot).
     * Returns the number of ids removed from the snapshot's tombstone
     * set. */
-  def reinstate(ids: DataFrame, corpusPath: String, idCol: String): Long = {
+  def reinstate(ids: DataFrame, corpusPath: String, idCol: String,
+      broadcastLimit: Long = 4000000L): Long = {
     val spark = ids.sparkSession
     require(BucketedCorpus.ready(spark, corpusPath),
       s"no BucketedCorpus layout at $corpusPath (missing bucket metadata) — " +
@@ -136,13 +137,21 @@ object Retention {
     val ts = readTombstones(spark, snapshot, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // unlike deleteIds' erasure sets, a reinstate can be BULK (a mass
+      // re-consent) — gate the broadcast on the lift set's size instead
+      // of assuming it, the HeavyHitters candidate-gate pattern: small
+      // sets take the broadcast anti-join, anything larger falls back to
+      // the shuffled anti-join rather than collecting onto the driver
       val lift = ids.select(col(idCol).as("__graft_lift_id")).distinct()
-      val remainder = ts.join(broadcast(lift),
-        col(idCol) === col("__graft_lift_id"), "left_anti")
-      val total = ts.count()
-      val lifted = replaceTombstoneSnapshot(spark, corpusPath, snapshot,
-        remainder, idCol, total)
-      lifted
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val small = lift.count() <= broadcastLimit
+        val remainder = ts.join(if (small) broadcast(lift) else lift,
+          col(idCol) === col("__graft_lift_id"), "left_anti")
+        val total = ts.count()
+        replaceTombstoneSnapshot(spark, corpusPath, snapshot,
+          remainder, idCol, total)
+      } finally { lift.unpersist(); () }
     } finally { ts.unpersist(); () }
   }
 

@@ -74,17 +74,26 @@ import graft.sources.{Compaction, LayoutMeta, Retention}
   * corpus layout): every probe's recount anti-joins the tombstones
   * IMMEDIATELY, and the next [[consolidate]] drops the rows physically
   * while it is rewriting anyway (tombstones persist — post-fence raw
-  * batches or a replayed batch may still carry the id). Summaries keep
-  * their aggregate counts: they hold no document ids (nothing to erase
-  * under an id-keyed request), so after an erasure the support thresholds
-  * remain computed against INGESTED group totals while erased occurrences
-  * no longer count toward any token's frequency — a stricter-only filter.
-  * For bulk age-out, rebuild the layouts instead. */
+  * batches or a replayed batch may still carry the id). Consolidation is
+  * normally the AGGREGATION BOUNDARY for erasure: the collapsed
+  * (group, token, count) rows hold no ids, so a request arriving after
+  * the fence has no handle on them — [[deleteIds]] REFUSES loudly in
+  * that state rather than silently leaving the tokens in the merged
+  * counts. Deployments that must honor late erasure consolidate with
+  * `retainIds = true` from the start: the corpus aggregate then keys on
+  * (group, token, id) — probe-identical, erasable forever, aggregate
+  * size following distinct triples instead of pairs. Summaries keep
+  * their aggregate counts either way: they hold no document ids, so
+  * after an erasure the support thresholds remain computed against
+  * INGESTED group totals while erased occurrences no longer count toward
+  * any token's frequency — a stricter-only filter. For bulk age-out,
+  * rebuild the layouts instead. */
 object IngestHeavyHitters {
 
   private[graft] val CapacityFile = "_graft_hh_capacity"
   private[graft] val FenceFile = "_graft_hh_fence"
   private[graft] val IdColFile = "_graft_hh_id"
+  private[graft] val RetainFile = "_graft_hh_retain"
   private[graft] val WeightCol = "__graft_tc"
 
   /** Start the ingest stream. `rows` is a STREAMING frame carrying at
@@ -200,17 +209,47 @@ object IngestHeavyHitters {
   def fenceOf(summaryPath: String): Long =
     fenceOf(SparkSession.active, summaryPath)
 
+  /** The corpus consolidation retain mode: `Some("ids")` when consolidated
+    * aggregates keep the document id column (late erasure reaches them),
+    * `Some("agg")` when they collapsed to (group, token, count) (ids
+    * gone — the aggregation boundary), `None` before any consolidation
+    * stamped a mode. Write-once: the first [[consolidate]] fixes it for
+    * the layout's lifetime (mixing both shapes in one layout would leave
+    * NULL-id rows no erasure request could ever name). */
+  def retainModeOf(spark: SparkSession, corpusPath: String): Option[String] =
+    LayoutMeta.readOpt(spark, corpusPath, RetainFile).map(_.trim)
+
   /** Logically erase a document's token rows: `ids` is a single-column
     * frame of the id column the corpus was ingested with. Probes exclude
-    * the rows immediately (tombstone anti-join); the next [[consolidate]]
-    * drops them physically from everything below its fence. */
+    * the rows immediately (tombstone anti-join over raw batch dirs AND —
+    * under `retainIds` consolidation — the consolidated aggregates); the
+    * next [[consolidate]] drops them physically from everything below its
+    * fence.
+    *
+    * FAILS LOUDLY when consolidated aggregates exist that the erasure
+    * cannot reach: a layout consolidated WITHOUT `retainIds = true` has
+    * collapsed pre-fence rows to (group, token, count) with no id, so an
+    * id-keyed request arriving after that point would silently leave the
+    * erased document's tokens inside the merged counts forever. The
+    * remedies are named in the error: consolidate with retainIds from the
+    * start, or rebuild the layout. */
   def deleteIds(ids: DataFrame, corpusPath: String, idCol: String): Unit = {
+    val spark = ids.sparkSession
     val recorded =
-      LayoutMeta.readOpt(ids.sparkSession, corpusPath, IdColFile).map(_.trim)
+      LayoutMeta.readOpt(spark, corpusPath, IdColFile).map(_.trim)
     require(recorded.contains(idCol),
       s"corpus at $corpusPath does not carry id column '$idCol' " +
         s"(ingested with idCol='${recorded.getOrElse("<no layout>")}') — " +
         "an erasure request with no handle must fail loudly")
+    val consolidated = batchDirs(spark, corpusPath).exists(_._1 < 0)
+    if (consolidated && !retainModeOf(spark, corpusPath).contains("ids"))
+      throw new IllegalStateException(
+        s"corpus at $corpusPath holds consolidated aggregates WITHOUT " +
+          "document ids (consolidate ran with retainIds = false): an " +
+          "id-keyed erasure cannot reach rows already merged — " +
+          "consolidate with retainIds = true from the first consolidation " +
+          "to keep late erasure possible, or rebuild the layout to erase " +
+          "what this one already merged")
     Retention.appendTombstones(ids, corpusPath, idCol)
   }
 
@@ -234,16 +273,55 @@ object IngestHeavyHitters {
     * reads are unaffected by the fence, and a half-done swap recovers at
     * the next entry). Idempotent; a no-op when nothing new is covered.
     * Offline-maintenance caveat: a probe running CONCURRENTLY with the
-    * swap window can see a row twice ([[Compaction.replaceDirs]]). */
+    * swap window can see a row twice ([[Compaction.replaceDirs]]).
+    *
+    * `retainIds = true` keeps the ingest-recorded document id in the
+    * corpus aggregate — (group, token, id, count) instead of
+    * (group, token, count) — so an erasure request arriving AFTER
+    * consolidation still has a handle on the merged rows ([[deleteIds]]
+    * refuses otherwise). The probe is bit-identical either way (summing
+    * per-id weights ≡ summing the collapsed weight); the cost is aggregate
+    * size following distinct (group, token, id) triples instead of
+    * (group, token) pairs. The mode is WRITE-ONCE per layout (stamped at
+    * the first consolidation, drift rejected): mixing both shapes would
+    * leave NULL-id rows no erasure request could ever name. */
   def consolidate(
       spark: SparkSession,
       summaryPath: String,
       corpusPath: String,
       fence: Long,
       groupCol: String,
-      tokenCol: String): Unit = {
+      tokenCol: String,
+      retainIds: Boolean = false): Unit = {
     require(fence >= 0, s"fence must be non-negative, got $fence")
     if (!ready(spark, summaryPath)) return
+    val idCol =
+      LayoutMeta.readOpt(spark, corpusPath, IdColFile).map(_.trim).filter(_.nonEmpty)
+    require(!retainIds || idCol.nonEmpty,
+      s"retainIds = true but the corpus at $corpusPath was ingested " +
+        "without an id column — there is nothing to retain (re-ingest " +
+        "with idCol to make late erasure possible)")
+    val mode = if (retainIds) "ids" else "agg"
+    retainModeOf(spark, corpusPath) match {
+      case Some(m) => require(m == mode,
+        s"corpus at $corpusPath consolidates with retain mode '$m', " +
+          s"caller asked '$mode' — the mode is fixed at the layout's " +
+          "first consolidation (mixed aggregates would hold NULL-id rows " +
+          "no erasure could name); rebuild the layout to change it")
+      case None =>
+        // grandfathering: aggregates consolidated before a mode was
+        // stamped collapsed their ids — beginning to retain mid-layout
+        // would mix id-less and id-keyed rows in one aggregate
+        require(!retainIds || batchDirs(spark, corpusPath).forall(_._1 >= 0),
+          s"corpus at $corpusPath already holds consolidated aggregates " +
+            "without ids (built before a retain mode was stamped) — " +
+            "cannot begin retaining ids mid-layout; rebuild the layout")
+        // meta BEFORE the swap (the capacity discipline): a crash after
+        // the merged dir lands but before the stamp would let a re-run
+        // with the OTHER mode pass its own drift check against dirs of
+        // the first mode's shape
+        LayoutMeta.write(spark, corpusPath, RetainFile, mode)
+    }
     // recover any half-done swap BEFORE listing: a crash after a previous
     // swap's rename-but-before-deletes would otherwise list the target AND
     // the olds, and replaceDirs' target-not-in-olds require would throw
@@ -273,12 +351,15 @@ object IngestHeavyHitters {
 
     val corOlds = batchDirs(spark, corpusPath).filter(_._1 < f)
     if (needsSwap(corOlds)) {
-      // erased ids drop here, physically, while the rewrite is free — the
-      // id column does not survive into the aggregate, which is why
-      // tombstoned rows must go now or never (weightedTokens filterLives
-      // the raw dirs)
-      val merged = weightedTokens(spark, corpusPath, corOlds, groupCol, tokenCol)
-        .groupBy(col(groupCol), col(tokenCol))
+      // tombstoned rows drop here, physically, while the rewrite is free.
+      // Without retainIds the id column does not survive into the
+      // aggregate, so this is their now-or-never exit; with retainIds the
+      // aggregate keys on the id too and stays erasable afterwards.
+      val carryId = if (retainIds) idCol else None
+      val keyCols = (Seq(groupCol, tokenCol) ++ carryId.toSeq).map(col)
+      val merged = weightedTokens(spark, corpusPath, corOlds, groupCol,
+        tokenCol, carryId)
+        .groupBy(keyCols: _*)
         .agg(sum(col(WeightCol)).as(WeightCol))
       Compaction.replaceDirs(spark, new Path(corpusPath),
         corOlds.map(d => s"batch=${d._1}"), target, merged)
@@ -299,14 +380,21 @@ object IngestHeavyHitters {
     }
   }
 
-  /** The token corpus as ONE weighted (group, token, weight) frame: raw
-    * batch dirs at weight 1 — tombstone-filtered, the erasure contract —
-    * unioned with consolidated aggregates' carried counts. The single
+  /** The token corpus as ONE weighted (group, token [, id], weight) frame:
+    * raw batch dirs at weight 1 — tombstone-filtered, the erasure
+    * contract — unioned with consolidated aggregates' carried counts.
+    * Consolidated dirs are tombstone-filtered too WHEN the layout retains
+    * ids (`retainIds` consolidation — late erasure reaches the merged
+    * rows on the very next probe); id-less aggregates pass through as-is,
+    * which is why [[deleteIds]] refuses on such layouts. `carryId` keeps
+    * the id column in the output ([[consolidate]]'s retained merge needs
+    * it as a grouping key; the probe recount does not). The single
     * definition [[probe]]'s recount and [[consolidate]]'s merge both
     * consume, so their tombstone/weight semantics can never diverge
     * (consolidation must stay bit-identical to the probe). */
   private def weightedTokens(spark: SparkSession, corpusPath: String,
-      dirs: Seq[(Long, String)], groupCol: String, tokenCol: String): DataFrame = {
+      dirs: Seq[(Long, String)], groupCol: String, tokenCol: String,
+      carryId: Option[String] = None): DataFrame = {
     // reachable: a replayed ONLY batch crashing mid-overwrite deletes its
     // corpus dir before rewriting it while the summary dirs survive — give
     // the crash-window contract message, not an opaque empty.reduce
@@ -314,13 +402,21 @@ object IngestHeavyHitters {
       s"token corpus at $corpusPath holds no committed batches (replay " +
         "crash window or empty layout) — replay the batch before probing")
     val (cons, raw) = dirs.partition(_._1 < 0)
+    val idCols = carryId.map(col).toSeq
     val rawT = if (raw.isEmpty) None else Some(
       Retention.filterLive(spark, corpusPath,
         spark.read.parquet(raw.map(_._2): _*))
-        .select(col(groupCol), col(tokenCol), lit(1L).as(WeightCol)))
-    val consT = if (cons.isEmpty) None else Some(
-      spark.read.parquet(cons.map(_._2): _*)
-        .select(col(groupCol), col(tokenCol), col(WeightCol)))
+        .select(Seq(col(groupCol), col(tokenCol)) ++ idCols :+
+          lit(1L).as(WeightCol): _*))
+    val consT = if (cons.isEmpty) None else {
+      val read = spark.read.parquet(cons.map(_._2): _*)
+      val live =
+        if (retainModeOf(spark, corpusPath).contains("ids"))
+          Retention.filterLive(spark, corpusPath, read)
+        else read
+      Some(live.select(Seq(col(groupCol), col(tokenCol)) ++ idCols :+
+        col(WeightCol): _*))
+    }
     (rawT.toSeq ++ consT.toSeq).reduce(_ unionByName _)
   }
 

@@ -343,6 +343,85 @@ class HeavyHittersSpec extends SparkTestBase {
     } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("late erasure: consolidate(retainIds) keeps ids in the aggregate so " +
+    "deleteIds AFTER the fence still reaches merged rows; the default mode " +
+    "refuses loudly instead of silently leaving them") {
+    import graft.streaming.IngestHeavyHitters
+    val batch0 = Seq.fill(20)(("g1", "common", 1L)).toDF("g", "token", "doc_id")
+    val batch1 = Seq.fill(8)(("g1", "secret", 99L)).toDF("g", "token", "doc_id")
+
+    // default (agg) mode: post-consolidation erasure must REFUSE — the ids
+    // are gone from the aggregate, a silent no-op would leave the tokens
+    // in the merged counts forever
+    val r1 = java.nio.file.Files.createTempDirectory("graft_hh_late1").toString
+    val (sp1, cp1) = (s"$r1/summaries", s"$r1/corpus")
+    try {
+      IngestHeavyHitters.processBatch(batch0, 0L, sp1, cp1, "g", "token", 16,
+        idCol = Some("doc_id"))
+      IngestHeavyHitters.processBatch(batch1, 1L, sp1, cp1, "g", "token", 16,
+        idCol = Some("doc_id"))
+      IngestHeavyHitters.consolidate(spark, sp1, cp1, 2L, "g", "token")
+      assert(IngestHeavyHitters.retainModeOf(spark, cp1).contains("agg"))
+      val ex = intercept[IllegalStateException] {
+        IngestHeavyHitters.deleteIds(Seq(99L).toDF("doc_id"), cp1, "doc_id")
+      }
+      assert(ex.getMessage.contains("retainIds"))
+      // the mode is write-once: flipping to retainIds mid-layout is drift
+      val ex2 = intercept[IllegalArgumentException] {
+        IngestHeavyHitters.consolidate(spark, sp1, cp1, 3L, "g", "token",
+          retainIds = true)
+      }
+      assert(ex2.getMessage.contains("retain"))
+      // pre-consolidation erasure was and stays fine on such a layout —
+      // only rows already merged are unreachable
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(r1))
+
+    // retained mode: the aggregate keys on (group, token, id) and erasure
+    // works at any time
+    val r2 = java.nio.file.Files.createTempDirectory("graft_hh_late2").toString
+    val (sp2, cp2) = (s"$r2/summaries", s"$r2/corpus")
+    try {
+      IngestHeavyHitters.processBatch(batch0, 0L, sp2, cp2, "g", "token", 16,
+        idCol = Some("doc_id"))
+      IngestHeavyHitters.processBatch(batch1, 1L, sp2, cp2, "g", "token", 16,
+        idCol = Some("doc_id"))
+      IngestHeavyHitters.consolidate(spark, sp2, cp2, 2L, "g", "token",
+        retainIds = true)
+      assert(IngestHeavyHitters.retainModeOf(spark, cp2).contains("ids"))
+      def probed = IngestHeavyHitters.probe(spark, sp2, cp2, "g", "token", 4L)
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      assert(probed == Seq(("g1", "common", 20L), ("g1", "secret", 8L)))
+      val cons2 = spark.read.parquet(s"$cp2/batch=-2")
+      assert(cons2.columns.contains("doc_id")) // the late-erasure handle
+      assert(cons2.count() ==
+        cons2.select("g", "token", "doc_id").distinct().count())
+      // LATE erasure — the request arrives after the rows were merged
+      IngestHeavyHitters.deleteIds(Seq(99L).toDF("doc_id"), cp2, "doc_id")
+      assert(probed == Seq(("g1", "common", 20L))) // immediate, via tombstones
+      // and the next consolidation drops the merged rows physically
+      IngestHeavyHitters.processBatch(
+        Seq.fill(12)(("g1", "common", 1L)).toDF("g", "token", "doc_id"),
+        2L, sp2, cp2, "g", "token", 16, idCol = Some("doc_id"))
+      IngestHeavyHitters.consolidate(spark, sp2, cp2, 3L, "g", "token",
+        retainIds = true)
+      val cons3 = spark.read.parquet(s"$cp2/batch=-3")
+      assert(cons3.where(col("token") === "secret").count() == 0)
+      assert(probed == Seq(("g1", "common", 32L)))
+      // retainIds without an ingest-recorded id column is a named error
+      val r3 = java.nio.file.Files.createTempDirectory("graft_hh_late3").toString
+      try {
+        IngestHeavyHitters.processBatch(batch0.drop("doc_id"), 0L,
+          s"$r3/summaries", s"$r3/corpus", "g", "token", 16)
+        val ex3 = intercept[IllegalArgumentException] {
+          IngestHeavyHitters.consolidate(spark, s"$r3/summaries",
+            s"$r3/corpus", 1L, "g", "token", retainIds = true)
+        }
+        assert(ex3.getMessage.contains("without an id column"))
+      } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(r3))
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(r2))
+  }
+
   test("per-group candidate broadcast gate is BYTE-aware and the shuffled path is recompute-safe") {
     // a row count far under the limit must still refuse to collect when the
     // summed (group + token) chars exceed the byte gate — long boilerplate

@@ -182,6 +182,26 @@ class RetentionSpec extends SparkTestBase {
     } finally rm(root)
   }
 
+  test("bulk reinstate past the broadcast gate takes the shuffled anti-join " +
+    "and lifts identically (a mass re-consent must not OOM the driver)") {
+    val root = tmp("graft_retention_bulk")
+    val path = s"$root/corpus"
+    try {
+      freshCorpus(path)
+      Retention.deleteIds(Seq(1L, 2L, 3L).toDF("id"), path, "id")
+      def liveIds = BucketedCorpus.readAll(spark, path)
+        .select("id").as[Long].collect().toSet
+      assert(!liveIds.contains(1L) && !liveIds.contains(3L))
+      // broadcastLimit = 0 forces every lift set over the gate — the
+      // shuffled path must produce the same lift the broadcast path does
+      assert(Retention.reinstate(Seq(1L, 3L).toDF("id"), path, "id",
+        broadcastLimit = 0L) == 2L)
+      assert(liveIds.contains(1L) && !liveIds.contains(2L) && liveIds.contains(3L))
+      // id 2's tombstone survived the bulk lift
+      assert(Retention.hasTombstones(path))
+    } finally rm(root)
+  }
+
   test("tombstone-aware compaction: over-threshold buckets drop dead rows while " +
     "rewriting, covered tombstones clear, uncovered stay queued, reads identical") {
     val root = tmp("graft_retention_cmp")
