@@ -500,10 +500,50 @@ object PortableWinnowMd5 {
     GraftRegistry.tempFunction(spark, functionName(k, w),
       exprs => PortableWinnowMd5(exprs.head, k, w))
 
-  /** Column wrapper; registers against the active session on first use. */
-  def fingerprints(text: Column, k: Int, w: Int): Column = {
-    SparkSession.getActiveSession.foreach(register(_, k, w))
-    F.call_function(functionName(k, w), text)
+  /** Column wrapper; registers against the active session on first use.
+    * On a non-classic (Spark Connect) session this returns the built-in
+    * twin ([[fingerprintsBuiltin]]). No `=server` dial escape here: no
+    * `graft_winnow_md5_*` name is among [[GraftExtensions]]' stable
+    * injections (only the non-portable `graft_winnow_5_4` is), so a
+    * server could never resolve it — the [[LshPlanes.tableSignatures]]
+    * rule, the twin is the only Connect path. */
+  def fingerprints(text: Column, k: Int, w: Int): Column =
+    SparkSession.getActiveSession match {
+      case Some(s) if !GraftRegistry.canRegisterClientSide(s) =>
+        fingerprintsBuiltin(text, k, w)
+      case other =>
+        other.foreach(s =>
+          if (GraftRegistry.canRegisterClientSide(s)) register(s, k, w))
+        F.call_function(functionName(k, w), text)
+    }
+
+  /** Pure built-in-functions twin of [[PortableWinnowMd5]] — the
+    * client-side Connect fallback, and a readable statement of WHAT the
+    * fused expression computes: per code-point position the md5-48 hash
+    * of the k-char gram (`substr` is code-point based like the
+    * expression's offsets; `substr` past the end truncates, giving the
+    * same short-tail grams), the min hash of each w-gram window, distinct
+    * values in first-selection order.
+    *
+    * Value-identical by construction: a window's MIN VALUE is
+    * tie-rule-independent (the rightmost-tie rule picks a position, not a
+    * different value), and `array_distinct` keeps first occurrence —
+    * exactly the expression's `seen.add` emission order. O(grams × w)
+    * slicing instead of the monotone deque's O(grams), interpreted — the
+    * usual fallback trade; install [[GraftExtensions]] server-side for
+    * the fused expression. Empty text fingerprints the empty gram and
+    * NULL yields NULL, both per the expression. */
+  def fingerprintsBuiltin(text: Column, k: Int, w: Int): Column = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val chars = F.length(text)
+    val grams = F.greatest(chars - (k - 1), F.lit(1))
+    val hashes = F.transform(F.sequence(F.lit(1), grams), p =>
+      F.conv(F.substring(F.md5(F.encode(F.substr(text, p, F.lit(k)), "UTF-8")),
+        1, 12), 16, 10).cast("long"))
+    val wins = F.when(grams <= w, F.array(F.array_min(hashes)))
+      .otherwise(F.transform(F.sequence(F.lit(1), grams - (w - 1)), i =>
+        F.array_min(F.slice(hashes, i, F.lit(w)))))
+    F.when(text.isNotNull, F.array_distinct(wins))
   }
 }
 

@@ -258,6 +258,34 @@ class ConnectFallbackSpec extends SparkTestBase {
     assert(sawNegative, "no digest exercised the signed high-bit read")
   }
 
+  test("PortableWinnowMd5.fingerprintsBuiltin (substr/md5/window-min twin) " +
+    "is value- AND order-identical across gram/window corners") {
+    import graft.functions.PortableWinnowMd5
+    val texts: Seq[Option[String]] = Seq(
+      Some("the quick brown fox jumps over the lazy dog the quick brown"),
+      Some("aaaaaaaaaaaa"), // all-equal gram hashes: ties cannot change values
+      Some("abc"), // shorter than k: whole-text gram (substr truncates)
+      Some("ab cd ab cd ab cd"), // repeated fingerprints: first-selection dedup
+      Some(""), // empty text fingerprints the empty gram
+      Some("héllo wörld héllo wörld"), // positions are CODE POINTS
+      None)
+    for ((k, w) <- Seq((5, 4), (3, 2), (1, 1), (8, 3))) {
+      val got = texts.toDF("t")
+        .select(PortableWinnowMd5.fingerprints(col("t"), k, w).as("expr"),
+          PortableWinnowMd5.fingerprintsBuiltin(col("t"), k, w).as("builtin"))
+        .collect()
+      got.foreach { r =>
+        (r.isNullAt(0), r.isNullAt(1)) match {
+          case (true, true) => ()
+          case (false, false) =>
+            assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+              s"k=$k w=$w: expr=${r.getSeq[Long](0)} builtin=${r.getSeq[Long](1)}")
+          case other => fail(s"k=$k w=$w null-ness diverged: $other")
+        }
+      }
+    }
+  }
+
   test("topKByScoreBuiltin returns the heap's exact ranking (NaN ranks " +
     "first, NULLs skipped, short groups, id tiebreak); the -0.0/0.0 tie " +
     "is the one documented order divergence") {

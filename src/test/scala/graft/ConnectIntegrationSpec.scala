@@ -213,7 +213,7 @@ class ConnectIntegrationSpec extends SparkTestBase with BeforeAndAfterAll {
 
   test("string family FALLBACK: a plain Connect client (no dial) gets the " +
     "regex/md5/word-set twins — bit-identical to classic execution") {
-    import graft.functions.WordSetCounts
+    import graft.functions.{PortableWinnowMd5, WordSetCounts}
     val sets = Seq(Seq("hello", "b"), Seq("a", "the"))
     def run(s: SparkSession): Seq[Row] = withActive(s) {
       s.sql("SELECT * FROM VALUES ('Hello, wörld 42!'), (''), ('  a  b  '), " +
@@ -221,7 +221,8 @@ class ConnectIntegrationSpec extends SparkTestBase with BeforeAndAfterAll {
         .select(
           TextCounts.counts(F.col("t")).as("c"),
           WordSetCounts.counts(F.col("t"), "graft_wsc_it", sets).as("w"),
-          Md5Longs.longs(F.encode(F.col("t"), "UTF-8")).as("m"))
+          Md5Longs.longs(F.encode(F.col("t"), "UTF-8")).as("m"),
+          PortableWinnowMd5.fingerprints(F.col("t"), 3, 2).as("fp"))
         .collect().toSeq
     }
     withActive(client) {
