@@ -1599,8 +1599,8 @@ object OpsPack {
   private val trainInterleaveShardsCache =
     scala.collection.concurrent.TrieMap[String, String]()
 
-  def trainInterleaveShardsQuery(s: SparkSession, dir: String): DataFrame = {
-    val path = Memo.memo(trainInterleaveShardsCache, dir, {
+  private def trainInterleaveShardsPath(s: SparkSession, dir: String): String =
+    Memo.memo(trainInterleaveShardsCache, dir, {
       val p = "target/graft_train_ileave_shards_" +
         layoutStamp(dir, "documents", "seed=3|shards=4|w=2:1|lang|v1")
       if (!layoutComplete(p)) {
@@ -1612,9 +1612,46 @@ object OpsPack {
       }
       p
     })
-    s.read.parquet(path)
+
+  def trainInterleaveShardsQuery(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(trainInterleaveShardsPath(s, dir))
       .select(col("source"), col("doc_id"), col("lang"),
         col("shard").cast("long").as("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
+  /** Mid-epoch RESUME over the persisted mixed layout: after a crash at
+    * global step `afterPos = 100`, [[TrainOrder.resume]] re-opens the
+    * SAME `shard=` layout q_train_interleave_shards landed and reads only
+    * `pos > 100` in every shard. Because each shard file was written in
+    * pos order, the pushed `pos > 100` predicate prunes whole row groups
+    * (TrainOrderSpec pins PushedFilters) — I/O follows the remaining
+    * suffix of the epoch, not the corpus. Oracle: the interleave mirror
+    * filtered to the same cutoff, so a row wrongly skipped (or a trained
+    * row re-served) breaks the hash. */
+  def trainResumeQuery(s: SparkSession, dir: String): DataFrame =
+    TrainOrder.resume(s, trainInterleaveShardsPath(s, dir), afterPos = 100L)
+      .select(col("source"), col("doc_id"), col("lang"),
+        col("shard").cast("long").as("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
+  /** The FULL training recipe — epoch counts, not density weights: 2.5
+    * epochs of the even half mixed with 1 epoch of the odd half.
+    * [[TrainOrder.interleaveEpochsRows]] replicates each source by its
+    * epoch count (floor(e) full passes + a deterministic keep-hash
+    * fraction), places every replica independently (hashed on `rep_id`),
+    * and weights the mixture by the replicated row counts so both
+    * sources exhaust together (up to per-shard hash balance). The oracle
+    * rebuilds replication (range + keep-hash threshold literal), the
+    * co-finish weights (count per source), and both windows
+    * relationally. */
+  def trainEpochsQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"))
+    TrainOrder.interleaveEpochsRows(Seq(
+        ("even", d.where(col("doc_id") % 2 === 0), 2.5),
+        ("odd", d.where(col("doc_id") % 2 =!= 0), 1.0)),
+      "doc_id", seed = 5L, shards = 4, portable = true)
+      .select(col("source"), col("doc_id"), col("rep"), col("lang"),
+        col("shard"), col("pos"))
       .orderBy("shard", "pos")
   }
 
@@ -4155,6 +4192,8 @@ object OpsPack {
     "q_train_interleave" -> (trainInterleaveQuery _),
     "q_train_shards" -> (trainShardsQuery _),
     "q_train_interleave_shards" -> (trainInterleaveShardsQuery _),
+    "q_train_resume" -> (trainResumeQuery _),
+    "q_train_epochs" -> (trainEpochsQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_quality_adaptive" -> (qualityAdaptive _),
     "q_quality_bootstrap" -> (qualityBootstrap _),
@@ -5913,6 +5952,52 @@ object OpsPack {
        |SELECT source, doc_id, lang, shard,
        |  CAST(row_number() OVER (PARTITION BY shard
        |    ORDER BY spos / CAST(w AS DOUBLE), source, doc_id) AS BIGINT) AS pos
+       |FROM ranked ORDER BY shard, pos""".stripMargin
+
+  /** [[trainInterleaveShardsSql]] filtered to the resume cutoff: the
+    * relational mirror of "re-serve only what the crashed run had not
+    * trained" — pos > 100 in every shard. */
+  private val trainResumeSql: String =
+    s"""SELECT * FROM ($trainInterleaveShardsSql) WHERE pos > 100
+       |ORDER BY shard, pos""".stripMargin
+
+  /** Epoch-count interleave mirror: replication via `range(0, ceil(e))`,
+    * the fractional replica kept when the 48-bit keep-hash (salt
+    * `<seed>:keep:`) clears `round(0.5 * 2^48)` — the exact threshold
+    * [[graft.operators.TrainOrder.replicate]] computes for e = 2.5 —
+    * then the interleave windows on `rep_id` with the co-finish weight
+    * `n` (the source's GLOBAL replicated count — per-shard rank/n packs
+    * each source's density proportional to its total, so sources
+    * exhaust together up to hash balance). */
+  private val trainEpochsSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS source,
+       |    CASE WHEN doc_id % 2 = 0 THEN 2.5 ELSE 1.0 END AS e
+       |  FROM documents),
+       |reps AS (
+       |  SELECT base.*, unnest(range(0, CAST(ceil(e) AS BIGINT))) AS rep
+       |  FROM base),
+       |kept AS (
+       |  SELECT * FROM reps
+       |  WHERE rep < CAST(floor(e) AS BIGINT)
+       |     OR ('0x' || substr(md5('5:keep:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+       |        < ${math.round(0.5 * (1L << 48).toDouble)}),
+       |cnt AS (SELECT source, count(*) AS n FROM kept GROUP BY 1),
+       |h AS (
+       |  SELECT kept.*, cnt.n,
+       |    CAST(doc_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR) AS rep_id
+       |  FROM kept JOIN cnt USING (source)),
+       |h2 AS (SELECT h.*, ${epochHashSql(5, "rep_id")} AS hv FROM h),
+       |ranked AS (
+       |  SELECT source, doc_id, rep, lang, rep_id, n,
+       |    CAST(hv % 4 AS BIGINT) AS shard,
+       |    row_number() OVER (PARTITION BY source, hv % 4
+       |      ORDER BY hv, rep_id) AS spos
+       |  FROM h2)
+       |SELECT source, doc_id, CAST(rep AS BIGINT) AS rep, lang, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY spos / CAST(n AS DOUBLE), source, rep_id) AS BIGINT) AS pos
        |FROM ranked ORDER BY shard, pos""".stripMargin
 
   private val mixtureSampleSql: String =
@@ -7829,6 +7914,8 @@ object OpsPack {
     "q_train_order" -> trainOrderSql,
     "q_train_interleave" -> trainInterleaveSql,
     "q_train_interleave_shards" -> trainInterleaveShardsSql,
+    "q_train_resume" -> trainResumeSql,
+    "q_train_epochs" -> trainEpochsSql,
     // the layout round trip must reproduce the coordinate computation
     // exactly — same oracle by design
     "q_train_shards" -> trainOrderSql,

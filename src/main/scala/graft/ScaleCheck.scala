@@ -206,6 +206,18 @@ object ScaleCheck {
         "doc_id", seed = 3L, shards = 64, p)
       spark.read.parquet(p).count()
     }
+    def trainEpochsWrite(docs: DataFrame): Long = {
+      // the FULL recipe: epoch replication (narrow explode + keep-hash
+      // filter), two co-finish count jobs, then the one-shuffle mixed
+      // landing — linear in the replicated corpus, parallelism = shards
+      val p = "target/scale-train-epochs"
+      val d = docs.select(col("doc_id"), col("lang"))
+      graft.operators.TrainOrder.writeEpochShards(Seq(
+          ("even", d.where(col("doc_id") % 2 === 0), 2.5),
+          ("odd", d.where(col("doc_id") % 2 =!= 0), 1.0)),
+        "doc_id", seed = 5L, shards = 64, p)
+      spark.read.parquet(p).count()
+    }
     def ksGrouped(li: DataFrame): Long =
       graft.operators.Profile.ksStatisticByGroup(
         li.where(col("l_orderkey") % 3 === 0), "l_extendedprice",
@@ -240,6 +252,7 @@ object ScaleCheck {
       ("ks_grouped", (li, _, _, _, _) => ksGrouped(li)),
       ("train_order", (_, _, d, _, _) => trainOrder(d)),
       ("train_interleave_write", (_, _, d, _, _) => trainInterleaveWrite(d)),
+      ("train_epochs_write", (_, _, d, _, _) => trainEpochsWrite(d)),
       ("audio_fingerprint", (_, _, d, _, _) => audioFp(d)))
 
     val evS = stride(table("events"), "event_id")

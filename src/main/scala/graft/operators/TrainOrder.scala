@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -211,6 +211,135 @@ object TrainOrder {
       shards: Int, portable: Boolean = false): DataFrame =
     interleaveImpl(sources, idCol, seed, shards, portable,
       payload = true, prePartition = true)
+
+  /** Epoch replication — the "2.3 epochs of source A" half of a training
+    * recipe: every row appears `floor(epochs)` times, plus once more on a
+    * DETERMINISTIC fraction `epochs - floor(epochs)` of the ids
+    * (selected by an independent hash of `(seed, id)` — NOT the position
+    * hash, so which rows repeat is uncorrelated with where they land).
+    * `epochs < 1` is deterministic downsampling with the same rule.
+    *
+    * Output: the input columns + `rep` (replica index, 0-based) +
+    * `rep_id` (`"<id>#<rep>"` — unique because `rep` is the final
+    * `#`-free segment), the column to feed DOWNSTREAM as the id:
+    * hashing `rep_id` places every replica independently, so a document
+    * seen 3 times is spread across the epoch stream, not clumped.
+    *
+    * Scale shape: NARROW — a per-row `explode(sequence(...))` of at most
+    * `ceil(epochs)` elements and a filter; no shuffle, no action. The
+    * fractional selection threshold compares the 48-bit keep-hash
+    * against `round(frac · 2^48)` — exact, no modulo bias, and an
+    * engine with md5 can mirror it bit-for-bit (the portable family). */
+  def replicate(df: DataFrame, idCol: String, epochs: Double, seed: Long,
+      portable: Boolean = false): DataFrame = {
+    require(!epochs.isNaN && !epochs.isInfinite && epochs > 0,
+      s"epochs must be a positive finite number, got $epochs")
+    Seq("rep", "rep_id").foreach(c =>
+      require(!df.columns.exists(_.equalsIgnoreCase(c)),
+        s"input already has a '$c' column — drop or rename it before " +
+          "epoch replication (the name is this operator's output)"))
+    require(!idCol.equalsIgnoreCase("rep") && !idCol.equalsIgnoreCase("rep_id"),
+      s"idCol '$idCol' collides with a replicate output column")
+    val full = math.floor(epochs).toLong
+    val capped = math.ceil(epochs).toLong.max(1L)
+    val frac = epochs - full
+    val base = df.withColumn("rep",
+      explode(sequence(lit(0L), lit(capped - 1L))))
+    val kept =
+      if (frac == 0.0) base
+      else {
+        // independent of epochHash by salt (":keep:"): repeat-selection
+        // and position must not correlate
+        val keep48 =
+          if (portable)
+            Dedup.md5Prefix48(md5(concat(lit(seed.toString), lit(":keep:"),
+              col(idCol).cast("string")).cast("binary")))
+          else shiftrightunsigned(xxhash64(lit(seed), lit("keep"), col(idCol)), 16)
+        val threshold = math.round(frac * (1L << 48).toDouble)
+        base.where(col("rep") < lit(full) || keep48 < lit(threshold))
+      }
+    kept.withColumn("rep_id",
+      concat(col(idCol).cast("string"), lit("#"), col("rep")))
+  }
+
+  /** Interleave sources by EPOCH COUNTS instead of density weights — the
+    * full training recipe ("2.5 epochs of A mixed with 1 epoch of B"):
+    * each source is [[replicate]]d by its epoch count, every replica is
+    * placed independently (hashed on `rep_id`), and the mixture weight is
+    * the source's REPLICATED row count, so sources exhaust TOGETHER:
+    * rank r of a source with n replicated rows lands at axis r/n, every
+    * source's global axis ends at 1.0, and within each shard the sources
+    * run out at the same point up to hash-balance variance ("epochs over
+    * the same run" IS the co-finish property). Coordinates-only output:
+    * (idCol, rep, rep_id, source, shard, pos). [[interleaveEpochsRows]]
+    * rides the payload; [[writeEpochShards]] lands it.
+    *
+    * Cost note: deriving the co-finish weights takes one `count()` per
+    * source over the replicated frame — a column-pruned scan, the price
+    * of exactness (the kept fraction is hash-selected, so the count is
+    * not `n·epochs` analytically). */
+  def interleaveEpochs(sources: Seq[(String, DataFrame, Double)],
+      idCol: String, seed: Long, shards: Int,
+      portable: Boolean = false): DataFrame =
+    interleaveEpochsImpl(sources, idCol, seed, shards, portable,
+      payload = false, prePartition = false)
+
+  /** [[interleaveEpochs]] with every source column riding the single
+    * shuffle ([[interleaveRows]]' contract): the mixed multi-epoch stream
+    * arrives ready to consume, replicas included, with no join-back.
+    * Output: payload columns + rep + rep_id + (source, shard, pos). */
+  def interleaveEpochsRows(sources: Seq[(String, DataFrame, Double)],
+      idCol: String, seed: Long, shards: Int,
+      portable: Boolean = false): DataFrame =
+    interleaveEpochsImpl(sources, idCol, seed, shards, portable,
+      payload = true, prePartition = false)
+
+  /** Land the multi-epoch mixture as training shard files — the
+    * [[writeInterleavedShards]] contract (ONE exchange, one pos-ordered
+    * file per `shard=` dir, `maxRecordsPerFile = 0` pinned) over
+    * [[interleaveEpochsRows]]' stream. */
+  def writeEpochShards(sources: Seq[(String, DataFrame, Double)],
+      idCol: String, seed: Long, shards: Int, path: String,
+      portable: Boolean = false): Unit =
+    interleaveEpochsImpl(sources, idCol, seed, shards, portable,
+      payload = true, prePartition = true)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", "0")
+      .partitionBy("shard").parquet(path)
+
+  private def interleaveEpochsImpl(sources: Seq[(String, DataFrame, Double)],
+      idCol: String, seed: Long, shards: Int, portable: Boolean,
+      payload: Boolean, prePartition: Boolean): DataFrame = {
+    require(sources.nonEmpty, "interleaveEpochs needs at least one source")
+    val weighted = sources.map { case (tag, df, epochs) =>
+      val projected = if (payload) df else df.select(col(idCol))
+      val replicated = replicate(projected, idCol, epochs, seed, portable)
+      val n = replicated.count()
+      require(n > 0, s"source '$tag' replicated to zero rows " +
+        s"(epochs=$epochs) — an empty source cannot define a co-finish " +
+        "weight; drop it from the mixture")
+      (tag, replicated, n.toDouble)
+    }
+    interleaveImpl(weighted, "rep_id", seed, shards, portable,
+      payload = true, prePartition = prePartition)
+  }
+
+  /** Resume a crashed or preempted training run from the persisted shard
+    * layout ([[writeShards]] / [[writeInterleavedShards]] /
+    * [[writeEpochShards]] output at `path`): rows with `pos > afterPos`
+    * in every shard — training readers consume shards in lock-step, so
+    * one global step maps to one per-shard cutoff.
+    *
+    * Scale shape: the filter reaches the parquet scan as a pushed
+    * predicate, and because each shard file is WRITTEN in pos order its
+    * row groups carry tight disjoint min/max ranges on `pos` — the scan
+    * SKIPS every fully-trained row group and I/O follows the remaining
+    * suffix of the epoch, not the corpus size (spec-pinned PushedFilters;
+    * a resume at 90% of a 100 TB epoch reads ~10 TB). */
+  def resume(spark: SparkSession, path: String, afterPos: Long): DataFrame = {
+    require(afterPos >= 0, s"afterPos must be non-negative, got $afterPos")
+    spark.read.parquet(path).where(col("pos") > lit(afterPos))
+  }
 
   private def interleaveImpl(sources: Seq[(String, DataFrame, Double)],
       idCol: String, seed: Long, shards: Int, portable: Boolean,

@@ -279,6 +279,123 @@ class TrainOrderSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("replicate: floor(e) full passes plus a deterministic keep-hash " +
+    "fraction, independent of the position hash; e<1 downsamples; e " +
+    "integral is exact") {
+    for (portable <- Seq(true, false)) {
+      val out = TrainOrder.replicate(ids(400), "id", epochs = 2.5, seed = 5L,
+        portable = portable).cache()
+      try {
+        // every id appears exactly 2 or 3 times (never partial, never 4)
+        val perId = out.groupBy("id").count()
+          .select("count").as[Long].collect()
+        assert(perId.forall(c => c == 2L || c == 3L))
+        // the fractional replica is the LAST one: rep values are dense 0..k-1
+        val reps = out.groupBy("id")
+          .agg(max("rep").as("m"), count("*").as("c")).where(col("m") =!= col("c") - 1)
+        assert(reps.count() == 0L)
+        // ~half the ids carry the third replica (48-bit hash vs 2^47)
+        val extra = perId.count(_ == 3L).toDouble / 400.0
+        assert(extra > 0.38 && extra < 0.62, s"extra=$extra")
+        // rep_id is unique across the replicated frame
+        assert(out.select("rep_id").distinct().count() == out.count())
+        // deterministic: invariant under input partitioning
+        val again = TrainOrder.replicate(ids(400).repartition(7), "id",
+          epochs = 2.5, seed = 5L, portable = portable)
+          .select("rep_id").as[String].collect().toSet
+        assert(again == out.select("rep_id").as[String].collect().toSet)
+      } finally out.unpersist()
+      // integral epochs: exactly e copies of everything, no hash filter
+      assert(TrainOrder.replicate(ids(50), "id", 3.0, 5L, portable)
+        .count() == 150L)
+      // e < 1: deterministic downsample, each id 0 or 1 times, ~e kept
+      val down = TrainOrder.replicate(ids(400), "id", 0.4, 5L, portable)
+      val n = down.count()
+      assert(down.select("id").distinct().count() == n)
+      assert(n > 400 * 0.25 && n < 400 * 0.55, s"kept=$n")
+    }
+    // guards: non-positive / NaN epochs, output-name collisions
+    intercept[IllegalArgumentException] {
+      TrainOrder.replicate(ids(5), "id", 0.0, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      TrainOrder.replicate(ids(5), "id", Double.NaN, 1L)
+    }
+    val ex = intercept[IllegalArgumentException] {
+      TrainOrder.replicate(ids(5).withColumn("REP", lit(1)), "id", 1.0, 1L)
+    }
+    assert(ex.getMessage.contains("rep"))
+  }
+
+  test("interleaveEpochs: replicas are placed independently, the stream is " +
+    "a permutation of the replicated union, and sources co-finish") {
+    val even = ids(300).where(col("id") % 2 === 0)
+    val odd = ids(300).where(col("id") % 2 =!= 0)
+    val srcs = Seq(("even", even, 2.0), ("odd", odd, 1.0))
+    val out = TrainOrder.interleaveEpochs(srcs, "id", seed = 7L, shards = 1)
+      .cache()
+    try {
+      // 2 epochs of 150 evens + 1 epoch of 150 odds = 450 rows, pos dense
+      assert(out.count() == 450L)
+      assert(out.agg(max("pos")).as[Long].head() == 450L &&
+        out.select("pos").distinct().count() == 450L)
+      // a replicated id's two copies are NOT adjacent by construction
+      // (independent placement): measure the mean gap between an even
+      // id's two replicas — independent uniform placement gives ~n/3
+      val gaps = out.where(col("source") === "even")
+        .groupBy("id").agg((max("pos") - min("pos")).as("gap"))
+        .agg(avg("gap")).as[Double].head()
+      assert(gaps > 450.0 / 6, s"replica copies clump: mean gap $gaps")
+      // co-finish: both sources' last rows land in the stream's tail
+      // (each source's final axis is ~1.0, so neither runs out early)
+      val lastBySource = out.groupBy("source").agg(max("pos").as("m"))
+        .select("m").as[Long].collect()
+      assert(lastBySource.forall(_ > 430L), lastBySource.mkString(","))
+    } finally out.unpersist()
+    // the payload variant carries source columns through the one shuffle
+    val rows = TrainOrder.interleaveEpochsRows(
+      Seq(("even", even.withColumn("t", concat(lit("v"), col("id"))), 1.5),
+        ("odd", odd, 1.0)),
+      "id", seed = 7L, shards = 2)
+    assert(rows.columns.toSet ==
+      Set("id", "t", "rep", "rep_id", "source", "shard", "pos"))
+    assert(rows.where(col("source") === "even" &&
+      col("t") =!= concat(lit("v"), col("id"))).count() == 0L)
+    // ONE exchange total — the epochs path inherits interleave's plan
+    val plan = TrainOrder.interleaveEpochs(srcs, "id", seed = 7L, shards = 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("writeEpochShards lands one pos-ordered file per shard; resume " +
+    "re-serves exactly the untrained suffix with the pos filter PUSHED") {
+    val even = ids(200).where(col("id") % 2 === 0)
+    val odd = ids(200).where(col("id") % 2 =!= 0)
+    val srcs = Seq(("even", even, 2.5), ("odd", odd, 1.0))
+    val path = new java.io.File("target/train-epoch-shards").getAbsolutePath
+    TrainOrder.writeEpochShards(srcs, "id", seed = 3L, shards = 2, path)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.nonEmpty && dirs.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    val full = spark.read.parquet(path)
+    val cut = 40L
+    val resumed = TrainOrder.resume(spark, path, afterPos = cut)
+    // exactly the suffix: same rows as filtering the full read
+    assert(resumed.count() ==
+      full.where(col("pos") > cut).count())
+    assert(resumed.where(col("pos") <= cut).count() == 0L)
+    assert(resumed.count() > 0L)
+    // the filter reaches the SCAN: pos-ordered files mean row-group
+    // min/max prune the trained prefix — I/O follows the suffix at 100 TB
+    val scan = resumed.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThan(pos,"), scan)
+    intercept[IllegalArgumentException] {
+      TrainOrder.resume(spark, path, afterPos = -1L)
+    }
+  }
+
   test("plan shape: one hash exchange on the shard key, no global sort or " +
     "single-partition window") {
     val plan = TrainOrder.order(ids(100), "id", seed = 5L, shards = 8)
