@@ -277,9 +277,13 @@ object Bench {
     // so canary_p90 well above ~2× canary_min means host throttling
     // dilated part of the run and the totals should be read against
     // min_so_far rather than at face value.
+    // nearest-rank: ceil(q·n)-1, NOT (q·n).toInt — the truncating form
+    // returns the MAX for p90 at n ≤ 10, so one GC-stalled probe would
+    // read as "host throttled" and mis-adjudicate a clean run
     def pct(sorted: IndexedSeq[Double], q: Double): Double =
       if (sorted.isEmpty) 0.0
-      else sorted(math.min(sorted.length - 1, (q * sorted.length).toInt))
+      else sorted(math.max(0, math.min(sorted.length - 1,
+        math.ceil(q * sorted.length).toInt - 1)))
     val probesSorted = probeLog.toIndexedSeq.sorted
     def sec4(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))

@@ -1152,11 +1152,12 @@ object OpsPack {
       if (!Files.exists(done)) {
         deleteRecursively(Paths.get(root))
         Files.createDirectories(Paths.get(root))
-        def slice(parity: Int) =
-          graft.operators.Parallelize.spread(
-            docs(s, dir).where(col("doc_id") % 3 === parity))
-            .select(col("lang"), col("doc_id"),
-              explode(split(trim(col("text")), "\\s+")).as("token"))
+        // the ONE canonical tokenization (tokenStreamByGroup) with the
+        // erasure handle riding as a carry column — an inline copy here
+        // could drift from the grouped oracles' definition
+        def slice(parity: Int) = graft.operators.HeavyHitters.tokenStreamByGroup(
+          docs(s, dir).where(col("doc_id") % 3 === parity),
+          "lang", "text", "doc_id")
         IngestHeavyHitters.processBatch(slice(0), 0L, sp, cp, "lang", "token",
           cap, idCol = Some("doc_id"))
         IngestHeavyHitters.processBatch(slice(1), 1L, sp, cp, "lang", "token",

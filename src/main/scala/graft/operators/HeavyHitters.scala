@@ -334,9 +334,13 @@ object HeavyHitters {
       .select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
 
   /** [[tokenStream]] with a grouping column riding each token — the input
-    * shape [[heavyHittersByGroup]] consumes. */
-  def tokenStreamByGroup(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    * shape [[heavyHittersByGroup]] consumes. `carry` columns (e.g. the
+    * document id an erasure-capable ingest records) ride along unchanged;
+    * the tokenization itself stays THE one definition every heavy-hitter
+    * consumer and oracle mirrors. */
+  def tokenStreamByGroup(df: DataFrame, groupCol: String, textCol: String,
+      carry: String*): DataFrame =
     Parallelize.spread(df)
-      .select(col(groupCol),
-        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .select(Seq(col(groupCol)) ++ carry.map(col) :+
+        explode(split(trim(col(textCol)), "\\s+")).as("token"): _*)
 }

@@ -140,20 +140,30 @@ object LayoutMeta {
   /** Read a meta written by [[writeAtomic]]: the live file when present,
     * else a crashed writer's complete tmp (old-or-new, never partial —
     * see [[writeAtomic]]'s window analysis). A reader racing the
-    * delete→rename window can see the live file vanish between the
-    * existence probe and the open; one fall-back retry covers it. */
+    * delete→rename window can observe BOTH names missing (live already
+    * deleted, tmp checked only after the rename completed) or see the
+    * live file vanish between its existence probe and the open — a
+    * bounded retry re-probing the live name first closes both windows
+    * (returning None there would hand a fence consumer the 0 default and
+    * let a replayed batch below the real fence double-count). None after
+    * the retries means the meta genuinely was never written: a second
+    * full advance completing inside this loop would take two
+    * consolidations racing one read. */
   def readAtomicOpt(spark: SparkSession, dir: String,
       name: String): Option[String] = {
     val tmpName = name + ".tmp"
-    try {
-      if (exists(spark, dir, name)) Some(read(spark, dir, name))
-      else if (exists(spark, dir, tmpName)) Some(read(spark, dir, tmpName))
-      else None
-    } catch {
-      case _: java.io.FileNotFoundException =>
-        if (exists(spark, dir, tmpName)) Some(read(spark, dir, tmpName))
-        else readOpt(spark, dir, name)
-    }
+    def attempt(): Option[String] =
+      try {
+        if (exists(spark, dir, name)) Some(read(spark, dir, name))
+        else if (exists(spark, dir, tmpName)) Some(read(spark, dir, tmpName))
+        else None
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          if (exists(spark, dir, tmpName)) Some(read(spark, dir, tmpName))
+          else readOpt(spark, dir, name)
+      }
+    Iterator.range(0, 3).map(_ => attempt())
+      .collectFirst { case Some(v) => v }
   }
 
   def readAtomicOpt(dir: String, name: String): Option[String] =

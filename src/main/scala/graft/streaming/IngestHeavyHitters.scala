@@ -112,7 +112,16 @@ object IngestHeavyHitters {
       capacity: Int,
       idCol: Option[String] = None,
       checkpointDir: Option[String] = None,
-      consolidateEvery: Int = 0): StreamingQuery = {
+      consolidateEvery: Int = 0,
+      retainIds: Boolean = false): StreamingQuery = {
+    // late-erasure deployments consolidate with retainIds from the FIRST
+    // consolidation (the mode is write-once per layout) — without this
+    // pass-through the cadence path could only ever stamp 'agg', and on a
+    // layout already stamped 'ids' the mode-drift require would fail the
+    // whole stream at the first cadence tick
+    require(!retainIds || idCol.nonEmpty,
+      "retainIds = true needs idCol: the corpus aggregate can only keep " +
+        "an id column the ingest records")
     val writer = rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -120,7 +129,7 @@ object IngestHeavyHitters {
           groupCol, tokenCol, capacity, idCol)
         if (consolidateEvery > 0 && batchId > 0 && batchId % consolidateEvery == 0)
           consolidate(batch.sparkSession, summaryPath, corpusPath,
-            batchId, groupCol, tokenCol)
+            batchId, groupCol, tokenCol, retainIds)
         ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
@@ -302,26 +311,17 @@ object IngestHeavyHitters {
         "without an id column — there is nothing to retain (re-ingest " +
         "with idCol to make late erasure possible)")
     val mode = if (retainIds) "ids" else "agg"
-    retainModeOf(spark, corpusPath) match {
-      case Some(m) => require(m == mode,
-        s"corpus at $corpusPath consolidates with retain mode '$m', " +
-          s"caller asked '$mode' — the mode is fixed at the layout's " +
-          "first consolidation (mixed aggregates would hold NULL-id rows " +
-          "no erasure could name); rebuild the layout to change it")
-      case None =>
-        // grandfathering: aggregates consolidated before a mode was
-        // stamped collapsed their ids — beginning to retain mid-layout
-        // would mix id-less and id-keyed rows in one aggregate
-        require(!retainIds || batchDirs(spark, corpusPath).forall(_._1 >= 0),
-          s"corpus at $corpusPath already holds consolidated aggregates " +
-            "without ids (built before a retain mode was stamped) — " +
-            "cannot begin retaining ids mid-layout; rebuild the layout")
-        // meta BEFORE the swap (the capacity discipline): a crash after
-        // the merged dir lands but before the stamp would let a re-run
-        // with the OTHER mode pass its own drift check against dirs of
-        // the first mode's shape
-        LayoutMeta.write(spark, corpusPath, RetainFile, mode)
-    }
+    // drift against an existing stamp is rejected loudly AT ENTRY (a
+    // cadence tick configured with the wrong mode is a misconfiguration
+    // even when it merges nothing); the FIRST stamp is deferred to the
+    // moment a corpus aggregate is actually created (below) — a no-op
+    // consolidation (nothing below the fence yet) must not lock a fresh
+    // layout's retain mode forever
+    retainModeOf(spark, corpusPath).foreach(m => require(m == mode,
+      s"corpus at $corpusPath consolidates with retain mode '$m', " +
+        s"caller asked '$mode' — the mode is fixed when the layout's " +
+        "first aggregate is created (mixed aggregates would hold NULL-id " +
+        "rows no erasure could name); rebuild the layout to change it"))
     // recover any half-done swap BEFORE listing: a crash after a previous
     // swap's rename-but-before-deletes would otherwise list the target AND
     // the olds, and replaceDirs' target-not-in-olds require would throw
@@ -351,6 +351,21 @@ object IngestHeavyHitters {
 
     val corOlds = batchDirs(spark, corpusPath).filter(_._1 < f)
     if (needsSwap(corOlds)) {
+      if (retainModeOf(spark, corpusPath).isEmpty) {
+        // grandfathering: aggregates consolidated before a mode was
+        // stamped collapsed their ids — beginning to retain mid-layout
+        // would mix id-less and id-keyed rows in one aggregate (every
+        // consolidated dir is negative, hence below f and in corOlds)
+        require(!retainIds || corOlds.forall(_._1 >= 0),
+          s"corpus at $corpusPath already holds consolidated aggregates " +
+            "without ids (built before a retain mode was stamped) — " +
+            "cannot begin retaining ids mid-layout; rebuild the layout")
+        // meta BEFORE the swap (the capacity discipline): a crash after
+        // the merged dir lands but before the stamp would let a re-run
+        // with the OTHER mode pass its own drift check against dirs of
+        // the first mode's shape
+        LayoutMeta.write(spark, corpusPath, RetainFile, mode)
+      }
       // tombstoned rows drop here, physically, while the rewrite is free.
       // Without retainIds the id column does not survive into the
       // aggregate, so this is their now-or-never exit; with retainIds the

@@ -422,6 +422,60 @@ class HeavyHittersSpec extends SparkTestBase {
     } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(r2))
   }
 
+  test("a no-op consolidation does not lock the retain mode, and the " +
+    "streaming cadence passes retainIds through so late erasure reaches " +
+    "rows the stream's own consolidation merged") {
+    import graft.streaming.IngestHeavyHitters
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // (a) nothing below the fence: merges nothing, must NOT stamp — a
+    // layout's first REAL consolidation still gets to choose retainIds
+    val r1 = java.nio.file.Files.createTempDirectory("graft_hh_noop").toString
+    val (sp1, cp1) = (s"$r1/summaries", s"$r1/corpus")
+    try {
+      val b0 = Seq.fill(6)(("g1", "tok", 1L)).toDF("g", "token", "doc_id")
+      IngestHeavyHitters.processBatch(b0, 0L, sp1, cp1, "g", "token", 16,
+        idCol = Some("doc_id"))
+      IngestHeavyHitters.consolidate(spark, sp1, cp1, 0L, "g", "token")
+      assert(IngestHeavyHitters.retainModeOf(spark, cp1).isEmpty,
+        "a no-op consolidation stamped the mode")
+      IngestHeavyHitters.consolidate(spark, sp1, cp1, 1L, "g", "token",
+        retainIds = true)
+      assert(IngestHeavyHitters.retainModeOf(spark, cp1).contains("ids"))
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(r1))
+
+    // (b) ingest(retainIds = true): the cadence consolidation stamps 'ids'
+    // (without the pass-through it could only ever stamp 'agg', forfeiting
+    // late erasure — or kill a stream whose layout was already 'ids')
+    val r2 = java.nio.file.Files.createTempDirectory("graft_hh_ri").toString
+    val (sp2, cp2) = (s"$r2/summaries", s"$r2/corpus")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String, Long)]
+    val q = IngestHeavyHitters.ingest(input.toDF().toDF("g", "token", "doc_id"),
+      sp2, cp2, "g", "token", capacity = 16, idCol = Some("doc_id"),
+      checkpointDir = Some(s"$r2/ckpt"), consolidateEvery = 2,
+      retainIds = true)
+    try {
+      val parts: Seq[Seq[(String, String, Long)]] = Seq(
+        Seq.fill(20)(("g1", "common", 1L)) ++ Seq.fill(8)(("g1", "secret", 99L)),
+        Seq.fill(10)(("g1", "common", 2L)),
+        Seq.fill(5)(("g1", "common", 3L)),
+        Seq.fill(5)(("g1", "common", 4L)))
+      parts.foreach { p => input.addData(p); q.processAllAvailable() }
+      assert(IngestHeavyHitters.retainModeOf(spark, cp2).contains("ids"))
+      assert(IngestHeavyHitters.fenceOf(spark, sp2) == 2L)
+      // the LATE request: doc 99 was merged below the fence by the
+      // stream's own consolidation — deleteIds still reaches it
+      IngestHeavyHitters.deleteIds(Seq(99L).toDF("doc_id"), cp2, "doc_id")
+      val probed = IngestHeavyHitters.probe(spark, sp2, cp2, "g", "token", 4L)
+        .orderBy(col("g"), col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      assert(probed == Seq(("g1", "common", 40L)), probed)
+    } finally {
+      q.stop()
+      graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(r2))
+    }
+  }
+
   test("per-group candidate broadcast gate is BYTE-aware and the shuffled path is recompute-safe") {
     // a row count far under the limit must still refuse to collect when the
     // summed (group + token) chars exceed the byte gate — long boilerplate
