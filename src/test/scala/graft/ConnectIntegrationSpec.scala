@@ -327,6 +327,23 @@ class ConnectIntegrationSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(coords(client) == coords(spark))
   }
 
+  test("epoch recipes interleave identically through a live Connect session " +
+    "(replicate + co-finish interleave are pure built-in plans)") {
+    def stream(s: SparkSession): Seq[(String, String, Long, Long)] = withActive(s) {
+      val even = s.sql("SELECT id FROM range(2, 201, 2)")
+      val odd = s.sql("SELECT id FROM range(1, 200, 2)")
+      graft.operators.TrainOrder.interleaveEpochs(
+        Seq(("even", even, 1.5), ("odd", odd, 1.0)),
+        "id", seed = 23L, shards = 4)
+        .select("source", "rep_id", "shard", "pos")
+        .collect().map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+        .sortBy(t => (t._3, t._4))
+    }
+    val viaConnect = stream(client)
+    assert(viaConnect == stream(spark) && viaConnect.nonEmpty)
+  }
+
   test("an uninstalled function name surfaces UNRESOLVED_ROUTINE naming the " +
     "function (the documented no-fallback failure mode)") {
     val name = LshPlanes.functionName(9, 9, 9) // parameterized: never injected
