@@ -142,17 +142,20 @@ object LayoutMeta {
     * see [[writeAtomic]]'s window analysis). A reader racing the
     * delete→rename window can observe BOTH names missing (live already
     * deleted, tmp checked only after the rename completed) or see the
-    * live file vanish between its existence probe and the open — a
-    * bounded retry re-probing the live name first closes both windows
+    * live file vanish between its existence probe and the open. Both
+    * windows resolve with ONE re-probe of the live name: if the rename
+    * completed, the live file exists by the time both probes have missed
     * (returning None there would hand a fence consumer the 0 default and
     * let a replayed batch below the real fence double-count). None after
-    * the retries means the meta genuinely was never written: a second
-    * full advance completing inside this loop would take two
-    * consolidations racing one read. */
+    * the re-probe means the meta genuinely was never written — with the
+    * single serialized writer [[writeAtomic]] assumes, a SECOND full
+    * advance cannot start (let alone reach its delete) inside this call.
+    * Cost on the never-written path (every fenceless stream batch): three
+    * existence stats, not a retry loop's six. */
   def readAtomicOpt(spark: SparkSession, dir: String,
       name: String): Option[String] = {
     val tmpName = name + ".tmp"
-    def attempt(): Option[String] =
+    val first =
       try {
         if (exists(spark, dir, name)) Some(read(spark, dir, name))
         else if (exists(spark, dir, tmpName)) Some(read(spark, dir, tmpName))
@@ -162,8 +165,7 @@ object LayoutMeta {
           if (exists(spark, dir, tmpName)) Some(read(spark, dir, tmpName))
           else readOpt(spark, dir, name)
       }
-    Iterator.range(0, 3).map(_ => attempt())
-      .collectFirst { case Some(v) => v }
+    first.orElse(readOpt(spark, dir, name))
   }
 
   def readAtomicOpt(dir: String, name: String): Option[String] =

@@ -322,6 +322,16 @@ object IngestHeavyHitters {
         s"caller asked '$mode' — the mode is fixed when the layout's " +
         "first aggregate is created (mixed aggregates would hold NULL-id " +
         "rows no erasure could name); rebuild the layout to change it"))
+    // grandfathering, checked EARLY so a misconfigured retainIds call
+    // cannot advance the fence / merge the summaries before throwing —
+    // and re-checked at the swap site below, because recovery can
+    // materialize a crashed prior consolidation's aggregate dir that
+    // this pre-recovery listing cannot see
+    require(!retainIds || retainModeOf(spark, corpusPath).contains("ids") ||
+      batchDirs(spark, corpusPath).forall(_._1 >= 0),
+      s"corpus at $corpusPath already holds consolidated aggregates " +
+        "without ids — cannot begin retaining ids mid-layout; rebuild " +
+        "the layout")
     // recover any half-done swap BEFORE listing: a crash after a previous
     // swap's rename-but-before-deletes would otherwise list the target AND
     // the olds, and replaceDirs' target-not-in-olds require would throw

@@ -455,20 +455,26 @@ class HeavyHittersSpec extends SparkTestBase {
       checkpointDir = Some(s"$r2/ckpt"), consolidateEvery = 2,
       retainIds = true)
     try {
+      // secret must CLEAR the support threshold (15·4 ≥ total 55), so the
+      // final assertion can only pass if the erasure actually reached the
+      // consolidated aggregate — with a below-threshold count the probe
+      // would omit it whether or not deleteIds worked (vacuous)
       val parts: Seq[Seq[(String, String, Long)]] = Seq(
-        Seq.fill(20)(("g1", "common", 1L)) ++ Seq.fill(8)(("g1", "secret", 99L)),
+        Seq.fill(20)(("g1", "common", 1L)) ++ Seq.fill(15)(("g1", "secret", 99L)),
         Seq.fill(10)(("g1", "common", 2L)),
         Seq.fill(5)(("g1", "common", 3L)),
         Seq.fill(5)(("g1", "common", 4L)))
       parts.foreach { p => input.addData(p); q.processAllAvailable() }
       assert(IngestHeavyHitters.retainModeOf(spark, cp2).contains("ids"))
       assert(IngestHeavyHitters.fenceOf(spark, sp2) == 2L)
+      def probed = IngestHeavyHitters.probe(spark, sp2, cp2, "g", "token", 4L)
+        .orderBy(col("g"), col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      // pre-erasure: secret is present and above threshold
+      assert(probed == Seq(("g1", "common", 40L), ("g1", "secret", 15L)), probed)
       // the LATE request: doc 99 was merged below the fence by the
       // stream's own consolidation — deleteIds still reaches it
       IngestHeavyHitters.deleteIds(Seq(99L).toDF("doc_id"), cp2, "doc_id")
-      val probed = IngestHeavyHitters.probe(spark, sp2, cp2, "g", "token", 4L)
-        .orderBy(col("g"), col("token"))
-        .as[(String, String, Long)].collect().toSeq
       assert(probed == Seq(("g1", "common", 40L)), probed)
     } finally {
       q.stop()
