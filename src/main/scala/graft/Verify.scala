@@ -93,6 +93,37 @@ object Verify {
       pool.shutdownNow()
     }
     futures.foreach(f => if (f.isDone) (try f.get() catch { case _: Throwable => () }))
+    // Empty-dump guard: a 0-row dump is ALWAYS wrong for this suite (every
+    // driver query returns rows at every SF — the driver's entry smoke
+    // depends on it; a should-be-empty query would have an empty oracle
+    // and the serial re-run below reproduces it harmlessly). One 0-row
+    // flake was observed in a pooled sweep (q_graph_ppr_docs, r14: 45
+    // rows in isolation and in 3 immediate full-sweep re-runs, 0 rows
+    // once under the 8-thread pool during a host-throttle window) and
+    // never reproduced serially, in cohort stress, or in any prior
+    // round's gates. Until the mechanism is found, re-run empty dumps
+    // SERIALLY and loudly: a retry that stays empty is a real result and
+    // the gate still fails on it; a retry that produces rows repairs the
+    // artifact and leaves the flake's fingerprint in the log.
+    selected.foreach { case (name, fn) =>
+      val p = s"$outDir/$name"
+      val empty =
+        try spark.read.parquet(p).isEmpty
+        catch { case _: Throwable => false } // failed queries: already logged
+      if (empty) {
+        System.err.println(
+          s"[verify] $name dumped 0 rows — serial re-run (pooled-sweep flake guard)")
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(p)
+          val n = spark.read.parquet(p).count()
+          System.err.println(s"[verify] $name serial re-run dumped $n rows" +
+            (if (n == 0L) " — still empty: a real result, not the flake"
+             else " — POOLED-SWEEP FLAKE repaired; mechanism still unfound"))
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name serial re-run failed: ${e.getMessage}")
+        }
+      }
+    }
     System.err.println(
       f"[verify] all ${selected.size} queries in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     graft.operators.Dedup.releaseCaches()
