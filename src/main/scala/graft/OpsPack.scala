@@ -2284,6 +2284,35 @@ object OpsPack {
         budget = 256L, groups = 64), budget = 256L)
   }
 
+  /** The batch-construction pipeline TAIL composed end to end: pack
+    * documents into ≤256-token bins ([[graft.operators.Packing.packGreedy]],
+    * the deterministic FFD), then deal the PACKS — not the documents —
+    * into a deterministic epoch order ([[TrainOrder.order]] on the pack
+    * id), so each training batch stays intact while batches stream in
+    * seed-keyed pseudorandom order. Every doc row carries its pack's
+    * (shard, pos): the exact file plan a loader consumes. Both halves are
+    * already-audited operators; the oracle composes the FFD recursive CTE
+    * (shared verbatim with q_pack_stats — one packing definition) with the
+    * epoch-hash mirror on the derived pack id. */
+  def packShardsQuery(s: SparkSession, dir: String): DataFrame = {
+    val withTokens = docs(s, dir).select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("tokens"))
+    val packed = graft.operators.Packing.packGreedy(
+      withTokens, "doc_id", "tokens", budget = 256L, groups = 64)
+    val packId = (col("pack_group").cast("long") * lit(1048576L) +
+      col("pack_idx").cast("long")).as("pack_id")
+    val coords = TrainOrder.order(
+      packed.select(packId).distinct(), "pack_id", seed = 9L, shards = 8,
+      portable = true)
+    packed.withColumn("pack_id", packId)
+      .join(coords, "pack_id")
+      .select(col("doc_id"), col("tokens"),
+        col("pack_group").cast("long").as("pack_group"),
+        col("pack_idx").cast("long").as("pack_idx"),
+        col("shard"), col("pos"))
+      .orderBy("shard", "pos", "doc_id")
+  }
+
   /** The flagship corpus-cleaning composite under the driver harness:
     * markup strip → quality filter → exact dedup → cluster-transitive
     * near-dup removal, run over the portable md5 hash family so the
@@ -4207,6 +4236,7 @@ object OpsPack {
     "q_profile_corr" -> (profileCorr _),
     "q_profile_outliers" -> (profileOutliers _),
     "q_pack_stats" -> (packStats _),
+    "q_pack_shards" -> (packShardsQuery _),
     "q_ann_topk" -> (annTopK _),
     "q_ann_rp" -> (annRpTopK _),
     "q_ann_rp_persisted" -> (annRpPersisted _),
@@ -7537,11 +7567,17 @@ object OpsPack {
     * two-level rollup. Flips q_pack_stats from rows-only to hash-checked:
     * the sequential-unit determinism claim (md5 streams + FFD) is now
     * verified end to end, not just unit-pinned. */
-  private val packStatsSql: String = {
-    val budget = 256
-    val groups = 64
+  /** The FFD simulation CTE chain through `assigned` (pack_group,
+    * pack_idx, id, tokens) — the doc→pack assignment both [[packStatsSql]]
+    * and [[packShardsSql]] consume. One definition so the two oracles can
+    * never disagree on the packing itself. */
+  private val PackBudget = 256
+  private val PackGroups = 64
+  private val packAssignedCtes: String = {
+    val budget = PackBudget
+    val groups = PackGroups
     val fit = "list_position(list_transform(s.rem, x -> x >= d.tokens), true)"
-    s"""WITH RECURSIVE keyed AS (
+    s"""keyed AS (
        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % $groups AS g,
        |         doc_id AS id,
        |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tokens
@@ -7571,8 +7607,36 @@ object OpsPack {
        |    END AS pack_idx,
        |    d.tokens
        |  FROM sim s JOIN d ON d.g = s.g AND d.rn = s.rn + 1),
-       |assigned AS (SELECT g AS pack_group, pack_idx, id, tokens
-       |             FROM sim WHERE rn >= 1),
+       |assigned AS MATERIALIZED (SELECT g AS pack_group, pack_idx, id, tokens
+       |             FROM sim WHERE rn >= 1)""".stripMargin
+  }
+
+  /** Pack-then-shard mirror: the shared FFD `assigned` CTE, the derived
+    * pack id (group·2^20 + idx — collision-free while idx < 2^20), and
+    * the q_train_order epoch-hash/window mirror over the distinct packs,
+    * joined back to the doc rows. */
+  private val packShardsSql: String =
+    s"""WITH RECURSIVE $packAssignedCtes,
+       |pk AS (
+       |  SELECT DISTINCT pack_group * 1048576 + pack_idx AS pack_id
+       |  FROM assigned),
+       |h AS (SELECT pack_id, ${epochHashSql(9, "pack_id")} AS hv FROM pk),
+       |coords AS (
+       |  SELECT pack_id, CAST(hv % 8 AS BIGINT) AS shard,
+       |    CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, pack_id)
+       |      AS BIGINT) AS pos
+       |  FROM h)
+       |SELECT a.id AS doc_id, a.tokens,
+       |  CAST(a.pack_group AS BIGINT) AS pack_group,
+       |  CAST(a.pack_idx AS BIGINT) AS pack_idx,
+       |  c.shard, c.pos
+       |FROM assigned a
+       |JOIN coords c ON c.pack_id = a.pack_group * 1048576 + a.pack_idx
+       |ORDER BY shard, pos, doc_id""".stripMargin
+
+  private val packStatsSql: String = {
+    val budget = PackBudget
+    s"""WITH RECURSIVE $packAssignedCtes,
        |packs AS (
        |  SELECT pack_group, pack_idx, count(*) AS n_docs,
        |         sum(tokens) AS pack_tokens
@@ -7875,6 +7939,7 @@ object OpsPack {
     "q_normalize_group" -> normalizeGroupSql,
     "q_normalize_winsor" -> normalizeWinsorSql,
     "q_pack_stats" -> packStatsSql,
+    "q_pack_shards" -> packShardsSql,
     "q_docs_lang_rollup" -> langRollupSql,
     "q_docs_rollup" -> docsRollupSql,
     "q_docs_pivot" -> docsPivotSql,
