@@ -93,18 +93,17 @@ object Verify {
       pool.shutdownNow()
     }
     futures.foreach(f => if (f.isDone) (try f.get() catch { case _: Throwable => () }))
-    // Empty-dump guard: a 0-row dump is ALWAYS wrong for this suite (every
-    // driver query returns rows at every SF — the driver's entry smoke
-    // depends on it; a should-be-empty query would have an empty oracle
-    // and the serial re-run below reproduces it harmlessly). One 0-row
-    // flake was observed in a pooled sweep (q_graph_ppr_docs, r14: 45
-    // rows in isolation and in 3 immediate full-sweep re-runs, 0 rows
-    // once under the 8-thread pool during a host-throttle window) and
-    // never reproduced serially, in cohort stress, or in any prior
-    // round's gates. Until the mechanism is found, re-run empty dumps
-    // SERIALLY and loudly: a retry that stays empty is a real result and
-    // the gate still fails on it; a retry that produces rows repairs the
-    // artifact and leaves the flake's fingerprint in the log.
+    // Empty-dump guard. One 0-row flake was observed in a pooled sweep
+    // (q_graph_ppr_docs, r14: 45 rows in isolation and in 3 immediate
+    // full-sweep re-runs, 0 rows once under the 8-thread pool during a
+    // host-throttle window); it never reproduced. A 0-row dump is NOT
+    // always wrong — q_graph_khop is legitimately empty at sf0.001 (the
+    // tiny supplier table has no nation-0 rows; oracle 0 = 0 passes) —
+    // so the guard's job is only to give a suspicious empty two repair
+    // chances and a fingerprint: re-run serially (repairs a transient
+    // race), then re-run after dropping every cached plan and refreshing
+    // file listings (repairs session-sticky cache poisoning), and keep a
+    // stable empty as the real result for the oracle to adjudicate.
     selected.foreach { case (name, fn) =>
       val p = s"$outDir/$name"
       val empty =
@@ -113,12 +112,35 @@ object Verify {
       if (empty) {
         System.err.println(
           s"[verify] $name dumped 0 rows — serial re-run (pooled-sweep flake guard)")
-        try {
+        def rerun(stage: String): Long = {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(p)
           val n = spark.read.parquet(p).count()
-          System.err.println(s"[verify] $name serial re-run dumped $n rows" +
-            (if (n == 0L) " — still empty: a real result, not the flake"
-             else " — POOLED-SWEEP FLAKE repaired; mechanism still unfound"))
+          System.err.println(s"[verify] $name $stage re-run dumped $n rows")
+          n
+        }
+        try {
+          // Staged repair — a stage that changes the result names the layer:
+          if (rerun("serial") == 0L) {
+            // base-table visibility (a poisoned file listing or scan would
+            // zero a source table session-wide) — log anomalies only
+            Seq("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings").foreach { t =>
+              val c = try spark.read.parquet(s"$sfDir/$t.parquet").count()
+                      catch { case e: Throwable => -1L }
+              if (c <= 0) System.err.println(
+                s"[verify] DIAG base table $t count=$c — SCAN/LISTING POISONED")
+            }
+            try spark.catalog.clearCache() catch { case _: Throwable => () }
+            graft.operators.Dedup.releaseCaches()
+            try spark.catalog.refreshByPath(sfDir) catch { case _: Throwable => () }
+            if (rerun("post-cache-clear") == 0L)
+              System.err.println(s"[verify] $name stable empty — kept as the " +
+                "real result (legitimately empty at this SF, or a deep " +
+                "poison; the DuckDB oracle adjudicates either way)")
+            else System.err.println(s"[verify] $name REPAIRED by cache clear " +
+              "— a poisoned cached plan/listing served empty session-wide")
+          } else System.err.println(
+            s"[verify] $name POOLED-SWEEP FLAKE repaired by plain re-run")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name serial re-run failed: ${e.getMessage}")
         }
