@@ -2276,13 +2276,19 @@ object OpsPack {
     * oracle SIMULATES first-fit-decreasing in DuckDB with a recursive CTE
     * carrying each stream's open-bin list (see [[packStatsSql]]);
     * budget/uniqueness/determinism invariants stay pinned in OpsSpec. */
-  def packStats(s: SparkSession, dir: String): DataFrame = {
+  /** ONE packed-docs builder for both pack queries — budget/groups come
+    * from the same [[PackBudget]]/[[PackGroups]] constants the oracle SQL
+    * interpolates, so engine and mirror can never silently diverge. */
+  private def packedDocs(s: SparkSession, dir: String): DataFrame = {
     val withTokens = docs(s, dir).select(col("doc_id"),
       TextOps.tokenCount(col("text")).cast("long").as("tokens"))
-    graft.operators.Packing.packQuality(
-      graft.operators.Packing.packGreedy(withTokens, "doc_id", "tokens",
-        budget = 256L, groups = 64), budget = 256L)
+    graft.operators.Packing.packGreedy(withTokens, "doc_id", "tokens",
+      budget = PackBudget.toLong, groups = PackGroups)
   }
+
+  def packStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packQuality(packedDocs(s, dir),
+      budget = PackBudget.toLong)
 
   /** The batch-construction pipeline TAIL composed end to end: pack
     * documents into ≤256-token bins ([[graft.operators.Packing.packGreedy]],
@@ -2295,12 +2301,13 @@ object OpsPack {
     * (shared verbatim with q_pack_stats — one packing definition) with the
     * epoch-hash mirror on the derived pack id. */
   def packShardsQuery(s: SparkSession, dir: String): DataFrame = {
-    val withTokens = docs(s, dir).select(col("doc_id"),
-      TextOps.tokenCount(col("text")).cast("long").as("tokens"))
-    val packed = graft.operators.Packing.packGreedy(
-      withTokens, "doc_id", "tokens", budget = 256L, groups = 64)
-    val packId = (col("pack_group").cast("long") * lit(1048576L) +
-      col("pack_idx").cast("long")).as("pack_id")
+    val packed = packedDocs(s, dir)
+    // string pack id "<group>#<idx>": injective for ANY pack count (an
+    // arithmetic group·2^k + idx encoding would silently collide past
+    // 2^k packs per group — and the oracle, sharing the formula, would
+    // reproduce the collision and PASS; by-construction beats a guard)
+    val packId = concat(col("pack_group").cast("string"), lit("#"),
+      col("pack_idx").cast("string")).as("pack_id")
     val coords = TrainOrder.order(
       packed.select(packId).distinct(), "pack_id", seed = 9L, shards = 8,
       portable = true)
@@ -7611,14 +7618,17 @@ object OpsPack {
        |             FROM sim WHERE rn >= 1)""".stripMargin
   }
 
-  /** Pack-then-shard mirror: the shared FFD `assigned` CTE, the derived
-    * pack id (group·2^20 + idx — collision-free while idx < 2^20), and
+  /** Pack-then-shard mirror: the shared FFD `assigned` CTE, the string
+    * pack id `<group>#<idx>` (injective for any pack count — an
+    * arithmetic encoding would collide past its bit budget and the
+    * shared formula would let the hash check PASS on the collision), and
     * the q_train_order epoch-hash/window mirror over the distinct packs,
     * joined back to the doc rows. */
   private val packShardsSql: String =
     s"""WITH RECURSIVE $packAssignedCtes,
        |pk AS (
-       |  SELECT DISTINCT pack_group * 1048576 + pack_idx AS pack_id
+       |  SELECT DISTINCT
+       |    CAST(pack_group AS VARCHAR) || '#' || CAST(pack_idx AS VARCHAR) AS pack_id
        |  FROM assigned),
        |h AS (SELECT pack_id, ${epochHashSql(9, "pack_id")} AS hv FROM pk),
        |coords AS (
@@ -7631,7 +7641,8 @@ object OpsPack {
        |  CAST(a.pack_idx AS BIGINT) AS pack_idx,
        |  c.shard, c.pos
        |FROM assigned a
-       |JOIN coords c ON c.pack_id = a.pack_group * 1048576 + a.pack_idx
+       |JOIN coords c
+       |  ON c.pack_id = CAST(a.pack_group AS VARCHAR) || '#' || CAST(a.pack_idx AS VARCHAR)
        |ORDER BY shard, pos, doc_id""".stripMargin
 
   private val packStatsSql: String = {
