@@ -23,7 +23,10 @@ object OpsPack {
   val queryDefVersions: Map[String, Int] = Map(
     // r13: thirds instead of halves, fence consolidation + stale-replay
     // skip inside the measured build, weighted probe
-    "q_text_heavy_hitters_stream" -> 2)
+    "q_text_heavy_hitters_stream" -> 2,
+    // r14: pack id became the injective string "<group>#<idx>" after the
+    // first minimum was recorded under the arithmetic encoding
+    "q_pack_shards" -> 2)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
