@@ -1605,8 +1605,10 @@ object OpsPack {
 
   private def trainInterleaveShardsPath(s: SparkSession, dir: String): String =
     Memo.memo(trainInterleaveShardsCache, dir, {
+      // v2: the landing now writes the shard manifest (_graft_shards) the
+      // manifest and ragged-resume queries read — re-stage pre-manifest dirs
       val p = "target/graft_train_ileave_shards_" +
-        layoutStamp(dir, "documents", "seed=3|shards=4|w=2:1|lang|v1")
+        layoutStamp(dir, "documents", "seed=3|shards=4|w=2:1|lang|v2")
       if (!layoutComplete(p)) {
         val d = docs(s, dir).select(col("doc_id"), col("lang"))
         TrainOrder.writeInterleavedShards(Seq(
@@ -1637,6 +1639,40 @@ object OpsPack {
       .select(col("source"), col("doc_id"), col("lang"),
         col("shard").cast("long").as("shard"), col("pos"))
       .orderBy("shard", "pos")
+
+  /** RAGGED resume — the real crash shape: a preempted multi-host run
+    * leaves each shard at its OWN frontier, and [[TrainOrder.resume]]'s
+    * Map overload compiles the per-shard cutoffs to
+    * `shard = k AND pos > p_k` disjunctions that keep partition pruning
+    * (the finished shard 1 is omitted and never even listed) AND row-group
+    * pruning (the pushed `pos > min(p_k)` skips the common trained
+    * prefix). The frontier is validated against the layout's landed
+    * manifest. Oracle: the interleave mirror under the identical ragged
+    * WHERE, so a row wrongly skipped, a trained row re-served, or a
+    * finished shard leaking back breaks the hash. */
+  def trainResumeRaggedQuery(s: SparkSession, dir: String): DataFrame =
+    TrainOrder.resume(s, trainInterleaveShardsPath(s, dir),
+      Map(0L -> 20L, 2L -> 0L, 3L -> 5L))
+      .select(col("source"), col("doc_id"), col("lang"),
+        col("shard").cast("long").as("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
+  /** The shard-layout MANIFEST, read back with zero parquet footer touches
+    * (TrainOrderSpec pins that property; this query pins the CONTENT): one
+    * row per landed shard with its row count and max pos — what a training
+    * loader consults before step one instead of 100k footer stats, and
+    * what ragged resume validates frontiers against. Oracle: the same
+    * stats recomputed relationally from the interleave mirror, so a
+    * manifest that drifts from the landed data by one row breaks the
+    * hash. */
+  def trainManifestQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrainOrder.readManifestOpt(s, trainInterleaveShardsPath(s, dir))
+      .getOrElse(throw new IllegalStateException(
+        "interleave-shards layout has no manifest — landing failed"))
+      .toSeq.map { case (k, (n, mx)) => (k, n, mx) }.sortBy(_._1)
+      .toDF("shard", "n_rows", "max_pos")
+  }
 
   /** The FULL training recipe — epoch counts, not density weights: 2.5
     * epochs of the even half mixed with 1 epoch of the odd half.
@@ -4233,6 +4269,8 @@ object OpsPack {
     "q_train_shards" -> (trainShardsQuery _),
     "q_train_interleave_shards" -> (trainInterleaveShardsQuery _),
     "q_train_resume" -> (trainResumeQuery _),
+    "q_train_resume_ragged" -> (trainResumeRaggedQuery _),
+    "q_train_manifest" -> (trainManifestQuery _),
     "q_train_epochs" -> (trainEpochsQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_quality_adaptive" -> (qualityAdaptive _),
@@ -6001,6 +6039,23 @@ object OpsPack {
   private val trainResumeSql: String =
     s"""SELECT * FROM ($trainInterleaveShardsSql) WHERE pos > 100
        |ORDER BY shard, pos""".stripMargin
+
+  /** [[trainInterleaveShardsSql]] under the RAGGED frontier — each shard
+    * its own cutoff, the finished shard 1 absent entirely: the relational
+    * mirror of the per-shard `shard = k AND pos > p_k` disjunction the
+    * Map-frontier resume compiles. */
+  private val trainResumeRaggedSql: String =
+    s"""SELECT * FROM ($trainInterleaveShardsSql)
+       |WHERE (shard = 0 AND pos > 20) OR (shard = 2 AND pos > 0)
+       |   OR (shard = 3 AND pos > 5)
+       |ORDER BY shard, pos""".stripMargin
+
+  /** The landed manifest's content, recomputed relationally: per-shard
+    * row count and max pos over the interleave mirror. */
+  private val trainManifestSql: String =
+    s"""SELECT shard, count(*) AS n_rows, max(pos) AS max_pos
+       |FROM ($trainInterleaveShardsSql)
+       |GROUP BY shard ORDER BY shard""".stripMargin
 
   /** Epoch-count interleave mirror: replication via `range(0, ceil(e))`,
     * the fractional replica kept when the 48-bit keep-hash (salt
@@ -7995,6 +8050,8 @@ object OpsPack {
     "q_train_interleave" -> trainInterleaveSql,
     "q_train_interleave_shards" -> trainInterleaveShardsSql,
     "q_train_resume" -> trainResumeSql,
+    "q_train_resume_ragged" -> trainResumeRaggedSql,
+    "q_train_manifest" -> trainManifestSql,
     "q_train_epochs" -> trainEpochsSql,
     // the layout round trip must reproduce the coordinate computation
     // exactly — same oracle by design

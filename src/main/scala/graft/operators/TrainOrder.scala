@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.sources.LayoutMeta
+
 /** Deterministic training order: a pseudorandom permutation of a corpus
   * WITHOUT a global sort — the step between "curated corpus" and "training
   * shards" in a large-scale pipeline (training wants each epoch to stream
@@ -134,11 +136,81 @@ object TrainOrder {
     * the single-file contract. Size `shards` so one shard fits a write
     * task (the [[order]] sizing rule). */
   def writeShards(df: DataFrame, idCol: String, seed: Long, shards: Int,
-      path: String, portable: Boolean = false): Unit =
+      path: String, portable: Boolean = false): Unit = {
     coordinates(df, idCol, seed, shards, portable, prePartition = true)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", "0")
       .partitionBy("shard").parquet(path)
+    writeManifest(df.sparkSession, path)
+  }
+
+  /** The shard-layout manifest's meta name: one line per landed shard,
+    * `<shard>\t<rows>\t<max pos>`, after a `v1` header. Written by every
+    * shard-landing method AFTER the parquet commit; lives on the layout's
+    * own filesystem ([[LayoutMeta]]). */
+  private[graft] val ManifestFile = "_graft_shards"
+
+  /** Record each landed shard's row count and max `pos` next to the data.
+    * Without this, shard discovery is directory listing + parquet footers —
+    * at the 100k-shard sizing rule a training loader pays 100k footer
+    * stats before step one, and [[resume]] has nothing to sanity-check a
+    * frontier against. One column-pruned scan of `pos` (row-group stats
+    * make it cheap relative to the write it follows), collected bounded by
+    * the shard count. Overwrite-mode landings delete the whole layout dir
+    * first, so a crash between the parquet commit and this write leaves a
+    * manifest-less layout, never a stale one; [[resume]] degrades to
+    * unvalidated predicates there. */
+  private[graft] def writeManifest(spark: SparkSession, path: String): Unit = {
+    val stats = spark.read.parquet(path)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("rows"), max(col("pos")).as("max_pos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val body = ("v1" +: stats.map { case (s, n, m) => s"$s\t$n\t$m" }.toSeq)
+      .mkString("\n")
+    LayoutMeta.writeAtomic(spark, path, ManifestFile, body)
+  }
+
+  /** The landed layout's manifest: shard → (row count, max pos). None for
+    * layouts written before manifests existed (resume then skips frontier
+    * validation — the predicates themselves need no manifest). */
+  def readManifestOpt(spark: SparkSession,
+      path: String): Option[Map[Long, (Long, Long)]] =
+    LayoutMeta.readAtomicOpt(spark, path, ManifestFile).map { body =>
+      val lines = body.split("\n").toSeq
+      require(lines.headOption.contains("v1"),
+        s"unrecognized shard manifest version at $path: " +
+          s"'${lines.headOption.getOrElse("")}'")
+      lines.drop(1).filter(_.nonEmpty).map { l =>
+        val Array(s, n, m) = l.split("\t")
+        s.toLong -> (n.toLong, m.toLong)
+      }.toMap
+    }
+
+  /** Loud half-landed-layout check: the manifest's shard set must equal
+    * the `shard=` directories actually present (a restore that lost a
+    * shard dir, or a hand-pruned layout, must not silently train on a
+    * subset while the manifest claims the full epoch). */
+  private def requireManifestMatchesDirs(spark: SparkSession, path: String,
+      manifest: Map[Long, (Long, Long)]): Unit = {
+    val fs = LayoutMeta.fs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val dirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .map(_.getPath.getName.drop("shard=".length).toLong).toSet
+    val landed = manifest.keySet
+    if (dirs != landed) {
+      val missing = (landed -- dirs).toSeq.sorted
+      val extra = (dirs -- landed).toSeq.sorted
+      throw new IllegalStateException(
+        s"shard layout at $path disagrees with its manifest " +
+          s"(half-landed or hand-modified layout): manifest shards " +
+          s"without a directory: ${missing.mkString("[", ",", "]")}, " +
+          s"directories not in the manifest: ${extra.mkString("[", ",", "]")} " +
+          "— re-land the layout (or delete the manifest to read unvalidated)")
+    }
+  }
 
   /** Interleave several sources into one deterministic training order with
     * MIXTURE WEIGHTS: source k with weight w_k occupies ~w_k of every
@@ -197,11 +269,13 @@ object TrainOrder {
     * size `shards` so one shard fits a write task. */
   def writeInterleavedShards(sources: Seq[(String, DataFrame, Double)],
       idCol: String, seed: Long, shards: Int, path: String,
-      portable: Boolean = false): Unit =
+      portable: Boolean = false): Unit = {
     interleaveRowsForWritePlan(sources, idCol, seed, shards, portable)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", "0")
       .partitionBy("shard").parquet(path)
+    writeManifest(sources.head._2.sparkSession, path)
+  }
 
   /** The exact frame [[writeInterleavedShards]] hands to the writer —
     * package-visible so the spec can pin the one-exchange plan shape of
@@ -300,12 +374,14 @@ object TrainOrder {
     * [[interleaveEpochsRows]]' stream. */
   def writeEpochShards(sources: Seq[(String, DataFrame, Double)],
       idCol: String, seed: Long, shards: Int, path: String,
-      portable: Boolean = false): Unit =
+      portable: Boolean = false): Unit = {
     interleaveEpochsImpl(sources, idCol, seed, shards, portable,
       payload = true, prePartition = true)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", "0")
       .partitionBy("shard").parquet(path)
+    writeManifest(sources.head._2.sparkSession, path)
+  }
 
   private def interleaveEpochsImpl(sources: Seq[(String, DataFrame, Double)],
       idCol: String, seed: Long, shards: Int, portable: Boolean,
@@ -324,11 +400,16 @@ object TrainOrder {
       payload = true, prePartition = prePartition)
   }
 
-  /** Resume a crashed or preempted training run from the persisted shard
-    * layout ([[writeShards]] / [[writeInterleavedShards]] /
+  /** Resume a crashed or preempted LOCK-STEP training run from the
+    * persisted shard layout ([[writeShards]] / [[writeInterleavedShards]] /
     * [[writeEpochShards]] output at `path`): rows with `pos > afterPos`
-    * in every shard — training readers consume shards in lock-step, so
-    * one global step maps to one per-shard cutoff.
+    * in every shard — the readers consumed shards in lock-step, so one
+    * global step maps to one per-shard cutoff. This is the constant-
+    * frontier case of the ragged Map-frontier overload below
+    * and delegates to it whenever the layout carries a manifest (clamping
+    * each shard's cutoff to its landed max — a shard shorter than
+    * `afterPos` is simply finished); manifest-less layouts get the plain
+    * pushed filter, unvalidated.
     *
     * Scale shape: the filter reaches the parquet scan as a pushed
     * predicate, and because each shard file is WRITTEN in pos order its
@@ -338,7 +419,103 @@ object TrainOrder {
     * a resume at 90% of a 100 TB epoch reads ~10 TB). */
   def resume(spark: SparkSession, path: String, afterPos: Long): DataFrame = {
     require(afterPos >= 0, s"afterPos must be non-negative, got $afterPos")
-    spark.read.parquet(path).where(col("pos") > lit(afterPos))
+    readManifestOpt(spark, path) match {
+      case Some(m) =>
+        val landedMax = m.values.map(_._2).max
+        require(afterPos <= landedMax,
+          s"afterPos=$afterPos is beyond the layout's landed max pos " +
+            s"$landedMax at $path — the training bookkeeping and the " +
+            "layout disagree (wrong layout, or a corrupted step counter)")
+        resume(spark, path,
+          m.map { case (k, (_, maxPos)) => k -> math.min(afterPos, maxPos) })
+      case None =>
+        spark.read.parquet(path).where(col("pos") > lit(afterPos))
+    }
+  }
+
+  /** Resume a RAGGED crash: a preempted multi-host run leaves shard k at
+    * its own frontier p_k (hosts never finish in lock-step), and the two
+    * global-cutoff approximations are both wrong at scale — min(p_k)
+    * re-serves already-trained rows (duplicate gradient steps), max(p_k)
+    * silently skips data. `frontier` maps shard → last consumed pos;
+    * shards OMITTED from the map are treated as finished and excluded
+    * entirely (to resume an unstarted shard, include it at 0).
+    *
+    * Scale shape: the frontier compiles to per-cutoff predicates —
+    * `shard IN (…) AND pos > p` OR'd over the distinct cutoffs — from
+    * which Catalyst extracts BOTH prunings: the shard-only disjunction
+    * becomes a partition filter (finished/omitted shards are never
+    * listed, let alone read), and the pos-only disjunction reaches the
+    * parquet scan as a pushed `pos > min(p_k)` that row-group-prunes the
+    * common trained prefix (pos-ordered shard files have tight disjoint
+    * ranges); the exact per-shard cut is applied by the residual filter
+    * on the pruned remainder. Both prunings are spec-pinned. Shards whose
+    * frontier equals their landed max are dropped from the predicate at
+    * compile time (nothing left to serve), so a mostly-finished resume
+    * lists only the shards still in progress.
+    *
+    * Validation (layouts with a [[writeManifest manifest]] — every layout
+    * this module lands): the manifest's shard set must match the
+    * directories on disk ([[requireManifestMatchesDirs]] — half-landed
+    * layouts fail loudly), every frontier shard must exist in the
+    * manifest, and no frontier may exceed its shard's landed max (a
+    * reader claiming to have consumed a row that was never landed is
+    * bookkeeping corruption, not a resume). */
+  def resume(spark: SparkSession, path: String,
+      frontier: Map[Long, Long]): DataFrame = {
+    require(frontier.nonEmpty,
+      "resume frontier is empty — every shard omitted means every shard " +
+        "finished, and an all-finished run has nothing to resume")
+    frontier.foreach { case (k, p) =>
+      require(k >= 0 && p >= 0,
+        s"resume frontier entries must be non-negative, got shard=$k pos=$p")
+    }
+    val manifest = readManifestOpt(spark, path)
+    manifest.foreach { m =>
+      requireManifestMatchesDirs(spark, path, m)
+      val unknown = (frontier.keySet -- m.keySet).toSeq.sorted
+      require(unknown.isEmpty,
+        s"resume frontier names shards the layout at $path never landed: " +
+          s"${unknown.mkString("[", ",", "]")} (manifest has " +
+          s"${m.keySet.size} shards)")
+      val beyond = frontier.collect {
+        case (k, p) if p > m(k)._2 => s"shard=$k pos=$p>landed ${m(k)._2}"
+      }
+      require(beyond.isEmpty,
+        s"resume frontier is beyond the landed layout at $path: " +
+          s"${beyond.mkString("; ")} — the training bookkeeping and the " +
+          "layout disagree")
+    }
+    val df = spark.read.parquet(path)
+    // drop served-out shards (frontier == landed max) before compiling:
+    // they contribute no rows, and excluding them turns into partition
+    // pruning instead of a scan that filters everything away
+    val live = manifest match {
+      case Some(m) => frontier.filter { case (k, p) => p < m(k)._2 }
+      case None => frontier
+    }
+    if (live.isEmpty) return df.where(lit(false))
+    // literals in the shard column's OWN type (partition inference reads
+    // small ints as IntegerType): a long literal would wrap the column in
+    // a cast, which can defeat partition pruning
+    val shardType = df.schema("shard").dataType
+    def shardLit(k: Long): Column = lit(k).cast(shardType)
+    val byCut = live.groupBy(_._2).map { case (cut, ks) =>
+      cut -> ks.keys.toSeq.sorted
+    }.toSeq.sortBy(_._1)
+    val coversAll = manifest.exists(m => live.keySet == m.keySet)
+    val pred =
+      if (byCut.size == 1 && coversAll)
+        // the lock-step case: one cutoff over every landed shard — no
+        // shard predicate needed, and the plan is the plain pushed filter
+        col("pos") > lit(byCut.head._1)
+      else byCut.map { case (cut, ks) =>
+        val shardPred =
+          if (ks.size == 1) col("shard") === shardLit(ks.head)
+          else col("shard").isin(ks.map(shardLit): _*)
+        shardPred && col("pos") > lit(cut)
+      }.reduce(_ || _)
+    df.where(pred)
   }
 
   private def interleaveImpl(sources: Seq[(String, DataFrame, Double)],

@@ -396,6 +396,114 @@ class TrainOrderSpec extends SparkTestBase {
     }
   }
 
+  test("shard manifest: landed with the layout, readable with ZERO footer " +
+    "reads, and equal to the layout's per-shard (rows, max pos)") {
+    val path = new java.io.File("target/train-manifest").getAbsolutePath
+    TrainOrder.writeShards(ids(300), "id", seed = 13L, shards = 6, path)
+    val expected = spark.read.parquet(path)
+      .groupBy(col("shard").cast("long")).agg(count("*"), max("pos"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(TrainOrder.readManifestOpt(spark, path).contains(expected))
+    // zero footer reads: the manifest must answer from the meta file alone
+    // — prove it by corrupting every data file and reading the manifest
+    // again (a parquet footer touch would throw)
+    val dataFiles = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach(f => java.nio.file.Files.write(f.toPath,
+      "not parquet".getBytes))
+    assert(TrainOrder.readManifestOpt(spark, path).contains(expected))
+  }
+
+  test("ragged resume: per-shard frontiers serve exactly each shard's " +
+    "untrained suffix, with partition AND row-group pruning in the plan") {
+    val even = ids(240).where(col("id") % 2 === 0)
+      .withColumn("txt", concat(lit("e"), col("id")))
+    val odd = ids(240).where(col("id") % 2 =!= 0)
+      .withColumn("txt", concat(lit("o"), col("id")))
+    val srcs = Seq(("even", even, 2.0), ("odd", odd, 1.0))
+    val path = new java.io.File("target/train-ragged-resume").getAbsolutePath
+    TrainOrder.writeInterleavedShards(srcs, "id", seed = 13L, shards = 4, path)
+    val manifest = TrainOrder.readManifestOpt(spark, path).get
+    val full = spark.read.parquet(path)
+      .select(col("id"), col("shard").cast("long").as("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a ragged crash: shard 0 at 20, shard 1 finished (omitted), shard 2
+    // unstarted (0), shard 3 at 5
+    val frontier = Map(0L -> 20L, 2L -> 0L, 3L -> 5L)
+    val resumed = TrainOrder.resume(spark, path, frontier)
+    val got = resumed
+      .select(col("id"), col("shard").cast("long").as("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = full.filter { case (_, s, p) =>
+      frontier.get(s).exists(p > _)
+    }
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+    assert(got.nonEmpty)
+    // partition pruning: the omitted (finished) shard 1 is never listed —
+    // the scan's PartitionFilters constrain shard; row-group pruning: the
+    // pos disjunction reaches PushedFilters (prunes the common prefix)
+    val scan = resumed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(scan).nonEmpty, scan)
+    assert(scan.contains("PushedFilters") &&
+      "PushedFilters: \\[[^\\]]*GreaterThan\\(pos".r.findFirstIn(scan).nonEmpty,
+      scan)
+    // the lock-step overload IS the constant frontier (delegation pinned):
+    // same rows, and a served-out shard (frontier == landed max) drops out
+    val cut = 10L
+    val lockstep = TrainOrder.resume(spark, path, afterPos = cut)
+      .select(col("id"), col("shard").cast("long"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val constFrontier = TrainOrder.resume(spark, path,
+      manifest.map { case (k, (_, mx)) => k -> math.min(cut, mx) })
+      .select(col("id"), col("shard").cast("long"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lockstep == constFrontier &&
+      lockstep == full.filter(_._3 > cut))
+    // a frontier at every shard's landed max = nothing left: empty, not error
+    assert(TrainOrder.resume(spark, path,
+      manifest.map { case (k, (_, mx)) => k -> mx }).count() == 0L)
+  }
+
+  test("resume frontier validation: unknown shards, frontiers beyond the " +
+    "landed max, and manifest/directory disagreement all fail loudly") {
+    val path = new java.io.File("target/train-resume-validate").getAbsolutePath
+    TrainOrder.writeShards(ids(200), "id", seed = 13L, shards = 4, path)
+    val manifest = TrainOrder.readManifestOpt(spark, path).get
+    val ex1 = intercept[IllegalArgumentException] {
+      TrainOrder.resume(spark, path, Map(99L -> 0L))
+    }
+    assert(ex1.getMessage.contains("never landed"))
+    val (someShard, (_, maxPos)) = manifest.head
+    val ex2 = intercept[IllegalArgumentException] {
+      TrainOrder.resume(spark, path, Map(someShard -> (maxPos + 1)))
+    }
+    assert(ex2.getMessage.contains("beyond the landed layout"))
+    val ex3 = intercept[IllegalArgumentException] {
+      TrainOrder.resume(spark, path, afterPos = maxPos * 10 + 100)
+    }
+    assert(ex3.getMessage.contains("beyond the layout"))
+    intercept[IllegalArgumentException] {
+      TrainOrder.resume(spark, path, Map.empty[Long, Long])
+    }
+    intercept[IllegalArgumentException] {
+      TrainOrder.resume(spark, path, Map(0L -> -1L))
+    }
+    // delete one shard dir: the manifest and the directory set now
+    // disagree — a half-landed/hand-modified layout must not silently
+    // train on the subset
+    val victim = new java.io.File(path, s"shard=$someShard")
+    assert(victim.isDirectory)
+    victim.listFiles().foreach(_.delete())
+    assert(victim.delete())
+    val ex4 = intercept[IllegalStateException] {
+      TrainOrder.resume(spark, path, Map(someShard -> 0L))
+    }
+    assert(ex4.getMessage.contains("disagrees with its manifest"))
+  }
+
   test("plan shape: one hash exchange on the shard key, no global sort or " +
     "single-partition window") {
     val plan = TrainOrder.order(ids(100), "id", seed = 5L, shards = 8)
