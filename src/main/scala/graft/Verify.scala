@@ -63,6 +63,11 @@ object Verify {
     val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    // per-query pooled execution window — the flake guard's forensics need
+    // the CONCURRENT COHORT (who overlapped the poisoned query) when a
+    // repair fires; recording two nanos per query is free
+    val windows =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
     val futures = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit = {
@@ -75,7 +80,7 @@ object Verify {
           } catch { case e: Throwable =>
             done.incrementAndGet()
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          }
+          } finally windows.put(name, (q0, System.nanoTime()))
         }
       })
     }
@@ -112,22 +117,111 @@ object Verify {
     // entirely when the drain deadline fired: the wall-clock budget is
     // already gone and the repair work would eat into the harness kill.
     var cachesCleared = false
+    // Queries the ORACLE has already adjudicated as legitimately empty at
+    // the small SFs (q_graph_khop: the sf0.001 supplier table has no
+    // nation-0 rows; DuckDB agrees 0 = 0 and PASSES) — the staged repair
+    // would cost them two serial re-runs plus the one-time cache clear on
+    // EVERY sweep for a result that is correct as-is (ADVICE r14). Keep
+    // the set minimal: anything else that dumps empty still gets the full
+    // guard.
+    val knownEmptyOk = Set("q_graph_khop")
     if (drained) selected.foreach { case (name, fn) =>
       val p = s"$outDir/$name"
-      val empty =
-        try spark.read.parquet(p).isEmpty
-        catch { case _: Throwable => false } // failed queries: already logged
-      if (empty) {
-        System.err.println(
-          s"[verify] $name dumped 0 rows — serial re-run (pooled-sweep flake guard)")
+      // tri-state, not boolean: a dump directory that EXISTS but cannot be
+      // read (a writer crashed mid-overwrite leaving a partial dir) is a
+      // worse state than a 0-row dump and deserves the same repair chances
+      // — the old catch->false classified it "non-empty" and skipped it
+      // (ADVICE r14). A MISSING dir is a failed query, already logged.
+      sealed trait DumpState
+      object NonEmpty extends DumpState
+      object EmptyDump extends DumpState
+      object Unreadable extends DumpState
+      object Missing extends DumpState
+      val state: DumpState =
+        if (!Files.exists(Paths.get(p))) Missing
+        else
+          try { if (spark.read.parquet(p).isEmpty) EmptyDump else NonEmpty }
+          catch { case _: Throwable => Unreadable }
+      val suspicious = state match {
+        case EmptyDump => !knownEmptyOk(name)
+        case Unreadable => true
+        case _ => false
+      }
+      if (suspicious) {
+        System.err.println(s"[verify] $name dumped " +
+          (if (state == Unreadable) "an UNREADABLE directory" else "0 rows") +
+          " — serial re-run (pooled-sweep flake guard)")
         val retry = s"$outDir/__retry_$name"
+        // Promotion is crash-safe (ADVICE r14): the original dump moves
+        // ASIDE first, the retry moves into place, only then does the
+        // backup go — a crash between any two steps leaves a valid dump
+        // under p or p.bak, never destroys the only copy of a possibly
+        // legitimately-empty result.
+        def promote(): Unit = {
+          val bak = Paths.get(p + ".bak")
+          try graft.operators.Utils.deleteRecursively(bak)
+          catch { case _: Throwable => () }
+          if (Files.exists(Paths.get(p))) Files.move(Paths.get(p), bak)
+          try {
+            Files.move(Paths.get(retry), Paths.get(p))
+            graft.operators.Utils.deleteRecursively(bak)
+          } catch { case e: Throwable =>
+            if (!Files.exists(Paths.get(p)) && Files.exists(bak))
+              Files.move(bak, Paths.get(p))
+            throw e
+          }
+        }
+        // Machine-readable repair marker: recurring repairs across rounds
+        // must be detectable from the artifacts, not by grepping stderr —
+        // the driver's correctness gate ignores non-query files, and the
+        // judge can gate on any __flake_repaired_* appearing at all.
+        def markRepaired(stage: String): Unit =
+          try Files.writeString(
+            Paths.get(s"$outDir/__flake_repaired_$name"), stage)
+          catch { case _: Throwable => () }
+        // Forensic capture (r14 punch #7): the one-in-20-sweeps event must
+        // leave evidence — the repaired query's physical plan plus every
+        // query whose pooled window OVERLAPPED it (the suspect cohort).
+        def forensics(stage: String): Unit = try {
+          val w0 = windows.getOrDefault(name, (0L, Long.MaxValue))
+          val cohort = selected.map(_._1).filter { other =>
+            other != name && {
+              val w = windows.get(other)
+              w != null && w._1 < w0._2 && w._2 > w0._1
+            }
+          }
+          val plan =
+            try fn(spark, sfDir).queryExecution.executedPlan.toString
+            catch { case e: Throwable => s"<plan unavailable: ${e.getMessage}>" }
+          new java.io.File("target").mkdirs()
+          Files.writeString(Paths.get(s"target/flake_$name.txt"),
+            s"""query: $name
+               |repaired-by: $stage
+               |original state: $state
+               |pooled cohort (windows overlapping this query's):
+               |${cohort.sorted.mkString("  ", "\n  ", "")}
+               |
+               |physical plan (rebuilt post-repair):
+               |$plan
+               |""".stripMargin)
+          System.err.println(s"[verify] $name forensics -> target/flake_$name.txt")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name forensics failed: ${e.getMessage}")
+        }
+        var unreadableReplaced = false
         def rerun(stage: String): Long = {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(retry)
           val n = spark.read.parquet(retry).count()
           System.err.println(s"[verify] $name $stage re-run dumped $n rows")
           if (n > 0L) { // promote the repair; otherwise keep the original
-            graft.operators.Utils.deleteRecursively(Paths.get(p))
-            Files.move(Paths.get(retry), Paths.get(p))
+            promote()
+            markRepaired(stage)
+          } else if (state == Unreadable && !unreadableReplaced) {
+            // even a stable-empty retry beats an unreadable dump: promote
+            // the readable result once so the oracle can adjudicate it
+            promote()
+            unreadableReplaced = true
+            markRepaired(s"$stage-unreadable-replaced-empty")
           }
           n
         }
@@ -160,10 +254,16 @@ object Verify {
               System.err.println(s"[verify] $name stable empty — kept as the " +
                 "real result (legitimately empty at this SF, or a deep " +
                 "poison; the DuckDB oracle adjudicates either way)")
-            else System.err.println(s"[verify] $name REPAIRED by cache clear " +
-              "— a poisoned cached plan/listing served empty session-wide")
-          } else System.err.println(
-            s"[verify] $name POOLED-SWEEP FLAKE repaired by plain re-run")
+            else {
+              System.err.println(s"[verify] $name REPAIRED by cache clear " +
+                "— a poisoned cached plan/listing served empty session-wide")
+              forensics("cache-clear")
+            }
+          } else {
+            System.err.println(
+              s"[verify] $name POOLED-SWEEP FLAKE repaired by plain re-run")
+            forensics("serial")
+          }
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name serial re-run failed: ${e.getMessage}")
         } finally {
