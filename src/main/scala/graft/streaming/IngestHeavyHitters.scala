@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -94,7 +94,27 @@ object IngestHeavyHitters {
   private[graft] val FenceFile = "_graft_hh_fence"
   private[graft] val IdColFile = "_graft_hh_id"
   private[graft] val RetainFile = "_graft_hh_retain"
+  private[graft] val AppliedFile = "_graft_hh_hb_applied"
   private[graft] val WeightCol = "__graft_tc"
+  private[graft] val BucketCol = "__graft_hb"
+
+  /** An erasable retain mode: plain `ids` or bucketed `ids:<B>`. */
+  private def modeRetainsIds(m: String): Boolean =
+    m == "ids" || m.startsWith("ids:")
+
+  /** The bucket count of a bucketed retain mode (`ids:<B>`), None for
+    * `ids`/`agg`. */
+  private def bucketsOf(m: String): Option[Int] =
+    if (m.startsWith("ids:")) Some(m.drop(4).toInt) else None
+
+  /** A document id's retention bucket: the portable md5 48-bit prefix mod
+    * the layout's bucket count — deterministic, engine-mirrorable, stable
+    * across consolidations (the bucket IS part of the aggregate key, so
+    * the formula is part of the layout's on-disk contract; consolidation-
+    * time only, never a hot-path cost). */
+  private[graft] def bucketOf(id: Column, buckets: Int): Column =
+    pmod(graft.operators.Dedup.md5Prefix48(
+      md5(id.cast("string").cast("binary"))), lit(buckets.toLong))
 
   /** Start the ingest stream. `rows` is a STREAMING frame carrying at
     * least (`groupCol`, `tokenCol`) — plus `idCol`'s column when erasure
@@ -113,7 +133,8 @@ object IngestHeavyHitters {
       idCol: Option[String] = None,
       checkpointDir: Option[String] = None,
       consolidateEvery: Int = 0,
-      retainIds: Boolean = false): StreamingQuery = {
+      retainIds: Boolean = false,
+      idBuckets: Int = 0): StreamingQuery = {
     // late-erasure deployments consolidate with retainIds from the FIRST
     // consolidation (the mode is write-once per layout) — without this
     // pass-through the cadence path could only ever stamp 'agg', and on a
@@ -129,7 +150,7 @@ object IngestHeavyHitters {
           groupCol, tokenCol, capacity, idCol)
         if (consolidateEvery > 0 && batchId > 0 && batchId % consolidateEvery == 0)
           consolidate(batch.sparkSession, summaryPath, corpusPath,
-            batchId, groupCol, tokenCol, retainIds)
+            batchId, groupCol, tokenCol, retainIds, idBuckets)
         ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
@@ -219,12 +240,15 @@ object IngestHeavyHitters {
     fenceOf(SparkSession.active, summaryPath)
 
   /** The corpus consolidation retain mode: `Some("ids")` when consolidated
-    * aggregates keep the document id column (late erasure reaches them),
-    * `Some("agg")` when they collapsed to (group, token, count) (ids
-    * gone — the aggregation boundary), `None` before any consolidation
-    * stamped a mode. Write-once: the first [[consolidate]] fixes it for
-    * the layout's lifetime (mixing both shapes in one layout would leave
-    * NULL-id rows no erasure request could ever name). */
+    * aggregates keep the document id column (late erasure reaches them
+    * exactly), `Some("ids:<B>")` when they keep the id's RETENTION BUCKET
+    * instead (late erasure reaches them with bucket-granular over-erasure
+    * — aggregate size bounded by pairs × B), `Some("agg")` when they
+    * collapsed to (group, token, count) (ids gone — the aggregation
+    * boundary), `None` before any consolidation stamped a mode.
+    * Write-once: the first [[consolidate]] fixes it for the layout's
+    * lifetime (mixing shapes in one layout would leave NULL-keyed rows no
+    * erasure request could ever name). */
   def retainModeOf(spark: SparkSession, corpusPath: String): Option[String] =
     LayoutMeta.readOpt(spark, corpusPath, RetainFile).map(_.trim)
 
@@ -251,7 +275,7 @@ object IngestHeavyHitters {
         s"(ingested with idCol='${recorded.getOrElse("<no layout>")}') — " +
         "an erasure request with no handle must fail loudly")
     val consolidated = batchDirs(spark, corpusPath).exists(_._1 < 0)
-    if (consolidated && !retainModeOf(spark, corpusPath).contains("ids"))
+    if (consolidated && !retainModeOf(spark, corpusPath).exists(modeRetainsIds))
       throw new IllegalStateException(
         s"corpus at $corpusPath holds consolidated aggregates WITHOUT " +
           "document ids (consolidate ran with retainIds = false): an " +
@@ -291,9 +315,28 @@ object IngestHeavyHitters {
     * refuses otherwise). The probe is bit-identical either way (summing
     * per-id weights ≡ summing the collapsed weight); the cost is aggregate
     * size following distinct (group, token, id) triples instead of
-    * (group, token) pairs. The mode is WRITE-ONCE per layout (stamped at
-    * the first consolidation, drift rejected): mixing both shapes would
-    * leave NULL-id rows no erasure request could ever name. */
+    * (group, token) pairs — for a high-churn corpus where most documents
+    * contribute distinct tokens that approaches raw-corpus size, i.e.
+    * consolidation stops compacting exactly where it is needed most.
+    *
+    * `idBuckets = B > 0` (requires `retainIds`) BOUNDS that growth: the
+    * aggregate keys on the id's retention BUCKET ([[bucketOf]] —
+    * hash(id) mod B) instead of the id itself, so its size is capped at
+    * distinct (group, token) pairs × B regardless of churn. The trade,
+    * spec-pinned: erasing one id drops its buckets' ENTIRE rows — every
+    * co-bucketed document's occurrences of those (group, token) keys go
+    * with it (≈ 1/B of the aggregate mass per erased bucket). Over-
+    * erasure is the SAFE direction for a curation signal (tokens only
+    * ever under-count, thresholds stay against ingested totals — the
+    * summary-side argument in the object doc), B dials the blast radius,
+    * and the loss is ONE-TIME: applied tombstones are recorded
+    * ([[unappliedTombstoneFiles]]) so a dropped bucket does not keep
+    * eating future co-bucketed rows. The probe remains bit-identical
+    * BEFORE any erasure (summing
+    * per-bucket weights ≡ summing the collapsed weight). The mode —
+    * including B — is WRITE-ONCE per layout (stamped at the first
+    * consolidation, drift rejected): mixing shapes would leave NULL-keyed
+    * rows no erasure request could ever name. */
   def consolidate(
       spark: SparkSession,
       summaryPath: String,
@@ -301,8 +344,13 @@ object IngestHeavyHitters {
       fence: Long,
       groupCol: String,
       tokenCol: String,
-      retainIds: Boolean = false): Unit = {
+      retainIds: Boolean = false,
+      idBuckets: Int = 0): Unit = {
     require(fence >= 0, s"fence must be non-negative, got $fence")
+    require(idBuckets >= 0, s"idBuckets must be non-negative, got $idBuckets")
+    require(idBuckets == 0 || retainIds,
+      "idBuckets > 0 is a retainIds mode — bucketed retention without " +
+        "retainIds = true is a misconfiguration, not a layout shape")
     if (!ready(spark, summaryPath)) return
     val idCol =
       LayoutMeta.readOpt(spark, corpusPath, IdColFile).map(_.trim).filter(_.nonEmpty)
@@ -310,7 +358,10 @@ object IngestHeavyHitters {
       s"retainIds = true but the corpus at $corpusPath was ingested " +
         "without an id column — there is nothing to retain (re-ingest " +
         "with idCol to make late erasure possible)")
-    val mode = if (retainIds) "ids" else "agg"
+    val mode =
+      if (!retainIds) "agg"
+      else if (idBuckets > 0) s"ids:$idBuckets"
+      else "ids"
     // drift against an existing stamp is rejected loudly AT ENTRY (a
     // cadence tick configured with the wrong mode is a misconfiguration
     // even when it merges nothing); the FIRST stamp is deferred to the
@@ -324,19 +375,29 @@ object IngestHeavyHitters {
         "rows no erasure could name); rebuild the layout to change it"))
     // grandfathering, checked EARLY so a misconfigured retainIds call
     // cannot advance the fence / merge the summaries before throwing —
-    // and re-checked at the swap site below, because recovery can
+    // and re-checked post-recovery below, because recovery can
     // materialize a crashed prior consolidation's aggregate dir that
     // this pre-recovery listing cannot see
-    require(!retainIds || retainModeOf(spark, corpusPath).contains("ids") ||
-      batchDirs(spark, corpusPath).forall(_._1 >= 0),
-      s"corpus at $corpusPath already holds consolidated aggregates " +
-        "without ids — cannot begin retaining ids mid-layout; rebuild " +
-        "the layout")
+    def requireNoIdlessAggregates(): Unit =
+      require(!retainIds ||
+        retainModeOf(spark, corpusPath).exists(modeRetainsIds) ||
+        batchDirs(spark, corpusPath).forall(_._1 >= 0),
+        s"corpus at $corpusPath already holds consolidated aggregates " +
+          "without ids — cannot begin retaining ids mid-layout; rebuild " +
+          "the layout")
+    requireNoIdlessAggregates()
     // recover any half-done swap BEFORE listing: a crash after a previous
     // swap's rename-but-before-deletes would otherwise list the target AND
     // the olds, and replaceDirs' target-not-in-olds require would throw
     // out of the very call that should be healing it
     recoverBoth(spark, summaryPath, corpusPath)
+    // re-checked AFTER recovery and BEFORE the fence advance / summary
+    // swap (ADVICE r14): recovery can materialize a crashed prior
+    // consolidation's id-less aggregate; rejecting here keeps a pure
+    // misconfiguration from advancing the fence and paying the summary
+    // merge before it throws (the swap-site check below stays as the
+    // backstop for listings that change under us)
+    requireNoIdlessAggregates()
     val f = math.max(fence, fenceOf(spark, summaryPath))
     if (f > fenceOf(spark, summaryPath))
       // writeAtomic, not write: the fence is the one meta whose value
@@ -345,10 +406,18 @@ object IngestHeavyHitters {
       // throws until hand-repair) — see the LayoutMeta scaladoc
       LayoutMeta.writeAtomic(spark, summaryPath, FenceFile, f.toString)
     val target = s"batch=-$f"
-    // a single old dir already named the target is the idempotent-re-run
-    // case (or a re-fence with nothing new below it): skip the IO
+    // a single old CONSOLIDATED dir — whether it already carries the
+    // current fence's name or a previous fence's — means nothing new is
+    // below the fence: re-merging one aggregate into itself under a new
+    // name is a full rewrite for zero information gain, which a
+    // defensive fence re-advance (or a cadence tick after an empty-batch
+    // stretch) would otherwise pay on every call. Skip the IO; the meta
+    // advance above is the whole operation (the dir keeps its old name
+    // and merges normally once real raw batches land). Erasure note:
+    // tombstoned rows' physical drop therefore also waits for the next
+    // REAL consolidation — probes filter them logically regardless.
     def needsSwap(olds: Seq[(Long, String)]): Boolean =
-      olds.nonEmpty && !(olds.size == 1 && olds.head._1 == -f)
+      olds.nonEmpty && !(olds.size == 1 && olds.head._1 < 0)
 
     val sumOlds = batchDirs(spark, summaryPath).filter(_._1 < f)
     if (needsSwap(sumOlds)) {
@@ -379,15 +448,28 @@ object IngestHeavyHitters {
       // tombstoned rows drop here, physically, while the rewrite is free.
       // Without retainIds the id column does not survive into the
       // aggregate, so this is their now-or-never exit; with retainIds the
-      // aggregate keys on the id too and stays erasable afterwards.
-      val carryId = if (retainIds) idCol else None
-      val keyCols = (Seq(groupCol, tokenCol) ++ carryId.toSeq).map(col)
+      // aggregate keys on the id (or its retention bucket) too and stays
+      // erasable afterwards.
+      val carryId = if (retainIds && idBuckets == 0) idCol else None
+      val carryBucket =
+        if (idBuckets > 0) Some((idCol.get, idBuckets)) else None
+      // bucketed mode: SNAPSHOT the unapplied tombstone files before the
+      // merge — exactly this set is physically dropped below and exactly
+      // this set is recorded applied after the swap (a tombstone appended
+      // mid-merge stays unapplied and filters at the next probe)
+      val snapshot =
+        if (idBuckets > 0) unappliedTombstoneFiles(spark, corpusPath)
+        else Vector.empty[String]
+      val keyCols = (Seq(groupCol, tokenCol) ++ carryId.toSeq).map(col) ++
+        carryBucket.map(_ => col(BucketCol)).toSeq
       val merged = weightedTokens(spark, corpusPath, corOlds, groupCol,
-        tokenCol, carryId)
+        tokenCol, carryId, carryBucket,
+        deadBucketFiles = if (idBuckets > 0) Some(snapshot) else None)
         .groupBy(keyCols: _*)
         .agg(sum(col(WeightCol)).as(WeightCol))
       Compaction.replaceDirs(spark, new Path(corpusPath),
         corOlds.map(d => s"batch=${d._1}"), target, merged)
+      if (idBuckets > 0) recordApplied(spark, corpusPath, snapshot)
     }
     ()
   }
@@ -419,31 +501,105 @@ object IngestHeavyHitters {
     * (consolidation must stay bit-identical to the probe). */
   private def weightedTokens(spark: SparkSession, corpusPath: String,
       dirs: Seq[(Long, String)], groupCol: String, tokenCol: String,
-      carryId: Option[String] = None): DataFrame = {
+      carryId: Option[String] = None,
+      carryBucket: Option[(String, Int)] = None,
+      deadBucketFiles: Option[Vector[String]] = None): DataFrame = {
     // reachable: a replayed ONLY batch crashing mid-overwrite deletes its
     // corpus dir before rewriting it while the summary dirs survive — give
     // the crash-window contract message, not an opaque empty.reduce
     require(dirs.nonEmpty,
       s"token corpus at $corpusPath holds no committed batches (replay " +
         "crash window or empty layout) — replay the batch before probing")
+    require(carryId.isEmpty || carryBucket.isEmpty,
+      "internal: at most one of carryId/carryBucket")
     val (cons, raw) = dirs.partition(_._1 < 0)
     val idCols = carryId.map(col).toSeq
-    val rawT = if (raw.isEmpty) None else Some(
-      Retention.filterLive(spark, corpusPath,
+    val bucketCols = carryBucket.map(_ => col(BucketCol)).toSeq
+    val rawT = if (raw.isEmpty) None else {
+      val live = Retention.filterLive(spark, corpusPath,
         spark.read.parquet(raw.map(_._2): _*))
-        .select(Seq(col(groupCol), col(tokenCol)) ++ idCols :+
-          lit(1L).as(WeightCol): _*))
+      // raw rows carry the id; the bucket is derived here (consolidated
+      // rows carry it as a stored column)
+      val bucketed = carryBucket match {
+        case Some((idc, b)) => live.withColumn(BucketCol, bucketOf(col(idc), b))
+        case None => live
+      }
+      Some(bucketed.select(Seq(col(groupCol), col(tokenCol)) ++ idCols ++
+        bucketCols :+ lit(1L).as(WeightCol): _*))
+    }
     val consT = if (cons.isEmpty) None else {
       val read = spark.read.parquet(cons.map(_._2): _*)
-      val live =
-        if (retainModeOf(spark, corpusPath).contains("ids"))
-          Retention.filterLive(spark, corpusPath, read)
-        else read
-      Some(live.select(Seq(col(groupCol), col(tokenCol)) ++ idCols :+
-        col(WeightCol): _*))
+      val live = retainModeOf(spark, corpusPath) match {
+        case Some("ids") => Retention.filterLive(spark, corpusPath, read)
+        case Some(m) if bucketsOf(m).nonEmpty =>
+          // bucketed aggregates hold no ids: erasure drops every row in a
+          // tombstoned id's bucket — the documented one-time over-erasure
+          // (unapplied tombstones only; see unappliedTombstoneFiles)
+          filterDeadBuckets(spark, read, bucketsOf(m).get,
+            deadBucketFiles.getOrElse(unappliedTombstoneFiles(spark, corpusPath)))
+        case _ => read
+      }
+      Some(live.select(Seq(col(groupCol), col(tokenCol)) ++ idCols ++
+        bucketCols :+ col(WeightCol): _*))
     }
     (rawT.toSeq ++ consT.toSeq).reduce(_ unionByName _)
   }
+
+  /** Tombstone files whose bucket-drop has NOT yet been applied to the
+    * consolidated aggregate. Bucket erasure must be ONE-TIME: tombstones
+    * persist forever (post-fence raw batches may still carry the erased
+    * id, and the exact id-level filter needs them), but once a
+    * consolidation has physically dropped a tombstone's buckets, keeping
+    * the bucket filter live would silently eat every FUTURE co-bucketed
+    * document's rows too — over-erasure growing without bound instead of
+    * the documented one-time ≤1/B loss. [[consolidate]] records the
+    * tombstone files it applied ([[AppliedFile]], advancing meta); probes
+    * and merges filter by the unapplied remainder only. A crash between
+    * the swap and the record leaves the files unapplied — probes
+    * over-filter already-dropped buckets (a no-op) until the next
+    * consolidation re-applies and records. */
+  private def unappliedTombstoneFiles(spark: SparkSession,
+      corpusPath: String): Vector[String] = {
+    val all = Retention.tombstoneFiles(spark, corpusPath)
+    if (all.isEmpty) return Vector.empty
+    val applied = LayoutMeta.readAtomicOpt(spark, corpusPath, AppliedFile)
+      .map(_.split("\n").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    all.filterNot(f => applied(baseName(f)))
+  }
+
+  private def baseName(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
+
+  /** Record tombstone files as bucket-applied: union with the previous
+    * record, pruned to files that still exist (keeps the meta bounded if
+    * the tombstone dir is ever cleared). */
+  private def recordApplied(spark: SparkSession, corpusPath: String,
+      appliedNow: Vector[String]): Unit = {
+    if (appliedNow.isEmpty) return
+    val prev = LayoutMeta.readAtomicOpt(spark, corpusPath, AppliedFile)
+      .map(_.split("\n").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val current = Retention.tombstoneFiles(spark, corpusPath)
+      .map(baseName).toSet
+    val merged = (prev ++ appliedNow.map(baseName)).intersect(current)
+    LayoutMeta.writeAtomic(spark, corpusPath, AppliedFile,
+      merged.toSeq.sorted.mkString("\n"))
+  }
+
+  /** Anti-join away every consolidated row whose retention bucket matches
+    * an UNAPPLIED tombstoned id's bucket — the bucketed layout's erasure
+    * contract (co-bucketed survivors' already-merged occurrences go with
+    * it; dial `idBuckets` to bound the blast radius). The bucket set is
+    * ≤ the tombstone count and ≤ B — always tiny. */
+  private def filterDeadBuckets(spark: SparkSession, df: DataFrame,
+      buckets: Int, tombstoneFiles: Vector[String]): DataFrame =
+    if (tombstoneFiles.isEmpty) df
+    else {
+      val ts = spark.read.parquet(tombstoneFiles: _*)
+      val idc = ts.columns.head
+      val dead = ts
+        .select(bucketOf(col(idc), buckets).as("__graft_dead_hb")).distinct()
+      df.join(dead, df(BucketCol) === col("__graft_dead_hb"), "left_anti")
+    }
 
   /** Exact per-group heavy hitters over EVERYTHING ingested so far:
     * merged persisted summaries → per-group provable prune → exact

@@ -422,6 +422,125 @@ class HeavyHittersSpec extends SparkTestBase {
     } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(r2))
   }
 
+  test("bucketed retention (idBuckets): aggregate keys on the id's bucket, " +
+    "size bounded by pairs x B, probe identical pre-erasure, erasure drops " +
+    "the whole bucket ONE TIME (over-erasure pinned), mode incl. B write-once") {
+    import graft.streaming.IngestHeavyHitters
+    val r = java.nio.file.Files.createTempDirectory("graft_hh_bucket").toString
+    val (sp, cp) = (s"$r/summaries", s"$r/corpus")
+    try {
+      // pick ids with the layout's OWN bucket formula: a victim, a
+      // co-bucketed survivor (over-erasure hits it), and an other-bucket
+      // survivor (untouched)
+      val bucketsById = spark.range(1, 21)
+        .select(col("id"), IngestHeavyHitters.bucketOf(col("id"), 2).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val victim = 1L
+      val cobucket = (2L to 20L).find(bucketsById(_) == bucketsById(victim)).get
+      val other = (2L to 20L).find(bucketsById(_) != bucketsById(victim)).get
+      val batch0 =
+        (Seq.fill(8)(("g1", "secret", victim)) ++
+          Seq.fill(10)(("g1", "shared", cobucket)) ++
+          Seq.fill(12)(("g1", "keep", other))).toDF("g", "token", "doc_id")
+      IngestHeavyHitters.processBatch(batch0, 0L, sp, cp, "g", "token", 16,
+        idCol = Some("doc_id"))
+      IngestHeavyHitters.consolidate(spark, sp, cp, 1L, "g", "token",
+        retainIds = true, idBuckets = 2)
+      assert(IngestHeavyHitters.retainModeOf(spark, cp).contains("ids:2"))
+      def probed = IngestHeavyHitters.probe(spark, sp, cp, "g", "token", 15L)
+        .orderBy(col("g"), col("freq").desc, col("token"))
+        .as[(String, String, Long)].collect().toSeq
+      // probe bit-identical pre-erasure (per-bucket sums = collapsed sums)
+      assert(probed == Seq(("g1", "keep", 12L), ("g1", "shared", 10L),
+        ("g1", "secret", 8L)))
+      // the aggregate holds buckets, not ids, and is bounded by pairs x B
+      val cons = spark.read.parquet(s"$cp/batch=-1")
+      assert(cons.columns.toSet ==
+        Set("g", "token", IngestHeavyHitters.BucketCol,
+          IngestHeavyHitters.WeightCol))
+      assert(cons.count() <=
+        cons.select("g", "token").distinct().count() * 2)
+      // the mode — including B — is write-once: drift in B, a plain-ids
+      // call, and an agg call are all rejected
+      for ((ri, b) <- Seq((true, 4), (true, 0), (false, 0))) {
+        val ex = intercept[IllegalArgumentException] {
+          IngestHeavyHitters.consolidate(spark, sp, cp, 2L, "g", "token",
+            retainIds = ri, idBuckets = b)
+        }
+        assert(ex.getMessage.contains("retain"))
+      }
+      // LATE erasure is accepted on a bucketed layout (deleteIds refuses
+      // only on id-LESS aggregates) and drops the victim's whole bucket:
+      // the co-bucketed survivor's merged rows go with it (the documented
+      // over-erasure), the other bucket is untouched
+      IngestHeavyHitters.deleteIds(Seq(victim).toDF("doc_id"), cp, "doc_id")
+      assert(probed == Seq(("g1", "keep", 12L)))
+      // post-fence raw rows are id-filtered EXACTLY: the survivor's new
+      // rows count, the erased id's do not
+      IngestHeavyHitters.processBatch(
+        (Seq.fill(5)(("g1", "shared", cobucket)) ++
+          Seq.fill(3)(("g1", "secret", victim))).toDF("g", "token", "doc_id"),
+        1L, sp, cp, "g", "token", 16, idCol = Some("doc_id"))
+      assert(probed == Seq(("g1", "keep", 12L), ("g1", "shared", 5L)))
+      // the next consolidation drops the dead bucket physically, records
+      // the tombstone APPLIED, and the survivor's re-merged rows then
+      // SURVIVE in the same bucket — over-erasure is one-time, not a
+      // permanent black hole for the bucket
+      IngestHeavyHitters.consolidate(spark, sp, cp, 2L, "g", "token",
+        retainIds = true, idBuckets = 2)
+      val cons2 = spark.read.parquet(s"$cp/batch=-2")
+      assert(cons2.where(col("token") === "secret").count() == 0)
+      assert(cons2.where(col("token") === "shared").count() == 1)
+      assert(probed == Seq(("g1", "keep", 12L), ("g1", "shared", 5L)))
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(r))
+  }
+
+  test("a fence re-advance with nothing new below it is bookkeeping only: " +
+    "the meta advances, the consolidated aggregate is NOT rewritten") {
+    import graft.streaming.IngestHeavyHitters
+    val r = java.nio.file.Files.createTempDirectory("graft_hh_refence").toString
+    val (sp, cp) = (s"$r/summaries", s"$r/corpus")
+    try {
+      IngestHeavyHitters.processBatch(
+        Seq.fill(20)(("g1", "common")).toDF("g", "token"),
+        0L, sp, cp, "g", "token", 16)
+      IngestHeavyHitters.processBatch(
+        Seq.fill(8)(("g1", "rare")).toDF("g", "token"),
+        1L, sp, cp, "g", "token", 16)
+      IngestHeavyHitters.consolidate(spark, sp, cp, 2L, "g", "token")
+      def snapshot(root: String): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(root)).filter(_.getPath.contains("batch="))
+          .map(f => f.getPath -> f.lastModified()).toMap
+      }
+      val (sum0, cor0) = (snapshot(sp), snapshot(cp))
+      assert(cor0.keys.exists(_.contains("batch=-2")))
+      // a defensive re-fence (maintenance tick, empty-batch stretch): the
+      // fence must advance, but rewriting one aggregate into a new name
+      // for zero information gain must NOT happen
+      IngestHeavyHitters.consolidate(spark, sp, cp, 5L, "g", "token")
+      assert(IngestHeavyHitters.fenceOf(spark, sp) == 5L)
+      assert(snapshot(sp) == sum0 && snapshot(cp) == cor0,
+        "no-op re-fence rewrote the layouts")
+      // denom 10: both tokens stay above threshold even after the final
+      // batch lifts the group total to 33
+      def probed = IngestHeavyHitters.probe(spark, sp, cp, "g", "token", 10L)
+        .orderBy(col("freq").desc).as[(String, String, Long)].collect().toSeq
+      assert(probed == Seq(("g1", "common", 20L), ("g1", "rare", 8L)))
+      // a later REAL consolidation still merges the old-named aggregate
+      // with the new raw batches
+      IngestHeavyHitters.processBatch(
+        Seq.fill(5)(("g1", "common")).toDF("g", "token"),
+        7L, sp, cp, "g", "token", 16)
+      IngestHeavyHitters.consolidate(spark, sp, cp, 8L, "g", "token")
+      assert(new java.io.File(cp, "batch=-8").isDirectory &&
+        !new java.io.File(cp, "batch=-2").exists())
+      assert(probed == Seq(("g1", "common", 25L), ("g1", "rare", 8L)))
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(r))
+  }
+
   test("a no-op consolidation does not lock the retain mode, and the " +
     "streaming cadence passes retainIds through so late erasure reaches " +
     "rows the stream's own consolidation merged") {
