@@ -496,7 +496,58 @@ object ScaleCheck {
         val ratio = tn / math.max(t1, 1e-9)
         Seq(f""""hh_probe_batch_growth":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$ratio%.2f}""")
       }
-    println(s"""{"mult":$mult,"cases":{${(rows ++ lshRow ++ ingestRow ++ retentionRow ++ hhRow).mkString(",")}}}""")
+    // ---- retainIds consolidated-aggregate growth under ID CHURN -----------
+    // The late-erasure trade, measured (r14 verdict missing #3): plain
+    // retainIds keys the corpus aggregate on (group, token, id), so at Nx
+    // churn — the SAME tokens contributed by Nx distinct documents — the
+    // aggregate grows ~Nx and consolidation stops compacting exactly where
+    // it is needed most. The bucketed mode (idBuckets = 16) keys on
+    // hash(id) % 16 instead: its size is capped at pairs x 16 and must stay
+    // FLAT at Nx churn. Replicas shift doc_id only (text unchanged), so
+    // token sets are identical across replicas — pure churn, not new vocab.
+    val hhRetainRow =
+      if (!onlyCase.forall(_.contains("hh_consolidate_retainids_growth"))) Seq.empty[String]
+      else {
+        import graft.streaming.IngestHeavyHitters
+        def tokRows(m: Int): DataFrame = {
+          val rep = (0 until m).map(i => table("documents")
+            .withColumn("doc_id", col("doc_id") + lit(i.toLong * dkS)))
+            .reduce(_ unionByName _)
+          graft.operators.HeavyHitters
+            .tokenStreamByGroup(rep, "lang", "text", "doc_id")
+            .where(col("token") =!= "")
+        }
+        // fresh build each run (the timed work IS the consolidation):
+        // ingest as two batches, consolidate, measure time + aggregate rows
+        def run(tag: String, m: Int, buckets: Int): (Double, Long) = {
+          val root = s"$out/hh_retain_$tag"
+          graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(root))
+          val (sp2, cp2) = (s"$root/summaries", s"$root/corpus")
+          val toks = tokRows(m)
+          (0 until 2).foreach { b =>
+            IngestHeavyHitters.processBatch(
+              toks.where(pmod(col("doc_id"), lit(2L)) === b), b.toLong,
+              sp2, cp2, "lang", "token", capacity = 400,
+              idCol = Some("doc_id"))
+          }
+          val t0 = System.nanoTime()
+          IngestHeavyHitters.consolidate(spark, sp2, cp2, 2L, "lang", "token",
+            retainIds = true, idBuckets = buckets)
+          val t = (System.nanoTime() - t0) / 1e9
+          val rows = spark.read.parquet(s"$cp2/batch=-2").count()
+          System.err.println(f"[scale]   $tag%-16s rows=$rows%,d  ${t}%6.1fs")
+          (t, rows)
+        }
+        System.err.println(s"[scale] hh_consolidate_retainids_growth @1x")
+        val (t1, rows1) = run("ids_1x", 1, 0)
+        val (bt1, brows1) = run("bucket_1x", 1, 16)
+        System.err.println(s"[scale] hh_consolidate_retainids_growth @${mult}x")
+        val (tn, rowsN) = run(s"ids_${mult}x", mult, 0)
+        val (btn, browsN) = run(s"bucket_${mult}x", mult, 16)
+        val ratio = tn / math.max(t1, 1e-9)
+        Seq(f""""hh_consolidate_retainids_growth":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$ratio%.2f,"rows1":$rows1,"rowsN":$rowsN,"bucketedT1":$bt1%.2f,"bucketedTN":$btn%.2f,"bucketedRows1":$brows1,"bucketedRowsN":$browsN}""")
+      }
+    println(s"""{"mult":$mult,"cases":{${(rows ++ lshRow ++ ingestRow ++ retentionRow ++ hhRow ++ hhRetainRow).mkString(",")}}}""")
     spark.stop()
   }
 }
