@@ -378,10 +378,12 @@ object GraftRegistry {
     * bit-identical, slower (HOFs/regexes evaluate per pass), but working
     * out of the box instead of requiring the server-side
     * [[GraftExtensions]] install. The heap aggregates are narrower:
-    * [[TopKByScore]] has an opt-in sort-based twin (value-identical;
-    * order can diverge only on a -0.0/0.0 score tie — see
-    * [[VectorFunctions.topKByScore]]), [[VectorSum]] has no twin and
-    * still needs the server install. */
+    * [[TopKByScore]] has a sort-based twin (value-identical; order can
+    * diverge only on a -0.0/0.0 score tie — see
+    * [[VectorFunctions.topKByScore]]) and [[VectorSum]] a fold-based one
+    * (same sums up to float summation order, ±ulp — see
+    * [[VectorFunctions.vectorSum]]); only the non-portable rolling-hash
+    * winnow family still needs the server install. */
   def canRegisterClientSide(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.isInstanceOf[org.apache.spark.sql.classic.SparkSession]
 
@@ -738,9 +740,56 @@ object VectorFunctions {
   }
 
   /** Aggregate column for [[VectorSum]]: element-wise sums + row count of a
-    * numeric array column, as `struct<sums array<double>, n bigint>`. */
-  def vectorSum(vec: Column): Column = {
-    SparkSession.getActiveSession.foreach(register)
-    F.call_function(VectorSumFunctionName, vec)
+    * numeric array column, as `struct<sums array<double>, n bigint>`. On a
+    * non-classic (Spark Connect) session without the `=server` dial this
+    * returns [[vectorSumBuiltin]] — same sums/count semantics with ONE
+    * documented reduced guarantee: the twin folds the group's arrays in
+    * collect order while the expression accumulates per partition and
+    * merges, so float summation ORDER differs and each sum can land a few
+    * ulp away from the expression's (and vary run-to-run with partitioning
+    * — exactly as the expression's own partial-merge order already does).
+    * The twin also buffers whole groups via `collect_list` where the
+    * expression keeps one dim-length buffer. Install [[GraftExtensions]]
+    * server-side and set `spark.graft.connect.functions=server` for the
+    * constant-memory codegen path. */
+  def vectorSum(vec: Column): Column =
+    SparkSession.getActiveSession match {
+      case Some(s) if !GraftRegistry.canRegisterClientSide(s) &&
+          !GraftRegistry.useServerFunctions(s) =>
+        vectorSumBuiltin(vec)
+      case other =>
+        other.foreach(s => if (GraftRegistry.canRegisterClientSide(s)) register(s))
+        F.call_function(VectorSumFunctionName, vec)
+    }
+
+  /** Pure built-in twin of [[VectorSum]] — the client-side Connect
+    * fallback: `collect_list` the group's arrays (dropping NULL arrays,
+    * the expression's skip rule), left-fold element-wise with NULL
+    * elements coalesced to 0.0 (the expression's isNullAt skip), count =
+    * collected size. Ragged input raises the expression's error at
+    * runtime (a `raise_error` branch guarded by a distinct-lengths probe —
+    * without it `zip_with` would silently null-pad the shorter array).
+    * Empty/all-NULL groups yield `(array(), 0)`, matching `eval` on a
+    * never-updated buffer. Reduced guarantees vs the expression, both
+    * documented at [[vectorSum]]: ±ulp summation-order nondeterminism and
+    * whole-group buffering. One schema nit: the twin's `sums` element
+    * nullability is `true` (HOF typing) where the expression declares
+    * `false` — values are never null either way. */
+  def vectorSumBuiltin(vec: Column): Column = {
+    val vs = F.collect_list(vec)
+    val folded = F.aggregate(
+      vs,
+      F.array().cast("array<double>"),
+      (acc, v) => F.when(F.size(acc) === 0,
+          F.transform(v, x => F.coalesce(x.cast("double"), F.lit(0.0))))
+        .otherwise(F.zip_with(acc, v,
+          (a, x) => a + F.coalesce(x.cast("double"), F.lit(0.0)))))
+    val ragged = F.size(F.array_distinct(F.transform(vs, v => F.size(v)))) > 1
+    F.struct(
+      F.when(ragged, F.raise_error(F.lit(
+          "vector_sum: ragged input — mixed array lengths in one group"))
+          .cast("array<double>"))
+        .otherwise(folded).as("sums"),
+      F.size(vs).cast("long").as("n"))
   }
 }

@@ -327,6 +327,52 @@ class ConnectFallbackSpec extends SparkTestBase {
       List(7L, 3L)) // … while the heap flips with the sign bit — the corner
   }
 
+  test("vectorSumBuiltin matches the VectorSum expression element-wise within " +
+    "ulp tolerance (the documented summation-order divergence) with the same " +
+    "NULL-array skip, NULL-element-as-0.0, and ragged-error semantics") {
+    val rows = Seq(
+      ("g1", Some(Seq[java.lang.Float](1.0f, 2.0f, 3.0f))),
+      ("g1", Some(Seq[java.lang.Float](0.5f, null, -1.0f))), // null elem adds 0.0
+      ("g1", None), // NULL array skipped, not counted in n
+      ("g2", Some(Seq[java.lang.Float](1e30f, 1.0f, -1e30f))),
+      ("g3", None)) // group of only NULL arrays → (array(), 0)
+    val df = rows.toDF("g", "v")
+    def agg(c: org.apache.spark.sql.Column): Map[String, (List[Double], Long)] =
+      df.groupBy("g").agg(c.as("vs")).orderBy("g").collect()
+        .map { r =>
+          val s = r.getStruct(1)
+          r.getString(0) -> (s.getSeq[Double](0).toList, s.getLong(1))
+        }.toMap
+    val expr = agg(VectorFunctions.vectorSum(col("v")))
+    val twin = agg(VectorFunctions.vectorSumBuiltin(col("v")))
+    assert(expr.keySet == twin.keySet)
+    expr.foreach { case (g, (es, en)) =>
+      val (ts, tn) = twin(g)
+      assert(tn == en, s"$g: n diverged expr=$en twin=$tn")
+      assert(ts.size == es.size, s"$g: dim diverged")
+      es.zip(ts).foreach { case (a, b) =>
+        assert(math.abs(a - b) <=
+          4 * math.ulp(math.max(math.abs(a), math.abs(b)).max(1e-300)),
+          s"$g: $a vs $b beyond the ±ulp guarantee")
+      }
+    }
+    assert(expr("g1")._2 == 2L && expr("g1")._1 == List(1.5, 2.0, 2.0))
+    assert(expr("g3") == (Nil, 0L) && twin("g3") == (Nil, 0L))
+    // ragged input raises on BOTH paths (zip_with would otherwise
+    // silently null-pad the shorter array in the twin)
+    val ragged = Seq(("r", Seq(1.0)), ("r", Seq(1.0, 2.0))).toDF("g", "v")
+    def messageChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    Seq(VectorFunctions.vectorSum(col("v")),
+        VectorFunctions.vectorSumBuiltin(col("v"))).foreach { c =>
+      val t = intercept[Throwable] {
+        ragged.groupBy("g").agg(c.as("vs")).collect()
+      }
+      assert(messageChain(t).contains("ragged"), s"unexpected error: $t")
+    }
+  }
+
   test("the server-functions dial reads the documented conf name and default, " +
     "once per session (it is a deployment property, not a per-query toggle)") {
     import graft.functions.GraftRegistry

@@ -254,6 +254,39 @@ class ConnectIntegrationSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(run(client).toString == run(spark).toString)
   }
 
+  test("vector_sum FALLBACK: a plain Connect client gets the fold twin — " +
+    "element-wise within the documented ±ulp of the classic expression, " +
+    "same counts") {
+    def run(s: SparkSession): Map[Long, (List[Double], Long)] = withActive(s) {
+      val df = s.read.parquet(vecPath)
+      df.filter(F.col("a").isNotNull && F.size(F.col("a")) === 8)
+        .groupBy((F.col("id") % 2).as("g"))
+        .agg(VectorFunctions.vectorSum(F.col("a")).as("vs"))
+        .orderBy("g").collect().toSeq
+        .map { r =>
+          val vs = r.getStruct(1)
+          r.getLong(0) -> (vs.getSeq[Double](0).toList, vs.getLong(1))
+        }.toMap
+    }
+    withActive(client) {
+      // the dispatch really took the twin, not call_function
+      assert(!VectorFunctions.vectorSum(F.col("x")).toString
+        .contains(VectorFunctions.VectorSumFunctionName))
+    }
+    val classic = run(spark)
+    val viaConnect = run(client)
+    assert(viaConnect.keySet == classic.keySet && classic.nonEmpty)
+    classic.foreach { case (g, (es, en)) =>
+      val (ts, tn) = viaConnect(g)
+      assert(tn == en && ts.size == es.size, s"group $g shape diverged")
+      es.zip(ts).foreach { case (a, b) =>
+        assert(math.abs(a - b) <=
+          4 * math.ulp(math.max(math.abs(a), math.abs(b)).max(1e-300)),
+          s"group $g: $a vs $b beyond the ±ulp guarantee")
+      }
+    }
+  }
+
   test("the full compare engine runs through a live Connect session — " +
     "reference parity: datacompy accepts Connect frames natively") {
     // deterministic single-partition inputs so the duplicate-pairing rank
