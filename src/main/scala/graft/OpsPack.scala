@@ -1695,6 +1695,39 @@ object OpsPack {
       .orderBy("shard", "pos")
   }
 
+  /** Curriculum training order ([[TrainOrder.curriculum]]): sequence-length
+    * tiers (the classic length curriculum — short documents first) with the
+    * seeded permutation WITHIN each tier. Boundaries (180, 420) split the
+    * corpus roughly 25/50/25; tier = comparison count, pos ranks
+    * (tier, hash, id) within the shard. Oracle: the identical CASE
+    * comparisons + window, so a row in the wrong tier, a tier streamed out
+    * of order, or a broken intra-tier permutation breaks the hash. */
+  def trainCurriculumQuery(s: SparkSession, dir: String): DataFrame =
+    TrainOrder.curriculum(docs(s, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", Seq(180.0, 420.0), seed = 11L, shards = 8,
+      portable = true)
+      .select(col("doc_id"), col("tier"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
+  /** Token-budget PREFIX cut ([[TrainOrder.prefixByBudget]]): the maximal
+    * (pos, shard)-lexicographic prefix of the 2:1 mixed stream whose
+    * n_chars sum fits 60k — "train on the first 60k chars of this
+    * mixture". Exercises both halves of the cut: the last fully-covered
+    * position AND the boundary-position shard refinement that spends the
+    * remainder in shard order. Oracle: a running window sum over the
+    * interleave mirror in the same (pos, shard) order filtered to the
+    * budget — one row over or under the cut breaks the hash. */
+  def trainBudgetPrefixQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+    val stream = TrainOrder.interleaveRows(Seq(
+        ("even", d.where(col("doc_id") % 2 === 0), 2.0),
+        ("odd", d.where(col("doc_id") % 2 =!= 0), 1.0)),
+      "doc_id", seed = 3L, shards = 4, portable = true)
+    TrainOrder.prefixByBudget(stream, "n_chars", budget = 60000L)
+      .select(col("source"), col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   /** Leave-one-out bigram familiarity scores — the LM-shaped quality
     * filter with integer-exact stats (oracle-checked bit-for-bit). */
   def lmNgramScore(s: SparkSession, dir: String): DataFrame =
@@ -4272,6 +4305,8 @@ object OpsPack {
     "q_train_resume_ragged" -> (trainResumeRaggedQuery _),
     "q_train_manifest" -> (trainManifestQuery _),
     "q_train_epochs" -> (trainEpochsQuery _),
+    "q_train_curriculum" -> (trainCurriculumQuery _),
+    "q_train_budget_prefix" -> (trainBudgetPrefixQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_quality_adaptive" -> (qualityAdaptive _),
     "q_quality_bootstrap" -> (qualityBootstrap _),
@@ -6013,25 +6048,30 @@ object OpsPack {
        |    ORDER BY spos / CAST(w AS DOUBLE), source, doc_id) AS BIGINT) AS pos
        |FROM ranked ORDER BY shard, pos""".stripMargin
 
-  /** [[trainInterleaveSql]] with the payload riding along: DuckDB computes
-    * the same interleave and carries `lang` from the source row, mirroring
-    * the payload-through-the-shuffle contract of writeInterleavedShards.
+  /** [[trainInterleaveSql]] with a payload column riding along: DuckDB
+    * computes the same interleave and carries `payload` from the source
+    * row, mirroring the payload-through-the-shuffle contract of
+    * writeInterleavedShards/interleaveRows. ONE mirror definition shared
+    * by the shards, resume (both), manifest, and budget-prefix oracles.
     * `spos / CAST(w AS DOUBLE)` keeps the stretch axis in double like the
     * Scala side (a DECIMAL division could round ties differently). */
-  private val trainInterleaveShardsSql: String =
+  private def trainInterleaveMirror(payload: String): String =
     s"""WITH h AS (
        |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS source,
        |    CASE WHEN doc_id % 2 = 0 THEN 2.0 ELSE 1.0 END AS w,
-       |    doc_id, lang, ${epochHashSql(3, "doc_id")} AS hv
+       |    doc_id, $payload, ${epochHashSql(3, "doc_id")} AS hv
        |  FROM documents),
        |ranked AS (
-       |  SELECT source, doc_id, lang, CAST(hv % 4 AS BIGINT) AS shard,
+       |  SELECT source, doc_id, $payload, CAST(hv % 4 AS BIGINT) AS shard,
        |    row_number() OVER (PARTITION BY source, hv % 4 ORDER BY hv, doc_id) AS spos, w
        |  FROM h)
-       |SELECT source, doc_id, lang, shard,
+       |SELECT source, doc_id, $payload, shard,
        |  CAST(row_number() OVER (PARTITION BY shard
        |    ORDER BY spos / CAST(w AS DOUBLE), source, doc_id) AS BIGINT) AS pos
-       |FROM ranked ORDER BY shard, pos""".stripMargin
+       |FROM ranked""".stripMargin
+
+  private val trainInterleaveShardsSql: String =
+    s"""${trainInterleaveMirror("lang")} ORDER BY shard, pos"""
 
   /** [[trainInterleaveShardsSql]] filtered to the resume cutoff: the
     * relational mirror of "re-serve only what the crashed run had not
@@ -6095,6 +6135,34 @@ object OpsPack {
        |  CAST(row_number() OVER (PARTITION BY shard
        |    ORDER BY spos / CAST(n AS DOUBLE), source, rep_id) AS BIGINT) AS pos
        |FROM ranked ORDER BY shard, pos""".stripMargin
+
+  /** Curriculum mirror: the identical comparison-count tier rule (NULL →
+    * last tier) and the (tier, hash, id) window within each shard. */
+  private val trainCurriculumSql: String =
+    s"""WITH h AS (SELECT doc_id, n_chars, ${epochHashSql(11, "doc_id")} AS hv
+       |           FROM documents),
+       |t AS (SELECT doc_id,
+       |  CAST(CASE WHEN n_chars IS NULL THEN 2 ELSE
+       |    (CASE WHEN n_chars > 180.0 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN n_chars > 420.0 THEN 1 ELSE 0 END) END AS INTEGER) AS tier,
+       |  CAST(hv % 8 AS BIGINT) AS shard, hv FROM h)
+       |SELECT doc_id, tier, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY tier, hv, doc_id) AS BIGINT) AS pos
+       |FROM t ORDER BY shard, pos""".stripMargin
+
+  /** Budget-prefix mirror: a running token sum over the interleave mirror
+    * in the operator's (pos, shard) lexicographic consumption order,
+    * filtered to the budget — the cumulative sum is monotone (tokens are
+    * non-negative), so `run <= budget` IS the maximal prefix, boundary
+    * shards included exactly as the operator's remainder rule spends
+    * them. */
+  private val trainBudgetPrefixSql: String =
+    s"""SELECT source, doc_id, shard, pos FROM (
+       |  SELECT s.*, sum(CAST(n_chars AS BIGINT)) OVER (
+       |      ORDER BY pos, shard ROWS UNBOUNDED PRECEDING) AS run
+       |  FROM (${trainInterleaveMirror("n_chars")}) s)
+       |WHERE run <= 60000 ORDER BY shard, pos""".stripMargin
 
   private val mixtureSampleSql: String =
     s"""WITH $mixturePlanCtes,
@@ -8053,6 +8121,8 @@ object OpsPack {
     "q_train_resume_ragged" -> trainResumeRaggedSql,
     "q_train_manifest" -> trainManifestSql,
     "q_train_epochs" -> trainEpochsSql,
+    "q_train_curriculum" -> trainCurriculumSql,
+    "q_train_budget_prefix" -> trainBudgetPrefixSql,
     // the layout round trip must reproduce the coordinate computation
     // exactly — same oracle by design
     "q_train_shards" -> trainOrderSql,

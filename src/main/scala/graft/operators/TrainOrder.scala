@@ -518,6 +518,143 @@ object TrainOrder {
     df.where(pred)
   }
 
+  /** Curriculum ordering — easy-to-hard training schedules (sequence-length
+    * or quality curricula) without a global sort: rows are bucketed into
+    * difficulty TIERS by explicit score boundaries, and each shard streams
+    * its tiers in ascending order with the seeded pseudorandom permutation
+    * WITHIN each tier ("sorted by difficulty, shuffled within difficulty" —
+    * a literal `ORDER BY score` destroys intra-batch diversity, a plain
+    * shuffle destroys the schedule; the tiered blend is the standard
+    * compromise).
+    *
+    * `tier = |{b in boundaries : score > b}|` (the comparison-count rule,
+    * 0-based; boundaries must be strictly increasing). A NULL score lands
+    * in the LAST tier — unknown difficulty trains last, not first
+    * (documented choice; filter upstream to drop such rows instead). For a
+    * hard-to-easy schedule, negate the score and the boundaries.
+    *
+    * Scale shape: identical to [[order]] — the tier is a narrow per-row
+    * expression, so the plan is still ONE hash shuffle on `shard` plus a
+    * per-shard local sort (now on (tier, hash, id)); parallelism stays
+    * `shards`, nothing global anywhere. Output: input columns +
+    * `tier` + (shard, pos). */
+  def curriculum(df: DataFrame, idCol: String, scoreCol: String,
+      boundaries: Seq[Double], seed: Long, shards: Int,
+      portable: Boolean = false): DataFrame =
+    curriculumImpl(df, idCol, scoreCol, boundaries, seed, shards, portable,
+      prePartition = false)
+
+  /** Land the curriculum as training shard files — the [[writeShards]]
+    * contract (one pos-ordered file per `shard=` dir, ONE exchange,
+    * `maxRecordsPerFile = 0` pinned, manifest written) over
+    * [[curriculum]]'s tiered order: a reader streaming each shard
+    * front-to-back gets the easy-to-hard schedule for free. */
+  def writeCurriculumShards(df: DataFrame, idCol: String, scoreCol: String,
+      boundaries: Seq[Double], seed: Long, shards: Int, path: String,
+      portable: Boolean = false): Unit = {
+    curriculumImpl(df, idCol, scoreCol, boundaries, seed, shards, portable,
+      prePartition = true)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", "0")
+      .partitionBy("shard").parquet(path)
+    writeManifest(df.sparkSession, path)
+  }
+
+  private def curriculumImpl(df: DataFrame, idCol: String, scoreCol: String,
+      boundaries: Seq[Double], seed: Long, shards: Int, portable: Boolean,
+      prePartition: Boolean): DataFrame = {
+    require(boundaries.nonEmpty,
+      "curriculum needs at least one tier boundary (a boundary-less " +
+        "curriculum is just order())")
+    require(boundaries.forall(b => !b.isNaN && !b.isInfinite),
+      s"tier boundaries must be finite, got $boundaries")
+    require(boundaries.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      s"tier boundaries must be strictly increasing, got $boundaries")
+    require(!df.columns.exists(_.equalsIgnoreCase("tier")),
+      "input already has a 'tier' column — drop or rename it before " +
+        "curriculum ordering (the name is this operator's output)")
+    require(!idCol.equalsIgnoreCase("tier") && !scoreCol.equalsIgnoreCase("tier"),
+      "idCol/scoreCol collide with the curriculum 'tier' output column")
+    val hashed = hashShard(df, idCol, seed, shards, portable)
+    val tier = when(col(scoreCol).isNull, lit(boundaries.size))
+      .otherwise(boundaries.map(b =>
+        when(col(scoreCol) > lit(b), 1).otherwise(0)).reduce(_ + _))
+    val tiered = hashed.withColumn("tier", tier.cast("int"))
+    val clustered =
+      if (prePartition) tiered.repartition(shards, col("shard")) else tiered
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("tier"), col("__graft_h"), col(idCol))
+    clustered
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__graft_h")
+  }
+
+  /** Token-budget PREFIX of a training stream: the maximal prefix of the
+    * global consumption order whose token sum fits `budget` — "train on
+    * the first N tokens of this mixture", the cut every budgeted run
+    * makes. The global order is lexicographic `(pos, shard)`: readers
+    * drain position p from every shard before p+1, which is how
+    * lock-step shard consumption already behaves; granularity is one
+    * `(pos, shard)` cell (= one row in every layout this module lands).
+    *
+    * `df` is any coordinate-carrying stream — [[order]]/[[interleaveRows]]
+    * output or a landed layout read back — with an integral token-count
+    * column (fractional counts: round upstream; negative counts are
+    * undefined — the cut assumes a monotone cumulative sum). NULL token
+    * counts contribute 0 and the row still ships with its cell.
+    *
+    * Scale shape: two tiny jobs + one pruned scan. (1) per-`pos` token
+    * totals — one shuffle with `max_pos` (= corpus/shards) groups — then
+    * the running total over pos in a single-partition window of those
+    * max_pos ROLLUP rows (not the corpus; ~1M rows at 100 TB/100k
+    * shards), giving the last fully-covered position P*. (2) the same
+    * rollup over the single boundary position P*+1 by shard (≤ shards
+    * rows) spends the remainder in shard order, giving the boundary
+    * shard S*. The result predicate is three literals —
+    * `pos <= P*+1 AND (pos <= P* OR (pos = P*+1 AND shard <= S*))` — so
+    * on a landed layout the leading conjunct reaches the parquet scan
+    * pushed (row groups beyond the cut are SKIPPED; a 10% budget reads
+    * ~10% of the layout) and `shard <= S*` partition-prunes nothing but
+    * costs nothing (spec-pinned). */
+  def prefixByBudget(df: DataFrame, tokenCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"token budget must be non-negative, got $budget")
+    Seq("shard", "pos", tokenCol).foreach(c =>
+      require(df.columns.exists(_.equalsIgnoreCase(c)),
+        s"prefixByBudget needs a '$c' column — run it on a training-order " +
+          "stream (order/interleaveRows output or a landed shard layout)"))
+    val toks = col(tokenCol).cast("long")
+    val wPos = Window.orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val covered = df.groupBy(col("pos")).agg(sum(toks).as("__graft_t"))
+      .withColumn("__graft_c", sum(col("__graft_t")).over(wPos))
+      .where(col("__graft_c") <= lit(budget))
+      .agg(max(col("pos")), max(col("__graft_c"))).first()
+    val (pStar, used) =
+      if (covered.isNullAt(0)) (0L, 0L)
+      else (covered.getLong(0), covered.getLong(1))
+    val shardType = df.schema.fields
+      .find(_.name.equalsIgnoreCase("shard")).get.dataType
+    val wShard = Window.orderBy(col("__graft_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = df.where(col("pos") === lit(pStar + 1L))
+      .groupBy(col("shard").cast("long").as("__graft_s")).agg(sum(toks).as("__graft_t"))
+      .withColumn("__graft_c", sum(col("__graft_t")).over(wShard))
+      .where(col("__graft_c") <= lit(budget - used))
+      .agg(max(col("__graft_s"))).first()
+    val pred =
+      if (!boundary.isNullAt(0)) {
+        val sStar = lit(boundary.getLong(0)).cast(shardType)
+        // the redundant leading conjunct is the PUSHABLE form of the cut —
+        // parquet row-group pruning sees a plain pos bound; the exact
+        // boundary-shard refinement evaluates residually on the remainder
+        col("pos") <= lit(pStar + 1L) &&
+          (col("pos") <= lit(pStar) ||
+            (col("pos") === lit(pStar + 1L) && col("shard") <= sStar))
+      } else if (pStar == 0L) lit(false)
+      else col("pos") <= lit(pStar)
+    df.where(pred)
+  }
+
   private def interleaveImpl(sources: Seq[(String, DataFrame, Double)],
       idCol: String, seed: Long, shards: Int, portable: Boolean,
       payload: Boolean, prePartition: Boolean): DataFrame = {

@@ -504,6 +504,123 @@ class TrainOrderSpec extends SparkTestBase {
     assert(ex4.getMessage.contains("disagrees with its manifest"))
   }
 
+  test("curriculum: tiers stream in ascending order within every shard, the " +
+    "intra-tier order IS order()'s permutation, NULL scores land in the " +
+    "LAST tier, and the plan keeps the one-exchange shape") {
+    val df = ids(300).withColumn("score",
+      when(col("id") % 29 === 0, lit(null).cast("double"))
+        .otherwise((col("id") % 100).cast("double")))
+    val boundaries = Seq(30.0, 70.0)
+    val rows = TrainOrder.curriculum(df, "id", "score", boundaries,
+      seed = 9L, shards = 4)
+      .select("id", "score", "tier", "shard", "pos").collect()
+    assert(rows.length == 300)
+    // tier rule: comparison count, NULL → last tier
+    rows.foreach { r =>
+      val expected =
+        if (r.isNullAt(1)) boundaries.size
+        else boundaries.count(b => r.getDouble(1) > b)
+      assert(r.getInt(2) == expected, s"id=${r.getLong(0)}")
+    }
+    assert(rows.exists(r => r.isNullAt(1))) // the NULL case really occurs
+    val base = TrainOrder.order(df.select("id"), "id", seed = 9L, shards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_.getLong(3)).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_.getLong(4))
+      // positions are 1..n and tiers never descend along the stream
+      assert(sorted.map(_.getLong(4)).toSeq == (1L to rs.length.toLong))
+      assert(sorted.map(_.getInt(2)).sliding(2)
+        .forall(w => w.length < 2 || w(0) <= w(1)), s"shard $shard")
+      // same shard assignment as order() (same hash), and within each
+      // tier the relative order is order()'s seeded permutation
+      rs.foreach(r => assert(base(r.getLong(0))._1 == shard))
+      rs.groupBy(_.getInt(2)).values.foreach { tierRows =>
+        val cur = tierRows.sortBy(_.getLong(4)).map(_.getLong(0)).toSeq
+        val perm = tierRows.map(_.getLong(0)).sortBy(id => base(id)._2).toSeq
+        assert(cur == perm, s"shard $shard intra-tier order diverged")
+      }
+    }
+    val plan = TrainOrder.curriculum(df, "id", "score", boundaries, 9L, 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("Exchange SinglePartition"), plan)
+    // guards: boundaries empty / non-increasing, a tier column collision
+    intercept[IllegalArgumentException] {
+      TrainOrder.curriculum(df, "id", "score", Seq.empty, 9L, 4)
+    }
+    intercept[IllegalArgumentException] {
+      TrainOrder.curriculum(df, "id", "score", Seq(2.0, 1.0), 9L, 4)
+    }
+    intercept[IllegalArgumentException] {
+      TrainOrder.curriculum(df.withColumn("tier", lit(1)), "id", "score",
+        Seq(1.0), 9L, 4)
+    }
+  }
+
+  test("writeCurriculumShards lands one pos-ordered file per shard dir with " +
+    "a manifest, and each file streams its tiers front-to-back") {
+    val df = ids(200).withColumn("score", (col("id") % 50).cast("double"))
+    val path = new java.io.File("target/train-curriculum-shards").getAbsolutePath
+    TrainOrder.writeCurriculumShards(df, "id", "score", Seq(25.0),
+      seed = 4L, shards = 3, path)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.nonEmpty && dirs.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    dirs.foreach { d =>
+      // single-file read: collect order is file row order
+      val filed = spark.read.parquet(d.getAbsolutePath)
+        .select("pos", "tier").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(filed.map(_._1).toSeq == (1L to filed.length.toLong),
+        s"${d.getName} not in pos order")
+      assert(filed.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+        s"${d.getName} tiers descend")
+    }
+    val manifest = TrainOrder.readManifestOpt(spark, path)
+    assert(manifest.exists(_.values.map(_._1).sum == 200L))
+  }
+
+  test("prefixByBudget: the maximal (pos, shard)-lexicographic prefix within " +
+    "the token budget — boundary position split across shards in shard " +
+    "order — and the cut reaches a landed layout's scan as a pushed bound") {
+    val df = ids(120).withColumn("toks", (col("id") % 7 + 1).cast("long"))
+    val stream = TrainOrder.order(df, "id", seed = 21L, shards = 3)
+    val rows = stream.select("id", "shard", "pos", "toks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._3, t._2)) // the operator's global consumption order
+    val total = rows.map(_._4).sum
+    val cum = rows.scanLeft(0L)(_ + _._4).tail
+    def want(b: Long): Set[Long] =
+      rows.zip(cum).takeWhile(_._2 <= b).map(_._1._1).toSet
+    // budgets hitting: nothing, a sub-first-position cut, a mid-stream cut
+    // that splits a position across shards, everything, over-provisioned
+    Seq(0L, 3L, 37L, 211L, total, total + 99L).foreach { b =>
+      val got = TrainOrder.prefixByBudget(stream, "toks", b)
+        .select("id").as[Long].collect().toSet
+      assert(got == want(b), s"budget $b: got ${got.size}, want ${want(b).size}")
+    }
+    assert(want(total).size == 120) // the full-budget case really takes all
+    assert(want(37L).nonEmpty && want(37L).size < 120)
+    // on a landed layout the cut is a PUSHED pos bound: row groups beyond
+    // it are skipped, so a 10% budget reads ~10% of the layout
+    val path = new java.io.File("target/train-budget-prefix").getAbsolutePath
+    TrainOrder.writeShards(df, "id", seed = 21L, shards = 3, path)
+    val landed = TrainOrder.prefixByBudget(spark.read.parquet(path), "toks", 37L)
+    assert(landed.select("id").as[Long].collect().toSet == want(37L))
+    val scan = landed.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      "PushedFilters: \\[[^\\]]*LessThanOrEqual\\(pos".r.findFirstIn(scan).nonEmpty,
+      scan)
+    intercept[IllegalArgumentException] {
+      TrainOrder.prefixByBudget(stream, "toks", -1L)
+    }
+    intercept[IllegalArgumentException] {
+      TrainOrder.prefixByBudget(df, "toks", 5L) // no coordinates
+    }
+  }
+
   test("plan shape: one hash exchange on the shard key, no global sort or " +
     "single-partition window") {
     val plan = TrainOrder.order(ids(100), "id", seed = 5L, shards = 8)
