@@ -547,7 +547,66 @@ object ScaleCheck {
         val ratio = tn / math.max(t1, 1e-9)
         Seq(f""""hh_consolidate_retainids_growth":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$ratio%.2f,"rows1":$rows1,"rowsN":$rowsN,"bucketedT1":$bt1%.2f,"bucketedTN":$btn%.2f,"bucketedRows1":$brows1,"bucketedRowsN":$browsN}""")
       }
-    println(s"""{"mult":$mult,"cases":{${(rows ++ lshRow ++ ingestRow ++ retentionRow ++ hhRow ++ hhRetainRow).mkString(",")}}}""")
+    // ---- wide-schema compare plan cost (constraint-propagation A/B) -------
+    // The round-4 SCALE.md note kept the SPARK_GRAFT_CONSTRAINT_PROP toggle
+    // because the classic Catalyst constraint-propagation quadratic was only
+    // A/B'd at ~30 columns, while real compare deployments run 100+ column
+    // tables. This case widens lineitem to 150 columns, runs the SAME full
+    // compare (probe, null-safe outer join, fused single-pass stats) at both
+    // widths, and A/Bs spark.sql.constraintPropagation.enabled per width.
+    // The input is a localCheckpoint'd 4000-row slice, so execution is
+    // trivial and the wall clock is dominated by driver-side analysis +
+    // optimization — the thing the toggle changes. Width scaling is 5x;
+    // anything clearly superlinear across the A/B gap names the quadratic.
+    val compareWideRow =
+      if (!onlyCase.forall(_.contains("compare_wide_plan"))) Seq.empty[String]
+      else {
+        import graft.operators.{SparkCompare, CompareConfig}
+        def widened(cols: Int): DataFrame = {
+          val base = table("lineitem").limit(4000)
+          val extra = (17 to cols).map(j =>
+            (col("l_extendedprice") * j + col("l_quantity")).as(f"w$j%03d"))
+          base.select(col("*") +: extra: _*).localCheckpoint()
+        }
+        def compareAt(wide: DataFrame): Unit = {
+          val a = wide.where(col("l_orderkey") % 10 =!= 7)
+          val b = wide.where(col("l_orderkey") % 10 =!= 3)
+            .withColumn("l_quantity",
+              when(col("l_orderkey") % 7 === 0, col("l_quantity") + lit(0.005))
+                .otherwise(col("l_quantity")))
+          val cmp = new SparkCompare(spark, a, b,
+            CompareConfig(joinColumns = Seq("l_orderkey", "l_linenumber")))
+          require(cmp.columnStats.nonEmpty)
+          cmp.unpersist()
+        }
+        def timed(wide: DataFrame, propOn: Boolean): Double = {
+          val key = "spark.sql.constraintPropagation.enabled"
+          val old = spark.conf.get(key)
+          spark.conf.set(key, propOn.toString)
+          // min of two runs: plan cost is driver CPU, throttle-sensitive
+          try (0 until 2).map { _ =>
+            val t0 = System.nanoTime()
+            compareAt(wide)
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          finally spark.conf.set(key, old)
+        }
+        val w30 = widened(30)
+        val w150 = widened(150)
+        System.err.println(s"[scale] compare_wide_plan (30 vs 150 cols, prop A/B)")
+        val on30 = timed(w30, propOn = true)
+        val on150 = timed(w150, propOn = true)
+        val off30 = timed(w30, propOn = false)
+        val off150 = timed(w150, propOn = false)
+        System.err.println(
+          f"[scale]   prop=on  30c=$on30%5.1fs 150c=$on150%5.1fs " +
+            f"ratio=${on150 / math.max(on30, 1e-9)}%4.1f")
+        System.err.println(
+          f"[scale]   prop=off 30c=$off30%5.1fs 150c=$off150%5.1fs " +
+            f"ratio=${off150 / math.max(off30, 1e-9)}%4.1f")
+        Seq(f""""compare_wide_plan":{"on30":$on30%.2f,"on150":$on150%.2f,"off30":$off30%.2f,"off150":$off150%.2f,"ratioOn":${on150 / math.max(on30, 1e-9)}%.2f,"ratioOff":${off150 / math.max(off30, 1e-9)}%.2f}""")
+      }
+    println(s"""{"mult":$mult,"cases":{${(rows ++ lshRow ++ ingestRow ++ retentionRow ++ hhRow ++ hhRetainRow ++ compareWideRow).mkString(",")}}}""")
     spark.stop()
   }
 }
