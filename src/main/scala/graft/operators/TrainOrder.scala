@@ -617,15 +617,73 @@ object TrainOrder {
     * ~10% of the layout) and `shard <= S*` partition-prunes nothing but
     * costs nothing (spec-pinned). */
   def prefixByBudget(df: DataFrame, tokenCol: String, budget: Long): DataFrame = {
-    require(budget >= 0, s"token budget must be non-negative, got $budget")
+    requirePrefixColumns(df, tokenCol)
+    prefixImpl(df,
+      df.groupBy(col("pos")).agg(
+        sum(col(tokenCol).cast("long")).as("__graft_t")),
+      tokenCol, budget)
+  }
+
+  private def requirePrefixColumns(df: DataFrame, tokenCol: String): Unit =
     Seq("shard", "pos", tokenCol).foreach(c =>
       require(df.columns.exists(_.equalsIgnoreCase(c)),
         s"prefixByBudget needs a '$c' column — run it on a training-order " +
           "stream (order/interleaveRows output or a landed shard layout)"))
+
+  /** The per-position token-index sidecar's directory name under a landed
+    * layout. The leading underscore keeps it INVISIBLE to layout reads
+    * (Spark skips `_`/`.`-prefixed paths), so writing an index never
+    * changes what `spark.read.parquet(layout)` returns. */
+  private[graft] def tokenIndexPath(path: String, tokenCol: String): String =
+    s"$path/_graft_token_index_${tokenCol.toLowerCase}"
+
+  /** Precompute the per-position token totals of a landed layout ONCE, so
+    * every subsequent [[prefixByBudget]] cut answers from the tiny index
+    * instead of rescanning the layout: the heavy half of a cut is the
+    * per-pos rollup — a (pos, tokenCol)-pruned scan of the whole corpus —
+    * while the index has one row per POSITION (corpus/shards; ~1M rows at
+    * 100 TB / 100k shards, a few MB as one parquet file). Budget sweeps,
+    * checkpoint scheduling, and repeated cuts against the same epoch pay
+    * the corpus scan once here and never again.
+    *
+    * Staleness contract: every landing in this module overwrites the whole
+    * layout directory, which deletes any sidecar with it — a stale index
+    * cannot survive a re-land. (This module's layouts are never appended
+    * to in place.) */
+  def writeTokenIndex(spark: SparkSession, path: String,
+      tokenCol: String): Unit =
+    spark.read.parquet(path)
+      .groupBy(col("pos"))
+      .agg(sum(col(tokenCol).cast("long")).as("tokens"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tokenIndexPath(path, tokenCol))
+
+  /** [[prefixByBudget]] over a LANDED layout, answering the heavy half of
+    * the cut from the [[writeTokenIndex]] sidecar when one exists (falling
+    * back to the on-the-fly rollup when it does not): the per-pos running
+    * total reads the index's one tiny file, and the only layout I/O is the
+    * boundary position's single pushed-equality scan (~one row group per
+    * shard) plus the pruned prefix read the caller consumes. */
+  def prefixByBudget(spark: SparkSession, path: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    val df = spark.read.parquet(path)
+    val idx = new org.apache.hadoop.fs.Path(tokenIndexPath(path, tokenCol))
+    if (LayoutMeta.fs(spark, path).exists(idx))
+      prefixImpl(df,
+        spark.read.parquet(idx.toString)
+          .select(col("pos"), col("tokens").as("__graft_t")),
+        tokenCol, budget)
+    else prefixByBudget(df, tokenCol, budget)
+  }
+
+  private def prefixImpl(df: DataFrame, perPos: DataFrame, tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"token budget must be non-negative, got $budget")
+    requirePrefixColumns(df, tokenCol)
     val toks = col(tokenCol).cast("long")
     val wPos = Window.orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val covered = df.groupBy(col("pos")).agg(sum(toks).as("__graft_t"))
+    val covered = perPos
       .withColumn("__graft_c", sum(col("__graft_t")).over(wPos))
       .where(col("__graft_c") <= lit(budget))
       .agg(max(col("pos")), max(col("__graft_c"))).first()

@@ -621,6 +621,37 @@ class TrainOrderSpec extends SparkTestBase {
     }
   }
 
+  test("prefixByBudget over a landed layout answers from the token-index " +
+    "sidecar when present (write once, cut many), the sidecar is invisible " +
+    "to layout reads, and the fallback path agrees without one") {
+    val df = ids(90).withColumn("toks", (col("id") % 5 + 1).cast("long"))
+    val path = new java.io.File("target/train-token-index").getAbsolutePath
+    TrainOrder.writeShards(df, "id", seed = 8L, shards = 3, path)
+    val layoutRows = spark.read.parquet(path).count()
+    val noIdx = TrainOrder.prefixByBudget(spark, path, "toks", 50L)
+      .select("id").as[Long].collect().toSet
+    TrainOrder.writeTokenIndex(spark, path, "toks")
+    // the underscore-prefixed sidecar never changes what the layout reads as
+    assert(spark.read.parquet(path).count() == layoutRows)
+    val withIdx = TrainOrder.prefixByBudget(spark, path, "toks", 50L)
+      .select("id").as[Long].collect().toSet
+    assert(withIdx == noIdx && noIdx.nonEmpty && noIdx.size < 90)
+    // the index is really consulted: inflate its totals 1000x — the cut
+    // must follow the poisoned rollup (collapsing to at most the boundary
+    // position, whose refinement reads the LAYOUT's true tokens), not
+    // silently rescan the layout
+    val idxPath = TrainOrder.tokenIndexPath(path, "toks")
+    val poisonRows = spark.read.parquet(idxPath)
+      .select("pos", "tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1) * 1000L)).toSeq
+    poisonRows.toDF("pos", "tokens")
+      .coalesce(1).write.mode("overwrite").parquet(idxPath)
+    val poisoned = TrainOrder.prefixByBudget(spark, path, "toks", 50L)
+      .select("pos").as[Long].collect()
+    assert(poisoned.length < withIdx.size && poisoned.forall(_ <= 1L),
+      s"poisoned index ignored: ${poisoned.length} rows")
+  }
+
   test("plan shape: one hash exchange on the shard key, no global sort or " +
     "single-partition window") {
     val plan = TrainOrder.order(ids(100), "id", seed = 5L, shards = 8)
