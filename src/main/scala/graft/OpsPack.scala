@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, Ivf, Multimodal, Sampling, TextOps, TrainOrder}
+import graft.operators.{Ann, Dedup, Ivf, Multimodal, Preference, Sampling, TextOps, TrainOrder}
 
 /** Driver queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal), with DuckDB oracles where
@@ -1727,6 +1727,49 @@ object OpsPack {
       .select(col("source"), col("doc_id"), col("shard"), col("pos"))
       .orderBy("shard", "pos")
   }
+
+  /** DPO preference-pair mining ([[Preference.preferencePairs]]): per
+    * synthetic prompt (doc_id % 50, ~10 responses each), the top-2 scored
+    * responses paired with the bottom-2 under a 40-char margin — i-th best
+    * with i-th worst, non-crossing ranks only. Oracle: the identical
+    * window/rank/join/margin algebra, so a crossed pair, a sub-margin
+    * pair, or a mis-ranked tie breaks the hash. */
+  def prefPairsQuery(s: SparkSession, dir: String): DataFrame =
+    Preference.preferencePairs(
+      docs(s, dir).select((col("doc_id") % 50).as("prompt"),
+        col("doc_id"), col("n_chars")),
+      "prompt", "doc_id", "n_chars", margin = 40.0, maxPairs = 2)
+      .select(col("prompt"), col("pair_rank").cast("long").as("pair_rank"),
+        col("chosen_id"), col("chosen_score"),
+        col("rejected_id"), col("rejected_score"), col("gap"))
+      .orderBy("prompt", "pair_rank")
+
+  /** GRPO group-relative advantage ([[Preference.groupAdvantage]]):
+    * (v − mean)/std with the group's population std over integer-exact
+    * moments — sum and sum-of-squares aggregate as longs, every float op
+    * after that is one fixed-order expression, so DuckDB mirrors the
+    * advantage bit-for-bit (the repo's integer-exact stats convention). */
+  def groupAdvantageQuery(s: SparkSession, dir: String): DataFrame =
+    Preference.groupAdvantage(
+      docs(s, dir).select(col("doc_id"), (col("doc_id") % 50).as("grp"),
+        col("n_chars")),
+      "grp", "n_chars")
+      .select(col("doc_id"), col("grp"), col("n_chars"),
+        col("group_mean"), col("group_std"), col("advantage"))
+      .orderBy("doc_id")
+
+  /** Pairwise win matrix ([[Preference.winMatrix]]) — the Elo/Bradley–
+    * Terry sufficient statistic: 4 synthetic models (doc_id % 4) scored by
+    * n_chars across 25 prompts; every cross-model response comparison
+    * counts a win/loss/tie, win_rate_a = decided fraction. Integer counts
+    * + one division — hash-exact. */
+  def winMatrixQuery(s: SparkSession, dir: String): DataFrame =
+    Preference.winMatrix(
+      docs(s, dir).select((col("doc_id") % 25).as("prompt"),
+        concat(lit("m"), (col("doc_id") % 4).cast("string")).as("model"),
+        col("n_chars")),
+      "prompt", "model", "n_chars")
+      .orderBy("model_a", "model_b")
 
   /** Leave-one-out bigram familiarity scores — the LM-shaped quality
     * filter with integer-exact stats (oracle-checked bit-for-bit). */
@@ -4307,6 +4350,9 @@ object OpsPack {
     "q_train_epochs" -> (trainEpochsQuery _),
     "q_train_curriculum" -> (trainCurriculumQuery _),
     "q_train_budget_prefix" -> (trainBudgetPrefixQuery _),
+    "q_pref_pairs" -> (prefPairsQuery _),
+    "q_group_advantage" -> (groupAdvantageQuery _),
+    "q_eval_win_matrix" -> (winMatrixQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_quality_adaptive" -> (qualityAdaptive _),
     "q_quality_bootstrap" -> (qualityBootstrap _),
@@ -6163,6 +6209,70 @@ object OpsPack {
        |      ORDER BY pos, shard ROWS UNBOUNDED PRECEDING) AS run
        |  FROM (${trainInterleaveMirror("n_chars")}) s)
        |WHERE run <= 60000 ORDER BY shard, pos""".stripMargin
+
+  /** Preference-pair oracle: the identical rank/anti-rank windows (the
+    * bottom ordering is the exact reverse of the top ordering, so the
+    * worst rank is n+1−rt), non-crossing guard, and margin filter. */
+  private val prefPairsSql: String =
+    """WITH r AS (
+      |  SELECT doc_id % 50 AS prompt, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY doc_id % 50
+      |      ORDER BY n_chars DESC, doc_id) AS rt,
+      |    count(doc_id) OVER (PARTITION BY doc_id % 50) AS n
+      |  FROM documents),
+      |c AS (SELECT prompt, CAST(rt AS BIGINT) AS pair_rank,
+      |        doc_id AS chosen_id, n_chars AS chosen_score
+      |      FROM r WHERE rt <= 2 AND rt * 2 <= n),
+      |j AS (SELECT prompt, CAST(n + 1 - rt AS BIGINT) AS pair_rank,
+      |        doc_id AS rejected_id, n_chars AS rejected_score
+      |      FROM r WHERE (n + 1 - rt) <= 2 AND (n + 1 - rt) * 2 <= n)
+      |SELECT prompt, pair_rank, chosen_id, chosen_score,
+      |  rejected_id, rejected_score,
+      |  CAST(chosen_score AS DOUBLE) - CAST(rejected_score AS DOUBLE) AS gap
+      |FROM c JOIN j USING (prompt, pair_rank)
+      |WHERE CAST(chosen_score AS DOUBLE) - CAST(rejected_score AS DOUBLE) >= 40.0
+      |ORDER BY prompt, pair_rank""".stripMargin
+
+  /** Group-advantage oracle: long moments, then the same fixed-order float
+    * expressions — mean once, std from ss/n − mean·mean clamped at 0. */
+  private val groupAdvantageSql: String =
+    """WITH s AS (SELECT doc_id, doc_id % 50 AS grp, n_chars,
+      |    count(CAST(n_chars AS BIGINT)) OVER (PARTITION BY doc_id % 50) AS n,
+      |    sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY doc_id % 50) AS sm,
+      |    sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+      |      OVER (PARTITION BY doc_id % 50) AS ss
+      |  FROM documents),
+      |m AS (SELECT doc_id, grp, n_chars,
+      |    CAST(sm AS DOUBLE) / n AS group_mean,
+      |    sqrt(greatest(CAST(ss AS DOUBLE) / n
+      |      - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n), 0.0)) AS group_std
+      |  FROM s)
+      |SELECT doc_id, grp, n_chars, group_mean, group_std,
+      |  CASE WHEN n_chars IS NULL THEN NULL
+      |       WHEN group_std > 0 THEN (CAST(n_chars AS DOUBLE) - group_mean) / group_std
+      |       ELSE 0.0 END AS advantage
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Win-matrix oracle: the same prompt self-join under model_a < model_b
+    * with NULL-score comparisons skipped, integer counts + one division. */
+  private val winMatrixSql: String =
+    """WITH r AS (SELECT doc_id % 25 AS prompt,
+      |    'm' || CAST(doc_id % 4 AS VARCHAR) AS model,
+      |    CAST(n_chars AS DOUBLE) AS s FROM documents)
+      |SELECT a.model AS model_a, b.model AS model_b,
+      |  count(CASE WHEN a.s > b.s THEN 1 END) AS wins_a,
+      |  count(CASE WHEN b.s > a.s THEN 1 END) AS wins_b,
+      |  count(CASE WHEN a.s IS NOT NULL AND b.s IS NOT NULL AND a.s = b.s
+      |        THEN 1 END) AS ties,
+      |  count(CASE WHEN a.s IS NOT NULL AND b.s IS NOT NULL THEN 1 END) AS n,
+      |  CASE WHEN count(CASE WHEN a.s > b.s THEN 1 END)
+      |          + count(CASE WHEN b.s > a.s THEN 1 END) > 0
+      |       THEN CAST(count(CASE WHEN a.s > b.s THEN 1 END) AS DOUBLE)
+      |            / (count(CASE WHEN a.s > b.s THEN 1 END)
+      |               + count(CASE WHEN b.s > a.s THEN 1 END))
+      |       END AS win_rate_a
+      |FROM r a JOIN r b ON a.prompt = b.prompt AND a.model < b.model
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private val mixtureSampleSql: String =
     s"""WITH $mixturePlanCtes,
@@ -8123,6 +8233,9 @@ object OpsPack {
     "q_train_epochs" -> trainEpochsSql,
     "q_train_curriculum" -> trainCurriculumSql,
     "q_train_budget_prefix" -> trainBudgetPrefixSql,
+    "q_pref_pairs" -> prefPairsSql,
+    "q_group_advantage" -> groupAdvantageSql,
+    "q_eval_win_matrix" -> winMatrixSql,
     // the layout round trip must reproduce the coordinate computation
     // exactly — same oracle by design
     "q_train_shards" -> trainOrderSql,
