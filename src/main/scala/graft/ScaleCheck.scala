@@ -547,6 +547,47 @@ object ScaleCheck {
         val ratio = tn / math.max(t1, 1e-9)
         Seq(f""""hh_consolidate_retainids_growth":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$ratio%.2f,"rows1":$rows1,"rowsN":$rowsN,"bucketedT1":$bt1%.2f,"bucketedTN":$btn%.2f,"bucketedRows1":$brows1,"bucketedRowsN":$browsN}""")
       }
+    // ---- token-budget prefix cut vs corpus growth --------------------------
+    // The sidecar claim, measured: a FIXED budget's prefix is budget-sized
+    // regardless of corpus size, so with the per-pos token index the whole
+    // cut (index read + boundary scan + pruned prefix count) must stay FLAT
+    // at Nx corpus, while the index-less path re-derives the per-pos rollup
+    // with a (pos, tokens)-pruned scan of the WHOLE corpus — linear growth.
+    val budgetCutRow =
+      if (!onlyCase.forall(_.contains("budget_prefix_cut"))) Seq.empty[String]
+      else {
+        import graft.operators.TrainOrder
+        def build(tag: String, d: DataFrame): String = {
+          val p = s"$out/budget_cut_$tag"
+          val done = java.nio.file.Paths.get(s"${p}_done")
+          if (!java.nio.file.Files.exists(done)) {
+            graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(p))
+            val t0 = System.nanoTime()
+            TrainOrder.writeShards(d.select(col("doc_id"), col("n_chars")),
+              "doc_id", seed = 17L, shards = 64, p)
+            TrainOrder.writeTokenIndex(spark, p, "n_chars")
+            java.nio.file.Files.createFile(done)
+            System.err.println(
+              f"[scale] staged budget_cut_$tag ${(System.nanoTime() - t0) / 1e9}%6.1fs")
+          }
+          p
+        }
+        val p1 = build("1x", doc1)
+        val pN = build(s"${mult}x", docN)
+        val budget = 30000L // fixed: the prefix read is budget-sized at both scales
+        System.err.println(s"[scale] budget_prefix_cut @1x (indexed)")
+        val t1 = time(TrainOrder.prefixByBudget(spark, p1, "n_chars", budget).count())
+        System.err.println(s"[scale] budget_prefix_cut @${mult}x (indexed)")
+        val tn = time(TrainOrder.prefixByBudget(spark, pN, "n_chars", budget).count())
+        System.err.println(s"[scale] budget_prefix_cut @1x (no index)")
+        val u1 = time(TrainOrder.prefixByBudget(
+          spark.read.parquet(p1), "n_chars", budget).count())
+        System.err.println(s"[scale] budget_prefix_cut @${mult}x (no index)")
+        val un = time(TrainOrder.prefixByBudget(
+          spark.read.parquet(pN), "n_chars", budget).count())
+        val ratio = tn / math.max(t1, 1e-9)
+        Seq(f""""budget_prefix_cut":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":$ratio%.2f,"noIdx1":$u1%.2f,"noIdxN":$un%.2f,"noIdxRatio":${un / math.max(u1, 1e-9)}%.2f}""")
+      }
     // ---- wide-schema compare plan cost (constraint-propagation A/B) -------
     // The round-4 SCALE.md note kept the SPARK_GRAFT_CONSTRAINT_PROP toggle
     // because the classic Catalyst constraint-propagation quadratic was only
@@ -606,7 +647,7 @@ object ScaleCheck {
             f"ratio=${off150 / math.max(off30, 1e-9)}%4.1f")
         Seq(f""""compare_wide_plan":{"on30":$on30%.2f,"on150":$on150%.2f,"off30":$off30%.2f,"off150":$off150%.2f,"ratioOn":${on150 / math.max(on30, 1e-9)}%.2f,"ratioOff":${off150 / math.max(off30, 1e-9)}%.2f}""")
       }
-    println(s"""{"mult":$mult,"cases":{${(rows ++ lshRow ++ ingestRow ++ retentionRow ++ hhRow ++ hhRetainRow ++ compareWideRow).mkString(",")}}}""")
+    println(s"""{"mult":$mult,"cases":{${(rows ++ lshRow ++ ingestRow ++ retentionRow ++ hhRow ++ hhRetainRow ++ budgetCutRow ++ compareWideRow).mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -377,6 +377,31 @@ class ConnectIntegrationSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(viaConnect == stream(spark) && viaConnect.nonEmpty)
   }
 
+  test("curriculum ordering and the token-budget prefix run identically " +
+    "through a live Connect session (pure built-in plans + tiny client-side " +
+    "cut aggregates)") {
+    def both(s: SparkSession): (Seq[(Long, Int, Long, Long)], Seq[Long]) =
+      withActive(s) {
+        val df = s.sql("SELECT id, CAST(id % 97 AS DOUBLE) AS score, " +
+          "CAST(id % 5 + 1 AS BIGINT) AS toks FROM range(1, 201)")
+        val cur = graft.operators.TrainOrder
+          .curriculum(df, "id", "score", Seq(20.0, 60.0), seed = 6L, shards = 4)
+          .select("id", "tier", "shard", "pos").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+          .toSeq.sortBy(t => (t._3, t._4))
+        val cut = graft.operators.TrainOrder.prefixByBudget(
+          graft.operators.TrainOrder.order(df, "id", seed = 6L, shards = 4),
+          "toks", 150L)
+          .select("id").collect().map(_.getLong(0)).toSeq.sorted
+        (cur, cut)
+      }
+    val viaConnect = both(client)
+    val classic = both(spark)
+    assert(viaConnect == classic)
+    assert(classic._1.nonEmpty &&
+      classic._2.nonEmpty && classic._2.size < 200)
+  }
+
   test("an uninstalled function name surfaces UNRESOLVED_ROUTINE naming the " +
     "function (the documented no-fallback failure mode)") {
     val name = LshPlanes.functionName(9, 9, 9) // parameterized: never injected
