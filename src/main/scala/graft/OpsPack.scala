@@ -1771,6 +1771,20 @@ object OpsPack {
       "prompt", "model", "n_chars")
       .orderBy("model_a", "model_b")
 
+  /** Bradley–Terry strengths ([[Preference.bradleyTerry]]) over the same
+    * synthetic eval table as q_eval_win_matrix: 8 MM iterations, every
+    * float fold in sorted-opponent order, so the DuckDB oracle — which
+    * replays the iterations as unrolled materialized CTEs with
+    * list-ordered sums — matches the strengths BIT-FOR-BIT (prototyped:
+    * identical hex doubles). */
+  def bradleyTerryQuery(s: SparkSession, dir: String): DataFrame =
+    Preference.bradleyTerry(
+      docs(s, dir).select((col("doc_id") % 25).as("prompt"),
+        concat(lit("m"), (col("doc_id") % 4).cast("string")).as("model"),
+        col("n_chars")),
+      "prompt", "model", "n_chars", iters = 8)
+      .orderBy("model")
+
   /** Leave-one-out bigram familiarity scores — the LM-shaped quality
     * filter with integer-exact stats (oracle-checked bit-for-bit). */
   def lmNgramScore(s: SparkSession, dir: String): DataFrame =
@@ -4353,6 +4367,7 @@ object OpsPack {
     "q_pref_pairs" -> (prefPairsQuery _),
     "q_group_advantage" -> (groupAdvantageQuery _),
     "q_eval_win_matrix" -> (winMatrixQuery _),
+    "q_eval_bradley_terry" -> (bradleyTerryQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_quality_adaptive" -> (qualityAdaptive _),
     "q_quality_bootstrap" -> (qualityBootstrap _),
@@ -6273,6 +6288,52 @@ object OpsPack {
       |       END AS win_rate_a
       |FROM r a JOIN r b ON a.prompt = b.prompt AND a.model < b.model
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Bradley–Terry oracle: the win matrix's both-orientation pair list,
+    * then 8 unrolled MM iterations as MATERIALIZED CTEs (the r11 lesson:
+    * un-materialized iteration CTEs double the evaluation tree per round)
+    * with every float sum as `list_sum(list(x ORDER BY j))` — the exact
+    * sorted-opponent fold order the driver-side Scala iteration uses, so
+    * the strengths match bit-for-bit. */
+  private val bradleyTerrySql: String = {
+    val base =
+      """WITH r AS (SELECT doc_id % 25 AS prompt,
+        |    'm' || CAST(doc_id % 4 AS VARCHAR) AS model,
+        |    CAST(n_chars AS DOUBLE) AS s FROM documents),
+        |m AS MATERIALIZED (SELECT a.model AS ma, b.model AS mb,
+        |  count(CASE WHEN a.s > b.s THEN 1 END) AS wa,
+        |  count(CASE WHEN b.s > a.s THEN 1 END) AS wb,
+        |  count(CASE WHEN a.s IS NOT NULL AND b.s IS NOT NULL AND a.s = b.s
+        |        THEN 1 END) AS t,
+        |  count(CASE WHEN a.s IS NOT NULL AND b.s IS NOT NULL THEN 1 END) AS n
+        | FROM r a JOIN r b ON a.prompt = b.prompt AND a.model < b.model
+        | GROUP BY 1, 2),
+        |p AS MATERIALIZED (
+        |  SELECT ma AS i, mb AS j, CAST(n AS DOUBLE) AS n FROM m WHERE n > 0
+        |  UNION ALL SELECT mb, ma, CAST(n AS DOUBLE) FROM m WHERE n > 0),
+        |w AS MATERIALIZED (SELECT i AS model,
+        |    list_sum(list(wi ORDER BY j)) AS wins,
+        |    CAST(list_sum(list(g ORDER BY j)) AS BIGINT) AS games FROM (
+        |    SELECT ma AS i, mb AS j, wa + 0.5 * t AS wi, n AS g FROM m
+        |    UNION ALL SELECT mb, ma, wb + 0.5 * t, n FROM m) GROUP BY 1),
+        |it0 AS MATERIALIZED (SELECT DISTINCT i AS model, 1.0 AS s FROM p)""".stripMargin
+    val its = (1 to 8).map { k =>
+      val prev = if (k == 1) "it0" else s"it${k - 1}"
+      s"""raw$k AS MATERIALIZED (SELECT w.model, w.wins / d.d AS s FROM w JOIN (
+         |    SELECT p.i AS model,
+         |      list_sum(list(p.n / (si.s + sj.s) ORDER BY p.j)) AS d
+         |    FROM p JOIN $prev si ON si.model = p.i
+         |           JOIN $prev sj ON sj.model = p.j
+         |    GROUP BY p.i) d USING (model)),
+         |it$k AS MATERIALIZED (SELECT model,
+         |  s / (SELECT list_sum(list(s ORDER BY model)) FROM raw$k) AS s
+         |  FROM raw$k)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$its
+       |SELECT it8.model, it8.s AS strength, w.wins, w.games
+       |FROM it8 JOIN w USING (model) ORDER BY model""".stripMargin
+  }
 
   private val mixtureSampleSql: String =
     s"""WITH $mixturePlanCtes,
@@ -8236,6 +8297,7 @@ object OpsPack {
     "q_pref_pairs" -> prefPairsSql,
     "q_group_advantage" -> groupAdvantageSql,
     "q_eval_win_matrix" -> winMatrixSql,
+    "q_eval_bradley_terry" -> bradleyTerrySql,
     // the layout round trip must reproduce the coordinate computation
     // exactly — same oracle by design
     "q_train_shards" -> trainOrderSql,

@@ -115,6 +115,72 @@ object Preference {
     * models × responses-per-model-per-prompt — eval tables are
     * models×prompts-sized, not corpus-sized. The pair aggregate is
     * models² rows. */
+  /** Bradley–Terry model strengths from the pairwise [[winMatrix]] — the
+    * ranking step of an eval pipeline ("strength 0.29 vs 0.22 across all
+    * pairings", transitive where raw win rates are not): `iters` rounds of
+    * the standard MM update `s_i ← W_i / Σ_j n_ij/(s_i+s_j)` (ties count
+    * half a win to each side), normalized to sum 1 each round. Models with
+    * no decided-or-tied comparison at all are dropped (an unplayed model
+    * has no likelihood to maximize). Output: (model, strength, wins,
+    * games), one row per surviving model.
+    *
+    * Determinism contract: the matrix itself is integer-exact; the
+    * iteration runs DRIVER-SIDE over the collected models² matrix (bounded
+    * by `maxModels`, default 2048 — eval tables rank tens of models, not
+    * corpora) with every float fold in sorted-opponent order, so two runs
+    * — or an engine mirroring the same fold order — agree bit-for-bit
+    * (the driver query's DuckDB oracle replays the iterations with
+    * list-ordered sums and matches the strengths exactly). Scale shape:
+    * one [[winMatrix]] job; the driver loop is O(iters · models²). */
+  def bradleyTerry(df: DataFrame, promptCol: String, modelCol: String,
+      scoreCol: String, iters: Int = 8, maxModels: Int = 2048): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val matrix = winMatrix(df, promptCol, modelCol, scoreCol)
+      .select("model_a", "model_b", "wins_a", "wins_b", "ties", "n")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val all = (matrix.map(_._1) ++ matrix.map(_._2)).distinct.sorted.toSeq
+    require(all.size <= maxModels,
+      s"${all.size} models exceed maxModels=$maxModels — the MM iteration " +
+        "collects the models² win matrix to the driver; raise the bound " +
+        "only if models² stays driver-sized")
+    val n = scala.collection.mutable.Map.empty[(String, String), Long]
+    val halfWins = scala.collection.mutable.Map.empty[(String, String), Double]
+    matrix.foreach { case (a, b, wa, wb, t, cmp) =>
+      n((a, b)) = cmp; n((b, a)) = cmp
+      halfWins((a, b)) = wa + 0.5 * t
+      halfWins((b, a)) = wb + 0.5 * t
+    }
+    def opponents(i: String): Seq[String] =
+      all.filter(j => j != i && n.contains((i, j)))
+    // models with zero decided-or-tied games have no likelihood to fit
+    val models = all.filter(i => opponents(i).exists(j => n((i, j)) > 0))
+    if (models.isEmpty)
+      return Seq.empty[(String, Double, Double, Long)]
+        .toDF("model", "strength", "wins", "games")
+    // every fold below runs in sorted-opponent order — the determinism
+    // contract the oracle mirrors with list(x ORDER BY j) sums
+    val wins = models.map(i =>
+      i -> opponents(i).foldLeft(0.0)((acc, j) => acc + halfWins((i, j)))).toMap
+    val games = models.map(i =>
+      i -> opponents(i).foldLeft(0L)((acc, j) => acc + n((i, j)))).toMap
+    var s = models.map(_ -> 1.0).toMap
+    (1 to iters).foreach { _ =>
+      val raw = models.map { i =>
+        val denom = opponents(i).filter(j => n((i, j)) > 0)
+          .foldLeft(0.0)((acc, j) => acc + n((i, j)).toDouble / (s(i) + s(j)))
+        i -> wins(i) / denom
+      }.toMap
+      val tot = models.foldLeft(0.0)((acc, i) => acc + raw(i))
+      s = models.map(i => i -> raw(i) / tot).toMap
+    }
+    models.map(i => (i, s(i), wins(i), games(i)))
+      .toDF("model", "strength", "wins", "games")
+  }
+
   def winMatrix(df: DataFrame, promptCol: String, modelCol: String,
       scoreCol: String): DataFrame = {
     val a = df.select(col(promptCol).as("__graft_p"),

@@ -73,6 +73,47 @@ class PreferenceSpec extends SparkTestBase {
     }
   }
 
+  test("bradleyTerry: strengths order a dominance chain, ties split evenly, " +
+    "unplayed models drop, and the MM fixed point matches a hand-computed " +
+    "two-model case") {
+    // two models, A beats B 3:1 → BT closed form: s_A/s_B = 3 after
+    // convergence; normalized s_A = 0.75 (8 iterations converge far past
+    // double precision for m=2... assert within 1e-9)
+    val ab = Seq((1L, "A", 4L), (1L, "B", 3L), (2L, "A", 4L), (2L, "B", 3L),
+      (3L, "A", 4L), (3L, "B", 3L), (4L, "A", 1L), (4L, "B", 2L))
+      .toDF("prompt", "model", "score")
+    val sAB = Preference.bradleyTerry(ab, "prompt", "model", "score")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(math.abs(sAB("A")._1 - 0.75) < 1e-9 &&
+      math.abs(sAB("B")._1 - 0.25) < 1e-9)
+    assert(sAB("A")._2 == 3.0 && sAB("B")._2 == 1.0) // wins
+    assert(sAB("A")._3 == 4L && sAB("B")._3 == 4L) // games
+    // dominance chain A > B > C: strengths strictly ordered, sum to 1
+    val chain = Seq(
+      (1L, "A", 9L), (1L, "B", 5L), (1L, "C", 1L),
+      (2L, "A", 9L), (2L, "B", 5L), (2L, "C", 1L),
+      (3L, "A", 5L), (3L, "B", 9L), (3L, "C", 1L)) // one upset
+      .toDF("prompt", "model", "score")
+    val sc = Preference.bradleyTerry(chain, "prompt", "model", "score")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sc("A") > sc("B") && sc("B") > sc("C"))
+    assert(math.abs(sc.values.sum - 1.0) < 1e-12)
+    // all ties → equal strengths; an unplayed model (NULL score on its
+    // only comparisons) is dropped entirely
+    val ties = Seq((1L, "A", Some(5L)), (1L, "B", Some(5L)),
+      (1L, "Z", None)).toDF("prompt", "model", "score")
+    val st = Preference.bradleyTerry(ties, "prompt", "model", "score")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(st.keySet == Set("A", "B") && st("A") == st("B"))
+    intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(ab, "prompt", "model", "score", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(ab, "prompt", "model", "score", maxModels = 1)
+    }
+  }
+
   test("winMatrix: one row per unordered model pair, every decided " +
     "comparison counted once, NULL-score comparisons skipped, win rate " +
     "NULL when everything tied") {
