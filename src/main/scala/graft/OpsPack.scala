@@ -6220,7 +6220,7 @@ object OpsPack {
     * them. */
   private val trainBudgetPrefixSql: String =
     s"""SELECT source, doc_id, shard, pos FROM (
-       |  SELECT s.*, sum(CAST(n_chars AS BIGINT)) OVER (
+       |  SELECT s.*, sum(COALESCE(CAST(n_chars AS BIGINT), 0)) OVER (
        |      ORDER BY pos, shard ROWS UNBOUNDED PRECEDING) AS run
        |  FROM (${trainInterleaveMirror("n_chars")}) s)
        |WHERE run <= 60000 ORDER BY shard, pos""".stripMargin

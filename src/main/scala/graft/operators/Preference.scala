@@ -99,22 +99,6 @@ object Preference {
       .drop("__graft_n", "__graft_s", "__graft_ss")
   }
 
-  /** Pairwise win matrix over scored model responses — the sufficient
-    * statistic behind Elo/Bradley–Terry rankings and the standard eval
-    * report ("A beats B on 62% of prompts"): for every unordered model
-    * pair (a < b by name) and every prompt BOTH answered, each (response
-    * of a, response of b) comparison counts one win, loss, or tie;
-    * comparisons with a NULL score on either side are skipped entirely
-    * (n counts only decided-or-tied comparisons). `win_rate_a` is the
-    * decided-comparison fraction `wins_a / (wins_a + wins_b)` (NULL when
-    * everything tied). Output: (model_a, model_b, wins_a, wins_b, ties,
-    * n, win_rate_a).
-    *
-    * Scale shape: the self-join shuffles both sides on the PROMPT key
-    * once; per-prompt fan-out is (responses per prompt)² bounded by
-    * models × responses-per-model-per-prompt — eval tables are
-    * models×prompts-sized, not corpus-sized. The pair aggregate is
-    * models² rows. */
   /** Bradley–Terry model strengths from the pairwise [[winMatrix]] — the
     * ranking step of an eval pipeline ("strength 0.29 vs 0.22 across all
     * pairings", transitive where raw win rates are not): `iters` rounds of
@@ -137,7 +121,12 @@ object Preference {
     require(iters >= 1, s"iters must be positive, got $iters")
     val spark = df.sparkSession
     import spark.implicits._
-    val matrix = winMatrix(df, promptCol, modelCol, scoreCol)
+    // the driver-side fold keys models as strings; a numeric model id
+    // would ClassCastException at getString, so normalize here (winMatrix
+    // itself stays type-agnostic)
+    val matrix = winMatrix(
+      df.withColumn(modelCol, col(modelCol).cast("string")),
+      promptCol, modelCol, scoreCol)
       .select("model_a", "model_b", "wins_a", "wins_b", "ties", "n")
       .collect()
       .map(r => (r.getString(0), r.getString(1),
@@ -181,6 +170,22 @@ object Preference {
       .toDF("model", "strength", "wins", "games")
   }
 
+  /** Pairwise win matrix over scored model responses — the sufficient
+    * statistic behind Elo/Bradley–Terry rankings and the standard eval
+    * report ("A beats B on 62% of prompts"): for every unordered model
+    * pair (a < b by name) and every prompt BOTH answered, each (response
+    * of a, response of b) comparison counts one win, loss, or tie;
+    * comparisons with a NULL score on either side are skipped entirely
+    * (n counts only decided-or-tied comparisons). `win_rate_a` is the
+    * decided-comparison fraction `wins_a / (wins_a + wins_b)` (NULL when
+    * everything tied). Output: (model_a, model_b, wins_a, wins_b, ties,
+    * n, win_rate_a).
+    *
+    * Scale shape: the self-join shuffles both sides on the PROMPT key
+    * once; per-prompt fan-out is (responses per prompt)² bounded by
+    * models × responses-per-model-per-prompt — eval tables are
+    * models×prompts-sized, not corpus-sized. The pair aggregate is
+    * models² rows. */
   def winMatrix(df: DataFrame, promptCol: String, modelCol: String,
       scoreCol: String): DataFrame = {
     val a = df.select(col(promptCol).as("__graft_p"),

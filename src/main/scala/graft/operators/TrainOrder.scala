@@ -161,12 +161,21 @@ object TrainOrder {
     * manifest-less layout, never a stale one; [[resume]] degrades to
     * unvalidated predicates there. */
   private[graft] def writeManifest(spark: SparkSession, path: String): Unit = {
-    val stats = spark.read.parquet(path)
-      .groupBy(col("shard").cast("long").as("shard"))
-      .agg(count(lit(1)).as("rows"), max(col("pos")).as("max_pos"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
+    val stats =
+      try spark.read.parquet(path)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("rows"), max(col("pos")).as("max_pos"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      catch {
+        // an EMPTY source lands zero shard dirs (partitionBy of 0 rows
+        // writes only _SUCCESS), so schema inference fails — a
+        // legitimately-empty landing (a filter that matched nothing)
+        // gets a header-only manifest, not a crash after the commit
+        case _: org.apache.spark.sql.AnalysisException =>
+          Array.empty[(Long, Long, Long)]
+      }
     val body = ("v1" +: stats.map { case (s, n, m) => s"$s\t$n\t$m" }.toSeq)
       .mkString("\n")
     LayoutMeta.writeAtomic(spark, path, ManifestFile, body)
@@ -421,6 +430,9 @@ object TrainOrder {
     require(afterPos >= 0, s"afterPos must be non-negative, got $afterPos")
     readManifestOpt(spark, path) match {
       case Some(m) =>
+        require(m.nonEmpty,
+          s"layout at $path landed ZERO rows (empty source) — nothing to " +
+            "resume")
         val landedMax = m.values.map(_._2).max
         require(afterPos <= landedMax,
           s"afterPos=$afterPos is beyond the layout's landed max pos " +
@@ -620,7 +632,7 @@ object TrainOrder {
     requirePrefixColumns(df, tokenCol)
     prefixImpl(df,
       df.groupBy(col("pos")).agg(
-        sum(col(tokenCol).cast("long")).as("__graft_t")),
+        sum(coalesce(col(tokenCol).cast("long"), lit(0L))).as("__graft_t")),
       tokenCol, budget)
   }
 
@@ -654,7 +666,7 @@ object TrainOrder {
       tokenCol: String): Unit =
     spark.read.parquet(path)
       .groupBy(col("pos"))
-      .agg(sum(col(tokenCol).cast("long")).as("tokens"))
+      .agg(sum(coalesce(col(tokenCol).cast("long"), lit(0L))).as("tokens"))
       .coalesce(1)
       .write.mode("overwrite").parquet(tokenIndexPath(path, tokenCol))
 
@@ -680,7 +692,11 @@ object TrainOrder {
       budget: Long): DataFrame = {
     require(budget >= 0, s"token budget must be non-negative, got $budget")
     requirePrefixColumns(df, tokenCol)
-    val toks = col(tokenCol).cast("long")
+    // coalesce BEFORE summing (here and in every perPos source): a
+    // position or boundary shard whose tokens are all NULL must cost 0
+    // and still ship — a bare sum would yield NULL, fail the <= budget
+    // filter, and wrongly cut zero-cost leading cells
+    val toks = coalesce(col(tokenCol).cast("long"), lit(0L))
     val wPos = Window.orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val covered = perPos

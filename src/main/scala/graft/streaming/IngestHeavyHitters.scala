@@ -413,9 +413,16 @@ object IngestHeavyHitters {
     // defensive fence re-advance (or a cadence tick after an empty-batch
     // stretch) would otherwise pay on every call. Skip the IO; the meta
     // advance above is the whole operation (the dir keeps its old name
-    // and merges normally once real raw batches land). Erasure note:
-    // tombstoned rows' physical drop therefore also waits for the next
-    // REAL consolidation — probes filter them logically regardless.
+    // and merges normally once real raw batches land). Erasure exception,
+    // corpus side: UNAPPLIED tombstones force the rewrite even with
+    // nothing new below the fence — the rewrite IS the physical purge,
+    // and skipping it would leave erased rows on disk indefinitely on a
+    // layout that never sees another raw batch (probes filter them
+    // logically, but a compliance deletion needs the bytes gone; calling
+    // consolidate after deleteIds is the documented force-purge). Every
+    // mode records the tombstone files it physically applied
+    // ([[AppliedFile]]), so the forced rewrite happens ONCE per erasure,
+    // not on every re-fence.
     def needsSwap(olds: Seq[(Long, String)]): Boolean =
       olds.nonEmpty && !(olds.size == 1 && olds.head._1 < 0)
 
@@ -429,7 +436,21 @@ object IngestHeavyHitters {
     }
 
     val corOlds = batchDirs(spark, corpusPath).filter(_._1 < f)
-    if (needsSwap(corOlds)) {
+    // SNAPSHOT the unapplied tombstone files before the merge — exactly
+    // this set is physically dropped below and exactly this set is
+    // recorded applied after the swap (a tombstone appended mid-merge
+    // stays unapplied and filters at the next probe). Unapplied
+    // tombstones also FORCE the rewrite (the needsSwap erasure
+    // exception): this is deleteIds' physical purge.
+    val pendingErasure = unappliedTombstoneFiles(spark, corpusPath)
+    // the forced purge needs a fresh target name — a single old dir that
+    // already carries batch=-f cannot be replaced with itself, so a
+    // same-fence consolidate leaves the purge to the next fence advance
+    // (the streaming cadence always advances; a maintenance purge calls
+    // consolidate with fence+1 after deleteIds)
+    val forcePurge = corOlds.nonEmpty && pendingErasure.nonEmpty &&
+      !(corOlds.size == 1 && corOlds.head._1 == -f)
+    if (needsSwap(corOlds) || forcePurge) {
       if (retainModeOf(spark, corpusPath).isEmpty) {
         // grandfathering: aggregates consolidated before a mode was
         // stamped collapsed their ids — beginning to retain mid-layout
@@ -453,23 +474,21 @@ object IngestHeavyHitters {
       val carryId = if (retainIds && idBuckets == 0) idCol else None
       val carryBucket =
         if (idBuckets > 0) Some((idCol.get, idBuckets)) else None
-      // bucketed mode: SNAPSHOT the unapplied tombstone files before the
-      // merge — exactly this set is physically dropped below and exactly
-      // this set is recorded applied after the swap (a tombstone appended
-      // mid-merge stays unapplied and filters at the next probe)
-      val snapshot =
-        if (idBuckets > 0) unappliedTombstoneFiles(spark, corpusPath)
-        else Vector.empty[String]
       val keyCols = (Seq(groupCol, tokenCol) ++ carryId.toSeq).map(col) ++
         carryBucket.map(_ => col(BucketCol)).toSeq
       val merged = weightedTokens(spark, corpusPath, corOlds, groupCol,
         tokenCol, carryId, carryBucket,
-        deadBucketFiles = if (idBuckets > 0) Some(snapshot) else None)
+        deadBucketFiles = if (idBuckets > 0) Some(pendingErasure) else None)
         .groupBy(keyCols: _*)
         .agg(sum(col(WeightCol)).as(WeightCol))
       Compaction.replaceDirs(spark, new Path(corpusPath),
         corOlds.map(d => s"batch=${d._1}"), target, merged)
-      if (idBuckets > 0) recordApplied(spark, corpusPath, snapshot)
+      // every mode records: "applied" means PHYSICALLY purged from the
+      // dirs this rewrite replaced (plain-ids and id-less modes still
+      // filter probes by ALL tombstones — the record only keeps the
+      // needsSwap erasure exception from re-forcing a rewrite per fence
+      // tick after the bytes are already gone)
+      recordApplied(spark, corpusPath, pendingErasure)
     }
     ()
   }

@@ -422,6 +422,48 @@ class HeavyHittersSpec extends SparkTestBase {
     } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(r2))
   }
 
+  test("pending erasure FORCES the otherwise-skipped fence-only rewrite " +
+    "(the physical purge), exactly once — the next re-fence skips again") {
+    import graft.streaming.IngestHeavyHitters
+    val r = java.nio.file.Files.createTempDirectory("graft_hh_purge").toString
+    val (sp, cp) = (s"$r/summaries", s"$r/corpus")
+    try {
+      IngestHeavyHitters.processBatch(
+        Seq.fill(20)(("g1", "common", 1L)).toDF("g", "token", "doc_id"),
+        0L, sp, cp, "g", "token", 16, idCol = Some("doc_id"))
+      IngestHeavyHitters.processBatch(
+        Seq.fill(8)(("g1", "secret", 99L)).toDF("g", "token", "doc_id"),
+        1L, sp, cp, "g", "token", 16, idCol = Some("doc_id"))
+      IngestHeavyHitters.consolidate(spark, sp, cp, 2L, "g", "token",
+        retainIds = true)
+      // late erasure on a layout that will never see another raw batch:
+      // the bytes must still come off disk on the next consolidate call
+      IngestHeavyHitters.deleteIds(Seq(99L).toDF("doc_id"), cp, "doc_id")
+      assert(spark.read.parquet(s"$cp/batch=-2")
+        .where(col("doc_id") === 99L).count() == 1L) // physically present
+      IngestHeavyHitters.consolidate(spark, sp, cp, 3L, "g", "token",
+        retainIds = true)
+      // the purge rewrite happened despite nothing new below the fence
+      assert(new java.io.File(cp, "batch=-3").isDirectory &&
+        !new java.io.File(cp, "batch=-2").exists(),
+        "pending erasure did not force the purge rewrite")
+      assert(spark.read.parquet(s"$cp/batch=-3")
+        .where(col("doc_id") === 99L).count() == 0L) // bytes gone
+      // applied-bookkeeping: the NEXT re-fence is bookkeeping-only again
+      val before = new java.io.File(cp, "batch=-3").lastModified()
+      IngestHeavyHitters.consolidate(spark, sp, cp, 4L, "g", "token",
+        retainIds = true)
+      assert(new java.io.File(cp, "batch=-3").isDirectory &&
+        !new java.io.File(cp, "batch=-4").exists(),
+        "an already-applied erasure re-forced the rewrite")
+      assert(new java.io.File(cp, "batch=-3").lastModified() == before)
+      // the probe stays correct throughout
+      assert(IngestHeavyHitters.probe(spark, sp, cp, "g", "token", 4L)
+        .as[(String, String, Long)].collect().toSeq ==
+        Seq(("g1", "common", 20L)))
+    } finally graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(r))
+  }
+
   test("bucketed retention (idBuckets): aggregate keys on the id's bucket, " +
     "size bounded by pairs x B, probe identical pre-erasure, erasure drops " +
     "the whole bucket ONE TIME (over-erasure pinned), mode incl. B write-once") {

@@ -106,6 +106,14 @@ class PreferenceSpec extends SparkTestBase {
     val st = Preference.bradleyTerry(ties, "prompt", "model", "score")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(st.keySet == Set("A", "B") && st("A") == st("B"))
+    // numeric model ids normalize to strings instead of crashing the
+    // driver-side fold
+    val numeric = ab.withColumn("model",
+      when(col("model") === "A", 1L).otherwise(2L))
+    val sNum = Preference.bradleyTerry(numeric, "prompt", "model", "score")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sNum.keySet == Set("1", "2") &&
+      math.abs(sNum("1") - 0.75) < 1e-9)
     intercept[IllegalArgumentException] {
       Preference.bradleyTerry(ab, "prompt", "model", "score", iters = 0)
     }

@@ -652,6 +652,37 @@ class TrainOrderSpec extends SparkTestBase {
       s"poisoned index ignored: ${poisoned.length} rows")
   }
 
+  test("an EMPTY source lands without crashing (header-only manifest); " +
+    "resume on it names the emptiness; all-NULL token cells cost 0 and " +
+    "still ship in a budget prefix") {
+    val path = new java.io.File("target/train-empty-landing").getAbsolutePath
+    TrainOrder.writeShards(ids(100).where(col("id") < 0), "id",
+      seed = 2L, shards = 4, path)
+    assert(TrainOrder.readManifestOpt(spark, path).contains(Map.empty))
+    val ex = intercept[IllegalArgumentException] {
+      TrainOrder.resume(spark, path, afterPos = 0L)
+    }
+    assert(ex.getMessage.contains("ZERO rows"))
+    // NULL tokens: a leading position whose tokens are ALL NULL costs 0
+    // and ships — the documented contract (a bare sum would cut it)
+    val df = ids(30).withColumn("toks",
+      when(col("id") % 3 === 0, lit(null).cast("long")).otherwise(lit(2L)))
+    val stream = TrainOrder.order(df, "id", seed = 4L, shards = 1)
+    val nullLead = stream.withColumn("toks",
+      when(col("pos") <= 5, lit(null).cast("long")).otherwise(col("toks")))
+    val got = TrainOrder.prefixByBudget(nullLead, "toks", 6L)
+      .select("pos").as[Long].collect().toSet
+    // positions 1-5 cost 0; from pos 6 on, toks alternate null/2 — budget
+    // 6 covers every zero-cost leading row plus the non-null ones whose
+    // running total stays <= 6
+    val rows = nullLead.select("pos", "toks").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    val cum = rows.scanLeft(0L)(_ + _._2).tail
+    val want = rows.zip(cum).takeWhile(_._2 <= 6L).map(_._1._1).toSet
+    assert(got == want && want.size >= 5, s"got $got want $want")
+  }
+
   test("plan shape: one hash exchange on the shard key, no global sort or " +
     "single-partition window") {
     val plan = TrainOrder.order(ids(100), "id", seed = 5L, shards = 8)
