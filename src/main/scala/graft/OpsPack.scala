@@ -1605,16 +1605,20 @@ object OpsPack {
 
   private def trainInterleaveShardsPath(s: SparkSession, dir: String): String =
     Memo.memo(trainInterleaveShardsCache, dir, {
-      // v2: the landing now writes the shard manifest (_graft_shards) the
-      // manifest and ragged-resume queries read — re-stage pre-manifest dirs
+      // v3: the payload now carries n_chars too (the indexed budget-cut
+      // query's token column) and the landing stages the write-once
+      // per-pos token index beside the layout — earlier-versioned dirs
+      // re-stage. Queries project their columns explicitly, so the wider
+      // payload changes no existing oracle.
       val p = "target/graft_train_ileave_shards_" +
-        layoutStamp(dir, "documents", "seed=3|shards=4|w=2:1|lang|v2")
+        layoutStamp(dir, "documents", "seed=3|shards=4|w=2:1|lang|v3")
       if (!layoutComplete(p)) {
-        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        val d = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
         TrainOrder.writeInterleavedShards(Seq(
             ("even", d.where(col("doc_id") % 2 === 0), 2.0),
             ("odd", d.where(col("doc_id") % 2 =!= 0), 1.0)),
           "doc_id", seed = 3L, shards = 4, p, portable = true)
+        TrainOrder.writeTokenIndex(s, p, "n_chars")
       }
       p
     })
@@ -1727,6 +1731,19 @@ object OpsPack {
       .select(col("source"), col("doc_id"), col("shard"), col("pos"))
       .orderBy("shard", "pos")
   }
+
+  /** The INDEXED budget cut: the same 60k-char prefix as
+    * q_train_budget_prefix, but answered over the PERSISTED layout through
+    * the [[TrainOrder.writeTokenIndex]] sidecar (staged at landing) — the
+    * write-once/cut-many path. Shares q_train_budget_prefix's oracle
+    * verbatim, so the frame path, the landed-layout path, and the sidecar
+    * rollup must all agree row-for-row. */
+  def trainBudgetIndexedQuery(s: SparkSession, dir: String): DataFrame =
+    TrainOrder.prefixByBudget(s, trainInterleaveShardsPath(s, dir),
+      "n_chars", budget = 60000L)
+      .select(col("source"), col("doc_id"),
+        col("shard").cast("long").as("shard"), col("pos"))
+      .orderBy("shard", "pos")
 
   /** DPO preference-pair mining ([[Preference.preferencePairs]]): per
     * synthetic prompt (doc_id % 50, ~10 responses each), the top-2 scored
@@ -4364,6 +4381,7 @@ object OpsPack {
     "q_train_epochs" -> (trainEpochsQuery _),
     "q_train_curriculum" -> (trainCurriculumQuery _),
     "q_train_budget_prefix" -> (trainBudgetPrefixQuery _),
+    "q_train_budget_indexed" -> (trainBudgetIndexedQuery _),
     "q_pref_pairs" -> (prefPairsQuery _),
     "q_group_advantage" -> (groupAdvantageQuery _),
     "q_eval_win_matrix" -> (winMatrixQuery _),
@@ -8294,6 +8312,7 @@ object OpsPack {
     "q_train_epochs" -> trainEpochsSql,
     "q_train_curriculum" -> trainCurriculumSql,
     "q_train_budget_prefix" -> trainBudgetPrefixSql,
+    "q_train_budget_indexed" -> trainBudgetPrefixSql,
     "q_pref_pairs" -> prefPairsSql,
     "q_group_advantage" -> groupAdvantageSql,
     "q_eval_win_matrix" -> winMatrixSql,
