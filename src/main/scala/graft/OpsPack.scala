@@ -1802,6 +1802,43 @@ object OpsPack {
       "prompt", "model", "n_chars", iters = 8)
       .orderBy("model")
 
+  private val evalStreamCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** STREAMING win matrix ([[graft.streaming.IngestEval]]): the same eval
+    * table as q_eval_win_matrix delivered as TWO micro-batches split by
+    * doc parity — prompts (doc_id % 25) span both batches, so the
+    * cross-batch comparisons only the delta algebra can produce are
+    * exercised — with batch 1 REPLAYED (at-least-once delivery, converged
+    * by the batch-dir overwrite). The probe sums the persisted per-batch
+    * delta matrices and must equal the one-shot batch operator: shares
+    * q_eval_win_matrix's oracle verbatim. */
+  def evalStreamMatrixQuery(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.IngestEval
+    val root = Memo.memo(evalStreamCache, dir, {
+      val r = "target/graft_eval_stream_" +
+        layoutStamp(dir, "documents", "evalwm|v1")
+      val done = Paths.get(r, "_graft_ingest_done")
+      if (!Files.exists(done)) {
+        deleteRecursively(Paths.get(r))
+        Files.createDirectories(Paths.get(r))
+        def slice(parity: Int) = docs(s, dir)
+          .where(col("doc_id") % 2 === parity)
+          .select((col("doc_id") % 25).as("prompt"),
+            concat(lit("m"), (col("doc_id") % 4).cast("string")).as("model"),
+            col("n_chars"))
+        IngestEval.processBatch(slice(0), 0L, r, "prompt", "model", "n_chars")
+        IngestEval.processBatch(slice(1), 1L, r, "prompt", "model", "n_chars")
+        // at-least-once replay: the batch-dir overwrite converges
+        IngestEval.processBatch(slice(1), 1L, r, "prompt", "model", "n_chars")
+        Files.write(done, Array.emptyByteArray)
+      }
+      r
+    })
+    IngestEval.probe(s, root).orderBy("model_a", "model_b")
+  }
+
   /** Leave-one-out bigram familiarity scores — the LM-shaped quality
     * filter with integer-exact stats (oracle-checked bit-for-bit). */
   def lmNgramScore(s: SparkSession, dir: String): DataFrame =
@@ -4386,6 +4423,7 @@ object OpsPack {
     "q_group_advantage" -> (groupAdvantageQuery _),
     "q_eval_win_matrix" -> (winMatrixQuery _),
     "q_eval_bradley_terry" -> (bradleyTerryQuery _),
+    "q_eval_stream_matrix" -> (evalStreamMatrixQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_quality_adaptive" -> (qualityAdaptive _),
     "q_quality_bootstrap" -> (qualityBootstrap _),
@@ -8317,6 +8355,7 @@ object OpsPack {
     "q_group_advantage" -> groupAdvantageSql,
     "q_eval_win_matrix" -> winMatrixSql,
     "q_eval_bradley_terry" -> bradleyTerrySql,
+    "q_eval_stream_matrix" -> winMatrixSql,
     // the layout round trip must reproduce the coordinate computation
     // exactly — same oracle by design
     "q_train_shards" -> trainOrderSql,
