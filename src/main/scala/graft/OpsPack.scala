@@ -1839,6 +1839,16 @@ object OpsPack {
     IngestEval.probe(s, root).orderBy("model_a", "model_b")
   }
 
+  /** Continuously-updated Bradley–Terry rankings from the STREAMED matrix
+    * ([[graft.streaming.IngestEval.strengths]]): the summed deltas feed
+    * the same driver-side MM fold the batch operator uses, so this shares
+    * q_eval_bradley_terry's bit-exact unrolled-CTE oracle verbatim. */
+  def evalStreamStrengthsQuery(s: SparkSession, dir: String): DataFrame = {
+    evalStreamMatrixQuery(s, dir) // ensures the layout is staged
+    import graft.streaming.IngestEval
+    IngestEval.strengths(s, evalStreamCache(dir)).orderBy("model")
+  }
+
   /** Leave-one-out bigram familiarity scores — the LM-shaped quality
     * filter with integer-exact stats (oracle-checked bit-for-bit). */
   def lmNgramScore(s: SparkSession, dir: String): DataFrame =
@@ -4424,6 +4434,7 @@ object OpsPack {
     "q_eval_win_matrix" -> (winMatrixQuery _),
     "q_eval_bradley_terry" -> (bradleyTerryQuery _),
     "q_eval_stream_matrix" -> (evalStreamMatrixQuery _),
+    "q_eval_stream_strengths" -> (evalStreamStrengthsQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_quality_adaptive" -> (qualityAdaptive _),
     "q_quality_bootstrap" -> (qualityBootstrap _),
@@ -8356,6 +8367,7 @@ object OpsPack {
     "q_eval_win_matrix" -> winMatrixSql,
     "q_eval_bradley_terry" -> bradleyTerrySql,
     "q_eval_stream_matrix" -> winMatrixSql,
+    "q_eval_stream_strengths" -> bradleyTerrySql,
     // the layout round trip must reproduce the coordinate computation
     // exactly — same oracle by design
     "q_train_shards" -> trainOrderSql,

@@ -117,17 +117,24 @@ object Preference {
     * list-ordered sums and matches the strengths exactly). Scale shape:
     * one [[winMatrix]] job; the driver loop is O(iters · models²). */
   def bradleyTerry(df: DataFrame, promptCol: String, modelCol: String,
-      scoreCol: String, iters: Int = 8, maxModels: Int = 2048): DataFrame = {
+      scoreCol: String, iters: Int = 8, maxModels: Int = 2048): DataFrame =
+    bradleyTerryFromMatrix(winMatrix(df, promptCol, modelCol, scoreCol),
+      iters, maxModels)
+
+  /** [[bradleyTerry]] over an ALREADY-BUILT win matrix — the entry point
+    * for matrices maintained incrementally
+    * ([[graft.streaming.IngestEval.strengths]] probes its persisted
+    * deltas straight into this). Expects [[winMatrix]]'s column contract
+    * (model_a, model_b, wins_a, wins_b, ties, n); model ids normalize to
+    * strings for the driver-side fold. */
+  def bradleyTerryFromMatrix(matrixDf: DataFrame, iters: Int = 8,
+      maxModels: Int = 2048): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
-    val spark = df.sparkSession
+    val spark = matrixDf.sparkSession
     import spark.implicits._
-    // the driver-side fold keys models as strings; a numeric model id
-    // would ClassCastException at getString, so normalize here (winMatrix
-    // itself stays type-agnostic)
-    val matrix = winMatrix(
-      df.withColumn(modelCol, col(modelCol).cast("string")),
-      promptCol, modelCol, scoreCol)
-      .select("model_a", "model_b", "wins_a", "wins_b", "ties", "n")
+    val matrix = matrixDf
+      .select(col("model_a").cast("string"), col("model_b").cast("string"),
+        col("wins_a"), col("wins_b"), col("ties"), col("n"))
       .collect()
       .map(r => (r.getString(0), r.getString(1),
         r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))

@@ -115,6 +115,15 @@ object IngestEval {
     * with `win_rate_a` derived exactly as [[Preference.winMatrix]] does.
     * Reads ONLY the deltas (≤ models² rows per batch) — never the
     * response corpus. */
+  /** Bradley–Terry strengths over the ACCUMULATED matrix — continuously
+    * updated model rankings from the stream: [[probe]]'s summed deltas
+    * feed [[Preference.bradleyTerryFromMatrix]] directly, so the
+    * strengths equal the batch [[Preference.bradleyTerry]] over
+    * everything ingested (same fold-order determinism, same oracle). */
+  def strengths(spark: SparkSession, root: String, iters: Int = 8,
+      maxModels: Int = 2048): DataFrame =
+    Preference.bradleyTerryFromMatrix(probe(spark, root), iters, maxModels)
+
   def probe(spark: SparkSession, root: String): DataFrame = {
     val dd = batchDirs(spark, s"$root/deltas")
     require(dd.nonEmpty,

@@ -63,6 +63,13 @@ class IngestEvalSpec extends SparkTestBase {
       // cross-batch comparison really counted: prompt 1's A(3) vs C(3)
       // tie spans batches 0 and 1
       assert(probed(("A", "C"))._3 >= 1L)
+      // streamed strengths == batch Bradley-Terry over everything ingested
+      val streamed = IngestEval.strengths(spark, root)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val batch = Preference.bradleyTerry(
+        rows.select("prompt", "model", "score"), "prompt", "model", "score")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(streamed == batch && streamed.nonEmpty)
       // the probe consumes ONLY deltas: corrupt every response data file
       // and probe again (a responses read would throw)
       def walk(f: java.io.File): Seq[java.io.File] =
