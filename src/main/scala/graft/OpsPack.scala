@@ -1612,13 +1612,21 @@ object OpsPack {
       // payload changes no existing oracle.
       val p = "target/graft_train_ileave_shards_" +
         layoutStamp(dir, "documents", "seed=3|shards=4|w=2:1|lang|v3")
-      if (!layoutComplete(p)) {
+      // explicit done marker AFTER the token index, not the layout's own
+      // _SUCCESS: the parquet commit lands before the manifest and index
+      // writes, so a crash between them would otherwise wedge (partial
+      // index dir → unreadable) or silently downgrade (missing index →
+      // permanent fallback) every later run against this stamp
+      val done = java.nio.file.Paths.get(p + "_done")
+      if (!java.nio.file.Files.exists(done)) {
+        deleteRecursively(java.nio.file.Paths.get(p))
         val d = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
         TrainOrder.writeInterleavedShards(Seq(
             ("even", d.where(col("doc_id") % 2 === 0), 2.0),
             ("odd", d.where(col("doc_id") % 2 =!= 0), 1.0)),
           "doc_id", seed = 3L, shards = 4, p, portable = true)
         TrainOrder.writeTokenIndex(s, p, "n_chars")
+        java.nio.file.Files.createFile(done)
       }
       p
     })

@@ -209,8 +209,15 @@ object Preference {
         count(when(decidedOrTied &&
           col("__graft_sa") === col("__graft_sb"), 1)).as("ties"),
         count(when(decidedOrTied, 1)).as("n"))
-      .withColumn("win_rate_a",
-        when(col("wins_a") + col("wins_b") > 0,
-          col("wins_a").cast("double") / (col("wins_a") + col("wins_b"))))
+      .transform(withWinRate)
   }
+
+  /** The ONE `win_rate_a` definition — decided-comparison fraction, NULL
+    * when everything tied — shared by [[winMatrix]] and the streaming
+    * probe ([[graft.streaming.IngestEval.probe]]) so the two can never
+    * desynchronize. Expects wins_a/wins_b count columns. */
+  def withWinRate(matrix: DataFrame): DataFrame =
+    matrix.withColumn("win_rate_a",
+      when(col("wins_a") + col("wins_b") > 0,
+        col("wins_a").cast("double") / (col("wins_a") + col("wins_b"))))
 }

@@ -679,10 +679,15 @@ object TrainOrder {
   def prefixByBudget(spark: SparkSession, path: String, tokenCol: String,
       budget: Long): DataFrame = {
     val df = spark.read.parquet(path)
-    val idx = new org.apache.hadoop.fs.Path(tokenIndexPath(path, tokenCol))
-    if (LayoutMeta.fs(spark, path).exists(idx))
+    // gate on the index's COMMIT marker, not the bare dir: a writer that
+    // crashed mid-index leaves a partial dir that would fail the read —
+    // an uncommitted index falls back to the on-the-fly rollup instead
+    val idxDir = tokenIndexPath(path, tokenCol)
+    val committed = LayoutMeta.fs(spark, path)
+      .exists(new org.apache.hadoop.fs.Path(idxDir, "_SUCCESS"))
+    if (committed)
       prefixImpl(df,
-        spark.read.parquet(idx.toString)
+        spark.read.parquet(idxDir)
           .select(col("pos"), col("tokens").as("__graft_t")),
         tokenCol, budget)
     else prefixByBudget(df, tokenCol, budget)

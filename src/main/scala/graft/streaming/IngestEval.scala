@@ -39,12 +39,18 @@ object IngestEval {
 
   private val CountCols = Seq("wins_a", "wins_b", "ties", "n")
 
+  /** COMMITTED batch dirs only (`_SUCCESS` present): a crash mid
+    * delta-write leaves a partial dir whose subset of task files would
+    * silently undercount in a probe taken before the replay converges;
+    * the same filter keeps a torn responses dir out of later batches'
+    * prior state. */
   private def batchDirs(spark: SparkSession, path: String): Seq[(Long, String)] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .map(s => s.getPath.getName.drop("batch=".length).toLong ->
         s.getPath.toString)
       .sortBy(_._1)
@@ -73,6 +79,18 @@ object IngestEval {
       promptCol: String, modelCol: String, scoreCol: String): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // a FRESH stream (new checkpoint ⇒ batch ids restart at 0) against a
+    // root that already holds later batches would corrupt the history:
+    // its deltas double-count against the stale prior state and the stale
+    // tail never clears. A consistent checkpoint can only replay batch 0
+    // while no later batch has committed, so this guard never fires on a
+    // legitimate replay.
+    if (batchId == 0L)
+      require(batchDirs(spark, s"$root/responses").forall(_._1 == 0L),
+        s"eval layout at $root already holds batches beyond 0 — a fresh " +
+          "stream (new checkpoint) against a used root would corrupt the " +
+          "delta history; keep the original checkpoint, probe the old " +
+          "layout read-only, or start a new root")
     val resp = batch.select(col(promptCol), col(modelCol), col(scoreCol))
     val touched = resp.select(col(promptCol)).distinct()
     val priorDirs = batchDirs(spark, s"$root/responses")
@@ -106,15 +124,16 @@ object IngestEval {
             .reduce(_ || _) || col("__graft_b_n").isNull)
           .select(col("model_a") +: col("model_b") +: deltaCols: _*)
     }
-    // deltas FIRST, responses LAST (the commit marker) — see scaladoc
-    delta.write.mode("overwrite").parquet(s"$root/deltas/batch=$batchId")
+    // deltas FIRST, responses LAST (the commit marker) — see scaladoc.
+    // One file per delta dir: the frame is ≤ models² rows, and without
+    // the coalesce every batch would scatter it across the session's
+    // shuffle-partition count in near-empty files the probe then has to
+    // open batches× over
+    delta.coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/deltas/batch=$batchId")
     resp.write.mode("overwrite").parquet(s"$root/responses/batch=$batchId")
   }
 
-  /** The accumulated win matrix: Σ of the persisted per-batch deltas,
-    * with `win_rate_a` derived exactly as [[Preference.winMatrix]] does.
-    * Reads ONLY the deltas (≤ models² rows per batch) — never the
-    * response corpus. */
   /** Bradley–Terry strengths over the ACCUMULATED matrix — continuously
     * updated model rankings from the stream: [[probe]]'s summed deltas
     * feed [[Preference.bradleyTerryFromMatrix]] directly, so the
@@ -124,17 +143,20 @@ object IngestEval {
       maxModels: Int = 2048): DataFrame =
     Preference.bradleyTerryFromMatrix(probe(spark, root), iters, maxModels)
 
+  /** The accumulated win matrix: Σ of the persisted per-batch deltas,
+    * with `win_rate_a` derived by [[Preference.withWinRate]] — the ONE
+    * definition [[Preference.winMatrix]] itself uses, so the probe cannot
+    * desynchronize from the batch operator. Reads ONLY the committed
+    * deltas (≤ models² rows per batch) — never the response corpus. */
   def probe(spark: SparkSession, root: String): DataFrame = {
     val dd = batchDirs(spark, s"$root/deltas")
     require(dd.nonEmpty,
       s"eval layout at $root holds no committed delta batches — ingest " +
         "before probing")
-    spark.read.parquet(dd.map(_._2): _*)
-      .groupBy(col("model_a"), col("model_b"))
-      .agg(CountCols.map(c => sum(col(c)).as(c)).head,
-        CountCols.map(c => sum(col(c)).as(c)).tail: _*)
-      .withColumn("win_rate_a",
-        when(col("wins_a") + col("wins_b") > 0,
-          col("wins_a").cast("double") / (col("wins_a") + col("wins_b"))))
+    Preference.withWinRate(
+      spark.read.parquet(dd.map(_._2): _*)
+        .groupBy(col("model_a"), col("model_b"))
+        .agg(CountCols.map(c => sum(col(c)).as(c)).head,
+          CountCols.map(c => sum(col(c)).as(c)).tail: _*))
   }
 }

@@ -83,6 +83,30 @@ class IngestEvalSpec extends SparkTestBase {
     } finally graft.operators.Utils.deleteRecursively(
       java.nio.file.Paths.get(root))
 
+    // guards: a FRESH stream (batch 0, new checkpoint) against a used
+    // root refuses instead of corrupting the delta history; an
+    // uncommitted (marker-less) dir is invisible to the probe
+    val root3 = java.nio.file.Files
+      .createTempDirectory("graft_eval_stream3").toString
+    try {
+      IngestEval.processBatch(slice(0), 0L, root3, "prompt", "model", "score")
+      IngestEval.processBatch(slice(1), 1L, root3, "prompt", "model", "score")
+      val ex = intercept[IllegalArgumentException] {
+        IngestEval.processBatch(slice(0), 0L, root3, "prompt", "model", "score")
+      }
+      assert(ex.getMessage.contains("used root"))
+      val before01 = matrixOf(IngestEval.probe(spark, root3)
+        .orderBy("model_a", "model_b"))
+      val junk = java.nio.file.Paths.get(root3, "deltas", "batch=9")
+      java.nio.file.Files.createDirectories(junk)
+      java.nio.file.Files.write(junk.resolve("part-junk.parquet"),
+        "not parquet".getBytes)
+      assert(matrixOf(IngestEval.probe(spark, root3)
+        .orderBy("model_a", "model_b")) == before01,
+        "an uncommitted delta dir leaked into the probe")
+    } finally graft.operators.Utils.deleteRecursively(
+      java.nio.file.Paths.get(root3))
+
     // the streaming harness delivers the same unit: a MemoryStream of the
     // same rows in two triggers equals the batch operator
     val root2 = java.nio.file.Files

@@ -650,6 +650,11 @@ class TrainOrderSpec extends SparkTestBase {
       .select("pos").as[Long].collect()
     assert(poisoned.length < withIdx.size && poisoned.forall(_ <= 1L),
       s"poisoned index ignored: ${poisoned.length} rows")
+    // an UNCOMMITTED index (no _SUCCESS — a writer crashed mid-index)
+    // falls back to the on-the-fly rollup instead of failing the read
+    assert(new java.io.File(idxPath, "_SUCCESS").delete())
+    assert(TrainOrder.prefixByBudget(spark, path, "toks", 50L)
+      .select("id").as[Long].collect().toSet == noIdx)
   }
 
   test("an EMPTY source lands without crashing (header-only manifest); " +
