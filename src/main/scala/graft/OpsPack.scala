@@ -1753,6 +1753,25 @@ object OpsPack {
         col("shard").cast("long").as("shard"), col("pos"))
       .orderBy("shard", "pos")
 
+  /** Horizon-truncated discounted returns ([[Sessionize.discountedReturns]]
+    * — RL post-training reward shaping): each user's event stream is a
+    * trajectory, rewards integer-scale to cents, and step t gets the
+    * 16-step return G_t = Σ_{j<16} (1/2)^j · r_{t+j} computed ENTIRELY in
+    * long arithmetic (G·2^15 via 16 lead taps — no float anywhere; the
+    * double view is one exact dyadic division). Oracle: the identical
+    * lead-tap sum, so a mis-ordered step, a wrong tap, or a truncation
+    * off-by-one breaks the hash. */
+  def rlReturnsQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("reward_c"))
+    graft.operators.Sessionize.discountedReturns(ev,
+      "user_id", "ts", "event_id", "reward_c", horizon = 16)
+      .select(col("user_id"), col("event_id"), col("step"),
+        col("reward_c"), col("return_scaled"), col("return_x"))
+      .orderBy("user_id", "step")
+  }
+
   /** DPO preference-pair mining ([[Preference.preferencePairs]]): per
     * synthetic prompt (doc_id % 50, ~10 responses each), the top-2 scored
     * responses paired with the bottom-2 under a 40-char margin — i-th best
@@ -4443,6 +4462,7 @@ object OpsPack {
     "q_eval_bradley_terry" -> (bradleyTerryQuery _),
     "q_eval_stream_matrix" -> (evalStreamMatrixQuery _),
     "q_eval_stream_strengths" -> (evalStreamStrengthsQuery _),
+    "q_rl_returns" -> (rlReturnsQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_quality_adaptive" -> (qualityAdaptive _),
     "q_quality_bootstrap" -> (qualityBootstrap _),
@@ -6408,6 +6428,22 @@ object OpsPack {
        |$its
        |SELECT it8.model, it8.s AS strength, w.wins, w.games
        |FROM it8 JOIN w USING (model) ORDER BY model""".stripMargin
+  }
+
+  /** Discounted-returns oracle: the identical 16 lead taps, all-integer. */
+  private val rlReturnsSql: String = {
+    val taps = (0 until 16).map(j =>
+      s"COALESCE(lead(reward_c, $j) OVER w, 0) * ${1L << (15 - j)}")
+      .mkString(" + ")
+    s"""WITH r AS (SELECT user_id, event_id, ts,
+       |    CAST(round(value * 100) AS BIGINT) AS reward_c FROM events),
+       |g AS (SELECT user_id, event_id, reward_c,
+       |    CAST(row_number() OVER w AS BIGINT) AS step,
+       |    $taps AS return_scaled
+       |  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, event_id, step, reward_c, return_scaled,
+       |  CAST(return_scaled AS DOUBLE) / 32768.0 AS return_x
+       |FROM g ORDER BY user_id, step""".stripMargin
   }
 
   private val mixtureSampleSql: String =
@@ -8376,6 +8412,7 @@ object OpsPack {
     "q_eval_bradley_terry" -> bradleyTerrySql,
     "q_eval_stream_matrix" -> winMatrixSql,
     "q_eval_stream_strengths" -> bradleyTerrySql,
+    "q_rl_returns" -> rlReturnsSql,
     // the layout round trip must reproduce the coordinate computation
     // exactly — same oracle by design
     "q_train_shards" -> trainOrderSql,

@@ -67,4 +67,53 @@ object Sessionize {
         max(unix_micros(col(tsCol))).as("end_us"),
         sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("value_sum"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
+
+  /** Horizon-truncated DISCOUNTED RETURNS over each key's trajectory —
+    * the reward-shaping step of RL post-training data preparation: step t
+    * gets `G_t = Σ_{j<h} γ^j · r_{t+j}` (the standard n-step return) over
+    * the key's (ts, tie)-ordered event stream, with γ = 1/2.
+    *
+    * INTEGER-EXACT by construction (the repo's stats convention): rewards
+    * are integer-scaled by the caller (`rewardCol` integral — scale
+    * dollars to cents upstream), and the return is computed ENTIRELY in
+    * long arithmetic as `G_scaled = Σ_j r_{t+j} · 2^(h−1−j)` — i.e.
+    * `G_t · 2^(h−1)` — via `horizon` `lead()` taps over one window (no
+    * float ever; `return_x` = G_scaled / 2^(h−1) is one exact dyadic
+    * division for the float-friendly view). Engines mirror it literally.
+    * Overflow bound: |r| · 2^h · h must fit a long — require'd.
+    *
+    * γ other than 1/2 loses the all-integer form (γ^j isn't dyadic);
+    * extend with a (num, 2^s) rational gamma if a deployment needs it —
+    * the lead-tap construction carries over unchanged.
+    *
+    * Scale shape: ONE shuffle on the key, one window sort, `horizon`
+    * narrow lead taps — no self-join, no per-step explode. Output: input
+    * columns + `step` (1-based within the trajectory) + `return_scaled`
+    * (long, = G·2^(h−1)) + `return_x` (double, exact). */
+  def discountedReturns(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      rewardCol: String,
+      horizon: Int): DataFrame = {
+    require(horizon >= 1 && horizon <= 32,
+      s"horizon must be in [1, 32], got $horizon")
+    Seq("step", "return_scaled", "return_x").foreach(c =>
+      require(!events.columns.exists(_.equalsIgnoreCase(c)),
+        s"input already has a '$c' column — drop or rename it before " +
+          "computing returns (the name is this operator's output)"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val r = col(rewardCol).cast("long")
+    val scaled = (0 until horizon).map(j =>
+      coalesce(lead(r, j).over(w), lit(0L)) *
+        lit(1L << (horizon - 1 - j))).reduce(_ + _)
+    events
+      .withColumn("step", row_number().over(w).cast("long"))
+      .withColumn("return_scaled", scaled)
+      .withColumn("return_x",
+        col("return_scaled").cast("double") /
+          lit((1L << (horizon - 1)).toDouble))
+  }
 }

@@ -432,4 +432,45 @@ class AsOfSearchSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"),
       s"scoring should be a pure map-side pass:\n$plan")
   }
+
+  test("discountedReturns: hand-computed 16-step gamma=1/2 returns, " +
+    "horizon truncation, trajectory isolation per key, NULL rewards as 0, " +
+    "all-long arithmetic with the exact dyadic double view") {
+    import graft.operators.Sessionize
+    // key 1: rewards 4, 2, 8 at steps 1..3 (h=16 covers the whole tail):
+    //   G1 = 4 + 2/2 + 8/4 = 7; G2 = 2 + 8/2 = 6; G3 = 8
+    // key 2: a single step; NULL reward contributes 0 where it is a TAP
+    // but keeps its own row (null-scaled return at its own step uses 0)
+    val ev = Seq(
+      (1L, 1000L, 10L, Some(4L)), (1L, 2000L, 11L, Some(2L)),
+      (1L, 3000L, 12L, Some(8L)),
+      (2L, 1000L, 20L, Some(5L)),
+      (3L, 1000L, 30L, None), (3L, 2000L, 31L, Some(6L)))
+      .toDF("k", "tsv", "id", "r")
+      .withColumn("ts", timestamp_micros(col("tsv")))
+    val out = Sessionize.discountedReturns(ev, "k", "ts", "id", "r", 16)
+      .select("k", "step", "return_scaled", "return_x").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getDouble(3)))
+      .toMap
+    val s = 1L << 15
+    assert(out((1L, 1L)) == ((7L * s, 7.0)))
+    assert(out((1L, 2L)) == ((6L * s, 6.0)))
+    assert(out((1L, 3L)) == ((8L * s, 8.0)))
+    assert(out((2L, 1L)) == ((5L * s, 5.0))) // no cross-key leakage
+    assert(out((3L, 1L)) == ((3L * s, 3.0))) // own reward NULL→0, next 6/2
+    assert(out((3L, 2L)) == ((6L * s, 6.0)))
+    // horizon truncation: h=2 sees only one tap ahead
+    val h2 = Sessionize.discountedReturns(ev.where(col("k") === 1L),
+      "k", "ts", "id", "r", 2)
+      .select("step", "return_x").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(h2 == Map(1L -> 5.0, 2L -> 6.0, 3L -> 8.0)) // 4+2/2, 2+8/2, 8
+    intercept[IllegalArgumentException] {
+      Sessionize.discountedReturns(ev, "k", "ts", "id", "r", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sessionize.discountedReturns(ev.withColumn("step", lit(1)),
+        "k", "ts", "id", "r", 4)
+    }
+  }
 }
