@@ -402,6 +402,33 @@ class ConnectIntegrationSpec extends SparkTestBase with BeforeAndAfterAll {
       classic._2.nonEmpty && classic._2.size < 200)
   }
 
+  test("the alignment/eval pack runs identically through a live Connect " +
+    "session (pure built-in plans; Bradley–Terry's driver-side fold " +
+    "collects through the client and ships the result back up)") {
+    import graft.operators.Preference
+    def run(s: SparkSession): (Seq[String], Seq[String], Seq[String], Seq[String]) =
+      withActive(s) {
+        val df = s.sql("SELECT id % 7 AS prompt, " +
+          "'m' || CAST(id % 3 AS STRING) AS model, " +
+          "CAST(id % 13 AS BIGINT) AS score, id FROM range(0, 120)")
+        val pairs = Preference.preferencePairs(df, "prompt", "id", "score",
+          margin = 2.0, maxPairs = 2)
+          .orderBy("prompt", "pair_rank").collect().map(_.toString).toSeq
+        val adv = Preference.groupAdvantage(df, "prompt", "score")
+          .select("id", "group_mean", "group_std", "advantage")
+          .orderBy("id").collect().map(_.toString).toSeq
+        val wm = Preference.winMatrix(df, "prompt", "model", "score")
+          .orderBy("model_a", "model_b").collect().map(_.toString).toSeq
+        val bt = Preference.bradleyTerry(df, "prompt", "model", "score")
+          .orderBy("model").collect().map(_.toString).toSeq
+        (pairs, adv, wm, bt)
+      }
+    val viaConnect = run(client)
+    val classic = run(spark)
+    assert(viaConnect == classic)
+    assert(classic._1.nonEmpty && classic._4.size == 3)
+  }
+
   test("an uninstalled function name surfaces UNRESOLVED_ROUTINE naming the " +
     "function (the documented no-fallback failure mode)") {
     val name = LshPlanes.functionName(9, 9, 9) // parameterized: never injected
