@@ -1753,6 +1753,26 @@ object OpsPack {
         col("shard").cast("long").as("shard"), col("pos"))
       .orderBy("shard", "pos")
 
+  /** The budget cut at PACK granularity — the batch-construction tail's
+    * last step: FFD packs (shared `assigned` definition) get their token
+    * totals, stream in the seed-9 epoch order q_pack_shards pins, and
+    * [[TrainOrder.prefixByBudget]] takes the maximal (pos, shard) prefix
+    * of PACKS fitting 10k tokens — "train the first 10k tokens of packed
+    * batches", documents never split across the cut. Oracle: the shared
+    * FFD CTE + pack rollup + epoch mirror + the running-sum cut. */
+  def packBudgetQuery(s: SparkSession, dir: String): DataFrame = {
+    val packs = packedDocs(s, dir)
+      .groupBy(col("pack_group"), col("pack_idx"))
+      .agg(sum(col("tokens")).as("pack_tokens"))
+      .select(concat(col("pack_group").cast("string"), lit("#"),
+        col("pack_idx").cast("string")).as("pack_id"), col("pack_tokens"))
+    val coords = TrainOrder.order(packs, "pack_id", seed = 9L, shards = 8,
+      portable = true)
+    TrainOrder.prefixByBudget(coords, "pack_tokens", budget = 10000L)
+      .select(col("pack_id"), col("pack_tokens"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   /** Horizon-truncated discounted returns ([[Sessionize.discountedReturns]]
     * — RL post-training reward shaping): each user's event stream is a
     * trajectory, rewards integer-scale to cents, and step t gets the
@@ -4476,6 +4496,7 @@ object OpsPack {
     "q_profile_outliers" -> (profileOutliers _),
     "q_pack_stats" -> (packStats _),
     "q_pack_shards" -> (packShardsQuery _),
+    "q_pack_budget" -> (packBudgetQuery _),
     "q_ann_topk" -> (annTopK _),
     "q_ann_rp" -> (annRpTopK _),
     "q_ann_rp_persisted" -> (annRpPersisted _),
@@ -8053,6 +8074,25 @@ object OpsPack {
        |  ON c.pack_id = CAST(a.pack_group AS VARCHAR) || '#' || CAST(a.pack_idx AS VARCHAR)
        |ORDER BY shard, pos, doc_id""".stripMargin
 
+  /** Pack-budget mirror: shared FFD `assigned`, the pack rollup, the
+    * epoch-hash coordinates, then the same (pos, shard)-lexicographic
+    * running-sum cut [[trainBudgetPrefixSql]] uses. */
+  private val packBudgetSql: String =
+    s"""WITH RECURSIVE $packAssignedCtes,
+       |packs AS MATERIALIZED (
+       |  SELECT CAST(pack_group AS VARCHAR) || '#' || CAST(pack_idx AS VARCHAR) AS pack_id,
+       |         CAST(sum(tokens) AS BIGINT) AS pack_tokens
+       |  FROM assigned GROUP BY 1),
+       |h AS (SELECT pack_id, pack_tokens, ${epochHashSql(9, "pack_id")} AS hv
+       |      FROM packs),
+       |coords AS (SELECT pack_id, pack_tokens, CAST(hv % 8 AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, pack_id)
+       |    AS BIGINT) AS pos FROM h),
+       |cut AS (SELECT *, sum(COALESCE(pack_tokens, 0)) OVER (
+       |    ORDER BY pos, shard ROWS UNBOUNDED PRECEDING) AS run FROM coords)
+       |SELECT pack_id, pack_tokens, shard, pos FROM cut WHERE run <= 10000
+       |ORDER BY shard, pos""".stripMargin
+
   private val packStatsSql: String = {
     val budget = PackBudget
     s"""WITH RECURSIVE $packAssignedCtes,
@@ -8359,6 +8399,7 @@ object OpsPack {
     "q_normalize_winsor" -> normalizeWinsorSql,
     "q_pack_stats" -> packStatsSql,
     "q_pack_shards" -> packShardsSql,
+    "q_pack_budget" -> packBudgetSql,
     "q_docs_lang_rollup" -> langRollupSql,
     "q_docs_rollup" -> docsRollupSql,
     "q_docs_pivot" -> docsPivotSql,
