@@ -429,6 +429,20 @@ class ConnectIntegrationSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(classic._1.nonEmpty && classic._4.size == 3)
   }
 
+  test("discountedReturns runs identically through a live Connect session " +
+    "(window + lead taps, all built-in)") {
+    def run(s: SparkSession): Seq[(Long, Long, Long)] = withActive(s) {
+      val ev = s.sql("SELECT id % 9 AS k, timestamp_micros(id * 1000) AS ts, " +
+        "id, CAST(id % 11 AS BIGINT) AS r FROM range(0, 200)")
+      graft.operators.Sessionize
+        .discountedReturns(ev, "k", "ts", "id", "r", horizon = 8)
+        .select("id", "step", "return_scaled").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq.sortBy(_._1)
+    }
+    val viaConnect = run(client)
+    assert(viaConnect == run(spark) && viaConnect.size == 200)
+  }
+
   test("an uninstalled function name surfaces UNRESOLVED_ROUTINE naming the " +
     "function (the documented no-fallback failure mode)") {
     val name = LshPlanes.functionName(9, 9, 9) // parameterized: never injected
