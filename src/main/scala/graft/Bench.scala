@@ -289,8 +289,20 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val canaryJson =
       s""""canary_min":${sec4(pct(probesSorted, 0.0))},"canary_median":${sec4(pct(probesSorted, 0.5))},"canary_p90":${sec4(pct(probesSorted, 0.9))},"canary_max":${sec4(pct(probesSorted, 1.0))},"canary_n":${probesSorted.length}"""
+    // Sustained-throttle adjudication, the canary's documented blind spot
+    // (judge r15: a sweep ran uniformly ~1.3× slow — sustained frequency
+    // cap or IO contention, not the 2-40× windows the fixed-work probe
+    // catches — and its flat canary let 268s read as clean against a
+    // 170.6s minimum). total / total_min_so_far IS the detector: emit it
+    // plus an explicit flag so a silently-degraded total can never be
+    // taken at face value again. 1.15 is the adjudication threshold from
+    // the r15 postmortem; a first-ever run (no history) reads 1.0 by
+    // construction (total == totalMin) and stays unflagged.
+    val vsMin = if (totalMin > 0.0) total / totalMin else 1.0
+    val throttleJson =
+      s""""vs_min":${sec4(vsMin)},"throttled":${vsMin > 1.15}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"min_so_far":$minJson,"total_min_so_far":$totalMin,$canaryJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"min_so_far":$minJson,"total_min_so_far":$totalMin,$canaryJson,$throttleJson,"sf":"$sfDir"}"""
     // The full per-query line is ~7 KB at 170+ queries; the round driver
     // keeps only the LAST ~2000 chars of stdout, so rounds 8-10 recorded
     // parsed:null with a mid-line tail fragment. Persist the full line to
@@ -308,7 +320,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val top = results.sortBy(-_._2).take(25)
       .map { case (k, v) => "\"" + k + "\":" + sec3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"total_min_so_far":${sec3(totalMin)},$canaryJson,"slowest":$top,"sf":"$sfDir","full":"target/bench_full.json"}""")
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"total_min_so_far":${sec3(totalMin)},$canaryJson,$throttleJson,"slowest":$top,"sf":"$sfDir","full":"target/bench_full.json"}""")
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
     graft.operators.Dedup.releaseCaches()
     val localDir = spark.conf.get("spark.local.dir")

@@ -132,11 +132,15 @@ object Verify {
       // worse state than a 0-row dump and deserves the same repair chances
       // — the old catch->false classified it "non-empty" and skipped it
       // (ADVICE r14). A MISSING dir is a failed query, already logged.
+      // case objects, not plain objects: the state is interpolated into
+      // the forensic artifact (target/flake_*.txt), where a default
+      // toString of Verify$EmptyDump$1$@936fdd8 would leave the one field
+      // that says WHAT was repaired unreadable
       sealed trait DumpState
-      object NonEmpty extends DumpState
-      object EmptyDump extends DumpState
-      object Unreadable extends DumpState
-      object Missing extends DumpState
+      case object NonEmpty extends DumpState
+      case object EmptyDump extends DumpState
+      case object Unreadable extends DumpState
+      case object Missing extends DumpState
       val state: DumpState =
         if (!Files.exists(Paths.get(p))) Missing
         else

@@ -172,8 +172,16 @@ object TrainOrder {
         // an EMPTY source lands zero shard dirs (partitionBy of 0 rows
         // writes only _SUCCESS), so schema inference fails — a
         // legitimately-empty landing (a filter that matched nothing)
-        // gets a header-only manifest, not a crash after the commit
-        case _: org.apache.spark.sql.AnalysisException =>
+        // gets a header-only manifest, not a crash after the commit.
+        // ONLY that condition (plus path-not-found, its object-store
+        // twin where even _SUCCESS hasn't listed yet): AnalysisException
+        // also covers genuine problems — a wrong path resolving
+        // elsewhere, a layout missing the shard/pos columns — which must
+        // surface, not silently land a header-only manifest (ADVICE r15)
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.startsWith("UNABLE_TO_INFER_SCHEMA") ||
+                c.startsWith("PATH_NOT_FOUND")) =>
           Array.empty[(Long, Long, Long)]
       }
     val body = ("v1" +: stats.map { case (s, n, m) => s"$s\t$n\t$m" }.toSeq)
@@ -453,15 +461,37 @@ object TrainOrder {
     * shards OMITTED from the map are treated as finished and excluded
     * entirely (to resume an unstarted shard, include it at 0).
     *
-    * Scale shape: the frontier compiles to per-cutoff predicates —
-    * `shard IN (…) AND pos > p` OR'd over the distinct cutoffs — from
-    * which Catalyst extracts BOTH prunings: the shard-only disjunction
-    * becomes a partition filter (finished/omitted shards are never
-    * listed, let alone read), and the pos-only disjunction reaches the
-    * parquet scan as a pushed `pos > min(p_k)` that row-group-prunes the
-    * common trained prefix (pos-ordered shard files have tight disjoint
-    * ranges); the exact per-shard cut is applied by the residual filter
-    * on the pruned remainder. Both prunings are spec-pinned. Shards whose
+    * Scale shape — TWO compilation strategies, switched on the number of
+    * DISTINCT cutoffs (`maxDisjunctCutoffs`, default
+    * [[DisjunctCutoffThreshold]] = 1024):
+    *
+    *   - **≤ threshold (disjunction)**: per-cutoff predicates —
+    *     `shard IN (…) AND pos > p` OR'd over the distinct cutoffs, the
+    *     Or tree built BALANCED (depth log₂ cutoffs; a left-deep
+    *     `reduce(_ || _)` would stack-overflow Catalyst's recursive
+    *     TreeNode transforms once cutoffs reach the tens of thousands) —
+    *     from which Catalyst extracts BOTH prunings: the shard-only
+    *     disjunction becomes a partition filter (finished/omitted shards
+    *     are never listed, let alone read), and the pos-only disjunction
+    *     reaches the parquet scan as a pushed `pos > min(p_k)` that
+    *     row-group-prunes the common trained prefix (pos-ordered shard
+    *     files have tight disjoint ranges); the exact per-shard cut is
+    *     applied by the residual filter on the pruned remainder.
+    *   - **> threshold (broadcast frontier)**: a real ragged crash at the
+    *     documented sizing rule (100 TB / 100k shards) leaves ~every
+    *     shard at its own cutoff — ~100k disjuncts is predicate-AS-data,
+    *     so the frontier becomes a broadcast-joined FRAME instead: the
+    *     scan keeps the same two prunings as simple predicates —
+    *     `pos > min(p_k)` (pushed, row-group-prunes the common trained
+    *     prefix) AND `shard IN (live shards)` (one In node → partition
+    *     pruning; elided when every landed shard is live) — and the
+    *     exact per-shard cut is applied residually by an inner broadcast
+    *     join against the (shard, cutoff) frontier (frontier size =
+    *     shard count: KBs where a 100k-disjunct expression would be a
+    *     planning hazard). Output columns and rows are identical to the
+    *     disjunction strategy (spec-pinned on both counts).
+    *
+    * Both prunings are spec-pinned under both strategies. Shards whose
     * frontier equals their landed max are dropped from the predicate at
     * compile time (nothing left to serve), so a mostly-finished resume
     * lists only the shards still in progress.
@@ -474,7 +504,10 @@ object TrainOrder {
     * reader claiming to have consumed a row that was never landed is
     * bookkeeping corruption, not a resume). */
   def resume(spark: SparkSession, path: String,
-      frontier: Map[Long, Long]): DataFrame = {
+      frontier: Map[Long, Long],
+      maxDisjunctCutoffs: Int = DisjunctCutoffThreshold): DataFrame = {
+    require(maxDisjunctCutoffs >= 1,
+      s"maxDisjunctCutoffs must be positive, got $maxDisjunctCutoffs")
     require(frontier.nonEmpty,
       "resume frontier is empty — every shard omitted means every shard " +
         "finished, and an all-finished run has nothing to resume")
@@ -516,19 +549,73 @@ object TrainOrder {
       cut -> ks.keys.toSeq.sorted
     }.toSeq.sortBy(_._1)
     val coversAll = manifest.exists(m => live.keySet == m.keySet)
-    val pred =
-      if (byCut.size == 1 && coversAll)
-        // the lock-step case: one cutoff over every landed shard — no
-        // shard predicate needed, and the plan is the plain pushed filter
-        col("pos") > lit(byCut.head._1)
-      else byCut.map { case (cut, ks) =>
+    if (byCut.size == 1 && coversAll)
+      // the lock-step case: one cutoff over every landed shard — no
+      // shard predicate needed, and the plan is the plain pushed filter
+      df.where(col("pos") > lit(byCut.head._1))
+    else if (byCut.size <= maxDisjunctCutoffs)
+      df.where(balancedOr(byCut.map { case (cut, ks) =>
         val shardPred =
           if (ks.size == 1) col("shard") === shardLit(ks.head)
           else col("shard").isin(ks.map(shardLit): _*)
         shardPred && col("pos") > lit(cut)
-      }.reduce(_ || _)
-    df.where(pred)
+      }.toIndexedSeq))
+    else {
+      // broadcast-frontier strategy (see the scaladoc): the two prunings
+      // stay simple predicates on the scan; the exact per-shard cut rides
+      // a broadcast inner join so the predicate size is constant in the
+      // cutoff count. The working column name is guarded like the
+      // coordinate assigners' namespace — a landed layout cannot carry it
+      // (hashShard rejects the prefix at write time), but resume also
+      // accepts manifest-less foreign layouts.
+      require(!df.columns.exists(_.equalsIgnoreCase(FrontierCutCol)),
+        s"input layout already has a '$FrontierCutCol' column — the name " +
+          "is this resume strategy's working column")
+      val minCut = byCut.head._1
+      val liveShards = live.keys.toSeq.sorted
+      val keep =
+        if (coversAll) col("pos") > lit(minCut)
+        else col("pos") > lit(minCut) &&
+          col("shard").isin(liveShards.map(shardLit): _*)
+      val frontierDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          live.toSeq.sortBy(_._1).map { case (k, p) =>
+            org.apache.spark.sql.Row(k, p)
+          }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__graft_fshard",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(FrontierCutCol,
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .select(col("__graft_fshard").cast(shardType).as("__graft_fshard"),
+          col(FrontierCutCol))
+      df.where(keep)
+        .join(broadcast(frontierDf), col("shard") === col("__graft_fshard"))
+        .where(col("pos") > col(FrontierCutCol))
+        .select(df.columns.map(col): _*)
+    }
   }
+
+  /** Distinct-cutoff count above which [[resume]] switches from the
+    * disjunction compilation to the broadcast-frontier one: 1024 keeps
+    * the expression path for every frontier a human could enumerate
+    * (where the Or still constant-folds into textbook prunings) and
+    * routes anything machine-scale to the join. */
+  private[graft] val DisjunctCutoffThreshold = 1024
+
+  private[graft] val FrontierCutCol = "__graft_fcut"
+
+  /** A BALANCED Or over `ps` — depth log₂ n. `reduce(_ || _)` builds a
+    * left-deep tree whose depth equals the disjunct count, and Catalyst's
+    * recursive TreeNode transforms overflow the stack (or crawl) in the
+    * tens of thousands — exactly the shape a ragged 100k-shard frontier
+    * produces. */
+  private def balancedOr(ps: IndexedSeq[Column]): Column =
+    if (ps.length == 1) ps.head
+    else {
+      val (l, r) = ps.splitAt(ps.length / 2)
+      balancedOr(l) || balancedOr(r)
+    }
 
   /** Curriculum ordering — easy-to-hard training schedules (sequence-length
     * or quality curricula) without a global sort: rows are bucketed into

@@ -467,6 +467,55 @@ class TrainOrderSpec extends SparkTestBase {
       manifest.map { case (k, (_, mx)) => k -> mx }).count() == 0L)
   }
 
+  test("ragged resume at machine scale: above the disjunct threshold the " +
+    "frontier compiles to a broadcast join with identical rows and columns " +
+    "and both prunings intact, and a 6000-distinct-cutoff frontier plans " +
+    "in bounded time under BOTH strategies") {
+    // strategy equivalence on a real manifested layout: force the
+    // broadcast path with threshold 1 and compare it to the disjunction
+    val path = new java.io.File("target/train-ragged-bcast").getAbsolutePath
+    TrainOrder.writeShards(ids(240), "id", seed = 13L, shards = 4, path)
+    val frontier = Map(0L -> 20L, 2L -> 0L, 3L -> 5L) // shard 1 finished
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select(col("id"), col("shard").cast("long"), col("pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val disjunct = TrainOrder.resume(spark, path, frontier)
+    val bcast = TrainOrder.resume(spark, path, frontier,
+      maxDisjunctCutoffs = 1)
+    assert(bcast.columns.toSeq == disjunct.columns.toSeq)
+    val got = rows(bcast)
+    assert(got == rows(disjunct) && got.nonEmpty)
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(plan).nonEmpty,
+      plan)
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(pos".r
+      .findFirstIn(plan).nonEmpty, plan)
+    // machine-scale planning: ~every shard at its own cutoff — the shape
+    // a real ragged crash at the 100k-shard sizing rule produces. A
+    // manifest-less layout skips frontier validation, so a 6000-entry
+    // frontier exercises predicate COMPILATION without landing 6000
+    // dirs. The old left-deep reduce(_ || _) stack-overflowed Catalyst
+    // here; both strategies must now plan AND answer in bounded time.
+    val path2 = new java.io.File("target/train-ragged-wide").getAbsolutePath
+    ids(80).withColumn("shard", col("id") % 8)
+      .withColumn("pos", expr("id div 8") + lit(1L))
+      .write.mode("overwrite").partitionBy("shard").parquet(path2)
+    val wide = (0L until 6000L).map(k => k -> k).toMap // all cutoffs distinct
+    val expected = (1L to 80L).map(id => (id, id % 8, id / 8L + 1L))
+      .filter { case (_, s, p) => p > s }.toSet
+    for (threshold <- Seq(1, 10000)) { // broadcast AND balanced-disjunction
+      val t0 = System.nanoTime()
+      val resumed = TrainOrder.resume(spark, path2, wide,
+        maxDisjunctCutoffs = threshold)
+      resumed.queryExecution.executedPlan // force full analysis + planning
+      val planSec = (System.nanoTime() - t0) / 1e9
+      assert(planSec < 60.0,
+        s"threshold=$threshold planned in ${planSec}s — unbounded")
+      assert(rows(resumed) == expected, s"threshold=$threshold")
+    }
+  }
+
   test("resume frontier validation: unknown shards, frontiers beyond the " +
     "landed max, and manifest/directory disagreement all fail loudly") {
     val path = new java.io.File("target/train-resume-validate").getAbsolutePath
