@@ -1896,6 +1896,48 @@ object OpsPack {
     IngestEval.strengths(s, evalStreamCache(dir)).orderBy("model")
   }
 
+  private val evalConsolidateCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** STREAMING win matrix with the delta history CONSOLIDATED mid-stream
+    * ([[graft.streaming.IngestEval.consolidate]]): the q_eval_win_matrix
+    * eval table delivered as THREE micro-batches (doc_id % 3), a fence at
+    * 1 after two batches (merging batch 0 into one aggregate per layer),
+    * batch 2 computing its delta against consolidated ∪ raw prior state,
+    * a fence advance to 2 (re-merging the previous aggregate with covered
+    * raws), then a replay of the now-covered batch 1 (skipped by the
+    * fence as the no-op it is). The probe over the consolidated history
+    * must still equal the one-shot batch operator: shares
+    * q_eval_win_matrix's oracle verbatim. */
+  def evalStreamConsolidatedQuery(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.IngestEval
+    val root = Memo.memo(evalConsolidateCache, dir, {
+      val r = "target/graft_eval_consolidated_" +
+        layoutStamp(dir, "documents", "evalwm-fence|v1")
+      val done = Paths.get(r, "_graft_ingest_done")
+      if (!Files.exists(done)) {
+        deleteRecursively(Paths.get(r))
+        Files.createDirectories(Paths.get(r))
+        def slice(m: Int) = docs(s, dir)
+          .where(col("doc_id") % 3 === m)
+          .select((col("doc_id") % 25).as("prompt"),
+            concat(lit("m"), (col("doc_id") % 4).cast("string")).as("model"),
+            col("n_chars"))
+        IngestEval.processBatch(slice(0), 0L, r, "prompt", "model", "n_chars")
+        IngestEval.processBatch(slice(1), 1L, r, "prompt", "model", "n_chars")
+        IngestEval.consolidate(s, r, 1L)
+        IngestEval.processBatch(slice(2), 2L, r, "prompt", "model", "n_chars")
+        IngestEval.consolidate(s, r, 2L)
+        // replay across the fence: covered, skipped, history unchanged
+        IngestEval.processBatch(slice(1), 1L, r, "prompt", "model", "n_chars")
+        Files.write(done, Array.emptyByteArray)
+      }
+      r
+    })
+    IngestEval.probe(s, root).orderBy("model_a", "model_b")
+  }
+
   /** Leave-one-out bigram familiarity scores — the LM-shaped quality
     * filter with integer-exact stats (oracle-checked bit-for-bit). */
   def lmNgramScore(s: SparkSession, dir: String): DataFrame =
@@ -4482,6 +4524,7 @@ object OpsPack {
     "q_eval_bradley_terry" -> (bradleyTerryQuery _),
     "q_eval_stream_matrix" -> (evalStreamMatrixQuery _),
     "q_eval_stream_strengths" -> (evalStreamStrengthsQuery _),
+    "q_eval_stream_consolidated" -> (evalStreamConsolidatedQuery _),
     "q_rl_returns" -> (rlReturnsQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_quality_adaptive" -> (qualityAdaptive _),
@@ -8453,6 +8496,7 @@ object OpsPack {
     "q_eval_bradley_terry" -> bradleyTerrySql,
     "q_eval_stream_matrix" -> winMatrixSql,
     "q_eval_stream_strengths" -> bradleyTerrySql,
+    "q_eval_stream_consolidated" -> winMatrixSql,
     "q_rl_returns" -> rlReturnsSql,
     // the layout round trip must reproduce the coordinate computation
     // exactly — same oracle by design

@@ -135,4 +135,137 @@ class IngestEvalSpec extends SparkTestBase {
     } finally graft.operators.Utils.deleteRecursively(
       java.nio.file.Paths.get(root2))
   }
+
+  test("consolidation fences the delta history: probe ≡ batch across the " +
+    "fence, covered replays are no-ops, a crashed swap heals at probe " +
+    "entry, fences past the committed frontier refuse, and the cadence " +
+    "hook keeps dir counts bounded") {
+    val rows = Seq(
+      (0, 1L, "A", Some(3L)), (0, 1L, "B", Some(1L)),
+      (1, 1L, "C", Some(3L)), (1, 2L, "B", Some(2L)),
+      (2, 2L, "A", Some(5L)), (2, 3L, "C", Some(1L)),
+      (3, 3L, "A", Some(4L)), (3, 1L, "D", Some(2L)))
+      .toDF("b", "prompt", "model", "score")
+    def slice(k: Int) = rows.where(col("b") === k)
+      .select("prompt", "model", "score")
+    def fullThrough(k: Int) = matrixOf(Preference.winMatrix(
+      rows.where(col("b") <= k).select("prompt", "model", "score"),
+      "prompt", "model", "score").orderBy("model_a", "model_b"))
+    def dirNames(root: String, layer: String): Set[String] =
+      Option(new java.io.File(root, layer).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName).toSet
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_eval_consolidate").toString
+    try {
+      (0 to 2).foreach(k =>
+        IngestEval.processBatch(slice(k), k.toLong, root,
+          "prompt", "model", "score"))
+      IngestEval.consolidate(spark, root, 2L)
+      assert(dirNames(root, "deltas") == Set("batch=-2", "batch=2"))
+      assert(dirNames(root, "responses") == Set("batch=-2", "batch=2"))
+      assert(matrixOf(IngestEval.probe(spark, root)
+        .orderBy("model_a", "model_b")) == fullThrough(2))
+      // replay ACROSS the fence: a covered batch is skipped as the no-op
+      // it is — no dir reappears, the probe does not move
+      IngestEval.processBatch(slice(1), 1L, root, "prompt", "model", "score")
+      assert(dirNames(root, "deltas") == Set("batch=-2", "batch=2"))
+      assert(matrixOf(IngestEval.probe(spark, root)
+        .orderBy("model_a", "model_b")) == fullThrough(2))
+      // post-fence ingest lands normally; prior state = consolidated ∪
+      // post-fence (batch 3 re-touches prompts 1 and 3 from merged dirs)
+      IngestEval.processBatch(slice(3), 3L, root, "prompt", "model", "score")
+      assert(matrixOf(IngestEval.probe(spark, root)
+        .orderBy("model_a", "model_b")) == fullThrough(3))
+      // same-fence re-call: validated no-op (idempotent cadence tick)
+      IngestEval.consolidate(spark, root, 2L)
+      assert(dirNames(root, "deltas") == Set("batch=-2", "batch=2", "batch=3"))
+      // advancing fence re-merges the previous aggregate + covered raws
+      IngestEval.consolidate(spark, root, 3L)
+      assert(dirNames(root, "deltas") == Set("batch=-3", "batch=3"))
+      assert(matrixOf(IngestEval.probe(spark, root)
+        .orderBy("model_a", "model_b")) == fullThrough(3))
+      // a fence past the committed frontier would cover batches that can
+      // still replay — refused at the meta advance
+      val ex = intercept[IllegalArgumentException] {
+        IngestEval.consolidate(spark, root, 99L)
+      }
+      assert(ex.getMessage.contains("beyond the highest committed"))
+      // fresh stream against the consolidated root still refuses
+      val ex2 = intercept[IllegalArgumentException] {
+        IngestEval.processBatch(slice(0), 0L, root, "prompt", "model", "score")
+      }
+      assert(ex2.getMessage.contains("used root"))
+      // crash recovery at probe entry: fake a swap that crashed AFTER the
+      // merged temp was fully staged (ready marker) and the manifest
+      // written, but BEFORE the rename — the probe must roll it forward
+      // and answer exactly
+      val dRoot = new java.io.File(root, "deltas")
+      val merged = spark.read.parquet(
+        new java.io.File(dRoot, "batch=-3").toString,
+        new java.io.File(dRoot, "batch=3").toString)
+        .groupBy(col("model_a"), col("model_b"))
+        .agg(sum("wins_a").as("wins_a"), sum("wins_b").as("wins_b"),
+          sum("ties").as("ties"), sum("n").as("n"))
+      val tmp = new java.io.File(dRoot,
+        graft.sources.Compaction.ConsolidateTmp)
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      java.nio.file.Files.createFile(tmp.toPath.resolve("_graft_ready"))
+      java.nio.file.Files.write(
+        dRoot.toPath.resolve(graft.sources.Compaction.ConsolidateManifest),
+        "batch=-4\nbatch=-3\nbatch=3".getBytes)
+      assert(matrixOf(IngestEval.probe(spark, root)
+        .orderBy("model_a", "model_b")) == fullThrough(3))
+      assert(dirNames(root, "deltas") == Set("batch=-4"))
+    } finally graft.operators.Utils.deleteRecursively(
+      java.nio.file.Paths.get(root))
+
+    // the deltas-first crash window feeds the fresh-stream guard too
+    // (ADVICE r15): deltas/batch=1 committed, responses only through 0 —
+    // a fresh stream's batch 0 must refuse on the DELTAS listing
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_eval_consolidate2").toString
+    try {
+      IngestEval.processBatch(slice(0), 0L, root2, "prompt", "model", "score")
+      IngestEval.processBatch(slice(1), 1L, root2, "prompt", "model", "score")
+      graft.operators.Utils.deleteRecursively(
+        java.nio.file.Paths.get(root2, "responses", "batch=1"))
+      val ex = intercept[IllegalArgumentException] {
+        IngestEval.processBatch(slice(0), 0L, root2,
+          "prompt", "model", "score")
+      }
+      assert(ex.getMessage.contains("deltas batches beyond 0"))
+    } finally graft.operators.Utils.deleteRecursively(
+      java.nio.file.Paths.get(root2))
+
+    // cadence hook mid-stream: consolidateEvery=2 fences at batch 2 from
+    // inside foreachBatch — dirs stay bounded, the probe stays exact
+    val root3 = java.nio.file.Files
+      .createTempDirectory("graft_eval_consolidate3").toString
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Option[Long])]
+      val q = IngestEval.ingest(
+        mem.toDF().toDF("prompt", "model", "score"),
+        root3, "prompt", "model", "score",
+        checkpointDir = Some(s"$root3/_ckpt"), consolidateEvery = 2)
+      try {
+        mem.addData((1L, "A", Some(3L)), (1L, "B", Some(1L)))
+        q.processAllAvailable()
+        mem.addData((1L, "C", Some(2L)), (2L, "A", Some(1L)))
+        q.processAllAvailable()
+        mem.addData((2L, "C", Some(4L)), (3L, "B", Some(2L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(dirNames(root3, "deltas") == Set("batch=-2", "batch=2"))
+      val want = matrixOf(Preference.winMatrix(
+        Seq((1L, "A", 3L), (1L, "B", 1L), (1L, "C", 2L), (2L, "A", 1L),
+          (2L, "C", 4L), (3L, "B", 2L)).toDF("prompt", "model", "score"),
+        "prompt", "model", "score").orderBy("model_a", "model_b"))
+      assert(matrixOf(IngestEval.probe(spark, root3)
+        .orderBy("model_a", "model_b")) == want)
+    } finally graft.operators.Utils.deleteRecursively(
+      java.nio.file.Paths.get(root3))
+  }
 }
