@@ -45,7 +45,25 @@ import org.apache.spark.sql.SparkSession
 object LayoutMeta {
 
   def fs(spark: SparkSession, dir: String): FileSystem =
-    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    new Path(dir).getFileSystem(hadoopConf(spark))
+
+  /** The session's Hadoop configuration — or, on a NON-classic session
+    * (a Spark Connect client, whose `sessionState` lives server-side and
+    * throws here), a default CLIENT-LOCAL `Configuration`. This is what
+    * lets read-only, path-taking entry points (the streaming probes,
+    * manifest reads) run over Connect at all; the documented reduced
+    * guarantee is that the meta/listing I/O then resolves with the
+    * client's ambient filesystem config — `file://` layouts and
+    * ambient-credential object stores work, server-only `spark.hadoop.*`
+    * confs do not apply to the metas (the DATA reads inside the plans
+    * still run server-side with full server config). */
+  private[graft] def hadoopConf(
+      spark: SparkSession): org.apache.hadoop.conf.Configuration =
+    spark match {
+      case c: org.apache.spark.sql.classic.SparkSession =>
+        c.sessionState.newHadoopConf()
+      case _ => new org.apache.hadoop.conf.Configuration()
+    }
 
   def exists(spark: SparkSession, dir: String, name: String): Boolean =
     fs(spark, dir).exists(new Path(dir, name))

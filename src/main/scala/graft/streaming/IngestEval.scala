@@ -65,7 +65,10 @@ object IngestEval {
     * prior state. */
   private def batchDirs(spark: SparkSession, path: String): Seq[(Long, String)] = {
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // LayoutMeta.hadoopConf, not sessionState: the read-only surface
+    // ([[probe]]/[[strengths]]) is Connect-portable, and a Connect
+    // client's sessionState throws
+    val fs = root.getFileSystem(LayoutMeta.hadoopConf(spark))
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
@@ -263,7 +266,7 @@ object IngestEval {
   /** Finish or roll back a half-done [[consolidate]] swap in either
     * layer — at every probe and consolidate entry, the HH discipline. */
   private def recoverBoth(spark: SparkSession, root: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = LayoutMeta.hadoopConf(spark)
     Seq(s"$root/deltas", s"$root/responses").foreach { p =>
       val r = new Path(p)
       val fs = r.getFileSystem(conf)

@@ -443,6 +443,37 @@ class ConnectIntegrationSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(viaConnect == run(spark) && viaConnect.size == 200)
   }
 
+  test("the streaming eval probe and strengths answer identically through " +
+    "a live Connect session over a consolidated layout (built-in plans + " +
+    "the driver-side BT fold; listings via the client-local Hadoop conf)") {
+    import graft.streaming.IngestEval
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_connect_eval").toString
+    try {
+      // stage CLASSIC-side (ingest runs inside foreachBatch on the
+      // server/driver by nature); the read-only probe surface is what
+      // must be Connect-portable
+      def slice(parity: Int) = spark.sql(
+        "SELECT id % 7 AS prompt, 'm' || CAST(id % 3 AS STRING) AS model, " +
+          "CAST(id % 13 AS BIGINT) AS score FROM range(0, 60) " +
+          s"WHERE id % 2 = $parity")
+      IngestEval.processBatch(slice(0), 0L, root, "prompt", "model", "score")
+      IngestEval.processBatch(slice(1), 1L, root, "prompt", "model", "score")
+      IngestEval.consolidate(spark, root, 1L)
+      def run(s: SparkSession): (Seq[String], Seq[String]) = withActive(s) {
+        (IngestEval.probe(s, root).orderBy("model_a", "model_b")
+          .collect().map(_.toString).toSeq,
+          IngestEval.strengths(s, root).orderBy("model")
+            .collect().map(_.toString).toSeq)
+      }
+      val viaConnect = run(client)
+      val classic = run(spark)
+      assert(viaConnect == classic)
+      assert(classic._1.nonEmpty && classic._2.size == 3)
+    } finally graft.operators.Utils.deleteRecursively(
+      java.nio.file.Paths.get(root))
+  }
+
   test("an uninstalled function name surfaces UNRESOLVED_ROUTINE naming the " +
     "function (the documented no-fallback failure mode)") {
     val name = LshPlanes.functionName(9, 9, 9) // parameterized: never injected
