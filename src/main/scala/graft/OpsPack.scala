@@ -1792,6 +1792,23 @@ object OpsPack {
       .orderBy("user_id", "step")
   }
 
+  /** The RATIONAL-γ twin of q_rl_returns: γ = 3/4 (gammaNum 3, 2^2
+    * denominator) over the same trajectories — integer tap weights
+    * w_j = 3^j·4^(15−j), scale 2^30. Oracle: the identical 16-tap sum
+    * with the same literal weights, so a wrong weight, a mis-ordered
+    * tap, or a broken scale breaks the hash. */
+  def rlReturnsGammaQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("reward_c"))
+    graft.operators.Sessionize.discountedReturns(ev,
+      "user_id", "ts", "event_id", "reward_c", horizon = 16,
+      gammaNum = 3L, gammaLog2Den = 2)
+      .select(col("user_id"), col("event_id"), col("step"),
+        col("reward_c"), col("return_scaled"), col("return_x"))
+      .orderBy("user_id", "step")
+  }
+
   /** DPO preference-pair mining ([[Preference.preferencePairs]]): per
     * synthetic prompt (doc_id % 50, ~10 responses each), the top-2 scored
     * responses paired with the bottom-2 under a 40-char margin — i-th best
@@ -4526,6 +4543,7 @@ object OpsPack {
     "q_eval_stream_strengths" -> (evalStreamStrengthsQuery _),
     "q_eval_stream_consolidated" -> (evalStreamConsolidatedQuery _),
     "q_rl_returns" -> (rlReturnsQuery _),
+    "q_rl_returns_gamma" -> (rlReturnsGammaQuery _),
     "q_docs_topk_quality" -> (topQualityPerLang _),
     "q_quality_adaptive" -> (qualityAdaptive _),
     "q_quality_bootstrap" -> (qualityBootstrap _),
@@ -6507,6 +6525,24 @@ object OpsPack {
        |  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
        |SELECT user_id, event_id, step, reward_c, return_scaled,
        |  CAST(return_scaled AS DOUBLE) / 32768.0 AS return_x
+       |FROM g ORDER BY user_id, step""".stripMargin
+  }
+
+  /** γ=3/4 oracle: the same tap construction with weights 3^j·4^(15−j)
+    * and the 2^30 dyadic scale. */
+  private val rlReturnsGammaSql: String = {
+    val taps = (0 until 16).map(j =>
+      s"COALESCE(lead(reward_c, $j) OVER w, 0) * " +
+        (BigInt(3).pow(j) * BigInt(2).pow(2 * (15 - j))).toString)
+      .mkString(" + ")
+    s"""WITH r AS (SELECT user_id, event_id, ts,
+       |    CAST(round(value * 100) AS BIGINT) AS reward_c FROM events),
+       |g AS (SELECT user_id, event_id, reward_c,
+       |    CAST(row_number() OVER w AS BIGINT) AS step,
+       |    $taps AS return_scaled
+       |  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, event_id, step, reward_c, return_scaled,
+       |  CAST(return_scaled AS DOUBLE) / 1073741824.0 AS return_x
        |FROM g ORDER BY user_id, step""".stripMargin
   }
 
@@ -8498,6 +8534,7 @@ object OpsPack {
     "q_eval_stream_strengths" -> bradleyTerrySql,
     "q_eval_stream_consolidated" -> winMatrixSql,
     "q_rl_returns" -> rlReturnsSql,
+    "q_rl_returns_gamma" -> rlReturnsGammaSql,
     // the layout round trip must reproduce the coordinate computation
     // exactly — same oracle by design
     "q_train_shards" -> trainOrderSql,

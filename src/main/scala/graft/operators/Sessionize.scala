@@ -71,49 +71,90 @@ object Sessionize {
   /** Horizon-truncated DISCOUNTED RETURNS over each key's trajectory —
     * the reward-shaping step of RL post-training data preparation: step t
     * gets `G_t = Σ_{j<h} γ^j · r_{t+j}` (the standard n-step return) over
-    * the key's (ts, tie)-ordered event stream, with γ = 1/2.
+    * the key's (ts, tie)-ordered event stream, with a DYADIC-RATIONAL
+    * discount `γ = gammaNum / 2^gammaLog2Den` — 1/2 by default; γ = 3/4
+    * is (3, 2), γ = 0.984375 ≈ 0.98 is (63, 6). The dyadic family brackets
+    * any target γ to within 2^-s while keeping every step below exact.
     *
     * INTEGER-EXACT by construction (the repo's stats convention): rewards
     * are integer-scaled by the caller (`rewardCol` integral — scale
     * dollars to cents upstream), and the return is computed ENTIRELY in
-    * long arithmetic as `G_scaled = Σ_j r_{t+j} · 2^(h−1−j)` — i.e.
-    * `G_t · 2^(h−1)` — via `horizon` `lead()` taps over one window (no
-    * float ever; `return_x` = G_scaled / 2^(h−1) is one exact dyadic
-    * division for the float-friendly view). Engines mirror it literally.
-    * Overflow bound: |r| · 2^h · h must fit a long — require'd.
+    * long arithmetic as `G_scaled = Σ_j r_{t+j} · w_j` with the integer
+    * weights `w_j = gammaNum^j · 2^(s·(h−1−j))` — i.e. `G_t · 2^(s·(h−1))`
+    * — via `horizon` `lead()` taps over one window (no float ever;
+    * `return_x` = G_scaled / 2^(s·(h−1)) is one dyadic division for the
+    * float-friendly view, exact while |return_scaled| < 2^53). Engines
+    * mirror it literally.
     *
-    * γ other than 1/2 loses the all-integer form (γ^j isn't dyadic);
-    * extend with a (num, 2^s) rational gamma if a deployment needs it —
-    * the lead-tap construction carries over unchanged.
+    * Overflow contract, ENFORCED in two layers: the (horizon, γ)
+    * combination must satisfy `Σ_j w_j ≤ Long.MaxValue` and
+    * `s·(h−1) ≤ 62` — require'd at plan time — and every reward must
+    * satisfy `|r| ≤ Long.MaxValue / Σ_j w_j` (which guarantees every tap
+    * product and the full sum fit a long), checked PER ROW with a
+    * raise_error branch naming the offending value: silent wraparound in
+    * an operator whose whole pitch is exactness would be the worst
+    * failure mode, and the comparison is one codegen'd branch per tap.
     *
     * Scale shape: ONE shuffle on the key, one window sort, `horizon`
     * narrow lead taps — no self-join, no per-step explode. Output: input
     * columns + `step` (1-based within the trajectory) + `return_scaled`
-    * (long, = G·2^(h−1)) + `return_x` (double, exact). */
+    * (long, = G·2^(s·(h−1))) + `return_x` (double). */
   def discountedReturns(
       events: DataFrame,
       keyCol: String,
       tsCol: String,
       tieCol: String,
       rewardCol: String,
-      horizon: Int): DataFrame = {
+      horizon: Int,
+      gammaNum: Long = 1L,
+      gammaLog2Den: Int = 1): DataFrame = {
     require(horizon >= 1 && horizon <= 32,
       s"horizon must be in [1, 32], got $horizon")
+    require(gammaLog2Den >= 1 && gammaLog2Den <= 62,
+      s"gammaLog2Den must be in [1, 62], got $gammaLog2Den")
+    require(gammaNum >= 1L && gammaNum <= (1L << gammaLog2Den),
+      s"gammaNum must give γ = gammaNum/2^$gammaLog2Den in (0, 1], got " +
+        s"$gammaNum")
+    require(gammaLog2Den * (horizon - 1) <= 62,
+      s"the scale 2^(gammaLog2Den·(horizon−1)) = 2^${
+        gammaLog2Den * (horizon - 1)} overflows a long — shorten the " +
+        "horizon or use a smaller gammaLog2Den (a coarser dyadic γ)")
+    val weights = (0 until horizon).map(j =>
+      BigInt(gammaNum).pow(j) * BigInt(2).pow(gammaLog2Den * (horizon - 1 - j)))
+    val wSum = weights.sum
+    require(wSum <= BigInt(Long.MaxValue),
+      s"Σ tap weights = $wSum for horizon=$horizon γ=$gammaNum/2^" +
+        s"$gammaLog2Den overflows a long — shorten the horizon or use a " +
+        "smaller gammaLog2Den")
     Seq("step", "return_scaled", "return_x").foreach(c =>
       require(!events.columns.exists(_.equalsIgnoreCase(c)),
         s"input already has a '$c' column — drop or rename it before " +
           "computing returns (the name is this operator's output)"))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tieCol))
-    val r = col(rewardCol).cast("long")
+    // |r| ≤ bound ⇒ |Σ r_{t+j}·w_j| ≤ bound·Σw ≤ Long.MaxValue: the one
+    // per-row check that makes every product and the sum overflow-free.
+    // Spelled r > bound || r < -bound, not abs(r) > bound: abs(Long.Min)
+    // itself overflows (throws a confusing ANSI error, silently passes
+    // non-ANSI)
+    val bound = (BigInt(Long.MaxValue) / wSum).toLong
+    val r0 = col(rewardCol).cast("long")
+    val r = when(r0 > lit(bound) || r0 < lit(-bound),
+      raise_error(concat(
+        lit(s"discountedReturns overflow: |$rewardCol| = "),
+        r0.cast("string"),
+        lit(s" exceeds $bound = Long.MaxValue / Σ weights for horizon=" +
+          s"$horizon γ=$gammaNum/2^$gammaLog2Den — scale rewards down " +
+          "or shorten the horizon"))).cast("long"))
+      .otherwise(r0)
     val scaled = (0 until horizon).map(j =>
       coalesce(lead(r, j).over(w), lit(0L)) *
-        lit(1L << (horizon - 1 - j))).reduce(_ + _)
+        lit(weights(j).toLong)).reduce(_ + _)
     events
       .withColumn("step", row_number().over(w).cast("long"))
       .withColumn("return_scaled", scaled)
       .withColumn("return_x",
         col("return_scaled").cast("double") /
-          lit((1L << (horizon - 1)).toDouble))
+          lit(math.pow(2.0, (gammaLog2Den * (horizon - 1)).toDouble)))
   }
 }

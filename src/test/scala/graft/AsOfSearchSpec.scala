@@ -473,4 +473,58 @@ class AsOfSearchSpec extends SparkTestBase {
         "k", "ts", "id", "r", 4)
     }
   }
+
+  test("discountedReturns rational γ: hand-computed γ=3/4 returns, the " +
+    "(horizon, γ) plan-time requires, and the per-row overflow guard " +
+    "raising on |r| beyond the enforced bound") {
+    import graft.operators.Sessionize
+    val ev = Seq(
+      (1L, 1000L, 10L, Some(4L)), (1L, 2000L, 11L, Some(2L)),
+      (1L, 3000L, 12L, Some(8L)))
+      .toDF("k", "tsv", "id", "r")
+      .withColumn("ts", timestamp_micros(col("tsv")))
+    // h=3, γ=3/4: weights (16, 12, 9), scale 2^4 = 16
+    //   G1 = 4 + 2·(3/4) + 8·(9/16) = 10; G2 = 2 + 8·(3/4) = 8; G3 = 8
+    val out = Sessionize.discountedReturns(ev, "k", "ts", "id", "r",
+      horizon = 3, gammaNum = 3L, gammaLog2Den = 2)
+      .select("step", "return_scaled", "return_x").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(out == Map(1L -> ((160L, 10.0)), 2L -> ((128L, 8.0)),
+      3L -> ((128L, 8.0))))
+    // γ > 1, an overflowing scale, and an overflowing weight sum are all
+    // plan-time rejections naming the constraint
+    intercept[IllegalArgumentException] {
+      Sessionize.discountedReturns(ev, "k", "ts", "id", "r", 3,
+        gammaNum = 5L, gammaLog2Den = 2)
+    }
+    val exScale = intercept[IllegalArgumentException] {
+      Sessionize.discountedReturns(ev, "k", "ts", "id", "r", 9,
+        gammaNum = 3L, gammaLog2Den = 8)
+    }
+    assert(exScale.getMessage.contains("overflows a long"))
+    val exSum = intercept[IllegalArgumentException] {
+      Sessionize.discountedReturns(ev, "k", "ts", "id", "r", 32,
+        gammaNum = 4L, gammaLog2Den = 2) // γ = 1: Σ weights = 32·2^62
+    }
+    assert(exSum.getMessage.contains("tap weights"))
+    // per-row guard: Σ weights = 37 at (3, 3/4) ⇒ bound = Long.Max/37;
+    // one reward past it must raise, naming the operator — not wrap
+    val big = Long.MaxValue / 30L
+    val hot = Seq((1L, 1000L, 10L, big)).toDF("k", "tsv", "id", "r")
+      .withColumn("ts", timestamp_micros(col("tsv")))
+    val err = intercept[Throwable] {
+      Sessionize.discountedReturns(hot, "k", "ts", "id", "r",
+        horizon = 3, gammaNum = 3L, gammaLog2Den = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("discountedReturns overflow")),
+      messages(err).mkString(" | "))
+    // the same magnitude is FINE at γ = 1/2, h = 1 (Σ weights = 1):
+    // the bound is per-(horizon, γ), not a blanket cap
+    val ok = Sessionize.discountedReturns(hot, "k", "ts", "id", "r", 1)
+      .select("return_scaled").collect().map(_.getLong(0))
+    assert(ok.toSeq == Seq(big))
+  }
 }
