@@ -1721,6 +1721,22 @@ object OpsPack {
       .select(col("doc_id"), col("tier"), col("shard"), col("pos"))
       .orderBy("shard", "pos")
 
+  /** Quantile-DERIVED curriculum ([[TrainOrder.curriculumByQuantiles]]):
+    * the 25/50/25 length curriculum with boundaries derived as
+    * percentile_disc order statistics of n_chars (rank ceil(p·n) via the
+    * distributed rank selection) instead of hand-picked literals. Oracle:
+    * DuckDB derives the same boundaries with ANSI percentile_disc (the
+    * q_profile_numeric equivalence) and replays the identical CASE +
+    * window algebra — a drifted boundary rank or a mis-tiered row breaks
+    * the hash. */
+  def trainCurriculumQuantilesQuery(s: SparkSession, dir: String): DataFrame =
+    TrainOrder.curriculumByQuantiles(
+      docs(s, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", Seq(0.25, 0.5, 0.25), seed = 17L, shards = 8,
+      portable = true)
+      .select(col("doc_id"), col("tier"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
   /** Token-budget PREFIX cut ([[TrainOrder.prefixByBudget]]): the maximal
     * (pos, shard)-lexicographic prefix of the 2:1 mixed stream whose
     * n_chars sum fits 60k — "train on the first 60k chars of this
@@ -4533,6 +4549,7 @@ object OpsPack {
     "q_train_manifest" -> (trainManifestQuery _),
     "q_train_epochs" -> (trainEpochsQuery _),
     "q_train_curriculum" -> (trainCurriculumQuery _),
+    "q_train_curriculum_quantiles" -> (trainCurriculumQuantilesQuery _),
     "q_train_budget_prefix" -> (trainBudgetPrefixQuery _),
     "q_train_budget_indexed" -> (trainBudgetIndexedQuery _),
     "q_pref_pairs" -> (prefPairsQuery _),
@@ -6384,6 +6401,29 @@ object OpsPack {
        |    (CASE WHEN n_chars > 180.0 THEN 1 ELSE 0 END) +
        |    (CASE WHEN n_chars > 420.0 THEN 1 ELSE 0 END) END AS INTEGER) AS tier,
        |  CAST(hv % 8 AS BIGINT) AS shard, hv FROM h)
+       |SELECT doc_id, tier, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY tier, hv, doc_id) AS BIGINT) AS pos
+       |FROM t ORDER BY shard, pos""".stripMargin
+
+  /** Quantile-curriculum mirror: boundaries via ANSI percentile_disc at
+    * the cumulative interior fractions (0.25, 0.75), then the identical
+    * tier CASE + per-shard window. */
+  private val trainCurriculumQuantilesSql: String =
+    s"""WITH b AS (SELECT
+       |    percentile_disc(0.25) WITHIN GROUP (
+       |      ORDER BY CAST(n_chars AS DOUBLE)) AS b1,
+       |    percentile_disc(0.75) WITHIN GROUP (
+       |      ORDER BY CAST(n_chars AS DOUBLE)) AS b2
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |h AS (SELECT doc_id, n_chars, ${epochHashSql(17, "doc_id")} AS hv
+       |      FROM documents),
+       |t AS (SELECT doc_id,
+       |  CAST(CASE WHEN n_chars IS NULL THEN 2 ELSE
+       |    (CASE WHEN CAST(n_chars AS DOUBLE) > b.b1 THEN 1 ELSE 0 END) +
+       |    (CASE WHEN CAST(n_chars AS DOUBLE) > b.b2 THEN 1 ELSE 0 END)
+       |    END AS INTEGER) AS tier,
+       |  CAST(hv % 8 AS BIGINT) AS shard, hv FROM h, b)
        |SELECT doc_id, tier, shard,
        |  CAST(row_number() OVER (PARTITION BY shard
        |    ORDER BY tier, hv, doc_id) AS BIGINT) AS pos
@@ -8524,6 +8564,7 @@ object OpsPack {
     "q_train_manifest" -> trainManifestSql,
     "q_train_epochs" -> trainEpochsSql,
     "q_train_curriculum" -> trainCurriculumSql,
+    "q_train_curriculum_quantiles" -> trainCurriculumQuantilesSql,
     "q_train_budget_prefix" -> trainBudgetPrefixSql,
     "q_train_budget_indexed" -> trainBudgetPrefixSql,
     "q_pref_pairs" -> prefPairsSql,

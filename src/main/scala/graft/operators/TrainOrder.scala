@@ -643,6 +643,56 @@ object TrainOrder {
     curriculumImpl(df, idCol, scoreCol, boundaries, seed, shards, portable,
       prePartition = false)
 
+  /** [[curriculum]] with DERIVED boundaries — the standard ask is "25/50/
+    * 25 by length", not hand-computed score literals: `fractions` gives
+    * each tier's target mass (must sum to 1), and the boundaries are the
+    * percentile_disc order statistics of the NON-NULL scores at the
+    * cumulative interior fractions (rank `ceil(p·n)` — actual elements of
+    * the column, exact and engine-mirrorable; [[Profile.numericProfile]]'s
+    * definition). One [[Profile.selectRanks]] pass derives every boundary
+    * — the distributed bucketed rank selection, so no task ever sorts the
+    * whole score column — then delegates to [[curriculum]] (same plan:
+    * one exchange, per-shard sort).
+    *
+    * Tier populations match the fractions up to ties at a boundary value
+    * (rows EQUAL to a boundary land in the lower tier, the
+    * percentile_disc convention) and NULL scores, which are excluded from
+    * the quantiles and land in the LAST tier ([[curriculum]]'s rule).
+    * Boundary values that COLLIDE under extreme ties are deduplicated —
+    * the adjacent tiers merge rather than erroring (strictly-increasing
+    * boundaries are [[curriculum]]'s contract). */
+  def curriculumByQuantiles(df: DataFrame, idCol: String, scoreCol: String,
+      fractions: Seq[Double], seed: Long, shards: Int,
+      portable: Boolean = false): DataFrame =
+    curriculum(df, idCol, scoreCol,
+      quantileBoundaries(df, scoreCol, fractions), seed, shards, portable)
+
+  /** The interior percentile_disc boundaries for [[curriculumByQuantiles]]
+    * — package-visible so the spec can pin the derived values. */
+  private[graft] def quantileBoundaries(df: DataFrame, scoreCol: String,
+      fractions: Seq[Double]): Seq[Double] = {
+    require(fractions.size >= 2,
+      s"need at least two tier fractions (one tier is just order()), " +
+        s"got $fractions")
+    require(fractions.forall(f => !f.isNaN && !f.isInfinite && f > 0.0),
+      s"tier fractions must be finite and positive, got $fractions")
+    require(math.abs(fractions.sum - 1.0) <= 1e-9,
+      s"tier fractions must sum to 1, got $fractions (sum ${fractions.sum})")
+    val cuts = fractions.init.scanLeft(0.0)(_ + _).tail
+    val stacked = df.select(lit(scoreCol).as("column"),
+      col(scoreCol).cast("double").as("v"))
+    val r = stacked.agg(count(col("v")).as("n"),
+      min(col("v")).as("mn"), max(col("v")).as("mx")).first()
+    val n = r.getLong(0)
+    require(n > 0,
+      s"no non-NULL '$scoreCol' values — quantile boundaries are undefined")
+    val ranks = cuts.map(p => math.max(1L, math.ceil(p * n).toLong))
+    val hits = Profile.selectRanks(stacked,
+      Map(scoreCol -> ranks.distinct),
+      Map(scoreCol -> ((r.getDouble(1), r.getDouble(2)))))
+    ranks.map(k => hits((scoreCol, k))).distinct
+  }
+
   /** Land the curriculum as training shard files — the [[writeShards]]
     * contract (one pos-ordered file per `shard=` dir, ONE exchange,
     * `maxRecordsPerFile = 0` pinned, manifest written) over

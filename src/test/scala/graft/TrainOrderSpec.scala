@@ -553,6 +553,48 @@ class TrainOrderSpec extends SparkTestBase {
     assert(ex4.getMessage.contains("disagrees with its manifest"))
   }
 
+  test("curriculumByQuantiles: percentile_disc boundaries from tier " +
+    "fractions give exact tier populations, the result IS curriculum() " +
+    "with those boundaries, NULL scores are excluded from the quantiles, " +
+    "and degenerate fractions are rejected") {
+    // scores 0..99 each ×4: rank ceil(.25·400)=100 → value 24 (order
+    // statistic — an actual element), rank ceil(.75·400)=300 → value 74
+    val df = ids(400).withColumn("score", (col("id") % 100).cast("double"))
+    assert(TrainOrder.quantileBoundaries(df, "score",
+      Seq(0.25, 0.5, 0.25)) == Seq(24.0, 74.0))
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long, Long)] =
+      d.select("id", "tier", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val derived = rows(TrainOrder.curriculumByQuantiles(df, "id", "score",
+      Seq(0.25, 0.5, 0.25), seed = 3L, shards = 4))
+    assert(derived == rows(TrainOrder.curriculum(df, "id", "score",
+      Seq(24.0, 74.0), seed = 3L, shards = 4)))
+    // tier populations: ≤24 → 100, 25..74 → 200, >74 → 100 (exact 25/50/25)
+    val pops = derived.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(pops == Map(0 -> 100, 1 -> 200, 2 -> 100), pops.toString)
+    // NULL scores: excluded from the quantiles, landed in the LAST tier
+    val withNulls = ids(400).withColumn("score",
+      when(col("id") > 380, lit(null).cast("double"))
+        .otherwise((col("id") % 97).cast("double")))
+    val dn = rows(TrainOrder.curriculumByQuantiles(withNulls, "id", "score",
+      Seq(0.5, 0.5), seed = 3L, shards = 4))
+    // 2 fractions → 1 boundary → NULL tier index = boundaries.size = 1
+    val nullTier = dn.filter(t => t._1 > 380).map(_._2)
+    assert(nullTier.size == 1 && nullTier.head == 1, nullTier.toString)
+    intercept[IllegalArgumentException] {
+      TrainOrder.curriculumByQuantiles(df, "id", "score", Seq(1.0), 3L, 4)
+    }
+    intercept[IllegalArgumentException] {
+      TrainOrder.curriculumByQuantiles(df, "id", "score",
+        Seq(0.5, 0.6), 3L, 4)
+    }
+    intercept[IllegalArgumentException] {
+      TrainOrder.curriculumByQuantiles(df, "id", "score",
+        Seq(0.5, -0.5, 1.0), 3L, 4)
+    }
+  }
+
   test("curriculum: tiers stream in ascending order within every shard, the " +
     "intra-tier order IS order()'s permutation, NULL scores land in the " +
     "LAST tier, and the plan keeps the one-exchange shape") {
