@@ -1707,6 +1707,28 @@ object OpsPack {
       .orderBy("shard", "pos")
   }
 
+  /** Temperature-weighted mixture planning ([[TrainOrder
+    * .temperatureEpochs]]): the 10%/90% source split at α = 1/2 —
+    * sampling mass ∝ √n flattens toward the rare source, whose epoch
+    * multiplier then hits the maxEpochs = 4 cap while the common source
+    * stays under it (both branches of the `least` live). Oracle: the
+    * identical float algebra — sqrt (= n^(1/2) bit-for-bit in IEEE
+    * libms), the sorted-tag list_sum normalizer, the same left-
+    * associated epochs expression — so a drifted fold order or a wrong
+    * cap breaks the hash. */
+  def trainTemperatureQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val sources = Seq(
+      ("rare", d.where(col("doc_id") % 10 === 0)),
+      ("common", d.where(col("doc_id") % 10 =!= 0)))
+    val sizes = sources.map { case (t, df) => t -> df.count() }
+    val mix = TrainOrder.temperatureEpochs(sizes, alpha = 0.5,
+      budget = 2000L, maxEpochs = 4.0).toMap
+    import s.implicits._
+    sizes.map { case (t, n) => (t, n, mix(t)) }
+      .toDF("source", "n", "epochs").orderBy("source")
+  }
+
   /** Curriculum training order ([[TrainOrder.curriculum]]): sequence-length
     * tiers (the classic length curriculum — short documents first) with the
     * seeded permutation WITHIN each tier. Boundaries (180, 420) split the
@@ -4550,6 +4572,7 @@ object OpsPack {
     "q_train_epochs" -> (trainEpochsQuery _),
     "q_train_curriculum" -> (trainCurriculumQuery _),
     "q_train_curriculum_quantiles" -> (trainCurriculumQuantilesQuery _),
+    "q_train_temperature" -> (trainTemperatureQuery _),
     "q_train_budget_prefix" -> (trainBudgetPrefixQuery _),
     "q_train_budget_indexed" -> (trainBudgetIndexedQuery _),
     "q_pref_pairs" -> (prefPairsQuery _),
@@ -6405,6 +6428,20 @@ object OpsPack {
        |  CAST(row_number() OVER (PARTITION BY shard
        |    ORDER BY tier, hv, doc_id) AS BIGINT) AS pos
        |FROM t ORDER BY shard, pos""".stripMargin
+
+  /** Temperature-mixture mirror: the identical float algebra — sqrt
+    * weights, sorted-tag list_sum normalizer, left-associated epochs
+    * expression, least() cap. */
+  private val trainTemperatureSql: String =
+    s"""WITH n AS (SELECT CASE WHEN doc_id % 10 = 0 THEN 'rare'
+       |    ELSE 'common' END AS source,
+       |    CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+       |z AS (SELECT list_sum(list(sqrt(CAST(n AS DOUBLE))
+       |    ORDER BY source)) AS z FROM n)
+       |SELECT source, n,
+       |  least(4.0, sqrt(CAST(n AS DOUBLE)) / z.z * 2000.0
+       |    / CAST(n AS DOUBLE)) AS epochs
+       |FROM n, z ORDER BY source""".stripMargin
 
   /** Quantile-curriculum mirror: boundaries via ANSI percentile_disc at
     * the cumulative interior fractions (0.25, 0.75), then the identical
@@ -8565,6 +8602,7 @@ object OpsPack {
     "q_train_epochs" -> trainEpochsSql,
     "q_train_curriculum" -> trainCurriculumSql,
     "q_train_curriculum_quantiles" -> trainCurriculumQuantilesSql,
+    "q_train_temperature" -> trainTemperatureSql,
     "q_train_budget_prefix" -> trainBudgetPrefixSql,
     "q_train_budget_indexed" -> trainBudgetPrefixSql,
     "q_pref_pairs" -> prefPairsSql,

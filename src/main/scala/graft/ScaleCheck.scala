@@ -647,7 +647,95 @@ object ScaleCheck {
             f"ratio=${off150 / math.max(off30, 1e-9)}%4.1f")
         Seq(f""""compare_wide_plan":{"on30":$on30%.2f,"on150":$on150%.2f,"off30":$off30%.2f,"off150":$off150%.2f,"ratioOn":${on150 / math.max(on30, 1e-9)}%.2f,"ratioOff":${off150 / math.max(off30, 1e-9)}%.2f}""")
       }
-    println(s"""{"mult":$mult,"cases":{${(rows ++ lshRow ++ ingestRow ++ retentionRow ++ hhRow ++ hhRetainRow ++ budgetCutRow ++ compareWideRow).mkString(",")}}}""")
+    // ---- streaming eval probe vs batch-count growth ------------------------
+    // The r15 judge finding (Missing #1), measured: without consolidation
+    // the probe lists and opens one delta dir per micro-batch FOREVER —
+    // linear in stream lifetime; with the fence the history is O(1)
+    // consolidated dirs + O(cadence) recent, so the probe must stay FLAT
+    // as the batch count grows Nx. Dir counts carry the structural claim;
+    // wall clock corroborates at this sf.
+    val evalConsRow =
+      if (!onlyCase.forall(_.contains("eval_consolidate_probe"))) Seq.empty[String]
+      else {
+        import graft.streaming.IngestEval
+        def evalRows = table("documents")
+          .select((col("doc_id") % 25).as("prompt"),
+            concat(lit("m"), (col("doc_id") % 4).cast("string")).as("model"),
+            col("n_chars"))
+        def build(tag: String, batches: Int, fence: Boolean): String = {
+          val r = s"$out/eval_probe_$tag"
+          val done = java.nio.file.Paths.get(s"${r}_done")
+          if (!java.nio.file.Files.exists(done)) {
+            graft.operators.Utils.deleteRecursively(java.nio.file.Paths.get(r))
+            val t0 = System.nanoTime()
+            (0 until batches).foreach { b =>
+              IngestEval.processBatch(
+                evalRows.where(pmod(col("doc_id"), lit(batches.toLong)) === b),
+                b.toLong, r, "prompt", "model", "n_chars")
+              if (fence && b > 0 && b % 8 == 0)
+                IngestEval.consolidate(spark, r, b.toLong)
+            }
+            if (fence) IngestEval.consolidate(spark, r, (batches - 1).toLong)
+            java.nio.file.Files.createFile(done)
+            System.err.println(f"[scale] staged eval_probe_$tag " +
+              f"${(System.nanoTime() - t0) / 1e9}%6.1fs")
+          }
+          r
+        }
+        def deltaDirs(r: String): Int =
+          Option(new java.io.File(s"$r/deltas").listFiles()).toSeq.flatten
+            .count(f => f.isDirectory && f.getName.startsWith("batch="))
+        val base = 8
+        val p1 = build("plain_1x", base, fence = false)
+        val pN = build(s"plain_${mult}x", base * mult, fence = false)
+        val c1 = build("fenced_1x", base, fence = true)
+        val cN = build(s"fenced_${mult}x", base * mult, fence = true)
+        def probeT(r: String): Double = time(IngestEval.probe(spark, r).count())
+        System.err.println(s"[scale] eval_consolidate_probe @1x")
+        val t1 = probeT(p1); val ft1 = probeT(c1)
+        System.err.println(s"[scale] eval_consolidate_probe @${mult}x")
+        val tn = probeT(pN); val ftn = probeT(cN)
+        System.err.println(f"[scale]   plain dirs ${deltaDirs(p1)}→${deltaDirs(pN)} " +
+          f"t $t1%.2f→$tn%.2f; fenced dirs ${deltaDirs(c1)}→${deltaDirs(cN)} " +
+          f"t $ft1%.2f→$ftn%.2f")
+        Seq(f""""eval_consolidate_probe":{"t1":$t1%.2f,"tN":$tn%.2f,"ratio":${tn / math.max(t1, 1e-9)}%.2f,"fencedT1":$ft1%.2f,"fencedTN":$ftn%.2f,"fencedRatio":${ftn / math.max(ft1, 1e-9)}%.2f,"dirs1":${deltaDirs(p1)},"dirsN":${deltaDirs(pN)},"fencedDirs1":${deltaDirs(c1)},"fencedDirsN":${deltaDirs(cN)}}""")
+      }
+    // ---- ragged-resume predicate compilation vs distinct-cutoff count ------
+    // The r15 scale-killer, measured post-fix: planning cost of the
+    // BALANCED disjunction vs the broadcast-frontier strategy at 1k and
+    // N·1k distinct cutoffs (the old left-deep reduce stack-overflowed
+    // around the tens of thousands). The broadcast path's predicate is
+    // constant-size, so its plan time must stay ~flat; the balanced
+    // disjunction may grow linearly in expression size but must remain
+    // seconds, not minutes, at 8k.
+    val resumeCompileRow =
+      if (!onlyCase.forall(_.contains("resume_frontier_compile"))) Seq.empty[String]
+      else {
+        import graft.operators.TrainOrder
+        val p = s"$out/resume_compile_layout"
+        if (!new java.io.File(p, "_SUCCESS").exists)
+          table("documents").select(col("doc_id"))
+            .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+            .withColumn("pos", expr("doc_id div 8") + lit(1L))
+            .write.mode("overwrite").partitionBy("shard").parquet(p)
+        def planT(cutoffs: Int, threshold: Int): Double = {
+          val frontier = (0L until cutoffs.toLong).map(k => k -> k).toMap
+          val t0 = System.nanoTime()
+          TrainOrder.resume(spark, p, frontier,
+            maxDisjunctCutoffs = threshold).queryExecution.executedPlan
+          (System.nanoTime() - t0) / 1e9
+        }
+        val k1 = 1000; val kN = 1000 * mult
+        System.err.println(s"[scale] resume_frontier_compile @$k1/$kN cutoffs")
+        val d1 = planT(k1, Int.MaxValue) // balanced disjunction, forced
+        val dN = planT(kN, Int.MaxValue)
+        val b1 = planT(k1, 1) // broadcast frontier, forced
+        val bN = planT(kN, 1)
+        System.err.println(f"[scale]   disjunct $d1%.2f→$dN%.2f  " +
+          f"bcast $b1%.2f→$bN%.2f")
+        Seq(f""""resume_frontier_compile":{"disjunctT1":$d1%.2f,"disjunctTN":$dN%.2f,"disjunctRatio":${dN / math.max(d1, 1e-9)}%.2f,"bcastT1":$b1%.2f,"bcastTN":$bN%.2f,"bcastRatio":${bN / math.max(b1, 1e-9)}%.2f,"cutoffs1":$k1,"cutoffsN":$kN}""")
+      }
+    println(s"""{"mult":$mult,"cases":{${(rows ++ lshRow ++ ingestRow ++ retentionRow ++ hhRow ++ hhRetainRow ++ budgetCutRow ++ compareWideRow ++ evalConsRow ++ resumeCompileRow).mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -303,6 +303,61 @@ object TrainOrder {
     interleaveImpl(sources, idCol, seed, shards, portable,
       payload = true, prePartition = true)
 
+  /** TEMPERATURE-weighted mixture planning — the "how many epochs of each
+    * source" arithmetic a multi-source recipe needs before
+    * [[interleaveEpochs]] can run (the mT5/data-balancing standard):
+    * sampling probability `p_i ∝ n_i^alpha` (α = 1 is proportional, α → 0
+    * approaches uniform — small sources get UP-weighted as α falls), and
+    * each source's epoch multiplier spends a total `budget` of rows
+    * according to p: `epochs_i = min(maxEpochs, p_i · budget / n_i)`.
+    * `maxEpochs` caps the up-weighting of tiny sources (unbounded repeats
+    * of a small corpus are a memorization hazard, the standard caveat);
+    * a capped source simply contributes fewer rows than its p asked for.
+    *
+    * DETERMINISTIC float contract: the normalizer folds `n_i^alpha` in
+    * SORTED-TAG order and the epochs expression is exactly
+    * `(s/z · budget)/n` — bit-reproducible, and an engine can mirror it
+    * literally (at α = 1/2, `n^alpha` IS `sqrt(n)` in every IEEE libm —
+    * what makes the driver query hash-checkable). Returned in the
+    * CALLER's source order. */
+  def temperatureEpochs(sizes: Seq[(String, Long)], alpha: Double,
+      budget: Long, maxEpochs: Double = 16.0): Seq[(String, Double)] = {
+    require(sizes.nonEmpty, "temperatureEpochs needs at least one source")
+    require(sizes.map(_._1).distinct.size == sizes.size,
+      s"duplicate source tags in ${sizes.map(_._1)}")
+    sizes.foreach { case (t, n) =>
+      require(n > 0L, s"source '$t' is empty (n=$n) — an empty source " +
+        "has no sampling weight; drop it from the mixture")
+    }
+    require(!alpha.isNaN && alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1] (1 = proportional, smaller = flatter), " +
+        s"got $alpha")
+    require(budget > 0L, s"budget must be positive, got $budget")
+    require(!maxEpochs.isNaN && !maxEpochs.isInfinite && maxEpochs > 0.0,
+      s"maxEpochs must be positive and finite, got $maxEpochs")
+    val pows = sizes.map { case (t, n) =>
+      (t, n, math.pow(n.toDouble, alpha))
+    }
+    // sorted-tag fold: the one float sum, order fixed for reproducibility
+    // and engine mirroring
+    val z = pows.sortBy(_._1).map(_._3).foldLeft(0.0)(_ + _)
+    pows.map { case (t, n, s) =>
+      t -> math.min(maxEpochs, s / z * budget.toDouble / n.toDouble)
+    }
+  }
+
+  /** [[temperatureEpochs]] over live frames: one column-pruned `count()`
+    * per source (the price [[interleaveEpochs]] pays anyway for its
+    * co-finish weights), returning the `(tag, df, epochs)` triples
+    * [[interleaveEpochs]]/[[writeEpochShards]] consume directly. */
+  def temperatureMixture(sources: Seq[(String, DataFrame)], alpha: Double,
+      budget: Long, maxEpochs: Double = 16.0): Seq[(String, DataFrame, Double)] = {
+    require(sources.nonEmpty, "temperatureMixture needs at least one source")
+    val sizes = sources.map { case (t, df) => t -> df.count() }
+    val epochs = temperatureEpochs(sizes, alpha, budget, maxEpochs).toMap
+    sources.map { case (t, df) => (t, df, epochs(t)) }
+  }
+
   /** Epoch replication — the "2.3 epochs of source A" half of a training
     * recipe: every row appears `floor(epochs)` times, plus once more on a
     * DETERMINISTIC fraction `epochs - floor(epochs)` of the ids

@@ -553,6 +553,56 @@ class TrainOrderSpec extends SparkTestBase {
     assert(ex4.getMessage.contains("disagrees with its manifest"))
   }
 
+  test("temperatureEpochs: α=1 is proportional, α=1/2 up-weights the small " +
+    "source with the exact sqrt formulation, the cap binds, the mixture " +
+    "feeds interleaveEpochs, and degenerate inputs are rejected") {
+    val sizes = Seq("a" -> 900L, "b" -> 100L)
+    // α = 1, budget = total: every source trains exactly ~once
+    val e1 = TrainOrder.temperatureEpochs(sizes, 1.0, 1000L).toMap
+    assert(math.abs(e1("a") - 1.0) < 1e-12 && math.abs(e1("b") - 1.0) < 1e-12)
+    // α = 1/2: bit-exact against the sqrt formulation the oracle mirrors
+    // (same sorted-tag fold, same left-associated expression)
+    val e5 = TrainOrder.temperatureEpochs(sizes, 0.5, 1000L).toMap
+    val z = math.sqrt(900.0) + math.sqrt(100.0)
+    assert(e5("a") == math.sqrt(900.0) / z * 1000.0 / 900.0)
+    assert(e5("b") == math.sqrt(100.0) / z * 1000.0 / 100.0)
+    assert(e5("b") > e1("b") && e5("a") < e1("a")) // flattening direction
+    // pow(n, 1/2) IS sqrt(n), bit-for-bit — the oracle's mirror rests on it
+    for (n <- Seq(1L, 7L, 250L, 2500L, 999983L))
+      assert(math.pow(n.toDouble, 0.5) == math.sqrt(n.toDouble))
+    // the cap binds the up-weighted source only
+    val ec = TrainOrder.temperatureEpochs(sizes, 0.5, 1000L,
+      maxEpochs = 2.0).toMap
+    assert(ec("b") == 2.0 && ec("a") == e5("a"))
+    // composition: temperatureMixture → interleaveEpochsRows is a live
+    // recipe, and the replicated counts follow the derived epochs
+    val d = ids(300)
+    val srcs = TrainOrder.temperatureMixture(
+      Seq("small" -> d.where(col("id") <= 60),
+        "big" -> d.where(col("id") > 60)),
+      alpha = 0.5, budget = 300L, maxEpochs = 4.0)
+    val em = srcs.map { case (t, _, e) => t -> e }.toMap
+    assert(em("small") > em("big"))
+    val counts = TrainOrder.interleaveEpochsRows(srcs, "id", seed = 9L,
+      shards = 4).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("small") >= math.floor(em("small")).toLong * 60 &&
+      counts("small") <= math.ceil(em("small")).toLong * 60,
+      s"$counts vs $em")
+    assert(counts("big") >= math.floor(em("big")).toLong * 240 &&
+      counts("big") <= math.ceil(em("big")).toLong * 240)
+    intercept[IllegalArgumentException](
+      TrainOrder.temperatureEpochs(Seq.empty, 0.5, 10L))
+    intercept[IllegalArgumentException](
+      TrainOrder.temperatureEpochs(Seq("a" -> 0L), 0.5, 10L))
+    intercept[IllegalArgumentException](
+      TrainOrder.temperatureEpochs(sizes, 1.5, 10L))
+    intercept[IllegalArgumentException](
+      TrainOrder.temperatureEpochs(sizes, 0.5, 0L))
+    intercept[IllegalArgumentException](
+      TrainOrder.temperatureEpochs(Seq("a" -> 1L, "a" -> 2L), 0.5, 10L))
+  }
+
   test("curriculumByQuantiles: percentile_disc boundaries from tier " +
     "fractions give exact tier populations, the result IS curriculum() " +
     "with those boundaries, NULL scores are excluded from the quantiles, " +
