@@ -623,9 +623,10 @@ object TrainOrder {
       // coordinate assigners' namespace — a landed layout cannot carry it
       // (hashShard rejects the prefix at write time), but resume also
       // accepts manifest-less foreign layouts.
-      require(!df.columns.exists(_.equalsIgnoreCase(FrontierCutCol)),
-        s"input layout already has a '$FrontierCutCol' column — the name " +
-          "is this resume strategy's working column")
+      Seq(FrontierCutCol, "__graft_fshard").foreach(c =>
+        require(!df.columns.exists(_.equalsIgnoreCase(c)),
+          s"input layout already has a '$c' column — the name is this " +
+            "resume strategy's working column"))
       val minCut = byCut.head._1
       val liveShards = live.keys.toSeq.sorted
       val keep =
@@ -722,9 +723,13 @@ object TrainOrder {
     curriculum(df, idCol, scoreCol,
       quantileBoundaries(df, scoreCol, fractions), seed, shards, portable)
 
-  /** The interior percentile_disc boundaries for [[curriculumByQuantiles]]
-    * — package-visible so the spec can pin the derived values. */
-  private[graft] def quantileBoundaries(df: DataFrame, scoreCol: String,
+  /** The interior percentile_disc boundaries [[curriculumByQuantiles]]
+    * derives — public because a multi-epoch run should derive them ONCE
+    * and hold them fixed (re-deriving per epoch on a corpus that grows
+    * between epochs would silently shift the schedule): derive here, then
+    * feed the literals to [[curriculum]]/[[writeCurriculumShards]] for
+    * every epoch seed. */
+  def quantileBoundaries(df: DataFrame, scoreCol: String,
       fractions: Seq[Double]): Seq[Double] = {
     require(fractions.size >= 2,
       s"need at least two tier fractions (one tier is just order()), " +
