@@ -293,12 +293,21 @@ object Bench {
     // (judge r15: a sweep ran uniformly ~1.3× slow — sustained frequency
     // cap or IO contention, not the 2-40× windows the fixed-work probe
     // catches — and its flat canary let 268s read as clean against a
-    // 170.6s minimum). total / total_min_so_far IS the detector: emit it
-    // plus an explicit flag so a silently-degraded total can never be
-    // taken at face value again. 1.15 is the adjudication threshold from
-    // the r15 postmortem; a first-ever run (no history) reads 1.0 by
-    // construction (total == totalMin) and stays unflagged.
-    val vsMin = if (totalMin > 0.0) total / totalMin else 1.0
+    // 170.6s minimum). Elapsed-vs-minimum IS the detector: emit it plus
+    // an explicit flag so a silently-degraded total can never be taken at
+    // face value again. HEALTHY queries only on BOTH sides — `total` sums
+    // an errored query's fail-fast elapsed while `totalMin` substitutes
+    // its history minimum, so the total/totalMin quotient compares
+    // mismatched sets the moment anything errors (a 30s-history query
+    // failing in 0.1s would mask a genuinely throttled sweep; a first-run
+    // query erroring after 60s would flag a clean one) — review r16.
+    // 1.15 is the adjudication threshold from the r15 postmortem; a
+    // first-ever run (no history) reads 1.0 by construction.
+    val healthyElapsed = healthy.map(_._2).sum
+    val healthyMin = healthy.map { case (k, v) =>
+      math.min(v, minSoFar.getOrElse(k, v))
+    }.sum
+    val vsMin = if (healthyMin > 0.0) healthyElapsed / healthyMin else 1.0
     val throttleJson =
       s""""vs_min":${sec4(vsMin)},"throttled":${vsMin > 1.15}"""
     val fullLine =

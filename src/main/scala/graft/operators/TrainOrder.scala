@@ -335,9 +335,16 @@ object TrainOrder {
     require(budget > 0L, s"budget must be positive, got $budget")
     require(!maxEpochs.isNaN && !maxEpochs.isInfinite && maxEpochs > 0.0,
       s"maxEpochs must be positive and finite, got $maxEpochs")
-    val pows = sizes.map { case (t, n) =>
-      (t, n, math.pow(n.toDouble, alpha))
-    }
+    // α = 1/2 goes through sqrt EXPLICITLY: sqrt is the one power the
+    // IEEE spec requires correctly rounded everywhere, while Math.pow is
+    // allowed 1 ulp of slack — pinning the oracle's sqrt mirror on a
+    // pow-intrinsic special case would be a cross-platform gamble
+    // (review r16). α = 1 is exact multiplication-free identity.
+    val powA: Double => Double =
+      if (alpha == 0.5) math.sqrt
+      else if (alpha == 1.0) identity
+      else x => math.pow(x, alpha)
+    val pows = sizes.map { case (t, n) => (t, n, powA(n.toDouble)) }
     // sorted-tag fold: the one float sum, order fixed for reproducibility
     // and engine mirroring
     val z = pows.sortBy(_._1).map(_._3).foldLeft(0.0)(_ + _)
@@ -633,11 +640,15 @@ object TrainOrder {
         if (coversAll) col("pos") > lit(minCut)
         else col("pos") > lit(minCut) &&
           col("shard").isin(liveShards.map(shardLit): _*)
-      val frontierDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(
+      // a LOCAL list, not parallelize: the frontier is KB-scale, a
+      // LocalRelation beats an RDD scan job — and sparkContext throws on
+      // a Connect session, which this read-only path supports (review r16)
+      val frontierRows: java.util.List[org.apache.spark.sql.Row] =
+        scala.jdk.CollectionConverters.SeqHasAsJava(
           live.toSeq.sortBy(_._1).map { case (k, p) =>
             org.apache.spark.sql.Row(k, p)
-          }, 1),
+          }).asJava
+      val frontierDf = spark.createDataFrame(frontierRows,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("__graft_fshard",
             org.apache.spark.sql.types.LongType, nullable = false),
@@ -738,7 +749,16 @@ object TrainOrder {
       s"tier fractions must be finite and positive, got $fractions")
     require(math.abs(fractions.sum - 1.0) <= 1e-9,
       s"tier fractions must sum to 1, got $fractions (sum ${fractions.sum})")
-    val cuts = fractions.init.scanLeft(0.0)(_ + _).tail
+    // cumulative fractions in DECIMAL, not float scanLeft: 0.1 + 0.2
+    // floats to 0.30000000000000004, whose ceil(p·n) rank is one ABOVE
+    // percentile_disc(0.3) whenever p·n lands integral — BigDecimal over
+    // the shortest decimal representations sums the fractions a human
+    // wrote exactly (review r16)
+    val cuts = fractions.init
+      .scanLeft(BigDecimal(0)) { (acc, f) =>
+        acc + BigDecimal(java.lang.Double.toString(f))
+      }
+      .tail.map(_.toDouble)
     val stacked = df.select(lit(scoreCol).as("column"),
       col(scoreCol).cast("double").as("v"))
     val r = stacked.agg(count(col("v")).as("n"),

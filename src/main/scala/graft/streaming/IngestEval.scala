@@ -119,6 +119,13 @@ object IngestEval {
       promptCol: String, modelCol: String, scoreCol: String): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // heal a crashed consolidation swap BEFORE listing prior state: a
+    // crash in replaceDirs' rename-to-delete window leaves batch=-f AND
+    // the raw dirs it covers, all committed — a prior-state read over
+    // that doubled listing would compute (and PERSIST) a delta counting
+    // every batch-vs-prior comparison twice, a corruption no later
+    // recovery can undo (review r16)
+    recoverBoth(spark, root)
     // a FRESH stream (new checkpoint ⇒ batch ids restart at 0) against a
     // root that already holds later batches would corrupt the history:
     // its deltas double-count against the stale prior state and the stale

@@ -217,6 +217,29 @@ class IngestEvalSpec extends SparkTestBase {
       assert(matrixOf(IngestEval.probe(spark, root)
         .orderBy("model_a", "model_b")) == fullThrough(3))
       assert(dirNames(root, "deltas") == Set("batch=-4"))
+      // processBatch heals a crashed swap BEFORE reading prior state:
+      // fake the responses-layer crash in the rename-to-delete window
+      // (merged target committed, old dirs not yet deleted, manifest
+      // still present) — an unhealed listing would double the prior and
+      // PERSIST a delta counting every comparison twice (review r16)
+      val rRoot = new java.io.File(root, "responses")
+      val rOlds = Seq("batch=-3", "batch=3")
+      assert(dirNames(root, "responses") == rOlds.toSet)
+      spark.read.parquet(rOlds.map(d => new java.io.File(rRoot, d).toString): _*)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new java.io.File(rRoot, "batch=-4").toString)
+      java.nio.file.Files.write(
+        rRoot.toPath.resolve(graft.sources.Compaction.ConsolidateManifest),
+        ("batch=-4" +: rOlds).mkString("\n").getBytes)
+      val extra = Seq((1L, "E", Some(9L)), (3L, "E", Some(1L)))
+        .toDF("prompt", "model", "score")
+      IngestEval.processBatch(extra, 4L, root, "prompt", "model", "score")
+      assert(dirNames(root, "responses") == Set("batch=-4", "batch=4"))
+      val wantAll = matrixOf(Preference.winMatrix(
+        rows.select("prompt", "model", "score").unionByName(extra),
+        "prompt", "model", "score").orderBy("model_a", "model_b"))
+      assert(matrixOf(IngestEval.probe(spark, root)
+        .orderBy("model_a", "model_b")) == wantAll)
     } finally graft.operators.Utils.deleteRecursively(
       java.nio.file.Paths.get(root))
 
