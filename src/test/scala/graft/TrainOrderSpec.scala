@@ -514,6 +514,26 @@ class TrainOrderSpec extends SparkTestBase {
         s"threshold=$threshold planned in ${planSec}s — unbounded")
       assert(rows(resumed) == expected, s"threshold=$threshold")
     }
+    // randomized strategy equivalence: on 20 seeded random frontiers
+    // (random live-shard subsets, random cutoffs, served-out shards
+    // included) the two compilations must return identical row sets
+    val manifest = TrainOrder.readManifestOpt(spark, path).get
+    val full = rows(spark.read.parquet(path))
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { i =>
+      val frontier = manifest.toSeq
+        .filter(_ => rnd.nextDouble() < 0.8)
+        .map { case (k, (_, mx)) => k -> rnd.nextLong(mx + 1) }.toMap
+      if (frontier.nonEmpty) {
+        val a = rows(TrainOrder.resume(spark, path, frontier))
+        val b = rows(TrainOrder.resume(spark, path, frontier,
+          maxDisjunctCutoffs = 1))
+        val want = full.filter { case (_, s, p) =>
+          frontier.get(s).exists(p > _)
+        }
+        assert(a == want && b == want, s"frontier #$i: $frontier")
+      }
+    }
   }
 
   test("resume frontier validation: unknown shards, frontiers beyond the " +
@@ -591,6 +611,16 @@ class TrainOrderSpec extends SparkTestBase {
       s"$counts vs $em")
     assert(counts("big") >= math.floor(em("big")).toLong * 240 &&
       counts("big") <= math.ceil(em("big")).toLong * 240)
+    // budget conservation: while no cap binds, Σ epochs_i · n_i spends
+    // the budget exactly (up to float rounding) — p sums to 1
+    for (alpha <- Seq(0.3, 0.5, 0.7, 1.0)) {
+      val es = TrainOrder.temperatureEpochs(
+        Seq("a" -> 900L, "b" -> 100L, "c" -> 37L), alpha, 5000L,
+        maxEpochs = 1e9)
+      val spent = es.zip(Seq(900L, 100L, 37L))
+        .map { case ((_, e), n) => e * n }.sum
+      assert(math.abs(spent - 5000.0) < 1e-6, s"alpha=$alpha spent $spent")
+    }
     intercept[IllegalArgumentException](
       TrainOrder.temperatureEpochs(Seq.empty, 0.5, 10L))
     intercept[IllegalArgumentException](
