@@ -3293,9 +3293,11 @@ object OpsPack {
     * q_events_chi2_drift's categorical test. */
   def profileKs(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
-    graft.operators.Profile.ksStatistic(
-      li.where(col("l_orderkey") % 3 === 0), "l_extendedprice",
-      li.where(col("l_orderkey") % 3 =!= 0), "l_extendedprice")
+    // both samples slice the SAME table ⇒ the tagged one-scan form halves
+    // the input scans; output identical by the operator's contract
+    // (ksStatisticTagged ≡ ksStatistic(where(!s2), where(s2)))
+    graft.operators.Profile.ksStatisticTagged(
+      li, "l_extendedprice", col("l_orderkey") % 3 =!= 0)
   }
 
   /** Per-group KS drift driver query
@@ -3304,10 +3306,9 @@ object OpsPack {
     * drifted", located without per-group global sorts. */
   def profileKsGrouped(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
-    graft.operators.Profile.ksStatisticByGroup(
-      li.where(col("l_orderkey") % 3 === 0), "l_extendedprice",
-      li.where(col("l_orderkey") % 3 =!= 0), "l_extendedprice",
-      "l_returnflag")
+    // one-scan tagged form (same %3 split folded into per-row side tags)
+    graft.operators.Profile.ksStatisticByGroupTagged(
+      li, "l_extendedprice", "l_returnflag", col("l_orderkey") % 3 =!= 0)
       .orderBy("l_returnflag")
   }
 
@@ -3323,21 +3324,21 @@ object OpsPack {
     * Deterministic ties by (metric, segment). */
   def profileKsRanked(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
-    // ONE scan per side for ALL metrics: melt (metric, value) rows and ride
-    // the existing grouped KS with a composite (metric ∥ group) key —
+    // ONE scan for ALL metrics AND both sides: melt (metric, value) rows
+    // and ride the grouped KS with a composite (metric ∥ group) key —
     // groups are independent in ksStatisticByGroup, so per-composite-group
     // results are identical to three per-metric runs (the oracle keeps the
-    // per-metric form), at 2 lineitem scans instead of 6
+    // per-metric form)
     val stackExpr = s"stack(${KsRankedMetrics.size}, " +
       KsRankedMetrics.map(m => s"'$m', CAST($m AS DOUBLE)").mkString(", ") +
       ") AS (metric, v)"
-    def melt(cond: org.apache.spark.sql.Column) =
-      li.where(cond && col("l_returnflag").isNotNull)
-        .selectExpr("l_returnflag", stackExpr)
-        .withColumn("__mg", concat_ws("\u0001", col("metric"), col("l_returnflag")))
-    val a = melt(col("l_orderkey") % 3 === 0)
-    val b = melt(col("l_orderkey") % 3 =!= 0)
-    graft.operators.Profile.ksStatisticByGroup(a, "v", b, "v", "__mg")
+    // ONE melt of ONE scan: the %3 side split rides a per-row tag instead
+    // of two filtered passes (2 lineitem scans -> 1; the melt was already
+    // the 6 -> 2 consolidation vs per-metric runs)
+    val melted = li.where(col("l_returnflag").isNotNull)
+      .selectExpr("l_returnflag", "(l_orderkey % 3) != 0 AS __s2", stackExpr)
+      .withColumn("__mg", concat_ws("\u0001", col("metric"), col("l_returnflag")))
+    graft.operators.Profile.ksStatisticByGroupTagged(melted, "v", "__mg", col("__s2"))
       .withColumn("__parts", split(col("__mg"), "\u0001"))
       .select(col("__parts").getItem(0).as("metric"),
         col("__parts").getItem(1).as("l_returnflag"),
@@ -3622,11 +3623,13 @@ object OpsPack {
       .select(col("l_orderkey"), col("l_suppkey"))
     val oneDir = o.join(li, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-    val edges = oneDir.union(oneDir.select(col("dst").as("src"), col("src").as("dst")))
     val sources = s.read.parquet(s"$dir/supplier.parquet")
       .where(col("s_nationkey") === 0)
       .select((col("s_suppkey") * 2 + 1).as("node"))
-    graft.operators.Graph.kHopDistances(edges, sources, maxHops = 3)
+    // symmetrize INSIDE the operator: the o⋈li edge derivation runs once
+    // at cache fill instead of once per union branch
+    graft.operators.Graph.kHopDistances(oneDir, sources, maxHops = 3,
+      symmetrize = true)
       .orderBy("node")
   }
 
@@ -4052,11 +4055,14 @@ object OpsPack {
     * one shuffle of (column, value) pairs), then staging is a pure
     * comparison expression and the rollup a grouped count. A global
     * `ntile` window would sort the corpus on one partition. */
-  def docsCurriculum(s: SparkSession, dir: String): DataFrame = {
+  def docsCurriculum(s: SparkSession, dir: String): DataFrame = Dedup.newCacheScope {
     import graft.operators.TextOps
-    val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+    // cached: consumed by the percentile probe AND the staged rollup —
+    // uncached, the quality-score/token-count text expressions (the
+    // query's dominant cost) ran over the corpus twice
+    val scored = Dedup.cacheShared(docs(s, dir).select(col("doc_id"), col("lang"),
       TextOps.qualityScore(col("text")).as("q"),
-      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens")))
     val prof = graft.operators.Profile.numericProfile(
       scored.select("q"), Seq("q"), Seq(0.25, 0.5, 0.75)).first()
     val (q25, q50, q75) = (prof.getDouble(4), prof.getDouble(5), prof.getDouble(6))
@@ -4200,17 +4206,20 @@ object OpsPack {
     * Lineitem is restricted to its unique-(orderkey, linenumber) subset
     * (the synthetic table carries duplicate keys; CDC needs keyed rows —
     * same rule as the compare family's uniqueKeyed base). */
-  def cdcJoinView(s: SparkSession, dir: String): DataFrame = {
+  def cdcJoinView(s: SparkSession, dir: String): DataFrame = Dedup.newCacheScope {
     import graft.operators.Cdc
     val orders = s.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_orderkey"), col("l_linenumber"))
-    val liU = s.read.parquet(s"$dir/lineitem.parquet")
+    // cached ONCE: b0/b1 below each read it twice (view0 + changes, changes
+    // + rejoin slice) — uncached, the lineitem window-dedup (full shuffle +
+    // sort) ran FOUR times in this one query
+    val liU = Dedup.cacheShared(s.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_returnflag"))
       .withColumn("__n", count(lit(1)).over(w))
-      .where(col("__n") === 1).drop("__n")
+      .where(col("__n") === 1).drop("__n"))
     val a0 = orders.where(col("o_orderkey") % 7 =!= 2)
     val a1 = orders.withColumn("o_orderstatus",
       when(col("o_orderkey") % 5 === 1, concat(col("o_orderstatus"), lit("*")))

@@ -191,32 +191,76 @@ object Graph {
 
   /** Multi-source BFS: minimum hop distance (≤ `maxHops`) from any node in
     * `sources` (col `node`) along `edges` (cols `src`, `dst`; directed —
-    * symmetrize upstream for undirected reach). Returns (node, dist) for
+    * `symmetrize = true` for undirected reach). Returns (node, dist) for
     * every reached node, dist ∈ [0, maxHops].
     *
     * Superstep shape: frontier ⋈ edges → next frontier, minus everything
-    * already labeled (one anti-join) — each edge is traversed at most once
-    * per endpoint label state, and the frontier join is a plain equi-join
-    * Catalyst shuffles (or broadcasts, when the frontier is small) on the
-    * src key. Distances are exact small integers, so the whole reach set
-    * hash-checks against an unrolled per-level SQL mirror. */
+    * already labeled (one anti-join). Both the frontier and the labeled set
+    * are node-id lists bounded by the reach set, so when they fit a
+    * broadcast (≤ `broadcastNodeLimit`, measured per level from the cached
+    * level frames unless `assumeSmallFrontier` answers for the caller —
+    * the pageRankScaled gating contract) BOTH joins run as broadcast hash
+    * joins against the cached edge list: no sort, no exchange of the edges
+    * — the sort-merge formulation re-sorted the cached edge table once per
+    * level per join (the sf0.1 driver query carried 12 SortMergeJoins).
+    * Past the limit each level degrades to the classic shuffle join.
+    * Because each level is materialized (cached + counted) anyway, an
+    * EMPTY frontier short-circuits the remaining levels — they could only
+    * add empty unions to the plan. Distances are exact small integers, so
+    * the whole reach set hash-checks against an unrolled per-level SQL
+    * mirror.
+    *
+    * @param symmetrize union the reverse direction in INTERNALLY, after
+    *   the one-direction set is deduplicated and cached, so the caller's
+    *   (possibly expensive) edge derivation runs once — a caller-side
+    *   `pairs.union(pairs.reverse)` re-runs the upstream plan per union
+    *   branch. Safe for ANY id domain here (unlike pageRankScaled): a
+    *   reversal colliding with a forward edge only duplicates an edge row,
+    *   and BFS reach is duplicate-insensitive (each level distincts its
+    *   frontier).
+    * @param assumeSmallFrontier Some(true)/Some(false) skips the per-level
+    *   sizing counts entirely (the hint-skippable-probe contract);
+    *   None = measure each level. */
   def kHopDistances(edges: DataFrame, sources: DataFrame,
-      maxHops: Int): DataFrame = Dedup.newCacheScope {
+      maxHops: Int,
+      broadcastNodeLimit: Long = 4000000L,
+      symmetrize: Boolean = false,
+      assumeSmallFrontier: Option[Boolean] = None): DataFrame = Dedup.newCacheScope {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val e = Dedup.cacheShared(
+    val oneDir = Dedup.cacheShared(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")).distinct())
-    var labeled = sources.select(col("node").cast("long").as("node"))
-      .distinct().withColumn("dist", lit(0L))
-    var frontier = labeled
-    for (d <- 1 to maxHops) {
+    // the symmetric view reads the cached base twice — never the caller plan
+    val e =
+      if (symmetrize)
+        oneDir.union(oneDir.select(col("dst").as("src"), col("src").as("dst")))
+      else oneDir
+    val measure = assumeSmallFrontier.isEmpty
+    def gate(df: DataFrame, n: => Long): DataFrame =
+      if (assumeSmallFrontier.getOrElse(n <= broadcastNodeLimit)) broadcast(df)
+      else df
+    var labeled = Dedup.cacheShared(
+      sources.select(col("node").cast("long").as("node"))
+        .distinct().withColumn("dist", lit(0L)))
+    var frontier = labeled.select("node")
+    // running sizes: frontier = last level, reached = Σ levels — one cheap
+    // count per level against the already-cached level frame, zero extra
+    // passes over the data
+    var fCount = if (measure) labeled.count() else 0L
+    var reached = fCount
+    var d = 1
+    while (d <= maxHops && !(measure && fCount == 0L)) {
       val next = Dedup.cacheShared(
-        frontier.join(e, col("node") === col("src"))
+        gate(frontier, fCount).join(e, col("node") === col("src"))
           .select(col("dst").as("node")).distinct()
-          .join(labeled.select("node"), Seq("node"), "left_anti")
+          .join(gate(labeled.select("node"), reached), Seq("node"), "left_anti")
           .withColumn("dist", lit(d.toLong)))
+      val n = if (measure) next.count() else 0L
       labeled = labeled.union(next)
-      frontier = next
+      frontier = next.select("node")
+      fCount = n
+      reached += n
+      d += 1
     }
     labeled
   }
@@ -306,18 +350,33 @@ object Graph {
     * each triangle materializes exactly once (orientation is acyclic).
     * Counts are orientation-independent, so a SQL oracle can mirror them
     * with the naive id-ordered 3-way join. */
-  def triangleCounts(edges: DataFrame): DataFrame = Dedup.newCacheScope {
-    val und = edges.select(
+  /** @param broadcastNodeLimit / assumeSmallGraph the pageRankScaled gating
+    *   contract: the degree table is one row per node, so under the limit
+    *   (measured once from the cached undirected edge set unless the caller
+    *   answers) BOTH orientation joins run as broadcast hash joins — the
+    *   cached edge list is never sorted or exchanged to get oriented (the
+    *   sort-merge formulation shuffled it twice and the degree table twice).
+    *   The wedge-build and closing-probe self-joins keep their shuffles:
+    *   their inputs are edge-sized, not node-sized. */
+  def triangleCounts(edges: DataFrame,
+      broadcastNodeLimit: Long = 4000000L,
+      assumeSmallGraph: Option[Boolean] = None): DataFrame = Dedup.newCacheScope {
+    // cached ONCE: consumed by both degree-union branches and the
+    // orientation join — uncached, the caller's edge plan (dedup shuffle
+    // included) re-ran three times
+    val und = Dedup.cacheShared(edges.select(
         least(col("src").cast("long"), col("dst").cast("long")).as("a"),
         greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct()
+      .distinct())
     val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+    val small = assumeSmallGraph.getOrElse(deg.count() <= broadcastNodeLimit)
+    def degSide(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // orient by (deg, id): lower endpoint -> higher endpoint
     val oriented = Dedup.cacheShared(
-      und.join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      und.join(degSide(deg.select(col("node").as("a"), col("deg").as("da"))), "a")
+        .join(degSide(deg.select(col("node").as("b"), col("deg").as("db"))), "b")
         .select(
           when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
             struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))

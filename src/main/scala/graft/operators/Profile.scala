@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the data-hygiene pass a training pipeline runs before
@@ -665,15 +665,50 @@ object Profile {
   def ksStatisticByGroup(df1: DataFrame, col1: String, df2: DataFrame, col2: String,
       groupCol: String, buckets: Int = 1024): DataFrame = Dedup.newCacheScope {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val spark = df1.sparkSession
-    import spark.implicits._
     def side(df: DataFrame, c: String, one: Int) =
       df.select(col(groupCol).cast("string").as("g"), col(c).cast("double").as("v"))
         .where(col("g").isNotNull && col("v").isNotNull)
         .select(col("g"), col("v"), lit(1L - one).as("c1"), lit(one.toLong).as("c2"))
+    ksByGroupFromSides(df1.sparkSession,
+      side(df1, col1, 0).union(side(df2, col2, 1)), groupCol, buckets)
+  }
+
+  /** ONE-SCAN two-sample variant of [[ksStatisticByGroup]]: both samples
+    * arrive in a single frame with a boolean side expression (`side2` —
+    * false ⇒ sample 1, true ⇒ sample 2) instead of two frames. The
+    * two-frame form evaluates its input ONCE PER SIDE — when both samples
+    * slice the same table (the standard drift shape: segment vs rest,
+    * today vs yesterday), that is two full scans of the same source where
+    * one suffices; here the per-(group, value) side counts come from one
+    * scan with the side folded into the conditional sums, and every later
+    * phase (bucketing, driver prefix scan, in-bucket running ranks, max
+    * deviation) consumes only those counts, so the output is IDENTICAL to
+    * `ksStatisticByGroup(df.where(!side2), c, df.where(side2), c, g)`
+    * (guide §1.2/§2.3: remove a full input pass before touching anything
+    * else). Rows where `side2` is NULL belong to neither sample and are
+    * dropped, mirroring the two-frame form where such rows appear in
+    * neither input. */
+  def ksStatisticByGroupTagged(df: DataFrame, valueCol: String,
+      groupCol: String, side2: Column, buckets: Int = 1024): DataFrame =
+    Dedup.newCacheScope {
+      require(buckets > 0, s"buckets must be positive, got $buckets")
+      val tagged = df
+        .select(col(groupCol).cast("string").as("g"),
+          col(valueCol).cast("double").as("v"), side2.as("__s2"))
+        .where(col("g").isNotNull && col("v").isNotNull && col("__s2").isNotNull)
+        .select(col("g"), col("v"),
+          when(col("__s2"), lit(0L)).otherwise(lit(1L)).as("c1"),
+          when(col("__s2"), lit(1L)).otherwise(lit(0L)).as("c2"))
+      ksByGroupFromSides(df.sparkSession, tagged, groupCol, buckets)
+    }
+
+  /** Shared tail of the per-group KS: everything after the per-row side
+    * tagging. `sides` is (g, v, c1, c2) with c1/c2 ∈ {0, 1} one-hot. */
+  private def ksByGroupFromSides(spark: org.apache.spark.sql.SparkSession,
+      sides: DataFrame, groupCol: String, buckets: Int): DataFrame = {
+    import spark.implicits._
     val perV = Dedup.cacheShared(
-      side(df1, col1, 0).union(side(df2, col2, 1))
-        .groupBy("g", "v").agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2")))
+      sides.groupBy("g", "v").agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2")))
     val stats = perV.groupBy("g")
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
         sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
@@ -737,14 +772,38 @@ object Profile {
   def ksStatistic(df1: DataFrame, col1: String, df2: DataFrame, col2: String,
       buckets: Int = 1024): DataFrame = Dedup.newCacheScope {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val spark = df1.sparkSession
-    import spark.implicits._
     def side(df: DataFrame, c: String, one: Int) =
       df.select(col(c).cast("double").as("v")).where(col("v").isNotNull)
         .select(col("v"), lit(1L - one).as("c1"), lit(one.toLong).as("c2"))
+    ksFromSides(df1.sparkSession, side(df1, col1, 0).union(side(df2, col2, 1)),
+      buckets)
+  }
+
+  /** ONE-SCAN two-sample variant of [[ksStatistic]] — the [[
+    * ksStatisticByGroupTagged]] contract without the group: both samples in
+    * one frame, `side2` false ⇒ sample 1 / true ⇒ sample 2 / NULL ⇒ neither,
+    * output IDENTICAL to
+    * `ksStatistic(df.where(!side2), c, df.where(side2), c)` at half the
+    * input scans when both samples slice the same source (guide §1.2/§2.3). */
+  def ksStatisticTagged(df: DataFrame, valueCol: String, side2: Column,
+      buckets: Int = 1024): DataFrame = Dedup.newCacheScope {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val tagged = df
+      .select(col(valueCol).cast("double").as("v"), side2.as("__s2"))
+      .where(col("v").isNotNull && col("__s2").isNotNull)
+      .select(col("v"),
+        when(col("__s2"), lit(0L)).otherwise(lit(1L)).as("c1"),
+        when(col("__s2"), lit(1L)).otherwise(lit(0L)).as("c2"))
+    ksFromSides(df.sparkSession, tagged, buckets)
+  }
+
+  /** Shared tail of the global KS: everything after the per-row side
+    * tagging. `sides` is (v, c1, c2) with c1/c2 ∈ {0, 1} one-hot. */
+  private def ksFromSides(spark: org.apache.spark.sql.SparkSession,
+      sides: DataFrame, buckets: Int): DataFrame = {
+    import spark.implicits._
     val perV = Dedup.cacheShared(
-      side(df1, col1, 0).union(side(df2, col2, 1))
-        .groupBy("v").agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2")))
+      sides.groupBy("v").agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2")))
     val mm = perV.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
       sum(col("c1")).as("n1"), sum(col("c2")).as("n2")).first()
     require(!mm.isNullAt(0), "ksStatistic: both inputs are empty")

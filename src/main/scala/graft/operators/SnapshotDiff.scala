@@ -41,14 +41,19 @@ object SnapshotDiff {
     md5(when(c.isNull, lit("N").cast("binary"))
       .otherwise(concat(lit("V").cast("binary"), c.cast("binary"))))
 
-  def diff(a: DataFrame, b: DataFrame, idCol: String, contentCol: String): DataFrame = {
+  def diff(a: DataFrame, b: DataFrame, idCol: String,
+      contentCol: String): DataFrame = Dedup.newCacheScope {
     val idType = a.schema(idCol).dataType
     val nullOld = lit(null).cast(idType)
     val ha = a.select(col(idCol).as("__id"),
       contentHash(col(contentCol)).as("__ha"))
     val hb = b.select(col(idCol).as("__id"),
       contentHash(col(contentCol)).as("__hb"))
-    val j = ha.join(hb, Seq("__id"), "full_outer")
+    // cached ONCE: the changed/leaver/arrival slices below each re-filter
+    // this frame — uncached, the full-outer join (and both upstream
+    // content-hash scans) ran three times; the cache holds only
+    // (id, 32-byte hash, 32-byte hash) rows, never the content
+    val j = Dedup.cacheShared(ha.join(hb, Seq("__id"), "full_outer"))
     val changed = j
       .where(col("__ha").isNotNull && col("__hb").isNotNull && col("__ha") =!= col("__hb"))
       .select(col("__id").as("id"), lit("changed").as("status"), nullOld.as("old_id"))
@@ -60,9 +65,12 @@ object SnapshotDiff {
       .agg(count(lit(1)).as("nr"), min(col("id")).as("rid"))
     val ag = arrivals.groupBy("h")
       .agg(count(lit(1)).as("na"), min(col("id")).as("aid"))
-    val pairs = rg.join(ag, "h")
+    // cached: consumed by the renamed projection AND both anti-joins —
+    // uncached, the hash-pairing join (leaver/arrival groupings included)
+    // ran three times
+    val pairs = Dedup.cacheShared(rg.join(ag, "h")
       .where(col("nr") === 1 && col("na") === 1)
-      .select(col("aid").as("id"), col("rid").as("old_id"))
+      .select(col("aid").as("id"), col("rid").as("old_id")))
     val renamed = pairs.select(col("id"), lit("renamed").as("status"), col("old_id"))
     val removed = leavers
       .join(pairs.select(col("old_id").as("id")), Seq("id"), "left_anti")

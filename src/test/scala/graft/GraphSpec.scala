@@ -91,6 +91,43 @@ class GraphSpec extends SparkTestBase {
     assert(got == Map(1L -> 0L, 5L -> 0L))
   }
 
+  test("kHopDistances: symmetrize + both gating strategies reproduce the caller-union shuffle form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // diamond 1-2-3-4 with shortcut 1-3, disconnected pair 6-7, and a
+    // reversal collision (2,1) against forward (1,2) — symmetrize must
+    // tolerate the duplicate edge it produces
+    val oneDir = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (6L, 7L), (2L, 1L))
+      .toDF("src", "dst")
+    val both = oneDir.union(oneDir.select(col("dst").as("src"), col("src").as("dst")))
+    val sources = Seq(1L).toDF("node")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // old shape: caller-side union, no broadcasts (forced shuffle joins)
+    val base = asMap(Graph.kHopDistances(both, sources, 3,
+      assumeSmallFrontier = Some(false)))
+    // new shape: internal symmetrize, measured gating (default)
+    assert(asMap(Graph.kHopDistances(oneDir, sources, 3, symmetrize = true)) == base)
+    // hinted-broadcast path (zero sizing counts)
+    assert(asMap(Graph.kHopDistances(oneDir, sources, 3, symmetrize = true,
+      assumeSmallFrontier = Some(true))) == base)
+    assert(base == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("kHopDistances: empty-frontier short-circuit leaves the reach set unchanged") {
+    import spark.implicits._
+    // diameter 1 from the source; maxHops far past exhaustion
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.kHopDistances(edges, Seq(1L).toDF("node"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L))
+    // hinted path never measures, so it cannot short-circuit — same result
+    val hinted = Graph.kHopDistances(edges, Seq(1L).toDF("node"), 10,
+      assumeSmallFrontier = Some(true))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hinted == got)
+  }
+
   test("minLabelPropagation: radius-i neighborhood min per step") {
     import spark.implicits._
     // path 1-2-3-4-5 plus isolated pair 8-9 (one direction; symmetrized)

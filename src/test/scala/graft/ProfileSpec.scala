@@ -254,6 +254,42 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("ksStatisticTagged / ksStatisticByGroupTagged: one-scan tagged form ≡ two-frame form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // one frame holding both samples: side 2 ⇔ flag; NULL flag ⇒ neither
+    val tagged = Seq(
+      (Some(false), "g1", 1.0), (Some(false), "g1", 2.0), (Some(false), "g1", 2.0),
+      (Some(false), "g1", 3.0), (Some(false), "g1", 10.0),
+      (Some(true), "g1", 2.0), (Some(true), "g1", 4.0), (Some(true), "g1", 4.0),
+      (Some(true), "g1", 5.0),
+      (Some(false), "g2", 5.0), (Some(false), "g2", 6.0),
+      (Some(true), "g2", 5.0), (Some(true), "g2", 6.0),
+      (Some(false), "g3", 1.0),
+      (None, "g1", 99.0)) // NULL side: in neither sample
+      .toDF("s2", "g", "v")
+    val asTwo1 = tagged.where(!col("s2")).select("g", "v")
+    val asTwo2 = tagged.where(col("s2")).select("g", "v")
+    // global: tagged ≡ ksStatistic(where(!s2), where(s2)) — one scan, not two
+    val g1t = tagged.where(col("g") === "g1")
+    val one = Profile.ksStatisticTagged(g1t, "v", col("s2"), buckets = 4).first()
+    val two = Profile.ksStatistic(
+      g1t.where(!col("s2")), "v", g1t.where(col("s2")), "v", buckets = 4).first()
+    assert((one.getLong(0), one.getLong(1), one.getLong(2), one.getDouble(3))
+      == ((two.getLong(0), two.getLong(1), two.getLong(2), two.getDouble(3))))
+    assert(one.getLong(2) == 11L && one.getDouble(3) == 3.0)
+    // grouped: identical rows, including the omitted one-sided group g3
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val gotTagged = asMap(
+      Profile.ksStatisticByGroupTagged(tagged, "v", "g", col("s2"), buckets = 3))
+    val gotTwo = asMap(
+      Profile.ksStatisticByGroup(asTwo1, "v", asTwo2, "v", "g", buckets = 3))
+    assert(gotTagged == gotTwo)
+    assert(gotTagged("g1") == ((5L, 4L, 11L, 3.0)) && !gotTagged.contains("g3"))
+  }
+
   test("ksStatisticByGroup bounds its driver collect: buckets scale down as groups grow") {
     // groups·buckets never exceeds the driver cap; tiny group counts keep
     // the full requested resolution
