@@ -1195,13 +1195,16 @@ object OpsPack {
     * token's min-row is collision-free). The md5 hash family makes the
     * grid — and therefore every estimate — bit-identical in the oracle's
     * SQL mirror, so a probabilistic structure hash-checks exactly. */
-  def sketchCountMin(s: SparkSession, dir: String): DataFrame = {
+  def sketchCountMin(s: SparkSession, dir: String): DataFrame = Dedup.newCacheScope {
     import graft.operators.{CountMin, HeavyHitters}
-    val toks = HeavyHitters.tokenStream(docs(s, dir), "text")
+    // token stream: consumed by the grid AND the heavy-hitter pass; the
+    // heavy set: probed AND joined — uncached, the corpus re-exploded
+    // three times
+    val toks = Dedup.cacheShared(HeavyHitters.tokenStream(docs(s, dir), "text"))
     val grid = CountMin.sketch(toks, "token", CountMinDepth, CountMinWidth)
-    val heavy = HeavyHitters.heavyHitters(toks, "token",
+    val heavy = Dedup.cacheShared(HeavyHitters.heavyHitters(toks, "token",
       denominator = HeavyHitterDenominator,
-      capacity = 2 * HeavyHitterDenominator.toInt)
+      capacity = 2 * HeavyHitterDenominator.toInt))
     CountMin.estimate(grid, heavy, "token", CountMinDepth, CountMinWidth)
       .join(broadcast(heavy), Seq("token"))
       .select(col("token"), col("freq"), col("est"))
@@ -1220,13 +1223,14 @@ object OpsPack {
     * single-row aggregates combine via a tagged union + global max, NOT a
     * join (the constant-key crossJoin degenerates to a nested-loop join —
     * the chi²/kappa plan lesson). */
-  def sketchDistinct(s: SparkSession, dir: String): DataFrame = {
+  def sketchDistinct(s: SparkSession, dir: String): DataFrame = Dedup.newCacheScope {
     import graft.operators.DistinctSketch
     val m = DistinctBuckets
     // distinct event ids — the "unique events/visitors" cardinality ask;
-    // decimal string form so both engines hash identical bytes
-    val ids = s.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id").cast("string").as("v"))
+    // decimal string form so both engines hash identical bytes. Cached:
+    // the register pass and the exact-count pass both consume it.
+    val ids = Dedup.cacheShared(s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id").cast("string").as("v")))
     val summ = DistinctSketch.estimate(
       DistinctSketch.registers(ids, "v", m), m)
     val exact = ids.agg(count_distinct(col("v")).as("exact_distinct"))
@@ -1352,11 +1356,15 @@ object OpsPack {
     * that key) from two CM grids, next to the exact `Σ n²` ground truth.
     * The two single-row frames combine via tagged union + global max —
     * never a constant-key join. */
-  def sketchJoinSize(s: SparkSession, dir: String): DataFrame = {
+  def sketchJoinSize(s: SparkSession, dir: String): DataFrame = Dedup.newCacheScope {
     import graft.operators.CountMin
-    val keys = s.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_partkey").cast("string").as("k"))
-    val grid = CountMin.sketch(keys, "k", CountMinDepth, JoinSizeWidth)
+    // keys: read by the sketch pass and the exact-size pass; grid: BOTH
+    // sides of the self-estimate — uncached, the depth×width sketch
+    // aggregation (a full md5 pass over lineitem) ran twice
+    val keys = Dedup.cacheShared(s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey").cast("string").as("k")))
+    val grid = Dedup.cacheShared(
+      CountMin.sketch(keys, "k", CountMinDepth, JoinSizeWidth))
     val est = CountMin.joinSizeEstimate(grid, grid)
     val exact = keys.groupBy("k").agg(count(lit(1)).as("n"))
       .agg(sum(col("n") * col("n")).as("exact_size"))
