@@ -1195,16 +1195,13 @@ object OpsPack {
     * token's min-row is collision-free). The md5 hash family makes the
     * grid — and therefore every estimate — bit-identical in the oracle's
     * SQL mirror, so a probabilistic structure hash-checks exactly. */
-  def sketchCountMin(s: SparkSession, dir: String): DataFrame = Dedup.newCacheScope {
+  def sketchCountMin(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{CountMin, HeavyHitters}
-    // token stream: consumed by the grid AND the heavy-hitter pass; the
-    // heavy set: probed AND joined — uncached, the corpus re-exploded
-    // three times
-    val toks = Dedup.cacheShared(HeavyHitters.tokenStream(docs(s, dir), "text"))
+    val toks = HeavyHitters.tokenStream(docs(s, dir), "text")
     val grid = CountMin.sketch(toks, "token", CountMinDepth, CountMinWidth)
-    val heavy = Dedup.cacheShared(HeavyHitters.heavyHitters(toks, "token",
+    val heavy = HeavyHitters.heavyHitters(toks, "token",
       denominator = HeavyHitterDenominator,
-      capacity = 2 * HeavyHitterDenominator.toInt))
+      capacity = 2 * HeavyHitterDenominator.toInt)
     CountMin.estimate(grid, heavy, "token", CountMinDepth, CountMinWidth)
       .join(broadcast(heavy), Seq("token"))
       .select(col("token"), col("freq"), col("est"))
@@ -1223,14 +1220,15 @@ object OpsPack {
     * single-row aggregates combine via a tagged union + global max, NOT a
     * join (the constant-key crossJoin degenerates to a nested-loop join —
     * the chi²/kappa plan lesson). */
-  def sketchDistinct(s: SparkSession, dir: String): DataFrame = Dedup.newCacheScope {
+  def sketchDistinct(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.DistinctSketch
     val m = DistinctBuckets
     // distinct event ids — the "unique events/visitors" cardinality ask;
-    // decimal string form so both engines hash identical bytes. Cached:
-    // the register pass and the exact-count pass both consume it.
-    val ids = Dedup.cacheShared(s.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id").cast("string").as("v")))
+    // decimal string form so both engines hash identical bytes. NOT
+    // cached: two pruned single-column parquet scans are cheaper than a
+    // cache fill + read (measured 1.2× slower cached — r16 A/B).
+    val ids = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id").cast("string").as("v"))
     val summ = DistinctSketch.estimate(
       DistinctSketch.registers(ids, "v", m), m)
     val exact = ids.agg(count_distinct(col("v")).as("exact_distinct"))
@@ -1356,15 +1354,14 @@ object OpsPack {
     * that key) from two CM grids, next to the exact `Σ n²` ground truth.
     * The two single-row frames combine via tagged union + global max —
     * never a constant-key join. */
-  def sketchJoinSize(s: SparkSession, dir: String): DataFrame = Dedup.newCacheScope {
+  def sketchJoinSize(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.CountMin
-    // keys: read by the sketch pass and the exact-size pass; grid: BOTH
-    // sides of the self-estimate — uncached, the depth×width sketch
-    // aggregation (a full md5 pass over lineitem) ran twice
-    val keys = Dedup.cacheShared(s.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_partkey").cast("string").as("k")))
-    val grid = Dedup.cacheShared(
-      CountMin.sketch(keys, "k", CountMinDepth, JoinSizeWidth))
+    // NOT cached: the grid's aggregation exchange is reused across both
+    // sides of the self-estimate within the one action (explicit caches
+    // measured no better — r16 A/B)
+    val keys = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey").cast("string").as("k"))
+    val grid = CountMin.sketch(keys, "k", CountMinDepth, JoinSizeWidth)
     val est = CountMin.joinSizeEstimate(grid, grid)
     val exact = keys.groupBy("k").agg(count(lit(1)).as("n"))
       .agg(sum(col("n") * col("n")).as("exact_size"))
@@ -3635,9 +3632,14 @@ object OpsPack {
       .where(col("s_nationkey") === 0)
       .select((col("s_suppkey") * 2 + 1).as("node"))
     // symmetrize INSIDE the operator: the o⋈li edge derivation runs once
-    // at cache fill instead of once per union branch
+    // at cache fill instead of once per union branch. Shuffle joins
+    // (Some(false)) by measurement: the broadcast form trades the
+    // pipelined per-level shuffles for serial per-level broadcast builds
+    // and measured 1.24× SLOWER at sf0.1 (r16 A/B, min-of-8, both
+    // orderings, flat canaries); at genuinely large edge tables the
+    // caller can hint Some(true) or let None measure per level.
     graft.operators.Graph.kHopDistances(oneDir, sources, maxHops = 3,
-      symmetrize = true)
+      symmetrize = true, assumeSmallFrontier = Some(false))
       .orderBy("node")
   }
 
@@ -4214,20 +4216,20 @@ object OpsPack {
     * Lineitem is restricted to its unique-(orderkey, linenumber) subset
     * (the synthetic table carries duplicate keys; CDC needs keyed rows —
     * same rule as the compare family's uniqueKeyed base). */
-  def cdcJoinView(s: SparkSession, dir: String): DataFrame = Dedup.newCacheScope {
+  def cdcJoinView(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Cdc
     val orders = s.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_orderkey"), col("l_linenumber"))
-    // cached ONCE: b0/b1 below each read it twice (view0 + changes, changes
-    // + rejoin slice) — uncached, the lineitem window-dedup (full shuffle +
-    // sort) ran FOUR times in this one query
-    val liU = Dedup.cacheShared(s.read.parquet(s"$dir/lineitem.parquet")
+    // NOT cached: the window's input exchange is reused across the four
+    // consumers within the one action, and an explicit cache of the
+    // deduped rows measured 1.2× SLOWER (r16 A/B, min-of-6 interleaved)
+    val liU = s.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_returnflag"))
       .withColumn("__n", count(lit(1)).over(w))
-      .where(col("__n") === 1).drop("__n"))
+      .where(col("__n") === 1).drop("__n")
     val a0 = orders.where(col("o_orderkey") % 7 =!= 2)
     val a1 = orders.withColumn("o_orderstatus",
       when(col("o_orderkey") % 5 === 1, concat(col("o_orderstatus"), lit("*")))

@@ -35,14 +35,13 @@ object Agreement {
     * (predicted / annotator 2), each row carrying the marginals and the
     * corpus-level kappa: (a, b, n, row_total, col_total, n_total,
     * n_agree, kappa). */
-  def confusionWithKappa(df: DataFrame, aCol: String,
-      bCol: String): DataFrame = Dedup.newCacheScope {
-    // cached: the ONE O(data) pass — consumed by both melted-marginal
-    // union branches and the totals frame (uncached, the caller's label
-    // projection — often an expensive classifier expression — ran 3×)
-    val cells = Dedup.cacheShared(
-      df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
-        .agg(count(lit(1)).as("n")))
+  def confusionWithKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // NOT cached: the cell count's aggregation exchange is reused across
+    // the melted-marginal branches and the totals frame within the one
+    // action, so the O(data) pass (and the caller's label projection)
+    // runs once anyway; an explicit cache measured no better (r16 A/B)
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
     // non-foldable constant keys (counts are ≥ 0) — a literal would be
     // stripped and WindowExec would warn; see Windows.constantPartition
     val one = Windows.constantPartition(col("n"))
@@ -50,16 +49,14 @@ object Agreement {
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(13,0)")
     // melted marginals: one row per label with both margin totals, plus
     // the chance-agreement numerator E as a constant-window column
-    // cached: joined back twice (row side, column side); label-cardinality
-    val marg = Dedup.cacheShared(
-      cells.select(col("a").as("label"), col("n"), lit(1).as("is_row"))
-        .unionByName(cells.select(col("b").as("label"), col("n"), lit(0).as("is_row")))
-        .groupBy("label")
-        .agg(
-          coalesce(sum(when(col("is_row") === 1, col("n"))), lit(0L)).as("row_total"),
-          coalesce(sum(when(col("is_row") === 0, col("n"))), lit(0L)).as("col_total"))
-        .withColumn("e_num",
-          sum(dec(col("row_total")) * dec(col("col_total"))).over(oneMarg)))
+    val marg = cells.select(col("a").as("label"), col("n"), lit(1).as("is_row"))
+      .unionByName(cells.select(col("b").as("label"), col("n"), lit(0).as("is_row")))
+      .groupBy("label")
+      .agg(
+        coalesce(sum(when(col("is_row") === 1, col("n"))), lit(0L)).as("row_total"),
+        coalesce(sum(when(col("is_row") === 0, col("n"))), lit(0L)).as("col_total"))
+      .withColumn("e_num",
+        sum(dec(col("row_total")) * dec(col("col_total"))).over(oneMarg))
     val withTotals = cells
       .withColumn("n_total", sum(col("n")).over(one))
       .withColumn("n_agree",

@@ -189,17 +189,16 @@ object Ann {
     * ([[cosineNearDuplicatesMultiTable]]) and run the mutual filter on
     * the candidate pairs instead of the cross fan-out. */
   def mutualNearestNeighbors(big: DataFrame, small: DataFrame,
-      vecCol: String, idCol: String): DataFrame = Dedup.newCacheScope {
-    // cached like the margin/LSH siblings: BOTH argmax directions consume
-    // the scored fan-out — uncached, the broadcast cross (the cosine over
-    // every pair, the query's dominant cost) ran twice; the cache holds
-    // only (id, id, cosine) rows, never the vectors
-    val scored = Dedup.cacheShared(
-      big.select(col(idCol).as("a_id"), col(vecCol).as("__av"))
-        .crossJoin(broadcast(
-          small.select(col(idCol).as("b_id"), col(vecCol).as("__bv"))))
-        .select(col("a_id"), col("b_id"),
-          cosine(col("__av"), col("__bv")).as("cosine")))
+      vecCol: String, idCol: String): DataFrame = {
+    // NOT cached, unlike the 4-consumer margin sibling: with only the two
+    // argmax directions consuming the fan-out, materializing |A|·|B| rows
+    // measured SLOWER than recomputing the codegen'd cosines (r16 A/B,
+    // min-of-6 interleaved: 1.35× with the cache)
+    val scored = big.select(col(idCol).as("a_id"), col(vecCol).as("__av"))
+      .crossJoin(broadcast(
+        small.select(col(idCol).as("b_id"), col(vecCol).as("__bv"))))
+      .select(col("a_id"), col("b_id"),
+        cosine(col("__av"), col("__bv")).as("cosine"))
     def bestPer(keyCol: String, otherCol: String): DataFrame =
       scored.groupBy(keyCol)
         .agg(max(struct(col("cosine"), (-col(otherCol)).as("no"),
@@ -774,14 +773,12 @@ object Ann {
     * ids, so a retriever that returns the same id at two ranks scores it
     * once (at its best rank, via min(rank)). */
   def retrievalMetrics(retrieved: DataFrame, truth: DataFrame,
-      scale: Long = 1000000000000L): DataFrame = Dedup.newCacheScope {
+      scale: Long = 1000000000000L): DataFrame = {
     require(scale > 0, s"scale must be > 0, got $scale")
-    // cached: consumed by the hits join AND the per-query denominator —
-    // uncached, the caller's truth derivation (typically an exact
-    // brute-force ranking, a full corpus pass) ran twice; the cache is
-    // ≤ queries·k id pairs
-    val truthPairs = Dedup.cacheShared(
-      truth.select(col("query_id"), col("id")).distinct())
+    // NOT cached: the distinct's exchange is reused across both consumers
+    // (hits join + denominator) within the one action — a cache measured
+    // 1.3-1.5× SLOWER (r16 A/B, min-of-6 interleaved)
+    val truthPairs = truth.select(col("query_id"), col("id")).distinct()
     val hits = retrieved.join(truthPairs, Seq("query_id", "id"))
     val per = hits.groupBy("query_id")
       .agg(countDistinct(col("id")).as("__nh"), min(col("rank").cast("long")).as("__fr"))

@@ -939,20 +939,12 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       minDocFrequency: Long,
       delimiterPattern: String = "\n",
-      delimiter: String = "\n"): DataFrame = newCacheScope {
-    // split ONCE, cache: the doc-frequency pass, the kept-line explode and
-    // the per-doc totals all consume the same (id, lines) projection —
-    // uncached, the caller's text derivation (often a synthetic wrap or a
-    // strip stage) re-ran three times
-    val base = cacheShared(Parallelize.spread(df).select(col(idCol).as("id"),
-      split(col(textCol), delimiterPattern).as("__graft_ls")))
-    val hot = base.select(col("id"), explode(col("__graft_ls")).as("line"))
-      .distinct()
-      .groupBy("line").agg(count(lit(1)).as("df"))
+      delimiter: String = "\n"): DataFrame = {
+    val hot = lineDocFrequency(df, textCol, idCol, delimiterPattern)
       .filter(col("df") >= minDocFrequency)
       .select(col("line").as("hot_line"))
-    val lines = base.select(col("id"),
-      posexplode(col("__graft_ls")).as(Seq("pos", "line")))
+    val lines = Parallelize.spread(df).select(col(idCol).as("id"),
+      posexplode(split(col(textCol), delimiterPattern)).as(Seq("pos", "line")))
     val kept = lines.join(hot, col("line") === col("hot_line"), "left_anti")
       .groupBy("id")
       .agg(
@@ -963,8 +955,8 @@ object Dedup {
         array_join(transform(col("kl"), s => s.getField("line")), delimiter)
           .as("clean_text"),
         size(col("kl")).cast("long").as("n_lines_kept"))
-    val total = base.select(col("id"),
-      size(col("__graft_ls")).cast("long").as("n_lines"))
+    val total = df.select(col(idCol).as("id"),
+      size(split(col(textCol), delimiterPattern)).cast("long").as("n_lines"))
     total.join(kept, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("clean_text"), lit("")).as(textCol),

@@ -350,33 +350,24 @@ object Graph {
     * each triangle materializes exactly once (orientation is acyclic).
     * Counts are orientation-independent, so a SQL oracle can mirror them
     * with the naive id-ordered 3-way join. */
-  /** @param broadcastNodeLimit / assumeSmallGraph the pageRankScaled gating
-    *   contract: the degree table is one row per node, so under the limit
-    *   (measured once from the cached undirected edge set unless the caller
-    *   answers) BOTH orientation joins run as broadcast hash joins — the
-    *   cached edge list is never sorted or exchanged to get oriented (the
-    *   sort-merge formulation shuffled it twice and the degree table twice).
-    *   The wedge-build and closing-probe self-joins keep their shuffles:
-    *   their inputs are edge-sized, not node-sized. */
-  def triangleCounts(edges: DataFrame,
-      broadcastNodeLimit: Long = 4000000L,
-      assumeSmallGraph: Option[Boolean] = None): DataFrame = Dedup.newCacheScope {
-    // cached ONCE: consumed by both degree-union branches and the
-    // orientation join — uncached, the caller's edge plan (dedup shuffle
-    // included) re-ran three times
-    val und = Dedup.cacheShared(edges.select(
+  /** The orientation joins stay sort-merge and the undirected edge set
+    * stays uncached BY MEASUREMENT: the distinct's exchange is reused
+    * across the degree-union branches and the orientation join within the
+    * one action, so an explicit cache + a degree-table broadcast (with its
+    * sizing count job) measured 1.4× SLOWER at sf0.1 (r16 A/B, min-of-6
+    * interleaved runs). */
+  def triangleCounts(edges: DataFrame): DataFrame = Dedup.newCacheScope {
+    val und = edges.select(
         least(col("src").cast("long"), col("dst").cast("long")).as("a"),
         greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct())
+      .distinct()
     val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val small = assumeSmallGraph.getOrElse(deg.count() <= broadcastNodeLimit)
-    def degSide(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // orient by (deg, id): lower endpoint -> higher endpoint
     val oriented = Dedup.cacheShared(
-      und.join(degSide(deg.select(col("node").as("a"), col("deg").as("da"))), "a")
-        .join(degSide(deg.select(col("node").as("b"), col("deg").as("db"))), "b")
+      und.join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
         .select(
           when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
             struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))

@@ -263,15 +263,14 @@ object TextOps {
     * postings); the per-doc top-k folds each document's bounded term set
     * (≤ its token count) through sort_array+slice inside one aggregation,
     * so only k rows per document survive. No Window node anywhere. */
-  def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
-      k: Int): DataFrame = Dedup.newCacheScope {
+  def tfidfKeywords(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val toks = Parallelize.spread(df).select(col(idCol).as("id"),
       explode(split(trim(col(textCol)), "\\s+")).as("token"))
-    // cached: consumed by the document-frequency rollup AND the score
-    // join — uncached, the corpus re-exploded and re-aggregated twice
-    val tf = Dedup.cacheShared(
-      toks.groupBy("id", "token").agg(count(lit(1)).as("tf")))
+    // tf's aggregation exchange is reused across the document-frequency
+    // rollup and the score join within the one action — no explicit cache
+    // needed (measured: a cache is no faster; r16 A/B)
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "token")
       .select(col("id"), col("token"),
@@ -293,19 +292,11 @@ object TextOps {
     * Scale shape: the vocabulary is topK rows — broadcast to the token
     * postings join, so the corpus-side postings never shuffle for the
     * membership test; the per-doc rollup is one aggregation keyed by id. */
-  def inVocabStats(df: DataFrame, textCol: String, idCol: String,
-      topK: Int): DataFrame = Dedup.newCacheScope {
-    require(topK > 0, s"topK must be positive, got $topK")
-    // ONE cached explode feeds both the vocabulary aggregation and the
-    // membership join (the separate vocabulary() call re-exploded the
-    // corpus; its groupBy/orderBy/limit is reproduced verbatim here)
-    val toks = Dedup.cacheShared(
-      Parallelize.spread(df).select(col(idCol).as("id"),
-        explode(split(trim(col(textCol)), "\\s+")).as("token")))
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("token"))
-      .limit(topK)
+  def inVocabStats(df: DataFrame, textCol: String, idCol: String, topK: Int): DataFrame = {
+    val vocab = vocabulary(df, textCol, topK)
       .select(col("token"), lit(1L).as("in_v"))
+    val toks = Parallelize.spread(df).select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("token"))
     toks.join(broadcast(vocab), Seq("token"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -493,16 +484,14 @@ object TextOps {
     * joined back on the gram (linear in postings — no pair join, so no
     * df-cap needed; AQE skew-split covers hot grams), one per-doc rollup. */
   def ngramFamiliarity(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 2): DataFrame = Dedup.newCacheScope {
+      n: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
     val grams = Parallelize.spread(df).select(col(idCol).as("id"),
       explode(if (n == 1) split(norm, " ") else wordShinglesAllFromNormalized(norm, n)).as("g"))
-    // cached: consumed by the corpus-count rollup AND the leave-one-out
-    // join — uncached, the gram explode + per-(doc, gram) aggregation
-    // (the O(total tokens) work) ran twice
-    val docCounts = Dedup.cacheShared(
-      grams.groupBy("id", "g").agg(count(lit(1)).as("c")))
+    // docCounts' aggregation exchange is reused across the corpus-count
+    // rollup and the leave-one-out join — no explicit cache (r16 A/B)
+    val docCounts = grams.groupBy("id", "g").agg(count(lit(1)).as("c"))
     val corpusCounts = docCounts.groupBy("g").agg(sum(col("c")).as("tc"))
       .toDF("cc_g", "tc") // fresh attributes: agg → join lineage break
     val ext = col("tc") - col("c")

@@ -100,21 +100,6 @@ class QualitySpec extends SparkTestBase {
     assert(Graph.triangleCounts(star.toDF("src", "dst")).count() == 0L)
   }
 
-  test("triangleCounts: broadcast and shuffle orientation strategies agree") {
-    // K4 + pendant + noise, same fixture as the brute-force pin
-    val edges = Seq(
-      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
-      (4L, 5L), (2L, 1L), (1L, 2L), (3L, 3L))
-    def asMap(small: Option[Boolean]) =
-      Graph.triangleCounts(edges.toDF("src", "dst"), assumeSmallGraph = small)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val viaBroadcast = asMap(Some(true))
-    val viaShuffle = asMap(Some(false))
-    val measured = asMap(None)
-    assert(viaBroadcast == viaShuffle)
-    assert(measured == viaShuffle)
-    assert(viaShuffle == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
-  }
 
   test("triangleCounts plan: equi-joins only, no cartesian/broadcast-NL") {
     val plan = Graph.triangleCounts(
