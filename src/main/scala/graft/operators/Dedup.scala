@@ -300,12 +300,22 @@ object Dedup {
     val filteredPlan =
       if (maxDocFrequency == Long.MaxValue) grams
       else {
+        // Cache the RAW postings, not just the hot-filtered ones: the hot
+        // table derives from `grams` AND feeds the anti-join whose other
+        // side is `grams` again, so an uncached `grams` re-runs the whole
+        // scan+shingle+hash pass for each — two full text passes, which
+        // the r17 probe measured as two ~1.1s single-task scan stages at
+        // sf0.1 and which at 100 TB is a second pass over the corpus
+        // (guide §1.2: remove the duplicate input pass first). Postings
+        // are two longs per (doc, gram); the downstream `filtered` cache
+        // then fills from this one with a map-side anti join.
+        val g = cacheShared(grams)
         // toDF breaks the self-join lineage: without fresh attribute IDs the
         // anti-join condition resolves both sides to the SAME attribute and
         // drops every row.
-        val hot = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        val hot = g.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFrequency).select("g").toDF("hot_g")
-        grams.join(hot, col("g") === col("hot_g"), "left_anti")
+        g.join(hot, col("g") === col("hot_g"), "left_anti")
       }
     // The postings feed three consumers (sizes + both sides of the pair
     // join); without persistence the regex shingling stage re-executes for

@@ -20,6 +20,16 @@ object Graph {
 
   val DefaultScale = 1000000000L
 
+  /** The session's configured shuffle parallelism — the explicit partition
+    * count for the operator-managed edge caches below. Pinned explicitly
+    * because an UNpinned `repartition(col)` is an AQE-optimizable shuffle:
+    * at bench scale AQE would coalesce the tiny edge bytes to one or two
+    * partitions and serialize every superstep behind them, and at any
+    * scale the cache's partitioning must stay EXACTLY the aggregation's
+    * required distribution or the per-superstep exchange reappears. */
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Scaled-integer PageRank over directed `edges` (cols `src`, `dst`;
     * duplicates are deduplicated). Returns (node, rank_scaled).
     *
@@ -75,11 +85,55 @@ object Graph {
       if (symmetrize)
         oneDir.union(oneDir.select(col("dst").as("src"), col("src").as("dst")))
       else oneDir
+    val base = ((dampingDen - dampingNum) * scale) / dampingDen
+    val symSmall = symmetrize && assumeSmallGraph.getOrElse(
+      e.groupBy("src").agg(count(lit(1))).count() <= broadcastNodeLimit)
+    if (symSmall) {
+      // FAST PATH (symmetric graph, rank table fits a broadcast) — r17,
+      // guide §2.4: the edge cache is (src, dst) hash-partitioned by DST,
+      // so the per-superstep contribution aggregation needs NO exchange
+      // (the BroadcastHashJoin preserves the cached partitioning); the
+      // per-edge `r DIV outdeg` moves to the |V|-row broadcast side; and
+      // on a symmetric simple digraph outdeg ≡ indeg, so degrees come from
+      // ONE exchange-free aggregation of the same cache. Each superstep is
+      // a single stage: cache scan → BHJ(rank contributions) → hash agg →
+      // (BHJ the reused degree broadcast back on) — no shuffle. At scale
+      // this replaces `iters` contribution shuffles (whose map-side
+      // partial aggregation stops reducing once |V| ≫ rows-per-task) with
+      // the one partitioned cache fill.
+      val eD = Dedup.cacheShared(
+        e.repartition(shufflePartitions(edges), col("dst")))
+      val degN = eD.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("outdeg"))
+      var ranks = degN.withColumn("r", lit(scale))
+      for (i <- 1 to iters) {
+        val contrib = eD
+          .join(broadcast(ranks.selectExpr("node", "r DIV outdeg AS c")),
+            col("src") === col("node"))
+          .select(col("dst"), col("c"))
+          .groupBy("dst").agg(sum(col("c")).as("s"))
+        val next = contrib.selectExpr("dst AS node",
+          s"$base + ($dampingNum * s) DIV $dampingDen AS r")
+        // re-attach outdeg for the next superstep's contribution column;
+        // the degree broadcast subtree is identical every superstep, so
+        // ReuseExchange builds it once. The final superstep skips it.
+        ranks =
+          if (i < iters)
+            next.join(broadcast(degN), "node")
+              .select(col("node"), col("outdeg"), col("r"))
+          else next
+        if (i % checkpointEvery == 0 && i < iters)
+          ranks = ranks.localCheckpoint()
+      }
+      ranks.select(col("node"), col("r").as("rank_scaled"))
+    } else {
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // degrees are one row per distinct src ≤ nodes — broadcast alongside
     // the rank table on small graphs so the cached edge list is never
     // sorted or exchanged
-    val degSmall = assumeSmallGraph.getOrElse(deg.count() <= broadcastNodeLimit)
+    val degSmall =
+      if (symmetrize) false // symSmall above covers the small case
+      else assumeSmallGraph.getOrElse(deg.count() <= broadcastNodeLimit)
     val ed = Dedup.cacheShared(
       if (degSmall) e.join(broadcast(deg), "src")
       else e.join(deg, "src"))
@@ -91,10 +145,10 @@ object Graph {
       if (symmetrize) deg.select(col("src").as("node"))
       else e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
-    val smallGraph = assumeSmallGraph.getOrElse(
-      if (symmetrize) degSmall else nodes.count() <= broadcastNodeLimit)
+    val smallGraph =
+      if (symmetrize) false
+      else assumeSmallGraph.getOrElse(nodes.count() <= broadcastNodeLimit)
     def rankSide(df: DataFrame): DataFrame = if (smallGraph) broadcast(df) else df
-    val base = ((dampingDen - dampingNum) * scale) / dampingDen
     var ranks = nodes.withColumn("r", lit(scale))
     for (i <- 1 to iters) {
       val contrib = ed.join(rankSide(ranks), col("src") === col("node"))
@@ -116,6 +170,7 @@ object Graph {
         ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
+    }
   }
 
   /** PERSONALIZED PageRank (TrustRank-shaped) — rank mass teleports back to
@@ -156,8 +211,48 @@ object Graph {
       if (symmetrize)
         oneDir.union(oneDir.select(col("dst").as("src"), col("src").as("dst")))
       else oneDir
+    val base = ((dampingDen - dampingNum) * scale) / dampingDen
+    val seedSet = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("__graft_is_seed", lit(1L))
+    val symSmall = symmetrize && assumeSmallGraph.getOrElse(
+      e.groupBy("src").agg(count(lit(1))).count() <= broadcastNodeLimit)
+    if (symSmall) {
+      // FAST PATH (symmetric graph, rank table fits a broadcast) — r17:
+      // same shape as pageRankScaled's — dst-partitioned (src, dst) cache
+      // ⇒ exchange-free contribution aggregation, degrees from the same
+      // cache (outdeg ≡ indeg on a symmetric simple digraph), per-edge
+      // division moved to the broadcast side. The seed flag rides the
+      // degree table; every node of a symmetric graph has in-edges, so
+      // the teleport re-join is an INNER join from the contribution side
+      // against ONE reused (node, outdeg, seed) broadcast instead of a
+      // fresh per-superstep broadcast of the contributions.
+      val eD = Dedup.cacheShared(
+        e.repartition(shufflePartitions(edges), col("dst")))
+      val seedN = eD.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("outdeg"))
+        .join(broadcast(seedSet), Seq("node"), "left")
+        .select(col("node"), col("outdeg"),
+          coalesce(col("__graft_is_seed"), lit(0L)).as("seed"))
+      var ranks = seedN.select(col("node"), col("outdeg"),
+        (col("seed") * scale).as("r"))
+      for (i <- 1 to iters) {
+        val contrib = eD
+          .join(broadcast(ranks.selectExpr("node", "r DIV outdeg AS c")),
+            col("src") === col("node"))
+          .select(col("dst"), col("c"))
+          .groupBy("dst").agg(sum(col("c")).as("s"))
+        ranks = contrib.join(broadcast(seedN), col("dst") === col("node"))
+          .selectExpr("node", "outdeg",
+            s"seed * $base + ($dampingNum * s) DIV $dampingDen AS r")
+        if (i % checkpointEvery == 0 && i < iters)
+          ranks = ranks.localCheckpoint()
+      }
+      ranks.select(col("node"), col("r").as("rank_scaled"))
+    } else {
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val degSmall = assumeSmallGraph.getOrElse(deg.count() <= broadcastNodeLimit)
+    val degSmall =
+      if (symmetrize) false // symSmall above covers the small case
+      else assumeSmallGraph.getOrElse(deg.count() <= broadcastNodeLimit)
     val ed = Dedup.cacheShared(
       if (degSmall) e.join(broadcast(deg), "src")
       else e.join(deg, "src"))
@@ -165,16 +260,14 @@ object Graph {
       if (symmetrize) deg.select(col("src").as("node"))
       else e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct()
-    val smallGraph = assumeSmallGraph.getOrElse(
-      if (symmetrize) degSmall else nodes.count() <= broadcastNodeLimit)
+    val smallGraph =
+      if (symmetrize) false
+      else assumeSmallGraph.getOrElse(nodes.count() <= broadcastNodeLimit)
     def rankSide(df: DataFrame): DataFrame = if (smallGraph) broadcast(df) else df
     // seed flag rides the node table — one join at setup, zero per superstep
-    val seedSet = seeds.select(col("node").cast("long").as("node")).distinct()
-      .withColumn("__graft_is_seed", lit(1L))
     val nodesSeeded = Dedup.cacheShared(
       nodes.join(rankSide(seedSet), Seq("node"), "left")
         .select(col("node"), coalesce(col("__graft_is_seed"), lit(0L)).as("seed")))
-    val base = ((dampingDen - dampingNum) * scale) / dampingDen
     var ranks = nodesSeeded.select(col("node"), (col("seed") * scale).as("r"))
     for (i <- 1 to iters) {
       val contrib = ed.join(rankSide(ranks), col("src") === col("node"))
@@ -187,6 +280,7 @@ object Graph {
         ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
+    }
   }
 
   /** Multi-source BFS: minimum hop distance (≤ `maxHops`) from any node in
@@ -220,7 +314,12 @@ object Graph {
     *   frontier).
     * @param assumeSmallFrontier Some(true)/Some(false) skips the per-level
     *   sizing counts entirely (the hint-skippable-probe contract);
-    *   None = measure each level. */
+    *   None = measure each level. NOTE: with None, the per-level count()
+    *   actions (and the level caches they fill) run at DataFrame
+    *   CONSTRUCTION time — building the plan pays the full traversal.
+    *   Some(true) broadcasts the cumulatively growing labeled set every
+    *   level with NO size guard; a misplaced hint on a large graph can
+    *   OOM the driver — hint only when the reach set is provably bounded. */
   def kHopDistances(edges: DataFrame, sources: DataFrame,
       maxHops: Int,
       broadcastNodeLimit: Long = 4000000L,
@@ -231,10 +330,23 @@ object Graph {
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")).distinct())
     // the symmetric view reads the cached base twice — never the caller plan
-    val e =
+    val e0 =
       if (symmetrize)
         oneDir.union(oneDir.select(col("dst").as("src"), col("src").as("dst")))
       else oneDir
+    // Shuffle-join levels sort-merge on src, and a plain cache re-sorts
+    // the whole edge table once per level per join (the sf0.1 driver plan
+    // carried 12 SortMergeJoins of re-sorted cached edges). Caching the
+    // edge list hash-partitioned AND sorted by src (both properties
+    // survive InMemoryRelation) makes the edge side of every level's join
+    // exchange-free and sort-free — only the (reach-set-bounded) frontier
+    // side shuffles. The hinted-broadcast path streams the edges unkeyed,
+    // so there the partitioned copy would be pure overhead: keep e0.
+    val e =
+      if (assumeSmallFrontier.contains(true)) e0
+      else Dedup.cacheShared(
+        e0.repartition(shufflePartitions(edges), col("src"))
+          .sortWithinPartitions("src"))
     val measure = assumeSmallFrontier.isEmpty
     def gate(df: DataFrame, n: => Long): DataFrame =
       if (assumeSmallFrontier.getOrElse(n <= broadcastNodeLimit)) broadcast(df)
@@ -311,14 +423,48 @@ object Graph {
     val raw = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val oneDir = Dedup.cacheShared(raw.distinct())
-    val e = Dedup.cacheShared(
+    val e0 =
       if (symmetrize)
         oneDir.union(oneDir.select(col("dst").as("src"), col("src").as("dst")))
-      else oneDir)
+      else oneDir
+    val symSmall = symmetrize && assumeSmallGraph.getOrElse(
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node"))).distinct()
+        .count() <= broadcastNodeLimit)
+    if (symSmall) {
+      // FAST PATH (symmetric graph, label table fits a broadcast) — r17,
+      // the pageRankScaled shape: dst-partitioned (src, dst) cache ⇒ the
+      // neighbor-min aggregation needs no exchange, and the node set is
+      // the cache's distinct dst (every node of a symmetric graph appears
+      // as dst) — no union+distinct shuffle. Each superstep broadcasts
+      // `labels` ONCE (both joins key it by node, so the second join
+      // reuses the first's broadcast) and runs as one exchange-free
+      // pipeline: cache scan → BHJ(labels) → hash agg → BHJ(labels) →
+      // least(); the eager localCheckpoint then materializes it (the
+      // plan-truncation the recurrence needs anyway — see above).
+      val eD = Dedup.cacheShared(
+        e0.repartition(shufflePartitions(edges), col("dst")))
+      var labels = eD.select(col("dst").as("node")).distinct()
+        .withColumn("label", col("node"))
+      for (i <- 1 to iters) {
+        val nb = eD.join(broadcast(labels), col("src") === col("node"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+        // symmetric ⇒ every node has in-edges ⇒ nb covers the node set:
+        // the inner re-join from the aggregation side replaces the outer
+        // labels⋈nb join (and its per-superstep broadcast of nb)
+        val next = nb.join(broadcast(labels), col("dst") === col("node"))
+          .select(col("node"), least(col("label"), col("nl")).as("label"))
+        labels = if (i < iters) next.localCheckpoint() else next
+      }
+      labels
+    } else {
+    val e = Dedup.cacheShared(e0)
     val nodes = Dedup.cacheShared(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
-    val small = assumeSmallGraph.getOrElse(nodes.count() <= broadcastNodeLimit)
+    val small =
+      if (symmetrize) false // symSmall above covers the small case
+      else assumeSmallGraph.getOrElse(nodes.count() <= broadcastNodeLimit)
     def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var labels = nodes.withColumn("label", col("node"))
     for (i <- 1 to iters) {
@@ -333,6 +479,7 @@ object Graph {
       labels = if (i < iters) next.localCheckpoint() else next
     }
     labels
+    }
   }
 
   /** Per-node triangle counts over undirected `edges` (cols `src`, `dst`;
@@ -349,8 +496,9 @@ object Graph {
     * probe), both plain equi-joins on a key Catalyst shuffles once, and
     * each triangle materializes exactly once (orientation is acyclic).
     * Counts are orientation-independent, so a SQL oracle can mirror them
-    * with the naive id-ordered 3-way join. */
-  /** The orientation joins stay sort-merge and the undirected edge set
+    * with the naive id-ordered 3-way join.
+    *
+    * The orientation joins stay sort-merge and the undirected edge set
     * stays uncached BY MEASUREMENT: the distinct's exchange is reused
     * across the degree-union branches and the orientation join within the
     * one action, so an explicit cache + a degree-table broadcast (with its

@@ -75,7 +75,12 @@ object Quality {
   /** Run the suite. Returns one row per constraint plus a `row_count` row:
     * (check STRING, violations BIGINT). Job shape: 1 fused aggregate scan
     * for every RowCheck + the row count, 1 groupBy per UniqueCheck, 1
-    * anti-join count per RefCheck. */
+    * anti-join count per RefCheck. The per-check ACTIONS run 3-at-a-time
+    * from a small driver pool (guide §2.6 — Spark schedules concurrent
+    * jobs from one session, so each check's tail stragglers back-fill
+    * with the next check's tasks instead of idling the cluster; a serial
+    * driver loop left it idle between actions). Results and their order
+    * are identical to the serial form — only job overlap changes. */
   def validate(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -90,40 +95,62 @@ object Quality {
         rowChecks.map(c =>
           coalesce(sum(when(c.violated, lit(1L)).otherwise(lit(0L))), lit(0L))
             .as(c.name))
-    val aggRow = df.agg(aggCols.head, aggCols.tail: _*).first()
-    val rowResults =
+    // each thunk is one independent check ACTION; submitted concurrently
+    val rowThunk: () => Seq[(String, Long)] = () => {
+      val aggRow = df.agg(aggCols.head, aggCols.tail: _*).first()
       ("row_count", aggRow.getLong(0)) +:
         rowChecks.zipWithIndex.map { case (c, i) => (c.name, aggRow.getLong(i + 1)) }
+    }
 
-    val uniqueResults = constraints.collect {
-      case c: UniqueCheck =>
+    val groupThunks: Seq[() => Seq[(String, Long)]] = constraints.collect {
+      case c: UniqueCheck => () => {
         val n = df.groupBy(c.keyCols.map(col): _*)
           .agg(count(lit(1)).as("__n"))
           .where(col("__n") > 1)
           .agg(coalesce(sum(col("__n")), lit(0L)))
           .first().getLong(0)
-        (c.name, n)
-      case c: MinGroupSizeCheck =>
+        Seq((c.name, n))
+      }
+      case c: MinGroupSizeCheck => () => {
         val n = df.groupBy(c.keyCols.map(col): _*)
           .agg(count(lit(1)).as("__n"))
           .where(col("__n") < c.minSize)
           .agg(coalesce(sum(col("__n")), lit(0L)))
           .first().getLong(0)
-        (c.name, n)
+        Seq((c.name, n))
+      }
     }
 
-    val refResults = constraints.collect { case c: RefCheck =>
-      val fkNotNull = c.keyCols.map(col(_).isNotNull).reduce(_ && _)
-      val refKeys = c.ref.select(c.refCols.map(col): _*).distinct()
-        .toDF(c.keyCols: _*)
-      val n = df.where(fkNotNull)
-        .select(c.keyCols.map(col): _*)
-        .join(refKeys, c.keyCols, "left_anti")
-        .count()
-      (c.name, n)
+    val refThunks: Seq[() => Seq[(String, Long)]] = constraints.collect {
+      case c: RefCheck => () => {
+        val fkNotNull = c.keyCols.map(col(_).isNotNull).reduce(_ && _)
+        val refKeys = c.ref.select(c.refCols.map(col): _*).distinct()
+          .toDF(c.keyCols: _*)
+        val n = df.where(fkNotNull)
+          .select(c.keyCols.map(col): _*)
+          .join(refKeys, c.keyCols, "left_anti")
+          .count()
+        Seq((c.name, n))
+      }
     }
 
-    (rowResults ++ uniqueResults ++ refResults)
-      .toDF("check", "violations")
+    // 2-3 jobs in flight is the guide's recommendation: enough to fill
+    // stage tails, not enough to thrash the scheduler. The pool is
+    // per-call and torn down before returning; futures preserve the
+    // declared result order (rowChecks, then group checks, then refs).
+    val thunks = rowThunk +: (groupThunks ++ refThunks)
+    val results: Seq[(String, Long)] =
+      if (thunks.size == 1) thunks.head()
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(3, thunks.size))
+        try {
+          val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val futures = thunks.map(t => scala.concurrent.Future(t())(ec))
+          futures.flatMap(f =>
+            scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
+      }
+    results.toDF("check", "violations")
   }
 }

@@ -46,10 +46,14 @@ object StreamingCdcApply {
   def applyChangeBatch(batch: DataFrame, tablePath: String, keys: Seq[String],
       valueCols: Seq[String], buckets: Int = 16): Unit = {
     val spark = batch.sparkSession
-    if (batch.isEmpty) return
     val withB = batch.withColumn("__bucket", bucketExpr(keys, buckets))
+    // ONE action answers both "is the batch empty" and "which buckets":
+    // the old isEmpty probe was a separate job re-reading the batch
+    // source per micro-batch (r17, guide §1.5 — per-batch constants add
+    // up across a replay)
     val touched = withB.select("__bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
     val outCols = keys ++ valueCols
     // dynamic-partition-overwrite commits write no _SUCCESS marker — detect
     // the table by its partition directories (same rule as IncrementalRollup).

@@ -63,6 +63,52 @@ class GraphSpec extends SparkTestBase {
     assert(viaFlag == viaUnion)
   }
 
+  test("pageRankScaled: symmetrize fast path equals the hinted-large shuffle path") {
+    // assumeSmallGraph = Some(true) takes the r17 dst-partitioned
+    // broadcast fast path; Some(false) keeps the classic shuffle-join
+    // supersteps — both must produce the identical integer fixed point
+    val oneWay = Seq((0L, 1L), (0L, 3L), (2L, 1L), (2L, 3L), (4L, 1L))
+    def run(hint: Boolean): Map[Long, Long] =
+      Graph.pageRankScaled(oneWay.toDF("src", "dst"), 4, symmetrize = true,
+        assumeSmallGraph = Some(hint))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = run(true)
+    assert(fast == run(false))
+    // and against the non-symmetrize reference on the explicit union
+    val both = oneWay.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    assert(fast == refPageRank(both, 4))
+  }
+
+  test("personalizedPageRankScaled: symmetrize fast path equals union + hinted-large paths") {
+    val oneWay = Seq((0L, 1L), (2L, 1L), (2L, 3L))
+    val both = oneWay.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val seeds = Seq(0L, 99L).toDF("node") // 99 outside the graph — ignored
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = asMap(Graph.personalizedPageRankScaled(
+      oneWay.toDF("src", "dst"), seeds, 3, symmetrize = true,
+      assumeSmallGraph = Some(true)))
+    // hinted-large symmetrize: classic shuffle supersteps
+    assert(fast == asMap(Graph.personalizedPageRankScaled(
+      oneWay.toDF("src", "dst"), seeds, 3, symmetrize = true,
+      assumeSmallGraph = Some(false))))
+    // explicit bidirectional union through the directed path
+    assert(fast == asMap(Graph.personalizedPageRankScaled(
+      both.toDF("src", "dst"), seeds, 3)))
+  }
+
+  test("minLabelPropagation: symmetrize fast path equals the hinted-large path") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    def run(hint: Option[Boolean]): Map[Long, Long] =
+      Graph.minLabelPropagation(edges, 2, symmetrize = true,
+        assumeSmallGraph = hint)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = run(Some(true))
+    assert(fast == run(Some(false)))
+    assert(fast == run(None)) // measured small ⇒ fast path, same labels
+  }
+
   test("sink node keeps receiving rank but contributes nothing (dropped mass)") {
     val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst") // 2 is a sink
     val got = Graph.pageRankScaled(edges, 2)

@@ -100,7 +100,6 @@ class QualitySpec extends SparkTestBase {
     assert(Graph.triangleCounts(star.toDF("src", "dst")).count() == 0L)
   }
 
-
   test("triangleCounts plan: equi-joins only, no cartesian/broadcast-NL") {
     val plan = Graph.triangleCounts(
       Seq((1L, 2L)).toDF("src", "dst")).queryExecution.optimizedPlan.toString
